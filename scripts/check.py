@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query in
+oracle_sql.json, run the SQL in DuckDB over the sf parquet tables and
+compare with the Spark-written parquet (columns sorted by name, rows
+sorted by all columns, exact value compare)."""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok, bad = [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        duck = con.execute(sql).df()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {str(e).splitlines()[0]}"))
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        bad.append((name, "no spark output"))
+        continue
+    spark = pd.read_parquet(f"{outdir}/{name}")
+    sc, dc = sorted(spark.columns), sorted(duck.columns)
+    if sc != dc:
+        bad.append((name, f"columns differ: spark={sc} duck={dc}"))
+        continue
+    s = spark[sc].sort_values(by=sc, kind="mergesort").reset_index(drop=True)
+    d = duck[sc].sort_values(by=sc, kind="mergesort").reset_index(drop=True)
+    if len(s) != len(d):
+        bad.append((name, f"row count: spark={len(s)} duck={len(d)}"))
+        continue
+    mismatch = None
+    for c in sc:
+        sv, dv = s[c], d[c]
+        try:
+            sv_c = sv.astype("float64") if sv.dtype != object else sv
+            dv_c = dv.astype("float64") if dv.dtype != object else dv
+        except (ValueError, TypeError):
+            sv_c, dv_c = sv.astype(str), dv.astype(str)
+        if sv.dtype == object or dv.dtype == object:
+            eq = (sv.astype(str) == dv.astype(str)) | (sv.isna() & dv.isna())
+        else:
+            try:
+                eq = (sv_c == dv_c) | (sv_c.isna() & dv_c.isna())
+            except Exception:
+                eq = sv.astype(str) == dv.astype(str)
+        if not eq.all():
+            i = int((~eq).idxmax())
+            extra = ""
+            try:
+                a, b = float(sv_c.iloc[i]), float(dv_c.iloc[i])
+                extra = f" (absdiff={abs(a-b):.3e})"
+            except Exception:
+                pass
+            mismatch = (f"col {c}: {(~eq).sum()}/{len(eq)} rows differ; "
+                        f"first at {i}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}{extra}")
+            break
+    # dtype drift report (warning only)
+    dtw = [f"{c}:{s[c].dtype}!={d[c].dtype}" for c in sc if str(s[c].dtype) != str(d[c].dtype)]
+    if mismatch:
+        bad.append((name, mismatch))
+    else:
+        ok.append((name, f"{len(s)} rows" + (f" [dtype warn: {','.join(dtw)}]" if dtw else "")))
+
+for n, m in ok:
+    print(f"PASS {n}: {m}")
+for n, m in bad:
+    print(f"FAIL {n}: {m}")
+no_oracle = [d.split('/')[-1] for d in glob.glob(f"{outdir}/q*") if d.split('/')[-1] not in oracle]
+if no_oracle:
+    print(f"(rows-only, no oracle: {sorted(no_oracle)})")
+print(f"\n{len(ok)} pass / {len(bad)} fail / {len(oracle)} total with oracle")
+sys.exit(1 if bad else 0)

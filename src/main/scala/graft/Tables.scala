@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Table loaders + numeric-determinism helpers shared by all queries.
+  *
+  * The driver compares query results value-by-value against a DuckDB
+  * oracle, so every floating aggregate must be order-independent:
+  * money columns (2-decimal doubles) are cast to DECIMAL(18,2) before
+  * SUM (exact, associative), then the final result is cast back to
+  * DOUBLE (one deterministic IEEE conversion in both engines).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 has no
+    * native type for: read nanos as long (legacy conf) and convert to
+    * a microsecond TimestampType with integer division (`div`, not
+    * `/` — ns epoch values exceed double's 2^53 exact-integer range).
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}
+
+object Num {
+  /** Exact 2-decimal money representation (source data is 2-decimal). */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent SUM over a money column, emitted as DOUBLE. */
+  def sumMoney(c: Column): Column = sum(money(c)).cast(DoubleType)
+
+  /** Exact revenue term: price * (1 - discount), all in decimal. */
+  def discounted(price: Column, disc: Column): Column =
+    money(price) * (lit(1).cast(DecimalType(18, 2)) - money(disc))
+
+  def sumDiscounted(price: Column, disc: Column): Column =
+    sum(discounted(price, disc)).cast(DoubleType)
+
+  def asLong(c: Column): Column = c.cast(LongType)
+}

@@ -1,0 +1,76 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The schema catalog: the reference's Dictionary sheet + Terms and
+  * Value Sets + model edges, as plain Scala (driver-side — these are
+  * thousands of rows at most and gate plan construction, not data
+  * flow). Ref: `/root/reference/src/s3_validationry_refactored.py:
+  * 2217-2226` (Dictionary), `/root/reference/src/utils.py:1150-1165`
+  * (TaVS), model rel list `:1850-1879`.
+  */
+final case class PropDef(
+    node: String,
+    property: String,
+    propType: String, // string | integer | number | array[string] | string;enum
+    isKey: Boolean,
+    required: Boolean)
+
+final case class Edge(src: String, dst: String, multiplicity: String)
+
+final case class ModelCatalog(
+    props: Seq[PropDef],
+    enums: Map[String, Seq[String]], // value-set name -> terms
+    edges: Seq[Edge]) {
+
+  def nodes: Seq[String] = props.map(_.node).distinct
+
+  def keyOf(node: String): Option[String] =
+    props.find(p => p.node == node && p.isKey).map(_.property)
+
+  def requiredProps(node: String): Seq[String] =
+    props.filter(p => p.node == node && p.required).map(_.property)
+
+  def propsOf(node: String): Seq[String] =
+    props.filter(_.node == node).map(_.property)
+
+  /** FK columns follow the `<parent>.<parent>_id` convention
+    * (`/root/reference/src/s3_validationry_refactored.py:1798-1800`).
+    */
+  def linkColumns(node: String): Seq[(String, String)] =
+    propsOf(node)
+      .filter(c => c.contains(".") && c.endsWith("_id"))
+      .map(c => c -> c.split("\\.")(0))
+
+  /** File nodes: nodes carrying file metadata properties
+    * (`/root/reference/src/utils.py:1167-1172`).
+    */
+  def fileNodes: Seq[String] =
+    props.filter(_.property == "file_url").map(_.node).distinct
+}
+
+object ModelCatalog {
+
+  /** Build from a Dictionary-shaped DataFrame
+    * (columns: Node, Property, Type, Key, Required) and a TaVS-shaped
+    * one (columns: `Value Set Name`, Term).
+    */
+  def fromFrames(dictionary: DataFrame, tavs: Option[DataFrame]): ModelCatalog = {
+    val props = dictionary
+      .select(col("Node"), col("Property"), col("Type"), col("Key"), col("Required"))
+      .collect()
+      .map { r =>
+        def s(i: Int) = Option(r.get(i)).map(_.toString).getOrElse("")
+        PropDef(s(0), s(1), s(2),
+          isKey = Seq("TRUE", "1", "true").contains(s(3)),
+          required = Seq("TRUE", "1", "true").contains(s(4)))
+      }.toSeq
+    val enums = tavs.map {
+      _.select(col("Value Set Name"), col("Term")).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq }
+    }.getOrElse(Map.empty[String, Seq[String]])
+    ModelCatalog(props, enums.toMap, Seq.empty)
+  }
+}

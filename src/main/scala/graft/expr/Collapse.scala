@@ -1,0 +1,70 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+/** The reference's "collapse" aggregate: distinct values of a group,
+  * one value -> the scalar itself, several -> `;`-joined
+  * (`/root/reference/src/neo4j_data_tools.py:2205-2215`,
+  * `/root/reference/src/s3_ccdi_to_index.py:868-890`).
+  *
+  * Two variants:
+  *  - [[CollapseSorted]] — distinct values joined in sorted order.
+  *    Deterministic under any partitioning; the default for anything
+  *    that feeds an output comparison.
+  *  - [[CollapseFirstSeen]] — order-preserving like the reference's
+  *    `dict.fromkeys` (first occurrence wins). Only deterministic when
+  *    the input order is (e.g. after a sort within partitions); kept
+  *    for behavioral parity.
+  */
+object Collapse {
+  private case class Buf(xs: List[String])
+
+  private val sortedAgg = new Aggregator[String, Buf, String] {
+    def zero: Buf = Buf(Nil)
+    def reduce(b: Buf, a: String): Buf =
+      if (a == null || b.xs.contains(a)) b else Buf(a :: b.xs)
+    def merge(x: Buf, y: Buf): Buf =
+      Buf(y.xs.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v :: acc))
+    def finish(b: Buf): String = b.xs.sorted match {
+      case Nil        => null
+      case one :: Nil => one
+      case many       => many.mkString(";")
+    }
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  private val firstSeenAgg = new Aggregator[String, Buf, String] {
+    def zero: Buf = Buf(Nil)
+    def reduce(b: Buf, a: String): Buf =
+      if (a == null || b.xs.contains(a)) b else Buf(a :: b.xs) // reversed at finish
+    def merge(x: Buf, y: Buf): Buf =
+      Buf(y.xs.reverse.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v :: acc))
+    def finish(b: Buf): String = b.xs.reverse match {
+      case Nil        => null
+      case one :: Nil => one
+      case many       => many.mkString(";")
+    }
+    def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Deterministic sorted collapse as a Column aggregate. */
+  def sorted(c: Column): Column = functions.udaf(sortedAgg).apply(c)
+
+  /** Reference-parity first-seen collapse. */
+  def firstSeen(c: Column): Column = functions.udaf(firstSeenAgg).apply(c)
+
+  /** Pure-builtin equivalent of the sorted collapse (codegen-friendly,
+    * preferred in hot paths): array_join(array_sort(collect_set(c))).
+    */
+  def sortedNative(c: Column): Column =
+    functions.array_join(functions.array_sort(functions.collect_set(c)), ";")
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("collapse_sorted", functions.udaf(sortedAgg))
+    spark.udf.register("collapse_first_seen", functions.udaf(firstSeenAgg))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.UUID
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic name-based UUIDs (RFC 4122 v5, SHA-1).
+  *
+  * Reproduces the reference's TabBreakeRy id minting
+  * (`/root/reference/src/s3_ccdi_to_tabbreakery.py:11-38`):
+  * namespace = UUID(md5Hex(seed)), id = uuid5(namespace, name) where
+  * name = "study::node::key". JDK `UUID.nameUUIDFromBytes` is v3
+  * (MD5-based) so v5 is implemented directly.
+  */
+object Uuid5 {
+
+  /** Namespace UUID from the md5 hex digest of a seed string, matching
+    * `uuid.UUID(hashlib.md5(seed).hexdigest())` in the reference.
+    */
+  def namespaceFromMd5(seed: String): UUID = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+    // UUID from raw 32 hex chars (no version normalization, like Python)
+    val msb = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+    val lsb = java.lang.Long.parseUnsignedLong(hex.substring(16, 32), 16)
+    new UUID(msb, lsb)
+  }
+
+  private def uuidToBytes(u: UUID): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits)
+    bb.putLong(u.getLeastSignificantBits)
+    bb.array()
+  }
+
+  /** RFC 4122 version-5 UUID: SHA-1(namespace bytes ++ name bytes) with
+    * version/variant bits patched in.
+    */
+  def uuid5(namespace: UUID, name: String): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(uuidToBytes(namespace))
+    md.update(name.getBytes(UTF_8))
+    val d = md.digest()
+    d(6) = ((d(6) & 0x0f) | 0x50).toByte // version 5
+    d(8) = ((d(8) & 0x3f) | 0x80).toByte // IETF variant
+    val hex = d.take(16).map(b => f"$b%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}"
+  }
+
+  /** The reference's CCDI namespace (`md5("ccdi")`). */
+  lazy val ccdiNamespace: UUID = namespaceFromMd5("ccdi")
+
+  /** Column form: uuid5 under a fixed seed namespace. The seed is
+    * captured at plan time so the UDF closure is a pure function of
+    * its input (safe under task retries / speculative execution).
+    */
+  def uuid5Col(seed: String, name: Column): Column = {
+    val ns = namespaceFromMd5(seed)
+    val f = udf((s: String) => if (s == null) null else uuid5(ns, s))
+    f(name)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.CurationOps
+
+/** Manifest I/O boundary (SURVEY §2.1 S1-S4): node tables as TSV or
+  * Parquet directories named by node. Excel stays outside the engine —
+  * an upstream adapter converts workbook sheets to TSV, matching the
+  * reference's own TabBreakeRy output format
+  * (`/root/reference/src/s3_ccdi_to_tabbreakery.py:138-142`).
+  */
+object ManifestIO {
+
+  /** Read one node table as all-string columns with the NA bank
+    * normalized and a stable `row_idx` (Excel-style: first data row
+    * = 2, ref `/root/reference/src/s3_validationry_refactored.py:150`).
+    *
+    * Row indexing uses zipWithIndex over the file's natural order —
+    * deterministic for a single input file (the manifest case). It is
+    * attached at ingest and must never influence join/agg keys.
+    */
+  def readNodeTsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .options(Map("sep" -> "\t", "header" -> "true", "inferSchema" -> "false"))
+      .csv(path)
+    val indexed = raw.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 2L))
+    }
+    val schema = StructType(raw.schema.fields :+ StructField("row_idx", LongType, false))
+    CurationOps.normalizeNa(spark.createDataFrame(indexed, schema))
+  }
+
+  /** Read a whole manifest directory: `<dir>/<node>.tsv` per node. */
+  def readManifest(spark: SparkSession, dir: String, nodes: Seq[String]): Map[String, DataFrame] =
+    nodes.map(n => n -> readNodeTsv(spark, s"$dir/$n.tsv")).toMap
+
+  /** P2: template-order projection — reorder to the template column
+    * list, adding missing columns as nulls
+    * (`/root/reference/src/s3_catcherry.py:1306-1313`).
+    */
+  def templateOrder(df: DataFrame, templateCols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(templateCols.map(c =>
+      if (have(c)) col(c) else lit(null).cast(StringType).as(c)): _*)
+  }
+
+  /** S4: single-file TSV sink (named-file semantics of the reference's
+    * outputs). coalesce(1) is only safe for result-sized frames —
+    * never call on raw data.
+    */
+  def writeNodeTsv(df: DataFrame, path: String, templateCols: Option[Seq[String]] = None): Unit = {
+    val ordered = templateCols.map(templateOrder(df, _)).getOrElse(df)
+    ordered.coalesce(1).write.mode("overwrite")
+      .options(Map("sep" -> "\t", "header" -> "true", "emptyValue" -> ""))
+      .csv(path)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.expr.Uuid5
+
+/** CatchERRy-style mechanical curation (SURVEY §2, ref
+  * `/root/reference/src/s3_catcherry.py`). Every operator is a pure
+  * column expression or a broadcast join — nothing iterates rows on
+  * the driver, so each pass is one narrow stage (or one broadcast
+  * join) at any scale.
+  */
+object CurationOps {
+
+  /** The reference's NA bank (`/root/reference/src/utils.py:1101`). */
+  val NaBank: Seq[String] = Seq("NA", "na", "N/A", "n/a", "")
+
+  /** Normalize NA-bank sentinels to null across all string columns. */
+  def normalizeNa(df: DataFrame, bank: Seq[String] = NaBank): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    stringCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c).isin(bank: _*), lit(null)).otherwise(col(c))))
+  }
+
+  /** Trim every string cell (ingest rule, ref `s3_catcherry.py:88`). */
+  def trimAll(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+  }
+
+  /** J4: dict-lookup value rewrite with default-keep
+    * (`s3_catcherry.py:321-411`, `.get(x, x)` semantics): broadcast
+    * join against the mapping, COALESCE back to the original.
+    */
+  def applyValueMap(
+      df: DataFrame,
+      column: String,
+      mapping: DataFrame, // columns: from, to
+      fromCol: String = "from",
+      toCol: String = "to"): DataFrame = {
+    val m = broadcast(mapping.select(col(fromCol).as("__from"), col(toCol).as("__to")))
+    df.join(m, df(column) === m("__from"), "left")
+      .withColumn(column, coalesce(col("__to"), col(column)))
+      .drop("__from", "__to")
+  }
+
+  /** Literal in-plan variant for tiny maps (no join at all). */
+  def applyValueMapLit(df: DataFrame, column: String, mapping: Map[String, String]): DataFrame = {
+    df.withColumn(column,
+      coalesce(try_element_at(typedLit(mapping), col(column)), col(column)))
+  }
+
+  /** Fuzzy enum fix (`s3_catcherry.py:505-541`): case-insensitive match
+    * against the term list replaces the cell with the canonical
+    * spelling; unmatched values are kept as-is.
+    */
+  def fuzzyEnumFix(df: DataFrame, column: String, terms: DataFrame, termCol: String = "term"): DataFrame = {
+    val t = broadcast(terms.select(col(termCol).as("__canon"))
+      .withColumn("__lower", lower(col("__canon"))))
+    df.join(t, lower(df(column)) === t("__lower"), "left")
+      .withColumn(column, coalesce(col("__canon"), col(column)))
+      .drop("__canon", "__lower")
+  }
+
+  /** A9: GUID minting for rows missing one
+    * (`s3_catcherry.py:1234-1262`): one id per distinct key tuple,
+    * broadcast back. `deterministic=true` derives the id from the key
+    * (md5 formatted as a UUID — stable across runs, the mode used for
+    * oracle comparison); otherwise uuid() (reference-parity uuid4).
+    */
+  def mintGuids(
+      df: DataFrame,
+      keyCols: Seq[String],
+      guidCol: String,
+      prefix: String = "dg.4DFC/",
+      deterministic: Boolean = true): DataFrame = {
+    val keyExpr = concat_ws("::", keyCols.map(col): _*)
+    val newId =
+      if (deterministic) md5AsUuid(keyExpr)
+      else expr("uuid()")
+    val minted = df.filter(col(guidCol).isNull)
+      .select(keyCols.map(col): _*).distinct()
+      .withColumn("__minted", concat(lit(prefix), newId))
+    df.join(minted, keyCols, "left")
+      .withColumn(guidCol, coalesce(col(guidCol), col("__minted")))
+      .drop("__minted")
+  }
+
+  /** md5 hex digest laid out as 8-4-4-4-12 (deterministic uuid look-alike,
+    * SQL-expressible on both engines).
+    */
+  def md5AsUuid(c: Column): Column = {
+    val h = md5(c)
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** TabBreakeRy deterministic row id: uuid5(md5-namespace(seed), name)
+    * (`/root/reference/src/s3_ccdi_to_tabbreakery.py:11-38`).
+    */
+  def uuid5Id(seed: String, name: Column): Column = Uuid5.uuid5Col(seed, name)
+
+  /** URL percent-encoding repair for the three characters the reference
+    * fixes (` `, `,`, `#` — `s3_catcherry.py:710-736`).
+    */
+  def urlEncodeCell(c: Column): Column = {
+    val space = regexp_replace(c, " ", "%20")
+    val comma = regexp_replace(space, ",", "%2C")
+    regexp_replace(comma, "#", "%23")
+  }
+
+  def urlDecodeCell(c: Column): Column = {
+    val space = regexp_replace(c, "%20", " ")
+    val comma = regexp_replace(space, "%2C", ",")
+    regexp_replace(comma, "%23", "#")
+  }
+
+  /** Non-UTF8 punctuation normalization (`s3_catcherry.py:605-639`). */
+  def asciiNormalize(c: Column): Column = {
+    val noMarks = regexp_replace(c, "[®™©]", "")
+    val dashes = regexp_replace(noMarks, "[–—]", "-")
+    regexp_replace(dashes, " ", " ")
+  }
+
+  /** O3: case-insensitive sort of `;`-array cells
+    * (`s3_catcherry.py:459-469`, `sorted(key=str.casefold)`).
+    */
+  def sortArrayCell(c: Column, delim: String = ";"): Column = {
+    val arr = split(c, delim)
+    val sorted = array_sort(arr, (l, r) =>
+      when(lower(l) < lower(r), -1)
+        .when(lower(l) > lower(r), 1)
+        .when(l < r, -1).when(l > r, 1)
+        .otherwise(0))
+    array_join(sorted, delim)
+  }
+
+  /** Dedup within a `;`-array cell keeping first occurrence
+    * (`s3_catcherry.py:476-487`).
+    */
+  def dedupArrayCell(c: Column, delim: String = ";"): Column =
+    array_join(array_distinct(split(c, delim)), delim)
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication at training-data scale (beyond-reference, north-star
+  * mandated): exact, MinHash+LSH, SimHash, n-gram Jaccard. Design
+  * notes for 100 TB:
+  *  - exact dedup shuffles only (hash, min_id) pairs, not documents;
+  *  - MinHash bands shuffle one short signature row per (doc, band);
+  *  - candidate pairs come from equi-joins on band buckets (shuffle
+  *    co-partitioned on the bucket key), never a cross join;
+  *  - all hashes derive from md5 so results are engine-portable and
+  *    seedable without RNG state.
+  */
+object DedupOps {
+
+  /** Exact dedup: one representative (min id) per content hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-(doc, band) MinHash value: min over shingles of
+    * md5(shingle || '|' || band). `bands` independent 1-row-hash
+    * permutations approximate Jaccard similarity; equal band value =>
+    * LSH candidate bucket.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), k)
+    val bandCols = (0 until bands).map { b =>
+      array_min(transform(sh, s => md5(concat(s, lit(s"|$b")))))
+        .as(s"minhash_$b")
+    }
+    df.select((col(idCol) +: bandCols): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band's minhash value.
+    * Self-equi-join per band on the minhash key; `id1 < id2`
+    * canonicalizes pairs; distinct unions the bands.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val l = signatures.select(col(idCol).as("id1"), col(s"minhash_$b").as("__h"))
+      val r = signatures.select(col(idCol).as("id2"), col(s"minhash_$b").as("__h2"))
+      l.join(r, l("__h") === r("__h2") && l("id1") < r("id2"))
+        .select(col("id1"), col("id2"))
+    }
+    perBand.reduce(_ unionByName _).distinct()
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs: explode distinct
+    * shingles, self-join on shingle, |∩| via group count,
+    * |∪| = |A| + |B| − |∩|. Works purely on (id, shingle) pairs —
+    * document text never crosses the shuffle.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
+      candidates: DataFrame): DataFrame = {
+    val docShingles = df.select(col(idCol).as("__id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), k))).as("__sh"))
+    val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+
+    val a = docShingles.select(col("__id").as("id1"), col("__sh"))
+    val b = docShingles.select(col("__id").as("id2"), col("__sh").as("__sh2"))
+    val inter = a.join(b, a("__sh") === b("__sh2") && a("id1") < b("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
+      .join(candidates, Seq("id1", "id2"), "left_semi")
+
+    inter
+      .join(sizes.withColumnRenamed("__id", "id1").withColumnRenamed("__n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("__id", "id2").withColumnRenamed("__n", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .select("id1", "id2", "n_common", "jaccard")
+  }
+
+  /** 16-bit SimHash from token md5s, engine-portable: bit i of the
+    * signature is the majority vote of hex digit i's high bit
+    * (digit >= '8') across the document's tokens. Near-dup docs get
+    * Hamming-close signatures; equal signatures bucket together.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val bits = (1 to 16).map { i =>
+      val ones = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(substring(md5(t), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+          .otherwise(0L))
+      when(ones * 2 > size(toks).cast("bigint"), lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped relational operators (SURVEY §2.3 J3/J8/J9/J10).
+  * Iterative chases persist+localCheckpoint per iteration to cut
+  * lineage growth — the reference caps its loops at 10 hops
+  * (`/root/reference/src/s3_catcherry.py:843-905 deep_search`), we cap
+  * configurably and converge by empty-frontier detection.
+  */
+object GraphOps {
+
+  /** J3: walk-back flatten — chain of left joins along a path of
+    * (childTable, fkCol, parentTable, pkCol) hops, parent columns
+    * prefixed to avoid collisions. Dimension-sized parents should be
+    * pre-broadcast by the caller.
+    */
+  def walkBack(
+      start: DataFrame,
+      hops: Seq[(DataFrame, String, String, String)]): DataFrame = {
+    // hops: (parentDf, fkColOnCurrent, pkColOnParent, prefixForParentCols)
+    hops.foldLeft(start) { case (cur, (parent, fk, pk, prefix)) =>
+      val renamed = parent.columns.foldLeft(parent)(
+        (d, c) => d.withColumnRenamed(c, s"$prefix$c"))
+      cur.join(renamed, cur(fk) === renamed(s"$prefix$pk"), "left")
+    }
+  }
+
+  /** J8: resolve a parent chain to its root by iterative self-join.
+    * `edges` is (childKey, parentKey) pairs; rows whose parentKey is
+    * null are roots. Returns (key, root, depth). Each iteration joins
+    * the still-unresolved frontier against the edge table; resolved
+    * rows accumulate. Converges in O(log longest-chain) iterations for
+    * balanced chains, capped at `maxIter`.
+    */
+  def resolveChain(
+      edges: DataFrame, // columns: key, parent (parent null => root)
+      maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    var frontier = edges
+      .select(col("key"), col("parent").as("cur"), lit(0).as("depth"))
+    var resolved = frontier.filter(col("cur").isNull)
+      .select(col("key"), col("key").as("root"), col("depth"))
+    frontier = frontier.filter(col("cur").isNotNull)
+
+    val parentOf = edges.select(col("key").as("__k"), col("parent").as("__p"))
+    var i = 0
+    var frontierCount = frontier.limit(1).count()
+    while (frontierCount > 0 && i < maxIter) {
+      val stepped = frontier
+        .join(parentOf, frontier("cur") === parentOf("__k"), "left")
+        .select(col("key"),
+          col("__p").as("next"),
+          col("cur"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint(true) // cut lineage per iteration
+      val done = stepped.filter(col("next").isNull)
+        .select(col("key"), col("cur").as("root"), col("depth"))
+      resolved = resolved.unionByName(done).localCheckpoint(true)
+      frontier = stepped.filter(col("next").isNotNull)
+        .select(col("key"), col("next").as("cur"), col("depth"))
+      frontierCount = frontier.limit(1).count()
+      i += 1
+    }
+    resolved
+  }
+
+  /** J9: cascading delete — given seed keys to remove from `rootTable`,
+    * walk the FK edges removing dependents transitively. `edges` maps
+    * (childTable, fkCol) -> parentTable. Returns the surviving tables.
+    * Implemented as one semi-join frontier per hop + a final anti join
+    * per table, never materializing id lists on the driver.
+    */
+  def cascadeDelete(
+      tables: Map[String, DataFrame],
+      keyOf: Map[String, String],
+      edges: Seq[(String, String, String)], // (childTable, fkCol, parentTable)
+      seedTable: String,
+      seedKeys: DataFrame // single column "key"
+  ): Map[String, DataFrame] = {
+    // Breadth-first over the table DAG: doomed keys per table.
+    var doomed: Map[String, DataFrame] = Map(seedTable -> seedKeys)
+    var frontier: Seq[String] = Seq(seedTable)
+    while (frontier.nonEmpty) {
+      val next = for {
+        (child, fk, parent) <- edges if frontier.contains(parent)
+        parentDoomed = doomed(parent)
+      } yield {
+        val childKeys = tables(child)
+          .join(parentDoomed, tables(child)(fk) === parentDoomed("key"), "left_semi")
+          .select(col(keyOf(child)).as("key"))
+        (child, childKeys)
+      }
+      frontier = next.map(_._1).distinct
+      doomed = next.foldLeft(doomed) { case (m, (t, keys)) =>
+        m.updated(t, m.get(t).map(_.unionByName(keys).distinct()).getOrElse(keys))
+      }
+    }
+    tables.map { case (name, df) =>
+      name -> doomed.get(name).map { keys =>
+        df.join(keys, df(keyOf(name)) === keys("key"), "left_anti")
+      }.getOrElse(df)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join combinators reproducing the reference's pandas-merge policies. */
+object JoinOps {
+
+  /** The reference's core `join_node` + `join_file_node_cleaner` pattern
+    * (`/root/reference/src/s3_ccdi_to_cds.py:269-297`): left equi join
+    * where overlapping non-key columns are resolved by COALESCE —
+    * parent wins by default (`combine_first`), child wins for columns
+    * listed in `childWins` (the reference's reversed anatomic_site case
+    * at `s3_ccdi_to_cds.py:563-581`). Right side rows with a null key
+    * are dropped first (`dropna(subset=[key])`).
+    */
+  def leftJoinCoalesce(
+      parent: DataFrame,
+      child: DataFrame,
+      keys: Seq[String],
+      childWins: Set[String] = Set.empty): DataFrame = {
+    val childClean = child.na.drop("any", keys)
+    val overlap = parent.columns.toSet
+      .intersect(childClean.columns.toSet) -- keys
+    // Rename child's overlapping columns to temporary names pre-join.
+    val childRenamed = overlap.foldLeft(childClean)(
+      (df, c) => df.withColumnRenamed(c, s"__child_$c"))
+    val joined = parent.join(childRenamed, keys, "left")
+    val resolved = overlap.foldLeft(joined) { (df, c) =>
+      val merged =
+        if (childWins.contains(c)) coalesce(col(s"__child_$c"), col(c))
+        else coalesce(col(c), col(s"__child_$c"))
+      df.withColumn(c, merged).drop(s"__child_$c")
+    }
+    resolved
+  }
+
+  /** Top-1-per-group join input (the reference's sort + dedup-keep-first
+    * idiom, `/root/reference/workflows/mci_gdc_transform.py:44-60`):
+    * deterministic via explicit tie-breaker columns.
+    */
+  def top1PerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Anti-membership (P6): rows of `df` whose `fk` has no match in
+    * `parent.pk` — a broadcast-able left-anti join.
+    */
+  def antiMembers(df: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    df.join(parent, df(fk) === parent(pk), "left_anti")
+
+  /** Semi-membership (P7). */
+  def semiMembers(df: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    df.join(parent, df(fk) === parent(pk), "left_semi")
+}

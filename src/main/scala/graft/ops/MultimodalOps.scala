@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (beyond-reference, north-star mandated):
+  * image/audio/video as opaque `binary` columns plus a typed metadata
+  * struct. The Spark-side machinery — schema, batch iteration via
+  * mapPartitions, partition sizing — is real; the codec itself is a
+  * clearly-marked deterministic STUB (no image/audio libraries in this
+  * container). At scale the decode is a map-side-only pass: binary
+  * payloads never shuffle; only extracted features do.
+  */
+object MultimodalOps {
+
+  /** Canonical media-table schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)
+    )), nullable = true)))
+
+  /** STUB decode: deterministic fake features derived from the payload
+    * bytes (length, first/last byte, md5). Replace the body with a real
+    * codec (e.g. javax.imageio / ffmpeg bindings) in production — the
+    * signature, schema and partition flow stay identical.
+    */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("content_hash", StringType, nullable = true),
+      StructField("feature_v0", DoubleType, nullable = true)))
+    val idx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          md.reset()
+          val hash = md.digest(payload).map(b => f"$b%02x").mkString
+          // STUB feature: byte-mean in [0,1) — stands in for a real
+          // embedding/decoder output.
+          val mean = if (payload.isEmpty) 0.0
+            else payload.map(b => (b & 0xff).toDouble).sum / (payload.length * 256.0)
+          Row.fromSeq(r.toSeq ++ Seq(payload.length.toLong, hash, mean))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sampling plan for video payloads: deterministic sample
+    * offsets (every `everyMs` ms up to duration) as an array column —
+    * the real frame grab would run inside mapPartitions per offset.
+    */
+  def frameSampleOffsets(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame_offsets_ms",
+      when(col("meta.duration_ms").isNotNull,
+        sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** Synthesize a small deterministic media table for tests/demo. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val payload = Array.tabulate[Byte](16 + i)(j => ((i * 31 + j) % 251).toByte)
+      Row(i.toLong, Seq("image", "audio", "video")(i % 3), payload,
+        Row(s"application/x-fake", 64 + i, 64, (1000L * (i + 1))))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 8)), mediaSchema)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reshaping operators (SURVEY §2.5 W4, §2.7 U4/U5, liftover). */
+object ReshapeOps {
+
+  /** U4: Neo4j long→wide pivot
+    * (`/root/reference/src/neo4j_data_tools.py:1666-1731`). Explicit
+    * `names` avoids the extra distinct-values job Spark otherwise runs
+    * — at scale the property-name domain is known from the catalog.
+    */
+  def pivotLongWide(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      valueCol: String,
+      names: Seq[String],
+      collapse: Boolean = false): DataFrame = {
+    val agg =
+      if (collapse) graft.expr.Collapse.sortedNative(col(valueCol))
+      else first(col(valueCol), ignoreNulls = true)
+    df.groupBy(col(idCol)).pivot(nameCol, names).agg(agg)
+  }
+
+  /** W4: per-group horizontal spread
+    * (`/root/reference/src/s3_ccdi_to_sra.py:1071-1125`): rows 1..n of
+    * a group become suffixed column sets `<v>_1 ... <v>_n`, ordered by
+    * `orderCols`. One shuffle (the window) + one pivot with known
+    * labels.
+    */
+  def spreadWide(
+      df: DataFrame,
+      key: String,
+      orderCols: Seq[Column],
+      valueCols: Seq[String],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val ranked = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+    val aggs = valueCols.map(v => first(col(v), ignoreNulls = true).as(v))
+    ranked.groupBy(col(key))
+      .pivot("__rn", (1 to n).map(_.toString))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnsRenamed(
+        (for { i <- 1 to n; v <- valueCols } yield
+          (if (valueCols.size == 1) s"$i" else s"${i}_$v") -> s"${v}_$i").toMap)
+  }
+
+  /** U5: unpivot fixed columns to (metric, value) long form via an
+    * exploded struct array (generator — stays in whole-stage codegen).
+    */
+  def unpivotExplode(df: DataFrame, idCols: Seq[String], metrics: Seq[(String, Column)]): DataFrame = {
+    val arr = array(metrics.map { case (n, c) =>
+      struct(lit(n).as("metric"), c.cast("double").as("value"))
+    }: _*)
+    df.select(idCols.map(col) :+ explode(arr).as("__m"): _*)
+      .select(idCols.map(col) :+ col("__m.metric") :+ col("__m.value"): _*)
+  }
+
+  /** Liftover: rename columns per a (fromName -> toName) mapping,
+    * dropping unmapped ones (ref `/root/reference/src/manifest_liftover.py`).
+    */
+  def liftover(df: DataFrame, mapping: Map[String, String]): DataFrame = {
+    val keep = df.columns.filter(mapping.contains)
+    df.select(keep.map(c => col(c).as(mapping(c))): _*)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (beyond-reference, north-star mandated).
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one
+  * map-side pass + a k-row TakeOrdered — no shuffle of the corpus).
+  * The sign-LSH bucketed variant is the 100 TB path: bucket key is
+  * computed map-side, the self-join shuffles co-partitioned buckets
+  * only, and AQE handles bucket skew. All arithmetic is float→double
+  * then a sequential left-fold, matching engine-portable IEEE order.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of one query vector (given as a
+    * 1-row DataFrame with column `query_vec`). The query side is
+    * broadcast; ordering ties broken by id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame = {
+    corpus.crossJoin(broadcast(query))
+      .withColumn("cosine", cosine(col(vecCol), col("query_vec")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .select(col(idCol), col("cosine"))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket: concatenated sign bits of the first `bits`
+    * dimensions (axis-aligned random-hyperplane LSH; deterministic and
+    * engine-portable). Computed map-side — the bucket becomes the
+    * shuffle key for the ANN join.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed approximate nearest neighbor: for every vector, the top-1
+    * cosine neighbor within its sign-LSH bucket. Equi-join on the
+    * bucket key (co-partitioned shuffle), window top-1 with id
+    * tie-break.
+    */
+  def lshNearestNeighbor(
+      corpus: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    val withBucket = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
+      col("bucket").as("bucket2"))
+    val pairs = l.join(r, l("bucket") === r("bucket2") && l("id1") =!= r("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cosine").desc, col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Grouped statistics (SURVEY §2.4 A1-A3, A10-A13). All map-side
+  * combinable aggregates — partial aggregation happens before the
+  * shuffle, so these scale linearly with input size.
+  */
+object StatsOps {
+
+  /** A1: group sizes. */
+  def groupCount(df: DataFrame, keys: String*): DataFrame =
+    df.groupBy(keys.map(col): _*).count()
+
+  /** A2: groups with more than `n` members (duplicate detection). */
+  def havingCountOver(df: DataFrame, n: Long, keys: String*): DataFrame =
+    df.groupBy(keys.map(col): _*).count().filter(col("count") > n)
+
+  /** A3: two-level distinct — distinct `b` per `a`. */
+  def distinctPerGroup(df: DataFrame, a: String, b: String): DataFrame =
+    df.groupBy(col(a)).agg(countDistinct(col(b)).as(s"n_$b"))
+
+  /** A10: fixed-width histogram over a numeric column. */
+  def histogram(df: DataFrame, c: Column, width: Double): DataFrame =
+    df.groupBy(floor(c / width).cast(LongType).as("bucket"))
+      .count()
+      .orderBy(col("bucket"))
+
+  /** A12: frequency table, most frequent first (ties by value). */
+  def freqTable(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).count().orderBy(col("count").desc, col(c))
+
+  /** A13: per-group value-constancy check — groups where any of the
+    * given fields has more than one distinct value
+    * (`/root/reference/src/s3_ccdi_to_sra.py:993-1036`).
+    */
+  def inconstantGroups(df: DataFrame, key: String, fields: Seq[String]): DataFrame = {
+    val aggs = fields.map(f => countDistinct(col(f)).as(s"n_$f"))
+    val wide = df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val anyOver = fields.map(f => col(s"n_$f") > 1).reduce(_ || _)
+    wide.filter(anyOver)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference, mandated by BASELINE.json's north star): token
+  * counting, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling. All pure column expressions (codegen'd, no UDFs) so they
+  * run map-side at 100 TB with zero shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Stopword hit count against a small inline lexicon. */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(lexicon.map(lit(_)): _*)))
+      .cast("bigint")
+
+  /** Quality features: token count, distinct-token ratio, mean token
+    * length, stopword ratio. Ratios are integer/integer double
+    * divisions — deterministic IEEE on any engine.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("bigint"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("bigint"))
+      .withColumn("n_stopwords", lexiconHits(col(textCol), stopwords))
+      .withColumn("sum_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("bigint")))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Language-ID by lexicon hit-rate argmax (n-gram-free heuristic;
+    * deterministic tie-break by profile order). Profiles are tiny and
+    * inlined into the plan — no join, no shuffle.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scored = profiles.map { case (lang, lex) =>
+      struct(lexiconHits(text, lex).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, reverse profile priority): earlier profile wins ties
+    val best = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"),
+        lit(-i).as("prio"), s.getField("lang").as("lang"))
+    }
+    greatest(best: _*).getField("lang")
+  }
+
+  /** Document fingerprint: md5 of casefolded, whitespace-collapsed text
+    * (exact-dedup key; reference idiom is md5-of-content
+    * `/root/reference/src/utils.py:1227-1263`).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** k-word shingles as an array column (MinHash/Jaccard input). */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Rolling-hash fingerprint of every k-shingle (winnowing input):
+    * md5 per shingle, keep the minimum — a 1-permutation MinHash.
+    */
+  def minShingleHash(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}

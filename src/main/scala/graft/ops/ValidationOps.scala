@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ValidationRy re-expressed (SURVEY §3.2, ref
+  * `/root/reference/src/s3_validationry_refactored.py`): every check is
+  * a pure `DataFrame => DataFrame[Finding]`, findings are unioned and
+  * sunk once. The Finding schema is flat so checks from different node
+  * tables union cleanly.
+  */
+object ValidationOps {
+
+  val findingCols: Seq[String] = Seq("tbl", "property", "check", "row_key", "bad_value")
+
+  private def finding(
+      df: DataFrame,
+      tbl: String,
+      property: String,
+      check: String,
+      rowKey: Column,
+      badValue: Column,
+      pred: Column): DataFrame =
+    df.filter(pred).select(
+      lit(tbl).as("tbl"),
+      lit(property).as("property"),
+      lit(check).as("check"),
+      rowKey.cast("string").as("row_key"),
+      badValue.cast("string").as("bad_value"))
+
+  /** Required-property check (`:183-198`): null/empty required cell. */
+  def requiredCheck(df: DataFrame, tbl: String, property: String, rowKey: String): DataFrame =
+    finding(df, tbl, property, "required", col(rowKey), col(property),
+      col(property).isNull || trim(col(property)) === "")
+
+  /** Whitespace check (`:206-252`): cell != trimmed cell. */
+  def whitespaceCheck(df: DataFrame, tbl: String, property: String, rowKey: String): DataFrame =
+    finding(df, tbl, property, "whitespace", col(rowKey), col(property),
+      col(property).isNotNull && col(property) =!= trim(col(property)))
+
+  /** TaVS enum-domain check (`:445-471`): `;`-array cells are unpacked
+    * before membership testing (multiplicity-aware).
+    */
+  def enumCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
+      allowed: Seq[String]): DataFrame = {
+    val exploded = df
+      .select(col(rowKey), explode(split(col(property), ";")).as("__v"))
+      .filter(col("__v").isNotNull && col("__v") =!= "")
+    finding(exploded, tbl, property, "enum", col(rowKey), col("__v"),
+      !col("__v").isin(allowed: _*))
+  }
+
+  /** Numeric-type check (`:28-41` if_string_int/float): storage stays
+    * string; integer-ness is a parse property (try_cast null = fail).
+    */
+  def numericCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
+      integer: Boolean = false): DataFrame = {
+    val target = if (integer) "bigint" else "double"
+    finding(df, tbl, property, if (integer) "integer" else "number",
+      col(rowKey), col(property),
+      col(property).isNotNull && col(property).try_cast(target).isNull)
+  }
+
+  /** Regex bank check (`:695-746`): any-of-N patterns flag the value. */
+  def regexCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
+      patterns: Seq[String], checkName: String = "regex"): DataFrame = {
+    val hit = patterns.map(p => col(property).rlike(p)).reduce(_ || _)
+    finding(df, tbl, property, checkName, col(rowKey), col(property),
+      col(property).isNotNull && hit)
+  }
+
+  /** Unique-key check (`:997-1019`): key values appearing on >1 row. */
+  def uniqueKeyCheck(df: DataFrame, tbl: String, keyCols: Seq[String]): DataFrame = {
+    val key = concat_ws("::", keyCols.map(col): _*)
+    df.groupBy(key.as("row_key")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(
+        lit(tbl).as("tbl"),
+        lit(keyCols.mkString(",")).as("property"),
+        lit("unique_key").as("check"),
+        col("row_key"),
+        col("__n").cast("string").as("bad_value"))
+  }
+
+  /** J10 cross-link referential check (`:1786-1949`): every `;`-split
+    * FK value must exist in the parent key column; violations via a
+    * left-anti join (broadcast-able when the parent key set is small,
+    * shuffle-hash otherwise — Catalyst decides).
+    */
+  def crossLinkCheck(
+      child: DataFrame, tbl: String, fkCol: String, rowKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val fks = child
+      .select(col(rowKey), explode(split(col(fkCol).cast("string"), ";")).as("__fk"))
+      .filter(col("__fk").isNotNull && col("__fk") =!= "")
+    val parents = parent.select(col(parentKey).cast("string").as("__pk")).distinct()
+    fks.join(parents, fks("__fk") === parents("__pk"), "left_anti")
+      .select(
+        lit(tbl).as("tbl"),
+        lit(fkCol).as("property"),
+        lit("cross_link").as("check"),
+        col(rowKey).cast("string").as("row_key"),
+        col("__fk").as("bad_value"))
+  }
+
+  /** The reference's PII regex bank, verbatim semantics
+    * (`:707-737`, subset that is portable Java/RE2).
+    */
+  val PiiPatterns: Seq[String] = Seq(
+    "\\d{3}-\\d{2}-\\d{4}",           // SSN
+    "\\d{3}-\\d{3}-\\d{4}",           // phone
+    "\\b\\d{5}(?:-\\d{4})?\\b",       // zip
+    "\\d{1,2}/\\d{1,2}/\\d{2,4}")     // date
+
+  def unionFindings(findings: Seq[DataFrame]): DataFrame =
+    findings.reduce(_ unionByName _)
+}

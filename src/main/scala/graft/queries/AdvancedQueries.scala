@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Num, Tables}
+import graft.ops._
+
+/** Reshape, iterative-graph, validation, scalar-function and
+  * time-window operators (SURVEY §2.5-§2.8, §3.2, J8/J9).
+  */
+object AdvancedQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // U5 — unpivot to (metric, value) long form.
+    Q("q26_unpivot_metrics",
+      """SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+      ReshapeOps.unpivotExplode(t(s, dir, "part"), Seq("p_partkey"),
+        Seq("retailprice" -> col("p_retailprice"), "size" -> col("p_size")))
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
+    // §2.8 strings — upper/substring/regexp_replace/translate/concat_ws.
+    Q("q27_string_funcs",
+      """SELECT c_custkey,
+        |  upper(c_name) AS up_name,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        |  substring(c_name, 1, 9) AS prefix,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  translate(c_name, '#', '_') AS translated,
+        |  CAST(length(c_name) AS BIGINT) AS n_chars
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        substring(col("c_name"), 1, 9).as("prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        translate(col("c_name"), "#", "_").as("translated"),
+        length(col("c_name")).cast("bigint").as("n_chars"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.8 numeric parse — string->int with null-on-failure (the
+    // reference's if_string_int; storage stays string).
+    Q("q28_numeric_parse",
+      """SELECT p_partkey, raw, TRY_CAST(raw AS BIGINT) AS parsed,
+        |  TRY_CAST(raw AS BIGINT) IS NOT NULL AS is_numeric
+        |FROM (SELECT p_partkey,
+        |        CASE WHEN p_partkey % 3 = 0 THEN p_name
+        |             ELSE CAST(p_partkey AS VARCHAR) END AS raw FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("raw",
+          when(col("p_partkey") % 3 === 0, col("p_name"))
+            .otherwise(col("p_partkey").cast("string")))
+        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .select(col("p_partkey"), col("raw"), col("parsed"),
+          col("parsed").isNotNull.as("is_numeric"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // §2.8 json — extract + aggregate.
+    Q("q29_json_extract",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // §2.8 hashing — md5 content hash.
+    Q("q30_md5_hash",
+      """SELECT c_custkey, md5(c_name) AS name_hash FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), md5(col("c_name")).as("name_hash"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // A9 — GUID minting for rows missing one (deterministic mode:
+    // md5-as-uuid of the key; production mode uses uuid()).
+    Q("q31_guid_mint",
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'dg.4DFC/' ||
+        |    substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+        |    substr(h,17,4) || '-' || substr(h,21,12)
+        |  ELSE 'pre-' || CAST(p_partkey AS VARCHAR) END AS guid
+        |FROM (SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS h FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val withGuid = t(s, dir, "part")
+        .withColumn("guid",
+          when(col("p_partkey") % 5 === 0, lit(null))
+            .otherwise(concat(lit("pre-"), col("p_partkey").cast("string"))))
+      CurationOps.mintGuids(withGuid, Seq("p_partkey"), "guid")
+        .select(col("p_partkey"), col("guid"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // uuid5 deterministic ids (TabBreakeRy minting) — no portable SQL
+    // oracle (DuckDB lacks sha1); driver records a rows-only check.
+    // Correctness is pinned by Uuid5Spec against Python-uuid5 values.
+    Q.noOracle("q32_uuid5_ids") { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          CurationOps.uuid5Id("ccdi",
+            concat(lit("study1::customer::"), col("c_name"))).as("id"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Time-window aggregation (events, batch form).
+    Q("q33_time_window",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("value")).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // Sessionization (gap > 30 min) — the Structured Streaming state
+    // op in batch form: one shuffle on user_id, window lag + cumsum.
+    Q("q34_sessionize",
+      """SELECT n_sessions, COUNT(*) AS n_users FROM (
+        |  SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions FROM (
+        |    SELECT user_id,
+        |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events)
+        |  GROUP BY user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__ms", unix_millis(col("ts")))
+        .withColumn("is_new",
+          when(col("__ms") - lag(col("__ms"), 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((lit(1L) + sum(col("is_new"))).as("n_sessions"))
+        .groupBy(col("n_sessions")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_sessions"))
+    },
+
+    // J8 — recursive chain resolution to fixpoint (iterative self-join
+    // with per-iteration localCheckpoint; ref deep_search caps hops).
+    Q("q35_recursive_chain",
+      """WITH RECURSIVE r(key, cur, depth) AS (
+        |  SELECT p_partkey AS key,
+        |         CASE WHEN p_partkey > 1 THEN p_partkey // 2 END AS cur,
+        |         0 AS depth
+        |  FROM part
+        |  UNION ALL
+        |  SELECT key, CASE WHEN cur > 1 THEN cur // 2 END, depth + 1
+        |  FROM r WHERE cur IS NOT NULL)
+        |SELECT key, key AS root, 0 AS depth FROM r WHERE cur IS NULL AND depth = 0
+        |UNION ALL
+        |SELECT key, cur AS root, depth + 1 FROM r WHERE cur IS NOT NULL AND cur <= 1
+        |ORDER BY key""".stripMargin) { (s, dir) =>
+      val edges = t(s, dir, "part").select(
+        col("p_partkey").as("key"),
+        when(col("p_partkey") > 1, floor(col("p_partkey") / 2).cast("bigint"))
+          .otherwise(lit(null)).as("parent"))
+      GraphOps.resolveChain(edges).orderBy(col("key"))
+    },
+
+    // J9 — cascading delete: customers in debt -> their orders -> those
+    // lineitems; survivors counted per table.
+    Q("q36_cascade_delete",
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer WHERE c_acctbal >= 0
+        |UNION ALL
+        |SELECT 'orders', COUNT(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o_custkey AND c.c_acctbal < 0)
+        |UNION ALL
+        |SELECT 'lineitem', COUNT(*) FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                  WHERE o.o_orderkey = l_orderkey AND c.c_acctbal < 0)
+        |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val tables = Map(
+        "customer" -> t(s, dir, "customer"),
+        "orders" -> t(s, dir, "orders"),
+        "lineitem" -> t(s, dir, "lineitem").withColumn("__li_key",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+      val keyOf = Map("customer" -> "c_custkey", "orders" -> "o_orderkey",
+        "lineitem" -> "__li_key")
+      val edges = Seq(
+        ("orders", "o_custkey", "customer"),
+        ("lineitem", "l_orderkey", "orders"))
+      val seeds = tables("customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("key"))
+      val surviving = GraphOps.cascadeDelete(tables, keyOf, edges, "customer", seeds)
+      val counts = Seq("customer", "orders", "lineitem").map { name =>
+        surviving(name).select(lit(name).as("tbl")).groupBy(col("tbl"))
+          .agg(count(lit(1)).as("n"))
+      }
+      counts.reduce(_ unionByName _).orderBy(col("tbl"))
+    },
+
+    // W4 — per-group horizontal spread (SRA spread_sra_df shape).
+    Q("q37_spread_wide",
+      """SELECT l_orderkey,
+        |  MAX(CASE WHEN rn = 1 THEN l_quantity END) AS l_quantity_1,
+        |  MAX(CASE WHEN rn = 2 THEN l_quantity END) AS l_quantity_2,
+        |  MAX(CASE WHEN rn = 3 THEN l_quantity END) AS l_quantity_3
+        |FROM (SELECT l_orderkey, l_quantity, row_number() OVER (
+        |        PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+        |      FROM lineitem)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      // l_linenumber is NOT unique within an order in this synthetic data;
+      // l_quantity as secondary key makes the spread output order-stable.
+      ReshapeOps.spreadWide(t(s, dir, "lineitem"), "l_orderkey",
+        Seq(col("l_linenumber").asc, col("l_quantity").asc), Seq("l_quantity"), 3)
+        .orderBy(col("l_orderkey"))
+    },
+
+    // U4 — long->wide pivot (Neo4j export shape).
+    Q("q38_pivot_long_wide",
+      """SELECT p_partkey, p_brand AS brand, p_type AS ptype FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      val long = p.select(col("p_partkey"), lit("brand").as("prop"), col("p_brand").as("value"))
+        .unionByName(p.select(col("p_partkey"), lit("ptype").as("prop"), col("p_type").as("value")))
+      ReshapeOps.pivotLongWide(long, "p_partkey", "prop", "value", Seq("brand", "ptype"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Liftover — column rename per mapping table, unmapped dropped.
+    Q("q39_liftover_rename",
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |       c_mktsegment AS segment
+        |FROM customer ORDER BY customer_id""".stripMargin) { (s, dir) =>
+      ReshapeOps.liftover(t(s, dir, "customer"), Map(
+        "c_custkey" -> "customer_id",
+        "c_name" -> "customer_name",
+        "c_mktsegment" -> "segment"))
+        .orderBy(col("customer_id"))
+    },
+
+    // §3.2 — validation report: union of per-check Finding frames
+    // (enum domain, uniqueness, whitespace, PII regex).
+    Q("q40_validation_findings",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, 'c_mktsegment' AS property, 'enum' AS "check",
+        |         CAST(c_custkey AS VARCHAR) AS row_key, c_mktsegment AS bad_value
+        |  FROM customer
+        |  WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey,o_orderdate', 'unique_key',
+        |         CAST(o_custkey AS VARCHAR) || '::' || CAST(o_orderdate AS VARCHAR),
+        |         CAST(cnt AS VARCHAR)
+        |  FROM (SELECT o_custkey, o_orderdate, COUNT(*) AS cnt FROM orders
+        |        GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT 'customer', 'c_name', 'whitespace', CAST(c_custkey AS VARCHAR), c_name
+        |  FROM customer WHERE c_name <> trim(c_name)
+        |  UNION ALL
+        |  SELECT 'customer', 'c_name', 'pii_regex', CAST(c_custkey AS VARCHAR), c_name
+        |  FROM customer WHERE regexp_matches(c_name, '\d{3}-\d{2}-\d{4}'))
+        |ORDER BY tbl, property, "check", row_key, bad_value""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      ValidationOps.unionFindings(Seq(
+        ValidationOps.enumCheck(c, "customer", "c_mktsegment", "c_custkey",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        ValidationOps.uniqueKeyCheck(o, "orders", Seq("o_custkey", "o_orderdate")),
+        ValidationOps.whitespaceCheck(c, "customer", "c_name", "c_custkey"),
+        ValidationOps.regexCheck(c, "customer", "c_name", "c_custkey",
+          Seq("\\d{3}-\\d{2}-\\d{4}"), "pii_regex")))
+        .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
+    }
+  )
+}

@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One graded query: a Spark implementation plus (when SQL-expressible)
+  * a DuckDB oracle over the same parquet tables. Column names and value
+  * types must match exactly between the two — the driver sorts columns
+  * by name and hashes values.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Q {
+  def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(oracle), run)
+
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, None, run)
+}

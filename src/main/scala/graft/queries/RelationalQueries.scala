@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Num, Tables}
+import graft.ops._
+
+/** Core relational operators from SURVEY §2 (projection/filter/join/
+  * aggregate/window/set ops), each exercised on the driver's TPC-H-ish
+  * tables with a DuckDB oracle. Numeric policy: see [[graft.Num]].
+  */
+object RelationalQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // A1/A11 — pricing summary (TPC-H Q1 shape): map-side partial aggs,
+    // one shuffle on the 6-group key.
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Num.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          Num.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // P3 — equality/membership filter; predicate pushed to parquet scan.
+    Q("q02_filter_membership",
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 30)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // P1 — projection + rename (column pruning reaches the scan).
+    Q("q03_projection_rename",
+      """SELECT c_custkey AS cust_id, c_name AS cust_name, c_acctbal AS balance
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY cust_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(
+          col("c_custkey").as("cust_id"),
+          col("c_name").as("cust_name"),
+          col("c_acctbal").as("balance"))
+        .orderBy(col("cust_id"))
+    },
+
+    // P4 — null pruning (nulls synthesized via NULLIF; the engine's NA
+    // bank normalization is the same when/otherwise expression).
+    Q("q04_null_pruning",
+      """SELECT prio, COUNT(*) AS n FROM (
+        |  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio FROM orders)
+        |WHERE prio IS NOT NULL GROUP BY prio ORDER BY prio""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("prio",
+          when(col("o_orderpriority") === "1-URGENT", lit(null))
+            .otherwise(col("o_orderpriority")))
+        .filter(col("prio").isNotNull)
+        .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+        .orderBy(col("prio"))
+    },
+
+    // P5 — regex predicate filter.
+    Q("q05_regex_filter",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").rlike("^(red|blue) .*(bolt|gear)$"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // P6 — anti-membership (left-anti join): customers with no orders.
+    Q("q06_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      JoinOps.antiMembers(c, "c_custkey", urgent, "o_custkey")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // P7 — semi-membership (left-semi join): parts with a big shipment.
+    Q("q07_semi_join",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      JoinOps.semiMembers(p, "p_partkey", big, "l_partkey")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // P8 — full-row dedup.
+    Q("q08_dedup_distinct",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .dropDuplicates()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // P8/W1 — sort + dedup keep-first (explicit tie-break; Spark's
+    // dropDuplicates has no order guarantee, so this is a window).
+    Q("q09_dedup_keep_first",
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      JoinOps.top1PerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // J1/J2 — left join + COALESCE conflict policy (pandas combine_first).
+    Q("q10_left_join_coalesce",
+      """SELECT COALESCE(c_mktsegment, 'NONE') AS segment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders LEFT JOIN (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+        |) c ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"), Num.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("segment"))
+    },
+
+    // J3 — multi-hop walk-back join tree (TPC-H Q5 shape): dims
+    // broadcast, one shuffle join per fact hop.
+    Q("q11_multihop_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          Num.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
+    // J4 — dict-lookup rewrite with default-keep ('P' not in the map).
+    Q("q12_value_map_default",
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+        |            ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      CurationOps.applyValueMapLit(
+        t(s, dir, "orders").select(col("o_orderstatus").as("status")),
+        "status", Map("O" -> "OPEN", "F" -> "FULFILLED"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+
+    // J5 — full outer join of two aggregates.
+    Q("q13_outer_join_counts",
+      """SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,
+        |  CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+        |  ON a.nationkey = b.nationkey
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val b = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      a.join(b, Seq("nationkey"), "outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
+    // J7 — as-of/top-1 join: each customer's latest order, joined back.
+    Q("q14_asof_latest_order",
+      """SELECT c_custkey, c_name, o_orderkey AS latest_orderkey,
+        |       o_orderstatus AS latest_status
+        |FROM customer JOIN (
+        |  SELECT * FROM orders QUALIFY row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val latest = JoinOps.top1PerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      t(s, dir, "customer")
+        .join(latest, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("o_orderkey").as("latest_orderkey"),
+          col("o_orderstatus").as("latest_status"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J10 — cross-link referential check with ;-multivalued FK cells.
+    Q("q15_crosslink_violations",
+      """SELECT 'orders' AS tbl, 'customer_fk' AS property, 'cross_link' AS "check",
+        |  CAST(o_orderkey AS VARCHAR) AS row_key, fk AS bad_value
+        |FROM (SELECT o_orderkey,
+        |        unnest(string_split(CAST(o_custkey AS VARCHAR) || ';' ||
+        |                            CAST(o_custkey * 2 AS VARCHAR), ';')) AS fk
+        |      FROM orders)
+        |WHERE fk <> '' AND NOT EXISTS (
+        |  SELECT 1 FROM customer WHERE CAST(c_custkey AS VARCHAR) = fk)
+        |ORDER BY row_key, bad_value""".stripMargin) { (s, dir) =>
+      val child = t(s, dir, "orders").withColumn("customer_fk",
+        concat_ws(";", col("o_custkey"), col("o_custkey") * 2))
+      ValidationOps.crossLinkCheck(child, "orders", "customer_fk", "o_orderkey",
+        t(s, dir, "customer"), "c_custkey")
+        .orderBy(col("row_key"), col("bad_value"))
+    },
+
+    // A2 — having count > 1 (duplicate detection).
+    Q("q16_having_dup_names",
+      """SELECT p_name, COUNT(*) AS count FROM part
+        |GROUP BY p_name HAVING COUNT(*) > 1 ORDER BY p_name""".stripMargin) { (s, dir) =>
+      StatsOps.havingCountOver(t(s, dir, "part"), 1, "p_name")
+        .orderBy(col("p_name"))
+    },
+
+    // A3 — two-level distinct count.
+    Q("q17_distinct_per_group",
+      """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_l_suppkey
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      StatsOps.distinctPerGroup(t(s, dir, "lineitem"), "l_partkey", "l_suppkey")
+        .orderBy(col("l_partkey"))
+    },
+
+    // A4/A5 — collapse roll-up: distinct values of a group, ;-joined
+    // sorted (the reference's collapse aggregate, engine-portable form).
+    Q("q18_collapse_rollup",
+      """SELECT l_orderkey,
+        |  string_agg(DISTINCT l_returnflag, ';' ORDER BY l_returnflag) AS flags,
+        |  COUNT(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          graft.expr.Collapse.sortedNative(col("l_returnflag")).as("flags"),
+          countDistinct(col("l_returnflag")).as("n_flags"))
+        .orderBy(col("l_orderkey"))
+    },
+
+    // A6 — group-wise argmax with deterministic tie-break.
+    Q("q19_argmax_longest_name",
+      """SELECT p_brand, p_name, p_partkey FROM part
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY p_brand
+        |  ORDER BY length(p_name) DESC, p_name, p_partkey) = 1
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      JoinOps.top1PerGroup(t(s, dir, "part"), Seq("p_brand"),
+        Seq(length(col("p_name")).desc, col("p_name").asc, col("p_partkey").asc))
+        .select(col("p_brand"), col("p_name"), col("p_partkey"))
+        .orderBy(col("p_brand"))
+    },
+
+    // A7 — conditional group reduce (any 'R' -> RETURNED).
+    Q("q20_conditional_reduce",
+      """SELECT disposition, COUNT(*) AS n FROM (
+        |  SELECT l_orderkey,
+        |    CASE WHEN MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+        |         THEN 'RETURNED' ELSE 'KEPT' END AS disposition
+        |  FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY disposition ORDER BY disposition""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__any_r"))
+        .select(when(col("__any_r") === 1, "RETURNED").otherwise("KEPT").as("disposition"))
+        .groupBy(col("disposition")).agg(count(lit(1)).as("n"))
+        .orderBy(col("disposition"))
+    },
+
+    // A10 — fixed-width histogram.
+    Q("q21_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StatsOps.histogram(t(s, dir, "orders"), col("o_totalprice"), 50000)
+    },
+
+    // A12 — frequency table.
+    Q("q22_freq_table",
+      """SELECT event_type, COUNT(*) AS count FROM events
+        |GROUP BY 1 ORDER BY count DESC, event_type""".stripMargin) { (s, dir) =>
+      StatsOps.freqTable(t(s, dir, "events"), "event_type")
+    },
+
+    // U1 — union by name with a side tag.
+    Q("q23_union_by_name",
+      """SELECT 'customer' AS side, c_name AS name, c_acctbal AS acctbal FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS side, s_name AS name, s_acctbal AS acctbal FROM supplier
+        |ORDER BY side, name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        lit("customer").as("side"), col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+      val su = t(s, dir, "supplier").select(
+        lit("supplier").as("side"), col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+      c.unionByName(su).orderBy(col("side"), col("name"))
+    },
+
+    // U3 — except over distinct sets.
+    Q("q24_except_brands",
+      """SELECT p_brand, p_type FROM part WHERE p_size >= 49
+        |EXCEPT
+        |SELECT p_brand, p_type FROM part WHERE p_size <= 2
+        |ORDER BY p_brand, p_type""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") >= 49).select(col("p_brand"), col("p_type"))
+        .except(p.filter(col("p_size") <= 2).select(col("p_brand"), col("p_type")))
+        .orderBy(col("p_brand"), col("p_type"))
+    },
+
+    // U4 — pivot with known labels (no extra distinct-values job).
+    Q("q25_pivot_status",
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+}

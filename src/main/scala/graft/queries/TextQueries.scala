@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** Training-data pipeline operators (north-star mandated): text
+  * analysis, dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+  * and embedding similarity search. All hashes are md5-derived so the
+  * DuckDB oracle computes bit-identical values.
+  */
+object TextQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Shared oracle fragment: tokens of a document. */
+  private val TOKS = "string_split(text, ' ')"
+
+  /** Oracle fragment: k=3 word shingles of token list `t`. */
+  private def shingleSql(tl: String): String =
+    s"CASE WHEN len($tl) >= 3 THEN list_transform(generate_series(1, len($tl) - 2), " +
+      s"i -> $tl[i] || ' ' || $tl[i+1] || ' ' || $tl[i+2]) ELSE [] END"
+
+  /** Oracle fragment: sequential-fold double dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting (text analysis) — pure map-side expressions.
+    Q("q41_token_stats",
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: ratios are int/int double divisions (exact).
+    Q("q42_quality_features",
+      s"""SELECT doc_id, n_tokens, n_stopwords,
+         |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len
+         |FROM (SELECT doc_id,
+         |    CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter($TOKS, x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stopwords,
+         |    CAST(list_sum(list_transform($TOKS, x -> length(x))) AS BIGINT) AS sum_len
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.qualityFeatures(t(s, dir, "documents"), "text", Seq("a", "the"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stopwords"),
+          col("distinct_ratio"), col("stopword_ratio"), col("mean_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic: lexicon hit-rate argmax, first profile
+    // wins ties (deterministic).
+    Q("q43_lang_id",
+      s"""SELECT doc_id, lang, s_en, s_de, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted
+         |FROM (SELECT doc_id, lang,
+         |    CAST(len(list_filter($TOKS, x -> x = 'the' OR x = 'a')) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter($TOKS, x -> x = 'der' OR x = 'das')) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter($TOKS, x -> x = 'le' OR x = 'la')) AS BIGINT) AS s_fr
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val profiles = Seq(
+        "en" -> Seq("the", "a"), "de" -> Seq("der", "das"), "fr" -> Seq("le", "la"))
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.lexiconHits(col("text"), Seq("the", "a")).as("s_en"),
+        TextOps.lexiconHits(col("text"), Seq("der", "das")).as("s_de"),
+        TextOps.lexiconHits(col("text"), Seq("le", "la")).as("s_fr"),
+        TextOps.langId(col("text"), profiles).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting (md5 of casefolded, space-collapsed text).
+    Q("q44_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact dedup: representative (min id) + copy count per content hash.
+    Q("q45_exact_dedup",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    },
+
+    // Shingling stats (n-gram machinery shared by MinHash/Jaccard).
+    Q("q46_shingle_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles
+         |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = TextOps.shingles(col("text"), 3)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(sh).cast("bigint").as("n_shingles"),
+        size(array_distinct(sh)).cast("bigint").as("n_distinct_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // MinHash signatures: 4 md5-derived permutations over 3-shingles.
+    Q("q47_minhash_bands", {
+      val bands = (0 until 4).map(b =>
+        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS minhash_$b")
+        .mkString(",\n         |  ")
+      s"""SELECT doc_id,
+         |  $bands
+         |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.minhashBands(t(s, dir, "documents"), "doc_id", "text", 3, 4)
+        .orderBy(col("doc_id"))
+    },
+
+    // LSH candidate pairs: docs sharing any band minhash.
+    Q("q48_lsh_candidates", {
+      val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
+        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS mh_$b").mkString(", ")} " +
+        s"FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)"
+      val perBand = (0 until 4).map(b =>
+        s"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a JOIN sig b " +
+          s"ON a.mh_$b = b.mh_$b AND a.doc_id < b.doc_id").mkString(" UNION ")
+      s"WITH sig AS ($sig) $perBand ORDER BY id1, id2"
+    }) { (s, dir) =>
+      val sigs = DedupOps.minhashBands(t(s, dir, "documents"), "doc_id", "text", 3, 4)
+      DedupOps.lshCandidatePairs(sigs, "doc_id", 4)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // n-gram Jaccard over the LSH candidates (set ops on exploded
+    // shingles — document text never crosses the shuffle).
+    Q("q49_ngram_jaccard", {
+      val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
+        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS mh_$b").mkString(", ")} " +
+        s"FROM shin"
+      val perBand = (0 until 4).map(b =>
+        s"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a JOIN sig b " +
+          s"ON a.mh_$b = b.mh_$b AND a.doc_id < b.doc_id").mkString(" UNION ")
+      s"""WITH shin AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |sig AS ($sig),
+         |cand AS ($perBand),
+         |ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shin),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, i.n_common,
+         |  CAST(i.n_common AS DOUBLE) / CAST(s1.n + s2.n - i.n_common AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN cand c ON i.id1 = c.id1 AND i.id2 = c.id2
+         |JOIN sizes s1 ON i.id1 = s1.doc_id
+         |JOIN sizes s2 ON i.id2 = s2.doc_id
+         |ORDER BY i.id1, i.id2""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
+      val cands = DedupOps.lshCandidatePairs(sigs, "doc_id", 4)
+      DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
+    Q("q50_simhash_buckets", {
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN list_sum(list_transform($TOKS, t -> CASE WHEN " +
+          s"substr(md5(t), $i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END)) * 2 " +
+          s"> len($TOKS) THEN '1' ELSE '0' END").mkString(" || ")
+      s"""SELECT simhash, COUNT(*) AS n_docs FROM (
+         |  SELECT doc_id, $bits AS simhash FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(DedupOps.simhash16(col("text")).as("simhash"))
+        .groupBy(col("simhash")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("simhash"))
+    },
+
+    // Brute-force cosine top-k (similarity-search baseline).
+    Q("q51_cosine_topk",
+      s"""WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${cosineSql("embedding", "query_vec")} AS cosine
+         |FROM embeddings, q
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("query_vec"))
+      SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    },
+
+    // Sign-LSH bucketed ANN: top-1 neighbor within the bucket.
+    Q("q52_ann_lsh_neighbor", {
+      val bucket = (1 to 4).map(i =>
+        s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT l.vec_id AS id1, r.vec_id AS nearest_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l.vec_id
+         |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.lshNearestNeighbor(t(s, dir, "embeddings"), "vec_id", "embedding", 4)
+        .orderBy(col("id1"))
+    }
+  )
+}
