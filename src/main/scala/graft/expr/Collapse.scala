@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions
   *    for behavioral parity.
   */
 object Collapse {
-  private case class Buf(xs: List[String])
+  // Buffer holds values in REVERSE insertion order. The element type is
+  // Seq (not List): Spark's product encoder deserializes any Seq field
+  // as a generic immutable Seq, and a List-typed constructor would fail
+  // with "argument type mismatch" at merge time.
+  private[expr] case class Buf(xs: Seq[String])
 
   private val sortedAgg = new Aggregator[String, Buf, String] {
-    def zero: Buf = Buf(Nil)
+    def zero: Buf = Buf(Vector.empty)
     def reduce(b: Buf, a: String): Buf =
-      if (a == null || b.xs.contains(a)) b else Buf(a :: b.xs)
+      if (a == null || b.xs.contains(a)) b else Buf(a +: b.xs)
     def merge(x: Buf, y: Buf): Buf =
-      Buf(y.xs.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v :: acc))
-    def finish(b: Buf): String = b.xs.sorted match {
+      Buf(y.xs.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v +: acc))
+    def finish(b: Buf): String = b.xs.sorted.toList match {
       case Nil        => null
       case one :: Nil => one
       case many       => many.mkString(";")
@@ -37,12 +41,12 @@ object Collapse {
   }
 
   private val firstSeenAgg = new Aggregator[String, Buf, String] {
-    def zero: Buf = Buf(Nil)
+    def zero: Buf = Buf(Vector.empty)
     def reduce(b: Buf, a: String): Buf =
-      if (a == null || b.xs.contains(a)) b else Buf(a :: b.xs) // reversed at finish
+      if (a == null || b.xs.contains(a)) b else Buf(a +: b.xs) // reversed at finish
     def merge(x: Buf, y: Buf): Buf =
-      Buf(y.xs.reverse.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v :: acc))
-    def finish(b: Buf): String = b.xs.reverse match {
+      Buf(y.xs.reverse.foldLeft(x.xs)((acc, v) => if (acc.contains(v)) acc else v +: acc))
+    def finish(b: Buf): String = b.xs.reverse.toList match {
       case Nil        => null
       case one :: Nil => one
       case many       => many.mkString(";")

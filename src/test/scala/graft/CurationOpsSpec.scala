@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CurationOps
+
+class CurationOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("normalizeNa nulls the NA bank, trimAll trims") {
+    val df = strDf(Seq("a", "b"))(Seq("NA", " x "), Seq("n/a", ""), Seq("keep", "y"))
+    val out = CurationOps.trimAll(CurationOps.normalizeNa(df)).collect()
+    out(0).toSeq shouldBe Seq(null, "x")
+    out(1).toSeq shouldBe Seq(null, null)
+    out(2).toSeq shouldBe Seq("keep", "y")
+  }
+
+  test("applyValueMap rewrites mapped values, keeps unmapped (.get(x,x))") {
+    val df = strDf(Seq("site"))(Seq("lung"), Seq("unknown_site"))
+    val mapping = strDf(Seq("from", "to"))(Seq("lung", "Lung (UBERON:0002048)"))
+    val out = CurationOps.applyValueMap(df, "site", mapping)
+      .as[String].collect().sorted
+    out shouldBe Array("Lung (UBERON:0002048)", "unknown_site")
+  }
+
+  test("applyValueMapLit matches the join variant") {
+    val df = strDf(Seq("v"))(Seq("a"), Seq("zz"))
+    CurationOps.applyValueMapLit(df, "v", Map("a" -> "A"))
+      .as[String].collect().sorted shouldBe Array("A", "zz")
+  }
+
+  test("fuzzyEnumFix canonicalizes case-insensitively, keeps unknown") {
+    val df = strDf(Seq("dx"))(Seq("neuroblastoma"), Seq("NEUROBLASTOMA"), Seq("other"))
+    val terms = strDf(Seq("term"))(Seq("Neuroblastoma"))
+    CurationOps.fuzzyEnumFix(df, "dx", terms)
+      .as[String].collect().sorted shouldBe
+      Array("Neuroblastoma", "Neuroblastoma", "other")
+  }
+
+  test("mintGuids fills only missing guids, deterministically, same key => same guid") {
+    val df = strDf(Seq("url", "md5", "guid"))(
+      Seq("s3://b/f1", "h1", "dg.4DFC/existing"),
+      Seq("s3://b/f2", "h2", null),
+      Seq("s3://b/f2", "h2", null)) // same key, second row
+    val out = CurationOps.mintGuids(df, Seq("url", "md5"), "guid")
+    val guids = out.orderBy("url").select("guid").as[String].collect()
+    guids(0) shouldBe "dg.4DFC/existing"
+    guids(1) should startWith("dg.4DFC/")
+    guids(1) shouldBe guids(2) // same key tuple -> same minted id
+    // deterministic across runs
+    val again = CurationOps.mintGuids(df, Seq("url", "md5"), "guid")
+      .orderBy("url").select("guid").as[String].collect()
+    again shouldBe guids
+  }
+
+  test("url encode/decode round-trip for the reference's three chars") {
+    val df = strDf(Seq("u"))(Seq("s3://b/a file,x#y"))
+    val enc = df.select(CurationOps.urlEncodeCell(col("u")).as("e"))
+    enc.as[String].head() shouldBe "s3://b/a%20file%2Cx%23y"
+    enc.select(CurationOps.urlDecodeCell(col("e"))).as[String].head() shouldBe
+      "s3://b/a file,x#y"
+  }
+
+  test("sortArrayCell sorts case-insensitively; dedupArrayCell keeps first") {
+    val df = strDf(Seq("v"))(Seq("banana;Apple;cherry"))
+    df.select(CurationOps.sortArrayCell(col("v"))).as[String].head() shouldBe
+      "Apple;banana;cherry"
+    strDf(Seq("v"))(Seq("b;a;b;c;a"))
+      .select(CurationOps.dedupArrayCell(col("v"))).as[String].head() shouldBe "b;a;c"
+  }
+
+  test("asciiNormalize strips marks and maps dashes") {
+    strDf(Seq("v"))(Seq("Foo® – Bar—Baz™"))
+      .select(CurationOps.asciiNormalize(col("v"))).as[String].head() shouldBe
+      "Foo - Bar-Baz"
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+class DedupOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per content hash") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+    out.count() shouldBe 3
+    val dup = out.filter(col("n_copies") === 2).head()
+    dup.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("identical docs share every minhash band; near-dups some") {
+    val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    rows(1L) shouldBe rows(2L)
+    rows(1L) should not be rows(4L)
+  }
+
+  test("lshCandidatePairs surfaces the exact-dup pair, canonicalized") {
+    val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
+    val pairs = DedupOps.lshCandidatePairs(sigs, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    all(pairs.map { case (a, b) => a < b }) shouldBe true
+  }
+
+  test("ngramJaccard is 1.0 for identical docs") {
+    val cands = Seq((1L, 2L)).toDF("id1", "id2")
+    val out = DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
+    val r = out.filter(col("id1") === 1 && col("id2") === 2).head()
+    r.getAs[Double]("jaccard") shouldBe 1.0
+  }
+
+  test("simhash16 equal for identical text, 16 bits wide") {
+    val out = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe out(2L)
+    out(1L).length shouldBe 16
+    out(1L).forall(c => c == '0' || c == '1') shouldBe true
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{Collapse, Uuid5}
+
+class ExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("uuid5 matches Python's uuid.uuid5(UUID(md5(seed)), name)") {
+    // golden values computed with CPython's uuid module
+    Uuid5.namespaceFromMd5("ccdi").toString shouldBe
+      "742d36c6-5b09-5f45-e3f1-fe12af87ec35"
+    Uuid5.uuid5(Uuid5.ccdiNamespace, "study::sample::s1") shouldBe
+      "4724d44e-17a2-5a35-baf1-412783c0513f"
+    Uuid5.uuid5(Uuid5.namespaceFromMd5("seed"), "hello") shouldBe
+      "9b542a2d-8e62-5988-9213-92e153ff812d"
+  }
+
+  test("uuid5Col is null-safe and matches the driver-side function") {
+    val df = Seq(Some("study::sample::s1"), None).toDF("name")
+    val out = df.select(Uuid5.uuid5Col("ccdi", col("name"))).as[String].collect()
+    out(0) shouldBe "4724d44e-17a2-5a35-baf1-412783c0513f"
+    out(1) shouldBe null
+  }
+
+  test("Collapse.sorted: one distinct value => scalar, several => sorted ;-join") {
+    val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "b"), ("g2", "only"))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(Collapse.sorted(col("v")).as("c"))
+      .orderBy("k").as[(String, String)].collect()
+    out shouldBe Array(("g1", "a;b"), ("g2", "only"))
+  }
+
+  test("Collapse.sortedNative agrees with the Aggregator variant") {
+    val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "b")).toDF("k", "v")
+    val a = df.groupBy("k").agg(Collapse.sorted(col("v"))).head().getString(1)
+    val b = df.groupBy("k").agg(Collapse.sortedNative(col("v"))).head().getString(1)
+    a shouldBe b
+  }
+
+  test("Collapse.firstSeen preserves first-occurrence order") {
+    val df = Seq(("g1", "z"), ("g1", "a"), ("g1", "z")).toDF("k", "v")
+      .coalesce(1) // single partition => input order defined
+    df.groupBy("k").agg(Collapse.firstSeen(col("v"))).head().getString(1) shouldBe
+      "z;a"
+  }
+}

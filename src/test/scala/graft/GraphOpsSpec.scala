@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("resolveChain walks sample->pdx->sample chains to the root") {
+    // c -> b -> a (root), d root, e -> d
+    val edges = Seq(
+      ("a", null.asInstanceOf[String]),
+      ("b", "a"), ("c", "b"),
+      ("d", null.asInstanceOf[String]), ("e", "d")).toDF("key", "parent")
+    val out = GraphOps.resolveChain(edges)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    out("a") shouldBe ("a", 0)
+    out("b") shouldBe ("a", 1)
+    out("c") shouldBe ("a", 2)
+    out("e") shouldBe ("d", 1)
+  }
+
+  test("resolveChain caps runaway cycles at maxIter") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("key", "parent")
+    // cycle: nothing resolves, loop must terminate
+    GraphOps.resolveChain(edges, maxIter = 3).count() shouldBe 0
+  }
+
+  test("walkBack joins along the hop path with prefixes") {
+    val files = Seq(("f1", "s1")).toDF("file_id", "sample_id")
+    val samples = Seq(("s1", "p1")).toDF("sample_id", "participant_id")
+    val out = GraphOps.walkBack(files,
+      Seq((samples, "sample_id", "sample_id", "sm_")))
+    out.columns should contain("sm_participant_id")
+    out.head().getAs[String]("sm_participant_id") shouldBe "p1"
+  }
+
+  test("cascadeDelete removes transitively-linked rows only") {
+    val customer = Seq(("c1"), ("c2")).toDF("c_id")
+    val orders = Seq(("o1", "c1"), ("o2", "c2")).toDF("o_id", "o_cust")
+    val items = Seq(("i1", "o1"), ("i2", "o2"), ("i3", "o2")).toDF("i_id", "i_ord")
+    val out = GraphOps.cascadeDelete(
+      tables = Map("customer" -> customer, "orders" -> orders, "items" -> items),
+      keyOf = Map("customer" -> "c_id", "orders" -> "o_id", "items" -> "i_id"),
+      edges = Seq(("orders", "o_cust", "customer"), ("items", "i_ord", "orders")),
+      seedTable = "customer",
+      seedKeys = Seq("c1").toDF("key"))
+    out("customer").as[String].collect() shouldBe Array("c2")
+    out("orders").collect().map(_.getString(0)) shouldBe Array("o2")
+    out("items").collect().map(_.getString(0)).sorted shouldBe Array("i2", "i3")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.JoinOps
+
+class JoinOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("leftJoinCoalesce: parent wins by default, child fills nulls") {
+    val parent = strDf(Seq("k", "site", "name"))(
+      Seq("a", "lung", null), Seq("b", null, "bob"))
+    val child = strDf(Seq("k", "site", "name"))(
+      Seq("a", "liver", "alice"), Seq("b", "brain", null), Seq(null, "skin", "x"))
+    val out = JoinOps.leftJoinCoalesce(parent, child, Seq("k"))
+      .orderBy("k").collect()
+    out(0).toSeq shouldBe Seq("a", "lung", "alice")  // parent site wins; null name filled
+    out(1).toSeq shouldBe Seq("b", "brain", "bob")   // parent null -> child site
+  }
+
+  test("leftJoinCoalesce: childWins reverses the policy for listed columns") {
+    val parent = strDf(Seq("k", "site"))(Seq("a", "lung"))
+    val child = strDf(Seq("k", "site"))(Seq("a", "liver"))
+    JoinOps.leftJoinCoalesce(parent, child, Seq("k"), childWins = Set("site"))
+      .head().getString(1) shouldBe "liver"
+  }
+
+  test("leftJoinCoalesce drops child rows with null key (no row explosion)") {
+    val parent = strDf(Seq("k", "v"))(Seq("a", "1"))
+    val child = strDf(Seq("k", "w"))(Seq(null, "x"), Seq(null, "y"))
+    val out = JoinOps.leftJoinCoalesce(parent, child, Seq("k"))
+    out.count() shouldBe 1
+  }
+
+  test("top1PerGroup is deterministic with tie-break columns") {
+    val df = Seq(
+      ("p1", 10, "b"), ("p1", 10, "a"), ("p1", 5, "z"),
+      ("p2", 7, "q")).toDF("pid", "age", "src")
+    val out = JoinOps.top1PerGroup(df, Seq("pid"),
+      Seq(col("age").desc, col("src").asc))
+      .orderBy("pid").collect()
+    out(0).toSeq shouldBe Seq("p1", 10, "a")
+    out(1).toSeq shouldBe Seq("p2", 7, "q")
+  }
+
+  test("antiMembers / semiMembers") {
+    val df = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    val parent = Seq(2, 3).toDF("pid")
+    JoinOps.antiMembers(df, "id", parent, "pid")
+      .select("id").as[Int].collect() shouldBe Array(1)
+    JoinOps.semiMembers(df, "id", parent, "pid")
+      .select("id").as[Int].collect().sorted shouldBe Array(2, 3)
+  }
+}

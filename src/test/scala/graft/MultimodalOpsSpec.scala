@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.MultimodalOps
+
+class MultimodalOpsSpec extends SparkSpecBase {
+
+  test("extractFeatures appends deterministic stub features, null-safe") {
+    val media = MultimodalOps.syntheticMedia(spark, 6)
+    val out = MultimodalOps.extractFeatures(media)
+    out.columns should contain allOf ("n_bytes", "content_hash", "feature_v0")
+    out.count() shouldBe 6
+    val r = out.orderBy("media_id").head()
+    r.getAs[Long]("n_bytes") shouldBe 16L
+    r.getAs[String]("content_hash").length shouldBe 32
+    val f = r.getAs[Double]("feature_v0")
+    f should (be >= 0.0 and be < 1.0)
+    // determinism: same payload -> same hash
+    val again = MultimodalOps.extractFeatures(media).orderBy("media_id").head()
+    again.getAs[String]("content_hash") shouldBe r.getAs[String]("content_hash")
+  }
+
+  test("frameSampleOffsets spaces offsets every `everyMs` up to duration") {
+    val media = MultimodalOps.syntheticMedia(spark, 3)
+    val out = MultimodalOps.frameSampleOffsets(media, 500L)
+      .orderBy("media_id")
+      .select("frame_offsets_ms")
+    val first = out.head().getSeq[Long](0)
+    first shouldBe Seq(0L, 500L, 1000L) // duration 1000ms
+  }
+
+  test("media schema keeps payloads binary (opaque) with typed metadata") {
+    val media = MultimodalOps.syntheticMedia(spark, 2)
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    media.schema("meta").dataType.typeName shouldBe "struct"
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ReshapeOps
+
+class ReshapeOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pivotLongWide: first-value pivot with known names") {
+    val long = strDf(Seq("id", "prop", "value"))(
+      Seq("n1", "color", "red"), Seq("n1", "size", "XL"), Seq("n2", "color", "blue"))
+    val out = ReshapeOps.pivotLongWide(long, "id", "prop", "value",
+      Seq("color", "size")).orderBy("id").collect()
+    out(0).toSeq shouldBe Seq("n1", "red", "XL")
+    out(1).toSeq shouldBe Seq("n2", "blue", null)
+  }
+
+  test("pivotLongWide collapse variant ;-joins duplicate values sorted") {
+    val long = strDf(Seq("id", "prop", "value"))(
+      Seq("n1", "dx", "b"), Seq("n1", "dx", "a"), Seq("n1", "dx", "a"))
+    val out = ReshapeOps.pivotLongWide(long, "id", "prop", "value",
+      Seq("dx"), collapse = true)
+    out.head().getString(1) shouldBe "a;b"
+  }
+
+  test("spreadWide lays group rows out horizontally in order") {
+    val df = Seq(
+      ("g1", 1, "a"), ("g1", 2, "b"), ("g1", 3, "c"), ("g1", 4, "d"),
+      ("g2", 1, "x")).toDF("k", "ord", "v")
+    val out = ReshapeOps.spreadWide(df, "k", Seq(col("ord").asc), Seq("v"), 3)
+      .orderBy("k").collect()
+    out(0).toSeq shouldBe Seq("g1", "a", "b", "c") // 4th row dropped (n=3)
+    out(1).toSeq shouldBe Seq("g2", "x", null, null)
+  }
+
+  test("unpivotExplode emits (metric,value) rows per id") {
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "m1", "m2")
+    val out = ReshapeOps.unpivotExplode(df, Seq("id"),
+      Seq("m1" -> col("m1"), "m2" -> col("m2")))
+    out.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sorted shouldBe
+      Array((1, "m1", 10.0), (1, "m2", 20.0))
+  }
+
+  test("liftover renames mapped columns and drops the rest") {
+    val df = Seq((1, "x", "junk")).toDF("old_id", "old_name", "dropme")
+    val out = ReshapeOps.liftover(df,
+      Map("old_id" -> "new_id", "old_name" -> "new_name"))
+    out.columns.toSeq shouldBe Seq("new_id", "new_name")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine of parallel vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(0f, 3f))).toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine(col("a"), col("b"))).as[Double].collect()
+    out(0) shouldBe 1.0 +- 1e-12
+    out(1) shouldBe 0.0 +- 1e-12
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, id tie-break") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("id", "vec")
+    val query = Seq(Tuple1(Array(1f, 0f))).toDF("query_vec")
+    val out = SimilarityOps.bruteForceTopK(corpus, "id", "vec", query, 2)
+      .select("id").as[Long].collect()
+    out shouldBe Array(1L, 2L)
+  }
+
+  test("signBucket concatenates sign bits of leading dims") {
+    val df = Seq(Tuple1(Array(1f, -2f, 3f))).toDF("v")
+    df.select(SimilarityOps.signBucket(col("v"), 3)).as[String].head() shouldBe "101"
+  }
+
+  test("lshNearestNeighbor finds in-bucket top-1") {
+    val corpus = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(1f, 0.9f)), // same bucket "11"
+      (3L, Array(-1f, 1f))                        // bucket "01", alone
+    ).toDF("id", "vec")
+    val out = SimilarityOps.lshNearestNeighbor(corpus, "id", "vec", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 2L
+    out(2L) shouldBe 1L
+    out.contains(3L) shouldBe false // singleton bucket: no neighbor
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local SparkSession for all specs (one JVM, sbt forks once). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpecBase extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  /** Tiny DataFrame helper: df(Seq("a","b"))( (1,"x"), (2,"y") ). */
+  def strDf(cols: Seq[String])(rows: Seq[Any]*): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    spark.createDataFrame(
+      rows.map(r => Row.fromSeq(r.map(v => if (v == null) null else v.toString))).asJava,
+      schema)
+  }
+
+  def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    rowsOf(df).sortBy(_.mkString("|"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.ManifestIO
+import graft.ops.StatsOps
+
+class StatsIoSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("havingCountOver finds duplicate keys") {
+    val df = Seq("a", "a", "b").toDF("k")
+    val out = StatsOps.havingCountOver(df, 1, "k").collect()
+    out.length shouldBe 1
+    out(0).getString(0) shouldBe "a"
+  }
+
+  test("histogram buckets by fixed width") {
+    val df = Seq(1.0, 4.9, 5.0, 12.0).toDF("v")
+    StatsOps.histogram(df, col("v"), 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((0L, 2L), (1L, 1L), (2L, 1L))
+  }
+
+  test("inconstantGroups flags groups with >1 distinct field value") {
+    val df = Seq(
+      ("lib1", "illumina", "wgs"), ("lib1", "illumina", "wxs"),
+      ("lib2", "ont", "wgs")).toDF("lib", "platform", "strategy")
+    val out = StatsOps.inconstantGroups(df, "lib", Seq("platform", "strategy"))
+    out.collect().map(_.getString(0)) shouldBe Array("lib1")
+  }
+
+  test("distinctPerGroup counts distinct b per a") {
+    val df = Seq(("x", 1), ("x", 1), ("x", 2), ("y", 9)).toDF("a", "b")
+    StatsOps.distinctPerGroup(df, "a", "b")
+      .orderBy("a").collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("x", 2L), ("y", 1L))
+  }
+
+  test("templateOrder reorders and null-fills to the template column list") {
+    val df = strDf(Seq("b", "a"))(Seq("2", "1"))
+    val out = ManifestIO.templateOrder(df, Seq("a", "b", "c"))
+    out.columns.toSeq shouldBe Seq("a", "b", "c")
+    out.head().toSeq shouldBe Seq("1", "2", null)
+  }
+
+  test("readNodeTsv round-trip: NA bank normalized, row_idx Excel-style") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toFile
+    val f = new java.io.File(dir, "node.tsv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id\tval"); w.println("r1\tNA"); w.println("r2\tok")
+    w.close()
+    val df = ManifestIO.readNodeTsv(spark, f.getAbsolutePath).orderBy("row_idx")
+    val rows = df.collect()
+    rows.map(_.getAs[Long]("row_idx")) shouldBe Array(2L, 3L)
+    rows(0).getAs[String]("val") shouldBe null
+    rows(1).getAs[String]("val") shouldBe "ok"
+  }
+}

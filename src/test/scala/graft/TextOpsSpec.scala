@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens") {
+    val df = Seq("a b c", "one", "x y z w").toDF("text")
+    df.select(TextOps.tokenCount(col("text"))).as[Long].collect() shouldBe
+      Array(3L, 1L, 4L)
+  }
+
+  test("shingles produces k-grams and empty array when too short") {
+    val df = Seq("a b c d").toDF("text")
+    df.select(TextOps.shingles(col("text"), 2)).as[Seq[String]].head() shouldBe
+      Seq("a b", "b c", "c d")
+    Seq("a b").toDF("text")
+      .select(TextOps.shingles(col("text"), 3)).as[Seq[String]].head() shouldBe
+      Seq.empty[String]
+  }
+
+  test("fingerprint is casefold + whitespace-collapse invariant") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+    val r = df.select(
+      TextOps.fingerprint(col("a")) === TextOps.fingerprint(col("b"))).as[Boolean]
+    r.head() shouldBe true
+  }
+
+  test("langId picks the profile with most lexicon hits, first wins ties") {
+    val profiles = Seq(
+      "en" -> Seq("the", "and"),
+      "de" -> Seq("der", "und"))
+    val df = Seq("der hund und die katze", "the cat and the dog", "zz qq").toDF("text")
+    df.select(TextOps.langId(col("text"), profiles)).as[String].collect() shouldBe
+      Array("de", "en", "en") // no hits => tie => first profile
+  }
+
+  test("qualityFeatures ratios") {
+    val out = TextOps.qualityFeatures(
+      Seq("the the cat").toDF("text"), "text", Seq("the"))
+    val r = out.select("n_tokens", "n_distinct_tokens", "n_stopwords",
+      "distinct_ratio", "stopword_ratio", "mean_token_len").head()
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    r.getLong(2) shouldBe 2L
+    r.getDouble(3) shouldBe (2.0 / 3.0)
+    r.getDouble(4) shouldBe (2.0 / 3.0)
+    r.getDouble(5) shouldBe (9.0 / 3.0)
+  }
+}

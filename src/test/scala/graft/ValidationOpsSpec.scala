@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.ValidationOps
+
+class ValidationOpsSpec extends SparkSpecBase {
+
+  test("requiredCheck flags null and blank cells") {
+    val df = strDf(Seq("id", "name"))(
+      Seq("1", "ok"), Seq("2", null), Seq("3", "  "))
+    val out = ValidationOps.requiredCheck(df, "t", "name", "id")
+    out.collect().map(_.getString(3)).sorted shouldBe Array("2", "3")
+  }
+
+  test("whitespaceCheck flags untrimmed cells only") {
+    val df = strDf(Seq("id", "v"))(Seq("1", " x"), Seq("2", "x"))
+    ValidationOps.whitespaceCheck(df, "t", "v", "id")
+      .collect().map(_.getString(3)) shouldBe Array("1")
+  }
+
+  test("enumCheck unpacks ;-arrays before membership") {
+    val df = strDf(Seq("id", "v"))(
+      Seq("1", "A;B"), Seq("2", "A;X"), Seq("3", "C"))
+    val out = ValidationOps.enumCheck(df, "t", "v", "id", Seq("A", "B"))
+    out.collect().map(r => (r.getString(3), r.getString(4))).sorted shouldBe
+      Array(("2", "X"), ("3", "C"))
+  }
+
+  test("numericCheck: '3.0' is a valid number but an invalid integer") {
+    val df = strDf(Seq("id", "v"))(
+      Seq("1", "3.0"), Seq("2", "7"), Seq("3", "abc"), Seq("4", null))
+    ValidationOps.numericCheck(df, "t", "v", "id", integer = false)
+      .collect().map(_.getString(3)) shouldBe Array("3")
+    ValidationOps.numericCheck(df, "t", "v", "id", integer = true)
+      .collect().map(_.getString(3)).sorted shouldBe Array("1", "3")
+  }
+
+  test("regexCheck flags PII bank hits") {
+    val df = strDf(Seq("id", "v"))(
+      Seq("1", "ssn 123-45-6789"), Seq("2", "clean text"))
+    ValidationOps.regexCheck(df, "t", "v", "id", ValidationOps.PiiPatterns)
+      .collect().map(_.getString(3)) shouldBe Array("1")
+  }
+
+  test("uniqueKeyCheck reports keys on >1 row with their count") {
+    val df = strDf(Seq("k", "x"))(Seq("a", "1"), Seq("a", "2"), Seq("b", "3"))
+    val out = ValidationOps.uniqueKeyCheck(df, "t", Seq("k")).collect()
+    out.length shouldBe 1
+    out(0).getString(3) shouldBe "a"
+    out(0).getString(4) shouldBe "2"
+  }
+
+  test("crossLinkCheck: every ;-split FK must exist in parent") {
+    val child = strDf(Seq("id", "fk"))(
+      Seq("1", "p1;p2"), Seq("2", "p3"), Seq("3", "p1"))
+    val parent = strDf(Seq("pk"))(Seq("p1"), Seq("p2"))
+    val out = ValidationOps.crossLinkCheck(child, "t", "fk", "id", parent, "pk")
+    out.collect().map(r => (r.getString(3), r.getString(4))) shouldBe
+      Array(("2", "p3"))
+  }
+
+  test("unionFindings unions heterogeneous checks into one frame") {
+    val df = strDf(Seq("id", "v"))(Seq("1", null))
+    val f = ValidationOps.unionFindings(Seq(
+      ValidationOps.requiredCheck(df, "t", "v", "id"),
+      ValidationOps.whitespaceCheck(df, "t", "v", "id")))
+    f.columns.toSeq shouldBe ValidationOps.findingCols
+    f.count() shouldBe 1
+  }
+}
