@@ -17,9 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    widen(spark, df)
+  }
+
+  /** Benchmark inputs are single small parquet files, which Spark scans
+    * as one partition — serializing every expensive per-row expression
+    * (the interpreted higher-order functions especially) onto one core.
+    * Repartition only when the scan has materially fewer partitions
+    * than the session's parallelism; a real 100 TB source arrives in
+    * thousands of splits and takes the no-shuffle branch.
+    */
+  private def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 has no
     * native type for: read nanos as long (legacy conf) and convert to

@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
   * mandated): exact, MinHash+LSH, SimHash, n-gram Jaccard. Design
   * notes for 100 TB:
   *  - exact dedup shuffles only (hash, min_id) pairs, not documents;
+  *  - every shingle/token is md5-hashed ONCE; the `bands` band hashes
+  *    are 8-hex-digit slices of that single digest (4 independent
+  *    32-bit hash functions from one 128-bit digest — the standard
+  *    one-permutation trick), so hashing cost is O(shingles), not
+  *    O(shingles × bands);
   *  - MinHash bands shuffle one short signature row per (doc, band);
-  *  - candidate pairs come from equi-joins on band buckets (shuffle
-  *    co-partitioned on the bucket key), never a cross join;
+  *  - candidate pairs come from ONE equi-join on the exploded
+  *    (band, hash) key (shuffle co-partitioned on the bucket key),
+  *    never a cross join and never one join per band;
+  *  - Jaccard verification restricts the shingle self-join to docs
+  *    that appear in some candidate pair first — at a realistic dup
+  *    rate that is orders of magnitude less data than all-pairs;
   *  - all hashes derive from md5 so results are engine-portable and
   *    seedable without RNG state.
   */
@@ -20,44 +29,60 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-(doc, band) MinHash value: min over shingles of
-    * md5(shingle || '|' || band). `bands` independent 1-row-hash
-    * permutations approximate Jaccard similarity; equal band value =>
-    * LSH candidate bucket.
+  /** Shingle digests: md5 per k-shingle, computed once. */
+  private def shingleHashes(textCol: String, k: Int): Column =
+    transform(TextOps.shingles(col(textCol), k), s => md5(s))
+
+  /** Per-(doc, band) MinHash value: min over shingles of band `b`'s
+    * 8-hex slice of the shingle's md5. Equal band value => LSH
+    * candidate bucket. Shingles and digests are projected once and
+    * shared by all bands (explicit projection — higher-order
+    * functions sit outside whole-stage codegen, so common
+    * subexpressions are NOT eliminated automatically).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), k)
+    require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = 4 bands of 8")
+    val hashed = df.select(col(idCol), shingleHashes(textCol, k).as("__hs"))
     val bandCols = (0 until bands).map { b =>
-      array_min(transform(sh, s => md5(concat(s, lit(s"|$b")))))
+      array_min(transform(col("__hs"), h => h.substr(lit(1 + 8 * b), lit(8))))
         .as(s"minhash_$b")
     }
-    df.select((col(idCol) +: bandCols): _*)
+    hashed.select((col(idCol) +: bandCols): _*)
   }
 
   /** LSH candidate pairs: docs sharing any band's minhash value.
-    * Self-equi-join per band on the minhash key; `id1 < id2`
-    * canonicalizes pairs; distinct unions the bands.
+    * Signatures unpivot to (band, hash) long form and self-join ONCE
+    * on that composite key — one shuffle for all bands; `id1 < id2`
+    * canonicalizes pairs; distinct dedups across bands.
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val perBand = (0 until bands).map { b =>
-      val l = signatures.select(col(idCol).as("id1"), col(s"minhash_$b").as("__h"))
-      val r = signatures.select(col(idCol).as("id2"), col(s"minhash_$b").as("__h2"))
-      l.join(r, l("__h") === r("__h2") && l("id1") < r("id2"))
-        .select(col("id1"), col("id2"))
-    }
-    perBand.reduce(_ unionByName _).distinct()
+    val long = signatures.select(col(idCol).as("__id"),
+      posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__h"))
+      .filter(col("__h").isNotNull)
+    val l = long.select(col("__id").as("id1"), col("__band"), col("__h"))
+    val r = long.select(col("__id").as("id2"),
+      col("__band").as("__band2"), col("__h").as("__h2"))
+    l.join(r, l("__band") === r("__band2") && l("__h") === r("__h2") &&
+        l("id1") < r("id2"))
+      .select(col("id1"), col("id2")).distinct()
   }
 
   /** n-gram Jaccard similarity for candidate pairs: explode distinct
-    * shingles, self-join on shingle, |∩| via group count,
-    * |∪| = |A| + |B| − |∩|. Works purely on (id, shingle) pairs —
-    * document text never crosses the shuffle.
+    * shingles (as md5 digests — fixed 32-char keys shuffle smaller
+    * and compare faster than raw shingles), restrict to candidate
+    * docs, self-join on digest, |∩| via group count,
+    * |∪| = |A| + |B| − |∩|. Document text never crosses the shuffle.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
       candidates: DataFrame): DataFrame = {
-    val docShingles = df.select(col(idCol).as("__id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), k))).as("__sh"))
+    val candDocs = candidates.select(col("id1").as("__cid"))
+      .union(candidates.select(col("id2"))).distinct()
+    val docShingles = df
+      .join(candDocs, df(idCol) === candDocs("__cid"), "left_semi")
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(shingleHashes(textCol, k))).as("__sh"))
     val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
     val a = docShingles.select(col("__id").as("id1"), col("__sh"))
@@ -79,15 +104,24 @@ object DedupOps {
     * signature is the majority vote of hex digit i's high bit
     * (digit >= '8') across the document's tokens. Near-dup docs get
     * Hamming-close signatures; equal signatures bucket together.
+    *
+    * Each token is md5'd ONCE; the 16 bit-votes are elementwise sums
+    * over a per-token 0/1 vector (one aggregate pass, not 16).
     */
   def simhash16(text: Column): Column = {
     val toks = TextOps.tokens(text)
-    val bits = (1 to 16).map { i =>
-      val ones = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(substring(md5(t), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+    val perTokenBits = transform(toks, t => {
+      val h = md5(t)
+      transform(sequence(lit(1), lit(16)), i =>
+        when(h.substr(i, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
           .otherwise(0L))
-      when(ones * 2 > size(toks).cast("bigint"), lit("1")).otherwise(lit("0"))
-    }
+    })
+    val ones = aggregate(perTokenBits,
+      array_repeat(lit(0L), 16),
+      (acc, x) => zip_with(acc, x, (p, q) => p + q))
+    val n = size(toks).cast("bigint")
+    val bits = (1 to 16).map(i =>
+      when(element_at(ones, i) * 2 > n, lit("1")).otherwise(lit("0")))
     concat(bits: _*)
   }
 }

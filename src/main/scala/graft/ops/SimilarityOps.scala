@@ -55,14 +55,18 @@ object SimilarityOps {
     */
   def lshNearestNeighbor(
       corpus: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    // Norms are per-vector: compute BEFORE the pair join (O(n) norm
+    // evaluations instead of O(pairs)).
     val withBucket = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"), col("bucket"))
+    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("bucket"))
     val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
-      col("bucket").as("bucket2"))
+      col("nrm").as("n2"), col("bucket").as("bucket2"))
     val pairs = l.join(r, l("bucket") === r("bucket2") && l("id1") =!= r("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id1"))
       .orderBy(col("cosine").desc, col("id2"))

@@ -290,11 +290,14 @@ object RelationalQueries {
         |  string_agg(DISTINCT l_returnflag, ';' ORDER BY l_returnflag) AS flags,
         |  COUNT(DISTINCT l_returnflag) AS n_flags
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      // One collect_set serves both outputs — a countDistinct alongside
+      // it would add an Expand (2x aggregate input) for no information.
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(
-          graft.expr.Collapse.sortedNative(col("l_returnflag")).as("flags"),
-          countDistinct(col("l_returnflag")).as("n_flags"))
+        .agg(array_sort(collect_set(col("l_returnflag"))).as("__set"))
+        .select(col("l_orderkey"),
+          array_join(col("__set"), ";").as("flags"),
+          size(col("__set")).cast("bigint").as("n_flags"))
         .orderBy(col("l_orderkey"))
     },
 

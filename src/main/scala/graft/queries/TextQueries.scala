@@ -23,6 +23,14 @@ object TextQueries {
     s"CASE WHEN len($tl) >= 3 THEN list_transform(generate_series(1, len($tl) - 2), " +
       s"i -> $tl[i] || ' ' || $tl[i+1] || ' ' || $tl[i+2]) ELSE [] END"
 
+  /** Oracle fragment: per-shingle md5 digests (hashed once; band
+    * hashes are 8-hex slices — matches DedupOps.minhashBands).
+    */
+  private val HS = "list_transform(sh, s -> md5(s))"
+
+  private def bandMinSql(b: Int): String =
+    s"list_min(list_transform(hs, h -> substr(h, ${1 + 8 * b}, 8)))"
+
   /** Oracle fragment: sequential-fold double dot product. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -119,22 +127,26 @@ object TextQueries {
          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles
          |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = TextOps.shingles(col("text"), 3)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(sh).cast("bigint").as("n_shingles"),
-        size(array_distinct(sh)).cast("bigint").as("n_distinct_shingles"))
+      // Project the shingle array once: higher-order functions are
+      // interpreted (outside codegen), so no automatic CSE applies.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+        .select(
+          col("doc_id"),
+          size(col("__sh")).cast("bigint").as("n_shingles"),
+          size(array_distinct(col("__sh"))).cast("bigint").as("n_distinct_shingles"))
         .orderBy(col("doc_id"))
     },
 
-    // MinHash signatures: 4 md5-derived permutations over 3-shingles.
+    // MinHash signatures: 4 permutations = 4 8-hex slices of ONE md5
+    // per 3-shingle (hash once, slice per band).
     Q("q47_minhash_bands", {
-      val bands = (0 until 4).map(b =>
-        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS minhash_$b")
+      val bands = (0 until 4).map(b => s"${bandMinSql(b)} AS minhash_$b")
         .mkString(",\n         |  ")
       s"""SELECT doc_id,
          |  $bands
-         |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
+         |FROM (SELECT doc_id, $HS AS hs
+         |      FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents))
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       DedupOps.minhashBands(t(s, dir, "documents"), "doc_id", "text", 3, 4)
@@ -144,8 +156,9 @@ object TextQueries {
     // LSH candidate pairs: docs sharing any band minhash.
     Q("q48_lsh_candidates", {
       val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
-        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS mh_$b").mkString(", ")} " +
-        s"FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)"
+        s"${bandMinSql(b)} AS mh_$b").mkString(", ")} " +
+        s"FROM (SELECT doc_id, $HS AS hs " +
+        s"FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents))"
       val perBand = (0 until 4).map(b =>
         s"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a JOIN sig b " +
           s"ON a.mh_$b = b.mh_$b AND a.doc_id < b.doc_id").mkString(" UNION ")
@@ -157,18 +170,18 @@ object TextQueries {
     },
 
     // n-gram Jaccard over the LSH candidates (set ops on exploded
-    // shingles — document text never crosses the shuffle).
+    // shingle digests — document text never crosses the shuffle).
     Q("q49_ngram_jaccard", {
       val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
-        s"list_min(list_transform(sh, s -> md5(s || '|$b'))) AS mh_$b").mkString(", ")} " +
-        s"FROM shin"
+        s"${bandMinSql(b)} AS mh_$b").mkString(", ")} FROM hsh"
       val perBand = (0 until 4).map(b =>
         s"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a JOIN sig b " +
           s"ON a.mh_$b = b.mh_$b AND a.doc_id < b.doc_id").mkString(" UNION ")
       s"""WITH shin AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |hsh AS (SELECT doc_id, $HS AS hs FROM shin),
          |sig AS ($sig),
          |cand AS ($perBand),
-         |ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shin),
+         |ds AS (SELECT doc_id, unnest(list_distinct(hs)) AS s FROM hsh),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
