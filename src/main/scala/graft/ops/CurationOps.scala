@@ -17,17 +17,23 @@ object CurationOps {
   /** The reference's NA bank (`/root/reference/src/utils.py:1101`). */
   val NaBank: Seq[String] = Seq("NA", "na", "N/A", "n/a", "")
 
+  /** Raw-name column reference — backtick-quoted so the reference's
+    * dotted FK columns (`participant.participant_id`) resolve as plain
+    * attributes rather than struct access.
+    */
+  def rawCol(name: String): Column = col("`" + name.replace("`", "") + "`")
+
   /** Normalize NA-bank sentinels to null across all string columns. */
   def normalizeNa(df: DataFrame, bank: Seq[String] = NaBank): DataFrame = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     stringCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, when(col(c).isin(bank: _*), lit(null)).otherwise(col(c))))
+      d.withColumn(c, when(rawCol(c).isin(bank: _*), lit(null)).otherwise(rawCol(c))))
   }
 
   /** Trim every string cell (ingest rule, ref `s3_catcherry.py:88`). */
   def trimAll(df: DataFrame): DataFrame = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(rawCol(c))))
   }
 
   /** J4: dict-lookup value rewrite with default-keep

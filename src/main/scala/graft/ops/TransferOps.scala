@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** S8-style transfer planning (ref `/root/reference/src/file_mover.py:
+  * 422-620`): the copy/move/delete plan is a DataFrame, execution is a
+  * foreachPartition side-effect, and results join back to the plan.
+  * Here the plan/summary algebra — the side-effecting executor stays
+  * behind an interface in io/.
+  *
+  * The chunk id is a pure function of a global row_number, mirroring
+  * the reference's 100-object chunks; at scale, prefer
+  * `floor(hash(key) pmod n)` bucketing to avoid the single-partition
+  * window sort (offered as `hashChunks`).
+  */
+object TransferOps {
+
+  /** Sequential chunk assignment (reference-parity: deterministic
+    * order, contiguous chunks of `chunkSize`).
+    */
+  def planChunks(df: DataFrame, orderCol: String, chunkSize: Int): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    df.withColumn("chunk_id",
+      floor((row_number().over(w) - 1) / chunkSize).cast("bigint"))
+  }
+
+  /** Scale-path chunking: no global sort, chunks are hash buckets. */
+  def hashChunks(df: DataFrame, keyCol: String, nChunks: Int): DataFrame =
+    df.withColumn("chunk_id", pmod(hash(col(keyCol)), lit(nChunks)).cast("bigint"))
+
+  /** A12-style per-chunk status roll-up of transfer results. */
+  def chunkSummary(plan: DataFrame, statusCol: Column): DataFrame =
+    plan.groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(statusCol === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(statusCol =!= "ok", 1L).otherwise(0L)).as("n_fail"))
+}

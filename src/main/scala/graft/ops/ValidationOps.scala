@@ -13,6 +13,12 @@ object ValidationOps {
 
   val findingCols: Seq[String] = Seq("tbl", "property", "check", "row_key", "bad_value")
 
+  /** Column reference by raw name — backtick-quoted so the reference's
+    * dotted FK names (`participant.participant_id`) resolve as plain
+    * attributes, not struct field access.
+    */
+  private def pcol(name: String): Column = col("`" + name.replace("`", "") + "`")
+
   private def finding(
       df: DataFrame,
       tbl: String,
@@ -30,13 +36,13 @@ object ValidationOps {
 
   /** Required-property check (`:183-198`): null/empty required cell. */
   def requiredCheck(df: DataFrame, tbl: String, property: String, rowKey: String): DataFrame =
-    finding(df, tbl, property, "required", col(rowKey), col(property),
-      col(property).isNull || trim(col(property)) === "")
+    finding(df, tbl, property, "required", pcol(rowKey), pcol(property),
+      pcol(property).isNull || trim(pcol(property)) === "")
 
   /** Whitespace check (`:206-252`): cell != trimmed cell. */
   def whitespaceCheck(df: DataFrame, tbl: String, property: String, rowKey: String): DataFrame =
-    finding(df, tbl, property, "whitespace", col(rowKey), col(property),
-      col(property).isNotNull && col(property) =!= trim(col(property)))
+    finding(df, tbl, property, "whitespace", pcol(rowKey), pcol(property),
+      pcol(property).isNotNull && pcol(property) =!= trim(pcol(property)))
 
   /** TaVS enum-domain check (`:445-471`): `;`-array cells are unpacked
     * before membership testing (multiplicity-aware).
@@ -44,9 +50,9 @@ object ValidationOps {
   def enumCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
       allowed: Seq[String]): DataFrame = {
     val exploded = df
-      .select(col(rowKey), explode(split(col(property), ";")).as("__v"))
+      .select(pcol(rowKey), explode(split(pcol(property), ";")).as("__v"))
       .filter(col("__v").isNotNull && col("__v") =!= "")
-    finding(exploded, tbl, property, "enum", col(rowKey), col("__v"),
+    finding(exploded, tbl, property, "enum", pcol(rowKey), col("__v"),
       !col("__v").isin(allowed: _*))
   }
 
@@ -57,21 +63,21 @@ object ValidationOps {
       integer: Boolean = false): DataFrame = {
     val target = if (integer) "bigint" else "double"
     finding(df, tbl, property, if (integer) "integer" else "number",
-      col(rowKey), col(property),
-      col(property).isNotNull && col(property).try_cast(target).isNull)
+      pcol(rowKey), pcol(property),
+      pcol(property).isNotNull && pcol(property).try_cast(target).isNull)
   }
 
   /** Regex bank check (`:695-746`): any-of-N patterns flag the value. */
   def regexCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
       patterns: Seq[String], checkName: String = "regex"): DataFrame = {
-    val hit = patterns.map(p => col(property).rlike(p)).reduce(_ || _)
-    finding(df, tbl, property, checkName, col(rowKey), col(property),
-      col(property).isNotNull && hit)
+    val hit = patterns.map(p => pcol(property).rlike(p)).reduce(_ || _)
+    finding(df, tbl, property, checkName, pcol(rowKey), pcol(property),
+      pcol(property).isNotNull && hit)
   }
 
   /** Unique-key check (`:997-1019`): key values appearing on >1 row. */
   def uniqueKeyCheck(df: DataFrame, tbl: String, keyCols: Seq[String]): DataFrame = {
-    val key = concat_ws("::", keyCols.map(col): _*)
+    val key = concat_ws("::", keyCols.map(pcol): _*)
     df.groupBy(key.as("row_key")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(
@@ -91,15 +97,15 @@ object ValidationOps {
       child: DataFrame, tbl: String, fkCol: String, rowKey: String,
       parent: DataFrame, parentKey: String): DataFrame = {
     val fks = child
-      .select(col(rowKey), explode(split(col(fkCol).cast("string"), ";")).as("__fk"))
+      .select(pcol(rowKey), explode(split(pcol(fkCol).cast("string"), ";")).as("__fk"))
       .filter(col("__fk").isNotNull && col("__fk") =!= "")
-    val parents = parent.select(col(parentKey).cast("string").as("__pk")).distinct()
+    val parents = parent.select(pcol(parentKey).cast("string").as("__pk")).distinct()
     fks.join(parents, fks("__fk") === parents("__pk"), "left_anti")
       .select(
         lit(tbl).as("tbl"),
         lit(fkCol).as("property"),
         lit("cross_link").as("check"),
-        col(rowKey).cast("string").as("row_key"),
+        pcol(rowKey).cast("string").as("row_key"),
         col("__fk").as("bad_value"))
   }
 

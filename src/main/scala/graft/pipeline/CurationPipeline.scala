@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.ModelCatalog
+import graft.ops.{CurationOps, ValidationOps}
+
+/** Stage composition (SURVEY §3.1): the reference's six-stage Prefect
+  * pipeline re-expressed as pure `Map[node -> DataFrame]` transforms
+  * composed lazily — no files between stages, one Catalyst plan end to
+  * end; the only materialization barriers are the sinks.
+  */
+object CurationPipeline {
+
+  type Manifest = Map[String, DataFrame]
+
+  /** CatchERR (stage 1): mechanical cleanup on every node table —
+    * trim, NA-normalize, enum fuzzy-fix per the catalog's enum
+    * domains, sorted+deduped array cells for array-typed props.
+    */
+  def catchErr(manifest: Manifest, catalog: ModelCatalog): Manifest =
+    manifest.map { case (node, df) =>
+      val cleaned = CurationOps.normalizeNa(CurationOps.trimAll(df))
+      val withEnums = catalog.props
+        .filter(p => p.node == node && p.propType.contains("enum"))
+        .foldLeft(cleaned) { (d, p) =>
+          if (!d.columns.contains(p.property)) d
+          else catalog.enums.get(p.property) match {
+            case Some(terms) if terms.nonEmpty =>
+              val termsDf = d.sparkSession.createDataFrame(
+                terms.map(Tuple1(_))).toDF("term")
+              CurationOps.fuzzyEnumFix(d, p.property, termsDf)
+            case _ => d
+          }
+        }
+      val withArrays = catalog.props
+        .filter(p => p.node == node && p.propType.startsWith("array"))
+        .foldLeft(withEnums) { (d, p) =>
+          if (!d.columns.contains(p.property)) d
+          else d.withColumn(p.property,
+            when(col(p.property).isNotNull,
+              CurationOps.sortArrayCell(CurationOps.dedupArrayCell(col(p.property))))
+              .otherwise(col(p.property)))
+        }
+      node -> withArrays
+    }
+
+  /** ValidationRy (stage 2): catalog-driven checks over every node —
+    * required props, whitespace, numeric-typed props, unique keys,
+    * cross-links — unioned into one findings frame.
+    */
+  def validate(manifest: Manifest, catalog: ModelCatalog, rowKey: String): DataFrame = {
+    val findings = manifest.toSeq.flatMap { case (node, df) =>
+      val cols = df.columns.toSet
+      val props = catalog.props.filter(_.node == node)
+      val required = props.filter(_.required).filter(p => cols(p.property)).map(p =>
+        ValidationOps.requiredCheck(df, node, p.property, rowKey))
+      val ws = props.filter(p => cols(p.property)).map(p =>
+        ValidationOps.whitespaceCheck(df, node, p.property, rowKey))
+      val numeric = props.filter(p => cols(p.property) &&
+          (p.propType == "integer" || p.propType == "number")).map(p =>
+        ValidationOps.numericCheck(df, node, p.property, rowKey,
+          integer = p.propType == "integer"))
+      val keys = catalog.keyOf(node).filter(cols).map(k =>
+        ValidationOps.uniqueKeyCheck(df, node, Seq(k))).toSeq
+      val links = catalog.linkColumns(node)
+        .filter { case (c, parent) => cols(c) && manifest.contains(parent) }
+        .flatMap { case (c, parent) =>
+          catalog.keyOf(parent).filter(manifest(parent).columns.contains).map { pk =>
+            ValidationOps.crossLinkCheck(df, node, c, rowKey, manifest(parent), pk)
+          }
+        }
+      required ++ ws ++ numeric ++ keys ++ links
+    }
+    ValidationOps.unionFindings(findings)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{MultimodalOps, TransferOps}
+
+/** Multimodal-column plumbing and transfer-plan queries (beyond-
+  * reference, north-star mandated). Binary payloads are the documents'
+  * UTF-8 bytes — opaque to the engine, exactly like image/audio blobs;
+  * the decode step itself is the clearly-marked stub in MultimodalOps.
+  */
+object MediaQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // Binary payload feature extraction via mapPartitions (the
+    // multimodal decode path; md5 of the payload bytes is the
+    // content-address). feature_v0 (the stub decode output) is
+    // unit-tested, not oracled — DuckDB has no byte-fold.
+    Q("q53_media_features",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        lit("text").as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("content_hash"))
+        .orderBy(col("media_id"))
+    },
+
+    // Frame-sampling plan over synthetic video metadata: offsets are a
+    // pure function of duration (sequence), no payload decode needed.
+    Q("q54_frame_offsets",
+      """SELECT CAST(r.range AS BIGINT) AS media_id,
+        |  CAST(len(generate_series(0, 1000 * (r.range + 1), 500)) AS BIGINT) AS n_frames,
+        |  CAST(1000 * (r.range + 1) AS BIGINT) AS last_offset_ms
+        |FROM range(100) r ORDER BY media_id""".stripMargin) { (s, dir) =>
+      MultimodalOps.frameSampleOffsets(MultimodalOps.syntheticMedia(s, 100), 500L)
+        .select(
+          col("media_id"),
+          size(col("frame_offsets_ms")).cast("bigint").as("n_frames"),
+          element_at(col("frame_offsets_ms"), -1).as("last_offset_ms"))
+        .orderBy(col("media_id"))
+    },
+
+    // S8 — transfer plan: contiguous chunks of 100 + per-chunk status
+    // roll-up of (simulated) copy results.
+    Q("q55_transfer_plan",
+      """SELECT chunk_id, COUNT(*) AS n_files,
+        |  CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+        |FROM (SELECT doc_id,
+        |        CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT) AS chunk_id
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val plan = TransferOps.planChunks(t(s, dir, "documents"), "doc_id", 100)
+        .withColumn("status",
+          when(col("doc_id") % 97 =!= 0, lit("ok")).otherwise(lit("fail")))
+      TransferOps.chunkSummary(plan, col("status"))
+        .orderBy(col("chunk_id"))
+    }
+  )
+}

@@ -1,0 +1,50 @@
+package graft.report
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Findings → human-readable validation report (SURVEY §3.2; ref
+  * `/root/reference/src/s3_validationry_refactored.py` renders one
+  * markdown-grid table per check section into a single .txt).
+  *
+  * Findings are canonicalized (sorted) before rendering so the report
+  * is deterministic under any partitioning — §7's report-fidelity
+  * guidance. Only the (small) finding set is collected; the checks
+  * themselves run distributed.
+  */
+object Report {
+
+  /** Render findings (schema: tbl, property, check, row_key, bad_value)
+    * as one section per check with an aligned grid table.
+    */
+  def render(findings: DataFrame, title: String = "Validation Report"): String = {
+    val rows = findings
+      .orderBy(col("check"), col("tbl"), col("property"), col("row_key"))
+      .collect()
+    val header = s"# $title\n"
+    if (rows.isEmpty) return header + "\nNo findings: all checks passed.\n"
+    val sections = rows.groupBy(_.getString(2)).toSeq.sortBy(_._1).map {
+      case (check, rs) =>
+        val cells = rs.map(r => Seq(
+          Option(r.getString(0)).getOrElse(""),
+          Option(r.getString(1)).getOrElse(""),
+          Option(r.getString(3)).getOrElse(""),
+          Option(r.getString(4)).getOrElse("")))
+        grid(Seq("node", "property", "row", "value"), cells.toSeq) match {
+          case g => s"## check: $check  (${rs.length} finding(s))\n\n$g"
+        }
+    }
+    header + "\n" + sections.mkString("\n")
+  }
+
+  /** Fixed-width grid table (markdown-pipe style with a rule line). */
+  private def grid(headers: Seq[String], rows: Seq[Seq[String]]): String = {
+    val all = headers +: rows
+    val widths = headers.indices.map(i => all.map(_(i).length).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    val rule = widths.map("-" * _).mkString("|-", "-|-", "-|")
+    (line(headers) +: rule +: rows.map(line)).mkString("", "\n", "\n")
+  }
+}

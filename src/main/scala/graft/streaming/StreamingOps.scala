@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (beyond-reference: the reference is
+  * batch-only, SURVEY §2.9; these extend the same event-table
+  * semantics to unbounded input).
+  *
+  * Scale design: all state is keyed and bounded — windowed aggregates
+  * carry a watermark so Spark evicts closed windows, and the session
+  * operator uses mapGroupsWithState with an event-time timeout so a
+  * key's state is dropped when its gap expires. Both run on the same
+  * shuffle partitioning as their batch twins (q33/q34).
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of q33. `lateness` bounds state; closed windows emit once
+    * (append mode) and are evicted.
+    */
+  def windowedEventCounts(
+      events: DataFrame, // needs: ts timestamp, event_type string, value double
+      windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via mapGroupsWithState — the streaming
+    * twin of q34 (30-minute inactivity closes a session). Emits one
+    * row per CLOSED session; state per user is O(1) and expires via
+    * event-time timeout, so the operator is safe on unbounded key
+    * cardinality.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.sumValue))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.lastSeen, t),
+                    s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-arrival source for a growing directory of parquet drops —
+    * the streaming replacement for the reference's bucket-polling
+    * loops (`/root/reference/src/read_buckets.py:73-83`): each new
+    * file becomes a micro-batch.
+    */
+  def fileArrivals(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(dir)
+}

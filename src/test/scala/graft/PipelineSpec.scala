@@ -1,0 +1,62 @@
+package graft
+
+import graft.catalog.{ModelCatalog, PropDef}
+import graft.pipeline.CurationPipeline
+import graft.report.Report
+
+class PipelineSpec extends SparkSpecBase {
+
+  private val catalog = ModelCatalog(
+    props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true, required = true),
+      PropDef("participant", "race", "array[string]", isKey = false, required = false),
+      PropDef("sample", "sample_id", "string", isKey = true, required = true),
+      PropDef("sample", "age_at_collection", "integer", isKey = false, required = false),
+      PropDef("sample", "sample_type", "string;enum", isKey = false, required = false),
+      PropDef("sample", "participant.participant_id", "string", isKey = false, required = false)),
+    enums = Map("sample_type" -> Seq("Tumor", "Normal")),
+    edges = Seq.empty)
+
+  private def manifest = Map(
+    "participant" -> strDf(Seq("participant_id", "race", "row_idx"))(
+      Seq("p1", "White;Asian;White", "2"),
+      Seq(" p2 ", "NA", "3")),
+    "sample" -> strDf(Seq("sample_id", "age_at_collection", "sample_type",
+      "participant.participant_id", "row_idx"))(
+      Seq("s1", "30", "tumor", "p1", "2"),
+      Seq("s2", "3.5", "Normal", "p9", "3"),
+      Seq(null, "12", "Weird", "p2", "4")))
+
+  test("catchErr trims, NA-normalizes, enum-fixes, and canonicalizes array cells") {
+    val out = CurationPipeline.catchErr(manifest, catalog)
+    val part = out("participant").orderBy("row_idx").collect()
+    part(0).getString(1) shouldBe "Asian;White"      // dedup + casefold sort
+    part(1).getString(0) shouldBe "p2"               // trimmed
+    part(1).getString(1) shouldBe null               // NA bank
+    val samp = out("sample").orderBy("row_idx").collect()
+    samp(0).getString(2) shouldBe "Tumor"            // fuzzy enum canonicalized
+    samp(2).getString(2) shouldBe "Weird"            // unknown kept (validation's job)
+  }
+
+  test("validate unions catalog-driven findings across nodes") {
+    val cleaned = CurationPipeline.catchErr(manifest, catalog)
+    val findings = CurationPipeline.validate(cleaned, catalog, "row_idx")
+    val byCheck = findings.collect()
+      .groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    byCheck("required") shouldBe 1    // null sample_id
+    byCheck("integer") shouldBe 1     // "3.5" fails integer parse
+    byCheck("cross_link") shouldBe 1  // p9 has no participant
+    byCheck.get("whitespace") shouldBe None // catchErr trimmed everything
+  }
+
+  test("report renders deterministic grid sections; empty set says so") {
+    val cleaned = CurationPipeline.catchErr(manifest, catalog)
+    val findings = CurationPipeline.validate(cleaned, catalog, "row_idx")
+    val text = Report.render(findings)
+    text should include("# Validation Report")
+    text should include("## check: cross_link")
+    text should include("| node")
+    text should include("p9")
+    Report.render(findings.limit(0)) should include("all checks passed")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowedEventCounts aggregates tumbling windows with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(7), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      in.addData((ts(40), "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      out should contain allOf (("click", 2L, 3.0), ("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions on gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      in.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0))
+      q.processAllAvailable()
+      // next event is >30 min later: closes the first session inline
+      in.addData(Event(1L, ts(50), 7.0))
+      q.processAllAvailable()
+      // push watermark way forward so the open session times out too
+      in.addData(Event(2L, ts(200), 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2L, ts(201), 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions").orderBy("session_start")
+        .as[StreamingOps.SessionOut].collect()
+      out.length should be >= 2
+      val first = out.find(s => s.user_id == 1L && s.n_events == 2L).get
+      first.session_start shouldBe ts(0)
+      first.session_end shouldBe ts(10)
+      first.sum_value shouldBe 3.0
+      val second = out.find(s => s.user_id == 1L && s.n_events == 1L).get
+      second.sum_value shouldBe 7.0
+    } finally q.stop()
+  }
+}
