@@ -17,29 +17,17 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    import graft.ops.TextOps
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    val docs = Tables.load(spark, sfDir, "documents")
-    time("tokens_only")(docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n")))
-    time("shingles_size")(docs.select(col("doc_id"),
-      size(TextOps.shingles(col("text"), 3)).as("n")))
-    time("shingles_distinct")(docs
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("s"))
-      .select(col("doc_id"), size(array_distinct(col("s"))).as("n")))
-    time("q46_no_order")(docs
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("s"))
-      .select(col("doc_id"), size(col("s")).as("a"), size(array_distinct(col("s"))).as("b")))
     val qs = SparkEntry.allQueries.filter(q => names.isEmpty || names.contains(q.name))
     qs.foreach { q =>
       val df = q.run(spark, sfDir)
-      time(q.name)(q.run(spark, sfDir))
       if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+      else time(q.name)(q.run(spark, sfDir))
     }
     spark.stop()
   }

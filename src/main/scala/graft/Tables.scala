@@ -17,19 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables whose per-row expression work (interpreted higher-order
+    * functions over token/embedding arrays) dwarfs their scan cost —
+    * worth a repartition when the scan is under-split.
+    */
+  private val computeHeavy = Set("documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
-    widen(spark, df)
+    if (computeHeavy(name)) widen(spark, df) else df
   }
 
   /** Benchmark inputs are single small parquet files, which Spark scans
     * as one partition — serializing every expensive per-row expression
-    * (the interpreted higher-order functions especially) onto one core.
-    * Repartition only when the scan has materially fewer partitions
-    * than the session's parallelism; a real 100 TB source arrives in
-    * thousands of splits and takes the no-shuffle branch.
+    * onto one core. Repartition only compute-heavy tables, and only
+    * when the scan has materially fewer partitions than the session's
+    * parallelism; a real 100 TB source arrives in thousands of splits
+    * and takes the no-shuffle branch. Relational tables keep their
+    * natural partitioning — for them the round-robin exchange costs
+    * more than it buys (and would sit uselessly under the broadcast
+    * exchanges of dimension joins).
     */
   private def widen(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
