@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.expr.Uuid5
+import graft.ops.{CurationOps, DedupOps, ReshapeOps, TextOps}
+
+/** Algebraic properties (SURVEY §5 test plan item 3). Spark-bound
+  * properties run few cases (each case is a Spark job); pure
+  * driver-side ones keep ScalaCheck's defaults.
+  */
+abstract class SparkProperties(name: String) extends Properties(name) {
+  lazy val spark = TestSpark.spark
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+}
+
+object Uuid5Props extends Properties("uuid5") {
+  val name_ = Gen.alphaNumStr.suchThat(_.nonEmpty)
+
+  property("deterministic") = forAll(name_) { n =>
+    Uuid5.uuid5(Uuid5.ccdiNamespace, n) == Uuid5.uuid5(Uuid5.ccdiNamespace, n)
+  }
+  property("rfc4122 v5 shape") = forAll(name_) { n =>
+    val u = Uuid5.uuid5(Uuid5.ccdiNamespace, n)
+    u.length == 36 && u(14) == '5' && "89ab".contains(u(19))
+  }
+  property("distinct names collide never (sampled)") =
+    forAll(name_, name_) { (a, b) =>
+      (a == b) == (Uuid5.uuid5(Uuid5.ccdiNamespace, a) ==
+        Uuid5.uuid5(Uuid5.ccdiNamespace, b))
+    }
+}
+
+object CellProps extends SparkProperties("array-cells") {
+  import spark.implicits._
+
+  val cell: Gen[String] = Gen.listOfN(5,
+    Gen.oneOf("a", "B", "b", "Ab", "zz", "Q")).map(_.mkString(";"))
+
+  private def one(expr: org.apache.spark.sql.Column, v: String): String =
+    Seq(v).toDF("v").select(expr).head().getString(0)
+
+  property("sortArrayCell is idempotent") = forAll(cell) { c =>
+    val once = one(CurationOps.sortArrayCell(col("v")), c)
+    one(CurationOps.sortArrayCell(col("v")), once) == once
+  }
+  property("dedupArrayCell is idempotent and preserves the element set") =
+    forAll(cell) { c =>
+      val once = one(CurationOps.dedupArrayCell(col("v")), c)
+      val twice = one(CurationOps.dedupArrayCell(col("v")), once)
+      twice == once &&
+        once.split(";").toSet == c.split(";").toSet
+    }
+  property("url encode/decode round-trips") =
+    forAll(Gen.listOfN(8, Gen.oneOf("x", " ", ",", "#", "/")).map(_.mkString)) { s =>
+      one(CurationOps.urlDecodeCell(CurationOps.urlEncodeCell(col("v"))), s) == s
+    }
+}
+
+object TextProps extends SparkProperties("text") {
+  import spark.implicits._
+
+  val doc: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("cat", "dog", "the", "runs", "fast")))
+    .map(_.mkString(" "))
+
+  property("shingle count = max(0, tokens - k + 1) for nonempty docs") =
+    forAll(doc.suchThat(_.nonEmpty)) { d =>
+      val df = Seq(d).toDF("text")
+      val nTok = df.select(size(TextOps.tokens(col("text")))).head().getInt(0)
+      val nSh = df.select(size(TextOps.shingles(col("text"), 3))).head().getInt(0)
+      nSh == math.max(0, nTok - 2)
+    }
+
+  property("fingerprint invariant under leading/trailing space and case") =
+    forAll(doc.suchThat(_.nonEmpty)) { d =>
+      val df = Seq((d, "  " + d.toUpperCase + " ")).toDF("a", "b")
+      df.select(TextOps.fingerprint(col("a")) === TextOps.fingerprint(col("b")))
+        .head().getBoolean(0)
+    }
+
+  property("exactDedup partitions the corpus: sum(n_copies) = row count") =
+    forAll(Gen.listOfN(6, doc)) { docs =>
+      docs.nonEmpty ==> Prop {
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val out = DedupOps.exactDedup(df, "doc_id", "text")
+        out.agg(sum("n_copies")).head().getLong(0) == docs.length
+      }
+    }
+}
+
+object ReshapeProps extends SparkProperties("reshape") {
+  import spark.implicits._
+
+  val rows: Gen[List[(Int, Double, Double)]] =
+    Gen.listOfN(5, Gen.zip(Gen.chooseNum(0, 3),
+      Gen.chooseNum(0.0, 9.0), Gen.chooseNum(0.0, 9.0))).map(
+      _.zipWithIndex.map { case ((_, a, b), i) => (i, a, b) })
+
+  property("unpivot emits metrics x ids rows; pivot recovers values") =
+    forAll(rows) { rs =>
+      rs.nonEmpty ==> Prop {
+        val df = rs.toDF("id", "m1", "m2")
+        val long = ReshapeOps.unpivotExplode(df, Seq("id"),
+          Seq("m1" -> col("m1"), "m2" -> col("m2")))
+        val wide = ReshapeOps.pivotLongWide(
+          long.withColumn("value", col("value").cast("string")),
+          "id", "metric", "value", Seq("m1", "m2"))
+        long.count() == 2L * rs.length &&
+          wide.collect().forall { r =>
+            val orig = rs(r.getInt(0))
+            r.getString(1).toDouble == orig._2 && r.getString(2).toDouble == orig._3
+          }
+      }
+    }
+}
