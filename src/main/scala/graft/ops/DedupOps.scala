@@ -57,10 +57,14 @@ object DedupOps {
     * canonicalizes pairs; distinct dedups across bands.
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+    // Materialize the (tiny) signature long-form once: both self-join
+    // sides consume it, and without a checkpoint Spark would recompute
+    // the full shingle+md5 pipeline for each side.
     val long = signatures.select(col(idCol).as("__id"),
       posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__h"))
       .filter(col("__h").isNotNull)
+      .localCheckpoint(true)
     val l = long.select(col("__id").as("id1"), col("__band"), col("__h"))
     val r = long.select(col("__id").as("id2"),
       col("__band").as("__band2"), col("__h").as("__h2"))
@@ -79,10 +83,12 @@ object DedupOps {
       candidates: DataFrame): DataFrame = {
     val candDocs = candidates.select(col("id1").as("__cid"))
       .union(candidates.select(col("id2"))).distinct()
+    // Checkpointed: consumed three times (sizes + both join sides).
     val docShingles = df
       .join(candDocs, df(idCol) === candDocs("__cid"), "left_semi")
       .select(col(idCol).as("__id"),
         explode(array_distinct(shingleHashes(textCol, k))).as("__sh"))
+      .localCheckpoint(true)
     val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
     val a = docShingles.select(col("__id").as("id1"), col("__sh"))
