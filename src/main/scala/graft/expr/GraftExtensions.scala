@@ -1,0 +1,45 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * SQL functions. Production wiring:
+  * `spark.sql.extensions=graft.expr.GraftExtensions`; for an existing
+  * session use [[graft.expr.GraftExtensions.register]].
+  *
+  * `uuid5(seed, name)`: RFC 4122 v5 id under the md5(seed) namespace
+  * (TabBreakeRy contract) — seed must be foldable; the namespace is
+  * resolved once at plan time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.uuid5Descriptor)
+}
+
+object GraftExtensions {
+
+  private def buildUuid5(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "uuid5(seed, name) takes exactly 2 arguments")
+    val seedExpr = children.head
+    require(seedExpr.foldable, "uuid5 seed must be a constant")
+    val seed = seedExpr.eval() match {
+      case s: UTF8String => s.toString
+      case other => String.valueOf(other)
+    }
+    val ns = Uuid5.namespaceFromMd5(seed)
+    Uuid5Expression(children(1), ns.getMostSignificantBits, ns.getLeastSignificantBits)
+  }
+
+  val uuid5Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("uuid5"),
+    new ExpressionInfo(classOf[Uuid5Expression].getName, "uuid5"),
+    buildUuid5 _)
+
+  /** Register into an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.FunctionBridge.register(spark, uuid5Descriptor)
+}

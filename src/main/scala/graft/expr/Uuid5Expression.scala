@@ -1,0 +1,55 @@
+package graft.expr
+
+import java.util.UUID
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for RFC 4122 v5 UUIDs: unlike the UDF in
+  * [[Uuid5.uuid5Col]], this participates in whole-stage codegen (no
+  * Scala-function call boundary, no codegen fallback for surrounding
+  * expressions) — the preferred form for the TabBreakeRy id-minting
+  * hot path where every output row gets a uuid5.
+  */
+case class Uuid5Expression(child: Expression, nsMsb: Long, nsLsb: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"uuid5 requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "uuid5"
+
+  override def nullSafeEval(input: Any): Any =
+    Uuid5Expression.eval(nsMsb, nsLsb, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.Uuid5Expression.eval(${nsMsb}L, ${nsLsb}L, $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Uuid5Expression =
+    copy(child = newChild)
+}
+
+object Uuid5Expression {
+
+  /** Codegen entry point (static forwarder): UTF8String in/out. */
+  def eval(nsMsb: Long, nsLsb: Long, name: UTF8String): UTF8String =
+    UTF8String.fromString(Uuid5.uuid5(new UUID(nsMsb, nsLsb), name.toString))
+
+  /** Column form: uuid5 under the md5-of-seed namespace (same contract
+    * as [[Uuid5.uuid5Col]], codegen-native).
+    */
+  def uuid5Native(seed: String, name: Column): Column = {
+    val ns = Uuid5.namespaceFromMd5(seed)
+    ColumnBridge.column(Uuid5Expression(
+      ColumnBridge.expression(name),
+      ns.getMostSignificantBits, ns.getLeastSignificantBits))
+  }
+}

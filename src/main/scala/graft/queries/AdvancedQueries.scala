@@ -111,11 +111,12 @@ object AdvancedQueries {
 
     // uuid5 deterministic ids (TabBreakeRy minting) — no portable SQL
     // oracle (DuckDB lacks sha1); driver records a rows-only check.
-    // Correctness is pinned by Uuid5Spec against Python-uuid5 values.
+    // Correctness is pinned by ExprSpec against Python-uuid5 values;
+    // the native codegen expression is asserted equal to the UDF there.
     Q.noOracle("q32_uuid5_ids") { (s, dir) =>
       t(s, dir, "customer")
         .select(col("c_custkey"),
-          CurationOps.uuid5Id("ccdi",
+          graft.expr.Uuid5Expression.uuid5Native("ccdi",
             concat(lit("study1::customer::"), col("c_name"))).as("id"))
         .orderBy(col("c_custkey"))
     },
@@ -281,6 +282,76 @@ object AdvancedQueries {
         ValidationOps.regexCheck(c, "customer", "c_name", "c_custkey",
           Seq("\\d{3}-\\d{2}-\\d{4}"), "pii_regex")))
         .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
+    },
+
+    // W2 — representative row per group ranked by metadata
+    // completeness (SRA sort_subset_sra_df shape): score = count of
+    // populated fields, deterministic tie-break.
+    Q("q56_completeness_rank",
+      """SELECT o_custkey, o_orderkey, score FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CASE WHEN o_orderstatus = 'P' THEN 0 ELSE 1 END
+        |       + CASE WHEN o_totalprice >= 1000 THEN 1 ELSE 0 END
+        |       + CASE WHEN o_orderpriority <> '5-LOW' THEN 1 ELSE 0 END AS BIGINT) AS score
+        |  FROM orders)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY score DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      // Completeness stands in for isNotNull counts (this table has no
+      // nulls): each clause is one when(cond, 1) vote, same machinery.
+      val scored = t(s, dir, "orders").withColumn("score",
+        (when(col("o_orderstatus") === "P", 0L).otherwise(1L)
+          + when(col("o_totalprice") >= 1000, 1L).otherwise(0L)
+          + when(col("o_orderpriority") =!= "5-LOW", 1L).otherwise(0L)))
+      JoinOps.top1PerGroup(scored, Seq("o_custkey"),
+        Seq(col("score").desc, col("o_orderkey").asc))
+        .select(col("o_custkey"), col("o_orderkey"), col("score"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // A13 — per-group value-constancy check: suppliers shipping under
+    // more than one distinct return flag / line status.
+    Q("q57_inconstant_groups",
+      """SELECT l_suppkey,
+        |  COUNT(DISTINCT l_returnflag) AS n_l_returnflag,
+        |  COUNT(DISTINCT l_linestatus) AS n_l_linestatus
+        |FROM lineitem GROUP BY 1
+        |HAVING COUNT(DISTINCT l_returnflag) > 1 OR COUNT(DISTINCT l_linestatus) > 1
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      StatsOps.inconstantGroups(t(s, dir, "lineitem"), "l_suppkey",
+        Seq("l_returnflag", "l_linestatus"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // U2 — intersect over distinct sets (complement of q24's except).
+    Q("q58_intersect_brands",
+      """SELECT p_brand, p_type FROM part WHERE p_size >= 49
+        |INTERSECT
+        |SELECT p_brand, p_type FROM part WHERE p_size <= 2
+        |ORDER BY p_brand, p_type""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") >= 49).select(col("p_brand"), col("p_type"))
+        .intersect(p.filter(col("p_size") <= 2).select(col("p_brand"), col("p_type")))
+        .orderBy(col("p_brand"), col("p_type"))
+    },
+
+    // A8 — group-wise NA-drop: when a group is mixed (has any
+    // populated row), keep only populated rows; an all-null group
+    // keeps its rows (synthesized nulls via NULLIF on 'F'-status).
+    Q("q59_group_nadrop",
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, NULLIF(o_orderstatus, 'F') AS st,
+        |    COUNT(NULLIF(o_orderstatus, 'F')) OVER (PARTITION BY o_custkey) AS n_filled
+        |  FROM orders)
+        |WHERE st IS NOT NULL OR n_filled = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("st", nullif(col("o_orderstatus"), lit("F")))
+        .withColumn("n_filled", count(col("st")).over(w))
+        .filter(col("st").isNotNull || col("n_filled") === 0)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }
   )
 }

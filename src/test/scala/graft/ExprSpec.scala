@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.expr.{Collapse, Uuid5}
+import graft.expr.{Collapse, Uuid5, Uuid5Expression}
 
 class ExprSpec extends SparkSpecBase {
   import spark.implicits._
@@ -22,6 +22,25 @@ class ExprSpec extends SparkSpecBase {
     val out = df.select(Uuid5.uuid5Col("ccdi", col("name"))).as[String].collect()
     out(0) shouldBe "4724d44e-17a2-5a35-baf1-412783c0513f"
     out(1) shouldBe null
+  }
+
+  test("native Uuid5Expression (codegen) agrees with the UDF and is null-safe") {
+    val df = Seq(Some("study::sample::s1"), Some("x"), None).toDF("name")
+    val rows = df.select(
+      Uuid5Expression.uuid5Native("ccdi", col("name")).as("native"),
+      Uuid5.uuid5Col("ccdi", col("name")).as("viaUdf")).collect()
+    rows.foreach(r => r.getString(0) shouldBe r.getString(1))
+    rows(0).getString(0) shouldBe "4724d44e-17a2-5a35-baf1-412783c0513f"
+    rows(2).getString(0) shouldBe null
+  }
+
+  test("uuid5 registers as a SQL function via GraftExtensions") {
+    graft.expr.GraftExtensions.register(spark)
+    spark.sql("SELECT uuid5('ccdi', 'study::sample::s1') AS id")
+      .head().getString(0) shouldBe "4724d44e-17a2-5a35-baf1-412783c0513f"
+    // non-constant seed must be rejected at plan time
+    an[Exception] should be thrownBy
+      spark.sql("SELECT uuid5(c, c) FROM VALUES ('x') t(c)").collect()
   }
 
   test("Collapse.sorted: one distinct value => scalar, several => sorted ;-join") {
