@@ -1,0 +1,91 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: md5 hex digests of a document's k-word
+  * shingles, in one pass over the text.
+  *
+  * Semantics match the composable form
+  * `transform(shingles(text, k), md5)` exactly (space tokenization,
+  * space-joined shingles, lowercase hex) — but where that pipeline
+  * evaluates three interpreted higher-order functions and materializes
+  * token + shingle arrays per row, this computes digests directly from
+  * the token array with a thread-reused MessageDigest, inside
+  * whole-stage codegen. The dedup family (MinHash bands, LSH, n-gram
+  * Jaccard) sits on top of it, so its per-row cost IS the map-side
+  * cost of dedup at 100 TB.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires (string, k >= 1), got (${child.dataType.catalogString}, $k)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.eval(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.eval($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  private val digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Codegen entry point: UTF8String text -> ArrayData[UTF8String]. */
+  def eval(text: UTF8String, k: Int): ArrayData = {
+    // -1 limit matches Spark's split(text, " "): trailing empty tokens kept
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column form. */
+  def shingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+}

@@ -29,9 +29,12 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shingle digests: md5 per k-shingle, computed once. */
+  /** Shingle digests: md5 per k-shingle, computed once — via the
+    * native codegen expression (one pass, thread-reused digest; the
+    * equivalent transform(shingles, md5) pipeline runs interpreted).
+    */
   private def shingleHashes(textCol: String, k: Int): Column =
-    transform(TextOps.shingles(col(textCol), k), s => md5(s))
+    graft.expr.ShingleHashes.shingleHashes(col(textCol), k)
 
   /** Per-(doc, band) MinHash value: min over shingles of band `b`'s
     * 8-hex slice of the shingle's md5. Equal band value => LSH

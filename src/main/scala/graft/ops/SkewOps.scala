@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (100 TB design note in SURVEY §8).
+  *
+  * AQE's skew-join handling covers sort-merge joins; explicit salting
+  * remains the tool when (a) the hot side feeds a shuffled hash join,
+  * (b) the skew is known ahead of time (a handful of mega-studies in a
+  * manifest corpus), or (c) an aggregation — not a join — is skewed.
+  *
+  * `saltedJoin` salts the skewed (fact) side with a random suffix in
+  * [0, salt) and explodes the compact (dim) side `salt` times, so one
+  * hot key spreads over `salt` reducers. Row multiplication happens on
+  * the SMALL side only.
+  *
+  * `saltedAgg` is two-phase aggregation: partial aggregate on
+  * (key, salt), final on key — the classic hot-key combiner split.
+  */
+object SkewOps {
+
+  /** Equi-join `fact ⋈ dim` on `key`, spreading each fact key over
+    * `salt` partitions. Join type is inner or left (fact-preserving).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 1)
+    require(Seq("inner", "left").contains(joinType),
+      "fact-preserving join types only")
+    val salted = fact.withColumn("__salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val saltsDf = dim.sparkSession.range(salt.toLong)
+      .select(col("id").cast("int").as("__salt"))
+    val dimExploded = dim.crossJoin(broadcast(saltsDf))
+    salted.join(dimExploded, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: `aggs` must be algebraic
+    * (decomposable into partial + final — counts and sums here).
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      key: String,
+      sumCol: Column,
+      salt: Int): DataFrame = {
+    require(salt >= 1)
+    df.withColumn("__salt", (rand(seed = 42) * salt).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__pn"), sum(sumCol).as("__ps"))
+      .groupBy(col(key))
+      .agg(sum(col("__pn")).as("n"), sum(col("__ps")).as("total"))
+  }
+}

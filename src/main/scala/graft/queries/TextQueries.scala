@@ -127,14 +127,16 @@ object TextQueries {
          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles
          |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // Project the shingle array once: higher-order functions are
-      // interpreted (outside codegen), so no automatic CSE applies.
+      // Counted over the native digest array: |digests| = |shingles|
+      // and |distinct digests| = |distinct shingles| (md5 is injective
+      // at corpus scale), one codegen pass instead of interpreted HOFs.
       t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+        .select(col("doc_id"),
+          graft.expr.ShingleHashes.shingleHashes(col("text"), 3).as("__hs"))
         .select(
           col("doc_id"),
-          size(col("__sh")).cast("bigint").as("n_shingles"),
-          size(array_distinct(col("__sh"))).cast("bigint").as("n_distinct_shingles"))
+          size(col("__hs")).cast("bigint").as("n_shingles"),
+          size(array_distinct(col("__hs"))).cast("bigint").as("n_distinct_shingles"))
         .orderBy(col("doc_id"))
     },
 

@@ -43,6 +43,16 @@ class DedupOpsSpec extends SparkSpecBase {
     r.getAs[Double]("jaccard") shouldBe 1.0
   }
 
+  test("native ShingleHashes equals transform(shingles, md5) incl. edge cases") {
+    val texts = Seq("a b c d e", "one two", "", "x  y z", "solo").toDF("text")
+    val both = texts.select(
+      graft.expr.ShingleHashes.shingleHashes(col("text"), 3).as("native"),
+      transform(graft.ops.TextOps.shingles(col("text"), 3), s => md5(s)).as("hof"))
+    both.collect().foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+  }
+
   test("simhash16 equal for identical text, 16 bits wide") {
     val out = docs.select(col("doc_id"), DedupOps.simhash16(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewOps
+
+class SkewOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val fact = Seq(
+    ("hot", 1.0), ("hot", 2.0), ("hot", 3.0), ("hot", 4.0),
+    ("cold", 10.0)).toDF("k", "v")
+  private val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
+
+  test("saltedJoin matches the plain join result") {
+    val salted = SkewOps.saltedJoin(fact, dim, "k", salt = 4)
+    val plain = fact.join(dim, Seq("k"), "inner")
+    sortedRows(salted.select("k", "v", "label")) shouldBe
+      sortedRows(plain.select("k", "v", "label"))
+  }
+
+  test("saltedJoin left keeps unmatched fact rows exactly once") {
+    val factX = fact.union(Seq(("orphan", 0.0)).toDF("k", "v"))
+    val out = SkewOps.saltedJoin(factX, dim, "k", salt = 3, joinType = "left")
+    out.count() shouldBe 6
+    out.filter(col("k") === "orphan").head().getAs[String]("label") shouldBe null
+  }
+
+  test("saltedCountSum equals unsalted groupBy") {
+    val out = SkewOps.saltedCountSum(fact, "k", col("v"), salt = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("cold", 1L, 10.0), ("hot", 4L, 10.0))
+  }
+}
