@@ -118,6 +118,68 @@ object ValidationOps {
     "\\b\\d{5}(?:-\\d{4})?\\b",       // zip
     "\\d{1,2}/\\d{1,2}/\\d{2,4}")     // date
 
+  /** Age PII threshold (`:754-781`): |days| > 32,849 (≈ 90 years). */
+  val AgeThresholdDays = 32849L
+
+  def ageThresholdCheck(df: DataFrame, tbl: String, property: String,
+      rowKey: String): DataFrame =
+    finding(df, tbl, property, "age_threshold", pcol(rowKey), pcol(property),
+      abs(pcol(property).try_cast("double").try_cast("bigint")) > AgeThresholdDays)
+
+  /** Format checks — value must FULLY match the pattern
+    * (md5 `:1171-1174`, key-id charset `:2001`, acl/authz `:2073-2074`).
+    */
+  def formatCheck(df: DataFrame, tbl: String, property: String, rowKey: String,
+      pattern: String, checkName: String): DataFrame =
+    finding(df, tbl, property, checkName, pcol(rowKey), pcol(property),
+      pcol(property).isNotNull && !pcol(property).rlike("^(?:" + pattern + ")$"))
+
+  val Md5Pattern = "[a-f0-9]{32}"
+  val IdCharsetPattern = "[a-zA-Z0-9_.@#;:-]*"
+
+  /** File-extension / declared-type consistency (`:1235-1312`): the
+    * extension implies a type; a declared type that disagrees is a
+    * finding. `extToType` is the (small) inference table, inlined as a
+    * when-chain — no join.
+    */
+  def extTypeCheck(df: DataFrame, tbl: String, nameCol: String, typeCol: String,
+      rowKey: String, extToType: Map[String, String]): DataFrame = {
+    val ext = lower(regexp_extract(pcol(nameCol), "\\.([A-Za-z0-9]+)$", 1))
+    val expected = extToType.foldLeft(lit(null).cast("string")) {
+      case (acc, (e, t)) => when(ext === e, lit(t)).otherwise(acc)
+    }
+    finding(df, tbl, typeCol, "ext_type",
+      pcol(rowKey), concat_ws(" != ", pcol(typeCol), expected),
+      expected.isNotNull && pcol(typeCol).isNotNull && pcol(typeCol) =!= expected)
+  }
+
+  /** Bucket-content reconciliation (`:1618-1783`): manifest URLs with
+    * no bucket object, and bucket objects no manifest row claims —
+    * both via anti-joins against the inventory frame (never per-object
+    * HEAD probes; at scale the inventory IS the S3 Inventory export).
+    */
+  def bucketContentCheck(
+      manifest: DataFrame, tbl: String, urlCol: String, rowKey: String,
+      inventory: DataFrame, invUrlCol: String): DataFrame = {
+    val inv = inventory.select(pcol(invUrlCol).as("__inv_url"))
+    val missing = manifest
+      .join(inv, pcol(urlCol) === col("__inv_url"), "left_anti")
+      .select(
+        lit(tbl).as("tbl"), lit(urlCol).as("property"),
+        lit("bucket_missing").as("check"),
+        pcol(rowKey).cast("string").as("row_key"),
+        pcol(urlCol).cast("string").as("bad_value"))
+    val extra = inv
+      .join(manifest.select(pcol(urlCol).as("__m_url")),
+        col("__inv_url") === col("__m_url"), "left_anti")
+      .select(
+        lit("bucket").as("tbl"), lit(invUrlCol).as("property"),
+        lit("bucket_extra").as("check"),
+        lit(null).cast("string").as("row_key"),
+        col("__inv_url").cast("string").as("bad_value"))
+    missing.unionByName(extra)
+  }
+
   def unionFindings(findings: Seq[DataFrame]): DataFrame =
     findings.reduce(_ unionByName _)
 }

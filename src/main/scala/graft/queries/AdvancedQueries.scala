@@ -284,6 +284,91 @@ object AdvancedQueries {
         .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
     },
 
+    // §3.2 — the remaining ValidationRy check families: age PII
+    // threshold, md5/charset format, extension-vs-type inference, and
+    // bucket-content reconciliation (inventory anti-joins, never
+    // per-object probes). Inputs synthesized deterministically from
+    // the relational tables.
+    Q("q60_validation_extended",
+      """WITH man AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN upper(md5(c_name)) ELSE md5(c_name) END AS md5sum,
+        |    's3://b/' || CAST(c_custkey AS VARCHAR) AS url,
+        |    CAST(CAST(floor(c_acctbal * 40) AS BIGINT) AS VARCHAR) AS days
+        |  FROM customer),
+        |inv AS (
+        |  SELECT 's3://b/' || CAST(c_custkey AS VARCHAR) AS url FROM customer
+        |  WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT 's3://b/extra' || CAST(r.range AS VARCHAR) FROM range(5) r),
+        |files AS (
+        |  SELECT p_partkey,
+        |    'f' || CAST(p_partkey AS VARCHAR) ||
+        |      CASE WHEN p_partkey % 2 = 0 THEN '.bam' ELSE '.cram' END AS fname,
+        |    'bam' AS ftype
+        |  FROM part),
+        |sup AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_name || ' bad' ELSE s_name END AS sid
+        |  FROM supplier)
+        |SELECT tbl, property, "check", COALESCE(row_key, '') AS row_key, bad_value
+        |FROM (
+        |  SELECT 'manifest' AS tbl, 'md5sum' AS property, 'md5_format' AS "check",
+        |         CAST(c_custkey AS VARCHAR) AS row_key, md5sum AS bad_value
+        |  FROM man WHERE NOT regexp_matches(md5sum, '^(?:[a-f0-9]{32})$')
+        |  UNION ALL
+        |  SELECT 'manifest', 'days', 'age_threshold', CAST(c_custkey AS VARCHAR), days
+        |  FROM man WHERE abs(CAST(CAST(days AS DOUBLE) AS BIGINT)) > 32849
+        |  UNION ALL
+        |  SELECT 'manifest', 'url', 'bucket_missing', CAST(c_custkey AS VARCHAR), url
+        |  FROM man WHERE url NOT IN (SELECT url FROM inv)
+        |  UNION ALL
+        |  SELECT 'bucket', 'url', 'bucket_extra', NULL, url
+        |  FROM inv WHERE url NOT IN (SELECT url FROM man)
+        |  UNION ALL
+        |  SELECT 'files', 'ftype', 'ext_type', CAST(p_partkey AS VARCHAR),
+        |         ftype || ' != cram'
+        |  FROM files WHERE fname LIKE '%.cram'
+        |  UNION ALL
+        |  SELECT 'supplier', 'sid', 'id_charset', CAST(s_suppkey AS VARCHAR), sid
+        |  FROM sup WHERE NOT regexp_matches(sid, '^(?:[a-zA-Z0-9_.@#;:-]*)$'))
+        |ORDER BY tbl, property, "check", row_key, bad_value""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val man = c.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, upper(md5(col("c_name"))))
+          .otherwise(md5(col("c_name"))).as("md5sum"),
+        concat(lit("s3://b/"), col("c_custkey")).as("url"),
+        floor(col("c_acctbal") * 40).cast("bigint").cast("string").as("days"))
+      val inv = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(concat(lit("s3://b/"), col("c_custkey")).as("url"))
+        .unionByName(s.range(5)
+          .select(concat(lit("s3://b/extra"), col("id")).as("url")))
+      val files = t(s, dir, "part").select(
+        col("p_partkey"),
+        concat(lit("f"), col("p_partkey"),
+          when(col("p_partkey") % 2 === 0, ".bam").otherwise(".cram")).as("fname"),
+        lit("bam").as("ftype"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        when(col("s_suppkey") % 5 === 0, concat(col("s_name"), lit(" bad")))
+          .otherwise(col("s_name")).as("sid"))
+      ValidationOps.unionFindings(Seq(
+        ValidationOps.formatCheck(man, "manifest", "md5sum", "c_custkey",
+          ValidationOps.Md5Pattern, "md5_format"),
+        ValidationOps.ageThresholdCheck(man, "manifest", "days", "c_custkey"),
+        ValidationOps.bucketContentCheck(man, "manifest", "url", "c_custkey",
+          inv, "url"),
+        ValidationOps.extTypeCheck(files, "files", "fname", "ftype", "p_partkey",
+          Map("bam" -> "bam", "cram" -> "cram")),
+        ValidationOps.formatCheck(sup, "supplier", "sid", "s_suppkey",
+          ValidationOps.IdCharsetPattern, "id_charset")))
+        // bucket_extra has no manifest row: blank the key so ORDER BY
+        // null placement can't differ between engines
+        .withColumn("row_key", coalesce(col("row_key"), lit("")))
+        .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
+    },
+
     // W2 — representative row per group ranked by metadata
     // completeness (SRA sort_subset_sra_df shape): score = count of
     // populated fields, deterministic tie-break.

@@ -58,6 +58,46 @@ class ValidationOpsSpec extends SparkSpecBase {
       Array(("2", "p3"))
   }
 
+  test("ageThresholdCheck flags |days| above the 90-year PII cutoff") {
+    val df = strDf(Seq("id", "age"))(
+      Seq("1", "32850"), Seq("2", "32849"), Seq("3", "-40000"),
+      Seq("4", "junk"), Seq("5", "12.0"))
+    ValidationOps.ageThresholdCheck(df, "t", "age", "id")
+      .collect().map(_.getString(3)).sorted shouldBe Array("1", "3")
+  }
+
+  test("formatCheck: md5 and id-charset full-match semantics") {
+    val df = strDf(Seq("id", "v"))(
+      Seq("1", "a" * 32), Seq("2", "A" * 32), Seq("3", "abc"), Seq("4", null))
+    ValidationOps.formatCheck(df, "t", "v", "id",
+      ValidationOps.Md5Pattern, "md5_format")
+      .collect().map(_.getString(3)).sorted shouldBe Array("2", "3")
+    val ids = strDf(Seq("id", "v"))(Seq("1", "ok_id.1"), Seq("2", "has space"))
+    ValidationOps.formatCheck(ids, "t", "v", "id",
+      ValidationOps.IdCharsetPattern, "id_charset")
+      .collect().map(_.getString(3)) shouldBe Array("2")
+  }
+
+  test("extTypeCheck flags declared types that disagree with the extension") {
+    val df = strDf(Seq("id", "fname", "ftype"))(
+      Seq("1", "a.bam", "bam"), Seq("2", "b.bam", "fastq"),
+      Seq("3", "c.unknownext", "bam"), Seq("4", "d.cram", null))
+    val out = ValidationOps.extTypeCheck(df, "t", "fname", "ftype", "id",
+      Map("bam" -> "bam", "cram" -> "cram", "fq" -> "fastq"))
+    out.collect().map(r => (r.getString(3), r.getString(4))) shouldBe
+      Array(("2", "fastq != bam"))
+  }
+
+  test("bucketContentCheck reports both missing and extra objects") {
+    val manifest = strDf(Seq("id", "url"))(
+      Seq("1", "s3://b/f1"), Seq("2", "s3://b/gone"))
+    val inventory = strDf(Seq("url"))(Seq("s3://b/f1"), Seq("s3://b/orphan"))
+    val out = ValidationOps.bucketContentCheck(
+      manifest, "files", "url", "id", inventory, "url")
+    out.collect().map(r => (r.getString(2), r.getString(4))).sorted shouldBe
+      Array(("bucket_extra", "s3://b/orphan"), ("bucket_missing", "s3://b/gone"))
+  }
+
   test("unionFindings unions heterogeneous checks into one frame") {
     val df = strDf(Seq("id", "v"))(Seq("1", null))
     val f = ValidationOps.unionFindings(Seq(
