@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing = the pre-shuffle for repeated co-located joins (SURVEY §4
+  * scale notes): both sides bucketed on the join key join WITHOUT a
+  * shuffle exchange. At 100 TB this turns every recurring
+  * orders ⋈ lineitem into a zero-exchange zip of bucket files.
+  */
+class BucketingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "ov")
+      .write.option("path", s"$wh/b_orders")
+      .bucketBy(4, "k").sortBy("k").saveAsTable("b_orders")
+    Seq((1L, 10.0), (1L, 11.0), (3L, 30.0)).toDF("k", "iv")
+      .write.option("path", s"$wh/b_items")
+      .bucketBy(4, "k").sortBy("k").saveAsTable("b_items")
+
+    // disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_items"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+      sortedRows(joined) shouldBe Seq(
+        Seq(1L, "a", 10.0), Seq(1L, "a", 11.0), Seq(3L, "c", 30.0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+}

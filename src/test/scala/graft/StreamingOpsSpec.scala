@@ -33,6 +33,41 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-stream windowed counts equal the batch aggregation (sf0.001 events)") {
+    val batchEvents = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type", "value")
+    val expected = batchEvents
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count().count() // distinct (window, type) groups
+
+    // stream the same parquet file through the file-arrival source
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+    val q = StreamingOps.windowedEventCounts(raw, "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      spark.table("file_win").count() shouldBe expected
+      // spot-check one cell against batch
+      val streamTotal = spark.table("file_win")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      streamTotal shouldBe batchEvents.count()
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
