@@ -39,6 +39,38 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize every vector to its most-similar
+    * centroid (broadcast cross join — centroid count is small by
+    * construction), then search top-1 within the cell. The cell
+    * assignment is the shuffle key, exactly like the LSH bucket path;
+    * a trained coarse quantizer (k-means) would plug in as the
+    * `centroids` frame without touching the dataflow.
+    */
+  def ivfNearestNeighbor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("cid"))
+    val cells = assigned.withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cid"))
+    val l = cells.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("cid"))
+    val r = cells.select(col("id").as("id2"), col("vec").as("v2"),
+      col("nrm").as("n2"), col("cid").as("cid2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+    val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    pairs.withColumn("__rn", row_number().over(wNn))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+  }
+
   /** Sign-LSH bucket: concatenated sign bits of the first `bits`
     * dimensions (axis-aligned random-hyperplane LSH; deterministic and
     * engine-portable). Computed map-side — the bucket becomes the

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.ModelCatalog
+import graft.expr.Uuid5Expression
+import graft.ops.{CurationOps, JoinOps}
+
+/** The reference's export stages as pure transforms
+  * (TabBreakeRy `/root/reference/src/s3_ccdi_to_tabbreakery.py:88-134`;
+  * DCF index `/root/reference/src/utils.py:1501-1566`).
+  */
+object ExportStages {
+
+  import CurationPipeline.Manifest
+
+  /** TabBreakeRy: per node, mint the deterministic uuid5 row id from
+    * `study::node::key` and rewrite each `<parent>.<parent>_id` link
+    * column to the parent row's uuid5 (`<parent>.id`) — a pure
+    * column-expression rewrite, no joins: the parent id derives from
+    * the same (study, parentNode, keyValue) triple the parent mints
+    * its own id from. Key columns stay for template fidelity.
+    */
+  def tabBreak(
+      manifest: Manifest,
+      catalog: ModelCatalog,
+      study: String,
+      seed: String = "ccdi"): Manifest =
+    manifest.map { case (node, df) =>
+      val keyed = catalog.keyOf(node) match {
+        case Some(k) if df.columns.contains(k) =>
+          df.withColumn("id", Uuid5Expression.uuid5Native(seed,
+            concat_ws("::", lit(study), lit(node), CurationOps.rawCol(k))))
+        case _ => df
+      }
+      val linked = catalog.linkColumns(node)
+        .filter { case (c, _) => keyed.columns.contains(c) }
+        .foldLeft(keyed) { case (d, (linkCol, parent)) =>
+          d.withColumn(s"$parent.id",
+            when(CurationOps.rawCol(linkCol).isNotNull,
+              Uuid5Expression.uuid5Native(seed,
+                concat_ws("::", lit(study), lit(parent),
+                  CurationOps.rawCol(linkCol))))
+              .otherwise(lit(null)))
+        }
+      node -> linked
+    }
+
+  /** DCF index: union the manifest's file nodes, dedup on
+    * (url, md5sum) keep-first-by-key, fill missing GUIDs
+    * deterministically, project the index columns.
+    */
+  def dcfIndex(
+      manifest: Manifest,
+      catalog: ModelCatalog,
+      phsAccession: String): DataFrame = {
+    val fileNodes = catalog.fileNodes.filter(manifest.contains)
+    require(fileNodes.nonEmpty, "manifest has no file nodes")
+    val indexCols = Seq("guid", "md5sum", "file_size", "acl", "authz", "file_url")
+    val unioned = fileNodes.map { n =>
+      val df = manifest(n)
+      val have = df.columns.toSet
+      df.select(indexCols.map(c =>
+        if (have(c)) col(c) else lit(null).cast("string").as(c)): _*)
+    }.reduce(_ unionByName _)
+    val deduped = JoinOps.top1PerGroup(
+      unioned.filter(col("file_url").isNotNull),
+      Seq("file_url", "md5sum"),
+      Seq(col("guid").asc_nulls_last, col("file_size").asc))
+    CurationOps.mintGuids(deduped, Seq("file_url", "md5sum"), "guid")
+      .withColumn("acl", coalesce(col("acl"), lit(s"['$phsAccession']")))
+      .withColumn("authz",
+        coalesce(col("authz"), lit(s"['/programs/$phsAccession']")))
+      .select(indexCols.map(col): _*)
+  }
+}

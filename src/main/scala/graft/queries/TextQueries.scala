@@ -231,6 +231,51 @@ object TextQueries {
       SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     },
 
+    // BPE-ish subword tokenization: word runs + individual punctuation
+    // marks via regex extraction (the pre-merge token stream a BPE
+    // tokenizer consumes).
+    Q("q61_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+        |    AS n_subtokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+        |    AS n_distinct_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)").as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("bigint").as("n_subtokens"),
+          size(array_distinct(col("__t"))).cast("bigint").as("n_distinct_subtokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // IVF-style ANN: coarse-quantize to the most-similar of 8 fixed
+    // centroids (vectors 0-7 — a trained k-means would plug in the
+    // same way), then top-1 within the cell.
+    Q("q62_ann_ivf_neighbor", {
+      val simToC = cosineSql("e.embedding", "c.embedding")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY $simToC DESC, c.cid) = 1)
+         |SELECT l.vec_id AS id1, r.vec_id AS nearest_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id <> r.vec_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l.vec_id
+         |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding", centroids)
+        .orderBy(col("id1"))
+    },
+
     // Sign-LSH bucketed ANN: top-1 neighbor within the bucket.
     Q("q52_ann_lsh_neighbor", {
       val bucket = (1 to 4).map(i =>

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ModelCatalog, PropDef}
+import graft.expr.Uuid5
+import graft.pipeline.ExportStages
+
+class ExportStagesSpec extends SparkSpecBase {
+
+  private val catalog = ModelCatalog(
+    props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true, required = true),
+      PropDef("sequencing_file", "sequencing_file_id", "string", isKey = true, required = true),
+      PropDef("sequencing_file", "participant.participant_id", "string", isKey = false, required = false),
+      PropDef("sequencing_file", "file_url", "string", isKey = false, required = false),
+      PropDef("sequencing_file", "md5sum", "string", isKey = false, required = false),
+      PropDef("sequencing_file", "guid", "string", isKey = false, required = false)),
+    enums = Map.empty, edges = Seq.empty)
+
+  private def manifest = Map(
+    "participant" -> strDf(Seq("participant_id"))(Seq("p1"), Seq("p2")),
+    "sequencing_file" -> strDf(
+      Seq("sequencing_file_id", "participant.participant_id", "file_url", "md5sum", "guid"))(
+      Seq("f1", "p1", "s3://b/f1", "aaaa", "dg.4DFC/existing"),
+      Seq("f2", "p2", "s3://b/f2", "bbbb", null),
+      Seq("f3", null, "s3://b/f2", "bbbb", null))) // dup url+md5
+
+  test("tabBreak mints uuid5 row ids and link-column ids consistently") {
+    val out = ExportStages.tabBreak(manifest, catalog, "study1")
+    val pIds = out("participant").select("participant_id", "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pIds("p1") shouldBe Uuid5.uuid5(Uuid5.ccdiNamespace, "study1::participant::p1")
+
+    val files = out("sequencing_file")
+      .select(col("sequencing_file_id"), col("`participant.id`"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the link column resolves to the SAME uuid the parent minted
+    files("f1") shouldBe pIds("p1")
+    files("f2") shouldBe pIds("p2")
+    files("f3") shouldBe null
+  }
+
+  test("dcfIndex unions file nodes, dedups, fills guids and acl/authz") {
+    val idx = ExportStages.dcfIndex(manifest, catalog, "phs001").orderBy("file_url")
+    val rows = idx.collect()
+    rows.length shouldBe 2 // f2/f3 collapse on (url, md5)
+    rows(0).getAs[String]("guid") shouldBe "dg.4DFC/existing"
+    rows(1).getAs[String]("guid") should startWith("dg.4DFC/")
+    rows(1).getAs[String]("acl") shouldBe "['phs001']"
+    rows(1).getAs[String]("authz") shouldBe "['/programs/phs001']"
+    idx.columns.toSeq shouldBe
+      Seq("guid", "md5sum", "file_size", "acl", "authz", "file_url")
+  }
+}

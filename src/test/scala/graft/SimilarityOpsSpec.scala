@@ -31,6 +31,20 @@ class SimilarityOpsSpec extends SparkSpecBase {
     df.select(SimilarityOps.signBucket(col("v"), 3)).as[String].head() shouldBe "101"
   }
 
+  test("ivfNearestNeighbor assigns to nearest centroid and searches the cell") {
+    val corpus = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(1f, 0.2f)),  // near centroid c0
+      (3L, Array(0.1f, 1f))                          // near centroid c1, alone
+    ).toDF("id", "vec")
+    val centroids = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "cvec")
+    val out = SimilarityOps.ivfNearestNeighbor(corpus, "id", "vec", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 2L
+    out(2L) shouldBe 1L
+    out.contains(3L) shouldBe false // singleton cell
+  }
+
   test("lshNearestNeighbor finds in-bucket top-1") {
     val corpus = Seq(
       (1L, Array(1f, 1f)), (2L, Array(1f, 0.9f)), // same bucket "11"
