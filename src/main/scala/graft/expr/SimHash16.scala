@@ -1,0 +1,77 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 16-bit SimHash (see [[graft.ops.DedupOps.simhash16]] for the
+  * composable definition it matches bit-for-bit): bit i is the
+  * majority vote of md5-hex digit i's high bit across the document's
+  * space-separated tokens. One pass, one digest per token, no
+  * intermediate arrays — codegen-friendly via a static call.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash16.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SimHash16.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+
+  private val digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def eval(text: UTF8String): UTF8String = {
+    val toks = text.toString.split(" ", -1)
+    val md = digest.get()
+    val ones = new Array[Int](16)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(UTF_8))
+      // hex digit i (1-based) of the digest is nibble i-1; its "high
+      // bit" is digit >= 8, i.e. the nibble's top bit.
+      var i = 0
+      while (i < 16) {
+        val nibble =
+          if (i % 2 == 0) (d(i / 2) >> 4) & 0xf
+          else d(i / 2) & 0xf
+        if (nibble >= 8) ones(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    val n = toks.length
+    val bits = new Array[Char](16)
+    var i = 0
+    while (i < 16) {
+      bits(i) = if (ones(i) * 2 > n) '1' else '0'
+      i += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  def simhash16(text: Column): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))
+}

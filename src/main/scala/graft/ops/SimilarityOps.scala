@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float-array columns in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float-array columns in double
+    * — the native expression (bit-identical to the composable
+    * aggregate/zip_with fold, one tight codegen loop).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.FloatDot.dotF(a, b)
+
+  /** Composable reference form of [[dot]] (kept for equivalence tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -215,7 +215,7 @@ object TextQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, dir) =>
       t(s, dir, "documents")
-        .select(DedupOps.simhash16(col("text")).as("simhash"))
+        .select(graft.expr.SimHash16.simhash16(col("text")).as("simhash"))
         .groupBy(col("simhash")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("simhash"))
     },

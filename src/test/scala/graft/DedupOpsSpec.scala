@@ -60,4 +60,13 @@ class DedupOpsSpec extends SparkSpecBase {
     out(1L).length shouldBe 16
     out(1L).forall(c => c == '0' || c == '1') shouldBe true
   }
+
+  test("native SimHash16 expression equals the composable definition") {
+    val texts = docs.select(col("text"))
+      .unionByName(Seq("", "one", "a  b").toDF("text"))
+    val both = texts.select(
+      graft.expr.SimHash16.simhash16(col("text")).as("native"),
+      DedupOps.simhash16(col("text")).as("hof"))
+    both.collect().foreach(r => r.getString(0) shouldBe r.getString(1))
+  }
 }

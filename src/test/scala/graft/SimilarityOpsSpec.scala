@@ -16,6 +16,18 @@ class SimilarityOpsSpec extends SparkSpecBase {
     out(1) shouldBe 0.0 +- 1e-12
   }
 
+  test("native FloatDot is bit-identical to the composable fold") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4f, -1f)),
+      (Array(0f, 0f), Array(0f, 0f))).toDF("a", "b")
+    df.select((SimilarityOps.dot(col("a"), col("b")) ===
+      SimilarityOps.dotHof(col("a"), col("b"))).as("eq"))
+      .collect().foreach(_.getBoolean(0) shouldBe true)
+    // mismatched lengths -> null (zip_with null-pad contract)
+    Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+      .select(SimilarityOps.dot(col("a"), col("b"))).head().isNullAt(0) shouldBe true
+  }
+
   test("bruteForceTopK returns k nearest by cosine, id tie-break") {
     val corpus = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
