@@ -1,0 +1,63 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CurationPipeline.Manifest
+
+/** Catalog-driven synthetic manifest generator (the reference's
+  * template exampler, `/root/reference/src/template_exampler.py:49-150`
+  * — typed fake values per property: md5-looking hashes, s3 urls,
+  * ages, enum picks). Values are pure functions of (node, property,
+  * row index): deterministic with no RNG state, so generated fixtures
+  * are stable across runs and executors — and generation distributes
+  * as a plain projection over `spark.range(n)`.
+  */
+object Exampler {
+
+  /** One synthetic table per catalog node, n rows each. */
+  def populate(spark: SparkSession, catalog: ModelCatalog, n: Long): Manifest =
+    catalog.nodes.map { node =>
+      val base = spark.range(n).withColumnRenamed("id", "__i")
+      val keyCol = catalog.keyOf(node)
+      val cols = catalog.propsOf(node).map { p =>
+        val defn = catalog.props.find(d => d.node == node && d.property == p).get
+        val value = fakeValue(node, p, defn, catalog, col("__i"))
+        value.as(p)
+      }
+      node -> base.select(cols: _*)
+    }.toMap
+
+  private def fakeValue(
+      node: String, prop: String, defn: PropDef,
+      catalog: ModelCatalog,
+      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val linkParent = if (prop.contains(".") && prop.endsWith("_id"))
+      Some(prop.split("\\.")(0)) else None
+    (defn.propType, linkParent) match {
+      // FK link: points at the parent's synthetic key for the same row
+      // index (mod parent cardinality handled by equal row counts)
+      case (_, Some(parent)) =>
+        concat(lit(s"${parent}_"), i.cast("string"))
+      case ("integer", _) => ((i * 37 + prop.length) % 90).cast("string")
+      case ("number", _) =>
+        format_string("%d.%02d", (i % 100).cast("int"), ((i * 7) % 100).cast("int"))
+      case (t, _) if t.startsWith("array") =>
+        concat_ws(";",
+          concat(lit(s"${prop}_"), (i % 3).cast("string")),
+          concat(lit(s"${prop}_"), ((i + 1) % 3).cast("string")))
+      case (t, _) if t.contains("enum") =>
+        val terms = catalog.enums.getOrElse(prop, Seq(s"${prop}_term"))
+        val arms = terms.zipWithIndex.map { case (term, k) =>
+          when(i % terms.length === k, lit(term))
+        }
+        coalesce(arms: _*)
+      case _ if defn.isKey => concat(lit(s"${node}_"), i.cast("string"))
+      case ("md5sum", _) => md5(i.cast("string"))
+      case _ if prop == "md5sum" => md5(i.cast("string"))
+      case _ if prop.endsWith("url") =>
+        concat(lit(s"s3://synthetic/$node/f"), i.cast("string"))
+      case _ => concat(lit(s"${node}_${prop}_"), i.cast("string"))
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.catalog.{Exampler, ModelCatalog, PropDef}
+import graft.pipeline.CurationPipeline
+
+class ExamplerSpec extends SparkSpecBase {
+
+  private val catalog = ModelCatalog(
+    props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true, required = true),
+      PropDef("participant", "race", "array[string]", isKey = false, required = false),
+      PropDef("sample", "sample_id", "string", isKey = true, required = true),
+      PropDef("sample", "age_at_collection", "integer", isKey = false, required = true),
+      PropDef("sample", "sample_type", "string;enum", isKey = false, required = false),
+      PropDef("sample", "tumor_fraction", "number", isKey = false, required = false),
+      PropDef("sample", "file_url", "string", isKey = false, required = false),
+      PropDef("sample", "participant.participant_id", "string", isKey = false, required = false)),
+    enums = Map("sample_type" -> Seq("Tumor", "Normal")),
+    edges = Seq.empty)
+
+  test("populate generates typed, deterministic rows per node") {
+    val m = Exampler.populate(spark, catalog, 6)
+    m.keySet shouldBe Set("participant", "sample")
+    val s = m("sample").orderBy("sample_id").collect()
+    s.length shouldBe 6
+    val r0 = m("sample").filter(org.apache.spark.sql.functions.col("sample_id") === "sample_0").head()
+    r0.getAs[String]("age_at_collection").toInt should be >= 0
+    Seq("Tumor", "Normal") should contain(r0.getAs[String]("sample_type"))
+    r0.getAs[String]("tumor_fraction") should fullyMatch regex "\\d+\\.\\d{2}"
+    r0.getAs[String]("file_url") should startWith("s3://synthetic/sample/")
+    r0.getAs[String]("participant.participant_id") shouldBe "participant_0"
+    // deterministic across invocations
+    val again = Exampler.populate(spark, catalog, 6)("sample")
+      .orderBy("sample_id").collect()
+    again.map(_.toSeq) shouldBe s.map(_.toSeq)
+  }
+
+  test("generated manifest passes its own catalog validation cleanly") {
+    val m = Exampler.populate(spark, catalog, 10)
+    val withKeys = m.map { case (node, df) =>
+      node -> df.withColumn("row_idx",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    }
+    val findings = CurationPipeline.validate(withKeys, catalog, "row_idx")
+    findings.count() shouldBe 0
+  }
+}

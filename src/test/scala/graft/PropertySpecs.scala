@@ -93,6 +93,36 @@ object TextProps extends SparkProperties("text") {
     }
 }
 
+object GraphProps extends SparkProperties("graph") {
+  import spark.implicits._
+  import graft.ops.GraphOps
+
+  /** Random forest: node i's parent is some j < i, or none (root). */
+  val forest: Gen[List[(String, Option[String])]] =
+    Gen.chooseNum(1, 12).flatMap { n =>
+      Gen.sequence[List[Option[Int]], Option[Int]](
+        (0 until n).toList.map { i =>
+          if (i == 0) Gen.const(None)
+          else Gen.option(Gen.chooseNum(0, i - 1))
+        })
+        .map(_.zipWithIndex.map { case (p, i) => (s"n$i", p.map(j => s"n$j")) })
+    }
+
+  property("resolveChain matches driver-side root/depth on random forests") =
+    forAll(forest) { edges =>
+      val parent = edges.toMap
+      def walk(k: String): (String, Int) = parent(k) match {
+        case None => (k, 0)
+        case Some(p) => val (r, d) = walk(p); (r, d + 1)
+      }
+      val expected = edges.map { case (k, _) => (k, walk(k)._1, walk(k)._2) }.toSet
+      val df = edges.map { case (k, p) => (k, p.orNull) }.toDF("key", "parent")
+      val got = GraphOps.resolveChain(df)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      got == expected
+    }
+}
+
 object ReshapeProps extends SparkProperties("reshape") {
   import spark.implicits._
 
