@@ -75,6 +75,29 @@ object SimilarityOps {
       .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: canonicalized (id1 < id2)
+    * pairs within the same sign-LSH bucket whose cosine exceeds the
+    * threshold. The dedup-by-embedding path: bucket key map-side,
+    * one co-partitioned self-join, threshold filter before anything
+    * else touches the pairs.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, threshold: Double): DataFrame = {
+    val withBucket = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("bucket"))
+    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
+      col("nrm").as("n2"), col("bucket").as("bucket2"))
+    l.join(r, l("bucket") === r("bucket2") && l("id1") < r("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") > threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
   /** Sign-LSH bucket: concatenated sign bits of the first `bits`
     * dimensions (axis-aligned random-hyperplane LSH; deterministic and
     * engine-portable). Computed map-side — the bucket becomes the

@@ -276,6 +276,25 @@ object TextQueries {
         .orderBy(col("id1"))
     },
 
+    // Embedding-cosine near-dup pairs within LSH buckets (the
+    // dedup-by-embedding path). 0.4 is tuned to this synthetic corpus
+    // (near-random vectors, max in-bucket cosine ~0.51); real corpora
+    // use ~0.95.
+    Q("q63_embedding_neardup", {
+      val bucket = (1 to 4).map(i =>
+        s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.4
+         |ORDER BY id1, id2""".stripMargin
+    }) { (s, dir) =>
+      SimilarityOps.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 4, 0.4)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     // Sign-LSH bucketed ANN: top-1 neighbor within the bucket.
     Q("q52_ann_lsh_neighbor", {
       val bucket = (1 to 4).map(i =>
