@@ -67,8 +67,11 @@ object SimilarityOps {
       col("nrm").as("n1"), col("cid"))
     val r = cells.select(col("id").as("id2"), col("vec").as("v2"),
       col("nrm").as("n2"), col("cid").as("cid2"))
+    // project vectors away BEFORE the ranking window — the window
+    // shuffle moves (id, id, double) rows, not 64-float payloads
     val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
     val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
     pairs.withColumn("__rn", row_number().over(wNn))
       .filter(col("__rn") === 1)
@@ -124,8 +127,10 @@ object SimilarityOps {
       col("nrm").as("n1"), col("bucket"))
     val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
       col("nrm").as("n2"), col("bucket").as("bucket2"))
+    // project vectors away BEFORE the ranking window (see ivf variant)
     val pairs = l.join(r, l("bucket") === r("bucket2") && l("id1") =!= r("id2"))
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id1"))
       .orderBy(col("cosine").desc, col("id2"))
