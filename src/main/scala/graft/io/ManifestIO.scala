@@ -37,6 +37,19 @@ object ManifestIO {
   def readManifest(spark: SparkSession, dir: String, nodes: Seq[String]): Map[String, DataFrame] =
     nodes.map(n => n -> readNodeTsv(spark, s"$dir/$n.tsv")).toMap
 
+  /** JSON-lines node source (the reference parses GDC metadata JSON
+    * per record, `/root/reference/workflows/mci_gdc_transform.py:
+    * 142-160`): every field read as string, NA bank normalized —
+    * same contract as the TSV reader minus row_idx (JSONL rows carry
+    * their own ids).
+    */
+  def readNodeJsonl(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val allString = raw.select(raw.columns.map(c =>
+      CurationOps.rawCol(c).cast(StringType).as(c)): _*)
+    CurationOps.normalizeNa(allString)
+  }
+
   /** P2: template-order projection — reorder to the template column
     * list, adding missing columns as nulls
     * (`/root/reference/src/s3_catcherry.py:1306-1313`).

@@ -66,4 +66,31 @@ object ReshapeOps {
     val keep = df.columns.filter(mapping.contains)
     df.select(keep.map(c => col(c).as(mapping(c))): _*)
   }
+
+  /** Manifest-level liftover driven by a mapping frame with columns
+    * (lift_from_node, lift_from_property, lift_to_node,
+    * lift_to_property) — the reference's liftover TSV shape
+    * (`manifest_liftover.py:32,143-162`). Node renames and property
+    * moves between nodes are supported when source and target node map
+    * 1:1; the mapping is catalog-sized, so the driver-side collect is
+    * plan construction, not dataflow.
+    */
+  def liftoverManifest(
+      manifest: Map[String, DataFrame],
+      mapping: DataFrame): Map[String, DataFrame] = {
+    val rows = mapping.select("lift_from_node", "lift_from_property",
+      "lift_to_node", "lift_to_property").collect()
+    rows.groupBy(_.getString(2)).map { case (toNode, rs) =>
+      val fromNodes = rs.map(_.getString(0)).distinct
+      require(fromNodes.length == 1,
+        s"liftover to $toNode draws from multiple nodes: ${fromNodes.mkString(",")}")
+      val src = manifest.getOrElse(fromNodes.head,
+        throw new IllegalArgumentException(s"missing source node ${fromNodes.head}"))
+      val pairs = rs.map(r => r.getString(1) -> r.getString(3))
+        .filter { case (from, _) => src.columns.contains(from) }
+      toNode -> src.select(pairs.map { case (from, to) =>
+        CurationOps.rawCol(from).as(to)
+      }.toSeq: _*)
+    }
+  }
 }

@@ -48,4 +48,18 @@ class ReshapeOpsSpec extends SparkSpecBase {
       Map("old_id" -> "new_id", "old_name" -> "new_name"))
     out.columns.toSeq shouldBe Seq("new_id", "new_name")
   }
+
+  test("liftoverManifest moves properties per the mapping frame, renaming nodes") {
+    val manifest = Map(
+      "subject" -> strDf(Seq("subject_id", "sex", "junk"))(Seq("s1", "F", "zz")))
+    val mapping = strDf(Seq("lift_from_node", "lift_from_property",
+      "lift_to_node", "lift_to_property"))(
+      Seq("subject", "subject_id", "participant", "participant_id"),
+      Seq("subject", "sex", "participant", "sex_at_birth"),
+      Seq("subject", "not_present", "participant", "ignored"))
+    val out = ReshapeOps.liftoverManifest(manifest, mapping)
+    out.keySet shouldBe Set("participant")
+    out("participant").columns.toSeq shouldBe Seq("participant_id", "sex_at_birth")
+    out("participant").head().toSeq shouldBe Seq("s1", "F")
+  }
 }

@@ -44,6 +44,21 @@ class StatsIoSpec extends SparkSpecBase {
     out.head().toSeq shouldBe Seq("1", "2", null)
   }
 
+  test("readNodeJsonl reads all-string with NA bank normalized") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    val f = new java.io.File(dir, "node.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "v": "NA", "n": 2.5}""")
+    w.println("""{"id": 2, "v": "ok", "n": 7}""")
+    w.close()
+    val df = ManifestIO.readNodeJsonl(spark, f.getAbsolutePath).orderBy("id")
+    df.schema.fields.forall(_.dataType.typeName == "string") shouldBe true
+    val rows = df.collect()
+    rows(0).getAs[String]("v") shouldBe null
+    rows(0).getAs[String]("n") shouldBe "2.5"
+    rows(1).getAs[String]("v") shouldBe "ok"
+  }
+
   test("readNodeTsv round-trip: NA bank normalized, row_idx Excel-style") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toFile
     val f = new java.io.File(dir, "node.tsv")
