@@ -1,0 +1,29 @@
+package graft
+
+/** Plan regression net: analyzes every graded query's physical plan on
+  * sf0.001 and rejects shapes that do not survive scale — a
+  * non-broadcast cartesian product is never acceptable (the broadcast
+  * nested-loop joins in the similarity queries carry a 1-row query
+  * vector or a centroid handful and are fine).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  test("no query plans a non-broadcast cartesian product") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val plan = q.run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    offenders shouldBe empty
+  }
+
+  test("filters reach the parquet scans (pushdown present where expected)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // q02 filters on a scanned column; its scan must carry PushedFilters
+    val plan = SparkEntry.queries("q02_filter_membership")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [")
+    plan should not include "PushedFilters: []"
+  }
+}
