@@ -369,6 +369,19 @@ object RelationalQueries {
         .orderBy(col("p_brand"), col("p_type"))
     },
 
+    // Skew-mitigated aggregation: two-phase salted count/sum must equal
+    // the plain GROUP BY (decimal money sums are associative, so the
+    // salt split is exact). The hot-key path for skewed 100 TB keys.
+    Q("q64_salted_agg",
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      SkewOps.saltedCountSum(
+        t(s, dir, "lineitem"), "l_suppkey", Num.money(col("l_extendedprice")), 8)
+        .withColumn("total", col("total").cast("double"))
+        .orderBy(col("l_suppkey"))
+    },
+
     // U4 — pivot with known labels (no extra distinct-values job).
     Q("q25_pivot_status",
       """SELECT o_orderpriority,

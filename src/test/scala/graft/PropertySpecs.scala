@@ -93,6 +93,44 @@ object TextProps extends SparkProperties("text") {
     }
 }
 
+object JoinProps extends SparkProperties("joins") {
+  import spark.implicits._
+  import graft.ops.{JoinOps, SkewOps}
+  import org.apache.spark.sql.functions.col
+
+  val facts: Gen[List[(String, Int)]] = Gen.listOfN(10,
+    Gen.zip(Gen.oneOf("a", "b", "c", "hot"), Gen.chooseNum(0, 99)))
+  val dims: Gen[List[(String, String)]] =
+    Gen.someOf(List("a" -> "A", "b" -> "B", "c" -> "C", "hot" -> "H"))
+      .map(_.toList)
+
+  property("saltedJoin ≡ plain join on random data") =
+    forAll(facts, dims, Gen.chooseNum(1, 6)) { (fs, ds, salt) =>
+      (fs.nonEmpty && ds.nonEmpty) ==> Prop {
+        val f = fs.toDF("k", "v")
+        val d = ds.toDF("k", "label")
+        val salted = SkewOps.saltedJoin(f, d, "k", salt)
+          .select("k", "v", "label").collect().map(_.toSeq).sortBy(_.mkString)
+        val plain = f.join(d, Seq("k"), "inner")
+          .select("k", "v", "label").collect().map(_.toSeq).sortBy(_.mkString)
+        salted.sameElements(plain)
+      }
+    }
+
+  property("leftJoinCoalesce preserves parent row count for unique child keys") =
+    forAll(facts) { fs =>
+      fs.nonEmpty ==> Prop {
+        val parent = fs.zipWithIndex.map { case ((k, v), i) => (s"p$i", k, v) }
+          .toDF("pk", "k", "v")
+        val child = fs.map(_._1).distinct.map(k => (k, k.toUpperCase))
+          .toDF("pk", "extra") // overlaps "pk" to exercise the coalesce policy
+          .withColumnRenamed("pk", "k")
+        val out = JoinOps.leftJoinCoalesce(parent, child, Seq("k"))
+        out.count() == parent.count()
+      }
+    }
+}
+
 object GraphProps extends SparkProperties("graph") {
   import spark.implicits._
   import graft.ops.GraphOps
