@@ -57,6 +57,40 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: emits a deterministic derived payload (here a
+    * truncation-to-quarter stand-in for a real scaler) and rewrites the
+    * metadata dims — the partition flow (map-side only, payloads never
+    * shuffle) and schema contract are what production inherits; swap
+    * the body for a javax.imageio / ffmpeg call.
+    */
+  def resizeStub(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val outSchema = df.schema
+    val pIdx = df.schema.fieldIndex("payload")
+    val mIdx = df.schema.fieldIndex("meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(pIdx).asInstanceOf[Array[Byte]]
+        val meta = r.get(mIdx).asInstanceOf[Row]
+        if (payload == null || meta == null) r
+        else {
+          val w = Option(meta.get(1)).map(_.asInstanceOf[Int]).getOrElse(0)
+          val h = Option(meta.get(2)).map(_.asInstanceOf[Int]).getOrElse(0)
+          if (w <= maxW && h <= maxH) r
+          else {
+            val scale = math.min(maxW.toDouble / math.max(w, 1),
+              maxH.toDouble / math.max(h, 1))
+            val newMeta = Row(meta.get(0),
+              math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
+              meta.get(3))
+            val newPayload = payload.take(math.max(1, payload.length / 4))
+            Row.fromSeq(r.toSeq.updated(pIdx, newPayload).updated(mIdx, newMeta))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling plan for video payloads: deterministic sample
     * offsets (every `everyMs` ms up to duration) as an array column —
     * the real frame grab would run inside mapPartitions per offset.

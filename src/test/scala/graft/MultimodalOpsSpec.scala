@@ -30,6 +30,18 @@ class MultimodalOpsSpec extends SparkSpecBase {
     first shouldBe Seq(0L, 500L, 1000L) // duration 1000ms
   }
 
+  test("resizeStub caps dimensions, preserves schema, passes small media through") {
+    val media = MultimodalOps.syntheticMedia(spark, 40) // widths 64..103
+    val out = MultimodalOps.resizeStub(media, 80, 80)
+    out.schema shouldBe media.schema
+    val dims = out.select("media_id", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    dims.values.foreach { case (w, h) => w should be <= 80; h should be <= 80 }
+    // media 0 (64x64) untouched; media 39 (103x64) scaled
+    dims(0L) shouldBe ((64, 64))
+    dims(39L)._1 should be <= 80
+  }
+
   test("media schema keeps payloads binary (opaque) with typed metadata") {
     val media = MultimodalOps.syntheticMedia(spark, 2)
     media.schema("payload").dataType.typeName shouldBe "binary"
