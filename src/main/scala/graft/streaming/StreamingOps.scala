@@ -87,6 +87,21 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact-dedup: drop rows whose key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * state per key is evicted once the event time passes, so the
+    * operator is safe on unbounded streams; an unbounded
+    * `dropDuplicates` would grow state forever). The streaming twin of
+    * the batch exact-dedup path (q45).
+    */
+  def dedupStream(
+      events: DataFrame, // needs an event-time column named ts
+      keyCols: Seq[String],
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

@@ -68,6 +68,23 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicate keys, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+      in.toDF().toDF("ts", "k"), Seq("k"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      in.addData((ts(3), "a"), (ts(4), "c"))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").collect().map(_.getString(1)).sorted
+      keys shouldBe Array("a", "b", "c")
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
