@@ -230,6 +230,22 @@ object TextQueries {
       SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     },
 
+    // Winnowing-style document fingerprint: the minimum shingle digest
+    // (a 1-permutation MinHash over the rolling k-gram windows) — the
+    // near-dup prefilter key that groups documents sharing any
+    // minimal window.
+    Q("q65_winnow_fingerprint",
+      s"""SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5(s))) AS winnow
+         |FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_min(graft.expr.ShingleHashes.shingleHashes(col("text"), 3))
+            .as("winnow"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish subword tokenization: word runs + individual punctuation
     // marks via regex extraction (the pre-merge token stream a BPE
     // tokenizer consumes).

@@ -43,6 +43,14 @@ class ExprSpec extends SparkSpecBase {
       spark.sql("SELECT uuid5(c, c) FROM VALUES ('x') t(c)").collect()
   }
 
+  test("collapse UDAFs register and run as SQL functions") {
+    Collapse.register(spark)
+    Seq(("g1", "b"), ("g1", "a"), ("g1", "b")).toDF("k", "v")
+      .createOrReplaceTempView("collapse_in")
+    spark.sql("SELECT collapse_sorted(v) FROM collapse_in GROUP BY k")
+      .head().getString(0) shouldBe "a;b"
+  }
+
   test("Collapse.sorted: one distinct value => scalar, several => sorted ;-join") {
     val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "b"), ("g2", "only"))
       .toDF("k", "v")
