@@ -51,6 +51,16 @@ class DedupOpsSpec extends SparkSpecBase {
     r.getAs[Double]("jaccard") shouldBe 1.0
   }
 
+  test("ngramJaccard silently drops candidate docs with no shingles (< k tokens)") {
+    val mixed = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "too short")).toDF("doc_id", "text") // doc 3: 2 tokens < k=3
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val out = DedupOps.ngramJaccard(mixed, "doc_id", "text", 3, cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((1L, 2L)) // (1,3) has no shingle overlap to verify
+  }
+
   test("native ShingleHashes equals transform(shingles, md5) incl. edge cases") {
     val texts = Seq("a b c d e", "one two", "", "x  y z", "solo").toDF("text")
     val both = texts.select(

@@ -17,6 +17,15 @@ class ExprSpec extends SparkSpecBase {
       "9b542a2d-8e62-5988-9213-92e153ff812d"
   }
 
+  test("uuid5 UTF-8 encodes non-ASCII names exactly like CPython") {
+    Uuid5.uuid5(Uuid5.ccdiNamespace, "étude::sample::s1") shouldBe
+      "259b80fd-d387-5659-b306-8df33adb7114"
+    Uuid5.uuid5(Uuid5.ccdiNamespace, "研究::サンプル::s2") shouldBe
+      "fcb688d8-5919-5b86-acba-817717b67226"
+    Uuid5.uuid5(Uuid5.ccdiNamespace, "emoji🧬name") shouldBe
+      "9bfc6b62-0da6-5c91-8a6e-83bdb64e2526"
+  }
+
   test("uuid5Col is null-safe and matches the driver-side function") {
     val df = Seq(Some("study::sample::s1"), None).toDF("name")
     val out = df.select(Uuid5.uuid5Col("ccdi", col("name"))).as[String].collect()

@@ -163,6 +163,19 @@ object GraphProps extends SparkProperties("graph") {
 
 object ReshapeProps extends SparkProperties("reshape") {
   import spark.implicits._
+  import graft.ops.ReshapeOps
+  import org.apache.spark.sql.functions.col
+
+  property("spreadWide emits one row per key; values beyond n are dropped") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.oneOf("k1", "k2", "k3"), Gen.chooseNum(0, 9)))) { rs =>
+      rs.nonEmpty ==> Prop {
+        val df = rs.zipWithIndex.map { case ((k, v), i) => (k, i, v.toString) }
+          .toDF("k", "ord", "v")
+        val out = ReshapeOps.spreadWide(df, "k", Seq(col("ord").asc), Seq("v"), 2)
+        out.count() == rs.map(_._1).distinct.length &&
+          out.columns.toSeq == Seq("k", "v_1", "v_2")
+      }
+    }
 
   val rows: Gen[List[(Int, Double, Double)]] =
     Gen.listOfN(5, Gen.zip(Gen.chooseNum(0, 3),
