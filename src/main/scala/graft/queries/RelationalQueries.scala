@@ -382,6 +382,23 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     },
 
+    // O2 — multi-key sort with explicit NULL placement (the engines
+    // disagree by default: Spark sorts nulls first ASC, DuckDB last —
+    // desc_nulls_last/asc_nulls_last make placement portable).
+    Q("q66_nulls_last_sort",
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+        |FROM customer
+        |ORDER BY seg DESC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          col("c_acctbal"))
+        .orderBy(col("seg").desc_nulls_last,
+          col("c_acctbal").desc_nulls_last, col("c_custkey"))
+        .limit(100)
+    },
+
     // U4 — pivot with known labels (no extra distinct-values job).
     Q("q25_pivot_status",
       """SELECT o_orderpriority,
