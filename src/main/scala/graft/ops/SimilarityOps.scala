@@ -63,6 +63,7 @@ object SimilarityOps {
       .filter(col("__rn") === 1)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cid"))
+      .localCheckpoint(true) // consumed by both self-join sides
     val l = cells.select(col("id").as("id1"), col("vec").as("v1"),
       col("nrm").as("n1"), col("cid"))
     val r = cells.select(col("id").as("id2"), col("vec").as("v2"),
@@ -87,10 +88,13 @@ object SimilarityOps {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, threshold: Double): DataFrame = {
+    // materialize the (small) bucketed frame once: both join sides
+    // consume it, and the scan+bucket+norm work would otherwise run twice
     val withBucket = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .localCheckpoint(true)
     val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
@@ -118,11 +122,13 @@ object SimilarityOps {
   def lshNearestNeighbor(
       corpus: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
     // Norms are per-vector: compute BEFORE the pair join (O(n) norm
-    // evaluations instead of O(pairs)).
+    // evaluations instead of O(pairs)); checkpointed because both
+    // self-join sides consume the frame.
     val withBucket = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .localCheckpoint(true)
     val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
