@@ -93,6 +93,35 @@ object TextProps extends SparkProperties("text") {
     }
 }
 
+object CollapseProps extends SparkProperties("collapse") {
+  import spark.implicits._
+  import graft.expr.Collapse
+  import org.apache.spark.sql.functions.col
+
+  val values: Gen[List[String]] = Gen.listOfN(12,
+    Gen.oneOf("a", "b", "c", "d", "e"))
+
+  property("sorted collapse is partitioning-invariant (merge path)") =
+    forAll(values, Gen.chooseNum(1, 6)) { (vs, parts) =>
+      vs.nonEmpty ==> Prop {
+        val single = vs.map(("g", _)).toDF("k", "v").coalesce(1)
+          .groupBy("k").agg(Collapse.sorted(col("v"))).head().getString(1)
+        val multi = vs.map(("g", _)).toDF("k", "v").repartition(parts)
+          .groupBy("k").agg(Collapse.sorted(col("v"))).head().getString(1)
+        single == multi
+      }
+    }
+
+  property("collapse output contains exactly the distinct input values") =
+    forAll(values) { vs =>
+      vs.nonEmpty ==> Prop {
+        val out = vs.map(("g", _)).toDF("k", "v")
+          .groupBy("k").agg(Collapse.sorted(col("v"))).head().getString(1)
+        out.split(";").toSet == vs.toSet
+      }
+    }
+}
+
 object JoinProps extends SparkProperties("joins") {
   import spark.implicits._
   import graft.ops.{JoinOps, SkewOps}
