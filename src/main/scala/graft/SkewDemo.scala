@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.SkewOps
+
+/** Dev demo: quantifies SkewOps.saltedJoin against a plain shuffled
+  * join on a synthetic hot-key dataset (one key holding ~90% of the
+  * fact rows), with auto-broadcast disabled to force the shuffle path
+  * a big dim would take. Prints one line per strategy.
+  */
+object SkewDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SKEW_AQE", "false"))
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    // 90% of rows on key "hot", the rest uniform over 1000 cold keys
+    val fact = spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(1000)))).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val dim = (Seq("hot") ++ (0 until 1000).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"label_$i") }
+      .toDF("k", "label")
+
+    def time(label: String)(f: => Long): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[skew] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      }
+    }
+    time("plain_shuffle_join")(fact.join(dim, Seq("k")).count())
+    time("salted_join")(SkewOps.saltedJoin(fact, dim, "k", 32).count())
+    spark.stop()
+  }
+}
