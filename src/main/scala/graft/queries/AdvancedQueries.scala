@@ -369,6 +369,23 @@ object AdvancedQueries {
         .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
     },
 
+    // O3 — case-insensitive sort of ;-array cells (sorted(key=casefold)
+    // with raw-value tie-break); oracle sorts (lower, raw) struct pairs.
+    Q("q67_casefold_sort",
+      """SELECT p_partkey,
+        |  array_to_string(
+        |    list_transform(
+        |      list_sort(list_transform(string_split(replace(p_name, ' ', ';'), ';'),
+        |                s -> {'l': lower(s), 's': s})),
+        |      x -> x.s), ';') AS sorted_cell
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          CurationOps.sortArrayCell(
+            regexp_replace(col("p_name"), " ", ";")).as("sorted_cell"))
+        .orderBy(col("p_partkey"))
+    },
+
     // W2 — representative row per group ranked by metadata
     // completeness (SRA sort_subset_sra_df shape): score = count of
     // populated fields, deterministic tie-break.
