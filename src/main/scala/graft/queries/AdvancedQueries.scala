@@ -369,6 +369,37 @@ object AdvancedQueries {
         .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
     },
 
+    // P2 — template-order projection: reorder to the template column
+    // list, null-filling columns the node table lacks.
+    Q("q68_template_order",
+      """SELECT c_name, c_custkey, CAST(NULL AS VARCHAR) AS consent_group
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      graft.io.ManifestIO.templateOrder(
+        t(s, dir, "customer"), Seq("c_name", "c_custkey", "consent_group"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J6 — inner join on a composite key (two aggregates re-joined).
+    Q("q69_composite_join",
+      """SELECT a.l_orderkey, a.l_returnflag, a.n, b.sum_qty
+        |FROM (SELECT l_orderkey, l_returnflag, COUNT(*) AS n
+        |      FROM lineitem GROUP BY 1, 2) a
+        |JOIN (SELECT l_orderkey, l_returnflag,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem WHERE l_quantity > 10 GROUP BY 1, 2) b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_returnflag = b.l_returnflag
+        |ORDER BY a.l_orderkey, a.l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      val b = li.filter(col("l_quantity") > 10)
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"))
+      a.join(b, Seq("l_orderkey", "l_returnflag"), "inner")
+        .select(col("l_orderkey"), col("l_returnflag"), col("n"), col("sum_qty"))
+        .orderBy(col("l_orderkey"), col("l_returnflag"))
+    },
+
     // O3 — case-insensitive sort of ;-array cells (sorted(key=casefold)
     // with raw-value tie-break); oracle sorts (lower, raw) struct pairs.
     Q("q67_casefold_sort",
