@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The oracle_sql.json writer must emit strictly valid JSON for every
+  * oracle string — a single bad escape zeroes the round's correctness
+  * gate. Every current oracle (plus adversarial strings) is round-
+  * tripped through Spark's bundled Jackson parser.
+  */
+class JsonsSpec extends AnyFunSuite with Matchers {
+
+  private def parse(json: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("every registered oracle SQL string survives a JSON round-trip") {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }
+      .mkString("{", ",", "}")
+    val node = parse(json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      node.get(k).asText() shouldBe v
+    }
+  }
+
+  test("adversarial strings escape correctly") {
+    val nasty = Seq("tab\there", "nl\nthere", "cr\rx", "q\"uote", "back\\slash",
+      "ctrl", "unicode é🧬", "")
+    nasty.foreach { s =>
+      parse(s"""{"k": ${Jsons.quote(s)}}""").get("k").asText() shouldBe s
+    }
+  }
+}
