@@ -18,10 +18,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Tables whose per-row expression work (interpreted higher-order
-    * functions over token/embedding arrays) dwarfs their scan cost —
-    * worth a repartition when the scan is under-split.
+    * functions over token/embedding arrays; per-event JSON path
+    * extraction) dwarfs their scan cost — worth a repartition when the
+    * scan is under-split.
     */
-  private val computeHeavy = Set("documents", "embeddings")
+  private val computeHeavy = Set("documents", "embeddings", "events")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =

@@ -63,9 +63,14 @@ object Collapse {
 
   /** Pure-builtin equivalent of the sorted collapse (codegen-friendly,
     * preferred in hot paths): array_join(array_sort(collect_set(c))).
+    * An all-null group yields null (collect_set drops nulls → empty
+    * set), matching the Aggregator's finish(Nil) = null.
     */
-  def sortedNative(c: Column): Column =
-    functions.array_join(functions.array_sort(functions.collect_set(c)), ";")
+  def sortedNative(c: Column): Column = {
+    val set = functions.collect_set(c)
+    functions.when(functions.size(set) > 0,
+      functions.array_join(functions.array_sort(set), ";"))
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("collapse_sorted", functions.udaf(sortedAgg))

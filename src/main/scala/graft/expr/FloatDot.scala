@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator; at ANN pair counts it IS the query cost.
   *
   * Mismatched lengths yield null (zip_with's null-pad poisons the sum
-  * to null; we reproduce that contract).
+  * to null; we reproduce that contract), and so does a null element on
+  * either side (x*y is null, and null+acc poisons the fold the same
+  * way).
   */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,13 +40,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "dot_f"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    FloatDot.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    FloatDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val res = ctx.freshName("dotRes")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |java.lang.Double $res = graft.expr.FloatDot.eval($a, $b);
+         |java.lang.Double $res = graft.expr.FloatDot.compute($a, $b);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
        """.stripMargin
     })
@@ -57,13 +59,19 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
 object FloatDot {
 
-  /** Codegen entry point; null on length mismatch (see class doc). */
-  def eval(a: ArrayData, b: ArrayData): java.lang.Double = {
+  /** Codegen entry point; null on length mismatch or a null element
+    * (see class doc). Named `compute`, NOT `eval`: a companion-object
+    * method that shares a name with an inherited class member gets no
+    * static forwarder from scalac, and generated Java then fails to
+    * compile — silently dropping the whole stage to interpreted mode.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -37,10 +37,10 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], k)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.compute($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -52,8 +52,11 @@ object ShingleHashes {
     MessageDigest.getInstance("MD5"))
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** Codegen entry point: UTF8String text -> ArrayData[UTF8String]. */
-  def eval(text: UTF8String, k: Int): ArrayData = {
+  /** Codegen entry point: UTF8String text -> ArrayData[UTF8String].
+    * Named `compute`, not `eval` — see [[FloatDot.compute]] on
+    * static-forwarder suppression.
+    */
+  def compute(text: UTF8String, k: Int): ArrayData = {
     // -1 limit matches Spark's split(text, " "): trailing empty tokens kept
     val toks = text.toString.split(" ", -1)
     val n = toks.length - k + 1

@@ -28,10 +28,10 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash16.eval(input.asInstanceOf[UTF8String])
+    SimHash16.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.SimHash16.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.SimHash16.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
@@ -42,7 +42,10 @@ object SimHash16 {
   private val digest = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  def eval(text: UTF8String): UTF8String = {
+  /** Codegen entry point (named `compute`, not `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression).
+    */
+  def compute(text: UTF8String): UTF8String = {
     val toks = text.toString.split(" ", -1)
     val md = digest.get()
     val ones = new Array[Int](16)

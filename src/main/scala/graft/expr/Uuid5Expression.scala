@@ -27,11 +27,11 @@ case class Uuid5Expression(child: Expression, nsMsb: Long, nsLsb: Long)
   override def prettyName: String = "uuid5"
 
   override def nullSafeEval(input: Any): Any =
-    Uuid5Expression.eval(nsMsb, nsLsb, input.asInstanceOf[UTF8String])
+    Uuid5Expression.compute(nsMsb, nsLsb, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.expr.Uuid5Expression.eval(${nsMsb}L, ${nsLsb}L, $c)")
+      s"graft.expr.Uuid5Expression.compute(${nsMsb}L, ${nsLsb}L, $c)")
 
   override protected def withNewChildInternal(newChild: Expression): Uuid5Expression =
     copy(child = newChild)
@@ -39,8 +39,11 @@ case class Uuid5Expression(child: Expression, nsMsb: Long, nsLsb: Long)
 
 object Uuid5Expression {
 
-  /** Codegen entry point (static forwarder): UTF8String in/out. */
-  def eval(nsMsb: Long, nsLsb: Long, name: UTF8String): UTF8String =
+  /** Codegen entry point (static forwarder): UTF8String in/out. Named
+    * `compute`, not `eval` — see [[FloatDot.compute]] on
+    * static-forwarder suppression.
+    */
+  def compute(nsMsb: Long, nsLsb: Long, name: UTF8String): UTF8String =
     UTF8String.fromString(Uuid5.uuid5(new UUID(nsMsb, nsLsb), name.toString))
 
   /** Column form: uuid5 under the md5-of-seed namespace (same contract

@@ -23,18 +23,25 @@ object CurationOps {
     */
   def rawCol(name: String): Column = col("`" + name.replace("`", "") + "`")
 
-  /** Normalize NA-bank sentinels to null across all string columns. */
-  def normalizeNa(df: DataFrame, bank: Seq[String] = NaBank): DataFrame = {
-    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    stringCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, when(rawCol(c).isin(bank: _*), lit(null)).otherwise(rawCol(c))))
+  /** Rewrite every string column through `f` in a single `select`, so
+    * analyzer cost stays linear in column count (a `withColumn` per
+    * column re-analyzes the growing plan quadratically).
+    */
+  private def mapStringCols(df: DataFrame, f: Column => Column): DataFrame = {
+    val cols = df.schema.fields.map { fld =>
+      if (fld.dataType == StringType) f(rawCol(fld.name)).as(fld.name)
+      else rawCol(fld.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Normalize NA-bank sentinels to null across all string columns. */
+  def normalizeNa(df: DataFrame, bank: Seq[String] = NaBank): DataFrame =
+    mapStringCols(df, c => when(c.isin(bank: _*), lit(null)).otherwise(c))
+
   /** Trim every string cell (ingest rule, ref `s3_catcherry.py:88`). */
-  def trimAll(df: DataFrame): DataFrame = {
-    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    stringCols.foldLeft(df)((d, c) => d.withColumn(c, trim(rawCol(c))))
-  }
+  def trimAll(df: DataFrame): DataFrame =
+    mapStringCols(df, trim)
 
   /** J4: dict-lookup value rewrite with default-keep
     * (`s3_catcherry.py:321-411`, `.get(x, x)` semantics): broadcast
@@ -75,6 +82,11 @@ object CurationOps {
     * broadcast back. `deterministic=true` derives the id from the key
     * (md5 formatted as a UUID — stable across runs, the mode used for
     * oracle comparison); otherwise uuid() (reference-parity uuid4).
+    *
+    * Rows with a null key column are skipped — no guid is minted for
+    * them (reference parity: `get_ccdi_id` drops NaN keys before
+    * assigning, `/root/reference/src/utils.py:1394-1431`). The
+    * join-back is deliberately null-unsafe for the same reason.
     */
   def mintGuids(
       df: DataFrame,
@@ -83,10 +95,11 @@ object CurationOps {
       prefix: String = "dg.4DFC/",
       deterministic: Boolean = true): DataFrame = {
     val keyExpr = concat_ws("::", keyCols.map(col): _*)
+    val keysPresent = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val newId =
       if (deterministic) md5AsUuid(keyExpr)
       else expr("uuid()")
-    val minted = df.filter(col(guidCol).isNull)
+    val minted = df.filter(col(guidCol).isNull && keysPresent)
       .select(keyCols.map(col): _*).distinct()
       .withColumn("__minted", concat(lit(prefix), newId))
     df.join(minted, keyCols, "left")

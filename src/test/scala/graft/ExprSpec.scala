@@ -68,11 +68,44 @@ class ExprSpec extends SparkSpecBase {
     out shouldBe Array(("g1", "a;b"), ("g2", "only"))
   }
 
-  test("Collapse.sortedNative agrees with the Aggregator variant") {
-    val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "b")).toDF("k", "v")
-    val a = df.groupBy("k").agg(Collapse.sorted(col("v"))).head().getString(1)
-    val b = df.groupBy("k").agg(Collapse.sortedNative(col("v"))).head().getString(1)
+  test("Collapse.sortedNative agrees with the Aggregator variant (incl. all-null groups)") {
+    val df = Seq(("g1", "b"), ("g1", "a"), ("g1", "b"), ("g2", null))
+      .toDF("k", "v")
+    val a = df.groupBy("k").agg(Collapse.sorted(col("v")).as("c"))
+      .orderBy("k").as[(String, String)].collect()
+    val b = df.groupBy("k").agg(Collapse.sortedNative(col("v")).as("c"))
+      .orderBy("k").as[(String, String)].collect()
     a shouldBe b
+    a shouldBe Array(("g1", "a;b"), ("g2", null))
+  }
+
+  test("all four native expressions compile under whole-stage codegen (no fallback)") {
+    // spark.sql.codegen.fallback=false turns a generated-code compile
+    // failure into a thrown error instead of a silent drop to
+    // interpreted mode — which is exactly the regression this guards
+    // against (an `eval`-named companion helper loses its static
+    // forwarder and janino can't resolve the call).
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.expr.{FloatDot, ShingleHashes, SimHash16}
+      val docs = Seq(("a b c d", Array(1f, 0f), Array(1f, 0f))).toDF("t", "u", "v")
+      val out = docs.select(
+        FloatDot.dotF(col("u"), col("v")).as("dot"),
+        SimHash16.simhash16(col("t")).as("sh"),
+        org.apache.spark.sql.functions.size(
+          ShingleHashes.shingleHashes(col("t"), 2)).as("ns"),
+        Uuid5Expression.uuid5Native("ccdi", col("t")).as("u5")).collect()
+      out(0).getDouble(0) shouldBe 1.0
+      out(0).getString(1) should have length 16
+      out(0).getInt(2) shouldBe 3
+      out(0).getString(3) should have length 36
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
   }
 
   test("Collapse.firstSeen preserves first-occurrence order") {

@@ -108,13 +108,16 @@ object CurationProps extends SparkProperties("curation") {
         val df = rows.map { case (u, g) => (u, g.orNull) }.toDF("url", "guid")
         val out = CurationOps.mintGuids(df, Seq("url"), "guid").collect()
         val byUrl = out.groupBy(_.getString(0))
-        out.forall(_.getString(1) != null) &&
-          out.filter(r => rows.exists(x => x._1 == r.getString(0) && x._2.isDefined))
-            .forall(_.getString(1) == "dg.4DFC/existing") ||
-          // a url with BOTH null and non-null guids keeps mixed values — only
-          // require: minted rows of the same url share one id
-          byUrl.values.forall(rs =>
-            rs.map(_.getString(1)).distinct.length <= 2)
+        // keys are all non-null here, so every null guid must get minted
+        val noNulls = out.forall(_.getString(1) != null)
+        // rows that arrived with a guid keep it verbatim
+        val existingKept =
+          out.count(_.getString(1) == "dg.4DFC/existing") == rows.count(_._2.isDefined)
+        // a url with BOTH null and non-null guids keeps mixed values — minted
+        // rows of the same url share one id, so ≤2 distinct ids per url
+        val mintedShared =
+          byUrl.values.forall(rs => rs.map(_.getString(1)).distinct.length <= 2)
+        noNulls && existingKept && mintedShared
       }
     }
 
