@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.JoinOps
+
+/** Column roles of a sequencing frame entering the SRA export stage
+  * (`/root/reference/src/s3_ccdi_to_sra.py:1338-1560`). The reference
+  * hard-codes the SRA template's header labels; the engine takes the
+  * names as configuration so the stage composes over any frame.
+  */
+final case class SraCols(
+    library: String = "library_ID",
+    sample: String = "sample_ID",
+    filename: String = "filename",
+    filetype: String = "filetype",
+    md5: String = "MD5_checksum",
+    url: String = "active_location_URL",
+    strategy: String = "library_strategy",
+    source: String = "library_source",
+    selection: String = "library_selection",
+    /** Fields `;`-joined over the sample group when multivalued
+      * (`concatenate_library_id`, `s3_ccdi_to_sra.py:1252-1293`).
+      */
+    concatFields: Seq[String] =
+      Seq("design_description", "reference_genome_assembly", "alignment_software"),
+    /** Sequencing-metadata fields whose presence ranks rows before the
+      * spread (`sort_subset_sra_df`, `s3_ccdi_to_sra.py:1038-1068`).
+      */
+    metaFields: Seq[String] =
+      Seq("active_location_URL", "Bases", "Reads", "coverage", "AvgReadLength")) {
+
+  /** Fields checked for per-library constancy
+    * (`check_value_constancy`, `s3_ccdi_to_sra.py:993-1036`).
+    */
+  def constancyFields: Seq[String] =
+    (Seq(strategy, source, selection) ++ concatFields ++ metaFields).distinct
+}
+
+/** The CCDI_to_SRA export stage re-expressed as lazy Spark transforms
+  * (`/root/reference/src/s3_ccdi_to_sra.py:993-1560`). Stage order
+  * matches the reference flow (`:1474-1547`): dedup → library-ID
+  * concatenation → duplicate-filename fix → spread; constancy
+  * findings are emitted as a frame instead of log warnings.
+  *
+  * Shuffle budget (what moves at 100 TB): each step is exactly one
+  * hash shuffle on its own key — (library, filename) for dedup,
+  * the 4-column sample group for the concat pass (one Window operator;
+  * all its aggregates share the partition spec), filename for the
+  * duplicate fix, and library for the spread/constancy aggregations.
+  * No step carries more than the sequencing frame's own columns.
+  */
+object SraStage {
+
+  /** P8: dedup on (library, filename) — the reference's keep-last over
+    * the previous-submission ∪ manifest concat order
+    * (`check_and_remove_duplicates`, `s3_ccdi_to_sra.py:1129-1155`).
+    * Spark frames have no concat order, so precedence is explicit:
+    * `priority` must totally order rows within a (library, filename)
+    * group (e.g. submission recency desc + a unique tie-break).
+    */
+  def dedupKeepPriority(df: DataFrame, cols: SraCols, priority: Seq[Column]): DataFrame =
+    JoinOps.top1PerGroup(df, Seq(cols.library, cols.filename), priority)
+
+  /** Library-ID concatenation (`concatenate_library_id`,
+    * `s3_ccdi_to_sra.py:1186-1293`): within a (sample, strategy,
+    * source, selection) group holding >1 distinct library id, every
+    * row's library id becomes the `;`-join of the group's ids, so the
+    * spread step folds those files into one submission line. Same
+    * treatment for each `concatFields` member; a multivalued
+    * `active_location_URL` is instead truncated to scheme://authority.
+    *
+    * Divergence from the reference, by design: joined values are
+    * sorted (the reference joins in first-seen pandas order, which has
+    * no Spark equivalent under partitioning); `;`-joins drop nulls
+    * like the reference's `dropna().unique()`.
+    *
+    * One Window operator — every aggregate shares the group partition
+    * spec, so Catalyst collapses them into a single shuffle.
+    */
+  def concatLibraryIds(df: DataFrame, cols: SraCols): DataFrame = {
+    val w = Window.partitionBy(
+      col(cols.sample), col(cols.strategy), col(cols.source), col(cols.selection))
+    def distinctSet(c: String) = collect_set(col(c)).over(w)
+    def joined(c: String): Column = {
+      val set = distinctSet(c)
+      when(size(set) > 1, array_join(array_sort(set), ";")).otherwise(col(c))
+    }
+    val urlAuthority =
+      regexp_extract(col(cols.url), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", 0)
+    val base = df
+      .withColumn(cols.library, joined(cols.library))
+      .withColumn(cols.url,
+        when(size(distinctSet(cols.url)) > 1, urlAuthority).otherwise(col(cols.url)))
+    cols.concatFields.filter(df.columns.contains)
+      .foldLeft(base)((d, f) => d.withColumn(f, joined(f)))
+  }
+
+  /** Duplicate-filename fix (`duplicate_filename_fix`,
+    * `s3_ccdi_to_sra.py:1297-1334`): SRA treats filename as an id, so
+    * any filename on >1 row is prefixed with the last 4 hex digits of
+    * its md5 (`str[-4:]`, ref `:1318` — the reference appends
+    * `md5[-4:] + "_" + filename`).
+    */
+  def fixDuplicateFilenames(df: DataFrame, cols: SraCols): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy(col(cols.filename)))
+    df.withColumn(cols.filename,
+      when(n > 1,
+        concat(substring(col(cols.md5), -4, 4), lit("_"), col(cols.filename)))
+        .otherwise(col(cols.filename)))
+  }
+
+  /** A13 as a findings frame (`check_value_constancy`,
+    * `s3_ccdi_to_sra.py:993-1036`): per library, the fields holding
+    * more than one distinct value — null counts as a value, like the
+    * reference's `unique()` without `dropna()` (ref `:1016-1017`).
+    * Output: (library, property, n_values), one row per offending
+    * (library, field).
+    */
+  def constancyFindings(df: DataFrame, cols: SraCols,
+      fields: Seq[String] = Seq.empty): DataFrame = {
+    val checked = (if (fields.nonEmpty) fields else cols.constancyFields)
+      .filter(df.columns.contains)
+    val aggs = checked.map(f =>
+      (countDistinct(col(f)) +
+        max(when(col(f).isNull, 1L).otherwise(0L))).as(s"__n_$f"))
+    val wide = df.groupBy(col(cols.library)).agg(aggs.head, aggs.tail: _*)
+    val long = wide.select(col(cols.library),
+      explode(array(checked.map(f =>
+        struct(lit(f).as("property"), col(s"__n_$f").as("n_values"))): _*)).as("__m"))
+    long.select(col(cols.library), col("__m.property").as("property"),
+        col("__m.n_values").as("n_values"))
+      .filter(col("n_values") > 1)
+  }
+
+  /** W2+W4: rank a library's files by metadata completeness then
+    * filetype (`sort_subset_sra_df`, `s3_ccdi_to_sra.py:1038-1068`)
+    * and spread to one row per library (`spread_sra_df`, `:1071-1125`):
+    * the top row supplies every column; rows 2..maxFiles contribute
+    * `<filename>_k` / `<filetype>_k` / `<md5>_k` (k = rank-1, the
+    * reference's `filename.k` with `.` → `_`). `maxFiles` mirrors the
+    * SRA template's fixed file-column width (`remove_redundant_cols`);
+    * rows past it are dropped. `tieBreak` must make the order total —
+    * pandas' unstable sort leaves reference ties arbitrary, ours are
+    * explicit.
+    *
+    * One shuffle (the window reuses its partitioning for the final
+    * aggregation) and no pivot: the spread columns are conditional
+    * aggregates with compile-time labels.
+    */
+  def spread(df: DataFrame, cols: SraCols, maxFiles: Int,
+      tieBreak: Seq[Column]): DataFrame = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val metaCount = cols.metaFields.filter(df.columns.contains)
+      .map(f => when(col(f).isNotNull && col(f) =!= "", 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val order = (metaCount.desc +: col(cols.filetype).desc +: tieBreak)
+    val w = Window.partitionBy(col(cols.library)).orderBy(order: _*)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxFiles)
+    val scalars = df.columns.filterNot(_ == cols.library).toSeq
+    val firstRow = scalars.map(c =>
+      max(when(col("__rn") === 1, graft.ops.CurationOps.rawCol(c))).as(c))
+    val extras = for {
+      j <- 2 to maxFiles
+      v <- Seq(cols.filename, cols.filetype, cols.md5)
+    } yield max(when(col("__rn") === j, col(v))).as(s"${v}_${j - 1}")
+    val aggs = firstRow ++ extras
+    ranked.groupBy(col(cols.library)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The composed stage (`CCDI_to_SRA`, `s3_ccdi_to_sra.py:1474-1547`
+    * order): dedup → concat library ids → fix duplicate filenames →
+    * (constancy findings, spread). Returns (submission frame,
+    * findings frame).
+    */
+  def sra(
+      df: DataFrame,
+      cols: SraCols = SraCols(),
+      maxFiles: Int = 3,
+      dedupPriority: Seq[Column],
+      tieBreak: Seq[Column]): (DataFrame, DataFrame) = {
+    val dd = dedupKeepPriority(df, cols, dedupPriority)
+    val cc = concatLibraryIds(dd, cols)
+    val fixed = fixDuplicateFilenames(cc, cols)
+    (spread(fixed, cols, maxFiles, tieBreak), constancyFindings(fixed, cols))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{SraCols, SraStage}
+
+/** Round-2 composed export stages, graded end-to-end: the reference's
+  * whole CCDI_to_SRA dataflow over a sequencing frame synthesized
+  * deterministically from `orders` (the q60 synthesis pattern — both
+  * engines derive identical inputs from the same parquet).
+  */
+object StageQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Column roles used by the graded SRA queries. */
+  private val C = SraCols(
+    library = "library_id", sample = "sample_id", filename = "filename",
+    filetype = "filetype", md5 = "md5sum", url = "url",
+    strategy = "strategy", source = "lib_source", selection = "selection",
+    concatFields = Seq("design", "align_soft"),
+    metaFields = Seq("url", "bases", "reads", "coverage", "avg_read_len"))
+
+  /** Synthesized sequencing frame: one "file row" per order. Moduli
+    * are chosen so every stage has work to do — (library, filename)
+    * pairs repeat (dedup), filenames collide across libraries
+    * (md5-suffix fix), sample groups span several libraries (library
+    * concatenation), and meta fields carry nulls (completeness
+    * ranking + constancy findings). All values derive from integer
+    * arithmetic so both engines format them identically.
+    */
+  private def sraSource(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val key = col("o_orderkey")
+    o.select(
+      concat(lit("L"), (key % 400).cast("string")).as("library_id"),
+      concat(lit("S"), (col("o_custkey") % 120).cast("string")).as("sample_id"),
+      when(key % 7 === 0, "WGS").otherwise("WXS").as("strategy"),
+      lit("GENOMIC").as("lib_source"),
+      when(key % 5 === 0, "PCR").otherwise("RANDOM").as("selection"),
+      concat(lit("f"), (key % 300).cast("string"),
+        when(key % 2 === 0, ".bam").otherwise(".cram")).as("filename"),
+      md5(key.cast("string")).as("md5sum"),
+      when(key % 2 === 0, "bam").otherwise("cram").as("filetype"),
+      when(key % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s3://bkt"), (key % 4).cast("string"),
+          lit("/p/"), key.cast("string"))).as("url"),
+      when(key % 4 === 0, lit(null).cast("string"))
+        .otherwise((key % 997).cast("string")).as("bases"),
+      (key % 100).cast("string").as("reads"),
+      when(key % 6 === 0, lit(null).cast("string"))
+        .otherwise(lit("30x")).as("coverage"),
+      lit("150").as("avg_read_len"),
+      when(key % 11 === 0, "designA").otherwise("designB").as("design"),
+      lit("GRCh38").as("ref_genome"),
+      when(key % 13 === 0, "bwa").otherwise("star").as("align_soft"),
+      when(key % 17 === 0, 0L).otherwise(1L).as("prio"))
+  }
+
+  /** dedup → concat library ids → fix duplicate filenames: the shared
+    * pipeline prefix of q70/q71.
+    */
+  private def sraFixed(s: SparkSession, dir: String): DataFrame = {
+    val dd = SraStage.dedupKeepPriority(sraSource(s, dir), C,
+      Seq(col("prio").desc, col("md5sum").desc)).drop("prio")
+    SraStage.fixDuplicateFilenames(SraStage.concatLibraryIds(dd, C), C)
+  }
+
+  /** Oracle CTE prefix mirroring [[sraSource]] + [[sraFixed]]. */
+  private val SraOraclePrefix: String =
+    """WITH src AS (
+      |  SELECT 'L' || CAST(o_orderkey % 400 AS VARCHAR) AS library_id,
+      |         'S' || CAST(o_custkey % 120 AS VARCHAR) AS sample_id,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'WGS' ELSE 'WXS' END AS strategy,
+      |         'GENOMIC' AS lib_source,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN 'PCR' ELSE 'RANDOM' END AS selection,
+      |         'f' || CAST(o_orderkey % 300 AS VARCHAR) ||
+      |           CASE WHEN o_orderkey % 2 = 0 THEN '.bam' ELSE '.cram' END AS filename,
+      |         md5(CAST(o_orderkey AS VARCHAR)) AS md5sum,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'bam' ELSE 'cram' END AS filetype,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |              ELSE 's3://bkt' || CAST(o_orderkey % 4 AS VARCHAR)
+      |                   || '/p/' || CAST(o_orderkey AS VARCHAR) END AS url,
+      |         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      |              ELSE CAST(o_orderkey % 997 AS VARCHAR) END AS bases,
+      |         CAST(o_orderkey % 100 AS VARCHAR) AS reads,
+      |         CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE '30x' END AS coverage,
+      |         '150' AS avg_read_len,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'designA' ELSE 'designB' END AS design,
+      |         'GRCh38' AS ref_genome,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN 'bwa' ELSE 'star' END AS align_soft,
+      |         CASE WHEN o_orderkey % 17 = 0 THEN 0 ELSE 1 END AS prio
+      |  FROM orders),
+      |dd AS (
+      |  SELECT * EXCLUDE (prio, rn) FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY library_id, filename
+      |                                 ORDER BY prio DESC, md5sum DESC) AS rn
+      |    FROM src) WHERE rn = 1),
+      |grp AS (
+      |  SELECT sample_id, strategy, lib_source, selection,
+      |         count(DISTINCT library_id) AS n_lib,
+      |         string_agg(DISTINCT library_id, ';' ORDER BY library_id) AS libs,
+      |         count(DISTINCT url) AS n_url,
+      |         count(DISTINCT design) AS n_design,
+      |         string_agg(DISTINCT design, ';' ORDER BY design) AS designs,
+      |         count(DISTINCT align_soft) AS n_align,
+      |         string_agg(DISTINCT align_soft, ';' ORDER BY align_soft) AS aligns
+      |  FROM dd GROUP BY 1, 2, 3, 4),
+      |cc AS (
+      |  SELECT dd.* EXCLUDE (library_id, url, design, align_soft),
+      |         CASE WHEN g.n_lib > 1 THEN g.libs ELSE dd.library_id END AS library_id,
+      |         CASE WHEN g.n_url > 1
+      |              THEN regexp_extract(dd.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*')
+      |              ELSE dd.url END AS url,
+      |         CASE WHEN g.n_design > 1 THEN g.designs ELSE dd.design END AS design,
+      |         CASE WHEN g.n_align > 1 THEN g.aligns ELSE dd.align_soft END AS align_soft
+      |  FROM dd JOIN grp g USING (sample_id, strategy, lib_source, selection)),
+      |ff AS (
+      |  SELECT cc.* EXCLUDE (filename),
+      |         CASE WHEN count(*) OVER (PARTITION BY filename) > 1
+      |              THEN right(md5sum, 4) || '_' || filename
+      |              ELSE filename END AS filename
+      |  FROM cc)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // The composed SRA submission frame: dedup (P8) -> library concat
+    // -> duplicate-filename md5 suffix -> completeness-ranked spread
+    // (W2+W4), one row per final library id.
+    Q("q70_sra_stage",
+      SraOraclePrefix +
+        """,
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY library_id ORDER BY
+          |      ((CASE WHEN url IS NOT NULL AND url <> '' THEN 1 ELSE 0 END) +
+          |       (CASE WHEN bases IS NOT NULL AND bases <> '' THEN 1 ELSE 0 END) +
+          |       (CASE WHEN reads IS NOT NULL AND reads <> '' THEN 1 ELSE 0 END) +
+          |       (CASE WHEN coverage IS NOT NULL AND coverage <> '' THEN 1 ELSE 0 END) +
+          |       (CASE WHEN avg_read_len IS NOT NULL AND avg_read_len <> '' THEN 1 ELSE 0 END)) DESC,
+          |      filetype DESC, filename ASC, md5sum ASC) AS rn
+          |  FROM ff)
+          |SELECT library_id,
+          |  max(CASE WHEN rn = 1 THEN sample_id END) AS sample_id,
+          |  max(CASE WHEN rn = 1 THEN strategy END) AS strategy,
+          |  max(CASE WHEN rn = 1 THEN lib_source END) AS lib_source,
+          |  max(CASE WHEN rn = 1 THEN selection END) AS selection,
+          |  max(CASE WHEN rn = 1 THEN filename END) AS filename,
+          |  max(CASE WHEN rn = 1 THEN md5sum END) AS md5sum,
+          |  max(CASE WHEN rn = 1 THEN filetype END) AS filetype,
+          |  max(CASE WHEN rn = 1 THEN url END) AS url,
+          |  max(CASE WHEN rn = 1 THEN bases END) AS bases,
+          |  max(CASE WHEN rn = 1 THEN reads END) AS reads,
+          |  max(CASE WHEN rn = 1 THEN coverage END) AS coverage,
+          |  max(CASE WHEN rn = 1 THEN avg_read_len END) AS avg_read_len,
+          |  max(CASE WHEN rn = 1 THEN design END) AS design,
+          |  max(CASE WHEN rn = 1 THEN ref_genome END) AS ref_genome,
+          |  max(CASE WHEN rn = 1 THEN align_soft END) AS align_soft,
+          |  max(CASE WHEN rn = 2 THEN filename END) AS filename_1,
+          |  max(CASE WHEN rn = 2 THEN filetype END) AS filetype_1,
+          |  max(CASE WHEN rn = 2 THEN md5sum END) AS md5sum_1,
+          |  max(CASE WHEN rn = 3 THEN filename END) AS filename_2,
+          |  max(CASE WHEN rn = 3 THEN filetype END) AS filetype_2,
+          |  max(CASE WHEN rn = 3 THEN md5sum END) AS md5sum_2
+          |FROM rk WHERE rn <= 3 GROUP BY library_id
+          |ORDER BY library_id""".stripMargin) { (s, dir) =>
+      SraStage.spread(sraFixed(s, dir), C, maxFiles = 3,
+        tieBreak = Seq(col("filename").asc, col("md5sum").asc))
+        .orderBy(col("library_id"))
+    },
+
+    // The stage's constancy findings (A13 over the composed pipeline):
+    // per final library id, fields with >1 distinct value, null
+    // counted as a value like the reference's un-dropna'd unique().
+    Q("q71_sra_constancy",
+      SraOraclePrefix +
+        """,
+          |g AS (
+          |  SELECT library_id,
+          |    count(DISTINCT strategy) + max(CASE WHEN strategy IS NULL THEN 1 ELSE 0 END) AS strategy,
+          |    count(DISTINCT lib_source) + max(CASE WHEN lib_source IS NULL THEN 1 ELSE 0 END) AS lib_source,
+          |    count(DISTINCT selection) + max(CASE WHEN selection IS NULL THEN 1 ELSE 0 END) AS selection,
+          |    count(DISTINCT design) + max(CASE WHEN design IS NULL THEN 1 ELSE 0 END) AS design,
+          |    count(DISTINCT align_soft) + max(CASE WHEN align_soft IS NULL THEN 1 ELSE 0 END) AS align_soft,
+          |    count(DISTINCT url) + max(CASE WHEN url IS NULL THEN 1 ELSE 0 END) AS url,
+          |    count(DISTINCT bases) + max(CASE WHEN bases IS NULL THEN 1 ELSE 0 END) AS bases,
+          |    count(DISTINCT reads) + max(CASE WHEN reads IS NULL THEN 1 ELSE 0 END) AS reads,
+          |    count(DISTINCT coverage) + max(CASE WHEN coverage IS NULL THEN 1 ELSE 0 END) AS coverage,
+          |    count(DISTINCT avg_read_len) + max(CASE WHEN avg_read_len IS NULL THEN 1 ELSE 0 END) AS avg_read_len
+          |  FROM ff GROUP BY 1)
+          |SELECT library_id, property, n_values
+          |FROM (UNPIVOT g ON strategy, lib_source, selection, design, align_soft,
+          |        url, bases, reads, coverage, avg_read_len
+          |      INTO NAME property VALUE n_values)
+          |WHERE n_values > 1
+          |ORDER BY library_id, property""".stripMargin) { (s, dir) =>
+      SraStage.constancyFindings(sraFixed(s, dir), C)
+        .orderBy(col("library_id"), col("property"))
+    }
+  )
+}

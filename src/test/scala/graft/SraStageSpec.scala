@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{SraCols, SraStage}
+
+class SraStageSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val cols = SraCols(
+    library = "lib", sample = "samp", filename = "fname", filetype = "ftype",
+    md5 = "md5", url = "url", strategy = "strat", source = "src",
+    selection = "sel", concatFields = Seq("design"),
+    metaFields = Seq("url", "bases"))
+
+  private def seqFrame(rows: (String, String, String, String, String, String,
+      String, String, String, String, String)*) =
+    rows.toDF("lib", "samp", "strat", "src", "sel", "fname", "ftype", "md5",
+      "url", "bases", "design")
+
+  test("dedupKeepPriority keeps the top-priority row per (library, filename)") {
+    val df = Seq(
+      ("l1", "f1", "old", 0L), ("l1", "f1", "new", 1L), ("l1", "f2", "only", 0L))
+      .toDF("lib", "fname", "tag", "prio")
+    val out = SraStage.dedupKeepPriority(df, cols,
+      Seq(col("prio").desc, col("tag").asc))
+      .orderBy("fname").as[(String, String, String, Long)].collect()
+    out.map(_._3).toSeq shouldBe Seq("new", "only")
+  }
+
+  test("concatLibraryIds joins sorted distinct libraries over the sample group") {
+    val df = seqFrame(
+      ("lB", "s1", "WXS", "G", "R", "f1", "bam", "m1", "s3://b/x", "1", "d1"),
+      ("lA", "s1", "WXS", "G", "R", "f2", "bam", "m2", "s3://b/y", "2", "d2"),
+      ("lC", "s2", "WXS", "G", "R", "f3", "bam", "m3", "s3://b/z", "3", "d3"))
+    val out = SraStage.concatLibraryIds(df, cols)
+      .select("fname", "lib", "url", "design").orderBy("fname")
+      .as[(String, String, String, String)].collect()
+    // s1 group: two libraries -> joined sorted; two urls -> authority only;
+    // two designs -> joined sorted. s2 group: single values kept verbatim.
+    out(0) shouldBe ("f1", "lA;lB", "s3://b", "d1;d2")
+    out(1) shouldBe ("f2", "lA;lB", "s3://b", "d1;d2")
+    out(2) shouldBe ("f3", "lC", "s3://b/z", "d3")
+  }
+
+  test("concatLibraryIds drops nulls from joins but rewrites null rows when multivalued") {
+    val df = seqFrame(
+      ("l1", "s1", "W", "G", "R", "f1", "bam", "m1", null, "1", null),
+      ("l2", "s1", "W", "G", "R", "f2", "bam", "m2", null, "2", "dX"),
+      ("l3", "s1", "W", "G", "R", "f3", "bam", "m3", null, "3", "dY"))
+    val out = SraStage.concatLibraryIds(df, cols)
+      .select("fname", "lib", "url", "design").orderBy("fname")
+      .as[(String, String, String, String)].collect()
+    out.map(_._2).distinct.toSeq shouldBe Seq("l1;l2;l3")
+    out.map(_._3).distinct.toSeq shouldBe Seq(null) // single (all-null) url: kept
+    out.map(_._4).toSeq shouldBe Seq("dX;dY", "dX;dY", "dX;dY")
+  }
+
+  test("fixDuplicateFilenames suffixes only colliding filenames") {
+    val df = Seq(
+      ("dup.bam", "aaaa1111"), ("dup.bam", "bbbb2222"), ("solo.bam", "cccc3333"))
+      .toDF("fname", "md5")
+    val out = SraStage.fixDuplicateFilenames(df, cols)
+      .orderBy("md5").as[(String, String)].collect()
+    out.map(_._1).toSeq shouldBe
+      Seq("1111_dup.bam", "2222_dup.bam", "solo.bam")
+  }
+
+  test("constancyFindings counts null as a distinct value (reference unique() semantics)") {
+    val df = Seq(
+      ("l1", "W", null), ("l1", "W", "30x"), // strat constant; cov {null,30x} -> 2
+      ("l2", "W", "30x"), ("l2", "X", "30x")) // strat {W,X} -> 2; cov constant
+      .toDF("lib", "strat", "coverage")
+    val out = SraStage.constancyFindings(df, cols, Seq("strat", "coverage"))
+      .orderBy("lib", "property").as[(String, String, Long)].collect()
+    out.toSeq shouldBe Seq(("l1", "coverage", 2L), ("l2", "strat", 2L))
+  }
+
+  test("spread puts the completeness-ranked top row first and extra file triplets after") {
+    // l1: three files; f_mid has 2 meta fields, others 1 -> f_mid is rank 1.
+    val df = seqFrame(
+      ("l1", "s1", "W", "G", "R", "f_a", "bam", "m1", "u1", null, "d"),
+      ("l1", "s1", "W", "G", "R", "f_mid", "bam", "m2", "u2", "9", "d"),
+      ("l1", "s1", "W", "G", "R", "f_b", "cram", "m3", null, "8", "d"),
+      ("l2", "s2", "W", "G", "R", "f_solo", "bam", "m4", "u4", "7", "d"))
+    val out = SraStage.spread(df, cols, maxFiles = 3,
+      tieBreak = Seq(col("fname").asc, col("md5").asc))
+      .orderBy("lib")
+    val r = out.collect()
+    out.columns should contain allOf ("fname_1", "ftype_1", "md5_1", "fname_2")
+    val l1 = r(0)
+    l1.getAs[String]("fname") shouldBe "f_mid"
+    // rank 2: f_b (1 meta but filetype cram > bam)... both f_a and f_b have
+    // 1 meta field; cram sorts after bam descending -> f_b first.
+    l1.getAs[String]("fname_1") shouldBe "f_b"
+    l1.getAs[String]("fname_2") shouldBe "f_a"
+    val l2 = r(1)
+    l2.getAs[String]("fname") shouldBe "f_solo"
+    l2.getAs[String]("fname_1") shouldBe null
+  }
+
+  test("spread caps at maxFiles") {
+    val df = seqFrame(
+      (1 to 5).map(i =>
+        ("l1", "s1", "W", "G", "R", s"f$i", "bam", s"m$i", "u", "1", "d")): _*)
+    val out = SraStage.spread(df, cols, maxFiles = 2,
+      tieBreak = Seq(col("fname").asc))
+    out.count() shouldBe 1
+    out.columns.count(_.startsWith("fname")) shouldBe 2 // fname + fname_1
+  }
+
+  test("sra composition returns a one-row-per-library frame plus findings") {
+    val df = seqFrame(
+      ("l1", "s1", "W", "G", "R", "f1", "bam", "m1", "s3://a/x", "1", "d1"),
+      ("l1", "s1", "W", "G", "R", "f1", "bam", "m0", "s3://z/q", "0", "d1"), // dedup victim
+      ("l1", "s1", "W", "G", "R", "f2", "cram", "m2", "s3://b/y", "2", "d2"))
+      .withColumn("prio", when(col("md5") === "m0", 0L).otherwise(1L))
+    val (wide, findings) = SraStage.sra(df, cols, maxFiles = 2,
+      dedupPriority = Seq(col("prio").desc, col("md5").desc),
+      tieBreak = Seq(col("fname").asc))
+    wide.count() shouldBe 1
+    wide.select("lib").head().getString(0) shouldBe "l1"
+    // design {d1,d2} joined by the concat pass -> constant again, but url and
+    // bases still vary per row -> findings report them
+    findings.select("property").as[String].collect().toSet shouldBe
+      Set("url", "bases")
+  }
+}
