@@ -162,4 +162,21 @@ object CurationOps {
     */
   def dedupArrayCell(c: Column, delim: String = ";"): Column =
     array_join(array_distinct(split(c, delim)), delim)
+
+  /** ACL/AUTHZ derivation (`s3_catcherry.py:963-978`): from a dbGaP
+    * accession and a `;`-separated consent-number list, build
+    * `['phsX.c1', 'phsX.c2']` / `['/programs/phsX.c1', ...]`. Null
+    * accession or consent yields null (no partial lists).
+    */
+  def deriveAclAuthz(df: DataFrame, accessionCol: String, consentCol: String,
+      aclOut: String = "acl", authzOut: String = "authz"): DataFrame = {
+    def listOf(prefix: String): Column = {
+      val parts = transform(split(rawCol(consentCol), ";"), c =>
+        concat(lit("'" + prefix), rawCol(accessionCol), lit("."), c, lit("'")))
+      when(rawCol(accessionCol).isNotNull && rawCol(consentCol).isNotNull,
+        concat(lit("["), array_join(parts, ", "), lit("]")))
+    }
+    df.withColumn(aclOut, listOf(""))
+      .withColumn(authzOut, listOf("/programs/"))
+  }
 }

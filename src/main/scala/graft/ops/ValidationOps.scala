@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** ValidationRy re-expressed (SURVEY §3.2, ref
   * `/root/reference/src/s3_validationry_refactored.py`): every check is
@@ -178,6 +179,123 @@ object ValidationOps {
         lit(null).cast("string").as("row_key"),
         col("__inv_url").cast("string").as("bad_value"))
     missing.unionByName(extra)
+  }
+
+  /** Proband-in-family check (`:838-910`): every family must have
+    * exactly one row whose relationship is (case-insensitively)
+    * "proband". Reference semantics kept: any null relationship in the
+    * frame reports those rows AND suppresses the per-family checks
+    * (the reference's early `isna().any()` branch); the gate is a
+    * broadcast of a 1-row aggregate, so the plan stays lazy. Reported
+    * per row / per family instead of the reference's single aggregated
+    * report line.
+    */
+  def probandCheck(df: DataFrame, tbl: String, familyCol: String,
+      relCol: String, rowKey: String): DataFrame = {
+    val missing = finding(df, tbl, relCol, "missing_relationship",
+      pcol(rowKey), pcol(relCol), pcol(relCol).isNull)
+    val missingN = df.agg(
+      sum(when(pcol(relCol).isNull, 1L).otherwise(0L)).as("__miss"))
+    val perFamily = df.filter(pcol(familyCol).isNotNull)
+      .groupBy(pcol(familyCol).as("__fam"))
+      .agg(sum(when(lower(pcol(relCol)) === "proband", 1L).otherwise(0L)).as("__np"))
+      .filter(col("__np") =!= 1L)
+      .crossJoin(broadcast(missingN))
+      .filter(coalesce(col("__miss"), lit(0L)) === 0L)
+      .select(
+        lit(tbl).as("tbl"),
+        lit(relCol).as("property"),
+        when(col("__np") === 0, "no_proband").otherwise("multi_proband").as("check"),
+        col("__fam").cast("string").as("row_key"),
+        col("__np").cast("string").as("bad_value"))
+    missing.unionByName(perFamily)
+  }
+
+  /** Cross-study key uniqueness (`:1022-1109`): a key value must be
+    * unique across ALL node tables, not just its own. One union of
+    * (node, property, id) triples, one count shuffle on the id; each
+    * offending id yields a finding per distinct node it appears in,
+    * bad_value = total occurrence count.
+    */
+  def crossStudyKeyCheck(tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    val all = tables.map { case (node, df, key) =>
+      df.select(pcol(key).cast("string").as("__id"))
+        .filter(col("__id").isNotNull)
+        .select(lit(node).as("tbl"), lit(key).as("property"), col("__id"))
+    }.reduce(_ unionByName _)
+    val counts = all.groupBy("__id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    all.join(counts, "__id")
+      .select(
+        col("tbl"), col("property"),
+        lit("cross_study_key").as("check"),
+        col("__id").as("row_key"),
+        col("__n").cast("string").as("bad_value"))
+      .distinct()
+  }
+
+  /** Unique-GUID check (`:1553-1615`): a guid appearing on more than
+    * one file row is an error; every row of the offending guid is
+    * reported with its url. Row counting matches the reference's
+    * `groupby(guid).filter(len > 1)` (rows, not distinct urls).
+    */
+  def guidUniquenessCheck(df: DataFrame, tbl: String, guidCol: String,
+      urlCol: String): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy(pcol(guidCol)))
+    df.filter(pcol(guidCol).isNotNull)
+      .withColumn("__n", n)
+      .filter(col("__n") > 1)
+      .select(
+        lit(tbl).as("tbl"),
+        lit(guidCol).as("property"),
+        lit("guid_dup").as("check"),
+        pcol(guidCol).cast("string").as("row_key"),
+        pcol(urlCol).cast("string").as("bad_value"))
+  }
+
+  /** Object-file metadata checks (`:1483-1524` + helpers at
+    * `:1142-1234`): zero file size, malformed md5, and file_name not
+    * matching the url basename — three zero-shuffle map passes over
+    * the file frame.
+    */
+  def fileMetadataCheck(df: DataFrame, tbl: String, nameCol: String,
+      sizeCol: String, md5Col: String, urlCol: String, rowKey: String): DataFrame = {
+    val sizeZero = finding(df, tbl, sizeCol, "file_size_zero",
+      pcol(rowKey), pcol(sizeCol), pcol(sizeCol) === "0")
+    val md5Bad = formatCheck(df, tbl, md5Col, rowKey, Md5Pattern, "md5_format")
+    val basename = regexp_extract(pcol(urlCol), "([^/]*)$", 1)
+    val nameBad = finding(df, tbl, nameCol, "basename_mismatch",
+      pcol(rowKey), concat_ws(" != ", pcol(nameCol), basename),
+      pcol(urlCol).isNotNull && pcol(nameCol).isNotNull &&
+        pcol(nameCol) =!= basename)
+    unionFindings(Seq(sizeZero, md5Bad, nameBad))
+  }
+
+  /** Controlled-access acl list shape (`:2073`):
+    * `['phs123456.c1', 'phs123456.c2']`.
+    */
+  val AclPattern: String =
+    "\\['phs\\d{6,}\\.c\\d+'(?:\\s*,\\s*'phs\\d{6,}\\.c\\d+')*\\]"
+  val AuthzPattern: String =
+    "\\['/programs/phs\\d{6,}\\.c\\d+'(?:\\s*,\\s*'/programs/phs\\d{6,}\\.c\\d+')*\\]"
+
+  /** ACL/AUTHZ format check (`:2055-2123`): Controlled rows must match
+    * the phs-consent list shape; Open rows must be exactly `['*']` /
+    * `['/open']`. The access value is trimmed and capitalized first,
+    * like the reference's `.strip().capitalize()`.
+    */
+  def aclAuthzCheck(df: DataFrame, tbl: String, accessCol: String,
+      aclCol: String, authzCol: String, rowKey: String): DataFrame = {
+    val access = initcap(lower(trim(pcol(accessCol))))
+    def bad(c: String, pattern: String, openLit: String): Column =
+      (access === "Controlled" &&
+        (pcol(c).isNull || !pcol(c).rlike("^(?:" + pattern + ")$"))) ||
+      (access === "Open" && (pcol(c).isNull || pcol(c) =!= openLit))
+    val aclF = finding(df, tbl, aclCol, "acl_format",
+      pcol(rowKey), pcol(aclCol), bad(aclCol, AclPattern, "['*']"))
+    val authzF = finding(df, tbl, authzCol, "authz_format",
+      pcol(rowKey), pcol(authzCol), bad(authzCol, AuthzPattern, "['/open']"))
+    aclF.unionByName(authzF)
   }
 
   def unionFindings(findings: Seq[DataFrame]): DataFrame =

@@ -48,7 +48,9 @@ object CurationPipeline {
 
   /** ValidationRy (stage 2): catalog-driven checks over every node —
     * required props, whitespace, numeric-typed props, unique keys,
-    * cross-links — unioned into one findings frame.
+    * cross-links, proband consistency, cross-study key uniqueness,
+    * guid uniqueness, file metadata, and acl/authz format — unioned
+    * into one findings frame.
     */
   def validate(manifest: Manifest, catalog: ModelCatalog, rowKey: String): DataFrame = {
     val findings = manifest.toSeq.flatMap { case (node, df) =>
@@ -73,6 +75,37 @@ object CurationPipeline {
         }
       required ++ ws ++ numeric ++ keys ++ links
     }
-    ValidationOps.unionFindings(findings)
+    val proband = manifest.get("family_relationship")
+      .filter(df => df.columns.contains("family_id") &&
+        df.columns.contains("relationship"))
+      .map(df => ValidationOps.probandCheck(
+        df, "family_relationship", "family_id", "relationship", rowKey))
+      .toSeq
+    val crossStudy = {
+      val keyed = manifest.toSeq.flatMap { case (node, df) =>
+        catalog.keyOf(node).filter(df.columns.contains)
+          .map(k => (node, df, k))
+      }
+      if (keyed.size > 1) Seq(ValidationOps.crossStudyKeyCheck(keyed)) else Seq.empty
+    }
+    val fileChecks = catalog.fileNodes.filter(manifest.contains).flatMap { node =>
+      val df = manifest(node)
+      val cols = df.columns.toSet
+      val guid =
+        if (cols("dcf_indexd_guid") && cols("file_url"))
+          Seq(ValidationOps.guidUniquenessCheck(df, node, "dcf_indexd_guid", "file_url"))
+        else Seq.empty
+      val meta =
+        if (Seq("file_name", "file_size", "md5sum", "file_url").forall(cols))
+          Seq(ValidationOps.fileMetadataCheck(df, node,
+            "file_name", "file_size", "md5sum", "file_url", rowKey))
+        else Seq.empty
+      val acl =
+        if (Seq("file_access", "acl", "authz").forall(cols))
+          Seq(ValidationOps.aclAuthzCheck(df, node, "file_access", "acl", "authz", rowKey))
+        else Seq.empty
+      guid ++ meta ++ acl
+    }
+    ValidationOps.unionFindings(findings ++ proband ++ crossStudy ++ fileChecks)
   }
 }

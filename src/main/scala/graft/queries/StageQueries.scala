@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.ValidationOps
 import graft.pipeline.{SraCols, SraStage}
 
 /** Round-2 composed export stages, graded end-to-end: the reference's
@@ -198,6 +199,136 @@ object StageQueries {
           |ORDER BY library_id, property""".stripMargin) { (s, dir) =>
       SraStage.constancyFindings(sraFixed(s, dir), C)
         .orderBy(col("library_id"), col("property"))
+    },
+
+    // The five round-2 ValidationRy check families: proband
+    // consistency, cross-study key uniqueness, guid uniqueness, object
+    // file metadata, and acl/authz format — one findings union over
+    // node frames synthesized from customer/part/supplier/orders.
+    Q("q72_validation_families",
+      """WITH fam AS (
+        |  SELECT c_custkey, 'F' || CAST(c_custkey % 50 AS VARCHAR) AS family_id,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 'Proband'
+        |              WHEN c_custkey % 7 = 1 THEN 'proband'
+        |              ELSE 'Mother' END AS relationship
+        |  FROM customer),
+        |prob AS (
+        |  SELECT family_id,
+        |         count(CASE WHEN lower(relationship) = 'proband' THEN 1 END) AS np
+        |  FROM fam GROUP BY 1),
+        |ids AS (
+        |  SELECT 'part' AS tbl, 'part_id' AS property,
+        |         'ID' || CAST(p_partkey % 3000 AS VARCHAR) AS id FROM part
+        |  UNION ALL
+        |  SELECT 'supplier', 'supp_id',
+        |         'ID' || CAST((s_suppkey * 3) % 3000 AS VARCHAR) FROM supplier),
+        |idc AS (SELECT id, count(*) AS n FROM ids GROUP BY 1 HAVING count(*) > 1),
+        |guids AS (
+        |  SELECT 'dg/' || CAST(o_orderkey % 5000 AS VARCHAR) AS guid,
+        |         's3://b/' || CAST(o_orderkey AS VARCHAR) AS url FROM orders),
+        |files AS (
+        |  SELECT p_partkey,
+        |         'f' || CAST(p_partkey % 97 AS VARCHAR) || '.bam' AS file_name,
+        |         's3://b/d/f' || CAST(p_partkey % 89 AS VARCHAR) || '.bam' AS file_url,
+        |         CASE WHEN p_partkey % 13 = 0 THEN '0'
+        |              ELSE CAST(p_partkey AS VARCHAR) END AS file_size,
+        |         CASE WHEN p_partkey % 11 = 0 THEN 'notamd5'
+        |              ELSE md5(CAST(p_partkey AS VARCHAR)) END AS md5sum
+        |  FROM part),
+        |aclt AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 4 = 0 THEN 'Controlled'
+        |              WHEN s_suppkey % 4 = 1 THEN 'Open'
+        |              WHEN s_suppkey % 4 = 2 THEN ' controlled '
+        |              ELSE 'Registered' END AS file_access,
+        |         CASE WHEN s_suppkey % 3 = 0 THEN '[''phs123456.c1'']'
+        |              WHEN s_suppkey % 3 = 1 THEN '[''*'']'
+        |              ELSE '[phs12.c1]' END AS acl,
+        |         CASE WHEN s_suppkey % 3 = 0 THEN '[''/programs/phs123456.c1'']'
+        |              WHEN s_suppkey % 3 = 1 THEN '[''/open'']'
+        |              ELSE 'bad' END AS authz
+        |  FROM supplier)
+        |SELECT * FROM (
+        |  SELECT 'family' AS tbl, 'relationship' AS property,
+        |         CASE WHEN np = 0 THEN 'no_proband' ELSE 'multi_proband' END AS "check",
+        |         family_id AS row_key, CAST(np AS VARCHAR) AS bad_value
+        |  FROM prob WHERE np <> 1
+        |  UNION ALL
+        |  SELECT DISTINCT i.tbl, i.property, 'cross_study_key', i.id, CAST(c.n AS VARCHAR)
+        |  FROM ids i JOIN idc c USING (id)
+        |  UNION ALL
+        |  SELECT 'orders', 'guid', 'guid_dup', guid, url
+        |  FROM guids
+        |  WHERE guid IN (SELECT guid FROM guids GROUP BY guid HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'files', 'file_size', 'file_size_zero', CAST(p_partkey AS VARCHAR), file_size
+        |  FROM files WHERE file_size = '0'
+        |  UNION ALL
+        |  SELECT 'files', 'md5sum', 'md5_format', CAST(p_partkey AS VARCHAR), md5sum
+        |  FROM files WHERE NOT regexp_matches(md5sum, '^(?:[a-f0-9]{32})$')
+        |  UNION ALL
+        |  SELECT 'files', 'file_name', 'basename_mismatch', CAST(p_partkey AS VARCHAR),
+        |         file_name || ' != ' || regexp_extract(file_url, '([^/]*)$', 1)
+        |  FROM files WHERE file_name <> regexp_extract(file_url, '([^/]*)$', 1)
+        |  UNION ALL
+        |  SELECT 'supplier', 'acl', 'acl_format', CAST(s_suppkey AS VARCHAR), acl
+        |  FROM aclt WHERE
+        |    (lower(trim(file_access)) = 'controlled' AND NOT regexp_matches(acl,
+        |      '^(?:\[''phs\d{6,}\.c\d+''(?:\s*,\s*''phs\d{6,}\.c\d+'')*\])$'))
+        |    OR (lower(trim(file_access)) = 'open' AND acl <> '[''*'']')
+        |  UNION ALL
+        |  SELECT 'supplier', 'authz', 'authz_format', CAST(s_suppkey AS VARCHAR), authz
+        |  FROM aclt WHERE
+        |    (lower(trim(file_access)) = 'controlled' AND NOT regexp_matches(authz,
+        |      '^(?:\[''/programs/phs\d{6,}\.c\d+''(?:\s*,\s*''/programs/phs\d{6,}\.c\d+'')*\])$'))
+        |    OR (lower(trim(file_access)) = 'open' AND authz <> '[''/open'']'))
+        |ORDER BY tbl, property, "check", row_key, bad_value""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val fam = cust.select(
+        col("c_custkey"),
+        concat(lit("F"), (col("c_custkey") % 50).cast("string")).as("family_id"),
+        when(col("c_custkey") % 7 === 0, "Proband")
+          .when(col("c_custkey") % 7 === 1, "proband")
+          .otherwise("Mother").as("relationship"))
+      val partT = t(s, dir, "part")
+      val sup = t(s, dir, "supplier")
+      val nodeA = partT.select(
+        concat(lit("ID"), (col("p_partkey") % 3000).cast("string")).as("part_id"))
+      val nodeB = sup.select(
+        concat(lit("ID"), ((col("s_suppkey") * 3) % 3000).cast("string")).as("supp_id"))
+      val ord = t(s, dir, "orders").select(
+        concat(lit("dg/"), (col("o_orderkey") % 5000).cast("string")).as("guid"),
+        concat(lit("s3://b/"), col("o_orderkey").cast("string")).as("url"))
+      val files = partT.select(
+        col("p_partkey"),
+        concat(lit("f"), (col("p_partkey") % 97).cast("string"), lit(".bam")).as("file_name"),
+        concat(lit("s3://b/d/f"), (col("p_partkey") % 89).cast("string"), lit(".bam")).as("file_url"),
+        when(col("p_partkey") % 13 === 0, "0")
+          .otherwise(col("p_partkey").cast("string")).as("file_size"),
+        when(col("p_partkey") % 11 === 0, "notamd5")
+          .otherwise(md5(col("p_partkey").cast("string"))).as("md5sum"))
+      val aclDf = sup.select(
+        col("s_suppkey"),
+        when(col("s_suppkey") % 4 === 0, "Controlled")
+          .when(col("s_suppkey") % 4 === 1, "Open")
+          .when(col("s_suppkey") % 4 === 2, " controlled ")
+          .otherwise("Registered").as("file_access"),
+        when(col("s_suppkey") % 3 === 0, "['phs123456.c1']")
+          .when(col("s_suppkey") % 3 === 1, "['*']")
+          .otherwise("[phs12.c1]").as("acl"),
+        when(col("s_suppkey") % 3 === 0, "['/programs/phs123456.c1']")
+          .when(col("s_suppkey") % 3 === 1, "['/open']")
+          .otherwise("bad").as("authz"))
+      ValidationOps.unionFindings(Seq(
+        ValidationOps.probandCheck(fam, "family", "family_id", "relationship", "c_custkey"),
+        ValidationOps.crossStudyKeyCheck(Seq(
+          ("part", nodeA, "part_id"), ("supplier", nodeB, "supp_id"))),
+        ValidationOps.guidUniquenessCheck(ord, "orders", "guid", "url"),
+        ValidationOps.fileMetadataCheck(files, "files",
+          "file_name", "file_size", "md5sum", "file_url", "p_partkey"),
+        ValidationOps.aclAuthzCheck(aclDf, "supplier",
+          "file_access", "acl", "authz", "s_suppkey")))
+        .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
     }
   )
 }

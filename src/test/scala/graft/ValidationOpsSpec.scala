@@ -98,6 +98,79 @@ class ValidationOpsSpec extends SparkSpecBase {
       Array(("bucket_extra", "s3://b/orphan"), ("bucket_missing", "s3://b/gone"))
   }
 
+  test("probandCheck: exactly-one-proband rule, case-insensitive") {
+    val df = strDf(Seq("id", "family_id", "relationship"))(
+      Seq("1", "f1", "Proband"), Seq("2", "f1", "Mother"),       // ok
+      Seq("3", "f2", "proband"), Seq("4", "f2", "PROBAND"),      // multi
+      Seq("5", "f3", "Father"))                                  // none
+    val out = ValidationOps.probandCheck(df, "fam", "family_id", "relationship", "id")
+      .collect().map(r => (r.getString(2), r.getString(3), r.getString(4))).sorted
+    out shouldBe Array(("multi_proband", "f2", "2"), ("no_proband", "f3", "0"))
+  }
+
+  test("probandCheck: any missing relationship suppresses per-family checks (ref branch)") {
+    val df = strDf(Seq("id", "family_id", "relationship"))(
+      Seq("1", "f1", null), Seq("2", "f2", "Father"))
+    val out = ValidationOps.probandCheck(df, "fam", "family_id", "relationship", "id")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    out shouldBe Array(("missing_relationship", "1")) // f2's no_proband suppressed
+  }
+
+  test("crossStudyKeyCheck flags ids shared across node tables with total counts") {
+    val a = strDf(Seq("pid"))(Seq("x"), Seq("y"))
+    val b = strDf(Seq("sid"))(Seq("x"), Seq("z"), Seq("z"))
+    val out = ValidationOps.crossStudyKeyCheck(
+      Seq(("na", a, "pid"), ("nb", b, "sid")))
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4))).sorted
+    out shouldBe Array(("na", "x", "2"), ("nb", "x", "2"), ("nb", "z", "2"))
+  }
+
+  test("guidUniquenessCheck reports every row of a multiply-assigned guid") {
+    val df = strDf(Seq("guid", "url"))(
+      Seq("g1", "u1"), Seq("g1", "u2"), Seq("g2", "u3"), Seq(null, "u4"))
+    val out = ValidationOps.guidUniquenessCheck(df, "files", "guid", "url")
+      .collect().map(r => (r.getString(3), r.getString(4))).sorted
+    out shouldBe Array(("g1", "u1"), ("g1", "u2"))
+  }
+
+  test("fileMetadataCheck: zero size, bad md5, basename mismatch") {
+    val df = strDf(Seq("id", "file_name", "file_size", "md5sum", "file_url"))(
+      Seq("1", "a.bam", "0", "a" * 32, "s3://b/a.bam"),
+      Seq("2", "b.bam", "10", "xyz", "s3://b/b.bam"),
+      Seq("3", "c.bam", "10", "b" * 32, "s3://b/other.bam"))
+    val out = ValidationOps.fileMetadataCheck(df, "files",
+      "file_name", "file_size", "md5sum", "file_url", "id")
+      .collect().map(r => (r.getString(2), r.getString(3))).sorted
+    out shouldBe Array(
+      ("basename_mismatch", "3"), ("file_size_zero", "1"), ("md5_format", "2"))
+  }
+
+  test("aclAuthzCheck: controlled regex shape, open literals, access normalization") {
+    val df = strDf(Seq("id", "file_access", "acl", "authz"))(
+      Seq("1", "Controlled", "['phs123456.c1']", "['/programs/phs123456.c1']"), // ok
+      Seq("2", " controlled ", "['phs123456.c1', 'phs123456.c2']", "bad"),      // authz bad
+      Seq("3", "Open", "['*']", "['/open']"),                                   // ok
+      Seq("4", "open", "['phs123456.c1']", "['/open']"),                        // acl bad
+      Seq("5", "Registered", "anything", "anything"))                           // unchecked
+    val out = ValidationOps.aclAuthzCheck(df, "files",
+      "file_access", "acl", "authz", "id")
+      .collect().map(r => (r.getString(2), r.getString(3))).sorted
+    out shouldBe Array(("acl_format", "4"), ("authz_format", "2"))
+  }
+
+  test("deriveAclAuthz builds consent-number lists; null inputs stay null") {
+    import graft.ops.CurationOps
+    val df = strDf(Seq("accession", "consent"))(
+      Seq("phs123456", "1"), Seq("phs123456", "1;2"), Seq(null, "1"), Seq("phs9", null))
+    val out = CurationOps.deriveAclAuthz(df, "accession", "consent")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    out(0) shouldBe ("['phs123456.1']", "['/programs/phs123456.1']")
+    out(1) shouldBe ("['phs123456.1', 'phs123456.2']",
+      "['/programs/phs123456.1', '/programs/phs123456.2']")
+    out(2)._1 shouldBe null
+    out(3)._2 shouldBe null
+  }
+
   test("unionFindings unions heterogeneous checks into one frame") {
     val df = strDf(Seq("id", "v"))(Seq("1", null))
     val f = ValidationOps.unionFindings(Seq(
