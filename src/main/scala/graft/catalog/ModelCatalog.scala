@@ -35,13 +35,31 @@ final case class ModelCatalog(
   def propsOf(node: String): Seq[String] =
     props.filter(_.node == node).map(_.property)
 
-  /** FK columns follow the `<parent>.<parent>_id` convention
-    * (`/root/reference/src/s3_validationry_refactored.py:1798-1800`).
+  /** FK columns: `<parent>.<key>` dotted props. With model edges
+    * loaded (MDF YAML), a dotted prop is a link exactly when the model
+    * declares an edge node->parent — the reference derives the same
+    * from `model_rel_list`
+    * (`/root/reference/src/s3_validationry_refactored.py:1850-1879`).
+    * Without edges, fall back to the sheet-scan heuristic: dotted
+    * names ending `_id` (`:1798-1800`).
     */
-  def linkColumns(node: String): Seq[(String, String)] =
-    propsOf(node)
-      .filter(c => c.contains(".") && c.endsWith("_id"))
-      .map(c => c -> c.split("\\.")(0))
+  def linkColumns(node: String): Seq[(String, String)] = {
+    val dotted = propsOf(node).filter(_.contains("."))
+    if (edges.isEmpty) dotted.filter(_.endsWith("_id")).map(c => c -> c.split("\\.")(0))
+    else dotted.flatMap { c =>
+      val parent = c.split("\\.")(0)
+      if (edges.exists(e => e.src == node && e.dst == parent)) Some(c -> parent)
+      else None
+    }
+  }
+
+  /** Relationship multiplicity of node->parent, when the model knows it
+    * (`many_to_one`, `many_to_many`, ...). The reference `;`-splits FK
+    * cells only for `many_to_many`/`one_to_many` links
+    * (`s3_validationry_refactored.py:1860-1867`).
+    */
+  def multiplicityOf(src: String, dst: String): Option[String] =
+    edges.find(e => e.src == src && e.dst == dst).map(_.multiplicity)
 
   /** File nodes: nodes carrying file metadata properties
     * (`/root/reference/src/utils.py:1167-1172`).
@@ -72,5 +90,95 @@ object ModelCatalog {
         .map { case (k, rows) => k -> rows.map(_.getString(1)).toSeq }
     }.getOrElse(Map.empty[String, Seq[String]])
     ModelCatalog(props, enums.toMap, Seq.empty)
+  }
+
+  // ---- bento-MDF YAML source (S11) -------------------------------------
+  // The reference parses the model with bento-mdf's MDFReader
+  // (`/root/reference/src/s3_validationry_refactored.py:61-75`); the
+  // files themselves are plain YAML (model: Nodes/Relationships; props:
+  // PropDefinitions) — snakeyaml (on the Spark classpath) is enough.
+
+  private def asMap(o: Any): Seq[(String, Any)] = o match {
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.toSeq.map { case (k, v) => k.toString -> v }
+    case _ => Seq.empty
+  }
+
+  private def get(o: Any, key: String): Any =
+    asMap(o).collectFirst { case (k, v) if k == key => v }.orNull
+
+  private def asList(o: Any): Seq[Any] = o match {
+    case l: java.util.List[_] =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.map(x => x: Any)
+    case _ => Seq.empty
+  }
+
+  private def asBool(o: Any): Boolean = o match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case s: String => s.equalsIgnoreCase("true")
+    case _ => false
+  }
+
+  private val ScalarTypeNames =
+    Set("string", "integer", "number", "boolean", "datetime", "date", "url", "TBD")
+
+  /** Parse MDF model + props YAML content into a catalog, including
+    * relationship `edges` with multiplicity (per-end `Mul` overrides
+    * the relationship-level one). Enum domains land in `enums` keyed
+    * by property name; list-typed props become `array[...]`.
+    */
+  def fromMdfYaml(modelYaml: String, propsYaml: String): ModelCatalog = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val model: Any = yaml.load[Any](modelYaml)
+    val propDefs = asMap(get(yaml.load[Any](propsYaml), "PropDefinitions")).toMap
+
+    val enums = Map.newBuilder[String, Seq[String]]
+    def propOf(node: String, name: String): PropDef = {
+      val d = propDefs.getOrElse(name, null)
+      val topEnum = asList(get(d, "Enum")).map(_.toString)
+      val ptype = get(d, "Type") match {
+        case s: String =>
+          if (topEnum.nonEmpty) { enums += name -> topEnum; s"$s;enum" } else s
+        case tm: java.util.Map[_, _] if get(tm, "value_type") != null &&
+            get(tm, "value_type").toString == "list" =>
+          val items = asList(get(tm, "item_type")).map(_.toString)
+          // a single scalar-type name = plain array; anything else is
+          // an enum domain for the elements
+          if (items.size == 1 && ScalarTypeNames(items.head)) s"array[${items.head}]"
+          else { enums += name -> items; "array[string];enum" }
+        case null if topEnum.nonEmpty =>
+          enums += name -> topEnum; "string;enum"
+        case _ => "string"
+      }
+      PropDef(node, name, ptype,
+        isKey = asBool(get(d, "Key")), required = asBool(get(d, "Req")))
+    }
+
+    val props = asMap(get(model, "Nodes")).flatMap { case (node, nodeDef) =>
+      asList(get(nodeDef, "Props")).map(_.toString).map(p => propOf(node, p))
+    }
+
+    val edges = asMap(get(model, "Relationships")).flatMap { case (_, relDef) =>
+      val relMul = Option(get(relDef, "Mul")).map(_.toString).getOrElse("")
+      asList(get(relDef, "Ends")).map { end =>
+        Edge(
+          Option(get(end, "Src")).map(_.toString).getOrElse(""),
+          Option(get(end, "Dst")).map(_.toString).getOrElse(""),
+          Option(get(end, "Mul")).map(_.toString).getOrElse(relMul))
+      }
+    }
+
+    ModelCatalog(props, enums.result(), edges)
+  }
+
+  /** File-path convenience (driver-side read, same as the reference's
+    * model download + parse, `/root/reference/src/utils.py:262-299`).
+    */
+  def fromMdfYamlFiles(modelPath: String, propsPath: String): ModelCatalog = {
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    fromMdfYaml(read(modelPath), read(propsPath))
   }
 }

@@ -1,0 +1,73 @@
+package graft.catalog
+
+/** A bento-MDF model describing the driver's TPC-H-ish tables as CCDI
+  * node tables (FK props dotted `<parent>.<key>`, relationships with
+  * multiplicity). Used by the graded queries that must derive their
+  * edge lists from the model catalog instead of hand-written tuples —
+  * the reference does the same from `ccdi-dcc-model.yml`
+  * (`/root/reference/src/s3_validationry_refactored.py:61-75,1850-1879`).
+  */
+object TpchModel {
+
+  val ModelYaml: String =
+    """Handle: TPCH
+      |Version: v1
+      |Nodes:
+      |  customer:
+      |    Props:
+      |      - c_custkey
+      |      - c_name
+      |      - c_acctbal
+      |  orders:
+      |    Props:
+      |      - o_orderkey
+      |      - customer.c_custkey
+      |  lineitem:
+      |    Props:
+      |      - l_rowkey
+      |      - orders.o_orderkey
+      |Relationships:
+      |  of_orders:
+      |    Props: null
+      |    Mul: many_to_one
+      |    Ends:
+      |      - Src: orders
+      |        Dst: customer
+      |  of_lineitem:
+      |    Props: null
+      |    Mul: many_to_one
+      |    Ends:
+      |      - Src: lineitem
+      |        Dst: orders
+      |""".stripMargin
+
+  val PropsYaml: String =
+    """PropDefinitions:
+      |  c_custkey:
+      |    Type: integer
+      |    Key: true
+      |    Req: true
+      |  c_name:
+      |    Type: string
+      |    Req: true
+      |  c_acctbal:
+      |    Type: number
+      |    Req: false
+      |  o_orderkey:
+      |    Type: integer
+      |    Key: true
+      |    Req: true
+      |  customer.c_custkey:
+      |    Type: string
+      |    Req: false
+      |  l_rowkey:
+      |    Type: string
+      |    Key: true
+      |    Req: true
+      |  orders.o_orderkey:
+      |    Type: string
+      |    Req: false
+      |""".stripMargin
+
+  lazy val catalog: ModelCatalog = ModelCatalog.fromMdfYaml(ModelYaml, PropsYaml)
+}

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Backtick-quote a column name so the reference's dotted FK names
+    * (`customer.c_custkey`) resolve as flat attributes.
+    */
+  private def q(name: String): String =
+    if (name.contains(".")) "`" + name.replace("`", "") + "`" else name
+
   /** J3: walk-back flatten — chain of left joins along a path of
     * (childTable, fkCol, parentTable, pkCol) hops, parent columns
     * prefixed to avoid collisions. Dimension-sized parents should be
@@ -23,7 +29,7 @@ object GraphOps {
     hops.foldLeft(start) { case (cur, (parent, fk, pk, prefix)) =>
       val renamed = parent.columns.foldLeft(parent)(
         (d, c) => d.withColumnRenamed(c, s"$prefix$c"))
-      cur.join(renamed, cur(fk) === renamed(s"$prefix$pk"), "left")
+      cur.join(renamed, cur(q(fk)) === renamed(q(s"$prefix$pk")), "left")
     }
   }
 
@@ -96,8 +102,8 @@ object GraphOps {
         parentDoomed = doomed(parent)
       } yield {
         val childKeys = tables(child)
-          .join(parentDoomed, tables(child)(fk) === parentDoomed("key"), "left_semi")
-          .select(col(keyOf(child)).as("key"))
+          .join(parentDoomed, tables(child)(q(fk)) === parentDoomed("key"), "left_semi")
+          .select(col(q(keyOf(child))).as("key"))
         (child, childKeys)
       }
       frontier = next.map(_._1).distinct
@@ -107,7 +113,7 @@ object GraphOps {
     }
     tables.map { case (name, df) =>
       name -> doomed.get(name).map { keys =>
-        df.join(keys, df(keyOf(name)) === keys("key"), "left_anti")
+        df.join(keys, df(q(keyOf(name))) === keys("key"), "left_anti")
       }.getOrElse(df)
     }
   }

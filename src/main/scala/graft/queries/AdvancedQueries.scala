@@ -191,16 +191,20 @@ object AdvancedQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |                  WHERE o.o_orderkey = l_orderkey AND c.c_acctbal < 0)
         |ORDER BY tbl""".stripMargin) { (s, dir) =>
+      // Node tables renamed to the MDF model's dotted FK convention;
+      // keys and edges derive from the catalog, not hand-written lists.
+      val cat = graft.catalog.TpchModel.catalog
       val tables = Map(
         "customer" -> t(s, dir, "customer"),
-        "orders" -> t(s, dir, "orders"),
-        "lineitem" -> t(s, dir, "lineitem").withColumn("__li_key",
-          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
-      val keyOf = Map("customer" -> "c_custkey", "orders" -> "o_orderkey",
-        "lineitem" -> "__li_key")
-      val edges = Seq(
-        ("orders", "o_custkey", "customer"),
-        ("lineitem", "l_orderkey", "orders"))
+        "orders" -> t(s, dir, "orders")
+          .withColumnRenamed("o_custkey", "customer.c_custkey"),
+        "lineitem" -> t(s, dir, "lineitem")
+          .withColumn("l_rowkey",
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+          .withColumnRenamed("l_orderkey", "orders.o_orderkey"))
+      val keyOf = tables.keys.map(n => n -> cat.keyOf(n).get).toMap
+      val edges = cat.nodes.flatMap(n =>
+        cat.linkColumns(n).map { case (fk, parent) => (n, fk, parent) })
       val seeds = tables("customer").filter(col("c_acctbal") < 0)
         .select(col("c_custkey").as("key"))
       val surviving = GraphOps.cascadeDelete(tables, keyOf, edges, "customer", seeds)

@@ -250,8 +250,10 @@ object RelationalQueries {
     },
 
     // J10 — cross-link referential check with ;-multivalued FK cells.
+    // The FK column, parent node, and parent key all come from the MDF
+    // model catalog (TpchModel), not hand-written tuples.
     Q("q15_crosslink_violations",
-      """SELECT 'orders' AS tbl, 'customer_fk' AS property, 'cross_link' AS "check",
+      """SELECT 'orders' AS tbl, 'customer.c_custkey' AS property, 'cross_link' AS "check",
         |  CAST(o_orderkey AS VARCHAR) AS row_key, fk AS bad_value
         |FROM (SELECT o_orderkey,
         |        unnest(string_split(CAST(o_custkey AS VARCHAR) || ';' ||
@@ -260,10 +262,12 @@ object RelationalQueries {
         |WHERE fk <> '' AND NOT EXISTS (
         |  SELECT 1 FROM customer WHERE CAST(c_custkey AS VARCHAR) = fk)
         |ORDER BY row_key, bad_value""".stripMargin) { (s, dir) =>
-      val child = t(s, dir, "orders").withColumn("customer_fk",
+      val cat = graft.catalog.TpchModel.catalog
+      val (fkCol, parent) = cat.linkColumns("orders").head
+      val child = t(s, dir, "orders").withColumn(fkCol,
         concat_ws(";", col("o_custkey"), col("o_custkey") * 2))
-      ValidationOps.crossLinkCheck(child, "orders", "customer_fk", "o_orderkey",
-        t(s, dir, "customer"), "c_custkey")
+      ValidationOps.crossLinkCheck(child, "orders", fkCol, "o_orderkey",
+        t(s, dir, parent), cat.keyOf(parent).get)
         .orderBy(col("row_key"), col("bad_value"))
     },
 

@@ -49,6 +49,87 @@ class PipelineSpec extends SparkSpecBase {
     byCheck.get("whitespace") shouldBe None // catchErr trimmed everything
   }
 
+  test("fromMdfYaml parses nodes, prop types, enums, keys, and edges with multiplicity") {
+    val modelYaml =
+      """Handle: CCDI
+        |Version: v1.9.1
+        |Nodes:
+        |  participant:
+        |    Desc: "people"
+        |    Props:
+        |      - participant_id
+        |      - race
+        |  sample:
+        |    Props:
+        |      - sample_id
+        |      - sample_type
+        |      - age_at_collection
+        |      - participant.participant_id
+        |Relationships:
+        |  of_sample:
+        |    Props: null
+        |    Mul: many_to_one
+        |    Ends:
+        |      - Src: sample
+        |        Dst: participant
+        |  of_synonym:
+        |    Mul: many_to_one
+        |    Ends:
+        |      - Src: synonym
+        |        Dst: participant
+        |        Mul: many_to_many
+        |""".stripMargin
+    val propsYaml =
+      """PropDefinitions:
+        |  participant_id:
+        |    Type: string
+        |    Key: true
+        |    Req: true
+        |  race:
+        |    Type:
+        |      value_type: list
+        |      item_type:
+        |        - "White"
+        |        - "Asian"
+        |  sample_id:
+        |    Type: string
+        |    Key: true
+        |    Req: 'true'
+        |  sample_type:
+        |    Type: string
+        |    Enum:
+        |      - "Tumor"
+        |      - "Normal"
+        |  age_at_collection:
+        |    Type:
+        |      value_type: list
+        |      item_type:
+        |        - integer
+        |  participant.participant_id:
+        |    Type: string
+        |""".stripMargin
+    val cat = ModelCatalog.fromMdfYaml(modelYaml, propsYaml)
+    cat.nodes should contain allOf ("participant", "sample")
+    cat.keyOf("participant") shouldBe Some("participant_id")
+    cat.keyOf("sample") shouldBe Some("sample_id") // string 'true' coerces
+    cat.props.find(_.property == "race").get.propType shouldBe "array[string];enum"
+    cat.props.find(_.property == "sample_type").get.propType shouldBe "string;enum"
+    cat.props.find(_.property == "age_at_collection").get.propType shouldBe "array[integer]"
+    cat.enums("race") shouldBe Seq("White", "Asian")
+    cat.enums("sample_type") shouldBe Seq("Tumor", "Normal")
+    cat.linkColumns("sample") shouldBe Seq("participant.participant_id" -> "participant")
+    cat.multiplicityOf("sample", "participant") shouldBe Some("many_to_one")
+    cat.multiplicityOf("synonym", "participant") shouldBe Some("many_to_many") // per-end override
+  }
+
+  test("TpchModel catalog drives link discovery and keys for the graded graph queries") {
+    val cat = graft.catalog.TpchModel.catalog
+    cat.linkColumns("orders") shouldBe Seq("customer.c_custkey" -> "customer")
+    cat.linkColumns("lineitem") shouldBe Seq("orders.o_orderkey" -> "orders")
+    cat.keyOf("lineitem") shouldBe Some("l_rowkey")
+    cat.multiplicityOf("orders", "customer") shouldBe Some("many_to_one")
+  }
+
   test("report renders deterministic grid sections; empty set says so") {
     val cleaned = CurationPipeline.catchErr(manifest, catalog)
     val findings = CurationPipeline.validate(cleaned, catalog, "row_idx")
