@@ -74,4 +74,137 @@ object ExportStages {
         coalesce(col("authz"), lit(s"['/programs/$phsAccession']")))
       .select(indexCols.map(col): _*)
   }
+
+  /** CDS flatten (`/root/reference/src/s3_ccdi_to_cds.py:266-718`):
+    * start from the union of all file nodes and walk each file back to
+    * participant or study through every path the reference enumerates
+    * (file→{sample,pdx,cell_line,participant,study}, then
+    * pdx/cell_line→sample→… up to 4 hops), unioning the 14 terminal
+    * paths. Join policy is the reference's pandas-merge parity
+    * ([[graft.ops.JoinOps.leftJoinCoalesce]]): parent wins on column
+    * conflicts, EXCEPT the five sample→participant-level joins where
+    * `childWins` columns (anatomic_site) prefer the sample's value
+    * (ref `:563-581`). Each path drops rows without a file url and
+    * full-row duplicates, like `join_file_node_cleaner` (`:281-297`;
+    * the all-null column prune is skipped — Spark schemas are static
+    * and the union re-aligns by name). A `cds_path` provenance column
+    * replaces the reference's implicit concat order.
+    *
+    * Node roles come from the caller; link columns are normalized from
+    * the model's dotted `<parent>.<key>` form to the flat key names
+    * via the catalog (`col_remap`, ref `:178-196`), and the file-node
+    * set is `catalog.fileNodes`. Parents here are catalog-sized
+    * (study/participant/sample tables) joined against the file fact —
+    * Catalyst picks broadcast sides; each path shares the remapped
+    * node frames, so the 14 paths are one DAG, not 14 scans.
+    */
+  def cdsFlatten(
+      manifest: Manifest,
+      catalog: ModelCatalog,
+      studyNode: String = "study",
+      participantNode: String = "participant",
+      sampleNode: String = "sample",
+      pdxNode: String = "pdx",
+      cellLineNode: String = "cell_line",
+      diagnosisNode: String = "diagnosis",
+      studyAdminNode: String = "study_admin",
+      studyPersonnelNode: String = "study_personnel",
+      fileUrlCol: String = "file_url",
+      childWinsCols: Set[String] = Set("anatomic_site")): DataFrame = {
+
+    // col_remap + drop_type_id_others (ref `:154-196`): dotted link
+    // props -> flat parent key names; bookkeeping columns dropped.
+    def remap(df: DataFrame): DataFrame = {
+      val dropped = df.columns.filter(c =>
+        c == "type" || c == "id" || c.contains(".id"))
+      val kept = df.drop(dropped.map(c => "`" + c + "`"): _*)
+      kept.columns.foldLeft(kept) { (d, c) =>
+        if (!c.contains(".")) d
+        else d.withColumnRenamed(c, c.split("\\.", 2)(1))
+      }
+    }
+    val m = manifest.view.mapValues(remap).toMap
+    def key(n: String): String = catalog.keyOf(n).getOrElse(n + "_id")
+
+    val fileNodes = catalog.fileNodes.filter(m.contains)
+    require(fileNodes.nonEmpty, "manifest has no file nodes")
+    val files = fileNodes.map(m(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+    def addLevel(base: DataFrame, node: String, on: String): DataFrame =
+      if (m.contains(node)) JoinOps.leftJoinCoalesce(base, m(node), Seq(on))
+      else base
+    val studyLevel = m.get(studyNode).map { st =>
+      addLevel(addLevel(st, studyAdminNode, key(studyNode)),
+        studyPersonnelNode, key(studyNode))
+    }
+    val participantLevel = studyLevel.filter(_ => m.contains(participantNode)).map {
+      sl =>
+        addLevel(
+          JoinOps.leftJoinCoalesce(sl, m(participantNode), Seq(key(studyNode))),
+          diagnosisNode, key(participantNode))
+    }
+
+    // join_node + join_file_node_cleaner for one hop (ref `:272-297`).
+    def path(name: String, parent: Option[DataFrame], child: Option[DataFrame],
+        on: String, childWins: Set[String] = Set.empty): Option[(String, DataFrame)] =
+      for {
+        p <- parent
+        c <- child
+        if c.columns.contains(on)
+      } yield {
+        val joined = JoinOps.leftJoinCoalesce(p, c, Seq(on), childWins)
+        val urlKept =
+          if (joined.columns.contains(fileUrlCol))
+            joined.filter(col(fileUrlCol).isNotNull)
+          else joined
+        name -> urlKept.dropDuplicates()
+      }
+
+    val s = m.get(sampleNode)
+    val x = m.get(pdxNode)
+    val cl = m.get(cellLineNode)
+    val f = Some(files)
+
+    val sf = path("sample_file", s, f, key(sampleNode))
+    val pf = path("pdx_file", x, f, key(pdxNode))
+    val cf = path("cell_line_file", cl, f, key(cellLineNode))
+    val plf = path("participant_file", participantLevel, f, key(participantNode))
+    val slf = path("study_file", studyLevel, f, key(studyNode))
+    val spf = path("sample_pdx_file", s, pf.map(_._2), key(sampleNode))
+    val slpf = path("study_pdx_file", studyLevel, pf.map(_._2), key(studyNode))
+    val scf = path("sample_cell_line_file", s, cf.map(_._2), key(sampleNode))
+    val pclf = path("participant_cell_line_file",
+      participantLevel, cf.map(_._2), key(participantNode))
+    val slcf = path("study_cell_line_file", studyLevel, cf.map(_._2), key(studyNode))
+    val psf = path("pdx_sample_file", x, sf.map(_._2), key(pdxNode))
+    val csf = path("cell_line_sample_file", cl, sf.map(_._2), key(cellLineNode))
+    val spsf = path("sample_pdx_sample_file", s, psf.map(_._2), key(sampleNode))
+    val slpsf = path("study_pdx_sample_file", studyLevel, psf.map(_._2), key(studyNode))
+    val scsf = path("sample_cell_line_sample_file", s, csf.map(_._2), key(sampleNode))
+    val pclsf = path("participant_cell_line_sample_file",
+      participantLevel, csf.map(_._2), key(participantNode))
+    val slcsf = path("study_cell_line_sample_file",
+      studyLevel, csf.map(_._2), key(studyNode))
+    val plsf = path("participant_sample_file",
+      participantLevel, sf.map(_._2), key(participantNode), childWinsCols)
+    val plspf = path("participant_sample_pdx_file",
+      participantLevel, spf.map(_._2), key(participantNode), childWinsCols)
+    val plscf = path("participant_sample_cell_line_file",
+      participantLevel, scf.map(_._2), key(participantNode), childWinsCols)
+    val plspsf = path("participant_sample_pdx_sample_file",
+      participantLevel, spsf.map(_._2), key(participantNode), childWinsCols)
+    val plscsf = path("participant_sample_cell_line_sample_file",
+      participantLevel, scsf.map(_._2), key(participantNode), childWinsCols)
+    val slspsf = path("study_sample_pdx_sample_file",
+      studyLevel, spsf.map(_._2), key(studyNode))
+
+    // The 14 terminal paths of ref `:693-718` (`all_paths`).
+    val terminal = Seq(plf, pclf, pclsf, plsf, plspf, plscf, plspsf, plscsf,
+      slf, slpf, slcf, slpsf, slcsf, slspsf).flatten
+    require(terminal.nonEmpty, "no CDS path is constructible from this manifest")
+    terminal
+      .map { case (name, df) => df.withColumn("cds_path", lit(name)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

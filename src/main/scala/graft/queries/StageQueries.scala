@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.catalog.{ModelCatalog, PropDef}
 import graft.ops.ValidationOps
-import graft.pipeline.{SraCols, SraStage}
+import graft.pipeline.{ExportStages, SraCols, SraStage}
 
 /** Round-2 composed export stages, graded end-to-end: the reference's
   * whole CCDI_to_SRA dataflow over a sequencing frame synthesized
@@ -329,6 +330,423 @@ object StageQueries {
         ValidationOps.aclAuthzCheck(aclDf, "supplier",
           "file_access", "acl", "authz", "s_suppkey")))
         .orderBy(col("tbl"), col("property"), col("check"), col("row_key"), col("bad_value"))
+    },
+
+    // The CDS walk-back flatten (ExportStages.cdsFlatten): 14 terminal
+    // file→…→{participant,study} paths over a synthesized CCDI-shaped
+    // node manifest, including 4-hop file→sample→pdx→sample→participant
+    // chains and the reversed anatomic_site (childWins) coalesce.
+    Q("q73_cds_flatten", CdsOracle.sql) { (s, dir) =>
+      val nat = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val prt = t(s, dir, "part")
+      val sup = t(s, dir, "supplier")
+
+      val study = nat.select(
+        concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
+        concat(lit("Title"), (col("n_nationkey") % 3).cast("string")).as("study_title"))
+        .distinct()
+      val studyAdmin = nat.select(
+        concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
+        concat(lit("Adm"), (col("n_nationkey") % 3).cast("string")).as("admin_name"))
+        .distinct()
+      val studyPersonnel = nat.select(
+        concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
+        concat(lit("PI"), (col("n_nationkey") % 3).cast("string")).as("personnel_name"))
+        .distinct()
+      val pKey = col("c_custkey") % 200
+      val participant = cust.select(
+        concat(lit("P"), pKey.cast("string")).as("participant_id"),
+        concat(lit("ST"), (pKey % 3).cast("string")).as("study_id"))
+        .distinct()
+      val diagnosis = cust.select(
+        concat(lit("P"), pKey.cast("string")).as("participant_id"),
+        when(pKey % 4 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("dx"), (pKey % 7).cast("string"))).as("anatomic_site"))
+        .distinct()
+      val sKey = col("o_orderkey") % 500
+      val sample = ord.select(
+        concat(lit("S"), sKey.cast("string")).as("sample_id"),
+        when(sKey % 5 <= 2, concat(lit("P"), (sKey % 200).cast("string")))
+          .otherwise(lit(null).cast("string")).as("participant_id"),
+        when(sKey % 5 === 3, concat(lit("X"), (sKey % 50).cast("string")))
+          .otherwise(lit(null).cast("string")).as("pdx_id"),
+        when(sKey % 5 === 4, concat(lit("C"), (sKey % 40).cast("string")))
+          .otherwise(lit(null).cast("string")).as("cell_line_id"),
+        when(sKey % 7 === 0, concat(lit("ST"), (sKey % 3).cast("string")))
+          .otherwise(lit(null).cast("string")).as("study_id"),
+        when(sKey % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("site"), (sKey % 6).cast("string"))).as("anatomic_site"))
+        .distinct()
+      val xKey = col("p_partkey") % 50
+      val pdx = prt.select(
+        concat(lit("X"), xKey.cast("string")).as("pdx_id"),
+        concat(lit("S"), ((xKey * 7) % 500).cast("string")).as("sample_id"),
+        concat(lit("pp"), (xKey % 4).cast("string")).as("passage"))
+        .distinct()
+      val clKey = col("s_suppkey") % 40
+      val cellLine = sup.select(
+        concat(lit("C"), clKey.cast("string")).as("cell_line_id"),
+        concat(lit("S"), ((clKey * 11) % 500).cast("string")).as("sample_id"),
+        concat(lit("src"), (clKey % 3).cast("string")).as("source"))
+        .distinct()
+      val o = col("o_orderkey")
+      def fileLinks = Seq(
+        when(o % 6 <= 1, concat(lit("S"), (o % 500).cast("string")))
+          .otherwise(lit(null).cast("string")).as("sample_id"),
+        when(o % 6 === 2, concat(lit("X"), (o % 50).cast("string")))
+          .otherwise(lit(null).cast("string")).as("pdx_id"),
+        when(o % 6 === 3, concat(lit("C"), (o % 40).cast("string")))
+          .otherwise(lit(null).cast("string")).as("cell_line_id"),
+        when(o % 6 === 4, concat(lit("P"), (o % 200).cast("string")))
+          .otherwise(lit(null).cast("string")).as("participant_id"),
+        when(o % 6 === 5, concat(lit("ST"), (o % 3).cast("string")))
+          .otherwise(lit(null).cast("string")).as("study_id"))
+      val seqFile = ord.filter(o % 2 === 0).select(
+        (Seq(
+          concat(lit("s3://f/"), o.cast("string")).as("file_url"),
+          concat(lit("f"), o.cast("string")).as("file_name"),
+          concat(lit("plat"), (o % 2).cast("string")).as("platform")) ++ fileLinks): _*)
+      val imgFile = ord.filter(o % 2 === 1).select(
+        (Seq(
+          concat(lit("s3://f/"), o.cast("string")).as("file_url"),
+          concat(lit("f"), o.cast("string")).as("file_name"),
+          concat(lit("mod"), (o % 3).cast("string")).as("modality")) ++ fileLinks): _*)
+
+      val manifest = Map(
+        "study" -> study, "study_admin" -> studyAdmin,
+        "study_personnel" -> studyPersonnel, "participant" -> participant,
+        "diagnosis" -> diagnosis, "sample" -> sample, "pdx" -> pdx,
+        "cell_line" -> cellLine, "seq_file" -> seqFile, "img_file" -> imgFile)
+      def p(n: String, prop: String, key: Boolean = false) =
+        PropDef(n, prop, "string", isKey = key, required = false)
+      val catalog = ModelCatalog(
+        props = Seq(
+          p("study", "study_id", key = true), p("study", "study_title"),
+          p("participant", "participant_id", key = true), p("participant", "study_id"),
+          p("sample", "sample_id", key = true),
+          p("pdx", "pdx_id", key = true),
+          p("cell_line", "cell_line_id", key = true),
+          p("seq_file", "file_url"), p("img_file", "file_url")),
+        enums = Map.empty, edges = Seq.empty)
+      ExportStages.cdsFlatten(manifest, catalog)
+        .orderBy(col("file_url"), col("cds_path"))
     }
   )
+}
+
+/** DuckDB oracle for q73: the same synthesized node frames and the
+  * same 14 walk-back paths, each spelled out with its parent-wins (or
+  * reversed anatomic_site) COALESCE policy.
+  */
+private object CdsOracle {
+  val sql: String =
+    """WITH study AS (
+      |  SELECT DISTINCT 'ST' || CAST(n_nationkey % 3 AS VARCHAR) AS study_id,
+      |         'Title' || CAST(n_nationkey % 3 AS VARCHAR) AS study_title FROM nation),
+      |study_admin AS (
+      |  SELECT DISTINCT 'ST' || CAST(n_nationkey % 3 AS VARCHAR) AS study_id,
+      |         'Adm' || CAST(n_nationkey % 3 AS VARCHAR) AS admin_name FROM nation),
+      |study_personnel AS (
+      |  SELECT DISTINCT 'ST' || CAST(n_nationkey % 3 AS VARCHAR) AS study_id,
+      |         'PI' || CAST(n_nationkey % 3 AS VARCHAR) AS personnel_name FROM nation),
+      |participant AS (
+      |  SELECT DISTINCT 'P' || CAST(c_custkey % 200 AS VARCHAR) AS participant_id,
+      |         'ST' || CAST((c_custkey % 200) % 3 AS VARCHAR) AS study_id FROM customer),
+      |diagnosis AS (
+      |  SELECT DISTINCT 'P' || CAST(c_custkey % 200 AS VARCHAR) AS participant_id,
+      |         CASE WHEN (c_custkey % 200) % 4 = 0 THEN NULL
+      |              ELSE 'dx' || CAST((c_custkey % 200) % 7 AS VARCHAR) END AS anatomic_site
+      |  FROM customer),
+      |sample AS (
+      |  SELECT DISTINCT 'S' || CAST(o_orderkey % 500 AS VARCHAR) AS sample_id,
+      |    CASE WHEN (o_orderkey % 500) % 5 <= 2
+      |         THEN 'P' || CAST((o_orderkey % 500) % 200 AS VARCHAR) END AS participant_id,
+      |    CASE WHEN (o_orderkey % 500) % 5 = 3
+      |         THEN 'X' || CAST((o_orderkey % 500) % 50 AS VARCHAR) END AS pdx_id,
+      |    CASE WHEN (o_orderkey % 500) % 5 = 4
+      |         THEN 'C' || CAST((o_orderkey % 500) % 40 AS VARCHAR) END AS cell_line_id,
+      |    CASE WHEN (o_orderkey % 500) % 7 = 0
+      |         THEN 'ST' || CAST((o_orderkey % 500) % 3 AS VARCHAR) END AS study_id,
+      |    CASE WHEN (o_orderkey % 500) % 3 = 0 THEN NULL
+      |         ELSE 'site' || CAST((o_orderkey % 500) % 6 AS VARCHAR) END AS anatomic_site
+      |  FROM orders),
+      |pdx AS (
+      |  SELECT DISTINCT 'X' || CAST(p_partkey % 50 AS VARCHAR) AS pdx_id,
+      |         'S' || CAST(((p_partkey % 50) * 7) % 500 AS VARCHAR) AS sample_id,
+      |         'pp' || CAST((p_partkey % 50) % 4 AS VARCHAR) AS passage FROM part),
+      |cell_line AS (
+      |  SELECT DISTINCT 'C' || CAST(s_suppkey % 40 AS VARCHAR) AS cell_line_id,
+      |         'S' || CAST(((s_suppkey % 40) * 11) % 500 AS VARCHAR) AS sample_id,
+      |         'src' || CAST((s_suppkey % 40) % 3 AS VARCHAR) AS source FROM supplier),
+      |files AS (
+      |  SELECT 's3://f/' || CAST(o_orderkey AS VARCHAR) AS file_url,
+      |         'f' || CAST(o_orderkey AS VARCHAR) AS file_name,
+      |         CASE WHEN o_orderkey % 2 = 0
+      |              THEN 'plat' || CAST(o_orderkey % 2 AS VARCHAR) END AS platform,
+      |         CASE WHEN o_orderkey % 2 = 1
+      |              THEN 'mod' || CAST(o_orderkey % 3 AS VARCHAR) END AS modality,
+      |         CASE WHEN o_orderkey % 6 <= 1
+      |              THEN 'S' || CAST(o_orderkey % 500 AS VARCHAR) END AS sample_id,
+      |         CASE WHEN o_orderkey % 6 = 2
+      |              THEN 'X' || CAST(o_orderkey % 50 AS VARCHAR) END AS pdx_id,
+      |         CASE WHEN o_orderkey % 6 = 3
+      |              THEN 'C' || CAST(o_orderkey % 40 AS VARCHAR) END AS cell_line_id,
+      |         CASE WHEN o_orderkey % 6 = 4
+      |              THEN 'P' || CAST(o_orderkey % 200 AS VARCHAR) END AS participant_id,
+      |         CASE WHEN o_orderkey % 6 = 5
+      |              THEN 'ST' || CAST(o_orderkey % 3 AS VARCHAR) END AS study_id
+      |  FROM orders),
+      |sl AS (
+      |  SELECT st.study_id, st.study_title, a.admin_name, pe.personnel_name
+      |  FROM study st
+      |  LEFT JOIN study_admin a USING (study_id)
+      |  LEFT JOIN study_personnel pe USING (study_id)),
+      |pl AS (
+      |  SELECT q.study_id, q.study_title, q.admin_name, q.personnel_name,
+      |         q.participant_id, d.anatomic_site
+      |  FROM (SELECT t.*, pt.participant_id
+      |        FROM sl t LEFT JOIN participant pt USING (study_id)) q
+      |  LEFT JOIN diagnosis d USING (participant_id)),
+      |sf AS (
+      |  SELECT s.sample_id,
+      |         COALESCE(s.participant_id, f.participant_id) AS participant_id,
+      |         COALESCE(s.pdx_id, f.pdx_id) AS pdx_id,
+      |         COALESCE(s.cell_line_id, f.cell_line_id) AS cell_line_id,
+      |         COALESCE(s.study_id, f.study_id) AS study_id,
+      |         s.anatomic_site, f.file_url, f.file_name, f.platform, f.modality
+      |  FROM sample s
+      |  LEFT JOIN (SELECT * FROM files WHERE sample_id IS NOT NULL) f USING (sample_id)
+      |  WHERE f.file_url IS NOT NULL),
+      |pf AS (
+      |  SELECT x.pdx_id, COALESCE(x.sample_id, f.sample_id) AS sample_id, x.passage,
+      |         f.cell_line_id, f.participant_id, f.study_id,
+      |         f.file_url, f.file_name, f.platform, f.modality
+      |  FROM pdx x
+      |  LEFT JOIN (SELECT * FROM files WHERE pdx_id IS NOT NULL) f USING (pdx_id)
+      |  WHERE f.file_url IS NOT NULL),
+      |cf AS (
+      |  SELECT c.cell_line_id, COALESCE(c.sample_id, f.sample_id) AS sample_id, c.source,
+      |         f.pdx_id, f.participant_id, f.study_id,
+      |         f.file_url, f.file_name, f.platform, f.modality
+      |  FROM cell_line c
+      |  LEFT JOIN (SELECT * FROM files WHERE cell_line_id IS NOT NULL) f USING (cell_line_id)
+      |  WHERE f.file_url IS NOT NULL),
+      |plf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, f.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name, p.anatomic_site,
+      |         f.sample_id, f.pdx_id, f.cell_line_id,
+      |         f.file_url, f.file_name, f.platform, f.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM files WHERE participant_id IS NOT NULL) f USING (participant_id)
+      |  WHERE f.file_url IS NOT NULL),
+      |slf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         f.sample_id, f.pdx_id, f.cell_line_id, f.participant_id,
+      |         f.file_url, f.file_name, f.platform, f.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM files WHERE study_id IS NOT NULL) f USING (study_id)
+      |  WHERE f.file_url IS NOT NULL),
+      |spf AS (
+      |  SELECT s.sample_id,
+      |         COALESCE(s.participant_id, h.participant_id) AS participant_id,
+      |         COALESCE(s.pdx_id, h.pdx_id) AS pdx_id,
+      |         COALESCE(s.cell_line_id, h.cell_line_id) AS cell_line_id,
+      |         COALESCE(s.study_id, h.study_id) AS study_id,
+      |         s.anatomic_site, h.passage, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sample s
+      |  LEFT JOIN (SELECT * FROM pf WHERE sample_id IS NOT NULL) h USING (sample_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |scf AS (
+      |  SELECT s.sample_id,
+      |         COALESCE(s.participant_id, h.participant_id) AS participant_id,
+      |         COALESCE(s.pdx_id, h.pdx_id) AS pdx_id,
+      |         COALESCE(s.cell_line_id, h.cell_line_id) AS cell_line_id,
+      |         COALESCE(s.study_id, h.study_id) AS study_id,
+      |         s.anatomic_site, h.source, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sample s
+      |  LEFT JOIN (SELECT * FROM cf WHERE sample_id IS NOT NULL) h USING (sample_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |psf AS (
+      |  SELECT x.pdx_id, COALESCE(x.sample_id, h.sample_id) AS sample_id, x.passage,
+      |         h.participant_id, h.cell_line_id, h.study_id, h.anatomic_site,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pdx x
+      |  LEFT JOIN (SELECT * FROM sf WHERE pdx_id IS NOT NULL) h USING (pdx_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |csf AS (
+      |  SELECT c.cell_line_id, COALESCE(c.sample_id, h.sample_id) AS sample_id, c.source,
+      |         h.participant_id, h.pdx_id, h.study_id, h.anatomic_site,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM cell_line c
+      |  LEFT JOIN (SELECT * FROM sf WHERE cell_line_id IS NOT NULL) h USING (cell_line_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |spsf AS (
+      |  SELECT s.sample_id,
+      |         COALESCE(s.participant_id, h.participant_id) AS participant_id,
+      |         COALESCE(s.pdx_id, h.pdx_id) AS pdx_id,
+      |         COALESCE(s.cell_line_id, h.cell_line_id) AS cell_line_id,
+      |         COALESCE(s.study_id, h.study_id) AS study_id,
+      |         COALESCE(s.anatomic_site, h.anatomic_site) AS anatomic_site,
+      |         h.passage, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sample s
+      |  LEFT JOIN (SELECT * FROM psf WHERE sample_id IS NOT NULL) h USING (sample_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |scsf AS (
+      |  SELECT s.sample_id,
+      |         COALESCE(s.participant_id, h.participant_id) AS participant_id,
+      |         COALESCE(s.pdx_id, h.pdx_id) AS pdx_id,
+      |         COALESCE(s.cell_line_id, h.cell_line_id) AS cell_line_id,
+      |         COALESCE(s.study_id, h.study_id) AS study_id,
+      |         COALESCE(s.anatomic_site, h.anatomic_site) AS anatomic_site,
+      |         h.source, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sample s
+      |  LEFT JOIN (SELECT * FROM csf WHERE sample_id IS NOT NULL) h USING (sample_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |plsf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(h.anatomic_site, p.anatomic_site) AS anatomic_site,
+      |         h.sample_id, h.pdx_id, h.cell_line_id,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM sf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |plspf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(h.anatomic_site, p.anatomic_site) AS anatomic_site,
+      |         h.sample_id, h.pdx_id, h.cell_line_id, h.passage,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM spf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |plscf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(h.anatomic_site, p.anatomic_site) AS anatomic_site,
+      |         h.sample_id, h.pdx_id, h.cell_line_id, h.source,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM scf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |plspsf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(h.anatomic_site, p.anatomic_site) AS anatomic_site,
+      |         h.sample_id, h.pdx_id, h.cell_line_id, h.passage,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM spsf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |plscsf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(h.anatomic_site, p.anatomic_site) AS anatomic_site,
+      |         h.sample_id, h.pdx_id, h.cell_line_id, h.source,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM scsf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |pclf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name, p.anatomic_site,
+      |         h.cell_line_id, h.sample_id, h.source, h.pdx_id,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM cf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |pclsf AS (
+      |  SELECT p.participant_id, COALESCE(p.study_id, h.study_id) AS study_id,
+      |         p.study_title, p.admin_name, p.personnel_name,
+      |         COALESCE(p.anatomic_site, h.anatomic_site) AS anatomic_site,
+      |         h.cell_line_id, h.sample_id, h.source, h.pdx_id,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM pl p
+      |  LEFT JOIN (SELECT * FROM csf WHERE participant_id IS NOT NULL) h USING (participant_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |slpf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         h.pdx_id, h.sample_id, h.passage, h.cell_line_id, h.participant_id,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM pf WHERE study_id IS NOT NULL) h USING (study_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |slcf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         h.cell_line_id, h.sample_id, h.source, h.pdx_id, h.participant_id,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM cf WHERE study_id IS NOT NULL) h USING (study_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |slpsf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         h.pdx_id, h.sample_id, h.passage, h.cell_line_id, h.participant_id,
+      |         h.anatomic_site, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM psf WHERE study_id IS NOT NULL) h USING (study_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |slcsf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         h.cell_line_id, h.sample_id, h.source, h.pdx_id, h.participant_id,
+      |         h.anatomic_site, h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM csf WHERE study_id IS NOT NULL) h USING (study_id)
+      |  WHERE h.file_url IS NOT NULL),
+      |slspsf AS (
+      |  SELECT t.study_id, t.study_title, t.admin_name, t.personnel_name,
+      |         h.sample_id, h.pdx_id, h.cell_line_id, h.participant_id,
+      |         h.anatomic_site, h.passage,
+      |         h.file_url, h.file_name, h.platform, h.modality
+      |  FROM sl t
+      |  LEFT JOIN (SELECT * FROM spsf WHERE study_id IS NOT NULL) h USING (study_id)
+      |  WHERE h.file_url IS NOT NULL)
+      |SELECT study_id, study_title, admin_name, personnel_name, participant_id,
+      |       anatomic_site, sample_id, pdx_id, cell_line_id, passage, source,
+      |       file_url, file_name, platform, modality, cds_path
+      |FROM (
+      |  SELECT DISTINCT *, NULL AS passage, NULL AS source,
+      |         'participant_file' AS cds_path FROM plf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage,
+      |         'participant_cell_line_file' AS cds_path FROM pclf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage,
+      |         'participant_cell_line_sample_file' AS cds_path FROM pclsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage, NULL AS source,
+      |         'participant_sample_file' AS cds_path FROM plsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS source,
+      |         'participant_sample_pdx_file' AS cds_path FROM plspf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage,
+      |         'participant_sample_cell_line_file' AS cds_path FROM plscf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS source,
+      |         'participant_sample_pdx_sample_file' AS cds_path FROM plspsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage,
+      |         'participant_sample_cell_line_sample_file' AS cds_path FROM plscsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS anatomic_site, NULL AS passage, NULL AS source,
+      |         'study_file' AS cds_path FROM slf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS anatomic_site, NULL AS source,
+      |         'study_pdx_file' AS cds_path FROM slpf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS anatomic_site, NULL AS passage,
+      |         'study_cell_line_file' AS cds_path FROM slcf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS source,
+      |         'study_pdx_sample_file' AS cds_path FROM slpsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS passage,
+      |         'study_cell_line_sample_file' AS cds_path FROM slcsf
+      |  UNION ALL BY NAME
+      |  SELECT DISTINCT *, NULL AS source,
+      |         'study_sample_pdx_sample_file' AS cds_path FROM slspsf
+      |) u
+      |ORDER BY file_url, cds_path""".stripMargin
 }

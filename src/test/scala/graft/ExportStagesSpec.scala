@@ -41,6 +41,54 @@ class ExportStagesSpec extends SparkSpecBase {
     files("f3") shouldBe null
   }
 
+  test("cdsFlatten walks files back through multi-hop paths with the reversed anatomic coalesce") {
+    import graft.catalog.PropDef
+    // p1 in st1; sample s1 belongs to p1 with its own anatomic site;
+    // sample s2 came from pdx x1, which came from s1. diagnosis says 'dx-site'.
+    val cdsManifest = Map(
+      "study" -> strDf(Seq("study_id", "study_title"))(Seq("st1", "T1")),
+      "participant" -> strDf(Seq("participant_id", "study_id"))(Seq("p1", "st1")),
+      "diagnosis" -> strDf(Seq("participant_id", "anatomic_site"))(Seq("p1", "dx-site")),
+      "sample" -> strDf(Seq("sample_id", "participant_id", "pdx_id", "anatomic_site"))(
+        Seq("s1", "p1", null, "s-site"),
+        Seq("s2", null, "x1", null)),
+      "pdx" -> strDf(Seq("pdx_id", "sample_id", "passage"))(Seq("x1", "s1", "pp2")),
+      "seq_file" -> strDf(Seq("file_url", "sample_id", "participant_id"))(
+        Seq("s3://f/a", "s1", null),   // file -> sample s1
+        Seq("s3://f/b", "s2", null),   // file -> s2 -> pdx x1 -> s1 -> p1
+        Seq("s3://f/c", null, "p1")))  // file -> participant directly
+    def p(n: String, prop: String, key: Boolean = false) =
+      PropDef(n, prop, "string", isKey = key, required = false)
+    val cdsCatalog = graft.catalog.ModelCatalog(
+      props = Seq(
+        p("study", "study_id", key = true),
+        p("participant", "participant_id", key = true),
+        p("sample", "sample_id", key = true),
+        p("pdx", "pdx_id", key = true),
+        p("seq_file", "file_url")),
+      enums = Map.empty, edges = Seq.empty)
+    val out = ExportStages.cdsFlatten(cdsManifest, cdsCatalog)
+    val byPath = out.collect().groupBy(_.getAs[String]("cds_path"))
+
+    // childWins: sample's anatomic_site beats the diagnosis value
+    val psf = byPath("participant_sample_file")
+      .map(r => r.getAs[String]("file_url") -> r.getAs[String]("anatomic_site")).toMap
+    psf("s3://f/a") shouldBe "s-site"
+    // 4-hop path: file b -> s2 -> x1 -> s1 -> p1, reaching the participant level
+    val deep = byPath("participant_sample_pdx_sample_file")
+      .filter(_.getAs[String]("file_url") == "s3://f/b")
+    deep should have length 1
+    deep.head.getAs[String]("participant_id") shouldBe "p1"
+    deep.head.getAs[String]("study_title") shouldBe "T1"
+    deep.head.getAs[String]("passage") shouldBe "pp2"
+    // the deep path's anatomic: sample s1's own site wins over diagnosis
+    deep.head.getAs[String]("anatomic_site") shouldBe "s-site"
+    // direct participant file keeps the diagnosis site (no sample in path)
+    byPath("participant_file")
+      .filter(_.getAs[String]("file_url") == "s3://f/c")
+      .head.getAs[String]("anatomic_site") shouldBe "dx-site"
+  }
+
   test("dcfIndex unions file nodes, dedups, fills guids and acl/authz") {
     val idx = ExportStages.dcfIndex(manifest, catalog, "phs001").orderBy("file_url")
     val rows = idx.collect()
