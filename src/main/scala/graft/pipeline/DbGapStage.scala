@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The CCDI_to_dbGaP extracts as lazy transforms
+  * (`/root/reference/src/s3_ccdi_to_dbgap.py:23-320`): the
+  * subject-sample mapping (SSM) with one-level chain trace-back
+  * through pdx/cell_line, the subject-consent extract (SC), the
+  * sample-attributes extract (SA), and the cross-extract mapping
+  * checks as a findings frame.
+  */
+object DbGapStage {
+
+  private def pcol(name: String): Column = col("`" + name.replace("`", "") + "`")
+
+  /** Subject-sample mapping (`extract_ssm`, ref `:60-204`): samples
+    * with a direct participant map immediately; samples derived from a
+    * pdx/cell_line trace one level up — parent's origin sample must
+    * itself map directly to a participant (the reference takes the
+    * first match row-by-row; the engine joins, which yields every
+    * match — set semantics, deduped). Null subject/sample rows drop at
+    * the end like the reference's `dropna(how="any")`.
+    *
+    * Two inner joins per trace leg, each on single id columns; the
+    * pdx/cell_line side is catalog-sized in practice and broadcasts.
+    */
+  def ssm(
+      sample: DataFrame,
+      pdx: Option[DataFrame],
+      cellLine: Option[DataFrame],
+      participantFk: String = "participant.participant_id",
+      pdxFk: String = "pdx.pdx_id",
+      cellLineFk: String = "cell_line.cell_line_id",
+      sampleKey: String = "sample_id",
+      pdxKey: String = "pdx_id",
+      cellLineKey: String = "cell_line_id",
+      sampleFkOnParent: String = "sample.sample_id"): DataFrame = {
+    val direct = sample.filter(pcol(participantFk).isNotNull)
+      .select(pcol(participantFk).as("SUBJECT_ID"), pcol(sampleKey).as("SAMPLE_ID"))
+    def trace(parent: DataFrame, fkOnSample: String, parentKey: String): DataFrame = {
+      val origins = parent.filter(pcol(sampleFkOnParent).isNotNull)
+        .select(pcol(parentKey).as("__pk"), pcol(sampleFkOnParent).as("__upper"))
+      sample.filter(pcol(participantFk).isNull && pcol(fkOnSample).isNotNull)
+        .select(pcol(fkOnSample).as("__fk"), pcol(sampleKey).as("SAMPLE_ID"))
+        .join(origins, col("__fk") === col("__pk"), "inner")
+        .join(direct.select(col("SUBJECT_ID"), col("SAMPLE_ID").as("__direct_sample")),
+          col("__upper") === col("__direct_sample"), "inner")
+        .select(col("SUBJECT_ID"), col("SAMPLE_ID"))
+    }
+    val legs = Seq(
+      pdx.map(trace(_, pdxFk, pdxKey)),
+      cellLine.map(trace(_, cellLineFk, cellLineKey))).flatten
+    legs.foldLeft(direct)(_ unionByName _)
+      .na.drop("any", Seq("SUBJECT_ID", "SAMPLE_ID"))
+      .distinct()
+  }
+
+  /** Subject consent (`extract_sc`, ref `:207-253`): SEX normalized to
+    * dbGaP codes (contains Female -> "2", contains Male -> "1",
+    * anything else non-null -> "UNK", null stays null — the
+    * reference's NA mask never assigns); CONSENT looked up in the
+    * consent-group map, null when unmapped (pandas `.map` semantics,
+    * not default-keep). `filterToSsm` keeps only subjects that have a
+    * sample — the reference gates this on a row-count comparison
+    * (`:237-248`), the engine makes it an explicit flag.
+    */
+  def subjectConsent(
+      participant: DataFrame,
+      ssmDf: DataFrame,
+      consentMap: Map[String, String],
+      participantKey: String = "participant_id",
+      sexCol: String = "sex_at_birth",
+      consentFk: String = "consent_group.consent_group_id",
+      filterToSsm: Boolean = true): DataFrame = {
+    val sex = when(pcol(sexCol).isNull, lit(null).cast("string"))
+      .when(pcol(sexCol).contains("Female"), "2")
+      .when(pcol(sexCol).contains("Male"), "1")
+      .otherwise("UNK")
+    val base = participant.select(
+      pcol(participantKey).as("SUBJECT_ID"),
+      try_element_at(typedLit(consentMap), pcol(consentFk)).as("CONSENT"),
+      sex.as("SEX"))
+      .filter(col("SUBJECT_ID").isNotNull)
+      .distinct()
+    if (filterToSsm)
+      base.join(ssmDf.select("SUBJECT_ID").distinct(), Seq("SUBJECT_ID"), "left_semi")
+    else base
+  }
+
+  /** Sample attributes (`extract_sa`, ref `:256-276`): (sample, tumor
+    * status), restricted to samples present in the SSM.
+    */
+  def sampleAttributes(
+      sample: DataFrame,
+      ssmDf: DataFrame,
+      sampleKey: String = "sample_id",
+      statusCol: String = "sample_tumor_status"): DataFrame =
+    sample.select(
+      pcol(sampleKey).as("SAMPLE_ID"),
+      pcol(statusCol).as("SAMPLE_TUMOR_STATUS"))
+      .filter(col("SAMPLE_ID").isNotNull)
+      .distinct()
+      .join(ssmDf.select("SAMPLE_ID").distinct(), Seq("SAMPLE_ID"), "left_semi")
+
+  /** Cross-extract mapping checks (`check_mapping`, ref `:279-320`) as
+    * a findings frame: SC subjects absent from the SSM, SA samples
+    * absent from the SSM, and samples mapped to more than one subject
+    * (every offending SSM row reported).
+    */
+  def mappingFindings(sc: DataFrame, ssmDf: DataFrame, sa: DataFrame): DataFrame = {
+    def f(tbl: String, property: String, check: String,
+        rowKey: Column, badValue: Column)(df: DataFrame): DataFrame =
+      df.select(
+        lit(tbl).as("tbl"), lit(property).as("property"), lit(check).as("check"),
+        rowKey.cast("string").as("row_key"), badValue.cast("string").as("bad_value"))
+    val scMissing = f("subject_consent", "SUBJECT_ID", "ssm_missing_subject",
+      col("SUBJECT_ID"), lit(null))(
+      sc.join(ssmDf.select("SUBJECT_ID").distinct(), Seq("SUBJECT_ID"), "left_anti"))
+    val saMissing = f("sample_attribute", "SAMPLE_ID", "ssm_missing_sample",
+      col("SAMPLE_ID"), lit(null))(
+      sa.join(ssmDf.select("SAMPLE_ID").distinct(), Seq("SAMPLE_ID"), "left_anti"))
+    val n = count(lit(1)).over(Window.partitionBy(col("SAMPLE_ID")))
+    val multi = f("subject_sample", "SAMPLE_ID", "sample_multi_subject",
+      col("SAMPLE_ID"), col("SUBJECT_ID"))(
+      ssmDf.withColumn("__n", n).filter(col("__n") > 1))
+    scMissing.unionByName(saMissing).unionByName(multi)
+  }
+}

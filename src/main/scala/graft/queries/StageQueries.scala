@@ -432,6 +432,144 @@ object StageQueries {
         enums = Map.empty, edges = Seq.empty)
       ExportStages.cdsFlatten(manifest, catalog)
         .orderBy(col("file_url"), col("cds_path"))
+    },
+
+    // The dbGaP stage (DbGapStage): SSM with pdx/cell_line trace-back,
+    // SC with sex/consent normalization, SA, and the cross-extract
+    // mapping checks — one tagged union so the whole stage grades as a
+    // single frame.
+    Q("q74_dbgap_stage",
+      """WITH participant AS (
+        |  SELECT DISTINCT 'P' || CAST(c_custkey % 300 AS VARCHAR) AS participant_id,
+        |    CASE (c_custkey % 300) % 5 WHEN 0 THEN 'Female' WHEN 1 THEN 'Male'
+        |         WHEN 2 THEN 'Intersex' WHEN 3 THEN NULL ELSE 'female' END AS sex_at_birth,
+        |    'CG' || CAST((c_custkey % 300) % 4 AS VARCHAR) AS consent_fk
+        |  FROM customer),
+        |sample AS (
+        |  SELECT DISTINCT 'S' || CAST(o_orderkey % 600 AS VARCHAR) AS sample_id,
+        |    CASE WHEN (o_orderkey % 600) % 4 <= 1
+        |         THEN 'P' || CAST((o_orderkey % 600) % 300 AS VARCHAR) END AS participant_fk,
+        |    CASE WHEN (o_orderkey % 600) % 4 = 2
+        |         THEN 'X' || CAST((o_orderkey % 600) % 60 AS VARCHAR) END AS pdx_fk,
+        |    CASE WHEN (o_orderkey % 600) % 4 = 3 OR (o_orderkey % 600) % 20 = 2
+        |         THEN 'C' || CAST((o_orderkey % 600) % 50 AS VARCHAR) END AS cell_line_fk,
+        |    'st' || CAST((o_orderkey % 600) % 3 AS VARCHAR) AS sample_tumor_status
+        |  FROM orders),
+        |pdx AS (
+        |  SELECT DISTINCT 'X' || CAST(p_partkey % 60 AS VARCHAR) AS pdx_id,
+        |    CASE WHEN (p_partkey % 60) % 5 = 0 THEN NULL
+        |         ELSE 'S' || CAST(((p_partkey % 60) * 4) % 600 AS VARCHAR) END AS sample_fk
+        |  FROM part),
+        |cell_line AS (
+        |  SELECT DISTINCT 'C' || CAST(s_suppkey % 50 AS VARCHAR) AS cell_line_id,
+        |    CASE WHEN (s_suppkey % 50) % 6 = 0 THEN NULL
+        |         ELSE 'S' || CAST(((s_suppkey % 50) * 8) % 600 AS VARCHAR) END AS sample_fk
+        |  FROM supplier),
+        |direct AS (
+        |  SELECT participant_fk AS subject_id, sample_id
+        |  FROM sample WHERE participant_fk IS NOT NULL),
+        |via_pdx AS (
+        |  SELECT d.subject_id, s.sample_id
+        |  FROM sample s
+        |  JOIN pdx x ON s.pdx_fk = x.pdx_id AND x.sample_fk IS NOT NULL
+        |  JOIN direct d ON x.sample_fk = d.sample_id
+        |  WHERE s.participant_fk IS NULL AND s.pdx_fk IS NOT NULL),
+        |via_cl AS (
+        |  SELECT d.subject_id, s.sample_id
+        |  FROM sample s
+        |  JOIN cell_line c ON s.cell_line_fk = c.cell_line_id AND c.sample_fk IS NOT NULL
+        |  JOIN direct d ON c.sample_fk = d.sample_id
+        |  WHERE s.participant_fk IS NULL AND s.cell_line_fk IS NOT NULL),
+        |ssm AS (
+        |  SELECT DISTINCT subject_id, sample_id FROM (
+        |    SELECT * FROM direct UNION ALL
+        |    SELECT * FROM via_pdx UNION ALL
+        |    SELECT * FROM via_cl)
+        |  WHERE subject_id IS NOT NULL AND sample_id IS NOT NULL),
+        |sc AS (
+        |  SELECT DISTINCT participant_id AS subject_id,
+        |    CASE consent_fk WHEN 'CG0' THEN '1' WHEN 'CG1' THEN '2'
+        |         WHEN 'CG2' THEN '3' END AS consent,
+        |    CASE WHEN sex_at_birth IS NULL THEN NULL
+        |         WHEN contains(sex_at_birth, 'Female') THEN '2'
+        |         WHEN contains(sex_at_birth, 'Male') THEN '1'
+        |         ELSE 'UNK' END AS sex
+        |  FROM participant WHERE participant_id IS NOT NULL),
+        |sa AS (
+        |  SELECT DISTINCT sample_id, sample_tumor_status
+        |  FROM sample WHERE sample_id IS NOT NULL
+        |    AND sample_id IN (SELECT sample_id FROM ssm)),
+        |multi AS (SELECT sample_id FROM ssm GROUP BY 1 HAVING count(*) > 1)
+        |SELECT * FROM (
+        |  SELECT 'ssm' AS part, subject_id AS c1, sample_id AS c2, NULL AS c3 FROM ssm
+        |  UNION ALL
+        |  SELECT 'sc', subject_id, consent, sex FROM sc
+        |  UNION ALL
+        |  SELECT 'sa', sample_id, sample_tumor_status, NULL FROM sa
+        |  UNION ALL
+        |  SELECT 'chk:ssm_missing_subject', subject_id, NULL, NULL
+        |  FROM sc WHERE subject_id NOT IN (SELECT subject_id FROM ssm)
+        |  UNION ALL
+        |  SELECT 'chk:ssm_missing_sample', sample_id, NULL, NULL
+        |  FROM sa WHERE sample_id NOT IN (SELECT sample_id FROM ssm)
+        |  UNION ALL
+        |  SELECT 'chk:sample_multi_subject', sample_id, subject_id, NULL
+        |  FROM ssm WHERE sample_id IN (SELECT sample_id FROM multi))
+        |ORDER BY part, c1, c2, c3""".stripMargin) { (s, dir) =>
+      val rP = col("c_custkey") % 300
+      val participant = t(s, dir, "customer").select(
+        concat(lit("P"), rP.cast("string")).as("participant_id"),
+        when(rP % 5 === 0, "Female").when(rP % 5 === 1, "Male")
+          .when(rP % 5 === 2, "Intersex")
+          .when(rP % 5 === 3, lit(null).cast("string"))
+          .otherwise("female").as("sex_at_birth"),
+        concat(lit("CG"), (rP % 4).cast("string"))
+          .as("consent_group.consent_group_id"))
+        .distinct()
+      val rS = col("o_orderkey") % 600
+      val sample = t(s, dir, "orders").select(
+        concat(lit("S"), rS.cast("string")).as("sample_id"),
+        when(rS % 4 <= 1, concat(lit("P"), (rS % 300).cast("string")))
+          .otherwise(lit(null).cast("string")).as("participant.participant_id"),
+        when(rS % 4 === 2, concat(lit("X"), (rS % 60).cast("string")))
+          .otherwise(lit(null).cast("string")).as("pdx.pdx_id"),
+        when(rS % 4 === 3 || rS % 20 === 2,
+          concat(lit("C"), (rS % 50).cast("string")))
+          .otherwise(lit(null).cast("string")).as("cell_line.cell_line_id"),
+        concat(lit("st"), (rS % 3).cast("string")).as("sample_tumor_status"))
+        .distinct()
+      val rX = col("p_partkey") % 60
+      val pdx = t(s, dir, "part").select(
+        concat(lit("X"), rX.cast("string")).as("pdx_id"),
+        when(rX % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("S"), ((rX * 4) % 600).cast("string")))
+          .as("sample.sample_id"))
+        .distinct()
+      val rC = col("s_suppkey") % 50
+      val cellLine = t(s, dir, "supplier").select(
+        concat(lit("C"), rC.cast("string")).as("cell_line_id"),
+        when(rC % 6 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("S"), ((rC * 8) % 600).cast("string")))
+          .as("sample.sample_id"))
+        .distinct()
+
+      val ssmDf = graft.pipeline.DbGapStage.ssm(sample, Some(pdx), Some(cellLine))
+      val sc = graft.pipeline.DbGapStage.subjectConsent(participant, ssmDf,
+        Map("CG0" -> "1", "CG1" -> "2", "CG2" -> "3"), filterToSsm = false)
+      val sa = graft.pipeline.DbGapStage.sampleAttributes(sample, ssmDf)
+      val findings = graft.pipeline.DbGapStage.mappingFindings(sc, ssmDf, sa)
+
+      val tagged = ssmDf.select(lit("ssm").as("part"),
+          col("SUBJECT_ID").as("c1"), col("SAMPLE_ID").as("c2"),
+          lit(null).cast("string").as("c3"))
+        .unionByName(sc.select(lit("sc").as("part"), col("SUBJECT_ID").as("c1"),
+          col("CONSENT").as("c2"), col("SEX").as("c3")))
+        .unionByName(sa.select(lit("sa").as("part"), col("SAMPLE_ID").as("c1"),
+          col("SAMPLE_TUMOR_STATUS").as("c2"), lit(null).cast("string").as("c3")))
+        .unionByName(findings.select(
+          concat(lit("chk:"), col("check")).as("part"), col("row_key").as("c1"),
+          col("bad_value").as("c2"), lit(null).cast("string").as("c3")))
+      tagged.orderBy(col("part"), col("c1"), col("c2"), col("c3"))
     }
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.DbGapStage
+
+class DbGapStageSpec extends SparkSpecBase {
+
+  private def sample = strDf(Seq("sample_id", "participant.participant_id",
+    "pdx.pdx_id", "cell_line.cell_line_id", "sample_tumor_status"))(
+    Seq("s1", "p1", null, null, "Tumor"),       // direct
+    Seq("s2", null, "x1", null, "Normal"),      // via pdx x1 -> s1 -> p1
+    Seq("s3", null, null, "c1", "Tumor"),       // via cell_line c1 -> s1 -> p1
+    Seq("s4", null, "x2", null, "Normal"),      // x2's origin s9 has no participant
+    Seq("s5", null, null, null, "Tumor"))       // untraceable
+
+  private def pdx = strDf(Seq("pdx_id", "sample.sample_id"))(
+    Seq("x1", "s1"), Seq("x2", "s9"), Seq("x3", null))
+
+  private def cellLine = strDf(Seq("cell_line_id", "sample.sample_id"))(
+    Seq("c1", "s1"))
+
+  private def participant = strDf(Seq("participant_id", "sex_at_birth",
+    "consent_group.consent_group_id"))(
+    Seq("p1", "Female", "CG1"),
+    Seq("p2", "Male", "CG2"),
+    Seq("p3", "Unknown", "CG9"),   // unmapped consent group
+    Seq("p4", null, "CG1"))
+
+  test("ssm maps direct samples and traces one level through pdx/cell_line") {
+    val out = DbGapStage.ssm(sample, Some(pdx), Some(cellLine))
+      .orderBy("SAMPLE_ID").as[(String, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING))
+      .collect()
+    out.toSeq shouldBe Seq(("p1", "s1"), ("p1", "s2"), ("p1", "s3"))
+  }
+
+  test("subjectConsent normalizes sex codes, maps consent, and optionally filters to SSM") {
+    val ssmDf = DbGapStage.ssm(sample, Some(pdx), Some(cellLine))
+    val all = DbGapStage.subjectConsent(participant, ssmDf,
+      Map("CG1" -> "1", "CG2" -> "2"), filterToSsm = false)
+      .orderBy("SUBJECT_ID").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    all.toSeq shouldBe Seq(
+      ("p1", "1", "2"), ("p2", "2", "1"), ("p3", null, "UNK"), ("p4", "1", null))
+    val filtered = DbGapStage.subjectConsent(participant, ssmDf,
+      Map("CG1" -> "1", "CG2" -> "2"))
+    filtered.collect().map(_.getString(0)).toSeq shouldBe Seq("p1")
+  }
+
+  test("sampleAttributes keeps only SSM samples") {
+    val ssmDf = DbGapStage.ssm(sample, Some(pdx), Some(cellLine))
+    DbGapStage.sampleAttributes(sample, ssmDf)
+      .orderBy("SAMPLE_ID").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("s1", "s2", "s3")
+  }
+
+  test("mappingFindings reports missing subjects and multi-subject samples") {
+    val ssmDf = strDf(Seq("SUBJECT_ID", "SAMPLE_ID"))(
+      Seq("p1", "s1"), Seq("p2", "s1"), Seq("p1", "s2"))
+    val sc = strDf(Seq("SUBJECT_ID", "CONSENT", "SEX"))(
+      Seq("p1", "1", "2"), Seq("p9", "1", "1"))
+    val sa = strDf(Seq("SAMPLE_ID", "SAMPLE_TUMOR_STATUS"))(
+      Seq("s1", "Tumor"), Seq("s9", "Normal"))
+    val out = DbGapStage.mappingFindings(sc, ssmDf, sa)
+      .collect().map(r => (r.getString(2), r.getString(3), r.getString(4)))
+    out should contain ("ssm_missing_subject", "p9", null)
+    out should contain ("ssm_missing_sample", "s9", null)
+    out.filter(_._1 == "sample_multi_subject").map(x => (x._2, x._3)).sorted shouldBe
+      Seq(("s1", "p1"), ("s1", "p2"))
+  }
+}
