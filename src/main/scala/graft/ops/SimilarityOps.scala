@@ -87,53 +87,111 @@ object SimilarityOps {
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int, threshold: Double): DataFrame = {
+      bits: Int, threshold: Double): DataFrame =
     // materialize the (small) bucketed frame once: both join sides
     // consume it, and the scan+bucket+norm work would otherwise run twice
-    val withBucket = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      signBucket(col(vecCol), bits).as("bucket"))
-      .localCheckpoint(true)
-    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
-      col("nrm").as("n1"), col("bucket"))
-    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
-      col("nrm").as("n2"), col("bucket").as("bucket2"))
-    l.join(r, l("bucket") === r("bucket2") && l("id1") < r("id2"))
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("cosine") > threshold)
-      .select(col("id1"), col("id2"), col("cosine"))
-  }
+    nearDupWithinBuckets(
+      corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
+        signBucket(col(vecCol), bits).as("bucket"))
+        .localCheckpoint(true),
+      threshold)
 
   /** Sign-LSH bucket: concatenated sign bits of the first `bits`
-    * dimensions (axis-aligned random-hyperplane LSH; deterministic and
-    * engine-portable). Computed map-side — the bucket becomes the
-    * shuffle key for the ANN join.
+    * dimensions. Axis-aligned — correlated dimensions collapse
+    * buckets, and the bucket count is fixed regardless of corpus
+    * size, so this form is kept ONLY as the minimal oracle-portable
+    * test configuration. The scale path is
+    * [[lshNearestNeighborHyperplane]]: seeded random hyperplanes with
+    * bits growing as log2(n / targetBucketSize).
     */
   def signBucket(vec: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(vec, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
 
-  /** Bucketed approximate nearest neighbor: for every vector, the top-1
-    * cosine neighbor within its sign-LSH bucket. Equi-join on the
-    * bucket key (co-partitioned shuffle), window top-1 with id
-    * tie-break.
+  /** Deterministic seeded random hyperplanes: `bits` planes of `dim`
+    * weights in [-1, 1], quantized to 1/1000 so the literals are
+    * engine-portable (both engines parse the same decimal to the same
+    * IEEE double). MMIX LCG — stable across runs and JVMs.
     */
-  def lshNearestNeighbor(
-      corpus: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
-    // Norms are per-vector: compute BEFORE the pair join (O(n) norm
-    // evaluations instead of O(pairs)); checkpointed because both
-    // self-join sides consume the frame.
-    val withBucket = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      signBucket(col(vecCol), bits).as("bucket"))
+  def hyperplanes(seed: Long, bits: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % 2001L) - 1000L) / 1000.0
+    }
+    Seq.fill(bits)(Seq.fill(dim)(next()))
+  }
+
+  /** Concatenated projection signs of `vec` against every plane: bit j
+    * is sign(vec · plane_j). A sequential left-fold sum of
+    * double-cast products — the exact expression shape the DuckDB
+    * oracle can reproduce term for term.
+    */
+  def hyperplaneSigns(vec: Column, planes: Seq[Seq[Double]]): Column =
+    concat(planes.map { p =>
+      val proj = p.zipWithIndex.map { case (w, i) =>
+        element_at(vec, i + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(proj > 0d, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** SQL fragment for the corpus-adaptive bit count:
+    * ceil(log2(n / target)) clamped to [1, maxBits]. Bucket count then
+    * tracks corpus size, holding expected bucket size near `target` —
+    * the property the fixed-bits form lacks (its in-bucket self-join
+    * grows O(n²/2^bits)). Valid Spark SQL and DuckDB SQL.
+    */
+  def adaptiveBitsSql(nCol: String, maxBits: Int, target: Int): String =
+    s"GREATEST(1, LEAST($maxBits, " +
+      s"CAST(CEIL(LOG2(CAST($nCol AS DOUBLE) / $target.0)) AS INT)))"
+
+  /** Bucket the corpus by adaptive-width hyperplane signs: one count
+    * aggregate (broadcast back as a 1-row frame — stays lazy), signs
+    * computed map-side, bucket = first `bits(n)` sign characters.
+    * Checkpointed because both self-join sides consume it.
+    */
+  private def hyperplaneBucketed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], target: Int): DataFrame = {
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    corpus.crossJoin(broadcast(n))
+      .withColumn("__signs", hyperplaneSigns(col(vecCol), planes))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
+        expr(s"substring(__signs, 1, ${adaptiveBitsSql("__n", planes.size, target)})")
+          .as("bucket"))
       .localCheckpoint(true)
+  }
+
+  /** ANN with seeded random-hyperplane buckets and corpus-adaptive bit
+    * width — the 100 TB path: bucket count scales with n, so the
+    * in-bucket self-join stays O(n · target) instead of O(n²/2^bits).
+    */
+  def lshNearestNeighborHyperplane(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], targetBucketSize: Int = 250): DataFrame =
+    top1WithinBuckets(hyperplaneBucketed(corpus, idCol, vecCol, planes, targetBucketSize))
+
+  /** Embedding near-dup pairs over the same adaptive hyperplane
+    * buckets (scale path of [[cosineNearDupPairs]]).
+    */
+  def cosineNearDupPairsHyperplane(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], threshold: Double,
+      targetBucketSize: Int = 250): DataFrame =
+    nearDupWithinBuckets(
+      hyperplaneBucketed(corpus, idCol, vecCol, planes, targetBucketSize), threshold)
+
+  /** Shared tail of the ANN variants: in-bucket pairs (vectors
+    * projected away before the ranking window), top-1 per id.
+    */
+  private def top1WithinBuckets(withBucket: DataFrame): DataFrame = {
     val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
       col("nrm").as("n2"), col("bucket").as("bucket2"))
-    // project vectors away BEFORE the ranking window (see ivf variant)
     val pairs = l.join(r, l("bucket") === r("bucket2") && l("id1") =!= r("id2"))
       .select(col("id1"), col("id2"),
         (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
@@ -144,4 +202,35 @@ object SimilarityOps {
       .filter(col("__rn") === 1)
       .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
   }
+
+  /** Shared tail of the near-dup variants: canonicalized in-bucket
+    * pairs above the cosine threshold.
+    */
+  private def nearDupWithinBuckets(withBucket: DataFrame, threshold: Double): DataFrame = {
+    val l = withBucket.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("bucket"))
+    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
+      col("nrm").as("n2"), col("bucket").as("bucket2"))
+    l.join(r, l("bucket") === r("bucket2") && l("id1") < r("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") > threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Bucketed approximate nearest neighbor: for every vector, the top-1
+    * cosine neighbor within its sign-LSH bucket. Equi-join on the
+    * bucket key (co-partitioned shuffle), window top-1 with id
+    * tie-break.
+    */
+  def lshNearestNeighbor(
+      corpus: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+    // Norms are per-vector: compute BEFORE the pair join (O(n) norm
+    // evaluations instead of O(pairs)); checkpointed because both
+    // self-join sides consume the frame.
+    top1WithinBuckets(
+      corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
+        signBucket(col(vecCol), bits).as("bucket"))
+        .localCheckpoint(true))
 }

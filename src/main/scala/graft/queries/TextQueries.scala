@@ -41,6 +41,32 @@ object TextQueries {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** The seeded hyperplane set shared by the embedding ANN queries and
+    * their oracles (16 planes × 64 dims, seed 42).
+    */
+  private val Planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = 64)
+
+  /** Oracle fragment: the hyperplane sign string — term-for-term the
+    * same left-folded sum of double products the engine evaluates.
+    */
+  private def planeSignsSql(v: String): String =
+    Planes.map { p =>
+      val proj = p.zipWithIndex.map { case (w, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * $w"
+      }.mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Oracle CTE: embeddings bucketed by the adaptive-width hyperplane
+    * signature (bits = clamp(ceil(log2(n/250)), 1, 16)).
+    */
+  private def hyperplaneBucketCte: String =
+    s"""WITH n AS (SELECT count(*) AS __n FROM embeddings),
+       |b AS (SELECT vec_id, embedding,
+       |  substring(${planeSignsSql("embedding")}, 1,
+       |    ${SimilarityOps.adaptiveBitsSql("__n", 16, 250)}) AS bucket
+       |FROM embeddings CROSS JOIN n)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Token counting (text analysis) — pure map-side expressions.
@@ -295,35 +321,32 @@ object TextQueries {
     // dedup-by-embedding path). 0.4 is tuned to this synthetic corpus
     // (near-random vectors, max in-bucket cosine ~0.51); real corpora
     // use ~0.95.
-    Q("q63_embedding_neardup", {
-      val bucket = (1 to 4).map(i =>
-        s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+    Q("q63_embedding_neardup",
+      s"""$hyperplaneBucketCte
          |SELECT l.vec_id AS id1, r.vec_id AS id2,
          |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.4
-         |ORDER BY id1, id2""".stripMargin
-    }) { (s, dir) =>
-      SimilarityOps.cosineNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 4, 0.4)
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      SimilarityOps.cosineNearDupPairsHyperplane(
+        t(s, dir, "embeddings"), "vec_id", "embedding", Planes, 0.4)
         .orderBy(col("id1"), col("id2"))
     },
 
-    // Sign-LSH bucketed ANN: top-1 neighbor within the bucket.
-    Q("q52_ann_lsh_neighbor", {
-      val bucket = (1 to 4).map(i =>
-        s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+    // ANN over seeded random-hyperplane buckets with corpus-adaptive
+    // bit width: top-1 cosine neighbor within the bucket. The oracle
+    // reproduces the seeded projection term for term.
+    Q("q52_ann_lsh_neighbor",
+      s"""$hyperplaneBucketCte
          |SELECT l.vec_id AS id1, r.vec_id AS nearest_id,
          |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
          |QUALIFY row_number() OVER (
          |  PARTITION BY l.vec_id
          |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
-         |ORDER BY id1""".stripMargin
-    }) { (s, dir) =>
-      SimilarityOps.lshNearestNeighbor(t(s, dir, "embeddings"), "vec_id", "embedding", 4)
+         |ORDER BY id1""".stripMargin) { (s, dir) =>
+      SimilarityOps.lshNearestNeighborHyperplane(
+        t(s, dir, "embeddings"), "vec_id", "embedding", Planes)
         .orderBy(col("id1"))
     }
   )
