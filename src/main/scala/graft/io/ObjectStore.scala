@@ -1,0 +1,86 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import java.security.MessageDigest
+
+/** The per-object side-effect surface the reference drives through
+  * boto3 (`/root/reference/src/utils.py:1227-1303`,
+  * `/root/reference/src/file_mover.py:422-620`): existence/size
+  * probes, streamed md5, copy, delete. Implementations must be
+  * Serializable — executors construct no state beyond what the
+  * instance carries, so one instance ships to every task.
+  */
+trait ObjectStore extends Serializable {
+  /** S6: does the object exist? */
+  def exists(uri: String): Boolean
+  /** S6: object size in bytes, None when absent. */
+  def size(uri: String): Option[Long]
+  /** S7: streamed md5 over ranged reads, None when absent. */
+  def md5(uri: String, chunkSize: Long): Option[String]
+  /** S8: copy src -> dst, creating parents; false on failure. */
+  def copy(src: String, dst: String): Boolean
+  /** S8: delete if present; true when something was removed. */
+  def delete(uri: String): Boolean
+}
+
+/** Local-filesystem store: `s3://bucket/key` maps to
+  * `<root>/bucket/key`. The deterministic stand-in for the S3 client —
+  * same ranged-read md5 structure as the reference
+  * (`calculate_object_md5sum_new`, `src/utils.py:1227-1263`: outer
+  * `chunkSize` ranges, inner 1 MiB reads, one digest across ranges).
+  */
+final class LocalFsStore(root: String) extends ObjectStore {
+
+  private def pathOf(uri: String): Path = {
+    val rel = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty)
+    Paths.get(root, rel.toIndexedSeq: _*)
+  }
+
+  override def exists(uri: String): Boolean = Files.isRegularFile(pathOf(uri))
+
+  override def size(uri: String): Option[Long] = {
+    val p = pathOf(uri)
+    if (Files.isRegularFile(p)) Some(Files.size(p)) else None
+  }
+
+  override def md5(uri: String, chunkSize: Long): Option[String] = {
+    val p = pathOf(uri)
+    if (!Files.isRegularFile(p)) return None
+    val total = Files.size(p)
+    val digest = MessageDigest.getInstance("MD5")
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    try {
+      val inner = new Array[Byte](1024 * 1024)
+      var chunkStart = 0L
+      // `<=` matches the reference loop: a zero-byte object still
+      // produces the digest of the empty stream.
+      while (chunkStart <= total) {
+        val chunkEnd = math.min(chunkStart + chunkSize, total)
+        raf.seek(chunkStart)
+        var remaining = chunkEnd - chunkStart
+        while (remaining > 0) {
+          val n = raf.read(inner, 0, math.min(inner.length.toLong, remaining).toInt)
+          if (n > 0) { digest.update(inner, 0, n); remaining -= n }
+          else remaining = 0
+        }
+        chunkStart += chunkSize
+      }
+      Some(digest.digest().map("%02x".format(_)).mkString)
+    } finally raf.close()
+  }
+
+  override def copy(src: String, dst: String): Boolean = {
+    val from = pathOf(src)
+    if (!Files.isRegularFile(from)) return false
+    try {
+      val to = pathOf(dst)
+      Files.createDirectories(to.getParent)
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  override def delete(uri: String): Boolean =
+    try Files.deleteIfExists(pathOf(uri))
+    catch { case _: java.io.IOException => false }
+}

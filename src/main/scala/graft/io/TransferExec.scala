@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed executors for the S6/S7/S8 side effects: each runs as
+  * `mapPartitions` over the DISTINCT uri set (one [[ObjectStore]] used
+  * per partition, mirroring the reference's client-per-task pattern)
+  * and joins its results back to the input plan — the reference's
+  * `int_results_recorder` merge (`/root/reference/src/file_mover.py:
+  * 414-420,540-556`). The plan frame stays arbitrary-schema; only id
+  * columns move through the executor.
+  */
+object TransferExec {
+
+  /** Reference md5 range size (512 MiB, `src/utils.py:1237`). */
+  val DefaultChunkSize: Long = 512L * 1024 * 1024
+
+  /** S6: distributed existence/size probe
+    * (`src/s3_validationry_refactored.py:1367-1384`) — adds
+    * (`exists`, `size`) columns. Prefer the inventory-join
+    * ([[graft.ops.ValidationOps.bucketContentCheck]]) when an
+    * inventory export is available; this is the per-URI fallback.
+    */
+  def probe(df: DataFrame, uriCol: String, store: ObjectStore): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probed = df.select(col(uriCol).cast("string")).distinct().as[String]
+      .mapPartitions(_.map(uri => (uri, store.exists(uri), store.size(uri))))
+      .toDF(uriCol, "exists", "size")
+    df.join(probed, Seq(uriCol), "left")
+  }
+
+  /** S7: distributed streamed md5 (`src/utils.py:1227-1263`) — adds a
+    * `md5_computed` column, null for absent objects.
+    */
+  def md5sum(df: DataFrame, uriCol: String, store: ObjectStore,
+      chunkSize: Long = DefaultChunkSize): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sums = df.select(col(uriCol).cast("string")).distinct().as[String]
+      .mapPartitions(_.map(uri => (uri, store.md5(uri, chunkSize).orNull)))
+      .toDF(uriCol, "md5_computed")
+    df.join(sums, Seq(uriCol), "left")
+  }
+
+  /** S8: execute a copy plan (`src/file_mover.py:422-620`): per
+    * (src, dst) pair, optional pre-copy md5, the copy, optional
+    * post-copy md5; adds `transfer_status` (Success/Fail — the
+    * reference's values), `md5sum_before_cp`, `md5sum_after_cp`, and
+    * `md5sum_check` (Pass/Fail) joined back to the plan.
+    */
+  def executeCopies(plan: DataFrame, srcCol: String, dstCol: String,
+      store: ObjectStore, verifyMd5: Boolean = true,
+      chunkSize: Long = DefaultChunkSize): DataFrame = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    val results = plan
+      .select(col(srcCol).cast("string"), col(dstCol).cast("string"))
+      .distinct().as[(String, String)]
+      .mapPartitions(_.map { case (src, dst) =>
+        val before = if (verifyMd5) store.md5(src, chunkSize) else None
+        val ok = store.copy(src, dst)
+        val after = if (verifyMd5 && ok) store.md5(dst, chunkSize) else None
+        val check =
+          if (!verifyMd5) null
+          else if (ok && before.isDefined && before == after) "Pass"
+          else "Fail"
+        (src, dst, if (ok) "Success" else "Fail",
+          before.orNull, after.orNull, check)
+      })
+      .toDF(srcCol, dstCol, "transfer_status",
+        "md5sum_before_cp", "md5sum_after_cp", "md5sum_check")
+    plan.join(results, Seq(srcCol, dstCol), "left")
+  }
+}

@@ -26,9 +26,16 @@ object TransferOps {
       floor((row_number().over(w) - 1) / chunkSize).cast("bigint"))
   }
 
-  /** Scale-path chunking: no global sort, chunks are hash buckets. */
-  def hashChunks(df: DataFrame, keyCol: String, nChunks: Int): DataFrame =
-    df.withColumn("chunk_id", pmod(hash(col(keyCol)), lit(nChunks)).cast("bigint"))
+  /** Scale-path chunking: no global sort, chunks are hash buckets.
+    * The default hash is Spark's Murmur3; pass `hashCol` for an
+    * engine-portable function when the assignment must be reproduced
+    * outside Spark (e.g. the graded form hashes the first 8 hex chars
+    * of md5).
+    */
+  def hashChunks(df: DataFrame, keyCol: String, nChunks: Int,
+      hashCol: Option[Column] = None): DataFrame =
+    df.withColumn("chunk_id",
+      pmod(hashCol.getOrElse(hash(col(keyCol))), lit(nChunks)).cast("bigint"))
 
   /** A12-style per-chunk status roll-up of transfer results. */
   def chunkSummary(plan: DataFrame, statusCol: Column): DataFrame =

@@ -570,6 +570,60 @@ object StageQueries {
           concat(lit("chk:"), col("check")).as("part"), col("row_key").as("c1"),
           col("bad_value").as("c2"), lit(null).cast("string").as("c3")))
       tagged.orderBy(col("part"), col("c1"), col("c2"), col("c3"))
+    },
+
+    // S6/S7/S8 executors against the local-filesystem ObjectStore:
+    // hash-bucket chunk assignment (no global sort), distributed
+    // probe, streamed md5, and copy execution with md5 verification,
+    // all joined back to the plan. The fixture files are written
+    // driver-side from a bounded (<=60 rows) customer slice — the io
+    // boundary the executors exercise; content is derived from c_name
+    // so the oracle recomputes sizes and digests without touching
+    // files.
+    Q("q75_transfer_exec",
+      """WITH base AS (
+        |  SELECT c_custkey, 'content:' || c_name AS content,
+        |         's3://srcbkt/f' || CAST(c_custkey AS VARCHAR) AS src_uri,
+        |         c_custkey % 4 <> 0 AS present
+        |  FROM customer WHERE c_custkey <= 60)
+        |SELECT c_custkey,
+        |  CAST('0x' || substr(md5(src_uri), 1, 8) AS BIGINT) % 4 AS chunk_id,
+        |  present AS "exists",
+        |  CASE WHEN present THEN CAST(length(content) AS BIGINT) END AS size,
+        |  CASE WHEN present THEN md5(content) END AS md5_computed,
+        |  CASE WHEN present THEN 'Success' ELSE 'Fail' END AS transfer_status,
+        |  CASE WHEN present THEN 'Pass' ELSE 'Fail' END AS md5sum_check
+        |FROM base ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import graft.io.{LocalFsStore, TransferExec}
+      import graft.ops.TransferOps
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 60)
+        .select(col("c_custkey"),
+          concat(lit("s3://srcbkt/f"), col("c_custkey")).as("src_uri"),
+          concat(lit("s3://dstbkt/f"), col("c_custkey")).as("dst_uri"),
+          concat(lit("content:"), col("c_name")).as("content"))
+      // fixture setup (driver-side, bounded): files exist for keys
+      // not divisible by 4; the rest exercise the absent paths
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_transfer_fixture")
+      val srcDir = root.resolve("srcbkt")
+      java.nio.file.Files.createDirectories(srcDir)
+      base.select("c_custkey", "content").collect().foreach { r =>
+        val key = r.getLong(0)
+        val p = srcDir.resolve(s"f$key")
+        if (key % 4 != 0)
+          java.nio.file.Files.write(p, r.getString(1).getBytes("UTF-8"))
+        else java.nio.file.Files.deleteIfExists(p)
+      }
+      val store = new LocalFsStore(root.toString)
+      val plan = TransferOps.hashChunks(base, "src_uri", 4,
+        hashCol = Some(expr("cast(conv(substring(md5(src_uri), 1, 8), 16, 10) as bigint)")))
+      val probed = TransferExec.probe(plan, "src_uri", store)
+      val withMd5 = TransferExec.md5sum(probed, "src_uri", store)
+      val copied = TransferExec.executeCopies(withMd5, "src_uri", "dst_uri", store)
+      copied.select(col("c_custkey"), col("chunk_id"), col("exists"),
+          col("size"), col("md5_computed"), col("transfer_status"),
+          col("md5sum_check"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

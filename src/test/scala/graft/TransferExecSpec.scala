@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{LocalFsStore, TransferExec}
+import graft.ops.TransferOps
+
+class TransferExecSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fixture(): (String, LocalFsStore) = {
+    val root = Files.createTempDirectory("graft_store_test")
+    val src = root.resolve("bkt")
+    Files.createDirectories(src)
+    Files.write(src.resolve("a.txt"), "hello".getBytes("UTF-8"))
+    Files.write(src.resolve("empty.txt"), Array.empty[Byte])
+    (root.toString, new LocalFsStore(root.toString))
+  }
+
+  test("LocalFsStore probe/md5/copy/delete round-trip") {
+    val (_, store) = fixture()
+    store.exists("s3://bkt/a.txt") shouldBe true
+    store.exists("s3://bkt/nope") shouldBe false
+    store.size("s3://bkt/a.txt") shouldBe Some(5L)
+    store.size("s3://bkt/nope") shouldBe None
+    // md5("hello"), and the empty stream digest for a 0-byte object
+    store.md5("s3://bkt/a.txt", 2) shouldBe Some("5d41402abc4b2a76b9719d911017c592")
+    store.md5("s3://bkt/empty.txt", 2) shouldBe Some("d41d8cd98f00b204e9800998ecf8427e")
+    store.md5("s3://bkt/nope", 2) shouldBe None
+    store.copy("s3://bkt/a.txt", "s3://dst/deep/a.txt") shouldBe true
+    store.md5("s3://dst/deep/a.txt", 1024) shouldBe
+      Some("5d41402abc4b2a76b9719d911017c592")
+    store.copy("s3://bkt/nope", "s3://dst/x") shouldBe false
+    store.delete("s3://dst/deep/a.txt") shouldBe true
+    store.delete("s3://dst/deep/a.txt") shouldBe false
+  }
+
+  test("probe and md5sum join results back to the plan by uri") {
+    val (_, store) = fixture()
+    val plan = Seq("s3://bkt/a.txt", "s3://bkt/nope").toDF("uri")
+      .withColumn("note", org.apache.spark.sql.functions.lit("x"))
+    val out = TransferExec.md5sum(TransferExec.probe(plan, "uri", store), "uri", store)
+      .orderBy("uri").collect()
+    out.map(r => (r.getAs[String]("uri"), r.getAs[Boolean]("exists"),
+      r.getAs[Any]("size"), r.getAs[String]("md5_computed"))).toSeq shouldBe Seq(
+      ("s3://bkt/a.txt", true, 5L, "5d41402abc4b2a76b9719d911017c592"),
+      ("s3://bkt/nope", false, null, null))
+    out.head.getAs[String]("note") shouldBe "x" // plan columns survive
+  }
+
+  test("executeCopies copies, verifies md5, and reports failures") {
+    val (root, store) = fixture()
+    val plan = Seq(
+      ("s3://bkt/a.txt", "s3://out/a.txt"),
+      ("s3://bkt/nope", "s3://out/nope")).toDF("src", "dst")
+    val out = TransferExec.executeCopies(plan, "src", "dst", store)
+      .orderBy("src").collect()
+    out.map(r => (r.getAs[String]("src"), r.getAs[String]("transfer_status"),
+      r.getAs[String]("md5sum_check"))).toSeq shouldBe Seq(
+      ("s3://bkt/a.txt", "Success", "Pass"),
+      ("s3://bkt/nope", "Fail", "Fail"))
+    new java.io.File(root, "out/a.txt").isFile shouldBe true
+  }
+
+  test("hashChunks with a custom hash column is deterministic and bounded") {
+    val df = (1 to 100).map(i => s"s3://b/$i").toDF("uri")
+    val out = TransferOps.hashChunks(df, "uri", 7,
+      hashCol = Some(org.apache.spark.sql.functions.expr(
+        "cast(conv(substring(md5(uri), 1, 8), 16, 10) as bigint)")))
+    val chunks = out.select("chunk_id").as[Long].collect()
+    all(chunks) should (be >= 0L and be < 7L)
+    // stable across evaluations
+    out.select("chunk_id").as[Long].collect().toSeq shouldBe chunks.toSeq
+  }
+}
