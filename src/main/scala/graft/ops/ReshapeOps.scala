@@ -70,10 +70,19 @@ object ReshapeOps {
   /** Manifest-level liftover driven by a mapping frame with columns
     * (lift_from_node, lift_from_property, lift_to_node,
     * lift_to_property) — the reference's liftover TSV shape
-    * (`manifest_liftover.py:32,143-162`). Node renames and property
-    * moves between nodes are supported when source and target node map
-    * 1:1; the mapping is catalog-sized, so the driver-side collect is
-    * plan construction, not dataflow.
+    * (`manifest_liftover.py:32,143-162,406-444`). Full semantics:
+    *
+    *  - several SOURCE NODES may lift into one target node — each
+    *    source is projected separately and the frames union by name
+    *    (pandas concat, `:417-444`);
+    *  - several source PROPERTIES may lift into one target property —
+    *    values `;`-join in mapping order, null-skipping (the
+    *    reference's `a + ";" + b` then `strip(";")`, `:429-436`);
+    *  - rows that end up all-null are dropped (`:441`), and a `type`
+    *    column carries the target node name (`:443`).
+    *
+    * The mapping is catalog-sized, so the driver-side collect is plan
+    * construction, not dataflow.
     */
   def liftoverManifest(
       manifest: Map[String, DataFrame],
@@ -82,15 +91,31 @@ object ReshapeOps {
       "lift_to_node", "lift_to_property").collect()
     rows.groupBy(_.getString(2)).map { case (toNode, rs) =>
       val fromNodes = rs.map(_.getString(0)).distinct
-      require(fromNodes.length == 1,
-        s"liftover to $toNode draws from multiple nodes: ${fromNodes.mkString(",")}")
-      val src = manifest.getOrElse(fromNodes.head,
-        throw new IllegalArgumentException(s"missing source node ${fromNodes.head}"))
-      val pairs = rs.map(r => r.getString(1) -> r.getString(3))
-        .filter { case (from, _) => src.columns.contains(from) }
-      toNode -> src.select(pairs.map { case (from, to) =>
-        CurationOps.rawCol(from).as(to)
-      }.toSeq: _*)
+      val lifted = fromNodes.toSeq.flatMap { fromNode =>
+        val src = manifest.getOrElse(fromNode,
+          throw new IllegalArgumentException(s"missing source node $fromNode"))
+        val pairs = rs.filter(_.getString(0) == fromNode)
+          .map(r => r.getString(1) -> r.getString(3))
+          .filter { case (from, _) => src.columns.contains(from) }
+        if (pairs.isEmpty) None
+        else {
+          val targets = pairs.map(_._2).distinct
+          val cols = targets.map { to =>
+            val froms = pairs.filter(_._2 == to).map(_._1)
+            if (froms.length == 1) CurationOps.rawCol(froms.head).as(to)
+            else {
+              val joined = concat_ws(";", froms.map(CurationOps.rawCol).toSeq: _*)
+              when(joined === "", lit(null)).otherwise(joined).as(to)
+            }
+          }
+          val projected = src.select(cols.toSeq: _*)
+          val anyValue = projected.columns.map(CurationOps.rawCol(_).isNotNull)
+            .reduce(_ || _)
+          Some(projected.filter(anyValue).withColumn("type", lit(toNode)))
+        }
+      }
+      require(lifted.nonEmpty, s"no source node found for target $toNode")
+      toNode -> lifted.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.catalog.{ModelCatalog, PropDef}
-import graft.ops.ValidationOps
+import graft.ops.{ReshapeOps, ValidationOps}
 import graft.pipeline.{ExportStages, SraCols, SraStage}
 
 /** Round-2 composed export stages, graded end-to-end: the reference's
@@ -624,6 +624,47 @@ object StageQueries {
           col("size"), col("md5_computed"), col("transfer_status"),
           col("md5sum_check"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Liftover N:1 node concat: two source nodes lift into one target
+    // node (union by name, all-null rows dropped, type column added)
+    // and two source properties ;-join into one target property.
+    Q("q76_liftover_concat",
+      """WITH op AS (
+        |  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS item_id,
+        |         CASE WHEN p_partkey % 3 = 0 THEN p_brand
+        |              ELSE p_brand || ';' || p_type END AS label
+        |  FROM part),
+        |os AS (
+        |  SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+        |              ELSE 's' || CAST(s_suppkey AS VARCHAR) END AS item_id,
+        |         CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_name END AS label
+        |  FROM supplier)
+        |SELECT item_id, label, 'item' AS type FROM op
+        |UNION ALL
+        |SELECT item_id, label, 'item' FROM os
+        |WHERE item_id IS NOT NULL OR label IS NOT NULL
+        |ORDER BY item_id""".stripMargin) { (s, dir) =>
+      val manifest = Map(
+        "old_part" -> t(s, dir, "part").select(
+          concat(lit("p"), col("p_partkey").cast("string")).as("part_id"),
+          col("p_brand").as("brand"),
+          when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("p_type")).as("container")),
+        "old_supp" -> t(s, dir, "supplier").select(
+          when(col("s_suppkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("s"), col("s_suppkey").cast("string"))).as("supp_id"),
+          when(col("s_suppkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("sname")))
+      val mapping = s.createDataFrame(Seq(
+        ("old_part", "part_id", "item", "item_id"),
+        ("old_part", "brand", "item", "label"),
+        ("old_part", "container", "item", "label"),
+        ("old_supp", "supp_id", "item", "item_id"),
+        ("old_supp", "sname", "item", "label")))
+        .toDF("lift_from_node", "lift_from_property", "lift_to_node", "lift_to_property")
+      ReshapeOps.liftoverManifest(manifest, mapping)("item")
+        .orderBy(col("item_id"))
     }
   )
 }

@@ -59,7 +59,43 @@ class ReshapeOpsSpec extends SparkSpecBase {
       Seq("subject", "not_present", "participant", "ignored"))
     val out = ReshapeOps.liftoverManifest(manifest, mapping)
     out.keySet shouldBe Set("participant")
-    out("participant").columns.toSeq shouldBe Seq("participant_id", "sex_at_birth")
-    out("participant").head().toSeq shouldBe Seq("s1", "F")
+    out("participant").columns.toSeq shouldBe
+      Seq("participant_id", "sex_at_birth", "type")
+    out("participant").head().toSeq shouldBe Seq("s1", "F", "participant")
+  }
+
+  test("liftoverManifest unions multiple source nodes into one target (N:1)") {
+    val manifest = Map(
+      "tumor_sample" -> strDf(Seq("ts_id", "site"))(
+        Seq("t1", "lung"), Seq(null, null)), // all-null row dropped
+      "normal_sample" -> strDf(Seq("ns_id", "tissue"))(Seq("n1", "blood")))
+    val mapping = strDf(Seq("lift_from_node", "lift_from_property",
+      "lift_to_node", "lift_to_property"))(
+      Seq("tumor_sample", "ts_id", "sample", "sample_id"),
+      Seq("tumor_sample", "site", "sample", "anatomic_site"),
+      Seq("normal_sample", "ns_id", "sample", "sample_id"),
+      Seq("normal_sample", "tissue", "sample", "anatomic_site"))
+    val out = ReshapeOps.liftoverManifest(manifest, mapping)("sample")
+      .orderBy("sample_id").collect()
+      .map(r => (r.getAs[String]("sample_id"), r.getAs[String]("anatomic_site"),
+        r.getAs[String]("type")))
+    out.toSeq shouldBe Seq(("n1", "blood", "sample"), ("t1", "lung", "sample"))
+  }
+
+  test("liftoverManifest ;-joins multiple source properties into one target property") {
+    val manifest = Map(
+      "dx" -> strDf(Seq("dx_id", "site_a", "site_b"))(
+        Seq("d1", "lung", "liver"),
+        Seq("d2", "bone", null),   // null side skipped, no dangling ';'
+        Seq("d3", null, null)))    // joined value null
+    val mapping = strDf(Seq("lift_from_node", "lift_from_property",
+      "lift_to_node", "lift_to_property"))(
+      Seq("dx", "dx_id", "diagnosis", "diagnosis_id"),
+      Seq("dx", "site_a", "diagnosis", "anatomic_site"),
+      Seq("dx", "site_b", "diagnosis", "anatomic_site"))
+    val out = ReshapeOps.liftoverManifest(manifest, mapping)("diagnosis")
+      .orderBy("diagnosis_id").collect()
+      .map(r => (r.getAs[String]("diagnosis_id"), r.getAs[String]("anatomic_site")))
+    out.toSeq shouldBe Seq(("d1", "lung;liver"), ("d2", "bone"), ("d3", null))
   }
 }
