@@ -109,12 +109,26 @@ object AdvancedQueries {
         .orderBy(col("p_partkey"))
     },
 
-    // uuid5 deterministic ids (TabBreakeRy minting) — no portable SQL
-    // oracle (DuckDB lacks sha1); driver records a rows-only check.
-    // Correctness is pinned by ExprSpec against Python-uuid5 values;
-    // the native codegen expression is asserted equal to the UDF there.
-    Q.noOracle("q32_uuid5_ids") { (s, dir) =>
+    // uuid5 deterministic ids (TabBreakeRy minting). DuckDB has no
+    // sha1, so the oracle can't compute uuid5 itself; instead it pins
+    // plan-build-time values for a bounded key range (c_name is a pure
+    // function of c_custkey in the synthetic data), computed by the
+    // driver-side Uuid5 — itself golden-pinned against CPython's
+    // uuid.uuid5 in ExprSpec. The engine side still evaluates the
+    // native codegen expression distributed over the parquet names, so
+    // a regression there hash-mismatches.
+    Q("q32_uuid5_ids", {
+      val expected = (0 until 256).map { k =>
+        val name = f"study1::customer::Customer#$k%09d"
+        s"($k, '${graft.expr.Uuid5.uuid5(graft.expr.Uuid5.ccdiNamespace, name)}')"
+      }.mkString(", ")
+      s"""WITH expected(k, id) AS (VALUES $expected)
+         |SELECT c.c_custkey, e.id
+         |FROM customer c JOIN expected e ON c.c_custkey = e.k
+         |ORDER BY c.c_custkey""".stripMargin
+    }) { (s, dir) =>
       t(s, dir, "customer")
+        .filter(col("c_custkey") < 256)
         .select(col("c_custkey"),
           graft.expr.Uuid5Expression.uuid5Native("ccdi",
             concat(lit("study1::customer::"), col("c_name"))).as("id"))
