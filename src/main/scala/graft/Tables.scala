@@ -18,11 +18,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Tables whose per-row expression work (interpreted higher-order
-    * functions over token/embedding arrays; per-event JSON path
-    * extraction) dwarfs their scan cost — worth a repartition when the
-    * scan is under-split.
+    * functions over token/embedding arrays) dwarfs their scan cost on
+    * EVERY query — worth a repartition when the scan is under-split.
+    * events is deliberately NOT here: its cheap aggregation queries
+    * lose more to the exchange than they gain (measured 0.6 s -> 2.7+ s
+    * on q33/q34); the one compute-heavy consumer (JSON extraction)
+    * asks for [[loadWidened]] explicitly.
     */
-  private val computeHeavy = Set("documents", "embeddings", "events")
+  private val computeHeavy = Set("documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
@@ -30,6 +33,14 @@ object Tables {
       else spark.read.parquet(s"$dir/$name.parquet")
     if (computeHeavy(name)) widen(spark, df) else df
   }
+
+  /** Load with an unconditional under-split check — for queries whose
+    * per-row expression cost dominates (e.g. JSON path extraction over
+    * events, which is single-row-group parquet locally and would
+    * otherwise run on one core).
+    */
+  def loadWidened(spark: SparkSession, dir: String, name: String): DataFrame =
+    widen(spark, load(spark, dir, name))
 
   /** Benchmark inputs are single small parquet files, which Spark scans
     * as one partition — serializing every expensive per-row expression

@@ -123,26 +123,37 @@ object ExportStages {
         else d.withColumnRenamed(c, c.split("\\.", 2)(1))
       }
     }
-    val m = manifest.view.mapValues(remap).toMap
     def key(n: String): String = catalog.keyOf(n).getOrElse(n + "_id")
+
+    // Frames consumed by several downstream paths are lazily
+    // checkpointed: the 14-path union would otherwise re-evaluate the
+    // shared subtrees once per consumer (Catalyst has no cross-branch
+    // common-subplan reuse). Lazy = materialized on first use, so the
+    // stage stays a pure plan constructor. Only the file union and the
+    // two level frames are checkpointed — measuring showed per-path or
+    // per-node-table checkpoints serialize the DAG and cost more than
+    // the recompute they save.
+    def shared(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+    val m = manifest.view.mapValues(remap).toMap
 
     val fileNodes = catalog.fileNodes.filter(m.contains)
     require(fileNodes.nonEmpty, "manifest has no file nodes")
-    val files = fileNodes.map(m(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val files = shared(fileNodes.map(m(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
 
     def addLevel(base: DataFrame, node: String, on: String): DataFrame =
       if (m.contains(node)) JoinOps.leftJoinCoalesce(base, m(node), Seq(on))
       else base
     val studyLevel = m.get(studyNode).map { st =>
-      addLevel(addLevel(st, studyAdminNode, key(studyNode)),
-        studyPersonnelNode, key(studyNode))
+      shared(addLevel(addLevel(st, studyAdminNode, key(studyNode)),
+        studyPersonnelNode, key(studyNode)))
     }
     val participantLevel = studyLevel.filter(_ => m.contains(participantNode)).map {
       sl =>
-        addLevel(
+        shared(addLevel(
           JoinOps.leftJoinCoalesce(sl, m(participantNode), Seq(key(studyNode))),
-          diagnosisNode, key(participantNode))
+          diagnosisNode, key(participantNode)))
     }
 
     // join_node + join_file_node_cleaner for one hop (ref `:272-297`).

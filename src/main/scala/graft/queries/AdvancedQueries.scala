@@ -73,7 +73,9 @@ object AdvancedQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      t(s, dir, "events")
+      // loadWidened: per-row JSON parsing dwarfs the scan; a
+      // single-row-group local file would otherwise run on one core
+      Tables.loadWidened(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
           sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
