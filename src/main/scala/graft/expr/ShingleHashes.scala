@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Jaccard) sits on top of it, so its per-row cost IS the map-side
   * cost of dedup at 100 TB.
   */
-case class ShingleHashes(child: Expression, k: Int)
+case class ShingleHashes(child: Expression, k: Int, salt: String = "")
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -37,10 +37,12 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k, salt)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.compute($c, $k)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.compute($c, $k, $saltRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -54,9 +56,11 @@ object ShingleHashes {
 
   /** Codegen entry point: UTF8String text -> ArrayData[UTF8String].
     * Named `compute`, not `eval` — see [[FloatDot.compute]] on
-    * static-forwarder suppression.
+    * static-forwarder suppression. `salt` prefixes every shingle
+    * before digesting, giving independent hash families from the same
+    * tokenization (empty salt = the original digests).
     */
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  def compute(text: UTF8String, k: Int, salt: String = ""): ArrayData = {
     // -1 limit matches Spark's split(text, " "): trailing empty tokens kept
     val toks = text.toString.split(" ", -1)
     val n = toks.length - k + 1
@@ -67,6 +71,7 @@ object ShingleHashes {
     var i = 0
     while (i < n) {
       sb.setLength(0)
+      sb.append(salt)
       var j = 0
       while (j < k) {
         if (j > 0) sb.append(' ')
@@ -89,6 +94,6 @@ object ShingleHashes {
   }
 
   /** Column form. */
-  def shingleHashes(text: Column, k: Int): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+  def shingleHashes(text: Column, k: Int, salt: String = ""): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k, salt))
 }

@@ -1,0 +1,77 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit SimHash: bit i of the signature is the majority vote
+  * of bit i of md5(token) (MSB-first over the digest's first 8 bytes)
+  * across the document's space-separated tokens. The 100 TB width —
+  * [[SimHash16]]'s 65k buckets collapse at corpus scale, while 64 bits
+  * band into 4×16-bit keys for Hamming-ball candidate probing (a
+  * near-dup within Hamming distance 3 shares at least one band).
+  * Output is a 64-char '0'/'1' string, engine-portable.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  private val digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Codegen entry point (named `compute`, not `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression).
+    */
+  def compute(text: UTF8String): UTF8String = {
+    val toks = text.toString.split(" ", -1)
+    val md = digest.get()
+    val ones = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(UTF_8))
+      var i = 0
+      while (i < 64) {
+        if (((d(i / 8) >> (7 - i % 8)) & 1) == 1) ones(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    val n = toks.length
+    val bits = new Array[Char](64)
+    var i = 0
+    while (i < 64) {
+      bits(i) = if (ones(i) * 2 > n) '1' else '0'
+      i += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+}

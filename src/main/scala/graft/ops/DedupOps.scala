@@ -32,23 +32,39 @@ object DedupOps {
   /** Shingle digests: md5 per k-shingle, computed once — via the
     * native codegen expression (one pass, thread-reused digest; the
     * equivalent transform(shingles, md5) pipeline runs interpreted).
+    * A non-empty `salt` prefixes each shingle, yielding an independent
+    * hash family (digest group) from the same tokenization.
     */
-  private def shingleHashes(textCol: String, k: Int): Column =
-    graft.expr.ShingleHashes.shingleHashes(col(textCol), k)
+  private def shingleHashes(textCol: String, k: Int, salt: String = ""): Column =
+    graft.expr.ShingleHashes.shingleHashes(col(textCol), k, salt)
+
+  /** Salt for digest group `j`: group 0 is unsalted (the original
+    * digests — band values for bands <= 4 are unchanged), groups >= 1
+    * prefix `"<j>|"`.
+    */
+  private def groupSalt(j: Int): String = if (j == 0) "" else s"$j|"
 
   /** Per-(doc, band) MinHash value: min over shingles of band `b`'s
-    * 8-hex slice of the shingle's md5. Equal band value => LSH
-    * candidate bucket. Shingles and digests are projected once and
-    * shared by all bands (explicit projection — higher-order
-    * functions sit outside whole-stage codegen, so common
-    * subexpressions are NOT eliminated automatically).
+    * 8-hex slice of a shingle digest. One md5 digest yields 4
+    * independent 32-bit hash functions (8-hex slices); band counts
+    * beyond 4 draw from additional salted digest groups, so hashing
+    * cost is O(shingles × ceil(bands/4)) — still hash-once per
+    * (shingle, group), never per band. 64 bands = 16 digest groups.
+    * Shingles and digests are projected once per group and shared by
+    * that group's bands (explicit projection — higher-order functions
+    * sit outside whole-stage codegen, so common subexpressions are
+    * NOT eliminated automatically).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = 4 bands of 8")
-    val hashed = df.select(col(idCol), shingleHashes(textCol, k).as("__hs"))
+    require(bands >= 1, "bands must be >= 1")
+    val groups = (bands + 3) / 4
+    val digestCols = (0 until groups).map(j =>
+      shingleHashes(textCol, k, groupSalt(j)).as(s"__hs$j"))
+    val hashed = df.select((col(idCol) +: digestCols): _*)
     val bandCols = (0 until bands).map { b =>
-      array_min(transform(col("__hs"), h => h.substr(lit(1 + 8 * b), lit(8))))
+      val (j, o) = (b / 4, b % 4)
+      array_min(transform(col(s"__hs$j"), h => h.substr(lit(1 + 8 * o), lit(8))))
         .as(s"minhash_$b")
     }
     hashed.select((col(idCol) +: bandCols): _*)
@@ -118,13 +134,21 @@ object DedupOps {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
-    require(bands >= 1 && bands <= 4, "md5 yields 32 hex chars = 4 bands of 8")
+    require(bands >= 1, "bands must be >= 1")
+    val groups = (bands + 3) / 4
+    // group-0 digests double as the shingle identities for the
+    // verification stage; extra groups exist only for their bands
+    val digestCols = (0 until groups).map(j =>
+      shingleHashes(textCol, k, groupSalt(j)).as(s"__hs$j"))
     val hashed = df
-      .select(col(idCol).as("__id"), shingleHashes(textCol, k).as("__hs"))
+      .select((col(idCol).as("__id") +: digestCols): _*)
+      .withColumnRenamed("__hs0", "__hs")
       .localCheckpoint(true)
 
     val bandCols = (0 until bands).map { b =>
-      array_min(transform(col("__hs"), h => h.substr(lit(1 + 8 * b), lit(8))))
+      val (j, o) = (b / 4, b % 4)
+      val src = if (j == 0) "__hs" else s"__hs$j"
+      array_min(transform(col(src), h => h.substr(lit(1 + 8 * o), lit(8))))
         .as(s"minhash_$b")
     }
     val sigs = hashed.select((col("__id").as(idCol) +: bandCols): _*)
@@ -161,6 +185,19 @@ object DedupOps {
     * Each token is md5'd ONCE; the 16 bit-votes are elementwise sums
     * over a per-token 0/1 vector (one aggregate pass, not 16).
     */
+  /** 64-bit SimHash (native codegen, [[graft.expr.SimHash64]]) plus
+    * its four 16-bit band keys: a near-dup within Hamming distance 3
+    * of a signature shares at least one band with it, so banding the
+    * signature gives Hamming-ball candidate probing as one equi-join
+    * per corpus (explode bands, join on (band_idx, band)) — the same
+    * bucket-join shape as MinHash LSH, no all-pairs comparison.
+    */
+  def simhash64(text: Column): Column = graft.expr.SimHash64.simhash64(text)
+
+  /** The 4×16-bit band keys of a 64-bit signature. */
+  def simhash64Bands(sig: Column): Seq[Column] =
+    (0 until 4).map(b => sig.substr(lit(1 + 16 * b), lit(16)))
+
   def simhash16(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val perTokenBits = transform(toks, t => {

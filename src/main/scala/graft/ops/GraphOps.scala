@@ -50,20 +50,25 @@ object GraphOps {
   def resolveChain(
       edges: DataFrame, // columns: key, parent (parent null => root)
       maxIter: Int = 20): DataFrame = {
-    // state: anc is a known ancestor `d` hops up; done => anc is the root
-    var state = edges.select(
+    // state: anc is a known ancestor `d` hops up; done => anc is the
+    // root. One job per iteration: the checkpoint is LAZY and the
+    // remaining-count action is what materializes it — a separate
+    // eager checkpoint job would double the job count for nothing.
+    def checkpointAndCountRemaining(df: DataFrame): (DataFrame, Long) = {
+      val cp = df.localCheckpoint(false)
+      (cp, cp.filter(!col("done")).count())
+    }
+    var (state, remaining) = checkpointAndCountRemaining(edges.select(
       col("key"),
       coalesce(col("parent"), col("key")).as("anc"),
       when(col("parent").isNull, 0).otherwise(1).as("d"),
-      col("parent").isNull.as("done"))
-      .localCheckpoint(true)
+      col("parent").isNull.as("done")))
 
     var i = 0
-    var remaining = state.filter(!col("done")).limit(1).count()
     while (remaining > 0 && i < maxIter) {
       val ptr = state.select(col("key").as("__k"), col("anc").as("__a"),
         col("d").as("__d"), col("done").as("__done"))
-      state = state.join(ptr, state("anc") === ptr("__k"), "left")
+      val next = state.join(ptr, state("anc") === ptr("__k"), "left")
         .select(
           col("key"),
           when(col("done"), col("anc"))
@@ -72,8 +77,9 @@ object GraphOps {
             .otherwise(col("d") + coalesce(col("__d"), lit(0))).as("d"),
           // missing anc in the map => anc is an external root
           (col("done") || coalesce(col("__done"), lit(true))).as("done"))
-        .localCheckpoint(true)
-      remaining = state.filter(!col("done")).limit(1).count()
+      val (cp, rem) = checkpointAndCountRemaining(next)
+      state = cp
+      remaining = rem
       i += 1
     }
     state.filter(col("done"))

@@ -79,6 +79,51 @@ object SimilarityOps {
       .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
   }
 
+  /** √n centroid count — the IVF sizing rule that keeps expected cell
+    * size ≈ √n, so the in-cell search is O(n^1.5) total instead of n².
+    */
+  def sqrtCentroidCount(n: Long): Int = math.max(1, math.sqrt(n.toDouble).toInt)
+
+  /** Lloyd's k-means trainer for the IVF coarse quantizer, spherical
+    * (cosine) flavor: assignment is max-cosine against the broadcast
+    * centroid frame, the update is the elementwise mean of each cell's
+    * vectors (posexplode → per-(cid, dim) avg → re-assembled array —
+    * two shuffles per iteration, both on small keys). Initialization
+    * is deterministic: the k lowest-id vectors. Cells that lose every
+    * member drop out (k shrinks), matching standard Lloyd behavior.
+    * Returns the (cid, cvec) frame [[ivfNearestNeighbor]] consumes.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got ($k, $iters)")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true) // consumed every iteration
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("id"))).cast("bigint").as("cid"),
+        col("vec").as("cvec"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col("vec"), col("cvec")))
+      val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
+      val best = assigned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("vec"))
+      centroids = best
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
+        .select(col("cid"),
+          transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint(true) // cut lineage per Lloyd round
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs: canonicalized (id1 < id2)
     * pairs within the same sign-LSH bucket whose cosine exceeds the
     * threshold. The dedup-by-embedding path: bucket key map-side,

@@ -181,6 +181,55 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Wide MinHash: bands beyond 4 draw from salted digest groups
+    // (md5('1|' || shingle) is hash family 2) — recall control without
+    // per-band hashing. First 4 band values are identical to q47's.
+    Q("q77_minhash_wide", {
+      val bands = (0 until 8).map { b =>
+        val (j, o) = (b / 4, b % 4)
+        s"list_min(list_transform(hs$j, h -> substr(h, ${1 + 8 * o}, 8))) AS minhash_$b"
+      }.mkString(",\n         |  ")
+      s"""SELECT doc_id,
+         |  $bands
+         |FROM (SELECT doc_id,
+         |        list_transform(sh, s -> md5(s)) AS hs0,
+         |        list_transform(sh, s -> md5('1|' || s)) AS hs1
+         |      FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      DedupOps.minhashBands(t(s, dir, "documents"), "doc_id", "text", 3, 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // 64-bit SimHash + its 4x16-bit Hamming-ball band keys (the scale
+    // width — 16-bit signatures collapse to 65k buckets at corpus
+    // scale). Oracle recomputes the per-bit majority votes from token
+    // md5s.
+    Q("q78_simhash64_bands", {
+      val bits = (0 until 64).map { i =>
+        val d = i / 4 + 1
+        val sh = 3 - (i % 4)
+        s"CASE WHEN 2 * list_sum(list_transform(hs, h -> " +
+          s"((instr('0123456789abcdef', h[$d]) - 1) >> $sh) & 1)) > len(hs) " +
+          "THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, $bits AS sig
+         |  FROM (SELECT doc_id, list_transform($TOKS, t -> md5(t)) AS hs
+         |        FROM documents))
+         |SELECT doc_id, sig,
+         |  substr(sig, 1, 16) AS band_0, substr(sig, 17, 16) AS band_1,
+         |  substr(sig, 33, 16) AS band_2, substr(sig, 49, 16) AS band_3
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("sig"))
+      val bandCols = DedupOps.simhash64Bands(col("sig")).zipWithIndex
+        .map { case (c, i) => c.as(s"band_$i") }
+      sigs.select((col("doc_id") +: col("sig") +: bandCols): _*)
+        .orderBy(col("doc_id"))
+    },
+
     // LSH candidate pairs: docs sharing any band minhash.
     Q("q48_lsh_candidates", {
       val sig = s"SELECT doc_id, ${(0 until 4).map(b =>

@@ -28,6 +28,22 @@ class DedupOpsSpec extends SparkSpecBase {
     rows(1L) should not be rows(4L)
   }
 
+  test("wide minhash: first 4 bands unchanged, salted groups add independent bands") {
+    val four = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val eight = DedupOps.minhashBands(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    four.keys.foreach { id =>
+      eight(id).take(4) shouldBe four(id)       // group 0 is unsalted
+      eight(id).drop(4) should not be four(id)  // group 1 is a new family
+    }
+    // identical docs still agree on every band; fused pipeline accepts >4
+    eight(1L) shouldBe eight(2L)
+    DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 8)
+      .filter(col("id1") === 1 && col("id2") === 2)
+      .head().getAs[Double]("jaccard") shouldBe 1.0
+  }
+
   test("lshCandidatePairs surfaces the exact-dup pair, canonicalized") {
     val sigs = DedupOps.minhashBands(docs, "doc_id", "text", 3, 4)
     val pairs = DedupOps.lshCandidatePairs(sigs, "doc_id", 4)

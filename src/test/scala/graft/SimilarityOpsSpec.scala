@@ -57,6 +57,32 @@ class SimilarityOpsSpec extends SparkSpecBase {
     out.contains(3L) shouldBe false // singleton cell
   }
 
+  test("trainCentroids converges to the two obvious clusters and plugs into IVF") {
+    val corpus = Seq(
+      (1L, Array(1f, 0.05f)), (2L, Array(1f, -0.05f)), (3L, Array(0.9f, 0f)),
+      (4L, Array(0.05f, 1f)), (5L, Array(-0.05f, 1f)), (6L, Array(0f, 0.9f)))
+      .toDF("id", "vec")
+    val centroids = SimilarityOps.trainCentroids(corpus, "id", "vec", k = 2, iters = 4)
+    val cs = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    cs should have size 2
+    // one centroid points along x, the other along y
+    val dirs = cs.values.map(v => if (v(0) > v(1)) "x" else "y").toSet
+    dirs shouldBe Set("x", "y")
+    // the trained quantizer drives the IVF search: neighbors stay
+    // within their own cluster
+    val nn = SimilarityOps.ivfNearestNeighbor(corpus, "id", "vec", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Set(2L, 3L) should contain (nn(1L))
+    Set(5L, 6L) should contain (nn(4L))
+  }
+
+  test("sqrtCentroidCount follows the sqrt(n) sizing rule") {
+    SimilarityOps.sqrtCentroidCount(0L) shouldBe 1
+    SimilarityOps.sqrtCentroidCount(100L) shouldBe 10
+    SimilarityOps.sqrtCentroidCount(1000000L) shouldBe 1000
+  }
+
   test("lshNearestNeighbor finds in-bucket top-1") {
     val corpus = Seq(
       (1L, Array(1f, 1f)), (2L, Array(1f, 0.9f)), // same bucket "11"
