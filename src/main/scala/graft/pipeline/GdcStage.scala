@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The CCDI_to_GDC converter's sample/read-group fixes as lazy
+  * transforms (`/root/reference/src/s3_ccdi_to_gdc.py:180-206,
+  * 820-870`) — the reference's two row-looped "special fixes"
+  * re-expressed as window/join dataflow.
+  */
+object GdcStage {
+
+  /** `reconcile_experiment_names` (ref `:180-206`): rows sharing a
+    * submitter_id get the LONGEST experiment_name (typographical
+    * variants collapse), then full-row duplicates drop. The reference
+    * breaks length ties by first occurrence; Spark rows have no input
+    * order under partitioning, so ties break lexicographically-largest
+    * — deterministic on both engines.
+    */
+  def reconcileExperimentNames(df: DataFrame, submitterCol: String,
+      nameCol: String): DataFrame = {
+    val w = Window.partitionBy(col(submitterCol))
+    val best = max(struct(length(col(nameCol)).as("l"), col(nameCol).as("n"))).over(w)
+    df.withColumn(nameCol, best.getField("n")).dropDuplicates()
+  }
+
+  /** The sample fixes (ref `:820-870`): specimen_type from the
+    * anatomic site (blood vs solid tissue), preservation method joined
+    * from the conversion frame (distinct non-null pairs — the
+    * reference's group-wise dropna reduces to exactly that), missing
+    * methods filled "Not Reported", and multi-method samples keep the
+    * non-Frozen row (the FFPE-over-Frozen rule, ref `:861-870`).
+    */
+  def samplePreservationFix(
+      sample: DataFrame,
+      submitterCol: String,
+      anatomicCol: String,
+      preservation: DataFrame,
+      presSampleCol: String = "sample_id",
+      presMethodCol: String = "preservation_method"): DataFrame = {
+    val conv = preservation
+      .select(col(presSampleCol).as("__ps"), col(presMethodCol))
+      .filter(col(presMethodCol).isNotNull)
+      .distinct()
+    val typed = sample.withColumn("specimen_type",
+      when(col(anatomicCol).contains("C42.0 : Blood"), "Peripheral Whole Blood")
+        .otherwise("Solid Tissue"))
+    val joined = typed
+      .join(conv, typed(submitterCol) === conv("__ps"), "left")
+      .drop("__ps")
+      .withColumn(presMethodCol, coalesce(col(presMethodCol), lit("Not Reported")))
+      .dropDuplicates()
+    val n = count(lit(1)).over(Window.partitionBy(col(submitterCol)))
+    joined.withColumn("__n", n)
+      .filter(col("__n") === 1 || col(presMethodCol) =!= "Frozen")
+      .drop("__n")
+  }
+}

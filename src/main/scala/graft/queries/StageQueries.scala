@@ -665,6 +665,86 @@ object StageQueries {
         .toDF("lift_from_node", "lift_from_property", "lift_to_node", "lift_to_property")
       ReshapeOps.liftoverManifest(manifest, mapping)("item")
         .orderBy(col("item_id"))
+    },
+
+    // The GDC converter's composed fixes: experiment-name
+    // reconciliation (longest per submitter, then dedup) and the
+    // sample preservation pipeline (specimen_type from anatomic site,
+    // non-null conversion join, Not-Reported fill, FFPE-over-Frozen).
+    Q("q79_gdc_stage",
+      """WITH exp_src AS (
+        |  SELECT 'S' || CAST(o_orderkey % 800 AS VARCHAR) AS submitter_id,
+        |         substr('experimentalpha', 1, 4 + CAST(o_orderkey % 6 AS INT)) AS experiment_name
+        |  FROM orders),
+        |exp_out AS (
+        |  SELECT DISTINCT submitter_id, experiment_name FROM (
+        |    SELECT submitter_id,
+        |      first_value(experiment_name) OVER (PARTITION BY submitter_id
+        |        ORDER BY length(experiment_name) DESC, experiment_name DESC) AS experiment_name
+        |    FROM exp_src)),
+        |samp AS (
+        |  SELECT DISTINCT 'S' || CAST(c_custkey % 400 AS VARCHAR) AS submitter_id,
+        |    CASE WHEN (c_custkey % 400) % 4 = 0 THEN 'C42.0 : Blood'
+        |         ELSE 'C12.3 : Tongue' END AS anatomic_site
+        |  FROM customer),
+        |pres AS (
+        |  SELECT DISTINCT sample_id, method FROM (
+        |    SELECT 'S' || CAST(p_partkey % 400 AS VARCHAR) AS sample_id,
+        |      CASE (p_partkey % 400) % 5 WHEN 1 THEN 'Frozen' WHEN 2 THEN 'FFPE'
+        |           WHEN 3 THEN 'OCT' END AS method
+        |    FROM part
+        |    UNION ALL
+        |    SELECT 'S' || CAST(p_partkey % 400 AS VARCHAR), 'Frozen'
+        |    FROM part WHERE (p_partkey % 400) % 9 = 0)
+        |  WHERE method IS NOT NULL),
+        |joined AS (
+        |  SELECT DISTINCT s.submitter_id,
+        |    CASE WHEN contains(s.anatomic_site, 'C42.0 : Blood')
+        |         THEN 'Peripheral Whole Blood' ELSE 'Solid Tissue' END AS specimen_type,
+        |    COALESCE(p.method, 'Not Reported') AS preservation_method
+        |  FROM samp s LEFT JOIN pres p ON s.submitter_id = p.sample_id),
+        |samp_out AS (
+        |  SELECT submitter_id, specimen_type, preservation_method FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY submitter_id) AS n FROM joined)
+        |  WHERE n = 1 OR preservation_method <> 'Frozen')
+        |SELECT * FROM (
+        |  SELECT 'exp' AS part, submitter_id AS c1, experiment_name AS c2,
+        |         NULL AS c3 FROM exp_out
+        |  UNION ALL
+        |  SELECT 'sample', submitter_id, specimen_type, preservation_method
+        |  FROM samp_out)
+        |ORDER BY part, c1, c2, c3""".stripMargin) { (s, dir) =>
+      import graft.pipeline.GdcStage
+      val expSrc = t(s, dir, "orders").select(
+        concat(lit("S"), (col("o_orderkey") % 800).cast("string")).as("submitter_id"),
+        lit("experimentalpha")
+          .substr(lit(1), (lit(4) + col("o_orderkey") % 6).cast("int"))
+          .as("experiment_name"))
+      val expOut = GdcStage.reconcileExperimentNames(expSrc, "submitter_id", "experiment_name")
+      val rSamp = col("c_custkey") % 400
+      val samp = t(s, dir, "customer").select(
+        concat(lit("S"), rSamp.cast("string")).as("submitter_id"),
+        when(rSamp % 4 === 0, "C42.0 : Blood")
+          .otherwise("C12.3 : Tongue").as("anatomic_site"))
+        .distinct()
+      val rPres = col("p_partkey") % 400
+      val presA = t(s, dir, "part").select(
+        concat(lit("S"), rPres.cast("string")).as("sample_id"),
+        when(rPres % 5 === 1, "Frozen").when(rPres % 5 === 2, "FFPE")
+          .when(rPres % 5 === 3, "OCT")
+          .otherwise(lit(null).cast("string")).as("preservation_method"))
+      val presB = t(s, dir, "part").filter(rPres % 9 === 0).select(
+        concat(lit("S"), rPres.cast("string")).as("sample_id"),
+        lit("Frozen").as("preservation_method"))
+      val sampOut = GdcStage.samplePreservationFix(
+        samp, "submitter_id", "anatomic_site", presA.unionByName(presB))
+        .select("submitter_id", "specimen_type", "preservation_method")
+      expOut.select(lit("exp").as("part"), col("submitter_id").as("c1"),
+          col("experiment_name").as("c2"), lit(null).cast("string").as("c3"))
+        .unionByName(sampOut.select(lit("sample").as("part"),
+          col("submitter_id").as("c1"), col("specimen_type").as("c2"),
+          col("preservation_method").as("c3")))
+        .orderBy(col("part"), col("c1"), col("c2"), col("c3"))
     }
   )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.pipeline.GdcStage
+
+class GdcStageSpec extends SparkSpecBase {
+
+  test("reconcileExperimentNames picks the longest name per submitter and dedups") {
+    val df = strDf(Seq("submitter_id", "experiment_name", "other"))(
+      Seq("s1", "exp", "x"), Seq("s1", "experiment", "x"), // variants collapse
+      Seq("s2", "abc", "y"), Seq("s2", "abd", "y"))        // tie -> lexic. largest
+    val out = GdcStage.reconcileExperimentNames(df, "submitter_id", "experiment_name")
+      .orderBy("submitter_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    out.toSeq shouldBe Seq(("s1", "experiment"), ("s2", "abd"))
+  }
+
+  test("samplePreservationFix: specimen type, Not Reported fill, FFPE over Frozen") {
+    val samples = strDf(Seq("submitter_id", "anatomic_site"))(
+      Seq("s1", "C42.0 : Blood"),   // blood -> Peripheral Whole Blood
+      Seq("s2", "C12.3 : Tongue"),  // has {FFPE, Frozen} -> FFPE
+      Seq("s3", "C12.3 : Tongue"),  // only Frozen -> kept
+      Seq("s4", "C12.3 : Tongue"))  // no conversion row -> Not Reported
+    val pres = strDf(Seq("sample_id", "preservation_method"))(
+      Seq("s1", "OCT"), Seq("s2", "FFPE"), Seq("s2", "Frozen"),
+      Seq("s3", "Frozen"), Seq("s3", null))
+    val out = GdcStage.samplePreservationFix(
+      samples, "submitter_id", "anatomic_site", pres)
+      .orderBy("submitter_id").collect()
+      .map(r => (r.getAs[String]("submitter_id"), r.getAs[String]("specimen_type"),
+        r.getAs[String]("preservation_method")))
+    out.toSeq shouldBe Seq(
+      ("s1", "Peripheral Whole Blood", "OCT"),
+      ("s2", "Solid Tissue", "FFPE"),
+      ("s3", "Solid Tissue", "Frozen"),
+      ("s4", "Solid Tissue", "Not Reported"))
+  }
+}
