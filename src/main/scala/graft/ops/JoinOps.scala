@@ -44,8 +44,9 @@ object JoinOps {
       df: DataFrame,
       partitionCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
+    // backtick-quote so dotted CCDI names resolve as flat attributes
     val w = Window
-      .partitionBy(partitionCols.map(col): _*)
+      .partitionBy(partitionCols.map(c => col("`" + c.replace("`", "") + "`")): _*)
       .orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

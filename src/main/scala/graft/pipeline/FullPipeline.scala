@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.ModelCatalog
+import graft.ops.CurationOps
+
+/** The reference's whole pipeline composed end to end (§3.1,
+  * `/root/reference/workflows/s3-Prefect-Pipeline.py:205-330`):
+  * CatchERRy → ValidationRy → CCDI_to_SRA → CCDI_to_dbGaP → DCF index
+  * → TabBreakeRy, plus the CDS satellite converter. Where the
+  * reference writes each stage's Excel file to disk and re-reads it,
+  * every output here is one lazy Catalyst DAG over the input manifest
+  * — the only materialization barriers are the caller's sinks.
+  *
+  * Stages whose input nodes/columns are absent from the manifest are
+  * skipped (None), mirroring the reference's per-stage empty-sheet
+  * early exits.
+  */
+object FullPipeline {
+
+  import CurationPipeline.Manifest
+
+  final case class Outputs(
+      cleaned: Manifest,
+      findings: DataFrame,
+      sra: Option[(DataFrame, DataFrame)], // (submission, constancy findings)
+      ssm: Option[DataFrame],
+      subjectConsent: Option[DataFrame],
+      sampleAttributes: Option[DataFrame],
+      dcfIndex: Option[DataFrame],
+      tabBroken: Manifest,
+      cds: Option[DataFrame])
+
+  def run(
+      manifest: Manifest,
+      catalog: ModelCatalog,
+      study: String,
+      phsAccession: String,
+      consentMap: Map[String, String] = Map.empty,
+      rowKey: String = "row_idx",
+      sequencingNode: String = "sequencing_file",
+      // default column roles follow the CCDI sequencing_file NODE shape
+      // (the reference maps node columns onto the SRA template's
+      // labels in sra_match_manifest_seq; the engine works on the node)
+      sraCols: SraCols = SraCols(
+        library = "library_id", sample = "sample.sample_id",
+        filename = "file_name", filetype = "file_type", md5 = "md5sum"),
+      sraMaxFiles: Int = 3): Outputs = {
+
+    val cleaned = CurationPipeline.catchErr(manifest, catalog)
+    val findings = CurationPipeline.validate(cleaned, catalog, rowKey)
+
+    val sra = cleaned.get(sequencingNode)
+      .filter { df =>
+        Seq(sraCols.library, sraCols.sample, sraCols.filename,
+          sraCols.filetype, sraCols.md5).forall(df.columns.contains)
+      }
+      .map { df =>
+        // no previous-submission frame here, so priority only needs a
+        // total order within (library, filename): md5 then filename
+        SraStage.sra(df, sraCols, sraMaxFiles,
+          dedupPriority = Seq(
+            CurationOps.rawCol(sraCols.md5).desc,
+            CurationOps.rawCol(sraCols.filename).asc),
+          tieBreak = Seq(
+            CurationOps.rawCol(sraCols.filename).asc,
+            CurationOps.rawCol(sraCols.md5).asc))
+      }
+
+    val ssm = cleaned.get("sample")
+      .filter(_.columns.contains("participant.participant_id"))
+      .map(s => DbGapStage.ssm(s, cleaned.get("pdx"), cleaned.get("cell_line")))
+    val subjectConsent = for {
+      s <- ssm
+      p <- cleaned.get("participant")
+      if p.columns.contains("sex_at_birth") &&
+        p.columns.contains("consent_group.consent_group_id")
+    } yield DbGapStage.subjectConsent(p, s, consentMap)
+    val sampleAttributes = for {
+      s <- ssm
+      sm <- cleaned.get("sample")
+      if sm.columns.contains("sample_tumor_status")
+    } yield DbGapStage.sampleAttributes(sm, s)
+
+    val dcf =
+      if (catalog.fileNodes.exists(cleaned.contains))
+        Some(ExportStages.dcfIndex(cleaned, catalog, phsAccession))
+      else None
+
+    val tabBroken = ExportStages.tabBreak(cleaned, catalog, study)
+
+    val cds =
+      if (catalog.fileNodes.exists(cleaned.contains) && cleaned.contains("study"))
+        Some(ExportStages.cdsFlatten(cleaned, catalog))
+      else None
+
+    Outputs(cleaned, findings, sra, ssm, subjectConsent, sampleAttributes,
+      dcf, tabBroken, cds)
+  }
+}

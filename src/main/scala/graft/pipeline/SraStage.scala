@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.ops.JoinOps
 
+
 /** Column roles of a sequencing frame entering the SRA export stage
   * (`/root/reference/src/s3_ccdi_to_sra.py:1338-1560`). The reference
   * hard-codes the SRA template's header labels; the engine takes the
@@ -54,6 +55,13 @@ final case class SraCols(
   */
 object SraStage {
 
+  /** Backtick-quoted column ref so dotted CCDI names (e.g.
+    * `sample.sample_id` as the sample column) resolve as flat
+    * attributes.
+    */
+  private def pcol(name: String): Column =
+    col("`" + name.replace("`", "") + "`")
+
   /** P8: dedup on (library, filename) — the reference's keep-last over
     * the previous-submission ∪ manifest concat order
     * (`check_and_remove_duplicates`, `s3_ccdi_to_sra.py:1129-1155`).
@@ -81,21 +89,27 @@ object SraStage {
     * spec, so Catalyst collapses them into a single shuffle.
     */
   def concatLibraryIds(df: DataFrame, cols: SraCols): DataFrame = {
-    val w = Window.partitionBy(
-      col(cols.sample), col(cols.strategy), col(cols.source), col(cols.selection))
-    def distinctSet(c: String) = collect_set(col(c)).over(w)
+    // group columns absent from the frame just narrow the grouping
+    // (the reference concatenates the column values into one key and
+    // would KeyError; the engine degrades gracefully)
+    val groupCols = (cols.sample +: Seq(cols.strategy, cols.source, cols.selection))
+      .filter(df.columns.contains)
+    val w = Window.partitionBy(groupCols.map(pcol): _*)
+    def distinctSet(c: String) = collect_set(pcol(c)).over(w)
     def joined(c: String): Column = {
       val set = distinctSet(c)
-      when(size(set) > 1, array_join(array_sort(set), ";")).otherwise(col(c))
+      when(size(set) > 1, array_join(array_sort(set), ";")).otherwise(pcol(c))
     }
     val urlAuthority =
-      regexp_extract(col(cols.url), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", 0)
-    val base = df
-      .withColumn(cols.library, joined(cols.library))
-      .withColumn(cols.url,
-        when(size(distinctSet(cols.url)) > 1, urlAuthority).otherwise(col(cols.url)))
+      regexp_extract(pcol(cols.url), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", 0)
+    val base = df.withColumn(cols.library, joined(cols.library))
+    val withUrl =
+      if (df.columns.contains(cols.url))
+        base.withColumn(cols.url,
+          when(size(distinctSet(cols.url)) > 1, urlAuthority).otherwise(pcol(cols.url)))
+      else base
     cols.concatFields.filter(df.columns.contains)
-      .foldLeft(base)((d, f) => d.withColumn(f, joined(f)))
+      .foldLeft(withUrl)((d, f) => d.withColumn(f, joined(f)))
   }
 
   /** Duplicate-filename fix (`duplicate_filename_fix`,
@@ -105,11 +119,11 @@ object SraStage {
     * `md5[-4:] + "_" + filename`).
     */
   def fixDuplicateFilenames(df: DataFrame, cols: SraCols): DataFrame = {
-    val n = count(lit(1)).over(Window.partitionBy(col(cols.filename)))
+    val n = count(lit(1)).over(Window.partitionBy(pcol(cols.filename)))
     df.withColumn(cols.filename,
       when(n > 1,
-        concat(substring(col(cols.md5), -4, 4), lit("_"), col(cols.filename)))
-        .otherwise(col(cols.filename)))
+        concat(substring(pcol(cols.md5), -4, 4), lit("_"), pcol(cols.filename)))
+        .otherwise(pcol(cols.filename)))
   }
 
   /** A13 as a findings frame (`check_value_constancy`,
@@ -123,14 +137,18 @@ object SraStage {
       fields: Seq[String] = Seq.empty): DataFrame = {
     val checked = (if (fields.nonEmpty) fields else cols.constancyFields)
       .filter(df.columns.contains)
+    if (checked.isEmpty)
+      // none of the checked fields exist: structurally-empty findings
+      return df.limit(0).select(
+        pcol(cols.library), lit("").as("property"), lit(0L).as("n_values"))
     val aggs = checked.map(f =>
-      (countDistinct(col(f)) +
-        max(when(col(f).isNull, 1L).otherwise(0L))).as(s"__n_$f"))
-    val wide = df.groupBy(col(cols.library)).agg(aggs.head, aggs.tail: _*)
-    val long = wide.select(col(cols.library),
+      (countDistinct(pcol(f)) +
+        max(when(pcol(f).isNull, 1L).otherwise(0L))).as(s"__n_$f"))
+    val wide = df.groupBy(pcol(cols.library)).agg(aggs.head, aggs.tail: _*)
+    val long = wide.select(pcol(cols.library),
       explode(array(checked.map(f =>
         struct(lit(f).as("property"), col(s"__n_$f").as("n_values"))): _*)).as("__m"))
-    long.select(col(cols.library), col("__m.property").as("property"),
+    long.select(pcol(cols.library), col("__m.property").as("property"),
         col("__m.n_values").as("n_values"))
       .filter(col("n_values") > 1)
   }
@@ -154,10 +172,10 @@ object SraStage {
       tieBreak: Seq[Column]): DataFrame = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     val metaCount = cols.metaFields.filter(df.columns.contains)
-      .map(f => when(col(f).isNotNull && col(f) =!= "", 1).otherwise(0))
+      .map(f => when(pcol(f).isNotNull && pcol(f) =!= "", 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
-    val order = (metaCount.desc +: col(cols.filetype).desc +: tieBreak)
-    val w = Window.partitionBy(col(cols.library)).orderBy(order: _*)
+    val order = (metaCount.desc +: pcol(cols.filetype).desc +: tieBreak)
+    val w = Window.partitionBy(pcol(cols.library)).orderBy(order: _*)
     val ranked = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxFiles)
     val scalars = df.columns.filterNot(_ == cols.library).toSeq
@@ -166,9 +184,9 @@ object SraStage {
     val extras = for {
       j <- 2 to maxFiles
       v <- Seq(cols.filename, cols.filetype, cols.md5)
-    } yield max(when(col("__rn") === j, col(v))).as(s"${v}_${j - 1}")
+    } yield max(when(col("__rn") === j, pcol(v))).as(s"${v}_${j - 1}")
     val aggs = firstRow ++ extras
-    ranked.groupBy(col(cols.library)).agg(aggs.head, aggs.tail: _*)
+    ranked.groupBy(pcol(cols.library)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The composed stage (`CCDI_to_SRA`, `s3_ccdi_to_sra.py:1474-1547`

@@ -1,0 +1,96 @@
+package graft
+
+import graft.catalog.{ModelCatalog, PropDef}
+import graft.pipeline.{FullPipeline, SraCols}
+
+class FullPipelineSpec extends SparkSpecBase {
+
+  private def p(n: String, prop: String, t: String = "string",
+      key: Boolean = false, req: Boolean = false) =
+    PropDef(n, prop, t, isKey = key, required = req)
+
+  private val catalog = ModelCatalog(
+    props = Seq(
+      p("study", "study_id", key = true, req = true),
+      p("study", "study_title"),
+      p("participant", "participant_id", key = true, req = true),
+      p("participant", "sex_at_birth"),
+      p("participant", "consent_group.consent_group_id"),
+      p("participant", "study.study_id"),
+      p("sample", "sample_id", key = true, req = true),
+      p("sample", "sample_tumor_status"),
+      p("sample", "anatomic_site"),
+      p("sample", "participant.participant_id"),
+      p("sample", "pdx.pdx_id"),
+      p("pdx", "pdx_id", key = true),
+      p("pdx", "sample.sample_id"),
+      p("sequencing_file", "sequencing_file_id", key = true, req = true),
+      p("sequencing_file", "library_id"),
+      p("sequencing_file", "file_name"),
+      p("sequencing_file", "file_type"),
+      p("sequencing_file", "md5sum"),
+      p("sequencing_file", "file_size"),
+      p("sequencing_file", "file_url"),
+      p("sequencing_file", "dcf_indexd_guid"),
+      p("sequencing_file", "sample.sample_id")),
+    enums = Map.empty,
+    edges = Seq.empty)
+
+  private def manifest = Map(
+    "study" -> strDf(Seq("study_id", "study_title", "row_idx"))(
+      Seq("st1", "Study One", "2")),
+    "participant" -> strDf(Seq("participant_id", "sex_at_birth",
+      "consent_group.consent_group_id", "study.study_id", "row_idx"))(
+      Seq("p1", "Female", "CG1", "st1", "2"),
+      Seq("p2", "Male", "CG1", "st1", "3")),
+    "sample" -> strDf(Seq("sample_id", "sample_tumor_status", "anatomic_site",
+      "participant.participant_id", "pdx.pdx_id", "row_idx"))(
+      Seq("s1", "Tumor", "C42.0 : Blood", "p1", null, "2"),
+      Seq("s2", "Normal", "C12.3 : Tongue", "p2", null, "3"),
+      Seq("s3", "Tumor", "C12.3 : Tongue", null, "x1", "4")), // traces via pdx
+    "pdx" -> strDf(Seq("pdx_id", "sample.sample_id", "row_idx"))(
+      Seq("x1", "s1", "2")),
+    "sequencing_file" -> strDf(Seq("sequencing_file_id", "library_id",
+      "file_name", "file_type", "md5sum", "file_size", "file_url",
+      "dcf_indexd_guid", "sample.sample_id", "row_idx"))(
+      Seq("f1", "lib1", "a.bam", "bam", "aaa1", "10",
+        "s3://b/a.bam", null, "s1", "2"),
+      Seq("f2", "lib1", "b.bam", "bam", "bbb2", "20",
+        "s3://b/b.bam", null, "s1", "3")))
+
+  test("the six-stage pipeline runs end to end on one manifest") {
+    val out = FullPipeline.run(manifest, catalog, study = "st1",
+      phsAccession = "phs000001", consentMap = Map("CG1" -> "1"))
+
+    // validation findings exist as a frame (content covered elsewhere)
+    out.findings.columns.toSeq shouldBe
+      Seq("tbl", "property", "check", "row_key", "bad_value")
+
+    // SRA: lib1's two files spread onto one row
+    val (sraWide, sraFindings) = out.sra.get
+    sraWide.count() shouldBe 1
+    val sraRow = sraWide.head()
+    sraRow.getAs[String]("library_id") shouldBe "lib1"
+    sraRow.getAs[String]("file_name_1") should not be null
+    sraFindings.columns should contain ("n_values")
+
+    // dbGaP: s3 traces through pdx x1 -> s1 -> p1
+    val ssm = out.ssm.get.collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    ssm("s3") shouldBe "p1"
+    out.subjectConsent.get.count() shouldBe 2 // p1, p2 both have samples
+    out.sampleAttributes.get.count() shouldBe 3
+
+    // DCF index: one row per file url, guid minted
+    val idx = out.dcfIndex.get.collect()
+    idx.length shouldBe 2
+    all(idx.map(_.getAs[String]("guid"))) should startWith("dg.4DFC/")
+
+    // TabBreakeRy: uuid5 row ids on keyed nodes
+    out.tabBroken("participant").columns should contain ("id")
+
+    // CDS: every file reaches a terminal path
+    val cds = out.cds.get
+    cds.select("file_url").distinct().count() shouldBe 2
+  }
+}
