@@ -55,6 +55,10 @@ object DbGapStage {
     legs.foldLeft(direct)(_ unionByName _)
       .na.drop("any", Seq("SUBJECT_ID", "SAMPLE_ID"))
       .distinct()
+      // the SSM anchors every other dbGaP extract (SC/SA semi-joins,
+      // mapping checks) — lazily checkpoint so consumers share one
+      // materialization instead of re-running the three-leg union
+      .localCheckpoint(false)
   }
 
   /** Subject consent (`extract_sc`, ref `:207-253`): SEX normalized to
