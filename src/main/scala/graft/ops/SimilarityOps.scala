@@ -219,6 +219,41 @@ object SimilarityOps {
       planes: Seq[Seq[Double]], targetBucketSize: Int = 250): DataFrame =
     top1WithinBuckets(hyperplaneBucketed(corpus, idCol, vecCol, planes, targetBucketSize))
 
+  /** Multi-probe ANN: each vector probes its own bucket plus every
+    * bucket at Hamming distance 1 (one sign bit flipped), recovering
+    * neighbors a single hyperplane happened to split — the recall
+    * repair for bucketed LSH without lowering the bit width. The
+    * registered side stays one row per vector; only the probing side
+    * fans out ×(bits+1), and each (id1, id2) pair can match through at
+    * most one probe, so no dedup pass is needed before ranking.
+    */
+  def lshNearestNeighborMultiProbe(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], targetBucketSize: Int = 250): DataFrame = {
+    val withBucket = hyperplaneBucketed(corpus, idCol, vecCol, planes, targetBucketSize)
+    val b = col("bucket")
+    val flips = transform(sequence(lit(1), length(b)), i =>
+      concat(
+        b.substr(lit(1), i - 1),
+        when(b.substr(i, lit(1)) === "1", "0").otherwise("1"),
+        b.substr(i + 1, length(b))))
+    val probing = withBucket.select(col("id"), col("vec"), col("nrm"),
+      explode(concat(array(b), flips)).as("probe"))
+    val l = probing.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("probe"))
+    val r = withBucket.select(col("id").as("id2"), col("vec").as("v2"),
+      col("nrm").as("n2"), col("bucket").as("bucket2"))
+    val pairs = l.join(r, l("probe") === r("bucket2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cosine").desc, col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+  }
+
   /** Embedding near-dup pairs over the same adaptive hyperplane
     * buckets (scale path of [[cosineNearDupPairs]]).
     */

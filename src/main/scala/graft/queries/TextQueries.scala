@@ -382,6 +382,31 @@ object TextQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Multi-probe ANN: each vector probes its bucket plus every
+    // Hamming-distance-1 bucket, recovering neighbors one hyperplane
+    // split away. Registered side stays 1 row/vector.
+    Q("q80_ann_multiprobe",
+      s"""$hyperplaneBucketCte,
+         |p AS (
+         |  SELECT vec_id, embedding,
+         |    unnest([bucket] || list_transform(
+         |      generate_series(1, CAST(length(bucket) AS INT)),
+         |      i -> substr(bucket, 1, i - 1)
+         |           || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         |           || substr(bucket, i + 1, length(bucket)))) AS probe
+         |  FROM b)
+         |SELECT l.vec_id AS id1, r.vec_id AS nearest_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM p l JOIN b r ON l.probe = r.bucket AND l.vec_id <> r.vec_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l.vec_id
+         |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
+         |ORDER BY id1""".stripMargin) { (s, dir) =>
+      SimilarityOps.lshNearestNeighborMultiProbe(
+        t(s, dir, "embeddings"), "vec_id", "embedding", Planes)
+        .orderBy(col("id1"))
+    },
+
     // ANN over seeded random-hyperplane buckets with corpus-adaptive
     // bit width: top-1 cosine neighbor within the bucket. The oracle
     // reproduces the seeded projection term for term.

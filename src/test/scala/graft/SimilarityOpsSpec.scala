@@ -77,6 +77,20 @@ class SimilarityOpsSpec extends SparkSpecBase {
     Set(5L, 6L) should contain (nn(4L))
   }
 
+  test("multi-probe ANN reaches neighbors one flipped bucket bit away") {
+    // a corpus small enough that adaptive bits clamp to 1: two
+    // opposite-sign clusters land in different buckets, and only the
+    // probing variant can pair across them
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0.01f))).toDF("id", "vec")
+    val planes = SimilarityOps.hyperplanes(seed = 7L, bits = 4, dim = 2)
+    SimilarityOps.lshNearestNeighborHyperplane(corpus, "id", "vec", planes)
+      .count() shouldBe 0 // split by the first hyperplane
+    val probed = SimilarityOps.lshNearestNeighborMultiProbe(corpus, "id", "vec", planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probed shouldBe Map(1L -> 2L, 2L -> 1L)
+  }
+
   test("sqrtCentroidCount follows the sqrt(n) sizing rule") {
     SimilarityOps.sqrtCentroidCount(0L) shouldBe 1
     SimilarityOps.sqrtCentroidCount(100L) shouldBe 10
