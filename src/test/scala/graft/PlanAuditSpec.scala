@@ -26,4 +26,24 @@ class PlanAuditSpec extends SparkSpecBase {
     plan should include("PushedFilters: [")
     plan should not include "PushedFilters: []"
   }
+
+  test("the CDS flatten's runtime plan broadcasts its dimension sides") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // checkpointed inputs carry no stats, so the static plan can show
+    // sort-merge joins; after execution AQE's final plan must have
+    // converted the catalog-sized node-table sides to broadcasts
+    val df = SparkEntry.queries("q73_cds_flatten")(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  test("the SRA spread aggregates conditionally — no pivot Expand pass") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val plan = SparkEntry.queries("q70_sra_stage")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // spread columns are conditional aggregates with compile-time
+    // labels — one aggregation, never an Expand/pivot double shuffle
+    plan should include regex "(Hash|Sort|ObjectHash)Aggregate"
+    plan should not include "Expand"
+  }
 }
