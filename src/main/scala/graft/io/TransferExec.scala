@@ -16,6 +16,18 @@ object TransferExec {
   /** Reference md5 range size (512 MiB, `src/utils.py:1237`). */
   val DefaultChunkSize: Long = 512L * 1024 * 1024
 
+  /** The executors join fixed-name result columns back onto an
+    * arbitrary-schema plan; a plan already carrying one of those names
+    * would silently gain a duplicate column that only fails at a later
+    * resolution. Fail fast here instead.
+    */
+  private def requireAbsent(df: DataFrame, names: String*): Unit = {
+    val clashes = names.filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"plan already has column(s) ${clashes.mkString(", ")} that " +
+        "TransferExec would add; rename them before the executor")
+  }
+
   /** S6: distributed existence/size probe
     * (`src/s3_validationry_refactored.py:1367-1384`) — adds
     * (`exists`, `size`) columns. Prefer the inventory-join
@@ -23,6 +35,7 @@ object TransferExec {
     * inventory export is available; this is the per-URI fallback.
     */
   def probe(df: DataFrame, uriCol: String, store: ObjectStore): DataFrame = {
+    requireAbsent(df, "exists", "size")
     val spark = df.sparkSession
     import spark.implicits._
     val probed = df.select(col(uriCol).cast("string")).distinct().as[String]
@@ -36,6 +49,7 @@ object TransferExec {
     */
   def md5sum(df: DataFrame, uriCol: String, store: ObjectStore,
       chunkSize: Long = DefaultChunkSize): DataFrame = {
+    requireAbsent(df, "md5_computed")
     val spark = df.sparkSession
     import spark.implicits._
     val sums = df.select(col(uriCol).cast("string")).distinct().as[String]
@@ -53,6 +67,8 @@ object TransferExec {
   def executeCopies(plan: DataFrame, srcCol: String, dstCol: String,
       store: ObjectStore, verifyMd5: Boolean = true,
       chunkSize: Long = DefaultChunkSize): DataFrame = {
+    requireAbsent(plan, "transfer_status", "md5sum_before_cp",
+      "md5sum_after_cp", "md5sum_check")
     val spark = plan.sparkSession
     import spark.implicits._
     val results = plan

@@ -120,7 +120,16 @@ object ExportStages {
       val kept = df.drop(dropped.map(c => "`" + c + "`"): _*)
       kept.columns.foldLeft(kept) { (d, c) =>
         if (!c.contains(".")) d
-        else d.withColumnRenamed(c, c.split("\\.", 2)(1))
+        else {
+          // a flat column of the target name may already exist (or two
+          // dotted links may flatten to the same tail) — renaming would
+          // create a silent duplicate that only fails at a later
+          // ambiguous-reference resolution. The flat/first column wins;
+          // the dotted variant is dropped.
+          val flat = c.split("\\.", 2)(1)
+          if (d.columns.contains(flat)) d.drop("`" + c + "`")
+          else d.withColumnRenamed(c, flat)
+        }
       }
     }
     def key(n: String): String = catalog.keyOf(n).getOrElse(n + "_id")

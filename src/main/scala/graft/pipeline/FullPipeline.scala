@@ -57,15 +57,21 @@ object FullPipeline {
           sraCols.filetype, sraCols.md5).forall(df.columns.contains)
       }
       .map { df =>
-        // no previous-submission frame here, so priority only needs a
-        // total order within (library, filename): md5 then filename
+        // priority must be a TOTAL order within (library, filename) —
+        // md5 alone ties when two rows share the same checksum, making
+        // the row_number survivor partition-order dependent. The row
+        // key (unique by ingest contract) closes it; without one,
+        // every remaining column does.
+        val unique: Seq[org.apache.spark.sql.Column] =
+          if (df.columns.contains(rowKey)) Seq(CurationOps.rawCol(rowKey).asc)
+          else df.columns.sorted.toSeq.map(CurationOps.rawCol(_).asc)
         SraStage.sra(df, sraCols, sraMaxFiles,
           dedupPriority = Seq(
             CurationOps.rawCol(sraCols.md5).desc,
-            CurationOps.rawCol(sraCols.filename).asc),
+            CurationOps.rawCol(sraCols.filename).asc) ++ unique,
           tieBreak = Seq(
             CurationOps.rawCol(sraCols.filename).asc,
-            CurationOps.rawCol(sraCols.md5).asc))
+            CurationOps.rawCol(sraCols.md5).asc) ++ unique)
       }
 
     val ssm = cleaned.get("sample")

@@ -137,10 +137,13 @@ object SraStage {
       fields: Seq[String] = Seq.empty): DataFrame = {
     val checked = (if (fields.nonEmpty) fields else cols.constancyFields)
       .filter(df.columns.contains)
-    if (checked.isEmpty)
-      // none of the checked fields exist: structurally-empty findings
-      return df.limit(0).select(
-        pcol(cols.library), lit("").as("property"), lit(0L).as("n_values"))
+    if (checked.isEmpty || !df.columns.contains(cols.library))
+      // no checked fields — or no library column to group on: degrade
+      // to structurally-empty findings like the rest of the stage,
+      // without referencing columns the frame may not have
+      return df.sparkSession.range(0).select(
+        lit(null).cast("string").as(cols.library),
+        lit("").as("property"), lit(0L).as("n_values"))
     val aggs = checked.map(f =>
       (countDistinct(pcol(f)) +
         max(when(pcol(f).isNull, 1L).otherwise(0L))).as(s"__n_$f"))

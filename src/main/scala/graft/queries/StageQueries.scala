@@ -602,9 +602,20 @@ object StageQueries {
           concat(lit("s3://dstbkt/f"), col("c_custkey")).as("dst_uri"),
           concat(lit("content:"), col("c_name")).as("content"))
       // fixture setup (driver-side, bounded): files exist for keys
-      // not divisible by 4; the rest exercise the absent paths
+      // not divisible by 4; the rest exercise the absent paths.
+      // The root is per-process + per-sf-dir so concurrent runs
+      // (Verify vs Bench, parallel grading) never share files, and
+      // dstbkt is wiped so copy results can't leak across runs.
       val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_transfer_fixture")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_transfer_fixture_p${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff))
+      val dstDir = root.resolve("dstbkt")
+      if (java.nio.file.Files.exists(dstDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dstDir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       val srcDir = root.resolve("srcbkt")
       java.nio.file.Files.createDirectories(srcDir)
       base.select("c_custkey", "content").collect().foreach { r =>
