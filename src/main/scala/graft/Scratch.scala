@@ -27,6 +27,17 @@ object Scratch {
     qs.foreach { q =>
       val df = q.run(spark, sfDir)
       if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+      else if (sys.env.contains("SCRATCH_PHASES")) (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val d = q.run(spark, sfDir)
+        val t1 = System.nanoTime()
+        d.queryExecution.executedPlan // force analysis+optimize+planning
+        val t2 = System.nanoTime()
+        d.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        println(f"[scratch] ${q.name} run$i: construct ${(t1 - t0) / 1e9}%.2f" +
+          f" plan ${(t2 - t1) / 1e9}%.2f exec ${(t3 - t2) / 1e9}%.2f s")
+      }
       else time(q.name)(q.run(spark, sfDir))
     }
     spark.stop()

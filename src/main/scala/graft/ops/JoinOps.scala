@@ -19,21 +19,30 @@ object JoinOps {
       parent: DataFrame,
       child: DataFrame,
       keys: Seq[String],
-      childWins: Set[String] = Set.empty): DataFrame = {
+      childWins: Set[String] = Set.empty,
+      joinType: String = "left"): DataFrame = {
     val childClean = child.na.drop("any", keys)
     val overlap = parent.columns.toSet
       .intersect(childClean.columns.toSet) -- keys
-    // Rename child's overlapping columns to temporary names pre-join.
-    val childRenamed = overlap.foldLeft(childClean)(
-      (df, c) => df.withColumnRenamed(c, s"__child_$c"))
-    val joined = parent.join(childRenamed, keys, "left")
-    val resolved = overlap.foldLeft(joined) { (df, c) =>
-      val merged =
-        if (childWins.contains(c)) coalesce(col(s"__child_$c"), col(c))
-        else coalesce(col(c), col(s"__child_$c"))
-      df.withColumn(c, merged).drop(s"__child_$c")
+    def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+    // Rename child's overlapping columns to temporary names pre-join,
+    // then resolve every overlap in ONE post-join select: per-column
+    // withColumn/withColumnRenamed/drop folds each force a full
+    // re-analysis of the accumulated tree, which turns deep join DAGs
+    // (the 40-join CDS flatten) quadratic in driver time.
+    val childRenamed = childClean.select(childClean.columns.map(c =>
+      if (overlap.contains(c)) q(c).as(s"__child_$c") else q(c)): _*)
+    val joined = parent.join(childRenamed, keys, joinType)
+    val out = joined.columns.flatMap {
+      case c if c.startsWith("__child_") => None
+      case c if overlap.contains(c) =>
+        val merged =
+          if (childWins.contains(c)) coalesce(q(s"__child_$c"), q(c))
+          else coalesce(q(c), q(s"__child_$c"))
+        Some(merged.as(c))
+      case c => Some(q(c))
     }
-    resolved
+    joined.select(out.toSeq: _*)
   }
 
   /** Top-1-per-group join input (the reference's sort + dedup-keep-first

@@ -110,27 +110,36 @@ object ExportStages {
       studyAdminNode: String = "study_admin",
       studyPersonnelNode: String = "study_personnel",
       fileUrlCol: String = "file_url",
-      childWinsCols: Set[String] = Set("anatomic_site")): DataFrame = {
+      childWinsCols: Set[String] = Set("anatomic_site"),
+      // The reference holds every non-file node table in pandas
+      // memory — they are dimension-scale by construction, while the
+      // file tables dominate. Broadcasting the parent side keeps the
+      // big file frames un-shuffled across all 14 paths. Disable for
+      // mega-manifests whose node tables outgrow executor memory.
+      hintBroadcastParents: Boolean = true): DataFrame = {
 
     // col_remap + drop_type_id_others (ref `:154-196`): dotted link
     // props -> flat parent key names; bookkeeping columns dropped.
     def remap(df: DataFrame): DataFrame = {
-      val dropped = df.columns.filter(c =>
-        c == "type" || c == "id" || c.contains(".id"))
-      val kept = df.drop(dropped.map(c => "`" + c + "`"): _*)
-      kept.columns.foldLeft(kept) { (d, c) =>
-        if (!c.contains(".")) d
+      val kept = df.columns.filter(c =>
+        !(c == "type" || c == "id" || c.contains(".id")))
+      // dotted link props flatten to their tail. A flat column of the
+      // target name may already exist (or two dotted links may flatten
+      // to the same tail) — renaming would create a silent duplicate
+      // that only fails at a later ambiguous-reference resolution. The
+      // flat/first column wins; later dotted variants are dropped.
+      // Built as ONE select: per-column renames re-analyze the tree.
+      val taken = scala.collection.mutable.Set(
+        kept.filter(!_.contains(".")): _*)
+      val out = kept.flatMap { c =>
+        if (!c.contains(".")) Some(col("`" + c + "`"))
         else {
-          // a flat column of the target name may already exist (or two
-          // dotted links may flatten to the same tail) — renaming would
-          // create a silent duplicate that only fails at a later
-          // ambiguous-reference resolution. The flat/first column wins;
-          // the dotted variant is dropped.
           val flat = c.split("\\.", 2)(1)
-          if (d.columns.contains(flat)) d.drop("`" + c + "`")
-          else d.withColumnRenamed(c, flat)
+          if (taken.contains(flat)) None
+          else { taken += flat; Some(col("`" + c + "`").as(flat)) }
         }
       }
+      df.select(out.toSeq: _*)
     }
     def key(n: String): String = catalog.keyOf(n).getOrElse(n + "_id")
 
@@ -173,12 +182,29 @@ object ExportStages {
         c <- child
         if c.columns.contains(on)
       } yield {
-        val joined = JoinOps.leftJoinCoalesce(p, c, Seq(on), childWins)
+        // when the child carries the file URL, the left join is
+        // inner-equivalent (unmatched parents get a null file_url and
+        // the filter below drops them) — declared INNER so AQE can
+        // pick a runtime broadcast from measured sizes; a left-outer
+        // join may only build its big child side, forcing sort-merge
+        val inner = c.columns.contains(fileUrlCol) &&
+          !p.columns.contains(fileUrlCol)
+        val pSide =
+          if (inner && hintBroadcastParents) broadcast(p) else p
+        val joined = JoinOps.leftJoinCoalesce(pSide, c, Seq(on), childWins,
+          joinType = if (inner) "inner" else "left")
         val urlKept =
           if (joined.columns.contains(fileUrlCol))
             joined.filter(col(fileUrlCol).isNotNull)
           else joined
-        name -> urlKept.dropDuplicates()
+        // The reference dedups each hop (`join_file_node_cleaner`'s
+        // drop_duplicates). Deferring every per-path dedup to ONE
+        // post-union dedup is exactly equivalent — the union is tagged
+        // with cds_path, so rows can't merge across paths, and a
+        // full-row duplicate stays a full-row duplicate through the
+        // row-wise joins/filters/coalesces between here and there —
+        // and it turns ~23 wide shuffles into 1.
+        name -> urlKept
       }
 
     val s = m.get(sampleNode)
@@ -226,5 +252,6 @@ object ExportStages {
     terminal
       .map { case (name, df) => df.withColumn("cds_path", lit(name)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+      .dropDuplicates()
   }
 }

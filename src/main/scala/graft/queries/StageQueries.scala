@@ -346,25 +346,25 @@ object StageQueries {
       val study = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("Title"), (col("n_nationkey") % 3).cast("string")).as("study_title"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val studyAdmin = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("Adm"), (col("n_nationkey") % 3).cast("string")).as("admin_name"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val studyPersonnel = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("PI"), (col("n_nationkey") % 3).cast("string")).as("personnel_name"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val pKey = col("c_custkey") % 200
       val participant = cust.select(
         concat(lit("P"), pKey.cast("string")).as("participant_id"),
         concat(lit("ST"), (pKey % 3).cast("string")).as("study_id"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val diagnosis = cust.select(
         concat(lit("P"), pKey.cast("string")).as("participant_id"),
         when(pKey % 4 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("dx"), (pKey % 7).cast("string"))).as("anatomic_site"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val sKey = col("o_orderkey") % 500
       val sample = ord.select(
         concat(lit("S"), sKey.cast("string")).as("sample_id"),
@@ -378,19 +378,19 @@ object StageQueries {
           .otherwise(lit(null).cast("string")).as("study_id"),
         when(sKey % 3 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("site"), (sKey % 6).cast("string"))).as("anatomic_site"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val xKey = col("p_partkey") % 50
       val pdx = prt.select(
         concat(lit("X"), xKey.cast("string")).as("pdx_id"),
         concat(lit("S"), ((xKey * 7) % 500).cast("string")).as("sample_id"),
         concat(lit("pp"), (xKey % 4).cast("string")).as("passage"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val clKey = col("s_suppkey") % 40
       val cellLine = sup.select(
         concat(lit("C"), clKey.cast("string")).as("cell_line_id"),
         concat(lit("S"), ((clKey * 11) % 500).cast("string")).as("sample_id"),
         concat(lit("src"), (clKey % 3).cast("string")).as("source"))
-        .distinct()
+        .distinct().localCheckpoint(false)
       val o = col("o_orderkey")
       def fileLinks = Seq(
         when(o % 6 <= 1, concat(lit("S"), (o % 500).cast("string")))
