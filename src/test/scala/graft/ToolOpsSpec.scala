@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{LocalFsStore, TransferExec}
+import graft.ops.{JoinOps, TemplateUpdate, TransferOps}
+import graft.pipeline.SubmissionCruncher
+
+/** Round-3 tool operators: manifest diff, submission cruncher,
+  * template-update relocation report, staged file remover.
+  */
+class ToolOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("diffByKey tags both/left_only/right_only and suffixes overlaps") {
+    val l = Seq(("1", "a"), ("2", "b"), (null, "nl")).toDF("k1", "v")
+    val r = Seq(("2", "B"), ("3", "C"), (null, "nr")).toDF("k2", "v")
+    val out = JoinOps.diffByKey(l, r, "k1", "k2")
+      .orderBy(coalesce(col("k1"), col("k2")), col("presence"))
+    out.columns.toSeq shouldBe Seq("k1", "v_x", "k2", "v_y", "presence")
+    out.select("k1", "k2", "presence").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq shouldBe Seq(
+      (null, null, "left_only"),   // null key on the left never matches
+      (null, null, "right_only"),  // null key on the right never matches
+      ("1", null, "left_only"),
+      ("2", "2", "both"),
+      (null, "3", "right_only"))
+  }
+
+  test("concatSubmissions drops type + all-null rows, dedups, re-tags") {
+    val s1 = Map("n" -> strDf(Seq("type", "id", "v"))(
+      Seq("n", "1", "x"), Seq("n", null, null), Seq("n", "2", "y")))
+    val s2 = Map(
+      "n" -> strDf(Seq("type", "id", "v"))(
+        Seq("n", "1", "x"), Seq("n", "3", null)),
+      "m" -> strDf(Seq("type", "id"))(Seq("m", "9")))
+    val out = SubmissionCruncher.concatSubmissions(Seq(s1, s2))
+    out.keySet shouldBe Set("n", "m")
+    out("n").columns.head shouldBe "type" // re-inserted in front
+    out("n").orderBy("id").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq shouldBe Seq(
+      ("n", "1", "x"), ("n", "2", "y"), ("n", "3", null))
+    out("m").collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("m", "9"))
+  }
+
+  test("relocationReport: carried silent, single Yes, multi ordered No, none Not transfered, empty skipped") {
+    val manifest = Map(
+      "a" -> strDf(Seq("kept", "solo", "multi", "gone", "blank"))(
+        Seq("k", "s", "m", "g", null)))
+    val template = Seq(
+      ("a", "kept", 0), ("x", "solo", 1),
+      ("y", "multi", 2), ("x", "multi", 3),
+      ("file", "gone", 4) // excluded target only -> Not transfered
+    ).toDF("node", "property", "pos")
+    val out = TemplateUpdate.relocationReport(
+      TemplateUpdate.manifestProps(manifest), template)
+      .orderBy("property").collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))).toSeq
+    out shouldBe Seq(
+      ("a", "gone", "Not transfered", "", "No"),
+      ("a", "multi", "Relocated", "y,x", "No"), // template order, not name order
+      ("a", "solo", "Relocated", "x", "Yes"))
+  }
+
+  test("removalManifest + executeDeletes: staged removal statuses") {
+    val root = Files.createTempDirectory("graft_remover_test")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("prod/rel/a", "AA")   // staging identical -> Pass -> deleted
+    put("stage/st/a", "AA")
+    put("prod/rel/b", "BB")   // staging differs -> no delete
+    put("stage/st/b", "XX")
+    put("prod/rel/c", "CCC")  // staging missing; candidate elsewhere
+    put("else/c", "CCC")
+    val store = new LocalFsStore(root.toString)
+    val plan = Seq(("s3://prod/rel/a", 2L), ("s3://prod/rel/b", 2L),
+      ("s3://prod/rel/c", 3L)).toDF("uri", "obj_size")
+      .withColumn("staging_uri",
+        TransferOps.stagingUri(col("uri"), "prod/rel", "stage/st"))
+    val inventory = Seq(("s3://stage/st/a", 2L), ("s3://stage/st/b", 2L),
+      ("s3://else/c", 3L)).toDF("uri", "size")
+    val rm = TransferExec.removalManifest(plan, "uri", "staging_uri",
+      "obj_size", store, Some(inventory)).localCheckpoint(true)
+    val out = rm.orderBy("uri").collect().map(r => (r.getAs[String]("uri"),
+      r.getAs[Boolean]("staging_if_exist"), r.getAs[String]("md5sum_check"),
+      r.getAs[String]("missing_object_candidate_keys"))).toSeq
+    out shouldBe Seq(
+      ("s3://prod/rel/a", true, "Pass", ""),
+      ("s3://prod/rel/b", true, "", ""),
+      ("s3://prod/rel/c", false, "", "s3://else/c,"))
+    val deleted = TransferExec.executeDeletes(
+      rm.filter(col("md5sum_check") === "Pass"), "uri", store)
+    deleted.select("delete_status").as[String].collect().toSeq shouldBe
+      Seq("Success")
+    store.exists("s3://prod/rel/a") shouldBe false
+    store.exists("s3://prod/rel/b") shouldBe true
+    // second pass: already gone
+    TransferExec.executeDeletes(
+        Seq("s3://prod/rel/a").toDF("uri"), "uri", store)
+      .select("delete_status").as[String].collect().toSeq shouldBe
+      Seq("Not Found")
+  }
+
+  test("TransferExec executors fail fast on result-column collisions") {
+    val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
+    val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
+    an[IllegalArgumentException] should be thrownBy
+      TransferExec.probe(bad, "uri", store)
+  }
+}
