@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The COG clinical rule engine (`/root/reference/src/
+  * cog_rules_functions.py`): a rules TABLE (node, mode, property,
+  * function, inputs, modifiers, …) drives per-row derivations of
+  * output node frames. The reference interprets each rule per pandas
+  * row; here every rule COMPILES to a Catalyst `Column` — one
+  * whole-stage-codegen'd select per (node, mode) group, no UDFs, no
+  * per-row interpretation. Rules are configuration (driver-side
+  * `Seq`), data never leaves the executors.
+  *
+  * Functions mirror `TRANSFORM_REGISTRY` (`cog_rules_functions.py:
+  * 597-618`); the multi-value mappers join DISTINCT values with ";"
+  * — the reference's `";".join(set(...))` has no defined order, ours
+  * is sorted (documented deterministic refinement).
+  */
+object RuleEngine {
+
+  /** One rule row (`Rule`, `cog_rules_functions.py:663-698`).
+    * `modifiers` are (name, value) pairs applied in sequence;
+    * `mapping` parameterizes the dict mappers; `param` is the
+    * function-level value for `default`.
+    */
+  final case class CogRule(
+      node: String,
+      mode: String,
+      property: String,
+      function: String,
+      inputs: Seq[String] = Seq.empty,
+      core: Boolean = false,
+      requiredDefault: Option[String] = None,
+      modifiers: Seq[(String, String)] = Seq.empty,
+      mapping: Map[String, String] = Map.empty,
+      param: Option[String] = None)
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  // the SQL higher-order transform, unshadowed by this object's
+  // `transform(DataFrame, rules)` entry point
+  private def mapArr(c: Column)(f: Column => Column): Column =
+    org.apache.spark.sql.functions.transform(c, f)
+
+  /** Non-null input values, in input order. */
+  private def nonNull(inputs: Seq[String]): Column =
+    filter(array(inputs.map(q): _*), v => v.isNotNull)
+
+  /** `";".join(set(values))` — sorted for determinism. */
+  private def distinctJoin(values: Column): Column =
+    array_join(array_sort(array_distinct(values)), ";")
+
+  /** Python `str.title()` + `.replace("Or", "or")` as the reference
+    * applies it to race/ethnicity values (space-separated terms).
+    */
+  private def titleOr(c: Column): Column =
+    regexp_replace(initcap(lower(c)), "Or", "or")
+
+  private def mapValues(values: Column, mapping: Map[String, String]): Column =
+    if (mapping.isEmpty) values
+    else {
+      val m = map(mapping.toSeq.flatMap {
+        case (k, v) => Seq(lit(k), lit(v))
+      }: _*)
+      mapArr(values)(v => coalesce(element_at(m, v), v))
+    }
+
+  private def tryLong(c: Column): Column = c.try_cast("bigint")
+
+  /** Compile one rule's transformation to a Column
+    * (`TRANSFORM_REGISTRY`, `cog_rules_functions.py:597-618`). All
+    * outputs are strings (the manifest convention).
+    */
+  def compileFunction(r: CogRule): Column = {
+    val ins = r.inputs
+    def in(i: Int) = q(ins(i))
+    val nn = nonNull(ins)
+    val noInput = size(nn) === 0
+    val nullStr = lit(null).cast("string")
+    r.function match {
+      case "liftover" =>
+        if (ins.isEmpty) nullStr else in(0)
+      case "concatenation" =>
+        when(noInput, nullStr).otherwise(array_join(nn, "_"))
+      case "difference" =>
+        // b - a; null when either side is null or unparseable
+        (tryLong(in(1)) - tryLong(in(0))).cast("string")
+      case "age_event" =>
+        // abs(a) + b with the reference's -999 missing sentinel
+        when(in(0).isNull || in(1).isNull ||
+            tryLong(in(0)).isNull || tryLong(in(1)).isNull, lit("-999"))
+          .otherwise((abs(tryLong(in(0))) + tryLong(in(1))).cast("string"))
+      case "race_eth" =>
+        val a0 = titleOr(in(0))
+        val b0 = titleOr(in(1))
+        val b1 = when(
+          b0.isin("Not Hispanic or Latino", "Unknown", "Not Reported"), "")
+          .otherwise(b0)
+        val a1 = when(b1 =!= "" && a0.isin("Unknown", "Not Reported"), "")
+          .otherwise(a0)
+        when(in(0).isNull || in(1).isNull, nullStr)
+          .when(a1 === "" && b1 === "", "Not Reported")
+          .when(b1 =!= "" && a1 =!= "", concat(a1, lit(";"), b1))
+          .when(b1 =!= "", b1)
+          .otherwise(a1)
+      case "default" =>
+        lit(r.param.orElse(r.modifiers.headOption.map(_._2)).orNull)
+          .cast("string")
+      case "parse" =>
+        when(noInput, nullStr).otherwise(distinctJoin(nn))
+      case "tumor_spatial_extent_parse" =>
+        val m = if (r.mapping.nonEmpty) r.mapping else Map(
+          "Localized" -> "Local", "Metastatic" -> "Metastatic",
+          "Distant" -> "Metastatic", "Not Answered" -> "Not Reported",
+          "M0" -> "Local", "M0 or M1" -> "Locoregional",
+          "M1" -> "Locoregional", "M2" -> "Regional",
+          "M3" -> "Metastatic", "M4" -> "Metastatic")
+        when(noInput, lit("Not Reported"))
+          .otherwise(distinctJoin(mapValues(nn, m)))
+      case "dx_basis" =>
+        val m = if (r.mapping.nonEmpty) r.mapping else Map(
+          "Histology" -> "Pathology", "Imaging" -> "Pathology",
+          "Other" -> "Not Reported", "Tumor Marker" -> "Molecular")
+        val titled = mapArr(nn)(v => initcap(lower(v)))
+        val biopsy = mapArr(titled)(v =>
+          when(v.contains("iopsy"), "Pathology").otherwise(v))
+        when(noInput, nullStr).otherwise(distinctJoin(mapValues(biopsy, m)))
+      case "tumor_grade" =>
+        val m = if (r.mapping.nonEmpty) r.mapping else Map(
+          "I" -> "G1 Low Grade", "II" -> "G2 Intermediate Grade",
+          "III" -> "G3 High Grade", "IV" -> "G4 Anaplastic",
+          "Grade I" -> "G1 Low Grade", "Grade II" -> "G2 Intermediate Grade",
+          "Grade III" -> "G3 High Grade", "Grade IV" -> "G4 Anaplastic",
+          "Not Applicable" -> "Not Applicable", "Unknown" -> "Unknown",
+          "Unknown/Not applicable" -> "Unknown")
+        when(noInput, nullStr).otherwise(distinctJoin(mapValues(nn, m)))
+      case "substudy_dx" =>
+        val kept = filter(nn,
+          v => !v.isin("Other", "Unknown", "Not Reported"))
+        when(noInput, nullStr)
+          .when(size(kept) === 0, "Not Reported")
+          .otherwise(distinctJoin(kept))
+      case "efs_status" =>
+        val kept = filter(nn,
+          v => !v.isin("Other", "Unknown", "Not Reported"))
+        when(noInput, nullStr)
+          .when(size(kept) > 0, "Not Censored")
+          .otherwise(nullStr)
+      case "efs_age" =>
+        // two non-null int inputs: event - birth = max - min
+        val longs = filter(mapArr(nn)(tryLong), v => v.isNotNull)
+        when(size(nn) =!= 2 || size(longs) =!= 2, nullStr)
+          .otherwise((array_max(longs) - array_min(longs)).cast("string"))
+      case "other_treatment_type" =>
+        val m = if (r.mapping.nonEmpty) r.mapping else Map(
+          "Cord blood" -> "Cord Blood Stem Cell Transplant",
+          "Autologous PBSC" ->
+            "Autologous Peripheral Blood Stem Cell Transplant",
+          "Autologous bone marrow" -> "Autologous Bone Marrow Transplant",
+          "Other" -> "Other Stem Cell Transplant")
+        val kept = filter(nn,
+          v => !v.isin("Other", "Unknown", "Not Reported"))
+        when(noInput, nullStr)
+          .when(size(kept) === 0, "Not Reported")
+          .otherwise(distinctJoin(mapValues(kept, m)))
+      case "follow_up_treat_response" =>
+        // positional (cog_rules_functions.py:244-271): first-line tx,
+        // disease exam, confirmed complete response, progression
+        val (tx, exam, conf, prog) = (in(0), in(1), in(2), in(3))
+        when(tx === "Yes" && exam === "Yes" &&
+            conf === "Yes" && prog === "No", "Complete Remission")
+          .when(tx === "Yes" && exam === "Yes" && prog === "Yes",
+            "Progressive Disease")
+          .when(tx === "Yes" && exam === "Yes", "Unknown")
+          .when(tx =!= "Yes" && conf === "Yes" && prog === "No",
+            "Complete Remission")
+          .otherwise("Not Reported")
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported function: $other")
+    }
+  }
+
+  /** `apply_modifier` (`cog_rules_functions.py:624-656`): suffix,
+    * prefix, default, priority (first n of a ;-list), regex_replace
+    * ("pat%repl" + strip + collapse-repeats), regex_remove — applied
+    * in sequence, skipped entirely when the value is null.
+    */
+  def applyModifiers(value: Column, modifiers: Seq[(String, String)]): Column = {
+    val modified = modifiers.foldLeft(value) { case (v, (name, mv)) =>
+      name match {
+        case "suffix" => concat(v, lit("_" + mv))
+        case "prefix" => concat(lit(mv + "_"), v)
+        case "default" => lit(mv).cast("string")
+        case "priority" =>
+          val n = mv.toInt
+          val parts = split(v, ";")
+          when(size(parts) <= n, v)
+            .otherwise(array_join(slice(parts, 1, n), ";"))
+        case "regex_replace" =>
+          val Array(pat, repl) = mv.split("%", 2)
+          val esc = java.util.regex.Pattern.quote(repl)
+          val cls = "[" + repl.replaceAll("([\\\\\\]\\[^-])", "\\\\$1") + "]"
+          val replaced = regexp_replace(v, pat, repl)
+          val stripped = regexp_replace(replaced, s"^$cls+|$cls+$$", "")
+          regexp_replace(stripped, s"(?:$esc){2,}", repl)
+        case "regex_remove" => regexp_replace(v, mv, "")
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported modifier: $other")
+      }
+    }
+    if (modifiers.isEmpty) value else when(value.isNull, value).otherwise(modified)
+  }
+
+  /** One rule end to end (`Rule.apply`, `:691-698`): transform →
+    * modifiers → required default when the result is null/""/NA.
+    */
+  def compileRule(r: CogRule): Column = {
+    val v = applyModifiers(compileFunction(r), r.modifiers)
+    r.requiredDefault match {
+      case None => v.as(r.property)
+      case Some(d) =>
+        when(v.isNull || v === "" || upper(v) === "NA", lit(d))
+          .otherwise(v).as(r.property)
+    }
+  }
+
+  /** `TransformerEngine.transform` (`:729-757`): rules group by
+    * (node, mode); a group with core rules keeps only rows where at
+    * least one core rule has a non-null input; each group is ONE
+    * select; a node's mode-frames union by name.
+    */
+  def transform(input: DataFrame, rules: Seq[CogRule]): Map[String, DataFrame] = {
+    val byGroup = rules.groupBy(r => (r.node, r.mode)).toSeq
+      .sortBy { case ((n, m), _) => (n, m) }
+    val nodeFrames = byGroup.map { case ((node, _), groupRules) =>
+      val coreRules = groupRules.filter(_.core)
+      val gated =
+        if (coreRules.isEmpty) input
+        else input.filter(coreRules
+          .map(r => size(nonNull(r.inputs)) > 0)
+          .reduce(_ || _))
+      node -> gated.select(groupRules.map(compileRule): _*)
+    }
+    nodeFrames.groupBy(_._1).map { case (node, frames) =>
+      node -> frames.map(_._2)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+}

@@ -287,5 +287,137 @@ object ToolQueries {
           col("staging_md5sum"), col("md5sum_check"),
           col("missing_object_candidate_keys"), col("delete_status"))
         .orderBy(col("c_custkey"))
+    },
+
+    // The COG rule engine (cog_rules_functions.py): a rules table
+    // compiled to Catalyst Columns — liftover / concatenation /
+    // age_event / race_eth / tumor_grade / efs_status + prefix and
+    // priority modifiers, core gating, required defaults, and the
+    // per-node mode-group union. The oracle derives every expected
+    // value from key arithmetic (the fixture's value domains are
+    // closed, so the pandas title/mapping logic is enumerable).
+    Q("q85_cog_transform",
+      """WITH base AS (
+        |  SELECT c_custkey AS k FROM customer),
+        |participant AS (
+        |  SELECT 'participant' AS node,
+        |    'U' || CAST(k AS VARCHAR) AS participant_id,
+        |    CASE
+        |      WHEN k % 5 = 4 THEN NULL
+        |      WHEN k % 5 = 2 AND k % 3 = 0 THEN 'Hispanic or Latino'
+        |      WHEN k % 5 = 2 THEN 'Unknown'
+        |      ELSE (CASE k % 5 WHEN 0 THEN 'White'
+        |                       WHEN 1 THEN 'Black or African American'
+        |                       ELSE 'Asian' END)
+        |           || (CASE WHEN k % 3 = 0 THEN ';Hispanic or Latino' ELSE '' END)
+        |    END AS race_ethnicity,
+        |    CASE WHEN k % 11 = 0 THEN '-999'
+        |         ELSE CAST((k % 900 + 10) + (k % 480) AS VARCHAR)
+        |    END AS age_at_diagnosis,
+        |    'rec_' || (CASE WHEN k % 13 = 0 THEN ''
+        |               ELSE 'm' || CAST(k % 10 AS VARCHAR) || '_' END)
+        |           || 'x' || CAST(k % 8 AS VARCHAR) AS record_id,
+        |    CAST(NULL AS VARCHAR) AS dx_date,
+        |    CAST(NULL AS VARCHAR) AS diagnosis_id,
+        |    CAST(NULL AS VARCHAR) AS tumor_grade_std,
+        |    CAST(NULL AS VARCHAR) AS top_grade,
+        |    CAST(NULL AS VARCHAR) AS efs
+        |  FROM base),
+        |diagnosis AS (
+        |  SELECT 'diagnosis' AS node,
+        |    CAST(NULL AS VARCHAR) AS participant_id,
+        |    CAST(NULL AS VARCHAR) AS race_ethnicity,
+        |    CAST(NULL AS VARCHAR) AS age_at_diagnosis,
+        |    CAST(NULL AS VARCHAR) AS record_id,
+        |    CAST(k % 480 AS VARCHAR) AS dx_date,
+        |    'U' || CAST(k AS VARCHAR) || '_' || CAST(k % 480 AS VARCHAR)
+        |      AS diagnosis_id,
+        |    CASE k % 6
+        |      WHEN 0 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G1 Low Grade;G2 Intermediate Grade' ELSE 'G1 Low Grade' END
+        |      WHEN 1 THEN 'G2 Intermediate Grade'
+        |      WHEN 2 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade;G3 High Grade' ELSE 'G3 High Grade' END
+        |      WHEN 3 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade;G4 Anaplastic' ELSE 'G4 Anaplastic' END
+        |      WHEN 4 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade;Unknown' ELSE 'Unknown' END
+        |      ELSE CASE WHEN k % 7 = 0 THEN 'G2 Intermediate Grade' END
+        |    END AS tumor_grade_std,
+        |    CASE k % 6
+        |      WHEN 0 THEN 'G1 Low Grade'
+        |      WHEN 1 THEN 'G2 Intermediate Grade'
+        |      WHEN 2 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade' ELSE 'G3 High Grade' END
+        |      WHEN 3 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade' ELSE 'G4 Anaplastic' END
+        |      WHEN 4 THEN CASE WHEN k % 7 = 0
+        |        THEN 'G2 Intermediate Grade' ELSE 'Unknown' END
+        |      ELSE CASE WHEN k % 7 = 0 THEN 'G2 Intermediate Grade' END
+        |    END AS top_grade,
+        |    CASE WHEN k % 4 = 0 OR k % 5 = 0 THEN 'Not Censored'
+        |         ELSE 'Censored' END AS efs
+        |  FROM base WHERE k % 11 <> 0)
+        |SELECT * FROM (
+        |  SELECT * FROM participant UNION ALL SELECT * FROM diagnosis)
+        |ORDER BY node, coalesce(participant_id, diagnosis_id)""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.RuleEngine
+      import graft.ops.RuleEngine.CogRule
+      val k = col("c_custkey")
+      val input = t(s, dir, "customer").select(
+        concat(lit("U"), k.cast("string")).as("USI"),
+        concat(lit("-"), (k % 900 + 10).cast("string")).as("DOB"),
+        when(k % 11 === 0, lit(null).cast("string"))
+          .otherwise((k % 480).cast("string")).as("DX_DT"),
+        when(k % 5 === 0, "white")
+          .when(k % 5 === 1, "black or african american")
+          .when(k % 5 === 2, "unknown")
+          .when(k % 5 === 3, "asian")
+          .otherwise(lit(null).cast("string")).as("RACE"),
+        when(k % 3 === 0, "hispanic or latino")
+          .when(k % 3 === 1, "not hispanic or latino")
+          .otherwise("unknown").as("ETH"),
+        when(k % 6 === 0, "I").when(k % 6 === 1, "II")
+          .when(k % 6 === 2, "III").when(k % 6 === 3, "IV")
+          .when(k % 6 === 4, "Unknown")
+          .otherwise(lit(null).cast("string")).as("GRADE1"),
+        when(k % 7 === 0, "Grade II")
+          .otherwise(lit(null).cast("string")).as("GRADE2"),
+        when(k % 4 === 0, "Relapse").when(k % 4 === 1, "Other")
+          .otherwise(lit(null).cast("string")).as("EFS1"),
+        when(k % 5 === 0, "Death")
+          .otherwise(lit(null).cast("string")).as("EFS2"),
+        when(k % 13 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("m"), (k % 10).cast("string"))).as("MRN1"),
+        concat(lit("x"), (k % 8).cast("string")).as("MRN2"))
+      val rules = Seq(
+        CogRule("participant", "m1", "participant_id", "liftover",
+          Seq("USI"), core = true),
+        CogRule("participant", "m1", "race_ethnicity", "race_eth",
+          Seq("RACE", "ETH")),
+        CogRule("participant", "m1", "age_at_diagnosis", "age_event",
+          Seq("DOB", "DX_DT")),
+        CogRule("participant", "m1", "record_id", "concatenation",
+          Seq("MRN1", "MRN2"), modifiers = Seq(("prefix", "rec"))),
+        CogRule("diagnosis", "m1", "dx_date", "liftover",
+          Seq("DX_DT"), core = true),
+        CogRule("diagnosis", "m1", "diagnosis_id", "concatenation",
+          Seq("USI", "DX_DT")),
+        CogRule("diagnosis", "m1", "tumor_grade_std", "tumor_grade",
+          Seq("GRADE1", "GRADE2")),
+        CogRule("diagnosis", "m1", "top_grade", "tumor_grade",
+          Seq("GRADE1", "GRADE2"), modifiers = Seq(("priority", "1"))),
+        CogRule("diagnosis", "m1", "efs", "efs_status",
+          Seq("EFS1", "EFS2"), requiredDefault = Some("Censored")))
+      val out = RuleEngine.transform(input, rules)
+      out.toSeq.sortBy(_._1)
+        .map { case (node, df) => df.select(lit(node).as("node") +:
+          df.columns.map(c => col("`" + c + "`")).toSeq: _*) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .select("node", "participant_id", "race_ethnicity",
+          "age_at_diagnosis", "record_id", "dx_date", "diagnosis_id",
+          "tumor_grade_std", "top_grade", "efs")
+        .orderBy(col("node"), coalesce(col("participant_id"), col("diagnosis_id")))
     })
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RuleEngine
+import graft.ops.RuleEngine.CogRule
+
+/** The COG rule engine: rule rows compile to Columns; groups gate on
+  * core inputs; node frames union across modes.
+  */
+class RuleEngineSpec extends SparkSpecBase {
+
+  private def one(rule: CogRule, cols: Seq[String], row: Seq[Any]): String = {
+    val df = strDf(cols)(row)
+    df.select(RuleEngine.compileRule(rule)).collect().head.getString(0)
+  }
+
+  test("liftover, concatenation, difference, age_event compile faithfully") {
+    val cols = Seq("a", "b")
+    one(CogRule("n", "m", "p", "liftover", Seq("a")), cols,
+      Seq("x", "y")) shouldBe "x"
+    one(CogRule("n", "m", "p", "concatenation", Seq("a", "b")), cols,
+      Seq("x", "y")) shouldBe "x_y"
+    one(CogRule("n", "m", "p", "concatenation", Seq("a", "b")), cols,
+      Seq(null, "y")) shouldBe "y"
+    one(CogRule("n", "m", "p", "concatenation", Seq("a", "b")), cols,
+      Seq(null, null)) shouldBe null
+    one(CogRule("n", "m", "p", "difference", Seq("a", "b")), cols,
+      Seq("3", "10")) shouldBe "7"
+    one(CogRule("n", "m", "p", "difference", Seq("a", "b")), cols,
+      Seq("x", "10")) shouldBe null
+    one(CogRule("n", "m", "p", "age_event", Seq("a", "b")), cols,
+      Seq("-100", "40")) shouldBe "140"
+    one(CogRule("n", "m", "p", "age_event", Seq("a", "b")), cols,
+      Seq(null, "40")) shouldBe "-999"
+  }
+
+  test("race_eth reproduces the reference's title + blanking logic") {
+    val cols = Seq("race", "eth")
+    val r = CogRule("n", "m", "p", "race_eth", Seq("race", "eth"))
+    one(r, cols, Seq("white", "hispanic or latino")) shouldBe
+      "White;Hispanic or Latino"
+    one(r, cols, Seq("white", "not hispanic or latino")) shouldBe "White"
+    one(r, cols, Seq("unknown", "hispanic or latino")) shouldBe
+      "Hispanic or Latino"
+    one(r, cols, Seq("unknown", "unknown")) shouldBe "Unknown"
+    one(r, cols, Seq(null, "unknown")) shouldBe null
+  }
+
+  test("dict mappers join sorted distinct values; efs/substudy drop noise terms") {
+    val cols = Seq("g1", "g2")
+    one(CogRule("n", "m", "p", "tumor_grade", Seq("g1", "g2")), cols,
+      Seq("III", "Grade I")) shouldBe "G1 Low Grade;G3 High Grade"
+    one(CogRule("n", "m", "p", "tumor_grade", Seq("g1", "g2")), cols,
+      Seq("II", "Grade II")) shouldBe "G2 Intermediate Grade"
+    one(CogRule("n", "m", "p", "dx_basis", Seq("g1", "g2")), cols,
+      Seq("needle biopsy", "histology")) shouldBe "Pathology"
+    one(CogRule("n", "m", "p", "substudy_dx", Seq("g1", "g2")), cols,
+      Seq("Other", "Unknown")) shouldBe "Not Reported"
+    one(CogRule("n", "m", "p", "efs_status", Seq("g1", "g2")), cols,
+      Seq("Relapse", null)) shouldBe "Not Censored"
+    one(CogRule("n", "m", "p", "efs_status", Seq("g1", "g2")), cols,
+      Seq("Other", null)) shouldBe null
+    one(CogRule("n", "m", "p", "efs_age", Seq("g1", "g2")), cols,
+      Seq("500", "30")) shouldBe "470"
+  }
+
+  test("modifiers apply in sequence and skip null values") {
+    val cols = Seq("a")
+    one(CogRule("n", "m", "p", "liftover", Seq("a"),
+      modifiers = Seq(("prefix", "pre"), ("suffix", "suf"))), cols,
+      Seq("v")) shouldBe "pre_v_suf"
+    one(CogRule("n", "m", "p", "liftover", Seq("a"),
+      modifiers = Seq(("prefix", "pre"))), cols, Seq(null)) shouldBe null
+    one(CogRule("n", "m", "p", "liftover", Seq("a"),
+      modifiers = Seq(("priority", "2"))), cols,
+      Seq("x;y;z")) shouldBe "x;y"
+    one(CogRule("n", "m", "p", "liftover", Seq("a"),
+      modifiers = Seq(("regex_remove", "[0-9]"))), cols,
+      Seq("a1b2")) shouldBe "ab"
+    one(CogRule("n", "m", "p", "liftover", Seq("a"),
+      modifiers = Seq(("regex_replace", "[ /]%_"))), cols,
+      Seq("a b/c ")) shouldBe "a_b_c"
+  }
+
+  test("required_default fills null/empty/NA outputs") {
+    val cols = Seq("a")
+    val r = CogRule("n", "m", "p", "liftover", Seq("a"),
+      requiredDefault = Some("D"))
+    one(r, cols, Seq(null)) shouldBe "D"
+    one(r, cols, Seq("NA")) shouldBe "D"
+    one(r, cols, Seq("v")) shouldBe "v"
+  }
+
+  test("transform gates groups on core inputs and unions modes per node") {
+    val df = strDf(Seq("usi", "dx", "alt"))(
+      Seq("u1", "d1", null),
+      Seq("u2", null, "a2"),
+      Seq("u3", null, null))
+    val rules = Seq(
+      CogRule("diag", "m1", "id", "liftover", Seq("usi")),
+      CogRule("diag", "m1", "date", "liftover", Seq("dx"), core = true),
+      CogRule("diag", "m2", "id", "liftover", Seq("usi")),
+      CogRule("diag", "m2", "alt_date", "liftover", Seq("alt"), core = true))
+    val out = RuleEngine.transform(df, rules)
+    out.keySet shouldBe Set("diag")
+    val rows = out("diag").orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("date"),
+        r.getAs[String]("alt_date"))).toSeq
+    // m1 keeps u1 (dx present), m2 keeps u2 (alt present); u3 gated out
+    rows shouldBe Seq(("u1", "d1", null), ("u2", null, "a2"))
+  }
+}
