@@ -198,6 +198,53 @@ object DedupOps {
   def simhash64Bands(sig: Column): Seq[Column] =
     (0 until 4).map(b => sig.substr(lit(1 + 16 * b), lit(16)))
 
+  /** Near-dup CLUSTER formation: the step after candidate pairs in a
+    * dedup pipeline (pairs → components → keep one doc per
+    * component). Min-label propagation: every node's label becomes
+    * the min label over itself and its neighbors until fixpoint —
+    * O(component diameter) rounds, each one equi-join + min-agg
+    * shuffled on id. Near-dup graphs are union-of-cliques-ish
+    * (diameter stays small), so rounds ≪ log n in practice;
+    * `maxIter` caps adversarial chains. Each round is eagerly
+    * checkpointed: lineage stays O(1) and the convergence probe is
+    * one cheap job over materialized labels.
+    *
+    * Returns (id, cluster_id) with cluster_id = min node id of the
+    * component. Nodes absent from `pairs` are their own cluster if
+    * supplied via `nodes`.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", nodes: Option[DataFrame] = None,
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
+      .union(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val endpoints = sym.select(col("__src").as("id"))
+    val seed = nodes
+      .map(n => endpoints.union(n.select(n.columns.head).toDF("id")))
+      .getOrElse(endpoints)
+      .distinct()
+    var labels = seed.withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("__src") === labels("id"))
+        .select(col("__dst").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").union(neighborMin)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   def simhash16(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val perTokenBits = transform(toks, t => {

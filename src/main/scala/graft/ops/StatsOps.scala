@@ -42,4 +42,105 @@ object StatsOps {
     val anyOver = fields.map(f => col(s"n_$f") > 1).reduce(_ || _)
     wide.filter(anyOver)
   }
+
+  /** The catalog-stats age histogram (`/root/reference/workflows/
+    * data_catalog_stats.py:65-105` `age_at_diagnosis_parser`):
+    * numeric-coerce with a -999 missing sentinel, age-in-years =
+    * days/365, LEFT-closed [lo, hi) bins that are reported even when
+    * empty (`observed=False`), out-of-range ages silently dropped
+    * (pandas' NaN bin), and a trailing "Not Reported" row counting
+    * the sentinel. ONE aggregate pass — every bin is a conditional
+    * sum, exploded to the long report shape afterward.
+    */
+  def binnedAgeCounts(df: DataFrame, ageCol: String,
+      edges: Seq[Int] = (0 to 80 by 5),
+      dataElement: String = "Case Age at Diagnosis",
+      daysPerYear: Double = 365.0): DataFrame = {
+    val coerced = coalesce(
+      col("`" + ageCol + "`").try_cast("double").cast("int"), lit(-999))
+    val years = coerced.cast("double") / daysPerYear
+    val bins = edges.sliding(2).toSeq.map {
+      case Seq(lo, hi) => (lo, hi, s"$lo to ${hi - 1} years")
+    }
+    val aggs = bins.zipWithIndex.map { case ((lo, hi, _), i) =>
+      sum(when(coerced =!= -999 && years >= lo && years < hi, 1L)
+        .otherwise(0L)).as(s"__b$i")
+    } :+ sum(when(coerced === -999, 1L).otherwise(0L)).as("__nr")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = bins.zipWithIndex.map { case ((_, _, label), i) =>
+      struct(lit(label).as("v"), col(s"__b$i").as("n"))
+    } :+ struct(lit("Not Reported").as("v"), col("__nr").as("n"))
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(lit(dataElement).as("Data Element"),
+        col("__r.v").as("Data Element Value"),
+        lit("Count").as("Statistic Type"),
+        col("__r.n").as("Statistic Value"))
+  }
+
+  /** The catalog-stats file-type counts (`data_catalog_stats.py:
+    * 158-187` `file_counts`): per-type counts summed across the file
+    * node frames plus a Total row with a null value cell. The
+    * reference's per-sheet groupby-then-sum collapses to one grouped
+    * count over the union (associativity); the Total comes from the
+    * same grouped frame via rollup-free summation — two small
+    * aggregations, no second scan.
+    */
+  def fileTypeCounts(frames: Seq[DataFrame], typeCol: String,
+      dataElement: String = "Available File Types",
+      totalElement: String = "Total File Count"): DataFrame = {
+    val unioned = frames
+      .map(_.select(col("`" + typeCol + "`").as("__t")))
+      .reduce(_.union(_))
+    val counts = unioned.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // consumed by the rows and the total
+    val typed = counts.select(
+      lit(dataElement).as("Data Element"),
+      col("__t").as("Data Element Value"),
+      lit("Count").as("Statistic Type"),
+      col("__n").as("Statistic Value"))
+    val total = counts.agg(sum(col("__n")).as("__s")).select(
+      lit(totalElement).as("Data Element"),
+      lit(null).cast("string").as("Data Element Value"),
+      lit("Count").as("Statistic Type"),
+      col("__s").as("Statistic Value"))
+    typed.unionByName(total)
+  }
+
+  /** The db-stats study matrix (`/root/reference/workflows/
+    * db_stats.py:224-305`): a long (study_id, column_name, value)
+    * union of many source pulls → dedup → pivot wide → byte→TB
+    * conversion for `file_size(Tb)` columns → column classes
+    * reordered (the fixed front list, then `data_exist` columns,
+    * then the rest in pivot/alphabetical order). Duplicate
+    * (study, column) pairs after dedup are the caller's dup-report
+    * concern ([[havingCountOver]]); the pivot takes max like the
+    * reference's pivot would raise.
+    */
+  def studyStatsWide(long: DataFrame,
+      front: Seq[String] = Seq("study_id", "study_name",
+        "participant_node_count", "sample_node_count",
+        "study_level_file_count", "study_level_file_size(Tb)",
+        "sequencing_file_library_strategy", "study_personnel_PI",
+        "study_personnel_institution", "study_bucket"),
+      tbMarker: String = "file_size(Tb)",
+      existMarker: String = "data_exist"): DataFrame = {
+    val deduped = long.dropDuplicates()
+    val wide = deduped.groupBy(col("study_id"))
+      .pivot("column_name").agg(max(col("value")))
+    val converted = wide.select(wide.columns.map { c =>
+      val q = col("`" + c + "`")
+      if (c.contains(tbMarker))
+        round(q.try_cast("double") / 1e12, 3).cast("decimal(24,3)")
+          .cast("string").as(c)
+      else q.as(c)
+    }.toSeq: _*)
+    val cols = converted.columns
+    val frontPresent = front.filter(cols.contains)
+    val existCols = cols.filter(c =>
+      c.contains(existMarker) && !frontPresent.contains(c)).sorted
+    val rest = cols.filterNot(c =>
+      frontPresent.contains(c) || existCols.contains(c))
+    converted.select((frontPresent ++ existCols ++ rest)
+      .map(c => col("`" + c + "`")).toSeq: _*)
+  }
 }

@@ -419,5 +419,134 @@ object ToolQueries {
           "age_at_diagnosis", "record_id", "dx_date", "diagnosis_id",
           "tumor_grade_std", "top_grade", "efs")
         .orderBy(col("node"), coalesce(col("participant_id"), col("diagnosis_id")))
+    },
+
+    // Near-dup cluster formation (DedupOps.connectedComponents):
+    // min-label propagation over a candidate-pair graph — chains of
+    // 10 (diameter stress), plus cross-links merging chain pairs,
+    // plus isolated nodes that stay their own singleton cluster. The
+    // oracle computes components with a recursive reachability CTE.
+    Q("q86_dup_clusters",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT DISTINCT o_orderkey % 200 AS id FROM orders),
+        |pairs AS (
+        |  SELECT id AS id1, id + 1 AS id2 FROM nodes
+        |  WHERE id % 10 < 9 AND id % 40 <> 17
+        |  UNION ALL
+        |  SELECT id, id + 10 FROM nodes WHERE id % 80 = 3),
+        |edges AS (
+        |  SELECT id1 AS src, id2 AS dst FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk AS (
+        |  SELECT id, id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      val nodes = t(s, dir, "orders")
+        .select((col("o_orderkey") % 200).as("id")).distinct()
+      val chain = nodes
+        .filter(col("id") % 10 < 9 && col("id") % 40 =!= 17)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      val cross = nodes.filter(col("id") % 80 === 3)
+        .select(col("id").as("id1"), (col("id") + 10).as("id2"))
+      DedupOps.connectedComponents(chain.union(cross), nodes = Some(nodes))
+        .orderBy(col("id"))
+    },
+
+    // The db-stats study matrix (db_stats.py:224-305): long
+    // (study_id, column_name, value) pulls → dedup → pivot →
+    // byte→TB conversion → front/exist/rest column ordering.
+    Q("q87_study_stats",
+      """WITH g AS (SELECT DISTINCT o_orderkey % 4 AS g FROM orders)
+        |SELECT 'ST' || CAST(g AS VARCHAR) AS study_id,
+        |  'Study ' || CAST(g AS VARCHAR) AS study_name,
+        |  CAST(g * 100 + 7 AS VARCHAR) AS participant_node_count,
+        |  CAST(CAST(round((g + 1) * 4000000000 / 1e12, 3) AS DECIMAL(24,3))
+        |       AS VARCHAR) AS "study_level_file_size(Tb)",
+        |  CASE WHEN g % 2 = 0 THEN 'Yes' ELSE 'No' END AS data_exist_radiology,
+        |  CAST(g * 3 AS VARCHAR) AS zmetric
+        |FROM g ORDER BY study_id""".stripMargin) { (s, dir) =>
+      import graft.ops.StatsOps
+      val g = (col("o_orderkey") % 4).cast("string")
+      val ord = t(s, dir, "orders")
+      def longRow(name: String, value: org.apache.spark.sql.Column) =
+        ord.select(concat(lit("ST"), g).as("study_id"),
+          lit(name).as("column_name"), value.cast("string").as("value"))
+      val long = Seq(
+        longRow("study_name", concat(lit("Study "), g)),
+        longRow("participant_node_count", col("o_orderkey") % 4 * 100 + 7),
+        longRow("study_level_file_size(Tb)",
+          (col("o_orderkey") % 4 + 1) * 4000000000L),
+        longRow("data_exist_radiology",
+          when(col("o_orderkey") % 4 % 2 === 0, "Yes").otherwise("No")),
+        longRow("zmetric", col("o_orderkey") % 4 * 3)
+      ).reduce(_.union(_))
+      StatsOps.studyStatsWide(long).orderBy(col("study_id"))
+    },
+
+    // The data-catalog stats (data_catalog_stats.py:65-187): the
+    // left-closed age histogram with empty bins + Not Reported
+    // sentinel row, and per-file-type counts with a Total row —
+    // one tagged report frame.
+    Q("q88_catalog_stats",
+      """WITH diag AS (
+        |  SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'bad'
+        |              WHEN o_orderkey % 13 = 0 THEN NULL
+        |              ELSE CAST(o_orderkey % 33000 AS VARCHAR) END AS age
+        |  FROM orders),
+        |coerced AS (
+        |  SELECT COALESCE(CAST(TRY_CAST(age AS DOUBLE) AS INT), -999) AS a
+        |  FROM diag),
+        |bins AS (
+        |  SELECT 5 * i AS lo, 5 * i + 5 AS hi,
+        |         CAST(5 * i AS VARCHAR) || ' to ' ||
+        |         CAST(5 * i + 4 AS VARCHAR) || ' years' AS label
+        |  FROM generate_series(0, 15) t(i)),
+        |binned AS (
+        |  SELECT b.label AS v, count(c.a) AS n
+        |  FROM bins b LEFT JOIN coerced c
+        |    ON c.a <> -999 AND c.a / 365.0 >= b.lo AND c.a / 365.0 < b.hi
+        |  GROUP BY b.label),
+        |agerows AS (
+        |  SELECT 'Case Age at Diagnosis' AS "Data Element",
+        |         v AS "Data Element Value", 'Count' AS "Statistic Type",
+        |         n AS "Statistic Value"
+        |  FROM binned
+        |  UNION ALL
+        |  SELECT 'Case Age at Diagnosis', 'Not Reported', 'Count',
+        |         (SELECT count(*) FROM coerced WHERE a = -999)),
+        |ft AS (
+        |  SELECT tp, count(*) AS n FROM (
+        |    SELECT 'T' || CAST(p_partkey % 5 AS VARCHAR) AS tp FROM part
+        |    UNION ALL
+        |    SELECT 'T' || CAST(s_suppkey % 7 AS VARCHAR) FROM supplier) u
+        |  GROUP BY tp),
+        |filerows AS (
+        |  SELECT 'Available File Types' AS "Data Element",
+        |         tp AS "Data Element Value", 'Count' AS "Statistic Type",
+        |         n AS "Statistic Value"
+        |  FROM ft
+        |  UNION ALL
+        |  SELECT 'Total File Count', NULL, 'Count',
+        |         CAST((SELECT sum(n) FROM ft) AS BIGINT))
+        |SELECT * FROM (
+        |  SELECT * FROM agerows UNION ALL SELECT * FROM filerows)
+        |ORDER BY "Data Element", "Data Element Value" NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.StatsOps
+      val o = col("o_orderkey")
+      val diag = t(s, dir, "orders").select(
+        when(o % 17 === 0, "bad")
+          .when(o % 13 === 0, lit(null).cast("string"))
+          .otherwise((o % 33000).cast("string")).as("age_at_diagnosis"))
+      val files1 = t(s, dir, "part").select(
+        concat(lit("T"), (col("p_partkey") % 5).cast("string")).as("file_type"))
+      val files2 = t(s, dir, "supplier").select(
+        concat(lit("T"), (col("s_suppkey") % 7).cast("string")).as("file_type"))
+      StatsOps.binnedAgeCounts(diag, "age_at_diagnosis")
+        .unionByName(StatsOps.fileTypeCounts(Seq(files1, files2), "file_type"))
+        .orderBy(col("`Data Element`"), col("`Data Element Value`"))
     })
 }

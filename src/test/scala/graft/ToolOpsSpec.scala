@@ -107,6 +107,43 @@ class ToolOpsSpec extends SparkSpecBase {
       Seq("Not Found")
   }
 
+  test("connectedComponents merges chains, keeps isolated singletons") {
+    import graft.ops.DedupOps
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (9L, 9L))
+      .toDF("id1", "id2")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L, 42L).toDF("id")
+    val out = DedupOps.connectedComponents(pairs, nodes = Some(nodes))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L), (6L, 1L),
+      (9L, 9L), (42L, 42L))
+  }
+
+  test("binnedAgeCounts: left-closed bins, empty bins kept, out-of-range dropped") {
+    import graft.ops.StatsOps
+    // 4y, 5y (next bin edge), coerce-fail, null, 90y (out of range)
+    val df = strDf(Seq("age"))(
+      Seq((4 * 365).toString), Seq((5 * 365).toString), Seq("oops"),
+      Seq(null), Seq((90 * 365).toString))
+    val out = StatsOps.binnedAgeCounts(df, "age")
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    out("0 to 4 years") shouldBe 1L
+    out("5 to 9 years") shouldBe 1L
+    out("10 to 14 years") shouldBe 0L // empty bin still reported
+    out("Not Reported") shouldBe 2L   // coerce-fail + null
+    out.values.sum shouldBe 4L        // the 90-year row vanished
+  }
+
+  test("fileTypeCounts sums across frames and appends a Total row") {
+    import graft.ops.StatsOps
+    val a = strDf(Seq("file_type"))(Seq("bam"), Seq("cram"))
+    val b = strDf(Seq("file_type"))(Seq("bam"))
+    val out = StatsOps.fileTypeCounts(Seq(a, b), "file_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    out should contain ("Available File Types", "bam", 2L)
+    out should contain ("Available File Types", "cram", 1L)
+    out should contain ("Total File Count", null, 3L)
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
