@@ -118,4 +118,26 @@ object ReshapeOps {
       toNode -> lifted.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
+
+  /** Liftover coverage check (`/root/reference/src/liftover_generic
+    * .py:49-110` `find_unlifted_props`): populated manifest columns
+    * (the `type` column excluded, like the reference's pre-scan drop)
+    * with NO (lift_from_node, lift_from_property) row in the mapping
+    * — mapping rows missing any of the four key fields are dropped
+    * first. Output: (node, unlifted_property).
+    *
+    * `manifestProps` is [[TemplateUpdate.manifestProps]]' shape:
+    * (node, property, has_value) — one aggregate pass per node table.
+    */
+  def unliftedProps(manifestProps: DataFrame, mapping: DataFrame): DataFrame = {
+    val mapped = mapping
+      .na.drop("any", Seq("lift_from_node", "lift_from_property",
+        "lift_to_node", "lift_to_property"))
+      .select(col("lift_from_node").as("node"),
+        col("lift_from_property").as("property"))
+    manifestProps
+      .filter(col("has_value") && col("property") =!= "type")
+      .join(broadcast(mapped), Seq("node", "property"), "left_anti")
+      .select(col("node"), col("property").as("unlifted_property"))
+  }
 }

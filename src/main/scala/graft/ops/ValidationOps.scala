@@ -298,6 +298,52 @@ object ValidationOps {
     aclF.unionByName(authzF)
   }
 
+  /** Indexd GUID validation (`/root/reference/src/
+    * sandbox_indexd_guid_validation.py:81-143`): left-join the
+    * sandbox guid-meta frame with the indexd record frame (the
+    * API pull as a frame — the S5 inventory contract; never a
+    * per-GUID HTTP loop), then per-field Pass/Fail checks. Missing
+    * records get `indexd_guid_exist = No` and empty-string indexd
+    * fields, so their checks Fail like the reference's `np.where`
+    * against `""`.
+    *
+    * `indexd` columns: (guid, acl, authz, md5, url, size).
+    */
+  def indexdGuidCheck(sandbox: DataFrame, indexd: DataFrame,
+      guidCol: String = "guid"): DataFrame = {
+    val idx = indexd.select(col("guid").as("__g"),
+      col("acl").as("__acl"), col("authz").as("__authz"),
+      col("md5").as("__md5"), col("url").as("__url"),
+      col("size").cast("string").as("__size"))
+    val joined = sandbox.join(idx, sandbox(guidCol) === idx("__g"), "left")
+    def chk(mine: String, theirs: Column): Column =
+      when(col(mine) === theirs, "Pass").otherwise("Fail")
+    joined
+      .withColumn("indexd_guid_exist",
+        when(col("__g").isNotNull, "Yes").otherwise("No"))
+      .withColumn("indexd_acl", coalesce(col("__acl"), lit("")))
+      .withColumn("indexd_authz", coalesce(col("__authz"), lit("")))
+      .withColumn("indexd_md5sum", coalesce(col("__md5"), lit("")))
+      .withColumn("indexd_url", coalesce(col("__url"), lit("")))
+      .withColumn("indexd_size", coalesce(col("__size"), lit("")))
+      .withColumn("acl_check", chk("acl", col("indexd_acl")))
+      .withColumn("authz_check", chk("authz", col("indexd_authz")))
+      .withColumn("md5sum_check", chk("md5sum", col("indexd_md5sum")))
+      .withColumn("url_check", chk("url", col("indexd_url")))
+      .withColumn("size_check", chk("file_size", col("indexd_size")))
+      .drop("__g", "__acl", "__authz", "__md5", "__url", "__size")
+  }
+
+  /** Ghost-record search (`sandbox_indexd_guid_validation.py:
+    * 146-200`): indexd records under a study's acl whose guid is not
+    * in the sandbox frame — the reference's paged API loop is an
+    * anti-join once indexd is a frame.
+    */
+  def indexdGhostRecords(indexd: DataFrame, sandbox: DataFrame,
+      guidCol: String = "guid"): DataFrame =
+    indexd.join(sandbox.select(col(guidCol).as("__sg")),
+      indexd("guid") === col("__sg"), "left_anti")
+
   def unionFindings(findings: Seq[DataFrame]): DataFrame =
     findings.reduce(_ unionByName _)
 }

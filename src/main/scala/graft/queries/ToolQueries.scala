@@ -548,5 +548,92 @@ object ToolQueries {
       StatsOps.binnedAgeCounts(diag, "age_at_diagnosis")
         .unionByName(StatsOps.fileTypeCounts(Seq(files1, files2), "file_type"))
         .orderBy(col("`Data Element`"), col("`Data Element Value`"))
+    },
+
+    // Liftover coverage check (liftover_generic.py:49-110): populated
+    // manifest columns with no usable mapping row — mapping rows
+    // missing any key field are dropped first, so their source
+    // properties surface as unlifted.
+    Q("q89_unlifted_props",
+      """WITH flags AS (
+        |  SELECT 'src_a' AS node, 'keep2' AS property,
+        |         EXISTS(SELECT 1 FROM part WHERE p_partkey % 3 <> 0) AS has_value
+        |  UNION ALL SELECT 'src_a', 'empty1', false
+        |  UNION ALL SELECT 'src_b', 'keepb', EXISTS(SELECT 1 FROM supplier)
+        |  UNION ALL SELECT 'src_b', 'emptyb', false)
+        |SELECT node, property AS unlifted_property
+        |FROM flags WHERE has_value
+        |ORDER BY node, unlifted_property""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{ReshapeOps, TemplateUpdate}
+      val srcA = t(s, dir, "part").select(
+        lit("src_a").as("type"),
+        concat(lit("P"), col("p_partkey").cast("string")).as("a_id"),
+        col("p_brand").as("keep1"),
+        lit(null).cast("string").as("empty1"),
+        when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("p_type")).as("keep2"))
+      val srcB = t(s, dir, "supplier").select(
+        lit("src_b").as("type"),
+        concat(lit("S"), col("s_suppkey").cast("string")).as("b_id"),
+        col("s_name").as("keepb"),
+        lit(null).cast("string").as("emptyb"))
+      val mapping = Seq(
+        ("src_a", "a_id", "tgt", "t_id"),
+        ("src_a", "keep1", "tgt", "t_brand"),
+        ("src_b", "b_id", "tgt2", "t2_id"),
+        ("src_a", "keep2", null, "t_dropped"), // null key -> row dropped
+        ("src_b", "absent_col", "tgt2", "t2_x"))
+        .toDF("lift_from_node", "lift_from_property",
+          "lift_to_node", "lift_to_property")
+      val props = TemplateUpdate.manifestProps(
+        Map("src_a" -> srcA, "src_b" -> srcB))
+      ReshapeOps.unliftedProps(props, mapping)
+        .orderBy(col("node"), col("unlifted_property"))
+    },
+
+    // Indexd GUID validation (sandbox_indexd_guid_validation.py:
+    // 81-143): sandbox guid-meta left-joined to the indexd record
+    // frame, per-field Pass/Fail checks; missing records No/""/Fail.
+    Q("q90_indexd_check",
+      """WITH base AS (SELECT c_custkey AS k FROM customer)
+        |SELECT k AS c_custkey, 'dg' || CAST(k AS VARCHAR) AS guid,
+        |  CASE WHEN k % 7 <> 0 THEN 'Yes' ELSE 'No' END AS indexd_guid_exist,
+        |  CASE WHEN k % 7 = 0 THEN ''
+        |       WHEN k % 5 = 0 THEN 'aX'
+        |       ELSE 'a' || CAST(k % 4 AS VARCHAR) END AS indexd_acl,
+        |  CASE WHEN k % 7 <> 0 AND NOT (k % 5 = 0)
+        |       THEN 'Pass' ELSE 'Fail' END AS acl_check,
+        |  CASE WHEN k % 7 <> 0 THEN 'Pass' ELSE 'Fail' END AS authz_check,
+        |  CASE WHEN k % 7 <> 0 AND NOT (k % 3 = 0)
+        |       THEN 'Pass' ELSE 'Fail' END AS md5sum_check,
+        |  CASE WHEN k % 7 <> 0 THEN 'Pass' ELSE 'Fail' END AS url_check,
+        |  CASE WHEN k % 7 <> 0 AND NOT (k % 11 = 0)
+        |       THEN 'Pass' ELSE 'Fail' END AS size_check
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.ops.ValidationOps
+      val k = col("c_custkey")
+      val sandbox = t(s, dir, "customer").select(
+        k,
+        concat(lit("dg"), k.cast("string")).as("guid"),
+        concat(lit("a"), (k % 4).cast("string")).as("acl"),
+        concat(lit("z"), (k % 4).cast("string")).as("authz"),
+        md5(concat(lit("m"), k.cast("string"))).as("md5sum"),
+        concat(lit("s3://b/f"), k.cast("string")).as("url"),
+        (k * 10).cast("string").as("file_size"))
+      val indexd = t(s, dir, "customer").filter(k % 7 =!= 0).select(
+        concat(lit("dg"), k.cast("string")).as("guid"),
+        when(k % 5 === 0, "aX")
+          .otherwise(concat(lit("a"), (k % 4).cast("string"))).as("acl"),
+        concat(lit("z"), (k % 4).cast("string")).as("authz"),
+        when(k % 3 === 0, md5(concat(lit("x"), k.cast("string"))))
+          .otherwise(md5(concat(lit("m"), k.cast("string")))).as("md5"),
+        concat(lit("s3://b/f"), k.cast("string")).as("url"),
+        when(k % 11 === 0, k * 10 + 1).otherwise(k * 10).as("size"))
+      ValidationOps.indexdGuidCheck(sandbox, indexd)
+        .select(col("c_custkey"), col("guid"), col("indexd_guid_exist"),
+          col("indexd_acl"), col("acl_check"), col("authz_check"),
+          col("md5sum_check"), col("url_check"), col("size_check"))
+        .orderBy(col("c_custkey"))
     })
 }

@@ -144,6 +144,40 @@ class ToolOpsSpec extends SparkSpecBase {
     out should contain ("Total File Count", null, 3L)
   }
 
+  test("unliftedProps reports populated columns without usable mapping rows") {
+    import graft.ops.{ReshapeOps, TemplateUpdate}
+    val manifest = Map("n" -> strDf(Seq("type", "id", "lifted", "orphan", "blank"))(
+      Seq("n", "1", "x", "y", null)))
+    val mapping = Seq(
+      ("n", "id", "t", "t_id"),
+      ("n", "lifted", "t", "t_l"),
+      ("n", "orphan", null, "t_o") // dropped: null key field
+    ).toDF("lift_from_node", "lift_from_property",
+      "lift_to_node", "lift_to_property")
+    val out = ReshapeOps.unliftedProps(
+      TemplateUpdate.manifestProps(manifest), mapping)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("n", "orphan")) // type + blank excluded, id/lifted mapped
+  }
+
+  test("indexdGuidCheck joins records and ghost search anti-joins") {
+    import graft.ops.ValidationOps
+    val sandbox = strDf(
+      Seq("guid", "acl", "authz", "md5sum", "url", "file_size"))(
+      Seq("g1", "a", "z", "m", "u", "10"),
+      Seq("g2", "a", "z", "m", "u", "10"))
+    val indexd = strDf(Seq("guid", "acl", "authz", "md5", "url", "size"))(
+      Seq("g1", "a", "zz", "m", "u", "10"),
+      Seq("g9", "a", "z", "m", "u", "10"))
+    val out = ValidationOps.indexdGuidCheck(sandbox, indexd)
+      .orderBy("guid").collect()
+    out.map(r => (r.getAs[String]("guid"), r.getAs[String]("indexd_guid_exist"),
+      r.getAs[String]("acl_check"), r.getAs[String]("authz_check"))).toSeq shouldBe
+      Seq(("g1", "Yes", "Pass", "Fail"), ("g2", "No", "Fail", "Fail"))
+    ValidationOps.indexdGhostRecords(indexd, sandbox)
+      .select("guid").collect().map(_.getString(0)).toSeq shouldBe Seq("g9")
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
