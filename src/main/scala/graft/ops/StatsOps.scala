@@ -106,6 +106,45 @@ object StatsOps {
     typed.unionByName(total)
   }
 
+  /** The bucket-reader content stats (`/root/reference/src/
+    * read_buckets.py:14-106`): total size, object count, and
+    * per-extension / per-modified-date counts over an inventory
+    * frame (key, size, modified) — the paged listing loop becomes
+    * two grouped counts and one global aggregate. Extension rule:
+    * last suffix; `.gz`/`.zip` after another dot keep the inner
+    * extension too (`.fastq.gz`); none at all reports "missing ext".
+    * One tagged long report: (stat, key, value).
+    */
+  def bucketStats(inventory: DataFrame, keyCol: String = "key",
+      sizeCol: String = "size", dateCol: String = "modified"): DataFrame = {
+    val fname = element_at(split(col("`" + keyCol + "`"), "/"), -1)
+    val lastExt = regexp_extract(fname, "(\\.[^./]+)$", 1)
+    val doubleExt = regexp_extract(fname, "(\\.[^./]+\\.[^./]+)$", 1)
+    val ext0 =
+      when(lastExt === "", "missing ext")
+        .when(lastExt.isin(".gz", ".zip") && doubleExt =!= "" &&
+          doubleExt =!= fname, doubleExt)
+        .otherwise(lastExt)
+    val tagged = inventory.select(ext0.as("__ext"),
+      col("`" + sizeCol + "`").cast("bigint").as("__size"),
+      col("`" + dateCol + "`").cast("string").as("__date"))
+      .localCheckpoint(false) // consumed by all four aggregates
+    val totals = tagged.agg(
+      sum(col("__size")).as("__b"), count(lit(1)).as("__c"))
+      .select(explode(array(
+        struct(lit("bucket_size").as("stat"),
+          lit(null).cast("string").as("key"), col("__b").as("value")),
+        struct(lit("file_count").as("stat"),
+          lit(null).cast("string").as("key"), col("__c").as("value")))).as("__r"))
+      .select("__r.stat", "__r.key", "__r.value")
+    val exts = tagged.groupBy(col("__ext")).agg(count(lit(1)).as("value"))
+      .select(lit("ext").as("stat"), col("__ext").as("key"), col("value"))
+    val dates = tagged.groupBy(col("__date")).agg(count(lit(1)).as("value"))
+      .select(lit("modified_date").as("stat"), col("__date").as("key"),
+        col("value"))
+    totals.unionByName(exts).unionByName(dates)
+  }
+
   /** The db-stats study matrix (`/root/reference/workflows/
     * db_stats.py:224-305`): a long (study_id, column_name, value)
     * union of many source pulls → dedup → pivot wide → byte→TB

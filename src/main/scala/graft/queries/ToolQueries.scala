@@ -635,5 +635,48 @@ object ToolQueries {
           col("indexd_acl"), col("acl_check"), col("authz_check"),
           col("md5sum_check"), col("url_check"), col("size_check"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Bucket content stats (read_buckets.py:14-106): totals plus
+    // per-extension / per-modified-date counts over an inventory
+    // frame, with the reference's .gz/.zip double-extension rule
+    // and "missing ext" bucket.
+    Q("q91_bucket_stats",
+      """WITH inv AS (
+        |  SELECT 'data/f' || CAST(p_partkey AS VARCHAR) ||
+        |    CASE p_partkey % 5 WHEN 0 THEN '.bam' WHEN 1 THEN '.fastq.gz'
+        |         WHEN 2 THEN '.txt' WHEN 3 THEN '' ELSE '.zip' END AS key,
+        |    CAST(p_partkey % 1000 AS BIGINT) AS size,
+        |    '2024-' || lpad(CAST(1 + p_partkey % 12 AS VARCHAR), 2, '0') ||
+        |    '-' || lpad(CAST(1 + p_partkey % 28 AS VARCHAR), 2, '0') AS modified
+        |  FROM part),
+        |exts AS (
+        |  SELECT CASE p_partkey % 5 WHEN 0 THEN '.bam' WHEN 1 THEN '.fastq.gz'
+        |         WHEN 2 THEN '.txt' WHEN 3 THEN 'missing ext'
+        |         ELSE '.zip' END AS e
+        |  FROM part)
+        |SELECT stat, key, value FROM (
+        |  SELECT 'bucket_size' AS stat, CAST(NULL AS VARCHAR) AS key,
+        |         CAST(sum(size) AS BIGINT) AS value FROM inv
+        |  UNION ALL
+        |  SELECT 'file_count', NULL, CAST(count(*) AS BIGINT) FROM inv
+        |  UNION ALL
+        |  SELECT 'ext', e, CAST(count(*) AS BIGINT) FROM exts GROUP BY e
+        |  UNION ALL
+        |  SELECT 'modified_date', modified, CAST(count(*) AS BIGINT)
+        |  FROM inv GROUP BY modified)
+        |ORDER BY stat, key NULLS FIRST""".stripMargin) { (s, dir) =>
+      import graft.ops.StatsOps
+      val p = col("p_partkey")
+      val inv = t(s, dir, "part").select(
+        concat(lit("data/f"), p.cast("string"),
+          when(p % 5 === 0, ".bam").when(p % 5 === 1, ".fastq.gz")
+            .when(p % 5 === 2, ".txt").when(p % 5 === 3, "")
+            .otherwise(".zip")).as("key"),
+        (p % 1000).cast("bigint").as("size"),
+        concat(lit("2024-"), lpad((p % 12 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((p % 28 + 1).cast("string"), 2, "0")).as("modified"))
+      StatsOps.bucketStats(inv)
+        .orderBy(col("stat"), col("key"))
     })
 }

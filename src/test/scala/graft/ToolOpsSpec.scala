@@ -178,6 +178,24 @@ class ToolOpsSpec extends SparkSpecBase {
       .select("guid").collect().map(_.getString(0)).toSeq shouldBe Seq("g9")
   }
 
+  test("bucketStats: double extensions, missing ext, totals") {
+    import graft.ops.StatsOps
+    val inv = Seq(
+      ("d/a.bam", 10L, "2024-01-01"),
+      ("d/b.fastq.gz", 20L, "2024-01-01"),
+      ("d/c", 5L, "2024-01-02"),      // no extension
+      ("d/e.gz", 1L, "2024-01-02"))   // bare .gz keeps single ext
+      .toDF("key", "size", "modified")
+    val out = StatsOps.bucketStats(inv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    out should contain ("bucket_size", null, 36L)
+    out should contain ("file_count", null, 4L)
+    out should contain ("ext", ".fastq.gz", 1L)
+    out should contain ("ext", ".gz", 1L)
+    out should contain ("ext", "missing ext", 1L)
+    out should contain ("modified_date", "2024-01-01", 2L)
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
