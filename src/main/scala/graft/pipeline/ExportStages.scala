@@ -47,6 +47,24 @@ object ExportStages {
       node -> linked
     }
 
+  /** The DCC tab-breaker's uuid cell (`/root/reference/src/
+    * dcc_tabbreaker.py:12-40`): uuid5 under the md5("ccdi-dcc")
+    * namespace over `study::node::value`; a `;`-delimited multi-value
+    * cell mints one uuid per trimmed part and re-joins with the same
+    * delimiter (the single-value case is the one-part split). Nulls
+    * pass through.
+    */
+  def dccUuidCell(value: org.apache.spark.sql.Column, study: String,
+      node: String, seed: String = "ccdi-dcc",
+      delimiter: String = ";"): org.apache.spark.sql.Column = {
+    val minted = transform(
+      split(value, java.util.regex.Pattern.quote(delimiter)),
+      v => Uuid5Expression.uuid5Native(seed,
+        concat_ws("::", lit(study), lit(node), trim(v))))
+    when(value.isNull, lit(null).cast("string"))
+      .otherwise(array_join(minted, delimiter))
+  }
+
   /** DCF index: union the manifest's file nodes, dedup on
     * (url, md5sum) keep-first-by-key, fill missing GUIDs
     * deterministically, project the index columns.

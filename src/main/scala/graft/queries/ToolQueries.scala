@@ -678,5 +678,47 @@ object ToolQueries {
           lit("-"), lpad((p % 28 + 1).cast("string"), 2, "0")).as("modified"))
       StatsOps.bucketStats(inv)
         .orderBy(col("stat"), col("key"))
+    },
+
+    // The DCC tab-breaker uuid cell (dcc_tabbreaker.py:12-40):
+    // md5("ccdi-dcc")-namespace uuid5 over study::node::value, with
+    // ;-multi-value cells minting one uuid per trimmed part. Oracle =
+    // plan-build-time pinned values (DuckDB has no sha1), the q32
+    // pattern; the pinning helper itself is golden-checked vs CPython
+    // in Uuid5Props.
+    Q("q92_dcc_tabbreak", {
+      import graft.expr.Uuid5
+      val ns = Uuid5.namespaceFromMd5("ccdi-dcc")
+      def mint(v: String) =
+        v.split(";").map(p =>
+          Uuid5.uuid5(ns, s"phs0001::participant::${p.trim}")).mkString(";")
+      val expected = (0 until 256).map { k =>
+        val rel =
+          if (k % 7 == 0) "NULL"
+          else if (k % 3 == 0) s"'${mint(s"PCT_${k + 1};PCT_${k + 2}")}'"
+          else s"'${mint(s"PCT_${k + 1}")}'"
+        s"($k, '${mint(s"PCT_$k")}', $rel)"
+      }.mkString(", ")
+      s"""WITH expected(k, id, related_ids) AS (VALUES $expected)
+         |SELECT c.c_custkey, e.id, e.related_ids
+         |FROM customer c JOIN expected e ON c.c_custkey = e.k
+         |ORDER BY c.c_custkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.pipeline.ExportStages
+      val k = col("c_custkey")
+      t(s, dir, "customer").filter(k < 256)
+        .select(k,
+          concat(lit("PCT_"), k.cast("string")).as("participant_id"),
+          when(k % 7 === 0, lit(null).cast("string"))
+            .when(k % 3 === 0, concat(lit("PCT_"), (k + 1).cast("string"),
+              lit(";PCT_"), (k + 2).cast("string")))
+            .otherwise(concat(lit("PCT_"), (k + 1).cast("string")))
+            .as("related"))
+        .select(k,
+          ExportStages.dccUuidCell(col("participant_id"),
+            "phs0001", "participant").as("id"),
+          ExportStages.dccUuidCell(col("related"),
+            "phs0001", "participant").as("related_ids"))
+        .orderBy(k)
     })
 }
