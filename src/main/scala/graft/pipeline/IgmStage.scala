@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.CurationOps.rawCol
+
+/** The IGM clinical-report sample mapper (`/root/reference/src/
+  * cog_igm_utils.py:38-168` `sample_mapper`): clinical_measure_file
+  * rows missing `sample.sample_id` get it filled by matching
+  * (participant, assay) against a lookup built from the sequencing
+  * and methylation sheets' pdf rows.
+  *
+  * The reference's early return when every row is already filled is
+  * pure dataflow here — the unfilled branch is empty and the filled
+  * rows pass through untouched.
+  */
+object IgmStage {
+
+  private val SampleCol = "sample.sample_id"
+
+  /** The assay lookup (`:72-106`): pdf sequencing rows with
+    * `library_strategy` mapped (Archer Fusion→archer_fusion,
+    * WXS→tumor_normal; others pass through), pdf methylation rows
+    * with `data_category` mapped (Methylation Analysis→methylation),
+    * deduped, then joined to the sample sheet for the participant.
+    */
+  def assayLookup(seq: DataFrame, meth: DataFrame,
+      sample: DataFrame): DataFrame = {
+    val seqRows = seq.filter(col("file_type") === "pdf")
+      .select(rawCol(SampleCol),
+        when(col("library_strategy") === "Archer Fusion", "archer_fusion")
+          .when(col("library_strategy") === "WXS", "tumor_normal")
+          .otherwise(col("library_strategy")).as("assay"))
+    val methRows = meth.filter(col("file_type") === "pdf")
+      .select(rawCol(SampleCol),
+        when(col("data_category") === "Methylation Analysis", "methylation")
+          .otherwise(col("data_category")).as("assay"))
+    val lookup = seqRows.unionByName(methRows).dropDuplicates()
+    lookup.join(
+      sample.select(rawCol("participant.participant_id"),
+        col("sample_id")),
+      rawCol(SampleCol) === col("sample_id"), "left")
+      .drop("sample_id")
+  }
+
+  /** Assay inferred from the report's file name (`:117-127`). */
+  private def assayFromFileName(fileName: Column): Column =
+    when(fileName.contains("archer_fusion"), "archer_fusion")
+      .when(fileName.contains("methylation"), "methylation")
+      .when(fileName.contains("tumor_normal"), "tumor_normal")
+      .otherwise("")
+
+  /** Fill missing sample ids on the clinical sheet. Already-filled
+    * rows pass through; unfilled rows join the lookup on
+    * (participant, assay); rows whose file name fans out to several
+    * samples keep only a sample that appears IN the file name (the
+    * rest null out and collapse, `:119-130`); non-COG rows still
+    * missing a sample get the `0[0-9A-Z]{5}` token from the file
+    * name (`:133-138`).
+    */
+  def fillSampleIds(clin: DataFrame, seq: DataFrame, meth: DataFrame,
+      sample: DataFrame): DataFrame = {
+    val lookup = assayLookup(seq, meth, sample)
+    val filled = clin.filter(rawCol(SampleCol).isNotNull)
+    val unfilled = clin.filter(rawCol(SampleCol).isNull)
+      .select(clin.columns.filter(_ != SampleCol).map(rawCol).toSeq: _*)
+      .withColumn("assay", assayFromFileName(col("file_name")))
+    val lk = lookup.withColumnRenamed(SampleCol, "__looked")
+      .withColumnRenamed("participant.participant_id", "__lpart")
+      .withColumnRenamed("assay", "__lassay")
+    val joined = unfilled.join(lk,
+      rawCol("participant.participant_id") === col("__lpart") &&
+        col("assay") === col("__lassay"), "left")
+      .drop("__lpart", "__lassay")
+      .withColumnRenamed("__looked", SampleCol)
+    // file-name fan-out: null the sample unless it appears in the name
+    val w = Window.partitionBy(col("file_name"))
+    val dupHandled = joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn(SampleCol,
+        when(col("__n") > 1 &&
+            !coalesce(col("file_name").contains(rawCol(SampleCol)), lit(false)),
+          lit(null).cast("string"))
+          .otherwise(rawCol(SampleCol)))
+      .drop("__n")
+      .dropDuplicates()
+    // regex recovery for non-COG rows still missing a sample
+    val recovered = dupHandled.withColumn(SampleCol,
+      when(!coalesce(col("data_category").contains("COG"), lit(false)) &&
+          rawCol(SampleCol).isNull,
+        when(regexp_extract(col("file_name"), "0[0-9A-Z]{5}", 0) =!= "",
+          regexp_extract(col("file_name"), "0[0-9A-Z]{5}", 0)))
+        .otherwise(rawCol(SampleCol)))
+      .drop("assay")
+      .dropDuplicates()
+    recovered.unionByName(filled)
+  }
+}

@@ -720,5 +720,96 @@ object ToolQueries {
           ExportStages.dccUuidCell(col("related"),
             "phs0001", "participant").as("related_ids"))
         .orderBy(k)
+    },
+
+    // The IGM clinical-report sample mapper (cog_igm_utils.py:38-168):
+    // missing sample ids fill from a (participant, assay) lookup built
+    // from the pdf sequencing/methylation rows; file-name fan-outs
+    // null-and-collapse unless the sample appears in the name; non-COG
+    // leftovers recover the 0[0-9A-Z]{5} token from the file name.
+    // The oracle derives each branch arithmetically. pdf availability
+    // correlates with sid residues (2 and 3 divide 300): sequencing
+    // pdfs exist only for EVEN sids, methylation pdfs only for sids
+    // divisible by 3. Among a participant's samples {p, p+100, p+200}
+    // that leaves at most one archer (sid≡0 mod 6, only for even p),
+    // at most one tumor_normal (sid≡4 mod 6, even p), and exactly one
+    // methylation (sid≡0 mod 3) — so no file-name fan-out here (that
+    // path is unit-tested) and odd-p archer/tumor rows stay null.
+    Q("q93_igm_sample_map",
+      """WITH base AS (
+        |  SELECT c_custkey AS c FROM customer WHERE c_custkey <= 240),
+        |out AS (
+        |  SELECT
+        |    CASE c % 4
+        |      WHEN 0 THEN 'rep_archer_fusion_' || CAST(c AS VARCHAR) || '.pdf'
+        |      WHEN 1 THEN 'rep_methylation_' || CAST(c AS VARCHAR) || '.pdf'
+        |      WHEN 2 THEN 'rep_tumor_normal_' || CAST(c AS VARCHAR) || '.pdf'
+        |      ELSE 'rep_plain_0A' || lpad(CAST(c AS VARCHAR), 4, '0') || '.pdf'
+        |    END AS file_name,
+        |    'P' || CAST(c % 100 AS VARCHAR) AS "participant.participant_id",
+        |    CASE WHEN c % 8 <= 1 THEN 'COG Registry'
+        |         ELSE 'IGM Pathology' END AS data_category,
+        |    CASE
+        |      WHEN c % 6 = 0 THEN 'SPRE' || CAST(c AS VARCHAR)
+        |      WHEN c % 4 = 0 THEN
+        |        CASE (c % 100) % 6
+        |          WHEN 0 THEN 'S' || CAST(c % 100 AS VARCHAR)
+        |          WHEN 2 THEN 'S' || CAST(c % 100 + 100 AS VARCHAR)
+        |          WHEN 4 THEN 'S' || CAST(c % 100 + 200 AS VARCHAR)
+        |        END
+        |      WHEN c % 4 = 1 THEN 'S' || CAST(
+        |        CASE (c % 100) % 3 WHEN 0 THEN c % 100
+        |             WHEN 2 THEN c % 100 + 100 ELSE c % 100 + 200 END AS VARCHAR)
+        |      WHEN c % 4 = 2 THEN
+        |        CASE (c % 100) % 6
+        |          WHEN 4 THEN 'S' || CAST(c % 100 AS VARCHAR)
+        |          WHEN 0 THEN 'S' || CAST(c % 100 + 100 AS VARCHAR)
+        |          WHEN 2 THEN 'S' || CAST(c % 100 + 200 AS VARCHAR)
+        |        END
+        |      WHEN c % 4 = 3 AND c % 8 > 1
+        |        THEN '0A' || lpad(CAST(c AS VARCHAR), 4, '0')
+        |    END AS "sample.sample_id"
+        |  FROM base)
+        |SELECT file_name, "participant.participant_id", data_category,
+        |       "sample.sample_id"
+        |FROM out ORDER BY file_name""".stripMargin) { (s, dir) =>
+      import graft.pipeline.IgmStage
+      val k = col("o_orderkey")
+      val sid = k % 300
+      val ord = t(s, dir, "orders")
+      val sample = ord.select(
+        concat(lit("S"), sid.cast("string")).as("sample_id"),
+        concat(lit("P"), (sid % 100).cast("string"))
+          .as("participant.participant_id")).distinct()
+      val seq = ord.select(
+        concat(lit("S"), sid.cast("string")).as("sample.sample_id"),
+        when(k % 2 === 0, "pdf").otherwise("bam").as("file_type"),
+        when(sid % 3 === 0, "Archer Fusion")
+          .when(sid % 3 === 1, "WXS")
+          .otherwise("RNA-Seq").as("library_strategy")).distinct()
+      val meth = ord.select(
+        concat(lit("S"), sid.cast("string")).as("sample.sample_id"),
+        when(k % 3 === 0, "pdf").otherwise("idat").as("file_type"),
+        lit("Methylation Analysis").as("data_category")).distinct()
+      val c = col("c_custkey")
+      val clin = t(s, dir, "customer").filter(c <= 240).select(
+        when(c % 4 === 0,
+          concat(lit("rep_archer_fusion_"), c.cast("string"), lit(".pdf")))
+          .when(c % 4 === 1,
+            concat(lit("rep_methylation_"), c.cast("string"), lit(".pdf")))
+          .when(c % 4 === 2,
+            concat(lit("rep_tumor_normal_"), c.cast("string"), lit(".pdf")))
+          .otherwise(concat(lit("rep_plain_0A"),
+            lpad(c.cast("string"), 4, "0"), lit(".pdf"))).as("file_name"),
+        concat(lit("P"), (c % 100).cast("string"))
+          .as("participant.participant_id"),
+        when(c % 8 <= 1, "COG Registry").otherwise("IGM Pathology")
+          .as("data_category"),
+        when(c % 6 === 0, concat(lit("SPRE"), c.cast("string")))
+          .otherwise(lit(null).cast("string")).as("sample.sample_id"))
+      IgmStage.fillSampleIds(clin, seq, meth, sample)
+        .select(col("file_name"), col("`participant.participant_id`"),
+          col("data_category"), col("`sample.sample_id`"))
+        .orderBy(col("file_name"))
     })
 }

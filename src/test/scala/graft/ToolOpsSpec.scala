@@ -196,6 +196,38 @@ class ToolOpsSpec extends SparkSpecBase {
     out should contain ("modified_date", "2024-01-01", 2L)
   }
 
+  test("IgmStage: fan-out keeps only samples named in the file, regex recovers the rest") {
+    import graft.pipeline.IgmStage
+    val clin = strDf(Seq("file_name", "participant.participant_id",
+      "data_category", "sample.sample_id"))(
+      Seq("r_archer_fusion_S2.pdf", "P1", "IGM", null), // fan-out: S1+S2 match
+      Seq("r_tumor_normal_x.pdf", "P1", "IGM", null),   // no match -> null
+      Seq("r_plain_0AB123.pdf", "P1", "IGM", null),     // regex recovery
+      Seq("r_plain_0AB999.pdf", "P1", "COG Registry", null), // COG: no recovery
+      Seq("r_kept.pdf", "P1", "IGM", "SPRE"))           // already filled
+    val seq = strDf(Seq("sample.sample_id", "file_type", "library_strategy"))(
+      Seq("S1", "pdf", "Archer Fusion"),
+      Seq("S2", "pdf", "Archer Fusion"),
+      Seq("S3", "bam", "Archer Fusion")) // non-pdf ignored
+    val meth = strDf(Seq("sample.sample_id", "file_type", "data_category"))()
+    val sample = strDf(Seq("sample_id", "participant.participant_id"))(
+      Seq("S1", "P1"), Seq("S2", "P1"), Seq("S3", "P1"))
+    val out = IgmStage.fillSampleIds(clin, seq, meth, sample)
+      .orderBy("file_name").collect()
+      .map(r => (r.getAs[String]("file_name"),
+        r.getAs[String]("sample.sample_id"))).toSeq
+    out shouldBe Seq(
+      // S1 nulled (not named in the file); the null twin survives
+      // dedup exactly like the reference's drop_duplicates, which
+      // cannot collapse rows differing in the sample column
+      ("r_archer_fusion_S2.pdf", "S2"),
+      ("r_archer_fusion_S2.pdf", null),
+      ("r_kept.pdf", "SPRE"),
+      ("r_plain_0AB123.pdf", "0AB123"),
+      ("r_plain_0AB999.pdf", null),
+      ("r_tumor_normal_x.pdf", null))
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
