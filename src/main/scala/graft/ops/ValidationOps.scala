@@ -344,6 +344,36 @@ object ValidationOps {
     indexd.join(sandbox.select(col(guidCol).as("__sg")),
       indexd("guid") === col("__sg"), "left_anti")
 
+  /** DB-vs-ingestion reconciliation (`/root/reference/src/
+    * neo4j_data_tools.py:1100-1189` `parse_tsv_files` +
+    * `compare_id_input_db`): per (study, node) — row-count
+    * Equal/Unequal against the database pull, ingested ids missing
+    * from the database ;-joined (sorted here; the reference keeps
+    * file order), Pass/Fail. Both sides are frames of
+    * (study_id, node, id) rows — the per-study Cypher pull arrives
+    * through the long-frame contract, never a driver loop.
+    */
+  def dbReconcileCheck(input: DataFrame, db: DataFrame): DataFrame = {
+    val keys = Seq("study_id", "node")
+    val counts = input.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("tsv_count"))
+    val dbCounts = db.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__dbc"))
+    val missing = input.join(db, keys :+ "id", "left_anti")
+      .groupBy(keys.map(col): _*)
+      .agg(array_join(array_sort(collect_list(col("id"))), ";")
+        .as("db_missing_id"))
+    counts
+      .join(dbCounts, keys, "left")
+      .join(missing, keys, "left")
+      .select(col("study_id"), col("node"), col("tsv_count"),
+        when(col("tsv_count") === coalesce(col("__dbc"), lit(0L)), "Equal")
+          .otherwise("Unequal").as("count_check"),
+        when(col("db_missing_id").isNull, "Pass").otherwise("Fail")
+          .as("id_check"),
+        col("db_missing_id"))
+  }
+
   def unionFindings(findings: Seq[DataFrame]): DataFrame =
     findings.reduce(_ unionByName _)
 }

@@ -811,5 +811,57 @@ object ToolQueries {
         .select(col("file_name"), col("`participant.participant_id`"),
           col("data_category"), col("`sample.sample_id`"))
         .orderBy(col("file_name"))
+    },
+
+    // DB-vs-ingestion reconciliation (neo4j_data_tools.py:1100-1189):
+    // per (study, node) count check + ids missing from the DB pull.
+    // The db side drops study-phs0 rows divisible by 11, so phs0
+    // groups go Unequal/Fail with a ;-joined missing list while the
+    // other studies stay Equal/Pass with a null list.
+    Q("q94_db_reconcile",
+      """WITH input AS (
+        |  SELECT 'phs' || CAST(o_orderkey % 3 AS VARCHAR) AS study_id,
+        |    CASE o_orderkey % 4 WHEN 1 THEN 'sample'
+        |         WHEN 2 THEN 'diagnosis' ELSE 'participant' END AS node,
+        |    'ID' || CAST(o_orderkey % 997 AS VARCHAR) AS id
+        |  FROM orders WHERE o_orderkey <= 3000),
+        |db AS (
+        |  SELECT * FROM input
+        |  WHERE NOT (CAST(substr(id, 3) AS BIGINT) % 11 = 0
+        |             AND study_id = 'phs0')),
+        |counts AS (
+        |  SELECT study_id, node, count(*) AS tsv_count
+        |  FROM input GROUP BY study_id, node),
+        |dbc AS (
+        |  SELECT study_id, node, count(*) AS c FROM db GROUP BY study_id, node),
+        |miss AS (
+        |  SELECT i.study_id, i.node,
+        |         string_agg(i.id, ';' ORDER BY i.id) AS m
+        |  FROM input i
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM db d WHERE d.study_id = i.study_id
+        |      AND d.node = i.node AND d.id = i.id)
+        |  GROUP BY i.study_id, i.node)
+        |SELECT c.study_id, c.node, c.tsv_count,
+        |  CASE WHEN c.tsv_count = COALESCE(d.c, 0)
+        |       THEN 'Equal' ELSE 'Unequal' END AS count_check,
+        |  CASE WHEN m.m IS NULL THEN 'Pass' ELSE 'Fail' END AS id_check,
+        |  m.m AS db_missing_id
+        |FROM counts c
+        |LEFT JOIN dbc d ON c.study_id = d.study_id AND c.node = d.node
+        |LEFT JOIN miss m ON c.study_id = m.study_id AND c.node = m.node
+        |ORDER BY c.study_id, c.node""".stripMargin) { (s, dir) =>
+      import graft.ops.ValidationOps
+      val k = col("o_orderkey")
+      val input = t(s, dir, "orders").filter(k <= 3000).select(
+        concat(lit("phs"), (k % 3).cast("string")).as("study_id"),
+        when(k % 4 === 1, "sample").when(k % 4 === 2, "diagnosis")
+          .otherwise("participant").as("node"),
+        concat(lit("ID"), (k % 997).cast("string")).as("id"))
+      val db = input.filter(
+        !(substring(col("id"), 3, 10).cast("bigint") % 11 === 0 &&
+          col("study_id") === "phs0"))
+      ValidationOps.dbReconcileCheck(input, db)
+        .orderBy(col("study_id"), col("node"))
     })
 }
