@@ -176,10 +176,164 @@ object RuleEngine {
           .when(tx =!= "Yes" && conf === "Yes" && prog === "No",
             "Complete Remission")
           .otherwise("Not Reported")
+      case "surgery_type" =>
+        // positional (cog_rules_functions.py:296-359): nulls become
+        // the 'nan' STRING (str(row.get) semantics) and map to
+        // Not Applicable; indices 3/8/9 rewrite before the dict map
+        val raw = ins.map(i => coalesce(q(i), lit("nan")))
+        val over = raw.zipWithIndex.map {
+          case (v, 3) => when(v === "Yes", "Resection")
+            .when(v === "No", "Not Reported").otherwise(v)
+          case (v, 8) => when(v === "Yes", "Biopsy")
+            .otherwise("Not Applicable")
+          case (v, 9) => when(v === "Yes", "Resection")
+            .otherwise("Not Applicable")
+          case (v, _) => v
+        }
+        val mapped = mapValues(array(over: _*), SurgeryMap)
+        val kept = filter(array_distinct(mapped),
+          v => v =!= "Not Applicable")
+        when(raw.head === "No Procedure", "Not Applicable")
+          .when(size(kept) === 0, nullStr)
+          .otherwise(array_join(array_sort(kept), ";"))
+      case "resection_margin_status" =>
+        // positional (`:359-423`): index 3 rewrites; the specific STS
+        // margin (index 4) overrides the non-specific one (index 5);
+        // RX/Positive-NOS drop when more specific grades are present
+        val raw = ins.map(i => coalesce(q(i), lit("nan")))
+        val rx = "RX, Presence of Residual Disease Cannot Be Assessed"
+        val posNos = "Positive Margins, NOS"
+        val over = raw.zipWithIndex.map {
+          case (v, 3) =>
+            when(v === "Yes", "R0, All Margins Pathologically Negative")
+              .when(v === "No", rx).otherwise(v)
+          case (v, 5) => when(raw(4) =!= "nan", raw(4)).otherwise(v)
+          case (v, _) => v
+        }
+        val mapped = mapValues(array(over: _*), ResectionMap)
+        val kept = filter(array_distinct(mapped),
+          v => v =!= "Not Applicable")
+        val pruned = when(size(kept) > 1,
+          filter(kept, v => v =!= rx && v =!= posNos)).otherwise(kept)
+        when(size(pruned) === 0, nullStr)
+          .otherwise(array_join(array_sort(pruned), ";"))
+      case "cns_chemo_id" =>
+        // `:423-508`: ≥2 meaningful drugs, brand names stripped,
+        // mapped to treatment_chemo_* classes, "_"-joined distinct
+        val kept = filter(nn,
+          v => !v.isin("Other", "Unknown", "Not Reported"))
+        val generic = mapArr(kept)(v =>
+          regexp_replace(v, "\\s\\([A-Za-z0-9, \\-\\.]+\\)?", ""))
+        val m = if (r.mapping.nonEmpty) r.mapping
+          else DrugCategory.map { case (d, c) => d -> s"treatment_chemo_$c" }
+        when(noInput || size(kept) < 2, nullStr)
+          .otherwise(array_join(
+            array_sort(array_distinct(mapValues(generic, m))), "_"))
+      case "cns_chemo_type" =>
+        // `:508-597`: exactly one meaningful drug, mapped to its
+        // therapy-type name
+        val kept = filter(nn,
+          v => !v.isin("Other", "Unknown", "Not Reported"))
+        val m = if (r.mapping.nonEmpty) r.mapping
+          else DrugCategory.map { case (d, c) => d -> (c match {
+            case "chemo" => "Chemotherapy"
+            case "immuno" => "Immunotherapy"
+            case "tmt" => "Targeted Molecular Therapy"
+            case "pharma" => "Pharmacotherapy"
+          }) }
+        val one = element_at(mapValues(mapArr(kept)(v =>
+          regexp_replace(v, "\\s\\([A-Za-z0-9, \\-\\.]+\\)?", "")), m), 1)
+        when(noInput || size(kept) =!= 1, nullStr).otherwise(one)
       case other =>
         throw new IllegalArgumentException(s"Unsupported function: $other")
     }
   }
+
+  /** Drug → category (`cog_rules_functions.py:441-507`); id rules
+    * render `treatment_chemo_<cat>`, type rules the therapy name.
+    */
+  private val DrugCategory: Map[String, String] = Map(
+    "13-cis- retinoic acid" -> "pharma", "Bevacizumab" -> "immuno",
+    "Bleomycin" -> "chemo", "Busulfan" -> "chemo", "Carboplatin" -> "chemo",
+    "Carmustine" -> "chemo", "Cetuximab" -> "immuno", "Cisplatin" -> "chemo",
+    "Crizotinib" -> "tmt", "Cyclophosphamide" -> "chemo",
+    "Cytarabine" -> "chemo", "Dacarbazine" -> "chemo",
+    "Dactinomycin" -> "chemo", "Dexamethasone" -> "chemo",
+    "Dinutuximab" -> "immuno", "Docetaxel" -> "chemo",
+    "Doxorubicin" -> "chemo", "Eribulin" -> "chemo", "Erlotinib" -> "tmt",
+    "Etoposide" -> "chemo", "Fluorouracil" -> "chemo",
+    "Ganitumab" -> "immuno", "Gefitinib" -> "tmt", "Gemcitabine" -> "chemo",
+    "Ifosfamide" -> "chemo", "Interleukin 2" -> "immuno",
+    "Irinotecan" -> "chemo", "Lapatinib" -> "tmt", "Lenalidomide" -> "immuno",
+    "Lomustine" -> "chemo", "Melphalan" -> "chemo", "Methotrexate" -> "chemo",
+    "Mitomycin C" -> "chemo", "Oxaliplatin" -> "chemo",
+    "Paclitaxel" -> "chemo", "Pazopanib" -> "tmt", "Prednisone" -> "chemo",
+    "Sirolimus" -> "tmt", "Sorafenib" -> "tmt", "Sunitinib" -> "tmt",
+    "Temozolomide" -> "chemo", "Temsirolimus" -> "tmt",
+    "Topotecan" -> "chemo", "Vandetanib" -> "tmt", "Vinblastine" -> "chemo",
+    "Vincristine" -> "chemo", "Vinorelbine" -> "chemo",
+    "Vorinostat" -> "pharma", "Nivolumab" -> "immuno",
+    "Pembrolizumab" -> "immuno", "Dabrafenib" -> "tmt",
+    "Ivosidenib" -> "tmt", "Larotrectinib" -> "tmt", "Mirdametinib" -> "tmt",
+    "Ribociclib" -> "tmt", "Selumetinib" -> "tmt", "Tazemetostat" -> "tmt",
+    "Tovorafenib" -> "tmt", "Trametinib" -> "tmt", "Selinexor" -> "pharma",
+    "ONC201" -> "pharma")
+
+  /** Surgery-type mapping (`:322-347`). */
+  private val SurgeryMap: Map[String, String] = Map(
+    "nan" -> "Not Applicable", "Negative" -> "Resection",
+    "Incomplete Resection" -> "Resection",
+    "Gross Total Resection" -> "Resection",
+    "NA (no surgical intervention)" -> "Not Applicable",
+    "Extensive subtotal resection" -> "Resection",
+    "Not Applicable" -> "Not Applicable",
+    "Subtotal resection with bulk residual disease (R2)" -> "Resection",
+    "Less than gross total resection" -> "Resection",
+    "Gross total resection" -> "Resection",
+    "No Procedure" -> "Not Applicable", "Other" -> "Resection",
+    "Not applicable" -> "Not Applicable", "Partial resection" -> "Resection",
+    "Unknown" -> "Resection",
+    "Gross total resection with no microscopic residual disease" -> "Resection",
+    "Biopsy Only" -> "Biopsy", "Biopsy only" -> "Biopsy",
+    "Subtotal resection with bulk residual disease" -> "Resection",
+    "Unknown/Unavailable" -> "Resection", "Positive" -> "Resection",
+    "Subtotal resection" -> "Resection",
+    "Gross total resection with microscopic residual disease" -> "Resection",
+    "Surgery" -> "Not Reported")
+
+  /** Resection-margin mapping (`:385-409`). */
+  private val ResectionMap: Map[String, String] = Map(
+    "nan" -> "Not Applicable",
+    "Negative" -> "R0, All Margins Pathologically Negative",
+    "Incomplete Resection" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Gross Total Resection" -> "R0, All Margins Pathologically Negative",
+    "NA (no surgical intervention)" -> "Not Applicable",
+    "Extensive subtotal resection" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Not Applicable" -> "Not Applicable",
+    "Subtotal resection with bulk residual disease (R2)" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Less than gross total resection" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Gross total resection" -> "R0, All Margins Pathologically Negative",
+    "No Procedure" -> "Not Applicable", "Other" -> "Not Applicable",
+    "Not applicable" -> "Not Applicable",
+    "Partial resection" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Unknown" -> "RX, Presence of Residual Disease Cannot Be Assessed",
+    "Gross total resection with no microscopic residual disease" ->
+      "R0, All Margins Pathologically Negative",
+    "Biopsy Only" -> "Not Applicable", "Biopsy only" -> "Not Applicable",
+    "Subtotal resection with bulk residual disease" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Unknown/Unavailable" ->
+      "RX, Presence of Residual Disease Cannot Be Assessed",
+    "Positive" -> "Positive Margins, NOS",
+    "Subtotal resection" ->
+      "R2, Macroscopically Positive Margins or Gross Residual Disease",
+    "Gross total resection with microscopic residual disease" ->
+      "R1, Microscopically Positive Margins")
 
   /** `apply_modifier` (`cog_rules_functions.py:624-656`): suffix,
     * prefix, default, priority (first n of a ;-list), regex_replace

@@ -92,6 +92,44 @@ class RuleEngineSpec extends SparkSpecBase {
     one(r, cols, Seq("v")) shouldBe "v"
   }
 
+  test("surgery/resection positional mappers: overrides, nan rows, pruning") {
+    val cols = (0 until 15).map(i => s"c$i")
+    val sr = CogRule("n", "m", "p", "surgery_type", cols)
+    def row(vals: (Int, String)*): Seq[Any] = {
+      val m = vals.toMap
+      (0 until 15).map(i => m.getOrElse(i, null))
+    }
+    // early Not Applicable on No Procedure at position 0
+    one(sr, cols, row(0 -> "No Procedure", 2 -> "Gross total resection")) shouldBe
+      "Not Applicable"
+    // ACC Yes -> Resection; germ-cell biopsy Yes -> Biopsy; sorted join
+    one(sr, cols, row(3 -> "Yes", 8 -> "Yes")) shouldBe "Biopsy;Resection"
+    // everything nan -> None
+    one(sr, cols, row()) shouldBe null
+    val rm = CogRule("n", "m", "p", "resection_margin_status", cols.take(14))
+    // specific STS margin (idx 4) overrides non-specific (idx 5)
+    one(rm, cols.take(14), (0 until 14).map(i =>
+      if (i == 4) "Negative" else if (i == 5) "Positive" else null)) shouldBe
+      "R0, All Margins Pathologically Negative"
+    // RX drops when a specific grade is present
+    one(rm, cols.take(14), (0 until 14).map(i =>
+      if (i == 2) "Unknown" else if (i == 10) "Subtotal resection"
+      else null)) shouldBe
+      "R2, Macroscopically Positive Margins or Gross Residual Disease"
+  }
+
+  test("cns chemo mappers strip brands and classify drugs") {
+    val cols = Seq("d1", "d2", "d3")
+    val id = CogRule("n", "m", "p", "cns_chemo_id", cols)
+    one(id, cols, Seq("Vincristine", "Crizotinib (Xalkori)", null)) shouldBe
+      "treatment_chemo_chemo_treatment_chemo_tmt"
+    one(id, cols, Seq("Vincristine", "Other", null)) shouldBe null // <2 drugs
+    val tp = CogRule("n", "m", "p", "cns_chemo_type", cols)
+    one(tp, cols, Seq("Bevacizumab (Avastin)", "Unknown", null)) shouldBe
+      "Immunotherapy"
+    one(tp, cols, Seq("Cisplatin", "Etoposide", null)) shouldBe null // >1
+  }
+
   test("transform gates groups on core inputs and unions modes per node") {
     val df = strDf(Seq("usi", "dx", "alt"))(
       Seq("u1", "d1", null),
