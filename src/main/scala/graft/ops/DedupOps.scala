@@ -200,14 +200,16 @@ object DedupOps {
 
   /** Near-dup CLUSTER formation: the step after candidate pairs in a
     * dedup pipeline (pairs → components → keep one doc per
-    * component). Min-label propagation: every node's label becomes
-    * the min label over itself and its neighbors until fixpoint —
-    * O(component diameter) rounds, each one equi-join + min-agg
-    * shuffled on id. Near-dup graphs are union-of-cliques-ish
-    * (diameter stays small), so rounds ≪ log n in practice;
-    * `maxIter` caps adversarial chains. Each round is eagerly
-    * checkpointed: lineage stays O(1) and the convergence probe is
-    * one cheap job over materialized labels.
+    * component). Min-label propagation WITH pointer-doubling
+    * shortcuts: each round a node takes the min over its own label,
+    * its neighbors' labels, and its LABEL'S label (`lbl(lbl(v))` —
+    * the shortcut that turns O(diameter) convergence into
+    * O(log diameter), the same doubling as
+    * [[graft.ops.GraphOps.resolveChain]]). Each round is two
+    * equi-joins + one min-agg shuffled on id, eagerly checkpointed:
+    * lineage stays O(1) and the convergence probe is one cheap job
+    * over materialized labels. `maxIter` is a safety cap far above
+    * log2 of any real component.
     *
     * Returns (id, cluster_id) with cluster_id = min node id of the
     * component. Nodes absent from `pairs` are their own cluster if
@@ -232,7 +234,12 @@ object DedupOps {
       val neighborMin = sym
         .join(labels, sym("__src") === labels("id"))
         .select(col("__dst").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").union(neighborMin)
+      // shortcut: follow my label to ITS label (pointer doubling)
+      val hop = labels.alias("a")
+        .join(labels.alias("b"), col("a.lbl") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
+      val next = labels.select("id", "lbl")
+        .union(neighborMin).union(hop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
       converged = next.alias("n")
