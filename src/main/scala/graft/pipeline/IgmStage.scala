@@ -70,7 +70,11 @@ object IgmStage {
     val lk = lookup.withColumnRenamed(SampleCol, "__looked")
       .withColumnRenamed("participant.participant_id", "__lpart")
       .withColumnRenamed("assay", "__lassay")
-    val joined = unfilled.join(lk,
+    // the lookup is sample-metadata-scale (the reference holds it in
+    // pandas memory); union+dedup inflates its size estimate past the
+    // auto-broadcast threshold, so hint it — left-outer may build the
+    // right side
+    val joined = unfilled.join(broadcast(lk),
       rawCol("participant.participant_id") === col("__lpart") &&
         col("assay") === col("__lassay"), "left")
       .drop("__lpart", "__lassay")
