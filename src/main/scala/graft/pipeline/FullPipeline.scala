@@ -104,4 +104,35 @@ object FullPipeline {
     Outputs(cleaned, findings, sra, ssm, subjectConsent, sampleAttributes,
       dcf, tabBroken, cds)
   }
+
+  /** The multi-submission entry point (`src/submission_cruncher.py`
+    * upstream of the runner): merge several submission manifests
+    * node-by-node, optionally pre-fill IGM clinical sample ids
+    * (`src/cog_igm_utils.py:38-168`) when the clinical, sequencing,
+    * methylation and sample nodes are all present, then run the
+    * six-stage pipeline on the merged manifest.
+    */
+  def runMerged(
+      submissions: Seq[Manifest],
+      catalog: ModelCatalog,
+      study: String,
+      phsAccession: String,
+      consentMap: Map[String, String] = Map.empty,
+      igmClinicalNode: String = "clinical_measure_file",
+      igmSequencingNode: String = "sequencing_file",
+      igmMethylationNode: String = "methylation_array_file"): Outputs = {
+    val merged = SubmissionCruncher.concatSubmissions(submissions)
+    val igmReady = (for {
+      clin <- merged.get(igmClinicalNode)
+      seq <- merged.get(igmSequencingNode)
+      meth <- merged.get(igmMethylationNode)
+      samp <- merged.get("sample")
+      if clin.columns.contains("sample.sample_id") &&
+        seq.columns.contains("library_strategy") &&
+        meth.columns.contains("data_category") &&
+        samp.columns.contains("sample_id")
+    } yield merged.updated(igmClinicalNode,
+      IgmStage.fillSampleIds(clin, seq, meth, samp))).getOrElse(merged)
+    run(igmReady, catalog, study, phsAccession, consentMap)
+  }
 }

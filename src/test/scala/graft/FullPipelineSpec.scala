@@ -93,4 +93,41 @@ class FullPipelineSpec extends SparkSpecBase {
     val cds = out.cds.get
     cds.select("file_url").distinct().count() shouldBe 2
   }
+
+  test("runMerged crunches submissions and pre-fills IGM sample ids") {
+    // split the fixture into two overlapping submissions: the cruncher
+    // must reunite them (dedup the shared participant row), and the
+    // clinical sheet's missing sample id must fill from the pdf
+    // sequencing row via (participant, assay)
+    val sub1 = manifest.updated("participant",
+      strDf(Seq("type", "participant_id", "sex_at_birth",
+        "consent_group.consent_group_id", "study.study_id", "row_idx"))(
+        Seq("participant", "p1", "Female", "CG1", "st1", "2")))
+      .removed("pdx")
+    val sub2 = Map(
+      "participant" -> strDf(Seq("type", "participant_id", "sex_at_birth",
+        "consent_group.consent_group_id", "study.study_id", "row_idx"))(
+        Seq("participant", "p1", "Female", "CG1", "st1", "2"), // dup of sub1
+        Seq("participant", "p2", "Male", "CG1", "st1", "3")),
+      "pdx" -> manifest("pdx"),
+      "sequencing_file" -> strDf(Seq("sequencing_file_id", "library_id",
+        "file_name", "file_type", "md5sum", "file_size", "file_url",
+        "dcf_indexd_guid", "sample.sample_id", "library_strategy", "row_idx"))(
+        Seq("f9", "lib9", "r.pdf", "pdf", "ccc3", "5",
+          "s3://b/r.pdf", null, "s1", "WXS", "4")),
+      "clinical_measure_file" -> strDf(Seq("file_name",
+        "participant.participant_id", "data_category", "sample.sample_id",
+        "row_idx"))(
+        Seq("rep_tumor_normal_1.pdf", "p1", "IGM", null, "2")),
+      "methylation_array_file" -> strDf(Seq("sample.sample_id",
+        "file_type", "data_category", "row_idx"))())
+    val out = FullPipeline.runMerged(Seq(sub1, sub2), catalog,
+      study = "st1", phsAccession = "phs000001",
+      consentMap = Map("CG1" -> "1"))
+    // cruncher deduped the shared participant row
+    out.cleaned("participant").count() shouldBe 2
+    // IGM fill: tumor_normal report -> (p1, tumor_normal) -> WXS pdf s1
+    val clin = out.cleaned("clinical_measure_file").head()
+    clin.getAs[String]("sample.sample_id") shouldBe "s1"
+  }
 }
