@@ -47,6 +47,53 @@ object ExportStages {
       node -> linked
     }
 
+  /** JoinRy (`/root/reference/src/join_tsv_to_manifest.py:63-186`):
+    * the REVERSE of [[tabBreak]] — database-exported node tsvs carry
+    * uuid row ids and `<parent>.id` pointers; rewrite each pointer to
+    * the parent's KEY value (`<parent>.<parent>_id`) via the global
+    * id→key mapping built from every node's (id, key) pairs, then
+    * blank the uuid columns. Empty/null pointers pass through; a
+    * pointer absent from the mapping goes null (the reference's
+    * KeyError, degraded gracefully). The mapping is catalog-sized and
+    * broadcast — one hash join per pointer column, no shuffles.
+    */
+  def joinRy(manifest: Manifest, catalog: ModelCatalog): Manifest = {
+    val mapping = manifest.flatMap { case (node, df) =>
+      catalog.keyOf(node) match {
+        case Some(k) if df.columns.contains("id") && df.columns.contains(k) =>
+          Some(df.select(col("id").as("__mid"),
+            CurationOps.rawCol(k).as("__mkey")))
+        case _ => None
+      }
+    }.reduceOption(_ unionByName _)
+    manifest.map { case (node, df) =>
+      val noStudy =
+        if (df.columns.contains("study") && node != "study") df.drop("study")
+        else df
+      val idCols = noStudy.columns.filter(c => c.endsWith(".id"))
+      val joined = idCols.foldLeft(noStudy) { (d, c) =>
+        val parent = c.split("\\.")(0)
+        val target = s"$parent.${parent}_id"
+        val looked = mapping match {
+          case Some(m) =>
+            val mm = broadcast(m)
+            d.join(mm, CurationOps.rawCol(c) === mm("__mid"), "left")
+              .withColumn(target,
+                when(CurationOps.rawCol(c).isNull ||
+                  CurationOps.rawCol(c) === "", CurationOps.rawCol(c))
+                  .otherwise(col("__mkey")))
+              .drop("__mid", "__mkey")
+          case None => d.withColumn(target, lit(null).cast("string"))
+        }
+        looked.withColumn(c, lit(""))
+      }
+      val blanked =
+        if (joined.columns.contains("id")) joined.withColumn("id", lit(""))
+        else joined
+      node -> blanked
+    }
+  }
+
   /** The DCC tab-breaker's uuid cell (`/root/reference/src/
     * dcc_tabbreaker.py:12-40`): uuid5 under the md5("ccdi-dcc")
     * namespace over `study::node::value`; a `;`-delimited multi-value

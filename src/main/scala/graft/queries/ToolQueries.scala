@@ -863,5 +863,49 @@ object ToolQueries {
           col("study_id") === "phs0"))
       ValidationOps.dbReconcileCheck(input, db)
         .orderBy(col("study_id"), col("node"))
+    },
+
+    // JoinRy (join_tsv_to_manifest.py:63-186): DB-exported uuid
+    // pointers rewrite to parent KEY values through the global id→key
+    // mapping; uuid columns blank afterward. The sample node grades:
+    // participant.id 'u<k%200>' resolves to 'P<k%200>', missing
+    // pointers (k%13=0 -> 'u9999', unmapped) go null, empty ones
+    // (k%17=0) pass through.
+    Q("q95_joinry",
+      """WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)
+        |SELECT 'SM' || CAST(k AS VARCHAR) AS sample_id,
+        |  '' AS id, '' AS "participant.id",
+        |  CASE WHEN k % 17 = 0 THEN ''
+        |       WHEN k % 13 = 0 AND k % 17 <> 0 THEN NULL
+        |       ELSE 'P' || CAST(k % 200 AS VARCHAR)
+        |  END AS "participant.participant_id"
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.pipeline.ExportStages
+      import graft.catalog.{ModelCatalog, PropDef}
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+      val participant = ord.select(
+        concat(lit("u"), (k % 200).cast("string")).as("id"),
+        concat(lit("P"), (k % 200).cast("string")).as("participant_id"))
+        .distinct()
+      val sample = ord.filter(k <= 2000).select(
+        concat(lit("mu"), k.cast("string")).as("id"),
+        concat(lit("SM"), k.cast("string")).as("sample_id"),
+        when(k % 17 === 0, "")
+          .when(k % 13 === 0, "u9999")
+          .otherwise(concat(lit("u"), (k % 200).cast("string")))
+          .as("participant.id"))
+      val catalog = ModelCatalog(props = Seq(
+        PropDef("participant", "participant_id", "string", isKey = true,
+          required = false),
+        PropDef("sample", "sample_id", "string", isKey = true,
+          required = false)),
+        enums = Map.empty, edges = Seq.empty)
+      val out = ExportStages.joinRy(
+        Map("participant" -> participant, "sample" -> sample), catalog)
+      out("sample")
+        .select(col("sample_id"), col("id"), col("`participant.id`"),
+          col("`participant.participant_id`"))
+        .orderBy(expr("cast(substring(sample_id, 3) as bigint)"))
     })
 }

@@ -228,6 +228,31 @@ class ToolOpsSpec extends SparkSpecBase {
       ("r_tumor_normal_x.pdf", null))
   }
 
+  test("joinRy rewrites uuid pointers to parent keys and blanks uuids") {
+    import graft.catalog.{ModelCatalog, PropDef}
+    import graft.pipeline.ExportStages
+    val participant = strDf(Seq("id", "participant_id"))(
+      Seq("u1", "P1"), Seq("u2", "P2"))
+    val sample = strDf(Seq("id", "sample_id", "participant.id", "study"))(
+      Seq("m1", "S1", "u1", "stX"),   // resolves
+      Seq("m2", "S2", "u404", "stX"), // unmapped -> null
+      Seq("m3", "S3", "", "stX"))     // empty passes through
+    val catalog = ModelCatalog(props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true,
+        required = false),
+      PropDef("sample", "sample_id", "string", isKey = true,
+        required = false)), enums = Map.empty, edges = Seq.empty)
+    val out = ExportStages.joinRy(
+      Map("participant" -> participant, "sample" -> sample), catalog)("sample")
+    out.columns should not contain "study" // dropped like the reference
+    val rows = out.orderBy("sample_id").collect().map(r =>
+      (r.getAs[String]("sample_id"), r.getAs[String]("id"),
+        r.getAs[String]("participant.id"),
+        r.getAs[String]("participant.participant_id"))).toSeq
+    rows shouldBe Seq(
+      ("S1", "", "", "P1"), ("S2", "", "", null), ("S3", "", "", ""))
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
