@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tranche / database comparison tools:
+  * `/root/reference/workflows/cog_comparer.py` (COG CRF tranche
+  * compare) and `/root/reference/workflows/neo4j_db_diff.py` +
+  * `db_diff_central_worker.py` (instance count diff).
+  */
+object CompareOps {
+
+  /** "" and "NA" count as missing for sparsity purposes
+    * (`cog_comparer.py:54-56` `replace(["", "NA"], pd.NA)`).
+    */
+  private def isNa(c: Column): Column = c.isNull || c === "" || c === "NA"
+
+  private def raw(name: String): Column = col("`" + name.replace("`", "") + "`")
+
+  /** Per-(prop, group) sparsity of one tranche: fraction of missing
+    * values within each group, computed for every requested prop in
+    * ONE aggregate pass (each prop is a conditional-sum column, so
+    * the shuffle moves one row per group, not one per cell; the
+    * per-prop melt happens on the already-tiny aggregate). Rows with
+    * a missing group key are excluded entirely, like pandas groupby
+    * (`cog_comparer.py:20-23`).
+    */
+  private def sparsity(df: DataFrame, groupCol: String,
+      props: Seq[String]): DataFrame = {
+    require(props.nonEmpty, "tranches share no columns")
+    val grouped = df.filter(!isNa(raw(groupCol)))
+      .groupBy(raw(groupCol).as("__grp"))
+    val ratios = props.map { p =>
+      (sum(when(isNa(raw(p)), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as(p)
+    }
+    grouped.agg(ratios.head, ratios.tail: _*)
+      .unpivot(Array(col("__grp")), props.map(raw).toArray,
+        "prop", "sparsity")
+  }
+
+  /** 25%-wide sparsity buckets (`cog_comparer.py:78-88`): 0 and
+    * exact quartile boundaries land in the LOWER bucket.
+    */
+  private def sparsityBucket(c: Column): Column =
+    when(c <= 0.25, "0-25%")
+      .when(c <= 0.5, "25-50%")
+      .when(c <= 0.75, "50-75%")
+      .otherwise("75-100%")
+
+  /** The COG tranche sparsity matrix (`cog_comparer.py:20-88`): for
+    * every prop present in BOTH tranches, per-diagnosis-group missing
+    * fraction in the old and new tranche, whether it increased /
+    * decreased / stayed the same, and each side's quartile bucket.
+    * Groups must appear in both tranches (pandas inner merge on the
+    * group value, `:61`). Sparsity is integer/integer double
+    * division, so the values are bit-deterministic.
+    */
+  def sparsityCompare(oldT: DataFrame, newT: DataFrame, groupCol: String,
+      groupAlias: String = "MCI_substudy"): DataFrame = {
+    val props = oldT.columns.toSeq.intersect(newT.columns.toSeq)
+    val o = sparsity(oldT, groupCol, props)
+      .withColumnsRenamed(Map("sparsity" -> "sparsity_old_tranche"))
+    val n = sparsity(newT, groupCol, props)
+      .withColumnsRenamed(Map("sparsity" -> "sparsity_new_tranche"))
+    val oldS = col("sparsity_old_tranche")
+    val newS = col("sparsity_new_tranche")
+    o.join(n, Seq("__grp", "prop"))
+      .select(
+        col("prop"),
+        col("__grp").as(groupAlias),
+        oldS, newS,
+        when(newS > oldS, "increased")
+          .when(newS < oldS, "decreased")
+          .otherwise("same").as("sparsity_change"),
+        sparsityBucket(oldS).as("sparsity_group_old_tranche"),
+        sparsityBucket(newS).as("sparsity_group_new_tranche"))
+  }
+
+  /** The COG tranche set diffs (`cog_comparer.py:31-48`): ids added /
+    * removed between tranches (data-side EXCEPTs on the distinct id
+    * column) plus props and forms (prefix before the first '.')
+    * added / removed (schema-side, driver-sized by construction).
+    * One long findings frame: (category, value).
+    */
+  def tranchesDiff(oldT: DataFrame, newT: DataFrame,
+      idCol: String = "upi"): DataFrame = {
+    def ids(df: DataFrame) = df.select(raw(idCol).as("value")).distinct()
+    val newIds = ids(newT).except(ids(oldT))
+      .select(lit("new_" + idCol).as("category"), col("value"))
+    val removedIds = ids(oldT).except(ids(newT))
+      .select(lit("removed_" + idCol).as("category"), col("value"))
+    val props1 = oldT.columns.toSet
+    val props2 = newT.columns.toSet
+    def forms(ps: Set[String]) = ps.map(_.split("\\.")(0))
+    val schemaRows =
+      (props2 -- props1).toSeq.sorted.map("new_prop" -> _) ++
+      (props1 -- props2).toSeq.sorted.map("removed_prop" -> _) ++
+      (forms(props2) -- forms(props1)).toSeq.sorted.map("new_form" -> _) ++
+      (forms(props1) -- forms(props2)).toSeq.sorted.map("removed_form" -> _)
+    val spark = oldT.sparkSession
+    import spark.implicits._
+    newIds.unionByName(removedIds)
+      .unionByName(schemaRows.toDF("category", "value"))
+  }
+
+  /** The DB instance count diff (`neo4j_db_diff.py:96-105`,
+    * `db_diff_central_worker.py:88-105`): full-outer merge of two
+    * per-(study, node) count frames, absent side filled with 0,
+    * `count_diff` = first minus second. Count frames are
+    * catalog-sized; the join keys coalesce like pandas merge-on.
+    */
+  def countDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      aCount: String = "database_1_count",
+      bCount: String = "database_2_count"): DataFrame =
+    a.join(b, keys, "full_outer")
+      .na.fill(0, Seq(aCount, bCount))
+      .withColumn("count_diff", col(aCount) - col(bCount))
+}

@@ -145,6 +145,25 @@ object StatsOps {
     totals.unionByName(exts).unionByName(dates)
   }
 
+  /** Bucket content search (`/root/reference/src/
+    * search_bucket_content.py:8-38`): every object key is checked
+    * against every search text; a key matching several texts is
+    * reported once per text, keyed by the text like the reference's
+    * per-text result lists. The text list is tiny and broadcast, so
+    * the "cross join" is a map-side nested loop over a handful of
+    * literals — the inventory never shuffles.
+    */
+  def searchBucketContent(inventory: DataFrame, texts: Seq[String],
+      keyCol: String = "key", bucketCol: String = "bucket"): DataFrame = {
+    val spark = inventory.sparkSession
+    import spark.implicits._
+    val t = broadcast(texts.toDF("search_text"))
+    inventory.join(t, col("`" + keyCol + "`").contains(col("search_text")))
+      .select(col("search_text"),
+        concat(lit("s3://"), col("`" + bucketCol + "`"), lit("/"),
+          col("`" + keyCol + "`")).as("uri"))
+  }
+
   /** The db-stats study matrix (`/root/reference/workflows/
     * db_stats.py:224-305`): a long (study_id, column_name, value)
     * union of many source pulls → dedup → pivot wide → byte→TB

@@ -46,6 +46,44 @@ object TransferOps {
     concat(lit("s3://" + stagingPath.stripSuffix("/") + "/"),
       regexp_replace(uri, "^s3://" + prodPrefix.stripSuffix("/") + "/", ""))
 
+  /** The KF data-sync manifest shape (`/root/reference/workflows/
+    * kf_data_sync_manifest_generator.py:10-58`): each (source, dest)
+    * s3 url pair splits into bucket + path-after-bucket (empty when
+    * the url is just a bucket). The reference then writes one
+    * manifest per (source_bucket, dest_bucket) pair — at the sink
+    * that is `partitionBy(source_bucket, dest_bucket)`, not a
+    * shuffle; this op is the pure map-side parse.
+    */
+  def syncManifest(df: DataFrame, srcCol: String = "source",
+      dstCol: String = "dest"): DataFrame = {
+    def bucket(c: Column) = regexp_extract(c, "^s3://([^/]+)", 1)
+    def path(c: Column) = regexp_extract(c, "^s3://[^/]+/(.*)$", 1)
+    df.select(
+      bucket(col(srcCol)).as("source_bucket"),
+      path(col(srcCol)).as("source_path"),
+      bucket(col(dstCol)).as("dest_bucket"),
+      path(col(dstCol)).as("dest_path"))
+  }
+
+  /** The MCI staging-folder diff (`/root/reference/src/
+    * mci_monthly_release.py:33-80`): list the staging inventory,
+    * drop dotfiles and `P_____` placeholder objects, then keep only
+    * filenames not present in the previous pull. The previous pull is
+    * a filename list (one small column) — broadcast anti join.
+    */
+  def stagingDiff(inventory: DataFrame, prevPull: DataFrame,
+      keyCol: String = "key", prevCol: String = "filename"): DataFrame = {
+    val named = inventory
+      .withColumn("filename",
+        element_at(split(col("`" + keyCol + "`"), "/"), -1))
+      .filter(!col("filename").startsWith(".") &&
+        !col("filename").contains("P_____"))
+    named.join(
+      broadcast(prevPull.select(col("`" + prevCol + "`").as("filename"))),
+      Seq("filename"), "left_anti")
+      .select(col("`" + keyCol + "`").as("object_key"), col("filename"))
+  }
+
   /** A12-style per-chunk status roll-up of transfer results. */
   def chunkSummary(plan: DataFrame, statusCol: Column): DataFrame =
     plan.groupBy(col("chunk_id"))

@@ -907,5 +907,227 @@ object ToolQueries {
         .select(col("sample_id"), col("id"), col("`participant.id`"),
           col("`participant.participant_id`"))
         .orderBy(expr("cast(substring(sample_id, 3) as bigint)"))
+    },
+
+    // COG tranche comparer sparsity matrix (cog_comparer.py:20-88):
+    // per-(prop, diagnosis-group) missing fraction ('' and 'NA'
+    // count as missing) in both tranches, change direction, and
+    // quartile buckets. Old tranche blanks name on k%3, NAs phone on
+    // k%4; the new tranche (odd keys only) nulls name on k%5, blanks
+    // phone on k%6.
+    Q("q96_sparsity_compare",
+      """WITH oldt AS (
+        |  SELECT c_mktsegment AS dx, CAST(c_custkey AS VARCHAR) AS upi,
+        |    CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'NA'
+        |      ELSE CAST(c_nationkey AS VARCHAR) END AS phone
+        |  FROM customer),
+        |newt AS (
+        |  SELECT c_mktsegment AS dx, CAST(c_custkey AS VARCHAR) AS upi,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 6 = 0 THEN ''
+        |      ELSE CAST(c_nationkey AS VARCHAR) END AS phone
+        |  FROM customer WHERE c_custkey % 2 <> 0),
+        |props(prop) AS (VALUES ('dx'), ('upi'), ('name'), ('phone')),
+        |om AS (
+        |  SELECT prop, dx AS grp,
+        |    CAST(SUM(CASE WHEN v IS NULL OR v = '' OR v = 'NA' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS s
+        |  FROM (SELECT dx, prop,
+        |          CASE prop WHEN 'dx' THEN dx WHEN 'upi' THEN upi
+        |            WHEN 'name' THEN name WHEN 'phone' THEN phone END AS v
+        |        FROM oldt CROSS JOIN props
+        |        WHERE NOT (dx IS NULL OR dx = '' OR dx = 'NA'))
+        |  GROUP BY prop, dx),
+        |nm AS (
+        |  SELECT prop, dx AS grp,
+        |    CAST(SUM(CASE WHEN v IS NULL OR v = '' OR v = 'NA' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS s
+        |  FROM (SELECT dx, prop,
+        |          CASE prop WHEN 'dx' THEN dx WHEN 'upi' THEN upi
+        |            WHEN 'name' THEN name WHEN 'phone' THEN phone END AS v
+        |        FROM newt CROSS JOIN props
+        |        WHERE NOT (dx IS NULL OR dx = '' OR dx = 'NA'))
+        |  GROUP BY prop, dx)
+        |SELECT om.prop, om.grp AS MCI_substudy,
+        |  om.s AS sparsity_old_tranche, nm.s AS sparsity_new_tranche,
+        |  CASE WHEN nm.s > om.s THEN 'increased'
+        |       WHEN nm.s < om.s THEN 'decreased'
+        |       ELSE 'same' END AS sparsity_change,
+        |  CASE WHEN om.s <= 0.25 THEN '0-25%' WHEN om.s <= 0.5 THEN '25-50%'
+        |       WHEN om.s <= 0.75 THEN '50-75%' ELSE '75-100%' END
+        |    AS sparsity_group_old_tranche,
+        |  CASE WHEN nm.s <= 0.25 THEN '0-25%' WHEN nm.s <= 0.5 THEN '25-50%'
+        |       WHEN nm.s <= 0.75 THEN '50-75%' ELSE '75-100%' END
+        |    AS sparsity_group_new_tranche
+        |FROM om JOIN nm ON om.prop = nm.prop AND om.grp = nm.grp
+        |ORDER BY om.prop, om.grp""".stripMargin) { (s, dir) =>
+      import graft.ops.CompareOps
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val oldT = c.select(
+        col("c_mktsegment").as("dx"), k.cast("string").as("upi"),
+        when(k % 3 === 0, "").otherwise(col("c_name")).as("name"),
+        when(k % 4 === 0, "NA")
+          .otherwise(col("c_nationkey").cast("string")).as("phone"))
+      val newT = c.filter(k % 2 =!= 0).select(
+        col("c_mktsegment").as("dx"), k.cast("string").as("upi"),
+        when(k % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        when(k % 6 === 0, "")
+          .otherwise(col("c_nationkey").cast("string")).as("phone"))
+      CompareOps.sparsityCompare(oldT, newT, "dx")
+        .orderBy(col("prop"), col("MCI_substudy"))
+    },
+
+    // COG tranche set diffs (cog_comparer.py:31-48): ids come from
+    // data-side EXCEPTs, prop/form additions and removals from the
+    // schemas (forms = prefix before the first '.').
+    Q("q97_tranche_diff",
+      """WITH o AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+        |           FROM customer WHERE c_custkey % 3 <> 0),
+        |n AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+        |      FROM customer WHERE c_custkey % 2 <> 0)
+        |SELECT category, value FROM (
+        |  SELECT 'new_upi' AS category, v AS value
+        |  FROM (SELECT v FROM n EXCEPT SELECT v FROM o)
+        |  UNION ALL
+        |  SELECT 'removed_upi', v
+        |  FROM (SELECT v FROM o EXCEPT SELECT v FROM n)
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('new_prop', 'FORM_A.f2'),
+        |    ('new_prop', 'FORM_B.g1'), ('removed_prop', 'FORM_A.f1'),
+        |    ('new_form', 'FORM_B')) t(category, value))
+        |ORDER BY category, value""".stripMargin) { (s, dir) =>
+      import graft.ops.CompareOps
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val oldT = c.filter(k % 3 =!= 0).select(
+        k.cast("string").as("upi"), col("c_name").as("name"),
+        col("c_mktsegment").as("dx"), lit("x").as("FORM_A.f1"))
+      val newT = c.filter(k % 2 =!= 0).select(
+        k.cast("string").as("upi"), col("c_name").as("name"),
+        col("c_mktsegment").as("dx"), lit("y").as("FORM_A.f2"),
+        lit("z").as("FORM_B.g1"))
+      CompareOps.tranchesDiff(oldT, newT)
+        .orderBy(col("category"), col("value"))
+    },
+
+    // DB instance count diff (neo4j_db_diff.py:96-105): full-outer
+    // merge of two (study_id, node) count frames, absent side filled
+    // 0, count_diff = db1 - db2. db1 misses (phs0, 'P') rows; db2
+    // misses study phs2 entirely.
+    Q("q98_db_count_diff",
+      """WITH db1 AS (
+        |  SELECT 'phs' || CAST(o_custkey % 3 AS VARCHAR) AS study_id,
+        |         o_orderstatus AS node, COUNT(*) AS database_1_count
+        |  FROM orders
+        |  WHERE o_orderkey % 5 <> 0
+        |    AND NOT (o_orderstatus = 'P' AND o_custkey % 3 = 0)
+        |  GROUP BY 1, 2),
+        |db2 AS (
+        |  SELECT 'phs' || CAST(o_custkey % 3 AS VARCHAR) AS study_id,
+        |         o_orderstatus AS node, COUNT(*) AS database_2_count
+        |  FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_custkey % 3 <> 2
+        |  GROUP BY 1, 2)
+        |SELECT COALESCE(db1.study_id, db2.study_id) AS study_id,
+        |  COALESCE(db1.node, db2.node) AS node,
+        |  COALESCE(database_1_count, 0) AS database_1_count,
+        |  COALESCE(database_2_count, 0) AS database_2_count,
+        |  COALESCE(database_1_count, 0) - COALESCE(database_2_count, 0)
+        |    AS count_diff
+        |FROM db1 FULL OUTER JOIN db2
+        |  ON db1.study_id = db2.study_id AND db1.node = db2.node
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.ops.CompareOps
+      val o = t(s, dir, "orders")
+      val study = concat(lit("phs"), (col("o_custkey") % 3).cast("string"))
+      val db1 = o.filter(col("o_orderkey") % 5 =!= 0 &&
+          !(col("o_orderstatus") === "P" && col("o_custkey") % 3 === 0))
+        .groupBy(study.as("study_id"), col("o_orderstatus").as("node"))
+        .agg(count(lit(1)).as("database_1_count"))
+      val db2 = o.filter(col("o_orderkey") % 7 =!= 0 &&
+          col("o_custkey") % 3 =!= 2)
+        .groupBy(study.as("study_id"), col("o_orderstatus").as("node"))
+        .agg(count(lit(1)).as("database_2_count"))
+      CompareOps.countDiff(db1, db2, Seq("study_id", "node"))
+        .orderBy(col("study_id"), col("node"))
+    },
+
+    // Bucket content search (search_bucket_content.py:8-38): every
+    // key is matched against every search text; 'STANDARD' keys hit
+    // both 'AND' and 'ARD' so one key can report twice.
+    Q("q99_bucket_search",
+      """WITH inv AS (
+        |  SELECT 'data/' || p_type || '/f' || CAST(p_partkey AS VARCHAR)
+        |    || '.bam' AS key FROM part),
+        |tx(search_text) AS (VALUES ('PROMO'), ('AND'), ('ARD'))
+        |SELECT search_text, 's3://inv-bucket/' || key AS uri
+        |FROM inv JOIN tx ON position(search_text IN key) > 0
+        |ORDER BY search_text, uri""".stripMargin) { (s, dir) =>
+      import graft.ops.StatsOps
+      val inv = t(s, dir, "part").select(
+        lit("inv-bucket").as("bucket"),
+        concat(lit("data/"), col("p_type"), lit("/f"),
+          col("p_partkey").cast("string"), lit(".bam")).as("key"))
+      StatsOps.searchBucketContent(inv, Seq("PROMO", "AND", "ARD"))
+        .orderBy(col("search_text"), col("uri"))
+    },
+
+    // KF data-sync manifest parse (kf_data_sync_manifest_generator
+    // .py:10-58): s3 url pairs split into bucket + path; every 11th
+    // dest is bucket-only (empty path).
+    Q("q100_sync_manifest",
+      """WITH m AS (
+        |  SELECT 's3://src-' || CAST(o_custkey % 3 AS VARCHAR) || '/data/d'
+        |      || CAST(o_orderkey % 10 AS VARCHAR) || '/f'
+        |      || CAST(o_orderkey AS VARCHAR) || '.cram' AS source,
+        |    CASE WHEN o_orderkey % 11 = 0
+        |      THEN 's3://dst-' || CAST(o_custkey % 2 AS VARCHAR)
+        |      ELSE 's3://dst-' || CAST(o_custkey % 2 AS VARCHAR) || '/f'
+        |        || CAST(o_orderkey AS VARCHAR) || '.cram' END AS dest
+        |  FROM orders WHERE o_orderkey <= 5000)
+        |SELECT regexp_extract(source, '^s3://([^/]+)', 1) AS source_bucket,
+        |  regexp_extract(source, '^s3://[^/]+/(.*)$', 1) AS source_path,
+        |  regexp_extract(dest, '^s3://([^/]+)', 1) AS dest_bucket,
+        |  regexp_extract(dest, '^s3://[^/]+/(.*)$', 1) AS dest_path
+        |FROM m ORDER BY source_path""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+      val ok = col("o_orderkey")
+      val dstBucket = concat(lit("s3://dst-"),
+        (col("o_custkey") % 2).cast("string"))
+      val pairs = o.select(
+        concat(lit("s3://src-"), (col("o_custkey") % 3).cast("string"),
+          lit("/data/d"), (ok % 10).cast("string"), lit("/f"),
+          ok.cast("string"), lit(".cram")).as("source"),
+        when(ok % 11 === 0, dstBucket)
+          .otherwise(concat(dstBucket, lit("/f"), ok.cast("string"),
+            lit(".cram"))).as("dest"))
+      TransferOps.syncManifest(pairs).orderBy(col("source_path"))
+    },
+
+    // MCI staging diff (mci_monthly_release.py:33-80): dotfiles and
+    // P_____ placeholders are dropped from the listing, then
+    // filenames already in the previous pull anti-join away.
+    Q("q101_staging_diff",
+      """SELECT 'staging/sub/f' || CAST(p_partkey AS VARCHAR) || '.txt'
+        |    AS object_key,
+        |  'f' || CAST(p_partkey AS VARCHAR) || '.txt' AS filename
+        |FROM part
+        |WHERE p_partkey % 7 <> 0 AND p_partkey % 11 <> 0
+        |  AND p_partkey % 3 <> 0
+        |ORDER BY object_key""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part")
+      val pk = col("p_partkey")
+      val inv = p.select(
+        when(pk % 7 === 0, concat(lit("staging/.h"), pk.cast("string")))
+          .when(pk % 11 === 0,
+            concat(lit("staging/P_____"), pk.cast("string"), lit(".txt")))
+          .otherwise(concat(lit("staging/sub/f"), pk.cast("string"),
+            lit(".txt"))).as("key"))
+      val prev = p.filter(pk % 3 === 0).select(
+        concat(lit("f"), pk.cast("string"), lit(".txt")).as("filename"))
+      TransferOps.stagingDiff(inv, prev).orderBy(col("object_key"))
     })
 }

@@ -253,6 +253,74 @@ class ToolOpsSpec extends SparkSpecBase {
       ("S1", "", "", "P1"), ("S2", "", "", null), ("S3", "", "", ""))
   }
 
+  test("sparsityCompare normalizes ''/NA, drops na groups, buckets quartiles") {
+    import graft.ops.CompareOps
+    // group g1: old has name missing 2/4 ('' and NA); new 0/2.
+    // group g2 exists only in old -> inner merge drops it.
+    // the null-group row is excluded entirely.
+    val oldT = strDf(Seq("dx", "name"))(
+      Seq("g1", "a"), Seq("g1", ""), Seq("g1", "NA"), Seq("g1", "b"),
+      Seq("g2", null), Seq(null, "zz"))
+    val newT = strDf(Seq("dx", "name"))(Seq("g1", "c"), Seq("g1", "d"))
+    val out = CompareOps.sparsityCompare(oldT, newT, "dx")
+      .filter(col("prop") === "name").collect()
+    out should have length 1
+    val r = out.head
+    r.getAs[String]("MCI_substudy") shouldBe "g1"
+    r.getAs[Double]("sparsity_old_tranche") shouldBe 0.5
+    r.getAs[Double]("sparsity_new_tranche") shouldBe 0.0
+    r.getAs[String]("sparsity_change") shouldBe "decreased"
+    r.getAs[String]("sparsity_group_old_tranche") shouldBe "25-50%"
+    r.getAs[String]("sparsity_group_new_tranche") shouldBe "0-25%"
+  }
+
+  test("tranchesDiff reports id, prop, and form additions/removals") {
+    import graft.ops.CompareOps
+    val oldT = strDf(Seq("upi", "F1.a", "F2.b"))(Seq("u1", "x", "y"))
+    val newT = strDf(Seq("upi", "F1.a", "F1.c"))(Seq("u1", "x", "z"),
+      Seq("u2", "x", "z"))
+    val rows = CompareOps.tranchesDiff(oldT, newT)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    rows shouldBe Set(
+      ("new_upi", "u2"), ("new_prop", "F1.c"),
+      ("removed_prop", "F2.b"), ("removed_form", "F2"))
+  }
+
+  test("countDiff fills absent sides with 0") {
+    import graft.ops.CompareOps
+    val a = Seq(("s1", "n1", 5L), ("s1", "n2", 3L))
+      .toDF("study_id", "node", "database_1_count")
+    val b = Seq(("s1", "n1", 4L), ("s2", "n1", 7L))
+      .toDF("study_id", "node", "database_2_count")
+    val out = CompareOps.countDiff(a, b, Seq("study_id", "node"))
+      .orderBy("study_id", "node")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    out shouldBe Seq(("s1", "n1", 5L, 4L, 1L), ("s1", "n2", 3L, 0L, 3L),
+      ("s2", "n1", 0L, 7L, -7L))
+  }
+
+  test("syncManifest splits buckets and paths; bucket-only urls get ''") {
+    val pairs = strDf(Seq("source", "dest"))(
+      Seq("s3://src-a/x/y.cram", "s3://dst-b/y.cram"),
+      Seq("s3://src-a/z.cram", "s3://dst-b"))
+    val out = TransferOps.syncManifest(pairs).orderBy("source_path")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    out shouldBe Seq(("src-a", "x/y.cram", "dst-b", "y.cram"),
+      ("src-a", "z.cram", "dst-b", ""))
+  }
+
+  test("stagingDiff drops dotfiles/P_____ and previously pulled names") {
+    val inv = strDf(Seq("key"))(
+      Seq("st/.hidden"), Seq("st/P_____1.txt"), Seq("st/a.txt"),
+      Seq("st/sub/b.txt"))
+    val prev = strDf(Seq("filename"))(Seq("a.txt"))
+    val out = TransferOps.stagingDiff(inv, prev)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("st/sub/b.txt", "b.txt"))
+  }
+
   test("TransferExec executors fail fast on result-column collisions") {
     val (store) = new LocalFsStore(Files.createTempDirectory("g").toString)
     val bad = Seq("u").toDF("uri").withColumn("exists", lit(true))
