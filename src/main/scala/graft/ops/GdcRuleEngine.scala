@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The CCDI→GDC mapping rule engine (`/root/reference/src/
+  * ccdi_gdc_mapping_functions.py`): like the COG engine
+  * ([[RuleEngine]]) a rules TABLE drives per-row derivations of GDC
+  * node frames, but with its own function registry
+  * (`TRANSFORM_REGISTRY`, `ccdi_gdc_mapping_functions.py:420-437`),
+  * its own modifier set (`apply_modifier`, `:443-476`), and a
+  * DIFFERENT core-gating semantic: a (node, mode) group keeps a row
+  * when any core rule's input VALUE EQUALS the rule's `core` value
+  * (`ModeGroup.evaluate_row`, `:538-568`) — the COG engine gates on
+  * mere input presence.
+  *
+  * Every rule compiles to a Catalyst `Column`; each (node, mode)
+  * group is ONE whole-stage-codegen'd filter+select over the input —
+  * a map-only stage with no shuffle, so the engine scales linearly
+  * with input splits regardless of rule count. The reference's
+  * dict mappers read driver-side mapping TSVs (`MappingManager`,
+  * `:38-66`); here the mapping is rule configuration (`mapping`),
+  * compiled into a literal `map()` expression.
+  *
+  * Multi-value mappers join distinct values with ";" — the
+  * reference's `";".join(set(...))` has no defined order; ours is
+  * sorted (same documented determinism refinement as the COG
+  * engine's).
+  */
+object GdcRuleEngine {
+
+  /** One rule row (`Rule`, `ccdi_gdc_mapping_functions.py:482-526`).
+    * `core` gates the rule's (node, mode) group on input == core;
+    * `param` carries the `modifier_value` cell the `default`
+    * FUNCTION reads (`Default_Mapper`, `:192-196`); `modifiers` are
+    * (name, value) pairs applied in sequence after the function.
+    */
+  final case class GdcRule(
+      node: String,
+      property: String,
+      function: String,
+      inputs: Seq[String] = Seq.empty,
+      mode: String = "",
+      core: Option[String] = None,
+      requiredDefault: Option[String] = None,
+      modifiers: Seq[(String, String)] = Seq.empty,
+      mapping: Map[String, String] = Map.empty,
+      param: Option[String] = None)
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  private def mapArr(c: Column)(f: Column => Column): Column =
+    org.apache.spark.sql.functions.transform(c, f)
+
+  /** Non-null input values, in input order — the reference compacts
+    * inputs with `[... if pd.notna(...)]` before positional use
+    * (`Concatenation`/`WXS_RG_ID_Parse`/`Tumor_Desc_Mapper`).
+    */
+  private def nonNull(inputs: Seq[String]): Column =
+    filter(array(inputs.map(q): _*), v => v.isNotNull)
+
+  private def litMap(mapping: Map[String, String]): Column =
+    map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** ";"-split like Python's conditional split (`value.split(";") if
+    * ";" in value else [value]`) — `split` already yields a single
+    * element when no separator is present.
+    */
+  private def semiSplit(c: Column): Column = split(c, ";")
+
+  /** The multi-value dict-map shape shared by disease_type /
+    * primary_site / tissue mappers (`:286-378`): strip each ;-part,
+    * map through the dict with "Not Mapped" default, take the set;
+    * one unique value wins outright, otherwise "Not Mapped" entries
+    * drop and the rest join with ";" ("Not Mapped" when none left).
+    */
+  private def multiMap(value: Column, parts: Column,
+      mapping: Map[String, String]): Column = {
+    val m = litMap(mapping)
+    val mapped = array_distinct(mapArr(parts)(p =>
+      coalesce(element_at(m, p), lit("Not Mapped"))))
+    val kept = filter(mapped, v => v =!= "Not Mapped")
+    when(value.isNull || value === "", lit(null).cast("string"))
+      .when(size(mapped) === 1, element_at(mapped, 1))
+      .when(size(kept) === 0, "Not Mapped")
+      .otherwise(array_join(array_sort(kept), ";"))
+  }
+
+  /** Compile one rule's transformation (`TRANSFORM_REGISTRY`,
+    * `ccdi_gdc_mapping_functions.py:420-437`). All outputs are
+    * strings (the manifest convention).
+    */
+  def compileFunction(r: GdcRule): Column = {
+    val ins = r.inputs
+    def in(i: Int) = q(ins(i))
+    val nn = nonNull(ins)
+    val nullStr = lit(null).cast("string")
+    def first = element_at(nn, 1)
+    r.function match {
+      case "liftover" =>
+        if (ins.isEmpty) nullStr else in(0)
+      case "concatenation" =>
+        when(size(nn) === 0, nullStr).otherwise(array_join(nn, "_"))
+      case "race" =>
+        // `Race_Mapper` (`:128-148`): drop hispanic/latino parts,
+        // lowercase+strip, first survivor; "Unknown" when empty
+        val kept = filter(mapArr(semiSplit(in(0)))(p => trim(lower(p))),
+          p => !p.contains("hispanic") && !p.contains("latino"))
+        when(in(0).isNull || in(0) === "", "Unknown")
+          .when(size(kept) === 0, "Unknown")
+          .otherwise(element_at(kept, 1))
+      case "eth" =>
+        // `Ethnicity_Mapper` (`:150-171`): keep ONLY hispanic/latino
+        // parts; "not reported" when none
+        val kept = filter(mapArr(semiSplit(in(0)))(p => trim(lower(p))),
+          p => p.contains("hispanic") || p.contains("latino"))
+        when(in(0).isNull || in(0) === "", "not reported")
+          .when(size(kept) === 0, "not reported")
+          .otherwise(element_at(kept, 1))
+      case "sex" =>
+        // `Sex_Mapper` (`:174-189`)
+        when(lower(in(0)).isin("male", "m"), "male")
+          .when(lower(in(0)).isin("female", "f"), "female")
+          .otherwise("unknown")
+      case "default" =>
+        lit(r.param.orElse(r.modifiers.headOption.map(_._2)).orNull)
+          .cast("string")
+      case "wxs_rg_id_parse" =>
+        // `WXS_RG_ID_Parse` (`:198-210`): positional over the
+        // COMPACTED non-null inputs (sample_id, file_name)
+        val rg = regexp_extract(element_at(nn, 2),
+          "^(?:[^_]+_){3}([^_]+(?:_[^_]+)*)_R\\d+_\\d+", 1)
+        when(size(nn) < 2 || rg === "", nullStr)
+          .otherwise(concat(element_at(nn, 1), lit("_rg_"), rg))
+      case "read_pair_parse" =>
+        // `Read_Pair_Parse` (`:214-223`)
+        val p = regexp_extract(first, "_(R\\d)_\\d+", 1)
+        when(size(nn) === 0 || p === "", nullStr).otherwise(p)
+      case "channel_color" =>
+        // `Channel_Color` (`:227-239`)
+        val c = regexp_extract(first, "_(Grn|Red).idat", 1)
+        when(size(nn) === 0, nullStr)
+          .when(lower(c) === "grn", "Green")
+          .when(lower(c) === "red", "Red")
+          .otherwise(nullStr)
+      case "specimen_mapper" =>
+        // `Specimen_Mapper` (`:242-264`)
+        when(in(0).isNull || in(0) === "", nullStr)
+          .when(lower(in(0)).contains("tumor"), "Solid Tissue")
+          .when(lower(in(0)).contains("normal"), "Peripheral Whole Blood")
+          .otherwise(nullStr)
+      case "tumor_desc_mapper" =>
+        // `Tumor_Desc_Mapper` (`:267-291`): positional over the
+        // compacted inputs (tumor_spatial, sample_type)
+        val ts = lower(element_at(nn, 1))
+        val st = lower(element_at(nn, 2))
+        val tsUnknown = ts.contains("not reported") || ts.contains("unknown")
+        when(size(nn) === 0, nullStr)
+          .when(ts.contains("local"), "Primary")
+          .when(ts.contains("metastatic"), "Metastatic")
+          .when(tsUnknown && st.isin("solid tissue", "tumor"), "Primary")
+          .when(tsUnknown && st.isin("peripheral whole blood", "normal"),
+            "Not Applicable")
+          .otherwise("Not Reported")
+      case "disease_type_mapper" =>
+        // `Disease_Type_Mapper` (`:294-330`): the "Other …" bucket
+        // names drop BEFORE mapping
+        val unmatched = Seq("Other Solid Tumors", "Other CNS",
+          "Other Hematopoietic Neoplasms", "Low-grade Gliomas",
+          "Other Brain Tumors")
+        val v = trim(in(0))
+        val parts = filter(mapArr(semiSplit(v))(trim(_)),
+          p => !p.isin(unmatched.map(lit(_)): _*))
+        val m = litMap(r.mapping)
+        val mapped = array_distinct(mapArr(parts)(p =>
+          coalesce(element_at(m, p), lit("Not Mapped"))))
+        val kept = filter(mapped, x => x =!= "Not Mapped")
+        when(v.isNull || v === "", nullStr)
+          .when(size(parts) === 0, "Not Mapped")
+          .when(size(mapped) === 1, element_at(mapped, 1))
+          .when(size(kept) === 0, "Not Mapped")
+          .otherwise(array_join(array_sort(kept), ";"))
+      case "primary_site_mapper" =>
+        // `Primary_Site_Mapper` (`:327-352`)
+        val v = trim(in(0))
+        multiMap(v, mapArr(semiSplit(v))(trim(_)), r.mapping)
+      case "tissue_mapper" =>
+        // `Tissue_Mapper` (`:355-378`)
+        val v = trim(in(0))
+        multiMap(v, mapArr(semiSplit(v))(trim(_)), r.mapping)
+      case "morphology_mapper" | "prim_dx_mapper" =>
+        // `Morphology_Mapper`/`Prim_Dx_Mapper` (`:381-417`): single
+        // dict lookup; unmapped values become null
+        element_at(litMap(r.mapping), trim(in(0)))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported function: $other")
+    }
+  }
+
+  /** `apply_modifier` (`ccdi_gdc_mapping_functions.py:443-476`):
+    * suffix, prefix, default, default_bool, default_int, uppercase —
+    * in sequence, skipped entirely when the value is null. Python
+    * renders the bool/int defaults through pandas as "True"/"False"
+    * and the decimal string; we emit those strings directly.
+    */
+  def applyModifiers(value: Column, modifiers: Seq[(String, String)]): Column = {
+    val modified = modifiers.foldLeft(value) { case (v, (name, mv)) =>
+      name match {
+        case "suffix" => concat(v, lit("_" + mv))
+        case "prefix" => concat(lit(mv + "_"), v)
+        case "default" => lit(mv).cast("string")
+        case "default_bool" => lit(if (mv.nonEmpty) "True" else "False")
+        case "default_int" => lit(mv.trim.toInt.toString)
+        case "uppercase" => upper(v)
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported modifier: $other")
+      }
+    }
+    if (modifiers.isEmpty) value else when(value.isNull, value).otherwise(modified)
+  }
+
+  /** One rule end to end (`Rule.apply`, `:518-526`): transform →
+    * modifiers → required default when the result is null/""/NA.
+    */
+  def compileRule(r: GdcRule): Column = {
+    val v = applyModifiers(compileFunction(r), r.modifiers)
+    r.requiredDefault match {
+      case None => v.as(r.property)
+      case Some(d) =>
+        when(v.isNull || v === "" || upper(v) === "NA", lit(d))
+          .otherwise(v).as(r.property)
+    }
+  }
+
+  /** `TransformerEngine.transform` (`:577-637`) for one target node:
+    * each (node, mode) group keeps rows where ANY core rule input
+    * equals that rule's `core` value (no core rules → all rows),
+    * then applies its rules as ONE select; a node's mode-frames
+    * union by name. Modes sort lexically for a deterministic union
+    * order (the reference iterates dict insertion order).
+    */
+  def transform(input: DataFrame, rules: Seq[GdcRule]): Map[String, DataFrame] = {
+    val byGroup = rules.groupBy(r => (r.node, r.mode)).toSeq
+      .sortBy { case ((n, m), _) => (n, m) }
+    val nodeFrames = byGroup.map { case ((node, _), groupRules) =>
+      val coreRules = groupRules.filter(_.core.isDefined)
+      val gated =
+        if (coreRules.isEmpty) input
+        else input.filter(coreRules.flatMap(r =>
+          r.inputs.map(c => q(c) === lit(r.core.get)))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      node -> gated.select(groupRules.map(compileRule): _*)
+    }
+    nodeFrames.groupBy(_._1).map { case (node, frames) =>
+      node -> frames.map(_._2)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+}

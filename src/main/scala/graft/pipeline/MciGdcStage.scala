@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.JoinOps
+
+/** The MCI→GDC transform's prep parsers (`/root/reference/workflows/
+  * mci_gdc_transform.py:31-457`): the manifest sheets are filtered /
+  * enriched BEFORE the [[graft.ops.GdcRuleEngine]] runs. Each parser
+  * is a lazy DataFrame transform; the lookup sides (survival top-1,
+  * preservation file) are participant/sample-cardinality dimension
+  * frames, so their joins broadcast — the big file sheets never
+  * shuffle.
+  */
+object MciGdcStage {
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  /** `survival_status_parser` (`mci_gdc_transform.py:31-61`): the
+    * most recent survival row per participant (max
+    * age_at_last_known_survival_status; participant id asc /
+    * survival-age desc sort + keep-first) contributes
+    * last_known_survival_status via a broadcast left join. The
+    * reference's pandas sort is not a total order when one
+    * participant has two rows at the same age — the survival-status
+    * value itself breaks the tie here (documented determinism
+    * refinement, per the codebase's total-order contract).
+    */
+  def survivalStatus(participant: DataFrame, survival: DataFrame): DataFrame = {
+    val recent = JoinOps.top1PerGroup(
+      survival.select(q("participant.participant_id"),
+        q("age_at_last_known_survival_status"),
+        q("last_known_survival_status")),
+      Seq("participant.participant_id"),
+      Seq(q("age_at_last_known_survival_status")
+        .cast("bigint").desc_nulls_last,
+        q("last_known_survival_status").asc_nulls_last))
+      .select(q("participant.participant_id"),
+        q("last_known_survival_status"))
+    participant.join(broadcast(recent),
+      participant("participant_id") === recent("`participant.participant_id`"),
+      "left")
+  }
+
+  /** `diagnosis_parser` (`:63-100`): ICD-O-3.2 rows only, a fixed
+    * projection, left-joined onto the participant frame (one
+    * participant can fan out over several diagnoses, like the pandas
+    * merge). Returns (enriched participants, filtered diagnosis).
+    */
+  def diagnosisParse(participant: DataFrame,
+      diagnosis: DataFrame): (DataFrame, DataFrame) = {
+    val dx = diagnosis
+      .filter(q("diagnosis_classification_system") === "ICD-O-3.2")
+      .select(q("participant.participant_id"), q("diagnosis_id"),
+        q("diagnosis_category"), q("diagnosis"), q("anatomic_site"),
+        q("age_at_diagnosis"))
+    val joined = participant.join(broadcast(dx),
+      participant("participant_id") === dx("`participant.participant_id`"),
+      "left")
+    (joined, dx)
+  }
+
+  /** `fastq_parser` (`:102-118`): FASTQ rows for WXS / RNA-Seq only. */
+  def fastqFilter(sequencingFile: DataFrame): DataFrame =
+    sequencingFile.filter(q("file_type") === "fastq" &&
+      q("library_strategy").isin("WXS", "RNA-Seq"))
+
+  /** `sample_parser` (`:213-240`): distinct non-null
+    * (sample_id, preservation_method) pairs from the extracted
+    * metadata join onto the sample sheet; missing methods fill
+    * "Not Reported".
+    */
+  def sampleParse(sample: DataFrame, presPlatform: DataFrame): DataFrame = {
+    val pres = presPlatform
+      .filter(q("preservation_method").isNotNull)
+      .select(q("sample_id"), q("preservation_method"))
+      .distinct()
+    sample.join(broadcast(pres), Seq("sample_id"), "left")
+      .na.fill("Not Reported", Seq("preservation_method"))
+  }
+
+  /** `methylation_parser` (`:242-291`): non-null non-WES platforms
+    * join by sample, EPIC array names map to the GDC dictionary
+    * spelling, missing platforms fill "Unknown", and only IDAT files
+    * survive.
+    */
+  def methylationParse(methFile: DataFrame, presPlatform: DataFrame): DataFrame = {
+    val plat = presPlatform
+      .filter(q("platform").isNotNull && q("platform") =!= "WES" &&
+        q("platform") =!= "")
+      .select(q("sample_id"), q("platform"))
+      .distinct()
+    val mapped = methFile
+      .join(broadcast(plat),
+        methFile("`sample.sample_id`") === plat("sample_id"), "left")
+      .withColumn("platform",
+        when(col("platform") === "IlluminaHumanMethylationEPIC",
+          "Illumina Methylation Epic")
+          .when(col("platform") === "IlluminaHumanMethylationEPICv2",
+            "Illumina Methylation Epic v2")
+          .otherwise(col("platform")))
+      .na.fill("Unknown", Seq("platform"))
+    mapped.filter(q("file_type") === "idat")
+  }
+
+  /** The JSON sidecar metadata extraction (`extract_metadata_to_tsv`,
+    * `:118-212`) as a dataflow over an already-parsed sidecar frame
+    * (file_name + the two metadata groups as columns — the engine
+    * treats file bytes at the adapter boundary, like Excel):
+    * "rawdata" files read array/material type with the legacy
+    * capitalized fallbacks and take the second `_`-token of the
+    * meta id; other files read sample_name's last `-`-token and map
+    * ffpe → "FFPE". Absent values become "N/A" like the reference's
+    * dict defaults.
+    */
+  def extractSidecarMetadata(sidecars: DataFrame): DataFrame = {
+    val na = lit("N/A")
+    val isRaw = q("file_name").contains("rawdata")
+    val rawId = coalesce(q("meta_id"), na)
+    sidecars.select(
+      q("file_name"),
+      when(isRaw,
+        coalesce(element_at(split(rawId, "_"), 2), na))
+        .otherwise(coalesce(element_at(split(q("sample_name"), "-"), -1), na))
+        .as("sample_id"),
+      when(isRaw, coalesce(q("array_type"), q("array_type_legacy"), na))
+        .otherwise(coalesce(q("data_type"), na)).as("platform"),
+      when(isRaw, coalesce(q("material_type"), q("material_type_legacy"), na))
+        .otherwise(when(q("ffpe") === "true", "FFPE").otherwise(""))
+        .as("preservation_method"))
+  }
+
+  /** `validate_graph` (`:459-496`): for each child node frame, parent
+    * submitter_ids referenced via `<parents>.submitter_id` that are
+    * absent from the parent frame — one long findings frame
+    * (node, missing_parent_id). The child side left-anti joins the
+    * (small, distinct) parent id set, so each check is one
+    * broadcast anti join.
+    */
+  def validateGraph(nodes: Map[String, DataFrame],
+      parentSubIds: Map[String, String]): DataFrame = {
+    val findings = parentSubIds.toSeq.sortBy(_._1).flatMap {
+      case (node, idCol) if node != "case" =>
+        nodes.get(node).flatMap { child =>
+          if (!child.columns.contains(idCol)) None
+          else {
+            val parentNode = idCol.split("\\.")(0).stripSuffix("s")
+            nodes.get(parentNode).map { parent =>
+              val parentIds = parent.select(q("submitter_id")).distinct()
+              child.select(q(idCol).as("missing_parent_id")).distinct()
+                .join(broadcast(parentIds),
+                  col("missing_parent_id") === parentIds("submitter_id"),
+                  "left_anti")
+                .select(lit(node).as("node"), col("missing_parent_id"))
+            }
+          }
+        }
+      case _ => None
+    }
+    findings.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GdcRuleEngine
+import graft.ops.GdcRuleEngine.GdcRule
+
+/** The GDC mapping rule engine: registry functions compile to
+  * Columns; groups gate on core VALUE equality; modifiers and
+  * required defaults chain after the function.
+  */
+class GdcRuleEngineSpec extends SparkSpecBase {
+
+  private def one(rule: GdcRule, cols: Seq[String], row: Seq[Any]): String = {
+    val df = strDf(cols)(row)
+    df.select(GdcRuleEngine.compileRule(rule)).collect().head.getString(0)
+  }
+
+  test("liftover, concatenation, default compile faithfully") {
+    val cols = Seq("a", "b")
+    one(GdcRule("n", "p", "liftover", Seq("a")), cols,
+      Seq("x", "y")) shouldBe "x"
+    one(GdcRule("n", "p", "concatenation", Seq("a", "b")), cols,
+      Seq("x", "y")) shouldBe "x_y"
+    one(GdcRule("n", "p", "concatenation", Seq("a", "b")), cols,
+      Seq(null, "y")) shouldBe "y"
+    one(GdcRule("n", "p", "concatenation", Seq("a", "b")), cols,
+      Seq(null, null)) shouldBe null
+    one(GdcRule("n", "p", "default", param = Some("TARGET")), cols,
+      Seq("x", "y")) shouldBe "TARGET"
+  }
+
+  test("race keeps non-hispanic parts lowercased; eth keeps hispanic parts") {
+    val cols = Seq("r")
+    val race = GdcRule("n", "p", "race", Seq("r"))
+    val eth = GdcRule("n", "p", "eth", Seq("r"))
+    one(race, cols, Seq("White;Hispanic or Latino")) shouldBe "white"
+    one(race, cols, Seq("Not Hispanic or Latino")) shouldBe "Unknown"
+    one(race, cols, Seq("Asian;White")) shouldBe "asian"
+    one(race, cols, Seq("")) shouldBe "Unknown"
+    one(race, cols, Seq(null.asInstanceOf[Any])) shouldBe "Unknown"
+    one(eth, cols, Seq("White;Hispanic or Latino")) shouldBe
+      "hispanic or latino"
+    one(eth, cols, Seq("White")) shouldBe "not reported"
+    one(eth, cols, Seq("")) shouldBe "not reported"
+  }
+
+  test("sex normalizes m/f variants; unknown otherwise") {
+    val cols = Seq("s")
+    val r = GdcRule("n", "p", "sex", Seq("s"))
+    one(r, cols, Seq("M")) shouldBe "male"
+    one(r, cols, Seq("Female")) shouldBe "female"
+    one(r, cols, Seq("other")) shouldBe "unknown"
+    one(r, cols, Seq(null.asInstanceOf[Any])) shouldBe "unknown"
+  }
+
+  test("file-name parsers: wxs rg id, read pair, channel color") {
+    val cols = Seq("sid", "fn")
+    one(GdcRule("n", "p", "wxs_rg_id_parse", Seq("sid", "fn")), cols,
+      Seq("S1", "MCI_A_B_S1_R1_001.fastq.gz")) shouldBe "S1_rg_S1"
+    one(GdcRule("n", "p", "wxs_rg_id_parse", Seq("sid", "fn")), cols,
+      Seq("S1", "MCI_A_B_X1_extra_R2_001.fq")) shouldBe "S1_rg_X1_extra"
+    one(GdcRule("n", "p", "wxs_rg_id_parse", Seq("sid", "fn")), cols,
+      Seq("S1", "noformat.fastq")) shouldBe null
+    one(GdcRule("n", "p", "wxs_rg_id_parse", Seq("sid", "fn")), cols,
+      Seq(null, "MCI_A_B_S1_R1_001.fq")) shouldBe null
+    one(GdcRule("n", "p", "read_pair_parse", Seq("fn")), Seq("fn"),
+      Seq("MCI_A_B_S1_R2_001.fq")) shouldBe "R2"
+    one(GdcRule("n", "p", "read_pair_parse", Seq("fn")), Seq("fn"),
+      Seq("noformat.fq")) shouldBe null
+    one(GdcRule("n", "p", "channel_color", Seq("fn")), Seq("fn"),
+      Seq("a_Grn.idat")) shouldBe "Green"
+    one(GdcRule("n", "p", "channel_color", Seq("fn")), Seq("fn"),
+      Seq("a_Red.idat")) shouldBe "Red"
+    one(GdcRule("n", "p", "channel_color", Seq("fn")), Seq("fn"),
+      Seq("a.idat")) shouldBe null
+  }
+
+  test("specimen and tumor descriptor mappers") {
+    val cols = Seq("st", "ts")
+    one(GdcRule("n", "p", "specimen_mapper", Seq("st")), cols,
+      Seq("Tumor tissue", "")) shouldBe "Solid Tissue"
+    one(GdcRule("n", "p", "specimen_mapper", Seq("st")), cols,
+      Seq("Normal blood", "")) shouldBe "Peripheral Whole Blood"
+    one(GdcRule("n", "p", "specimen_mapper", Seq("st")), cols,
+      Seq("other", "")) shouldBe null
+    val td = GdcRule("n", "p", "tumor_desc_mapper", Seq("ts", "st"))
+    one(td, Seq("ts", "st"), Seq("Localized", "x")) shouldBe "Primary"
+    one(td, Seq("ts", "st"), Seq("Metastatic, confirmed", "x")) shouldBe
+      "Metastatic"
+    one(td, Seq("ts", "st"), Seq("Unknown", "Tumor")) shouldBe "Primary"
+    one(td, Seq("ts", "st"), Seq("Not Reported", "Normal")) shouldBe
+      "Not Applicable"
+    one(td, Seq("ts", "st"), Seq("something else", "x")) shouldBe
+      "Not Reported"
+  }
+
+  test("multi-value dict mappers: unique value wins, Not Mapped drops on mix") {
+    val m = Map("Brain" -> "Brain", "Kidney" -> "Kidney")
+    val cols = Seq("a")
+    val r = GdcRule("n", "p", "primary_site_mapper", Seq("a"), mapping = m)
+    one(r, cols, Seq("Brain")) shouldBe "Brain"
+    one(r, cols, Seq("Brain; Brain")) shouldBe "Brain"
+    one(r, cols, Seq("Brain;Kidney")) shouldBe "Brain;Kidney"
+    one(r, cols, Seq("Brain;Elsewhere")) shouldBe "Brain"
+    one(r, cols, Seq("Elsewhere")) shouldBe "Not Mapped"
+    one(r, cols, Seq("")) shouldBe null
+    // disease_type drops its unmatched bucket names before mapping
+    val dt = GdcRule("n", "p", "disease_type_mapper", Seq("a"),
+      mapping = Map("Gliomas" -> "Gliomas"))
+    one(dt, cols, Seq("Other Solid Tumors;Gliomas")) shouldBe "Gliomas"
+    one(dt, cols, Seq("Other Solid Tumors")) shouldBe "Not Mapped"
+    // single-lookup mappers null out unmapped values
+    val mm = GdcRule("n", "p", "morphology_mapper", Seq("a"),
+      mapping = Map("9401/3" -> "9401/3"))
+    one(mm, cols, Seq("9401/3")) shouldBe "9401/3"
+    one(mm, cols, Seq("0000/0")) shouldBe null
+  }
+
+  test("modifiers chain in sequence and skip null values") {
+    val cols = Seq("a")
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      modifiers = Seq("prefix" -> "case", "uppercase" -> "")), cols,
+      Seq("ab")) shouldBe "CASE_AB"
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      modifiers = Seq("suffix" -> "x")), cols,
+      Seq(null.asInstanceOf[Any])) shouldBe null
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      modifiers = Seq("default_bool" -> "yes")), cols,
+      Seq("v")) shouldBe "True"
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      modifiers = Seq("default_int" -> "42")), cols, Seq("v")) shouldBe "42"
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      requiredDefault = Some("DF")), cols,
+      Seq(null.asInstanceOf[Any])) shouldBe "DF"
+    one(GdcRule("n", "p", "liftover", Seq("a"),
+      requiredDefault = Some("DF")), cols, Seq("NA")) shouldBe "DF"
+  }
+
+  test("core gating keeps rows on value EQUALITY and unions mode frames") {
+    val df = strDf(Seq("id", "strategy"))(
+      Seq("1", "WXS"), Seq("2", "RNA-Seq"), Seq("3", "Other"))
+    val rules = Seq(
+      GdcRule("read_group", "submitter_id", "liftover", Seq("id"),
+        mode = "wxs"),
+      GdcRule("read_group", "platform", "default", Seq("strategy"),
+        mode = "wxs", core = Some("WXS"), param = Some("Illumina WXS")),
+      GdcRule("read_group", "submitter_id", "liftover", Seq("id"),
+        mode = "rna"),
+      GdcRule("read_group", "platform", "default", Seq("strategy"),
+        mode = "rna", core = Some("RNA-Seq"), param = Some("Illumina RNA")))
+    val frame = GdcRuleEngine.transform(df, rules)("read_group")
+    val out = frame.orderBy("submitter_id")
+      .collect()
+      .map(r => (r.getAs[String]("submitter_id"), r.getAs[String]("platform")))
+      .toSeq
+    out shouldBe Seq(("1", "Illumina WXS"), ("2", "Illumina RNA"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MciGdcStage
+
+/** The MCI→GDC prep parsers: most-recent survival join, ICD-O-3.2
+  * diagnosis fan-out, preservation/platform enrichment, sidecar
+  * metadata extraction, and the parent-graph referential check.
+  */
+class MciGdcStageSpec extends SparkSpecBase {
+
+  test("survivalStatus joins the most recent status per participant") {
+    val part = strDf(Seq("participant_id", "name"))(
+      Seq("P1", "a"), Seq("P2", "b"), Seq("P3", "c"))
+    val surv = strDf(Seq("participant.participant_id",
+      "age_at_last_known_survival_status", "last_known_survival_status"))(
+      Seq("P1", "10", "Alive"), Seq("P1", "20", "Dead"),
+      Seq("P3", "5", "Alive"))
+    val out = MciGdcStage.survivalStatus(part, surv)
+      .select("participant_id", "last_known_survival_status")
+      .orderBy("participant_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("P1", "Dead"), ("P2", null), ("P3", "Alive"))
+  }
+
+  test("survivalStatus compares ages numerically, not lexically") {
+    val part = strDf(Seq("participant_id"))(Seq("P1"))
+    val surv = strDf(Seq("participant.participant_id",
+      "age_at_last_known_survival_status", "last_known_survival_status"))(
+      Seq("P1", "9", "Old"), Seq("P1", "100", "New"))
+    MciGdcStage.survivalStatus(part, surv)
+      .select("last_known_survival_status")
+      .collect().head.getString(0) shouldBe "New"
+  }
+
+  test("diagnosisParse keeps ICD-O-3.2 rows and fans out participants") {
+    val part = strDf(Seq("participant_id"))(Seq("P1"), Seq("P2"))
+    val dx = strDf(Seq("participant.participant_id", "diagnosis_id",
+      "diagnosis_classification_system", "diagnosis_category", "diagnosis",
+      "anatomic_site", "age_at_diagnosis"))(
+      Seq("P1", "D1", "ICD-O-3.2", "c", "d", "a", "1"),
+      Seq("P1", "D2", "ICD-O-3.2", "c", "d", "a", "2"),
+      Seq("P1", "D3", "ICD-10", "c", "d", "a", "3"))
+    val (joined, filtered) = MciGdcStage.diagnosisParse(part, dx)
+    filtered.count() shouldBe 2
+    filtered.columns should not contain "diagnosis_classification_system"
+    val out = joined.select("participant_id", "diagnosis_id")
+      .orderBy("participant_id", "diagnosis_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("P1", "D1"), ("P1", "D2"), ("P2", null))
+  }
+
+  test("fastqFilter keeps fastq WXS/RNA-Seq rows only") {
+    val sf = strDf(Seq("file_name", "file_type", "library_strategy"))(
+      Seq("a", "fastq", "WXS"), Seq("b", "fastq", "RNA-Seq"),
+      Seq("c", "fastq", "WGS"), Seq("d", "bam", "WXS"))
+    MciGdcStage.fastqFilter(sf).select("file_name")
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe Seq("a", "b")
+  }
+
+  test("sampleParse joins preservation and fills Not Reported") {
+    val sample = strDf(Seq("sample_id", "x"))(Seq("S1", "a"), Seq("S2", "b"))
+    val pres = strDf(Seq("sample_id", "preservation_method", "platform"))(
+      Seq("S1", "FFPE", "WES"), Seq("S1", "FFPE", "EPIC"), Seq("S3", null, "x"))
+    val out = MciGdcStage.sampleParse(sample, pres)
+      .select("sample_id", "preservation_method").orderBy("sample_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("S1", "FFPE"), ("S2", "Not Reported"))
+  }
+
+  test("methylationParse maps EPIC names, fills Unknown, keeps idat") {
+    val meth = strDf(Seq("file_name", "sample.sample_id", "file_type"))(
+      Seq("a_Grn.idat", "S1", "idat"), Seq("b.idat", "S2", "idat"),
+      Seq("c.json", "S1", "json"))
+    val pres = strDf(Seq("sample_id", "platform"))(
+      Seq("S1", "IlluminaHumanMethylationEPIC"), Seq("S2", "WES"))
+    val out = MciGdcStage.methylationParse(meth, pres)
+      .select("file_name", "platform").orderBy("file_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("a_Grn.idat", "Illumina Methylation Epic"),
+      ("b.idat", "Unknown"))
+  }
+
+  test("extractSidecarMetadata splits rawdata and standard sidecars") {
+    val side = strDf(Seq("file_name", "meta_id", "array_type",
+      "array_type_legacy", "material_type", "material_type_legacy",
+      "sample_name", "ffpe", "data_type"))(
+      Seq("x_rawdata.json", "A_S9_B", "EPIC", null, "FFPE", null,
+        null, null, null),
+      Seq("y_rawdata.json", "A_S8_B", null, "EPICv2", null, "Frozen",
+        null, null, null),
+      Seq("z.json", null, null, null, null, null, "MCI-P1-S7", "true",
+        "WES"),
+      Seq("w.json", null, null, null, null, null, "MCI-P2-S6", "false",
+        "RNA"))
+    val out = MciGdcStage.extractSidecarMetadata(side)
+      .orderBy("file_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    out shouldBe Seq(
+      ("w.json", "S6", "RNA", ""),
+      ("x_rawdata.json", "S9", "EPIC", "FFPE"),
+      ("y_rawdata.json", "S8", "EPICv2", "Frozen"),
+      ("z.json", "S7", "WES", "FFPE"))
+  }
+
+  test("validateGraph reports child rows referencing absent parents") {
+    val cases = strDf(Seq("submitter_id"))(Seq("C1"), Seq("C2"))
+    val samples = strDf(Seq("submitter_id", "cases.submitter_id"))(
+      Seq("S1", "C1"), Seq("S2", "C9"))
+    val aliquots = strDf(Seq("submitter_id", "samples.submitter_id"))(
+      Seq("A1", "S1"), Seq("A2", "S7"))
+    val nodes = Map("case" -> cases, "sample" -> samples,
+      "aliquot" -> aliquots)
+    val parentSubIds = Map("sample" -> "cases.submitter_id",
+      "aliquot" -> "samples.submitter_id", "case" -> "projects.code")
+    val out = MciGdcStage.validateGraph(nodes, parentSubIds)
+      .orderBy("node", "missing_parent_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("aliquot", "S7"), ("sample", "C9"))
+  }
+}
