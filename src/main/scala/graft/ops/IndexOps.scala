@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Indexd GUID tooling: the manifest GUID backfill
+  * (`/root/reference/workflows/guid_checker.py`) and the DCF index
+  * manifest assembly (`/root/reference/workflows/dcf_indexing.py` +
+  * `extract_dcf_index*`, `/root/reference/src/utils.py:1352-1500`).
+  */
+object IndexOps {
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  private def basename(c: Column): Column =
+    element_at(split(c, "/"), -1)
+
+  private def dirname(c: Column): Column =
+    // os.path.dirname: everything before the last '/', '' when none
+    regexp_extract(c, "^(.*)/[^/]*$", 1)
+
+  /** `pull_guids` (`guid_checker.py:45-97`) re-expressed as a join:
+    * rows whose `dcf_indexd_guid` is null/blank look up the indexd
+    * records frame by (md5, size); a record matches when one of its
+    * urls shares the file_url's basename AND dirname. The reference
+    * keeps the last matching record's did per row; set iteration
+    * order is undefined there, so ours takes min(did) (documented
+    * determinism refinement). Unmatched rows get "" like the
+    * reference's empty-guid fallback; rows that already carry a guid
+    * skip the API entirely.
+    *
+    * `indexd` is one row per (did, hash, size, url) — the record's
+    * url list exploded. It is catalog-scale next to the manifest, so
+    * the join broadcasts; the manifest never shuffles.
+    */
+  def backfillGuids(df: DataFrame, indexd: DataFrame,
+      guidCol: String = "dcf_indexd_guid"): DataFrame = {
+    val hasGuid = q(guidCol).isNotNull && trim(q(guidCol)) =!= ""
+    // pre-aggregated to one candidate per (hash, size, basename,
+    // dirname) — min(did) — so the join-back cannot fan out
+    val best = indexd.select(q("did"), q("hash"), q("size"),
+        basename(q("url")).as("__base"), dirname(q("url")).as("__dir"))
+      .groupBy(q("hash"), q("size"), col("__base"), col("__dir"))
+      .agg(min(q("did")).as("__found"))
+    df.join(broadcast(best),
+        q("md5sum") === best("hash") &&
+          q("file_size") === best("size") &&
+          basename(q("file_url")) === best("__base") &&
+          dirname(q("file_url")) === best("__dir"),
+        "left")
+      .withColumn(guidCol,
+        when(hasGuid, q(guidCol)).otherwise(coalesce(col("__found"), lit(""))))
+      .drop("hash", "size", "__base", "__dir", "__found")
+  }
+
+  /** `extract_dcf_index_single_sheet` (`utils.py:1352-1455`) for one
+    * node sheet: drop all-null rows, flag missing guids, mint one new
+    * `dg.4DFC/<id>` per DISTINCT (md5sum, file_url) among them (the
+    * same file on several lines shares the minted guid), and project
+    * the 8 index columns under their DCF names.
+    */
+  def extractDcfIndex(sheet: DataFrame, node: String,
+      deterministic: Boolean = true): DataFrame = {
+    val dataCols = sheet.columns.filterNot(_ == "type")
+    val kept = sheet
+      .filter(dataCols.map(q(_).isNotNull).reduce(_ || _))
+      .withColumn("if_guid_missing",
+        when(q("dcf_indexd_guid").isNull, "true").otherwise("false"))
+    val minted = CurationOps.mintGuids(kept, Seq("md5sum", "file_url"),
+      "dcf_indexd_guid", deterministic = deterministic)
+    minted.select(
+      q("acl"), q("authz"),
+      q("dcf_indexd_guid").as("guid"),
+      q("md5sum").as("md5"),
+      q("file_url").as("urls"),
+      q("file_size").as("size"),
+      lit(node).as("node"),
+      col("if_guid_missing"))
+  }
+
+  /** The per-node missing-guid summary the flow logs before dedup
+    * (`dcf_indexing.py:78-84`).
+    */
+  def missingGuidSummary(combined: DataFrame): DataFrame =
+    combined.filter(col("if_guid_missing") === "true")
+      .groupBy(col("node")).agg(count(lit(1)).as("counts"))
+
+  /** `dcf_index_manifest` (`dcf_indexing.py:60-110`): extract every
+    * file-node sheet, union, dedup full rows, drop the bookkeeping
+    * columns, stamp the study accession, and order the DCF columns.
+    * The union is by name; dedup shuffles on the full (narrow) index
+    * row, which is the minimal key for the reference's
+    * drop_duplicates.
+    */
+  def dcfIndexManifest(sheets: Map[String, DataFrame], phsAccession: String,
+      deterministic: Boolean = true): DataFrame = {
+    val extracted = sheets.toSeq.sortBy(_._1).map { case (node, df) =>
+      extractDcfIndex(df, node, deterministic)
+    }
+    extracted.reduce(_.unionByName(_))
+      .dropDuplicates()
+      .select(col("guid"), col("md5"), col("size"), col("acl"),
+        col("authz"), col("urls"), lit(phsAccession).as("phs_accession"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.IndexOps
+
+/** Indexd GUID tooling graded end-to-end: the manifest GUID backfill
+  * (`/root/reference/workflows/guid_checker.py`) and the DCF index
+  * manifest (`/root/reference/workflows/dcf_indexing.py`).
+  */
+object IndexQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // GUID backfill (guid_checker.py:45-97): rows with a blank/null
+    // guid look up the indexd inventory by (md5, size); the record
+    // must also carry a url with the same basename AND dirname.
+    // Every 3rd row already has a guid (kept), odd rows have no
+    // indexd record, every 5th even row's record lives in another
+    // bucket (dirname mismatch) — both fall back to ''.
+    Q("q108_guid_backfill",
+      """WITH base AS (SELECT p_partkey AS p FROM part),
+        |m AS (SELECT p,
+        |  's3://b/d' || CAST(p % 10 AS VARCHAR) || '/f'
+        |    || CAST(p AS VARCHAR) || '.bam' AS file_url
+        |  FROM base)
+        |SELECT file_url,
+        |  CASE WHEN p % 3 = 0 THEN 'dg.4DFC/existing' || CAST(p AS VARCHAR)
+        |       WHEN p % 2 = 0 AND p % 5 <> 0
+        |         THEN 'dg.4DFC/idx' || CAST(p AS VARCHAR)
+        |       ELSE '' END AS dcf_indexd_guid
+        |FROM m ORDER BY file_url""".stripMargin) { (s, dir) =>
+      val p = col("p_partkey")
+      val ps = p.cast("string")
+      val url = concat(lit("s3://b/d"), (p % 10).cast("string"),
+        lit("/f"), ps, lit(".bam"))
+      val manifest = t(s, dir, "part").select(
+        url.as("file_url"),
+        concat(lit("h"), (p % 500).cast("string")).as("md5sum"),
+        (p % 1000).cast("string").as("file_size"),
+        when(p % 3 === 0, concat(lit("dg.4DFC/existing"), ps))
+          .when(p % 3 === 1, "")
+          .otherwise(lit(null).cast("string")).as("dcf_indexd_guid"))
+      val indexd = t(s, dir, "part").filter(p % 2 === 0).select(
+        concat(lit("dg.4DFC/idx"), ps).as("did"),
+        concat(lit("h"), (p % 500).cast("string")).as("hash"),
+        (p % 1000).cast("string").as("size"),
+        when(p % 5 === 0,
+            concat(lit("s3://other/d"), (p % 10).cast("string"),
+              lit("/f"), ps, lit(".bam")))
+          .otherwise(url).as("url"))
+      IndexOps.backfillGuids(manifest, indexd)
+        .select(col("file_url"), col("dcf_indexd_guid"))
+        .orderBy(col("file_url"))
+    },
+
+    // DCF index manifest (dcf_indexing.py:60-110 + utils.py:
+    // 1352-1500): two file-node sheets (with duplicated lines every
+    // 6th key), missing guids minted deterministically per distinct
+    // (md5, url), full-row dedup, DCF column order, study accession
+    // stamped.
+    Q("q109_dcf_index",
+      """WITH base AS (SELECT p_partkey AS p FROM part),
+        |m AS (SELECT p, 'h' || CAST(p % 700 AS VARCHAR) AS md5v,
+        |  's3://b/f' || CAST(p AS VARCHAR) || '.ext' AS urls,
+        |  CAST(p % 1000 AS VARCHAR) AS size FROM base),
+        |g AS (SELECT p, md5v, urls, size,
+        |  md5(md5v || '::' || urls) AS h FROM m)
+        |SELECT CASE WHEN p % 4 = 0 THEN 'dg.4DFC/' ||
+        |    substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+        |    substr(h,13,4) || '-' || substr(h,17,4) || '-' ||
+        |    substr(h,21,12)
+        |  ELSE 'dg.4DFC/g' || CAST(p AS VARCHAR) END AS guid,
+        |  md5v AS md5, size,
+        |  '["phs-acl"]' AS acl,
+        |  '["/programs/phs002430"]' AS authz,
+        |  urls, 'phs002430' AS phs_accession
+        |FROM g ORDER BY urls""".stripMargin) { (s, dir) =>
+      val p = col("p_partkey")
+      val ps = p.cast("string")
+      def sheet(parity: Int) = {
+        val src = t(s, dir, "part").filter(p % 2 === parity)
+        def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit(if (parity == 0) "sequencing_file"
+            else "methylation_array_file").as("type"),
+          lit("[\"phs-acl\"]").as("acl"),
+          lit("[\"/programs/phs002430\"]").as("authz"),
+          concat(lit("h"), (p % 700).cast("string")).as("md5sum"),
+          concat(lit("s3://b/f"), ps, lit(".ext")).as("file_url"),
+          (p % 1000).cast("string").as("file_size"),
+          when(p % 4 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("dg.4DFC/g"), ps))
+            .as("dcf_indexd_guid"))
+        proj(src).unionByName(proj(src.filter(p % 6 === 0)))
+      }
+      IndexOps.dcfIndexManifest(
+        Map("sequencing_file" -> sheet(0),
+          "methylation_array_file" -> sheet(1)), "phs002430")
+        .orderBy(col("urls"))
+    })
+}

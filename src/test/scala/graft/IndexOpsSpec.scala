@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IndexOps
+
+/** Indexd GUID tooling: the guid_checker backfill join and the DCF
+  * index manifest assembly.
+  */
+class IndexOpsSpec extends SparkSpecBase {
+
+  test("backfillGuids fills blank guids from (md5,size)+url-matched records") {
+    val manifest = strDf(Seq("file_url", "md5sum", "file_size",
+      "dcf_indexd_guid"))(
+      Seq("s3://b/d/x.bam", "h1", "10", "dg.4DFC/keep"),
+      Seq("s3://b/d/y.bam", "h2", "20", ""),
+      Seq("s3://b/d/z.bam", "h3", "30", null),
+      Seq("s3://b/d/w.bam", "h4", "40", null))
+    val indexd = strDf(Seq("did", "hash", "size", "url"))(
+      Seq("dg.4DFC/i1", "h1", "10", "s3://b/d/x.bam"),
+      Seq("dg.4DFC/i2", "h2", "20", "s3://b/d/y.bam"),
+      Seq("dg.4DFC/i3", "h3", "30", "s3://OTHER/d/z.bam"),
+      Seq("dg.4DFC/i9", "h2", "20", "s3://b/d/y.bam"))
+    val out = IndexOps.backfillGuids(manifest, indexd)
+      .select("file_url", "dcf_indexd_guid").orderBy("file_url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(
+      ("s3://b/d/w.bam", ""),             // no record at all
+      ("s3://b/d/x.bam", "dg.4DFC/keep"), // existing guid wins
+      ("s3://b/d/y.bam", "dg.4DFC/i2"),   // min(did) of the two matches
+      ("s3://b/d/z.bam", ""))             // dirname mismatch
+  }
+
+  test("extractDcfIndex drops empty rows and shares minted guids per file") {
+    val sheet = strDf(Seq("type", "acl", "authz", "md5sum", "file_url",
+      "file_size", "dcf_indexd_guid"))(
+      Seq("sf", "a", "z", "h1", "u1", "1", "dg.4DFC/have"),
+      Seq("sf", "a", "z", "h2", "u2", "2", null),
+      Seq("sf", "a", "z", "h2", "u2", "2", null),
+      Seq("sf", null, null, null, null, null, null))
+    val out = IndexOps.extractDcfIndex(sheet, "sf")
+    out.count() shouldBe 3
+    val minted = out.filter(col("if_guid_missing") === "true")
+      .select("guid").collect().map(_.getString(0)).toSeq
+    minted should have length 2
+    minted.distinct should have length 1
+    minted.head should startWith("dg.4DFC/")
+    out.filter(col("if_guid_missing") === "false")
+      .select("guid").collect().head.getString(0) shouldBe "dg.4DFC/have"
+  }
+
+  test("dcfIndexManifest unions sheets, dedups, and orders DCF columns") {
+    def sheet(md5: String) = strDf(Seq("type", "acl", "authz", "md5sum",
+      "file_url", "file_size", "dcf_indexd_guid"))(
+      Seq("n", "a", "z", md5, "u_" + md5, "5", "dg.4DFC/" + md5),
+      Seq("n", "a", "z", md5, "u_" + md5, "5", "dg.4DFC/" + md5))
+    val out = IndexOps.dcfIndexManifest(
+      Map("s1" -> sheet("h1"), "s2" -> sheet("h2")), "phs000001")
+    out.columns.toSeq shouldBe Seq("guid", "md5", "size", "acl", "authz",
+      "urls", "phs_accession")
+    val rows = out.orderBy("md5").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(6))).toSeq
+    rows shouldBe Seq(("dg.4DFC/h1", "h1", "phs000001"),
+      ("dg.4DFC/h2", "h2", "phs000001"))
+  }
+}
