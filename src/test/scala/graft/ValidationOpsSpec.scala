@@ -171,6 +171,21 @@ class ValidationOpsSpec extends SparkSpecBase {
     out(3)._2 shouldBe null
   }
 
+  test("reconcileSummaries counts nodes per study and check outcome") {
+    val validate = strDf(Seq("study_id", "node", "count_check", "id_check"))(
+      Seq("s1", "a", "Equal", "Pass"), Seq("s1", "b", "Unequal", "Fail"),
+      Seq("s1", "c", "Equal", "Pass"), Seq("s2", "a", "Equal", "Pass"))
+    val out = ValidationOps.reconcileSummaries(validate)
+      .orderBy("summary_type", "study", "outcome")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    out shouldBe Seq(
+      ("count_check", "s1", "Equal", 2L), ("count_check", "s1", "Unequal", 1L),
+      ("count_check", "s2", "Equal", 1L),
+      ("id_check", "s1", "Fail", 1L), ("id_check", "s1", "Pass", 2L),
+      ("id_check", "s2", "Pass", 1L))
+  }
+
   test("unionFindings unions heterogeneous checks into one frame") {
     val df = strDf(Seq("id", "v"))(Seq("1", null))
     val f = ValidationOps.unionFindings(Seq(
