@@ -123,4 +123,75 @@ object GraphOps {
       }.getOrElse(df)
     }
   }
+
+  /** The manifest entry remover (`/root/reference/workflows/
+    * entry_remover.py:95-140`): seed ids delete matching rows from
+    * EVERY node's `<node>_id` column; rows whose dotted `*_id` link
+    * columns reference a deleted id surface their own id as a newly
+    * doomed entry, transitively. The reference runs a driver-side
+    * BFS queue over pandas frames; here the link structure compiles
+    * to ONE edge frame (parent id → row id) and the closure is an
+    * iterative distributed frontier semi-join — hops = manifest link
+    * depth, each persisted+checkpointed so lineage stays flat.
+    *
+    * Returns (kept, deleted, relations): the surviving and removed
+    * rows per node, plus the traversed (parent_id, child_id) edge
+    * set — the reference's relation_pairs log, deterministically the
+    * distinct edges whose parent is in the closure.
+    */
+  def entryRemover(
+      nodes: Map[String, DataFrame],
+      seeds: DataFrame, // single column "entry_id"
+      maxHops: Int = 20
+  ): (Map[String, DataFrame], Map[String, DataFrame], DataFrame) = {
+    val edges = nodes.toSeq.sortBy(_._1).flatMap { case (node, df) =>
+      val idCol = s"${node}_id"
+      if (!df.columns.contains(idCol)) Seq.empty
+      else df.columns.toSeq
+        .filter(c => c.contains(".") && c.endsWith("_id"))
+        .map { lc =>
+          df.filter(col(q(lc)).isNotNull && col(q(idCol)).isNotNull)
+            .select(col(q(lc)).as("parent_id"), col(q(idCol)).as("child_id"))
+        }
+    }.reduceOption(_ unionByName _)
+      .getOrElse(seeds.sparkSession.emptyDataFrame
+        .select(lit("").as("parent_id"), lit("").as("child_id")))
+      .persist()
+    var closure = seeds.select(col("entry_id")).distinct().persist()
+    var frontier = closure
+    var hops = 0
+    var done = false
+    while (!done && hops < maxHops) {
+      val next = edges
+        .join(frontier, edges("parent_id") === frontier("entry_id"),
+          "left_semi")
+        .select(col("child_id").as("entry_id")).distinct()
+        .join(closure, Seq("entry_id"), "left_anti")
+        .persist()
+      if (next.isEmpty) done = true
+      else {
+        closure = closure.unionByName(next).localCheckpoint(true)
+        frontier = next
+        hops += 1
+      }
+    }
+    val doomedIds = closure
+    val kept = nodes.map { case (node, df) =>
+      val idCol = s"${node}_id"
+      node -> (if (!df.columns.contains(idCol)) df
+        else df.join(doomedIds, df(q(idCol)) === doomedIds("entry_id"),
+          "left_anti"))
+    }
+    val deleted = nodes.map { case (node, df) =>
+      val idCol = s"${node}_id"
+      node -> (if (!df.columns.contains(idCol)) df.limit(0)
+        else df.join(doomedIds, df(q(idCol)) === doomedIds("entry_id"),
+          "left_semi"))
+    }
+    val relations = edges
+      .join(doomedIds, edges("parent_id") === doomedIds("entry_id"),
+        "left_semi")
+      .select(col("parent_id"), col("child_id")).distinct()
+    (kept, deleted, relations)
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The model-mapping maker (`/root/reference/workflows/
+  * model_mapping_maker.py`): two model-version inventories of
+  * (node, property) rows become a liftover mapping table — outer
+  * merge, curated-mapping reconcile, ;-node expansion, partial-dup
+  * cleanup, and the ADDITION/DELETION/CHANGED comparison report.
+  * Inventories are model-catalog-sized (thousands of rows), so every
+  * join here broadcasts; the ops compose with
+  * [[graft.catalog.ModelCatalog]] for the inventory side.
+  */
+object ModelMappingOps {
+
+  /** Output column order (`model_mapping_maker.py:13-20`). */
+  val Columns: Seq[String] = Seq(
+    "lift_from_node", "lift_from_property", "lift_from_version",
+    "lift_to_node", "lift_to_property", "lift_to_version")
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  /** `build_mapping` (`:68-78`): outer merge of the lift_from and
+    * lift_to inventories on (node, property). Unmatched sides stay
+    * null until [[cleanUpPartialDups]]'s fill.
+    */
+  def buildMapping(from: DataFrame, to: DataFrame): DataFrame =
+    from.join(to,
+        from("lift_from_node") === to("lift_to_node") &&
+          from("lift_from_property") === to("lift_to_property"),
+        "full_outer")
+      .select(Columns.map(q): _*)
+
+  /** `reconcile_mapping` (`:79-100`): curated rows win; built rows
+    * whose (lift_from_node, lift_from_property) pair the curated file
+    * already covers drop; net-new built rows append.
+    */
+  def reconcileMapping(provided: DataFrame, built: DataFrame): DataFrame = {
+    val keys = provided
+      .select(q("lift_from_node"), q("lift_from_property")).distinct()
+    val netNew = built.join(broadcast(keys),
+      built("lift_from_node") <=> keys("lift_from_node") &&
+        built("lift_from_property") <=> keys("lift_from_property"),
+      "left_anti")
+    provided.unionByName(netNew)
+  }
+
+  /** `expand_semicolon_nodes` (`:149-161`): a curated row mapping one
+    * source onto several ;-separated target nodes explodes to one
+    * row per target (trimmed); NA-ish targets pass through untouched.
+    */
+  def expandSemicolonNodes(df: DataFrame): DataFrame = {
+    val keep = q("lift_to_node").isNull ||
+      q("lift_to_node").isin("NA", "none", "")
+    val exploded = df.filter(!keep)
+      .withColumn("lift_to_node",
+        explode(transform(split(q("lift_to_node"), ";"), v => trim(v))))
+    df.filter(keep).unionByName(exploded)
+  }
+
+  /** `clean_up_partial_dups` (`:162-179`): a row whose empty-side
+    * node/property is missing drops when a COMPLETE row exists for
+    * the same value-side pair (the built leftover after a curated
+    * removal); all remaining nulls fill "".
+    */
+  def cleanUpPartialDups(df: DataFrame, emptyNode: String,
+      emptyProp: String, valueNode: String, valueProp: String): DataFrame = {
+    val complete = df
+      .filter(q(emptyNode).isNotNull && q(emptyProp).isNotNull)
+      .select(q(valueNode).as("__vn"), q(valueProp).as("__vp")).distinct()
+    val partial = q(emptyNode).isNull || q(emptyProp).isNull
+    df.join(broadcast(complete),
+        q(valueNode) === col("__vn") && q(valueProp) === col("__vp"),
+        "left")
+      .filter(!partial || col("__vn").isNull)
+      .drop("__vn", "__vp")
+      .na.fill("")
+  }
+
+  /** `build_comparison` (`:180-209`): DELETION when only the to-side
+    * is blank, ADDITION when only the from-side is, CHANGED when the
+    * pairs differ, SAME rows dropped; versions stamp from the flow
+    * parameters; output deduped.
+    */
+  def buildComparison(df: DataFrame, oldVersion: String,
+      newVersion: String): DataFrame = {
+    val fromNa = q("lift_from_node") === "" || q("lift_from_property") === ""
+    val toNa = q("lift_to_node") === "" || q("lift_to_property") === ""
+    val changed = q("lift_from_node") =!= q("lift_to_node") ||
+      q("lift_from_property") =!= q("lift_to_property")
+    df.select(
+        when(toNa && !fromNa, "DELETION")
+          .when(fromNa && !toNa, "ADDITION")
+          .when(changed, "CHANGED")
+          .otherwise("SAME").as("state"),
+        q("lift_from_node"), q("lift_from_property"),
+        lit(oldVersion).as("lift_from_version"),
+        q("lift_to_node"), q("lift_to_property"),
+        lit(newVersion).as("lift_to_version"))
+      .filter(col("state") =!= "SAME")
+      .distinct()
+  }
+}

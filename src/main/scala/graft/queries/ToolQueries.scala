@@ -1129,5 +1129,117 @@ object ToolQueries {
       val prev = p.filter(pk % 3 === 0).select(
         concat(lit("f"), pk.cast("string"), lit(".txt")).as("filename"))
       TransferOps.stagingDiff(inv, prev).orderBy(col("object_key"))
+    },
+
+    // Manifest entry remover (entry_remover.py:95-140): every 50th
+    // participant seeds the removal; their samples surface through
+    // the dotted participant link and the samples' files through the
+    // sample link. One row per manifest entry, tagged kept/deleted.
+    Q("q111_entry_remover",
+      """WITH parts AS (SELECT c_custkey AS c FROM customer),
+        |ords AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |         WHERE o_orderkey <= 5000)
+        |SELECT node, entry_id, status FROM (
+        |  SELECT 'participant' AS node, 'P' || CAST(c AS VARCHAR)
+        |      AS entry_id,
+        |    CASE WHEN c % 50 = 0 THEN 'deleted' ELSE 'kept' END AS status
+        |  FROM parts
+        |  UNION ALL
+        |  SELECT 'sample', 'S' || CAST(k AS VARCHAR),
+        |    CASE WHEN c % 50 = 0 THEN 'deleted' ELSE 'kept' END FROM ords
+        |  UNION ALL
+        |  SELECT 'file', 'F' || CAST(k AS VARCHAR),
+        |    CASE WHEN c % 50 = 0 THEN 'deleted' ELSE 'kept' END FROM ords)
+        |ORDER BY node, entry_id""".stripMargin) { (s, dir) =>
+      import graft.ops.GraphOps
+      val c = col("c_custkey")
+      val participant = t(s, dir, "customer").select(
+        concat(lit("P"), c.cast("string")).as("participant_id"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+      val ok = col("o_orderkey")
+      val sample = ords.select(
+        concat(lit("S"), ok.cast("string")).as("sample_id"),
+        concat(lit("P"), col("o_custkey").cast("string"))
+          .as("participant.participant_id"))
+      val file = ords.select(
+        concat(lit("F"), ok.cast("string")).as("file_id"),
+        concat(lit("S"), ok.cast("string")).as("sample.sample_id"))
+      val seeds = t(s, dir, "customer").filter(c % 50 === 0)
+        .select(concat(lit("P"), c.cast("string")).as("entry_id"))
+      val nodes = Map("participant" -> participant, "sample" -> sample,
+        "file" -> file)
+      val (kept, deleted, _) = GraphOps.entryRemover(nodes, seeds)
+      val tagged = nodes.keys.toSeq.sorted.map { n =>
+        val id = col("`" + n + "_id`")
+        kept(n).select(lit(n).as("node"), id.as("entry_id"),
+            lit("kept").as("status"))
+          .unionByName(deleted(n).select(lit(n).as("node"),
+            id.as("entry_id"), lit("deleted").as("status")))
+      }
+      tagged.reduce(_ unionByName _)
+        .orderBy(col("node"), col("entry_id"))
+    },
+
+    // Model mapping maker (model_mapping_maker.py:68-209): old/new
+    // model inventories outer-merge into a mapping, a curated file
+    // overrides its covered from-pairs (every 13th key renames its
+    // property; every 26th also fans out over two nodes), and the
+    // comparison reports ADDITION (new-only keys, every 11th),
+    // DELETION (old-only, every 7th) and CHANGED rows, dropping SAME.
+    Q("q112_model_mapping",
+      """WITH ks AS (SELECT p_partkey AS k FROM part WHERE p_partkey <= 300)
+        |SELECT state, lift_from_node, lift_from_property,
+        |  lift_from_version, lift_to_node, lift_to_property,
+        |  lift_to_version FROM (
+        |  SELECT 'ADDITION' AS state, '' AS lift_from_node,
+        |    '' AS lift_from_property, 'v1' AS lift_from_version,
+        |    'n' || CAST(k % 5 AS VARCHAR) AS lift_to_node,
+        |    'p' || CAST(k AS VARCHAR) AS lift_to_property,
+        |    'v2' AS lift_to_version
+        |  FROM ks WHERE k % 11 = 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'DELETION', 'n' || CAST(k % 5 AS VARCHAR),
+        |    'p' || CAST(k AS VARCHAR), 'v1', '', '', 'v2'
+        |  FROM ks WHERE k % 7 = 0 AND k % 11 <> 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'CHANGED', 'n' || CAST(k % 5 AS VARCHAR),
+        |    'p' || CAST(k AS VARCHAR), 'v1',
+        |    'n' || CAST(k % 5 AS VARCHAR),
+        |    'p' || CAST(k AS VARCHAR) || 'x', 'v2'
+        |  FROM ks WHERE k % 13 = 0 AND k % 11 <> 0 AND k % 26 <> 0
+        |  UNION ALL
+        |  SELECT 'CHANGED', 'n' || CAST(k % 5 AS VARCHAR),
+        |    'p' || CAST(k AS VARCHAR), 'v1', t.n,
+        |    'p' || CAST(k AS VARCHAR) || 'x', 'v2'
+        |  FROM ks, (VALUES ('n0'), ('n1')) t(n)
+        |  WHERE k % 26 = 0 AND k % 11 <> 0)
+        |ORDER BY state, lift_from_property, lift_to_node,
+        |  lift_to_property""".stripMargin) { (s, dir) =>
+      import graft.ops.ModelMappingOps
+      val base = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      val k = col("p_partkey")
+      val node = concat(lit("n"), (k % 5).cast("string"))
+      val prop = concat(lit("p"), k.cast("string"))
+      val oldInv = base.filter(k % 11 =!= 0).select(
+        node.as("lift_from_node"), prop.as("lift_from_property"),
+        lit("v1").as("lift_from_version"))
+      val newInv = base.filter(k % 7 =!= 0).select(
+        node.as("lift_to_node"), prop.as("lift_to_property"),
+        lit("v2").as("lift_to_version"))
+      val provided = base.filter(k % 13 === 0 && k % 11 =!= 0).select(
+        node.as("lift_from_node"), prop.as("lift_from_property"),
+        lit("v1").as("lift_from_version"),
+        when(k % 26 === 0, "n0;n1").otherwise(node).as("lift_to_node"),
+        concat(prop, lit("x")).as("lift_to_property"),
+        lit("v2").as("lift_to_version"))
+      val built = ModelMappingOps.buildMapping(oldInv, newInv)
+      val reconciled = ModelMappingOps.reconcileMapping(provided, built)
+      val expanded = ModelMappingOps.expandSemicolonNodes(reconciled)
+      val cleaned = ModelMappingOps.cleanUpPartialDups(expanded,
+        "lift_to_node", "lift_to_property",
+        "lift_from_node", "lift_from_property")
+      ModelMappingOps.buildComparison(cleaned, "v1", "v2")
+        .orderBy(col("state"), col("lift_from_property"),
+          col("lift_to_node"), col("lift_to_property"))
     })
 }

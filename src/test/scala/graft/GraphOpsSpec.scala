@@ -50,4 +50,26 @@ class GraphOpsSpec extends SparkSpecBase {
     out("orders").collect().map(_.getString(0)) shouldBe Array("o2")
     out("items").collect().map(_.getString(0)).sorted shouldBe Array("i2", "i3")
   }
+
+  test("entryRemover cascades over dotted link columns and reports both sides") {
+    val participant = strDf(Seq("participant_id", "name"))(
+      Seq("P1", "a"), Seq("P2", "b"))
+    val sample = strDf(Seq("sample_id", "participant.participant_id"))(
+      Seq("S1", "P1"), Seq("S2", "P1"), Seq("S3", "P2"))
+    val file = strDf(Seq("file_id", "sample.sample_id"))(
+      Seq("F1", "S1"), Seq("F2", "S2"), Seq("F3", "S3"))
+    val (kept, deleted, relations) = GraphOps.entryRemover(
+      Map("participant" -> participant, "sample" -> sample, "file" -> file),
+      strDf(Seq("entry_id"))(Seq("P1")))
+    kept("participant").collect().map(_.getString(0)) shouldBe Array("P2")
+    kept("sample").collect().map(_.getString(0)).sorted shouldBe Array("S3")
+    kept("file").collect().map(_.getString(0)).sorted shouldBe Array("F3")
+    deleted("sample").collect().map(_.getString(0)).sorted shouldBe
+      Array("S1", "S2")
+    deleted("file").collect().map(_.getString(0)).sorted shouldBe
+      Array("F1", "F2")
+    relations.collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq shouldBe Seq(("P1", "S1"), ("P1", "S2"),
+        ("S1", "F1"), ("S2", "F2"))
+  }
 }

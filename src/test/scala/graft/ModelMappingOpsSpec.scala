@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ModelMappingOps
+
+/** The model-mapping maker: inventory merge, curated reconcile,
+  * ;-expansion, partial-dup cleanup, comparison states.
+  */
+class ModelMappingOpsSpec extends SparkSpecBase {
+
+  private def fromInv(rows: Seq[Any]*) =
+    strDf(Seq("lift_from_node", "lift_from_property", "lift_from_version"))(
+      rows: _*)
+  private def toInv(rows: Seq[Any]*) =
+    strDf(Seq("lift_to_node", "lift_to_property", "lift_to_version"))(rows: _*)
+
+  test("buildMapping outer-merges the two inventories on (node, property)") {
+    val out = ModelMappingOps.buildMapping(
+      fromInv(Seq("n1", "a", "v1"), Seq("n1", "gone", "v1")),
+      toInv(Seq("n1", "a", "v2"), Seq("n1", "new", "v2")))
+    out.columns.toSeq shouldBe ModelMappingOps.Columns
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(3), r.getString(4))).toSet
+    rows shouldBe Set(("n1", "a", "n1", "a"), ("n1", "gone", null, null),
+      (null, null, "n1", "new"))
+  }
+
+  test("reconcileMapping keeps curated rows and appends net-new built rows") {
+    val cols = ModelMappingOps.Columns
+    val provided = strDf(cols)(Seq("n1", "a", "v1", "n1", "a_renamed", "v2"))
+    val built = strDf(cols)(
+      Seq("n1", "a", "v1", "n1", "a", "v2"),
+      Seq("n1", "b", "v1", "n1", "b", "v2"))
+    val out = ModelMappingOps.reconcileMapping(provided, built)
+      .collect().map(r => (r.getString(1), r.getString(4))).toSet
+    out shouldBe Set(("a", "a_renamed"), ("b", "b"))
+  }
+
+  test("expandSemicolonNodes explodes multi-node targets and trims") {
+    val cols = ModelMappingOps.Columns
+    val df = strDf(cols)(
+      Seq("n1", "a", "v1", "x; y", "p", "v2"),
+      Seq("n1", "b", "v1", null, null, "v2"),
+      Seq("n1", "c", "v1", "NA", "p", "v2"))
+    val out = ModelMappingOps.expandSemicolonNodes(df)
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    out shouldBe Set(("a", "x"), ("a", "y"), ("b", null), ("c", "NA"))
+  }
+
+  test("cleanUpPartialDups drops covered partial rows and fills ''") {
+    val cols = ModelMappingOps.Columns
+    val df = strDf(cols)(
+      Seq("n1", "a", "v1", "n1", "a2", "v2"), // complete
+      Seq("n1", "a", "v1", null, null, "v2"), // partial, covered -> drop
+      Seq("n1", "b", "v1", null, null, "v2")) // partial, uncovered -> ''
+    val out = ModelMappingOps.cleanUpPartialDups(df,
+      "lift_to_node", "lift_to_property",
+      "lift_from_node", "lift_from_property")
+      .collect().map(r => (r.getString(1), r.getString(3), r.getString(4)))
+      .toSet
+    out shouldBe Set(("a", "n1", "a2"), ("b", "", ""))
+  }
+
+  test("buildComparison classifies states and drops SAME rows") {
+    val cols = ModelMappingOps.Columns
+    val df = strDf(cols)(
+      Seq("n1", "a", "", "n1", "a", ""),   // SAME
+      Seq("n1", "b", "", "", "", ""),      // DELETION
+      Seq("", "", "", "n1", "c", ""),      // ADDITION
+      Seq("n1", "d", "", "n2", "d", ""))   // CHANGED
+    val out = ModelMappingOps.buildComparison(df, "v1", "v2")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(5)))
+      .toSet
+    out shouldBe Set(("DELETION", "b", ""), ("ADDITION", "", "c"),
+      ("CHANGED", "d", "d"))
+    ModelMappingOps.buildComparison(df, "v1", "v2")
+      .select("lift_from_version", "lift_to_version").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("v1", "v2"))
+  }
+}
