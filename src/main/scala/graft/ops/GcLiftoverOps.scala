@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The GC liftover helper (`/root/reference/workflows/
+  * gc_liftover_helper.py`): General-Commons id generation across the
+  * submission sheets plus the investigator name parser. The study
+  * sheet is one row; its derived id is a driver-side literal stamped
+  * into the child sheets, so every derivation below is a map-only
+  * column expression — no joins, no shuffles.
+  */
+object GcLiftoverOps {
+
+  private def q(c: String): Column = col("`" + c.replace("`", "") + "`")
+
+  /** Load-time normalization (`gc_liftover_helper.py:8-29`): every
+    * string cell's ';' becomes '|' (the GC multi-value separator),
+    * then full-row dedup.
+    */
+  def normalizeSeparators(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      regexp_replace(q(c), ";", "\\|").as(c)).toSeq: _*)
+      .dropDuplicates()
+
+  /** `parse_name` (`gc_liftover_helper.py:97-117`): commas/periods
+    * strip, the first token may be a title, the last a suffix; the
+    * remainder splits first/middle/last with multi-word lasts joined
+    * by spaces. Returns the five name parts as one struct column.
+    */
+  def parseInvestigatorName(name: Column): Column = {
+    val prefixes = Seq("Dr", "Mr", "Mrs", "Ms", "Miss", "Sir", "Dame",
+      "Lord", "Lady")
+    val suffixes = Seq("Jr", "Sr", "II", "III", "IV", "MD", "PhD", "DO")
+    val nullStr = lit(null).cast("string")
+    val tokens = split(trim(regexp_replace(name, "[,.]", "")), "\\s+")
+    val hasTitle = size(tokens) > 0 &&
+      element_at(tokens, 1).isin(prefixes.map(lit(_)): _*)
+    val t1 = when(hasTitle, slice(tokens, lit(2), size(tokens) - 1))
+      .otherwise(tokens)
+    val hasSuffix = size(t1) > 0 &&
+      element_at(t1, -1).isin(suffixes.map(lit(_)): _*)
+    val t2 = when(hasSuffix, slice(t1, lit(1), size(t1) - 1)).otherwise(t1)
+    val n = size(t2)
+    val blank = name.isNull || trim(name) === ""
+    struct(
+      when(!blank && hasTitle, element_at(tokens, 1))
+        .otherwise(nullStr).as("title"),
+      when(!blank && n >= 2, element_at(t2, 1))
+        .otherwise(nullStr).as("first_name"),
+      when(!blank && n > 2, element_at(t2, 2))
+        .otherwise(nullStr).as("middle_name"),
+      when(blank, nullStr)
+        .when(n > 2, array_join(slice(t2, 3, 1000), " "))
+        .when(n === 2, element_at(t2, 2))
+        .when(n === 1, element_at(t2, 1))
+        .otherwise(nullStr).as("last_name"),
+      when(!blank && hasSuffix, element_at(t1, -1))
+        .otherwise(nullStr).as("suffix"))
+  }
+
+  /** `generate_ids_task` (`gc_liftover_helper.py:63-160`): the study
+    * sheet dedups to one row per type and derives
+    * `study_id = phs_accession_study_acronym`; that id stamps the
+    * child sheets' `study.study_id`, prefixes investigator emails
+    * and participant ids, and the diagnosis sheet derives
+    * `study_diagnosis_id` through the participant path with the
+    * sample-id fallback for rows missing a participant pointer.
+    * `gcStudyId` is the one-row study sheet's literal, passed in so
+    * the stamping stays a pure column op.
+    */
+  def generateIds(sheets: Map[String, DataFrame],
+      gcStudyId: String): Map[String, DataFrame] = {
+    val gc = lit(gcStudyId)
+    val stamped = sheets.map { case (name, df) =>
+      val withStudy =
+        if (Seq("consent_group", "investigator", "participant", "sample",
+            "file").contains(name))
+          df.withColumn("study.study_id", gc)
+        else df
+      name -> withStudy
+    }
+    stamped.map {
+      case ("investigator", df) if df.columns.contains("email") =>
+        val withId = df.withColumn("investigator_id",
+          concat(gc, lit("_"), q("email")))
+        val parsed =
+          if (!df.columns.contains("primary_investigator_name")) withId
+          else {
+            val p = parseInvestigatorName(q("primary_investigator_name"))
+            withId
+              .withColumn("title", p.getField("title"))
+              .withColumn("first_name", p.getField("first_name"))
+              .withColumn("middle_name", p.getField("middle_name"))
+              .withColumn("last_name", p.getField("last_name"))
+              .withColumn("suffix", p.getField("suffix"))
+          }
+        "investigator" -> parsed
+      case ("participant", df) if df.columns.contains("participant_id") =>
+        "participant" -> df.withColumn("study_participant_id",
+          concat(gc, lit("_"), q("participant_id")))
+      case ("sample", df)
+          if df.columns.contains("participant.study_participant_id") =>
+        "sample" -> df.withColumn("participant.study_participant_id",
+          concat(gc, lit("_"), q("participant.study_participant_id")))
+      case ("diagnosis", df)
+          if df.columns.contains("participant.study_participant_id") &&
+            df.columns.contains("diagnosis_id") =>
+        val spi = concat(gc, lit("_"),
+          q("participant.study_participant_id"))
+        // prefix first: the primary id reads the UPDATED pointer,
+        // like the reference's sequential pandas assignments
+        val updated = df.withColumn("participant.study_participant_id", spi)
+        val primary = concat(q("participant.study_participant_id"),
+          lit("_"), q("diagnosis_id"))
+        val fallback =
+          if (!df.columns.contains("sample.sample_id")) lit(null)
+          else concat(q("sample.sample_id"), lit("_"), q("diagnosis_id"))
+        "diagnosis" -> updated.withColumn("study_diagnosis_id",
+          coalesce(primary, fallback).cast("string"))
+      case other => other
+    }
+  }
+
+  /** The study-sheet id derivation feeding [[generateIds]]
+    * (`:66-78`): one row per type, `phs_accession_study_acronym`.
+    */
+  def studyId(study: DataFrame): DataFrame =
+    JoinOps.top1PerGroup(study, Seq("type"),
+      study.columns.sorted.map(c => q(c).asc_nulls_last).toSeq)
+      .withColumn("study_id",
+        concat(q("phs_accession"), lit("_"), q("study_acronym")))
+}

@@ -119,6 +119,48 @@ object ReshapeOps {
     }
   }
 
+  /** The generic-liftover default fill (`/root/reference/src/
+    * liftover_generic.py:320-340`): target columns that still carry
+    * nulls after the lift fill with the mapping's `default_value`
+    * for that (lift_to_node, lift_to_property) — first mapping row
+    * wins, like the reference's `.values[0]`. One select; the
+    * mapping is catalog-sized so the collect is plan construction.
+    */
+  def liftoverDefaults(lifted: DataFrame, mapping: DataFrame,
+      toNode: String): DataFrame = {
+    val hasDefault = mapping.columns.contains("default_value")
+    if (!hasDefault) lifted
+    else {
+      val defaults = mapping
+        .filter(col("lift_to_node") === toNode &&
+          col("default_value").isNotNull)
+        .select("lift_to_property", "default_value").collect()
+        .foldLeft(Map.empty[String, String]) { (m, r) =>
+          if (m.contains(r.getString(0))) m
+          else m + (r.getString(0) -> r.getString(1))
+        }
+      lifted.select(lifted.columns.toSeq.map { c =>
+        defaults.get(c) match {
+          case Some(d) =>
+            coalesce(CurationOps.rawCol(c), lit(d)).as(c)
+          case None => CurationOps.rawCol(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** The submission-parse column pruning (`/root/reference/
+    * workflows/submission_liftover.py:31-100`): the CCDI parse drops
+    * `id` and `*.id` columns, the CCDI-DCC parse drops `guid` and
+    * `*.guid` — database-minted surrogate keys never lift.
+    */
+  def pruneSubmissionColumns(df: DataFrame,
+      idSuffix: String = "id"): DataFrame = {
+    val keep = df.columns.filterNot(c =>
+      c == idSuffix || c.endsWith("." + idSuffix))
+    df.select(keep.map(CurationOps.rawCol(_)).toSeq: _*)
+  }
+
   /** Liftover coverage check (`/root/reference/src/liftover_generic
     * .py:49-110` `find_unlifted_props`): populated manifest columns
     * (the `type` column excluded, like the reference's pre-scan drop)

@@ -1241,5 +1241,126 @@ object ToolQueries {
       ModelMappingOps.buildComparison(cleaned, "v1", "v2")
         .orderBy(col("state"), col("lift_from_property"),
           col("lift_to_node"), col("lift_to_property"))
+    },
+
+    // Submission liftover (submission_liftover.py:31-100 +
+    // liftover_generic.py:206-340): the specimen sheet's surrogate
+    // `id` columns prune, the mapping renames node+properties, and
+    // target columns left null (every 9th volume) fill with the
+    // mapping's default_value.
+    Q("q113_submission_liftover",
+      """WITH ords AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |  WHERE o_orderkey <= 4000)
+        |SELECT 'S' || CAST(k AS VARCHAR) AS sample_id,
+        |  'P' || CAST(c AS VARCHAR) AS "participant.participant_id",
+        |  CASE WHEN k % 9 = 0 THEN '0'
+        |       ELSE CAST(k % 50 AS VARCHAR) END AS sample_volume,
+        |  'sample' AS type
+        |FROM ords
+        |ORDER BY CAST(SUBSTRING(sample_id, 2) AS BIGINT)""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.ReshapeOps
+      val ok = col("o_orderkey")
+      val specimen = t(s, dir, "orders").filter(ok <= 4000).select(
+        concat(lit("u"), ok.cast("string")).as("id"),
+        concat(lit("S"), ok.cast("string")).as("specimen_id"),
+        concat(lit("v"), ok.cast("string")).as("subject.id"),
+        concat(lit("P"), col("o_custkey").cast("string"))
+          .as("subject.subject_id"),
+        when(ok % 9 === 0, lit(null).cast("string"))
+          .otherwise((ok % 50).cast("string")).as("volume"))
+      val pruned = ReshapeOps.pruneSubmissionColumns(specimen)
+      val mapping = {
+        import s.implicits._
+        Seq(
+          ("specimen", "specimen_id", "sample", "sample_id", null),
+          ("specimen", "subject.subject_id", "sample",
+            "participant.participant_id", null),
+          ("specimen", "volume", "sample", "sample_volume", "0"))
+          .toDF("lift_from_node", "lift_from_property", "lift_to_node",
+            "lift_to_property", "default_value")
+      }
+      val lifted = ReshapeOps.liftoverManifest(
+        Map("specimen" -> pruned), mapping)("sample")
+      ReshapeOps.liftoverDefaults(lifted, mapping, "sample")
+        .orderBy(expr("cast(substring(sample_id, 2) as bigint)"))
+    },
+
+    // GC liftover diagnosis ids (gc_liftover_helper.py:63-160): the
+    // study id prefixes the participant pointer and the diagnosis id
+    // derives through it; rows missing the pointer (every 5th) fall
+    // back to the sample id (every 3rd) or stay null.
+    Q("q114_gc_diagnosis_ids",
+      """WITH ords AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |  WHERE o_orderkey <= 4000)
+        |SELECT 'D' || CAST(k AS VARCHAR) AS diagnosis_id,
+        |  CASE WHEN k % 5 <> 0
+        |    THEN 'phs000123_GC_P' || CAST(c AS VARCHAR) END
+        |    AS "participant.study_participant_id",
+        |  CASE WHEN k % 3 = 0 THEN 'S' || CAST(k AS VARCHAR) END
+        |    AS "sample.sample_id",
+        |  CASE WHEN k % 5 <> 0
+        |    THEN 'phs000123_GC_P' || CAST(c AS VARCHAR)
+        |      || '_D' || CAST(k AS VARCHAR)
+        |    WHEN k % 3 = 0 THEN 'S' || CAST(k AS VARCHAR)
+        |      || '_D' || CAST(k AS VARCHAR)
+        |    END AS study_diagnosis_id
+        |FROM ords
+        |ORDER BY CAST(SUBSTRING(diagnosis_id, 2) AS BIGINT)""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.GcLiftoverOps
+      val ok = col("o_orderkey")
+      val diagnosis = t(s, dir, "orders").filter(ok <= 4000).select(
+        concat(lit("D"), ok.cast("string")).as("diagnosis_id"),
+        when(ok % 5 =!= 0,
+            concat(lit("P"), col("o_custkey").cast("string")))
+          .as("participant.study_participant_id"),
+        when(ok % 3 === 0, concat(lit("S"), ok.cast("string")))
+          .as("sample.sample_id"))
+      GcLiftoverOps.generateIds(Map("diagnosis" -> diagnosis),
+        "phs000123_GC")("diagnosis")
+        .orderBy(expr("cast(substring(diagnosis_id, 2) as bigint)"))
+    },
+
+    // GC investigator parse (gc_liftover_helper.py:92-122): the
+    // study-prefixed email id plus the name parser's five parts —
+    // titles, suffixes, multi-word last names, and null names all
+    // enumerated by key residue.
+    Q("q115_gc_investigator",
+      """SELECT 'e' || CAST(c_custkey AS VARCHAR) || '@x.org' AS email,
+        |  'phs000123_GC' AS "study.study_id",
+        |  'phs000123_GC_e' || CAST(c_custkey AS VARCHAR) || '@x.org'
+        |    AS investigator_id,
+        |  CASE c_custkey % 6 WHEN 0 THEN 'Dr' WHEN 3 THEN 'Mr' END AS title,
+        |  CASE c_custkey % 6 WHEN 0 THEN 'John' WHEN 1 THEN 'Jane'
+        |    WHEN 3 THEN 'Bob' WHEN 4 THEN 'Anna' END AS first_name,
+        |  CASE c_custkey % 6 WHEN 0 THEN 'A' WHEN 4 THEN 'Maria' END
+        |    AS middle_name,
+        |  CASE c_custkey % 6 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Doe'
+        |    WHEN 2 THEN 'Prince' WHEN 3 THEN 'Lee'
+        |    WHEN 4 THEN 'Del Rio' END AS last_name,
+        |  CASE c_custkey % 6 WHEN 0 THEN 'Jr' WHEN 4 THEN 'PhD' END
+        |    AS suffix
+        |FROM customer
+        |ORDER BY email""".stripMargin) { (s, dir) =>
+      import graft.ops.GcLiftoverOps
+      val c = col("c_custkey")
+      val investigator = t(s, dir, "customer").select(
+        concat(lit("e"), c.cast("string"), lit("@x.org")).as("email"),
+        when(c % 6 === 0, "Dr. John A. Smith Jr")
+          .when(c % 6 === 1, "Jane Doe")
+          .when(c % 6 === 2, "Prince")
+          .when(c % 6 === 3, "Mr Bob Lee")
+          .when(c % 6 === 4, "Anna Maria Del Rio PhD")
+          .otherwise(lit(null).cast("string"))
+          .as("primary_investigator_name"))
+      GcLiftoverOps.generateIds(Map("investigator" -> investigator),
+        "phs000123_GC")("investigator")
+        .select(col("email"), col("`study.study_id`"),
+          col("investigator_id"), col("title"), col("first_name"),
+          col("middle_name"), col("last_name"), col("suffix"))
+        .orderBy(col("email"))
     })
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GcLiftoverOps
+
+/** The GC liftover helper: separator normalization, the investigator
+  * name parser, and the cross-sheet id generation.
+  */
+class GcLiftoverOpsSpec extends SparkSpecBase {
+
+  test("normalizeSeparators rewrites ';' to '|' and dedups") {
+    val df = strDf(Seq("a", "b"))(
+      Seq("x;y", "1"), Seq("x;y", "1"), Seq("p", null))
+    val out = GcLiftoverOps.normalizeSeparators(df)
+      .orderBy("a").collect().map(r => (r.getString(0), r.getString(1)))
+    out.toSeq shouldBe Seq(("p", null), ("x|y", "1"))
+  }
+
+  private def parse(name: String) = {
+    val df = strDf(Seq("n"))(Seq(name))
+    val r = df.select(GcLiftoverOps
+      .parseInvestigatorName(col("n")).as("p")).select("p.*").collect().head
+    (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4))
+  }
+
+  test("parseInvestigatorName splits title/first/middle/last/suffix") {
+    parse("Dr. John A. Smith Jr") shouldBe
+      ("Dr", "John", "A", "Smith", "Jr")
+    parse("Jane Doe") shouldBe (null, "Jane", null, "Doe", null)
+    parse("Prince") shouldBe (null, null, null, "Prince", null)
+    parse("Mr Bob Lee") shouldBe ("Mr", "Bob", null, "Lee", null)
+    parse("Anna Maria Del Rio PhD") shouldBe
+      (null, "Anna", "Maria", "Del Rio", "PhD")
+    parse(null) shouldBe (null, null, null, null, null)
+    parse(" ") shouldBe (null, null, null, null, null)
+  }
+
+  test("generateIds stamps the study id and derives sheet ids") {
+    val participant = strDf(Seq("participant_id"))(Seq("P1"), Seq("P2"))
+    val sample = strDf(Seq("sample_id", "participant.study_participant_id"))(
+      Seq("S1", "P1"))
+    val diagnosis = strDf(Seq("diagnosis_id",
+      "participant.study_participant_id", "sample.sample_id"))(
+      Seq("D1", "P1", null), Seq("D2", null, "S9"), Seq("D3", null, null))
+    val out = GcLiftoverOps.generateIds(
+      Map("participant" -> participant, "sample" -> sample,
+        "diagnosis" -> diagnosis), "phs1_GC")
+    out("participant").select("study_participant_id")
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("phs1_GC_P1", "phs1_GC_P2")
+    out("participant").columns should contain("study.study_id")
+    out("sample").select("`participant.study_participant_id`")
+      .collect().head.getString(0) shouldBe "phs1_GC_P1"
+    val dx = out("diagnosis").orderBy("diagnosis_id")
+      .select("study_diagnosis_id").collect().map(_.getString(0)).toSeq
+    dx shouldBe Seq("phs1_GC_P1_D1", "S9_D2", null)
+    out("diagnosis").columns should not contain "study.study_id"
+  }
+
+  test("studyId dedups per type and concatenates phs + acronym") {
+    val study = strDf(Seq("type", "phs_accession", "study_acronym"))(
+      Seq("study", "phs1", "GC"), Seq("study", "phs1", "GC"))
+    val out = GcLiftoverOps.studyId(study).collect()
+    out should have length 1
+    out.head.getAs[String]("study_id") shouldBe "phs1_GC"
+  }
+}

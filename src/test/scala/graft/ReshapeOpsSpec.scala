@@ -98,4 +98,26 @@ class ReshapeOpsSpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("diagnosis_id"), r.getAs[String]("anatomic_site")))
     out.toSeq shouldBe Seq(("d1", "lung;liver"), ("d2", "bone"), ("d3", null))
   }
+
+  test("liftoverDefaults fills nulls from the mapping's default_value") {
+    val lifted = strDf(Seq("sample_id", "volume"))(
+      Seq("s1", "5"), Seq("s2", null))
+    val mapping = strDf(Seq("lift_to_node", "lift_to_property",
+      "default_value"))(
+      Seq("sample", "volume", "0"), Seq("sample", "volume", "9"),
+      Seq("other", "volume", "7"), Seq("sample", "absent", "x"))
+    val out = ReshapeOps.liftoverDefaults(lifted, mapping, "sample")
+      .orderBy("sample_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("s1", "5"), ("s2", "0")) // first mapping row wins
+  }
+
+  test("pruneSubmissionColumns drops id/.id (or guid) surrogate columns") {
+    val df = strDf(Seq("id", "sample_id", "participant.id", "x.guid", "guid"))(
+      Seq("1", "s", "p", "g", "g2"))
+    ReshapeOps.pruneSubmissionColumns(df).columns.toSeq shouldBe
+      Seq("sample_id", "x.guid", "guid")
+    ReshapeOps.pruneSubmissionColumns(df, "guid").columns.toSeq shouldBe
+      Seq("id", "sample_id", "participant.id")
+  }
 }
