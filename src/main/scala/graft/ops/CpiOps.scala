@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The CPI (participant index) association report
+  * (`/root/reference/workflows/ccdi_cpi_query.py:126-262` +
+  * `cpi_api_return.py:238-374`): manifest participants fan out over
+  * their cross-domain associated ids, each enriched from the domain
+  * catalog. The API chunking (50 ids per request) is transport — the
+  * dataflow is one inner join onto the association frame plus one
+  * broadcast lookup of the (tiny) domain catalog.
+  */
+object CpiOps {
+
+  /** `get_associated_ids`' record assembly (`ccdi_cpi_query.py:
+    * 216-247`): participants with a non-null id, their associations
+    * (participants without any associated id emit nothing — the
+    * reference appends no record), and the domain catalog's
+    * description + data_location by domain name. Output columns
+    * mirror the study TSV header (`:175-186`).
+    */
+  def associatedDomains(
+      participants: DataFrame,
+      associations: DataFrame,
+      domains: DataFrame): DataFrame = {
+    val p = participants
+      .filter(col("participant_id").isNotNull)
+      .select(col("study_id"), col("participant_id"))
+    val d = broadcast(domains.select(col("domain_name"),
+      col("domain_description"), col("data_location")))
+    p.join(associations, Seq("participant_id"))
+      .join(d, Seq("domain_name"), "left")
+      .select(col("study_id"), col("participant_id"),
+        col("associated_id"), col("domain_name"),
+        col("domain_description"), col("domain_category"),
+        col("data_location"))
+  }
+}

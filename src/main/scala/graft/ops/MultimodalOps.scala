@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -95,6 +95,34 @@ object MultimodalOps {
     * offsets (every `everyMs` ms up to duration) as an array column —
     * the real frame grab would run inside mapPartitions per offset.
     */
+  /** The SRA metadata stats parse (`/root/reference/src/
+    * sra_metadata.py:26-49` `extract_base_reads_readlength`): a
+    * samtools-stats text blob yields Reads / Bases / AvgReadLength
+    * from its `SN` lines, and the mean of a coverage frame's
+    * `coverage` column rounds to 2 places. The pysam decode itself is
+    * at the binary adapter boundary (like the image codecs); this is
+    * the Spark side of the pipeline — the stats TEXT arrives as a
+    * column and parses per-row with no shuffle.
+    */
+  def parseSamStats(stats: Column): Column = {
+    def sn(label: String) =
+      regexp_extract(stats, "SN\\t" + label + ":\\t([0-9.eE+-]+)", 1)
+    struct(
+      sn("raw total sequences").as("reads"),
+      sn("total length").as("bases"),
+      sn("average length").as("avg_read_length"))
+  }
+
+  /** `extract_coverage` (`sra_metadata.py:44-49`): per-file mean of
+    * the per-contig coverage rows, rounded to 2 — a single partial
+    * aggregate per file key.
+    */
+  def coverageAvg(coverage: DataFrame, fileCol: String = "file_name",
+      covCol: String = "coverage"): DataFrame =
+    coverage.groupBy(col("`" + fileCol + "`"))
+      .agg(round(avg(col("`" + covCol + "`").cast("double")), 2)
+        .as("coverage_avg"))
+
   def frameSampleOffsets(df: DataFrame, everyMs: Long): DataFrame =
     df.withColumn("frame_offsets_ms",
       when(col("meta.duration_ms").isNotNull,

@@ -1362,5 +1362,83 @@ object ToolQueries {
           col("investigator_id"), col("title"), col("first_name"),
           col("middle_name"), col("last_name"), col("suffix"))
         .orderBy(col("email"))
+    },
+
+    // CPI associated-domain report (ccdi_cpi_query.py:126-262):
+    // manifest participants (every 97th id missing, filtered) fan
+    // out over their cross-domain associations; the 3-row domain
+    // catalog broadcasts in descriptions and data locations.
+    Q("q116_cpi_domains",
+      """WITH parts AS (
+        |  SELECT c_custkey AS c FROM customer WHERE c_custkey % 97 <> 0),
+        |assoc AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |  WHERE o_orderkey <= 6000)
+        |SELECT 'phs000123' AS study_id,
+        |  'P' || CAST(a.c AS VARCHAR) AS participant_id,
+        |  'X' || CAST(a.k AS VARCHAR) AS associated_id,
+        |  'dom' || CAST(a.k % 3 AS VARCHAR) AS domain_name,
+        |  CASE a.k % 3 WHEN 0 THEN 'Genomic commons' WHEN 1 THEN 'Imaging'
+        |    ELSE 'Registry' END AS domain_description,
+        |  'cat' || CAST(a.k % 2 AS VARCHAR) AS domain_category,
+        |  CASE a.k % 3 WHEN 0 THEN 's3://gen' WHEN 1 THEN 's3://img'
+        |    ELSE 's3://reg' END AS data_location
+        |FROM assoc a JOIN parts p ON a.c = p.c
+        |ORDER BY CAST(SUBSTRING(associated_id, 2) AS BIGINT)""".stripMargin) {
+      (s, dir) =>
+      import graft.ops.CpiOps
+      val c = col("c_custkey")
+      val participants = t(s, dir, "customer").select(
+        lit("phs000123").as("study_id"),
+        when(c % 97 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), c.cast("string")))
+          .as("participant_id"))
+      val ok = col("o_orderkey")
+      val associations = t(s, dir, "orders").filter(ok <= 6000).select(
+        concat(lit("P"), col("o_custkey").cast("string"))
+          .as("participant_id"),
+        concat(lit("X"), ok.cast("string")).as("associated_id"),
+        concat(lit("dom"), (ok % 3).cast("string")).as("domain_name"),
+        concat(lit("cat"), (ok % 2).cast("string")).as("domain_category"))
+      val domains = {
+        import s.implicits._
+        Seq(("dom0", "Genomic commons", "s3://gen"),
+          ("dom1", "Imaging", "s3://img"),
+          ("dom2", "Registry", "s3://reg"))
+          .toDF("domain_name", "domain_description", "data_location")
+      }
+      CpiOps.associatedDomains(participants, associations, domains)
+        .orderBy(expr("cast(substring(associated_id, 2) as bigint)"))
+    },
+
+    // SRA metadata stats parse (sra_metadata.py:26-49): per-file
+    // samtools-stats text parses into reads/bases/average read
+    // length off the SN lines; the binary pysam step stays at the
+    // adapter boundary, the text parse is the graded dataflow.
+    Q("q117_sra_stats",
+      """SELECT p_partkey AS pk,
+        |  'f' || CAST(p_partkey AS VARCHAR) || '.bam' AS file_name,
+        |  CAST(p_partkey % 1000 AS VARCHAR) AS reads,
+        |  CAST(p_partkey * 100 AS VARCHAR) AS bases,
+        |  CAST(p_partkey % 300 AS VARCHAR) || '.5' AS avg_read_length
+        |FROM part ORDER BY pk""".stripMargin) { (s, dir) =>
+      import graft.ops.MultimodalOps
+      val p = col("p_partkey")
+      val stats = t(s, dir, "part").select(
+        p.as("pk"),
+        concat(lit("f"), p.cast("string"), lit(".bam")).as("file_name"),
+        concat(
+          lit("CHK\t0\nSN\traw total sequences:\t"),
+          (p % 1000).cast("string"),
+          lit("\nSN\ttotal length:\t"), (p * 100).cast("string"),
+          lit("\nSN\taverage length:\t"), (p % 300).cast("string"),
+          lit(".5\nFFQ\t1")).as("stats_text"))
+      stats.select(col("pk"), col("file_name"),
+          MultimodalOps.parseSamStats(col("stats_text")).as("parsed"))
+        .select(col("pk"), col("file_name"),
+          col("parsed.reads").as("reads"),
+          col("parsed.bases").as("bases"),
+          col("parsed.avg_read_length").as("avg_read_length"))
+        .orderBy(col("pk"))
     })
 }

@@ -47,4 +47,23 @@ class MultimodalOpsSpec extends SparkSpecBase {
     media.schema("payload").dataType.typeName shouldBe "binary"
     media.schema("meta").dataType.typeName shouldBe "struct"
   }
+
+  test("parseSamStats extracts the SN reads/bases/length lines") {
+    val text = "CHK\t0\nSN\traw total sequences:\t1500\n" +
+      "SN\ttotal length:\t225000\nSN\taverage length:\t150.5\nFFQ\t1"
+    val df = strDf(Seq("stats"))(Seq(text), Seq("no sn lines"))
+    val rows = df.select(MultimodalOps.parseSamStats(col("stats")).as("p"))
+      .select("p.*").collect()
+    (rows(0).getString(0), rows(0).getString(1), rows(0).getString(2)) shouldBe
+      (("1500", "225000", "150.5"))
+    rows(1).getString(0) shouldBe ""
+  }
+
+  test("coverageAvg means per-file coverage rounded to 2") {
+    val cov = strDf(Seq("file_name", "coverage"))(
+      Seq("a.bam", "10.5"), Seq("a.bam", "20.0"), Seq("b.bam", "3.333"))
+    val out = MultimodalOps.coverageAvg(cov).orderBy("file_name")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    out shouldBe Seq(("a.bam", 15.25), ("b.bam", 3.33))
+  }
 }

@@ -311,6 +311,23 @@ class ToolOpsSpec extends SparkSpecBase {
       ("src-a", "z.cram", "dst-b", ""))
   }
 
+  test("associatedDomains fans participants over domains with catalog lookup") {
+    import graft.ops.CpiOps
+    val parts = strDf(Seq("study_id", "participant_id"))(
+      Seq("phs1", "P1"), Seq("phs1", "P2"), Seq("phs1", null))
+    val assoc = strDf(Seq("participant_id", "associated_id", "domain_name",
+      "domain_category"))(
+      Seq("P1", "X1", "d1", "c1"), Seq("P1", "X2", "d2", "c2"))
+    val domains = strDf(Seq("domain_name", "domain_description",
+      "data_location"))(Seq("d1", "desc1", "loc1"), Seq("d2", "desc2", "loc2"))
+    val out = CpiOps.associatedDomains(parts, assoc, domains)
+      .orderBy("associated_id").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(4),
+        r.getString(6))).toSeq
+    out shouldBe Seq(("P1", "X1", "desc1", "loc1"),
+      ("P1", "X2", "desc2", "loc2"))
+  }
+
   test("stagingDiff drops dotfiles/P_____ and previously pulled names") {
     val inv = strDf(Seq("key"))(
       Seq("st/.hidden"), Seq("st/P_____1.txt"), Seq("st/a.txt"),
