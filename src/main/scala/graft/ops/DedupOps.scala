@@ -246,9 +246,16 @@ object DedupOps {
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl"))
         .limit(1).isEmpty
+      labels.unpersist() // superseded checkpoint — keep storage O(1)
       labels = next
       iter += 1
     }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; labels would be incomplete — raise maxIter " +
+          "(log2(diameter) rounds suffice)")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

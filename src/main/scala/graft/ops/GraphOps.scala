@@ -168,13 +168,24 @@ object GraphOps {
         .select(col("child_id").as("entry_id")).distinct()
         .join(closure, Seq("entry_id"), "left_anti")
         .persist()
-      if (next.isEmpty) done = true
+      if (next.isEmpty) { done = true; next.unpersist() }
       else {
-        closure = closure.unionByName(next).localCheckpoint(true)
+        val grown = closure.unionByName(next).localCheckpoint(true)
+        if (frontier ne closure) frontier.unpersist()
+        closure.unpersist() // superseded by `grown` — storage stays O(1)
+        closure = grown
         frontier = next
         hops += 1
       }
     }
+    if (!done) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"entryRemover frontier did not drain within maxHops=$maxHops — " +
+          "the closure (and thus kept/deleted) would be incomplete; " +
+          "raise maxHops past the manifest's link depth")
+    }
+    if (frontier ne closure) frontier.unpersist()
     val doomedIds = closure
     val kept = nodes.map { case (node, df) =>
       val idCol = s"${node}_id"
@@ -188,10 +199,15 @@ object GraphOps {
         else df.join(doomedIds, df(q(idCol)) === doomedIds("entry_id"),
           "left_semi"))
     }
+    // materialize the (small) relation log so `edges` can be released
+    // before returning; kept/deleted only depend on the checkpointed
+    // closure and the caller's own node frames
     val relations = edges
       .join(doomedIds, edges("parent_id") === doomedIds("entry_id"),
         "left_semi")
       .select(col("parent_id"), col("child_id")).distinct()
+      .localCheckpoint(true)
+    edges.unpersist()
     (kept, deleted, relations)
   }
 }

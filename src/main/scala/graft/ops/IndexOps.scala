@@ -38,19 +38,22 @@ object IndexOps {
     val hasGuid = q(guidCol).isNotNull && trim(q(guidCol)) =!= ""
     // pre-aggregated to one candidate per (hash, size, basename,
     // dirname) — min(did) — so the join-back cannot fan out
-    val best = indexd.select(q("did"), q("hash"), q("size"),
+    // lookup columns carry __ aliases so a manifest that itself has
+    // hash/size columns is never silently dropped by the cleanup
+    val best = indexd.select(q("did"),
+        q("hash").as("__hash"), q("size").as("__size"),
         basename(q("url")).as("__base"), dirname(q("url")).as("__dir"))
-      .groupBy(q("hash"), q("size"), col("__base"), col("__dir"))
+      .groupBy(col("__hash"), col("__size"), col("__base"), col("__dir"))
       .agg(min(q("did")).as("__found"))
     df.join(broadcast(best),
-        q("md5sum") === best("hash") &&
-          q("file_size") === best("size") &&
+        q("md5sum") === best("__hash") &&
+          q("file_size") === best("__size") &&
           basename(q("file_url")) === best("__base") &&
           dirname(q("file_url")) === best("__dir"),
         "left")
       .withColumn(guidCol,
         when(hasGuid, q(guidCol)).otherwise(coalesce(col("__found"), lit(""))))
-      .drop("hash", "size", "__base", "__dir", "__found")
+      .drop("__hash", "__size", "__base", "__dir", "__found")
   }
 
   /** `extract_dcf_index_single_sheet` (`utils.py:1352-1455`) for one

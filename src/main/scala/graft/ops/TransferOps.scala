@@ -44,7 +44,9 @@ object TransferOps {
     */
   def stagingUri(uri: Column, prodPrefix: String, stagingPath: String): Column =
     concat(lit("s3://" + stagingPath.stripSuffix("/") + "/"),
-      regexp_replace(uri, "^s3://" + prodPrefix.stripSuffix("/") + "/", ""))
+      regexp_replace(uri,
+        "^s3://" + java.util.regex.Pattern.quote(prodPrefix.stripSuffix("/") + "/"),
+        ""))
 
   /** The KF data-sync manifest shape (`/root/reference/workflows/
     * kf_data_sync_manifest_generator.py:10-58`): each (source, dest)
