@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The memgraph curation-promotion filter (`/root/reference/src/
+  * memgraph_transfer.py:196-385 filter_cypherl`): a `DUMP DATABASE`
+  * CypherL file is parsed line-by-line into node / relationship
+  * frames, the studies matching a (label, property, value) filter
+  * seed a flood fill over the undirected relationship graph, and the
+  * export keeps only statements whose nodes are in the closure,
+  * logging per-(study, label) node counts and per-(study, rel_type)
+  * relationship counts.
+  *
+  * The reference's three passes over the file become: one parse scan
+  * (map-only regexes, `parse_*`, `:88-155`), one connected-components
+  * run ([[DedupOps.connectedComponents]] — the BFS flood fill,
+  * `:264-300`, without a driver-side adjacency dict), and two
+  * count aggregations (`:326-360`). Study attribution inherits
+  * through the component; where the reference's BFS tie-break is
+  * Python set order, ours is min(study_id) — deterministic, and
+  * identical whenever a component holds one qualifying study.
+  */
+object CypherlOps {
+
+  /** Node statement parse (`parse_mg_id`/`parse_node_labels`/
+    * `parse_node_study_id`, `:88-128`): `CREATE (:...)` lines yield
+    * (mg_id, labels ';'-joined with backticks/space stripped,
+    * study_id). Lines without an mg_id are dropped like the
+    * reference's `continue`.
+    */
+  def parseNodeLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = trim(col(lineCol))
+    val labelsRaw = regexp_extract(l, "CREATE\\s*\\(:([^{]+)\\{", 1)
+    val labels = array_join(
+      filter(transform(split(labelsRaw, ":"),
+        x => regexp_replace(x, "[`\\s]+", "")), x => x =!= ""), ";")
+    lines
+      .filter(l.startsWith("CREATE (:"))
+      .select(
+        nullif(regexp_extract(l, "__mg_id__:\\s*(\\d+)", 1), lit(""))
+          .cast("bigint").as("mg_id"),
+        labels.as("labels"),
+        nullif(regexp_extract(l, "`study_id`:\\s*\"([^\"]*)\"", 1), lit(""))
+          .as("study_id"))
+      .filter(col("mg_id").isNotNull)
+  }
+
+  /** Relationship statement parse (`parse_relationship_mg_ids`/
+    * `parse_relationship_type`, `:141-155`): `MATCH (u:__mg_vertex__)`
+    * lines yield (u, v, rel_type), rel_type "unknown" when the
+    * CREATE clause is absent.
+    */
+  def parseRelLines(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = trim(col(lineCol))
+    val pair = "u\\.__mg_id__\\s*=\\s*(\\d+).*?v\\.__mg_id__\\s*=\\s*(\\d+)"
+    lines
+      .filter(l.startsWith("MATCH (u:__mg_vertex__)"))
+      .select(
+        nullif(regexp_extract(l, pair, 1), lit("")).cast("bigint").as("u"),
+        nullif(regexp_extract(l, pair, 2), lit("")).cast("bigint").as("v"),
+        coalesce(nullif(regexp_extract(l, "CREATE \\(u\\)-\\[:`([^`]+)`", 1),
+          lit("")), lit("unknown")).as("rel_type"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+  }
+
+  /** The promotion filter proper (`filter_cypherl` passes 1-3).
+    * `qualifies` is the node-level filter predicate (the reference's
+    * `node_matches_filter` on (filter_property, filter_value)),
+    * evaluated only on nodes carrying `studyLabel`.
+    *
+    * Returns one frame of log rows, `(kind, study, name, n)`:
+    *  - kind='study': one row per study node — name is
+    *    included/excluded, n its mg_id (the study log, `:254-260`);
+    *  - kind='node': per-(study, label) kept-node counts with
+    *    `__mg_vertex__` dropped (`:338-343`);
+    *  - kind='rel': per-(study, rel_type) kept-relationship counts,
+    *    attributed to the START node's study (`:353-358`).
+    */
+  def promotionFilter(
+      nodes: DataFrame, rels: DataFrame,
+      studyLabel: String, qualifies: Column): DataFrame = {
+    val isStudy = array_contains(split(col("labels"), ";"), studyLabel)
+    val studies = nodes.filter(isStudy)
+      .select(col("mg_id"), col("study_id"),
+        when(qualifies, lit("included")).otherwise(lit("excluded")).as("status"))
+    val studyLog = studies.select(lit("study").as("kind"),
+      coalesce(col("study_id"),
+        concat(lit("unknown_mg_id_"), col("mg_id").cast("string"))).as("study"),
+      col("status").as("name"), col("mg_id").as("n"))
+
+    val qualifying = studies.filter(col("status") === "included")
+    val cc = DedupOps.connectedComponents(
+      rels.select(col("u").as("id1"), col("v").as("id2")),
+      nodes = Some(nodes.select(col("mg_id"))))
+    // component -> min qualifying study id reaching it; components
+    // with no qualifying study drop out (nothing to attribute)
+    val attribution = cc
+      .join(qualifying.select(col("mg_id").as("id"), col("study_id")), Seq("id"))
+      .groupBy(col("cluster_id")).agg(min(col("study_id")).as("study"))
+    val closure = cc.join(broadcast(attribution), Seq("cluster_id"))
+      .select(col("id").as("mg_id"), col("study"))
+
+    val nodeLog = nodes.join(closure, Seq("mg_id"))
+      .select(col("study"), explode(split(col("labels"), ";")).as("label"))
+      .filter(col("label") =!= "__mg_vertex__")
+      .groupBy(col("study"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("node").as("kind"), col("study"), col("label").as("name"), col("n"))
+
+    val uSide = closure.select(col("mg_id").as("u"), col("study"))
+    val relLog = rels
+      .join(uSide, Seq("u"))
+      .join(closure.select(col("mg_id").as("v")), Seq("v"), "left_semi")
+      .groupBy(col("study"), col("rel_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("rel").as("kind"), col("study"), col("rel_type").as("name"), col("n"))
+
+    studyLog.unionByName(nodeLog).unionByName(relLog)
+  }
+}

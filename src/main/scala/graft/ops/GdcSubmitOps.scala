@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GDC submission-side set logic: the import triage
+  * (`/root/reference/workflows/gdc_import.py:490-583 compare_diff` +
+  * `json_compare`, `:465-488`) and the upload UUID matcher
+  * (`/root/reference/workflows/gdc_file_upload.py:114-165
+  * matching_uuid`). The REST transport (entity pulls, submissions)
+  * stays at the adapter boundary (S10, SURVEY §2.1); these are the
+  * decisions made over the returned frames.
+  */
+object GdcSubmitOps {
+
+  /** Triage each submission entity into new / update / skip:
+    *  - `new` when its submitter_id is absent from GDC
+    *    (`compare_diff:529-535`);
+    *  - for existing ids, `update` when ANY property in the
+    *    SUBMISSION FILE differs from the GDC entity's value — the
+    *    comparison is restricted to the submission's own keys
+    *    (`json_compare:479-484`), and a key missing on the GDC side
+    *    counts as different (DeepDiff's item-removed), so extra
+    *    GDC-only props never trigger an update;
+    *  - `skip` otherwise (`:568-580`).
+    *
+    * Entity metadata arrives long ((submitter_id, prop, value) — one
+    * row per scalar field, link dicts flattened to their
+    * submitter_id), so the whole triage is one equi-join on
+    * (submitter_id, prop) plus a per-id any() — no per-entity driver
+    * loop like the reference's chunked queries.
+    */
+  def importTriage(subLong: DataFrame, gdcIds: DataFrame,
+      gdcLong: DataFrame): DataFrame = {
+    val subIds = subLong.select(col("submitter_id")).distinct()
+    val newIds = subIds
+      .join(gdcIds.select(col("submitter_id")), Seq("submitter_id"), "left_anti")
+      .select(col("submitter_id"), lit("new").as("status"))
+    val gdcVals = gdcLong.select(col("submitter_id"), col("prop"),
+      col("value").as("__gdc_value"))
+    val existing = subLong
+      .join(gdcIds.select(col("submitter_id")), Seq("submitter_id"), "left_semi")
+      .join(gdcVals, Seq("submitter_id", "prop"), "left")
+      .withColumn("__diff",
+        col("__gdc_value").isNull || col("value") =!= col("__gdc_value"))
+      .groupBy(col("submitter_id"))
+      .agg(max(col("__diff")).as("__any_diff"))
+      .select(col("submitter_id"),
+        when(col("__any_diff"), "update").otherwise("skip").as("status"))
+    newIds.unionByName(existing)
+  }
+
+  /** `matching_uuid`: the upload manifest left-joins the already-in-GDC
+    * entity frame on (md5sum, file_name, file_size) and every row gets
+    * a status — "metadata not found, skip" when nothing matched,
+    * "already uploaded, skip" when the matched entity's file_state is
+    * validated, "" when it is ready to upload — in the reference's
+    * column order (`gdc_file_upload.py:147-165`). The entity frame is
+    * project-scale next to the manifest, so it broadcasts.
+    */
+  def uploadMatch(manifest: DataFrame, entities: DataFrame): DataFrame = {
+    val ent = entities.select(col("md5sum"), col("file_name"), col("file_size"),
+      col("id"), col("file_state"), col("state"))
+    manifest
+      .join(broadcast(ent), Seq("md5sum", "file_name", "file_size"), "left")
+      .withColumn("status",
+        when(col("id").isNull, "metadata not found, skip")
+          .when(col("file_state") === "validated", "already uploaded, skip")
+          .otherwise(""))
+      .select(col("id"), col("submitter_id"), col("file_name"), col("md5sum"),
+        col("file_size"), col("file_state"), col("state"), col("file_url"),
+        col("status"))
+  }
+}

@@ -101,4 +101,45 @@ object IgmStage {
       .dropDuplicates()
     recovered.unionByName(filled)
   }
+
+  // ---- DCC mapping post-processing (`/root/reference/src/
+  // cog_igm_mapping_dcc.py:85-145`) — the fixes applied to the rule
+  // engine's node outputs before the manifest overlay. --------------
+
+  /** `submitted_diagnosis` normalization (`:87-91`). */
+  def dccDiagnosisFix(diagnosis: DataFrame): DataFrame =
+    diagnosis.withColumn("submitted_diagnosis",
+      when(col("submitted_diagnosis") ===
+          "Neoplasm, uncertain whether benign or malignant#Neoplasm, NOS",
+        "Neoplasm, NOS").otherwise(col("submitted_diagnosis")))
+
+  /** Drop treatment_response rows whose response is `Not Reported`
+    * (`:93-97`) and treatment_surgery rows whose surgery_type is
+    * `Not Applicable` (`:99-103`).
+    */
+  def dccDropValue(df: DataFrame, column: String, value: String): DataFrame =
+    df.filter(rawCol(column).isNull || rawCol(column) =!= value)
+
+  /** The semicolon-set collapse (`:106-136`): rows sharing `keyCol`
+    * merge into one — every other column takes its first non-null
+    * value (pandas groupby `first`), and `setCol`'s ';'-lists union
+    * into one de-duplicated ';'-join with empties dropped. The
+    * reference joins a Python set (arbitrary order); ours sorts the
+    * set, a documented determinism refinement. Used for
+    * treatment_chemotherapy (chemotherapy_agent) and treatment_other
+    * (other_treatment_type). One hash-aggregate shuffled on the id —
+    * map-side partials keep the wide columns from travelling
+    * unreduced.
+    */
+  def dccSetCollapse(df: DataFrame, keyCol: String, setCol: String): DataFrame = {
+    val others = df.columns.filter(c => c != keyCol && c != setCol).toSeq
+    val setAgg = array_join(
+      array_sort(array_distinct(filter(
+        flatten(collect_list(split(coalesce(rawCol(setCol), lit("")), ";"))),
+        x => x =!= ""))), ";").as(setCol)
+    val aggs = others.map(c => first(rawCol(c), ignoreNulls = true).as(c)) :+ setAgg
+    df.groupBy(rawCol(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.toSeq.map(rawCol): _*)
+  }
 }

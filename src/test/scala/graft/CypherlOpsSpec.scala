@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CypherlOps
+
+/** The memgraph CypherL promotion filter (`src/memgraph_transfer.py`). */
+class CypherlOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parseNodeLines extracts mg_id, stripped labels, study_id") {
+    val lines = Seq(
+      "CREATE (:__mg_vertex__:`study` {__mg_id__: 7, `study_id`: \"phs1\", `x`: \"y\"});",
+      "  CREATE (:__mg_vertex__:`participant`:`sample` {__mg_id__: 9, `name`: \"n\"});",
+      "CREATE (:__mg_vertex__ {`no_id`: \"z\"});", // no mg_id -> dropped
+      "CREATE INDEX ON :`study`(`id`);",
+      "MATCH (u) REMOVE u.__mg_id__;").toDF("line")
+    val out = CypherlOps.parseNodeLines(lines).orderBy("mg_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    out shouldBe Seq(
+      (7L, "__mg_vertex__;study", "phs1"),
+      (9L, "__mg_vertex__;participant;sample", null))
+  }
+
+  test("parseRelLines extracts endpoints and type, defaults unknown") {
+    val lines = Seq(
+      "MATCH (u:__mg_vertex__), (v:__mg_vertex__) WHERE u.__mg_id__ = 1 AND v.__mg_id__ = 2 CREATE (u)-[:`of_study`]->(v);",
+      "MATCH (u:__mg_vertex__), (v:__mg_vertex__) WHERE u.__mg_id__ = 3 AND v.__mg_id__ = 4 CREATE (u)-[]->(v);",
+      "CREATE (:__mg_vertex__ {__mg_id__: 5});").toDF("line")
+    val out = CypherlOps.parseRelLines(lines).orderBy("u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    out shouldBe Seq((1L, 2L, "of_study"), (3L, 4L, "unknown"))
+  }
+
+  test("promotionFilter attributes components, drops orphans, logs studies") {
+    val nodes = Seq(
+      (1L, "__mg_vertex__;study", "phsA"),     // qualifying
+      (2L, "__mg_vertex__;study", "phsB"),     // excluded (odd marker)
+      (3L, "__mg_vertex__;study", "phsC"),     // qualifying, same component as phsA
+      (10L, "__mg_vertex__;participant", null.asInstanceOf[String]),
+      (11L, "__mg_vertex__;participant", null.asInstanceOf[String]), // under phsB
+      (12L, "__mg_vertex__;sample", null.asInstanceOf[String]),
+      (99L, "__mg_vertex__;orphan", null.asInstanceOf[String]))
+      .toDF("mg_id", "labels", "study_id")
+    val rels = Seq(
+      (10L, 1L, "of_study"), (12L, 10L, "of_participant"),
+      (3L, 1L, "related_to"), // two qualifying studies, one component
+      (11L, 2L, "of_study"))
+      .toDF("u", "v", "rel_type")
+    val out = CypherlOps.promotionFilter(nodes, rels, "study",
+        col("study_id").isin("phsA", "phsC"))
+      .orderBy("kind", "study", "name")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    out shouldBe Seq(
+      // min(study_id)=phsA owns the shared component; phsB's tree drops
+      ("node", "phsA", "participant", 1L),
+      ("node", "phsA", "sample", 1L),
+      ("node", "phsA", "study", 2L),  // both study nodes counted
+      ("rel", "phsA", "of_participant", 1L),
+      ("rel", "phsA", "of_study", 1L),
+      ("rel", "phsA", "related_to", 1L),
+      ("study", "phsA", "included", 1L),
+      ("study", "phsB", "excluded", 2L),
+      ("study", "phsC", "included", 3L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GdcSubmitOps
+import graft.pipeline.IgmStage
+
+/** GDC import triage / upload matcher (`workflows/gdc_import.py`,
+  * `workflows/gdc_file_upload.py`) and the IGM DCC post-process
+  * (`src/cog_igm_mapping_dcc.py`).
+  */
+class GdcSubmitOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("importTriage: new / value-diff update / missing-prop update / skip") {
+    val sub = Seq(
+      ("n1", "p0", "a"),                  // absent from GDC -> new
+      ("u1", "p0", "a"), ("u1", "p1", "b"), // p1 differs -> update
+      ("u2", "p0", "a"), ("u2", "p1", "b"), // p1 missing on GDC -> update
+      ("s1", "p0", "a"), ("s1", "p1", "b")) // identical -> skip
+      .toDF("submitter_id", "prop", "value")
+    val gdcIds = Seq("u1", "u2", "s1").toDF("submitter_id")
+    val gdc = Seq(
+      ("u1", "p0", "a"), ("u1", "p1", "DIFF"),
+      ("u2", "p0", "a"),
+      ("s1", "p0", "a"), ("s1", "p1", "b"),
+      ("s1", "gdc_only_prop", "zzz")) // extra GDC prop never triggers update
+      .toDF("submitter_id", "prop", "value")
+    val out = GdcSubmitOps.importTriage(sub, gdcIds, gdc).orderBy("submitter_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    out shouldBe Seq(("n1", "new"), ("s1", "skip"), ("u1", "update"),
+      ("u2", "update"))
+  }
+
+  test("uploadMatch: not-found / already-uploaded / ready statuses + column order") {
+    val manifest = Seq(
+      ("sA", "f1", "h1", 10L, "s3://b/f1"),
+      ("sB", "f2", "h2", 20L, "s3://b/f2"),
+      ("sC", "f3", "h3", 30L, "s3://b/f3"),
+      ("sD", "f2", "h2", 99L, "s3://b/f2x")) // size mismatch -> no match
+      .toDF("submitter_id", "file_name", "md5sum", "file_size", "file_url")
+    val entities = Seq(
+      ("h1", "f1", 10L, "id1", "validated", "ok"),
+      ("h2", "f2", 20L, "id2", "submitted", "ok"))
+      .toDF("md5sum", "file_name", "file_size", "id", "file_state", "state")
+    val out = GdcSubmitOps.uploadMatch(manifest, entities)
+    out.columns.toSeq shouldBe Seq("id", "submitter_id", "file_name", "md5sum",
+      "file_size", "file_state", "state", "file_url", "status")
+    out.orderBy("submitter_id").collect().map(r =>
+      (r.getString(1), r.getString(0), r.getString(8))).toSeq shouldBe Seq(
+      ("sA", "id1", "already uploaded, skip"),
+      ("sB", "id2", ""),
+      ("sC", null, "metadata not found, skip"),
+      ("sD", null, "metadata not found, skip"))
+  }
+
+  test("dccSetCollapse unions ;-sets sorted, scalars by first non-null") {
+    val chemo = Seq(
+      ("T1", null.asInstanceOf[String], "B;A"),
+      ("T1", "d1", "A;;C"),
+      ("T2", "d2", "")) // empty set -> empty string
+      .toDF("treatment_chemotherapy_id", "dose", "chemotherapy_agent")
+    val out = IgmStage.dccSetCollapse(chemo, "treatment_chemotherapy_id",
+        "chemotherapy_agent")
+      .orderBy("treatment_chemotherapy_id")
+    out.columns.toSeq shouldBe Seq("treatment_chemotherapy_id", "dose",
+      "chemotherapy_agent")
+    out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq shouldBe Seq(("T1", "d1", "A;B;C"), ("T2", "d2", ""))
+  }
+
+  test("dccDiagnosisFix and dccDropValue are null-safe") {
+    val diag = Seq(
+      "Neoplasm, uncertain whether benign or malignant#Neoplasm, NOS",
+      "Other", null.asInstanceOf[String]).toDF("submitted_diagnosis")
+    IgmStage.dccDiagnosisFix(diag).collect().map(_.getString(0)).toSeq shouldBe
+      Seq("Neoplasm, NOS", "Other", null)
+    val resp = Seq("Complete Response", "Not Reported", null.asInstanceOf[String])
+      .toDF("response")
+    IgmStage.dccDropValue(resp, "response", "Not Reported")
+      .collect().map(_.getString(0)).toSeq shouldBe
+      Seq("Complete Response", null)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SubmissionBuilder
+
+/** The submission-template builder (`src/create_submission.py`):
+  * dictionary sheet derivations, terms sheet blocks, header order.
+  */
+class SubmissionBuilderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def propsDf = Seq(
+    // node, node_ord, prop, prop_ord, desc, vd, item, strict, req, key, cde, cdev, enums
+    ("b", 1, "p_enum4", 1, "d1", "value_set", null.asInstanceOf[String], true, true,
+      "true", "123", "2", "A;B;C;D"),
+    ("b", 1, "p_enum6", 2, "d2", "value_set", null.asInstanceOf[String], false, false,
+      null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String],
+      "A;B;C;D;E;F"),
+    ("a", 0, "p_list", 1, "d3", "list", "value_set", true, false,
+      null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String],
+      "X;Y"),
+    ("a", 0, "p_num", 2, "d4", "number", null.asInstanceOf[String], false, true,
+      null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String],
+      null.asInstanceOf[String]))
+    .toDF("node", "node_ord", "prop", "prop_ord", "description", "value_domain",
+      "item_domain", "strict", "required", "is_key", "cde", "cde_version", "enums")
+
+  test("dictionarySheet derives type, example cap, required-node, preferred rank") {
+    val out = SubmissionBuilder.dictionarySheet(propsDf, Seq("b"))
+      .orderBy(col("node_rank"), col("prop_ord"))
+      .select("Property", "Type", "Example value", "Required", "node_rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSeq
+    out shouldBe Seq(
+      ("p_enum4", "enum", "A;B;C;D", "b", 0),            // preferred node first
+      ("p_enum6", "string;enum",
+        "A;B;C;D;etc (see Terms and Values Sets)", null, 0),
+      ("p_list", "array[enum]", "X;Y", null, 1),         // 1 (=len) + node_ord 0
+      ("p_num", "number", "", "a", 1))
+  }
+
+  test("termsSheet keeps first-seen prop, sorts blocks, appends separators") {
+    val props = Seq(
+      (5, "zz", "T1;T2"),  // later node_ord: superseded for shared name
+      (1, "zz", "T3;T4"),
+      (2, "aa", "T1"),
+      (3, "plain", null.asInstanceOf[String]))
+      .toDF("node_ord", "prop", "enums")
+    val defs = Seq(("T1", "def one"), ("T3", "def three")).toDF("term", "definition")
+    val out = SubmissionBuilder.termsSheet(props, defs)
+      .orderBy(col("vs_key"), col("row_ord"))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq
+    out shouldBe Seq(
+      ("aa", "T1", "def one"),
+      (null, null, null),
+      ("zz", "T3", "def three"),  // node_ord 1 wins over 5
+      ("zz", "T4", null),
+      (null, null, null))
+  }
+
+  test("templateHeaders orders type, linking, props, id, parent index") {
+    val props = Seq(
+      ("sample", "sample_id", -1), ("sample", "tumor", 10),
+      ("sample", "crdc_id", 5), ("sample", "anatomic", 20),
+      ("sample", "id", 1000),
+      ("study", "study_id", -1), ("study", "name", 1), ("study", "id", 1000))
+      .toDF("node", "prop", "prop_ord")
+    val edges = Seq(("sample", "participant", 1), ("sample", "pdx", 2))
+      .toDF("src", "dst", "parent_ord")
+    val out = SubmissionBuilder.templateHeaders(props, edges)
+      .orderBy(col("node"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    out shouldBe Seq(
+      ("sample", 1, "type"),
+      ("sample", 2, "participant.participant_id"),
+      ("sample", 3, "pdx.pdx_id"),
+      ("sample", 4, "sample_id"),   // node id first
+      ("sample", 5, "tumor"),
+      ("sample", 6, "anatomic"),
+      ("sample", 7, "crdc_id"),     // crdc last
+      ("sample", 8, "id"),
+      ("sample", 9, "participant.id"),
+      ("sample", 10, "pdx.id"),
+      ("study", 1, "type"),          // no parents
+      ("study", 2, "study_id"),
+      ("study", 3, "name"),
+      ("study", 4, "id"))
+  }
+}
