@@ -227,27 +227,37 @@ object DedupOps {
       .map(n => endpoints.union(n.select(n.columns.head).toDF("id")))
       .getOrElse(endpoints)
       .distinct()
-    var labels = seed.withColumn("lbl", col("id")).localCheckpoint(true)
+    var checkpointed = seed.withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels = checkpointed
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("__src") === labels("id"))
-        .select(col("__dst").as("id"), col("lbl"))
-      // shortcut: follow my label to ITS label (pointer doubling)
-      val hop = labels.alias("a")
-        .join(labels.alias("b"), col("a.lbl") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
-      val next = labels.select("id", "lbl")
+        .select(col("__dst").as("id"), col("lbl"), lit(false).as("__own"))
+      // shortcut: follow my label to ITS label (pointer doubling).
+      // In round 1 labels are the identity map, so the hop join would
+      // only re-derive (id, id) — skip the shuffle entirely.
+      val hop =
+        if (iter == 0) labels.limit(0)
+          .select(col("id"), col("lbl"), lit(false).as("__own"))
+        else labels.alias("a")
+          .join(labels.alias("b"), col("a.lbl") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.lbl").as("lbl"),
+            lit(false).as("__own"))
+      // the node's own previous label rides along tagged __own, so the
+      // same min-aggregate yields both the new label and the old one —
+      // the convergence probe is then a scan of the checkpointed frame
+      // instead of a join job per round
+      val next = labels.select(col("id"), col("lbl"), lit(true).as("__own"))
         .union(neighborMin).union(hop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .groupBy("id").agg(min("lbl").as("lbl"),
+          min(when(col("__own"), col("lbl"))).as("__old"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).isEmpty
-      labels.unpersist() // superseded checkpoint — keep storage O(1)
-      labels = next
+      converged = next.filter(col("lbl") =!= col("__old")).limit(1).isEmpty
+      checkpointed.unpersist() // superseded checkpoint — storage stays O(1)
+      checkpointed = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     sym.unpersist()
