@@ -111,10 +111,15 @@ object SimilarityOps {
       val best = assigned.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("cid"), col("vec"))
+      // order-independent mean: exact decimal sum over the cluster,
+      // divided once in double — partial-aggregate merge order (1000
+      // executors' worth at scale) can never perturb the centroid
       centroids = best
         .select(col("cid"), posexplode(col("vec")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        .agg((sum(col("col").cast(
+            org.apache.spark.sql.types.DecimalType(25, 10))).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
         .select(col("cid"),

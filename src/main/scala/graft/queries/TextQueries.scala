@@ -407,6 +407,52 @@ object TextQueries {
         .orderBy(col("id1"))
     },
 
+    // IVF with TRAINED centroids: two spherical-Lloyd rounds from the
+    // first-4 seed (the oracle unrolls both rounds), then top-1 within
+    // the trained cell. Means are exact decimal sums divided once in
+    // double, so the centroid floats are bit-identical regardless of
+    // partial-aggregate merge order — the scale path graded, not just
+    // spec-tested.
+    Q("q126_ann_ivf_trained", {
+      def assign(cent: String, out: String): String =
+        s"""$out AS (
+           |  SELECT e.vec_id, e.embedding, c.cid
+           |  FROM embeddings e CROSS JOIN $cent c
+           |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid) = 1)"""
+          .stripMargin
+      def recompute(assigned: String, mOut: String, cOut: String): String =
+        s"""$mOut AS (
+           |  SELECT cid, pos,
+           |    CAST(CAST(SUM(CAST(embedding[pos] AS DECIMAL(25,10))) AS DOUBLE)
+           |      / COUNT(*) AS FLOAT) AS m
+           |  FROM $assigned CROSS JOIN generate_series(1, 64) t(pos)
+           |  GROUP BY cid, pos),
+           |$cOut AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM $mOut
+           |  GROUP BY cid)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id + 1 AS BIGINT) AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 4),
+         |${assign("c0", "a1")},
+         |${recompute("a1", "m1", "c1")},
+         |${assign("c1", "a2")},
+         |${recompute("a2", "m2", "c2")},
+         |${assign("c2", "assigned")}
+         |SELECT l.vec_id AS id1, r.vec_id AS nearest_id,
+         |  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id <> r.vec_id
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l.vec_id
+         |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val trained = SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding", trained)
+        .orderBy(col("id1"))
+    },
+
     // ANN over seeded random-hyperplane buckets with corpus-adaptive
     // bit width: top-1 cosine neighbor within the bucket. The oracle
     // reproduces the seeded projection term for term.
