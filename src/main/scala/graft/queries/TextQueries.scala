@@ -407,12 +407,13 @@ object TextQueries {
         .orderBy(col("id1"))
     },
 
-    // IVF with TRAINED centroids: two spherical-Lloyd rounds from the
-    // first-4 seed (the oracle unrolls both rounds), then top-1 within
-    // the trained cell. Means are exact decimal sums divided once in
-    // double, so the centroid floats are bit-identical regardless of
-    // partial-aggregate merge order — the scale path graded, not just
-    // spec-tested.
+    // IVF with TRAINED centroids at the production sizing rule
+    // (k = ceil(sqrt(n)), cells ~sqrt(n) rows): two spherical-Lloyd
+    // rounds from the first-k seed (the oracle unrolls both rounds),
+    // then top-1 within the trained cell. Means are exact decimal sums
+    // divided once in double, so the centroid floats are bit-identical
+    // regardless of partial-aggregate merge order — the scale path
+    // graded, not just spec-tested.
     Q("q126_ann_ivf_trained", {
       def assign(cent: String, out: String): String =
         s"""$out AS (
@@ -430,9 +431,11 @@ object TextQueries {
            |  GROUP BY cid, pos),
            |$cOut AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM $mOut
            |  GROUP BY cid)""".stripMargin
-      s"""WITH c0 AS (
+      s"""WITH ks AS (
+         |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+         |c0 AS (
          |  SELECT CAST(vec_id + 1 AS BIGINT) AS cid, embedding AS cvec
-         |  FROM embeddings WHERE vec_id < 4),
+         |  FROM embeddings, ks WHERE vec_id < k),
          |${assign("c0", "a1")},
          |${recompute("a1", "m1", "c1")},
          |${assign("c1", "a2")},
@@ -447,8 +450,11 @@ object TextQueries {
          |ORDER BY id1""".stripMargin
     }) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      // the production sizing rule: centroid count grows with sqrt(n),
+      // keeping cells (and the in-cell join) at ~sqrt(n) rows each
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
       val trained = SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
-        k = 4, iters = 2)
+        k = k, iters = 2)
       SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding", trained)
         .orderBy(col("id1"))
     },
