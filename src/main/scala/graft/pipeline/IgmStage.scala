@@ -138,7 +138,9 @@ object IgmStage {
         flatten(collect_list(split(coalesce(rawCol(setCol), lit("")), ";"))),
         x => x =!= ""))), ";").as(setCol)
     val aggs = others.map(c => first(rawCol(c), ignoreNulls = true).as(c)) :+ setAgg
-    df.groupBy(rawCol(keyCol))
+    // pandas groupby drops null group keys (dropna=True default) — match it
+    df.filter(rawCol(keyCol).isNotNull)
+      .groupBy(rawCol(keyCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(df.columns.toSeq.map(rawCol): _*)
   }

@@ -341,8 +341,8 @@ object TextQueries {
     },
 
     // IVF-style ANN: coarse-quantize to the most-similar of 8 fixed
-    // centroids (vectors 0-7 — a trained k-means would plug in the
-    // same way), then top-1 within the cell.
+    // centroids (vectors 0-7) — the minimal oracle-portable config;
+    // q126 grades the production path (trained centroids at k=√n).
     Q("q62_ann_ivf_neighbor", {
       val simToC = cosineSql("e.embedding", "c.embedding")
       s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),

@@ -64,4 +64,22 @@ class CypherlOpsSpec extends SparkSpecBase {
       ("study", "phsB", "excluded", 2L),
       ("study", "phsC", "included", 3L))
   }
+
+  test("promotionFilter: no relationships -> singleton studies only, unknown id fallback") {
+    val nodes = Seq(
+      (1L, "__mg_vertex__;study", "phsA"),
+      (2L, "__mg_vertex__;study", null.asInstanceOf[String]), // no study_id
+      (10L, "__mg_vertex__;participant", null.asInstanceOf[String]))
+      .toDF("mg_id", "labels", "study_id")
+    val rels = Seq.empty[(Long, Long, String)].toDF("u", "v", "rel_type")
+    val out = CypherlOps.promotionFilter(nodes, rels, "study",
+        col("study_id") === "phsA")
+      .orderBy("kind", "study", "name")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    out shouldBe Seq(
+      ("node", "phsA", "study", 1L),  // its own singleton component
+      ("study", "phsA", "included", 1L),
+      ("study", "unknown_mg_id_2", "excluded", 2L))
+  }
 }

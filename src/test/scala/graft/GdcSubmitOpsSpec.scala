@@ -58,7 +58,8 @@ class GdcSubmitOpsSpec extends SparkSpecBase {
     val chemo = Seq(
       ("T1", null.asInstanceOf[String], "B;A"),
       ("T1", "d1", "A;;C"),
-      ("T2", "d2", "")) // empty set -> empty string
+      ("T2", "d2", ""), // empty set -> empty string
+      (null.asInstanceOf[String], "dX", "Z")) // null key drops (pandas groupby)
       .toDF("treatment_chemotherapy_id", "dose", "chemotherapy_agent")
     val out = IgmStage.dccSetCollapse(chemo, "treatment_chemotherapy_id",
         "chemotherapy_agent")
