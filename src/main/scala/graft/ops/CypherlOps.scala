@@ -94,9 +94,16 @@ object CypherlOps {
       rels.select(col("u").as("id1"), col("v").as("id2")),
       nodes = Some(nodes.select(col("mg_id"))))
     // component -> min qualifying study id reaching it; components
-    // with no qualifying study drop out (nothing to attribute)
+    // with no qualifying study drop out (nothing to attribute). A
+    // qualifying study node missing its study_id falls back to
+    // unknown_mg_id_<mg_id> (same fallback the study log uses —
+    // mg_id_to_study_id in the reference) so attribution never goes
+    // null and min() never silently skips the row.
     val attribution = cc
-      .join(qualifying.select(col("mg_id").as("id"), col("study_id")), Seq("id"))
+      .join(qualifying.select(col("mg_id").as("id"),
+        coalesce(col("study_id"),
+          concat(lit("unknown_mg_id_"), col("mg_id").cast("string")))
+          .as("study_id")), Seq("id"))
       .groupBy(col("cluster_id")).agg(min(col("study_id")).as("study"))
     val closure = cc.join(broadcast(attribution), Seq("cluster_id"))
       .select(col("id").as("mg_id"), col("study"))

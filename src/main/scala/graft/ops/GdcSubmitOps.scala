@@ -42,7 +42,7 @@ object GdcSubmitOps {
       .join(gdcIds.select(col("submitter_id")), Seq("submitter_id"), "left_semi")
       .join(gdcVals, Seq("submitter_id", "prop"), "left")
       .withColumn("__diff",
-        col("__gdc_value").isNull || col("value") =!= col("__gdc_value"))
+        col("__gdc_value").isNull || !(col("value") <=> col("__gdc_value")))
       .groupBy(col("submitter_id"))
       .agg(max(col("__diff")).as("__any_diff"))
       .select(col("submitter_id"),

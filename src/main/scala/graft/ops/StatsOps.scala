@@ -181,10 +181,20 @@ object StatsOps {
         "sequencing_file_library_strategy", "study_personnel_PI",
         "study_personnel_institution", "study_bucket"),
       tbMarker: String = "file_size(Tb)",
-      existMarker: String = "data_exist"): DataFrame = {
+      existMarker: String = "data_exist",
+      columnNames: Seq[String] = Nil): DataFrame = {
     val deduped = long.dropDuplicates()
-    val wide = deduped.groupBy(col("study_id"))
-      .pivot("column_name").agg(max(col("value")))
+    // Callers know the stat-column vocabulary (it's the fixed set of
+    // pulls they union together); passing it skips the driver-side
+    // distinct job an unvalued pivot() runs. Sorted to match the
+    // unvalued pivot's alphabetical column order.
+    val wide =
+      if (columnNames.nonEmpty)
+        deduped.groupBy(col("study_id"))
+          .pivot("column_name", columnNames.distinct.sorted)
+          .agg(max(col("value")))
+      else deduped.groupBy(col("study_id"))
+        .pivot("column_name").agg(max(col("value")))
     val converted = wide.select(wide.columns.map { c =>
       val q = col("`" + c + "`")
       if (c.contains(tbMarker))

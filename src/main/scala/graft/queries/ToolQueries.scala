@@ -483,7 +483,9 @@ object ToolQueries {
           when(col("o_orderkey") % 4 % 2 === 0, "Yes").otherwise("No")),
         longRow("zmetric", col("o_orderkey") % 4 * 3)
       ).reduce(_.union(_))
-      StatsOps.studyStatsWide(long).orderBy(col("study_id"))
+      StatsOps.studyStatsWide(long, columnNames = Seq("study_name",
+        "participant_node_count", "study_level_file_size(Tb)",
+        "data_exist_radiology", "zmetric")).orderBy(col("study_id"))
     },
 
     // The data-catalog stats (data_catalog_stats.py:65-187): the
