@@ -6,11 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (beyond-reference, north-star mandated):
   * image/audio/video as opaque `binary` columns plus a typed metadata
-  * struct. The Spark-side machinery — schema, batch iteration via
-  * mapPartitions, partition sizing — is real; the codec itself is a
-  * clearly-marked deterministic STUB (no image/audio libraries in this
-  * container). At scale the decode is a map-side-only pass: binary
-  * payloads never shuffle; only extracted features do.
+  * struct. The image codec is REAL — `javax.imageio` PNG/JPEG decode
+  * and a `java.awt.image` rescale, both in the JDK (zero new jars).
+  * At scale decode/resize are map-side-only passes: binary payloads
+  * never shuffle; only extracted features do (q53 projects the payload
+  * away before its sort). Non-image payloads (audio/video containers
+  * ImageIO can't parse) keep byte-level features and null image stats.
   */
 object MultimodalOps {
 
@@ -26,69 +27,156 @@ object MultimodalOps {
       StructField("duration_ms", LongType, nullable = true)
     )), nullable = true)))
 
-  /** STUB decode: deterministic fake features derived from the payload
-    * bytes (length, first/last byte, md5). Replace the body with a real
-    * codec (e.g. javax.imageio / ffmpeg bindings) in production — the
-    * signature, schema and partition flow stay identical.
+  // ImageIO's default scratch-file cache writes every decode to disk;
+  // executors want pure in-memory streams. Idempotent static toggle,
+  // executed once per JVM on first codec use.
+  private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** In-memory PNG encode of a TYPE_INT_RGB image. */
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    noDiskCache
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** In-memory decode; None when the bytes are not a supported image
+    * (ImageIO returns null on unrecognized magic, throws on truncated
+    * streams — both map to None).
+    */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    noDiskCache
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+  }
+
+  /** Real decode: byte-level features (length, md5 content address) for
+    * every payload, plus image stats — width, height, per-channel pixel
+    * sums (exact longs, merge-order-free) — when the payload decodes as
+    * PNG/JPEG/GIF/BMP via `javax.imageio`. Map-side only; payloads
+    * never shuffle.
     */
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("n_bytes", LongType, nullable = true),
       StructField("content_hash", StringType, nullable = true),
-      StructField("feature_v0", DoubleType, nullable = true)))
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
     val idx = df.schema.fieldIndex("payload")
     val rdd = df.rdd.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
-        if (payload == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        if (payload == null)
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
         else {
           md.reset()
           val hash = md.digest(payload).map(b => f"$b%02x").mkString
-          // STUB feature: byte-mean in [0,1) — stands in for a real
-          // embedding/decoder output.
-          val mean = if (payload.isEmpty) 0.0
-            else payload.map(b => (b & 0xff).toDouble).sum / (payload.length * 256.0)
-          Row.fromSeq(r.toSeq ++ Seq(payload.length.toLong, hash, mean))
+          // explicit boxing: a bare Seq(w, h, sr, ...) weak-lubs the
+          // Int dims up to Long and the row no longer matches IntegerType
+          val imgStats: Seq[Any] = decodeImage(payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Seq(Int.box(w), Int.box(h), Long.box(sr), Long.box(sg), Long.box(sb))
+            case None => Seq(null, null, null, null, null)
+          }
+          Row.fromSeq(r.toSeq ++ (Seq(payload.length.toLong, hash) ++ imgStats))
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize: emits a deterministic derived payload (here a
-    * truncation-to-quarter stand-in for a real scaler) and rewrites the
-    * metadata dims — the partition flow (map-side only, payloads never
-    * shuffle) and schema contract are what production inherits; swap
-    * the body for a javax.imageio / ffmpeg call.
+  /** Real resize: decode, scale to fit (maxW, maxH) preserving aspect
+    * ratio (bilinear `java.awt.Graphics2D` redraw), re-encode PNG, and
+    * rewrite the metadata dims from the ACTUAL decoded/resized image.
+    * Payloads that already fit, or that are not images, pass through
+    * untouched. Map-side only.
     */
-  def resizeStub(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val outSchema = df.schema
     val pIdx = df.schema.fieldIndex("payload")
     val mIdx = df.schema.fieldIndex("meta")
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.get(pIdx).asInstanceOf[Array[Byte]]
-        val meta = r.get(mIdx).asInstanceOf[Row]
-        if (payload == null || meta == null) r
-        else {
-          val w = Option(meta.get(1)).map(_.asInstanceOf[Int]).getOrElse(0)
-          val h = Option(meta.get(2)).map(_.asInstanceOf[Int]).getOrElse(0)
-          if (w <= maxW && h <= maxH) r
-          else {
-            val scale = math.min(maxW.toDouble / math.max(w, 1),
-              maxH.toDouble / math.max(h, 1))
-            val newMeta = Row(meta.get(0),
-              math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
-              meta.get(3))
-            val newPayload = payload.take(math.max(1, payload.length / 4))
-            Row.fromSeq(r.toSeq.updated(pIdx, newPayload).updated(mIdx, newMeta))
-          }
+        if (payload == null) r
+        else decodeImage(payload) match {
+          case None => r
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            if (w <= maxW && h <= maxH) r
+            else {
+              val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+              val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val meta = r.get(mIdx).asInstanceOf[Row]
+              val newMeta =
+                if (meta == null) Row("image/png", nw, nh, null)
+                else Row(meta.get(0), nw, nh, meta.get(3))
+              Row.fromSeq(r.toSeq.updated(pIdx, encodePng(out)).updated(mIdx, newMeta))
+            }
         }
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic PNG: pixel (x,y) of image `id` carries
+    * (r,g,b) = ((7x+13y+id)%256, (3x+5y+2id)%256, (11x+2y+3id)%256) —
+    * integer arithmetic a SQL oracle can replay closed-form, carried
+    * through a REAL (lossless) PNG encode.
+    */
+  def synthGradientPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7L * x + 13L * y + id) % 256).toInt
+        val g = ((3L * x + 5L * y + 2 * id) % 256).toInt
+        val b = ((11L * x + 2L * y + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic solid-fill PNG (any correct scaler preserves a
+    * constant image exactly — the resize oracle's lever).
+    */
+  def synthSolidPng(r: Int, g: Int, b: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h) }
+    finally gr.dispose()
+    encodePng(img)
   }
 
   /** Frame-sampling plan for video payloads: deterministic sample
@@ -129,12 +217,60 @@ object MultimodalOps {
         sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)))
         .otherwise(array().cast("array<bigint>")))
 
-  /** Synthesize a small deterministic media table for tests/demo. */
+  private def rowId(r: Row, idx: Int): Long = r.get(idx) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case x => x.toString.toLong
+  }
+
+  /** Distributed real-PNG fixture: one gradient image per id, dims
+    * (8 + id%9, 8 + 3id%9) — every pixel closed-form in (id,x,y) so a
+    * SQL oracle can replay the decoded channel sums. Encode runs
+    * map-side in mapPartitions; nothing shuffles.
+    */
+  def synthGradientTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val idx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = rowId(r, idx)
+      val (w, h) = ((8 + id % 9).toInt, (8 + (3 * id) % 9).toInt)
+      Row(id, "image", synthGradientPng(id, w, h), Row("image/png", w, h, null))
+    })
+    ids.sparkSession.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Distributed real-PNG fixture: one solid-fill image per id, dims
+    * (32 + id%7*16, 24 + id%5*20), fill (37id, 59id, 83id) % 256 —
+    * constant fills survive any correct rescale exactly, which is what
+    * the resize oracle checks.
+    */
+  def synthSolidTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val idx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = rowId(r, idx)
+      val (w, h) = ((32 + (id % 7) * 16).toInt, (24 + (id % 5) * 20).toInt)
+      val png = synthSolidPng(((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+        ((id * 83) % 256).toInt, w, h)
+      Row(id, "image", png, Row("image/png", w, h, null))
+    })
+    ids.sparkSession.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Synthesize a small deterministic media table for tests/demo.
+    * Image rows carry REAL PNG payloads (decoded by the real codec in
+    * extractFeatures); audio/video rows carry opaque non-image bytes,
+    * exercising the not-an-image fall-through.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
-      val payload = Array.tabulate[Byte](16 + i)(j => ((i * 31 + j) % 251).toByte)
-      Row(i.toLong, Seq("image", "audio", "video")(i % 3), payload,
-        Row(s"application/x-fake", 64 + i, 64, (1000L * (i + 1))))
+      val modality = Seq("image", "audio", "video")(i % 3)
+      val (payload, mime, w, h) =
+        if (modality == "image") {
+          val (iw, ih) = (8 + i % 5, 8 + i % 7)
+          (synthGradientPng(i.toLong, iw, ih), "image/png", iw, ih)
+        } else
+          (Array.tabulate[Byte](16 + i)(j => ((i * 31 + j) % 251).toByte),
+            "application/x-fake", 64 + i, 64)
+      Row(i.toLong, modality, payload, Row(mime, w, h, (1000L * (i + 1))))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, n / 8)), mediaSchema)

@@ -17,21 +17,64 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Binary payload feature extraction via mapPartitions (the
-    // multimodal decode path; md5 of the payload bytes is the
-    // content-address). feature_v0 (the stub decode output) is
-    // unit-tested, not oracled — DuckDB has no byte-fold.
+    // REAL image decode (javax.imageio): per-doc gradient PNGs are
+    // synthesized map-side, decoded by the real codec, and graded on
+    // the decoded dimensions + exact per-channel pixel sums — the
+    // oracle replays the closed-form pixel arithmetic, never seeing
+    // the PNG bytes, so a wrong decode cannot pass. Payloads are
+    // projected away before the sort: binary never shuffles.
     Q("q53_media_features",
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS content_hash
-        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val media = t(s, dir, "documents").select(
-        col("doc_id").as("media_id"),
-        lit("text").as("modality"),
-        encode(col("text"), "UTF-8").as("payload"))
-      MultimodalOps.extractFeatures(media)
-        .select(col("media_id"), col("n_bytes"), col("content_hash"))
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |    CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (SELECT d.media_id, d.width, d.height,
+        |    (x.range * 7 + y.range * 13 + d.media_id) % 256 AS r,
+        |    (x.range * 3 + y.range * 5 + 2 * d.media_id) % 256 AS g,
+        |    (x.range * 11 + y.range * 2 + 3 * d.media_id) % 256 AS b
+        |  FROM d, range(16) x, range(16) y
+        |  WHERE x.range < d.width AND y.range < d.height)
+        |SELECT media_id, width, height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      MultimodalOps.extractFeatures(MultimodalOps.synthGradientTable(ids))
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("media_id"))
+    },
+
+    // REAL image resize (java.awt bilinear redraw + PNG re-encode):
+    // solid-fill PNGs sized so some fit the 64x64 box and some don't;
+    // the graded output is the re-DECODED post-resize dimensions and
+    // fill color (a constant image survives any correct rescale
+    // exactly). The oracle replays the aspect-fit arithmetic.
+    Q("q127_media_resize",
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CAST(32 + (doc_id % 7) * 16 AS INTEGER) AS w0,
+        |    CAST(24 + (doc_id % 5) * 20 AS INTEGER) AS h0
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(CASE WHEN w0 <= 64 AND h0 <= 64 THEN w0
+        |       ELSE GREATEST(1, CAST(FLOOR(w0 * LEAST(64.0 / w0, 64.0 / h0))
+        |                           AS INTEGER)) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN w0 <= 64 AND h0 <= 64 THEN h0
+        |       ELSE GREATEST(1, CAST(FLOOR(h0 * LEAST(64.0 / w0, 64.0 / h0))
+        |                           AS INTEGER)) END AS INTEGER) AS height,
+        |  CAST((media_id * 37) % 256 AS INTEGER) AS r,
+        |  CAST((media_id * 59) % 256 AS INTEGER) AS g,
+        |  CAST((media_id * 83) % 256 AS INTEGER) AS b
+        |FROM d ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val resized = MultimodalOps.resizeImages(
+        MultimodalOps.synthSolidTable(ids), 64, 64)
+      MultimodalOps.extractFeatures(resized)
+        .select(col("media_id"), col("width"), col("height"),
+          (col("sum_r") / (col("width") * col("height"))).cast("int").as("r"),
+          (col("sum_g") / (col("width") * col("height"))).cast("int").as("g"),
+          (col("sum_b") / (col("width") * col("height"))).cast("int").as("b"))
         .orderBy(col("media_id"))
     },
 

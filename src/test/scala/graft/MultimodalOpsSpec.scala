@@ -6,19 +6,27 @@ import graft.ops.MultimodalOps
 
 class MultimodalOpsSpec extends SparkSpecBase {
 
-  test("extractFeatures appends deterministic stub features, null-safe") {
+  test("extractFeatures really decodes PNG payloads; non-images get null stats") {
     val media = MultimodalOps.syntheticMedia(spark, 6)
     val out = MultimodalOps.extractFeatures(media)
-    out.columns should contain allOf ("n_bytes", "content_hash", "feature_v0")
+    out.columns should contain allOf ("n_bytes", "content_hash", "width",
+      "height", "sum_r", "sum_g", "sum_b")
     out.count() shouldBe 6
-    val r = out.orderBy("media_id").head()
-    r.getAs[Long]("n_bytes") shouldBe 16L
-    r.getAs[String]("content_hash").length shouldBe 32
-    val f = r.getAs[Double]("feature_v0")
-    f should (be >= 0.0 and be < 1.0)
+    val byId = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // media 0: image, 8x8 gradient — replay the pixel arithmetic
+    val img0 = byId(0L)
+    img0.getAs[Int]("width") shouldBe 8
+    img0.getAs[Int]("height") shouldBe 8
+    val expSumR = (for { y <- 0 until 8; x <- 0 until 8 }
+      yield (7 * x + 13 * y) % 256).sum.toLong
+    img0.getAs[Long]("sum_r") shouldBe expSumR
+    img0.getAs[String]("content_hash").length shouldBe 32
+    // media 1: audio (not an image) — byte features only, null stats
+    byId(1L).isNullAt(byId(1L).fieldIndex("width")) shouldBe true
+    byId(1L).getAs[Long]("n_bytes") shouldBe 17L
     // determinism: same payload -> same hash
     val again = MultimodalOps.extractFeatures(media).orderBy("media_id").head()
-    again.getAs[String]("content_hash") shouldBe r.getAs[String]("content_hash")
+    again.getAs[String]("content_hash") shouldBe img0.getAs[String]("content_hash")
   }
 
   test("frameSampleOffsets spaces offsets every `everyMs` up to duration") {
@@ -30,16 +38,39 @@ class MultimodalOpsSpec extends SparkSpecBase {
     first shouldBe Seq(0L, 500L, 1000L) // duration 1000ms
   }
 
-  test("resizeStub caps dimensions, preserves schema, passes small media through") {
-    val media = MultimodalOps.syntheticMedia(spark, 40) // widths 64..103
-    val out = MultimodalOps.resizeStub(media, 80, 80)
+  test("resizeImages rescales oversized images for real and re-encodes PNG") {
+    import org.apache.spark.sql.Row
+    // ids 0..5: solid fills; dims 32..128 x 24..104, box 64x64
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 6).map(i => Row(i.toLong)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val media = MultimodalOps.synthSolidTable(ids)
+    val out = MultimodalOps.resizeImages(media, 64, 64)
     out.schema shouldBe media.schema
-    val dims = out.select("media_id", "meta.width", "meta.height")
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    dims.values.foreach { case (w, h) => w should be <= 80; h should be <= 80 }
-    // media 0 (64x64) untouched; media 39 (103x64) scaled
-    dims(0L) shouldBe ((64, 64))
-    dims(39L)._1 should be <= 80
+    val feats = MultimodalOps.extractFeatures(out).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0 until 6).foreach { i =>
+      val r = feats(i.toLong)
+      val (w0, h0) = (32 + (i % 7) * 16, 24 + (i % 5) * 20)
+      val (ew, eh) =
+        if (w0 <= 64 && h0 <= 64) (w0, h0)
+        else {
+          val s = math.min(64.0 / w0, 64.0 / h0)
+          (math.max(1, (w0 * s).toInt), math.max(1, (h0 * s).toInt))
+        }
+      r.getAs[Int]("width") shouldBe ew
+      r.getAs[Int]("height") shouldBe eh
+      // solid fill survives the rescale exactly
+      val n = ew.toLong * eh
+      r.getAs[Long]("sum_r") shouldBe (i * 37L % 256) * n
+      r.getAs[Long]("sum_g") shouldBe (i * 59L % 256) * n
+      r.getAs[Long]("sum_b") shouldBe (i * 83L % 256) * n
+    }
+    // meta dims rewritten from the actual resized image
+    val m5 = out.filter(col("media_id") === 5).select("meta.width").head().getInt(0)
+    m5 should be <= 64
   }
 
   test("media schema keeps payloads binary (opaque) with typed metadata") {
