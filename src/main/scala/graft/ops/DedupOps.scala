@@ -221,13 +221,13 @@ object DedupOps {
     val sym = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
       .union(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut(_, eager = true))
     val endpoints = sym.select(col("__src").as("id"))
     val seed = nodes
       .map(n => endpoints.union(n.select(n.columns.head).toDF("id")))
       .getOrElse(endpoints)
       .distinct()
-    var checkpointed = seed.withColumn("lbl", col("id")).localCheckpoint(true)
+    var checkpointed = Checkpoints.cut(seed.withColumn("lbl", col("id")), eager = true)
     var labels = checkpointed
     var converged = false
     var iter = 0
@@ -253,7 +253,7 @@ object DedupOps {
         .union(neighborMin).union(hop)
         .groupBy("id").agg(min("lbl").as("lbl"),
           min(when(col("__own"), col("lbl"))).as("__old"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut(_, eager = true))
       converged = next.filter(col("lbl") =!= col("__old")).limit(1).isEmpty
       checkpointed.unpersist() // superseded checkpoint — storage stays O(1)
       checkpointed = next

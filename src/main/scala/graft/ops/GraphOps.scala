@@ -55,7 +55,7 @@ object GraphOps {
     // remaining-count action is what materializes it — a separate
     // eager checkpoint job would double the job count for nothing.
     def checkpointAndCountRemaining(df: DataFrame): (DataFrame, Long) = {
-      val cp = df.localCheckpoint(false)
+      val cp = Checkpoints.cut(df, eager = false)
       (cp, cp.filter(!col("done")).count())
     }
     var (state, remaining) = checkpointAndCountRemaining(edges.select(
@@ -113,8 +113,13 @@ object GraphOps {
         (child, childKeys)
       }
       frontier = next.map(_._1).distinct
+      // a table reached twice (diamond DAG) accumulates a union — cut
+      // its lineage there (lazy: most DAGs are chains and never pay);
+      // reliable when a checkpoint dir is set, like the other walks
       doomed = next.foldLeft(doomed) { case (m, (t, keys)) =>
-        m.updated(t, m.get(t).map(_.unionByName(keys).distinct()).getOrElse(keys))
+        m.updated(t, m.get(t)
+          .map(d => Checkpoints.cut(d.unionByName(keys).distinct(), eager = false))
+          .getOrElse(keys))
       }
     }
     tables.map { case (name, df) =>
@@ -170,7 +175,7 @@ object GraphOps {
         .persist()
       if (next.isEmpty) { done = true; next.unpersist() }
       else {
-        val grown = closure.unionByName(next).localCheckpoint(true)
+        val grown = Checkpoints.cut(closure.unionByName(next), eager = true)
         if (frontier ne closure) frontier.unpersist()
         closure.unpersist() // superseded by `grown` — storage stays O(1)
         closure = grown
@@ -206,7 +211,7 @@ object GraphOps {
       .join(doomedIds, edges("parent_id") === doomedIds("entry_id"),
         "left_semi")
       .select(col("parent_id"), col("child_id")).distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut(_, eager = true))
     edges.unpersist()
     (kept, deleted, relations)
   }

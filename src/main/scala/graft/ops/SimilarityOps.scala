@@ -98,12 +98,12 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got ($k, $iters)")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true) // consumed every iteration
+      .transform(Checkpoints.cut(_, eager = true)) // consumed every iteration
     var centroids = vecs.orderBy(col("id")).limit(k)
       .select(
         row_number().over(Window.orderBy(col("id"))).cast("bigint").as("cid"),
         col("vec").as("cvec"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut(_, eager = true))
     (1 to iters).foreach { _ =>
       val assigned = vecs.crossJoin(broadcast(centroids))
         .withColumn("__sim", cosine(col("vec"), col("cvec")))
@@ -124,7 +124,7 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
         .select(col("cid"),
           transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
-        .localCheckpoint(true) // cut lineage per Lloyd round
+        .transform(Checkpoints.cut(_, eager = true)) // cut lineage per Lloyd round
     }
     centroids
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, GraphOps, SimilarityOps}
+
+/** The reliable-checkpoint mode (SURVEY §9): with a checkpoint dir set
+  * on the context, every iterative op cuts lineage through DFS-backed
+  * `checkpoint` instead of executor-local `localCheckpoint` — and the
+  * results are identical either way.
+  */
+class CheckpointsSpec extends SparkSpecBase {
+
+  private def fixtures() = {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("id1", "id2")
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", null), ("z", null))
+      .toDF("key", "parent")
+    val vecs = (0 until 12)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (i % 3 + d).toFloat)))
+      .toSeq.toDF("id", "vec")
+    (pairs, chain, vecs)
+  }
+
+  private def runAll() = {
+    val (pairs, chain, vecs) = fixtures()
+    (sortedRows(DedupOps.connectedComponents(pairs)),
+      sortedRows(GraphOps.resolveChain(chain)),
+      sortedRows(SimilarityOps.trainCentroids(vecs, "id", "vec", k = 3, iters = 2)
+        .select(col("cid"), col("cvec").cast("array<double>"))))
+  }
+
+  test("iterative ops: identical results with and without a reliable checkpoint dir") {
+    val sc = spark.sparkContext
+    sc.getCheckpointDir shouldBe None // precondition: default mode
+    val localMode = runAll()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    val reliableMode =
+      try runAll()
+      finally sc.setCheckpointDir(null) // restore executor-local mode
+
+    sc.getCheckpointDir shouldBe None
+    reliableMode shouldBe localMode
+
+    // the reliable path really engaged: round state landed under the dir
+    val wrote = java.nio.file.Files.walk(dir)
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    wrote should be > 0L
+    // best-effort scratch cleanup
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+}
