@@ -386,6 +386,35 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     },
 
+    // Skew-mitigated JOIN on a synthesized 90/10 hot-key fixture: 90%
+    // of lineitem rows collapse onto key 0 (the mega-study shape), the
+    // dim side is small and broadcast-exploded `salt` ways, so the hot
+    // key spreads over 8 reducers. Salting is result-invariant — the
+    // oracle is the plain join + group; the salt column must never
+    // leak into the result.
+    Q("q130_salted_skew_join",
+      """WITH fact AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+        |    ELSE l_orderkey % 100 END AS k, l_extendedprice FROM lineitem),
+        |dim AS (SELECT c_custkey AS k, 'D' || CAST(c_custkey AS VARCHAR) AS tag
+        |  FROM customer WHERE c_custkey < 100)
+        |SELECT f.k, d.tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fact f JOIN dim d ON f.k = d.k
+        |GROUP BY 1, 2 ORDER BY f.k""".stripMargin) { (s, dir) =>
+      val fact = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_extendedprice"))
+      val dim = t(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("k"),
+          concat(lit("D"), col("c_custkey").cast("string")).as("tag"))
+      SkewOps.saltedJoin(fact, dim, "k", salt = 8)
+        .groupBy(col("k"), col("tag"))
+        .agg(count(lit(1)).as("n"),
+          Num.sumMoney(col("l_extendedprice")).as("total"))
+        .orderBy(col("k"))
+    },
+
     // O2 — multi-key sort with explicit NULL placement (the engines
     // disagree by default: Spark sorts nulls first ASC, DuckDB last —
     // desc_nulls_last/asc_nulls_last make placement portable).

@@ -345,7 +345,9 @@ object TextQueries {
     // q126 grades the production path (trained centroids at k=√n).
     Q("q62_ann_ivf_neighbor", {
       val simToC = cosineSql("e.embedding", "c.embedding")
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
          |assigned AS (
          |  SELECT e.vec_id, e.embedding, c.cid
          |  FROM embeddings e CROSS JOIN cent c
@@ -359,8 +361,14 @@ object TextQueries {
          |  ORDER BY ${cosineSql("l.embedding", "r.embedding")} DESC, r.vec_id) = 1
          |ORDER BY id1""".stripMargin
     }) { (s, dir) =>
+      // √n-rule cell count (SimilarityOps.sqrtCentroidCount): cells
+      // stay ~√n wide, so in-cell search is O(n^1.5) total and the
+      // config keeps partitioning as the corpus scales (the fixed-8
+      // config it replaces under-partitioned at 10×). One count job at
+      // construct prices the rule.
       val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val centroids = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding", centroids)
         .orderBy(col("id1"))
