@@ -57,12 +57,19 @@ object ExportStages {
     * KeyError, degraded gracefully). The mapping is catalog-sized and
     * broadcast — one hash join per pointer column, no shuffles.
     */
-  def joinRy(manifest: Manifest, catalog: ModelCatalog): Manifest = {
+  def joinRy(manifest: Manifest, catalog: ModelCatalog,
+      mode: JoinRyMode = JoinRyMode.Base): Manifest = {
+    val idProp = mode.idProp
     val mapping = manifest.flatMap { case (node, df) =>
       catalog.keyOf(node) match {
-        case Some(k) if df.columns.contains("id") && df.columns.contains(k) =>
-          Some(df.select(col("id").as("__mid"),
-            CurationOps.rawCol(k).as("__mkey")))
+        case Some(k) if df.columns.contains(idProp) && df.columns.contains(k) =>
+          val pairs = df.select(CurationOps.rawCol(idProp).as("__mid"),
+            CurationOps.rawCol(k).as("__mkey"))
+          // the DCC mapping builder skips rows missing either side
+          // (build_guid_to_id_mapping's pd.notna guard)
+          Some(if (mode.multiDelim.isDefined)
+            pairs.filter(col("__mid").isNotNull && col("__mkey").isNotNull)
+          else pairs)
         case _ => None
       }
     }.reduceOption(_ unionByName _)
@@ -70,12 +77,12 @@ object ExportStages {
       val noStudy =
         if (df.columns.contains("study") && node != "study") df.drop("study")
         else df
-      val idCols = noStudy.columns.filter(c => c.endsWith(".id"))
+      val idCols = noStudy.columns.filter(c => c.endsWith(s".$idProp"))
       val joined = idCols.foldLeft(noStudy) { (d, c) =>
         val parent = c.split("\\.")(0)
         val target = s"$parent.${parent}_id"
-        val looked = mapping match {
-          case Some(m) =>
+        val looked = (mode.multiDelim, mapping) match {
+          case (None, Some(m)) =>
             val mm = broadcast(m)
             d.join(mm, CurationOps.rawCol(c) === mm("__mid"), "left")
               .withColumn(target,
@@ -83,15 +90,62 @@ object ExportStages {
                   CurationOps.rawCol(c) === "", CurationOps.rawCol(c))
                   .otherwise(col("__mkey")))
               .drop("__mid", "__mkey")
-          case None => d.withColumn(target, lit(null).cast("string"))
+          case (Some(delim), Some(m)) =>
+            // per-element mapping, distributed without a driver map:
+            // resolve each DISTINCT cell once (explode its trimmed
+            // elements, left-join the mapping, reassemble in element
+            // order), then broadcast-join resolutions back by cell
+            // value — row counts never inflate, vectors of work scale
+            // with distinct pointer cells, not rows
+            val q = java.util.regex.Pattern.quote(delim)
+            val elems = filter(transform(
+              split(col("__cell"), q), e => trim(e)), e => e =!= "")
+            val resolved = d
+              .select(CurationOps.rawCol(c).as("__cell"))
+              .filter(col("__cell").isNotNull && trim(col("__cell")) =!= "")
+              .distinct()
+              .select(col("__cell"),
+                posexplode(elems).as(Seq("__p", "__g")))
+              .join(broadcast(m), col("__g") === m("__mid"), "left")
+              .groupBy(col("__cell"))
+              .agg(array_join(transform(
+                array_sort(collect_list(struct(col("__p"),
+                  coalesce(col("__mkey"), col("__g")).as("__v")))),
+                s => s.getField("__v")), delim).as("__mapped"))
+            d.join(broadcast(resolved),
+                CurationOps.rawCol(c) === resolved("__cell"), "left")
+              // null/blank/whitespace cells normalize to "" (the DCC
+              // mapped_values contract), as do all-delimiter cells
+              .withColumn(target, coalesce(col("__mapped"), lit("")))
+              .drop("__cell", "__mapped")
+          case (None, None) => d.withColumn(target, lit(null).cast("string"))
+          case (Some(_), None) => d.withColumn(target, lit(""))
         }
         looked.withColumn(c, lit(""))
       }
       val blanked =
-        if (joined.columns.contains("id")) joined.withColumn("id", lit(""))
+        if (joined.columns.contains(idProp)) joined.withColumn(idProp, lit(""))
         else joined
       node -> blanked
     }
+  }
+
+  /** JoinRy pointer dialect — the delta between
+    * `join_tsv_to_manifest.py` and `join_tsv_to_manifest_dcc.py`
+    * (`:172-230` of the dcc rewrite) is a CONFIGURATION, not a fork:
+    *  - `Base`: `id` uuid pointers, whole-cell lookup, empty/null
+    *    cells pass through, unmapped pointers go null (the KeyError,
+    *    degraded gracefully).
+    *  - `Dcc`: `guid` pointers, `;`-multi-valued cells mapped per
+    *    trimmed element with unmapped guids passing through verbatim
+    *    (the reference logs a warning and keeps the guid), null/blank
+    *    cells normalized to `""`, and mapping rows missing either the
+    *    guid or the key skipped at build.
+    */
+  final case class JoinRyMode(idProp: String, multiDelim: Option[String])
+  object JoinRyMode {
+    val Base: JoinRyMode = JoinRyMode("id", None)
+    val Dcc: JoinRyMode = JoinRyMode("guid", Some(";"))
   }
 
   /** The DCC tab-breaker's uuid cell (`/root/reference/src/

@@ -126,12 +126,18 @@ object SubmissionBuilder {
     *
     * Input: props (node, prop, prop_ord), edges (src, dst,
     * parent_ord). Output pos is 1-based across the whole header.
+    *
+    * `idProp` is the row-identity property name: `id` for the base
+    * CCDI template, `guid` for the DCC template
+    * (`create_submission_ccdi_dcc.py:789-798` — same header shape,
+    * `guid` in the id slot and `<parent>.guid` index columns).
     */
-  def templateHeaders(props: DataFrame, edges: DataFrame): DataFrame = {
+  def templateHeaders(props: DataFrame, edges: DataFrame,
+      idProp: String = "id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parentCounts = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("n_parents"))
-    val dataProps = props.filter(col("prop") =!= "id")
+    val dataProps = props.filter(col("prop") =!= idProp)
     val propCounts = dataProps.groupBy(col("node"))
       .agg(count(lit(1)).as("n_props"))
     val counts = propCounts
@@ -155,14 +161,44 @@ object SubmissionBuilder {
       concat(col("dst"), lit("."), col("dst"), lit("_id")).as("column_name"))
     val idRow = counts.select(col("node"),
       (lit(2) + col("n_parents") + col("n_props")).cast("int").as("pos"),
-      lit("id").as("column_name"))
+      lit(idProp).as("column_name"))
     val parentIdx = edges
       .join(broadcast(counts), edges("src") === counts("node"))
       .select(col("src").as("node"),
         (lit(2) + col("n_parents") + col("n_props") + col("parent_ord"))
           .cast("int").as("pos"),
-        concat(col("dst"), lit(".id")).as("column_name"))
+        concat(col("dst"), lit(s".$idProp")).as("column_name"))
     typeRow.unionByName(linking).unionByName(rankedProps)
       .unionByName(idRow).unionByName(parentIdx)
+  }
+
+  /** The DCC preferred node order
+    * (`create_submission_ccdi_dcc.py:256-282`). */
+  val DccPreferredNodes: Seq[String] = Seq(
+    "publication", "consent_group", "participant", "pdx", "cell_line",
+    "diagnosis", "survival", "treatment_chemotherapy",
+    "treatment_radiation", "treatment_surgery", "treatment_other",
+    "treatment_response", "family_relationship", "medical_history",
+    "exposure", "radiology_file", "genetic_analysis", "laboratory_test",
+    "sample", "sequencing_file", "clinical_measure_file",
+    "methylation_array_file", "cytogenomic_file", "pathology_file",
+    "generic_file", "synonym")
+
+  /** DCC node ordering (`create_submission_ccdi_dcc.py:241-303`,
+    * `_get_sorted_node_list`): unlike the base module's single fixed
+    * list, the DCC order is COMPUTED — the root node (the one with no
+    * parent edges) first, then `study_*` nodes in model order, then
+    * [[DccPreferredNodes]] (those present), then every remaining node
+    * in model order; first occurrence wins. Model-catalog scale,
+    * driver-side by design (SURVEY §9).
+    *
+    * `childNodes` is the set of nodes that HAVE a parent edge (the
+    * reference's `edges_by_src(node) == 0` root probe inverted).
+    */
+  def dccNodeOrder(nodeList: Seq[String], childNodes: Set[String],
+      preferred: Seq[String] = DccPreferredNodes): Seq[String] = {
+    val root = nodeList.find(n => !childNodes.contains(n)).toSeq
+    (root ++ nodeList.filter(_.startsWith("study_")) ++
+      preferred.filter(nodeList.contains) ++ nodeList).distinct
   }
 }

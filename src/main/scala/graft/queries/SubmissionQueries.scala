@@ -240,6 +240,155 @@ object SubmissionQueries {
         .orderBy(col("node"), col("pos"))
     },
 
+    // DCC template variant (create_submission_ccdi_dcc.py:241-303,
+    // 789-798): same header machinery configured with idProp=guid —
+    // guid in the id slot, <parent>.guid index columns — and the
+    // COMPUTED node order (root first, then study_*, then the DCC
+    // preferred list, then the rest) instead of the base fixed list.
+    // Proves the 303-line reference fork is a configuration here.
+    Q("q128_dcc_template_headers",
+      """WITH generic AS (
+        |  SELECT CASE p_partkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |    WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS node,
+        |    'q' || CAST(p_partkey AS VARCHAR) AS prop,
+        |    CAST(p_partkey AS INT) AS prop_ord
+        |  FROM part WHERE p_partkey <= 40),
+        |specials AS (
+        |  SELECT CASE n_nationkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |    WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS node,
+        |    CASE WHEN n_nationkey <= 3 THEN
+        |        (CASE n_nationkey % 4 WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |         WHEN 2 THEN 'sample' ELSE 'sequencing_file' END) || '_id'
+        |      WHEN n_nationkey <= 7 THEN 'guid' ELSE 'crdc_id' END AS prop,
+        |    CAST(CASE WHEN n_nationkey <= 3 THEN -1 WHEN n_nationkey <= 7 THEN 1000
+        |      ELSE 999 END AS INT) AS prop_ord
+        |  FROM nation WHERE n_nationkey <= 9),
+        |props AS (SELECT * FROM generic UNION ALL SELECT * FROM specials),
+        |edges AS (
+        |  SELECT CASE r_regionkey WHEN 0 THEN 'participant' WHEN 1 THEN 'sample'
+        |      WHEN 2 THEN 'sample' ELSE 'sequencing_file' END AS src,
+        |    CASE r_regionkey WHEN 0 THEN 'study' WHEN 1 THEN 'participant'
+        |      WHEN 2 THEN 'pdx' ELSE 'sample' END AS dst,
+        |    CAST(CASE WHEN r_regionkey = 2 THEN 2 ELSE 1 END AS INT) AS parent_ord
+        |  FROM region WHERE r_regionkey <= 3),
+        |dataprops AS (SELECT node, prop, prop_ord FROM props WHERE prop <> 'guid'),
+        |pc AS (SELECT node, COUNT(*) AS n_props FROM dataprops GROUP BY node),
+        |ec AS (SELECT src AS node, COUNT(*) AS n_parents FROM edges GROUP BY src),
+        |counts AS (
+        |  SELECT pc.node, n_props, COALESCE(n_parents, 0) AS n_parents
+        |  FROM pc LEFT JOIN ec ON pc.node = ec.node),
+        |ranked AS (
+        |  SELECT d.node,
+        |    CAST(1 + c.n_parents + ROW_NUMBER() OVER (PARTITION BY d.node
+        |      ORDER BY (CASE WHEN d.prop = d.node || '_id' THEN 0
+        |        WHEN d.prop = 'crdc_id' THEN 2 ELSE 1 END), d.prop_ord)
+        |      AS INT) AS pos,
+        |    d.prop AS column_name
+        |  FROM dataprops d JOIN counts c ON d.node = c.node),
+        |hdr AS (
+        |  SELECT node, CAST(1 AS INT) AS pos, 'type' AS column_name FROM counts
+        |  UNION ALL
+        |  SELECT src, CAST(1 + parent_ord AS INT),
+        |    dst || '.' || dst || '_id' FROM edges
+        |  UNION ALL SELECT * FROM ranked
+        |  UNION ALL
+        |  SELECT node, CAST(2 + n_parents + n_props AS INT), 'guid' FROM counts
+        |  UNION ALL
+        |  SELECT src, CAST(2 + c.n_parents + c.n_props + parent_ord AS INT),
+        |    dst || '.guid'
+        |  FROM edges JOIN counts c ON edges.src = c.node)
+        |SELECT CAST(CASE node WHEN 'study' THEN 0 WHEN 'participant' THEN 1
+        |  WHEN 'sample' THEN 2 ELSE 3 END AS INT) AS node_rank,
+        |  node, pos, column_name
+        |FROM hdr ORDER BY node_rank, pos""".stripMargin) { (s, dir) =>
+      val k = col("p_partkey")
+      val pname = when(k % 4 === 0, "study").when(k % 4 === 1, "participant")
+        .when(k % 4 === 2, "sample").otherwise("sequencing_file")
+      val generic = t(s, dir, "part").filter(k <= 40).select(
+        pname.as("node"),
+        concat(lit("q"), k.cast("string")).as("prop"),
+        k.cast("int").as("prop_ord"))
+      val nk = col("n_nationkey")
+      val nname = when(nk % 4 === 0, "study").when(nk % 4 === 1, "participant")
+        .when(nk % 4 === 2, "sample").otherwise("sequencing_file")
+      val specials = t(s, dir, "nation").filter(nk <= 9).select(
+        nname.as("node"),
+        when(nk <= 3, concat(nname, lit("_id")))
+          .when(nk <= 7, lit("guid")).otherwise(lit("crdc_id")).as("prop"),
+        when(nk <= 3, -1).when(nk <= 7, 1000).otherwise(999)
+          .cast("int").as("prop_ord"))
+      val rk = col("r_regionkey")
+      val edges = t(s, dir, "region").filter(rk <= 3).select(
+        when(rk === 0, "participant").when(rk === 1, "sample")
+          .when(rk === 2, "sample").otherwise("sequencing_file").as("src"),
+        when(rk === 0, "study").when(rk === 1, "participant")
+          .when(rk === 2, "pdx").otherwise("sample").as("dst"),
+        when(rk === 2, 2).otherwise(1).cast("int").as("parent_ord"))
+      // computed DCC order: root=study (never a src), no study_*,
+      // then preferred ∩ nodes = participant, sample, sequencing_file
+      val order = SubmissionBuilder.dccNodeOrder(
+        Seq("study", "participant", "sample", "sequencing_file"),
+        childNodes = Set("participant", "sample", "sequencing_file"))
+      val rank = order.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (n, i)) => when(col("node") === n, i).otherwise(acc)
+      }
+      SubmissionBuilder.templateHeaders(generic.unionByName(specials), edges,
+          idProp = "guid")
+        .select(rank.as("node_rank"), col("node"),
+          col("pos").cast("int").as("pos"), col("column_name"))
+        .orderBy(col("node_rank"), col("pos"))
+    },
+
+    // DCC JoinRy (join_tsv_to_manifest_dcc.py:172-230): guid pointers,
+    // ';'-multi-valued cells mapped per element through the global
+    // guid→key mapping, unmapped guids passing through verbatim,
+    // null/blank cells normalized to '' — the base joinRy machinery
+    // under JoinRyMode.Dcc. k%7 rows carry null cells, k%13 rows a
+    // two-element cell whose second guid is unmapped, k%17 rows blank.
+    Q("q129_dcc_joinry",
+      """WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000)
+        |SELECT 'SM' || CAST(k AS VARCHAR) AS sample_id,
+        |  '' AS guid, '' AS "participant.guid",
+        |  CASE WHEN k % 7 = 0 THEN ''
+        |       WHEN k % 13 = 0 THEN 'P' || CAST(k % 200 AS VARCHAR)
+        |            || ';gx' || CAST(k AS VARCHAR)
+        |       WHEN k % 17 = 0 THEN ''
+        |       ELSE 'P' || CAST(k % 200 AS VARCHAR)
+        |  END AS "participant.participant_id"
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.pipeline.ExportStages
+      import graft.catalog.{ModelCatalog, PropDef}
+      val k = col("o_orderkey")
+      val ord = t(s, dir, "orders")
+      val participant = ord.select(
+        concat(lit("g"), (k % 200).cast("string")).as("guid"),
+        concat(lit("P"), (k % 200).cast("string")).as("participant_id"))
+        .distinct()
+      val sample = ord.filter(k <= 2000).select(
+        concat(lit("sg"), k.cast("string")).as("guid"),
+        concat(lit("SM"), k.cast("string")).as("sample_id"),
+        when(k % 7 === 0, lit(null).cast("string"))
+          .when(k % 13 === 0,
+            concat(lit("g"), (k % 200).cast("string"), lit(";gx"),
+              k.cast("string")))
+          .when(k % 17 === 0, lit(""))
+          .otherwise(concat(lit("g"), (k % 200).cast("string")))
+          .as("participant.guid"))
+      val catalog = ModelCatalog(props = Seq(
+        PropDef("participant", "participant_id", "string", isKey = true,
+          required = false),
+        PropDef("sample", "sample_id", "string", isKey = true,
+          required = false)),
+        enums = Map.empty, edges = Seq.empty)
+      val out = ExportStages.joinRy(
+        Map("participant" -> participant, "sample" -> sample), catalog,
+        ExportStages.JoinRyMode.Dcc)
+      out("sample")
+        .select(col("sample_id"), col("guid"), col("`participant.guid`"),
+          col("`participant.participant_id`"))
+        .orderBy(expr("cast(substring(sample_id, 3) as bigint)"))
+    },
+
     // CypherL node-statement parse (memgraph_transfer.py:88-128):
     // mg_id, backtick-stripped ';'-joined labels, study_id; index
     // statements and non-node lines drop out.

@@ -100,4 +100,38 @@ class ExportStagesSpec extends SparkSpecBase {
     idx.columns.toSeq shouldBe
       Seq("guid", "md5sum", "file_size", "acl", "authz", "file_url")
   }
+
+  test("joinRy Dcc mode: per-element guid mapping, trim, pass-through, blanks") {
+    import graft.catalog.{ModelCatalog, PropDef}
+    val participant = strDf(Seq("guid", "participant_id"))(
+      Seq("g1", "P1"), Seq("g2", "P2"),
+      Seq(null, "P3"),      // null guid: skipped at mapping build
+      Seq("g4", null))      // null key: skipped at mapping build
+    val sample = strDf(Seq("guid", "sample_id", "participant.guid"))(
+      Seq("sg1", "S1", "g1"),
+      Seq("sg2", "S2", " g1 ; g2"),   // elements trimmed before lookup
+      Seq("sg3", "S3", "g9;g2"),      // unmapped g9 passes through
+      Seq("sg4", "S4", null),         // null cell -> ""
+      Seq("sg5", "S5", ";;"),         // all-delimiter cell -> ""
+      Seq("sg6", "S6", "g4"))         // maps to a skipped row -> verbatim
+    val catalog = ModelCatalog(props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true,
+        required = false),
+      PropDef("sample", "sample_id", "string", isKey = true,
+        required = false)),
+      enums = Map.empty, edges = Seq.empty)
+    val out = ExportStages.joinRy(
+      Map("participant" -> participant, "sample" -> sample), catalog,
+      ExportStages.JoinRyMode.Dcc)("sample")
+    val rows = out.orderBy("sample_id").collect()
+      .map(r => r.getAs[String]("sample_id") ->
+        r.getAs[String]("participant.participant_id")).toMap
+    rows shouldBe Map("S1" -> "P1", "S2" -> "P1;P2", "S3" -> "g9;P2",
+      "S4" -> "", "S5" -> "", "S6" -> "g4")
+    // guid surfaces blank after the rewrite
+    out.select("guid").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("")
+    out.select(col("`participant.guid`")).distinct().collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("")
+  }
 }

@@ -87,4 +87,32 @@ class SubmissionBuilderSpec extends SparkSpecBase {
       ("study", 3, "name"),
       ("study", 4, "id"))
   }
+
+  test("dccNodeOrder computes root-first, study_*, preferred, rest") {
+    val nodes = Seq("participant", "study", "study_funding", "zzz_custom",
+      "sample", "study_admin")
+    val childNodes = Set("participant", "sample", "study_funding",
+      "study_admin", "zzz_custom")
+    SubmissionBuilder.dccNodeOrder(nodes, childNodes) shouldBe Seq(
+      "study",                          // root: only node without a parent
+      "study_funding", "study_admin",   // study_* in model order
+      "participant", "sample",          // preferred list order
+      "zzz_custom")                     // remainder in model order
+  }
+
+  test("templateHeaders idProp=guid swaps the id slot and index columns") {
+    val props = strDf(Seq("node", "prop", "prop_ord"))(
+      Seq("sample", "sample_id", "0"), Seq("sample", "tumor", "1"),
+      Seq("sample", "guid", "2"))
+      .withColumn("prop_ord", col("prop_ord").cast("int"))
+    val edges = strDf(Seq("src", "dst", "parent_ord"))(
+      Seq("sample", "participant", "1"))
+      .withColumn("parent_ord", col("parent_ord").cast("int"))
+    val out = SubmissionBuilder.templateHeaders(props, edges, idProp = "guid")
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    out shouldBe Seq(
+      (1, "type"), (2, "participant.participant_id"), (3, "sample_id"),
+      (4, "tumor"), (5, "guid"), (6, "participant.guid"))
+  }
 }
