@@ -15,30 +15,43 @@ import graft.pipeline.CurationPipeline.Manifest
   */
 object Exampler {
 
-  /** One synthetic table per catalog node, n rows each. */
-  def populate(spark: SparkSession, catalog: ModelCatalog, n: Long): Manifest =
+  /** One synthetic table per catalog node, n rows each — except nodes
+    * in `nodeRowCaps`, which generate min(n, cap) rows: the DCC
+    * exampler variant (`template_exampler_ccdi_dcc.py:165-168`) caps
+    * study_status at 1 and consent_group at 2, and child links into a
+    * capped parent wrap around its cardinality (`:201-205`'s
+    * consent_group_id linkage, deterministic here instead of
+    * random.choices). With no caps the output is byte-identical to
+    * the base exampler (i % n == i).
+    */
+  def populate(spark: SparkSession, catalog: ModelCatalog, n: Long,
+      nodeRowCaps: Map[String, Long] = Map.empty): Manifest = {
+    def rowsOf(node: String): Long =
+      math.max(1L, math.min(n, nodeRowCaps.getOrElse(node, n)))
     catalog.nodes.map { node =>
-      val base = spark.range(n).withColumnRenamed("id", "__i")
+      val base = spark.range(rowsOf(node)).withColumnRenamed("id", "__i")
       val keyCol = catalog.keyOf(node)
       val cols = catalog.propsOf(node).map { p =>
         val defn = catalog.props.find(d => d.node == node && d.property == p).get
-        val value = fakeValue(node, p, defn, catalog, col("__i"))
+        val value = fakeValue(node, p, defn, catalog, col("__i"), rowsOf)
         value.as(p)
       }
       node -> base.select(cols: _*)
     }.toMap
+  }
 
   private def fakeValue(
       node: String, prop: String, defn: PropDef,
       catalog: ModelCatalog,
-      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      i: org.apache.spark.sql.Column,
+      parentRows: String => Long): org.apache.spark.sql.Column = {
     val linkParent = if (prop.contains(".") && prop.endsWith("_id"))
       Some(prop.split("\\.")(0)) else None
     (defn.propType, linkParent) match {
       // FK link: points at the parent's synthetic key for the same row
-      // index (mod parent cardinality handled by equal row counts)
+      // index, wrapped around the parent's cardinality when capped
       case (_, Some(parent)) =>
-        concat(lit(s"${parent}_"), i.cast("string"))
+        concat(lit(s"${parent}_"), (i % parentRows(parent)).cast("string"))
       case ("integer", _) => ((i * 37 + prop.length) % 90).cast("string")
       case ("number", _) =>
         format_string("%d.%02d", (i % 100).cast("int"), ((i * 7) % 100).cast("int"))

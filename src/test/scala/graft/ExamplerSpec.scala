@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.catalog.{Exampler, ModelCatalog, PropDef}
 import graft.pipeline.CurationPipeline
 
@@ -43,5 +45,24 @@ class ExamplerSpec extends SparkSpecBase {
     }
     val findings = CurationPipeline.validate(withKeys, catalog, "row_idx")
     findings.count() shouldBe 0
+  }
+
+  test("populate nodeRowCaps caps DCC nodes and wraps child links") {
+    val catalog = ModelCatalog(props = Seq(
+      PropDef("consent_group", "consent_group_id", "string", isKey = true,
+        required = false),
+      PropDef("participant", "participant_id", "string", isKey = true,
+        required = false),
+      PropDef("participant", "consent_group.consent_group_id", "string",
+        isKey = false, required = false)),
+      enums = Map.empty, edges = Seq.empty)
+    val out = Exampler.populate(spark, catalog, 5,
+      nodeRowCaps = Map("consent_group" -> 2L))
+    out("consent_group").count() shouldBe 2
+    out("participant").count() shouldBe 5
+    val links = out("participant")
+      .select(col("`consent_group.consent_group_id`"))
+      .collect().map(_.getString(0)).toSet
+    links shouldBe Set("consent_group_0", "consent_group_1")
   }
 }
