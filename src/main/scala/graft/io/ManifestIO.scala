@@ -6,13 +6,85 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 import graft.ops.CurationOps
 
-/** Manifest I/O boundary (SURVEY §2.1 S1-S4): node tables as TSV or
-  * Parquet directories named by node. Excel stays outside the engine —
-  * an upstream adapter converts workbook sheets to TSV, matching the
-  * reference's own TabBreakeRy output format
-  * (`/root/reference/src/s3_ccdi_to_tabbreakery.py:138-142`).
+/** Manifest I/O boundary (SURVEY §2.1 S1-S4): node tables as TSV,
+  * Parquet directories, or — via [[XlsxCodec]] (pure JDK, zero new
+  * jars) — manifest WORKBOOKS directly, matching the reference's
+  * `excel_sheets_to_dict`/`ccdi_manifest_to_dict` ingest
+  * (`/root/reference/src/utils.py:1048-1089`) and its TabBreakeRy
+  * TSV output format (`src/s3_ccdi_to_tabbreakery.py:138-142`).
   */
 object ManifestIO {
+
+  /** Sheets `ccdi_manifest_to_dict` never treats as node tables. */
+  val NonNodeSheets: Seq[String] =
+    Seq("README and INSTRUCTIONS", "Dictionary", "Terms and Value Sets")
+
+  /** S1: read a manifest workbook into per-node all-string frames with
+    * the reference's `ccdi_manifest_to_dict` semantics
+    * (`src/utils.py:1062-1089`): skip the README/Dictionary/TaVS
+    * sheets, drop the `type` column, drop all-empty rows, skip sheets
+    * whose every column is dotted (linking-only sheets), NA bank
+    * normalized. `row_idx` carries the EXCEL row number (header = 1,
+    * first data row = 2) assigned before the empty-row drop — the same
+    * numbers the validator reports (`s3_validationry_refactored.py:150`).
+    *
+    * Workbook parsing is driver-side (the file format is inherently
+    * single-file, MBs by contract — openpyxl-in-pandas in the
+    * reference); the returned frames are what distribute.
+    */
+  def readManifestXlsx(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    XlsxCodec.read(path)
+      .filterNot { case (name, _) => NonNodeSheets.contains(name) }
+      .flatMap { case (name, rows) =>
+        if (rows.isEmpty) None
+        else {
+          val header = rows.head
+          val dataCols = header.zipWithIndex.filter(_._1 != "type")
+          if (dataCols.nonEmpty && dataCols.forall(_._1.contains("."))) None
+          else {
+            val schema = StructType(
+              dataCols.map { case (c, _) => StructField(c, StringType, true) } :+
+                StructField("row_idx", LongType, false))
+            val data = rows.drop(1).zipWithIndex.collect {
+              case (r, i) if r.exists(_.nonEmpty) =>
+                Row.fromSeq(dataCols.map { case (_, j) =>
+                  val v = if (j < r.length) r(j) else ""
+                  if (v.isEmpty) null else v
+                } :+ (i + 2L))
+            }
+            import scala.jdk.CollectionConverters._
+            Some(name ->
+              CurationOps.normalizeNa(spark.createDataFrame(data.asJava, schema)))
+          }
+        }
+      }.toMap
+  }
+
+  /** S2: overlay node frames onto a workbook — one sheet per node in
+    * `sheetOrder` (template sheet order), each projected to its
+    * template column list with a leading `type` column, like the
+    * reference's per-sheet `to_excel` overlay
+    * (`src/join_tsv_to_manifest.py:163-170`). Frames are result-sized
+    * by the sink contract (same rule as [[writeNodeTsv]]'s coalesce).
+    */
+  def writeManifestXlsx(
+      manifest: Map[String, DataFrame], path: String,
+      sheetOrder: Seq[String],
+      templateCols: Map[String, Seq[String]] = Map.empty): Unit = {
+    val sheets = sheetOrder.filter(manifest.contains).map { node =>
+      val df0 = manifest(node).drop("row_idx")
+      val cols = templateCols.get(node)
+        .map(tc => if (tc.contains("type")) tc else "type" +: tc)
+        .getOrElse("type" +: df0.columns.filterNot(_ == "type").toSeq)
+      val df = templateOrder(
+        if (df0.columns.contains("type")) df0
+        else df0.withColumn("type", lit(node)), cols)
+      val rows = df.collect().toSeq
+        .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+      XlsxCodec.Sheet(node, cols, rows)
+    }
+    XlsxCodec.write(path, sheets)
+  }
 
   /** Read one node table as all-string columns with the NA bank
     * normalized and a stable `row_idx` (Excel-style: first data row

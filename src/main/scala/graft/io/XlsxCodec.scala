@@ -1,0 +1,276 @@
+package graft.io
+
+import java.io.{BufferedOutputStream, ByteArrayInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import scala.collection.mutable
+
+/** Minimal OOXML (xlsx) codec in pure JDK — `java.util.zip` for the
+  * package, StAX (`javax.xml.stream`) for the sheet XML. Closes the S1/S2
+  * adapter boundary (SURVEY §2.1): the reference ingests manifest
+  * workbooks directly (`/root/reference/src/utils.py:1048-1089`
+  * `excel_sheets_to_dict` — every sheet `dtype=str`) and overlays node
+  * frames back onto template workbooks; this codec gives the engine the
+  * same file-level capability with zero new jars.
+  *
+  * Scope is the manifest contract, not full OOXML: string/number/bool
+  * cells, shared + inline strings, sparse rows — no styles, formulas
+  * (cached values are read), merged cells, or dates-as-serials
+  * (manifests are all-string by §1.2). Files are workbook-sized (MBs):
+  * this is a DRIVER-side adapter, like openpyxl in the reference — the
+  * frames it produces/consumes are what distribute.
+  */
+object XlsxCodec {
+
+  /** One sheet: name, header row, data rows (all strings; "" = empty
+    * cell, emitted sparsely).
+    */
+  final case class Sheet(name: String, header: Seq[String],
+      rows: Seq[Seq[String]])
+
+  // ---------------------------------------------------------------- write
+
+  private def xmlEscape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** 0-based column index → A1-style letters. */
+  def colLetters(idx: Int): String = {
+    var i = idx
+    val b = new StringBuilder
+    while (i >= 0) { b.insert(0, ('A' + i % 26).toChar); i = i / 26 - 1 }
+    b.toString
+  }
+
+  /** A1-style ref → 0-based column index. */
+  def colIndex(ref: String): Int = {
+    var acc = 0
+    ref.takeWhile(_.isLetter).foreach(c => acc = acc * 26 + (c - 'A' + 1))
+    acc - 1
+  }
+
+  private def sheetXml(sheet: Sheet): String = {
+    val b = new StringBuilder
+    b.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    b.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    val all = sheet.header +: sheet.rows
+    all.zipWithIndex.foreach { case (cells, r) =>
+      b.append(s"""<row r="${r + 1}">""")
+      cells.zipWithIndex.foreach { case (v, c) =>
+        if (v != null && v.nonEmpty) {
+          val ref = s"${colLetters(c)}${r + 1}"
+          b.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
+        }
+      }
+      b.append("</row>")
+    }
+    b.append("</sheetData></worksheet>")
+    b.toString
+  }
+
+  /** Write a workbook: one worksheet per Sheet, inline strings only. */
+  def write(path: String, sheets: Seq[Sheet]): Unit = {
+    require(sheets.nonEmpty, "xlsx needs at least one sheet")
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    try {
+      val n = sheets.size
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+            .mkString +
+          "</Types>")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          "</Relationships>")
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          sheets.zipWithIndex.map { case (s, i) =>
+            s"""<sheet name="${xmlEscape(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString +
+          "</sheets></workbook>")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+            .mkString +
+          "</Relationships>")
+      sheets.zipWithIndex.foreach { case (s, i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
+      }
+    } finally zos.close()
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def entryBytes(zip: ZipFile, name: String): Option[Array[Byte]] =
+    Option(zip.getEntry(name)).map { e =>
+      val in = zip.getInputStream(e)
+      try in.readAllBytes() finally in.close()
+    }
+
+  private def staxReader(bytes: Array[Byte]) = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    // no DTDs / external entities in OOXML parts — close the XXE door
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** Shared-strings table: one entry per <si>, rich-text runs
+    * concatenated.
+    */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = staxReader(bytes)
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          if (cur != null) cur.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => out += (if (cur == null) "" else cur.toString); cur = null
+            case "t" => inT = false
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.result()
+  }
+
+  /** One worksheet part → dense rows (ragged rows padded by caller). */
+  private def parseSheet(bytes: Array[Byte],
+      shared: Vector[String]): Vector[Vector[String]] = {
+    val r = staxReader(bytes)
+    val rows = Vector.newBuilder[Vector[String]]
+    var row: mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var text: StringBuilder = null
+    var inV = false
+    var inT = false
+    def pad(buf: mutable.ArrayBuffer[String], upto: Int): Unit =
+      while (buf.length < upto) buf += ""
+    def closeCell(): Unit = if (row != null && cellCol >= 0) {
+      val raw = if (text == null) "" else text.toString
+      val v = cellType match {
+        case "s" =>
+          val i = raw.trim.toInt
+          if (i >= 0 && i < shared.length) shared(i) else ""
+        case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+        case _ => raw // str, inlineStr, n (raw numeric text), e
+      }
+      pad(row, cellCol)
+      row += v
+      cellCol = -1; cellType = ""; text = null
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = mutable.ArrayBuffer.empty[String]
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex)
+                .getOrElse(if (row == null) 0 else row.length)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              text = null
+            case "v" => inV = true; if (text == null) text = new StringBuilder
+            case "t" => inT = true; if (text == null) text = new StringBuilder
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inT =>
+          text.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" => inV = false
+            case "t" => inT = false
+            case "c" => closeCell()
+            case "row" => rows += row.toVector; row = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** Read every sheet: (name, rows) in workbook order. Rows are padded
+    * to the sheet's widest row so downstream header alignment is by
+    * position, like pandas read_excel.
+    */
+  def read(path: String): Seq[(String, Vector[Vector[String]])] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = entryBytes(zip, "xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(Vector.empty)
+      // sheet name -> r:id, in workbook order
+      val wb = staxReader(entryBytes(zip, "xl/workbook.xml")
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/workbook.xml")))
+      val order = Vector.newBuilder[(String, String)]
+      while (wb.hasNext) {
+        if (wb.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            wb.getLocalName == "sheet") {
+          val name = wb.getAttributeValue(null, "name")
+          val rid = wb.getAttributeValue(
+            "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id")
+          order += ((name, rid))
+        }
+      }
+      wb.close()
+      // r:id -> part path
+      val rels = staxReader(entryBytes(zip, "xl/_rels/workbook.xml.rels")
+        .getOrElse(throw new IllegalArgumentException(s"$path: no workbook rels")))
+      val targets = mutable.Map.empty[String, String]
+      while (rels.hasNext) {
+        if (rels.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            rels.getLocalName == "Relationship") {
+          val t = rels.getAttributeValue(null, "Target")
+          targets(rels.getAttributeValue(null, "Id")) =
+            if (t.startsWith("/")) t.drop(1) else s"xl/$t"
+        }
+      }
+      rels.close()
+      order.result().flatMap { case (name, rid) =>
+        targets.get(rid).flatMap(part => entryBytes(zip, part)).map { bytes =>
+          val rows = parseSheet(bytes, shared)
+          val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+          name -> rows.map(r => r.padTo(width, ""))
+        }
+      }
+    } finally zip.close()
+  }
+}

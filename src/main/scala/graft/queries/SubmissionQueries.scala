@@ -389,6 +389,55 @@ object SubmissionQueries {
         .orderBy(expr("cast(substring(sample_id, 3) as bigint)"))
     },
 
+    // S1/S2 — the xlsx codec end-to-end (XlsxCodec + ManifestIO, pure
+    // JDK zip+StAX): a manifest is written as a real workbook (type
+    // column, template order, Dictionary sheet alongside) and read
+    // back with the reference's ccdi_manifest_to_dict semantics
+    // (utils.py:1048-1089 — non-node sheets skipped, type dropped,
+    // Excel row_idx, NA bank normalized, empty cells null). The oracle
+    // replays the fixture arithmetic — a wrong encode OR decode breaks
+    // the match. Workbook I/O is driver-side by format contract; the
+    // frames are what distribute.
+    Q("q131_xlsx_roundtrip",
+      """WITH base AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 500)
+        |SELECT 'P' || CAST(k AS VARCHAR) AS participant_id,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE CASE k % 3 WHEN 0 THEN 'F' WHEN 1 THEN 'M'
+        |            ELSE 'X&<>"' END END AS sex,
+        |  CASE WHEN k % 4 = 0 THEN NULL
+        |       ELSE 'R' || CAST(k % 7 AS VARCHAR) END AS race,
+        |  CAST(row_number() OVER (ORDER BY k) + 1 AS BIGINT) AS row_idx
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      import graft.io.{ManifestIO, XlsxCodec}
+      val k = col("c_custkey")
+      val fixture = t(s, dir, "customer").filter(k <= 500).select(
+        concat(lit("P"), k.cast("string")).as("participant_id"),
+        when(k % 5 === 0, "NA") // NA bank sentinel: must read back null
+          .otherwise(when(k % 3 === 0, "F").when(k % 3 === 1, "M")
+            .otherwise(lit("X&<>\""))).as("sex"), // xml-escape path
+        when(k % 4 === 0, lit(null).cast("string")) // empty cell path
+          .otherwise(concat(lit("R"), (k % 7).cast("string"))).as("race"),
+        k.as("__k"))
+        .orderBy(col("__k"))
+      val path = new java.io.File(
+        s"/tmp/graft_q131_${dir.replaceAll("[^A-Za-z0-9]", "_")}.xlsx")
+      ManifestIO.writeManifestXlsx(
+        Map("participant" -> fixture.drop("__k")), path.getAbsolutePath,
+        sheetOrder = Seq("participant"),
+        templateCols = Map("participant" ->
+          Seq("participant_id", "sex", "race")))
+      // a Dictionary sheet + a linking-only sheet ride along to prove
+      // the reader's sheet filtering on a workbook this engine wrote
+      val withExtras = XlsxCodec.read(path.getAbsolutePath) ++ Seq(
+        "Dictionary" -> Vector(Vector("Property"), Vector("p")),
+        "links_only" -> Vector(Vector("a.id"), Vector("x")))
+      XlsxCodec.write(path.getAbsolutePath, withExtras.map { case (n, rows) =>
+        XlsxCodec.Sheet(n, rows.head, rows.drop(1))
+      })
+      ManifestIO.readManifestXlsx(s, path.getAbsolutePath)("participant")
+        .orderBy(col("row_idx"))
+    },
+
     // CypherL node-statement parse (memgraph_transfer.py:88-128):
     // mg_id, backtick-stripped ';'-joined labels, study_id; index
     // statements and non-node lines drop out.

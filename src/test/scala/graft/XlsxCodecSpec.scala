@@ -1,0 +1,119 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions.col
+
+import graft.io.{ManifestIO, XlsxCodec}
+
+class XlsxCodecSpec extends SparkSpecBase {
+
+  private def tmp(suffix: String): String = {
+    val f = java.io.File.createTempFile("graft-xlsx", suffix)
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("column letters round-trip A..ZZZ") {
+    Seq(0 -> "A", 25 -> "Z", 26 -> "AA", 51 -> "AZ", 52 -> "BA",
+      701 -> "ZZ", 702 -> "AAA").foreach { case (i, s) =>
+      XlsxCodec.colLetters(i) shouldBe s
+      XlsxCodec.colIndex(s + "17") shouldBe i
+    }
+  }
+
+  test("write/read round-trips strings, escapes, unicode, empties") {
+    val path = tmp(".xlsx")
+    val sheets = Seq(
+      XlsxCodec.Sheet("participant", Seq("participant_id", "note"),
+        Seq(Seq("P1", "a&b<c>\"d\""), Seq("P2", ""), Seq("P3", "café ≤ 10"))),
+      XlsxCodec.Sheet("sample", Seq("sample_id"), Seq(Seq("S1"))))
+    XlsxCodec.write(path, sheets)
+    val back = XlsxCodec.read(path)
+    back.map(_._1) shouldBe Seq("participant", "sample")
+    back.head._2 shouldBe Vector(
+      Vector("participant_id", "note"),
+      Vector("P1", "a&b<c>\"d\""),
+      Vector("P2", ""),
+      Vector("P3", "café ≤ 10"))
+    back(1)._2 shouldBe Vector(Vector("sample_id"), Vector("S1"))
+  }
+
+  test("reads foreign xlsx: shared strings, numerics, bools, sparse cells") {
+    // hand-crafted workbook the way other writers produce it: a
+    // sharedStrings table, typed cells, and a row that skips column B
+    val path = tmp(".xlsx")
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3"><si><t>id</t></si><si><t>size</t></si><si><r><t>rich </t></r><r><t>text</t></r></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
+        """<row r="2"><c r="A2" t="str"><v>F1</v></c><c r="B2"><v>1024</v></c><c r="C2" t="b"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>F2</t></is></c><c r="C3" t="b"><v>0</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val back = XlsxCodec.read(path)
+    back.map(_._1) shouldBe Seq("data")
+    back.head._2 shouldBe Vector(
+      Vector("id", "size", "rich text"),
+      Vector("F1", "1024", "TRUE"),
+      Vector("F2", "", "FALSE")) // sparse B3 padded
+  }
+
+  test("readManifestXlsx applies ccdi_manifest_to_dict semantics") {
+    val path = tmp(".xlsx")
+    XlsxCodec.write(path, Seq(
+      XlsxCodec.Sheet("README and INSTRUCTIONS", Seq("junk"), Seq(Seq("x"))),
+      XlsxCodec.Sheet("Dictionary", Seq("Property"), Seq(Seq("p"))),
+      XlsxCodec.Sheet("participant",
+        Seq("type", "participant_id", "sex"),
+        Seq(
+          Seq("participant", "P1", "F"),
+          Seq("", "", ""),               // all-empty row dropped
+          Seq("participant", "P2", "NA"))), // NA bank -> null
+      XlsxCodec.Sheet("links_only", Seq("a.id", "b.id"), Seq(Seq("x", "y")))))
+    val m = ManifestIO.readManifestXlsx(spark, path)
+    m.keySet shouldBe Set("participant") // README/Dictionary/dotted skipped
+    val p = m("participant").orderBy("row_idx").collect()
+    p.map(_.getAs[Long]("row_idx")).toSeq shouldBe Seq(2L, 4L) // Excel rows
+    m("participant").columns.toSeq shouldBe
+      Seq("participant_id", "sex", "row_idx") // type dropped
+    p(0).getAs[String]("sex") shouldBe "F"
+    p(1).getAs[String]("sex") shouldBe null // NA normalized
+  }
+
+  test("writeManifestXlsx overlays template order and round-trips") {
+    val path = tmp(".xlsx")
+    val participant = strDf(Seq("participant_id", "sex"))(
+      Seq("P1", "F"), Seq("P2", null))
+    ManifestIO.writeManifestXlsx(
+      Map("participant" -> participant), path,
+      sheetOrder = Seq("participant"),
+      templateCols = Map("participant" -> Seq("participant_id", "race", "sex")))
+    val raw = XlsxCodec.read(path)
+    raw.head._2.head shouldBe
+      Vector("type", "participant_id", "race", "sex")
+    val back = ManifestIO.readManifestXlsx(spark, path)("participant")
+    back.columns.toSeq shouldBe
+      Seq("participant_id", "race", "sex", "row_idx")
+    val rows = back.orderBy("participant_id")
+      .select(col("participant_id"), col("race"), col("sex")).collect()
+    rows.map(_.toSeq).toSeq shouldBe Seq(
+      Seq("P1", null, "F"), Seq("P2", null, null))
+  }
+}
