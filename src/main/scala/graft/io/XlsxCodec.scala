@@ -174,7 +174,8 @@ object XlsxCodec {
   private def parseSheet(bytes: Array[Byte],
       shared: Vector[String]): Vector[Vector[String]] = {
     val r = staxReader(bytes)
-    val rows = Vector.newBuilder[Vector[String]]
+    val rows = mutable.ArrayBuffer.empty[Vector[String]]
+    var rowNum = 0 // 1-based sheet row the current <row> claims via r=
     var row: mutable.ArrayBuffer[String] = null
     var cellCol = -1
     var cellType = ""
@@ -200,7 +201,13 @@ object XlsxCodec {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = mutable.ArrayBuffer.empty[String]
+            case "row" =>
+              // honor the row's r= attribute: foreign writers may skip
+              // blank rows entirely — Excel row numbers must survive
+              rowNum = Option(r.getAttributeValue(null, "r"))
+                .flatMap(_.toIntOption).getOrElse(rows.length + 1)
+              while (rows.length < rowNum - 1) rows += Vector.empty
+              row = mutable.ArrayBuffer.empty[String]
             case "c" =>
               val ref = Option(r.getAttributeValue(null, "r"))
               cellCol = ref.map(colIndex)
@@ -225,7 +232,7 @@ object XlsxCodec {
       }
     }
     r.close()
-    rows.result()
+    rows.toVector
   }
 
   /** Read every sheet: (name, rows) in workbook order. Rows are padded

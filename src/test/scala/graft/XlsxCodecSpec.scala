@@ -65,6 +65,7 @@ class XlsxCodecSpec extends SparkSpecBase {
         """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>""" +
         """<row r="2"><c r="A2" t="str"><v>F1</v></c><c r="B2"><v>1024</v></c><c r="C2" t="b"><v>1</v></c></row>""" +
         """<row r="3"><c r="A3" t="inlineStr"><is><t>F2</t></is></c><c r="C3" t="b"><v>0</v></c></row>""" +
+        """<row r="5"><c r="A5" t="str"><v>F4</v></c></row>""" + // row 4 skipped
         """</sheetData></worksheet>""")
     zos.close()
     val back = XlsxCodec.read(path)
@@ -72,7 +73,9 @@ class XlsxCodecSpec extends SparkSpecBase {
     back.head._2 shouldBe Vector(
       Vector("id", "size", "rich text"),
       Vector("F1", "1024", "TRUE"),
-      Vector("F2", "", "FALSE")) // sparse B3 padded
+      Vector("F2", "", "FALSE"), // sparse B3 padded
+      Vector("", "", ""),        // skipped row 4 materializes empty
+      Vector("F4", "", ""))      // row r= attribute honored
   }
 
   test("readManifestXlsx applies ccdi_manifest_to_dict semantics") {
