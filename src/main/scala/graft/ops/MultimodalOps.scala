@@ -143,6 +143,92 @@ object MultimodalOps {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Real WAV audio decode via `javax.sound.sampled` (JDK): the
+    * container parse yields format + frame count; 16-bit little-endian
+    * PCM frames are summed exactly (a merge-order-free long, like the
+    * image channel sums). Non-audio payloads yield null stats; non-PCM16
+    * encodings keep container stats with a null amplitude sum. Map-side
+    * only — payloads never shuffle.
+    */
+  def extractAudioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("sum_amplitude", LongType, nullable = true)))
+    val idx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions(_.map { r =>
+      val payload = r.get(idx).asInstanceOf[Array[Byte]]
+      val stats: Seq[Any] =
+        if (payload == null) Seq(null, null, null, null, null)
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val rate = fmt.getSampleRate.toInt
+            val dur = if (rate > 0) frames * 1000L / rate else 0L
+            val sum: Any =
+              if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                  fmt.getEncoding ==
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                val bytes = ais.readAllBytes()
+                var s = 0L
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+                  i += 2
+                }
+                Long.box(s)
+              } else null
+            Seq(Int.box(rate), Int.box(fmt.getChannels), Long.box(frames),
+              Long.box(dur), sum)
+          } finally ais.close()
+        } catch { case _: Exception => Seq(null, null, null, null, null) }
+      Row.fromSeq(r.toSeq ++ stats)
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic synthetic WAV (PCM16 mono): sample i of clip `id`
+    * is ((i·(id+3)) mod 2001) − 1000 — closed-form for a SQL oracle —
+    * carried through a REAL `AudioSystem.write` WAV encode.
+    */
+  def synthWavPcm16(id: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((i.toLong * (id + 3)) % 2001) - 1000).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Distributed real-WAV fixture: one PCM16 clip per id with
+    * n = 400 + id%5·100 frames at 8 kHz. Encode runs map-side.
+    */
+  def synthWavTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
+    val idx = ids.schema.fieldIndex(idCol)
+    val rdd = ids.rdd.mapPartitions(_.map { r =>
+      val id = rowId(r, idx)
+      val n = (400 + (id % 5) * 100).toInt
+      Row(id, "audio", synthWavPcm16(id, n),
+        Row("audio/wav", null, null, n * 1000L / 8000))
+    })
+    ids.sparkSession.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Deterministic synthetic PNG: pixel (x,y) of image `id` carries
     * (r,g,b) = ((7x+13y+id)%256, (3x+5y+2id)%256, (11x+2y+3id)%256) —
     * integer arithmetic a SQL oracle can replay closed-form, carried

@@ -93,6 +93,30 @@ object MediaQueries {
         .orderBy(col("media_id"))
     },
 
+    // REAL audio decode (javax.sound.sampled): per-doc PCM16 WAV clips
+    // are synthesized map-side, the real container parse yields
+    // format/frames/duration, and the exact PCM amplitude sum is
+    // graded against the closed-form sample arithmetic — the oracle
+    // never sees the WAV bytes, so a wrong decode cannot pass.
+    Q("q132_audio_features",
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    400 + (doc_id % 5) * 100 AS n FROM documents),
+        |s AS (SELECT d.media_id, d.n,
+        |    ((x.range * (d.media_id + 3)) % 2001) - 1000 AS amp
+        |  FROM d, range(900) x WHERE x.range < d.n)
+        |SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(amp) AS BIGINT) AS sum_amplitude
+        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      MultimodalOps.extractAudioFeatures(MultimodalOps.synthWavTable(ids))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), col("sum_amplitude"))
+        .orderBy(col("media_id"))
+    },
+
     // S8 — transfer plan: contiguous chunks of 100 + per-chunk status
     // roll-up of (simulated) copy results.
     Q("q55_transfer_plan",

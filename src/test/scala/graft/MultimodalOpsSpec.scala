@@ -97,4 +97,28 @@ class MultimodalOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     out shouldBe Seq(("a.bam", 15.25), ("b.bam", 3.33))
   }
+
+  test("extractAudioFeatures really parses WAV; non-audio gets null stats") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 4).map(i => Row(i.toLong)), 2),
+      StructType(Seq(StructField("media_id", LongType, nullable = false))))
+    val out = MultimodalOps.extractAudioFeatures(MultimodalOps.synthWavTable(ids))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0 until 4).foreach { i =>
+      val r = out(i.toLong)
+      val n = 400 + (i % 5) * 100
+      r.getAs[Int]("sample_rate") shouldBe 8000
+      r.getAs[Int]("channels") shouldBe 1
+      r.getAs[Long]("n_frames") shouldBe n.toLong
+      r.getAs[Long]("duration_ms") shouldBe n * 1000L / 8000
+      val expSum = (0 until n).map(j => (j.toLong * (i + 3)) % 2001 - 1000).sum
+      r.getAs[Long]("sum_amplitude") shouldBe expSum
+    }
+    // a PNG payload is not audio: all stats null
+    val media = MultimodalOps.syntheticMedia(spark, 1) // media 0 = image
+    val img = MultimodalOps.extractAudioFeatures(media).head()
+    img.isNullAt(img.fieldIndex("sample_rate")) shouldBe true
+  }
 }
