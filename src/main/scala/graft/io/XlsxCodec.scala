@@ -42,6 +42,40 @@ object XlsxCodec {
     b.toString
   }
 
+  private val CellEscape = "_x([0-9A-Fa-f]{4})_".r
+
+  /** OOXML cell-text escaping (ECMA-376 §22.9.2.19, what Excel emits,
+    * e.g. `_x000D_` for CR): characters XML 1.0 cannot carry — plus
+    * `\r`, which XML parsers normalize away — become `_xHHHH_`, and a
+    * literal underscore starting a sequence that LOOKS like an escape
+    * is itself escaped as `_x005F_`.
+    */
+  def escapeCellText(s: String): String =
+    if (s.forall(c => c >= 0x20 && c != 0x7f) && !CellEscape.findFirstIn(s).isDefined) s
+    else {
+      val b = new StringBuilder(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < 0x20 && c != '\t' && c != '\n' || c == 0x7f || c == '\r')
+          b.append(f"_x${c.toInt}%04X_")
+        else if (c == '_' && CellEscape.findPrefixOf(s.substring(i)).isDefined)
+          b.append("_x005F_")
+        else b.append(c)
+        i += 1
+      }
+      b.toString
+    }
+
+  /** Inverse of [[escapeCellText]] (applied to every cell read — Excel
+    * and openpyxl both emit these escapes).
+    */
+  def unescapeCellText(s: String): String =
+    if (!s.contains("_x")) s
+    else CellEscape.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
   /** 0-based column index → A1-style letters. */
   def colLetters(idx: Int): String = {
     var i = idx
@@ -67,7 +101,7 @@ object XlsxCodec {
       cells.zipWithIndex.foreach { case (v, c) =>
         if (v != null && v.nonEmpty) {
           val ref = s"${colLetters(c)}${r + 1}"
-          b.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>""")
+          b.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(escapeCellText(v))}</t></is></c>""")
         }
       }
       b.append("</row>")
@@ -189,9 +223,9 @@ object XlsxCodec {
       val v = cellType match {
         case "s" =>
           val i = raw.trim.toInt
-          if (i >= 0 && i < shared.length) shared(i) else ""
+          unescapeCellText(if (i >= 0 && i < shared.length) shared(i) else "")
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
-        case _ => raw // str, inlineStr, n (raw numeric text), e
+        case _ => unescapeCellText(raw) // str, inlineStr, n, e
       }
       pad(row, cellCol)
       row += v

@@ -119,4 +119,33 @@ class XlsxCodecSpec extends SparkSpecBase {
     rows.map(_.toSeq).toSeq shouldBe Seq(
       Seq("P1", null, "F"), Seq("P2", null, null))
   }
+
+  test("cell-text escaping round-trips control chars and literal _xHHHH_ text") {
+    val cases = Seq("plain", "line1\nline2", "tab\there", "cr\rhere",
+      "_x000D_ literal", "_x005F_ nested", "bell\u0007", "del\u007f",
+      "under_score _x not-an-escape", "")
+    cases.foreach { c =>
+      XlsxCodec.unescapeCellText(XlsxCodec.escapeCellText(c)) shouldBe c
+    }
+    // and through the full file: write -> read
+    val path = tmp(".xlsx")
+    XlsxCodec.write(path, Seq(XlsxCodec.Sheet("t", Seq("v"),
+      cases.filter(_.nonEmpty).map(Seq(_)))))
+    val back = XlsxCodec.read(path).head._2.drop(1).map(_.head)
+    back shouldBe cases.filter(_.nonEmpty).toVector
+  }
+
+  test("property: arbitrary printable+control strings survive the workbook") {
+    val rnd = new scala.util.Random(42)
+    val pool = ('a' to 'z') ++ Seq('_', 'x', '0', '5', 'F', '\n', '\t', '\r',
+      '\u0001', '\u001f', '&', '<', '>', '"', 'é', '→')
+    val strs = Vector.fill(200) {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }.filter(_.nonEmpty).distinct
+    val path = tmp(".xlsx")
+    XlsxCodec.write(path, Seq(XlsxCodec.Sheet("t", Seq("v"), strs.map(Seq(_)))))
+    val back = XlsxCodec.read(path).head._2.drop(1).map(_.head)
+    back shouldBe strs
+  }
 }
