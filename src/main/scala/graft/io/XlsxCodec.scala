@@ -222,8 +222,12 @@ object XlsxCodec {
       val raw = if (text == null) "" else text.toString
       val v = cellType match {
         case "s" =>
-          val i = raw.trim.toInt
-          unescapeCellText(if (i >= 0 && i < shared.length) shared(i) else "")
+          // a styled-but-empty <c t="s"/> (no <v>) is a real-writer
+          // shape: no index means an empty cell, not a parse abort
+          unescapeCellText(raw.trim.toIntOption match {
+            case Some(i) if i >= 0 && i < shared.length => shared(i)
+            case _ => ""
+          })
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
         case _ => unescapeCellText(raw) // str, inlineStr, n, e
       }

@@ -132,9 +132,11 @@ object MultimodalOps {
                 g.drawImage(img, 0, 0, nw, nh, null)
               } finally g.dispose()
               val meta = r.get(mIdx).asInstanceOf[Row]
+              // the payload is re-encoded PNG regardless of what came
+              // in — the mime must describe the bytes, not the source
               val newMeta =
                 if (meta == null) Row("image/png", nw, nh, null)
-                else Row(meta.get(0), nw, nh, meta.get(3))
+                else Row("image/png", nw, nh, meta.get(3))
               Row.fromSeq(r.toSeq.updated(pIdx, encodePng(out)).updated(mIdx, newMeta))
             }
         }

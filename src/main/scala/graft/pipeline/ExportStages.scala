@@ -65,10 +65,15 @@ object ExportStages {
         case Some(k) if df.columns.contains(idProp) && df.columns.contains(k) =>
           val pairs = df.select(CurationOps.rawCol(idProp).as("__mid"),
             CurationOps.rawCol(k).as("__mkey"))
-          // the DCC mapping builder skips rows missing either side
-          // (build_guid_to_id_mapping's pd.notna guard)
+          // the DCC mapping builder skips rows missing either side and
+          // str(...).strip()s both (build_guid_to_id_mapping, join_tsv_
+          // to_manifest_dcc.py:210-226); a guid seen twice is ONE dict
+          // entry there, so keep one resolution per guid here too
           Some(if (mode.multiDelim.isDefined)
-            pairs.filter(col("__mid").isNotNull && col("__mkey").isNotNull)
+            pairs.select(trim(col("__mid")).as("__mid"),
+                trim(col("__mkey")).as("__mkey"))
+              .filter(col("__mid").isNotNull && col("__mkey").isNotNull)
+              .dropDuplicates("__mid")
           else pairs)
         case _ => None
       }

@@ -6,9 +6,9 @@ import graft.Tables
 import graft.ops.{MultimodalOps, TransferOps}
 
 /** Multimodal-column plumbing and transfer-plan queries (beyond-
-  * reference, north-star mandated). Binary payloads are the documents'
-  * UTF-8 bytes — opaque to the engine, exactly like image/audio blobs;
-  * the decode step itself is the clearly-marked stub in MultimodalOps.
+  * reference, north-star mandated). Payloads are REAL encoded media —
+  * PNG/GIF via `javax.imageio`, WAV via `javax.sound.sampled` — decoded
+  * by the same JDK codecs in MultimodalOps; binary never shuffles.
   */
 object MediaQueries {
 
