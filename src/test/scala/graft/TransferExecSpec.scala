@@ -62,6 +62,97 @@ class TransferExecSpec extends SparkSpecBase {
     new java.io.File(root, "out/a.txt").isFile shouldBe true
   }
 
+  test("putTags writes sidecar tags only for existing objects") {
+    val (root, store) = fixture()
+    store.putTags("s3://bkt/a.txt", Seq("kf_registered" -> "True")) shouldBe true
+    store.putTags("s3://bkt/nope", Seq("kf_registered" -> "True")) shouldBe false
+    val sidecar = java.nio.file.Paths.get(root, ".tags", "bkt", "a.txt")
+    new String(Files.readAllBytes(sidecar), "UTF-8") shouldBe "kf_registered=True"
+    // sidecars never leak into bucket listings
+    store.listPrefix("s3://bkt/") should contain theSameElementsAs
+      Seq("s3://bkt/a.txt", "s3://bkt/empty.txt")
+  }
+
+  test("probeKind classifies object / directory / invalid; expandDirectories lists in key order") {
+    val (root, store) = fixture()
+    Files.createDirectories(java.nio.file.Paths.get(root, "bkt", "sub"))
+    Files.write(java.nio.file.Paths.get(root, "bkt", "sub", "z.txt"), "z".getBytes)
+    Files.write(java.nio.file.Paths.get(root, "bkt", "sub", "b.txt"), "b".getBytes)
+    val uris = Seq("s3://bkt/a.txt", "s3://bkt/sub", "s3://bkt/nope").toDF("uri")
+    val kinds = TransferExec.probeKind(uris, "uri", store)
+      .orderBy("uri").select("uri", "uri_kind").as[(String, String)].collect()
+    kinds.toSeq shouldBe Seq(
+      ("s3://bkt/a.txt", "object"),
+      ("s3://bkt/nope", "invalid"),
+      ("s3://bkt/sub", "directory"))
+    val expanded = TransferExec.expandDirectories(uris, "uri", store)
+      .orderBy("uri").as[String].collect()
+    expanded.toSeq shouldBe Seq(
+      "s3://bkt/a.txt", "s3://bkt/sub/b.txt", "s3://bkt/sub/z.txt")
+  }
+
+  test("kfParseUrl classifies each row once with the reference reason strings") {
+    val rows = Seq(
+      (0L, null.asInstanceOf[String]), (1L, ""),
+      (2L, "https://x/y"), (3L, "s3://bkt/"), (4L, "s3:///key"),
+      (5L, "s3://bkt/deep/k.txt")).toDF("id", "urls")
+    val out = TransferOps.kfParseUrl(rows, "urls").orderBy("id")
+      .select("valid_url", "invalid_url_reason", "chop_bucket", "chop_key")
+      .collect().map(r => (r.getBoolean(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    out.toSeq shouldBe Seq(
+      (false, "No file URL detected", null, null),
+      (false, "No file URL detected", null, null),
+      (false, "File URL does not start with s3://", null, null),
+      (false, "Malformed URL", null, null),
+      (false, "Malformed URL", null, null),
+      (true, null, "bkt", "deep/k.txt"))
+  }
+
+  test("kfBucketMatch honors the optional suffix; kfParseStatus maps the config table") {
+    val rows = Seq((1L, "s3://data-bkt/k", "registered and released"),
+      (2L, "s3://other/k", "registered and not released"),
+      (3L, "s3://data-bkt/k", ""),
+      (4L, "s3://data-bkt/k", "junk")).toDF("id", "urls", "registration_status")
+    val parsed = TransferOps.kfParseUrl(rows, "urls")
+    // no suffix: exact bucket compare
+    TransferOps.kfBucketMatch(parsed, "data-bkt")
+      .orderBy("id").select("manifest_bucket_matches_expected")
+      .as[Boolean].collect().toSeq shouldBe Seq(true, false, true, true)
+    // suffix: <bucket>-<suffix> must equal the NCI bucket
+    val m = TransferOps.kfBucketMatch(parsed, "data-bkt-prod", Some("prod"))
+    m.orderBy("id").select("manifest_bucket_matches_expected")
+      .as[Boolean].collect().toSeq shouldBe Seq(true, false, true, true)
+    val statusMap = TransferOps.KfStatusMap
+      .toDF("status", "kf_registered", "kf_released")
+    val st = TransferOps.kfParseStatus(m, "registration_status", statusMap)
+      .orderBy("id")
+      .select("kf_registered", "kf_released", "kf_status_valid",
+        "invalid_status_reason")
+      .collect().map(r => (r.getAs[Any]("kf_registered"),
+        r.getAs[Any]("kf_released"), r.getBoolean(2), r.getString(3)))
+    st.toSeq shouldBe Seq(
+      (true, true, true, null),
+      (true, false, true, null),
+      (null, null, false, "No status column detected"),
+      (null, null, false, "Status value does not match config status map"))
+  }
+
+  test("fixedFolderDest keeps the full key path under one dest folder") {
+    val df = Seq("s3://srcbkt/deep/path/f.txt").toDF("original_uri")
+    val out = TransferOps.fixedFolderDest(df, "original_uri", "s3://dst/moved")
+      .select("dest_uri", "dest_bucket", "copy_source", "dest_key")
+      .head()
+    out.getString(0) shouldBe "s3://dst/moved/deep/path/f.txt"
+    out.getString(1) shouldBe "dst"
+    out.getString(2) shouldBe "srcbkt/deep/path/f.txt"
+    out.getString(3) shouldBe "moved/deep/path/f.txt"
+    // bucket-only dest: key lands directly under the bucket
+    TransferOps.fixedFolderDest(df, "original_uri", "s3://dst")
+      .select("dest_uri").as[String].head() shouldBe
+      "s3://dst/deep/path/f.txt"
+  }
+
   test("hashChunks with a custom hash column is deterministic and bounded") {
     val df = (1 to 100).map(i => s"s3://b/$i").toDF("uri")
     val out = TransferOps.hashChunks(df, "uri", 7,
