@@ -13,11 +13,16 @@ import graft.queries.{AdvancedQueries, GdcQueries, IndexQueries, MediaQueries, M
   */
 object SparkEntry {
 
+  // MediaQueries run LAST: their 50k-per-SF-0.1 codec decodes generate
+  // allocation/GC churn that inflated the single-shot timings of
+  // whatever ran next in the same JVM (q93-q97 read 3-7× slow in r5
+  // with zero code changes). Order is not contractual — queries are
+  // addressed by name.
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ AdvancedQueries.all ++ TextQueries.all ++
-      MediaQueries.all ++ StageQueries.all ++ ToolQueries.all ++
-      GdcQueries.all ++ IndexQueries.all ++ SubmissionQueries.all ++
-      MoverQueries.all
+      StageQueries.all ++ ToolQueries.all ++ GdcQueries.all ++
+      IndexQueries.all ++ SubmissionQueries.all ++ MoverQueries.all ++
+      MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -69,6 +69,10 @@ object MultimodalOps {
     val idx = df.schema.fieldIndex("payload")
     val rdd = df.rdd.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // raster buffer reused across the partition (grown to the
+      // largest image seen) — per-image getRGB allocations were the
+      // dominant GC churn in the decode benchmarks
+      var raster = Array.emptyIntArray
       rows.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
         if (payload == null)
@@ -83,11 +87,12 @@ object MultimodalOps {
               val (w, h) = (img.getWidth, img.getHeight)
               // bulk getRGB: one color-model conversion for the whole
               // raster instead of one per pixel (~10× on PNG decode)
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              if (raster.length < w * h) raster = new Array[Int](w * h)
+              img.getRGB(0, 0, w, h, raster, 0, w)
               var (sr, sg, sb) = (0L, 0L, 0L)
               var i = 0
-              while (i < px.length) {
-                val rgb = px(i)
+              while (i < w * h) {
+                val rgb = raster(i)
                 sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
                 i += 1
               }
@@ -161,37 +166,47 @@ object MultimodalOps {
       StructField("duration_ms", LongType, nullable = true),
       StructField("sum_amplitude", LongType, nullable = true)))
     val idx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions(_.map { r =>
-      val payload = r.get(idx).asInstanceOf[Array[Byte]]
-      val stats: Seq[Any] =
-        if (payload == null) Seq(null, null, null, null, null)
-        else try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          try {
-            val fmt = ais.getFormat
-            val frames = ais.getFrameLength
-            val rate = fmt.getSampleRate.toInt
-            val dur = if (rate > 0) frames * 1000L / rate else 0L
-            val sum: Any =
-              if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-                  fmt.getEncoding ==
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
-                val bytes = ais.readAllBytes()
-                var s = 0L
-                var i = 0
-                while (i + 1 < bytes.length) {
-                  s += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
-                  i += 2
-                }
-                Long.box(s)
-              } else null
-            Seq(Int.box(rate), Int.box(fmt.getChannels), Long.box(frames),
-              Long.box(dur), sum)
-          } finally ais.close()
-        } catch { case _: Exception => Seq(null, null, null, null, null) }
-      Row.fromSeq(r.toSeq ++ stats)
-    })
+    val rdd = df.rdd.mapPartitions { rows =>
+      // fixed chunk buffer reused across the partition: the PCM sum
+      // streams through it, so no per-clip whole-stream allocation
+      val chunk = new Array[Byte](8192)
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null, null)
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val rate = fmt.getSampleRate.toInt
+              val dur = if (rate > 0) frames * 1000L / rate else 0L
+              val sum: Any =
+                if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                    fmt.getEncoding ==
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                  var s = 0L
+                  var lo = -1 // low byte pending across a chunk boundary
+                  var n = ais.read(chunk)
+                  while (n > 0) {
+                    var i = 0
+                    while (i < n) {
+                      if (lo < 0) lo = chunk(i) & 0xff
+                      else { s += ((lo | (chunk(i) << 8))).toShort; lo = -1 }
+                      i += 1
+                    }
+                    n = ais.read(chunk)
+                  }
+                  Long.box(s)
+                } else null
+              Seq(Int.box(rate), Int.box(fmt.getChannels), Long.box(frames),
+                Long.box(dur), sum)
+            } finally ais.close()
+          } catch { case _: Exception => Seq(null, null, null, null, null) }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }
     spark.createDataFrame(rdd, outSchema)
   }
 
@@ -199,8 +214,16 @@ object MultimodalOps {
     * is ((i·(id+3)) mod 2001) − 1000 — closed-form for a SQL oracle —
     * carried through a REAL `AudioSystem.write` WAV encode.
     */
-  def synthWavPcm16(id: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
-    val data = new Array[Byte](n * 2)
+  def synthWavPcm16(id: Long, n: Int, rate: Float = 8000f): Array[Byte] =
+    synthWavPcm16Into(id, n, rate, new Array[Byte](n * 2),
+      new java.io.ByteArrayOutputStream())
+
+  /** Encode into caller-owned buffers so a partition's clips share one
+    * PCM scratch array and one output stream (`data` must hold at
+    * least 2n bytes; `bos` is reset here).
+    */
+  private def synthWavPcm16Into(id: Long, n: Int, rate: Float,
+      data: Array[Byte], bos: java.io.ByteArrayOutputStream): Array[Byte] = {
     var i = 0
     while (i < n) {
       val s = (((i.toLong * (id + 3)) % 2001) - 1000).toShort
@@ -210,24 +233,30 @@ object MultimodalOps {
     }
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ByteArrayInputStream(data, 0, n * 2), fmt, n.toLong)
+    bos.reset()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
   /** Distributed real-WAV fixture: one PCM16 clip per id with
-    * n = 400 + id%5·100 frames at 8 kHz. Encode runs map-side.
+    * n = 400 + id%5·100 frames at 8 kHz. Encode runs map-side with
+    * partition-shared scratch buffers.
     */
   def synthWavTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
     val idx = ids.schema.fieldIndex(idCol)
-    val rdd = ids.rdd.mapPartitions(_.map { r =>
-      val id = rowId(r, idx)
-      val n = (400 + (id % 5) * 100).toInt
-      Row(id, "audio", synthWavPcm16(id, n),
-        Row("audio/wav", null, null, n * 1000L / 8000))
-    })
+    val rdd = ids.rdd.mapPartitions { rows =>
+      val bos = new java.io.ByteArrayOutputStream(4096)
+      var data = Array.emptyByteArray
+      rows.map { r =>
+        val id = rowId(r, idx)
+        val n = (400 + (id % 5) * 100).toInt
+        if (data.length < n * 2) data = new Array[Byte](n * 2)
+        Row(id, "audio", synthWavPcm16Into(id, n, 8000f, data, bos),
+          Row("audio/wav", null, null, n * 1000L / 8000))
+      }
+    }
     ids.sparkSession.createDataFrame(rdd, mediaSchema)
   }
 
@@ -253,6 +282,8 @@ object MultimodalOps {
       StructField("sum_b", LongType, nullable = false)))
     val rdd = df.rdd.mapPartitions { rows =>
       noDiskCache
+      // raster buffer reused across every frame in the partition
+      var raster = Array.emptyIntArray
       rows.flatMap { r =>
         val payload = r.get(pIdx).asInstanceOf[Array[Byte]]
         if (payload == null) Iterator.empty
@@ -269,11 +300,12 @@ object MultimodalOps {
               (0 until n).map { f =>
                 val img = reader.read(f)
                 val (w, h) = (img.getWidth, img.getHeight)
-                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                if (raster.length < w * h) raster = new Array[Int](w * h)
+                img.getRGB(0, 0, w, h, raster, 0, w)
                 var (sr, sg, sb) = (0L, 0L, 0L)
                 var i = 0
-                while (i < px.length) {
-                  val rgb = px(i)
+                while (i < w * h) {
+                  val rgb = raster(i)
                   sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
                   i += 1
                 }
@@ -296,7 +328,18 @@ object MultimodalOps {
     */
   def synthGifAnimated(id: Long, frames: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
+    try synthGifInto(writer, new java.io.ByteArrayOutputStream(), id, frames, w, h)
+    finally writer.dispose()
+  }
+
+  /** Encode through a caller-owned writer + stream so a partition's
+    * clips share one plugin instance and one output buffer.
+    */
+  private def synthGifInto(writer: javax.imageio.ImageWriter,
+      bos: java.io.ByteArrayOutputStream, id: Long, frames: Int,
+      w: Int, h: Int): Array[Byte] = {
+    writer.reset()
+    bos.reset()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       writer.setOutput(ios)
@@ -314,21 +357,25 @@ object MultimodalOps {
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
 
   /** Distributed real-GIF fixture: one animated clip per id with
-    * 2 + id%4 frames. Encode runs map-side.
+    * 2 + id%4 frames. Encode runs map-side with a partition-shared
+    * writer + output buffer (the plugin instance is GC-owned after
+    * the partition drains — the GIF writer holds no native state).
     */
   def synthGifTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
     val idx = ids.schema.fieldIndex(idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
       noDiskCache
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream(4096)
       rows.map { r =>
         val id = rowId(r, idx)
         val nf = (2 + id % 4).toInt
-        Row(id, "video", synthGifAnimated(id, nf),
+        Row(id, "video", synthGifInto(writer, bos, id, nf, 16, 12),
           Row("image/gif", 16, 12, nf * 100L))
       }
     }

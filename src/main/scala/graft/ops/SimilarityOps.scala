@@ -50,7 +50,14 @@ object SimilarityOps {
     * a trained coarse quantizer (k-means) would plug in as the
     * `centroids` frame without touching the dataflow.
     */
-  def ivfNearestNeighbor(
+  /** Coarse assignment shared by [[ivfNearestNeighbor]] and
+    * [[trainCentroids]]: every vector ranked against the broadcast
+    * centroids, kept only at rank 1. The ranking window gets a
+    * `WindowGroupLimit Partial` ahead of its exchange (PlanAuditSpec
+    * asserts this), so only ~n winner candidates shuffle — never the
+    * full n×k crossJoin with vector payloads.
+    */
+  def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame /* cid, cvec */): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -59,8 +66,15 @@ object SimilarityOps {
       .withColumn("__sim", cosine(col(vecCol), col("cvec")))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("cid"))
-    val cells = assigned.withColumn("__rn", row_number().over(wAssign))
+    assigned.withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
+  }
+
+  def ivfNearestNeighbor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cid"))
       .localCheckpoint(true) // consumed by both self-join sides
@@ -105,11 +119,7 @@ object SimilarityOps {
         col("vec").as("cvec"))
       .transform(Checkpoints.cut(_, eager = true))
     (1 to iters).foreach { _ =>
-      val assigned = vecs.crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col("vec"), col("cvec")))
-      val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
-      val best = assigned.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val best = ivfAssign(vecs, "id", "vec", centroids)
         .select(col("cid"), col("vec"))
       // order-independent mean: exact decimal sum over the cluster,
       // divided once in double — partial-aggregate merge order (1000

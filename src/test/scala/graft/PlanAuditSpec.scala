@@ -68,6 +68,23 @@ class PlanAuditSpec extends SparkSpecBase {
       so.child.output.map(_.name) should not contain "payload")
   }
 
+  test("the IVF coarse assignment prunes to rank-1 before its exchange") {
+    import spark.implicits._
+    // the n×k (vector, centroid) crossJoin must reduce map-side: the
+    // ranking window needs a WindowGroupLimit in Partial mode ahead of
+    // the exchange, so ~n winner candidates shuffle, not n×k vector
+    // rows. This sits behind a checkpoint in the graded queries, so
+    // audit the pre-checkpoint subplan directly.
+    val corpus = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => (1.0f + i % 7 + d)))).toDF("id", "vec")
+    val centroids = (1L to 4L).map(c =>
+      (c, Array.tabulate(8)(d => (c + d).toFloat))).toDF("cid", "cvec")
+    val plan = graft.ops.SimilarityOps.ivfAssign(corpus, "id", "vec", centroids)
+      .queryExecution.executedPlan.toString
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include regex "WindowGroupLimit.*Final"
+  }
+
   test("studyStatsWide with explicit pivot values runs zero jobs at plan build") {
     import org.apache.spark.sql.functions.{col, lit}
     // an unvalued pivot() runs a driver-side distinct JOB at plan time;
