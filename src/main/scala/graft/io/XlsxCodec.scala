@@ -28,6 +28,21 @@ object XlsxCodec {
   final case class Sheet(name: String, header: Seq[String],
       rows: Seq[Seq[String]])
 
+  /** Driver-side capacity bound: a workbook is one file held in driver
+    * memory (same contract as openpyxl in the reference), so `write`
+    * refuses loudly past this many cells instead of dying in an OOM a
+    * 100×-scale operator can't attribute. Manifests are ~1e5 cells;
+    * anything near this bound should pre-shard to TSV/Parquet
+    * (`ManifestIO.writeNodeTsv`) and keep xlsx for the template
+    * overlay only.
+    */
+  val MaxWorkbookCells: Long = 5L * 1000 * 1000
+  /** Excel's own hard sheet limits (ECMA-376): exceeding them writes a
+    * file Excel itself rejects, so fail at write time.
+    */
+  val MaxSheetRows: Int = 1048576
+  val MaxSheetCols: Int = 16384
+
   // ---------------------------------------------------------------- write
 
   private def xmlEscape(s: String): String = {
@@ -110,9 +125,28 @@ object XlsxCodec {
     b.toString
   }
 
-  /** Write a workbook: one worksheet per Sheet, inline strings only. */
+  /** Write a workbook: one worksheet per Sheet, inline strings only.
+    * Fails loudly past [[MaxWorkbookCells]] / the Excel sheet limits —
+    * see the bound's doc for the pre-shard escape hatch.
+    */
   def write(path: String, sheets: Seq[Sheet]): Unit = {
     require(sheets.nonEmpty, "xlsx needs at least one sheet")
+    sheets.foreach { s =>
+      require(s.rows.size + 1 <= MaxSheetRows,
+        s"sheet '${s.name}' has ${s.rows.size + 1} rows > Excel's " +
+          s"$MaxSheetRows-row sheet limit; pre-shard to TSV/Parquet " +
+          "(ManifestIO.writeNodeTsv)")
+      require(s.header.size <= MaxSheetCols,
+        s"sheet '${s.name}' has ${s.header.size} columns > Excel's " +
+          s"$MaxSheetCols-column sheet limit")
+    }
+    val cells = sheets.iterator
+      .map(s => (s.rows.size + 1).toLong * math.max(1, s.header.size)).sum
+    require(cells <= MaxWorkbookCells,
+      s"workbook would hold $cells cells > MaxWorkbookCells " +
+        s"($MaxWorkbookCells): xlsx is a single-file DRIVER-side " +
+        "format by contract; pre-shard large frames to TSV/Parquet " +
+        "(ManifestIO.writeNodeTsv) and keep xlsx for template overlays")
     val zos = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))
     def put(name: String, content: String): Unit = {

@@ -135,6 +135,88 @@ class XlsxCodecSpec extends SparkSpecBase {
     back shouldBe cases.filter(_.nonEmpty).toVector
   }
 
+  test("write refuses oversized workbooks loudly, not with an OOM") {
+    val path = tmp(".xlsx")
+    // total-cell bound: rows × cols crosses MaxWorkbookCells
+    val rows = (XlsxCodec.MaxWorkbookCells / 100 + 1).toInt
+    val tooManyCells = XlsxCodec.Sheet("big", (1 to 100).map(i => s"c$i"),
+      // Seq.fill of a shared row: O(rows) refs, no per-cell storage
+      Seq.fill(rows)(Seq("x")))
+    val e1 = intercept[IllegalArgumentException] {
+      XlsxCodec.write(path, Seq(tooManyCells))
+    }
+    e1.getMessage should include("MaxWorkbookCells")
+    e1.getMessage should include("pre-shard")
+    // Excel hard limits fail even under the cell cap
+    val tooManyCols = XlsxCodec.Sheet("cols",
+      (1 to XlsxCodec.MaxSheetCols + 1).map(i => s"c$i"), Seq.empty)
+    intercept[IllegalArgumentException] {
+      XlsxCodec.write(path, Seq(tooManyCols))
+    }.getMessage should include("-column sheet limit")
+  }
+
+  test("property: three-letter column refs (>702 columns) round-trip") {
+    // 0-based ↔ A1 letters agree over the full 3-letter range
+    val rnd = new scala.util.Random(7)
+    (0 until 500).map(_ => rnd.nextInt(XlsxCodec.MaxSheetCols)).foreach { i =>
+      XlsxCodec.colIndex(XlsxCodec.colLetters(i) + "3") shouldBe i
+    }
+    // and through a real workbook: 800 columns (into AAxx territory)
+    // with values only in the far-right cells of sparse rows
+    val n = 800
+    val header = (0 until n).map(i => s"h$i")
+    val row1 = Seq.fill(n - 1)("") :+ "far-right"
+    val row2 = Seq.fill(703)("") ++ Seq("at-AAA") ++ Seq.fill(n - 704)("")
+    val path = tmp(".xlsx")
+    XlsxCodec.write(path, Seq(XlsxCodec.Sheet("wide", header, Seq(row1, row2))))
+    val back = XlsxCodec.read(path).head._2
+    back(0) shouldBe header.toVector
+    back(1)(n - 1) shouldBe "far-right"
+    back(2)(703) shouldBe "at-AAA"
+    back(2).count(_.nonEmpty) shouldBe 1
+  }
+
+  test("property: non-BMP characters survive inline and shared strings") {
+    // surrogate pairs (emoji, CJK extension B) — the shapes foreign
+    // workbooks exercise hardest in sharedStrings
+    val nonBmp = Seq("mixed 😀 emoji", "😀",
+      "𤭢 rare han", "pair at end 🤯")
+    val path = tmp(".xlsx")
+    XlsxCodec.write(path, Seq(XlsxCodec.Sheet("u", Seq("v"),
+      nonBmp.map(Seq(_)))))
+    XlsxCodec.read(path).head._2.drop(1).map(_.head) shouldBe nonBmp.toVector
+    // foreign shared-strings path: hand-built workbook with the same
+    // values in a sharedStrings table (plus a no-<v> shared cell,
+    // which must read as empty, not abort)
+    val p2 = tmp(".xlsx")
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(p2)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="u" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        nonBmp.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        nonBmp.indices.map(i =>
+          s"""<row r="${i + 1}"><c r="A${i + 1}" t="s"><v>$i</v></c></row>""").mkString +
+        s"""<row r="${nonBmp.size + 1}"><c r="A${nonBmp.size + 1}" t="s"/></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    XlsxCodec.read(p2).head._2 shouldBe
+      (nonBmp.map(Vector(_)) :+ Vector("")).toVector
+  }
+
   test("property: arbitrary printable+control strings survive the workbook") {
     val rnd = new scala.util.Random(42)
     val pool = ('a' to 'z') ++ Seq('_', 'x', '0', '5', 'F', '\n', '\t', '\r',
