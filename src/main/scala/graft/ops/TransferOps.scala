@@ -103,7 +103,11 @@ object TransferOps {
         case Array(b) => (b, "")
       }
     val prefixed = if (destPrefix.isEmpty) "" else destPrefix + "/"
-    val u = col("`" + uriCol + "`")
+    // parse_file_url prepends s3:// when the scheme is missing
+    // (`src/file_mover.py:35-39`) — a bare bucket/key input parses too
+    val u0 = col("`" + uriCol + "`")
+    val u = when(u0.startsWith("s3://"), u0)
+      .otherwise(concat(lit("s3://"), u0))
     val origBucket = regexp_extract(u, "^s3://([^/]+)", 1)
     val key = regexp_extract(u, "^s3://[^/]+/(.*)$", 1)
     df.withColumns(Map(

@@ -151,6 +151,11 @@ class TransferExecSpec extends SparkSpecBase {
     TransferOps.fixedFolderDest(df, "original_uri", "s3://dst")
       .select("dest_uri").as[String].head() shouldBe
       "s3://dst/deep/path/f.txt"
+    // parse_file_url semantics: a scheme-less uri still parses
+    val bare = Seq("srcbkt/deep/f.txt").toDF("original_uri")
+    TransferOps.fixedFolderDest(bare, "original_uri", "dst/moved")
+      .select("copy_source", "dest_key").as[(String, String)]
+      .head() shouldBe (("srcbkt/deep/f.txt", "moved/deep/f.txt"))
   }
 
   test("hashChunks with a custom hash column is deterministic and bounded") {
