@@ -56,19 +56,35 @@ object DedupOps {
     * NOT eliminated automatically).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, keep: Seq[String] = Nil): DataFrame = {
     require(bands >= 1, "bands must be >= 1")
     val groups = (bands + 3) / 4
+    val kept = keep.map(col)
     val digestCols = (0 until groups).map(j =>
       shingleHashes(textCol, k, groupSalt(j)).as(s"__hs$j"))
-    val hashed = df.select((col(idCol) +: digestCols): _*)
+    val hashed = df.select((col(idCol) +: kept) ++ digestCols: _*)
     val bandCols = (0 until bands).map { b =>
       val (j, o) = (b / 4, b % 4)
       array_min(transform(col(s"__hs$j"), h => h.substr(lit(1 + 8 * o), lit(8))))
         .as(s"minhash_$b")
     }
-    hashed.select((col(idCol) +: bandCols): _*)
+    hashed.select((col(idCol) +: kept) ++ bandCols: _*)
   }
+
+  /** Static corpus band index for streaming ingest dedup: the corpus's
+    * (band, hash, corpus_id) long form — the right side of the
+    * stream-static join in
+    * [[graft.streaming.StreamingOps.ingestDedupCandidates]]. Write it
+    * once (bucketed by (band, hash) at scale) and reuse across
+    * micro-batches.
+    */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame =
+    minhashBands(corpus, idCol, textCol, k, bands)
+      .select(col(idCol).as("corpus_id"),
+        posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
+      .select(col("corpus_id"), col("pos").as("band"), col("col").as("hash"))
+      .filter(col("hash").isNotNull)
 
   /** LSH candidate pairs: docs sharing any band's minhash value.
     * Signatures unpivot to (band, hash) long form and self-join ONCE

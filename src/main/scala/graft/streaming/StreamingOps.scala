@@ -102,6 +102,37 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest dedup against a STATIC corpus: each arriving
+    * document's MinHash band keys join the corpus's precomputed band
+    * index ([[graft.ops.DedupOps.corpusBandIndex]]) — a stream-static
+    * inner equi-join, emitting (new_id, corpus_id) near-dup candidate
+    * pairs for downstream Jaccard verification. A pair matching
+    * through several bands dedups within the watermark horizon, so
+    * per-key state is bounded and evicted; beyond that the operator is
+    * stateless, making unbounded ingest safe. At scale the index is a
+    * bucketed table on (band, hash), so the per-micro-batch join is
+    * exchange-free on the static side.
+    */
+  def ingestDedupCandidates(
+      stream: DataFrame, // needs: idCol, textCol, ts timestamp
+      corpusIndex: DataFrame, // (band, hash, corpus_id)
+      idCol: String, textCol: String, k: Int, bands: Int,
+      lateness: String = "30 minutes"): DataFrame = {
+    val sigs = graft.ops.DedupOps.minhashBands(
+      stream, idCol, textCol, k, bands, keep = Seq("ts"))
+    val long = sigs.select(col(idCol).as("new_id"), col("ts"),
+        posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
+      .select(col("new_id"), col("ts"),
+        col("pos").as("__band"), col("col").as("__h"))
+      .filter(col("__h").isNotNull)
+    long.join(corpusIndex,
+        long("__band") === corpusIndex("band") &&
+          long("__h") === corpusIndex("hash"))
+      .select(col("new_id"), col("ts"), col("corpus_id"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("new_id", "corpus_id"))
+  }
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

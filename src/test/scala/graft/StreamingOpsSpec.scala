@@ -85,6 +85,48 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ingestDedupCandidates equals the batch band join, one row per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{array, col, posexplode}
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs"),
+      (12L, "sphinx of black quartz judge my vow")).toDF("doc_id", "text")
+    val index = graft.ops.DedupOps
+      .corpusBandIndex(corpus, "doc_id", "text", 3, 4)
+      .localCheckpoint(true) // reused across micro-batches
+    val arrivals = Seq(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog"), // dup of 10
+      (2L, ts(1), "entirely novel words that overlap with nothing"),
+      (3L, ts(2), "pack my box with five dozen liquor jugs today")) // near 11
+
+    // batch twin: same band long-form joined to the same index
+    val batchSigs = graft.ops.DedupOps.minhashBands(
+      arrivals.toDF("doc_id", "ts", "text"), "doc_id", "text", 3, 4)
+    val expected = batchSigs
+      .select(col("doc_id").as("new_id"),
+        posexplode(array((0 until 4).map(b => col(s"minhash_$b")): _*)))
+      .join(index, col("pos") === index("band") && col("col") === index("hash"))
+      .select("new_id", "corpus_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    expected should contain((1L, 10L)) // an exact dup always collides
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.ingestDedupCandidates(
+      in.toDF().toDF("doc_id", "ts", "text"), index,
+      "doc_id", "text", 3, 4, "10 minutes")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("ingest_dedup")
+        .select("new_id", "corpus_id").as[(Long, Long)].collect()
+      got.toSet shouldBe expected
+      got.length shouldBe expected.size // one row per pair, despite multi-band hits
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
