@@ -268,3 +268,41 @@ object ReshapeProps extends SparkProperties("reshape") {
       }
     }
 }
+
+object KfUrlProps extends SparkProperties("kf-url") {
+  import spark.implicits._
+  import graft.ops.TransferOps
+
+  // the shapes kids-first-main.py:106-142 can receive: empty, wrong
+  // scheme, bucket-only, empty bucket/key, and well-formed s3 urls
+  val url: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    Gen.alphaNumStr.map("http://" + _),
+    Gen.oneOf("s3://", "s3:///", "s3://bkt", "s3://bkt/", "s3:///k"),
+    for {
+      b <- Gen.oneOf("bkt", "data-b", "x")
+      k <- Gen.oneOf("k", "a/b.txt", "deep/er/key")
+    } yield s"s3://$b/$k")
+
+  property("classified exactly once; valid rows reassemble to the input") =
+    forAll(url) { u =>
+      val r = TransferOps.kfParseUrl(Seq(u).toDF("urls"), "urls")
+        .select("valid_url", "invalid_url_reason", "chop_bucket", "chop_key")
+        .head()
+      val valid = r.getBoolean(0)
+      (valid == (r.getString(1) == null)) &&
+        (valid == (r.getString(2) != null)) &&
+        (!valid || s"s3://${r.getString(2)}/${r.getString(3)}" == u)
+    }
+
+  property("fixedFolderDest keeps the full key under the dest folder") =
+    forAll(Gen.oneOf("bkt", "b2"), Gen.oneOf("k", "a/b", "deep/x.txt"),
+      Gen.oneOf("s3://dst/moved", "dst/moved")) { (b, k, dest) =>
+      val row = TransferOps.fixedFolderDest(
+        Seq(s"s3://$b/$k").toDF("original_uri"), "original_uri", dest)
+        .select("dest_uri", "copy_source", "dest_key").head()
+      row.getString(0) == s"s3://dst/moved/$k" &&
+        row.getString(1) == s"$b/$k" &&
+        row.getString(2) == s"moved/$k"
+    }
+}
