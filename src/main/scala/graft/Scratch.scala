@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1)
+    // same filter convention as graft.Verify: comma-separated query-name
+    // PREFIXES (space-separated args are also accepted and merged)
+    val prefixes = args.drop(1).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,7 +25,8 @@ object Scratch {
         mk.write.format("noop").mode("overwrite").save()
         println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    val qs = SparkEntry.allQueries.filter(q => names.isEmpty || names.contains(q.name))
+    val qs = SparkEntry.allQueries.filter(q =>
+      prefixes.isEmpty || prefixes.exists(q.name.startsWith))
     qs.foreach { q =>
       val df = q.run(spark, sfDir)
       if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")

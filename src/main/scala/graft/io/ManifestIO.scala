@@ -45,14 +45,17 @@ object ManifestIO {
             val schema = StructType(
               dataCols.map { case (c, _) => StructField(c, StringType, true) } :+
                 StructField("row_idx", LongType, false))
-            // the reference drops `type` FIRST and pandas maps NA-bank
-            // sentinels to NaN BEFORE dropna(how="all") — so a row with
-            // only `type` pre-filled (common in CCDI templates) or only
-            // NA sentinels is dropped, matching `ccdi_manifest_to_dict`
+            // the reference drops `type` FIRST and pandas maps its
+            // DEFAULT na_values to NaN BEFORE dropna(how="all") — so a
+            // row with only `type` pre-filled (common in CCDI
+            // templates) or only pandas-default sentinels is dropped,
+            // matching `ccdi_manifest_to_dict`. The row-drop uses the
+            // pandas default list (which lacks lowercase "na"), NOT
+            // the NA bank — a row of only "na" keeps its row_idx.
             val data = rows.drop(1).zipWithIndex.collect {
               case (r, i) if dataCols.exists { case (_, j) =>
                   j < r.length && r(j).nonEmpty &&
-                    !CurationOps.NaBank.contains(r(j)) } =>
+                    !CurationOps.PandasDefaultNa.contains(r(j)) } =>
                 Row.fromSeq(dataCols.map { case (_, j) =>
                   val v = if (j < r.length) r(j) else ""
                   if (v.isEmpty) null else v

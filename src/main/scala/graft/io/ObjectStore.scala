@@ -100,17 +100,22 @@ final class LocalFsStore(root: String) extends ObjectStore {
     catch { case _: java.io.IOException => false }
 
   override def listPrefix(uri: String, maxKeys: Int): Seq[String] = {
-    val p = pathOf(uri)
-    if (!Files.isDirectory(p)) return Seq.empty
-    val bucket = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty).head
+    // True S3 semantics (list_objects Prefix=keypath): a prefix is a
+    // STRING match on keys, not a directory — s3://bkt/rel/f lists
+    // rel/f1 AND rel/f2. Walk the bucket root and string-filter.
+    val parts = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty)
+    val bucket = parts.headOption.getOrElse(return Seq.empty)
+    val keyPrefix = parts.drop(1).mkString("/")
     val bucketRoot = Paths.get(root, bucket)
+    if (!Files.isDirectory(bucketRoot)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val walked = Files.walk(p)
+    val walked = Files.walk(bucketRoot)
     try walked.iterator().asScala
       .filter(Files.isRegularFile(_))
-      .map(f => s"s3://$bucket/" +
-        bucketRoot.relativize(f).iterator().asScala.mkString("/"))
+      .map(f => bucketRoot.relativize(f).iterator().asScala.mkString("/"))
+      .filter(k => keyPrefix.isEmpty || k.startsWith(keyPrefix))
       .toSeq.sorted.take(maxKeys)
+      .map(k => s"s3://$bucket/$k")
     finally walked.close()
   }
 

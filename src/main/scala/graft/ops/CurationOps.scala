@@ -17,6 +17,17 @@ object CurationOps {
   /** The reference's NA bank (`/root/reference/src/utils.py:1101`). */
   val NaBank: Seq[String] = Seq("NA", "na", "N/A", "n/a", "")
 
+  /** pandas' default `na_values` — what `read_excel`/`read_csv` map to
+    * NaN BEFORE `dropna(how="all")` runs in the reference. Notably it
+    * does NOT contain lowercase "na": a row whose only value is "na"
+    * survives the reference's all-NA row drop (keeping its Excel row
+    * number) even though the NA bank later blanks the cell.
+    */
+  val PandasDefaultNa: Set[String] = Set(
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
+
   /** Raw-name column reference — backtick-quoted so the reference's
     * dotted FK columns (`participant.participant_id`) resolve as plain
     * attributes rather than struct access.

@@ -69,11 +69,14 @@ object ExportStages {
           // str(...).strip()s both (build_guid_to_id_mapping, join_tsv_
           // to_manifest_dcc.py:210-226); a guid seen twice is ONE dict
           // entry there, so keep one resolution per guid here too
+          // deterministic winner (max key) — the reference's dict is
+          // last-occurrence-wins; divergence only if one guid maps to
+          // two DIFFERENT keys, which the model forbids
           Some(if (mode.multiDelim.isDefined)
             pairs.select(trim(col("__mid")).as("__mid"),
                 trim(col("__mkey")).as("__mkey"))
               .filter(col("__mid").isNotNull && col("__mkey").isNotNull)
-              .dropDuplicates("__mid")
+              .groupBy("__mid").agg(max("__mkey").as("__mkey"))
           else pairs)
         case _ => None
       }

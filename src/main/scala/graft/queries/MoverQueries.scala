@@ -135,9 +135,9 @@ object MoverQueries {
         |  SELECT 'rel/f' || k AS key, 'obj:' || k AS content
         |  FROM base WHERE k % 6 <= 3
         |  UNION ALL
-        |  SELECT 'dir' || k || '/a' || k, 'dira:' || k FROM base WHERE k % 6 = 5
+        |  SELECT 'dir' || k || 'x/a' || k, 'dira:' || k FROM base WHERE k % 6 = 5
         |  UNION ALL
-        |  SELECT 'dir' || k || '/b' || k, 'dirb:' || k FROM base WHERE k % 6 = 5)
+        |  SELECT 'dir' || k || 'x/b' || k, 'dirb:' || k FROM base WHERE k % 6 = 5)
         |SELECT 's3://srcbkt/' || key AS original_uri,
         |  's3://dstbkt/moved/' || key AS dest_uri,
         |  'dstbkt' AS dest_bucket,
@@ -160,7 +160,9 @@ object MoverQueries {
           java.nio.file.Files.write(relDir.resolve(s"f$id"),
             s"obj:$id".getBytes("UTF-8"))
         else if (id % 6 == 5) {
-          val d = root.resolve("srcbkt").resolve(s"dir$id")
+          // 'x' terminates the number so no dir key is a string
+          // prefix of another (S3 prefix listing would merge them)
+          val d = root.resolve("srcbkt").resolve(s"dir${id}x")
           java.nio.file.Files.createDirectories(d)
           java.nio.file.Files.write(d.resolve(s"a$id"),
             s"dira:$id".getBytes("UTF-8"))
@@ -174,7 +176,7 @@ object MoverQueries {
         when(k % 6 <= 3, concat(lit("s3://srcbkt/rel/f"), k.cast("string")))
           .when(k % 6 === 4,
             concat(lit("s3://srcbkt/missing/f"), k.cast("string")))
-          .otherwise(concat(lit("s3://srcbkt/dir"), k.cast("string")))
+          .otherwise(concat(lit("s3://srcbkt/dir"), k.cast("string"), lit("x")))
           .as("original_uri"))
       val objects = TransferExec.expandDirectories(input, "original_uri", store)
       val meta = TransferOps.fixedFolderDest(
@@ -186,7 +188,8 @@ object MoverQueries {
         .withColumnRenamed("md5sum_after_cp", "dest_md5sum")
         .localCheckpoint(true)
       // the reference deletes only when EVERY row passed md5 check
-      val anyFail = copied.filter(col("md5sum_check") =!= "Pass")
+      // (unique()==["Pass"]) — null-safe so a missing check also blocks
+      val anyFail = copied.filter(!(col("md5sum_check") <=> "Pass"))
         .limit(1).count() > 0
       val withDelete =
         if (anyFail) copied.withColumn("delete_status",
