@@ -86,6 +86,32 @@ object DedupOps {
       .select(col("corpus_id"), col("pos").as("band"), col("col").as("hash"))
       .filter(col("hash").isNotNull)
 
+  /** Ingest-dedup candidates, batch form: arriving docs' MinHash band
+    * keys equi-join the precomputed [[corpusBandIndex]], emitting one
+    * (new_id, corpus_id[, kept...]) row per matching band. This is
+    * EXACTLY the join inside
+    * [[graft.streaming.StreamingOps.ingestDedupCandidates]] — the
+    * streaming operator adds only the watermark + within-watermark
+    * dedup on top; batch callers `.distinct()` instead. One shuffle on
+    * the (band, hash) key; exchange-free on the static side when the
+    * index is bucketed on (band, hash).
+    */
+  def ingestCandidates(newDocs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val sigs = minhashBands(newDocs, idCol, textCol, k, bands, keep)
+    val kept = keep.map(col)
+    val long = sigs.select((col(idCol).as("new_id") +: kept) :+
+        posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)): _*)
+      .select((col("new_id") +: kept) ++
+        Seq(col("pos").as("__band"), col("col").as("__h")): _*)
+      .filter(col("__h").isNotNull)
+    long.join(corpusIndex,
+        long("__band") === corpusIndex("band") &&
+          long("__h") === corpusIndex("hash"))
+      .select((col("new_id") +: kept) :+ col("corpus_id"): _*)
+  }
+
   /** LSH candidate pairs: docs sharing any band's minhash value.
     * Signatures unpivot to (band, hash) long form and self-join ONCE
     * on that composite key — one shuffle for all bands; `id1 < id2`

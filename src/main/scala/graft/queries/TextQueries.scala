@@ -278,6 +278,37 @@ object TextQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Ingest dedup against a precomputed corpus band index, batch form
+    // (the static side of StreamingOps.ingestDedupCandidates — the
+    // streaming op IS this join plus a watermarked dedup; the spec
+    // proves the equivalence, this grades it). Corpus = doc_id%10!=0,
+    // arrivals = doc_id%10==0; candidates = arriving docs sharing any
+    // band minhash with a corpus doc.
+    Q("q136_ingest_dedup_batch", {
+      val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
+        s"${bandMinSql(b)} AS mh_$b").mkString(", ")} " +
+        s"FROM (SELECT doc_id, $HS AS hs " +
+        s"FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents))"
+      val corp = (0 until 4).map(b =>
+        s"SELECT doc_id AS corpus_id, $b AS band, mh_$b AS hash " +
+          s"FROM sig WHERE doc_id % 10 <> 0").mkString(" UNION ALL ")
+      val arr = (0 until 4).map(b =>
+        s"SELECT doc_id AS new_id, $b AS band, mh_$b AS hash " +
+          s"FROM sig WHERE doc_id % 10 = 0").mkString(" UNION ALL ")
+      s"""WITH sig AS ($sig), corp AS ($corp), arr AS ($arr)
+         |SELECT DISTINCT a.new_id, c.corpus_id
+         |FROM arr a JOIN corp c ON a.band = c.band AND a.hash = c.hash
+         |ORDER BY new_id, corpus_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = DedupOps.corpusBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 4)
+      DedupOps.ingestCandidates(
+          docs.filter(col("doc_id") % 10 === 0), index, "doc_id", "text", 3, 4)
+        .distinct()
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>

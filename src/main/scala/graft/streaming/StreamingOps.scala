@@ -117,21 +117,12 @@ object StreamingOps {
       stream: DataFrame, // needs: idCol, textCol, ts timestamp
       corpusIndex: DataFrame, // (band, hash, corpus_id)
       idCol: String, textCol: String, k: Int, bands: Int,
-      lateness: String = "30 minutes"): DataFrame = {
-    val sigs = graft.ops.DedupOps.minhashBands(
-      stream, idCol, textCol, k, bands, keep = Seq("ts"))
-    val long = sigs.select(col(idCol).as("new_id"), col("ts"),
-        posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
-      .select(col("new_id"), col("ts"),
-        col("pos").as("__band"), col("col").as("__h"))
-      .filter(col("__h").isNotNull)
-    long.join(corpusIndex,
-        long("__band") === corpusIndex("band") &&
-          long("__h") === corpusIndex("hash"))
-      .select(col("new_id"), col("ts"), col("corpus_id"))
+      lateness: String = "30 minutes"): DataFrame =
+    graft.ops.DedupOps
+      .ingestCandidates(stream, corpusIndex, idCol, textCol, k, bands,
+        keep = Seq("ts"))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("new_id", "corpus_id"))
-  }
 
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling

@@ -127,6 +127,52 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ingestDedupCandidates holds bounded state across sustained micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val index = graft.ops.DedupOps
+      .corpusBandIndex(corpus, "doc_id", "text", 3, 4)
+      .localCheckpoint(true)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.ingestDedupCandidates(
+      in.toDF().toDF("doc_id", "ts", "text"), index,
+      "doc_id", "text", 3, 4, "10 minutes")
+      .writeStream.format("memory").queryName("ingest_sustained")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val stateSizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val nBatches = 8
+      (0 until nBatches).foreach { i =>
+        // each batch arrives 20 min after the last — past the 10-min
+        // lateness, so earlier batches' dedup state becomes evictable
+        in.addData(
+          (100L + i, ts(i * 20),
+            "the quick brown fox jumps over the lazy dog"), // dup of 10
+          (200L + i, ts(i * 20 + 1),
+            s"batch $i carries entirely novel words shared with nothing"))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateSizes += p.stateOperators.map(_.numRowsTotal).sum
+        // per-batch correctness: the exact dup always pairs with doc 10
+        spark.table("ingest_sustained")
+          .filter(col("new_id") === (100L + i)).select("corpus_id")
+          .as[Long].collect() should contain(10L)
+      }
+      stateSizes.length should be >= 6
+      // bounded state: once the watermark advances past the early
+      // batches, numRowsTotal plateaus — with unbounded growth the
+      // tail would hold ~nBatches pairs, far above the early window
+      stateSizes.takeRight(3).max should be <= stateSizes.take(4).max
+      // and the plateau is batch-sized, not corpus-cumulative
+      val emitted = spark.table("ingest_sustained").count()
+      stateSizes.last should be < emitted
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
