@@ -150,12 +150,67 @@ object MultimodalOps {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** Real WAV audio decode via `javax.sound.sampled` (JDK): the
-    * container parse yields format + frame count; 16-bit little-endian
-    * PCM frames are summed exactly (a merge-order-free long, like the
-    * image channel sums). Non-audio payloads yield null stats; non-PCM16
-    * encodings keep container stats with a null amplitude sum. Map-side
-    * only — payloads never shuffle.
+  /** Direct RIFF/WAVE header parse for the common case (format tag 1,
+    * integer PCM): the per-clip `AudioSystem.getAudioInputStream`
+    * container sniff dominates audio-decode cost, and canonical PCM
+    * WAVs need only the fmt + data chunks. Samples are summed in place
+    * off the payload array (16-bit LE, all channels — bit-identical to
+    * the streamed `AudioInputStream` sum). Returns None for anything
+    * that is not a clean in-bounds format-1 WAV; callers fall back to
+    * `javax.sound.sampled` so exotic-but-valid containers still decode.
+    */
+  private def parseRiffPcm(p: Array[Byte]): Option[Seq[Any]] = {
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (p(o) & 0xff).toLong |
+      ((p(o + 1) & 0xff).toLong << 8) | ((p(o + 2) & 0xff).toLong << 16) |
+      ((p(o + 3) & 0xff).toLong << 24)
+    if (p.length < 44 ||
+      p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var off = 12
+    var fmtTag = -1; var channels = 0; var rate = 0
+    var blockAlign = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= p.length && (fmtTag < 0 || dataOff < 0)) {
+      val sz = le32(off + 4)
+      if (sz < 0 || sz > p.length - off - 8) return None // out-of-bounds chunk
+      val isFmt = p(off) == 'f' && p(off + 1) == 'm' &&
+        p(off + 2) == 't' && p(off + 3) == ' '
+      val isData = p(off) == 'd' && p(off + 1) == 'a' &&
+        p(off + 2) == 't' && p(off + 3) == 'a'
+      if (isFmt) {
+        if (sz < 16) return None
+        fmtTag = le16(off + 8); channels = le16(off + 10)
+        rate = le32(off + 12).toInt
+        blockAlign = le16(off + 20); bits = le16(off + 22)
+      } else if (isData) { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+    }
+    if (fmtTag != 1 || dataOff < 0 || blockAlign <= 0 || rate <= 0) return None
+    val frames = dataLen / blockAlign
+    val dur = frames * 1000L / rate
+    val sum: Any = if (bits == 16) {
+      var s = 0L
+      var i = dataOff
+      val end = dataOff + (dataLen - (dataLen % 2)).toInt
+      while (i < end) {
+        s += (((p(i) & 0xff) | (p(i + 1) << 8))).toShort
+        i += 2
+      }
+      Long.box(s)
+    } else null
+    Some(Seq(Int.box(rate), Int.box(channels), Long.box(frames),
+      Long.box(dur), sum))
+  }
+
+  /** Real WAV audio decode: canonical format-1 PCM goes through the
+    * direct [[parseRiffPcm]] header parse (no stream, no container
+    * sniff); anything else falls back to `javax.sound.sampled`. The
+    * 16-bit little-endian PCM frames are summed exactly (a
+    * merge-order-free long, like the image channel sums). Non-audio
+    * payloads yield null stats; non-PCM16 encodings keep container
+    * stats with a null amplitude sum. Map-side only — payloads never
+    * shuffle.
     */
   def extractAudioFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -172,8 +227,10 @@ object MultimodalOps {
       val chunk = new Array[Byte](8192)
       rows.map { r =>
         val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val direct = if (payload == null) None else parseRiffPcm(payload)
         val stats: Seq[Any] =
           if (payload == null) Seq(null, null, null, null, null)
+          else if (direct.isDefined) direct.get
           else try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(payload))
@@ -212,48 +269,64 @@ object MultimodalOps {
 
   /** Deterministic synthetic WAV (PCM16 mono): sample i of clip `id`
     * is ((i·(id+3)) mod 2001) − 1000 — closed-form for a SQL oracle —
-    * carried through a REAL `AudioSystem.write` WAV encode.
+    * emitted as a canonical 44-byte-header RIFF/WAVE, byte-identical
+    * to `AudioSystem.write`'s output (spec-pinned) without the
+    * per-clip stream/format object churn.
     */
-  def synthWavPcm16(id: Long, n: Int, rate: Float = 8000f): Array[Byte] =
-    synthWavPcm16Into(id, n, rate, new Array[Byte](n * 2),
-      new java.io.ByteArrayOutputStream())
-
-  /** Encode into caller-owned buffers so a partition's clips share one
-    * PCM scratch array and one output stream (`data` must hold at
-    * least 2n bytes; `bos` is reset here).
-    */
-  private def synthWavPcm16Into(id: Long, n: Int, rate: Float,
-      data: Array[Byte], bos: java.io.ByteArrayOutputStream): Array[Byte] = {
+  def synthWavPcm16(id: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val rateI = rate.toInt
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    le32(4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rateI); le32(28, rateI * 2); le16(32, 2); le16(34, 16)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    le32(40, dataLen)
     var i = 0
     while (i < n) {
       val s = (((i.toLong * (id + 3)) % 2001) - 1000).toShort
-      data(2 * i) = (s & 0xff).toByte
-      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xff).toByte
       i += 1
     }
+    out
+  }
+
+  /** The same clip through a REAL `javax.sound.sampled` encode — the
+    * interop reference [[synthWavPcm16]] is spec-pinned against
+    * (byte-for-byte), and the fallback-path fixture for foreign WAVs.
+    */
+  def synthWavPcm16ViaSound(id: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val pcm = synthWavPcm16(id, n, rate).drop(44)
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data, 0, n * 2), fmt, n.toLong)
-    bos.reset()
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream(44 + n * 2)
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
   /** Distributed real-WAV fixture: one PCM16 clip per id with
-    * n = 400 + id%5·100 frames at 8 kHz. Encode runs map-side with
-    * partition-shared scratch buffers.
-    */
+    * n = 400 + id%5·100 frames at 8 kHz, encoded map-side. */
   def synthWavTable(ids: DataFrame, idCol: String = "media_id"): DataFrame = {
     val idx = ids.schema.fieldIndex(idCol)
     val rdd = ids.rdd.mapPartitions { rows =>
-      val bos = new java.io.ByteArrayOutputStream(4096)
-      var data = Array.emptyByteArray
       rows.map { r =>
         val id = rowId(r, idx)
         val n = (400 + (id % 5) * 100).toInt
-        if (data.length < n * 2) data = new Array[Byte](n * 2)
-        Row(id, "audio", synthWavPcm16Into(id, n, 8000f, data, bos),
+        Row(id, "audio", synthWavPcm16(id, n, 8000f),
           Row("audio/wav", null, null, n * 1000L / 8000))
       }
     }

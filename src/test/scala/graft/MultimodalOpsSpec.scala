@@ -122,6 +122,42 @@ class MultimodalOpsSpec extends SparkSpecBase {
     img.isNullAt(img.fieldIndex("sample_rate")) shouldBe true
   }
 
+  test("hand-rolled WAV encode is byte-identical to AudioSystem.write") {
+    // pins the fixture encode AND the direct RIFF decode path to real
+    // javax.sound.sampled interop: same bytes in, so the header parse
+    // reads genuine AudioSystem-written containers
+    Seq((0L, 400), (7L, 800), (42L, 500)).foreach { case (id, n) =>
+      MultimodalOps.synthWavPcm16(id, n) shouldBe
+        MultimodalOps.synthWavPcm16ViaSound(id, n)
+    }
+  }
+
+  test("audio decode falls back to javax.sound for non-format-1 WAVs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    // a 32-bit IEEE-float WAV (format tag 3): the direct PCM parse
+    // must decline and the AudioSystem path must supply the container
+    // stats with a null amplitude sum
+    val n = 100
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)
+    val pcm = new Array[Byte](n * 4)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, bos.toByteArray)), 1), schema)
+    val r = MultimodalOps.extractAudioFeatures(df).head()
+    r.getAs[Int]("sample_rate") shouldBe 8000
+    r.getAs[Long]("n_frames") shouldBe n.toLong
+    r.isNullAt(r.fieldIndex("sum_amplitude")) shouldBe true
+  }
+
   test("extractGifFrames decodes every animated-GIF frame; non-GIF yields none") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
