@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 threads of array-heavy expression eval GC-thrash an 8g heap
   // (observed 3-5x latency spikes); the bench host has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*:file=$f").toSeq

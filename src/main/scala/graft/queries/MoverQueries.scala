@@ -19,6 +19,14 @@ object MoverQueries {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** Stress hook: scales the fixture URI counts. The factor lands in
+    * BOTH the Spark plan and the oracle SQL literal, so the oracle
+    * compare holds at any scale; driver runs leave it unset (=1).
+    */
+  private val Scale = sys.env.getOrElse("GRAFT_STRESS_SCALE", "1").toInt
+  private val KfCap = 120 * Scale
+  private val MoverCap = 80 * Scale
+
   /** Hermetic per-process fixture root, fully wiped before reuse. */
   private def fixtureRoot(tag: String, dir: String): java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
@@ -42,7 +50,7 @@ object MoverQueries {
     // like the reference's ClientError path. The whole enriched
     // manifest (its tagging report) is the graded frame.
     Q("q134_kf_tag_report",
-      """WITH base AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 120)
+      s"""WITH base AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= $KfCap)
         |SELECT k AS c_custkey,
         |  CASE k % 7 WHEN 0 THEN ''
         |    WHEN 1 THEN 'https://example.org/f' || k
@@ -75,7 +83,7 @@ object MoverQueries {
         |FROM base ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       import s.implicits._
       val k = col("c_custkey")
-      val base = t(s, dir, "customer").filter(k <= 120).select(k,
+      val base = t(s, dir, "customer").filter(k <= KfCap).select(k,
         when(k % 7 === 0, lit(""))
           .when(k % 7 === 1,
             concat(lit("https://example.org/f"), k.cast("string")))
@@ -130,7 +138,7 @@ object MoverQueries {
     // results are eagerly checkpointed BEFORE the deletes mutate the
     // store (the q84 race rule).
     Q("q135_file_mover_delete",
-      """WITH base AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 80),
+      s"""WITH base AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= $MoverCap),
         |objs AS (
         |  SELECT 'rel/f' || k AS key, 'obj:' || k AS content
         |  FROM base WHERE k % 6 <= 3
@@ -150,7 +158,7 @@ object MoverQueries {
         |  'Success' AS delete_status
         |FROM objs ORDER BY original_uri""".stripMargin) { (s, dir) =>
       val k = col("c_custkey")
-      val base = t(s, dir, "customer").filter(k <= 80).select(k)
+      val base = t(s, dir, "customer").filter(k <= MoverCap).select(k)
       val root = fixtureRoot("mover_fixture", dir)
       val relDir = root.resolve("srcbkt").resolve("rel")
       java.nio.file.Files.createDirectories(relDir)

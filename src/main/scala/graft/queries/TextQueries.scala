@@ -309,6 +309,97 @@ object TextQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     },
 
+    // The end-to-end LLM-corpus pipeline as ONE lazy DAG: exact dedup
+    // -> near-dup pairs (LSH bands + Jaccard >= 0.5 verify) ->
+    // connected components -> representative pick (longest text, ties
+    // to lowest id) -> ANN bucket assignment for each representative.
+    // The composition test the individual green rows don't give: every
+    // stage's output feeds the next without materialization, and the
+    // oracle replays the whole chain declaratively (recursive CTE for
+    // the components).
+    Q("q137_corpus_pipeline", {
+      val sig = s"SELECT doc_id, ${(0 until 4).map(b =>
+        s"${bandMinSql(b)} AS mh_$b").mkString(", ")} FROM hsh"
+      val perBand = (0 until 4).map(b =>
+        s"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a JOIN sig b " +
+          s"ON a.mh_$b = b.mh_$b AND a.doc_id < b.doc_id").mkString(" UNION ")
+      s"""WITH RECURSIVE
+         |fp AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN keep k ON d.doc_id = k.doc_id),
+         |shin AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM surv),
+         |hsh AS (SELECT doc_id, $HS AS hs FROM shin),
+         |sig AS ($sig),
+         |cand AS ($perBand),
+         |ds AS (SELECT doc_id, unnest(list_distinct(hs)) AS s FROM hsh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    COUNT(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i.id1, i.id2
+         |  FROM inter i JOIN cand c ON i.id1 = c.id1 AND i.id2 = c.id2
+         |  JOIN sizes s1 ON i.id1 = s1.doc_id
+         |  JOIN sizes s2 ON i.id2 = s2.doc_id
+         |  WHERE CAST(i.n_common AS DOUBLE) /
+         |    CAST(s1.n + s2.n - i.n_common AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |walk AS (SELECT doc_id AS id, doc_id AS lbl FROM surv
+         |  UNION SELECT e.dst AS id, w.lbl FROM walk w
+         |    JOIN edges e ON e.src = w.id),
+         |clus AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |members AS (SELECT cluster_id, COUNT(*) AS n_members
+         |  FROM clus GROUP BY 1),
+         |rep AS (SELECT cluster_id, id AS rep_id FROM (
+         |  SELECT c.cluster_id, c.id, row_number() OVER (
+         |      PARTITION BY c.cluster_id
+         |      ORDER BY length(s.text) DESC, c.id) AS rn
+         |  FROM clus c JOIN surv s ON c.id = s.doc_id) WHERE rn = 1)
+         |SELECT r.cluster_id, r.rep_id, m.n_members,
+         |  ${planeSignsSql("e.embedding")} AS bucket
+         |FROM rep r JOIN members m ON r.cluster_id = m.cluster_id
+         |JOIN embeddings e ON e.vec_id = r.rep_id
+         |ORDER BY r.cluster_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val exact = DedupOps.exactDedup(docs, "doc_id", "text")
+      // three consumers (shingle pipeline, CC nodes, representative
+      // join) — cut once so the fingerprint groupBy runs once
+      val surv = graft.ops.Checkpoints.cut(
+        docs.join(exact.select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"), eager = true)
+      val pairs = DedupOps.nearDupPairs(surv, "doc_id", "text", 3, 4)
+        .filter(col("jaccard") >= 0.5).select("id1", "id2")
+      // iterate only over pair endpoints (the CC rounds are per-node
+      // jobs); the untouched majority joins back as singleton clusters
+      // in one lazy anti-join — same labels, far smaller rounds
+      val linked = DedupOps.connectedComponents(pairs)
+      val clus = linked.unionByName(
+        surv.select(col("doc_id").as("id"))
+          .join(linked.select("id"), Seq("id"), "left_anti")
+          .withColumn("cluster_id", col("id")))
+      val members = clus.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      val rep = clus.join(surv, clus("id") === surv("doc_id"))
+        .select(col("cluster_id"), col("id"), length(col("text")).as("__len"))
+        .withColumn("__rn", row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("__len").desc, col("id"))))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_id"), col("id").as("rep_id"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          SimilarityOps.hyperplaneSigns(col("embedding"), Planes).as("bucket"))
+      rep.join(members, Seq("cluster_id"))
+        .join(emb, rep("rep_id") === emb("vec_id"))
+        .select(col("cluster_id"), col("rep_id"), col("n_members"), col("bucket"))
+        .orderBy(col("cluster_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>
