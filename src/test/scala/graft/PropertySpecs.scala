@@ -269,6 +269,23 @@ object ReshapeProps extends SparkProperties("reshape") {
     }
 }
 
+object WavProps extends Properties("wav-pcm16") {
+  import graft.ops.MultimodalOps
+
+  // zero-frame clips included: a header-only WAV must round-trip too
+  val clip: Gen[(Long, Int)] = for {
+    id <- Gen.chooseNum(0L, 100000L)
+    n <- Gen.chooseNum(0, 2000)
+  } yield (id, n)
+
+  property("hand-rolled canonical encode is byte-identical to AudioSystem.write") =
+    forAll(clip) { case (id, n) =>
+      java.util.Arrays.equals(
+        MultimodalOps.synthWavPcm16(id, n),
+        MultimodalOps.synthWavPcm16ViaSound(id, n))
+    }
+}
+
 object KfUrlProps extends SparkProperties("kf-url") {
   import spark.implicits._
   import graft.ops.TransferOps

@@ -73,6 +73,22 @@ class TransferExecSpec extends SparkSpecBase {
       Seq("s3://bkt/a.txt", "s3://bkt/empty.txt")
   }
 
+  test("listPrefix uses S3 string-prefix key semantics, not directories") {
+    val (root, store) = fixture()
+    Files.createDirectories(java.nio.file.Paths.get(root, "bkt", "rel"))
+    Files.write(java.nio.file.Paths.get(root, "bkt", "rel", "f1.txt"), "1".getBytes)
+    Files.write(java.nio.file.Paths.get(root, "bkt", "rel", "f2.txt"), "2".getBytes)
+    // a PARTIAL key prefix matches both (boto3 list_objects Prefix=):
+    // in real S3 check_if_directory would call this a 'directory'
+    store.listPrefix("s3://bkt/rel/f") should contain theSameElementsAs
+      Seq("s3://bkt/rel/f1.txt", "s3://bkt/rel/f2.txt")
+    store.listPrefix("s3://bkt/rel/f2") shouldBe Seq("s3://bkt/rel/f2.txt")
+    // malformed / unmatched inputs degrade to empty, never throw
+    store.listPrefix("s3://") shouldBe Seq.empty
+    store.listPrefix("s3://no-such-bucket/x") shouldBe Seq.empty
+    store.listPrefix("s3://bkt/rel/zzz") shouldBe Seq.empty
+  }
+
   test("probeKind classifies object / directory / invalid; expandDirectories lists in key order") {
     val (root, store) = fixture()
     Files.createDirectories(java.nio.file.Paths.get(root, "bkt", "sub"))
