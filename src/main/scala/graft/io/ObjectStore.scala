@@ -102,14 +102,25 @@ final class LocalFsStore(root: String) extends ObjectStore {
   override def listPrefix(uri: String, maxKeys: Int): Seq[String] = {
     // True S3 semantics (list_objects Prefix=keypath): a prefix is a
     // STRING match on keys, not a directory — s3://bkt/rel/f lists
-    // rel/f1 AND rel/f2. Walk the bucket root and string-filter.
-    val parts = uri.stripPrefix("s3://").split("/").filter(_.nonEmpty)
-    val bucket = parts.headOption.getOrElse(return Seq.empty)
-    val keyPrefix = parts.drop(1).mkString("/")
+    // rel/f1 AND rel/f2. The key prefix is taken VERBATIM (trailing
+    // slash included: Prefix="rel/" must NOT match "relx/a"), and only
+    // the prefix's parent subtree is walked — a string prefix can only
+    // match keys under its parent directory, so probes stay O(subtree)
+    // rather than O(bucket).
+    val noScheme = uri.stripPrefix("s3://")
+    val slash = noScheme.indexOf('/')
+    val bucket = if (slash < 0) noScheme else noScheme.substring(0, slash)
+    if (bucket.isEmpty) return Seq.empty
+    val keyPrefix = if (slash < 0) "" else noScheme.substring(slash + 1)
     val bucketRoot = Paths.get(root, bucket)
     if (!Files.isDirectory(bucketRoot)) return Seq.empty
+    val parentDir = keyPrefix.lastIndexOf('/') match {
+      case -1 => bucketRoot
+      case i  => bucketRoot.resolve(keyPrefix.substring(0, i))
+    }
+    if (!Files.isDirectory(parentDir)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val walked = Files.walk(bucketRoot)
+    val walked = Files.walk(parentDir)
     try walked.iterator().asScala
       .filter(Files.isRegularFile(_))
       .map(f => bucketRoot.relativize(f).iterator().asScala.mkString("/"))

@@ -186,13 +186,21 @@ object MultimodalOps {
       } else if (isData) { dataOff = off + 8; dataLen = sz }
       off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
     }
-    if (fmtTag != 1 || dataOff < 0 || blockAlign <= 0 || rate <= 0) return None
+    // decline anything non-canonical (AudioSystem would reject it or
+    // read it differently): integer PCM only, whole-byte sample sizes,
+    // blockAlign consistent with channels × bytes/sample
+    if (fmtTag != 1 || dataOff < 0 || rate <= 0 || channels < 1 ||
+      bits < 8 || bits % 8 != 0 ||
+      blockAlign != channels * (bits / 8)) return None
     val frames = dataLen / blockAlign
     val dur = frames * 1000L / rate
     val sum: Any = if (bits == 16) {
+      // sum only WHOLE frames (frames × blockAlign bytes) — the
+      // AudioInputStream fallback reads frameLength × frameSize, so a
+      // trailing partial frame must not contribute
       var s = 0L
       var i = dataOff
-      val end = dataOff + (dataLen - (dataLen % 2)).toInt
+      val end = dataOff + (frames * blockAlign).toInt
       while (i < end) {
         s += (((p(i) & 0xff) | (p(i + 1) << 8))).toShort
         i += 2

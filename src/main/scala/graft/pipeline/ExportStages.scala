@@ -70,13 +70,21 @@ object ExportStages {
           // to_manifest_dcc.py:210-226); a guid seen twice is ONE dict
           // entry there, so keep one resolution per guid here too
           // deterministic winner (max key) — the reference's dict is
-          // last-occurrence-wins; divergence only if one guid maps to
-          // two DIFFERENT keys, which the model forbids
+          // last-occurrence-wins; the model forbids one guid mapping
+          // to two DIFFERENT keys, and that assumption is CHECKED:
+          // a conflicting guid raises at evaluation instead of
+          // silently picking a winner the reference might not
           Some(if (mode.multiDelim.isDefined)
             pairs.select(trim(col("__mid")).as("__mid"),
                 trim(col("__mkey")).as("__mkey"))
               .filter(col("__mid").isNotNull && col("__mkey").isNotNull)
-              .groupBy("__mid").agg(max("__mkey").as("__mkey"))
+              .groupBy("__mid")
+              .agg(max("__mkey").as("__max"),
+                countDistinct("__mkey").as("__nk"))
+              .select(col("__mid"),
+                when(col("__nk") > 1, raise_error(concat(
+                  lit("joinRy: guid maps to multiple distinct keys: "),
+                  col("__mid")))).otherwise(col("__max")).as("__mkey"))
           else pairs)
         case _ => None
       }

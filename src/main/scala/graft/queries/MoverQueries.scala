@@ -22,8 +22,12 @@ object MoverQueries {
   /** Stress hook: scales the fixture URI counts. The factor lands in
     * BOTH the Spark plan and the oracle SQL literal, so the oracle
     * compare holds at any scale; driver runs leave it unset (=1).
+    * Malformed or non-positive values fall back to 1 — this is a
+    * static initializer, and throwing here would take down every
+    * query in the run, not just the two mover fixtures.
     */
-  private val Scale = sys.env.getOrElse("GRAFT_STRESS_SCALE", "1").toInt
+  private val Scale = sys.env.get("GRAFT_STRESS_SCALE")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
   private val KfCap = 120 * Scale
   private val MoverCap = 80 * Scale
 

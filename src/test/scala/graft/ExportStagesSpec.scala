@@ -134,4 +134,25 @@ class ExportStagesSpec extends SparkSpecBase {
     out.select(col("`participant.guid`")).distinct().collect()
       .map(_.getString(0)).toSeq shouldBe Seq("")
   }
+
+  test("joinRy Dcc mode raises loudly when one guid maps to two keys") {
+    import graft.catalog.{ModelCatalog, PropDef}
+    // the model forbids this; the reference dict would silently keep
+    // the last occurrence — we refuse to pick a winner
+    val participant = strDf(Seq("guid", "participant_id"))(
+      Seq("g1", "P1"), Seq("g1", "P2"))
+    val sample = strDf(Seq("guid", "sample_id", "participant.guid"))(
+      Seq("sg1", "S1", "g1"))
+    val catalog = ModelCatalog(props = Seq(
+      PropDef("participant", "participant_id", "string", isKey = true,
+        required = false),
+      PropDef("sample", "sample_id", "string", isKey = true,
+        required = false)),
+      enums = Map.empty, edges = Seq.empty)
+    val out = ExportStages.joinRy(
+      Map("participant" -> participant, "sample" -> sample), catalog,
+      ExportStages.JoinRyMode.Dcc)("sample")
+    val e = intercept[Exception](out.collect())
+    e.getMessage should include("guid maps to multiple distinct keys")
+  }
 }

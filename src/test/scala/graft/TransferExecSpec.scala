@@ -83,6 +83,14 @@ class TransferExecSpec extends SparkSpecBase {
     store.listPrefix("s3://bkt/rel/f") should contain theSameElementsAs
       Seq("s3://bkt/rel/f1.txt", "s3://bkt/rel/f2.txt")
     store.listPrefix("s3://bkt/rel/f2") shouldBe Seq("s3://bkt/rel/f2.txt")
+    // trailing slash is part of the prefix: 'rel/' must not match a
+    // sibling 'relx/' key (boto3 Prefix= is a verbatim string)
+    Files.createDirectories(java.nio.file.Paths.get(root, "bkt", "relx"))
+    Files.write(java.nio.file.Paths.get(root, "bkt", "relx", "a.txt"), "a".getBytes)
+    store.listPrefix("s3://bkt/rel/") should contain theSameElementsAs
+      Seq("s3://bkt/rel/f1.txt", "s3://bkt/rel/f2.txt")
+    store.listPrefix("s3://bkt/rel") should contain theSameElementsAs
+      Seq("s3://bkt/rel/f1.txt", "s3://bkt/rel/f2.txt", "s3://bkt/relx/a.txt")
     // malformed / unmatched inputs degrade to empty, never throw
     store.listPrefix("s3://") shouldBe Seq.empty
     store.listPrefix("s3://no-such-bucket/x") shouldBe Seq.empty
