@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines
+  * (beyond-reference, north-star mandated): benchmark decontamination,
+  * PII scan/redaction, token-budget shard packing, and deterministic
+  * stratified sampling. Design notes for 100 TB:
+  *
+  *  - decontamination never self-joins the corpus: the benchmark
+  *    (eval-set) shingle dictionary is tiny by construction and ships
+  *    broadcast; the corpus side contributes one row per DISTINCT
+  *    (doc, shingle-hash) and aggregates to (doc, counts) — bytes
+  *    crossing the shuffle are ∝ ids + counts, never text;
+  *  - PII scan/redaction is a pure map pass (codegen'd regexp
+  *    expressions), zero shuffle;
+  *  - shard packing is the classic two-pass distributed prefix sum:
+  *    range-partition on the order key, per-partition totals (ONE row
+  *    per partition to the driver), exclusive offsets broadcast back,
+  *    per-partition running sum. A naive `sum over (order by ...)`
+  *    window would move the whole corpus to a single partition —
+  *    exactly the WindowExec "No Partition Defined" plan that cannot
+  *    survive 100 TB;
+  *  - stratified sampling is a deterministic map-side filter on an
+  *    md5-derived bucket (seedable, engine-portable, no RNG state, no
+  *    shuffle); re-running the pipeline reproduces the same sample.
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: for each corpus doc, the fraction of
+    * its distinct k-shingles that appear anywhere in the benchmark
+    * set (the standard n-gram-overlap eval-contamination check).
+    *
+    * Output: (idCol, n_shingles, n_overlap, overlap_ratio,
+    * contaminated). Docs with fewer than k tokens have zero shingles
+    * and ratio 0.0 — nothing to match on.
+    *
+    * The benchmark dictionary is `broadcast` by contract: eval sets
+    * are MBs against a 100 TB corpus. The only shuffles are the two
+    * (id, count) aggregations and the narrow id join that re-anchors
+    * zero-shingle docs.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double): DataFrame = {
+    val benchSet = benchmark
+      .select(explode(graft.expr.ShingleHashes.shingleHashes(col(textCol), k))
+        .as("__h"))
+      .distinct()
+      .withColumn("__in", lit(1))
+    val corpusShingles = corpus.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        graft.expr.ShingleHashes.shingleHashes(col(textCol), k))).as("__h"))
+    // one aggregation yields both counts: every corpus shingle row is
+    // tagged by a broadcast lookup, then count(*) vs count(tag)
+    val perDoc = corpusShingles
+      .join(broadcast(benchSet), Seq("__h"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__in")).as("n_overlap"))
+    corpus.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast("double") /
+            col("n_shingles").cast("double")))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
+  /** One PII pattern: output column suffix, regex (kept to the
+    * RE2-compatible subset — no backreferences or lookaround — so the
+    * same pattern string runs identically on Java regex and RE2-based
+    * engines), and replacement token.
+    */
+  final case class PiiPattern(name: String, regex: String, replacement: String)
+
+  /** The default scrub set: emails, NANP-style phone numbers, and
+    * long digit runs (account/record ids). Order matters — emails are
+    * redacted first so their digit-bearing local parts never
+    * double-match the id pattern.
+    */
+  val DefaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    PiiPattern("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    PiiPattern("id", "\\b\\d{6,}\\b", "<ID>"))
+
+  /** PII scan + redaction: per-pattern match counts (n_<name>) plus
+    * the text with every pattern replaced by its token, applied in
+    * pattern order. Pure map pass — counts come from the ORIGINAL
+    * text (a count never changes because an earlier replacement ate
+    * the match; the default order makes overlaps impossible anyway).
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+    val counts = patterns.map(p =>
+      size(regexp_extract_all(col(textCol), lit(p.regex), lit(0)))
+        .cast("bigint").as(s"n_${p.name}"))
+    val redacted = patterns.foldLeft(col(textCol)) { (c, p) =>
+      regexp_replace(c, lit(p.regex), lit(p.replacement))
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** Token-budget shard packing: documents in ascending `idCol` order
+    * are laid end-to-end and cut into shards of `budget` tokens —
+    * `shard_id = floor(exclusive_prefix_sum(weight) / budget)`, the
+    * deterministic budget-quantized packing a training-shard writer
+    * needs (consecutive docs land in the same shard until the budget
+    * rolls over; a shard never reorders its docs).
+    *
+    * Scale shape — two-pass distributed prefix sum:
+    *   1. range-partition by id + sort within partitions (ONE
+    *      shuffle), then pin the partitioning with a lineage cut so
+    *      both passes see identical partition boundaries (AQE may
+    *      otherwise re-plan the exchange between jobs);
+    *   2. per-partition totals: ONE (pid, sum) row per partition to
+    *      the driver — at 100 TB that is ~10^5 rows, not data;
+    *   3. exclusive offsets broadcast back; each partition streams its
+    *      rows once with a running sum.
+    * The global-window alternative collapses the corpus onto one
+    * partition; this shape never materializes more than a partition.
+    *
+    * Output: (idCol, n_tokens, token_start, shard_id), all bigint.
+    * Null weights count 0. `weight` must be non-negative for shard
+    * monotonicity (token counts always are).
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pinned = Checkpoints.cut(
+      df.select(col(idCol).cast("long").as("__id"),
+          coalesce(weight.cast("long"), lit(0L)).as("__w"))
+        .repartitionByRange(col("__id"))
+        .sortWithinPartitions("__id"),
+      eager = true).as[(Long, Long)]
+    val partTotals = pinned.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pid, s))
+    }.collect() // one row per partition, by design
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.sortBy(_._1).map { case (pid, s) =>
+        val o = pid -> acc; acc += s; o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    pinned.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cum = bc.value.getOrElse(pid, 0L)
+      it.map { case (id, w) =>
+        val start = cum
+        cum += w
+        (id, w, start, start / budget)
+      }
+    }.toDF(idCol, "n_tokens", "token_start", "shard_id")
+  }
+
+  /** Deterministic hash-stratified sampling: keep a row iff the first
+    * two hex digits of md5(idCol) sort below the stratum's threshold
+    * (rate ≈ parseHex(threshold)/256). md5-derived buckets make the
+    * sample reproducible across runs, engines, and cluster layouts —
+    * no RNG, no seed plumbing, and re-ingesting the corpus re-selects
+    * the same rows. Strata thresholds arrive as a static map and
+    * compile to a codegen'd CASE chain (a broadcast join would do for
+    * a dynamic config table); the whole op is a map-side filter.
+    *
+    * Output: the input row plus `bucket` (the 2-hex-digit stratum
+    * key). Threshold strings must be 2 lowercase hex digits; "00"
+    * keeps nothing, "ff" keeps ~99.6%.
+    */
+  def hashStratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val all = thresholds.values.toSeq :+ defaultThreshold
+    require(all.forall(_.matches("[0-9a-f]{2}")),
+      s"thresholds must be 2 lowercase hex digits, got $all")
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    val thr = thresholds.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (stratum, t)) =>
+        Some(acc.fold(when(col(strataCol) === stratum, lit(t)))(
+          _.when(col(strataCol) === stratum, lit(t))))
+      }
+      .fold(lit(defaultThreshold))(_.otherwise(lit(defaultThreshold)))
+    df.withColumn("bucket", bucket).filter(col("bucket") < thr)
+  }
+}

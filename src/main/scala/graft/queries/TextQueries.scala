@@ -400,6 +400,124 @@ object TextQueries {
         .orderBy(col("cluster_id"))
     },
 
+    // Benchmark decontamination: fraction of each corpus doc's distinct
+    // 3-shingles that appear in the benchmark set (doc_id % 13 == 0 is
+    // the eval-set fixture). The benchmark dictionary broadcasts; the
+    // corpus never self-joins.
+    Q("q138_decontaminate",
+      s"""WITH bs AS (
+         |  SELECT DISTINCT unnest(list_transform(sh, s -> md5(s))) AS h
+         |  FROM (SELECT ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 = 0)),
+         |cs AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(sh, s -> md5(s)))) AS h
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 <> 0)),
+         |agg AS (
+         |  SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(COUNT(b.h) AS BIGINT) AS n_overlap
+         |  FROM cs LEFT JOIN bs b ON cs.h = b.h GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN 0.0
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |  END AS overlap_ratio,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN FALSE
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |         >= 0.2
+         |  END AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminate(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0),
+          "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scan + redaction. The synthetic corpus is digit-free, so the
+    // fixture deterministically plants emails / phones / account ids
+    // from doc_id IDENTICALLY on both engines, then grades the real
+    // regex machinery (counts from original text, ordered redaction).
+    Q("q139_pii_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val idRun = "\\b\\d{6,}\\b"
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+         |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' acct ' ||
+         |    CAST(doc_id * 104729 + 1000000 AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$idRun')) AS BIGINT) AS n_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$idRun', '<ID>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, concat(lit(" acct "),
+          (col("doc_id") * 104729 + 1000000).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      CorpusOps.piiScan(aug, "doc_id", "text").orderBy(col("doc_id"))
+    },
+
+    // Token-budget shard packing: two-pass distributed prefix sum (the
+    // oracle's global window is exactly the single-partition plan the
+    // operator exists to avoid).
+    Q("q140_shard_pack",
+      s"""SELECT doc_id, n_tokens, token_start,
+         |  CAST(token_start // 10000 AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS token_start
+         |  FROM (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.packByTokenBudget(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), budget = 10000L)
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic hash-stratified sampling: md5-bucket filter with
+    // per-language rates (en downsampled, de/fr upweighted) — no RNG,
+    // reproducible across engines and cluster layouts.
+    Q("q141_stratified_sample",
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+         |  FROM documents)
+         |WHERE bucket < CASE lang WHEN 'en' THEN '18'
+         |  WHEN 'de' THEN '80' WHEN 'fr' THEN '80' ELSE '40' END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.hashStratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> "18", "de" -> "80", "fr" -> "80"), "40")
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>

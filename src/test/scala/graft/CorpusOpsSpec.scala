@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("decontaminate flags docs whose shingles overlap the benchmark") {
+    // k=2 shingles; doc 1 shares both its shingles with the benchmark,
+    // doc 2 shares none, doc 3 is too short to shingle at all
+    val corpus = Seq(
+      (1L, "a b c"),        // shingles: "a b", "b c" — both in benchmark
+      (2L, "x y z"),        // shingles: "x y", "y z" — neither
+      (3L, "solo")          // no 2-shingles
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(corpus, benchmark, "doc_id", "text",
+        k = 2, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getBoolean(4))).toSeq shouldBe Seq(
+      (1L, 2L, 2L, 1.0, true),
+      (2L, 2L, 0L, 0.0, false),
+      (3L, 0L, 0L, 0.0, false))
+  }
+
+  test("decontaminate counts distinct shingles once per doc") {
+    // "a b a b a b" has 4 bigram occurrences but only 2 distinct
+    val corpus = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val benchmark = Seq((9L, "a b x")).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(corpus, benchmark, "doc_id", "text", 2, 0.9)
+      .collect().head
+    r.getLong(1) shouldBe 2L   // distinct: "a b", "b a"
+    r.getLong(2) shouldBe 1L   // only "a b" is in the benchmark
+  }
+
+  test("piiScan counts and redacts in pattern order") {
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.com and 555-123-4567 ref 1234567"),
+      (2L, "clean text no pii"),
+      (3L, "two mails a@b.co c@d.org same id 999999 999999")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.piiScan(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4))).toSeq shouldBe Seq(
+      (1L, 1L, 1L, 1L, "mail <EMAIL> and <PHONE> ref <ID>"),
+      (2L, 0L, 0L, 0L, "clean text no pii"),
+      (3L, 2L, 0L, 2L, "two mails <EMAIL> <EMAIL> same id <ID> <ID>"))
+  }
+
+  test("piiScan does not double-count email digits as ids") {
+    val df = Seq((1L, "user123456@x.org")).toDF("doc_id", "text")
+    val r = CorpusOps.piiScan(df, "doc_id", "text").collect().head
+    r.getLong(1) shouldBe 1L               // one email
+    r.getLong(3) shouldBe 0L               // digits inside the local part
+    r.getString(4) shouldBe "<EMAIL>"
+  }
+
+  test("packByTokenBudget equals the sequential prefix sum at any partitioning") {
+    val weights = Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L, 4L, 6L, 10L)
+    val df = weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "w")
+      .repartition(7) // deliberately scrambled input partitioning
+    val out = CorpusOps.packByTokenBudget(df, "doc_id", col("w"), budget = 10L)
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    weights.zipWithIndex.foreach { case (w, i) =>
+      val r = out(i)
+      r.getLong(0) shouldBe i.toLong
+      r.getLong(1) shouldBe w
+      r.getLong(2) shouldBe cum
+      r.getLong(3) shouldBe cum / 10L
+      cum += w
+    }
+  }
+
+  test("packByTokenBudget handles null weights and empty input") {
+    val df = Seq((1L, Some(4L)), (2L, None), (3L, Some(8L)))
+      .toDF("doc_id", "w")
+    val out = CorpusOps.packByTokenBudget(df, "doc_id", col("w"), 5L)
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe Seq((1L, 4L, 0L, 0L), (2L, 0L, 4L, 0L), (3L, 8L, 4L, 0L))
+    CorpusOps.packByTokenBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", col("w"), 5L)
+      .count() shouldBe 0L
+  }
+
+  test("packByTokenBudget shard ids are monotone and budget-quantized") {
+    val df = (0L until 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "w")
+    val out = CorpusOps.packByTokenBudget(df, "doc_id", col("w"), 37L)
+      .orderBy("doc_id").collect()
+    val shards = out.map(_.getLong(3))
+    shards.zip(shards.tail).foreach { case (a, b) => b should be >= a }
+    out.foreach { r =>
+      r.getLong(3) shouldBe r.getLong(2) / 37L
+    }
+  }
+
+  test("hashStratifiedSample is deterministic and respects thresholds") {
+    val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val thr = Map("en" -> "20", "de" -> "c0")
+    val s1 = CorpusOps.hashStratifiedSample(df, "doc_id", "lang", thr, "40")
+    val s2 = CorpusOps.hashStratifiedSample(df, "doc_id", "lang", thr, "40")
+    val r1 = sortedRows(s1)
+    r1 shouldBe sortedRows(s2)
+    // every kept row's bucket is below its stratum threshold
+    s1.collect().foreach { r =>
+      val lim = if (r.getString(1) == "en") "20" else "c0"
+      assert(r.getString(2) < lim)
+    }
+    // 'de' at 3/4 rate keeps strictly more than 'en' at 1/8
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("de") should be > kept.getOrElse("en", 0L)
+  }
+
+  test("hashStratifiedSample falls back to the default threshold") {
+    val df = Seq((1L, "xx"), (2L, "xx")).toDF("doc_id", "lang")
+    // default ff keeps ~everything; default 00 keeps nothing
+    CorpusOps.hashStratifiedSample(df, "doc_id", "lang", Map.empty, "00")
+      .count() shouldBe 0L
+    CorpusOps.hashStratifiedSample(df, "doc_id", "lang", Map.empty, "ff")
+      .count() should be >= 1L
+    an[IllegalArgumentException] should be thrownBy
+      CorpusOps.hashStratifiedSample(df, "doc_id", "lang", Map("en" -> "ZZ"), "40")
+  }
+}
