@@ -163,6 +163,80 @@ object CorpusOps {
     }.toDF(idCol, "n_tokens", "token_start", "shard_id")
   }
 
+  /** Intra-document repetition metrics (the Gopher-style repetition
+    * filters): duplicate-token fraction, most-common-token fraction,
+    * and duplicate k-gram fraction, all per doc. Pure map pass — the
+    * token and shingle arrays are projected ONCE and shared (the
+    * higher-order functions run interpreted with no common
+    * subexpression elimination, so re-deriving them per metric would
+    * re-tokenize the text five times). The top-token count is an
+    * O(distinct × n) in-row scan — map-side compute that never
+    * shuffles; the explode+groupBy alternative trades that for a
+    * (doc, token) shuffle of the whole corpus.
+    *
+    * Fractions use the single-division form `(n - distinct) / n`
+    * (integer subtraction then one double division) so any engine
+    * computing the same formula gets the identical IEEE value.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val base = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"),
+      TextOps.shingles(col(textCol), k).as("__sh"))
+    val n = size(col("__toks")).cast("bigint")
+    val nd = size(array_distinct(col("__toks"))).cast("bigint")
+    val top = array_max(transform(array_distinct(col("__toks")),
+      t => size(filter(col("__toks"), x => x === t)))).cast("bigint")
+    val tTri = size(col("__sh")).cast("bigint")
+    val dTri = size(array_distinct(col("__sh"))).cast("bigint")
+    base.select(col(idCol),
+      n.as("n_tokens"),
+      when(n === 0, lit(0.0))
+        .otherwise((n - nd).cast("double") / n.cast("double"))
+        .as("dup_token_frac"),
+      when(n === 0, lit(0.0))
+        .otherwise(top.cast("double") / n.cast("double"))
+        .as("top_token_frac"),
+      when(tTri === 0, lit(0.0))
+        .otherwise((tTri - dTri).cast("double") / tTri.cast("double"))
+        .as("dup_kgram_frac"))
+  }
+
+  /** Mixture rebalancing: deterministically downsample over-represented
+    * strata so every stratum lands at most its uniform share
+    * (rate_s = min(1, total / (k · n_s))). The per-stratum rates are
+    * derived IN the plan — a strata-count aggregate (k rows) cross-
+    * joined with the global total, broadcast back onto the corpus —
+    * so there is no driver-side collect and no RNG: a row survives
+    * iff its 4-hex md5 bucket sorts below the stratum's quantized
+    * threshold `lpad(lower(hex(floor(rate · 65536))), 4, '0')`
+    * (rate ≥ 1 ⇒ sentinel "g", which sorts above every hex bucket —
+    * keep all). Re-running the pipeline reproduces the same sample.
+    *
+    * Output: the input rows that survive, plus `bucket` and the
+    * stratum `thr` threshold. Shuffle cost: the k-row aggregate;
+    * the corpus itself only streams through a broadcast-joined
+    * map filter.
+    */
+  def mixtureRebalance(df: DataFrame, idCol: String,
+      strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(sum("__n").as("__tot"),
+      count(lit(1)).as("__k"))
+    val rates = counts.crossJoin(totals)
+      .withColumn("__rate", col("__tot").cast("double") /
+        (col("__k").cast("double") * col("__n").cast("double")))
+      .select(col(strataCol),
+        when(col("__rate") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(col("__rate") * 65536).cast("long"))), 4, "0"))
+          .as("thr"))
+    df.withColumn("bucket",
+        substring(md5(col(idCol).cast("string").cast("binary")), 1, 4))
+      .join(broadcast(rates), Seq(strataCol))
+      .filter(col("bucket") < col("thr"))
+  }
+
   /** Deterministic hash-stratified sampling: keep a row iff the first
     * two hex digits of md5(idCol) sort below the stratum's threshold
     * (rate ≈ parseHex(threshold)/256). md5-derived buckets make the

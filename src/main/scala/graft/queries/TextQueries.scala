@@ -518,6 +518,60 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Intra-doc repetition metrics (Gopher-style filters): duplicate
+    // token / top-token / duplicate-trigram fractions, single-division
+    // (n - distinct) / n form so both engines compute identical IEEE
+    // doubles.
+    Q("q142_repetition_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) /
+         |    CAST(len(toks) AS DOUBLE) END AS dup_token_frac,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    CAST(list_max(list_transform(list_distinct(toks),
+         |      t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) /
+         |    CAST(len(toks) AS DOUBLE) END AS top_token_frac,
+         |  CASE WHEN len(sh) = 0 THEN 0.0 ELSE
+         |    CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) /
+         |    CAST(len(sh) AS DOUBLE) END AS dup_kgram_frac
+         |FROM (SELECT doc_id, $TOKS AS toks, ${shingleSql(TOKS)} AS sh
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Mixture rebalance: downsample over-represented languages to the
+    // uniform share (en is ~44% of the corpus). Rates derive in-plan
+    // from a k-row aggregate — no collect, no RNG; the survivor set is
+    // a deterministic md5-bucket filter.
+    Q("q143_mixture_rebalance",
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+         |             CAST(COUNT(*) AS BIGINT) AS k FROM c),
+         |r AS (SELECT lang,
+         |  CASE WHEN CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) *
+         |    CAST(n AS DOUBLE)) >= 1.0 THEN 'g'
+         |  ELSE lpad(lower(to_hex(CAST(floor(CAST(tot AS DOUBLE) /
+         |    (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)) * 65536)
+         |    AS BIGINT))), 4, '0') END AS thr
+         |  FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.lang, d.bucket, r.thr
+         |FROM (SELECT doc_id, lang,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+         |  FROM documents) d
+         |JOIN r ON d.lang = r.lang
+         |WHERE d.bucket < r.thr
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.mixtureRebalance(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>

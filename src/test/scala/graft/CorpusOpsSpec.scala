@@ -100,6 +100,40 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("repetitionStats computes dup/top/kgram fractions per doc") {
+    val df = Seq(
+      (1L, "a a a a"),       // 4 tokens, 1 distinct; trigrams: "a a a"×2, 1 distinct
+      (2L, "w x y z"),       // all distinct; trigrams "w x y","x y z" distinct
+      (3L, "hi")             // 1 token, no trigrams
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionStats(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))).toSeq shouldBe Seq(
+      (1L, 4L, 3.0 / 4, 1.0, 1.0 / 2),
+      (2L, 4L, 0.0, 1.0 / 4, 0.0),
+      (3L, 1L, 0.0, 1.0, 0.0))
+  }
+
+  test("mixtureRebalance caps over-represented strata at the uniform share") {
+    // 300 'big' vs 20 'small': uniform share = 160 each, so big gets
+    // rate 320/600 ≈ 0.533 and small keeps everything (rate >= 1)
+    val df = (0L until 320L)
+      .map(i => (i, if (i < 300) "big" else "small")).toDF("doc_id", "src")
+    val out = CorpusOps.mixtureRebalance(df, "doc_id", "src")
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small") shouldBe 20L                   // rate >= 1 keeps all
+    kept("big") should be < 300L                 // downsampled
+    kept("big").toDouble should be(300 * (320.0 / 600) +- 40)
+    // deterministic: identical on re-run
+    sortedRows(out) shouldBe sortedRows(
+      CorpusOps.mixtureRebalance(df, "doc_id", "src"))
+    // every surviving row's bucket is under its stratum threshold
+    out.collect().foreach(r => assert(
+      r.getString(r.fieldIndex("bucket")) < r.getString(r.fieldIndex("thr"))))
+  }
+
   test("hashStratifiedSample is deterministic and respects thresholds") {
     val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
