@@ -96,8 +96,11 @@ object CorpusOps {
     */
   def piiScan(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+    // null text scans as empty: zero counts and a null redaction beat
+    // null counts that a downstream sum would silently skip
+    val text = coalesce(col(textCol), lit(""))
     val counts = patterns.map(p =>
-      size(regexp_extract_all(col(textCol), lit(p.regex), lit(0)))
+      size(regexp_extract_all(text, lit(p.regex), lit(0)))
         .cast("bigint").as(s"n_${p.name}"))
     val redacted = patterns.foldLeft(col(textCol)) { (c, p) =>
       regexp_replace(c, lit(p.regex), lit(p.replacement))
@@ -126,7 +129,10 @@ object CorpusOps {
     *
     * Output: (idCol, n_tokens, token_start, shard_id), all bigint.
     * Null weights count 0. `weight` must be non-negative for shard
-    * monotonicity (token counts always are).
+    * monotonicity (token counts always are). `idCol` must be castable
+    * to long and non-null — a null id has no place in the total order
+    * and fails loudly at the encoder rather than landing in an
+    * arbitrary shard.
     */
   def packByTokenBudget(df: DataFrame, idCol: String, weight: Column,
       budget: Long): DataFrame = {
@@ -226,14 +232,18 @@ object CorpusOps {
     val rates = counts.crossJoin(totals)
       .withColumn("__rate", col("__tot").cast("double") /
         (col("__k").cast("double") * col("__n").cast("double")))
-      .select(col(strataCol),
+      .select(col(strataCol).as("__stratum"),
         when(col("__rate") >= 1.0, lit("g"))
           .otherwise(lpad(lower(hex(
             floor(col("__rate") * 65536).cast("long"))), 4, "0"))
           .as("thr"))
+    // null-safe stratum match: groupBy made null its own stratum, so
+    // the rate join must too — a plain equi-join would silently drop
+    // every null-stratum row
     df.withColumn("bucket",
         substring(md5(col(idCol).cast("string").cast("binary")), 1, 4))
-      .join(broadcast(rates), Seq(strataCol))
+      .join(broadcast(rates), col(strataCol) <=> col("__stratum"))
+      .drop("__stratum")
       .filter(col("bucket") < col("thr"))
   }
 

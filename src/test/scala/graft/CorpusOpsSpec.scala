@@ -134,6 +134,24 @@ class CorpusOpsSpec extends SparkSpecBase {
       r.getString(r.fieldIndex("bucket")) < r.getString(r.fieldIndex("thr"))))
   }
 
+  test("piiScan treats null text as empty for counts") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.piiScan(df, "doc_id", "text").orderBy("doc_id").collect()
+    out(0).getLong(1) shouldBe 0L
+    out(0).isNullAt(4) shouldBe true
+    out(1).getLong(1) shouldBe 1L
+  }
+
+  test("mixtureRebalance keeps null strata as their own stratum") {
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 90) "big" else null)).toDF("doc_id", "src")
+    val out = CorpusOps.mixtureRebalance(df, "doc_id", "src")
+    // the 10 null-stratum rows are UNDER-represented (rate >= 1): a
+    // null-dropping join would lose all of them
+    out.filter(col("src").isNull).count() shouldBe 10L
+  }
+
   test("hashStratifiedSample is deterministic and respects thresholds") {
     val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
