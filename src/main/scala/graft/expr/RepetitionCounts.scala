@@ -1,0 +1,101 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the five repetition counters behind the
+  * Gopher-style intra-doc filters — token count, distinct-token count,
+  * most-common-token count, k-gram total, distinct-k-gram count — in
+  * ONE pass over the text.
+  *
+  * Semantics match the composable higher-order form exactly (space
+  * tokenization with trailing empties kept, space-joined k-grams):
+  * `CorpusOpsSpec` proves native ≡ HOF. The composable form evaluates
+  * an O(distinct × n) interpreted `transform(filter(...))` scan plus
+  * two `array_distinct` passes per row; this hashes each token and
+  * k-gram once into reused maps inside whole-stage codegen — the
+  * difference is the map-side cost of repetition filtering at corpus
+  * scale.
+  */
+case class RepetitionCounts(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts requires (string, k >= 1), got (${child.dataType.catalogString}, $k)")
+
+  override def dataType: DataType = RepetitionCounts.schema
+  override def prettyName: String = "repetition_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionCounts.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.RepetitionCounts.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
+object RepetitionCounts {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("kgram_total", LongType, nullable = false),
+    StructField("kgram_distinct", LongType, nullable = false)))
+
+  /** Codegen entry point: UTF8String text -> InternalRow of 5 longs.
+    * Named `compute`, not `eval` — see [[FloatDot.compute]] on
+    * static-forwarder suppression.
+    */
+  def compute(text: UTF8String, k: Int): InternalRow = {
+    // -1 limit matches Spark's split(text, " "): trailing empty tokens kept
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Integer](Math.max(16, n * 2))
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(toks(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    val nk = n - k + 1
+    var kgramTotal = 0L
+    var kgramDistinct = 0L
+    if (nk > 0) {
+      kgramTotal = nk.toLong
+      val seen = new java.util.HashSet[String](Math.max(16, nk * 2))
+      val sb = new java.lang.StringBuilder()
+      var s = 0
+      while (s < nk) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(s + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        s += 1
+      }
+      kgramDistinct = seen.size.toLong
+    }
+    new GenericInternalRow(Array[Any](n.toLong, counts.size.toLong,
+      top.toLong, kgramTotal, kgramDistinct))
+  }
+
+  /** Column form. */
+  def repetitionCounts(text: Column, k: Int): Column =
+    ColumnBridge.column(RepetitionCounts(ColumnBridge.expression(text), k))
+}

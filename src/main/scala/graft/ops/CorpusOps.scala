@@ -171,14 +171,13 @@ object CorpusOps {
 
   /** Intra-document repetition metrics (the Gopher-style repetition
     * filters): duplicate-token fraction, most-common-token fraction,
-    * and duplicate k-gram fraction, all per doc. Pure map pass — the
-    * token and shingle arrays are projected ONCE and shared (the
-    * higher-order functions run interpreted with no common
-    * subexpression elimination, so re-deriving them per metric would
-    * re-tokenize the text five times). The top-token count is an
-    * O(distinct × n) in-row scan — map-side compute that never
-    * shuffles; the explode+groupBy alternative trades that for a
-    * (doc, token) shuffle of the whole corpus.
+    * and duplicate k-gram fraction, all per doc. One map pass over a
+    * native codegen expression (`expr/RepetitionCounts` — the
+    * composable HOF form runs interpreted with an O(distinct × n)
+    * scan per row and is 4-5× slower at 50k docs; kept below as the
+    * spec-verified reference). Zero shuffle; the explode+groupBy
+    * alternative would trade map-side compute for a (doc, token)
+    * shuffle of the whole corpus.
     *
     * Fractions use the single-division form `(n - distinct) / n`
     * (integer subtraction then one double division) so any engine
@@ -186,6 +185,33 @@ object CorpusOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    val base = df.select(col(idCol),
+      graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"))
+    val n = col("__rc.n_tokens")
+    val nd = col("__rc.n_distinct")
+    val top = col("__rc.top_count")
+    val tK = col("__rc.kgram_total")
+    val dK = col("__rc.kgram_distinct")
+    base.select(col(idCol),
+      n.as("n_tokens"),
+      when(n === 0, lit(0.0))
+        .otherwise((n - nd).cast("double") / n.cast("double"))
+        .as("dup_token_frac"),
+      when(n === 0, lit(0.0))
+        .otherwise(top.cast("double") / n.cast("double"))
+        .as("top_token_frac"),
+      when(tK === 0, lit(0.0))
+        .otherwise((tK - dK).cast("double") / tK.cast("double"))
+        .as("dup_kgram_frac"))
+  }
+
+  /** The composable higher-order-function form of [[repetitionStats]]
+    * — interpreted, array-materializing; kept as the semantic
+    * reference the native expression is spec-equivalence-tested
+    * against (the `DedupOps.simhash16` pattern).
+    */
+  def repetitionStatsComposable(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
     val base = df.select(col(idCol),
       TextOps.tokens(col(textCol)).as("__toks"),
       TextOps.shingles(col(textCol), k).as("__sh"))

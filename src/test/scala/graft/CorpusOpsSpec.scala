@@ -115,6 +115,29 @@ class CorpusOpsSpec extends SparkSpecBase {
       (3L, 1L, 0.0, 1.0, 0.0))
   }
 
+  test("native repetitionStats ≡ the composable HOF form, under codegen") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (1L, "a a a a"), (2L, "w x y z"), (3L, "hi"),
+        (4L, ""),                       // empty text = one empty token
+        (5L, "a  b"),                   // double space = empty mid token
+        (6L, "trailing space "),        // trailing empty token kept
+        (7L, "x y x y x y x y z")
+      ).toDF("doc_id", "text")
+      sortedRows(CorpusOps.repetitionStats(df, "doc_id", "text", 3)) shouldBe
+        sortedRows(CorpusOps.repetitionStatsComposable(df, "doc_id", "text", 3))
+      sortedRows(CorpusOps.repetitionStats(df, "doc_id", "text", 2)) shouldBe
+        sortedRows(CorpusOps.repetitionStatsComposable(df, "doc_id", "text", 2))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("mixtureRebalance caps over-represented strata at the uniform share") {
     // 300 'big' vs 20 'small': uniform share = 160 each, so big gets
     // rate 320/600 ≈ 0.533 and small keeps everything (rate >= 1)
