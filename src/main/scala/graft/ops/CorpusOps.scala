@@ -95,7 +95,8 @@ object CorpusOps {
     * the match; the default order makes overlaps impossible anyway).
     */
   def piiScan(df: DataFrame, idCol: String, textCol: String,
-      patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+      patterns: Seq[PiiPattern] = DefaultPiiPatterns,
+      keep: Seq[String] = Nil): DataFrame = {
     // null text scans as empty: zero counts and a null redaction beat
     // null counts that a downstream sum would silently skip
     val text = coalesce(col(textCol), lit(""))
@@ -105,7 +106,8 @@ object CorpusOps {
     val redacted = patterns.foldLeft(col(textCol)) { (c, p) =>
       regexp_replace(c, lit(p.regex), lit(p.replacement))
     }
-    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+    df.select(col(idCol) +: keep.map(col) ++: counts :+
+      redacted.as("redacted"): _*)
   }
 
   /** Token-budget shard packing: documents in ascending `idCol` order

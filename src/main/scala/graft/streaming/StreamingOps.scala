@@ -124,6 +124,25 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("new_id", "corpus_id"))
 
+  /** Streaming corpus scrub: deterministic stratified sampling +
+    * PII redaction on arriving documents — entirely STATELESS (both
+    * stages are pure map passes: the md5-bucket sample filter and the
+    * codegen'd regexp scan), so there is no watermark, no state store,
+    * and no retention concern on unbounded ingest; the same call runs
+    * identically on a batch frame (spec proves stream ≡ batch, and
+    * that the running query reports zero state operators). Sampling
+    * runs FIRST so redaction cost is only paid for survivors.
+    */
+  def scrubArrivals(stream: DataFrame, idCol: String, textCol: String,
+      strataCol: String, thresholds: Map[String, String],
+      defaultThreshold: String,
+      patterns: Seq[graft.ops.CorpusOps.PiiPattern] =
+        graft.ops.CorpusOps.DefaultPiiPatterns): DataFrame =
+    graft.ops.CorpusOps.piiScan(
+      graft.ops.CorpusOps.hashStratifiedSample(
+        stream, idCol, strataCol, thresholds, defaultThreshold),
+      idCol, textCol, patterns, keep = Seq(strataCol, "bucket"))
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

@@ -173,6 +173,47 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scrubArrivals ≡ batch scrub and runs stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "en", "mail a@b.co and 555-123-4567"),
+      (2L, "de", "ref 1234567 nothing else"),
+      (3L, "en", "clean"), (4L, "de", "also clean"),
+      (5L, "fr", "x@y.org")) ++ (6L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"doc $i body"))
+    val thr = Map("en" -> "80", "de" -> "c0")
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.scrubArrivals(
+        in.toDF().toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", thr, "40")
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(10).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      // stateless: no state operators ever appear in progress
+      Option(q.lastProgress).foreach(_.stateOperators shouldBe empty)
+      val streamed = spark.table("scrubbed")
+      val batch = StreamingOps.scrubArrivals(
+        rows.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
+        thr, "40")
+      sortedRows(streamed) shouldBe sortedRows(batch)
+      // the scrub actually did both jobs: survivors carry the scrub
+      // schema (stratum + bucket + counts + redaction) and the sample
+      // dropped someone
+      streamed.columns.toSeq shouldBe Seq("doc_id", "lang", "bucket",
+        "n_email", "n_phone", "n_id", "redacted")
+      streamed.count() should be < rows.length.toLong
+      // no survivor's redaction still contains a raw email/phone/id
+      batch.collect().foreach { r =>
+        val red = r.getString(r.fieldIndex("redacted"))
+        red should not include "@b.co"
+        red should not include "555-123-4567"
+        red should not include "1234567"
+      }
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
