@@ -207,6 +207,60 @@ object CorpusOps {
         .as("dup_kgram_frac"))
   }
 
+  /** Gopher/C4-style quality-gate cascade: every rule evaluates on the
+    * same one-pass feature set (`expr/RepetitionCounts` + text length
+    * — fully codegen, zero shuffle), failed rule names join into a
+    * `;`-separated `reasons` string in FIXED cascade order, and
+    * `passed` is simply `reasons = ''` (one source of truth). Mean
+    * token length is derived exactly as `(chars − (n−1)) / n` — the
+    * separators of an n-token single-space split — so no second
+    * tokenization pass is needed, and every fraction uses the same
+    * single-division form as [[repetitionStats]] for IEEE-identical
+    * doubles on any engine.
+    *
+    * A null text fails with reason `null_text` rather than sailing
+    * through a null-skipping cascade.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3,
+      minTokens: Long = 20, maxTokens: Long = 1000000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 5.0,
+      maxDupTokenFrac: Double = 0.6, maxTopTokenFrac: Double = 0.2,
+      maxDupKgramFrac: Double = 0.3): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+      graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"))
+    val n = col("__rc.n_tokens")
+    val nd = col("__rc.n_distinct")
+    val top = col("__rc.top_count")
+    val tK = col("__rc.kgram_total")
+    val dK = col("__rc.kgram_distinct")
+    val mtl = (length(col("__t")).cast("bigint") - (n - 1)).cast("double") /
+      n.cast("double")
+    val dupF = (n - nd).cast("double") / n.cast("double")
+    val topF = top.cast("double") / n.cast("double")
+    val dkF = when(tK === 0, lit(0.0))
+      .otherwise((tK - dK).cast("double") / tK.cast("double"))
+    val rules: Seq[(String, Column)] = Seq(
+      "null_text" -> col("__t").isNull,
+      "too_few_tokens" -> (n < minTokens),
+      "too_many_tokens" -> (n > maxTokens),
+      "mean_token_len_low" -> (mtl < minMeanLen),
+      "mean_token_len_high" -> (mtl > maxMeanLen),
+      "dup_tokens" -> (dupF > maxDupTokenFrac),
+      "top_token" -> (topF > maxTopTokenFrac),
+      "dup_kgrams" -> (dkF > maxDupKgramFrac))
+    // concat_ws skips nulls, so each rule contributes its name iff it
+    // fired — the cascade order is the output order
+    val reasons = concat_ws(";",
+      rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
+    base.select(col(idCol),
+      n.as("n_tokens"), mtl.as("mean_token_len"),
+      dupF.as("dup_token_frac"), topF.as("top_token_frac"),
+      dkF.as("dup_kgram_frac"),
+      reasons.as("reasons"))
+      .withColumn("passed", col("reasons") === "")
+  }
+
   /** The composable higher-order-function form of [[repetitionStats]]
     * — interpreted, array-materializing; kept as the semantic
     * reference the native expression is spec-equivalence-tested

@@ -572,6 +572,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-gate cascade (Gopher/C4-style): every rule on one map
+    // pass of features, failed names ;-joined in cascade order,
+    // passed = empty reasons. Threshold mix chosen to split the
+    // synthetic corpus (n p10≈21, dup median≈0.54, mtl 3.7-5.3).
+    Q("q144_quality_gate",
+      s"""SELECT doc_id, n AS n_tokens, mtl AS mean_token_len,
+         |  dupf AS dup_token_frac, topf AS top_token_frac,
+         |  dkf AS dup_kgram_frac, reasons, reasons = '' AS passed
+         |FROM (
+         |  SELECT doc_id, n, mtl, dupf, topf, dkf, concat_ws(';',
+         |    CASE WHEN n < 20 THEN 'too_few_tokens' END,
+         |    CASE WHEN n > 1000000 THEN 'too_many_tokens' END,
+         |    CASE WHEN mtl < 3.0 THEN 'mean_token_len_low' END,
+         |    CASE WHEN mtl > 5.0 THEN 'mean_token_len_high' END,
+         |    CASE WHEN dupf > 0.6 THEN 'dup_tokens' END,
+         |    CASE WHEN topf > 0.2 THEN 'top_token' END,
+         |    CASE WHEN dkf > 0.3 THEN 'dup_kgrams' END) AS reasons
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS BIGINT) AS n,
+         |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS mtl,
+         |      CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS dupf,
+         |      CAST(list_max(list_transform(list_distinct(toks),
+         |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS topf,
+         |      CASE WHEN len(sh) = 0 THEN 0.0 ELSE
+         |        CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) /
+         |        CAST(len(sh) AS DOUBLE) END AS dkf
+         |    FROM (SELECT doc_id, text, $TOKS AS toks,
+         |          ${shingleSql(TOKS)} AS sh FROM documents)))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.qualityGate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>

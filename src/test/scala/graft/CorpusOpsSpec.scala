@@ -138,6 +138,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("qualityGate joins failed rules in cascade order, passes clean docs") {
+    val df = Seq(
+      (1L, ("word " * 30).trim),                    // 30 tokens of "word": dup + top
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" ")), // clean
+      (3L, "short doc"),                            // too few tokens
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.qualityGate(df, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "reasons", "passed").collect()
+    out.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq(
+      (1L, "dup_tokens;top_token;dup_kgrams"),
+      (2L, ""),
+      (3L, "too_few_tokens;top_token"),
+      (4L, "null_text"))
+    out.map(_.getBoolean(2)).toSeq shouldBe Seq(false, true, false, false)
+  }
+
   test("mixtureRebalance caps over-represented strata at the uniform share") {
     // 300 'big' vs 20 'small': uniform share = 160 each, so big gets
     // rate 320/600 ≈ 0.533 and small keeps everything (rate >= 1)
