@@ -185,26 +185,40 @@ object CorpusOps {
     * (integer subtraction then one double division) so any engine
     * computing the same formula gets the identical IEEE value.
     */
+  /** The three repetition fractions off a `RepetitionCounts` struct
+    * column — ONE definition shared by [[repetitionStats]] and
+    * [[qualityGate]] so the single-division IEEE-exact form can never
+    * desynchronize between their oracles. (The composable HOF twin
+    * below deliberately re-derives them from scratch: it is the
+    * independent reference the native path is equivalence-tested
+    * against.) The n = 0 guard is unreachable for non-null text
+    * (split always yields >= 1 token) but kept so the formulas are
+    * total.
+    */
+  private def repetitionFractions(rc: Column): (Column, Column, Column) = {
+    val n = rc.getField("n_tokens")
+    val nd = rc.getField("n_distinct")
+    val top = rc.getField("top_count")
+    val tK = rc.getField("kgram_total")
+    val dK = rc.getField("kgram_distinct")
+    (when(n === 0, lit(0.0))
+       .otherwise((n - nd).cast("double") / n.cast("double")),
+     when(n === 0, lit(0.0))
+       .otherwise(top.cast("double") / n.cast("double")),
+     when(tK === 0, lit(0.0))
+       .otherwise((tK - dK).cast("double") / tK.cast("double")))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val base = df.select(col(idCol),
       graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"))
-    val n = col("__rc.n_tokens")
-    val nd = col("__rc.n_distinct")
-    val top = col("__rc.top_count")
-    val tK = col("__rc.kgram_total")
-    val dK = col("__rc.kgram_distinct")
+    val (dupF, topF, dkF) = repetitionFractions(col("__rc"))
     base.select(col(idCol),
-      n.as("n_tokens"),
-      when(n === 0, lit(0.0))
-        .otherwise((n - nd).cast("double") / n.cast("double"))
-        .as("dup_token_frac"),
-      when(n === 0, lit(0.0))
-        .otherwise(top.cast("double") / n.cast("double"))
-        .as("top_token_frac"),
-      when(tK === 0, lit(0.0))
-        .otherwise((tK - dK).cast("double") / tK.cast("double"))
-        .as("dup_kgram_frac"))
+      col("__rc.n_tokens").as("n_tokens"),
+      dupF.as("dup_token_frac"),
+      topF.as("top_token_frac"),
+      dkF.as("dup_kgram_frac"))
   }
 
   /** Gopher/C4-style quality-gate cascade: every rule evaluates on the
@@ -230,16 +244,9 @@ object CorpusOps {
     val base = df.select(col(idCol), col(textCol).as("__t"),
       graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"))
     val n = col("__rc.n_tokens")
-    val nd = col("__rc.n_distinct")
-    val top = col("__rc.top_count")
-    val tK = col("__rc.kgram_total")
-    val dK = col("__rc.kgram_distinct")
     val mtl = (length(col("__t")).cast("bigint") - (n - 1)).cast("double") /
       n.cast("double")
-    val dupF = (n - nd).cast("double") / n.cast("double")
-    val topF = top.cast("double") / n.cast("double")
-    val dkF = when(tK === 0, lit(0.0))
-      .otherwise((tK - dK).cast("double") / tK.cast("double"))
+    val (dupF, topF, dkF) = repetitionFractions(col("__rc"))
     val rules: Seq[(String, Column)] = Seq(
       "null_text" -> col("__t").isNull,
       "too_few_tokens" -> (n < minTokens),

@@ -562,7 +562,7 @@ object TextQueries {
          |FROM (SELECT doc_id, lang,
          |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
          |  FROM documents) d
-         |JOIN r ON d.lang = r.lang
+         |JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
          |WHERE d.bucket < r.thr
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.mixtureRebalance(
@@ -582,6 +582,7 @@ object TextQueries {
          |  dkf AS dup_kgram_frac, reasons, reasons = '' AS passed
          |FROM (
          |  SELECT doc_id, n, mtl, dupf, topf, dkf, concat_ws(';',
+         |    CASE WHEN text IS NULL THEN 'null_text' END,
          |    CASE WHEN n < 20 THEN 'too_few_tokens' END,
          |    CASE WHEN n > 1000000 THEN 'too_many_tokens' END,
          |    CASE WHEN mtl < 3.0 THEN 'mean_token_len_low' END,
@@ -590,7 +591,7 @@ object TextQueries {
          |    CASE WHEN topf > 0.2 THEN 'top_token' END,
          |    CASE WHEN dkf > 0.3 THEN 'dup_kgrams' END) AS reasons
          |  FROM (
-         |    SELECT doc_id,
+         |    SELECT doc_id, text,
          |      CAST(len(toks) AS BIGINT) AS n,
          |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) /
          |        CAST(len(toks) AS DOUBLE) AS mtl,

@@ -176,10 +176,14 @@ class StreamingOpsSpec extends SparkSpecBase {
   test("scrubArrivals ≡ batch scrub and runs stateless") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
+    // doc 4's bucket (md5("4") = a87f...) survives de's c0 threshold,
+    // so at least one PII-bearing doc reaches the redaction stage —
+    // without that the redaction assertions only ever see clean docs
     val rows = Seq(
       (1L, "en", "mail a@b.co and 555-123-4567"),
       (2L, "de", "ref 1234567 nothing else"),
-      (3L, "en", "clean"), (4L, "de", "also clean"),
+      (3L, "en", "clean"),
+      (4L, "de", "mail keep.me@survivor.org and 555-123-4567 ref 7654321"),
       (5L, "fr", "x@y.org")) ++ (6L until 40L).map(i =>
       (i, if (i % 2 == 0) "en" else "de", s"doc $i body"))
     val thr = Map("en" -> "80", "de" -> "c0")
@@ -191,8 +195,10 @@ class StreamingOpsSpec extends SparkSpecBase {
       .outputMode(OutputMode.Append).start()
     try {
       rows.grouped(10).foreach { g => in.addData(g: _*); q.processAllAvailable() }
-      // stateless: no state operators ever appear in progress
-      Option(q.lastProgress).foreach(_.stateOperators shouldBe empty)
+      // stateless: no state operators ever appear in progress (a null
+      // lastProgress would skip the check silently — fail instead)
+      q.lastProgress should not be null
+      q.recentProgress.foreach(_.stateOperators shouldBe empty)
       val streamed = spark.table("scrubbed")
       val batch = StreamingOps.scrubArrivals(
         rows.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
@@ -204,12 +210,22 @@ class StreamingOpsSpec extends SparkSpecBase {
       streamed.columns.toSeq shouldBe Seq("doc_id", "lang", "bucket",
         "n_email", "n_phone", "n_id", "redacted")
       streamed.count() should be < rows.length.toLong
-      // no survivor's redaction still contains a raw email/phone/id
+      // doc 4 survived AND was redacted — positive proof the scrub's
+      // second stage ran on a PII-bearing doc
+      val doc4 = streamed.filter(col("doc_id") === 4L).collect()
+      doc4 should have length 1
+      doc4.head.getLong(doc4.head.fieldIndex("n_email")) shouldBe 1L
+      doc4.head.getLong(doc4.head.fieldIndex("n_phone")) shouldBe 1L
+      doc4.head.getLong(doc4.head.fieldIndex("n_id")) shouldBe 1L
+      doc4.head.getString(doc4.head.fieldIndex("redacted")) shouldBe
+        "mail <EMAIL> and <PHONE> ref <ID>"
+      // and no survivor's redaction still contains a raw email/phone/id
       batch.collect().foreach { r =>
         val red = r.getString(r.fieldIndex("redacted"))
         red should not include "@b.co"
+        red should not include "survivor.org"
         red should not include "555-123-4567"
-        red should not include "1234567"
+        red should not include "7654321"
       }
     } finally q.stop()
   }
