@@ -610,6 +610,85 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The round-7 corpus-prep stages composed as ONE lazy DAG:
+    // quality gate -> benchmark decontamination -> exact dedup ->
+    // token-budget shard pack. Complements q137 (which grades the
+    // near-dup/ANN chain); here the oracle replays every stage
+    // declaratively, with the gate folded to a single NOT(fail...)
+    // predicate (= reasons = '').
+    Q("q145_prep_pipeline",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |                WHERE doc_id % 13 <> 0),
+         |qg AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(toks) AS BIGINT) AS n,
+         |      CAST(length(text) - (len(toks) - 1) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS mtl,
+         |      CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS dupf,
+         |      CAST(list_max(list_transform(list_distinct(toks),
+         |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) /
+         |        CAST(len(toks) AS DOUBLE) AS topf,
+         |      CASE WHEN len(sh) = 0 THEN 0.0 ELSE
+         |        CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) /
+         |        CAST(len(sh) AS DOUBLE) END AS dkf
+         |    FROM (SELECT doc_id, text, $TOKS AS toks,
+         |          ${shingleSql(TOKS)} AS sh FROM corpus))
+         |  WHERE NOT (n < 20 OR n > 1000000 OR mtl < 3.0 OR mtl > 5.0
+         |    OR dupf > 0.6 OR topf > 0.2 OR dkf > 0.3)),
+         |s1 AS (SELECT c.doc_id, c.text FROM corpus c
+         |       JOIN qg ON c.doc_id = qg.doc_id),
+         |bs AS (
+         |  SELECT DISTINCT unnest(list_transform(sh, s -> md5(s))) AS h
+         |  FROM (SELECT ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 = 0)),
+         |cs AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(sh, s -> md5(s)))) AS h
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM s1)),
+         |agg AS (
+         |  SELECT cs.doc_id, COUNT(*) AS ns, COUNT(b.h) AS nov
+         |  FROM cs LEFT JOIN bs b ON cs.h = b.h GROUP BY 1),
+         |dec AS (
+         |  SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN agg a
+         |    ON s1.doc_id = a.doc_id
+         |  WHERE NOT (CASE WHEN COALESCE(a.ns, 0) = 0 THEN 0.0
+         |    ELSE CAST(a.nov AS DOUBLE) / CAST(a.ns AS DOUBLE) END >= 0.2)),
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM dec),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |s3 AS (SELECT d.doc_id, d.text FROM dec d
+         |       JOIN keep k ON d.doc_id = k.doc_id)
+         |SELECT doc_id, n_tokens, token_start,
+         |  CAST(token_start // 5000 AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS token_start
+         |  FROM (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |        FROM s3))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+      val qg = CorpusOps.qualityGate(corpus, "doc_id", "text")
+        .filter(col("passed")).select("doc_id")
+      val s1 = corpus.join(qg, Seq("doc_id"), "left_semi")
+      val clean = CorpusOps.decontaminate(s1, bench, "doc_id", "text", 3, 0.2)
+        .filter(!col("contaminated")).select("doc_id")
+      val s2 = s1.join(clean, Seq("doc_id"), "left_semi")
+      val keep = DedupOps.exactDedup(s2, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val s3 = s2.join(keep, Seq("doc_id"), "left_semi")
+      CorpusOps.packByTokenBudget(s3, "doc_id",
+          TextOps.tokenCount(col("text")), budget = 5000L)
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash bucketing: 16-bit engine-portable signature, bucket sizes.
     Q("q50_simhash_buckets", {
       val bits = (1 to 16).map(i =>
