@@ -323,3 +323,58 @@ object KfUrlProps extends SparkProperties("kf-url") {
         row.getString(2) == s"moved/$k"
     }
 }
+
+object CorpusProps extends SparkProperties("corpus") {
+  import spark.implicits._
+  import graft.ops.CorpusOps
+
+  private val weights: Gen[List[Long]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 50L)))
+
+  property("packByTokenBudget = the sequential prefix sum, any partitioning") =
+    forAll(weights, Gen.chooseNum(1L, 100L), Gen.chooseNum(1, 9)) {
+      (ws, budget, parts) =>
+        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "w").repartition(parts)
+        val got = CorpusOps.packByTokenBudget(df, "id", col("w"), budget)
+          .orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val want = ws.zipWithIndex.scanLeft((0L, 0L, 0L, 0L)) {
+          case ((_, _, s, _), (w, i)) =>
+            (i.toLong, w, s + w, 0L)
+        }.tail.map { case (i, w, end, _) =>
+          (i, w, end - w, (end - w) / budget)
+        }
+        got.toSeq == want
+    }
+
+  private val text: Gen[String] = Gen.chooseNum(0, 10).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("a", "bb", "a a", "", " ", "x y"))).map(_.mkString(" "))
+
+  property("native repetition counters = composable HOF form") =
+    forAll(text, Gen.chooseNum(1, 4)) { (t, k) =>
+      val df = Seq((1L, t)).toDF("id", "text")
+      sortedRowsEq(
+        CorpusOps.repetitionStats(df, "id", "text", k),
+        CorpusOps.repetitionStatsComposable(df, "id", "text", k))
+    }
+
+  private def sortedRowsEq(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean = {
+    val ra = a.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val rb = b.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    ra == rb
+  }
+
+  property("hashStratifiedSample is monotone in the threshold") =
+    forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)) { (t1, t2) =>
+      val lo = f"${math.min(t1, t2)}%02x"
+      val hi = f"${math.max(t1, t2)}%02x"
+      val df = (0L until 60L).map(i => (i, "s")).toDF("id", "strata")
+      val small = CorpusOps.hashStratifiedSample(df, "id", "strata",
+        Map("s" -> lo), "00").select("id").as[Long].collect().toSet
+      val big = CorpusOps.hashStratifiedSample(df, "id", "strata",
+        Map("s" -> hi), "00").select("id").as[Long].collect().toSet
+      small.subsetOf(big)
+    }
+}
