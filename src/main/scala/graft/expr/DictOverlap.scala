@@ -1,0 +1,89 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: given an array of strings and a fixed
+  * dictionary, count the array's DISTINCT elements and how many of
+  * them the dictionary contains, in one pass.
+  *
+  * The dictionary rides as a codegen reference object — one probe set
+  * per executor JVM, never serialized into the plan string (a literal
+  * `isin`/`array_intersect` against a multi-MB eval dictionary would
+  * bloat the plan and re-materialize the array per row). This is the
+  * map-side half of benchmark decontamination: with it the overlap
+  * ratio needs NO per-doc aggregation, which is what makes the
+  * STREAMING form stateless — a stream-side groupBy per doc would
+  * hold every doc's state forever.
+  */
+case class DictOverlap(child: Expression, dict: DictOverlap.Dict)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dict_overlap requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DictOverlap.schema
+  override def prettyName: String = "dict_overlap"
+
+  override def nullSafeEval(input: Any): Any =
+    DictOverlap.compute(input.asInstanceOf[ArrayData], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("dict", dict, classOf[DictOverlap.Dict].getName)
+    defineCodeGen(ctx, ev, c => s"graft.expr.DictOverlap.compute($c, $dictRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DictOverlap =
+    copy(child = newChild)
+}
+
+object DictOverlap {
+
+  /** The probe set, pre-converted to UTF8String so row values hash
+    * straight into it without per-row string decoding. Built once on
+    * the driver (eval dictionaries are MBs by contract) and shipped as
+    * a task-broadcast reference object.
+    */
+  final class Dict(strings: Iterable[String]) extends Serializable {
+    val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](Math.max(16, strings.size * 2))
+      strings.foreach(v => s.add(UTF8String.fromString(v)))
+      s
+    }
+    def size: Int = set.size
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_overlap", LongType, nullable = false)))
+
+  /** Codegen entry point. Named `compute`, not `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression.
+    */
+  def compute(arr: ArrayData, dict: Dict): InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
+    var overlap = 0L
+    var i = 0
+    while (i < n) {
+      val v = arr.getUTF8String(i)
+      if (v != null && seen.add(v) && dict.set.contains(v)) overlap += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen.size.toLong, overlap))
+  }
+
+  /** Column form. */
+  def dictOverlap(arr: Column, dict: Dict): Column =
+    ColumnBridge.column(DictOverlap(ColumnBridge.expression(arr), dict))
+}

@@ -70,6 +70,43 @@ object CorpusOps {
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
   }
 
+  /** Driver-side benchmark dictionary: the distinct shingle-hash set
+    * of an eval corpus, collected once (eval sets are MBs against a
+    * 100 TB corpus — the same driver-sized-catalog contract as
+    * centroids and mappings). Feed to [[decontaminateMapSide]] /
+    * `StreamingOps.decontaminateArrivals`.
+    */
+  def benchmarkDict(benchmark: DataFrame, textCol: String,
+      k: Int): graft.expr.DictOverlap.Dict =
+    new graft.expr.DictOverlap.Dict(
+      benchmark.select(explode(
+          graft.expr.ShingleHashes.shingleHashes(col(textCol), k)).as("__h"))
+        .distinct().collect().map(_.getString(0)))
+
+  /** Map-side benchmark decontamination: same output contract as
+    * [[decontaminate]] (spec-equivalence-tested), but the overlap is
+    * counted per row by the native `expr/DictOverlap` against the
+    * pre-built dictionary — ZERO shuffle, no per-doc aggregation.
+    * This is the shape the STREAMING form needs (a stream-side
+    * groupBy per doc would hold unbounded state) and the faster batch
+    * path whenever the dictionary is already on the driver.
+    */
+  def decontaminateMapSide(corpus: DataFrame,
+      dict: graft.expr.DictOverlap.Dict, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val ov = graft.expr.DictOverlap.dictOverlap(
+      graft.expr.ShingleHashes.shingleHashes(col(textCol), k), dict)
+    corpus.select(col(idCol), ov.as("__ov"))
+      .select(col(idCol),
+        col("__ov.n_distinct").as("n_shingles"),
+        col("__ov.n_overlap").as("n_overlap"))
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast("double") /
+            col("n_shingles").cast("double")))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
   /** One PII pattern: output column suffix, regex (kept to the
     * RE2-compatible subset — no backreferences or lookaround — so the
     * same pattern string runs identically on Java regex and RE2-based

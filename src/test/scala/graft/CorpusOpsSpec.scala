@@ -36,6 +36,27 @@ class CorpusOpsSpec extends SparkSpecBase {
     r.getLong(2) shouldBe 1L   // only "a b" is in the benchmark
   }
 
+  test("decontaminateMapSide ≡ decontaminate, under codegen") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val corpus = Seq((1L, "a b c"), (2L, "x y z"), (3L, "solo"),
+        (4L, "a b a b a b"), (5L, "c d e f g")).toDF("doc_id", "text")
+      val benchmark = Seq((10L, "a b c d")).toDF("doc_id", "text")
+      val dict = CorpusOps.benchmarkDict(benchmark, "text", 2)
+      dict.size shouldBe 3 // "a b", "b c", "c d"
+      sortedRows(CorpusOps.decontaminateMapSide(corpus, dict,
+        "doc_id", "text", 2, 0.5)) shouldBe
+        sortedRows(CorpusOps.decontaminate(corpus, benchmark,
+          "doc_id", "text", 2, 0.5))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("piiScan counts and redacts in pattern order") {
     val df = Seq(
       (1L, "mail bob.smith@corp.example.com and 555-123-4567 ref 1234567"),

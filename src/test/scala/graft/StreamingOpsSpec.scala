@@ -230,6 +230,37 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("decontaminateArrivals ≡ batch map-side decontamination, stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val dict = graft.ops.CorpusOps.benchmarkDict(benchmark, "text", 3)
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // overlaps heavily
+      (2L, "zeta eta theta iota kappa"),      // no overlap
+      (3L, "so")                              // no shingles
+    ) ++ (4L until 20L).map(i => (i, s"filler doc number $i words"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontaminateArrivals(
+        in.toDF().toDF("doc_id", "text"), dict, "doc_id", "text", 3, 0.5)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(7).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      q.lastProgress should not be null
+      q.recentProgress.foreach(_.stateOperators shouldBe empty)
+      val streamed = spark.table("decon_stream")
+      val batch = graft.ops.CorpusOps.decontaminateMapSide(
+        rows.toDF("doc_id", "text"), dict, "doc_id", "text", 3, 0.5)
+      sortedRows(streamed) shouldBe sortedRows(batch)
+      val byId = streamed.collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+      byId(1L) shouldBe ((2L, true))  // "alpha beta gamma","beta gamma delta"
+      byId(2L) shouldBe ((0L, false))
+      byId(3L) shouldBe ((0L, false))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
