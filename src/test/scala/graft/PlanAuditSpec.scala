@@ -85,6 +85,31 @@ class PlanAuditSpec extends SparkSpecBase {
     plan should include regex "WindowGroupLimit.*Final"
   }
 
+  test("the shard pack plans the two-pass prefix sum — no window operator") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the declarative alternative (sum over a global ORDER BY) would
+    // plan a single-partition WindowExec — the shape that cannot
+    // survive 100 TB; the operator must show mapPartitions over the
+    // pinned range-partitioned scan instead
+    val plan = SparkEntry.queries("q140_shard_pack")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("MapPartitions")
+  }
+
+  test("map-side decontamination shuffles only for its output order") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the dict-overlap path counts per row against the broadcast
+    // dictionary: no join, no aggregation — the ONLY exchange in the
+    // plan is the final ORDER BY's range partitioning
+    val plan = SparkEntry.queries("q146_decontaminate_mapside")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(plan).length shouldBe 1
+    plan should include("Exchange rangepartitioning")
+    plan should not include "HashAggregate"
+    plan should not include "Join"
+  }
+
   test("studyStatsWide with explicit pivot values runs zero jobs at plan build") {
     import org.apache.spark.sql.functions.{col, lit}
     // an unvalued pivot() runs a driver-side distinct JOB at plan time;
