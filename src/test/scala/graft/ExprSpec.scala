@@ -79,7 +79,9 @@ class ExprSpec extends SparkSpecBase {
     a shouldBe Array(("g1", "a;b"), ("g2", null))
   }
 
-  test("all four native expressions compile under whole-stage codegen (no fallback)") {
+  test("the native expressions compile under whole-stage codegen (no fallback)") {
+    // RepetitionCounts and DictOverlap get the same guard in
+    // CorpusOpsSpec (their equivalence tests run with fallback=false)
     // spark.sql.codegen.fallback=false turns a generated-code compile
     // failure into a thrown error instead of a silent drop to
     // interpreted mode — which is exactly the regression this guards
