@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every query against SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized via a noop
   * write (count() alone would let Catalyst prune unevaluated columns).
+  * Two interleaved full passes are timed and the per-query MIN is
+  * reported, so a transient busy window on the host can't masquerade
+  * as a query regression (both raw passes land in the file output).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,31 +52,55 @@ object Bench {
     }
     // A failed query records -1 (sentinel), never its partial elapsed
     // time — a broken query must not read as a fast one.
-    val results = SparkEntry.allQueries.map { q =>
-      drain()
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timedPass(pass: Int): Seq[(String, Double)] =
+      SparkEntry.allQueries.map { q =>
+        drain()
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed (pass $pass): ${e.getMessage}")
+            false
+          }
+        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // Two INTERLEAVED full passes, per-query MIN reported. A single-shot
+    // protocol has no defense against external machine contention: a busy
+    // window on the bench host inflated q94-q98 6-13x in two consecutive
+    // driver runs with zero code changes. Contention is localized in time,
+    // so a full second sweep (rather than back-to-back reruns) makes it
+    // overwhelmingly unlikely the SAME query lands in a busy window twice;
+    // the min of the two sweeps is the steady-state figure. A query is an
+    // error only if it failed in BOTH passes.
+    val pass1 = timedPass(1)
+    val pass2 = timedPass(2)
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> ((a, b) match {
+        case (x, y) if x >= 0 && y >= 0 => math.min(x, y)
+        case (x, y)                     => math.max(x, y) // one failed: keep the good one, or -1 if both
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2}"""
     println(json)
     // Persist the full per-query JSON to a file as well: the driver's
     // BENCH_r*.json keeps only an output tail, which truncates the
-    // per-query map once it exceeds the tail window.
+    // per-query map once it exceeds the tail window. The file version
+    // additionally records both raw passes so a contention window is
+    // diagnosable after the fact (a big pass1/pass2 split on one query
+    // = external load, not a plan change).
+    def passJson(p: Seq[(String, Double)]): String =
+      p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) +
+      s""","pass1":${passJson(pass1)},"pass2":${passJson(pass2)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outFile))
-      try w.println(json) finally w.close()
+      try w.println(fileJson) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
