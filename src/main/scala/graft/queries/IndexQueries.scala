@@ -161,5 +161,89 @@ object IndexQueries {
       ValidationOps.reconcileSummaries(
         ValidationOps.dbReconcileCheck(input, db))
         .orderBy(col("summary_type"), col("study"), col("outcome"))
+    },
+
+    // The whole DB-validation flow graded as ONE DAG
+    // (`/root/reference/workflows/validate_db_data.py` via
+    // `/root/reference/src/neo4j_data_tools.py:1100-1189`): the DB
+    // side arrives in the Cypher pull's LONG property-frame contract,
+    // pivots wide (U4), reconciles against the ingestion TSVs (q94's
+    // check) and reduces to the report summaries (q110) — one lazy
+    // plan end-to-end, replayed declaratively by one oracle. The DB
+    // pull drops (id%11==0, phs0) entities, so phs0 goes
+    // Unequal/Fail while the other studies stay Equal/Pass.
+    Q("q147_db_validation_chain",
+      """WITH input AS (
+        |  SELECT 'phs' || CAST(o_orderkey % 3 AS VARCHAR) AS study_id,
+        |    CASE o_orderkey % 4 WHEN 1 THEN 'sample'
+        |         WHEN 2 THEN 'diagnosis' ELSE 'participant' END AS node,
+        |    'ID' || CAST(o_orderkey % 997 AS VARCHAR) AS id
+        |  FROM orders WHERE o_orderkey <= 3000),
+        |db_long AS (
+        |  SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS uid, prop,
+        |    CASE prop
+        |      WHEN 'study_id' THEN 'phs' || CAST(o_orderkey % 3 AS VARCHAR)
+        |      WHEN 'node' THEN CASE o_orderkey % 4 WHEN 1 THEN 'sample'
+        |           WHEN 2 THEN 'diagnosis' ELSE 'participant' END
+        |      ELSE 'ID' || CAST(o_orderkey % 997 AS VARCHAR)
+        |    END AS value
+        |  FROM orders, (VALUES ('study_id'), ('node'), ('id')) p(prop)
+        |  WHERE o_orderkey <= 3000
+        |    AND NOT (o_orderkey % 997 % 11 = 0 AND o_orderkey % 3 = 0)),
+        |db AS (
+        |  SELECT max(CASE WHEN prop = 'study_id' THEN value END) AS study_id,
+        |         max(CASE WHEN prop = 'node' THEN value END) AS node,
+        |         max(CASE WHEN prop = 'id' THEN value END) AS id
+        |  FROM db_long GROUP BY uid),
+        |counts AS (
+        |  SELECT study_id, node, count(*) AS tsv_count
+        |  FROM input GROUP BY study_id, node),
+        |dbc AS (
+        |  SELECT study_id, node, count(*) AS c FROM db GROUP BY study_id, node),
+        |miss AS (
+        |  SELECT i.study_id, i.node, count(*) AS m
+        |  FROM input i
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM db d WHERE d.study_id = i.study_id
+        |      AND d.node = i.node AND d.id = i.id)
+        |  GROUP BY i.study_id, i.node),
+        |validate AS (
+        |  SELECT c.study_id,
+        |    CASE WHEN c.tsv_count = COALESCE(d.c, 0)
+        |         THEN 'Equal' ELSE 'Unequal' END AS count_check,
+        |    CASE WHEN m.m IS NULL THEN 'Pass' ELSE 'Fail' END AS id_check
+        |  FROM counts c
+        |  LEFT JOIN dbc d ON c.study_id = d.study_id AND c.node = d.node
+        |  LEFT JOIN miss m ON c.study_id = m.study_id AND c.node = m.node)
+        |SELECT summary_type, study, outcome, node_count FROM (
+        |  SELECT 'count_check' AS summary_type, study_id AS study,
+        |    count_check AS outcome, count(*) AS node_count
+        |  FROM validate GROUP BY study_id, count_check
+        |  UNION ALL
+        |  SELECT 'id_check', study_id, id_check, count(*)
+        |  FROM validate GROUP BY study_id, id_check)
+        |ORDER BY summary_type, study, outcome""".stripMargin) { (s, dir) =>
+      import graft.ops.{ReshapeOps, ValidationOps}
+      val k = col("o_orderkey")
+      val base = t(s, dir, "orders").filter(k <= 3000)
+      val study = concat(lit("phs"), (k % 3).cast("string"))
+      val nodeC = when(k % 4 === 1, "sample").when(k % 4 === 2, "diagnosis")
+        .otherwise("participant")
+      val idC = concat(lit("ID"), (k % 997).cast("string"))
+      val input = base.select(study.as("study_id"), nodeC.as("node"), idC.as("id"))
+      // The DB pull: one (uid, prop, value) long row per property per
+      // surviving entity — exactly what the Neo4j long-frame contract
+      // (S9) hands the engine before the U4 pivot.
+      val kept = base.filter(!((k % 997 % 11 === 0) && (k % 3 === 0)))
+      val uid = concat(lit("r"), k.cast("string"))
+      val dbLong = kept
+        .select(uid.as("uid"), lit("study_id").as("prop"), study.as("value"))
+        .unionByName(kept.select(uid.as("uid"), lit("node").as("prop"), nodeC.as("value")))
+        .unionByName(kept.select(uid.as("uid"), lit("id").as("prop"), idC.as("value")))
+      val db = ReshapeOps.pivotLongWide(dbLong, "uid", "prop", "value",
+        Seq("study_id", "node", "id"))
+        .select(col("study_id"), col("node"), col("id"))
+      ValidationOps.reconcileSummaries(ValidationOps.dbReconcileCheck(input, db))
+        .orderBy(col("summary_type"), col("study"), col("outcome"))
     })
 }
