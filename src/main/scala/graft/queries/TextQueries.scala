@@ -934,6 +934,58 @@ object TextQueries {
       SimilarityOps.lshNearestNeighborHyperplane(
         t(s, dir, "embeddings"), "vec_id", "embedding", Planes)
         .orderBy(col("id1"))
+    },
+
+    // Real BPE subword tokenization (beyond-ref text analysis; the
+    // honest token path next to q61's regex token-run approximation):
+    // greedy merges against the pinned BpeTokenize.merges table, as a
+    // native codegen expression with a per-executor word memo. BPE is
+    // word-local — merges never cross word boundaries — so the oracle
+    // replays the SAME tokenization declaratively: the corpus's finite
+    // word vocabulary becomes a literal word -> subwords dictionary
+    // (entries hand-derivable from the merge table; BpeSpec re-derives
+    // several by hand) applied per word in document order.
+    Q("q148_bpe_tokenize",
+      """WITH d AS (SELECT map(
+        |  ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data',
+        |   'dup', 'fast', 'filter', 'group', 'hash', 'join', 'key',
+        |   'line', 'merge', 'order', 'part', 'query', 'row', 'scan',
+        |   'slow', 'small', 'sort', 'spark', 'stream', 'table', 'the',
+        |   'value', 'vector', 'window'],
+        |  [['a</w>'], ['a', 'gg</w>'], ['b', 'at', 'c', 'h', '</w>'],
+        |   ['big</w>'], ['c', 'o', 'l', 'u', 'm', 'n</w>'],
+        |   ['c', 'u', 'st', 'o', 'm', 'er</w>'], ['d', 'ata</w>'],
+        |   ['d', 'u', 'p', '</w>'], ['fa', 's', 't</w>'],
+        |   ['f', 'i', 'l', 't', 'er</w>'], ['g', 'ro', 'u', 'p', '</w>'],
+        |   ['h', 'a', 's', 'h', '</w>'], ['j', 'o', 'in', '</w>'],
+        |   ['k', 'ey</w>'], ['l', 'ine</w>'],
+        |   ['m', 'e', 'r', 'g', 'e</w>'], ['or', 'd', 'er</w>'],
+        |   ['p', 'ar', 't</w>'], ['q', 'u', 'e', 'r', 'y</w>'],
+        |   ['ro', 'w</w>'], ['s', 'c', 'an</w>'], ['slow</w>'],
+        |   ['s', 'm', 'al', 'l', '</w>'], ['s', 'ort</w>'],
+        |   ['s', 'p', 'ar', 'k', '</w>'],
+        |   ['st', 'r', 'e', 'a', 'm', '</w>'], ['t', 'a', 'ble</w>'],
+        |   ['the</w>'], ['v', 'al', 'ue</w>'],
+        |   ['v', 'e', 'c', 't', 'o', 'r</w>'],
+        |   ['w', 'in', 'd', 'ow</w>']]) AS m)
+        |SELECT doc_id,
+        |  array_to_string(flatten(flatten(
+        |    list_transform(string_split(text, ' '), w -> m[w]))), ';')
+        |    AS bpe_tokens,
+        |  CAST(len(flatten(flatten(
+        |    list_transform(string_split(text, ' '), w -> m[w])))) AS BIGINT)
+        |    AS n_bpe
+        |FROM documents, d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        // project the token array ONCE; array_join + size over a
+        // shared alias, not two evaluations of the expression
+        .select(col("doc_id"),
+          graft.expr.BpeTokenize.bpeTokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          array_join(col("tk"), ";").as("bpe_tokens"),
+          size(col("tk")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.BpeTokenize
+
+/** Greedy BPE against the pinned merge table: hand-derived goldens,
+  * the algorithm's structural invariants, and the native expression's
+  * agreement with the driver-side reference path under whole-stage
+  * codegen with fallback disabled.
+  */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("hand-derived merge sequences from the pinned table") {
+    // the: t,h,e,</w> -> (e,</w>)r0 -> t,h,e</w> -> (t,h)r1 -> th,e</w>
+    //      -> (th,e</w>)r2 -> the</w>
+    BpeTokenize.tokenizeWord("the") shouldBe Array("the</w>")
+    // table: t,a,b,l,e,</w> -> (e,</w>)r0 -> ...l,e</w> -> (l,e</w>)r11
+    //      -> t,a,b,le</w> -> (b,le</w>)r26 -> t,a,ble</w>; (a,t) is a
+    //      listed pair but t precedes a here, so no further merge.
+    BpeTokenize.tokenizeWord("table") shouldBe Array("t", "a", "ble</w>")
+    // order: o,r,d,e,r,</w> -> (r,</w>)r3 -> o,r,d,e,r</w>
+    //      -> (e,r</w>)r7 -> o,r,d,er</w> -> (o,r)r10 -> or,d,er</w>
+    BpeTokenize.tokenizeWord("order") shouldBe Array("or", "d", "er</w>")
+    // slow: lowest-rank-first cascades right-to-left: (w,</w>)r16,
+    //      (o,w</w>)r19, (l,ow</w>)r42, (s,low</w>)r41.
+    BpeTokenize.tokenizeWord("slow") shouldBe Array("slow</w>")
+    // fast: (t,</w>)r4 beats (s,t)r8 — greedy rank order decides, so
+    //      st never forms and (fa,st</w>)r40 can't fire.
+    BpeTokenize.tokenizeWord("fast") shouldBe Array("fa", "s", "t</w>")
+    // unseen word: unmerged symbols pass through, incl. a bare </w>.
+    BpeTokenize.tokenizeWord("zzq") shouldBe Array("z", "z", "q", "</w>")
+  }
+
+  test("tokenization is lossless: concatenated tokens rebuild word + marker") {
+    val words = Seq("a", "agg", "batch", "customer", "stream", "window",
+      "xylophone", "zz", "")
+    words.foreach { w =>
+      BpeTokenize.tokenizeWord(w).mkString shouldBe w + "</w>"
+    }
+  }
+
+  test("non-BMP input splits on code points, not chars") {
+    val toks = BpeTokenize.tokenizeWord("a🧬b")
+    toks.mkString shouldBe "a🧬b</w>"
+    // the surrogate pair stays one symbol
+    toks should contain("🧬")
+  }
+
+  test("native expression matches the driver-side path under codegen, no fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val texts = Seq("the table the", "fast slow order window",
+        " doubled  spaces ", "", "zzq unseen")
+      val got = texts.toDF("text")
+        .select(BpeTokenize.bpeTokens(col("text")))
+        .as[Seq[String]].collect()
+      val want = texts.map(_.split(" ", -1).toSeq.filter(_.nonEmpty)
+        .flatMap(BpeTokenize.tokenizeWord))
+      got.map(_.toList) shouldBe want.map(_.toList)
+      // empty words contribute nothing; empty text gives an empty array
+      got(3) shouldBe Seq.empty
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("null text stays null through the expression") {
+    val out = Seq(Some("the"), None).toDF("text")
+      .select(BpeTokenize.bpeTokens(col("text"))).collect()
+    out(0).getSeq[String](0) shouldBe Seq("the</w>")
+    out(1).isNullAt(0) shouldBe true
+  }
+}
