@@ -1,0 +1,123 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the concatenated hyperplane projection
+  * signs behind every LSH bucketing operator — bit j of the output is
+  * `sign(vec · plane_j)` over a fixed plane matrix.
+  *
+  * Bit-identical to the composable twin
+  * (`SimilarityOps.hyperplaneSignsComposed`) on well-formed input:
+  * each projection is the LEFT-FOLD double sum of
+  * `double(vec[i]) * w[j][i]` in index order (the `0.0 +` seed only
+  * perturbs a zero's sign, which `> 0` cannot observe), and a NULL
+  * vector yields the all-zeros string — the twin is a concat of
+  * never-null CASE branches, so this expression is non-nullable too.
+  * Deliberate deviation: a vector shorter than `dim` (or with a null
+  * element) gets all-zero bits here, where the twin's ANSI
+  * `element_at` would throw on the out-of-bounds index.
+  *
+  * The twin builds bits × dim expression nodes (16 planes × 64 dims =
+  * 1024 `element_at`/cast/multiply/add nodes); evaluating that tree
+  * per row dominated every consumer's scan. This is one static call
+  * looping over the unsafe array with the plane matrix shipped once
+  * as a codegen reference object (8 KB — well under broadcast-worthy
+  * size, unlike [[DictOverlap]]'s multi-MB dictionary).
+  */
+case class PlaneSigns(child: Expression, planes: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  private val bits = planes.length
+  private val dim = if (planes.isEmpty) 0 else planes.head.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if planes.nonEmpty && planes.forall(_.length == dim) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"plane_signs requires array<float> and a rectangular non-empty " +
+        s"plane matrix, got ${other.catalogString} with ${planes.length} planes")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "plane_signs"
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](bits * dim)
+    var j = 0
+    while (j < bits) {
+      var i = 0
+      while (i < dim) { a(j * dim + i) = planes(j)(i); i += 1 }
+      j += 1
+    }
+    a
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    PlaneSigns.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData], flat, bits, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planesFlat", flat, "double[]")
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        |${childGen.code}
+        |org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        |  graft.expr.PlaneSigns.compute(
+        |    ${childGen.isNull} ? null : ${childGen.value}, $ref, $bits, $dim);
+      """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigns =
+    copy(child = newChild)
+}
+
+object PlaneSigns {
+
+  /** Codegen entry point; never returns null (see class doc). Named
+    * `compute`, not `eval` — see [[FloatDot.compute]] on
+    * static-forwarder suppression.
+    */
+  def compute(vec: ArrayData, flat: Array[Double], bits: Int, dim: Int): UTF8String = {
+    val out = new Array[Byte](bits)
+    val n = if (vec == null) -1 else vec.numElements()
+    var j = 0
+    while (j < bits) {
+      var bit: Byte = '0'
+      if (n >= dim) {
+        var acc = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < dim) {
+          if (vec.isNullAt(i)) ok = false
+          else {
+            acc += vec.getFloat(i).toDouble * flat(j * dim + i)
+            i += 1
+          }
+        }
+        if (ok && acc > 0d) bit = '1'
+      }
+      out(j) = bit
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Column form. */
+  def signs(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PlaneSigns(ColumnBridge.expression(vec), planes))
+}

@@ -173,6 +173,16 @@ object DedupOps {
     * candidate pairs with their exact n-gram Jaccard. This is the API
     * a dedup job should call — the staged operators above exist for
     * composability and for grading each stage separately.
+    *
+    * Verification keeps [[ngramJaccard]]'s exploded digest self-join
+    * shape (documents never cross the shuffle — only fixed-width
+    * digests do). A per-pair `array_intersect` variant was measured
+    * and REJECTED: the banded candidate set on a shared-vocabulary
+    * corpus is ~8× the doc count, Catalyst pushes the jaccard filter
+    * into the pair join and re-evaluates the (uneliminated) intersect
+    * 3× per candidate row, and each join side re-derives the
+    * candidate-doc digest sets — 2.3 s vs ~1.0 s for the self-join
+    * at sf0.1.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
@@ -194,7 +204,9 @@ object DedupOps {
         .as(s"minhash_$b")
     }
     val sigs = hashed.select((col("__id").as(idCol) +: bandCols): _*)
-    val cands = lshCandidatePairs(sigs, idCol, bands)
+    // two consumers (candidate-doc restriction + the pair join) — cut
+    // once so the band/LSH join runs once
+    val cands = lshCandidatePairs(sigs, idCol, bands).localCheckpoint(true)
 
     val candDocs = cands.select(col("id1").as("__cid"))
       .union(cands.select(col("id2"))).distinct()
@@ -260,8 +272,14 @@ object DedupOps {
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", nodes: Option[DataFrame] = None,
       maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
-      .union(pairs.select(col(id2).as("__src"), col(id1).as("__dst")))
+    // both edge directions from ONE pass over the pairs plan: a
+    // union of two projections would execute the (possibly expensive,
+    // un-checkpointed) upstream pair derivation once per branch
+    val sym = pairs
+      .select(explode(array(
+        struct(col(id1).as("__src"), col(id2).as("__dst")),
+        struct(col(id2).as("__src"), col(id1).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .distinct()
       .transform(Checkpoints.cut(_, eager = true))
     val endpoints = sym.select(col("__src").as("id"))

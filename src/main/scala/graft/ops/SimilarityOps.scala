@@ -185,11 +185,22 @@ object SimilarityOps {
   }
 
   /** Concatenated projection signs of `vec` against every plane: bit j
-    * is sign(vec · plane_j). A sequential left-fold sum of
-    * double-cast products — the exact expression shape the DuckDB
-    * oracle can reproduce term for term.
+    * is sign(vec · plane_j), as a left-fold sum of double-cast
+    * products — the exact expression shape the DuckDB oracle
+    * reproduces term for term. Evaluated by the native
+    * [[graft.expr.PlaneSigns]] (one static call per row); the
+    * composable twin below builds bits × dim expression NODES and its
+    * per-row tree walk dominated every consumer's scan
+    * (SimilarityOpsSpec proves native ≡ composed).
     */
   def hyperplaneSigns(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.expr.PlaneSigns.signs(vec, planes)
+
+  /** The composable-expression twin of [[hyperplaneSigns]]; kept as
+    * the equivalence reference the native expression is spec-checked
+    * against.
+    */
+  def hyperplaneSignsComposed(vec: Column, planes: Seq[Seq[Double]]): Column =
     concat(planes.map { p =>
       val proj = p.zipWithIndex.map { case (w, i) =>
         element_at(vec, i + 1).cast("double") * lit(w)

@@ -28,6 +28,36 @@ class SimilarityOpsSpec extends SparkSpecBase {
       .select(SimilarityOps.dot(col("a"), col("b"))).head().isNullAt(0) shouldBe true
   }
 
+  test("native PlaneSigns is bit-identical to the composed sign concat") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = 4)
+      val df = Seq(
+        Array(1.5f, -2.25f, 3.125f, 0.01f),
+        Array(0f, 0f, 0f, 0f),
+        Array(-0.004f, 0.993f, -0.51f, 0.2f),
+        null.asInstanceOf[Array[Float]]) // null vec -> all-zero bits, NOT null
+        .toDF("v")
+      val out = df.select(
+        SimilarityOps.hyperplaneSigns(col("v"), planes).as("nat"),
+        SimilarityOps.hyperplaneSignsComposed(col("v"), planes).as("twin"))
+        .collect()
+      out.foreach(r => r.getString(0) shouldBe r.getString(1))
+      out(3).getString(0) shouldBe "0" * 16
+      // a vector shorter than dim is all-zero bits in the native form
+      // (the composed twin's ANSI element_at would throw instead)
+      Seq(Array(1f, 2f)).toDF("v")
+        .select(SimilarityOps.hyperplaneSigns(col("v"), planes))
+        .head().getString(0) shouldBe "0" * 16
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("bruteForceTopK returns k nearest by cosine, id tie-break") {
     val corpus = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
