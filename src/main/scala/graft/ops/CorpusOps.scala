@@ -413,4 +413,46 @@ object CorpusOps {
       .fold(lit(defaultThreshold))(_.otherwise(lit(defaultThreshold)))
     df.withColumn("bucket", bucket).filter(col("bucket") < thr)
   }
+
+  /** Per-stratum corpus profile: doc count, distinct normalized-text
+    * fingerprints (the exact-dedup identity), distinct tokens, and
+    * total token count, grouped by the strata columns.
+    *
+    * `approx = false` is the exact form (graded against the DuckDB
+    * oracle, q149): two `count(DISTINCT …)` aggregates — the
+    * fingerprint one at doc grain, the token one over an exploded
+    * token frame — joined on the strata. Exact distincts shuffle every
+    * distinct value, which is the right trade at report/fixture scale
+    * and the wrong one at 100 TB.
+    *
+    * `approx = true` swaps both for `approx_count_distinct` (HLL++,
+    * `rsd` relative standard deviation): sketches partial-aggregate
+    * map-side into constant state per (stratum, metric), so the corpus
+    * streams through one pass per grain with no distinct-value
+    * shuffle. DuckDB's approx_count_distinct is a different sketch, so
+    * the approx form is NOT oracle-graded; CorpusOpsSpec bounds its
+    * relative error against the exact twin instead.
+    */
+  def corpusProfile(df: DataFrame, strataCols: Seq[String],
+      textCol: String, approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
+    val strata = strataCols.map(col)
+    def distinctOf(c: Column): Column =
+      if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
+    val base = df.select(
+      strata :+
+        graft.ops.TextOps.fingerprint(col(textCol)).as("__fp") :+
+        split(col(textCol), " ", -1).as("__tl"): _*)
+    val docGrain = base.groupBy(strata: _*).agg(
+      count(lit(1)).as("n_docs"),
+      distinctOf(col("__fp")).as("n_distinct_fp"),
+      sum(size(col("__tl")).cast("bigint")).as("total_tokens"))
+    val tokenGrain = base
+      .select((strata :+ explode(col("__tl")).as("__t")): _*)
+      .groupBy(strata: _*)
+      .agg(distinctOf(col("__t")).as("n_distinct_tokens"))
+    docGrain.join(tokenGrain, strataCols)
+      .select((strata :+ col("n_docs") :+ col("n_distinct_fp") :+
+        col("n_distinct_tokens") :+ col("total_tokens")): _*)
+  }
 }

@@ -986,6 +986,37 @@ object TextQueries {
           array_join(col("tk"), ";").as("bpe_tokens"),
           size(col("tk")).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))
+    },
+
+    // Per-stratum corpus profile (the aggregation family a corpus
+    // report needs): doc count, distinct fingerprints, distinct
+    // tokens, total tokens per (lang, source). The EXACT form is
+    // graded here; the HLL form (approx_count_distinct — the one-pass
+    // no-distinct-shuffle 100 TB path) is NOT SQL-comparable across
+    // engines, so CorpusOpsSpec bounds its relative error against
+    // this exact twin instead.
+    Q("q149_corpus_profile",
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    string_split(text, ' ') AS tl
+        |  FROM documents),
+        |doc AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    count(DISTINCT fp) AS n_distinct_fp,
+        |    sum(len(tl)) AS total_tokens
+        |  FROM d GROUP BY lang, source),
+        |tok AS (
+        |  SELECT lang, source, count(DISTINCT t) AS n_distinct_tokens
+        |  FROM (SELECT lang, source, unnest(tl) AS t FROM d)
+        |  GROUP BY lang, source)
+        |SELECT doc.lang, doc.source, n_docs, n_distinct_fp,
+        |  n_distinct_tokens, CAST(total_tokens AS BIGINT) AS total_tokens
+        |FROM doc JOIN tok USING (lang, source)
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      CorpusOps.corpusProfile(t(s, dir, "documents"),
+          Seq("lang", "source"), "text")
+        .orderBy(col("lang"), col("source"))
     }
   )
 }

@@ -245,4 +245,35 @@ class CorpusOpsSpec extends SparkSpecBase {
     an[IllegalArgumentException] should be thrownBy
       CorpusOps.hashStratifiedSample(df, "doc_id", "lang", Map("en" -> "ZZ"), "40")
   }
+
+  test("corpusProfile: HLL form tracks the exact twin within the rsd bound") {
+    // deterministic synthetic corpus: 600 docs over 2x2 strata with a
+    // known duplicate structure (every 3rd doc repeats text)
+    val docs = spark.range(600).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      "CASE WHEN id % 4 < 2 THEN 'web' ELSE 'book' END AS source",
+      "concat('tok', CAST(id % 200 AS STRING), ' word', " +
+        "CAST(id % 37 AS STRING), ' tail', CAST(id % 11 AS STRING)) AS text")
+    val exact = CorpusOps.corpusProfile(docs, Seq("lang", "source"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val approx = CorpusOps.corpusProfile(docs, Seq("lang", "source"), "text",
+      approx = true, rsd = 0.05)
+    approx.columns shouldBe Array("lang", "source", "n_docs",
+      "n_distinct_fp", "n_distinct_tokens", "total_tokens")
+    val rows = approx.collect()
+    rows should have length 4
+    rows.foreach { r =>
+      val e = exact((r.getString(0), r.getString(1)))
+      // plain counts and sums are exact in both forms
+      r.getLong(2) shouldBe e.getLong(2)
+      r.getLong(5) shouldBe e.getLong(5)
+      // HLL++ at rsd=0.05: allow 3 standard deviations of relative
+      // error on both distinct metrics
+      math.abs(r.getLong(3) - e.getLong(3)).toDouble / e.getLong(3) should
+        be <= 0.15
+      math.abs(r.getLong(4) - e.getLong(4)).toDouble / e.getLong(4) should
+        be <= 0.15
+    }
+  }
 }
