@@ -22,9 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * perturbs a zero's sign, which `> 0` cannot observe), and a NULL
   * vector yields the all-zeros string — the twin is a concat of
   * never-null CASE branches, so this expression is non-nullable too.
-  * Deliberate deviation: a vector shorter than `dim` (or with a null
-  * element) gets all-zero bits here, where the twin's ANSI
-  * `element_at` would throw on the out-of-bounds index.
+  * Malformed vectors FAIL LOUDLY: a vector shorter than `dim` throws
+  * (as the twin's ANSI `element_at` would on the out-of-bounds
+  * index), and a null element throws where the twin would silently
+  * emit all-zero bits — silence here is worse than a crash, because
+  * in LSH bucketing every malformed embedding would collide into the
+  * one all-zeros bucket, quadratically blowing up the candidate pairs
+  * and reporting bogus near-duplicates instead of surfacing the
+  * corruption.
   *
   * The twin builds bits × dim expression nodes (16 planes × 64 dims =
   * 1024 `element_at`/cast/multiply/add nodes); evaluating that tree
@@ -94,24 +99,34 @@ object PlaneSigns {
     */
   def compute(vec: ArrayData, flat: Array[Double], bits: Int, dim: Int): UTF8String = {
     val out = new Array[Byte](bits)
-    val n = if (vec == null) -1 else vec.numElements()
+    if (vec == null) {
+      java.util.Arrays.fill(out, '0'.toByte)
+      return UTF8String.fromBytes(out)
+    }
+    val n = vec.numElements()
+    if (n < dim) throw new IllegalArgumentException(
+      s"plane_signs: embedding has $n elements, need at least $dim — " +
+        "truncated or corrupt vector (would skew every LSH bucket if ignored)")
+    // Extract once (with the null-element check hoisted out of the
+    // plane loop) so the bits × dim projection reads primitives.
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) throw new IllegalArgumentException(
+        s"plane_signs: null element at index $i — corrupt vector " +
+          "(would skew every LSH bucket if ignored)")
+      v(i) = vec.getFloat(i).toDouble
+      i += 1
+    }
     var j = 0
     while (j < bits) {
-      var bit: Byte = '0'
-      if (n >= dim) {
-        var acc = 0.0
-        var ok = true
-        var i = 0
-        while (ok && i < dim) {
-          if (vec.isNullAt(i)) ok = false
-          else {
-            acc += vec.getFloat(i).toDouble * flat(j * dim + i)
-            i += 1
-          }
-        }
-        if (ok && acc > 0d) bit = '1'
+      var acc = 0.0
+      i = 0
+      while (i < dim) {
+        acc += v(i) * flat(j * dim + i)
+        i += 1
       }
-      out(j) = bit
+      out(j) = if (acc > 0d) '1' else '0'
       j += 1
     }
     UTF8String.fromBytes(out)

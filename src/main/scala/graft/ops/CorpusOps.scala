@@ -141,8 +141,13 @@ object CorpusOps {
   /** PII scan + redaction: per-pattern match counts (n_<name>) plus
     * the text with every pattern replaced by its token, applied in
     * pattern order. Pure map pass — counts come from the ORIGINAL
-    * text (a count never changes because an earlier replacement ate
-    * the match; the default order makes overlaps impossible anyway).
+    * text, so a count never changes because an earlier replacement ate
+    * the match. Patterns CAN overlap on the raw text (a digit-leading
+    * email local part like `123456@x.com` is counted by both n_email
+    * and n_id), so the counts are per-pattern evidence over the
+    * original text, not a partition of it; the redaction itself is
+    * unambiguous because it applies the patterns sequentially (email
+    * first eats the digits before the id pattern runs).
     */
   def piiScan(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[PiiPattern] = DefaultPiiPatterns,
@@ -203,6 +208,15 @@ object CorpusOps {
       it.foreach(s += _._2)
       Iterator.single((pid, s))
     }.collect() // one row per partition, by design
+    // The offsets below are keyed by the PINNED exchange's partition
+    // ids — the second mapPartitions pass must see the exact same
+    // partitioning. Checkpoints.cut guarantees that today; if a future
+    // lineage change ever breaks it, mis-sharding must fail loudly
+    // here, not silently corrupt shard assignment.
+    require(partTotals.length == pinned.rdd.getNumPartitions,
+      s"packByTokenBudget: ${partTotals.length} partition totals vs " +
+        s"${pinned.rdd.getNumPartitions} pinned partitions — the " +
+        "prefix-sum passes no longer share a partitioning")
     val offsets: Map[Int, Long] = {
       var acc = 0L
       partTotals.sortBy(_._1).map { case (pid, s) =>
@@ -398,6 +412,15 @@ object CorpusOps {
     * Output: the input row plus `bucket` (the 2-hex-digit stratum
     * key). Threshold strings must be 2 lowercase hex digits; "00"
     * keeps nothing, "ff" keeps ~99.6%.
+    *
+    * Null-stratum contract: a null `strataCol` takes
+    * `defaultThreshold` (every `===` branch of the CASE chain is null
+    * for it, so it falls through). This deliberately differs from
+    * [[mixtureRebalance]], which treats null as its own stratum via a
+    * null-safe join — there the rates are DERIVED from the data so
+    * null must participate as a group; here thresholds are
+    * caller-supplied and a `Map[String, String]` cannot carry a null
+    * key, so null routes to the explicit default instead.
     */
   def hashStratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       thresholds: Map[String, String], defaultThreshold: String): DataFrame = {

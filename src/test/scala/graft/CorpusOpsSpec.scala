@@ -83,6 +83,20 @@ class CorpusOpsSpec extends SparkSpecBase {
     r.getString(4) shouldBe "<EMAIL>"
   }
 
+  test("piiScan: digit-LEADING email local parts overlap counts, not redaction") {
+    // "123456@x.org": the id pattern \b\d{6,}\b DOES match the local
+    // part on the raw text (word boundary at start-of-string and at
+    // '@'), so n_email and n_id both count it — counts are per-pattern
+    // evidence over the original text, not a partition of it. The
+    // redaction stays unambiguous: email runs first and eats the
+    // digits before the id pattern ever sees them.
+    val df = Seq((1L, "123456@x.org")).toDF("doc_id", "text")
+    val r = CorpusOps.piiScan(df, "doc_id", "text").collect().head
+    r.getLong(1) shouldBe 1L               // n_email
+    r.getLong(3) shouldBe 1L               // n_id overlaps on the raw text
+    r.getString(4) shouldBe "<EMAIL>"      // but redaction is sequential
+  }
+
   test("packByTokenBudget equals the sequential prefix sum at any partitioning") {
     val weights = Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L, 4L, 6L, 10L)
     val df = weights.zipWithIndex
@@ -244,6 +258,23 @@ class CorpusOpsSpec extends SparkSpecBase {
       .count() should be >= 1L
     an[IllegalArgumentException] should be thrownBy
       CorpusOps.hashStratifiedSample(df, "doc_id", "lang", Map("en" -> "ZZ"), "40")
+  }
+
+  test("hashStratifiedSample routes null strata to the default threshold") {
+    // Contract (differs from mixtureRebalance, where null is its own
+    // data-derived stratum): a null strataCol falls through every CASE
+    // branch to defaultThreshold, since a Map[String, String] cannot
+    // name a null stratum.
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "en" else null))
+      .toDF("doc_id", "lang")
+    val thr = Map("en" -> "00") // named stratum keeps nothing
+    val keptAll = CorpusOps
+      .hashStratifiedSample(df, "doc_id", "lang", thr, "ff").collect()
+    keptAll.foreach(_.isNullAt(1) shouldBe true) // only null-lang rows survive
+    keptAll.length should be >= 1
+    CorpusOps.hashStratifiedSample(df, "doc_id", "lang", thr, "00")
+      .count() shouldBe 0L // default 00 drops the null stratum too
   }
 
   test("corpusProfile: HLL form tracks the exact twin within the rsd bound") {

@@ -45,11 +45,22 @@ class SimilarityOpsSpec extends SparkSpecBase {
         .collect()
       out.foreach(r => r.getString(0) shouldBe r.getString(1))
       out(3).getString(0) shouldBe "0" * 16
-      // a vector shorter than dim is all-zero bits in the native form
-      // (the composed twin's ANSI element_at would throw instead)
-      Seq(Array(1f, 2f)).toDF("v")
-        .select(SimilarityOps.hyperplaneSigns(col("v"), planes))
-        .head().getString(0) shouldBe "0" * 16
+      // malformed vectors fail loudly instead of skewing LSH buckets:
+      // shorter than dim throws (as the twin's ANSI element_at would) …
+      def chainText(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString("\n")
+      val short = intercept[Exception] {
+        Seq(Array(1f, 2f)).toDF("v")
+          .select(SimilarityOps.hyperplaneSigns(col("v"), planes)).head()
+      }
+      chainText(short) should include("plane_signs")
+      // … and a null ELEMENT throws too (stricter than the twin, which
+      // would silently emit the all-zeros bucket for it)
+      val nullElem = intercept[Exception] {
+        spark.sql("SELECT array(float(1.0), float(NULL), float(3.0), float(4.0)) AS v")
+          .select(SimilarityOps.hyperplaneSigns(col("v"), planes)).head()
+      }
+      chainText(nullElem) should include("plane_signs")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
