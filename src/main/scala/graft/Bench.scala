@@ -88,9 +88,13 @@ object Bench {
     // pass1_total is the single-shot-equivalent figure: rounds benched
     // before the min-of-two protocol (≤ r7) are comparable to it, not
     // to the min-based "value" (which is systematically lower by
-    // construction, independent of real perf).
+    // construction, independent of real perf). A query that failed in
+    // pass 1 but recovered in pass 2 is excluded from the sum, which
+    // would silently undercount the cross-round figure — pass1_errors
+    // flags exactly that case (compare totals only when it is 0).
     val pass1Total = pass1.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2,"pass1_total":$pass1Total}"""
+    val pass1Errors = pass1.count(_._2 < 0)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2,"pass1_total":$pass1Total,"pass1_errors":$pass1Errors}"""
     println(json)
     // Persist the full per-query JSON to a file as well: the driver's
     // BENCH_r*.json keeps only an output tail, which truncates the

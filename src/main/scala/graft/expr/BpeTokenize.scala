@@ -88,6 +88,10 @@ object BpeTokenize {
   private val cache = new ConcurrentHashMap[String, Array[UTF8String]]()
   private[graft] val CacheCap = 1 << 16
   private[graft] def cacheSize: Int = cache.size
+  // Test hook ONLY (BpeSpec's overflow test saturates the JVM-global
+  // memo and must restore memoization for suites that run after it).
+  // Production never clears: entries are immutable and capped.
+  private[graft] def clearCache(): Unit = cache.clear()
 
   /** Greedy merge loop for one word (no cache). Code-point splitting,
     * so non-BMP text stays well-formed.

@@ -298,15 +298,22 @@ object CorpusOps {
     *
     * A null text fails with reason `null_text` rather than sailing
     * through a null-skipping cascade.
+    *
+    * `keep` columns pass through untouched (the `piiScan` convention)
+    * so the gate composes mid-pipeline — e.g. the streaming scrub
+    * keeps the text column itself for the redaction stage that
+    * follows the gate.
     */
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3,
       minTokens: Long = 20, maxTokens: Long = 1000000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 5.0,
       maxDupTokenFrac: Double = 0.6, maxTopTokenFrac: Double = 0.2,
-      maxDupKgramFrac: Double = 0.3): DataFrame = {
-    val base = df.select(col(idCol), col(textCol).as("__t"),
-      graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"))
+      maxDupKgramFrac: Double = 0.3,
+      keep: Seq[String] = Nil): DataFrame = {
+    val base = df.select(col(idCol) +: keep.map(col) :+
+      col(textCol).as("__t") :+
+      graft.expr.RepetitionCounts.repetitionCounts(col(textCol), k).as("__rc"): _*)
     val n = col("__rc.n_tokens")
     val mtl = (length(col("__t")).cast("bigint") - (n - 1)).cast("double") /
       n.cast("double")
@@ -324,11 +331,11 @@ object CorpusOps {
     // fired — the cascade order is the output order
     val reasons = concat_ws(";",
       rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
-    base.select(col(idCol),
-      n.as("n_tokens"), mtl.as("mean_token_len"),
-      dupF.as("dup_token_frac"), topF.as("top_token_frac"),
-      dkF.as("dup_kgram_frac"),
-      reasons.as("reasons"))
+    base.select(col(idCol) +: keep.map(col) :+
+      n.as("n_tokens") :+ mtl.as("mean_token_len") :+
+      dupF.as("dup_token_frac") :+ topF.as("top_token_frac") :+
+      dkF.as("dup_kgram_frac") :+
+      reasons.as("reasons"): _*)
       .withColumn("passed", col("reasons") === "")
   }
 

@@ -48,6 +48,16 @@ object TextQueries {
 
   /** Oracle fragment: the hyperplane sign string — term-for-term the
     * same left-folded sum of double products the engine evaluates.
+    *
+    * Null-ELEMENT divergence (deliberate): a null vector element makes
+    * this fragment's `CASE WHEN NULL > 0` fall to '0' (and the composed
+    * Spark twin does the same), while the native `expr/PlaneSigns` path
+    * the graded queries run THROWS on a null element or truncated
+    * vector — corrupt embeddings must fail loudly rather than silently
+    * collapse into the all-zeros LSH bucket. The synthetic embeddings
+    * are well-formed, so the divergence is unreachable in grading; if a
+    * future data change plants nulls, the engine query crashing while
+    * this oracle still grades is that contract working, not a bug here.
     */
   private def planeSignsSql(v: String): String =
     Planes.map { p =>

@@ -124,24 +124,53 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("new_id", "corpus_id"))
 
-  /** Streaming corpus scrub: deterministic stratified sampling +
-    * PII redaction on arriving documents — entirely STATELESS (both
-    * stages are pure map passes: the md5-bucket sample filter and the
-    * codegen'd regexp scan), so there is no watermark, no state store,
-    * and no retention concern on unbounded ingest; the same call runs
-    * identically on a batch frame (spec proves stream ≡ batch, and
-    * that the running query reports zero state operators). Sampling
-    * runs FIRST so redaction cost is only paid for survivors.
+  /** Streaming corpus scrub: deterministic stratified sampling → the
+    * Gopher/C4 quality-gate cascade → PII redaction on arriving
+    * documents — entirely STATELESS (all THREE stages are pure map
+    * passes: the md5-bucket sample filter, the one-pass
+    * `RepetitionCounts` gate, and the codegen'd regexp scan), so there
+    * is no watermark, no state store, and no retention concern on
+    * unbounded ingest; the same call runs identically on a batch frame
+    * (spec proves stream ≡ batch, and that the running query reports
+    * zero state operators). Stage order is cheapest-filter-first:
+    * sampling drops documents for the price of one md5, the gate costs
+    * one token/shingle pass over sample survivors, and redaction — the
+    * most expensive stage, a full multi-regex scan — is only paid for
+    * docs that pass both. Gate-rejected docs are dropped, not
+    * annotated: a scrubbed training stream carries survivors only (use
+    * batch [[graft.ops.CorpusOps.qualityGate]] when the reject set and
+    * reasons are the deliverable).
+    *
+    * The `gate*` knobs mirror [[graft.ops.CorpusOps.qualityGate]]'s
+    * defaults; `gateK` is the k-gram width of the repetition rules.
     */
   def scrubArrivals(stream: DataFrame, idCol: String, textCol: String,
       strataCol: String, thresholds: Map[String, String],
       defaultThreshold: String,
       patterns: Seq[graft.ops.CorpusOps.PiiPattern] =
-        graft.ops.CorpusOps.DefaultPiiPatterns): DataFrame =
+        graft.ops.CorpusOps.DefaultPiiPatterns,
+      gateK: Int = 3,
+      gateMinTokens: Long = 20, gateMaxTokens: Long = 1000000,
+      gateMinMeanLen: Double = 3.0, gateMaxMeanLen: Double = 5.0,
+      gateMaxDupTokenFrac: Double = 0.6,
+      gateMaxTopTokenFrac: Double = 0.2,
+      gateMaxDupKgramFrac: Double = 0.3): DataFrame = {
+    val sampled = graft.ops.CorpusOps.hashStratifiedSample(
+      stream, idCol, strataCol, thresholds, defaultThreshold)
+    val gated = graft.ops.CorpusOps.qualityGate(
+        sampled, idCol, textCol, k = gateK,
+        minTokens = gateMinTokens, maxTokens = gateMaxTokens,
+        minMeanLen = gateMinMeanLen, maxMeanLen = gateMaxMeanLen,
+        maxDupTokenFrac = gateMaxDupTokenFrac,
+        maxTopTokenFrac = gateMaxTopTokenFrac,
+        maxDupKgramFrac = gateMaxDupKgramFrac,
+        // the gate drops the text by default; keep it (plus the scrub
+        // passthroughs) for the redaction stage that follows
+        keep = Seq(textCol, strataCol, "bucket"))
+      .where(col("passed"))
     graft.ops.CorpusOps.piiScan(
-      graft.ops.CorpusOps.hashStratifiedSample(
-        stream, idCol, strataCol, thresholds, defaultThreshold),
-      idCol, textCol, patterns, keep = Seq(strataCol, "bucket"))
+      gated, idCol, textCol, patterns, keep = Seq(strataCol, "bucket"))
+  }
 
   /** Streaming benchmark decontamination: each arriving doc's overlap
     * with a pre-built eval dictionary, counted map-side by the native

@@ -72,27 +72,34 @@ class BpeSpec extends SparkSpecBase {
 
   test("word memo overflow: a vocabulary past CacheCap stays correct, just uncached") {
     import org.apache.spark.unsafe.types.UTF8String
-    // Flood the per-JVM word memo past its cap with distinct junk
-    // words (driver-side direct calls — the memo is JVM-global, so
-    // no Spark job is needed to fill it).
-    val n = BpeTokenize.CacheCap + 64
-    var i = 0
-    while (i < n) {
-      BpeTokenize.compute(UTF8String.fromString("ovf" + i))
-      i += 1
-    }
-    // Bounded: the memo degrades to recompute, never to memory growth.
-    // (Small slack: concurrent suites in the same JVM may each pass the
-    // size check before either insert lands.)
-    BpeTokenize.cacheSize should be <= (BpeTokenize.CacheCap + 64)
-    // A fresh word past the cap takes the recompute path every call
-    // and still matches the uncached reference, call after call.
-    val w = "overflowprobe"
-    val want = BpeTokenize.tokenizeWord(w).toSeq
-    (1 to 3).foreach { _ =>
-      val got = BpeTokenize.compute(UTF8String.fromString(w + " " + w))
-      (0 until got.numElements()).map(got.getUTF8String(_).toString) shouldBe
-        (want ++ want)
+    try {
+      // Flood the per-JVM word memo past its cap with distinct junk
+      // words (driver-side direct calls — the memo is JVM-global, so
+      // no Spark job is needed to fill it).
+      val n = BpeTokenize.CacheCap + 64
+      var i = 0
+      while (i < n) {
+        BpeTokenize.compute(UTF8String.fromString("ovf" + i))
+        i += 1
+      }
+      // Bounded: the memo degrades to recompute, never to memory growth.
+      // (Small slack: concurrent suites in the same JVM may each pass the
+      // size check before either insert lands.)
+      BpeTokenize.cacheSize should be <= (BpeTokenize.CacheCap + 64)
+      // A fresh word past the cap takes the recompute path every call
+      // and still matches the uncached reference, call after call.
+      val w = "overflowprobe"
+      val want = BpeTokenize.tokenizeWord(w).toSeq
+      (1 to 3).foreach { _ =>
+        val got = BpeTokenize.compute(UTF8String.fromString(w + " " + w))
+        (0 until got.numElements()).map(got.getUTF8String(_).toString) shouldBe
+          (want ++ want)
+      }
+    } finally {
+      // The saturated memo is JVM-global: without this, every suite
+      // running after this test silently loses word memoization
+      // (perf-only, but makes cache-hit-dependent tests order-sensitive).
+      BpeTokenize.clearCache()
     }
   }
 

@@ -173,12 +173,17 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("scrubArrivals ≡ batch scrub and runs stateless") {
+  test("scrubArrivals (sample → gate → redact) ≡ batch scrub and runs stateless") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
     // doc 4's bucket (md5("4") = a87f...) survives de's c0 threshold,
     // so at least one PII-bearing doc reaches the redaction stage —
-    // without that the redaction assertions only ever see clean docs
+    // without that the redaction assertions only ever see clean docs.
+    // The 3-token filler docs fail the quality gate's too_few_tokens
+    // rule (gateMinTokens = 4 below), so the gate stage provably drops
+    // sample survivors; docs 1/2/4 have ≥4 tokens and mean token
+    // length under the raised gateMaxMeanLen (emails/phones are long
+    // "tokens"), so PII docs pass the gate and reach redaction.
     val rows = Seq(
       (1L, "en", "mail a@b.co and 555-123-4567"),
       (2L, "de", "ref 1234567 nothing else"),
@@ -187,10 +192,11 @@ class StreamingOpsSpec extends SparkSpecBase {
       (5L, "fr", "x@y.org")) ++ (6L until 40L).map(i =>
       (i, if (i % 2 == 0) "en" else "de", s"doc $i body"))
     val thr = Map("en" -> "80", "de" -> "c0")
+    def scrub(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.scrubArrivals(df, "doc_id", "text", "lang", thr, "40",
+        gateMinTokens = 4, gateMaxMeanLen = 10.0)
     val in = MemoryStream[(Long, String, String)]
-    val q = StreamingOps.scrubArrivals(
-        in.toDF().toDF("doc_id", "lang", "text"),
-        "doc_id", "text", "lang", thr, "40")
+    val q = scrub(in.toDF().toDF("doc_id", "lang", "text"))
       .writeStream.format("memory").queryName("scrubbed")
       .outputMode(OutputMode.Append).start()
     try {
@@ -200,18 +206,21 @@ class StreamingOpsSpec extends SparkSpecBase {
       q.lastProgress should not be null
       q.recentProgress.foreach(_.stateOperators shouldBe empty)
       val streamed = spark.table("scrubbed")
-      val batch = StreamingOps.scrubArrivals(
-        rows.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
-        thr, "40")
+      val batch = scrub(rows.toDF("doc_id", "lang", "text"))
       sortedRows(streamed) shouldBe sortedRows(batch)
-      // the scrub actually did both jobs: survivors carry the scrub
-      // schema (stratum + bucket + counts + redaction) and the sample
-      // dropped someone
+      // all three stages did their jobs: survivors carry the scrub
+      // schema (stratum + bucket + counts + redaction), the sample
+      // dropped someone, and the GATE dropped sample survivors too
+      // (short filler docs that passed the bucket filter)
       streamed.columns.toSeq shouldBe Seq("doc_id", "lang", "bucket",
         "n_email", "n_phone", "n_id", "redacted")
-      streamed.count() should be < rows.length.toLong
-      // doc 4 survived AND was redacted — positive proof the scrub's
-      // second stage ran on a PII-bearing doc
+      val sampledCount = graft.ops.CorpusOps.hashStratifiedSample(
+        rows.toDF("doc_id", "lang", "text"), "doc_id", "lang", thr, "40")
+        .count()
+      sampledCount should be < rows.length.toLong
+      streamed.count() should be < sampledCount
+      // doc 4 survived sample AND gate, and was redacted — positive
+      // proof the scrub's last stage ran on a PII-bearing doc
       val doc4 = streamed.filter(col("doc_id") === 4L).collect()
       doc4 should have length 1
       doc4.head.getLong(doc4.head.fieldIndex("n_email")) shouldBe 1L
@@ -219,6 +228,16 @@ class StreamingOpsSpec extends SparkSpecBase {
       doc4.head.getLong(doc4.head.fieldIndex("n_id")) shouldBe 1L
       doc4.head.getString(doc4.head.fieldIndex("redacted")) shouldBe
         "mail <EMAIL> and <PHONE> ref <ID>"
+      // no gate-rejected doc leaked through: every survivor passes the
+      // same gate the scrub ran (re-derived via the batch op)
+      val passedIds = graft.ops.CorpusOps.qualityGate(
+          rows.toDF("doc_id", "lang", "text"), "doc_id", "text",
+          minTokens = 4, maxMeanLen = 10.0)
+        .filter(col("passed")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      streamed.collect().map(_.getLong(0)).foreach { id =>
+        passedIds should contain(id)
+      }
       // and no survivor's redaction still contains a raw email/phone/id
       batch.collect().foreach { r =>
         val red = r.getString(r.fieldIndex("redacted"))
