@@ -57,17 +57,32 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 has no
-    * native type for: read nanos as long (legacy conf) and convert to
-    * a microsecond TimestampType with integer division (`div`, not
-    * `/` — ns epoch values exceed double's 2^53 exact-integer range).
+  /** Normalize the `events.ts` column to TimestampType regardless of
+    * the parquet physical shape the generator used. Three shapes exist
+    * in the wild:
+    *   - TIMESTAMP(NANOS): Spark 4 has no native type — read nanos as
+    *     long (legacy conf, set in [[loadEvents]]) and convert with
+    *     integer division (`div`, not `/` — ns epoch values exceed
+    *     double's 2^53 exact-integer range);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+    *     TIMESTAMP_NTZ — cast to TimestampType (value-preserving under
+    *     the session's UTC timezone, which Verify/Bench both set);
+    *   - TIMESTAMP(MICROS, UTC): already TimestampType — passthrough.
+    * Shared by the batch loader and the streaming file-source twin so
+    * both paths agree on every shape.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 }
 

@@ -48,12 +48,10 @@ class StreamingOpsSpec extends SparkSpecBase {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(spark.read.parquet(dir.toString).schema)
-      .parquet(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(spark.read.parquet(dir.toString).schema)
+        .parquet(dir.toString))
       .select("ts", "event_type", "value")
     val q = StreamingOps.windowedEventCounts(raw, "1 hour", "0 minutes")
       .writeStream.format("memory").queryName("file_win")
