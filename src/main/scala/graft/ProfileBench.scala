@@ -1,0 +1,57 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness for the corpus-profile scale claim: times the exact
+  * (count DISTINCT) and approx (HLL++) forms of
+  * [[graft.ops.CorpusOps.corpusProfile]] on a given sf/stress dir and
+  * reports per-run wall time plus total shuffle-write bytes — the two
+  * numbers that decide which form survives at 100 TB.
+  *
+  * Usage: runMain graft.ProfileBench [dir] [runs]
+  */
+object ProfileBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val docs = Tables.loadWidened(spark, dir, "documents")
+    Seq(false, true).foreach { approx =>
+      (1 to runs).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        graft.ops.CorpusOps
+          .corpusProfile(docs, Seq("lang", "source"), "text", approx = approx)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events are posted async — settle before reading
+        Thread.sleep(500)
+        println(f"[profile] approx=$approx run$i: $sec%.2f s " +
+          f"shuffle ${shuffleBytes.get() / 1e6}%.2f MB")
+      }
+    }
+    spark.stop()
+  }
+}

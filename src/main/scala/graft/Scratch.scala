@@ -19,8 +19,17 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same deterministic drain as Bench: leftover localCheckpoint
+    // blocks from a previous construction otherwise accumulate and
+    // contaminate later runs' timings (growing "construct" times).
+    def drain(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to 3).foreach { i =>
+        drain()
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         println(f"[scratch] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -31,6 +40,7 @@ object Scratch {
       val df = q.run(spark, sfDir)
       if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
       else if (sys.env.contains("SCRATCH_PHASES")) (1 to 3).foreach { i =>
+        drain()
         val t0 = System.nanoTime()
         val d = q.run(spark, sfDir)
         val t1 = System.nanoTime()

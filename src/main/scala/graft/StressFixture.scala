@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds an N× scale-stress fixture from an sf dir (dev tool, not part
+  * of the driver contract): documents and embeddings are replicated
+  * `factor`× with shifted ids; the other eight tables are byte-copied.
+  *
+  * Replication deliberately does NOT produce identical copies — an
+  * identical-text copy makes every original doc an N-clique of exact
+  * near-dups, so candidate-pair count grows O(N²) BY CONSTRUCTION and
+  * the stress measures the fixture, not the operator. Instead each
+  * replica preserves the corpus's internal structure while staying
+  * unrelated to other replicas, so true dup-rate (pairs per doc) stays
+  * constant and scaling is the operator's own:
+  *  - text: replica r != 0 prefixes every token with `r<r>_` — shingle
+  *    sets within a replica keep their original overlap structure
+  *    (near-dup pairs replicate), but share nothing across replicas;
+  *  - embeddings: replica r applies a deterministic per-replica ±1
+  *    diagonal (sign_i = parity(murmur3(r, i))) — inner products within
+  *    a replica are exactly preserved (diagonal ±1 is orthogonal),
+  *    cross-replica cosines are sign-scrambled to noise. Replica 0 is
+  *    the identity for both, so the original rows appear verbatim.
+  * No RNG anywhere — rebuilding the fixture is reproducible.
+  *
+  * Usage: runMain graft.StressFixture [srcDir] [outDir] [factor]
+  */
+object StressFixture {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/stress100")
+    val factor = args.lift(2).map(_.toInt).getOrElse(100)
+    require(factor >= 1, "factor must be >= 1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    new java.io.File(out).mkdirs()
+    val reps = broadcast(
+      spark.range(factor).select(col("id").cast("int").as("__rep")))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("__rep").cast("long") * docStride).as("doc_id"),
+        when(col("__rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("__rep"), lit("_$1")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("__rep").cast("long") * vecStride).as("vec_id"),
+        when(col("__rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x * (lit(1) - lit(2) * pmod(hash(col("__rep"), i), lit(2)))
+              .cast("float")).cast("float"))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[stress] wrote $out at ${factor}x " +
+      s"(docs ${docs.count() * factor}, vecs ${emb.count() * factor})")
+    spark.stop()
+  }
+}
