@@ -19,6 +19,21 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SCRATCH_JOBS=1: print every Spark job's wall time + call site —
+    // the construct phase of checkpoint-heavy queries is a sequence of
+    // eager jobs, and this shows which ones carry the cost.
+    if (sys.env.contains("SCRATCH_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, site) = starts.getOrDefault(je.jobId, (0L, "?"))
+          println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $site")
+        }
+      })
+    }
     // Same deterministic drain as Bench: leftover localCheckpoint
     // blocks from a previous construction otherwise accumulate and
     // contaminate later runs' timings (growing "construct" times).

@@ -117,15 +117,20 @@ object DedupOps {
     * on that composite key — one shuffle for all bands; `id1 < id2`
     * canonicalizes pairs; distinct dedups across bands.
     */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int): DataFrame = {
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int,
+      preMaterialized: Boolean = false): DataFrame = {
     // Materialize the (tiny) signature long-form once: both self-join
     // sides consume it, and without a checkpoint Spark would recompute
-    // the full shingle+md5 pipeline for each side.
-    val long = signatures.select(col(idCol).as("__id"),
+    // the full shingle+md5 pipeline for each side. Callers whose
+    // `signatures` already derive from a materialized digest frame
+    // pass preMaterialized=true: the per-side recompute is then just
+    // band substr slices + explode over checkpointed arrays, cheaper
+    // than another eager checkpoint job.
+    val longLazy = signatures.select(col(idCol).as("__id"),
       posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__h"))
       .filter(col("__h").isNotNull)
-      .localCheckpoint(true)
+    val long = if (preMaterialized) longLazy else longLazy.localCheckpoint(true)
     val l = long.select(col("__id").as("id1"), col("__band"), col("__h"))
     val r = long.select(col("__id").as("id2"),
       col("__band").as("__band2"), col("__h").as("__h2"))
@@ -185,42 +190,77 @@ object DedupOps {
     * at sf0.1.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int): DataFrame =
+    nearDupPairsFromDigests(
+      shingleDigestFrame(df, idCol, textCol, k, bands), idCol, bands)
+
+  /** The materialized (eager-checkpointed) shingle-digest frame a
+    * near-dup pipeline hangs off: (idCol, keep..., __hs, __hs1..) with
+    * one digest-array column per 4-band group. Callers that need other
+    * doc attributes downstream (e.g. a representative-pick length)
+    * ride them through `keep` — ONE materialization then serves the
+    * dedup chain AND those consumers, instead of a second checkpoint
+    * of the doc frame. Document text never materializes here.
+    */
+  def shingleDigestFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, keep: Seq[String] = Nil): DataFrame = {
     require(bands >= 1, "bands must be >= 1")
     val groups = (bands + 3) / 4
     // group-0 digests double as the shingle identities for the
     // verification stage; extra groups exist only for their bands
     val digestCols = (0 until groups).map(j =>
       shingleHashes(textCol, k, groupSalt(j)).as(s"__hs$j"))
-    val hashed = df
-      .select((col(idCol).as("__id") +: digestCols): _*)
+    df.select((col(idCol) +: keep.map(col)) ++ digestCols: _*)
       .withColumnRenamed("__hs0", "__hs")
       .localCheckpoint(true)
+  }
 
+  /** LSH candidates + Jaccard verification over an already-materialized
+    * [[shingleDigestFrame]]. Split from [[nearDupPairs]] so composed
+    * pipelines can share the digest checkpoint with their own
+    * consumers — every derivation below is substr/explode over the
+    * checkpointed arrays, so no further eager cuts are needed except
+    * the two frames consumed by multiple joins (cands, docShingles).
+    */
+  def nearDupPairsFromDigests(hashed: DataFrame, idCol: String,
+      bands: Int): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
     val bandCols = (0 until bands).map { b =>
       val (j, o) = (b / 4, b % 4)
       val src = if (j == 0) "__hs" else s"__hs$j"
       array_min(transform(col(src), h => h.substr(lit(1 + 8 * o), lit(8))))
         .as(s"minhash_$b")
     }
-    val sigs = hashed.select((col("__id").as(idCol) +: bandCols): _*)
+    val sigs = hashed.select((col(idCol) +: bandCols): _*)
     // two consumers (candidate-doc restriction + the pair join) — cut
     // once so the band/LSH join runs once
-    val cands = lshCandidatePairs(sigs, idCol, bands).localCheckpoint(true)
+    val cands = lshCandidatePairs(sigs, idCol, bands, preMaterialized = true)
+      .localCheckpoint(true)
 
     val candDocs = cands.select(col("id1").as("__cid"))
       .union(cands.select(col("id2"))).distinct()
+    // NOT checkpointed here (unlike ngramJaccard's twin): the three
+    // consumers recompute a semi-join + explode over the checkpointed
+    // digest arrays — cheap and lazy — whereas materializing would
+    // store the EXPLODED digest frame, the largest frame in the
+    // pipeline at scale.
     val docShingles = hashed
-      .join(candDocs, col("__id") === col("__cid"), "left_semi")
-      .select(col("__id"), explode(array_distinct(col("__hs"))).as("__sh"))
-      .localCheckpoint(true)
+      .join(candDocs, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), explode(array_distinct(col("__hs"))).as("__sh"))
     val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
+    // Pair-oriented intersection: explode the verified pairs against
+    // id1's shingles, then equi-join id2's (doc, shingle) rows — the
+    // intermediate is Σ_pairs |shingles(id1)|, proportional to the
+    // CANDIDATE count, where ngramJaccard's shingle self-join is
+    // Σ_sh |cand docs sharing sh|² — co-shingle pairs that are not
+    // candidates are generated only to be thrown away. Candidates are
+    // already banded here, so the pair frame is the smaller driver.
     val a = docShingles.select(col("__id").as("id1"), col("__sh"))
-    val b = docShingles.select(col("__id").as("id2"), col("__sh").as("__sh2"))
-    val inter = a.join(b, a("__sh") === b("__sh2") && a("id1") < b("id2"))
+    val b = docShingles.select(col("__id").as("__id2"), col("__sh").as("__sh2"))
+    val inter = cands.join(a, Seq("id1"))
+      .join(b, col("id2") === col("__id2") && col("__sh") === col("__sh2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
-      .join(cands, Seq("id1", "id2"), "left_semi")
 
     inter
       .join(sizes.withColumnRenamed("__id", "id1").withColumnRenamed("__n", "n1"), "id1")
@@ -271,54 +311,72 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", nodes: Option[DataFrame] = None,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, pairsDistinct: Boolean = false): DataFrame = {
     // both edge directions from ONE pass over the pairs plan: a
     // union of two projections would execute the (possibly expensive,
-    // un-checkpointed) upstream pair derivation once per branch
-    val sym = pairs
+    // un-checkpointed) upstream pair derivation once per branch.
+    // `pairsDistinct = true` (caller guarantees canonicalized unique
+    // pairs, e.g. a groupBy(id1, id2) output) skips the defensive
+    // dedup shuffle — duplicate edges would only inflate the
+    // per-round join, never change the min-label result.
+    val symRaw = pairs
       .select(explode(array(
         struct(col(id1).as("__src"), col(id2).as("__dst")),
         struct(col(id2).as("__src"), col(id1).as("__dst")))).as("__e"))
       .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
-      .distinct()
+    val sym = (if (pairsDistinct) symRaw else symRaw.distinct())
       .transform(Checkpoints.cut(_, eager = true))
     val endpoints = sym.select(col("__src").as("id"))
     val seed = nodes
       .map(n => endpoints.union(n.select(n.columns.head).toDF("id")))
       .getOrElse(endpoints)
       .distinct()
-    var checkpointed = Checkpoints.cut(seed.withColumn("lbl", col("id")), eager = true)
-    var labels = checkpointed
+    // Round 1 reads the seed labels lazily (twice — own-label union +
+    // neighbor join): both recomputes are a projection+distinct over
+    // the already-checkpointed `sym`, cheaper than a dedicated eager
+    // checkpoint job for a frame that round 1 immediately supersedes.
+    var checkpointed: DataFrame = null
+    var labels = seed.withColumn("lbl", col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
-        .join(labels, sym("__src") === labels("id"))
-        .select(col("__dst").as("id"), col("lbl"), lit(false).as("__own"))
-      // shortcut: follow my label to ITS label (pointer doubling).
-      // In round 1 labels are the identity map, so the hop join would
-      // only re-derive (id, id) — skip the shuffle entirely.
-      val hop =
-        if (iter == 0) labels.limit(0)
-          .select(col("id"), col("lbl"), lit(false).as("__own"))
-        else labels.alias("a")
-          .join(labels.alias("b"), col("a.lbl") === col("b.id"))
-          .select(col("a.id").as("id"), col("b.lbl").as("lbl"),
-            lit(false).as("__own"))
+      // Both propagation terms are "look up lbl(key), credit target":
+      //   neighbor-min — key = edge src, target = edge dst;
+      //   pointer-doubling hop (lbl(lbl(v))) — key = v's label,
+      //     target = v (skipped in round 1: labels are the identity
+      //     map, the hop would only re-derive (id, id)).
+      // Unioning the request frames first runs ONE equi-join per round
+      // instead of two — half the join stages at identical shuffle
+      // volume.
+      val requests =
+        if (iter == 0) sym.select(col("__src").as("__key"), col("__dst").as("__tgt"))
+        else sym.select(col("__src").as("__key"), col("__dst").as("__tgt"))
+          .union(labels.select(col("lbl").as("__key"), col("id").as("__tgt")))
+      val looked = requests
+        .join(labels, requests("__key") === labels("id"))
+        .select(col("__tgt").as("id"), col("lbl"), lit(false).as("__own"))
       // the node's own previous label rides along tagged __own, so the
       // same min-aggregate yields both the new label and the old one —
       // the convergence probe is then a scan of the checkpointed frame
-      // instead of a join job per round
+      // instead of a join job per round. (A direct fixed-point probe —
+      // edge-consistency + root-labels checked by joins — was measured
+      // and REJECTED: it detects convergence one round earlier, but
+      // its per-round sym-sized probe joins cost more than the cheap
+      // confirmation round they avoid on multi-round graphs: q86 went
+      // 1.9 s -> 3.2 s.)
       val next = labels.select(col("id"), col("lbl"), lit(true).as("__own"))
-        .union(neighborMin).union(hop)
+        .union(looked)
         .groupBy("id").agg(min("lbl").as("lbl"),
           min(when(col("__own"), col("lbl"))).as("__old"))
         .transform(Checkpoints.cut(_, eager = true))
       converged = next.filter(col("lbl") =!= col("__old")).limit(1).isEmpty
-      checkpointed.unpersist() // superseded checkpoint — storage stays O(1)
+      // superseded checkpoint — storage stays O(1)
+      if (checkpointed != null) checkpointed.unpersist()
       checkpointed = next
       labels = next.select(col("id"), col("lbl"))
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter converged=$converged")
     }
     sym.unpersist()
     if (!converged)

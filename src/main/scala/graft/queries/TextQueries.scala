@@ -378,25 +378,31 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val exact = DedupOps.exactDedup(docs, "doc_id", "text")
-      // three consumers (shingle pipeline, CC nodes, representative
-      // join) — cut once so the fingerprint groupBy runs once
-      val surv = graft.ops.Checkpoints.cut(
+      // ONE eager cut serves the whole chain: the digest frame rides
+      // the representative-pick length through `keep`, so the shingle
+      // pipeline, CC singleton fill and the rep join all read the same
+      // checkpoint — no separate survivor checkpoint, and text never
+      // materializes (the exact-dedup semi-join runs inside this job).
+      val surv = DedupOps.shingleDigestFrame(
         docs.join(exact.select(col("keep_id").as("doc_id")),
-          Seq("doc_id"), "left_semi"), eager = true)
-      val pairs = DedupOps.nearDupPairs(surv, "doc_id", "text", 3, 4)
+            Seq("doc_id"), "left_semi")
+          .withColumn("__len", length(col("text"))),
+        "doc_id", "text", 3, 4, keep = Seq("__len"))
+      val pairs = DedupOps.nearDupPairsFromDigests(surv, "doc_id", 4)
         .filter(col("jaccard") >= 0.5).select("id1", "id2")
       // iterate only over pair endpoints (the CC rounds are per-node
       // jobs); the untouched majority joins back as singleton clusters
       // in one lazy anti-join — same labels, far smaller rounds
-      val linked = DedupOps.connectedComponents(pairs)
+      val linked = DedupOps.connectedComponents(pairs, pairsDistinct = true)
       val clus = linked.unionByName(
         surv.select(col("doc_id").as("id"))
           .join(linked.select("id"), Seq("id"), "left_anti")
           .withColumn("cluster_id", col("id")))
       val members = clus.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
-      val rep = clus.join(surv, clus("id") === surv("doc_id"))
-        .select(col("cluster_id"), col("id"), length(col("text")).as("__len"))
+      val rep = clus.join(surv.select("doc_id", "__len"),
+          clus("id") === col("doc_id"))
+        .select(col("cluster_id"), col("id"), col("__len"))
         .withColumn("__rn", row_number().over(Window.partitionBy("cluster_id")
           .orderBy(col("__len").desc, col("id"))))
         .filter(col("__rn") === 1)
