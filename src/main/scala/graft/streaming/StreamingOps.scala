@@ -187,6 +187,52 @@ object StreamingOps {
     graft.ops.CorpusOps.decontaminateMapSide(
       stream, dict, idCol, textCol, k, threshold)
 
+  /** Windowed streaming corpus profile — the streaming face of
+    * [[graft.ops.CorpusOps.corpusProfile]]'s 100 TB path: per
+    * (window, stratum) doc count, total tokens, and HLL++
+    * `approx_count_distinct` of the exact-dedup fingerprint and of
+    * tokens. Sketch state per (window, stratum, metric) is CONSTANT
+    * (the measured batch comparison in SURVEY §9: exact distincts
+    * shuffle linearly in vocabulary, sketches stay ~KB), and the
+    * watermark evicts closed windows, so state is bounded on unbounded
+    * ingest — an exact distinct here would grow state with every new
+    * token forever. Both grains aggregate in ONE pass (no doc/token
+    * two-frame join like the batch exact form): the token distinct
+    * sketches the exploded token column of the SAME row set, so a
+    * second stateful operator — and a second state store — is avoided.
+    * HLL register merge is max-based, so results are merge-order
+    * independent: the spec proves stream ≡ batch EXACTLY, not within a
+    * tolerance.
+    *
+    * Shape note: a generator cannot sit inside an aggregate, so the
+    * token column pre-explodes (posexplode_outer) and the doc-grain
+    * metrics recover doc cardinality from `pos = 0` (split never
+    * returns an empty array, so every doc emits a pos-0 row; a null
+    * text emits one null-pos row and its null fingerprint/token fall
+    * out of the HLL sketches, matching the batch twin's explode).
+    */
+  def profileArrivals(stream: DataFrame, // needs: ts, strataCol, textCol
+      strataCol: String, textCol: String,
+      windowLen: String = "1 hour", lateness: String = "30 minutes",
+      rsd: Double = 0.05): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .select(Seq(col("ts"), col(strataCol),
+        graft.ops.TextOps.fingerprint(col(textCol)).as("__fp")) :+
+        posexplode_outer(split(col(textCol), " ", -1)): _*)
+      .select(col("ts"), col(strataCol), col("__fp"),
+        col("pos").as("__pos"), col("col").as("__tok"))
+      .groupBy(window(col("ts"), windowLen), col(strataCol))
+      .agg(
+        count(when(col("__pos") === 0 || col("__pos").isNull, 1))
+          .as("n_docs"),
+        approx_count_distinct(col("__fp"), rsd).as("n_distinct_fp"),
+        approx_count_distinct(col("__tok"), rsd).as("n_distinct_tokens"),
+        count(col("__tok")).as("total_tokens"))
+      .select(col("window.start").as("window_start"), col(strataCol),
+        col("n_docs"), col("n_distinct_fp"), col("n_distinct_tokens"),
+        col("total_tokens"))
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

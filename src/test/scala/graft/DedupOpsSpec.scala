@@ -60,6 +60,32 @@ class DedupOpsSpec extends SparkSpecBase {
     sortedRows(fused) shouldBe sortedRows(staged)
   }
 
+  test("shingleDigestFrame rides keep columns; split pipeline equals fused") {
+    val withLen = docs.withColumn("__len",
+      org.apache.spark.sql.functions.length(col("text")))
+    val hashed = DedupOps.shingleDigestFrame(
+      withLen, "doc_id", "text", 3, 4, keep = Seq("__len"))
+    // keep columns survive materialization with their values intact
+    hashed.columns should contain allOf ("doc_id", "__len", "__hs")
+    hashed.select("doc_id", "__len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe
+      withLen.select("doc_id", "__len").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // pairs from the pre-materialized frame equal the one-call form
+    sortedRows(DedupOps.nearDupPairsFromDigests(hashed, "doc_id", 4)) shouldBe
+      sortedRows(DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 4))
+  }
+
+  test("connectedComponents pairsDistinct fast path equals the default") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    sortedRows(DedupOps.connectedComponents(pairs, pairsDistinct = true)) shouldBe
+      sortedRows(DedupOps.connectedComponents(pairs))
+    // duplicate edges with the default (defensive dedup) still converge
+    val dup = pairs.unionByName(pairs)
+    sortedRows(DedupOps.connectedComponents(dup)) shouldBe
+      sortedRows(DedupOps.connectedComponents(pairs))
+  }
+
   test("ngramJaccard is 1.0 for identical docs") {
     val cands = Seq((1L, 2L)).toDF("id1", "id2")
     val out = DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)

@@ -83,6 +83,42 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("profileArrivals: stream equals batch exactly; sketches exact at fixture scale") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // two windows, two strata, exact dups inside a window
+    val docs = Seq(
+      (ts(0), "en", "alpha beta gamma"),
+      (ts(1), "en", "alpha beta gamma"),   // exact dup of the first
+      (ts(2), "en", "delta epsilon"),
+      (ts(3), "fr", "zeta eta theta iota"),
+      (ts(70), "en", "alpha kappa"))        // second 1-hour window
+    val batch = StreamingOps.profileArrivals(
+      docs.toDF("ts", "lang", "text"), "lang", "text", "1 hour", "0 minutes")
+    // window 1 / en: 3 docs, 2 distinct fingerprints, 5 distinct tokens
+    // (alpha beta gamma delta epsilon), 8 token rows
+    val w1en = batch.filter(col("lang") === "en")
+      .orderBy("window_start").collect()
+    w1en.map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))) shouldBe
+      Array((3L, 2L, 5L, 8L), (1L, 1L, 2L, 2L))
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingOps.profileArrivals(
+      in.toDF().toDF("ts", "lang", "text"), "lang", "text", "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("profile_arrivals")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(docs.take(2): _*) // split across micro-batches: HLL
+      q.processAllAvailable()      // merge must be order-independent
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      sortedRows(spark.table("profile_arrivals")) shouldBe sortedRows(batch)
+      // the aggregation is stateful by design (unlike the scrub) — the
+      // watermark is what bounds it; just prove state operators exist
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
+
   test("ingestDedupCandidates equals the batch band join, one row per pair") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{array, col, posexplode}
