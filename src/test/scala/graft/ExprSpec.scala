@@ -112,6 +112,36 @@ class ExprSpec extends SparkSpecBase {
     }
   }
 
+  test("native SubwordCounts equals the regex form (codegen, no fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val texts = Seq(
+        "the quick brown fox", "hello, world! it's 42",
+        "", "   ", "a..b,,c", "r17_tagged r17_tokens r17_tagged",
+        "unicode: café naïve 中文 😀!",
+        "a-b_c.d e!f", "123 456 123").toDF("text")
+      val both = texts.select(
+        graft.expr.SubwordCounts.subwordCounts(org.apache.spark.sql.functions.col("text")).as("n"),
+        org.apache.spark.sql.functions
+          .expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)").as("__t"))
+        .select(col("n.n_subtokens"), col("n.n_distinct_subtokens"),
+          org.apache.spark.sql.functions.size(col("__t")).cast("long").as("rx_n"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_distinct(col("__t")))
+            .cast("long").as("rx_d"))
+      both.collect().foreach { r =>
+        r.getLong(0) shouldBe r.getLong(2)
+        r.getLong(1) shouldBe r.getLong(3)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("Collapse.firstSeen preserves first-occurrence order") {
     val df = Seq(("g1", "z"), ("g1", "a"), ("g1", "z")).toDF("k", "v")
       .coalesce(1) // single partition => input order defined
