@@ -74,7 +74,19 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Magnitude-dispatched epoch decode: raw int64 carries no unit,
+        // and the generator has already switched units once (r10 shipped
+        // micros after rounds of nanos). Epoch seconds for 1973-2128 are
+        // ~1e8..5e9, so the unit bands are 5 decades apart and a
+        // per-row CASE (codegen'd, no extra read) decodes each value by
+        // its own magnitude instead of trusting a remembered shape:
+        //   |ts| >= 1e16 -> nanos; >= 1e13 -> micros; >= 1e10 -> millis;
+        //   else -> seconds.
+        df.withColumn("ts", expr(
+          """CASE WHEN abs(ts) >= 10000000000000000 THEN timestamp_micros(ts div 1000)
+            |     WHEN abs(ts) >= 10000000000000 THEN timestamp_micros(ts)
+            |     WHEN abs(ts) >= 10000000000 THEN timestamp_millis(ts)
+            |     ELSE timestamp_seconds(ts) END""".stripMargin))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

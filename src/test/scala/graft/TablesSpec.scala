@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** `Tables.normalizeEventTs` contract: the events `ts` column decodes
+  * to the SAME instant regardless of the physical shape the testdata
+  * generator used that round (raw int64 in any epoch unit, NTZ micros,
+  * or a proper timestamp). The r10 regen broke ingestion by switching
+  * nanos→NTZ-micros silently; this pins every branch.
+  */
+class TablesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 2023-11-14T22:13:20Z — epoch seconds 1.7e9, comfortably mid-band
+  private val epochSec = 1700000000L
+  private val expected = new Timestamp(epochSec * 1000L)
+
+  private def decoded(df: org.apache.spark.sql.DataFrame): Timestamp =
+    Tables.normalizeEventTs(df).select(col("ts")).head().getTimestamp(0)
+
+  test("int64 ts decodes by magnitude: nanos, micros, millis, seconds") {
+    decoded(Seq(epochSec * 1000000000L).toDF("ts")) shouldBe expected
+    decoded(Seq(epochSec * 1000000L).toDF("ts")) shouldBe expected
+    decoded(Seq(epochSec * 1000L).toDF("ts")) shouldBe expected
+    decoded(Seq(epochSec).toDF("ts")) shouldBe expected
+  }
+
+  test("TIMESTAMP_NTZ casts to TimestampType preserving the UTC value") {
+    val ntz = Seq(epochSec * 1000000L).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    ntz.schema("ts").dataType shouldBe TimestampNTZType
+    val out = Tables.normalizeEventTs(ntz)
+    out.schema("ts").dataType shouldBe TimestampType
+    out.select(col("ts")).head().getTimestamp(0) shouldBe expected
+  }
+
+  test("TimestampType passes through unchanged") {
+    val plain = Seq(expected).toDF("ts")
+    plain.schema("ts").dataType shouldBe TimestampType
+    decoded(plain) shouldBe expected
+  }
+}
