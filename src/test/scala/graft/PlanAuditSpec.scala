@@ -116,11 +116,17 @@ class PlanAuditSpec extends SparkSpecBase {
     // with the column vocabulary threaded through it must run none
     val long = strDf(Seq("study_id", "column_name", "value"))(
       Seq("ST0", "study_name", "Study 0"), Seq("ST1", "study_name", "Study 1"))
-    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val before = jobs
+    // Probe via the MAX retained job id, not the count: the status
+    // tracker evicts old jobs past spark.ui.retainedJobs, so a count
+    // can SHRINK as unrelated suites run in the shared session (the
+    // r11 flake); ids are monotonic, so the max only moves when a new
+    // job actually ran.
+    def lastJob = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).maxOption.getOrElse(-1)
+    val before = lastJob
     graft.ops.StatsOps.studyStatsWide(long, columnNames = Seq("study_name"))
-    jobs shouldBe before
+    lastJob shouldBe before
     graft.ops.StatsOps.studyStatsWide(long) // unvalued: pays the job
-    jobs should be > before
+    lastJob should be > before
   }
 }

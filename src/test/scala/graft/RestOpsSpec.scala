@@ -1,0 +1,126 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.io.RestOps
+
+/** RestOps against a loopback JDK HttpServer: the full client path —
+  * distributed paginated GET, retry/backoff on 5xx with Retry-After,
+  * terminal failures as data, and the chunked POST sink — runs for
+  * real; only the public endpoint is a local socket.
+  */
+class RestOpsSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private def base: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+    // happy pages: /pages?page=i
+    server.createContext("/pages", (ex: HttpExchange) => {
+      val page = ex.getRequestURI.getQuery.stripPrefix("page=")
+      respond(ex, 200, s"""{"page":$page,"items":["a$page","b$page"]}""")
+    })
+
+    // flaky: per-page, first attempt 503 (with Retry-After: 0), then 200
+    val flakyHits = new ConcurrentHashMap[String, AtomicInteger]()
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val page = ex.getRequestURI.getQuery
+      val n = flakyHits.computeIfAbsent(page, _ => new AtomicInteger)
+        .incrementAndGet()
+      if (n == 1) respond(ex, 503, "try later", Map("Retry-After" -> "0"))
+      else respond(ex, 200, s"""{"recovered":true}""")
+    })
+
+    // always down
+    server.createContext("/down", (ex: HttpExchange) =>
+      respond(ex, 500, "nope", Map("Retry-After" -> "0")))
+
+    // submit sink: counts received records per request body
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    server.createContext("/submit", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      received.add(body)
+      respond(ex, 200, s"""{"accepted":true}""")
+    })
+    server.start()
+    receivedBodies = received
+  }
+
+  private var receivedBodies: java.util.concurrent.CopyOnWriteArrayList[String] = _
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  test("pagedSource fetches every page distributed, one row per page") {
+    val b = base
+    val out = RestOps.pagedSource(spark, 6, p => s"$b/pages?page=$p",
+        parallelism = 3, maxAttempts = 2, backoffMs = 1)
+      .collect().sortBy(_.page)
+    out.map(_.page) shouldBe (0L until 6L).toArray
+    all(out.map(_.status)) shouldBe 200
+    all(out.map(_.attempts)) shouldBe 1
+    out(4).body should include(""""page":4""")
+  }
+
+  test("retry recovers a transient 503 honoring Retry-After; attempts recorded") {
+    val b = base
+    val out = RestOps.pagedSource(spark, 3, p => s"$b/flaky?p=$p",
+        parallelism = 2, maxAttempts = 3, backoffMs = 1)
+      .collect().sortBy(_.page)
+    all(out.map(_.status)) shouldBe 200
+    all(out.map(_.attempts)) shouldBe 2
+    all(out.map(_.body)) shouldBe """{"recovered":true}"""
+  }
+
+  test("terminal failure is data, not a thrown task error") {
+    val b = base
+    val out = RestOps.pagedSource(spark, 2, _ => s"$b/down",
+        parallelism = 1, maxAttempts = 2, backoffMs = 1).collect()
+    all(out.map(_.status)) shouldBe 500
+    all(out.map(_.attempts)) shouldBe 2
+    // connection refused (dead port): status 0, message in body
+    val dead = RestOps.pagedSource(spark, 1, _ => "http://127.0.0.1:1/x",
+      parallelism = 1, maxAttempts = 2, backoffMs = 1).collect()
+    dead.head.status shouldBe 0
+    dead.head.attempts shouldBe 2
+  }
+
+  test("submitBatches chunks per partition and posts JSON arrays") {
+    import spark.implicits._
+    receivedBodies.clear()
+    val docs = (1 to 8).map(i => s"""{"id":$i}""").toDF("payload")
+      .repartition(1)
+    val out = RestOps.submitBatches(docs, "payload", s"$base/submit",
+        batchSize = 3, maxAttempts = 2, backoffMs = 1)
+      .collect().sortBy(_.batch)
+    out.map(_.n_records).sorted shouldBe Array(2, 3, 3)
+    all(out.map(_.status)) shouldBe 200
+    out.map(_.partition).distinct shouldBe Array(0)
+    // server saw every record exactly once, as JSON arrays
+    val all8 = receivedBodies.toArray.mkString
+    (1 to 8).foreach(i => all8 should include(s"""{"id":$i}"""))
+    receivedBodies.size shouldBe 3
+  }
+}
