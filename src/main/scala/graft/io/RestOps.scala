@@ -112,6 +112,34 @@ object RestOps {
       }
   }
 
+  /** Distributed paginated POST: like [[pagedSource]] but page i sends
+    * `bodyFor(i)` (JSON) — the shape of cypher-over-HTTP and query-DSL
+    * APIs where the "page" lives in the request body (SKIP/LIMIT,
+    * search_after), not the URL.
+    */
+  def pagedPost(spark: SparkSession, nPages: Long, url: String,
+      bodyFor: Long => String, parallelism: Int = 8, maxAttempts: Int = 3,
+      backoffMs: Long = 1000L,
+      headers: Map[String, String] = Map.empty): Dataset[PageResult] = {
+    import spark.implicits._
+    require(nPages >= 0 && parallelism >= 1, "nPages >= 0, parallelism >= 1")
+    spark.range(nPages)
+      .repartition(math.min(math.max(nPages, 1L), parallelism.toLong).toInt)
+      .mapPartitions { pages =>
+        val client = newClient()
+        pages.map { p =>
+          val builder = HttpRequest.newBuilder(URI.create(url))
+            .timeout(Duration.ofMinutes(2))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(bodyFor(p)))
+          headers.foreach { case (k, v) => builder.header(k, v) }
+          val (status, body, attempts) =
+            sendWithRetry(client, builder.build(), maxAttempts, backoffMs)
+          PageResult(p, status, body, attempts)
+        }
+      }
+  }
+
   /** Chunked POST sink: rows' `jsonCol` strings are grouped into
     * batches of `batchSize` per partition and submitted as one JSON
     * array body each (the reference chunks GDC submissions the same

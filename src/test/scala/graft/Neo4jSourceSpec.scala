@@ -1,0 +1,93 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.io.Neo4jSource
+
+/** Neo4jSource against a loopback server speaking the Neo4j HTTP
+  * tx-commit wire shape: SKIP/LIMIT paging over a fixed node table,
+  * declarative JSON parse to the (page, row_idx, columns...) frame,
+  * cypher errors surfaced via pullErrors, and the downstream
+  * long-frame pivot contract consuming the output unchanged.
+  */
+class Neo4jSourceSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private def txUrl = s"http://127.0.0.1:${server.getAddress.getPort}/db/neo4j/tx/commit"
+
+  // the "graph": 5 participants, properties (participant_id, sex)
+  private val nodes = (0 until 5).map(i => (s"P$i", if (i % 2 == 0) "F" else "M"))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/db/neo4j/tx/commit", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val resp =
+        if (body.contains("RETURN p.participant_id, p.sex")) {
+          // parse SKIP n LIMIT m out of the statement
+          val skip = "SKIP (\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+          val limit = "LIMIT (\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(100)
+          val rows = nodes.slice(skip, skip + limit)
+            .map { case (id, sex) => s"""{"row":["$id","$sex"]}""" }
+            .mkString(",")
+          s"""{"results":[{"columns":["p.participant_id","p.sex"],"data":[$rows]}],"errors":[]}"""
+        } else
+          s"""{"results":[],"errors":[{"code":"Neo.ClientError.Statement.SyntaxError","message":"bad cypher"}]}"""
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private val goodCypher =
+    "MATCH (p:participant) RETURN p.participant_id, p.sex ORDER BY p.participant_id"
+
+  test("cypherPull pages SKIP/LIMIT and parses every row with dense row_idx") {
+    val out = Neo4jSource.cypherPull(spark, txUrl, goodCypher,
+        columns = Seq("participant_id", "sex"),
+        nPages = 3, pageSize = 2, parallelism = 2,
+        maxAttempts = 2, backoffMs = 1)
+      .collect().sortBy(_.getLong(1))
+    out.length shouldBe 5 // last page half-full
+    out.map(_.getLong(1)) shouldBe (0L until 5L).toArray
+    out.map(r => (r.getString(2), r.getString(3))) shouldBe nodes.toArray
+  }
+
+  test("pullErrors is empty on a clean pull, surfaces cypher errors loudly") {
+    val cleanRaw = Neo4jSource.rawPull(spark, txUrl, goodCypher,
+      nPages = 2, pageSize = 3, maxAttempts = 2, backoffMs = 1)
+    Neo4jSource.pullErrors(cleanRaw).count() shouldBe 0L
+
+    val badRaw = Neo4jSource.rawPull(spark, txUrl,
+      "MATCH oops", nPages = 1, pageSize = 10, maxAttempts = 2, backoffMs = 1)
+    val errs = Neo4jSource.pullErrors(badRaw).collect()
+    errs.length shouldBe 1
+    errs.head.getAs[String]("error") shouldBe "bad cypher"
+  }
+
+  test("the pulled frame feeds the graded long-frame pivot contract unchanged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wide = graft.ops.ReshapeOps.pivotLongWide(
+      Neo4jSource.cypherPull(spark, txUrl, goodCypher,
+        columns = Seq("participant_id", "sex"),
+        nPages = 3, pageSize = 2, maxAttempts = 2, backoffMs = 1)
+        .select(col("participant_id").as("id"),
+          lit("sex").as("prop"), col("sex").as("value")),
+      "id", "prop", "value", names = Seq("sex"))
+    wide.columns.sorted shouldBe Array("id", "sex")
+    wide.count() shouldBe 5L
+  }
+}
