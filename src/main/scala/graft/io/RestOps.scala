@@ -48,43 +48,61 @@ object RestOps {
   case class BatchResult(partition: Int, batch: Int, status: Int,
     response: String, n_records: Int)
 
-  private def newClient(): HttpClient =
+  private[io] def newClient(): HttpClient =
     HttpClient.newBuilder()
       .connectTimeout(Duration.ofSeconds(30))
       .version(HttpClient.Version.HTTP_1_1)
       .build()
 
-  /** Send with bounded retry: 429 and 5xx (and IO errors) back off
+  /** Generic bounded-retry send: 429 and 5xx (and IO errors) back off
     * exponentially from `backoffMs`, honoring a numeric Retry-After
-    * header when present. Returns (status, body, attempts); status 0 =
-    * transport failure after the final attempt.
+    * header when present. Returns (lastResponse, ioErrorMessage,
+    * attempts); a `None` response means the final attempt failed at
+    * the transport layer and the message explains it. Body handler is
+    * caller-chosen so string APIs ([[sendWithRetry]]) and binary ones
+    * ([[S3HttpStore]]'s ranged reads) share one retry loop.
     */
-  private[io] def sendWithRetry(client: HttpClient, req: HttpRequest,
-      maxAttempts: Int, backoffMs: Long): (Int, String, Int) = {
+  private[io] def sendRetrying[T](client: HttpClient, req: HttpRequest,
+      maxAttempts: Int, backoffMs: Long,
+      handler: HttpResponse.BodyHandler[T]): (Option[HttpResponse[T]], String, Int) = {
     var attempt = 0
-    var status = 0
-    var body = ""
+    var last: Option[HttpResponse[T]] = None
+    var err = ""
     var done = false
     var retryAfterMs: Option[Long] = None
     while (!done && attempt < maxAttempts) {
       attempt += 1
       retryAfterMs = None
       try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        status = resp.statusCode()
-        body = resp.body()
+        val resp = client.send(req, handler)
+        last = Some(resp)
+        val status = resp.statusCode()
         if (status == 429 || status >= 500) {
           val ra = resp.headers().firstValue("Retry-After")
           if (ra.isPresent) retryAfterMs = ra.get().toLongOption.map(_ * 1000L)
         } else done = true
       } catch {
         case e: java.io.IOException =>
-          status = 0; body = String.valueOf(e.getMessage)
+          last = None; err = String.valueOf(e.getMessage)
       }
       if (!done && attempt < maxAttempts)
         Thread.sleep(retryAfterMs.getOrElse(backoffMs * (1L << (attempt - 1))))
     }
-    (status, body, attempt)
+    (last, err, attempt)
+  }
+
+  /** String-body send with bounded retry. Returns (status, body,
+    * attempts); status 0 = transport failure after the final attempt
+    * (`body` carries the exception message).
+    */
+  private[io] def sendWithRetry(client: HttpClient, req: HttpRequest,
+      maxAttempts: Int, backoffMs: Long): (Int, String, Int) = {
+    val (resp, err, attempts) = sendRetrying(client, req, maxAttempts,
+      backoffMs, HttpResponse.BodyHandlers.ofString())
+    resp match {
+      case Some(r) => (r.statusCode(), r.body(), attempts)
+      case None    => (0, err, attempts)
+    }
   }
 
   /** Distributed paginated GET: `urlFor` renders page i's URL (a pure
