@@ -1,0 +1,178 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Checkpoints
+
+/** Distributed S3 multipart copy (`copy_large_file` /
+  * `copy_file_by_size`, `/root/reference/src/file_mover.py:94-211`):
+  * objects over the size threshold copy as ranged
+  * `upload_part_copy` parts under one multipart upload; smaller ones
+  * take the single PUT-copy. The reference fans parts across a
+  * 50-thread pool on ONE worker; here the part is a ROW — initiate,
+  * part-copy and complete are three executor stages over frames, so a
+  * 5 TB object's ~50k parts spread across the whole cluster and a
+  * plan of many large objects interleaves their parts in the same
+  * stage. That is the 100 TB shape: parallelism ∝ total bytes, not
+  * object count.
+  *
+  * Mutating-executor rules (CLAUDE.md q84/q134/q135 pattern): every
+  * side-effecting stage's OUTPUT is eagerly cut through
+  * [[Checkpoints.cut]] before the next stage consumes it, so a shuffle
+  * retry or double-action can never re-initiate an upload or
+  * re-copy a part.
+  *
+  * Divergence from the reference, on purpose: `file_mover.py:105`
+  * computes `int(size/part_size) + 1` parts, which for an exact
+  * multiple of the part size yields a final part whose byte range is
+  * inverted (start > end) — a latent bug for files of exactly
+  * N×100 MiB. We use ceiling division. The reference's
+  * strictly-greater 5 GiB threshold test (`:186`) is kept as-is.
+  */
+object MultipartCopy {
+
+  /** Reference part size (100 MiB, `file_mover.py:102`). */
+  val DefaultPartSize: Long = 100L * 1024 * 1024
+
+  /** Reference single-vs-multipart threshold (5 GiB,
+    * `file_mover.py:186`): strictly greater goes multipart.
+    */
+  val DefaultThreshold: Long = 5L * 1024 * 1024 * 1024
+
+  /** Execute a copy plan with size-routed strategy. Adds
+    * `transfer_status` (Success/Fail), `copy_mode`
+    * (single/multipart/absent) and `parts_total` (null for single)
+    * joined back onto the plan.
+    *
+    * `partParallelism` bounds the part-copy stage's tasks (the
+    * reference's `max_workers=50` analog — concurrent ranged copies
+    * against the service).
+    */
+  def executeCopies(plan: DataFrame, srcCol: String, dstCol: String,
+      cfg: S3Http.Config, partSize: Long = DefaultPartSize,
+      multipartThreshold: Long = DefaultThreshold,
+      partParallelism: Int = 32): DataFrame = {
+    require(partSize >= 1 && multipartThreshold >= 0 && partParallelism >= 1,
+      "partSize, partParallelism >= 1; multipartThreshold >= 0")
+    val clashes = Seq("transfer_status", "copy_mode", "parts_total")
+      .filter(plan.columns.contains)
+    require(clashes.isEmpty,
+      s"plan already has column(s) ${clashes.mkString(", ")} that " +
+        "MultipartCopy would add; rename them before the executor")
+    val spark = plan.sparkSession
+    import spark.implicits._
+
+    // Probe once, route by size. Read-only stage, but cut eagerly so
+    // the routing decision is fixed before any mutation starts.
+    val sized = Checkpoints.cut(
+      plan.select(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .distinct().as[(String, String)]
+        .mapPartitions { it =>
+          val store = new S3HttpStore(cfg)
+          it.map { case (src, dst) =>
+            (src, dst, store.size(src).getOrElse(-1L))
+          }
+        }.toDF(srcCol, dstCol, "__size"),
+      eager = true)
+
+    val absent = sized.filter(col("__size") < 0)
+      .select(col(srcCol), col(dstCol), lit("Fail").as("transfer_status"),
+        lit("absent").as("copy_mode"), lit(null).cast("int").as("parts_total"))
+
+    val single = sized
+      .filter(col("__size") >= 0 && col("__size") <= multipartThreshold)
+      .select(srcCol, dstCol).as[(String, String)]
+      .mapPartitions { it =>
+        val store = new S3HttpStore(cfg)
+        it.map { case (src, dst) =>
+          (src, dst, if (store.copy(src, dst)) "Success" else "Fail")
+        }
+      }.toDF(srcCol, dstCol, "transfer_status")
+      .select(col(srcCol), col(dstCol), col("transfer_status"),
+        lit("single").as("copy_mode"), lit(null).cast("int").as("parts_total"))
+
+    // Multipart leg. Stage 1: initiate (mutating — cut eagerly).
+    val initiated = Checkpoints.cut(
+      sized.filter(col("__size") > multipartThreshold)
+        .select(col(srcCol), col(dstCol), col("__size")).as[(String, String, Long)]
+        .mapPartitions { it =>
+          val client = RestOps.newClient()
+          it.map { case (src, dst, size) =>
+            val (dstBucket, dstKey) = S3Http.splitS3Uri(dst)
+            val (status, uploadId) =
+              S3Http.initiateMultipart(client, cfg, dstBucket, dstKey)
+            (src, dst, size, uploadId.orNull, status)
+          }
+        }.toDF(srcCol, dstCol, "__size", "__upload_id", "__init_status"),
+      eager = true)
+
+    val initFailed = initiated.filter(col("__upload_id").isNull)
+      .select(col(srcCol), col(dstCol), lit("Fail").as("transfer_status"),
+        lit("multipart").as("copy_mode"),
+        lit(null).cast("int").as("parts_total"))
+
+    // Stage 2: the part fan-out — explode (object × part), spread
+    // parts across the cluster, ranged-copy each (mutating — cut
+    // eagerly before the completing shuffle).
+    val nPartsCol = ceil(col("__size") / lit(partSize.toDouble)).cast("int")
+    val partResults = Checkpoints.cut(
+      initiated.filter(col("__upload_id").isNotNull)
+        .select(col(srcCol), col(dstCol), col("__upload_id"), col("__size"),
+          nPartsCol.as("__n_parts"),
+          explode(sequence(lit(1), nPartsCol)).as("__part"))
+        .repartition(partParallelism)
+        .select(srcCol, dstCol, "__upload_id", "__size", "__n_parts", "__part")
+        .as[(String, String, String, Long, Int, Int)]
+        .mapPartitions { it =>
+          val client = RestOps.newClient()
+          it.map { case (src, dst, uploadId, size, nParts, part) =>
+            val (srcBucket, srcKey) = S3Http.splitS3Uri(src)
+            val (dstBucket, dstKey) = S3Http.splitS3Uri(dst)
+            val start = (part - 1L) * partSize
+            val end = math.min(part * partSize, size) - 1
+            val (status, etag) = S3Http.uploadPartCopy(client, cfg,
+              srcBucket, srcKey, dstBucket, dstKey, uploadId, part,
+              s"bytes=$start-$end")
+            (src, dst, uploadId, nParts, part, status, etag.orNull)
+          }
+        }.toDF(srcCol, dstCol, "__upload_id", "__n_parts", "__part",
+          "__part_status", "__etag"),
+      eager = true)
+
+    // Stage 3: complete when every part landed, abort otherwise (the
+    // reference's try/except abort, file_mover.py:141-171).
+    val multi = partResults
+      .groupBy(col(srcCol), col(dstCol), col("__upload_id"), col("__n_parts"))
+      .agg(
+        collect_list(when(col("__etag").isNotNull,
+          struct(col("__part"), col("__etag")))).as("__parts"),
+        min(when(col("__etag").isNotNull, 1).otherwise(0)).as("__all_ok"))
+      .select(srcCol, dstCol, "__upload_id", "__n_parts", "__parts", "__all_ok")
+      .as[(String, String, String, Int, Seq[(Int, String)], Int)]
+      .mapPartitions { it =>
+        val client = RestOps.newClient()
+        it.map { case (src, dst, uploadId, nParts, parts, allOk) =>
+          val (dstBucket, dstKey) = S3Http.splitS3Uri(dst)
+          val status =
+            if (allOk == 1 && parts.size == nParts &&
+              S3Http.completeMultipart(client, cfg, dstBucket, dstKey,
+                uploadId, parts) == 200) "Success"
+            else {
+              S3Http.abortMultipart(client, cfg, dstBucket, dstKey, uploadId)
+              "Fail"
+            }
+          (src, dst, status, nParts)
+        }
+      }.toDF(srcCol, dstCol, "transfer_status", "parts_total")
+      .select(col(srcCol), col(dstCol), col("transfer_status"),
+        lit("multipart").as("copy_mode"), col("parts_total"))
+
+    // Terminal statuses are side-effect products too: cut before the
+    // caller's join so downstream recomputes replay nothing.
+    val results = Checkpoints.cut(
+      absent.unionByName(single).unionByName(initFailed).unionByName(multi),
+      eager = true)
+    plan.join(results, Seq(srcCol, dstCol), "left")
+  }
+}

@@ -84,6 +84,79 @@ object S3Http {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  private val UploadIdRe = "<UploadId>([^<]*)</UploadId>".r
+  private val ETagRe = "<ETag>([^<]*)</ETag>".r
+
+  /** Initiate a multipart upload (`POST /bucket/key?uploads`,
+    * `create_multipart_upload` at
+    * `/root/reference/src/file_mover.py:108-110`). Returns (status,
+    * uploadId).
+    */
+  private[graft] def initiateMultipart(client: HttpClient, cfg: Config,
+      bucket: String, key: String): (Int, Option[String]) = {
+    val (status, body, _) = RestOps.sendWithRetry(client,
+      signedRequest(cfg, "POST", objectUri(cfg, bucket, key, "uploads")),
+      cfg.maxAttempts, cfg.backoffMs)
+    (status,
+      if (status == 200)
+        UploadIdRe.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1)))
+      else None)
+  }
+
+  /** Server-side ranged part copy (`PUT /bucket/key?partNumber=N&
+    * uploadId=…` with `x-amz-copy-source[-range]` —
+    * `upload_part_copy`, `file_mover.py:120-127`). Returns (status,
+    * part ETag).
+    */
+  private[graft] def uploadPartCopy(client: HttpClient, cfg: Config,
+      srcBucket: String, srcKey: String, dstBucket: String, dstKey: String,
+      uploadId: String, partNumber: Int, byteRange: String): (Int, Option[String]) = {
+    val uri = objectUri(cfg, dstBucket, dstKey,
+      s"partNumber=$partNumber&uploadId=" +
+        SigV4.uriEncode(uploadId, encodeSlash = true))
+    val copySource =
+      "/" + srcBucket + "/" + SigV4.uriEncode(srcKey, encodeSlash = false)
+    val (status, body, _) = RestOps.sendWithRetry(client,
+      signedRequest(cfg, "PUT", uri, SigV4.EmptyPayloadSha256,
+        Seq("x-amz-copy-source" -> copySource,
+          "x-amz-copy-source-range" -> byteRange)),
+      cfg.maxAttempts, cfg.backoffMs)
+    (status,
+      if (status == 200)
+        ETagRe.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1)))
+      else None)
+  }
+
+  /** Complete a multipart upload (`POST /bucket/key?uploadId=…` with
+    * the part manifest sorted by part number —
+    * `complete_multipart_upload` + the sort at
+    * `file_mover.py:145-153`). Returns the HTTP status.
+    */
+  private[graft] def completeMultipart(client: HttpClient, cfg: Config,
+      bucket: String, key: String, uploadId: String,
+      parts: Seq[(Int, String)]): Int = {
+    val xml = parts.sortBy(_._1).map { case (n, etag) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>${xmlEscape(etag)}</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val uri = objectUri(cfg, bucket, key,
+      "uploadId=" + SigV4.uriEncode(uploadId, encodeSlash = true))
+    RestOps.sendWithRetry(client,
+      signedRequest(cfg, "POST", uri, SigV4.sha256Hex(bytes), Nil, bytes),
+      cfg.maxAttempts, cfg.backoffMs)._1
+  }
+
+  /** Abort a multipart upload (`DELETE /bucket/key?uploadId=…` — the
+    * reference's error path, `file_mover.py:163-166`).
+    */
+  private[graft] def abortMultipart(client: HttpClient, cfg: Config,
+      bucket: String, key: String, uploadId: String): Int = {
+    val uri = objectUri(cfg, bucket, key,
+      "uploadId=" + SigV4.uriEncode(uploadId, encodeSlash = true))
+    RestOps.sendWithRetry(client, signedRequest(cfg, "DELETE", uri),
+      cfg.maxAttempts, cfg.backoffMs)._1
+  }
+
   /** One fetched ListObjectsV2 page; `nextToken` is set only when the
     * page is well-formed AND truncated — the shard loop's continuation
     * condition.
@@ -97,12 +170,17 @@ object S3Http {
     * percent-encode going into the next query — tokens are opaque and
     * may carry `+/=&`.
     */
+  private[io] val CommonPrefixRe =
+    "<CommonPrefixes><Prefix>([^<]*)</Prefix></CommonPrefixes>".r
+
   private[io] def fetchListPage(client: HttpClient, cfg: Config,
       bucket: String, prefix: String, maxKeys: Int,
-      token: Option[String]): ListPage = {
+      token: Option[String], delimiter: Option[String] = None): ListPage = {
     val q = new StringBuilder("list-type=2&max-keys=").append(maxKeys)
     if (prefix.nonEmpty)
       q.append("&prefix=").append(SigV4.uriEncode(prefix, encodeSlash = true))
+    delimiter.foreach(d =>
+      q.append("&delimiter=").append(SigV4.uriEncode(d, encodeSlash = true)))
     token.foreach(t =>
       q.append("&continuation-token=")
         .append(SigV4.uriEncode(t, encodeSlash = true)))

@@ -100,6 +100,52 @@ object S3ListSource {
       }
   }
 
+  /** Auto-sharded listing: a driver-side DELIMITER walk discovers the
+    * bucket's top-level folders as CommonPrefixes (one page per ~1000
+    * folders — tiny), then the discovered prefixes fan out through
+    * [[rawList]]. Root-level objects (keys with no delimiter) arrive
+    * as the walk pages' own `Contents`, which are returned as shard
+    * −1 pages so [[listObjects]] sees the complete bucket — nothing
+    * silently dropped between the two levels. The caller-supplied
+    * [[rawList]] stays the right call when the shard points are known
+    * (hex key prefixes, study ids); this is the discovery path for
+    * buckets organized as folders, mirroring how the reference walks
+    * fixed top-level folders (`/root/reference/src/read_buckets.py`).
+    */
+  def autoShardedList(spark: SparkSession, cfg: S3Http.Config,
+      bucket: String, delimiter: String = "/", pageSize: Int = 1000,
+      parallelism: Int = 8, maxAttempts: Int = 3, backoffMs: Long = 200L,
+      maxPagesPerShard: Int = 100000): Dataset[ShardPage] = {
+    import spark.implicits._
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val conf = cfg.copy(maxAttempts = maxAttempts, backoffMs = backoffMs)
+    val client = RestOps.newClient()
+    val rootPages = Seq.newBuilder[ShardPage]
+    val prefixes = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var page = 0
+    var more = true
+    while (more) {
+      val lp = S3Http.fetchListPage(client, conf, bucket, "", pageSize,
+        token, Some(delimiter))
+      rootPages += ShardPage(-1, "", page, lp.status, lp.body, lp.attempts)
+      if (lp.status == 200)
+        S3Http.CommonPrefixRe.findAllMatchIn(lp.body)
+          .foreach(m => prefixes += S3Http.xmlUnescape(m.group(1)))
+      page += 1
+      token = lp.nextToken
+      more = token.isDefined && page < maxPagesPerShard
+    }
+    if (token.isDefined) // exited on the cap while still truncated
+      rootPages += ShardPage(-1, "", page, -1,
+        s"page cap $maxPagesPerShard reached while truncated", 0)
+    val discovered = prefixes.result().distinct
+    val root = spark.createDataset(rootPages.result())
+    if (discovered.isEmpty) root
+    else root.unionByName(rawList(spark, conf, bucket, discovered, pageSize,
+      parallelism, maxAttempts, backoffMs, maxPagesPerShard))
+  }
+
   /** Declarative parse of the raw pages: one row per object —
     * (shard, prefix, page, key, size, modified, etag, storage_class).
     * ETag unwraps its protocol quotes; `modified` stays the ISO string

@@ -378,3 +378,35 @@ object CorpusProps extends SparkProperties("corpus") {
       small.subsetOf(big)
     }
 }
+
+object SigV4Props extends Properties("sigv4-transport") {
+  import graft.io.{S3Http, SigV4}
+
+  // full unicode incl. surrogate pairs — the encoders work per UTF-8
+  // byte, so astral chars are the interesting cases
+  private val uni: Gen[String] = Gen.listOfN(12, Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "/", "+", "=", "&", "%", "~", "é", "日", "😀"),
+    1 -> Gen.oneOf("<", ">", "\"", "'", "&amp;"))).map(_.mkString)
+
+  property("uriEncode round-trips through percent-decoding") =
+    forAll(uni) { s =>
+      java.net.URLDecoder.decode(
+        SigV4.uriEncode(s, encodeSlash = true), "UTF-8") == s
+    }
+  property("uriEncode output stays in the SigV4 alphabet") =
+    forAll(uni) { s =>
+      SigV4.uriEncode(s, encodeSlash = true)
+        .matches("([A-Za-z0-9\\-._~]|%[0-9A-F]{2})*")
+    }
+  property("canonicalQuery is idempotent") =
+    forAll(Gen.listOf(Gen.zip(uni, uni)).map(_.map { case (k, v) =>
+      SigV4.uriEncode(k, encodeSlash = true) + "=" +
+        SigV4.uriEncode(v, encodeSlash = true)
+    }.mkString("&"))) { q =>
+      val once = SigV4.canonicalQuery(q)
+      SigV4.canonicalQuery(once) == once
+    }
+  property("xmlEscape/xmlUnescape round-trip") =
+    forAll(uni) { s => S3Http.xmlUnescape(S3Http.xmlEscape(s)) == s }
+}

@@ -34,13 +34,16 @@ class S3HttpSpec extends SparkSpecBase
     */
   private val objects = new TrieMap[String, Array[Byte]]()
   private val tagBodies = new TrieMap[String, String]()
+  private val uploads = new TrieMap[String, TrieMap[Int, Array[Byte]]]()
+  private val etags = new TrieMap[String, String]()
+  private val uploadCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
   private def seed(): Unit = {
-    objects.clear(); tagBodies.clear()
+    objects.clear(); tagBodies.clear(); uploads.clear(); etags.clear()
     objects("bkt/a.txt") = "hello".getBytes(UTF_8)
     objects("bkt/empty.txt") = Array.empty[Byte]
     objects("bkt/rel/f1.txt") = "1".getBytes(UTF_8)
@@ -80,10 +83,25 @@ class S3HttpSpec extends SparkSpecBase
     val maxKeys = q.getOrElse("max-keys", "1000").toInt
     val start = q.get("continuation-token")
       .map(t => t.stripPrefix("idx&+").stripSuffix("=").toInt).getOrElse(0)
-    val all = objects.keys.toSeq
+    val matched = objects.keys.toSeq
       .filter(_.startsWith(bucket + "/"))
       .map(_.stripPrefix(bucket + "/"))
       .filter(_.startsWith(prefix)).sorted
+    // delimiter mode: group keys into CommonPrefixes, emit direct keys
+    // as Contents (single page — spec buckets fit one root page)
+    val delim = q.get("delimiter")
+    val (grouped, all) = delim match {
+      case Some(d) => matched.partition(_.drop(prefix.length).contains(d))
+      case None    => (Seq.empty[String], matched)
+    }
+    val commons = delim.map { d =>
+      grouped.map { k =>
+        prefix + k.drop(prefix.length)
+          .split(java.util.regex.Pattern.quote(d), 2)(0) + d
+      }.distinct.sorted.map(p =>
+        "<CommonPrefixes><Prefix>" + S3Http.xmlEscape(p) +
+          "</Prefix></CommonPrefixes>").mkString
+    }.getOrElse("")
     val page = all.slice(start, start + maxKeys)
     val truncated = start + maxKeys < all.size
     val contents = page.map { k =>
@@ -104,7 +122,7 @@ class S3HttpSpec extends SparkSpecBase
       s"<ListBucketResult><Name>$bucket</Name>" +
       s"<Prefix>${S3Http.xmlEscape(prefix)}</Prefix>" +
       s"<KeyCount>${page.size}</KeyCount><MaxKeys>$maxKeys</MaxKeys>" +
-      s"<IsTruncated>$truncated</IsTruncated>$next$contents" +
+      s"<IsTruncated>$truncated</IsTruncated>$next$contents$commons" +
       "</ListBucketResult>"
     respond(ex, 200, xml.getBytes(UTF_8),
       Map("Content-Type" -> "application/xml"))
@@ -147,6 +165,57 @@ class S3HttpSpec extends SparkSpecBase
               case _ => respond(ex, 200, bytes)
             }
         }
+      case "POST" if q.contains("uploads") =>
+        // uploadId carries &/= so the sign/encode round trip is hit
+        val id = s"up&${uploadCounter.incrementAndGet()}="
+        uploads(id) = new TrieMap[Int, Array[Byte]]()
+        respond(ex, 200,
+          ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+            "<InitiateMultipartUploadResult>" +
+            s"<Bucket>$bucket</Bucket><Key>${S3Http.xmlEscape(key)}</Key>" +
+            s"<UploadId>${S3Http.xmlEscape(id)}</UploadId>" +
+            "</InitiateMultipartUploadResult>").getBytes(UTF_8))
+      case "POST" if q.contains("uploadId") =>
+        uploads.remove(q("uploadId")) match {
+          case None => respond(ex, 404, Array.empty)
+          case Some(parts) =>
+            val sorted = parts.toSeq.sortBy(_._1)
+            objects(full) = sorted.toArray.flatMap(_._2)
+            // real S3 multipart ETag: md5 of the concatenated part
+            // md5 digests, suffixed with the part count
+            val md = java.security.MessageDigest.getInstance("MD5")
+            sorted.foreach { case (_, b) =>
+              md.update(java.security.MessageDigest.getInstance("MD5")
+                .digest(b))
+            }
+            etags(full) = md.digest().map("%02x".format(_)).mkString +
+              s"-${sorted.size}"
+            respond(ex, 200,
+              ("<CompleteMultipartUploadResult><ETag>&quot;" +
+                etags(full) + "&quot;</ETag>" +
+                "</CompleteMultipartUploadResult>").getBytes(UTF_8))
+        }
+      case "PUT" if q.contains("partNumber") && q.contains("uploadId") =>
+        val part = q("partNumber").toInt
+        val src = java.net.URLDecoder.decode(Option(
+          ex.getRequestHeaders.getFirst("x-amz-copy-source"))
+          .get.stripPrefix("/"), UTF_8)
+        if (src.contains("boom") && part == 2)
+          respond(ex, 500, "part exploded".getBytes(UTF_8),
+            Map("Retry-After" -> "0"))
+        else (objects.get(src), uploads.get(q("uploadId"))) match {
+          case (Some(bytes), Some(parts)) =>
+            val slice =
+              ex.getRequestHeaders.getFirst("x-amz-copy-source-range") match {
+                case RangeRe(a, b) => bytes.slice(a.toInt, b.toInt + 1)
+                case other => sys.error(s"bad range: $other")
+              }
+            parts(part) = slice
+            respond(ex, 200,
+              ("<CopyPartResult><ETag>&quot;" + md5hex(slice) +
+                "&quot;</ETag></CopyPartResult>").getBytes(UTF_8))
+          case _ => respond(ex, 404, Array.empty)
+        }
       case "PUT" =>
         val copySource =
           Option(ex.getRequestHeaders.getFirst("x-amz-copy-source"))
@@ -170,6 +239,9 @@ class S3HttpSpec extends SparkSpecBase
           objects(full) = ex.getRequestBody.readAllBytes()
           respond(ex, 200, Array.empty)
         }
+      case "DELETE" if q.contains("uploadId") =>
+        uploads.remove(q("uploadId"))
+        respond(ex, 204, Array.empty)
       case "DELETE" =>
         objects.remove(full)
         respond(ex, 204, Array.empty)
@@ -320,6 +392,69 @@ class S3HttpSpec extends SparkSpecBase
     S3ListSource.listObjects(raw)
       .count() shouldBe 2L // rel/f1, rel/f2 unaffected
     raw.unpersist()
+  }
+
+  test("autoShardedList discovers folder shards; root objects kept") {
+    seed()
+    (1 to 7).foreach(i => objects(s"bkt/a/d$i.txt") = s"x$i".getBytes(UTF_8))
+    objects("bkt/root.txt") = "rooty".getBytes(UTF_8)
+    val raw = S3ListSource.autoShardedList(spark, cfg, "bkt",
+      pageSize = 3, parallelism = 2, maxAttempts = 2, backoffMs = 1).cache()
+    S3ListSource.listErrors(raw).count() shouldBe 0L
+    val objs = S3ListSource.listObjects(raw).collect()
+    // complete: every foldered key once, plus the root-level object
+    objs.map(_.getAs[String]("key")).sorted shouldBe
+      (Seq("a.txt", "empty.txt", "root.txt") ++
+        (1 to 7).map(i => s"a/d$i.txt") ++
+        Seq("rel/f1.txt", "rel/f2.txt", "relx/g.txt")).sorted.toArray
+    // the walk really sharded: a/ and rel*/ prefixes ran as shards
+    raw.collect().map(_.prefix).distinct.sorted shouldBe
+      Array("", "a/", "rel/", "relx/")
+    // ... and the a/ shard needed multiple token-chained pages
+    raw.collect().count(_.prefix == "a/") shouldBe 3
+    raw.unpersist()
+  }
+
+  test("multipart copy routes by size, fans parts out, reassembles") {
+    seed()
+    import spark.implicits._
+    objects("bkt/big.bin") = "0123456789".getBytes(UTF_8) // 10 bytes
+    val plan = Seq(
+      ("s3://bkt/big.bin", "s3://out/big.bin"),
+      ("s3://bkt/a.txt", "s3://out/a2.txt"),
+      ("s3://bkt/nope", "s3://out/nope")).toDF("src", "dst")
+    // partSize 3, threshold 5: big.bin → 4 parts; a.txt (5B) → single
+    val out = graft.io.MultipartCopy.executeCopies(plan, "src", "dst",
+      cfg, partSize = 3, multipartThreshold = 5, partParallelism = 3)
+      .orderBy("src").collect()
+    out.map(r => (r.getAs[String]("src"), r.getAs[String]("transfer_status"),
+      r.getAs[String]("copy_mode"), r.getAs[Any]("parts_total"))).toSeq shouldBe
+      Seq(("s3://bkt/a.txt", "Success", "single", null),
+        ("s3://bkt/big.bin", "Success", "multipart", 4),
+        ("s3://bkt/nope", "Fail", "absent", null))
+    objects("out/big.bin") shouldBe "0123456789".getBytes(UTF_8)
+    uploads shouldBe empty // completed upload state cleaned up
+    // real multipart ETag semantics: md5 of part md5 digests + "-4"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("012", "345", "678", "9").foreach(p =>
+      md.update(java.security.MessageDigest.getInstance("MD5")
+        .digest(p.getBytes(UTF_8))))
+    etags("out/big.bin") shouldBe
+      md.digest().map("%02x".format(_)).mkString + "-4"
+  }
+
+  test("a failing part aborts the multipart upload, reference-style") {
+    seed()
+    import spark.implicits._
+    objects("bkt/boom.bin") = "0123456789".getBytes(UTF_8)
+    val plan = Seq(("s3://bkt/boom.bin", "s3://out/boom.bin")).toDF("src", "dst")
+    val out = graft.io.MultipartCopy.executeCopies(plan, "src", "dst",
+      cfg, partSize = 3, multipartThreshold = 5, partParallelism = 2)
+      .collect()
+    out.head.getAs[String]("transfer_status") shouldBe "Fail"
+    out.head.getAs[String]("copy_mode") shouldBe "multipart"
+    objects.contains("out/boom.bin") shouldBe false
+    uploads shouldBe empty // aborted, not leaked
   }
 
   test("page cap emits a loud sentinel instead of under-listing") {
