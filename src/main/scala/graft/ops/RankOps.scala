@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus ranking operators (beyond-reference, north-star family):
+  * document-frequency tables and BM25 keyword scoring — the retrieval
+  * side of training-data curation (seed-corpus similarity filters,
+  * contamination triage by query, dataset search). Token convention
+  * matches the rest of the text family: split on a single space
+  * (`TextOps.tokens`), so the DuckDB oracles share the
+  * `string_split(text, ' ')` fragment.
+  *
+  * Scale shape: the only shuffles move (id, term) pairs for
+  * QUERY-MATCHING terms (the `isin` filter runs map-side before any
+  * exchange) and per-doc length counts; corpus-level stats reduce to
+  * ONE row that cross-joins back as a broadcast. Nothing is
+  * all-pairs; vectors/text never shuffle.
+  *
+  * Float discipline (CLAUDE.md): per-(doc, term) BM25 contributions
+  * round to DECIMAL(25,10) and SUM as decimals — exact and
+  * merge-order-independent — then cast to double once (the
+  * q126/trainCentroids pattern), so the hash-graded score is
+  * identical whatever the partitioning.
+  */
+object RankOps {
+
+  /** Tokens of one document, text-family convention. */
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** Document frequency per term: in how many documents does each
+    * (non-empty) term appear? `array_distinct` before the explode so
+    * the exchange carries one row per (doc, term), not per
+    * occurrence — at 100 TB that is the difference between shuffling
+    * token positions and shuffling the doc×vocab incidence.
+    */
+  def termDocFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(array_distinct(toks(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+
+  /** BM25 (Robertson/Lucene form) of every document against a small
+    * query-term set: idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * tf-norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), score =
+    * Σ_terms idf·tf-norm over the doc's matching terms. Returns one
+    * row per document with ≥1 match: (id, bm25, n_terms).
+    *
+    * `queryTerms` ships as literals (an `isin` filter — right for
+    * keyword-sized sets); for a large term table, join against a
+    * `broadcast` frame instead of literalizing. N and avgdl are
+    * corpus-wide over ALL documents (one-row aggregate, broadcast
+    * cross join); avgdl is computed as exact-integer sum ÷ count so
+    * engines agree bit-for-bit.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = df.select(col(idCol), toks(textCol).as("__toks"))
+    val dl = docs.select(col(idCol),
+      size(col("__toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("__sum_dl"))
+      .select(col("n"),
+        (col("__sum_dl").cast("double") / col("n")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is already one row per (doc, term): its term-side count IS df
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf =
+      log(lit(1d) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
+      (col("tf") + lit(k1) *
+        (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), (idf * tfNorm).cast(DecimalType(25, 10)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+}

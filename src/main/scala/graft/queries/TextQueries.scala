@@ -1035,6 +1035,53 @@ object TextQueries {
       CorpusOps.corpusProfile(t(s, dir, "documents"),
           Seq("lang", "source"), "text")
         .orderBy(col("lang"), col("source"))
+    },
+
+    // Document-frequency table (the retrieval building block): in how
+    // many documents does each term appear. Integer-only — hash-safe
+    // by construction.
+    Q("q150_term_doc_freq",
+      """SELECT term, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin) {
+      (s, dir) =>
+        RankOps.termDocFreq(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("term"))
+    },
+
+    // BM25 keyword scoring against a fixed query-term set. Both sides
+    // compute idf/tf-norm with the IDENTICAL expression tree (IEEE
+    // ops are deterministic given the same tree; ln is the only
+    // library call and the DECIMAL(25,10) rounding absorbs its
+    // ulp-level variance), and per-term contributions sum as exact
+    // decimals so the score is merge-order-independent.
+    Q("q151_bm25_rank",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
+        |           FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark', 'customer', 'hash')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |             ((tf * (1.2 + 1)) /
+        |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |          AS DECIMAL(25,10)) AS c
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+        |       count(*) AS n_terms
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        RankOps.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+            Seq("spark", "customer", "hash"))
+          .orderBy(col("doc_id"))
     }
   )
 }

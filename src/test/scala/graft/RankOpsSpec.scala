@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.RankOps
+
+/** RankOps against a hand-computed fixture: document frequencies and
+  * the BM25 formula (Robertson/Lucene) checked term by term.
+  */
+class RankOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a b"), (2L, "b c"), (3L, "a"), (4L, "")).toDF("doc_id", "text")
+
+  test("termDocFreq counts documents once per term, drops empties") {
+    val out = RankOps.termDocFreq(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+  }
+
+  test("bm25Rank matches the hand-computed formula") {
+    // corpus without the empty doc so dl/avgdl stay pretty: N=3,
+    // dl = 3,2,1, avgdl = 2.0; query {a, b}: df(a)=df(b)=2
+    val d3 = docs.filter($"doc_id" =!= 4L)
+    val out = RankOps.bm25Rank(d3, "doc_id", "text", Seq("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    val idf = math.log(1d + (3 - 2 + 0.5) / (2 + 0.5))
+    def norm(tf: Long, dl: Long): Double =
+      tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.0))
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = (dec(idf * norm(2, 3)) + dec(idf * norm(1, 3))).toDouble
+    val exp2 = dec(idf * norm(1, 2)).toDouble
+    val exp3 = dec(idf * norm(1, 1)).toDouble
+
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L)._1 shouldBe exp1 +- 1e-12
+    out(2L)._1 shouldBe exp2 +- 1e-12
+    out(3L)._1 shouldBe exp3 +- 1e-12
+    out(1L)._2 shouldBe 2L // matched terms
+    out(2L)._2 shouldBe 1L
+    out(3L)._2 shouldBe 1L
+    // shorter docs outrank longer ones at equal tf (length norm)
+    out(3L)._1 should be > out(2L)._1
+  }
+
+  test("the empty doc contributes to N and avgdl but never matches") {
+    val withEmpty = RankOps.bm25Rank(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    withEmpty shouldBe Set(1L, 2L, 3L)
+  }
+}
