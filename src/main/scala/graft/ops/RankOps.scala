@@ -82,4 +82,47 @@ object RankOps {
       .agg(sum(col("__c")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms"))
   }
+
+  /** Seed-corpus log-odds quality score (the CCNet/GPT-3-style
+    * "similarity to a high-quality reference corpus" filter): term
+    * weights are the add-α-smoothed unigram log-odds of the SEED
+    * partition vs the whole corpus,
+    * w(t) = ln( ((c_seed+α)/(T_seed+α·V)) / ((c_all+α)/(T_all+α·V)) ),
+    * and a document scores the tf-weighted MEAN of its terms' weights
+    * — positive when it reads like the seed, negative when it reads
+    * like the background. `isSeed` is any boolean Column over the
+    * input (a curated-source flag, a hash split…).
+    *
+    * Scale shape: one token explode feeds both the per-term count
+    * (shuffles (term) rows — vocab-sized) and the per-(doc, term) tf;
+    * corpus totals reduce to ONE broadcast row; the weight table
+    * joins tf on term. No text beyond tokens ever shuffles. Per-term
+    * contributions decimal-sum (merge-order-independent), divided
+    * once by the doc's token count.
+    */
+  def seedLogOddsQuality(df: DataFrame, idCol: String, textCol: String,
+      isSeed: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (smoothing)")
+    val tokRows = df.select(col(idCol), isSeed.as("__is_seed"),
+        explode(toks(textCol)).as("term"))
+      .where(col("term") =!= "")
+    val counts = tokRows.groupBy(col("term")).agg(
+      count(lit(1)).as("cb"),
+      sum(when(col("__is_seed"), 1L).otherwise(0L)).as("cs"))
+    val totals = counts.agg(sum(col("cb")).as("tb"), sum(col("cs")).as("ts"),
+      count(lit(1)).as("v"))
+    val w = counts.crossJoin(broadcast(totals)).select(col("term"),
+      log(((col("cs") + lit(alpha)) / (col("ts") + lit(alpha) * col("v"))) /
+        ((col("cb") + lit(alpha)) / (col("tb") + lit(alpha) * col("v"))))
+        .as("__w"))
+    val tf = tokRows.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(w, "term")
+      .select(col(idCol),
+        (col("__w") * col("tf")).cast(DecimalType(25, 10)).as("__c"),
+        col("tf"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__c")).cast("double") / sum(col("tf"))).as("quality"),
+        sum(col("tf")).cast("long").as("n_tokens"))
+  }
 }

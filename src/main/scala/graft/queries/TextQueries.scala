@@ -1082,6 +1082,37 @@ object TextQueries {
         RankOps.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
             Seq("spark", "customer", "hash"))
           .orderBy(col("doc_id"))
+    },
+
+    // Seed-corpus log-odds quality (CCNet-style reference-similarity
+    // filter): seed = every 7th doc; score = tf-weighted mean of the
+    // smoothed seed-vs-corpus unigram log-odds. Same cross-engine
+    // float discipline as q151.
+    Q("q152_seed_quality",
+      """WITH tok AS (SELECT doc_id, doc_id % 7 = 0 AS is_seed,
+        |                    unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |counts AS (SELECT term, count(*) AS cb,
+        |                  sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS cs
+        |           FROM tok2 GROUP BY term),
+        |totals AS (SELECT sum(cb) AS tb, sum(cs) AS ts, count(*) AS v
+        |           FROM counts),
+        |w AS (SELECT term,
+        |        ln(((cs + 0.5) / (ts + 0.5 * v)) /
+        |           ((cb + 0.5) / (tb + 0.5 * v))) AS w
+        |      FROM counts CROSS JOIN totals),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |       GROUP BY doc_id, term)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(w * tf AS DECIMAL(25,10))) AS DOUBLE) / sum(tf)
+        |    AS quality,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens
+        |FROM tf JOIN w USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      RankOps.seedLogOddsQuality(t(s, dir, "documents"), "doc_id", "text",
+          pmod(col("doc_id"), lit(7)) === 0)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -45,6 +45,34 @@ class RankOpsSpec extends SparkSpecBase {
     out(3L)._1 should be > out(2L)._1
   }
 
+  test("seedLogOddsQuality matches the hand-computed log-odds") {
+    import org.apache.spark.sql.functions.col
+    // seed doc 1 "a a b"; background docs 2 "b c", 3 "a":
+    // vocab {a,b,c}, V=3, T_all=6, T_seed=3
+    // counts: a cb=3 cs=2; b cb=2 cs=1; c cb=1 cs=0
+    val d3 = docs.filter($"doc_id" =!= 4L)
+    val out = RankOps.seedLogOddsQuality(d3, "doc_id", "text",
+        col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    def w(cs: Long, cb: Long): Double =
+      math.log(((cs + 0.5) / (3 + 0.5 * 3)) / ((cb + 0.5) / (6 + 0.5 * 3)))
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val (wa, wb, wc) = (w(2, 3), w(1, 2), w(0, 1))
+    out(1L)._1 shouldBe
+      ((dec(wa * 2) + dec(wb * 1)).toDouble / 3) +- 1e-12
+    out(2L)._1 shouldBe ((dec(wb * 1) + dec(wc * 1)).toDouble / 2) +- 1e-12
+    out(3L)._1 shouldBe (dec(wa * 1).toDouble / 1) +- 1e-12
+    out(1L)._2 shouldBe 3L
+    // ordering follows term log-odds, not seed membership: the pure-a
+    // doc (a is the most seed-favored term) outranks the seed doc
+    // itself, which dilutes with b; the b/c doc trails
+    out(3L)._1 should be > out(1L)._1
+    out(1L)._1 should be > out(2L)._1
+  }
+
   test("the empty doc contributes to N and avgdl but never matches") {
     val withEmpty = RankOps.bm25Rank(docs, "doc_id", "text", Seq("a", "b"))
       .collect().map(_.getLong(0)).toSet
