@@ -57,15 +57,23 @@ object RankOps {
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val docs = df.select(col(idCol), toks(textCol).as("__toks"))
-    val dl = docs.select(col(idCol),
-      size(col("__toks")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("__sum_dl"))
+    // ONE pass over the text column: project (id, dl, matched tokens)
+    // — dl is a size(), the match filter runs inside the projection —
+    // and checkpoint the narrow result so the doc-length stats and
+    // the tf aggregation both read it instead of re-scanning the
+    // corpus. The checkpointed frame carries only query-matching
+    // tokens: bytes ∝ matches, not corpus.
+    val narrow = df.select(col(idCol), toks(textCol).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("dl"),
+        filter(col("__toks"), _.isin(queryTerms: _*)).as("__matched"))
+      .localCheckpoint(false)
+    val dl = narrow.select(col(idCol), col("dl"))
+    val stats = narrow.agg(count(lit(1)).as("n"), sum(col("dl")).as("__sum_dl"))
       .select(col("n"),
         (col("__sum_dl").cast("double") / col("n")).as("avgdl"))
-    val tf = docs
-      .select(col(idCol), explode(col("__toks")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
+    val tf = narrow
+      .select(col(idCol), explode(col("__matched")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // tf is already one row per (doc, term): its term-side count IS df
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -93,12 +101,17 @@ object RankOps {
     * like the background. `isSeed` is any boolean Column over the
     * input (a curated-source flag, a hash split…).
     *
-    * Scale shape: one token explode feeds both the per-term count
-    * (shuffles (term) rows — vocab-sized) and the per-(doc, term) tf;
-    * corpus totals reduce to ONE broadcast row; the weight table
-    * joins tf on term. No text beyond tokens ever shuffles. Per-term
-    * contributions decimal-sum (merge-order-independent), divided
-    * once by the doc's token count.
+    * Scale shape: the token explode feeds both the per-term counts
+    * (shuffles (term) rows — vocab-sized) and the per-(doc, term) tf,
+    * and is RECOMPUTED per consumer rather than checkpointed — token
+    * rows are the largest frame in the op, and recomputing a
+    * projection+explode over the scan beats materializing it (the
+    * q137 lesson; contrast [[bm25Rank]], whose narrow matched frame
+    * IS worth cutting). Corpus totals reduce to ONE broadcast row;
+    * the weight table joins tf on term; no text beyond tokens ever
+    * shuffles. Per-term contributions decimal-sum
+    * (merge-order-independent), divided once by the doc's token
+    * count.
     */
   def seedLogOddsQuality(df: DataFrame, idCol: String, textCol: String,
       isSeed: Column, alpha: Double = 0.5): DataFrame = {
