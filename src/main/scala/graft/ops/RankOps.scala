@@ -115,27 +115,77 @@ object RankOps {
     */
   def seedLogOddsQuality(df: DataFrame, idCol: String, textCol: String,
       isSeed: Column, alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0, "alpha must be positive (smoothing)")
-    val tokRows = df.select(col(idCol), isSeed.as("__is_seed"),
+    val tokRows = tokenRows(df, idCol, textCol, isSeed)
+    val w = seedLogOddsWeightsFrom(tokRows, alpha)
+    val tf = tokRows.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(w, "term")
+      .select(col(idCol),
+        (col("w") * col("tf")).cast(DecimalType(25, 10)).as("__c"),
+        col("tf"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__c")).cast("double") / sum(col("tf"))).as("quality"),
+        sum(col("tf")).cast("long").as("n_tokens"))
+  }
+
+  private def tokenRows(df: DataFrame, idCol: String, textCol: String,
+      isSeed: Column): DataFrame =
+    df.select(col(idCol), isSeed.as("__is_seed"),
         explode(toks(textCol)).as("term"))
       .where(col("term") =!= "")
+
+  private def seedLogOddsWeightsFrom(tokRows: DataFrame,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, "alpha must be positive (smoothing)")
     val counts = tokRows.groupBy(col("term")).agg(
       count(lit(1)).as("cb"),
       sum(when(col("__is_seed"), 1L).otherwise(0L)).as("cs"))
     val totals = counts.agg(sum(col("cb")).as("tb"), sum(col("cs")).as("ts"),
       count(lit(1)).as("v"))
-    val w = counts.crossJoin(broadcast(totals)).select(col("term"),
+    counts.crossJoin(broadcast(totals)).select(col("term"),
       log(((col("cs") + lit(alpha)) / (col("ts") + lit(alpha) * col("v"))) /
         ((col("cb") + lit(alpha)) / (col("tb") + lit(alpha) * col("v"))))
-        .as("__w"))
-    val tf = tokRows.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(w, "term")
+        .as("w"))
+  }
+
+  /** The trained weight table (term, w) of [[seedLogOddsQuality]],
+    * exported for train-batch / score-online deployments.
+    */
+  def seedLogOddsWeights(df: DataFrame, idCol: String, textCol: String,
+      isSeed: Column, alpha: Double = 0.5): DataFrame =
+    seedLogOddsWeightsFrom(tokenRows(df, idCol, textCol, isSeed), alpha)
+
+  /** Driver-side weight dictionary for [[scoreMapSide]] — the
+    * `decontaminateMapSide` shipping pattern: collect the vocab-sized
+    * weight table once, let the map literal ride the task broadcast.
+    */
+  def collectLogOddsWeights(df: DataFrame, idCol: String, textCol: String,
+      isSeed: Column, alpha: Double = 0.5): Map[String, Double] =
+    seedLogOddsWeights(df, idCol, textCol, isSeed, alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Map-side log-odds scoring against a pre-trained weight
+    * dictionary: a PURE MAP PASS — no explode, no shuffle, no state —
+    * so the same call runs identically on a batch frame and an
+    * unbounded stream ([[graft.streaming.StreamingOps.scoreArrivals]]).
+    * Out-of-vocabulary tokens are skipped (unscored), documents with
+    * no scored token drop out — matching [[seedLogOddsQuality]]'s
+    * inner-join semantics. The per-row left fold sums doubles in
+    * token order (deterministic per row); scores agree with the
+    * decimal-summed batch scorer to ~1e-12 relative, not bit-exactly
+    * — grade with the batch form, score streams with this one.
+    */
+  def scoreMapSide(df: DataFrame, idCol: String, textCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val m = typedLit(weights)
+    val scored = filter(toks(textCol), t => map_contains_key(m, t))
+    df.select(col(idCol), scored.as("__scored"))
+      .where(size(col("__scored")) > 0)
       .select(col(idCol),
-        (col("__w") * col("tf")).cast(DecimalType(25, 10)).as("__c"),
-        col("tf"))
-      .groupBy(col(idCol))
-      .agg((sum(col("__c")).cast("double") / sum(col("tf"))).as("quality"),
-        sum(col("tf")).cast("long").as("n_tokens"))
+        (aggregate(col("__scored"), lit(0d),
+          (acc, t) => acc + element_at(m, t)) / size(col("__scored")))
+          .as("quality"),
+        size(col("__scored")).cast("long").as("n_tokens"))
   }
 }

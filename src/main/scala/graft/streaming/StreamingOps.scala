@@ -187,6 +187,21 @@ object StreamingOps {
     graft.ops.CorpusOps.decontaminateMapSide(
       stream, dict, idCol, textCol, k, threshold)
 
+  /** Streaming quality scoring against a BATCH-TRAINED weight
+    * dictionary (train offline on the corpus with
+    * [[graft.ops.RankOps.collectLogOddsWeights]], score arrivals
+    * online) — STATELESS: the whole op is one map pass
+    * ([[graft.ops.RankOps.scoreMapSide]] — no explode, no shuffle, no
+    * watermark, no state store), so unbounded ingest is safe and the
+    * identical call on a batch frame is the spec's equivalence twin.
+    * The graded batch form is q152 (`seedLogOddsQuality`); this is
+    * its deployment face, like `decontaminateArrivals` is
+    * `decontaminateMapSide`'s.
+    */
+  def scoreArrivals(stream: DataFrame, weights: Map[String, Double],
+      idCol: String, textCol: String): DataFrame =
+    graft.ops.RankOps.scoreMapSide(stream, idCol, textCol, weights)
+
   /** Windowed streaming corpus profile — the streaming face of
     * [[graft.ops.CorpusOps.corpusProfile]]'s 100 TB path: per
     * (window, stratum) doc count, total tokens, and HLL++

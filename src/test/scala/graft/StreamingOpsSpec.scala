@@ -283,6 +283,52 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scoreArrivals scores with batch-trained weights, stateless") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // train on a small corpus: doc 1 is the seed
+    val corpus = Seq(
+      (1L, "good clean prose here"), (2L, "spam spam junk junk"),
+      (3L, "clean words again")).toDF("doc_id", "text")
+    val weights = graft.ops.RankOps.collectLogOddsWeights(
+      corpus, "doc_id", "text", col("doc_id") === 1L)
+    weights.keySet should contain allOf ("good", "spam", "clean")
+
+    val arrivals = Seq(
+      (10L, "good clean prose"),   // seed-like
+      (11L, "spam junk spam"),     // background-like
+      (12L, "wholly novel tokens") // fully OOV → dropped
+    )
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.scoreArrivals(
+        in.toDF().toDF("doc_id", "text"), weights, "doc_id", "text")
+      .writeStream.format("memory").queryName("score_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      arrivals.grouped(2).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      q.recentProgress.foreach(_.stateOperators shouldBe empty) // pure map
+      val streamed = spark.table("score_stream")
+      // the identical call on a batch frame is bit-equal
+      val batch = graft.ops.RankOps.scoreMapSide(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", weights)
+      sortedRows(streamed) shouldBe sortedRows(batch)
+      val byId = streamed.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      byId.keySet shouldBe Set(10L, 11L) // OOV doc dropped
+      byId(10L) should be > 0d  // reads like the seed
+      byId(11L) should be < 0d  // reads like the background
+      // tracks the graded batch scorer on corpus docs (fold vs
+      // decimal-sum: equal to ~1e-12, not bit-exact)
+      val graded = graft.ops.RankOps.seedLogOddsQuality(
+          corpus, "doc_id", "text", col("doc_id") === 1L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mapSide = graft.ops.RankOps.scoreMapSide(
+          corpus, "doc_id", "text", weights)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      graded.foreach { case (id, v) => mapSide(id) shouldBe v +- 1e-9 }
+    } finally q.stop()
+  }
+
   test("decontaminateArrivals ≡ batch map-side decontamination, stateless") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
