@@ -40,6 +40,19 @@ object MultipartCopy {
     */
   val DefaultThreshold: Long = 5L * 1024 * 1024 * 1024
 
+  /** Ceiling-division part count (the deliberate divergence from the
+    * reference's `int(size/part)+1` — see the object doc).
+    */
+  private[graft] def numParts(size: Long, partSize: Long): Long =
+    (size + partSize - 1) / partSize
+
+  /** Inclusive byte range of 1-based part `part`. The ranges of parts
+    * 1..numParts tile [0, size-1] exactly — property-tested.
+    */
+  private[graft] def partRange(part: Long, size: Long,
+      partSize: Long): (Long, Long) =
+    ((part - 1L) * partSize, math.min(part * partSize, size) - 1)
+
   /** Execute a copy plan with size-routed strategy. Adds
     * `transfer_status` (Success/Fail), `copy_mode`
     * (single/multipart/absent) and `parts_total` (null for single)
@@ -129,8 +142,7 @@ object MultipartCopy {
           it.map { case (src, dst, uploadId, size, nParts, part) =>
             val (srcBucket, srcKey) = S3Http.splitS3Uri(src)
             val (dstBucket, dstKey) = S3Http.splitS3Uri(dst)
-            val start = (part - 1L) * partSize
-            val end = math.min(part * partSize, size) - 1
+            val (start, end) = partRange(part.toLong, size, partSize)
             val (status, etag) = S3Http.uploadPartCopy(client, cfg,
               srcBucket, srcKey, dstBucket, dstKey, uploadId, part,
               s"bytes=$start-$end")

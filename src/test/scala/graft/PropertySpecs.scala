@@ -410,3 +410,47 @@ object SigV4Props extends Properties("sigv4-transport") {
   property("xmlEscape/xmlUnescape round-trip") =
     forAll(uni) { s => S3Http.xmlUnescape(S3Http.xmlEscape(s)) == s }
 }
+
+object MultipartRangeProps extends Properties("multipart-ranges") {
+  import graft.io.MultipartCopy.{numParts, partRange}
+
+  private[graft] val sizes = Gen.oneOf(
+    Gen.chooseNum(1L, 50L),                    // tiny objects
+    Gen.chooseNum(1L, 1000L).map(_ * 100L),    // exact-multiple region
+    Gen.chooseNum(1L, 5L * 1024 * 1024 * 1024) // up to the 5 GiB threshold
+  )
+  private[graft] val parts = Gen.chooseNum(1L, 512L).map(_ * 17L) // odd part sizes
+
+  property("part ranges tile [0, size-1] with no gaps or overlaps") =
+    forAll(sizes, parts) { (size, partSize) =>
+      val n = numParts(size, partSize)
+      val ranges = (1L to n).map(partRange(_, size, partSize))
+      ranges.head._1 == 0L && ranges.last._2 == size - 1 &&
+        ranges.forall { case (s, e) => e >= s } && // reference's inverted-range bug can't appear
+        ranges.sliding(2).forall {
+          case Seq((_, e1), (s2, _)) => s2 == e1 + 1
+          case _                     => true
+        }
+    }
+
+  property("exact multiples get size/part parts, not one more") =
+    forAll(Gen.chooseNum(1L, 10000L), Gen.chooseNum(1L, 500L)) { (k, p) =>
+      numParts(k * p, p) == k
+    }
+}
+
+object MultipartSqlProps extends SparkProperties("multipart-sql") {
+  import graft.io.MultipartCopy.numParts
+  import MultipartRangeProps.{sizes, parts}
+
+  property("the DataFrame-side ceil agrees with the Scala part count") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    forAll(sizes, parts) { (size, partSize) =>
+      val sqlN = Seq(size).toDF("__size")
+        .select(ceil(col("__size") / lit(partSize.toDouble)).cast("long"))
+        .head().getLong(0)
+      sqlN == numParts(size, partSize)
+    }
+  }
+}
