@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, GdcQueries, IndexQueries, MediaQueries, MoverQueries, Q, RelationalQueries, StageQueries, SubmissionQueries, TextQueries, ToolQueries}
+import graft.queries.{AdvancedQueries, BpeQueries, GdcQueries, IndexQueries, MediaQueries, MoverQueries, Q, RelationalQueries, StageQueries, SubmissionQueries, TextQueries, ToolQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,9 +20,9 @@ object SparkEntry {
   // addressed by name.
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ AdvancedQueries.all ++ TextQueries.all ++
-      StageQueries.all ++ ToolQueries.all ++ GdcQueries.all ++
-      IndexQueries.all ++ SubmissionQueries.all ++ MoverQueries.all ++
-      MediaQueries.all
+      BpeQueries.all ++ StageQueries.all ++ ToolQueries.all ++
+      GdcQueries.all ++ IndexQueries.all ++ SubmissionQueries.all ++
+      MoverQueries.all ++ MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

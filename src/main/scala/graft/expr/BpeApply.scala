@@ -1,0 +1,165 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: apply a TRAINED merge list to one word
+  * and emit either the resulting symbol sequence or its adjacent
+  * symbol pairs — the per-round kernel of distributed BPE vocabulary
+  * induction ([[graft.ops.BpeTrain]]).
+  *
+  * Unlike [[BpeTokenize]] (inference against the pinned release table,
+  * lowest-rank-anywhere greedy), this applies merges SEQUENTIALLY in
+  * rank order — merge 0 at all its occurrences, then merge 1, … —
+  * because that is EXACTLY how the training state evolved: round r's
+  * pair counts must be computed over the state produced by applying
+  * merges 0..r-1 in creation order. Recomputing from the raw word each
+  * round keeps the distributed trainer stateless (the word-frequency
+  * frame is checkpointed ONCE and never rewritten), at O(r) map work
+  * per word per round — vocabulary-sized, not corpus-sized.
+  *
+  * Each merge replaces left-to-right non-overlapping (a a a a → aa aa
+  * under merge (a,a)), matching the reference Sennrich trainer and
+  * [[BpeTokenize.tokenizeWord]]'s inner loop.
+  *
+  * The merge list ships as a `Broadcast[Merges]`: one deserialization
+  * per executor, resolved once per operator instance in the generated
+  * code (the [[DictOverlap]] pattern — a plain reference object would
+  * be Java-deserialized per task).
+  *
+  * Pairs mode emits each adjacent pair as `"lhs rhs"` — a space
+  * cannot appear inside a symbol (words are space-split upstream and
+  * the terminal is the literal `"</w>"`), so the key is unambiguous
+  * and the downstream groupBy shuffles one flat string per pair
+  * occurrence instead of a two-field struct.
+  */
+case class BpeApply(child: Expression,
+    merges: org.apache.spark.broadcast.Broadcast[BpeApply.Merges],
+    emitPairs: Boolean)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply requires string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeApply.compute(input.asInstanceOf[UTF8String], merges.value, emitPairs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mClass = classOf[BpeApply.Merges].getName
+    val bcRef = ctx.addReferenceObj("bpeMergesBc", merges,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast once per operator instance, not per row
+    val cached = ctx.addMutableState(mClass, "bpeApplyMerges",
+      v => s"$v = ($mClass) $bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.BpeApply.compute($c, $cached, $emitPairs)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+object BpeApply {
+
+  /** End-of-word terminal symbol (Sennrich-style; shared with
+    * [[BpeTokenize]]'s pinned table semantics).
+    */
+  val EndOfWord = "</w>"
+
+  /** Pair-key separator for pairs mode — a single space, which no
+    * symbol can contain (words are space-split upstream).
+    */
+  val Sep = " "
+
+  /** The trained-so-far merge list, broadcast per training round.
+    * Rank = array position; applied sequentially.
+    */
+  final class Merges(val pairs: Array[(String, String)]) extends Serializable {
+    def size: Int = pairs.length
+  }
+
+  /** Codegen entry point. Named `compute`, not `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression.
+    */
+  def compute(word: UTF8String, merges: Merges, emitPairs: Boolean): ArrayData = {
+    val w = word.toString
+    // code-point split (surrogate pairs stay whole) + terminal symbol
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var cp = 0
+    while (cp < w.length) {
+      val n = Character.charCount(w.codePointAt(cp))
+      syms.add(w.substring(cp, cp + n))
+      cp += n
+    }
+    syms.add(EndOfWord)
+    // sequential application, each merge left-to-right non-overlapping
+    val ms = merges.pairs
+    var m = 0
+    while (m < ms.length) {
+      val a = ms(m)._1
+      val b = ms(m)._2
+      var i = 0
+      // scan once; only allocate a new list if the pair occurs
+      var found = false
+      while (!found && i < syms.size - 1) {
+        if (syms.get(i) == a && syms.get(i + 1) == b) found = true else i += 1
+      }
+      if (found) {
+        val merged = a + b
+        val out = new java.util.ArrayList[String](syms.size - 1)
+        var j = 0
+        while (j < i) { out.add(syms.get(j)); j += 1 }
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+            out.add(merged); j += 2
+          } else {
+            out.add(syms.get(j)); j += 1
+          }
+        }
+        syms = out
+      }
+      m += 1
+    }
+    if (emitPairs) {
+      val n = math.max(0, syms.size - 1)
+      val flat = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        flat(i) = UTF8String.fromString(syms.get(i) + Sep + syms.get(i + 1))
+        i += 1
+      }
+      new GenericArrayData(flat)
+    } else {
+      val flat = new Array[Any](syms.size)
+      var i = 0
+      while (i < syms.size) {
+        flat(i) = UTF8String.fromString(syms.get(i))
+        i += 1
+      }
+      new GenericArrayData(flat)
+    }
+  }
+
+  /** Column form: symbol sequence after applying `merges`. */
+  def bpeSymbols(word: Column,
+      merges: org.apache.spark.broadcast.Broadcast[Merges]): Column =
+    ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges,
+      emitPairs = false))
+
+  /** Column form: adjacent `"lhs rhs"` pairs after applying `merges`. */
+  def bpePairs(word: Column,
+      merges: org.apache.spark.broadcast.Broadcast[Merges]): Column =
+    ColumnBridge.column(BpeApply(ColumnBridge.expression(word), merges,
+      emitPairs = true))
+}

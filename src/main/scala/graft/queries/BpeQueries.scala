@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.BpeTrain
+
+/** BPE vocabulary induction (beyond-reference, north-star mandated):
+  * the TRAINING half of the subword stack — q148 grades inference
+  * against the pinned release table; these grade inducing a merge
+  * table and vocabulary FROM the corpus ([[graft.ops.BpeTrain]]).
+  *
+  * The oracle replays the full Sennrich training loop in DuckDB: the
+  * word is encoded as a delimiter-wrapped symbol string
+  * (`\x01 sym \x01\x01 sym \x01 …` — each symbol wrapped in its OWN
+  * delimiters), which makes SQL `replace` exactly equal to the
+  * trainer's left-to-right non-overlapping merge: adjacent matches
+  * never share delimiter characters, so `a a a a` under merge (a,a)
+  * becomes `aa aa` on both engines, and `a a a` becomes `aa a` (the
+  * naive single-delimiter join gets both wrong because the shared
+  * separator is consumed by the first match). One CTE block per merge
+  * round, generated programmatically; MATERIALIZED keeps DuckDB from
+  * inlining the round chain exponentially. \x01 cannot occur in a
+  * symbol: corpus text is space-split words and the only synthetic
+  * symbol is the literal `</w>`.
+  */
+object BpeQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Merge rounds trained by q154/q155 (shared by the oracle
+    * generator and the Spark side).
+    */
+  val Rounds = 10
+
+  private val D = "chr(1)"
+  private val DD = "chr(1)||chr(1)"
+
+  /** Word frequencies + round-0 symbol encoding. */
+  private val baseCtes: Seq[String] = Seq(
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word)""".stripMargin,
+    s"""s0 AS MATERIALIZED (
+       |  SELECT freq, $D || array_to_string(
+       |    list_append(string_split(word, ''), '</w>'), $DD) || $D AS sym
+       |  FROM w0)""".stripMargin)
+
+  /** Symbol list of round-`i` state. */
+  private def lstSql(i: Int): String =
+    s"(SELECT freq, string_split(substr(sym, 2, length(sym) - 2), $DD) AS lst FROM s$i)"
+
+  /** Pair counts of round-`i` state (every adjacent position counts). */
+  private def pairCte(i: Int): String =
+    s"""p$i AS MATERIALIZED (
+       |  SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+       |  FROM (SELECT freq,
+       |          unnest(list_zip(lst[1:len(lst)-1], lst[2:len(lst)])) AS p
+       |        FROM ${lstSql(i)})
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Winning pair of round `i` (count desc, then lexicographic —
+    * the same deterministic total order as the trainer's argmax).
+    */
+  private def bestCte(i: Int): String =
+    s"""b$i AS MATERIALIZED (
+       |  SELECT lhs, rhs, pair_count FROM p$i
+       |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""".stripMargin
+
+  /** Round i+1 state: apply round i's winner everywhere. */
+  private def applyCte(i: Int): String =
+    s"""s${i + 1} AS MATERIALIZED (
+       |  SELECT freq, replace(sym, $D||lhs||$DD||rhs||$D, $D||lhs||rhs||$D) AS sym
+       |  FROM s$i CROSS JOIN b$i)""".stripMargin
+
+  private def trainCtes(rounds: Int): String =
+    (baseCtes ++ (0 until rounds).flatMap(i =>
+      Seq(pairCte(i), bestCte(i), applyCte(i)))).mkString(",\n")
+
+  val all: Seq[Q] = Seq(
+
+    // The pair-count kernel on the initial (character-level) state:
+    // the full adjacent-pair frequency table the first training round
+    // ranks. Integer-only, alphabet-squared-bounded output.
+    Q("q153_bpe_pair_counts",
+      "WITH " + baseCtes.mkString(",\n") + ",\n" + pairCte(0) +
+        "\nSELECT lhs, rhs, pair_count FROM p0 ORDER BY lhs, rhs") { (s, dir) =>
+      BpeTrain.pairCounts(
+          BpeTrain.wordFreqs(t(s, dir, "documents"), "text"), Nil)
+        .orderBy(col("lhs"), col("rhs"))
+    },
+
+    // The trained merge table: `Rounds` sequential rounds, each
+    // argmax-ing the pair counts of the state the previous merges
+    // produced. The oracle replays every round.
+    Q("q154_bpe_train",
+      "WITH " + trainCtes(Rounds) + "\nSELECT * FROM (\n" +
+        (0 until Rounds).map(i =>
+          s"SELECT $i AS rank, lhs, rhs, pair_count FROM b$i")
+          .mkString("\nUNION ALL ") +
+        "\n) ORDER BY rank") { (s, dir) =>
+      BpeTrain.trainMerges(t(s, dir, "documents"), "text", Rounds)
+        .orderBy(col("rank"))
+    },
+
+    // Train-then-apply: the corpus subword vocabulary after the
+    // trained merges — grades the application path (symbols mode)
+    // against the oracle's final round state.
+    Q("q155_bpe_vocab",
+      "WITH " + trainCtes(Rounds) +
+        s"""
+           |SELECT token, CAST(sum(freq) AS BIGINT) AS freq
+           |FROM (SELECT unnest(lst) AS token, freq FROM ${lstSql(Rounds)})
+           |GROUP BY token ORDER BY token""".stripMargin) { (s, dir) =>
+      BpeTrain.trainVocab(t(s, dir, "documents"), "text", Rounds)
+        .orderBy(col("token"))
+    }
+  )
+}
