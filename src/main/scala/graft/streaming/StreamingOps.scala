@@ -124,6 +124,55 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("new_id", "corpus_id"))
 
+  case class PackDoc(route: String, doc_id: Long, n_tokens: Long)
+  case class PackOut(route: String, doc_id: Long, n_tokens: Long,
+      token_start: Long, shard_id: Long)
+
+  /** Streaming token-budget shard packing — the online face of
+    * [[graft.ops.CorpusOps.packByTokenBudget]] (q140): arriving
+    * documents accumulate into fixed-token-budget training shards,
+    * assigned as they arrive instead of by a batch prefix sum.
+    *
+    * A running token total is inherently sequential — doc N's shard
+    * depends on every predecessor — so the op makes the SAME trade as
+    * the batch twin's two-pass prefix sum, just along the time axis:
+    * the `route` key (mixture stratum, output tranche, language…) is
+    * the parallelism unit, and within a route the cursor advances in
+    * arrival order (micro-batch order; doc_id-sorted within a batch,
+    * so replaying identical batches is deterministic). State per route
+    * is ONE long — the next token offset — with no timeout: it must
+    * survive idle routes forever by design, and route cardinality
+    * (like shard-key cardinality everywhere else in the engine) is an
+    * operational constant, not data-sized. Emission is append-mode:
+    * a doc's shard assignment is final the moment it is emitted.
+    *
+    * Stream ≡ batch: over the same docs fed in nondecreasing doc_id
+    * order, a single route's output equals `packByTokenBudget` row for
+    * row (spec-proven); null-weight handling lives with the caller
+    * (the typed column is non-nullable here, the batch form coalesces
+    * to 0).
+    */
+  def packArrivals(docs: Dataset[PackDoc], budget: Long): Dataset[PackOut] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.route)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (route: String, batch: Iterator[PackDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // materialize BEFORE state.update: the returned iterator is
+          // consumed after this function returns, so updating state
+          // from a lazy map over it would write the pre-batch cursor
+          val out = batch.toArray.sortBy(_.doc_id).map { d =>
+            val start = cum
+            cum += d.n_tokens
+            PackOut(route, d.doc_id, d.n_tokens, start, start / budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Streaming corpus scrub: deterministic stratified sampling → the
     * Gopher/C4 quality-gate cascade → PII redaction on arriving
     * documents — entirely STATELESS (all THREE stages are pure map

@@ -390,4 +390,59 @@ class StreamingOpsSpec extends SparkSpecBase {
       second.sum_value shouldBe 7.0
     } finally q.stop()
   }
+
+  test("packArrivals ≡ batch packByTokenBudget over id-ordered arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 30L).map(id => (id, 10L + (id % 7) * 3))
+    val batch = graft.ops.CorpusOps.packByTokenBudget(
+        docs.toDF("doc_id", "n_tokens"), "doc_id", col("n_tokens"), 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    val in = MemoryStream[StreamingOps.PackDoc]
+    val q = StreamingOps.packArrivals(in.toDS(), 64L)
+      .writeStream.format("memory").queryName("pack_arrivals")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id-ordered ACROSS batches; shuffled WITHIN each batch to prove
+      // the per-batch doc_id sort
+      docs.grouped(10).foreach { g =>
+        val shuffled = g.reverse
+        in.addData(shuffled.map { case (id, n) =>
+          StreamingOps.PackDoc("all", id, n) }: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("pack_arrivals")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      got shouldBe batch
+      // the cursor is genuinely stateful (one long per route)
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
+
+  test("packArrivals keeps independent cursors per route") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.PackDoc]
+    val q = StreamingOps.packArrivals(in.toDS(), 100L)
+      .writeStream.format("memory").queryName("pack_routes")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(StreamingOps.PackDoc("en", 1L, 60L),
+        StreamingOps.PackDoc("fr", 2L, 60L))
+      q.processAllAvailable()
+      in.addData(StreamingOps.PackDoc("en", 3L, 60L),
+        StreamingOps.PackDoc("fr", 4L, 60L))
+      q.processAllAvailable()
+      val rows = spark.table("pack_routes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+      // each route packs from offset 0 independently: second doc of
+      // each route starts at 60 and crosses into shard 0 -> 0 (60/100)
+      rows shouldBe Array(
+        ("en", 1L, 0L, 0L), ("en", 3L, 60L, 0L),
+        ("fr", 2L, 0L, 0L), ("fr", 4L, 60L, 0L))
+    } finally q.stop()
+  }
 }
