@@ -297,6 +297,79 @@ object StreamingOps {
         col("n_docs"), col("n_distinct_fp"), col("n_distinct_tokens"),
         col("total_tokens"))
 
+  case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
+  case class NearDupPair(id1: Long, id2: Long, ts: Timestamp)
+
+  /** Streaming near-dup candidate pairs AMONG the arrivals themselves —
+    * the stream-vs-stream face of
+    * [[graft.ops.DedupOps.lshCandidatePairs]] (the stream-vs-STATIC
+    * face is [[ingestDedupCandidates]]). Arriving documents MinHash
+    * map-side, explode to (band, hash) long form, and each LSH bucket
+    * keeps the ids it has seen within the watermark horizon in
+    * `flatMapGroupsWithState`: a new arrival emits one canonical
+    * (id1 < id2) pair per bucket member it joins, exactly the pairs
+    * the batch self-join would produce, just at arrival time.
+    *
+    * State is BOUNDED by design: per (band, hash) bucket the state is
+    * the (id, ts) list inside the lateness horizon — entries older
+    * than the watermark are pruned on every invocation, and an idle
+    * bucket's state is dropped whole by the event-time timeout. So
+    * retention ∝ arrival rate × horizon, independent of total stream
+    * length — the property that makes unbounded ingest safe. A pair
+    * sharing several bands emits once per shared bucket (the batch
+    * twin's `.distinct()` — downstream Jaccard verification dedups;
+    * chaining a second stateful dedup after flatMapGroupsWithState is
+    * not a supported streaming plan). A degenerate hot bucket (many
+    * identical docs) emits quadratically — the same cost the batch
+    * self-join pays on that bucket.
+    *
+    * Emission order within a micro-batch is (ts, id)-sorted, so
+    * replaying identical batches is deterministic; the emitted `ts` is
+    * the LATER arrival's, i.e. the moment the pair became known.
+    */
+  def nearDupArrivals(
+      stream: DataFrame, // needs: idCol (long), textCol, ts timestamp
+      idCol: String, textCol: String, k: Int, bands: Int,
+      lateness: String = "30 minutes"): Dataset[NearDupPair] = {
+    import stream.sparkSession.implicits._
+    val sigs = graft.ops.DedupOps
+      .minhashBands(stream, idCol, textCol, k, bands, keep = Seq("ts"))
+    val long = sigs
+      .select(col(idCol).as("id"), col("ts"),
+        posexplode(array((0 until bands).map(b => col(s"minhash_$b")): _*)))
+      .select(col("pos").as("band"), col("col").as("hash"), col("id"),
+        col("ts"))
+      .filter(col("hash").isNotNull)
+      .withWatermark("ts", lateness)
+      .as[BandDoc]
+    long.groupByKey(d => (d.band, d.hash))
+      .flatMapGroupsWithState[Seq[(Long, Long)], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), batch: Iterator[BandDoc],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val held = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
+            val arrived = batch.toArray.sortBy(d => (d.ts.getTime, d.id))
+            val out = Seq.newBuilder[NearDupPair]
+            var seen = held
+            arrived.foreach { d =>
+              seen.foreach { case (pid, _) =>
+                if (pid != d.id)
+                  out += NearDupPair(math.min(pid, d.id),
+                    math.max(pid, d.id), d.ts)
+              }
+              seen = (d.id, d.ts.getTime) +: seen
+            }
+            state.update(seen)
+            if (seen.nonEmpty)
+              state.setTimeoutTimestamp(seen.map(_._2).max, lateness)
+            out.result().iterator
+          }
+      }
+  }
+
   /** File-arrival source for a growing directory of parquet drops —
     * the streaming replacement for the reference's bucket-polling
     * loops (`/root/reference/src/read_buckets.py:73-83`): each new

@@ -445,4 +445,82 @@ class StreamingOpsSpec extends SparkSpecBase {
         ("fr", 2L, 0L, 0L), ("fr", 4L, 60L, 0L))
     } finally q.stop()
   }
+
+  // near-dup fixture: 1≈2 (one word changed), 3≈4 (verbatim), 5/6 unrelated
+  private val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"),
+    (3L, "pack my box with five dozen liquor jugs right now"),
+    (4L, "pack my box with five dozen liquor jugs right now"),
+    (5L, "completely unrelated text about spark streaming state stores"),
+    (6L, "zzz qqq vvv kkk jjj xxx www yyy uuu ttt"))
+
+  test("nearDupArrivals finds the batch lshCandidatePairs set across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val expected = graft.ops.DedupOps.lshCandidatePairs(
+        graft.ops.DedupOps.minhashBands(
+          nearDupDocs.toDF("doc_id", "text"), "doc_id", "text", 3, 8),
+        "doc_id", 8)
+      .as[(Long, Long)].collect().toSet
+    expected should contain allOf ((1L, 2L), (3L, 4L))
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.nearDupArrivals(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", 3, 8, "30 minutes")
+      .writeStream.format("memory").queryName("neardup_arrivals")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split across micro-batches: pairs must form both within a
+      // batch (3,4 together) and across batches (1 then 2)
+      in.addData((1L, ts(0), nearDupDocs(0)._2), (3L, ts(1), nearDupDocs(2)._2),
+        (4L, ts(1), nearDupDocs(3)._2))
+      q.processAllAvailable()
+      in.addData((2L, ts(5), nearDupDocs(1)._2), (5L, ts(6), nearDupDocs(4)._2),
+        (6L, ts(7), nearDupDocs(5)._2))
+      q.processAllAvailable()
+      val got = spark.table("neardup_arrivals")
+      got.select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet shouldBe expected
+      // canonical orientation, and multiplicity bounded by the band count
+      got.filter(col("id1") >= col("id2")).count() shouldBe 0L
+      got.groupBy("id1", "id2").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .as[Long].head() should be <= 8L
+    } finally q.stop()
+  }
+
+  test("nearDupArrivals prunes bucket state past the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.nearDupArrivals(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", 3, 8, "10 minutes")
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts(0), nearDupDocs(0)._2))
+      q.processAllAvailable()
+      // unrelated traffic an hour later advances the watermark far
+      // past doc 1's bucket entries
+      in.addData((6L, ts(60), nearDupDocs(5)._2))
+      q.processAllAvailable()
+      in.addData((7L, ts(61), nearDupDocs(4)._2))
+      q.processAllAvailable()
+      // a near-dup of doc 1 arriving after eviction pairs with NOTHING
+      // (bounded state: the operator only knows the lateness horizon),
+      // while an in-horizon verbatim dup of doc 7 still pairs
+      in.addData((2L, ts(65), nearDupDocs(1)._2), (8L, ts(65), nearDupDocs(4)._2))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_evict")
+        .select("id1", "id2").distinct().as[(Long, Long)].collect().toSet
+      pairs should contain((7L, 8L))
+      pairs.exists(p => p._1 == 1L || p._2 == 1L) shouldBe false
+      // state plateaus at horizon size: far fewer rows than total
+      // (band, hash) entries ever created (6 docs x 8 bands = 48)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      stateRows should be < 48L
+    } finally q.stop()
+  }
 }
