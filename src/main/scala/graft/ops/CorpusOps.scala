@@ -485,4 +485,48 @@ object CorpusOps {
       .select((strata :+ col("n_docs") :+ col("n_distinct_fp") :+
         col("n_distinct_tokens") :+ col("total_tokens")): _*)
   }
+
+  /** Per-stratum distribution quantiles of an integer document metric
+    * (token count, char count, …) — the corpus-report companion to
+    * [[corpusProfile]]. EXACT form (`percentile`, R-7 linear
+    * interpolation — the same definition as DuckDB/Postgres
+    * `quantile_cont`): Spark's exact percentile aggregates a
+    * value→count map, so its state is ∝ DISTINCT metric values — for
+    * integer-valued doc metrics that is thousands of entries
+    * regardless of corpus size, which makes the exact form 100
+    * TB-viable for THIS metric family (unlike exact distinct counts,
+    * whose state is vocabulary-sized — see corpusProfile's HLL trade).
+    * `approx = true` switches to `percentile_approx`'s bounded sketch
+    * (state ∝ `accuracy`, not distinct values) — the path for
+    * continuous or high-cardinality metrics; it returns the same
+    * column shape so callers swap by flag.
+    *
+    * Quantile values round through DECIMAL(25,10) back to double
+    * (identically on the DuckDB side) so interpolated floats
+    * hash-compare exactly across engines; one
+    * shuffle total — quantiles and `n_docs` ride a single aggregation.
+    */
+  def lengthQuantiles(df: DataFrame, strataCols: Seq[String],
+      metric: Column, ps: Seq[Double], approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got $ps")
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct.size == names.size,
+      s"percentile labels collide: $names — use integral percents")
+    val strata = strataCols.map(col)
+    val pcts = array(ps.map(lit): _*)
+    val qs =
+      if (approx) percentile_approx(col("__m"), pcts, lit(accuracy))
+      else percentile(col("__m"), pcts)
+    val qCols = ps.indices.map { i =>
+      element_at(col("__qs"), i + 1).cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(25, 10))
+        .cast("double").as(names(i))
+    }
+    df.select((strata :+ metric.cast("bigint").as("__m")): _*)
+      .groupBy(strata: _*)
+      .agg(count(lit(1)).as("n_docs"), qs.as("__qs"))
+      .select((strata :+ col("n_docs")) ++ qCols: _*)
+  }
 }

@@ -1113,6 +1113,28 @@ object TextQueries {
       RankOps.seedLogOddsQuality(t(s, dir, "documents"), "doc_id", "text",
           pmod(col("doc_id"), lit(7)) === 0)
         .orderBy(col("doc_id"))
+    },
+
+    // Per-language token-count quantiles (the distribution half of the
+    // corpus report; q149 is the cardinality half). Spark's EXACT
+    // percentile and DuckDB's quantile_cont share the R-7 linear
+    // interpolation definition; interpolated doubles cast to
+    // DECIMAL(25,10) on both sides so they hash-compare exactly. The
+    // exact form's aggregation state is ∝ distinct metric values
+    // (thousands, for an integer token count) — 100 TB-viable as-is;
+    // percentile_approx covers continuous metrics (spec-pinned).
+    Q("q156_length_quantiles",
+      s"""WITH d AS (SELECT lang,
+         |  CAST(len($TOKS) AS BIGINT) AS m FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(CAST(quantile_cont(m, 0.25) AS DECIMAL(25,10)) AS DOUBLE) AS p25,
+         |  CAST(CAST(quantile_cont(m, 0.50) AS DECIMAL(25,10)) AS DOUBLE) AS p50,
+         |  CAST(CAST(quantile_cont(m, 0.90) AS DECIMAL(25,10)) AS DOUBLE) AS p90,
+         |  CAST(CAST(quantile_cont(m, 0.99) AS DECIMAL(25,10)) AS DOUBLE) AS p99
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      CorpusOps.lengthQuantiles(t(s, dir, "documents"), Seq("lang"),
+          TextOps.tokenCount(col("text")), Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy(col("lang"))
     }
   )
 }

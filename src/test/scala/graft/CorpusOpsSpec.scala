@@ -307,4 +307,45 @@ class CorpusOpsSpec extends SparkSpecBase {
         be <= 0.15
     }
   }
+
+  test("lengthQuantiles: exact matches the sorted-array definition; approx twin") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(101).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      // en metric values: lengths 1..51 once each — quantiles closed-form
+      "repeat('x', CAST(1 + id / 2 AS INT)) AS text")
+    val out = CorpusOps.lengthQuantiles(docs, Seq("lang"),
+        org.apache.spark.sql.functions.length(col("text")), Seq(0.5, 0.9))
+      .orderBy("lang").collect()
+    out.map(_.getString(0)) shouldBe Array("de", "en")
+    val en = out(1)
+    en.getLong(1) shouldBe 51L
+    // en holds 1..51 once each: R-7 interpolation gives exact ranks
+    en.getDouble(2) shouldBe 26.0 // p50 of 1..51
+    en.getDouble(3) shouldBe 46.0 // p90: 1 + 0.9*50
+    // de holds 1..50 once each: p90 rank = 1 + 0.9*49 = 45.1
+    out(0).getDouble(3) shouldBe 45.1 +- 1e-9
+
+    // approx twin: same column shape; exact at fixture scale (the
+    // sketch only approximates past its accuracy bound)
+    val ap = CorpusOps.lengthQuantiles(docs, Seq("lang"),
+        org.apache.spark.sql.functions.length(col("text")), Seq(0.5, 0.9), approx = true)
+    ap.columns shouldBe Array("lang", "n_docs", "p50", "p90")
+    val apEn = ap.orderBy("lang").collect()(1)
+    // percentile_approx returns an OBSERVED value (no interpolation):
+    // it must land within one step of the continuous quantile
+    math.abs(apEn.getDouble(2) - 26.0) should be <= 1.0
+    math.abs(apEn.getDouble(3) - 46.0) should be <= 1.0
+  }
+
+  test("lengthQuantiles rejects out-of-range and colliding percentiles") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")
+    an[IllegalArgumentException] should be thrownBy
+      CorpusOps.lengthQuantiles(docs, Seq("lang"), col("doc_id"), Seq(1.5))
+    an[IllegalArgumentException] should be thrownBy
+      CorpusOps.lengthQuantiles(docs, Seq("lang"), col("doc_id"),
+        Seq(0.251, 0.252))
+  }
 }
