@@ -236,6 +236,25 @@ object SimilarityOps {
       .localCheckpoint(true)
   }
 
+  /** Static corpus vector index for streaming embedding lookup: each
+    * corpus vector keyed by its `bits`-char hyperplane sign bucket —
+    * the right side of the stream-static join in
+    * [[graft.streaming.StreamingOps.embeddingNeighborsArrivals]]. The
+    * corpus is static, so the caller derives `bits` from its known
+    * size once (the adaptive rule, driver-side) rather than in-plan;
+    * write the index bucketed on `bucket` at scale and the
+    * per-micro-batch join is exchange-free on the corpus side.
+    */
+  def corpusVecIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= planes.size,
+      s"bits must be in [1, ${planes.size}], got $bits")
+    corpus.select(
+      hyperplaneSigns(col(vecCol), planes).substr(1, bits).as("bucket"),
+      col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnrm"))
+  }
+
   /** ANN with seeded random-hyperplane buckets and corpus-adaptive bit
     * width — the 100 TB path: bucket count scales with n, so the
     * in-bucket self-join stays O(n · target) instead of O(n²/2^bits).

@@ -297,6 +297,39 @@ object StreamingOps {
         col("n_docs"), col("n_distinct_fp"), col("n_distinct_tokens"),
         col("total_tokens"))
 
+  /** Streaming embedding-similarity lookup against a STATIC corpus —
+    * the vector twin of [[ingestDedupCandidates]]: each arriving
+    * embedding computes its hyperplane sign bucket map-side (native
+    * `PlaneSigns`, one static call per row), equi-joins the corpus's
+    * precomputed [[graft.ops.SimilarityOps.corpusVecIndex]] on the
+    * bucket key, and emits every corpus neighbor at cosine ≥ `tau` —
+    * entirely STATELESS (bucket + cosine are map work over the joined
+    * row; no watermark, no state store), so unbounded ingest is safe
+    * and the operator is also the batch expression of itself (spec
+    * proves stream ≡ batch and zero state operators). Use it for
+    * embedding-level dedup-on-ingest or retrieval routing; candidates
+    * are bucket-restricted, so recall follows the LSH contract (a
+    * cross-bucket near-dup needs the multi-probe batch path). At scale
+    * the index is a bucketed table on `bucket` — the corpus side of
+    * the per-micro-batch join is then exchange-free.
+    */
+  def embeddingNeighborsArrivals(
+      stream: DataFrame, // needs: idCol, vecCol (array<float>)
+      corpusIndex: DataFrame, // from SimilarityOps.corpusVecIndex
+      idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], bits: Int, tau: Double): DataFrame = {
+    import graft.ops.SimilarityOps.{dot, hyperplaneSigns, norm}
+    val probes = stream.select(
+      hyperplaneSigns(col(vecCol), planes).substr(1, bits).as("__b"),
+      col(idCol).as("new_id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    probes.join(corpusIndex, probes("__b") === corpusIndex("bucket"))
+      .select(col("new_id"), col("corpus_id"),
+        (dot(col("__v"), col("cvec")) / (col("__n") * col("cnrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= tau && col("new_id") =!= col("corpus_id"))
+  }
+
   case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
   case class NearDupPair(id1: Long, id2: Long, ts: Timestamp)
 

@@ -366,6 +366,24 @@ object CorpusProps extends SparkProperties("corpus") {
     ra == rb
   }
 
+  property("lengthQuantiles exact = sorted-array R-7 interpolation") =
+    forAll(
+      Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 500L))),
+      Gen.chooseNum(1, 99)) { (ms, pct) =>
+      val p = pct / 100.0
+      val df = ms.zipWithIndex.map { case (m, i) => (i.toLong, "s", m) }
+        .toDF("id", "strata", "m")
+      val got = CorpusOps.lengthQuantiles(df, Seq("strata"), col("m"), Seq(p))
+        .collect().head
+      val sorted = ms.sorted
+      val rank = p * (sorted.size - 1)
+      val lo = sorted(rank.toInt)
+      val hi = sorted(math.ceil(rank).toInt)
+      val want = lo + (rank - rank.toInt) * (hi - lo)
+      got.getLong(1) == ms.size.toLong &&
+        math.abs(got.getDouble(2) - want) <= 1e-9 * math.max(1.0, want)
+    }
+
   property("hashStratifiedSample is monotone in the threshold") =
     forAll(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)) { (t1, t2) =>
       val lo = f"${math.min(t1, t2)}%02x"

@@ -446,6 +446,41 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("embeddingNeighborsArrivals ≡ batch bucket join and runs stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val planes = SimilarityOps.hyperplanes(seed = 7L, bits = 4, dim = 4)
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.2f, 0.1f, 0.0f)),
+      (11L, Seq(-1.0f, 0.3f, -0.2f, 0.5f)),
+      (12L, Seq(0.9f, 0.25f, 0.12f, 0.01f)), // near 10
+      (13L, Seq(0.0f, 0.0f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val index = SimilarityOps
+      .corpusVecIndex(corpus, "vec_id", "embedding", planes, bits = 2)
+      .localCheckpoint(true)
+    val arrivals = Seq(
+      (100L, Seq(2.0f, 0.4f, 0.2f, 0.0f)),   // colinear with 10
+      (101L, Seq(0.95f, 0.22f, 0.11f, 0.0f)), // near 10/12
+      (102L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))    // unrelated
+    def lookup(df: org.apache.spark.sql.DataFrame) =
+      StreamingOps.embeddingNeighborsArrivals(df, index,
+        "vec_id", "embedding", planes, bits = 2, tau = 0.9)
+    val expected = lookup(arrivals.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Double)].collect().toSet
+    expected.map(p => (p._1, p._2)) should contain((100L, 10L))
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = lookup(in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("emb_neighbors")
+      .outputMode(OutputMode.Append).start()
+    try {
+      arrivals.grouped(2).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      spark.table("emb_neighbors")
+        .as[(Long, Long, Double)].collect().toSet shouldBe expected
+      q.lastProgress.stateOperators shouldBe empty
+    } finally q.stop()
+  }
+
   // near-dup fixture: 1≈2 (one word changed), 3≈4 (verbatim), 5/6 unrelated
   private val nearDupDocs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog tonight"),
