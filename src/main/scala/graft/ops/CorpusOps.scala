@@ -486,6 +486,60 @@ object CorpusOps {
         col("n_distinct_tokens") :+ col("total_tokens")): _*)
   }
 
+  /** Per-stratum corpus profile as MERGEABLE sketches — the
+    * incremental face of [[corpusProfile]]: instead of a one-shot
+    * estimate, each call emits per-stratum Datasketches HLL sketches
+    * (`hll_sketch_agg`) for the distinct-fingerprint and
+    * distinct-token metrics alongside the exact additive counts. Store
+    * one increment per ingest batch/day; [[mergeProfileSketches]]
+    * combines any set of increments WITHOUT rescanning the corpus —
+    * sketch union is a per-register max, so merging a year of daily
+    * increments reads kilobytes per stratum, and the merged estimate
+    * is IDENTICAL to the estimate a whole-corpus pass would produce
+    * (register state is independent of how the rows were split —
+    * spec-pinned). This is the profile maintenance path at 100 TB:
+    * the corpus is read once per increment at ingest time, never
+    * again for stats.
+    */
+  def profileSketches(df: DataFrame, strataCols: Seq[String],
+      textCol: String): DataFrame = {
+    val strata = strataCols.map(col)
+    val base = df.select(
+      strata :+
+        graft.ops.TextOps.fingerprint(col(textCol)).as("__fp") :+
+        split(col(textCol), " ", -1).as("__tl"): _*)
+    val docGrain = base.groupBy(strata: _*).agg(
+      count(lit(1)).as("n_docs"),
+      hll_sketch_agg(col("__fp")).as("fp_sketch"),
+      sum(size(col("__tl")).cast("bigint")).as("total_tokens"))
+    val tokenGrain = base
+      .select((strata :+ explode(col("__tl")).as("__t")): _*)
+      .groupBy(strata: _*)
+      .agg(hll_sketch_agg(col("__t")).as("token_sketch"))
+    docGrain.join(tokenGrain, strataCols)
+      .select((strata :+ col("n_docs") :+ col("total_tokens") :+
+        col("fp_sketch") :+ col("token_sketch")): _*)
+  }
+
+  /** Merge [[profileSketches]] increments into the [[corpusProfile]]
+    * column shape: additive counts sum, sketches union
+    * (`hll_union_agg`), estimates surface as bigint. Bytes read ∝
+    * increments × strata × sketch size — never the corpus.
+    */
+  def mergeProfileSketches(increments: DataFrame,
+      strataCols: Seq[String]): DataFrame = {
+    val strata = strataCols.map(col)
+    increments.groupBy(strata: _*).agg(
+        sum("n_docs").as("n_docs"),
+        hll_union_agg(col("fp_sketch")).as("__fpu"),
+        hll_union_agg(col("token_sketch")).as("__tku"),
+        sum("total_tokens").as("total_tokens"))
+      .select((strata :+ col("n_docs") :+
+        hll_sketch_estimate(col("__fpu")).as("n_distinct_fp") :+
+        hll_sketch_estimate(col("__tku")).as("n_distinct_tokens") :+
+        col("total_tokens")): _*)
+  }
+
   /** Per-stratum distribution quantiles of an integer document metric
     * (token count, char count, …) — the corpus-report companion to
     * [[corpusProfile]]. EXACT form (`percentile`, R-7 linear

@@ -308,6 +308,42 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("profileSketches merge ≡ whole-corpus pass, and tracks the exact twin") {
+    // same deterministic corpus as the HLL test above
+    val docs = spark.range(600).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      "CASE WHEN id % 4 < 2 THEN 'web' ELSE 'book' END AS source",
+      "concat('tok', CAST(id % 200 AS STRING), ' word', " +
+        "CAST(id % 37 AS STRING), ' tail', CAST(id % 11 AS STRING)) AS text")
+    val whole = CorpusOps.mergeProfileSketches(
+        CorpusOps.profileSketches(docs, Seq("lang", "source"), "text"),
+        Seq("lang", "source"))
+      .orderBy("lang", "source").collect()
+    // three arbitrary "daily" increments — register state must not
+    // depend on how rows were split across them
+    val incs = Seq(
+      docs.filter("id % 3 = 0"), docs.filter("id % 3 = 1"),
+      docs.filter("id % 3 = 2"))
+      .map(d => CorpusOps.profileSketches(d, Seq("lang", "source"), "text"))
+      .reduce(_ unionByName _)
+    val merged = CorpusOps.mergeProfileSketches(incs, Seq("lang", "source"))
+      .orderBy("lang", "source").collect()
+    merged.map(_.toSeq) shouldBe whole.map(_.toSeq)
+
+    val exact = CorpusOps.corpusProfile(docs, Seq("lang", "source"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    merged.foreach { r =>
+      val e = exact((r.getString(0), r.getString(1)))
+      r.getLong(2) shouldBe e.getLong(2) // n_docs exact
+      r.getLong(5) shouldBe e.getLong(5) // total_tokens exact
+      // Datasketches HLL at default lgK=12 on ≤200 distinct values is
+      // in exact (list/set) mode — estimates equal the true counts
+      r.getLong(3) shouldBe e.getLong(3)
+      r.getLong(4) shouldBe e.getLong(4)
+    }
+  }
+
   test("lengthQuantiles: exact matches the sorted-array definition; approx twin") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(101).selectExpr(
