@@ -446,6 +446,64 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("packArrivals resumes route cursors from a checkpoint after restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val buf = new scala.collection.concurrent.TrieMap[Long, StreamingOps.PackOut]()
+    val in = MemoryStream[StreamingOps.PackDoc]
+    def start() = StreamingOps.packArrivals(in.toDS(), 64L)
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.PackOut],
+          _: Long) =>
+        df.collect().foreach(p => buf.put(p.doc_id, p)); ()
+      }.start()
+    val q1 = start()
+    try {
+      in.addData((0L until 5L).map(i => StreamingOps.PackDoc("all", i, 20L)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the route cursor (5 docs x 20
+    // tokens = offset 100) must survive the stop — the preemption
+    // contract behind §9's streaming posture
+    val q2 = start()
+    try {
+      in.addData(StreamingOps.PackDoc("all", 5L, 20L))
+      q2.processAllAvailable()
+      buf(5L) shouldBe StreamingOps.PackOut("all", 5L, 20L, 100L, 1L)
+      buf.values.map(_.token_start).toSeq.sorted shouldBe
+        (0L until 6L).map(_ * 20L)
+    } finally q2.stop()
+  }
+
+  test("packArrivals runs identically on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.PackDoc]
+      val q = StreamingOps.packArrivals(in.toDS(), 64L)
+        .writeStream.format("memory").queryName("pack_rocksdb")
+        .outputMode(OutputMode.Append).start()
+      try {
+        (0 until 3).foreach { b =>
+          in.addData((0L until 4L).map(i =>
+            StreamingOps.PackDoc("r", b * 4L + i, 10L)): _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table("pack_rocksdb")
+          .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        got shouldBe (0L until 12L).map(i => (i, i * 10L, i * 10L / 64L)).toArray
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("embeddingNeighborsArrivals ≡ batch bucket join and runs stateless") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
