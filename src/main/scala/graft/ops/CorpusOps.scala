@@ -469,21 +469,37 @@ object CorpusOps {
     val strata = strataCols.map(col)
     def distinctOf(c: Column): Column =
       if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
+    profileGrains(df, strataCols, textCol,
+      fpAgg = c => distinctOf(c).as("n_distinct_fp"),
+      tokAgg = c => distinctOf(c).as("n_distinct_tokens"))
+      .select((strata :+ col("n_docs") :+ col("n_distinct_fp") :+
+        col("n_distinct_tokens") :+ col("total_tokens")): _*)
+  }
+
+  /** Shared scaffold of the profile family: the ONE definition of the
+    * fingerprint/tokenization base and the two aggregation grains, so
+    * the exact ([[corpusProfile]]) and sketch ([[profileSketches]])
+    * faces cannot drift apart. `fpAgg`/`tokAgg` supply the (aliased)
+    * distinct-metric aggregate per grain; `n_docs` and `total_tokens`
+    * always ride the doc grain.
+    */
+  private def profileGrains(df: DataFrame, strataCols: Seq[String],
+      textCol: String, fpAgg: Column => Column,
+      tokAgg: Column => Column): DataFrame = {
+    val strata = strataCols.map(col)
     val base = df.select(
       strata :+
         graft.ops.TextOps.fingerprint(col(textCol)).as("__fp") :+
         split(col(textCol), " ", -1).as("__tl"): _*)
     val docGrain = base.groupBy(strata: _*).agg(
       count(lit(1)).as("n_docs"),
-      distinctOf(col("__fp")).as("n_distinct_fp"),
+      fpAgg(col("__fp")),
       sum(size(col("__tl")).cast("bigint")).as("total_tokens"))
     val tokenGrain = base
       .select((strata :+ explode(col("__tl")).as("__t")): _*)
       .groupBy(strata: _*)
-      .agg(distinctOf(col("__t")).as("n_distinct_tokens"))
+      .agg(tokAgg(col("__t")))
     docGrain.join(tokenGrain, strataCols)
-      .select((strata :+ col("n_docs") :+ col("n_distinct_fp") :+
-        col("n_distinct_tokens") :+ col("total_tokens")): _*)
   }
 
   /** Per-stratum corpus profile as MERGEABLE sketches — the
@@ -504,19 +520,9 @@ object CorpusOps {
   def profileSketches(df: DataFrame, strataCols: Seq[String],
       textCol: String): DataFrame = {
     val strata = strataCols.map(col)
-    val base = df.select(
-      strata :+
-        graft.ops.TextOps.fingerprint(col(textCol)).as("__fp") :+
-        split(col(textCol), " ", -1).as("__tl"): _*)
-    val docGrain = base.groupBy(strata: _*).agg(
-      count(lit(1)).as("n_docs"),
-      hll_sketch_agg(col("__fp")).as("fp_sketch"),
-      sum(size(col("__tl")).cast("bigint")).as("total_tokens"))
-    val tokenGrain = base
-      .select((strata :+ explode(col("__tl")).as("__t")): _*)
-      .groupBy(strata: _*)
-      .agg(hll_sketch_agg(col("__t")).as("token_sketch"))
-    docGrain.join(tokenGrain, strataCols)
+    profileGrains(df, strataCols, textCol,
+      fpAgg = c => hll_sketch_agg(c).as("fp_sketch"),
+      tokAgg = c => hll_sketch_agg(c).as("token_sketch"))
       .select((strata :+ col("n_docs") :+ col("total_tokens") :+
         col("fp_sketch") :+ col("token_sketch")): _*)
   }
@@ -565,9 +571,13 @@ object CorpusOps {
       accuracy: Int = 10000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
+    // labels are pNN from the percent value; a non-integral percent
+    // (0.999 → "p100") would silently mislabel even without colliding
+    require(ps.forall(p => math.abs(p * 100 - math.round(p * 100)) < 1e-9),
+      s"percentiles must be integral percents (label = pNN), got $ps")
     val names = ps.map(p => s"p${math.round(p * 100)}")
     require(names.distinct.size == names.size,
-      s"percentile labels collide: $names — use integral percents")
+      s"percentile labels collide: $names")
     val strata = strataCols.map(col)
     val pcts = array(ps.map(lit): _*)
     val qs =

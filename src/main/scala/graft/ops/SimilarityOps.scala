@@ -244,6 +244,10 @@ object SimilarityOps {
     * size once (the adaptive rule, driver-side) rather than in-plan;
     * write the index bucketed on `bucket` at scale and the
     * per-micro-batch join is exchange-free on the corpus side.
+    * Zero-norm vectors are excluded — they carry no direction, and a
+    * zero `cnrm` would make the streaming consumer's cosine divide by
+    * zero (fatal under ANSI sessions); validate at ingest if a zero
+    * embedding should fail loudly instead.
     */
   def corpusVecIndex(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], bits: Int): DataFrame = {
@@ -253,6 +257,7 @@ object SimilarityOps {
       hyperplaneSigns(col(vecCol), planes).substr(1, bits).as("bucket"),
       col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cnrm"))
+      .filter(col("cnrm") > 0d)
   }
 
   /** ANN with seeded random-hyperplane buckets and corpus-adaptive bit

@@ -312,22 +312,34 @@ object StreamingOps {
     * cross-bucket near-dup needs the multi-probe batch path). At scale
     * the index is a bucketed table on `bucket` — the corpus side of
     * the per-micro-batch join is then exchange-free.
+    *
+    * Ids are NOT assumed to share a namespace with corpus ids, so an
+    * arrival matching a corpus row with the same id is emitted like
+    * any other neighbor (dedup-on-ingest callers filter it). Zero-norm
+    * arrivals probe nothing: a zero vector has no direction, and under
+    * the ANSI sessions this engine runs, letting it through would turn
+    * the cosine into a divide-by-zero that KILLS the unbounded query
+    * on one poison row — validate embeddings at ingest if zero vectors
+    * should be loud.
     */
   def embeddingNeighborsArrivals(
       stream: DataFrame, // needs: idCol, vecCol (array<float>)
       corpusIndex: DataFrame, // from SimilarityOps.corpusVecIndex
       idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], bits: Int, tau: Double): DataFrame = {
+    require(bits >= 1 && bits <= planes.size,
+      s"bits must be in [1, ${planes.size}] and match the index, got $bits")
     import graft.ops.SimilarityOps.{dot, hyperplaneSigns, norm}
     val probes = stream.select(
       hyperplaneSigns(col(vecCol), planes).substr(1, bits).as("__b"),
       col(idCol).as("new_id"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0d)
     probes.join(corpusIndex, probes("__b") === corpusIndex("bucket"))
       .select(col("new_id"), col("corpus_id"),
         (dot(col("__v"), col("cvec")) / (col("__n") * col("cnrm")))
           .as("cosine"))
-      .filter(col("cosine") >= tau && col("new_id") =!= col("corpus_id"))
+      .filter(col("cosine") >= tau)
   }
 
   case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
@@ -358,7 +370,10 @@ object StreamingOps {
     *
     * Emission order within a micro-batch is (ts, id)-sorted, so
     * replaying identical batches is deterministic; the emitted `ts` is
-    * the LATER arrival's, i.e. the moment the pair became known.
+    * the NEW arrival's event time — the doc whose arrival completed
+    * the pair. (For in-horizon late data that can be EARLIER than its
+    * partner's ts: arrival order, not event order, decides who
+    * completes a pair.)
     */
   def nearDupArrivals(
       stream: DataFrame, // needs: idCol (long), textCol, ts timestamp
@@ -388,12 +403,17 @@ object StreamingOps {
             val out = Seq.newBuilder[NearDupPair]
             var seen = held
             arrived.foreach { d =>
-              seen.foreach { case (pid, _) =>
-                if (pid != d.id)
+              // a re-delivered id only refreshes its ts: its pairs
+              // were emitted when it first arrived (earlier partners)
+              // or by each later partner's own arrival — pairing again
+              // would emit duplicates, and keeping both entries would
+              // grow state past distinct-doc size
+              if (!seen.exists(_._1 == d.id))
+                seen.foreach { case (pid, _) =>
                   out += NearDupPair(math.min(pid, d.id),
                     math.max(pid, d.id), d.ts)
-              }
-              seen = (d.id, d.ts.getTime) +: seen
+                }
+              seen = (d.id, d.ts.getTime) +: seen.filterNot(_._1 == d.id)
             }
             state.update(seen)
             if (seen.nonEmpty)

@@ -584,6 +584,33 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupArrivals: a re-delivered doc refreshes state without duplicate pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.nearDupArrivals(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", 3, 8, "30 minutes")
+      .writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((3L, ts(0), nearDupDocs(2)._2), (4L, ts(1), nearDupDocs(3)._2))
+      q.processAllAvailable()
+      // doc 3 re-delivered (same id, same text): no new pairs
+      in.addData((3L, ts(2), nearDupDocs(2)._2))
+      q.processAllAvailable()
+      val got = spark.table("neardup_redeliver")
+      got.select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet shouldBe Set((3L, 4L))
+      // per-bucket exactly-once: multiplicity stays band-bounded even
+      // with the re-delivery (8 bands, verbatim dups share all 8)
+      got.groupBy("id1", "id2").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .as[Long].head() should be <= 8L
+      got.filter(col("id1") === col("id2")).count() shouldBe 0L
+    } finally q.stop()
+  }
+
   test("nearDupArrivals prunes bucket state past the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
