@@ -100,19 +100,19 @@ object CorpusOps {
     */
   def decontaminateMapSide(corpus: DataFrame,
       dict: graft.expr.DictOverlap.Dict, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double, keep: Seq[String] = Nil): DataFrame = {
     // the dictionary ships as a TorrentBroadcast: deserialized once
     // per executor and cached, not once per task reference-object
     val bc = corpus.sparkSession.sparkContext.broadcast(dict)
     val ov = graft.expr.DictOverlap.dictOverlap(
       graft.expr.ShingleHashes.shingleHashes(col(textCol), k), bc)
-    corpus.select(col(idCol), ov.as("__ov"))
-      .select(col(idCol),
+    corpus.select(col(idCol) +: keep.map(col) :+ ov.as("__ov"): _*)
+      .select(col(idCol) +: keep.map(col) ++: Seq(
         // null text ≡ zero shingles — the shuffle form re-anchors such
         // docs to (0, 0, 0.0, false) via its id join, so coalesce here
         // or the two forms (and stream vs batch) diverge on null text
         coalesce(col("__ov.n_distinct"), lit(0L)).as("n_shingles"),
-        coalesce(col("__ov.n_overlap"), lit(0L)).as("n_overlap"))
+        coalesce(col("__ov.n_overlap"), lit(0L)).as("n_overlap")): _*)
       .withColumn("overlap_ratio",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(col("n_overlap").cast("double") /

@@ -236,6 +236,42 @@ object StreamingOps {
     graft.ops.CorpusOps.decontaminateMapSide(
       stream, dict, idCol, textCol, k, threshold)
 
+  /** The streaming corpus-prep pipeline END TO END — the online twin
+    * of q145's batch composition (gate → decontaminate → pack), with
+    * the scrub's sample and redaction stages folded in: arrivals flow
+    * through [[scrubArrivals]] (sample → quality gate → PII redaction,
+    * all stateless), map-side decontamination of the REDACTED text
+    * against the broadcast eval dictionary, and [[packArrivals]] into
+    * fixed-token-budget training shards routed by stratum. The ONLY
+    * stateful stage is the final packer (one long per route), so the
+    * whole pipeline's state is route-cardinality-bounded — every
+    * filtering stage runs before the state store, which is both the
+    * cheapest order and the one that keeps rejected docs out of the
+    * shard cursors entirely. Token counts are of the redacted text —
+    * what a shard writer would actually emit.
+    */
+  def prepArrivals(stream: DataFrame, idCol: String, textCol: String,
+      strataCol: String, thresholds: Map[String, String],
+      defaultThreshold: String, dict: graft.expr.DictOverlap.Dict,
+      decontK: Int, decontThreshold: Double, budget: Long,
+      gateMinTokens: Long = 20,
+      gateMaxMeanLen: Double = 5.0): Dataset[PackOut] = {
+    import stream.sparkSession.implicits._
+    val scrubbed = scrubArrivals(stream, idCol, textCol, strataCol,
+      thresholds, defaultThreshold, gateMinTokens = gateMinTokens,
+      gateMaxMeanLen = gateMaxMeanLen)
+    val clean = graft.ops.CorpusOps.decontaminateMapSide(
+        scrubbed, dict, idCol, "redacted", decontK, decontThreshold,
+        keep = Seq(strataCol, "redacted"))
+      .where(!col("contaminated"))
+    packArrivals(
+      clean.select(col(strataCol).as("route"),
+        col(idCol).as("doc_id"),
+        graft.ops.TextOps.tokenCount(col("redacted")).as("n_tokens"))
+        .as[PackDoc],
+      budget)
+  }
+
   /** Streaming quality scoring against a BATCH-TRAINED weight
     * dictionary (train offline on the corpus with
     * [[graft.ops.RankOps.collectLogOddsWeights]], score arrivals

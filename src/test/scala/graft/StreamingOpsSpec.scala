@@ -446,6 +446,59 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("prepArrivals (scrub → decontaminate → pack) ≡ batch composition per route") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // docs with ≥4 tokens survive the gate; doc 2's body matches the
+    // eval benchmark so decontamination must drop it BEFORE packing
+    val rows = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i, lang, s"alpha beta gamma delta doc$i word${i % 5} tail${i % 3}")
+    } :+ ((40L, "en", "contaminated eval set body right here now ok"))
+    val thr = Map("en" -> "c0", "de" -> "c0")
+    val dict = graft.ops.CorpusOps.benchmarkDict(
+      Seq((9L, "contaminated eval set body right here now ok"))
+        .toDF("doc_id", "text"), "text", 3)
+    def stages(df: org.apache.spark.sql.DataFrame) = {
+      val scrubbed = StreamingOps.scrubArrivals(df, "doc_id", "text",
+        "lang", thr, "00", gateMinTokens = 4, gateMaxMeanLen = 10.0)
+      graft.ops.CorpusOps.decontaminateMapSide(scrubbed, dict,
+          "doc_id", "redacted", 3, 0.5, keep = Seq("lang", "redacted"))
+        .where(!col("contaminated"))
+    }
+    // batch twin: identical stages, then the batch packer per route
+    val survivors = stages(rows.toDF("doc_id", "lang", "text"))
+      .select(col("lang"), col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("redacted")).as("n_tokens"))
+    val expected = survivors.select("lang").distinct().as[String].collect()
+      .flatMap { route =>
+        graft.ops.CorpusOps.packByTokenBudget(
+            survivors.where(col("lang") === route), "doc_id",
+            col("n_tokens"), 40L)
+          .collect().map(r =>
+            StreamingOps.PackOut(route, r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3)))
+      }.toSet
+    expected.size should be >= 10
+    expected.map(_.doc_id) should not contain 40L // decontaminated away
+
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.prepArrivals(
+        in.toDF().toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", thr, "00", dict, 3, 0.5, 40L,
+        gateMinTokens = 4, gateMaxMeanLen = 10.0)
+      .writeStream.format("memory").queryName("prep_arrivals")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(9).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table("prep_arrivals")
+        .as[StreamingOps.PackOut].collect().toSet
+      got shouldBe expected
+      // exactly one state operator: the packer
+      q.lastProgress.stateOperators.length shouldBe 1
+    } finally q.stop()
+  }
+
   test("packArrivals resumes route cursors from a checkpoint after restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
