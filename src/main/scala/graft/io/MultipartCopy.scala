@@ -128,7 +128,12 @@ object MultipartCopy {
     // Stage 2: the part fan-out — explode (object × part), spread
     // parts across the cluster, ranged-copy each (mutating — cut
     // eagerly before the completing shuffle).
-    val nPartsCol = ceil(col("__size") / lit(partSize.toDouble)).cast("int")
+    // SAME integer ceiling division as numParts — one numeric domain
+    // for the plan column and the Scala range math consuming its rows
+    // (a double-division ceil here agreed only while quotients stayed
+    // exactly representable)
+    val nPartsCol =
+      expr(s"(__size + ${partSize - 1}L) div ${partSize}L").cast("int")
     val partResults = Checkpoints.cut(
       initiated.filter(col("__upload_id").isNotNull)
         .select(col(srcCol), col(dstCol), col("__upload_id"), col("__size"),
@@ -169,7 +174,7 @@ object MultipartCopy {
           val status =
             if (allOk == 1 && parts.size == nParts &&
               S3Http.completeMultipart(client, cfg, dstBucket, dstKey,
-                uploadId, parts) == 200) "Success"
+                uploadId, parts)) "Success"
             else {
               S3Http.abortMultipart(client, cfg, dstBucket, dstKey, uploadId)
               "Fail"

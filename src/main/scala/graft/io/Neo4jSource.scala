@@ -83,18 +83,26 @@ object Neo4jSource {
       p => statementBody(s"$cypher SKIP ${p * pageSize} LIMIT $pageSize"),
       parallelism, maxAttempts, backoffMs, headers)
 
-  /** One row per failed page: non-200 transport status or a non-empty
-    * neo4j `errors` array. Empty frame = clean pull.
+  /** One row per failed page: non-200 transport status, a non-empty
+    * neo4j `errors` array, or a 200 body that does not parse as the
+    * tx-commit wire shape at all (a proxy's HTML error page, say) —
+    * without that last arm, `cypherPull`'s posexplode silently drops
+    * the whole page while this frame reads clean. Empty frame = clean
+    * pull.
     */
   def pullErrors(raw: Dataset[RestOps.PageResult]): DataFrame =
     raw.toDF()
       .select(col("page"), col("status"), col("attempts"),
-        from_json(col("body"), wireSchema).getField("errors").as("__errs"))
+        from_json(col("body"), wireSchema).as("__w"))
+      .withColumn("__errs", col("__w.errors"))
       .withColumn("error",
         when(col("status") =!= 200,
           concat(lit("transport status "), col("status")))
+          .when(col("__w").isNull || col("__w.results").isNull,
+            lit("unparseable tx-commit response body"))
           .otherwise(element_at(col("__errs"), 1).getField("message")))
       .filter(col("status") =!= 200 ||
+        col("__w").isNull || col("__w.results").isNull ||
         (col("__errs").isNotNull && size(col("__errs")) > 0))
       .select("page", "status", "attempts", "error")
 }

@@ -85,7 +85,7 @@ object S3Http {
       .replace("\"", "&quot;")
 
   private val UploadIdRe = "<UploadId>([^<]*)</UploadId>".r
-  private val ETagRe = "<ETag>([^<]*)</ETag>".r
+  private[graft] val ETagRe = "<ETag>([^<]*)</ETag>".r
 
   /** Initiate a multipart upload (`POST /bucket/key?uploads`,
     * `create_multipart_upload` at
@@ -130,20 +130,26 @@ object S3Http {
   /** Complete a multipart upload (`POST /bucket/key?uploadId=…` with
     * the part manifest sorted by part number —
     * `complete_multipart_upload` + the sort at
-    * `file_mover.py:145-153`). Returns the HTTP status.
+    * `file_mover.py:145-153`). Returns true only on a 200 whose body
+    * carries the result ETag and no <Error> element.
     */
   private[graft] def completeMultipart(client: HttpClient, cfg: Config,
       bucket: String, key: String, uploadId: String,
-      parts: Seq[(Int, String)]): Int = {
+      parts: Seq[(Int, String)]): Boolean = {
     val xml = parts.sortBy(_._1).map { case (n, etag) =>
       s"<Part><PartNumber>$n</PartNumber><ETag>${xmlEscape(etag)}</ETag></Part>"
     }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
     val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val uri = objectUri(cfg, bucket, key,
       "uploadId=" + SigV4.uriEncode(uploadId, encodeSlash = true))
-    RestOps.sendWithRetry(client,
+    val (status, body, _) = RestOps.sendWithRetry(client,
       signedRequest(cfg, "POST", uri, SigV4.sha256Hex(bytes), Nil, bytes),
-      cfg.maxAttempts, cfg.backoffMs)._1
+      cfg.maxAttempts, cfg.backoffMs)
+    // S3 can answer CompleteMultipartUpload with 200 OK and an <Error>
+    // body (assembly failure after headers were committed) — success
+    // is the result ETag, the same token uploadPartCopy requires
+    status == 200 && !body.contains("<Error>") &&
+      ETagRe.findFirstMatchIn(body).isDefined
   }
 
   /** Abort a multipart upload (`DELETE /bucket/key?uploadId=…` — the
@@ -162,7 +168,7 @@ object S3Http {
     * condition.
     */
   case class ListPage(status: Int, body: String, attempts: Int,
-    nextToken: Option[String])
+    nextToken: Option[String], truncatedNoToken: Boolean = false)
 
   /** Fetch one `ListObjectsV2` page
     * (`GET /bucket?list-type=2&prefix=…&max-keys=…[&continuation-token=…]`).
@@ -187,11 +193,15 @@ object S3Http {
     val uri = new URI(cfg.endpoint + "/" + bucket + "?" + q)
     val (status, body, attempts) = RestOps.sendWithRetry(client,
       signedRequest(cfg, "GET", uri), cfg.maxAttempts, cfg.backoffMs)
+    val truncated = status == 200 && body.contains(TruncatedTrue)
     val next =
-      if (status == 200 && body.contains(TruncatedTrue))
+      if (truncated)
         TokenRe.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1)))
       else None
-    ListPage(status, body, attempts, next)
+    // truncated page with no parseable token: ending the chain here
+    // would silently under-list — surface it so callers emit a sentinel
+    ListPage(status, body, attempts, next,
+      truncatedNoToken = truncated && next.isEmpty)
   }
 }
 
@@ -263,7 +273,12 @@ final class S3HttpStore(cfg: S3Http.Config) extends ObjectStore {
         val chunkEnd = math.min(chunkStart + chunkSize, total) - 1
         val resp = send("GET", objUri(uri),
           extraSigned = Seq("range" -> s"bytes=$chunkStart-$chunkEnd"))
-        resp.filter(r => r.statusCode() == 206 || r.statusCode() == 200) match {
+        // 200 from a range-ignoring server is only sound when the full
+        // body IS the requested chunk — otherwise each loop pass would
+        // digest the whole object and return a confidently WRONG md5
+        resp.filter(r => r.statusCode() == 206 ||
+          (r.statusCode() == 200 &&
+            r.body().length.toLong == chunkEnd - chunkStart + 1)) match {
           case Some(r) => digest.update(r.body())
           case None    => ok = false
         }
@@ -278,7 +293,15 @@ final class S3HttpStore(cfg: S3Http.Config) extends ObjectStore {
       "/" + srcBucket + "/" + SigV4.uriEncode(srcKey, encodeSlash = false)
     send("PUT", objUri(dst),
       extraSigned = Seq("x-amz-copy-source" -> copySource))
-      .exists(_.statusCode() == 200)
+      .exists { r =>
+        // CopyObject can return 200 OK with an <Error> body (copy
+        // failed after headers committed) — success is the
+        // CopyObjectResult ETag, same discipline as the multipart path
+        val body = new String(r.body(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        r.statusCode() == 200 && !body.contains("<Error>") &&
+          S3Http.ETagRe.findFirstMatchIn(body).isDefined
+      }
   }
 
   override def delete(uri: String): Boolean =
@@ -295,7 +318,9 @@ final class S3HttpStore(cfg: S3Http.Config) extends ObjectStore {
     while (more && n < maxKeys) {
       val page = S3Http.fetchListPage(client, cfg, bucket, keyPrefix,
         math.min(maxKeys - n, 1000), token)
-      if (page.status != 200) return Seq.empty
+      // a truncated-but-tokenless page cannot be continued — fail the
+      // probe (empty = error shape) rather than return a partial list
+      if (page.status != 200 || page.truncatedNoToken) return Seq.empty
       // Keys arrive in S3 key order already.
       S3Http.KeyRe.findAllMatchIn(page.body).foreach { m =>
         if (n < maxKeys) {

@@ -75,13 +75,13 @@ object S3ListSource {
           new Iterator[ShardPage] {
             private var token: Option[String] = None
             private var page = 0
-            private var state = 0 // 0 fetch, 1 cap-sentinel pending, 2 done
+            private var state = 0 // 0 fetch, 1 sentinel pending, 2 done
+            private var sentinel = ""
             def hasNext: Boolean = state != 2
             def next(): ShardPage = state match {
               case 1 =>
                 state = 2
-                ShardPage(shard, prefix, page, -1,
-                  s"page cap $maxPagesPerShard reached while truncated", 0)
+                ShardPage(shard, prefix, page, -1, sentinel, 0)
               case _ =>
                 val lp = S3Http.fetchListPage(client, conf, bucket, prefix,
                   pageSize, token)
@@ -90,9 +90,16 @@ object S3ListSource {
                 page += 1
                 token = lp.nextToken
                 state =
-                  if (lp.status != 200 || token.isEmpty) 2
-                  else if (page >= maxPagesPerShard) 1
-                  else 0
+                  if (lp.truncatedNoToken) {
+                    // ending the chain here would silently under-list
+                    sentinel = "truncated page carried no continuation token"
+                    1
+                  } else if (lp.status != 200 || token.isEmpty) 2
+                  else if (page >= maxPagesPerShard) {
+                    sentinel =
+                      s"page cap $maxPagesPerShard reached while truncated"
+                    1
+                  } else 0
                 out
             }
           }

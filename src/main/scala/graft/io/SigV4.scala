@@ -110,7 +110,6 @@ object SigV4 {
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v.trim) }
       .sortBy(_._1)
     val signedHeaderNames = canonHeaders.map(_._1).mkString(";")
-    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
     val canonicalRequest = Seq(
       method,
       // S3 signs the raw path as-sent (single-encode rule): re-encode

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.DecimalType
 object RankOps {
 
   /** Tokens of one document, text-family convention. */
-  private def toks(textCol: String): Column = split(col(textCol), " ")
+  private def toks(textCol: String): Column = TextOps.tokens(col(textCol))
 
   /** Document frequency per term: in how many documents does each
     * (non-empty) term appear? `array_distinct` before the explode so

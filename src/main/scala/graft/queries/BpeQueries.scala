@@ -69,11 +69,18 @@ object BpeQueries {
        |  SELECT lhs, rhs, pair_count FROM p$i
        |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""".stripMargin
 
-  /** Round i+1 state: apply round i's winner everywhere. */
+  /** Round i+1 state: apply round i's winner everywhere. LEFT JOIN ON
+    * TRUE, not CROSS JOIN: when training exhausts early (no pair left,
+    * `b\$i` empty) a cross join would wipe the whole state and q155's
+    * oracle would return an empty vocabulary while the trainer's early
+    * stop returns the fully-merged one — the null-lhs CASE keeps the
+    * state unchanged instead, matching the trainer exactly.
+    */
   private def applyCte(i: Int): String =
     s"""s${i + 1} AS MATERIALIZED (
-       |  SELECT freq, replace(sym, $D||lhs||$DD||rhs||$D, $D||lhs||rhs||$D) AS sym
-       |  FROM s$i CROSS JOIN b$i)""".stripMargin
+       |  SELECT freq, CASE WHEN lhs IS NULL THEN sym
+       |    ELSE replace(sym, $D||lhs||$DD||rhs||$D, $D||lhs||rhs||$D) END AS sym
+       |  FROM s$i LEFT JOIN b$i ON TRUE)""".stripMargin
 
   private def trainCtes(rounds: Int): String =
     (baseCtes ++ (0 until rounds).flatMap(i =>

@@ -226,8 +226,10 @@ class S3HttpSpec extends SparkSpecBase
             case None => respond(ex, 404, Array.empty)
             case Some(bytes) =>
               objects(full) = bytes
+              // real S3 shape: CopyObjectResult carries the new ETag
               respond(ex, 200,
-                "<CopyObjectResult/>".getBytes(UTF_8))
+                ("<CopyObjectResult><ETag>&quot;" + md5hex(bytes) +
+                  "&quot;</ETag></CopyObjectResult>").getBytes(UTF_8))
           }
         } else if (q.contains("tagging")) {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
