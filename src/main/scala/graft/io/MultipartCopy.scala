@@ -46,6 +46,17 @@ object MultipartCopy {
   private[graft] def numParts(size: Long, partSize: Long): Long =
     (size + partSize - 1) / partSize
 
+  /** THE plan-side part-count expression (over a `__size` long
+    * column) — integer `div`, the same domain as [[numParts]]; the
+    * property suite pins this exact expression against the Scala
+    * form, so the plan column and the range math consuming its rows
+    * cannot drift.
+    */
+  private[graft] def numPartsColumn(partSize: Long)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .expr(s"(__size + ${partSize - 1}L) div ${partSize}L")
+
   /** Inclusive byte range of 1-based part `part`. The ranges of parts
     * 1..numParts tile [0, size-1] exactly — property-tested.
     */
@@ -128,12 +139,7 @@ object MultipartCopy {
     // Stage 2: the part fan-out — explode (object × part), spread
     // parts across the cluster, ranged-copy each (mutating — cut
     // eagerly before the completing shuffle).
-    // SAME integer ceiling division as numParts — one numeric domain
-    // for the plan column and the Scala range math consuming its rows
-    // (a double-division ceil here agreed only while quotients stayed
-    // exactly representable)
-    val nPartsCol =
-      expr(s"(__size + ${partSize - 1}L) div ${partSize}L").cast("int")
+    val nPartsCol = numPartsColumn(partSize).cast("int")
     val partResults = Checkpoints.cut(
       initiated.filter(col("__upload_id").isNotNull)
         .select(col(srcCol), col(dstCol), col("__upload_id"), col("__size"),

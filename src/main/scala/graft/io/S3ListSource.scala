@@ -141,7 +141,14 @@ object S3ListSource {
           .foreach(m => prefixes += S3Http.xmlUnescape(m.group(1)))
       page += 1
       token = lp.nextToken
-      more = token.isDefined && page < maxPagesPerShard
+      // same defenses as rawList's task loop: a truncated page with no
+      // token cannot be continued — record the sentinel, don't let the
+      // walk read as a complete listing
+      if (lp.truncatedNoToken) {
+        rootPages += ShardPage(-1, "", page, -1,
+          "truncated page carried no continuation token", 0)
+        more = false
+      } else more = token.isDefined && page < maxPagesPerShard
     }
     if (token.isDefined) // exited on the cap while still truncated
       rootPages += ShardPage(-1, "", page, -1,

@@ -63,11 +63,12 @@ object RankOps {
     // the tf aggregation both read it instead of re-scanning the
     // corpus. The checkpointed frame carries only query-matching
     // tokens: bytes ∝ matches, not corpus.
-    val narrow = df.select(col(idCol), toks(textCol).as("__toks"))
-      .select(col(idCol),
-        size(col("__toks")).cast("long").as("dl"),
-        filter(col("__toks"), _.isin(queryTerms: _*)).as("__matched"))
-      .localCheckpoint(false)
+    val narrow = Checkpoints.cut(
+      df.select(col(idCol), toks(textCol).as("__toks"))
+        .select(col(idCol),
+          size(col("__toks")).cast("long").as("dl"),
+          filter(col("__toks"), _.isin(queryTerms: _*)).as("__matched")),
+      eager = false)
     val dl = narrow.select(col(idCol), col("dl"))
     val stats = narrow.agg(count(lit(1)).as("n"), sum(col("dl")).as("__sum_dl"))
       .select(col("n"),

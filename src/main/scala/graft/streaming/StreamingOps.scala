@@ -449,7 +449,12 @@ object StreamingOps {
                   out += NearDupPair(math.min(pid, d.id),
                     math.max(pid, d.id), d.ts)
                 }
-              seen = (d.id, d.ts.getTime) +: seen.filterNot(_._1 == d.id)
+              // max(old, new): a LATE re-delivery must not rewind the
+              // entry's retention horizon and evict the doc early
+              val tsKeep = seen.find(_._1 == d.id)
+                .map(e => math.max(e._2, d.ts.getTime))
+                .getOrElse(d.ts.getTime)
+              seen = (d.id, tsKeep) +: seen.filterNot(_._1 == d.id)
             }
             state.update(seen)
             if (seen.nonEmpty)

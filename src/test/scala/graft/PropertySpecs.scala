@@ -458,15 +458,16 @@ object MultipartRangeProps extends Properties("multipart-ranges") {
 }
 
 object MultipartSqlProps extends SparkProperties("multipart-sql") {
-  import graft.io.MultipartCopy.numParts
+  import graft.io.MultipartCopy.{numParts, numPartsColumn}
   import MultipartRangeProps.{sizes, parts}
 
-  property("the DataFrame-side ceil agrees with the Scala part count") = {
+  property("the plan-side part-count column agrees with the Scala part count") = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     forAll(sizes, parts) { (size, partSize) =>
+      // the PRODUCTION expression, not a re-derivation — drift between
+      // the plan column and the Scala range math fails here
       val sqlN = Seq(size).toDF("__size")
-        .select(ceil(col("__size") / lit(partSize.toDouble)).cast("long"))
+        .select(numPartsColumn(partSize).cast("long"))
         .head().getLong(0)
       sqlN == numParts(size, partSize)
     }
