@@ -80,6 +80,19 @@ class S3HttpSpec extends SparkSpecBase
     if (prefix.startsWith("boom"))
       return respond(ex, 500, "server exploded".getBytes(UTF_8),
         Map("Retry-After" -> "0"))
+    if (prefix.startsWith("lostchain"))
+      // truncated page whose continuation token is missing — the
+      // silent-under-listing shape the sentinel defends against
+      return respond(ex, 200,
+        ("""<?xml version="1.0" encoding="UTF-8"?>""" +
+          s"<ListBucketResult><Name>$bucket</Name>" +
+          "<KeyCount>1</KeyCount><IsTruncated>true</IsTruncated>" +
+          "<Contents><Key>lostchain/one.txt</Key><Size>1</Size>" +
+          "<LastModified>2026-02-01T00:00:00.000Z</LastModified>" +
+          "<ETag>&quot;00&quot;</ETag>" +
+          "<StorageClass>STANDARD</StorageClass></Contents>" +
+          "</ListBucketResult>").getBytes(UTF_8),
+        Map("Content-Type" -> "application/xml"))
     val maxKeys = q.getOrElse("max-keys", "1000").toInt
     val start = q.get("continuation-token")
       .map(t => t.stripPrefix("idx&+").stripSuffix("=").toInt).getOrElse(0)
@@ -149,6 +162,10 @@ class S3HttpSpec extends SparkSpecBase
       case "GET" =>
         objects.get(full) match {
           case None => respond(ex, 404, Array.empty)
+          // range-IGNORING server simulation: any "nr/" key answers
+          // every GET with the full body and 200, no Content-Range
+          case Some(bytes) if key.startsWith("nr/") =>
+            respond(ex, 200, bytes)
           case Some(bytes) =>
             Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(RangeRe(a, b)) =>
@@ -457,6 +474,33 @@ class S3HttpSpec extends SparkSpecBase
     out.head.getAs[String]("copy_mode") shouldBe "multipart"
     objects.contains("out/boom.bin") shouldBe false
     uploads shouldBe empty // aborted, not leaked
+  }
+
+  test("a range-ignoring server yields no md5 on multi-chunk reads, never a wrong one") {
+    objects("bkt/nr/full.txt") = "hello".getBytes(UTF_8)
+    val s = store
+    s.size("s3://bkt/nr/full.txt") shouldBe Some(5L)
+    // chunkSize < size: every ranged GET comes back as the full body —
+    // digesting it per chunk would yield md5("hellohellohello"); the
+    // length guard refuses instead
+    s.md5("s3://bkt/nr/full.txt", 2) shouldBe None
+    // a single chunk covering the object IS the requested range
+    s.md5("s3://bkt/nr/full.txt", 1024) shouldBe
+      Some("5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("a truncated page with no token is a loud sentinel, not a short list") {
+    val raw = S3ListSource.rawList(spark, cfg, "bkt", Seq("lostchain"),
+      pageSize = 2, parallelism = 1, maxAttempts = 2, backoffMs = 1).collect()
+    raw.map(_.status).sorted shouldBe Array(-1, 200)
+    raw.find(_.status == -1).get.body should
+      include("no continuation token")
+    S3ListSource.listErrors(
+      S3ListSource.rawList(spark, cfg, "bkt", Seq("lostchain"),
+        pageSize = 2, parallelism = 1, maxAttempts = 2, backoffMs = 1))
+      .count() shouldBe 1L
+    // the bounded probe fails outright rather than returning a partial
+    store.listPrefix("s3://bkt/lostchain") shouldBe Seq.empty
   }
 
   test("page cap emits a loud sentinel instead of under-listing") {

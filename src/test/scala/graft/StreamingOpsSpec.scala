@@ -589,7 +589,27 @@ class StreamingOpsSpec extends SparkSpecBase {
       spark.table("emb_neighbors")
         .as[(Long, Long, Double)].collect().toSet shouldBe expected
       q.lastProgress.stateOperators shouldBe empty
+
+      // a zero-norm (poison) arrival must not kill the unbounded query
+      // under ANSI — it probes nothing and the stream keeps running
+      in.addData((200L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+        (201L, Seq(2.0f, 0.4f, 0.2f, 0.0f)))
+      q.processAllAvailable()
+      val after = spark.table("emb_neighbors").as[(Long, Long, Double)]
+        .collect()
+      after.map(_._1) should not contain 200L
+      after.map(_._1) should contain(201L)
     } finally q.stop()
+  }
+
+  test("corpusVecIndex excludes zero-norm corpus vectors") {
+    import graft.ops.SimilarityOps
+    val planes = SimilarityOps.hyperplanes(seed = 7L, bits = 4, dim = 4)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    SimilarityOps.corpusVecIndex(corpus, "vec_id", "embedding", planes, 2)
+      .select("corpus_id").as[Long].collect() shouldBe Array(1L)
   }
 
   // near-dup fixture: 1≈2 (one word changed), 3≈4 (verbatim), 5/6 unrelated
