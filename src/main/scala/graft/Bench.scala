@@ -94,8 +94,16 @@ object Bench {
     // flags exactly that case (compare totals only when it is 0).
     val pass1Total = pass1.map(_._2).filter(_ >= 0).sum
     val pass1Errors = pass1.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2,"pass1_total":$pass1Total,"pass1_errors":$pass1Errors}"""
+    // Key ORDER inside the one JSON line is deliberate: the driver's
+    // BENCH_r*.json stores only a stdout TAIL, so the bulky per-query
+    // map goes FIRST and the headline totals LAST — with totals first
+    // (≤ r11) the graded artifact truncated away the min-of-two value
+    // two rounds running. JSON parsers are key-order-insensitive, so
+    // nothing that reads the full line changes. The trailing TOTAL
+    // line is a second, truncation-proof carrier of the same figures.
+    val json = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2,"unit":"sec","pass1_errors":$pass1Errors,"pass1_total":$pass1Total,"metric":"total","value":$total}"""
     println(json)
+    println(f"TOTAL min_of_two=$total%.3f pass1_total=$pass1Total%.3f queries=${results.size} errors=${failed.size} sf=$sfDir")
     // Persist the full per-query JSON to a file as well: the driver's
     // BENCH_r*.json keeps only an output tail, which truncates the
     // per-query map once it exceeds the tail window. The file version

@@ -98,9 +98,13 @@ object Neo4jSource {
       .withColumn("error",
         when(col("status") =!= 200,
           concat(lit("transport status "), col("status")))
-          .when(col("__w").isNull || col("__w.results").isNull,
-            lit("unparseable tx-commit response body"))
-          .otherwise(element_at(col("__errs"), 1).getField("message")))
+          // a populated errors array wins over the unparseable arm: a
+          // 200 body shaped {"errors":[…]} with no results field is a
+          // REPORTED cypher failure, not an unparseable response —
+          // surface its actual message
+          .when(col("__errs").isNotNull && size(col("__errs")) > 0,
+            element_at(col("__errs"), 1).getField("message"))
+          .otherwise(lit("unparseable tx-commit response body")))
       .filter(col("status") =!= 200 ||
         col("__w").isNull || col("__w.results").isNull ||
         (col("__errs").isNotNull && size(col("__errs")) > 0))

@@ -30,6 +30,14 @@ import graft.expr.BpeApply
   *  - The argmax collects ONE row per round (orderBy + limit(1) on
   *    the deterministic total order: count desc, then lexicographic
   *    (lhs, rhs) — ties cannot flap across engines or partitionings).
+  *    DELIBERATE tie-order divergence from subword-nmt: on equal
+  *    counts this picks the lexicographically SMALLEST (lhs, rhs),
+  *    where subword-nmt's `max(stats, key=...)` picks the LARGEST —
+  *    both are deterministic, but merge tables trained here are not
+  *    bit-compatible with reference-trained ones whenever counts tie
+  *    (the DuckDB oracle and the in-memory spec reference replay THIS
+  *    order; flip to desc(lhs), desc(rhs) in trainer + oracle + spec
+  *    together if upstream compatibility is ever needed).
   *  - The merge list so far ships back via broadcast: rounds × a
   *    few-KB table.
   *

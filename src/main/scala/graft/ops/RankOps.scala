@@ -156,9 +156,9 @@ object RankOps {
       isSeed: Column, alpha: Double = 0.5): DataFrame =
     seedLogOddsWeightsFrom(tokenRows(df, idCol, textCol, isSeed), alpha)
 
-  /** Driver-side weight dictionary for [[scoreMapSide]] — the
-    * `decontaminateMapSide` shipping pattern: collect the vocab-sized
-    * weight table once, let the map literal ride the task broadcast.
+  /** Driver-side weight dictionary for [[scoreMapSide]] — collect the
+    * vocab-sized weight table once; [[scoreMapSide]] ships it as a
+    * TorrentBroadcast (the `decontaminateMapSide` pattern).
     */
   def collectLogOddsWeights(df: DataFrame, idCol: String, textCol: String,
       isSeed: Column, alpha: Double = 0.5): Map[String, Double] =
@@ -169,15 +169,42 @@ object RankOps {
     * dictionary: a PURE MAP PASS — no explode, no shuffle, no state —
     * so the same call runs identically on a batch frame and an
     * unbounded stream ([[graft.streaming.StreamingOps.scoreArrivals]]).
-    * Out-of-vocabulary tokens are skipped (unscored), documents with
-    * no scored token drop out — matching [[seedLogOddsQuality]]'s
-    * inner-join semantics. The per-row left fold sums doubles in
-    * token order (deterministic per row); scores agree with the
-    * decimal-summed batch scorer to ~1e-12 relative, not bit-exactly
-    * — grade with the batch form, score streams with this one.
+    * The weights ship as a `Broadcast[SeedScore.Weights]` probed by
+    * the native codegen `expr/SeedScore` — one HashMap lookup per
+    * token, deserialized once per executor (the `decontaminateMapSide`
+    * / DictOverlap shipping pattern; a `typedLit` map would embed a
+    * 10⁵–10⁷-term vocabulary in the plan itself and run the scoring
+    * loop as interpreted higher-order functions). Out-of-vocabulary
+    * tokens are skipped (unscored), documents with no scored token
+    * drop out — matching [[seedLogOddsQuality]]'s inner-join
+    * semantics. The per-row sum folds doubles in token order
+    * (deterministic per row, bit-identical to [[scoreMapSideHof]]);
+    * scores agree with the decimal-summed batch scorer to ~1e-12
+    * relative, not bit-exactly — grade with the batch form, score
+    * streams with this one.
     */
   def scoreMapSide(df: DataFrame, idCol: String, textCol: String,
       weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val bc = df.sparkSession.sparkContext
+      .broadcast(new graft.expr.SeedScore.Weights(weights))
+    df.select(col(idCol),
+        graft.expr.SeedScore.seedScore(toks(textCol), bc).as("__s"))
+      .where(col("__s.n_scored") > 0)
+      .select(col(idCol),
+        (col("__s.score_sum") / col("__s.n_scored")).as("quality"),
+        col("__s.n_scored").as("n_tokens"))
+  }
+
+  /** Interpreted higher-order-function reference form of
+    * [[scoreMapSide]] — kept ONLY as the spec oracle for the native
+    * `expr/SeedScore` path (RankOpsSpec pins bit-equality): same
+    * filter-then-left-fold in token order, weights as a plan-literal
+    * map. Never use on real data — the literal bloats the plan and
+    * the HOF loop runs interpreted.
+    */
+  private[graft] def scoreMapSideHof(df: DataFrame, idCol: String,
+      textCol: String, weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     val m = typedLit(weights)
     val scored = filter(toks(textCol), t => map_contains_key(m, t))

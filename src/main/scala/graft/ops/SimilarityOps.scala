@@ -245,9 +245,12 @@ object SimilarityOps {
     * write the index bucketed on `bucket` at scale and the
     * per-micro-batch join is exchange-free on the corpus side.
     * Zero-norm vectors are excluded — they carry no direction, and a
-    * zero `cnrm` would make the streaming consumer's cosine divide by
-    * zero (fatal under ANSI sessions); validate at ingest if a zero
-    * embedding should fail loudly instead.
+    * zero `cnrm` makes the streaming consumer's cosine 0.0/0.0 = NaN
+    * (ANSI divide only throws for integral/decimal types; double
+    * division yields NaN), which the `cosine >= tau` filter then
+    * drops SILENTLY — the row would never match anything and never
+    * surface; validate at ingest if a zero embedding should fail
+    * loudly instead.
     */
   def corpusVecIndex(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], bits: Int): DataFrame = {

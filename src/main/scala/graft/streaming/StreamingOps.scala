@@ -352,11 +352,14 @@ object StreamingOps {
     * Ids are NOT assumed to share a namespace with corpus ids, so an
     * arrival matching a corpus row with the same id is emitted like
     * any other neighbor (dedup-on-ingest callers filter it). Zero-norm
-    * arrivals probe nothing: a zero vector has no direction, and under
-    * the ANSI sessions this engine runs, letting it through would turn
-    * the cosine into a divide-by-zero that KILLS the unbounded query
-    * on one poison row — validate embeddings at ingest if zero vectors
-    * should be loud.
+    * arrivals probe nothing: a zero vector has no direction, and
+    * letting it through would make the cosine 0.0/0.0 = NaN (ANSI
+    * divide only throws for integral/decimal types — double division
+    * yields NaN), which `cosine >= tau` then drops SILENTLY — the
+    * arrival would scan its bucket, match nothing, and never surface;
+    * the explicit guard keeps that failure mode visible here instead
+    * of buried in a comparison's NaN semantics. Validate embeddings at
+    * ingest if zero vectors should be loud.
     */
   def embeddingNeighborsArrivals(
       stream: DataFrame, // needs: idCol, vecCol (array<float>)

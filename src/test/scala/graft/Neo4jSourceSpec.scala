@@ -78,6 +78,25 @@ class Neo4jSourceSpec extends SparkSpecBase
     errs.head.getAs[String]("error") shouldBe "bad cypher"
   }
 
+  test("pullErrors arm order: an errors-only 200 body surfaces its message, not 'unparseable'") {
+    import spark.implicits._
+    // a 200 body shaped {"errors":[…]} with NO results field is a
+    // REPORTED failure — its message must win over the unparseable
+    // arm; only a body with neither results nor errors falls through
+    val raw = Seq(
+      graft.io.RestOps.PageResult(0L, 200,
+        """{"errors":[{"code":"Neo.TransientError.General.OutOfMemoryError","message":"oom"}]}""",
+        1),
+      graft.io.RestOps.PageResult(1L, 200, "<html>proxy error</html>", 1),
+      graft.io.RestOps.PageResult(2L, 200,
+        """{"results":[{"columns":["c"],"data":[]}],"errors":[]}""", 1)).toDS()
+    val errs = Neo4jSource.pullErrors(raw).collect()
+      .map(r => r.getAs[Long]("page") -> r.getAs[String]("error")).toMap
+    errs shouldBe Map(
+      0L -> "oom",
+      1L -> "unparseable tx-commit response body")
+  }
+
   test("the pulled frame feeds the graded long-frame pivot contract unchanged") {
     import org.apache.spark.sql.functions.{col, lit}
     val wide = graft.ops.ReshapeOps.pivotLongWide(

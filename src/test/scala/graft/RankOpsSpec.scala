@@ -78,4 +78,37 @@ class RankOpsSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     withEmpty shouldBe Set(1L, 2L, 3L)
   }
+
+  test("native scoreMapSide is bit-equal to the HOF reference (codegen, no fallback)") {
+    // fallback=false turns a generated-code failure in expr/SeedScore
+    // into a thrown error instead of a silent drop to interpreted mode
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val corpus = Seq(
+        (1L, "a a b zz"),      // zz is OOV: skipped, not zero-scored
+        (2L, "b c"), (3L, "a"),
+        (4L, ""),              // no tokens => dropped
+        (5L, "zz yy")          // only OOV tokens => dropped
+      ).toDF("doc_id", "text")
+      // irrational weights so any re-association would change bits
+      val w = Map("a" -> math.log(2.7), "b" -> -math.sqrt(2), "c" -> 1e-9)
+      val native = RankOps.scoreMapSide(corpus, "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      val hof = RankOps.scoreMapSideHof(corpus, "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1)
+      native shouldBe hof // bit-exact: same token-order double fold
+      native.map(_._1) shouldBe Array(1L, 2L, 3L)
+      native(0)._3 shouldBe 3L // zz skipped from n_tokens
+      native(0)._2 shouldBe
+        ((math.log(2.7) * 2 - math.sqrt(2)) / 3) +- 1e-15
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
