@@ -239,7 +239,7 @@ object DedupOps {
 
     val candDocs = cands.select(col("id1").as("__cid"))
       .union(cands.select(col("id2"))).distinct()
-    // NOT checkpointed here (unlike ngramJaccard's twin): the three
+    // NOT checkpointed here (unlike ngramJaccard's twin): the two
     // consumers recompute a semi-join + explode over the checkpointed
     // digest arrays — cheap and lazy — whereas materializing would
     // store the EXPLODED digest frame, the largest frame in the
@@ -247,7 +247,15 @@ object DedupOps {
     val docShingles = hashed
       .join(candDocs, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__id"), explode(array_distinct(col("__hs"))).as("__sh"))
-    val sizes = docShingles.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    // r12: |distinct shingles| is a PROJECTION off the checkpointed
+    // array — the r11 explode+groupBy recomputed the docShingles
+    // semi-join a third time and paid a count shuffle for a number
+    // `size()` reads directly (an array-join verification variant was
+    // measured and REVERTED: materializing both full arrays per pair
+    // regressed q49 2.4→3.6 s at 42k candidate pairs over 5k docs —
+    // matched-row streams beat array payloads at real pair density)
+    val sizes = hashed.select(col(idCol).as("__id"),
+      size(array_distinct(col("__hs"))).cast("long").as("__n"))
 
     // Pair-oriented intersection: explode the verified pairs against
     // id1's shingles, then equi-join id2's (doc, shingle) rows — the
