@@ -1442,5 +1442,118 @@ object ToolQueries {
           col("parsed.bases").as("bases"),
           col("parsed.avg_read_length").as("avg_read_length"))
         .orderBy(col("pk"))
+    },
+
+    // S3 Inventory export reconciliation (S5's 100 TB listing path;
+    // the live sweep s3_validationry_refactored.py:1408-1425 is the
+    // `live_only` special case): a REAL parquet inventory export —
+    // manifest.json + two data shards, with superseded-version and
+    // delete-marker rows mixed in — is built on disk at every plan
+    // construction (hermetic per-process root, q131/q84 pattern),
+    // read back through S3InventorySource, and diffed against a
+    // synthesized live listing. The oracle replays the fixture
+    // arithmetic straight from orders, so a wrong manifest read, a
+    // missed is_latest/delete-marker filter (those rows would surface
+    // as duplicate or phantom keys), or a wrong drift status all
+    // break the hash.
+    Q("q157_inventory_reconcile",
+      """WITH base AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 5000),
+        |inv AS (SELECT 'ccdi-staging' AS bucket,
+        |  'data/f' || CAST(k AS VARCHAR) ||
+        |    CASE k % 3 WHEN 0 THEN '.bam' WHEN 1 THEN '.txt'
+        |    ELSE '.fastq.gz' END AS key,
+        |  CAST(k % 1000 + 10 AS BIGINT) AS size FROM base),
+        |live AS (
+        |  SELECT 'ccdi-staging' AS bucket,
+        |    'data/f' || CAST(k AS VARCHAR) ||
+        |      CASE k % 3 WHEN 0 THEN '.bam' WHEN 1 THEN '.txt'
+        |      ELSE '.fastq.gz' END AS key,
+        |    CAST(k % 1000 + 10 +
+        |      CASE WHEN k % 89 = 0 THEN 1 ELSE 0 END AS BIGINT) AS size
+        |  FROM base WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'ccdi-staging', 'extra/g' || CAST(k AS VARCHAR),
+        |    CAST(k AS BIGINT) FROM base WHERE k % 101 = 0)
+        |SELECT COALESCE(i.bucket, l.bucket) AS bucket,
+        |  COALESCE(i.key, l.key) AS key,
+        |  i.size AS inv_size, l.size AS live_size,
+        |  CASE WHEN i.size IS NULL THEN 'live_only'
+        |       WHEN l.size IS NULL THEN 'inventory_only'
+        |       WHEN i.size <> l.size THEN 'size_drift'
+        |       ELSE 'match' END AS status
+        |FROM inv i FULL OUTER JOIN live l
+        |  ON i.bucket = l.bucket AND i.key = l.key
+        |ORDER BY bucket, key""".stripMargin) { (s, dir) =>
+      import graft.io.S3InventorySource
+      val root = new java.io.File(
+        s"/tmp/graft_q157_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(root)
+      new java.io.File(root, "data").mkdirs()
+
+      val k = col("o_orderkey")
+      val base = t(s, dir, "orders").filter(k <= 5000).select(k.as("k"))
+      val ext = when(col("k") % 3 === 0, ".bam")
+        .when(col("k") % 3 === 1, ".txt").otherwise(".fastq.gz")
+      def invRow(keyCol: org.apache.spark.sql.Column,
+          sizeCol: org.apache.spark.sql.Column, isLatest: Boolean,
+          isDelete: Boolean) = Seq(
+        lit("ccdi-staging").as("bucket"), keyCol.as("key"),
+        sizeCol.cast("long").as("size"),
+        timestamp_seconds(lit(1700000000L) + col("k")).as("last_modified_date"),
+        md5(col("k").cast("string")).as("e_tag"),
+        lit("STANDARD").as("storage_class"),
+        lit(isLatest).as("is_latest"), lit(isDelete).as("is_delete_marker"))
+      val fileKey = concat(lit("data/f"), col("k").cast("string"), ext)
+      val rows = base.select(invRow(fileKey, col("k") % 1000 + 10,
+          isLatest = true, isDelete = false): _*)
+        // a superseded version of every 7th key: MUST be filtered out
+        .unionByName(base.filter(col("k") % 7 === 0)
+          .select(invRow(fileKey, col("k") % 1000 + 15,
+            isLatest = false, isDelete = false): _*))
+        // a latest delete marker on its own key: MUST be filtered out
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select(invRow(concat(lit("data/del"), col("k").cast("string")),
+            lit(0), isLatest = true, isDelete = true): _*))
+
+      // two data shards, the manifest naming each with its REAL size
+      val files = (0 until 2).map { shard =>
+        val tmp = new java.io.File(root, s"__w$shard")
+        rows.filter(crc32(col("key")) % 2 === shard)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(root, s"data/shard$shard.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        wipe(tmp)
+        s"data/shard$shard.parquet" -> dest.length()
+      }
+      val manifest = new java.io.File(root, "manifest.json")
+      val filesJson = files.map { case (key, size) =>
+        s"""{"key":"$key","size":$size}"""
+      }.mkString("[", ",", "]")
+      val w = new java.io.PrintWriter(manifest, "UTF-8")
+      try w.print(
+        s"""{"sourceBucket":"ccdi-staging",
+           |"destinationBucket":"arn:aws:s3:::inv-dest",
+           |"version":"2016-11-30","creationTimestamp":"1700000000000",
+           |"fileFormat":"Parquet","fileSchema":"inventory",
+           |"files":$filesJson}""".stripMargin) finally w.close()
+
+      val m = S3InventorySource.readManifest(s, manifest.getAbsolutePath)
+      val inv = S3InventorySource.inventoryObjects(s, m, root.getAbsolutePath)
+      val live = base.filter(col("k") % 97 =!= 0).select(
+          lit("ccdi-staging").as("bucket"), fileKey.as("key"),
+          (col("k") % 1000 + 10 +
+            when(col("k") % 89 === 0, 1).otherwise(0)).cast("long").as("size"))
+        .unionByName(base.filter(col("k") % 101 === 0).select(
+          lit("ccdi-staging").as("bucket"),
+          concat(lit("extra/g"), col("k").cast("string")).as("key"),
+          col("k").cast("long").as("size")))
+      S3InventorySource.reconcileWithLive(inv, live)
+        .orderBy(col("bucket"), col("key"))
     })
 }

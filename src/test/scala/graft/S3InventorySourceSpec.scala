@@ -1,0 +1,180 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.S3InventorySource
+
+/** S3 Inventory export reader against a hand-built on-disk export:
+  * manifest parse, contract normalization, version filtering, every
+  * error sentinel, live-drift reconciliation, and the bucketStats
+  * consumer path — the same coverage shape as S3HttpSpec gives the
+  * live listing.
+  */
+class S3InventorySourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def wipe(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(wipe)
+    f.delete(); ()
+  }
+
+  private def md5Hex(f: File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(Files.readAllBytes(f.toPath))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build an export under a fresh root: versioned rows (one
+    * superseded version, one delete marker) plus two current keys,
+    * one data file, manifest with real size + md5.
+    */
+  private def buildExport(tag: String,
+      manifestSize: Option[Long] = None, fileFormat: String = "Parquet",
+      dropFile: Boolean = false): (File, File) = {
+    val root = new File(s"/tmp/graft_invspec_$tag")
+    wipe(root)
+    new File(root, "data").mkdirs()
+    val rows = Seq(
+      ("b1", "k/a.txt", 10L, "2024-01-02 03:04:05", "\"e1\"", "STANDARD", true, false),
+      ("b1", "k/b.txt", 20L, "2024-01-02 03:04:06", "\"e2\"", "STANDARD", true, false),
+      ("b1", "k/a.txt", 99L, "2024-01-01 00:00:00", "\"e0\"", "STANDARD", false, false), // superseded
+      ("b1", "k/gone.txt", 0L, "2024-01-02 03:04:07", "\"e3\"", "STANDARD", true, true)) // delete marker
+      .toDF("bucket", "key", "size", "ts", "e_tag", "storage_class",
+        "is_latest", "is_delete_marker")
+      .withColumn("last_modified_date", to_timestamp(col("ts"))).drop("ts")
+    val tmp = new File(root, "__w")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new File(root, "data/shard0.parquet")
+    Files.move(part.toPath, dest.toPath)
+    wipe(tmp)
+    val size = manifestSize.getOrElse(dest.length())
+    val md5 = md5Hex(dest)
+    if (dropFile) dest.delete()
+    val manifest = new File(root, "manifest.json")
+    val w = new java.io.PrintWriter(manifest, "UTF-8")
+    try w.print(
+      s"""{"sourceBucket":"b1","destinationBucket":"arn:aws:s3:::d",
+         |"version":"2016-11-30","creationTimestamp":"1700000000000",
+         |"fileFormat":"$fileFormat","fileSchema":"inv",
+         |"files":[{"key":"data/shard0.parquet","size":$size,
+         |"MD5checksum":"$md5"}]}""".stripMargin) finally w.close()
+    (root, manifest)
+  }
+
+  test("readManifest parses bucket, timestamp, format, and file entries") {
+    val (root, manifest) = buildExport("parse")
+    val m = S3InventorySource.readManifest(spark, manifest.getAbsolutePath)
+    m.sourceBucket shouldBe "b1"
+    m.fileFormat shouldBe "Parquet"
+    m.creationTimestamp shouldBe 1700000000000L
+    m.files.map(_.key) shouldBe Seq("data/shard0.parquet")
+    m.files.head.size shouldBe new File(root, "data/shard0.parquet").length()
+    m.files.head.md5.isDefined shouldBe true
+  }
+
+  test("inventoryObjects normalizes to the live-listing contract and keeps only latest non-deleted rows") {
+    val (root, manifest) = buildExport("norm")
+    val m = S3InventorySource.readManifest(spark, manifest.getAbsolutePath)
+    val out = S3InventorySource.inventoryObjects(spark, m, root.getAbsolutePath)
+    out.columns shouldBe
+      Array("bucket", "key", "size", "modified", "etag", "storage_class")
+    val rows = out.orderBy("key").collect()
+    // superseded k/a.txt version and the k/gone.txt delete marker gone
+    rows.map(_.getString(1)) shouldBe Array("k/a.txt", "k/b.txt")
+    rows.map(_.getLong(2)) shouldBe Array(10L, 20L)
+    rows.head.getString(3) shouldBe "2024-01-02T03:04:05.000Z" // ISO, UTC
+    rows.head.getString(4) shouldBe "e1" // protocol quotes stripped
+  }
+
+  test("inventoryObjects tolerates exports without version or etag columns") {
+    val root = new File("/tmp/graft_invspec_minimal")
+    wipe(root)
+    new File(root, "data").mkdirs()
+    val rows = Seq(("b1", "x", 5L, "2024-03-04 05:06:07"))
+      .toDF("bucket", "key", "size", "ts")
+      .withColumn("last_modified_date", to_timestamp(col("ts"))).drop("ts")
+    val tmp = new File(root, "__w")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(root, "data/shard0.parquet").toPath)
+    wipe(tmp)
+    val m = S3InventorySource.InventoryManifest("b1", "d", "Parquet",
+      1700000000000L, Seq(S3InventorySource.ManifestFile(
+        "data/shard0.parquet", new File(root, "data/shard0.parquet").length(),
+        None)))
+    val out = S3InventorySource
+      .inventoryObjects(spark, m, root.getAbsolutePath).collect()
+    out.length shouldBe 1
+    out.head.getString(4) shouldBe null // etag absent => null, not a crash
+  }
+
+  test("inventoryErrors is empty on a sound export (md5 verified), and each defect yields its sentinel") {
+    val asOf = 1700000000000L + 3600 * 1000
+    val (root, manifest) = buildExport("good")
+    val m = S3InventorySource.readManifest(spark, manifest.getAbsolutePath)
+    S3InventorySource.inventoryErrors(spark, m, root.getAbsolutePath,
+      asOfMillis = asOf, checkMd5 = true).count() shouldBe 0L
+
+    // missing data file
+    val (root2, man2) = buildExport("gone", dropFile = true)
+    val m2 = S3InventorySource.readManifest(spark, man2.getAbsolutePath)
+    val e2 = S3InventorySource.inventoryErrors(spark, m2,
+      root2.getAbsolutePath, asOfMillis = asOf).collect()
+    e2.map(_.getString(0)) shouldBe Array("missing_file")
+
+    // size drift between manifest and file
+    val (root3, man3) = buildExport("drift", manifestSize = Some(1L))
+    val m3 = S3InventorySource.readManifest(spark, man3.getAbsolutePath)
+    S3InventorySource.inventoryErrors(spark, m3, root3.getAbsolutePath,
+        asOfMillis = asOf).collect().map(_.getString(0)) shouldBe
+      Array("size_mismatch")
+
+    // non-parquet declared format + stale export, both flagged at once
+    val (root4, man4) = buildExport("csv", fileFormat = "CSV")
+    val m4 = S3InventorySource.readManifest(spark, man4.getAbsolutePath)
+    S3InventorySource.inventoryErrors(spark, m4, root4.getAbsolutePath,
+        asOfMillis = asOf + 100L * 24 * 3600 * 1000)
+      .collect().map(_.getString(0)).sorted shouldBe
+      Array("format", "stale")
+
+    // corrupted bytes caught only when md5 checking is on
+    val (root5, man5) = buildExport("md5")
+    val dataFile = new File(root5, "data/shard0.parquet")
+    val bytes = Files.readAllBytes(dataFile.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    Files.write(dataFile.toPath, bytes)
+    val m5 = S3InventorySource.readManifest(spark, man5.getAbsolutePath)
+    S3InventorySource.inventoryErrors(spark, m5, root5.getAbsolutePath,
+      asOfMillis = asOf, checkMd5 = false).count() shouldBe 0L
+    S3InventorySource.inventoryErrors(spark, m5, root5.getAbsolutePath,
+        asOfMillis = asOf, checkMd5 = true)
+      .collect().map(_.getString(0)) shouldBe Array("md5_mismatch")
+  }
+
+  test("reconcileWithLive labels drift in both directions") {
+    val inv = Seq(("b", "same", 1L), ("b", "drift", 2L), ("b", "deleted", 3L))
+      .toDF("bucket", "key", "size")
+    val live = Seq(("b", "same", 1L), ("b", "drift", 5L), ("b", "created", 4L))
+      .toDF("bucket", "key", "size")
+    val out = S3InventorySource.reconcileWithLive(inv, live)
+      .collect().map(r => r.getString(1) -> r.getString(4)).toMap
+    out shouldBe Map("same" -> "match", "drift" -> "size_drift",
+      "deleted" -> "inventory_only", "created" -> "live_only")
+  }
+
+  test("the export feeds bucketStats unchanged (the S5 consumer contract)") {
+    val (root, manifest) = buildExport("stats")
+    val m = S3InventorySource.readManifest(spark, manifest.getAbsolutePath)
+    val inv = S3InventorySource.inventoryObjects(spark, m, root.getAbsolutePath)
+    val stats = graft.ops.StatsOps.bucketStats(inv)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    stats(("bucket_size", null)) shouldBe 30L
+    stats(("file_count", null)) shouldBe 2L
+    stats(("ext", ".txt")) shouldBe 2L
+  }
+}
