@@ -381,6 +381,54 @@ object StreamingOps {
       .filter(col("cosine") >= tau)
   }
 
+  /** Multi-probe streaming embedding lookup — the recall repair of
+    * [[graft.ops.SimilarityOps.lshNearestNeighborMultiProbe]] on the
+    * stream-static join: each arrival probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped), recovering
+    * corpus neighbors a single hyperplane happened to split away —
+    * the failure mode the single-bucket face
+    * ([[embeddingNeighborsArrivals]]) documents as its LSH recall
+    * contract. Still entirely STATELESS: the probe fan-out is a
+    * map-side explode ×(bits+1) on the ARRIVAL side only (the corpus
+    * index stays one row per vector), and each (arrival, corpus) pair
+    * can match through exactly one probe — a corpus row has ONE
+    * bucket and the probe set's buckets are pairwise distinct — so no
+    * dedup (which would need state) is ever required. Per-arrival
+    * join work is ×(bits+1) ∝ log(corpus size) under the adaptive
+    * bits rule, the same fan-out the batch op pays. Spec-proven
+    * pair-equivalent to the batch multiprobe ranking on the same
+    * planes/bits.
+    */
+  def embeddingNeighborsMultiProbeArrivals(
+      stream: DataFrame, corpusIndex: DataFrame,
+      idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], bits: Int, tau: Double): DataFrame = {
+    require(bits >= 1 && bits <= planes.size,
+      s"bits must be in [1, ${planes.size}] and match the index, got $bits")
+    import graft.ops.SimilarityOps.{dot, hyperplaneSigns, norm}
+    val b = col("__b")
+    // own bucket + one string per flipped bit, built from ONE signs
+    // projection (shared-array rule: hyperplaneSigns is evaluated once
+    // into __b, the flips are substr splices over that column)
+    val flips = transform(sequence(lit(1), lit(bits)), i =>
+      concat(
+        b.substr(lit(1), i - 1),
+        when(b.substr(i, lit(1)) === "1", "0").otherwise("1"),
+        b.substr(i + 1, lit(bits))))
+    val probes = stream.select(
+      hyperplaneSigns(col(vecCol), planes).substr(1, bits).as("__b"),
+      col(idCol).as("new_id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0d) // zero vectors: see the single-bucket doc
+      .select(col("new_id"), col("__v"), col("__n"),
+        explode(concat(array(b), flips)).as("__probe"))
+    probes.join(corpusIndex, probes("__probe") === corpusIndex("bucket"))
+      .select(col("new_id"), col("corpus_id"),
+        (dot(col("__v"), col("cvec")) / (col("__n") * col("cnrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
   case class NearDupPair(id1: Long, id2: Long, ts: Timestamp)
 

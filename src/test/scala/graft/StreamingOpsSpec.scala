@@ -602,6 +602,76 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("embeddingNeighborsMultiProbeArrivals recovers split neighbors, stays stateless, ≡ batch multiprobe pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val planes = SimilarityOps.hyperplanes(seed = 11L, bits = 4, dim = 4)
+    // 16 deterministic vectors (LCG, quantized — no RNG state), so the
+    // adaptive rule at target=4 gives ceil(log2(16/4)) = 2 bits, the
+    // same width this test fixes explicitly
+    var st = 99L
+    def nextQ(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((((st >>> 33) % 2001L) - 1000L) / 1000.0).toFloat
+    }
+    val corpus = (0L until 16L).map(i =>
+      (i, Seq.fill(4)(nextQ()))).toDF("vec_id", "embedding")
+    val bits = 2
+    val index = SimilarityOps
+      .corpusVecIndex(corpus, "vec_id", "embedding", planes, bits)
+      .localCheckpoint(true)
+
+    def mp(df: org.apache.spark.sql.DataFrame, tau: Double) =
+      StreamingOps.embeddingNeighborsMultiProbeArrivals(df, index,
+        "vec_id", "embedding", planes, bits, tau)
+
+    // 1) the probe fan-out strictly widens the single-bucket face:
+    //    every single-bucket pair is found, and at least one pair that
+    //    a single hyperplane split away is recovered
+    val corpusB = corpus.toDF("vec_id", "embedding")
+    val single = StreamingOps.embeddingNeighborsArrivals(corpusB, index,
+      "vec_id", "embedding", planes, bits, tau = -2.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val multi = mp(corpusB, tau = -2.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, "no Hamming-1 pair in the fixture")
+
+    // 2) pair set ≡ the batch multiprobe: top-1 per arrival over the
+    //    stream face's pairs (self-matches excluded) IS the batch
+    //    lshNearestNeighborMultiProbe answer on the same planes/width
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val top1 = mp(corpusB, tau = -2.0)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("new_id")
+        .orderBy(col("cosine").desc, col("corpus_id"))))
+      .filter(col("__rn") === 1)
+      .select("new_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = SimilarityOps.lshNearestNeighborMultiProbe(
+        corpus, "vec_id", "embedding", planes, targetBucketSize = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    top1 shouldBe batch
+
+    // 3) the streaming run emits exactly the batch rows with ZERO
+    //    state operators — the fan-out is map-side only
+    val expected = mp(corpusB, tau = 0.5).as[(Long, Long, Double)]
+      .collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = mp(in.toDF().toDF("vec_id", "embedding"), tau = 0.5)
+      .writeStream.format("memory").queryName("emb_multiprobe")
+      .outputMode(OutputMode.Append).start()
+    try {
+      (0L until 16L).map(i => (i, corpus.filter(col("vec_id") === i)
+          .head().getSeq[Float](1))).grouped(6)
+        .foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      spark.table("emb_multiprobe").as[(Long, Long, Double)]
+        .collect().toSet shouldBe expected
+      q.lastProgress.stateOperators shouldBe empty
+    } finally q.stop()
+  }
+
   test("corpusVecIndex excludes zero-norm corpus vectors") {
     import graft.ops.SimilarityOps
     val planes = SimilarityOps.hyperplanes(seed = 7L, bits = 4, dim = 4)
