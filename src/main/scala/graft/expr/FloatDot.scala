@@ -82,3 +82,71 @@ object FloatDot {
     ColumnBridge.column(FloatDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Native squared L2 distance of two float-array columns — the
+  * [[FloatDot]] twin for Euclidean workloads (PQ codebook training
+  * and encoding, [[graft.ops.SimilarityOps.trainPqCodebooks]]):
+  * Σ (aᵢ−bᵢ)² accumulated in double in DIMENSION ORDER, so results
+  * are bit-identical to the declarative in-order fold the DuckDB
+  * oracles replay (`list_sum` over per-dim squared differences) and
+  * to [[PqAdc]]'s reconstruction scoring. Same null contract as
+  * [[FloatDot]]: length mismatch or a null element yields null.
+  */
+case class FloatSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sqdist_f requires two array<float> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sqdist_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FloatSqDist.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("sqDistRes")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double $res = graft.expr.FloatSqDist.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatSqDist {
+
+  /** Codegen entry point; null contract and `compute` naming as
+    * [[FloatDot.compute]].
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def sqDistF(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatSqDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -366,4 +366,152 @@ object SimilarityOps {
         norm(col(vecCol)).as("nrm"),
         signBucket(col(vecCol), bits).as("bucket"))
         .localCheckpoint(true))
+
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ) — the standard step between the IVF
+  // above and a real 100 TB vector store (Jégou/Douze/Schmid 2011).
+  // The corpus is stored as m uint8-range codes per vector instead of
+  // dim floats (÷16 memory at 64-dim/m=8), so the in-cell candidate
+  // side of the search join moves code rows, not vector payloads;
+  // scoring is asymmetric (raw query vs reconstructed candidate) via
+  // the native broadcast-codebook expression `expr/PqAdc`. This is
+  // the NON-RESIDUAL variant (codes quantize the raw vectors, not the
+  // residual from the coarse centroid — FAISS's by_residual=false):
+  // one codebook set serves every cell and the oracle stays exactly
+  // replayable; residual encoding is the accuracy refinement to add
+  // when recall at fixed m saturates.
+  // ------------------------------------------------------------------
+
+  /** Squared L2, native in-dimension-order (see `expr/FloatSqDist`). */
+  def sqDist(a: Column, b: Column): Column = graft.expr.FloatSqDist.sqDistF(a, b)
+
+  /** The (id, sub, subvec) long form: vector dimension j·subDim..+subDim
+    * becomes subspace j's row. One posexplode over an array of slices —
+    * the slices are built in ONE projection (shared-array rule).
+    */
+  private def subspaceRows(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    corpus.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * subDim + 1, subDim)): _*)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Train the m per-subspace PQ codebooks: Lloyd's k-means at ks
+    * centroids PER SUBSPACE, all m subspaces in the SAME distributed
+    * pipeline (one assignment join + one mean aggregation per round,
+    * keyed by (sub, cid) — never one job per subspace). Assignment is
+    * min squared-L2 (ties to the lowest cid); init is deterministic
+    * (each subspace's ks lowest-id subvectors, cid 0-based); means
+    * are exact decimal sums divided once (the [[trainCentroids]]
+    * float discipline — bit-identical whatever the partial-aggregate
+    * merge order, and exactly replayable by the DuckDB oracle).
+    * Cells that lose every member drop out, as in [[trainCentroids]].
+    * Returns (sub, cid, cvec).
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks >= 1 && iters >= 0, s"need ks >= 1, iters >= 0; got ($ks, $iters)")
+    val subRows = subspaceRows(corpus, idCol, vecCol, dim, m)
+      .transform(Checkpoints.cut(_, eager = true)) // consumed every round
+    var cb = subRows
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("id"))))
+      .filter(col("__rn") <= ks)
+      .select(col("sub"), (col("__rn") - 1).cast("bigint").as("cid"),
+        col("sv").as("cvec"))
+      .transform(Checkpoints.cut(_, eager = true))
+    (1 to iters).foreach { _ =>
+      val assigned = pqAssign(subRows, cb)
+      cb = assigned.join(subRows, Seq("id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((sum(col("col").cast(
+            org.apache.spark.sql.types.DecimalType(25, 10))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
+        .select(col("sub"), col("cid"),
+          transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
+        .transform(Checkpoints.cut(_, eager = true)) // cut lineage per round
+    }
+    cb
+  }
+
+  /** Min-sqL2 subspace assignment: (id, sub, cid). The codebook frame
+    * is m·ks rows — always broadcast.
+    */
+  private def pqAssign(subRows: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    subRows.join(broadcast(cb), Seq("sub"))
+      .withColumn("__d", sqDist(col("sv"), col("cvec")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id"), col("sub"))
+          .orderBy(col("__d"), col("cid"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("cid"))
+  }
+
+  /** Encode the corpus against trained codebooks: (id, codes), codes
+    * an m-int array in subspace order — the ÷16 stored form. One
+    * broadcast assignment join + one per-id collect; vectors never
+    * shuffle (the assignment windows move (id, sub, cid) rows).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, dim: Int, m: Int): DataFrame =
+    pqAssign(subspaceRows(corpus, idCol, vecCol, dim, m), cb)
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid").cast("int")).as("codes"))
+      .select(col("id").as(idCol), col("codes"))
+
+  /** Collect a trained codebook frame into the flat broadcastable
+    * form `expr/PqAdc` probes. Dropped (empty) cells leave NaN slots
+    * — no surviving code can name them.
+    */
+  def collectCodebooks(cb: DataFrame, m: Int, ks: Int,
+      subDim: Int): graft.expr.PqAdc.Codebooks = {
+    val flat = Array.fill(m * ks * subDim)(Float.NaN)
+    cb.select(col("sub"), col("cid"), col("cvec")).collect().foreach { r =>
+      val base = (r.getInt(0) * ks + r.getLong(1).toInt) * subDim
+      val v = r.getSeq[Float](2)
+      var t = 0
+      while (t < subDim) { flat(base + t) = v(t); t += 1 }
+    }
+    new graft.expr.PqAdc.Codebooks(m, ks, subDim, flat)
+  }
+
+  /** IVF-PQ top-1 neighbor: coarse cells from `coarseCentroids`
+    * (max-cosine, [[ivfAssign]]), then in-cell ranking by ASYMMETRIC
+    * distance — the query row keeps its raw vector, every candidate
+    * is its m codes, and `expr/PqAdc` scores the pair against the
+    * broadcast codebooks in one codegen loop. The candidate side of
+    * the in-cell join carries (id, codes) — the ÷16 form — which at
+    * a real vector-store scale is the difference between the search
+    * join shuffling code rows and shuffling the corpus itself.
+    * Returns (id1, nearest_id, adc) with adc the squared-L2
+    * approximation (ties to the lowest id2).
+    */
+  def pqNearestNeighbor(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(corpus, idCol, vecCol, coarseCentroids)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"))
+      .localCheckpoint(true) // consumed by both in-cell join sides
+    val l = cells.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+    val r = cells.select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        graft.expr.PqAdc.pqAdc(col("v1"), col("codes"), codebooks).as("adc"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+  }
 }

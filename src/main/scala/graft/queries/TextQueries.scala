@@ -41,6 +41,14 @@ object TextQueries {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Oracle fragment: squared L2 — the same in-dimension-order double
+    * fold as the native `expr/FloatSqDist`/`expr/PqAdc` loops.
+    */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
   /** The seeded hyperplane set shared by the embedding ANN queries and
     * their oracles (16 planes × 64 dims, seed 42).
     */
@@ -934,6 +942,84 @@ object TextQueries {
       val trained = SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
         k = k, iters = 2)
       SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding", trained)
+        .orderBy(col("id1"))
+    },
+
+    // IVF-PQ (Jégou 2011, non-residual): per-subspace codebooks
+    // Lloyd-trained at (m=8, ks=4, one round from the deterministic
+    // first-ks seed), vectors stored as 8 int codes (÷16 memory), and
+    // in-cell search ranked by ASYMMETRIC distance — raw query vs
+    // code-reconstructed candidate — via the native broadcast-codebook
+    // expr/PqAdc. The oracle replays EVERYTHING: subspace slicing, the
+    // Lloyd round (decimal-exact means cast to float, the q126
+    // discipline), encoding argmins, coarse cosine cells, and the ADC
+    // in-dimension-order double fold — a wrong codebook float, code,
+    // or distance term breaks the hash.
+    Q("q158_ann_ivfpq", {
+      s"""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         |sub AS (
+         |  SELECT e.vec_id, s.sub,
+         |    e.embedding[s.sub*8 + 1 : s.sub*8 + 8] AS sv
+         |  FROM embeddings e CROSS JOIN subs s),
+         |init AS (
+         |  SELECT sub,
+         |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+         |      AS BIGINT) AS cid, sv AS cvec
+         |  FROM sub
+         |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
+         |a1 AS (
+         |  SELECT b.vec_id, b.sub, c.cid
+         |  FROM sub b JOIN init c ON b.sub = c.sub
+         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
+         |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
+         |m1 AS (
+         |  SELECT a.sub, a.cid, t.pos,
+         |    CAST(CAST(SUM(CAST(CAST(b.sv[t.pos] AS DOUBLE) AS DECIMAL(25,10)))
+         |      AS DOUBLE) / COUNT(*) AS FLOAT) AS mv
+         |  FROM a1 a JOIN sub b ON a.vec_id = b.vec_id AND a.sub = b.sub
+         |  CROSS JOIN generate_series(1, 8) t(pos)
+         |  GROUP BY a.sub, a.cid, t.pos),
+         |cb AS (SELECT sub, cid, list(mv ORDER BY pos) AS cvec
+         |  FROM m1 GROUP BY sub, cid),
+         |enc AS (
+         |  SELECT b.vec_id, b.sub, c.cid
+         |  FROM sub b JOIN cb c ON b.sub = c.sub
+         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
+         |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
+         |recon AS (
+         |  SELECT e.vec_id, flatten(list(c.cvec ORDER BY e.sub)) AS rvec
+         |  FROM enc e JOIN cb c ON e.sub = c.sub AND e.cid = c.cid
+         |  GROUP BY e.vec_id),
+         |kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS ccid, embedding AS ccv
+         |  FROM embeddings, kk WHERE vec_id < k),
+         |coarse AS (
+         |  SELECT e.vec_id, c.ccid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)
+         |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
+         |  ${sqDistSql("le.embedding", "rr.rvec")} AS adc
+         |FROM coarse l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY ${sqDistSql("le.embedding", "rr.rvec")}, rr.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim, m, ks, iters = 1)
+      val bc = s.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, dim, m)
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.pqNearestNeighbor(emb, "vec_id", "embedding",
+          coarse, codes, bc)
         .orderBy(col("id1"))
     },
 

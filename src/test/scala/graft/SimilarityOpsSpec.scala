@@ -149,4 +149,121 @@ class SimilarityOpsSpec extends SparkSpecBase {
     out(2L) shouldBe 1L
     out.contains(3L) shouldBe false // singleton bucket: no neighbor
   }
+
+  // ---- product quantization ----
+
+  /** Deterministic LCG corpus (no RNG state), dim 8. */
+  private def pqCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    var st = 7L
+    def nextQ(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((((st >>> 33) % 2001L) - 1000L) / 1000.0).toFloat
+    }
+    (0L until n.toLong).map(i => (i, Seq.fill(8)(nextQ()))).toDF("id", "vec")
+  }
+
+  test("FloatSqDist is bit-identical to the in-order HOF fold (codegen, no fallback)") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val both = pqCorpus(32).crossJoin(
+          pqCorpus(4).select(col("id").as("id2"), col("vec").as("vec2")))
+        .select(
+          SimilarityOps.sqDist(col("vec"), col("vec2")).as("native"),
+          aggregate(zip_with(col("vec"), col("vec2"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, v) => acc + v).as("hof"))
+        .collect()
+      both.foreach(r => r.getDouble(0) shouldBe r.getDouble(1)) // bit-equal
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("pqEncode emits m in-range codes per vector — the ÷(dim/m) stored form") {
+    val corpus = pqCorpus(40)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+      dim = 8, m = 4, ks = 3, iters = 2)
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 8, m = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.size shouldBe 40
+    codes.values.foreach { cs =>
+      cs.length shouldBe 4 // m codes instead of 8 floats
+      cs.foreach(c => c should (be >= 0 and be < 3))
+    }
+  }
+
+  test("native PqAdc equals squared-L2 against the reconstructed vector (codegen, no fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val corpus = pqCorpus(40)
+      val (m, ks, subDim) = (4, 3, 2)
+      val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+        dim = 8, m = m, ks = ks, iters = 1)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, subDim))
+      val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 8, m = m)
+      // reconstruction reference: codes -> flat centroid slices
+      val flat = bc.value.flat
+      def recon(cs: Seq[Int]): Seq[Float] =
+        cs.zipWithIndex.flatMap { case (c, j) =>
+          ((j * ks + c) * subDim until (j * ks + c) * subDim + subDim)
+            .map(flat)
+        }
+      val codesMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val reconDf = codesMap.toSeq.map { case (id, cs) =>
+        (id, recon(cs)) }.toDF("id", "rvec")
+      val adc = corpus.join(codes, "id")
+        .select(col("id"),
+          graft.expr.PqAdc.pqAdc(col("vec"), col("codes"), bc).as("adc"))
+      val reference = corpus.join(reconDf, "id")
+        .select(col("id"), SimilarityOps.sqDist(col("vec"), col("rvec")).as("ref"))
+      val joined = adc.join(reference, "id").collect()
+      joined.length shouldBe 40
+      joined.foreach(r => r.getDouble(1) shouldBe r.getDouble(2)) // bit-equal
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("pqNearestNeighbor finds a planted near-duplicate through codes alone") {
+    // two tight clusters + a planted near-identical pair; coarse cells
+    // from the 2 lowest-id vectors separate the clusters
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.01f, 0f, 0f, 0.99f, 0.02f, 0f, 0f)), // ≈ 0
+      (3L, Seq(0.02f, 0.97f, 0.01f, 0f, 0f, 1.01f, 0f, 0f)), // ≈ 1
+      (4L, Seq(0.97f, 0.02f, 0.01f, 0f, 1.01f, 0f, 0f, 0f))  // ≈ 0, 2
+    ).toDF("id", "vec")
+    val (m, ks) = (4, 3)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+      dim = 8, m = m, ks = ks, iters = 2)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, 2))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 8, m = m)
+    val coarse = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val out = SimilarityOps.pqNearestNeighbor(corpus, "id", "vec",
+        coarse, codes, bc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(2L) should (be(0L) or be(4L)) // its cluster, via codes
+    out(3L) shouldBe 1L
+    out.keySet should contain(0L)
+  }
+
+  test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
+    val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
+      .toDF("sub", "cid", "cvec")
+    val out = SimilarityOps.collectCodebooks(cb, m = 2, ks = 2, subDim = 2)
+    out.flat.toSeq.take(2) shouldBe Seq(1f, 2f)
+    out.flat(2).isNaN shouldBe true // (0,1) dropped
+    out.flat.slice(6, 8).toSeq shouldBe Seq(3f, 4f)
+    out.flat(4).isNaN shouldBe true // (1,0) dropped
+  }
 }
