@@ -4,8 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Builds an N× scale-stress fixture from an sf dir (dev tool, not part
-  * of the driver contract): documents and embeddings are replicated
-  * `factor`× with shifted ids; the other eight tables are byte-copied.
+  * of the driver contract): documents, embeddings, and (r12) the
+  * relational/events tables are replicated `factor`× with shifted ids;
+  * nation/region (25/5-row lookup domains every query's arithmetic
+  * keys into) are byte-copied.
+  *
+  * Relational replication shifts EVERY key of a replica by that
+  * table's stride — including foreign keys, by the SAME stride as the
+  * table they reference — so each replica is a self-consistent copy of
+  * the original's referential structure (orders' o_custkey points at
+  * its replica's customers, lineitem at its replica's orders/parts/
+  * suppliers) and joins scale N× without manufacturing cross-replica
+  * edges. Queries that synthesize frames by `k % m` arithmetic keep
+  * their FIXED m-sized domains, so at N× those groups get N× deeper
+  * rather than wider — which is the realistic growth mode for the
+  * reference (a study accretes files per participant), and exactly the
+  * skew regime a scale test should exercise. Events replicate with
+  * shifted event/user ids and UNCHANGED timestamps: same time range,
+  * N× the rows per window.
   *
   * Replication deliberately does NOT produce identical copies — an
   * identical-text copy makes every original doc an N-clique of exact
@@ -70,7 +86,37 @@ object StressFixture {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
+    // Relational tables: replicate with per-table strides, foreign
+    // keys shifted by their REFERENCED table's stride (see class doc).
+    def stride(table: String, key: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(key)).head().getLong(0) + 1
+    val (cuS, orS, paS, suS) = (stride("customer", "c_custkey"),
+      stride("orders", "o_orderkey"), stride("part", "p_partkey"),
+      stride("supplier", "s_suppkey"))
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      df.crossJoin(reps)
+        .select(df.columns.map { c =>
+          shifts.get(c) match {
+            case Some(st) => (col(c) + col("__rep").cast("long") * st).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    replicate("customer", Map("c_custkey" -> cuS))
+    replicate("orders", Map("o_orderkey" -> orS, "o_custkey" -> cuS))
+    replicate("lineitem", Map("l_orderkey" -> orS, "l_partkey" -> paS,
+      "l_suppkey" -> suS))
+    replicate("part", Map("p_partkey" -> paS))
+    replicate("supplier", Map("s_suppkey" -> suS))
+    replicate("events", Map("event_id" -> stride("events", "event_id"),
+      "user_id" -> stride("events", "user_id")))
+
+    Tables.names.filterNot(Set("documents", "embeddings", "customer",
+      "orders", "lineitem", "part", "supplier", "events")).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),

@@ -120,14 +120,32 @@ final class LocalFsStore(root: String) extends ObjectStore {
     }
     if (!Files.isDirectory(parentDir)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val walked = Files.walk(parentDir)
-    try walked.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => bucketRoot.relativize(f).iterator().asScala.mkString("/"))
-      .filter(k => keyPrefix.isEmpty || k.startsWith(keyPrefix))
-      .toSeq.sorted.take(maxKeys)
-      .map(k => s"s3://$bucket/$k")
-    finally walked.close()
+    // r12: walk only the parent's children whose NAME starts with the
+    // post-slash remainder of the prefix — a matching key's next path
+    // component must extend the remainder (it cannot fall short: the
+    // remainder carries no '/', so a shorter component would force a
+    // '/' where the prefix has a letter). Walking the whole parent
+    // made every directory-expansion probe O(bucket): q135's mover at
+    // the 100x stress cap spent ~140 s re-walking an 8k-object bucket
+    // once per directory URI (measured; ~3 s after this narrowing).
+    val remainder = keyPrefix.substring(keyPrefix.lastIndexOf('/') + 1)
+    val starts: Seq[Path] =
+      if (remainder.isEmpty) Seq(parentDir)
+      else {
+        val children = Files.list(parentDir)
+        try children.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(remainder)).toList
+        finally children.close()
+      }
+    starts.flatMap { start =>
+      val walked = Files.walk(start)
+      try walked.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => bucketRoot.relativize(f).iterator().asScala.mkString("/"))
+        .filter(k => keyPrefix.isEmpty || k.startsWith(keyPrefix))
+        .toList
+      finally walked.close()
+    }.sorted.take(maxKeys).map(k => s"s3://$bucket/$k")
   }
 
   /** Tags live in a sidecar tree under `<root>/.tags/...` so they never

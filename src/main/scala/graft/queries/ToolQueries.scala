@@ -19,6 +19,14 @@ object ToolQueries {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** Stress hook (the MoverQueries.Scale twin): scales q84's mutating
+    * fixture cap in BOTH the Spark plan and the oracle literal, so the
+    * oracle compare holds at any scale; unset (=1) in driver runs.
+    */
+  private val Scale = sys.env.get("GRAFT_STRESS_SCALE")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+  private val RemoverCap = 60 * Scale
+
   val all: Seq[Q] = Seq(
 
     // pandas outer merge + indicator (compare_dataframes.py:26-50):
@@ -213,10 +221,10 @@ object ToolQueries {
     // eagerly checkpointed BEFORE the deletes so probe reads can't
     // race the deletions inside one job.
     Q("q84_file_remover",
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT c_custkey AS k, 'data:' || c_name AS content,
         |         'alt:' || c_name AS altcontent
-        |  FROM customer WHERE c_custkey <= 60)
+        |  FROM customer WHERE c_custkey <= $RemoverCap)
         |SELECT k AS c_custkey,
         |  (k % 3 <> 2) AS staging_if_exist,
         |  md5(content) AS md5sum,
@@ -228,7 +236,7 @@ object ToolQueries {
         |       ELSE '' END AS missing_object_candidate_keys,
         |  CASE WHEN k % 3 = 0 THEN 'Success' END AS delete_status
         |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
-      val base = t(s, dir, "customer").filter(col("c_custkey") <= 60)
+      val base = t(s, dir, "customer").filter(col("c_custkey") <= RemoverCap)
         .select(col("c_custkey"),
           concat(lit("data:"), col("c_name")).as("content"),
           concat(lit("alt:"), col("c_name")).as("altcontent"))
