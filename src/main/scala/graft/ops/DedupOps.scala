@@ -250,10 +250,16 @@ object DedupOps {
     // r12: |distinct shingles| is a PROJECTION off the checkpointed
     // array — the r11 explode+groupBy recomputed the docShingles
     // semi-join a third time and paid a count shuffle for a number
-    // `size()` reads directly (an array-join verification variant was
+    // `size()` reads directly. Deliberately UNRESTRICTED: the final
+    // size joins shuffle corpus-sized (id, long) rows — 16 B each,
+    // the cheapest payload in the op (exact dedup already shuffles
+    // corpus-sized (hash, id)) — where restricting first would put
+    // the KB-sized digest arrays through the semi-join exchange
+    // again; candidate counts would have to be under ~corpus/100 for
+    // that to win. (An array-join verification variant was also
     // measured and REVERTED: materializing both full arrays per pair
     // regressed q49 2.4→3.6 s at 42k candidate pairs over 5k docs —
-    // matched-row streams beat array payloads at real pair density)
+    // matched-row streams beat array payloads at real pair density.)
     val sizes = hashed.select(col(idCol).as("__id"),
       size(array_distinct(col("__hs"))).cast("long").as("__n"))
 
