@@ -38,6 +38,39 @@ trait ObjectStore extends Serializable {
   def putTags(uri: String, tags: Seq[(String, String)]): Boolean
 }
 
+object ObjectStore {
+  /** The ranged-read md5 loop every store face shares
+    * (`calculate_object_md5sum_new`, `src/utils.py:1227-1263`): outer
+    * `chunkSize` ranges, inner 1 MiB reads, ONE digest across ranges.
+    * `seek` positions the stream; `read(buf, max)` fills up to `max`
+    * bytes and returns the count (<= 0 ends the range). The `<=`
+    * bound matches the reference: a zero-byte object still digests
+    * the empty stream. Callers own open/close of the stream —
+    * [[LocalFsStore.md5]] drives a RandomAccessFile,
+    * [[S3InventorySource.inventoryErrors]] a Hadoop
+    * FSDataInputStream on the executors.
+    */
+  def rangedMd5(total: Long, chunkSize: Long)(seek: Long => Unit)(
+      read: (Array[Byte], Int) => Int): String = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val digest = MessageDigest.getInstance("MD5")
+    val inner = new Array[Byte](1024 * 1024)
+    var chunkStart = 0L
+    while (chunkStart <= total) {
+      val chunkEnd = math.min(chunkStart + chunkSize, total)
+      seek(chunkStart)
+      var remaining = chunkEnd - chunkStart
+      while (remaining > 0) {
+        val n = read(inner, math.min(inner.length.toLong, remaining).toInt)
+        if (n > 0) { digest.update(inner, 0, n); remaining -= n }
+        else remaining = 0
+      }
+      chunkStart += chunkSize
+    }
+    digest.digest().map("%02x".format(_)).mkString
+  }
+}
+
 /** Local-filesystem store: `s3://bucket/key` maps to
   * `<root>/bucket/key`. The deterministic stand-in for the S3 client —
   * same ranged-read md5 structure as the reference
@@ -61,27 +94,10 @@ final class LocalFsStore(root: String) extends ObjectStore {
   override def md5(uri: String, chunkSize: Long): Option[String] = {
     val p = pathOf(uri)
     if (!Files.isRegularFile(p)) return None
-    val total = Files.size(p)
-    val digest = MessageDigest.getInstance("MD5")
     val raf = new java.io.RandomAccessFile(p.toFile, "r")
-    try {
-      val inner = new Array[Byte](1024 * 1024)
-      var chunkStart = 0L
-      // `<=` matches the reference loop: a zero-byte object still
-      // produces the digest of the empty stream.
-      while (chunkStart <= total) {
-        val chunkEnd = math.min(chunkStart + chunkSize, total)
-        raf.seek(chunkStart)
-        var remaining = chunkEnd - chunkStart
-        while (remaining > 0) {
-          val n = raf.read(inner, 0, math.min(inner.length.toLong, remaining).toInt)
-          if (n > 0) { digest.update(inner, 0, n); remaining -= n }
-          else remaining = 0
-        }
-        chunkStart += chunkSize
-      }
-      Some(digest.digest().map("%02x".format(_)).mkString)
-    } finally raf.close()
+    try Some(ObjectStore.rangedMd5(Files.size(p), chunkSize)(raf.seek)(
+      (buf, n) => raf.read(buf, 0, n)))
+    finally raf.close()
   }
 
   override def copy(src: String, dst: String): Boolean = {

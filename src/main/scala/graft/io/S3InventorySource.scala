@@ -123,10 +123,18 @@ object S3InventorySource {
       (if (cols.contains("is_latest")) raw.filter(col("is_latest")) else raw)
         .transform(df => if (cols.contains("is_delete_marker"))
           df.filter(!col("is_delete_marker")) else df)
+    // The 'Z' suffix is hard-coded, so the wall-clock MUST be UTC
+    // whatever spark.sql.session.timeZone says: instant-typed
+    // (TIMESTAMP) columns go through convert_timezone to the UTC
+    // wall-clock first; NTZ columns are already the export's UTC
+    // wall-clock by the AWS inventory contract and format as-is.
+    val lm = raw.schema("last_modified_date").dataType match {
+      case TimestampNTZType => col("last_modified_date")
+      case _ => convert_timezone(lit("UTC"), col("last_modified_date"))
+    }
     latest.select(
       col("bucket"), col("key"), col("size").cast("bigint").as("size"),
-      date_format(col("last_modified_date"),
-        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("modified"),
+      date_format(lm, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("modified"),
       (if (cols.contains("e_tag")) regexp_replace(col("e_tag"), "\"", "")
        else lit(null).cast("string")).as("etag"),
       (if (cols.contains("storage_class")) col("storage_class")
@@ -156,26 +164,45 @@ object S3InventorySource {
       errs += ("stale" ->
         (s"export created ${manifest.creationTimestamp} is older than " +
           s"maxAge ${maxAgeMillis}ms at asOf $asOfMillis"))
-    probeFiles(spark, manifest, dataRoot).foreach {
+    val probed = probeFiles(spark, manifest, dataRoot)
+    probed.foreach {
       case (f, None) => errs += ("missing_file" -> f.key)
-      case (f, Some(len)) =>
-        if (len != f.size)
-          errs += ("size_mismatch" ->
-            s"${f.key}: manifest ${f.size} bytes, found $len")
-        else if (checkMd5 && f.md5.isDefined) {
-          val (hfs, p) = fs(spark, s"$dataRoot/${f.key}")
-          val md = java.security.MessageDigest.getInstance("MD5")
+      case (f, Some(len)) if len != f.size =>
+        errs += ("size_mismatch" ->
+          s"${f.key}: manifest ${f.size} bytes, found $len")
+      case _ => ()
+    }
+    // md5 verification digests every byte of the export — at 100 TB an
+    // inventory is GBs of parquet across dozens of shards, so the work
+    // runs as a Spark job (one task per shard, ranged-read digest on
+    // the executors — the [[TransferExec.md5sum]] discipline), never a
+    // sequential driver loop. Only mismatches come back.
+    val md5Candidates = probed.collect {
+      case (f, Some(len)) if len == f.size && checkMd5 && f.md5.isDefined =>
+        (f.key, f.md5.get)
+    }
+    if (md5Candidates.nonEmpty) {
+      val sc = spark.sparkContext
+      val confB = sc.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          sc.hadoopConfiguration))
+      val root = dataRoot
+      val chunk = TransferExec.DefaultChunkSize
+      val mismatches = spark.createDataset(md5Candidates)
+        .repartition(math.min(md5Candidates.size, sc.defaultParallelism))
+        .mapPartitions(_.flatMap { case (key, expected) =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/$key")
+          val hfs = p.getFileSystem(confB.value.value)
           val in = hfs.open(p)
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
-          } finally in.close()
-          val hex = md.digest().map("%02x".format(_)).mkString
-          if (hex != f.md5.get.toLowerCase)
-            errs += ("md5_mismatch" ->
-              s"${f.key}: manifest ${f.md5.get}, computed $hex")
-        }
+          val hex = try ObjectStore.rangedMd5(
+              hfs.getFileStatus(p).getLen, chunk)(in.seek)(
+              (buf, n) => in.read(buf, 0, n))
+            finally in.close()
+          if (hex != expected.toLowerCase)
+            Some(key -> s"$key: manifest $expected, computed $hex")
+          else None
+        }).collect().sortBy(_._1)
+      mismatches.foreach { case (_, msg) => errs += ("md5_mismatch" -> msg) }
     }
     errs.result().toDF("check", "error")
   }

@@ -136,34 +136,60 @@ object RankOps {
       .where(col("term") =!= "")
 
   private def seedLogOddsWeightsFrom(tokRows: DataFrame,
-      alpha: Double): DataFrame = {
+      alpha: Double, minDf: Long = 1L): DataFrame = {
     require(alpha > 0, "alpha must be positive (smoothing)")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val counts = tokRows.groupBy(col("term")).agg(
       count(lit(1)).as("cb"),
       sum(when(col("__is_seed"), 1L).otherwise(0L)).as("cs"))
+    // Totals run over the FULL vocabulary before any minDf pruning:
+    // pruning only removes rows — every surviving term's weight is
+    // bit-identical to its unpruned value (the spec-able contract).
     val totals = counts.agg(sum(col("cb")).as("tb"), sum(col("cs")).as("ts"),
       count(lit(1)).as("v"))
-    counts.crossJoin(broadcast(totals)).select(col("term"),
+    val kept = if (minDf <= 1L) counts else counts.filter(col("cb") >= minDf)
+    kept.crossJoin(broadcast(totals)).select(col("term"),
       log(((col("cs") + lit(alpha)) / (col("ts") + lit(alpha) * col("v"))) /
         ((col("cb") + lit(alpha)) / (col("tb") + lit(alpha) * col("v"))))
         .as("w"))
   }
 
   /** The trained weight table (term, w) of [[seedLogOddsQuality]],
-    * exported for train-batch / score-online deployments.
+    * exported for train-batch / score-online deployments. `minDf`
+    * drops terms occurring fewer than that many times in the corpus
+    * (CCNet-style tail pruning — hapaxes dominate a web-scale
+    * vocabulary and carry no reusable signal); smoothing denominators
+    * always reflect the FULL vocabulary, so pruning removes rows
+    * without changing any surviving weight.
     */
   def seedLogOddsWeights(df: DataFrame, idCol: String, textCol: String,
-      isSeed: Column, alpha: Double = 0.5): DataFrame =
-    seedLogOddsWeightsFrom(tokenRows(df, idCol, textCol, isSeed), alpha)
+      isSeed: Column, alpha: Double = 0.5, minDf: Long = 1L): DataFrame =
+    seedLogOddsWeightsFrom(tokenRows(df, idCol, textCol, isSeed), alpha, minDf)
 
   /** Driver-side weight dictionary for [[scoreMapSide]] — collect the
     * vocab-sized weight table once; [[scoreMapSide]] ships it as a
     * TorrentBroadcast (the `decontaminateMapSide` pattern).
+    *
+    * The table is vocab-sized BY CONTRACT, but a web-scale corpus has
+    * a hapax-heavy 10⁷-term tail (~500 MB of driver map at ~50 B/term)
+    * that must not OOM the driver silently: the collect reads at most
+    * `maxTerms + 1` rows (a LIMIT, so the overflow probe itself is
+    * driver-bounded) and FAILS LOUDLY past `maxTerms`, naming both
+    * escape hatches — raise `minDf` to prune the tail the way CCNet
+    * does, or raise `maxTerms` deliberately.
     */
   def collectLogOddsWeights(df: DataFrame, idCol: String, textCol: String,
-      isSeed: Column, alpha: Double = 0.5): Map[String, Double] =
-    seedLogOddsWeights(df, idCol, textCol, isSeed, alpha)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      isSeed: Column, alpha: Double = 0.5, minDf: Long = 1L,
+      maxTerms: Int = 2000000): Map[String, Double] = {
+    require(maxTerms >= 1, s"maxTerms must be >= 1, got $maxTerms")
+    val rows = seedLogOddsWeights(df, idCol, textCol, isSeed, alpha, minDf)
+      .limit(maxTerms + 1).collect()
+    require(rows.length <= maxTerms,
+      s"log-odds vocabulary exceeds maxTerms=$maxTerms (minDf=$minDf) — " +
+        "prune the tail with a higher minDf (CCNet-style) or raise " +
+        "maxTerms explicitly")
+    rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
 
   /** Map-side log-odds scoring against a pre-trained weight
     * dictionary: a PURE MAP PASS — no explode, no shuffle, no state —

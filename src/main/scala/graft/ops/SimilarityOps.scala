@@ -388,14 +388,23 @@ object SimilarityOps {
   /** The (id, sub, subvec) long form: vector dimension j·subDim..+subDim
     * becomes subspace j's row. One posexplode over an array of slices —
     * the slices are built in ONE projection (shared-array rule).
+    * Wrong-dimension vectors FAIL LOUDLY here: a short slice would
+    * make [[sqDist]] return null, and null orders FIRST under the
+    * assignment window's ascending `__d` — the malformed vector would
+    * silently win the argmin and land in cell 0, skewing trained
+    * means instead of surfacing the corruption (ADVICE r12).
     */
   private def subspaceRows(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val subDim = dim / m
+    val checked = when(size(col(vecCol)) === dim, col(vecCol)).otherwise(
+      raise_error(concat(lit(s"subspaceRows: vector of size "),
+        size(col(vecCol)).cast("string"), lit(s" != dim $dim at id "),
+        col(idCol).cast("string"))))
     corpus.select(col(idCol).as("id"),
       posexplode(array((0 until m).map(j =>
-        slice(col(vecCol), j * subDim + 1, subDim)): _*)))
+        slice(checked, j * subDim + 1, subDim)): _*)))
       .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
   }
 

@@ -1494,7 +1494,8 @@ object ToolQueries {
         |ORDER BY bucket, key""".stripMargin) { (s, dir) =>
       import graft.io.S3InventorySource
       val root = new java.io.File(
-        s"/tmp/graft_q157_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"/tmp/graft_q157_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
       def wipe(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(wipe)
         f.delete(); ()

@@ -79,6 +79,28 @@ class RankOpsSpec extends SparkSpecBase {
     withEmpty shouldBe Set(1L, 2L, 3L)
   }
 
+  test("collectLogOddsWeights: minDf prunes rows without changing surviving weights; maxTerms fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val d3 = docs.filter($"doc_id" =!= 4L)
+    val seed = col("doc_id") === 1L
+    // vocab {a,b,c} with cb = 3/2/1: minDf=2 drops only c …
+    val full = RankOps.collectLogOddsWeights(d3, "doc_id", "text", seed)
+    val pruned = RankOps.collectLogOddsWeights(d3, "doc_id", "text", seed,
+      minDf = 2L)
+    full.keySet shouldBe Set("a", "b", "c")
+    pruned.keySet shouldBe Set("a", "b")
+    // … and the survivors are BIT-identical (totals pre-prune)
+    pruned.foreach { case (t, w) => w shouldBe full(t) }
+    // the overflow guard names both escape hatches
+    val ex = intercept[IllegalArgumentException] {
+      RankOps.collectLogOddsWeights(d3, "doc_id", "text", seed, maxTerms = 2)
+    }
+    ex.getMessage should (include("maxTerms=2") and include("minDf"))
+    // minDf is itself an escape hatch: pruning to <= maxTerms passes
+    RankOps.collectLogOddsWeights(d3, "doc_id", "text", seed,
+      minDf = 2L, maxTerms = 2).size shouldBe 2
+  }
+
   test("native scoreMapSide is bit-equal to the HOF reference (codegen, no fallback)") {
     // fallback=false turns a generated-code failure in expr/SeedScore
     // into a thrown error instead of a silent drop to interpreted mode

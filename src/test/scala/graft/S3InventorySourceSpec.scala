@@ -91,6 +91,50 @@ class S3InventorySourceSpec extends SparkSpecBase {
     rows.head.getString(4) shouldBe "e1" // protocol quotes stripped
   }
 
+  test("inventoryObjects 'modified' stays UTC whatever the session timezone") {
+    // The 'Z' suffix is hard-coded, so the rendering must not lean on
+    // the entry points pinning spark.sql.session.timeZone=UTC
+    // (ADVICE r12): instant columns go through convert_timezone.
+    val (root, manifest) = buildExport("tzfix")
+    val m = S3InventorySource.readManifest(spark, manifest.getAbsolutePath)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val rows = S3InventorySource
+        .inventoryObjects(spark, m, root.getAbsolutePath)
+        .orderBy("key").collect()
+      rows.head.getString(3) shouldBe "2024-01-02T03:04:05.000Z"
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("inventoryObjects formats a TIMESTAMP_NTZ export wall-clock as-is") {
+    // AWS inventory wall-clocks are UTC by contract; an NTZ physical
+    // type (the events-table regeneration quirk) must not be shifted.
+    val root = new File("/tmp/graft_invspec_ntz")
+    wipe(root)
+    new File(root, "data").mkdirs()
+    val rows = Seq(("b1", "x", 5L, "2024-03-04 05:06:07"))
+      .toDF("bucket", "key", "size", "ts")
+      .withColumn("last_modified_date", col("ts").cast("timestamp_ntz"))
+      .drop("ts")
+    val tmp = new File(root, "__w")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(root, "data/shard0.parquet").toPath)
+    wipe(tmp)
+    val m = S3InventorySource.InventoryManifest("b1", "d", "Parquet",
+      1700000000000L, Seq(S3InventorySource.ManifestFile(
+        "data/shard0.parquet", new File(root, "data/shard0.parquet").length(),
+        None)))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val out = S3InventorySource
+        .inventoryObjects(spark, m, root.getAbsolutePath).collect()
+      out.head.getString(3) shouldBe "2024-03-04T05:06:07.000Z"
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("inventoryObjects tolerates exports without version or etag columns") {
     val root = new File("/tmp/graft_invspec_minimal")
     wipe(root)
@@ -154,6 +198,33 @@ class S3InventorySourceSpec extends SparkSpecBase {
     S3InventorySource.inventoryErrors(spark, m5, root5.getAbsolutePath,
         asOfMillis = asOf, checkMd5 = true)
       .collect().map(_.getString(0)) shouldBe Array("md5_mismatch")
+  }
+
+  test("distributed md5 check flags only the corrupted shard of a multi-file export") {
+    // The digest runs as a Spark job (one task per shard) — same
+    // sentinel rows as the old driver loop, proven over an export
+    // with several data files of which exactly one is corrupt.
+    val root = new File("/tmp/graft_invspec_multimd5")
+    wipe(root)
+    new File(root, "data").mkdirs()
+    val shards = (0 until 3).map { i =>
+      val f = new File(root, s"data/shard$i.parquet")
+      Files.write(f.toPath, s"payload-$i-${"x" * 100}".getBytes("UTF-8"))
+      f
+    }
+    val entries = shards.map(f => S3InventorySource.ManifestFile(
+      s"data/${f.getName}", f.length(), Some(md5Hex(f))))
+    // corrupt shard1 AFTER the manifest digests were taken
+    val b = Files.readAllBytes(shards(1).toPath)
+    b(4) = (b(4) ^ 0x3f).toByte
+    Files.write(shards(1).toPath, b)
+    val m = S3InventorySource.InventoryManifest("b1", "d", "Parquet",
+      1700000000000L, entries)
+    val out = S3InventorySource.inventoryErrors(spark, m,
+      root.getAbsolutePath, asOfMillis = 1700000000000L, checkMd5 = true)
+      .collect()
+    out.map(_.getString(0)) shouldBe Array("md5_mismatch")
+    out.head.getString(1) should startWith("data/shard1.parquet: manifest ")
   }
 
   test("reconcileWithLive labels drift in both directions") {

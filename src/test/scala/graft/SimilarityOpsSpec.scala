@@ -196,6 +196,20 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("PQ training fails loudly on a wrong-dimension vector instead of assigning it cell 0") {
+    // FloatSqDist nulls on a length mismatch and null sorts FIRST
+    // under the assignment argmin (ADVICE r12) — the guard must fire
+    // before any slice reaches the distance.
+    val bad = pqCorpus(10).unionByName(
+      Seq((99L, Seq(1f, 2f, 3f))).toDF("id", "vec"))
+    val ex = intercept[Exception] {
+      SimilarityOps.trainPqCodebooks(bad, "id", "vec",
+        dim = 8, m = 4, ks = 2, iters = 0)
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n") should include("subspaceRows")
+  }
+
   test("native PqAdc equals squared-L2 against the reconstructed vector (codegen, no fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
