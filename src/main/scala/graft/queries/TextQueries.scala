@@ -54,6 +54,58 @@ object TextQueries {
     */
   private val Planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = 64)
 
+  /** Shared IVF-PQ oracle CTE chain (q158/q159): subspace slicing, the
+    * m=8/ks=4 Lloyd round (decimal-exact means cast to float, the
+    * q126 discipline), encoding argmins, the flattened per-candidate
+    * reconstruction `recon(vec_id, rvec)`, and the first-√n coarse
+    * cells `coarse(vec_id, ccid)`. The two queries differ only in the
+    * final SELECT's distance fold (continuous vs per-subspace).
+    */
+  private def ivfPqOracleCtes: String =
+    s"""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |sub AS (
+       |  SELECT e.vec_id, s.sub,
+       |    e.embedding[s.sub*8 + 1 : s.sub*8 + 8] AS sv
+       |  FROM embeddings e CROSS JOIN subs s),
+       |init AS (
+       |  SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+       |      AS BIGINT) AS cid, sv AS cvec
+       |  FROM sub
+       |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
+       |a1 AS (
+       |  SELECT b.vec_id, b.sub, c.cid
+       |  FROM sub b JOIN init c ON b.sub = c.sub
+       |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
+       |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
+       |m1 AS (
+       |  SELECT a.sub, a.cid, t.pos,
+       |    CAST(CAST(SUM(CAST(CAST(b.sv[t.pos] AS DOUBLE) AS DECIMAL(25,10)))
+       |      AS DOUBLE) / COUNT(*) AS FLOAT) AS mv
+       |  FROM a1 a JOIN sub b ON a.vec_id = b.vec_id AND a.sub = b.sub
+       |  CROSS JOIN generate_series(1, 8) t(pos)
+       |  GROUP BY a.sub, a.cid, t.pos),
+       |cb AS (SELECT sub, cid, list(mv ORDER BY pos) AS cvec
+       |  FROM m1 GROUP BY sub, cid),
+       |enc AS (
+       |  SELECT b.vec_id, b.sub, c.cid
+       |  FROM sub b JOIN cb c ON b.sub = c.sub
+       |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
+       |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
+       |recon AS (
+       |  SELECT e.vec_id, flatten(list(c.cvec ORDER BY e.sub)) AS rvec
+       |  FROM enc e JOIN cb c ON e.sub = c.sub AND e.cid = c.cid
+       |  GROUP BY e.vec_id),
+       |kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS ccid, embedding AS ccv
+       |  FROM embeddings, kk WHERE vec_id < k),
+       |coarse AS (
+       |  SELECT e.vec_id, c.ccid
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)""".stripMargin
+
   /** Oracle fragment: the hyperplane sign string — term-for-term the
     * same left-folded sum of double products the engine evaluates.
     *
@@ -956,49 +1008,7 @@ object TextQueries {
     // in-dimension-order double fold — a wrong codebook float, code,
     // or distance term breaks the hash.
     Q("q158_ann_ivfpq", {
-      s"""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-         |sub AS (
-         |  SELECT e.vec_id, s.sub,
-         |    e.embedding[s.sub*8 + 1 : s.sub*8 + 8] AS sv
-         |  FROM embeddings e CROSS JOIN subs s),
-         |init AS (
-         |  SELECT sub,
-         |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
-         |      AS BIGINT) AS cid, sv AS cvec
-         |  FROM sub
-         |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
-         |a1 AS (
-         |  SELECT b.vec_id, b.sub, c.cid
-         |  FROM sub b JOIN init c ON b.sub = c.sub
-         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
-         |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
-         |m1 AS (
-         |  SELECT a.sub, a.cid, t.pos,
-         |    CAST(CAST(SUM(CAST(CAST(b.sv[t.pos] AS DOUBLE) AS DECIMAL(25,10)))
-         |      AS DOUBLE) / COUNT(*) AS FLOAT) AS mv
-         |  FROM a1 a JOIN sub b ON a.vec_id = b.vec_id AND a.sub = b.sub
-         |  CROSS JOIN generate_series(1, 8) t(pos)
-         |  GROUP BY a.sub, a.cid, t.pos),
-         |cb AS (SELECT sub, cid, list(mv ORDER BY pos) AS cvec
-         |  FROM m1 GROUP BY sub, cid),
-         |enc AS (
-         |  SELECT b.vec_id, b.sub, c.cid
-         |  FROM sub b JOIN cb c ON b.sub = c.sub
-         |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
-         |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
-         |recon AS (
-         |  SELECT e.vec_id, flatten(list(c.cvec ORDER BY e.sub)) AS rvec
-         |  FROM enc e JOIN cb c ON e.sub = c.sub AND e.cid = c.cid
-         |  GROUP BY e.vec_id),
-         |kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
-         |  FROM embeddings),
-         |cent AS (SELECT vec_id AS ccid, embedding AS ccv
-         |  FROM embeddings, kk WHERE vec_id < k),
-         |coarse AS (
-         |  SELECT e.vec_id, c.ccid
-         |  FROM embeddings e CROSS JOIN cent c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)
+      s"""$ivfPqOracleCtes
          |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
          |  ${sqDistSql("le.embedding", "rr.rvec")} AS adc
          |FROM coarse l JOIN embeddings le ON le.vec_id = l.vec_id
@@ -1019,6 +1029,45 @@ object TextQueries {
       val coarse = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       SimilarityOps.pqNearestNeighbor(emb, "vec_id", "embedding",
+          coarse, codes, bc)
+        .orderBy(col("id1"))
+    },
+
+    // q158's search with per-query DISTANCE TABLES (Jégou 2011 §5.2):
+    // identical training/encoding/cells, but each query builds its
+    // m·ks subspace-distance table once (expr/PqDistTable, projected
+    // ABOVE the cell exchange) and every in-cell candidate costs m
+    // LOOKUPS (expr/PqAdcTable) instead of dim flops. The adc fold
+    // GROUPS per subspace — algebraically q158's sum, different
+    // rounding — so the oracle scores with the same per-subspace
+    // grouping: eight sliced folds summed left-to-right, term for
+    // term what computeFromTable accumulates.
+    Q("q159_ann_ivfpq_dtab", {
+      val adcSub = (0 until 8).map { j =>
+        s"(${sqDistSql(s"le.embedding[${j * 8 + 1} : ${j * 8 + 8}]",
+          s"rr.rvec[${j * 8 + 1} : ${j * 8 + 8}]")})"
+      }.mkString("\n    + ")
+      s"""$ivfPqOracleCtes
+         |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
+         |  $adcSub AS adc
+         |FROM coarse l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY $adcSub, rr.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim, m, ks, iters = 1)
+      val bc = s.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, dim, m)
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.pqNearestNeighborTabled(emb, "vec_id", "embedding",
           coarse, codes, bc)
         .orderBy(col("id1"))
     },

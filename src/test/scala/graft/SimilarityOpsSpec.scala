@@ -271,6 +271,89 @@ class SimilarityOpsSpec extends SparkSpecBase {
     out.keySet should contain(0L)
   }
 
+  test("tabled ADC equals the per-subspace driver fold bit-exactly and PqAdc to 1e-12 (codegen, no fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val corpus = pqCorpus(40)
+      val (m, ks, subDim) = (4, 3, 2)
+      val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+        dim = 8, m = m, ks = ks, iters = 1)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, subDim))
+      val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 8, m = m)
+      val out = corpus.join(codes, "id")
+        .select(col("id"),
+          graft.expr.PqAdc.pqAdcTable(
+            graft.expr.PqAdc.pqDistTable(col("vec"), bc),
+            col("codes")).as("tabled"),
+          graft.expr.PqAdc.pqAdc(col("vec"), col("codes"), bc).as("adc"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      // driver reference replays the documented grouping: a
+      // dimension-order fold WITHIN each subspace, partials summed in
+      // subspace order — bit-equality pins the contract the q159
+      // oracle replays
+      val flat = bc.value.flat
+      val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val codesMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      out.foreach { case (id, tabled, adc) =>
+        var acc = 0.0
+        (0 until m).foreach { j =>
+          var sub = 0.0
+          (0 until subDim).foreach { t =>
+            val d = vecs(id)(j * subDim + t).toDouble -
+              flat((j * ks + codesMap(id)(j)) * subDim + t).toDouble
+            sub += d * d
+          }
+          acc += sub
+        }
+        java.lang.Double.doubleToLongBits(tabled) shouldBe
+          java.lang.Double.doubleToLongBits(acc)
+        tabled shouldBe adc +- math.max(1e-12 * adc.abs, 1e-15)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("pqNearestNeighborTabled picks pqNearestNeighbor's neighbors; the table builds once, above the cell exchange") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (2L, Seq(0.98f, 0.01f, 0f, 0f, 0.99f, 0.02f, 0f, 0f)),
+      (3L, Seq(0.02f, 0.97f, 0.01f, 0f, 0f, 1.01f, 0f, 0f)),
+      (4L, Seq(0.97f, 0.02f, 0.01f, 0f, 1.01f, 0f, 0f, 0f))
+    ).toDF("id", "vec")
+    val (m, ks) = (4, 3)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+      dim = 8, m = m, ks = ks, iters = 2)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, 2))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 8, m = m)
+    val coarse = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val base = SimilarityOps.pqNearestNeighbor(corpus, "id", "vec",
+        coarse, codes, bc)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val tabledDf = SimilarityOps.pqNearestNeighborTabled(corpus, "id", "vec",
+      coarse, codes, bc)
+    val tabled = tabledDf
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    tabled.keySet shouldBe base.keySet
+    tabled.foreach { case (id, (nn, adc)) =>
+      nn shouldBe base(id)._1
+      adc shouldBe base(id)._2 +- math.max(1e-12 * adc.abs, 1e-15)
+    }
+    // the build-once placement: the dist-table projection is its own
+    // operator, NOT collapsed into the per-pair scoring projection
+    // (that collapse would rebuild the m·ks table for every candidate)
+    val plan = tabledDf.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("pq_adc_table"))
+      .foreach(l => l should not include "pq_dist_table")
+    plan should include("pq_dist_table")
+  }
+
   test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
     val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
       .toDF("sub", "cid", "cvec")
