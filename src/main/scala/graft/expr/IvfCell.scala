@@ -1,0 +1,125 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native map-side IVF coarse-cell assignment: the cid of the
+  * max-cosine centroid for a vector, ties to the lowest cid — the
+  * EXPRESSION form of [[graft.ops.SimilarityOps.ivfAssign]]'s
+  * broadcast-crossJoin + ranking window, for plans where a window is
+  * not available: Structured Streaming micro-batches
+  * ([[graft.streaming.StreamingOps.embeddingNeighborsPqArrivals]])
+  * assign each arrival's cell in the stateless map pass, one codegen
+  * loop over the broadcast centroid table per row.
+  *
+  * Arithmetic matches the batch twin bit for bit: cosine =
+  * FloatDot-order dot / (norm · norm) in doubles, candidates scanned
+  * in ascending-cid order with strict `>` replacement — exactly the
+  * `(cosine desc, cid asc)` window ranking. A NaN cosine (zero-norm
+  * vector or corrupt centroid) never wins the scan; if NO candidate
+  * scores finite the expression throws rather than emit an arbitrary
+  * cell — filter zero-norm arrivals upstream (the
+  * embeddingNeighborsArrivals guard) if they are expected.
+  */
+case class IvfCell(child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[IvfCell.Centroids])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cell requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ivf_cell"
+
+  override def nullSafeEval(vec: Any): Any =
+    IvfCell.compute(vec.asInstanceOf[ArrayData], centroids.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[IvfCell.Centroids].getName
+    val bcRef = ctx.addReferenceObj("ivfCellBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState(cls, "ivfCellCentroids",
+      v => s"$v = ($cls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.IvfCell.compute($v, $cached);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCell =
+    copy(child = newChild)
+}
+
+object IvfCell {
+
+  /** The coarse centroid table, sorted by cid ascending (the scan
+    * order that makes strict-`>` replacement reproduce the batch
+    * tie-break), flattened row-major: centroid i's dimension t lives
+    * at `i * dim + t`, its id at `cids(i)`, its norm precomputed at
+    * `norms(i)` (centroid norms are per-table, not per-row work).
+    */
+  final class Centroids(val cids: Array[Long], val dim: Int,
+      val flat: Array[Float]) extends Serializable {
+    require(cids.nonEmpty && flat.length == cids.length * dim,
+      s"flat length ${flat.length} != ${cids.length}*$dim")
+    require(cids.sameElements(cids.sorted),
+      "centroids must be sorted by cid ascending (tie-break order)")
+    val norms: Array[Double] = Array.tabulate(cids.length) { i =>
+      var acc = 0.0
+      var t = 0
+      while (t < dim) {
+        val x = flat(i * dim + t).toDouble
+        acc += x * x
+        t += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** Codegen entry (named `compute`, never `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression).
+    */
+  def compute(vec: ArrayData, c: Centroids): Long = {
+    require(vec.numElements() == c.dim,
+      s"vector dim ${vec.numElements()} != centroid dim ${c.dim}")
+    var vn = 0.0
+    var t = 0
+    while (t < c.dim) {
+      val x = vec.getFloat(t).toDouble
+      vn += x * x
+      t += 1
+    }
+    val vnorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var bestAt = -1
+    var i = 0
+    while (i < c.cids.length) {
+      var d = 0.0
+      var u = 0
+      val base = i * c.dim
+      while (u < c.dim) {
+        d += vec.getFloat(u).toDouble * c.flat(base + u).toDouble
+        u += 1
+      }
+      val cos = d / (vnorm * c.norms(i))
+      if (cos > best) { best = cos; bestAt = i } // NaN never wins
+      i += 1
+    }
+    if (bestAt < 0)
+      throw new IllegalArgumentException(
+        "ivf_cell: no centroid scored a finite cosine (zero-norm vector " +
+          "or corrupt centroid table) — filter zero-norm vectors upstream")
+    c.cids(bestAt)
+  }
+
+  /** Column form. */
+  def ivfCell(vec: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Centroids]): Column =
+    ColumnBridge.column(IvfCell(ColumnBridge.expression(vec), centroids))
+}

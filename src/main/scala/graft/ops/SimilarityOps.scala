@@ -550,6 +550,44 @@ object SimilarityOps {
     * and the neighbor choice equal to [[pqNearestNeighbor]]'s on the
     * planted fixture.
     */
+  /** Collect a (cid, cvec) coarse-centroid frame into the broadcast
+    * table `expr/IvfCell` probes map-side (sorted by cid — the scan
+    * order that reproduces the batch tie-break). Centroid counts are
+    * √n by the sizing rule, so the table is KBs to low MBs.
+    */
+  def collectCentroids(centroids: DataFrame, dim: Int): graft.expr.IvfCell.Centroids = {
+    val rows = centroids.select(col("cid").cast("long"), col("cvec"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "empty centroid frame")
+    val flat = new Array[Float](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getSeq[Float](1)
+      require(v.length == dim, s"centroid ${r.getLong(0)} dim ${v.length} != $dim")
+      var t = 0
+      while (t < dim) { flat(i * dim + t) = v(t); t += 1 }
+    }
+    new graft.expr.IvfCell.Centroids(rows.map(_.getLong(0)), dim, flat)
+  }
+
+  /** PQ-compressed static index for streaming embedding lookup: each
+    * corpus vector reduced to (cid, corpus_id, codes) — its coarse
+    * cell plus its m PQ codes. The static side of
+    * [[graft.streaming.StreamingOps.embeddingNeighborsPqArrivals]]'s
+    * stream-static join holds code rows instead of raw vectors
+    * (÷(4·subDim/4) = ÷subDim memory at int codes, ÷16 at
+    * dim=64/m=8 counted in floats), the streaming twin of what
+    * [[pqNearestNeighbor]]'s candidate side does for batch search.
+    * Write it bucketed on `cid` at scale and the per-micro-batch
+    * join is exchange-free on the corpus side.
+    */
+  def corpusPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, coarseCentroids)
+      .select(col("cid"), col(idCol).as("corpus_id"))
+      .join(codes.select(col(idCol).as("corpus_id"), col("codes")),
+        Seq("corpus_id"))
+      .select(col("cid"), col("corpus_id"), col("codes"))
+
   def pqNearestNeighborTabled(corpus: DataFrame, idCol: String, vecCol: String,
       coarseCentroids: DataFrame, codes: DataFrame,
       codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks]): DataFrame = {

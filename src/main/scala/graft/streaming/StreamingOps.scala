@@ -429,6 +429,43 @@ object StreamingOps {
       .filter(col("cosine") >= tau)
   }
 
+  /** PQ-compressed streaming embedding lookup — the q158/q159 vector
+    * store as a stream face: the static side is
+    * [[graft.ops.SimilarityOps.corpusPqIndex]] (cid, corpus_id,
+    * codes — code rows, ÷16 the raw-vector memory at dim=64/m=8),
+    * each arrival assigns its coarse cell MAP-SIDE via the native
+    * `expr/IvfCell` (a window would be a batch-only plan; the
+    * expression replays ivfAssign's (cosine desc, cid) ranking bit
+    * for bit), and in-cell candidates score by asymmetric distance —
+    * raw arrival vs broadcast-codebook reconstruction (`expr/PqAdc`)
+    * — emitted at `adc <= tau`. Entirely STATELESS: assign + join +
+    * score is one map-side pass over each micro-batch, so unbounded
+    * streams never accumulate state; top-1-per-arrival is the
+    * CONSUMER's fold (a window over an append sink's batch, exactly
+    * how the spec grades ≡ [[graft.ops.SimilarityOps.pqNearestNeighbor]]).
+    * Zero-norm arrivals are filtered like every embedding face (they
+    * have no direction; `expr/IvfCell` would fail loudly on them).
+    */
+  def embeddingNeighborsPqArrivals(
+      stream: DataFrame, // needs: idCol, vecCol (array<float>)
+      pqIndex: DataFrame, // from SimilarityOps.corpusPqIndex
+      idCol: String, vecCol: String,
+      centroids: org.apache.spark.broadcast.Broadcast[graft.expr.IvfCell.Centroids],
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      tau: Double): DataFrame = {
+    import graft.ops.SimilarityOps.norm
+    val probes = stream
+      .where(norm(col(vecCol)) > 0d) // BEFORE the cell projection —
+      // ivf_cell fails loudly on a zero-norm vector by contract
+      .select(
+        graft.expr.IvfCell.ivfCell(col(vecCol), centroids).as("__cid"),
+        col(idCol).as("new_id"), col(vecCol).as("__v"))
+    probes.join(pqIndex, probes("__cid") === pqIndex("cid"))
+      .select(col("new_id"), col("corpus_id"),
+        graft.expr.PqAdc.pqAdc(col("__v"), col("codes"), codebooks).as("adc"))
+      .filter(col("adc") <= tau)
+  }
+
   case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
   case class NearDupPair(id1: Long, id2: Long, ts: Timestamp)
 

@@ -90,7 +90,9 @@ class ExprSpec extends SparkSpecBase {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      import graft.expr.{FloatDot, ShingleHashes, SimHash16, SimHash64}
+      import graft.expr.{FloatDot, IvfCell, ShingleHashes, SimHash16, SimHash64}
+      val cellBc = spark.sparkContext.broadcast(new IvfCell.Centroids(
+        Array(3L, 7L), 2, Array(1f, 0f, 0f, 1f)))
       val docs = Seq(("a b c d", Array(1f, 0f), Array(1f, 0f))).toDF("t", "u", "v")
       val out = docs.select(
         FloatDot.dotF(col("u"), col("v")).as("dot"),
@@ -98,12 +100,14 @@ class ExprSpec extends SparkSpecBase {
         SimHash64.simhash64(col("t")).as("sh64"),
         org.apache.spark.sql.functions.size(
           ShingleHashes.shingleHashes(col("t"), 2, "1|")).as("ns"),
-        Uuid5Expression.uuid5Native("ccdi", col("t")).as("u5")).collect()
+        Uuid5Expression.uuid5Native("ccdi", col("t")).as("u5"),
+        IvfCell.ivfCell(col("u"), cellBc).as("cell")).collect()
       out(0).getDouble(0) shouldBe 1.0
       out(0).getString(1) should have length 16
       out(0).getString(2) should have length 64
       out(0).getInt(3) shouldBe 3
       out(0).getString(4) should have length 36
+      out(0).getLong(5) shouldBe 3L // max-cosine centroid's OWN cid
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

@@ -602,6 +602,75 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("embeddingNeighborsPqArrivals ≡ batch pqNearestNeighbor pair set, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // deterministic 16-vector corpus (the multiprobe fixture's LCG)
+    var st = 55L
+    def nextQ(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((((st >>> 33) % 2001L) - 1000L) / 1000.0).toFloat
+    }
+    val corpus = (0L until 16L).map(i =>
+      (i, Seq.fill(8)(nextQ()))).toDF("vec_id", "embedding")
+    val (dim, m, ks) = (8, 4, 3)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "vec_id", "embedding",
+      dim, m, ks, iters = 1)
+    val cbBc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+    val codes = SimilarityOps.pqEncode(corpus, "vec_id", "embedding", cb, dim, m)
+    val coarse = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val index = SimilarityOps
+      .corpusPqIndex(corpus, "vec_id", "embedding", coarse, codes)
+      .localCheckpoint(true)
+    val centBc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCentroids(coarse, dim))
+
+    def pq(df: org.apache.spark.sql.DataFrame, tau: Double) =
+      StreamingOps.embeddingNeighborsPqArrivals(df, index,
+        "vec_id", "embedding", centBc, cbBc, tau)
+
+    // 1) the stream face's pair set over the corpus itself, top-1 per
+    //    arrival with self excluded, IS the batch pqNearestNeighbor
+    //    answer — cell assignment (native expr) and ADC replay the
+    //    batch ranking bit for bit
+    val top1 = pq(corpus.toDF("vec_id", "embedding"), tau = Double.MaxValue)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("new_id")
+        .orderBy(col("adc"), col("corpus_id"))))
+      .filter(col("__rn") === 1)
+      .select("new_id", "corpus_id", "adc")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = SimilarityOps.pqNearestNeighbor(corpus, "vec_id", "embedding",
+        coarse, codes, cbBc)
+      .as[(Long, Long, Double)].collect().toSet
+    top1 shouldBe batch
+
+    // 2) streaming run: same rows as the batch-frame evaluation, zero
+    //    state operators, and a zero-norm poison arrival is filtered,
+    //    not fatal (ivf_cell would throw on it by contract)
+    val tau = batch.map(_._3).max // keep every batch pair
+    val expected = pq(corpus.toDF("vec_id", "embedding"), tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = pq(in.toDF().toDF("vec_id", "embedding"), tau)
+      .writeStream.format("memory").queryName("emb_pq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = corpus.as[(Long, Seq[Float])].collect().toSeq
+      rows.grouped(6).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      in.addData((200L, Seq.fill(8)(0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("emb_pq").as[(Long, Long, Double)].collect()
+      got.toSet shouldBe expected
+      got.map(_._1) should not contain 200L
+      q.recentProgress.foreach(_.stateOperators shouldBe empty)
+    } finally q.stop()
+  }
+
   test("embeddingNeighborsMultiProbeArrivals recovers split neighbors, stays stateless, ≡ batch multiprobe pair set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
