@@ -69,17 +69,36 @@ object ManifestIO {
       }.toMap
   }
 
+  // The reference's template style inventory, verbatim
+  // (`src/create_submission.py:41-58`): index/key headers teal,
+  // linking (dotted) headers lilac, required headers amber — all
+  // bold; every other header in the muted non-required gray.
+  private val MetaIndexStyle = XlsxCodec.CellStyle(Some("DEFFF7"), bold = true)
+  private val LinkingStyle = XlsxCodec.CellStyle(Some("DCD0FF"), bold = true)
+  private val RequiredStyle = XlsxCodec.CellStyle(Some("FFF2CC"), bold = true)
+  private val NonRequiredStyle =
+    XlsxCodec.CellStyle(None, bold = false, fontRgb = Some("595959"))
+
   /** S2: overlay node frames onto a workbook — one sheet per node in
     * `sheetOrder` (template sheet order), each projected to its
     * template column list with a leading `type` column, like the
     * reference's per-sheet `to_excel` overlay
     * (`src/join_tsv_to_manifest.py:163-170`). Frames are result-sized
     * by the sink contract (same rule as [[writeNodeTsv]]'s coalesce).
+    *
+    * `styled = true` reproduces the reference templates' node-sheet
+    * presentation (`src/create_submission.py:780-835`): frozen header
+    * row, 25-wide columns, and per-category header styling — `type` /
+    * `*_id` index columns teal+bold, dotted linking columns
+    * lilac+bold, `requiredCols` members amber+bold, everything else
+    * the muted gray font.
     */
   def writeManifestXlsx(
       manifest: Map[String, DataFrame], path: String,
       sheetOrder: Seq[String],
-      templateCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      templateCols: Map[String, Seq[String]] = Map.empty,
+      styled: Boolean = false,
+      requiredCols: Map[String, Set[String]] = Map.empty): Unit = {
     val sheets = sheetOrder.filter(manifest.contains).map { node =>
       val df0 = manifest(node).drop("row_idx")
       val cols = templateCols.get(node)
@@ -90,7 +109,23 @@ object ManifestIO {
         else df0.withColumn("type", lit(node)), cols)
       val rows = df.collect().toSeq
         .map(_.toSeq.map(v => if (v == null) "" else v.toString))
-      XlsxCodec.Sheet(node, cols, rows)
+      val style =
+        if (!styled) XlsxCodec.SheetStyle()
+        else {
+          val req = requiredCols.getOrElse(node, Set.empty)
+          XlsxCodec.SheetStyle(
+            freezeTopRow = true,
+            colWidths = cols.indices.map(_ -> 25.0).toMap,
+            cellStyles = cols.zipWithIndex.map { case (name, c) =>
+              val st =
+                if (name == "type" || name == s"${node}_id") MetaIndexStyle
+                else if (name.contains(".")) LinkingStyle
+                else if (req.contains(name)) RequiredStyle
+                else NonRequiredStyle
+              (0, c) -> st
+            }.toMap)
+        }
+      XlsxCodec.Sheet(node, cols, rows, style)
     }
     XlsxCodec.write(path, sheets)
   }
@@ -137,8 +172,12 @@ object ManifestIO {
     */
   def templateOrder(df: DataFrame, templateCols: Seq[String]): DataFrame = {
     val have = df.columns.toSet
+    // reference templates name LINKING columns with dots
+    // (`study.study_id`) — quote the name, or the dot reads as a
+    // struct field access and analysis fails
     df.select(templateCols.map(c =>
-      if (have(c)) col(c) else lit(null).cast(StringType).as(c)): _*)
+      if (have(c)) col(s"`${c.replace("`", "``")}`")
+      else lit(null).cast(StringType).as(c)): _*)
   }
 
   /** S4: single-file TSV sink (named-file semantics of the reference's

@@ -23,10 +23,35 @@ import scala.collection.mutable
 object XlsxCodec {
 
   /** One sheet: name, header row, data rows (all strings; "" = empty
-    * cell, emitted sparsely).
+    * cell, emitted sparsely), optional presentation styling.
     */
   final case class Sheet(name: String, header: Seq[String],
-      rows: Seq[Seq[String]])
+      rows: Seq[Seq[String]], style: SheetStyle = SheetStyle())
+
+  /** One cell's presentation: solid fill + font, the exact styling
+    * vocabulary the reference's submission templates use
+    * (`create_submission.py:41-58` — openpyxl `PatternFill(solid,
+    * fgColor)` / `Font(bold, color)`; RGB as 6 hex digits).
+    */
+  final case class CellStyle(fillRgb: Option[String] = None,
+      bold: Boolean = false, fontRgb: Option[String] = None) {
+    require(fillRgb.forall(_.matches("[0-9A-Fa-f]{6}")) &&
+      fontRgb.forall(_.matches("[0-9A-Fa-f]{6}")),
+      s"colors must be 6 hex digits, got fill=$fillRgb font=$fontRgb")
+  }
+
+  /** Sheet-level presentation, mirroring the reference templates'
+    * openpyxl surface (`create_submission.py:646-724` and the node /
+    * dictionary sheets): freeze the header row (`freeze_panes="A2"`),
+    * fixed column widths (`column_dimensions[h].width`), a style for
+    * every header cell, and targeted per-cell styles (required-prop
+    * highlights) keyed by 0-based (row, col) — row 0 is the header.
+    */
+  final case class SheetStyle(
+      freezeTopRow: Boolean = false,
+      colWidths: Map[Int, Double] = Map.empty,
+      headerStyle: Option[CellStyle] = None,
+      cellStyles: Map[(Int, Int), CellStyle] = Map.empty)
 
   /** Driver-side capacity bound: a workbook is one file held in driver
     * memory (same contract as openpyxl in the reference), so `write`
@@ -106,18 +131,81 @@ object XlsxCodec {
     acc - 1
   }
 
-  private def sheetXml(sheet: Sheet): String = {
+  /** The styles actually referenced by a sheet, in first-use order:
+    * header style first (if any), then cellStyles sorted by (row, col)
+    * — a deterministic workbook-wide palette.
+    */
+  private def usedStyles(sheets: Seq[Sheet]): Vector[CellStyle] = {
+    val seen = mutable.LinkedHashSet.empty[CellStyle]
+    sheets.foreach { s =>
+      s.style.headerStyle.foreach(seen += _)
+      s.style.cellStyles.toSeq.sortBy(_._1).foreach(seen += _._2)
+    }
+    seen.toVector
+  }
+
+  /** styles.xml: fillId 0/1 are the ECMA-376 reserved none/gray125
+    * slots, fontId 0 / xf 0 the defaults — custom styles append after
+    * them, so CellStyle i maps to cell `s="${i + 1}"`.
+    */
+  private def stylesXml(styles: Vector[CellStyle]): String = {
+    val fonts = styles.map { st =>
+      "<font>" + (if (st.bold) "<b/>" else "") +
+        st.fontRgb.map(c => s"""<color rgb="FF${c.toUpperCase}"/>""").getOrElse("") +
+        "</font>"
+    }
+    val fills = styles.map(_.fillRgb.map(c =>
+      s"""<fill><patternFill patternType="solid"><fgColor rgb="FF${c.toUpperCase}"/><bgColor rgb="FF${c.toUpperCase}"/></patternFill></fill>""")
+      .getOrElse("<fill><patternFill patternType=\"none\"/></fill>"))
+    val xfs = styles.zipWithIndex.map { case (st, i) =>
+      s"""<xf numFmtId="0" fontId="${i + 1}" fillId="${i + 2}" borderId="0"""" +
+        s""" applyFont="1"${if (st.fillRgb.isDefined) """ applyFill="1"""" else ""}/>"""
+    }
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      s"""<fonts count="${styles.size + 1}"><font/>${fonts.mkString}</fonts>""" +
+      s"""<fills count="${styles.size + 2}"><fill><patternFill patternType="none"/></fill>""" +
+      s"""<fill><patternFill patternType="gray125"/></fill>${fills.mkString}</fills>""" +
+      """<borders count="1"><border/></borders>""" +
+      """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+      s"""<cellXfs count="${styles.size + 1}"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>${xfs.mkString}</cellXfs>""" +
+      "</styleSheet>"
+  }
+
+  private def sheetXml(sheet: Sheet, styleIds: Map[CellStyle, Int]): String = {
+    val st = sheet.style
+    def styleOf(r: Int, c: Int): Option[Int] =
+      (if (r == 0) st.cellStyles.get((r, c)).orElse(st.headerStyle)
+       else st.cellStyles.get((r, c))).map(styleIds)
     val b = new StringBuilder
     b.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    b.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    b.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    if (st.freezeTopRow)
+      // CT_Worksheet order: sheetViews precede cols and sheetData
+      b.append("""<sheetViews><sheetView workbookViewId="0">""" +
+        """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>""" +
+        """</sheetView></sheetViews>""")
+    if (st.colWidths.nonEmpty) {
+      b.append("<cols>")
+      st.colWidths.toSeq.sortBy(_._1).foreach { case (c, w) =>
+        b.append(s"""<col min="${c + 1}" max="${c + 1}" width="$w" customWidth="1"/>""")
+      }
+      b.append("</cols>")
+    }
+    b.append("<sheetData>")
     val all = sheet.header +: sheet.rows
     all.zipWithIndex.foreach { case (cells, r) =>
       b.append(s"""<row r="${r + 1}">""")
       cells.zipWithIndex.foreach { case (v, c) =>
+        val sid = styleOf(r, c)
+        val sAttr = sid.map(i => s""" s="$i"""").getOrElse("")
         if (v != null && v.nonEmpty) {
           val ref = s"${colLetters(c)}${r + 1}"
-          b.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(escapeCellText(v))}</t></is></c>""")
-        }
+          b.append(s"""<c r="$ref"$sAttr t="inlineStr"><is><t xml:space="preserve">${xmlEscape(escapeCellText(v))}</t></is></c>""")
+        } else if (sid.isDefined)
+          // a styled BLANK still needs its cell record (openpyxl
+          // emits these too — the fill is invisible otherwise)
+          b.append(s"""<c r="${colLetters(c)}${r + 1}"$sAttr/>""")
       }
       b.append("</row>")
     }
@@ -156,12 +244,17 @@ object XlsxCodec {
     }
     try {
       val n = sheets.size
+      val styles = usedStyles(sheets)
+      val styleIds = styles.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
       put("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (if (styles.nonEmpty)
+            """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
+           else "") +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
             .mkString +
@@ -184,9 +277,13 @@ object XlsxCodec {
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
             .mkString +
+          (if (styles.nonEmpty)
+            s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
+           else "") +
           "</Relationships>")
+      if (styles.nonEmpty) put("xl/styles.xml", stylesXml(styles))
       sheets.zipWithIndex.foreach { case (s, i) =>
-        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s, styleIds))
       }
     } finally zos.close()
   }

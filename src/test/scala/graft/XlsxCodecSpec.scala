@@ -120,6 +120,88 @@ class XlsxCodecSpec extends SparkSpecBase {
       Seq("P1", null, "F"), Seq("P2", null, null))
   }
 
+  test("styled sheets emit ECMA-376 style records and still round-trip cell text") {
+    val path = tmp(".xlsx")
+    val hdr = XlsxCodec.CellStyle(fillRgb = Some("000000"), bold = false,
+      fontRgb = Some("ffffff"))
+    val req = XlsxCodec.CellStyle(fillRgb = Some("FFF2CC"), bold = true)
+    val sheet = XlsxCodec.Sheet("dict", Seq("Property", "Node"),
+      Seq(Seq("sex", "participant"), Seq("", "sample")),
+      XlsxCodec.SheetStyle(
+        freezeTopRow = true,
+        colWidths = Map(0 -> 25.0, 1 -> 200.0),
+        headerStyle = Some(hdr),
+        cellStyles = Map((1, 0) -> req, (2, 0) -> req)))
+    XlsxCodec.write(path, Seq(sheet))
+
+    // text content unaffected by styling
+    XlsxCodec.read(path).head._2 shouldBe Vector(
+      Vector("Property", "Node"), Vector("sex", "participant"),
+      Vector("", "sample"))
+
+    // raw parts carry the styling: styles.xml palette, frozen pane,
+    // widths, s= assignments (incl. the STYLED BLANK at A3)
+    val zip = new java.util.zip.ZipFile(path)
+    def entry(n: String): String = {
+      val in = zip.getInputStream(zip.getEntry(n))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    try {
+      val styles = entry("xl/styles.xml")
+      styles should include("""<fgColor rgb="FF000000"/>""")
+      styles should include("""<fgColor rgb="FFFFF2CC"/>""")
+      styles should include("""<color rgb="FFFFFFFF"/>""")
+      styles should include("<b/>")
+      val ws = entry("xl/worksheets/sheet1.xml")
+      ws should include(
+        """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>""")
+      ws should include("""<col min="1" max="1" width="25.0" customWidth="1"/>""")
+      ws should include("""<col min="2" max="2" width="200.0" customWidth="1"/>""")
+      ws should include("""<c r="A1" s="1"""")
+      ws should include("""<c r="B1" s="1"""")
+      ws should include("""<c r="A2" s="2"""")
+      ws should include("""<c r="A3" s="2"/>""") // styled blank kept
+      entry("[Content_Types].xml") should include("/xl/styles.xml")
+      entry("xl/_rels/workbook.xml.rels") should include("styles.xml")
+    } finally zip.close()
+  }
+
+  test("writeManifestXlsx styled=true reproduces the reference node-sheet header categories") {
+    val path = tmp(".xlsx")
+    val participant = strDf(
+      Seq("participant_id", "study.study_id", "sex", "race"))(
+      Seq("P1", "S1", "F", "x"))
+    ManifestIO.writeManifestXlsx(
+      Map("participant" -> participant), path,
+      sheetOrder = Seq("participant"),
+      styled = true,
+      requiredCols = Map("participant" -> Set("sex")))
+    val zip = new java.util.zip.ZipFile(path)
+    def entry(n: String): String = {
+      val in = zip.getInputStream(zip.getEntry(n))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    try {
+      val styles = entry("xl/styles.xml")
+      // the reference palette (create_submission.py:41-58)
+      styles should include("FFDEFFF7") // index teal
+      styles should include("FFDCD0FF") // linking lilac
+      styles should include("FFFFF2CC") // required amber
+      styles should include("FF595959") // non-required gray font
+      val ws = entry("xl/worksheets/sheet1.xml")
+      ws should include("state=\"frozen\"")
+      // header order: type, participant_id, study.study_id, sex, race
+      // → index, index, linking, required, non-required
+      val sOf = "<c r=\"([A-Z]+)1\" s=\"(\\d+)\"".r
+      val ids = sOf.findAllMatchIn(ws).map(m => m.group(1) -> m.group(2)).toMap
+      ids("A") shouldBe ids("B") // type ≡ participant_id (index style)
+      Set(ids("A"), ids("C"), ids("D"), ids("E")).size shouldBe 4 // all distinct
+    } finally zip.close()
+    // and the styled workbook still reads back as data
+    ManifestIO.readManifestXlsx(spark, path)("participant")
+      .count() shouldBe 1L
+  }
+
   test("cell-text escaping round-trips control chars and literal _xHHHH_ text") {
     val cases = Seq("plain", "line1\nline2", "tab\there", "cr\rhere",
       "_x000D_ literal", "_x005F_ nested", "bell\u0007", "del\u007f",
