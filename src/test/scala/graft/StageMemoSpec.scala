@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StageMemo
+
+class StageMemoSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pairFrames() = (
+    Seq((1L, 10), (2L, 20), (3L, 30)).toDF("doc_id", "__len"),
+    Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id"))
+
+  test("hit skips the build and re-emits identical rows, distributed") {
+    StageMemo.invalidate("spec|a")
+    var builds = 0
+    def build() = { builds += 1; pairFrames() }
+    val (a1, b1) = StageMemo.framePair(spark, "spec|a")(build())
+    val (a2, b2) = StageMemo.framePair(spark, "spec|a")(build())
+    builds shouldBe 1
+    sortedRows(a2) shouldBe sortedRows(a1)
+    sortedRows(b2) shouldBe sortedRows(b1)
+    a2.schema shouldBe a1.schema
+    // the hit frame is an RDD-backed scan, not a driver-local relation
+    a2.rdd.getNumPartitions should be >= 1
+  }
+
+  test("different key rebuilds; invalidate forgets") {
+    StageMemo.invalidate("spec|k1"); StageMemo.invalidate("spec|k2")
+    var builds = 0
+    def build() = { builds += 1; pairFrames() }
+    StageMemo.framePair(spark, "spec|k1")(build())
+    StageMemo.framePair(spark, "spec|k2")(build())
+    builds shouldBe 2
+    StageMemo.invalidate("spec|k1")
+    StageMemo.framePair(spark, "spec|k1")(build())
+    builds shouldBe 3
+  }
+
+  test("oversize frames are not cached — behavior degrades to no memo") {
+    StageMemo.invalidate("spec|big")
+    var builds = 0
+    def build() = { builds += 1; pairFrames() }
+    StageMemo.framePair(spark, "spec|big", maxRows = 2)(build())
+    StageMemo.framePair(spark, "spec|big", maxRows = 2)(build())
+    builds shouldBe 2 // first frame has 3 rows > maxRows: never cached
+  }
+
+  test("GRAFT_NO_MEMO kill-switch bypasses the cache") {
+    StageMemo.invalidate("spec|off")
+    sys.props("GRAFT_NO_MEMO") = "1"
+    try {
+      var builds = 0
+      def build() = { builds += 1; pairFrames() }
+      StageMemo.framePair(spark, "spec|off")(build())
+      StageMemo.framePair(spark, "spec|off")(build())
+      builds shouldBe 2
+    } finally sys.props.remove("GRAFT_NO_MEMO")
+  }
+
+  test("hit survives a bench-style drain (clearCache + unpersist all RDDs)") {
+    StageMemo.invalidate("spec|drain")
+    val src = Seq((7L, 70)).toDF("doc_id", "__len").localCheckpoint(true)
+    StageMemo.framePair(spark, "spec|drain")(
+      (src, Seq((7L, 7L)).toDF("id", "cluster_id")))
+    // the drain Bench runs between timed windows
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val (a, b) = StageMemo.framePair(spark, "spec|drain")(
+      fail("drain must not invalidate the memo"))
+    sortedRows(a) shouldBe Seq(Seq(7L, 70))
+    sortedRows(b) shouldBe Seq(Seq(7L, 7L))
+  }
+}
