@@ -46,9 +46,21 @@ object FullPipeline {
       sraCols: SraCols = SraCols(
         library = "library_id", sample = "sample.sample_id",
         filename = "file_name", filetype = "file_type", md5 = "md5sum"),
-      sraMaxFiles: Int = 3): Outputs = {
+      sraMaxFiles: Int = 3,
+      // Materialize the curated manifest once before the multi-sink
+      // fan-out. Off by default (a single-sink consumer should stay
+      // one lazy DAG); a caller draining SEVERAL outputs pays the
+      // curation prefix per sink without it — the deployment shape is
+      // "curate once, write, every export reads the curated nodes",
+      // and the eager cut is its in-process form.
+      cutCleaned: Boolean = false): Outputs = {
 
-    val cleaned = CurationPipeline.catchErr(manifest, catalog)
+    val cleaned0 = CurationPipeline.catchErr(manifest, catalog)
+    val cleaned =
+      if (!cutCleaned) cleaned0
+      else cleaned0.map { case (n, df) =>
+        n -> graft.ops.Checkpoints.cut(df, eager = true)
+      }
     val findings = CurationPipeline.validate(cleaned, catalog, rowKey)
 
     val sra = cleaned.get(sequencingNode)

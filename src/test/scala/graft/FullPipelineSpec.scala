@@ -94,6 +94,22 @@ class FullPipelineSpec extends SparkSpecBase {
     cds.select("file_url").distinct().count() shouldBe 2
   }
 
+  test("cutCleaned materialization barrier changes no output") {
+    val lazyOut = FullPipeline.run(manifest, catalog, study = "st1",
+      phsAccession = "phs000001", consentMap = Map("CG1" -> "1"))
+    val cutOut = FullPipeline.run(manifest, catalog, study = "st1",
+      phsAccession = "phs000001", consentMap = Map("CG1" -> "1"),
+      cutCleaned = true)
+    sortedRows(cutOut.findings) shouldBe sortedRows(lazyOut.findings)
+    sortedRows(cutOut.sra.get._1) shouldBe sortedRows(lazyOut.sra.get._1)
+    sortedRows(cutOut.ssm.get) shouldBe sortedRows(lazyOut.ssm.get)
+    sortedRows(cutOut.cds.get) shouldBe sortedRows(lazyOut.cds.get)
+    cutOut.tabBroken.keySet shouldBe lazyOut.tabBroken.keySet
+    cutOut.tabBroken.foreach { case (n, df) =>
+      sortedRows(df) shouldBe sortedRows(lazyOut.tabBroken(n))
+    }
+  }
+
   test("runMerged crunches submissions and pre-fills IGM sample ids") {
     // split the fixture into two overlapping submissions: the cruncher
     // must reunite them (dedup the shared participant row), and the
