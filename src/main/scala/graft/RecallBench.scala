@@ -183,6 +183,35 @@ object RecallBench {
     run("pq_m8_ks64_it2")(pq(8, 64, iters = 2))
     run("pq_m8_ks256_it2")(pq(8, 256, iters = 2))
     run("pq_m16_ks256_it2")(pq(16, 256, iters = 2))
+    // --- residual PQ (by_residual=true): same budgets, codes spend
+    // their centroids on the residual cloud. Residuals only CONCENTRATE
+    // when the coarse quantizer is trained (cell centroid ≈ cell mean);
+    // against untrained random-vector cells on isotropic data the
+    // residual variance DOUBLES — so sweep both coarse choices.
+    def pqResid(m: Int, ks: Int, iters: Int = 1,
+        coarse: DataFrame = firstK(sqrtK)): DataFrame = {
+      val resid = graft.ops.Checkpoints.cut(
+        SimilarityOps.residualFrame(emb, "vec_id", "embedding", coarse),
+        eager = true)
+      val cb = SimilarityOps.trainPqCodebooks(resid, "vec_id", "rvec",
+        Dim, m, ks, iters)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, Dim / m))
+      val codes = SimilarityOps.pqEncode(resid, "vec_id", "rvec", cb, Dim, m)
+      SimilarityOps.pqNearestNeighborResidual(resid, "vec_id", codes, bc)
+    }
+    def trainedCoarse = SimilarityOps.trainCentroids(
+      emb, "vec_id", "embedding", k = sqrtK, iters = 2)
+    run("pqresid_m8_ks4")(pqResid(8, 4))
+    run("pqresid_m8_ks16")(pqResid(8, 16))
+    run("pqresid_m8_ks256_it2")(pqResid(8, 256, iters = 2))
+    run("pqresid_m16_ks256_it2")(pqResid(16, 256, iters = 2))
+    run("pqresid_m8_ks256_it2_tc")(pqResid(8, 256, iters = 2,
+      coarse = trainedCoarse))
+    run("pqresid_m16_ks256_it2_tc")(pqResid(16, 256, iters = 2,
+      coarse = trainedCoarse))
+    run("pq_m8_ks256_it2_tc")(pq(8, 256, iters = 2, coarse = trainedCoarse))
+    run("pq_m16_ks256_it2_tc")(pq(16, 256, iters = 2, coarse = trainedCoarse))
 
     val outPath = sys.env.getOrElse("RECALL_OUT", "/tmp/recall_out.json")
     val w = new java.io.PrintWriter(outPath, "UTF-8")

@@ -610,4 +610,70 @@ object SimilarityOps {
       .filter(col("__rn") === 1)
       .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
   }
+
+  // ------------------------------------------------------------------
+  // Residual PQ (FAISS by_residual=true, shared codebooks): codes
+  // quantize vec − coarseCentroid(cell(vec)) instead of the raw
+  // vector. Residuals concentrate near the origin far more tightly
+  // than raw vectors spread across the space, so the same m·ks
+  // codebook budget buys finer quantization — the refinement the
+  // measured recall curves (SURVEY §8 r13) point to once non-residual
+  // recall saturates against its coarse-cell ceiling. Search stays
+  // same-cell, where query and candidate share a centroid:
+  //   ‖(q−μ) − recon(codes)‖² ≈ ‖(q−μ) − (c−μ)‖² = ‖q−c‖²
+  // — the residual ADC approximates the TRUE inter-vector distance
+  // with no correction term, and the existing PqAdc machinery applies
+  // unchanged to residual inputs.
+  // ------------------------------------------------------------------
+
+  /** Elementwise float residual a − b, computed in double and rounded
+    * once to float. For two floats the double difference is exact, so
+    * the rounded result IS the IEEE float subtraction — spelled this
+    * way so the DuckDB oracle can replay it without relying on the
+    * engine's float-arithmetic promotion rules.
+    */
+  def residual(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")).cast("float"))
+
+  /** (idCol, cid, rvec): each vector's coarse cell and its residual
+    * from that cell's centroid — the frame residual-PQ training,
+    * encoding and search all hang off. Centroids broadcast twice
+    * (assignment ranking + residual attachment); vectors never
+    * shuffle with payloads beyond the assignment window's contract.
+    */
+  def residualFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, coarseCentroids)
+      .select(col(idCol), col(vecCol), col("cid"))
+      .join(broadcast(coarseCentroids.select(col("cid"), col("cvec"))),
+        Seq("cid"))
+      .select(col(idCol), col("cid"),
+        residual(col(vecCol), col("cvec")).as("rvec"))
+
+  /** IVF-PQ top-1 with RESIDUAL codes. `residuals` is
+    * [[residualFrame]]'s output — ONE coarse-assignment pass feeds
+    * training, encoding AND this search (callers cut it eagerly when
+    * draining all three); `codes`/`codebooks` must come from
+    * [[trainPqCodebooks]]/[[pqEncode]] over its `rvec`. Query and
+    * candidate share a cell centroid, so the residual ADC
+    * approximates the true inter-vector distance with no correction
+    * term. Candidate side still moves (id, codes) rows only.
+    */
+  def pqNearestNeighborResidual(residuals: DataFrame, idCol: String,
+      codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = residuals.select(col(idCol).as("id1"),
+      col("rvec").as("rv1"), col("cid"))
+    val r = residuals.select(col(idCol).as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        graft.expr.PqAdc.pqAdc(col("rv1"), col("codes"), codebooks).as("adc"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+  }
 }

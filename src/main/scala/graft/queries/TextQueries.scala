@@ -54,19 +54,35 @@ object TextQueries {
     */
   private val Planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = 64)
 
-  /** Shared IVF-PQ oracle CTE chain (q158/q159): subspace slicing, the
+  /** Shared IVF-PQ oracle CTE chain (q158/q159/q160): the first-√n
+    * coarse cells `coarse(vec_id, ccid)`, then over `vecsSql`'s
+    * (vec_id, v) frame — the raw embeddings for the non-residual
+    * queries, the coarse residuals for q160 — subspace slicing, the
     * m=8/ks=4 Lloyd round (decimal-exact means cast to float, the
-    * q126 discipline), encoding argmins, the flattened per-candidate
-    * reconstruction `recon(vec_id, rvec)`, and the first-√n coarse
-    * cells `coarse(vec_id, ccid)`. The two queries differ only in the
-    * final SELECT's distance fold (continuous vs per-subspace).
+    * q126 discipline), encoding argmins, and the flattened
+    * per-candidate reconstruction `recon(vec_id, rvec)`. The three
+    * queries differ only in the quantized source and the final
+    * SELECT's distance fold (continuous vs per-subspace).
     */
   private def ivfPqOracleCtes: String =
-    s"""WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings")
+
+  private def ivfPqCtes(vecsSql: String): String =
+    s"""WITH kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS ccid, embedding AS ccv
+       |  FROM embeddings, kk WHERE vec_id < k),
+       |coarse AS (
+       |  SELECT e.vec_id, c.ccid
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1),
+       |vecs AS ($vecsSql),
+       |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
        |sub AS (
        |  SELECT e.vec_id, s.sub,
-       |    e.embedding[s.sub*8 + 1 : s.sub*8 + 8] AS sv
-       |  FROM embeddings e CROSS JOIN subs s),
+       |    e.v[s.sub*8 + 1 : s.sub*8 + 8] AS sv
+       |  FROM vecs e CROSS JOIN subs s),
        |init AS (
        |  SELECT sub,
        |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
@@ -95,16 +111,7 @@ object TextQueries {
        |recon AS (
        |  SELECT e.vec_id, flatten(list(c.cvec ORDER BY e.sub)) AS rvec
        |  FROM enc e JOIN cb c ON e.sub = c.sub AND e.cid = c.cid
-       |  GROUP BY e.vec_id),
-       |kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
-       |  FROM embeddings),
-       |cent AS (SELECT vec_id AS ccid, embedding AS ccv
-       |  FROM embeddings, kk WHERE vec_id < k),
-       |coarse AS (
-       |  SELECT e.vec_id, c.ccid
-       |  FROM embeddings e CROSS JOIN cent c
-       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)""".stripMargin
+       |  GROUP BY e.vec_id)""".stripMargin
 
   /** Oracle fragment: the hyperplane sign string — term-for-term the
     * same left-folded sum of double products the engine evaluates.
@@ -1080,6 +1087,55 @@ object TextQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       SimilarityOps.pqNearestNeighborTabled(emb, "vec_id", "embedding",
           coarse, codes, bc)
+        .orderBy(col("id1"))
+    },
+
+    // RESIDUAL IVF-PQ (FAISS by_residual=true, shared codebooks —
+    // Jégou 2011 §IV-A): codes quantize vec − coarseCentroid(cell)
+    // instead of the raw vector, so the same m=8/ks=4 budget spends
+    // its centroids on the tight residual cloud, not the full spread
+    // of the space — the refinement the measured recall curves
+    // (SURVEY §8 r13) point to once non-residual recall saturates.
+    // ONE coarse-assignment pass feeds training, encoding and search
+    // (the residual frame is cut eagerly and shared); in-cell scoring
+    // is residual-query vs residual-reconstruction, which for a
+    // shared cell centroid approximates the TRUE inter-vector
+    // distance with no correction term. The oracle replays the
+    // residual subtraction (double difference rounded once to float —
+    // exactly IEEE float subtraction), the Lloyd round over
+    // residuals, encoding argmins and the ADC fold.
+    Q("q160_ann_ivfpq_residual", {
+      val residVecs =
+        """SELECT e.vec_id,
+          |    list_transform(list_zip(e.embedding, c.ccv),
+          |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS FLOAT)) AS v
+          |  FROM embeddings e
+          |  JOIN coarse co ON co.vec_id = e.vec_id
+          |  JOIN cent c ON c.ccid = co.ccid""".stripMargin
+      s"""${ivfPqCtes(residVecs)}
+         |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
+         |  ${sqDistSql("lv.v", "rr.rvec")} AS adc
+         |FROM coarse l JOIN vecs lv ON lv.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY ${sqDistSql("lv.v", "rr.rvec")}, rr.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val resid = graft.ops.Checkpoints.cut(
+        SimilarityOps.residualFrame(emb, "vec_id", "embedding", coarse),
+        eager = true) // one coarse pass, consumed by train+encode+search
+      val cb = SimilarityOps.trainPqCodebooks(resid, "vec_id", "rvec",
+        dim, m, ks, iters = 1)
+      val bc = s.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+      val codes = SimilarityOps.pqEncode(resid, "vec_id", "rvec", cb, dim, m)
+      SimilarityOps.pqNearestNeighborResidual(resid, "vec_id", codes, bc)
         .orderBy(col("id1"))
     },
 

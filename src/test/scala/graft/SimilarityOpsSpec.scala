@@ -354,6 +354,78 @@ class SimilarityOpsSpec extends SparkSpecBase {
     plan should include("pq_dist_table")
   }
 
+  // ---- residual PQ ----
+
+  /** Two clusters at dyadic centers ±10 with the SAME dyadic offset
+    * pair {δ0, δ1} — center+offset sums are exact in float, so the
+    * residuals are exactly the offsets, shared across clusters.
+    */
+  private val residCenters = Seq(
+    0L -> Seq(10f, -10f, 10f, -10f, 10f, -10f, 10f, -10f),
+    1L -> Seq(-10f, 10f, -10f, 10f, -10f, 10f, -10f, 10f))
+  private val residDelta0 = Seq(0.5f, 0.25f, -0.5f, 0.375f, 0.25f, -0.25f, 0.5f, -0.375f)
+  private val residDelta1 = Seq(-0.25f, -0.5f, 0.375f, -0.375f, -0.5f, 0.5f, -0.25f, 0.25f)
+  private def residCorpus = Seq(
+    0L -> residDelta0, 1L -> residDelta1, // cluster at centers(0)
+    2L -> residDelta0, 3L -> residDelta1  // cluster at centers(1)
+  ).zipWithIndex.map { case ((id, d), i) =>
+    val c = residCenters(i / 2)._2
+    (id, c.lazyZip(d).map(_ + _))
+  }.toDF("id", "vec")
+
+  test("residualFrame subtracts the assigned coarse centroid exactly") {
+    val coarse = residCenters.toDF("cid", "cvec")
+    val out = SimilarityOps.residualFrame(residCorpus, "id", "vec", coarse)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Float](2)))).toMap
+    out(0L) shouldBe ((0L, residDelta0))
+    out(1L) shouldBe ((0L, residDelta1))
+    out(2L) shouldBe ((1L, residDelta0))
+    out(3L) shouldBe ((1L, residDelta1))
+  }
+
+  test("residual codes reconstruct exactly where raw codes cannot, and the residual search pairs cells up") {
+    // Residual space holds only TWO distinct subvectors per subspace
+    // (the shared offsets), so ks=2 codebooks reconstruct residuals
+    // EXACTLY; raw space holds four (2 centers × 2 offsets) and the
+    // same budget must leave error ≥ the offset spread. This is the
+    // by_residual=true claim in its sharpest deterministic form.
+    val (m, ks) = (4, 2)
+    val coarse = residCenters.toDF("cid", "cvec")
+    val resid = graft.ops.Checkpoints.cut(
+      SimilarityOps.residualFrame(residCorpus, "id", "vec", coarse),
+      eager = true)
+    val rcb = SimilarityOps.trainPqCodebooks(resid, "id", "rvec",
+      dim = 8, m = m, ks = ks, iters = 2)
+    val rbc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(rcb, m, ks, 2))
+    val rcodes = SimilarityOps.pqEncode(resid, "id", "rvec", rcb, dim = 8, m = m)
+    val residErr = resid.join(rcodes, Seq("id"))
+      .select(graft.expr.PqAdc.pqAdc(col("rvec"), col("codes"), rbc).as("e"))
+      .agg(sum(col("e"))).collect().head.getDouble(0)
+    residErr shouldBe 0.0 // dyadic offsets: Lloyd converges to them exactly
+
+    val cb = SimilarityOps.trainPqCodebooks(residCorpus, "id", "vec",
+      dim = 8, m = m, ks = ks, iters = 2)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, 2))
+    val codes = SimilarityOps.pqEncode(residCorpus, "id", "vec", cb, dim = 8, m = m)
+    val rawErr = residCorpus.join(codes, Seq("id"))
+      .select(graft.expr.PqAdc.pqAdc(col("vec"), col("codes"), bc).as("e"))
+      .agg(sum(col("e"))).collect().head.getDouble(0)
+    rawErr should be > 0.1 // same budget, four points per subspace
+
+    // exact reconstruction ⇒ the in-cell residual ADC IS the exact
+    // residual distance: each vector's neighbor is its cell partner
+    // at ‖δ0 − δ1‖²
+    val trueD = residDelta0.lazyZip(residDelta1)
+      .map((a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble)).sum
+    val nn = SimilarityOps.pqNearestNeighborResidual(resid, "id", rcodes, rbc)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    nn shouldBe Map(
+      0L -> ((1L, trueD)), 1L -> ((0L, trueD)),
+      2L -> ((3L, trueD)), 3L -> ((2L, trueD)))
+  }
+
   test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
     val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
       .toDF("sub", "cid", "cvec")
