@@ -212,6 +212,29 @@ object RecallBench {
       coarse = trainedCoarse))
     run("pq_m8_ks256_it2_tc")(pq(8, 256, iters = 2, coarse = trainedCoarse))
     run("pq_m16_ks256_it2_tc")(pq(16, 256, iters = 2, coarse = trainedCoarse))
+    // --- nprobe: the coarse-cell-ceiling fix (query probes n cells,
+    // candidates stay top-1-indexed) ------------------------------
+    def pqProbe(m: Int, ks: Int, iters: Int, nprobe: Int,
+        coarse: DataFrame = firstK(sqrtK)): DataFrame = {
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        Dim, m, ks, iters)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, Dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, Dim, m)
+      SimilarityOps.pqNearestNeighborProbed(emb, "vec_id", "embedding",
+        coarse, codes, bc, nprobe)
+    }
+    Seq(2, 4, 8).foreach { np =>
+      run(s"ivf_sqrt_trained_np$np") {
+        SimilarityOps.ivfNearestNeighborProbed(emb, "vec_id", "embedding",
+          trainedCoarse, nprobe = np)
+      }
+    }
+    Seq(2, 4, 8).foreach { np =>
+      run(s"pq_m16_ks256_it2_np$np")(pqProbe(16, 256, iters = 2, nprobe = np))
+    }
+    run("pq_m16_ks256_it2_tc_np4")(pqProbe(16, 256, iters = 2, nprobe = 4,
+      coarse = trainedCoarse))
 
     val outPath = sys.env.getOrElse("RECALL_OUT", "/tmp/recall_out.json")
     val w = new java.io.PrintWriter(outPath, "UTF-8")

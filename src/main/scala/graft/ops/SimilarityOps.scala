@@ -59,15 +59,28 @@ object SimilarityOps {
     */
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame /* cid, cvec */): DataFrame = {
+      centroids: DataFrame /* cid, cvec */): DataFrame =
+    ivfAssignProbed(corpus, idCol, vecCol, centroids, nprobe = 1)
+
+  /** [[ivfAssign]] generalized to the top `nprobe` cells per vector
+    * (FAISS nprobe — the standard IVF recall lever): `__rn` is the
+    * probe rank (1 = the cell the vector is INDEXED under; ranks
+    * 2..nprobe are the extra cells a QUERY searches). Same
+    * `WindowGroupLimit Partial` shape — only ~n·nprobe winner
+    * candidates shuffle.
+    */
+  def ivfAssignProbed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = corpus
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("cvec")))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("cid"))
     assigned.withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nprobe)
   }
 
   def ivfNearestNeighbor(
@@ -590,17 +603,24 @@ object SimilarityOps {
 
   def pqNearestNeighborTabled(corpus: DataFrame, idCol: String, vecCol: String,
       coarseCentroids: DataFrame, codes: DataFrame,
-      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks]): DataFrame = {
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      nprobe: Int = 1): DataFrame = {
+    // nprobe > 1 composes the two deployment levers (FAISS's shape:
+    // distance tables for in-cell cost, nprobe for recall). The
+    // query's table is rebuilt once per PROBED cell (it rides the
+    // post-assignment row) — nprobe·ks·dim flops, still ≪ the ~√n
+    // per-cell candidates it saves.
     import org.apache.spark.sql.expressions.Window
-    val cells = ivfAssign(corpus, idCol, vecCol, coarseCentroids)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"))
+    val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids, nprobe)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"), col("__rn"))
       .localCheckpoint(true) // consumed by both in-cell join sides
-    val l = cells.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+    val l = probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
       .repartition(col("cid"))
       .select(col("id1"),
         graft.expr.PqAdc.pqDistTable(col("v1"), codebooks).as("__dtab"),
         col("cid"))
-    val r = cells.select(col("id").as("id2"), col("cid").as("cid2"))
+    val r = probed.filter(col("__rn") === 1) // the index cell
+      .select(col("id").as("id2"), col("cid").as("cid2"))
       .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
     val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
       .select(col("id1"), col("id2"),
@@ -671,6 +691,68 @@ object SimilarityOps {
     val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
       .select(col("id1"), col("id2"),
         graft.expr.PqAdc.pqAdc(col("rv1"), col("codes"), codebooks).as("adc"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+  }
+
+  // ------------------------------------------------------------------
+  // nprobe (FAISS): the measured recall curves (SURVEY §8 r13) show
+  // every cell-partitioned face CAPPED by its coarse-cell ceiling —
+  // the true neighbor simply isn't in the query's cell. nprobe is the
+  // standard fix: the QUERY side searches its nprobe most-similar
+  // cells while candidates stay indexed under their single top-1
+  // cell, so the index layout (and the candidate side of the join)
+  // is unchanged and cost grows linearly in nprobe. ONE assignment
+  // pass serves both sides: probe rank 1 IS the index cell.
+  // ------------------------------------------------------------------
+
+  /** IVF top-1 neighbor with nprobe probed cells per query. */
+  def ivfNearestNeighborProbed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = ivfAssignProbed(corpus, idCol, vecCol, centroids, nprobe)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cid"), col("__rn"))
+      .localCheckpoint(true) // consumed by both join sides
+    val l = probed.select(col("id").as("id1"), col("vec").as("v1"),
+      col("nrm").as("n1"), col("cid"))
+    val r = probed.filter(col("__rn") === 1) // the index cell
+      .select(col("id").as("id2"), col("vec").as("v2"),
+        col("nrm").as("n2"), col("cid").as("cid2"))
+    // each candidate lives in exactly one index cell, so a pair
+    // appears at most once across the query's nprobe cells
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
+    val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    pairs.withColumn("__rn", row_number().over(wNn))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+  }
+
+  /** IVF-PQ top-1 with nprobe probed cells per query: the query row
+    * keeps its raw vector and visits nprobe cells; candidates are
+    * their (id, codes) rows under the top-1 index cell, scored by the
+    * broadcast-codebook ADC as in [[pqNearestNeighbor]].
+    */
+  def pqNearestNeighborProbed(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids, nprobe)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"), col("__rn"))
+      .localCheckpoint(true) // consumed by both join sides
+    val l = probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+    val r = probed.filter(col("__rn") === 1)
+      .select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        graft.expr.PqAdc.pqAdc(col("v1"), col("codes"), codebooks).as("adc"))
     val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
     pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

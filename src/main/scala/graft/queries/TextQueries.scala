@@ -67,16 +67,19 @@ object TextQueries {
   private def ivfPqOracleCtes: String =
     ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings")
 
-  private def ivfPqCtes(vecsSql: String): String =
+  private def ivfPqCtes(vecsSql: String, nprobe: Int = 1): String =
     s"""WITH kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS ccid, embedding AS ccv
        |  FROM embeddings, kk WHERE vec_id < k),
-       |coarse AS (
-       |  SELECT e.vec_id, c.ccid
+       |coarsen AS (
+       |  SELECT e.vec_id, c.ccid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) AS prn
        |  FROM embeddings e CROSS JOIN cent c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1),
+       |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) <= $nprobe),
+       |coarse AS (SELECT vec_id, ccid FROM coarsen WHERE prn = 1),
        |vecs AS ($vecsSql),
        |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
        |sub AS (
@@ -1136,6 +1139,41 @@ object TextQueries {
         SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
       val codes = SimilarityOps.pqEncode(resid, "vec_id", "rvec", cb, dim, m)
       SimilarityOps.pqNearestNeighborResidual(resid, "vec_id", codes, bc)
+        .orderBy(col("id1"))
+    },
+
+    // IVF-PQ with nprobe=2 (FAISS nprobe — THE recall lever the
+    // measured curves point to: every cell-partitioned face is capped
+    // by its coarse-cell ceiling, and probing more cells is how a
+    // real vector store lifts it). The query side visits its 2 most-
+    // similar cells; candidates stay indexed under their top-1 cell,
+    // so the index layout and the candidate join side are unchanged
+    // and cost grows linearly in nprobe. Training/encoding are
+    // q158's; the oracle adds the probe rank to the coarse CTE and
+    // searches over both probed cells.
+    Q("q161_ann_ivfpq_nprobe", {
+      s"""${ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings", nprobe = 2)}
+         |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
+         |  ${sqDistSql("le.embedding", "rr.rvec")} AS adc
+         |FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY ${sqDistSql("le.embedding", "rr.rvec")}, rr.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim, m, ks, iters = 1)
+      val bc = s.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, dim, m)
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.pqNearestNeighborProbed(emb, "vec_id", "embedding",
+          coarse, codes, bc, nprobe = 2)
         .orderBy(col("id1"))
     },
 

@@ -426,6 +426,64 @@ class SimilarityOpsSpec extends SparkSpecBase {
       2L -> ((3L, trueD)), 3L -> ((2L, trueD)))
   }
 
+  // ---- nprobe ----
+
+  test("nprobe=2 finds the cross-cell neighbor single-cell IVF and PQ search miss") {
+    // vectors 2 and 3 are nearly parallel but straddle the cell
+    // boundary: each is the other's true neighbor, yet top-1 cell
+    // search can only ever pair them with their cell anchor
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),      // cell-0 anchor/centroid
+      (1L, Seq(0f, 1f, 0f, 0f)),      // cell-1 anchor/centroid
+      (2L, Seq(0.72f, 0.69f, 0f, 0f)), // cell 0 (0.72 > 0.69)
+      (3L, Seq(0.69f, 0.72f, 0f, 0f))  // cell 1
+    ).toDF("id", "vec")
+    val cents = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+    // probe rank 1 IS the single-cell assignment
+    val a1 = SimilarityOps.ivfAssign(corpus, "id", "vec", cents)
+      .select(col("id"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ap = SimilarityOps.ivfAssignProbed(corpus, "id", "vec", cents, 2)
+    ap.filter(col("__rn") === 1).select(col("id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe a1
+
+    val single = SimilarityOps.ivfNearestNeighbor(corpus, "id", "vec", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    single(2L) shouldBe 0L // capped by the cell ceiling
+    single(3L) shouldBe 1L
+    val probed = SimilarityOps.ivfNearestNeighborProbed(
+        corpus, "id", "vec", cents, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probed(2L) shouldBe 3L // the true neighbor, found across cells
+    probed(3L) shouldBe 2L
+
+    // PQ twin: ks = n makes reconstruction exact, isolating the probe
+    val (m, ks) = (2, 4)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+      dim = 4, m = m, ks = ks, iters = 2)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, 2))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 4, m = m)
+    val pqSingle = SimilarityOps.pqNearestNeighbor(corpus, "id", "vec",
+        cents, codes, bc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pqSingle(2L) shouldBe 0L
+    val pqProbed = SimilarityOps.pqNearestNeighborProbed(corpus, "id", "vec",
+        cents, codes, bc, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pqProbed(2L) shouldBe 3L
+    pqProbed(3L) shouldBe 2L
+    // nprobe only ADDS candidates: anchors keep their single-cell pick
+    pqProbed(0L) shouldBe pqSingle(0L)
+    // the deployment combo — distance tables + nprobe — picks the
+    // same neighbors
+    val tabledProbed = SimilarityOps.pqNearestNeighborTabled(corpus, "id",
+        "vec", cents, codes, bc, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tabledProbed shouldBe pqProbed
+  }
+
   test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
     val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
       .toDF("sub", "cid", "cvec")
