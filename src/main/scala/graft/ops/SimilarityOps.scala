@@ -604,13 +604,29 @@ object SimilarityOps {
   def pqNearestNeighborTabled(corpus: DataFrame, idCol: String, vecCol: String,
       coarseCentroids: DataFrame, codes: DataFrame,
       codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    pqTopKTabled(corpus, idCol, vecCol, coarseCentroids, codes, codebooks,
+      nprobe, k = 1)
+      .select(col("id1"), col("nearest_id"), col("adc"))
+
+  /** The full vector-store search contract over the deployment combo
+    * (FAISS `search(q, k)` with distance tables + nprobe): the
+    * `nn_rank` = 1..k ADC-nearest candidates per query, ranked across
+    * all nprobe probed cells. A query with fewer than k reachable
+    * candidates returns fewer rows; the rank window's group limit
+    * keeps only ~k candidates per query ahead of the final exchange.
+    */
+  def pqTopKTabled(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      nprobe: Int = 1, k: Int = 1): DataFrame = {
     // nprobe > 1 composes the two deployment levers (FAISS's shape:
     // distance tables for in-cell cost, nprobe for recall). The
     // query's table is rebuilt once per PROBED cell (it rides the
     // post-assignment row) — nprobe·ks·dim flops, still ≪ the ~√n
     // per-cell candidates it saves.
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
     val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids, nprobe)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"), col("__rn"))
       .localCheckpoint(true) // consumed by both in-cell join sides
@@ -627,8 +643,9 @@ object SimilarityOps {
         graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
     pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+      .filter(col("__rn") <= k)
+      .select(col("id1"), col("__rn").as("nn_rank"),
+        col("id2").as("nearest_id"), col("adc"))
   }
 
   // ------------------------------------------------------------------
@@ -711,8 +728,20 @@ object SimilarityOps {
   /** IVF top-1 neighbor with nprobe probed cells per query. */
   def ivfNearestNeighborProbed(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame /* cid, cvec */, nprobe: Int): DataFrame = {
+      centroids: DataFrame /* cid, cvec */, nprobe: Int): DataFrame =
+    ivfTopKProbed(corpus, idCol, vecCol, centroids, nprobe, k = 1)
+      .select(col("id1"), col("nearest_id"), col("cosine"))
+
+  /** The full vector-store search contract over exact-in-cell IVF
+    * (FAISS `search(q, k)`): the `nn_rank` = 1..k cosine-nearest
+    * candidates per query, ranked across all nprobe probed cells. A
+    * query with fewer than k reachable candidates returns fewer rows.
+    */
+  def ivfTopKProbed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
     val probed = ivfAssignProbed(corpus, idCol, vecCol, centroids, nprobe)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cid"), col("__rn"))
@@ -729,8 +758,9 @@ object SimilarityOps {
         (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
     val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
     pairs.withColumn("__rn", row_number().over(wNn))
-      .filter(col("__rn") === 1)
-      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+      .filter(col("__rn") <= k)
+      .select(col("id1"), col("__rn").as("nn_rank"),
+        col("id2").as("nearest_id"), col("cosine"))
   }
 
   /** IVF-PQ top-1 with nprobe probed cells per query: the query row

@@ -1177,6 +1177,51 @@ object TextQueries {
         .orderBy(col("id1"))
     },
 
+    // The full ANN search contract — top-k (FAISS search(q, k)): every
+    // embedding's 3 nearest reachable neighbors by exact in-cell
+    // cosine across its 2 probed cells, nn_rank 1..3. The top-1 faces
+    // answer "what is my nearest neighbor"; a real vector-store
+    // consumer (RAG retrieval, k-NN dedup review) asks for k results
+    // per query, and (id1, nn_rank) is the unique order key the
+    // grading hash needs.
+    Q("q162_ann_ivf_topk", {
+      s"""WITH kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS ccid, embedding AS ccv
+         |  FROM embeddings, kk WHERE vec_id < k),
+         |coarsen AS (
+         |  SELECT e.vec_id, c.ccid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) <= 2),
+         |coarse AS (
+         |  SELECT e.vec_id, c.ccid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)
+         |SELECT l.vec_id AS id1,
+         |  row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY ${cosineSql("le.embedding", "re.embedding")} DESC,
+         |      r2.vec_id) AS nn_rank,
+         |  r2.vec_id AS nearest_id,
+         |  ${cosineSql("le.embedding", "re.embedding")} AS cosine
+         |FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN embeddings re ON re.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY ${cosineSql("le.embedding", "re.embedding")} DESC,
+         |    r2.vec_id) <= 3
+         |ORDER BY id1, nn_rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.ivfTopKProbed(emb, "vec_id", "embedding", coarse,
+          nprobe = 2, k = 3)
+        .orderBy(col("id1"), col("nn_rank"))
+    },
+
     // ANN over seeded random-hyperplane buckets with corpus-adaptive
     // bit width: top-1 cosine neighbor within the bucket. The oracle
     // reproduces the seeded projection term for term.

@@ -484,6 +484,55 @@ class SimilarityOpsSpec extends SparkSpecBase {
     tabledProbed shouldBe pqProbed
   }
 
+  test("topK faces return the exact ranked neighbor lists (FAISS search(q,k) contract)") {
+    // same 2-cell corpus as the nprobe test; with nprobe=2 every query
+    // reaches BOTH cells, so k=3 must return the exact full ranking
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.72f, 0.69f, 0f, 0f)),
+      (3L, Seq(0.69f, 0.72f, 0f, 0f))
+    ).toDF("id", "vec")
+    val cents = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+    val topk = SimilarityOps.ivfTopKProbed(corpus, "id", "vec", cents,
+        nprobe = 2, k = 3)
+      .orderBy(col("id1"), col("nn_rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // hand-computed cosine order: 2 and 3 are each other's nearest,
+    // then the nearer anchor, then the rest
+    topk.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3).toSeq
+    } shouldBe Map(
+      0L -> Seq(2L, 3L, 1L), 1L -> Seq(3L, 2L, 0L),
+      2L -> Seq(3L, 0L, 1L), 3L -> Seq(2L, 1L, 0L))
+
+    // PQ tabled top-k at exact reconstruction (ks = n): ranking must
+    // equal the driver-computed exact sqL2 ranking over all candidates
+    val (m, ks) = (2, 4)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec",
+      dim = 4, m = m, ks = ks, iters = 2)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, 2))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, dim = 4, m = m)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sqL2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val expected = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (sqL2(vecs(q), vecs(c)), c)).take(3)
+    }.toMap
+    val pqTopk = SimilarityOps.pqTopKTabled(corpus, "id", "vec", cents,
+        codes, bc, nprobe = 2, k = 3)
+      .orderBy(col("id1"), col("nn_rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    pqTopk.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3).toSeq
+    } shouldBe expected
+  }
+
   test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
     val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
       .toDF("sub", "cid", "cvec")
