@@ -99,6 +99,12 @@ object RecallBench {
     def run(name: String)(op: => DataFrame): Unit = {
       if (only.exists(ps => !ps.exists(name.startsWith))) return
       spark.sharedState.cacheManager.clearCache()
+      // frames built before the sweep (truth, trainedCoarse) keep
+      // their checkpoint blocks; everything this config creates is
+      // dropped after scoring so later configs aren't timed under
+      // storage-eviction pressure (the r5/r6 leftover-localCheckpoint
+      // artifact CLAUDE.md records)
+      val keep = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val res = op.select(col("id1").as("qid"), col("nearest_id"))
         .localCheckpoint(true)
@@ -119,6 +125,9 @@ object RecallBench {
             array_contains(col("top10"), col("nearest_id")), 1d)
             .otherwise(0d).as("hit10"))
         .agg(avg(col("hit1")), avg(col("hit10")), count(lit(1))).head()
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
       val line =
         s"""{"config":${Jsons.quote(name)},"recall_at_1":${f"${scored.getDouble(0)}%.4f"},""" +
           s""""in_top10":${f"${scored.getDouble(1)}%.4f"},""" +
@@ -200,8 +209,17 @@ object RecallBench {
       val codes = SimilarityOps.pqEncode(resid, "vec_id", "rvec", cb, Dim, m)
       SimilarityOps.pqNearestNeighborResidual(resid, "vec_id", codes, bc)
     }
-    def trainedCoarse = SimilarityOps.trainCentroids(
-      emb, "vec_id", "embedding", k = sqrtK, iters = 2)
+    // trained ONCE, outside any timed window, and shared by every
+    // *_tc and *_np config — `def` re-ran the full eager Lloyd
+    // training inside each consumer's timed window, mixing index-build
+    // and search cost in the published secs
+    val trainedCoarse = {
+      val t0 = System.nanoTime()
+      val c = SimilarityOps.trainCentroids(
+        emb, "vec_id", "embedding", k = sqrtK, iters = 2)
+      println(f"[recall] trained coarse quantizer in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      c
+    }
     run("pqresid_m8_ks4")(pqResid(8, 4))
     run("pqresid_m8_ks16")(pqResid(8, 16))
     run("pqresid_m8_ks256_it2")(pqResid(8, 256, iters = 2))

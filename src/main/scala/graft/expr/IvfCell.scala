@@ -108,7 +108,14 @@ object IvfCell {
         u += 1
       }
       val cos = d / (vnorm * c.norms(i))
-      if (cos > best) { best = cos; bestAt = i } // NaN never wins
+      // loud on ANY non-finite pair, matching the batch ivfAssign
+      // guard — a silent skip here while batch fails (or vice versa)
+      // would break the stream ≡ batch contract on corrupt input
+      if (java.lang.Double.isNaN(cos))
+        throw new IllegalArgumentException(
+          s"ivf_cell: non-finite cosine (zero-norm vector or corrupt " +
+            s"centroid) at cid=${c.cids(i)} — filter zero-norm vectors upstream")
+      if (cos > best) { best = cos; bestAt = i }
       i += 1
     }
     if (bestAt < 0)

@@ -98,7 +98,11 @@ object ManifestIO {
       sheetOrder: Seq[String],
       templateCols: Map[String, Seq[String]] = Map.empty,
       styled: Boolean = false,
-      requiredCols: Map[String, Set[String]] = Map.empty): Unit = {
+      requiredCols: Map[String, Set[String]] = Map.empty,
+      // per-node key property for the index style; defaults to the
+      // `{node}_id` naming convention — pass the real key prop for
+      // alternately-keyed templates (the DCC surface keys on `guid`)
+      keyCols: Map[String, String] = Map.empty): Unit = {
     val sheets = sheetOrder.filter(manifest.contains).map { node =>
       val df0 = manifest(node).drop("row_idx")
       val cols = templateCols.get(node)
@@ -113,12 +117,13 @@ object ManifestIO {
         if (!styled) XlsxCodec.SheetStyle()
         else {
           val req = requiredCols.getOrElse(node, Set.empty)
+          val keyCol = keyCols.getOrElse(node, s"${node}_id")
           XlsxCodec.SheetStyle(
             freezeTopRow = true,
             colWidths = cols.indices.map(_ -> 25.0).toMap,
             cellStyles = cols.zipWithIndex.map { case (name, c) =>
               val st =
-                if (name == "type" || name == s"${node}_id") MetaIndexStyle
+                if (name == "type" || name == keyCol) MetaIndexStyle
                 else if (name.contains(".")) LinkingStyle
                 else if (req.contains(name)) RequiredStyle
                 else NonRequiredStyle

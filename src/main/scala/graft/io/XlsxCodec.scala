@@ -207,6 +207,16 @@ object XlsxCodec {
           // emits these too — the fill is invisible otherwise)
           b.append(s"""<c r="${colLetters(c)}${r + 1}"$sAttr/>""")
       }
+      // ragged rows: short/sparse rows are supported (absent trailing
+      // cells read back as empty), so a style targeting a column
+      // beyond this row's cell count still needs its blank cell
+      // record — same contract as the ""-cell branch above
+      var c = cells.length
+      while (c < sheet.header.length) {
+        styleOf(r, c).foreach(i =>
+          b.append(s"""<c r="${colLetters(c)}${r + 1}" s="$i"/>"""))
+        c += 1
+      }
       b.append("</row>")
     }
     b.append("</sheetData></worksheet>")

@@ -74,9 +74,21 @@ object SimilarityOps {
       centroids: DataFrame /* cid, cvec */, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // A zero-norm vector or corrupt centroid yields a NaN cosine, and
+    // Spark sorts NaN as the LARGEST double — a single corrupt
+    // centroid would silently win EVERY vector's assignment and
+    // collapse the index into one cell (the PlaneSigns loud-failure
+    // policy: corrupt embeddings must not quietly blow up a bucket).
+    // Fail loudly instead; the native streaming twin (expr/IvfCell)
+    // throws on the same condition.
+    val simRaw = cosine(col(vecCol), col("cvec"))
     val assigned = corpus
       .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("__sim",
+        when(isnan(simRaw), raise_error(concat(
+          lit("ivf assign: non-finite cosine (zero-norm vector or " +
+            "corrupt centroid) at cid="), col("cid").cast("string"))))
+          .otherwise(simRaw))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("cid"))
     assigned.withColumn("__rn", row_number().over(wAssign))

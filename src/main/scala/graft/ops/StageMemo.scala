@@ -36,10 +36,15 @@ import org.apache.spark.sql.types.StructType
   */
 object StageMemo {
 
-  /** Cluster assignments are dedup-rate-sized, not corpus-sized; 5M
-    * rows of (long, long) is ~80 MB of driver heap, the loud ceiling.
+  /** Cluster assignments are dedup-rate-sized, not corpus-sized. The
+    * bound counts COLLECTED Rows — boxed GenericRowWithSchema objects
+    * at ~100 B each (header + field array + boxed longs), not packed
+    * (long, long) pairs — so 1M rows is ~100 MB of driver heap per
+    * frame, two frames per key, never evicted. That is the ceiling a
+    * multi-dir driver process (a Verify sweep over several SFs) can
+    * absorb; bigger frames just skip the memo.
     */
-  val MaxRowsDefault = 5000000
+  val MaxRowsDefault = 1000000
 
   private val cache =
     new ConcurrentHashMap[String, Vector[(StructType, Array[Row])]]()
@@ -77,10 +82,12 @@ object StageMemo {
     val hit = cache.get(key)
     if (hit != null) return (emit(spark, hit(0)), emit(spark, hit(1)))
     val (a, b) = build
-    (collectBounded(a, maxRows), collectBounded(b, maxRows)) match {
-      case (Some(ra), Some(rb)) =>
-        cache.put(key, Vector((a.schema, ra), (b.schema, rb))); ()
-      case _ => () // oversize: behave exactly as if the memo didn't exist
+    // short-circuit: if a overflows, don't pay b's collect just to
+    // discard it — oversize behaves exactly as if the memo didn't exist
+    collectBounded(a, maxRows).foreach { ra =>
+      collectBounded(b, maxRows).foreach { rb =>
+        cache.put(key, Vector((a.schema, ra), (b.schema, rb)))
+      }
     }
     (a, b)
   }

@@ -1190,15 +1190,13 @@ object TextQueries {
          |cent AS (SELECT vec_id AS ccid, embedding AS ccv
          |  FROM embeddings, kk WHERE vec_id < k),
          |coarsen AS (
-         |  SELECT e.vec_id, c.ccid
+         |  SELECT e.vec_id, c.ccid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) AS prn
          |  FROM embeddings e CROSS JOIN cent c
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) <= 2),
-         |coarse AS (
-         |  SELECT e.vec_id, c.ccid
-         |  FROM embeddings e CROSS JOIN cent c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1)
+         |coarse AS (SELECT vec_id, ccid FROM coarsen WHERE prn = 1)
          |SELECT l.vec_id AS id1,
          |  row_number() OVER (PARTITION BY l.vec_id
          |    ORDER BY ${cosineSql("le.embedding", "re.embedding")} DESC,

@@ -116,6 +116,22 @@ class ExprSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfCell fails loudly on a corrupt (zero-norm) centroid even when others are finite") {
+    // a NaN cosine must never be silently skipped: batch ivfAssign
+    // raises on the same condition, and a silent skip here would
+    // break the stream ≡ batch assignment contract on corrupt input
+    import graft.expr.IvfCell
+    val bad = spark.sparkContext.broadcast(new IvfCell.Centroids(
+      Array(3L, 7L), 2, Array(1f, 0f, 0f, 0f))) // cid 7 is zero-norm
+    val docs = Seq(Tuple1(Array(1f, 0f))).toDF("u")
+    val e = intercept[Exception] {
+      docs.select(IvfCell.ivfCell(col("u"), bad).as("cell")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    msgs should include("non-finite cosine")
+  }
+
   test("native SubwordCounts equals the regex form (codegen, no fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")

@@ -484,6 +484,23 @@ class SimilarityOpsSpec extends SparkSpecBase {
     tabledProbed shouldBe pqProbed
   }
 
+  test("ivfAssign fails loudly when a corrupt centroid yields NaN cosines") {
+    // Spark sorts NaN as the largest double, so without the guard a
+    // single NaN-element centroid would silently win EVERY assignment
+    // and collapse the index into one cell. (A zero-NORM centroid is
+    // already loud via ANSI's 0/0 DIVIDE_BY_ZERO; the NaN guard covers
+    // the corrupt-ELEMENT case that divides cleanly into NaN.)
+    val corpus = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "vec")
+    val cents = Seq((0L, Seq(1f, 0f)), (9L, Seq(Float.NaN, 1f)))
+      .toDF("cid", "cvec")
+    val e = intercept[Exception] {
+      SimilarityOps.ivfAssign(corpus, "id", "vec", cents).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    msgs should include("non-finite cosine")
+  }
+
   test("topK faces return the exact ranked neighbor lists (FAISS search(q,k) contract)") {
     // same 2-cell corpus as the nprobe test; with nprobe=2 every query
     // reaches BOTH cells, so k=3 must return the exact full ranking

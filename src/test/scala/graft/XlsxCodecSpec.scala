@@ -166,6 +166,23 @@ class XlsxCodecSpec extends SparkSpecBase {
     } finally zip.close()
   }
 
+  test("a style on a column beyond a short row's cells still emits its blank record") {
+    // short/sparse rows are supported (absent trailing cells read back
+    // as empty) — a fill targeting one must not silently disappear
+    val path = tmp(".xlsx")
+    val req = XlsxCodec.CellStyle(fillRgb = Some("FFF2CC"))
+    val sheet = XlsxCodec.Sheet("s", Seq("a", "b", "c"),
+      Seq(Seq("x")), // row 2 has 1 of 3 cells
+      XlsxCodec.SheetStyle(cellStyles = Map((1, 2) -> req)))
+    XlsxCodec.write(path, Seq(sheet))
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val in = zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml"))
+      val ws = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      ws should include("""<c r="C2" s="1"/>""")
+    } finally zip.close()
+  }
+
   test("writeManifestXlsx styled=true reproduces the reference node-sheet header categories") {
     val path = tmp(".xlsx")
     val participant = strDf(
@@ -200,6 +217,24 @@ class XlsxCodecSpec extends SparkSpecBase {
     // and the styled workbook still reads back as data
     ManifestIO.readManifestXlsx(spark, path)("participant")
       .count() shouldBe 1L
+
+    // alternately-keyed template (the DCC surface keys on `guid`):
+    // keyCols must route the index style to the real key prop
+    val path2 = tmp(".xlsx")
+    val dcc = strDf(Seq("guid", "file_name"))(Seq("dg.1", "a.bam"))
+    ManifestIO.writeManifestXlsx(
+      Map("f" -> dcc), path2, sheetOrder = Seq("f"), styled = true,
+      keyCols = Map("f" -> "guid"))
+    val zip2 = new java.util.zip.ZipFile(path2)
+    try {
+      val in = zip2.getInputStream(zip2.getEntry("xl/worksheets/sheet1.xml"))
+      val ws2 = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val sOf2 = "<c r=\"([A-Z]+)1\" s=\"(\\d+)\"".r
+      val ids2 = sOf2.findAllMatchIn(ws2).map(m => m.group(1) -> m.group(2)).toMap
+      // header: type, guid, file_name → index ≡ index, non-required differs
+      ids2("A") shouldBe ids2("B")
+      ids2("C") should not be ids2("A")
+    } finally zip2.close()
   }
 
   test("cell-text escaping round-trips control chars and literal _xHHHH_ text") {
