@@ -153,9 +153,17 @@ object PipelineStress {
     // prefix inside every sink — the two modes bound the composition's
     // real cost between shared-scan and pure-lazy.
     val cut = args.lift(2).contains("cut")
+    // Partition count must scale with the data: at stress100 the
+    // file node is 60M wide string rows, and 32 shuffle partitions
+    // put a ~550 MB sort/join working set in every one of 32
+    // concurrent tasks — the execution pool exhausts (observed:
+    // UNABLE_TO_ACQUIRE_MEMORY in the cds sink). On a cluster the
+    // same rule applies as "tasks ∝ data"; here it's a knob because
+    // local[32]'s pool is fixed. AQE coalesces the excess at 1×.
+    val shuffleParts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -178,8 +186,14 @@ object PipelineStress {
         m, catalog, study = "st1", phsAccession = "phs000123",
         consentMap = (0 to 4).map(i => s"CG$i" -> s"${i + 1}").toMap,
         cutCleaned = cut))
+      // GRAFT_PIPE_ONLY=cds,findings materializes only the named
+      // sinks (prefix match) — for isolating one stage's failure or
+      // cost without paying the other twelve
+      val only: Option[Set[String]] =
+        sys.env.get("GRAFT_PIPE_ONLY").map(_.split(",").map(_.trim).toSet)
       def mat(label: String, df: DataFrame): Unit =
-        timed(label)(df.write.format("noop").mode("overwrite").save())
+        if (only.forall(_.exists(label.startsWith)))
+          timed(label)(df.write.format("noop").mode("overwrite").save())
       mat("findings", out.findings)
       out.sra.foreach { case (wide, constancy) =>
         mat("sra_wide", wide); mat("sra_constancy", constancy)

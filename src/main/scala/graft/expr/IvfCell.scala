@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * FloatDot-order dot / (norm · norm) in doubles, candidates scanned
   * in ascending-cid order with strict `>` replacement — exactly the
   * `(cosine desc, cid asc)` window ranking. A NaN cosine (zero-norm
-  * vector or corrupt centroid) never wins the scan; if NO candidate
-  * scores finite the expression throws rather than emit an arbitrary
-  * cell — filter zero-norm arrivals upstream (the
-  * embeddingNeighborsArrivals guard) if they are expected.
+  * vector or corrupt centroid) throws LOUDLY — matching the batch
+  * ivfAssign guard, where Spark would otherwise sort NaN largest and
+  * let one corrupt centroid silently win every assignment — so filter
+  * zero-norm arrivals upstream (the embeddingNeighborsArrivals guard)
+  * if they are expected.
   */
 case class IvfCell(child: Expression,
     centroids: org.apache.spark.broadcast.Broadcast[IvfCell.Centroids])
@@ -125,8 +126,102 @@ object IvfCell {
     c.cids(bestAt)
   }
 
+  /** Top-nprobe variant of [[compute]]: the cids of the `nprobe`
+    * most-similar centroids in probe-rank order (element 0 = the cell
+    * [[compute]] returns = the INDEX cell; elements 1.. are the extra
+    * cells a QUERY searches). One insertion-sorted top-n pass over the
+    * ascending-cid scan reproduces the batch
+    * `ivfAssignProbed` `(cosine desc, cid asc)` ranking exactly; same
+    * loud non-finite contract.
+    */
+  def computeProbed(vec: ArrayData, c: Centroids, nprobe: Int): ArrayData = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(vec.numElements() == c.dim,
+      s"vector dim ${vec.numElements()} != centroid dim ${c.dim}")
+    var vn = 0.0
+    var t = 0
+    while (t < c.dim) {
+      val x = vec.getFloat(t).toDouble
+      vn += x * x
+      t += 1
+    }
+    val vnorm = math.sqrt(vn)
+    val n = math.min(nprobe, c.cids.length)
+    val topCos = Array.fill(n)(Double.NegativeInfinity)
+    val topAt = Array.fill(n)(-1)
+    var i = 0
+    while (i < c.cids.length) {
+      var d = 0.0
+      var u = 0
+      val base = i * c.dim
+      while (u < c.dim) {
+        d += vec.getFloat(u).toDouble * c.flat(base + u).toDouble
+        u += 1
+      }
+      val cos = d / (vnorm * c.norms(i))
+      if (java.lang.Double.isNaN(cos))
+        throw new IllegalArgumentException(
+          s"ivf_cells: non-finite cosine (zero-norm vector or corrupt " +
+            s"centroid) at cid=${c.cids(i)} — filter zero-norm vectors upstream")
+      // strict > keeps the ascending-cid tie-break: an equal cosine
+      // seen later (higher cid) never displaces an earlier one
+      if (cos > topCos(n - 1)) {
+        var p = n - 1
+        while (p > 0 && cos > topCos(p - 1)) {
+          topCos(p) = topCos(p - 1); topAt(p) = topAt(p - 1); p -= 1
+        }
+        topCos(p) = cos; topAt(p) = i
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Long](n)(r => c.cids(topAt(r))))
+  }
+
   /** Column form. */
   def ivfCell(vec: Column,
       centroids: org.apache.spark.broadcast.Broadcast[Centroids]): Column =
     ColumnBridge.column(IvfCell(ColumnBridge.expression(vec), centroids))
+
+  /** Column form of the top-nprobe probe list. */
+  def ivfCells(vec: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Centroids],
+      nprobe: Int): Column =
+    ColumnBridge.column(IvfCells(ColumnBridge.expression(vec), centroids, nprobe))
+}
+
+/** [[IvfCell]] generalized to the top `nprobe` cells (FAISS nprobe) —
+  * the map-side probe list a streaming query explodes over to search
+  * several cells while the static index stays top-1-partitioned. See
+  * [[IvfCell.computeProbed]] for the ranking contract.
+  */
+case class IvfCells(child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[IvfCell.Centroids],
+    nprobe: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cells requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  override def nullSafeEval(vec: Any): Any =
+    IvfCell.computeProbed(vec.asInstanceOf[ArrayData], centroids.value, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[IvfCell.Centroids].getName
+    val bcRef = ctx.addReferenceObj("ivfCellsBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState(cls, "ivfCellsCentroids",
+      v => s"$v = ($cls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.IvfCell.computeProbed($v, $cached, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
 }

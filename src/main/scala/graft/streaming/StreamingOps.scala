@@ -466,6 +466,36 @@ object StreamingOps {
       .filter(col("adc") <= tau)
   }
 
+  /** [[embeddingNeighborsPqArrivals]] with nprobe probed cells per
+    * arrival — the streaming twin of
+    * [[graft.ops.SimilarityOps.pqNearestNeighborProbed]] (q161's
+    * face): each arrival's top-nprobe cell list comes from the native
+    * `expr/IvfCells` in the same map pass and EXPLODES to nprobe probe
+    * rows, while the static side stays the top-1-partitioned
+    * [[graft.ops.SimilarityOps.corpusPqIndex]] — index layout
+    * unchanged, per-arrival cost linear in nprobe, still entirely
+    * stateless. A candidate lives in exactly one index cell, so a
+    * (new_id, corpus_id) pair emits at most once across the probes.
+    */
+  def embeddingNeighborsPqProbedArrivals(
+      stream: DataFrame, // needs: idCol, vecCol (array<float>)
+      pqIndex: DataFrame, // from SimilarityOps.corpusPqIndex
+      idCol: String, vecCol: String,
+      centroids: org.apache.spark.broadcast.Broadcast[graft.expr.IvfCell.Centroids],
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      tau: Double, nprobe: Int): DataFrame = {
+    import graft.ops.SimilarityOps.norm
+    val probes = stream
+      .where(norm(col(vecCol)) > 0d) // ivf_cells throws on zero-norm
+      .select(col(idCol).as("new_id"), col(vecCol).as("__v"),
+        explode(graft.expr.IvfCell.ivfCells(col(vecCol), centroids, nprobe))
+          .as("__cid"))
+    probes.join(pqIndex, probes("__cid") === pqIndex("cid"))
+      .select(col("new_id"), col("corpus_id"),
+        graft.expr.PqAdc.pqAdc(col("__v"), col("codes"), codebooks).as("adc"))
+      .filter(col("adc") <= tau)
+  }
+
   case class BandDoc(band: Int, hash: String, id: Long, ts: Timestamp)
   case class NearDupPair(id1: Long, id2: Long, ts: Timestamp)
 

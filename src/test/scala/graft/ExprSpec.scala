@@ -101,13 +101,15 @@ class ExprSpec extends SparkSpecBase {
         org.apache.spark.sql.functions.size(
           ShingleHashes.shingleHashes(col("t"), 2, "1|")).as("ns"),
         Uuid5Expression.uuid5Native("ccdi", col("t")).as("u5"),
-        IvfCell.ivfCell(col("u"), cellBc).as("cell")).collect()
+        IvfCell.ivfCell(col("u"), cellBc).as("cell"),
+        IvfCell.ivfCells(col("u"), cellBc, 2).as("cells")).collect()
       out(0).getDouble(0) shouldBe 1.0
       out(0).getString(1) should have length 16
       out(0).getString(2) should have length 64
       out(0).getInt(3) shouldBe 3
       out(0).getString(4) should have length 36
       out(0).getLong(5) shouldBe 3L // max-cosine centroid's OWN cid
+      out(0).getSeq[Long](6) shouldBe Seq(3L, 7L) // probe-rank order
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

@@ -671,6 +671,79 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("embeddingNeighborsPqProbedArrivals ≡ batch pqNearestNeighborProbed pair set, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // same fixture as the single-cell PQ lookup test
+    var st = 55L
+    def nextQ(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((((st >>> 33) % 2001L) - 1000L) / 1000.0).toFloat
+    }
+    val corpus = (0L until 16L).map(i =>
+      (i, Seq.fill(8)(nextQ()))).toDF("vec_id", "embedding")
+    val (dim, m, ks) = (8, 4, 3)
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "vec_id", "embedding",
+      dim, m, ks, iters = 1)
+    val cbBc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, m, ks, dim / m))
+    val codes = SimilarityOps.pqEncode(corpus, "vec_id", "embedding", cb, dim, m)
+    val coarse = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val index = SimilarityOps
+      .corpusPqIndex(corpus, "vec_id", "embedding", coarse, codes)
+      .localCheckpoint(true)
+    val centBc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCentroids(coarse, dim))
+
+    def pqp(df: org.apache.spark.sql.DataFrame, tau: Double, np: Int) =
+      StreamingOps.embeddingNeighborsPqProbedArrivals(df, index,
+        "vec_id", "embedding", centBc, cbBc, tau, np)
+
+    // 1) nprobe=1 IS the single-cell face
+    pqp(corpus.toDF("vec_id", "embedding"), Double.MaxValue, 1)
+      .as[(Long, Long, Double)].collect().toSet shouldBe
+      StreamingOps.embeddingNeighborsPqArrivals(
+        corpus.toDF("vec_id", "embedding"), index,
+        "vec_id", "embedding", centBc, cbBc, Double.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+
+    // 2) top-1 per arrival (self excluded) over the probed pair set
+    //    IS the batch probed answer — q161's face, streaming
+    val top1 = pqp(corpus.toDF("vec_id", "embedding"), Double.MaxValue, 2)
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("new_id")
+        .orderBy(col("adc"), col("corpus_id"))))
+      .filter(col("__rn") === 1)
+      .select("new_id", "corpus_id", "adc")
+      .as[(Long, Long, Double)].collect().toSet
+    val batchProbed = SimilarityOps.pqNearestNeighborProbed(
+        corpus, "vec_id", "embedding", coarse, codes, cbBc, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    top1 shouldBe batchProbed
+
+    // 3) streaming run: same rows as the batch-frame evaluation, zero
+    //    state operators, zero-norm poison filtered not fatal
+    val expected = pqp(corpus.toDF("vec_id", "embedding"), 2.0, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = pqp(in.toDF().toDF("vec_id", "embedding"), 2.0, 2)
+      .writeStream.format("memory").queryName("emb_pqp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = corpus.as[(Long, Seq[Float])].collect().toSeq
+      rows.grouped(6).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      in.addData((200L, Seq.fill(8)(0.0f)))
+      q.processAllAvailable()
+      val got = spark.table("emb_pqp").as[(Long, Long, Double)].collect()
+      got.toSet shouldBe expected
+      got.map(_._1) should not contain 200L
+      q.recentProgress.foreach(_.stateOperators shouldBe empty)
+    } finally q.stop()
+  }
+
   test("embeddingNeighborsMultiProbeArrivals recovers split neighbors, stays stateless, ≡ batch multiprobe pair set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
