@@ -253,6 +253,18 @@ object RecallBench {
     }
     run("pq_m16_ks256_it2_tc_np4")(pqProbe(16, 256, iters = 2, nprobe = 4,
       coarse = trainedCoarse))
+    // --- SQ8: ÷4 memory at per-dimension resolution — the measured
+    // contrast to PQ's ÷16-with-distortion ----------------------------
+    def sq8(nprobe: Int, coarse: DataFrame = firstK(sqrtK)): DataFrame = {
+      val p = spark.sparkContext.broadcast(
+        SimilarityOps.trainSq8(emb, "embedding", Dim))
+      val codes = SimilarityOps.sq8Encode(emb, "vec_id", "embedding", p)
+      SimilarityOps.sq8NearestNeighborProbed(emb, "vec_id", "embedding",
+        coarse, codes, p, nprobe)
+    }
+    run("sq8_np1")(sq8(1))
+    run("sq8_np4")(sq8(4))
+    run("sq8_np4_tc")(sq8(4, coarse = trainedCoarse))
 
     val outPath = sys.env.getOrElse("RECALL_OUT", "/tmp/recall_out.json")
     val w = new java.io.PrintWriter(outPath, "UTF-8")

@@ -32,4 +32,26 @@ object Checkpoints {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
+
+  /** [[cut]] for CORPUS-sized shared frames (the ExportStages file
+    * union, FullPipeline's cutCleaned manifest): honors
+    * `GRAFT_SHARED_CP_LEVEL` (env or system property, e.g. DISK_ONLY)
+    * so an 18 GB frame doesn't pin deserialized blocks in the unified
+    * pool until the consumer's own sorts OOM — measured at the 100×
+    * pipeline stress, where in-memory blocks fail even at 48g heap
+    * and DISK_ONLY completes at 24g. Iterative round STATE (dedup-
+    * rate-sized) stays on [[cut]].
+    */
+  def sharedCut(df: DataFrame, eager: Boolean): DataFrame =
+    sys.env.get("GRAFT_SHARED_CP_LEVEL")
+      .orElse(sys.props.get("GRAFT_SHARED_CP_LEVEL")) match {
+      case Some(l) => df.localCheckpoint(eager,
+        org.apache.spark.storage.StorageLevel.fromString(l))
+      // plain localCheckpoint, NOT [[cut]]: shared frames are consumed
+      // within one job by design (executor loss already fails the
+      // query), and a reliable checkpoint would recompute the frame
+      // to write DFS files — the cost the original ExportStages
+      // design measured and rejected
+      case None => df.localCheckpoint(eager)
+    }
 }

@@ -775,6 +775,72 @@ object SimilarityOps {
         col("id2").as("nearest_id"), col("cosine"))
   }
 
+  // ------------------------------------------------------------------
+  // SQ8 — 8-bit scalar quantization (FAISS ScalarQuantizer QT_8bit),
+  // the lighter compression tier next to PQ: ÷4 memory (dim bytes per
+  // vector), per-dimension resolution kept, so recall sits at the
+  // exact-search ceiling where PQ pays codebook distortion for its
+  // ÷16. Training is per-dimension min/max — merge-order-independent
+  // by construction, no decimal detour needed.
+  // ------------------------------------------------------------------
+
+  /** Train the per-dimension SQ8 grid: one distributed posexplode +
+    * min/max agg, collected to the driver (dim-sized by contract).
+    */
+  def trainSq8(corpus: DataFrame, vecCol: String, dim: Int): graft.expr.Sq8.Params = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("vmin"),
+        max(col("x").cast("double")).as("vmax"))
+      .collect()
+    require(rows.length == dim,
+      s"trainSq8: expected $dim dimensions, got ${rows.length}")
+    val vmin = new Array[Double](dim)
+    val vdiff = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      vmin(p) = r.getDouble(1)
+      vdiff(p) = r.getDouble(2) - r.getDouble(1)
+    }
+    new graft.expr.Sq8.Params(vmin, vdiff)
+  }
+
+  /** Encode the corpus against a trained grid: (id, sq8) — dim BYTES
+    * per vector, the ÷4 storage face. One native map pass, nothing
+    * shuffles.
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+      params: org.apache.spark.broadcast.Broadcast[graft.expr.Sq8.Params]): DataFrame =
+    corpus.select(col(idCol),
+      graft.expr.Sq8.sq8Encode(col(vecCol), params).as("sq8"))
+
+  /** IVF-SQ8 top-1 with nprobe probed cells per query — the same
+    * probed join shape as [[pqNearestNeighborProbed]], candidates as
+    * (id, sq8) byte rows under their top-1 index cell, scored by the
+    * native broadcast-grid asymmetric distance (`expr/Sq8Adc`).
+    */
+  def sq8NearestNeighborProbed(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame /* idCol, sq8 */,
+      params: org.apache.spark.broadcast.Broadcast[graft.expr.Sq8.Params],
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids, nprobe)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"), col("__rn"))
+      .localCheckpoint(true) // consumed by both join sides
+    val l = probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+    val r = probed.filter(col("__rn") === 1)
+      .select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("sq8")), Seq("id2"))
+    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+      .select(col("id1"), col("id2"),
+        graft.expr.Sq8.sq8Adc(col("v1"), col("sq8"), params).as("adc"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("adc"))
+  }
+
   /** IVF-PQ top-1 with nprobe probed cells per query: the query row
     * keeps its raw vector and visits nprobe cells; candidates are
     * their (id, codes) rows under the top-1 index cell, scored by the

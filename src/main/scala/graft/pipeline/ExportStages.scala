@@ -286,20 +286,13 @@ object ExportStages {
     // two level frames are checkpointed — measuring showed per-path or
     // per-node-table checkpoints serialize the DAG and cost more than
     // the recompute they save.
-    // Storage level is a deployment knob (GRAFT_SHARED_CP_LEVEL, e.g.
-    // DISK_ONLY): the file union is CORPUS-sized, and at 100× local
-    // stress (60M wide string rows ≈ 18 GB) the default deserialized
-    // in-memory blocks squeeze the execution pool until the export's
-    // own sorts OOM — measured; disk-backed blocks fix it at
-    // unchanged heap. The default stays in-memory for the
-    // bench-scale single-query path.
+    // The file union is CORPUS-sized — sharedCut honors the
+    // GRAFT_SHARED_CP_LEVEL storage knob (at 100× local stress the
+    // ~18 GB of default deserialized blocks squeeze the pool until
+    // the export's own sorts OOM — measured; DISK_ONLY completes at
+    // unchanged heap). Default stays in-memory for bench scale.
     def shared(df: DataFrame): DataFrame =
-      sys.env.get("GRAFT_SHARED_CP_LEVEL")
-        .orElse(sys.props.get("GRAFT_SHARED_CP_LEVEL")) match {
-        case Some(l) => df.localCheckpoint(false,
-          org.apache.spark.storage.StorageLevel.fromString(l))
-        case None => df.localCheckpoint(false)
-      }
+      graft.ops.Checkpoints.sharedCut(df, eager = false)
 
     val m = manifest.view.mapValues(remap).toMap
 

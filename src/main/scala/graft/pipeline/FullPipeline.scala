@@ -59,7 +59,10 @@ object FullPipeline {
     val cleaned =
       if (!cutCleaned) cleaned0
       else cleaned0.map { case (n, df) =>
-        n -> graft.ops.Checkpoints.cut(df, eager = true)
+        // sharedCut: the curated manifest is CORPUS-sized — honor the
+        // GRAFT_SHARED_CP_LEVEL storage knob (in-memory blocks OOM
+        // the downstream exports at 100× stress; see Checkpoints)
+        n -> graft.ops.Checkpoints.sharedCut(df, eager = true)
       }
     val findings = CurationPipeline.validate(cleaned, catalog, rowKey)
 

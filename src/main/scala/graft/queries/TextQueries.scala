@@ -1220,6 +1220,65 @@ object TextQueries {
         .orderBy(col("id1"), col("nn_rank"))
     },
 
+    // IVF-SQ8 — 8-bit scalar quantization (FAISS ScalarQuantizer
+    // QT_8bit), the lighter compression tier next to q158's PQ: each
+    // dimension quantizes onto a 256-step grid between the corpus
+    // per-dimension min/max, vectors store as dim BYTES (÷4 memory;
+    // PQ's ÷16 pays codebook distortion, SQ8 keeps per-dimension
+    // resolution). The oracle replays the min/max grid, the
+    // round/clamp encoding, reconstruction, and the in-order ADC
+    // fold; training is min/max so it is merge-order-independent
+    // with no decimal detour.
+    Q("q163_ann_ivf_sq8", {
+      s"""WITH kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS ccid, embedding AS ccv
+         |  FROM embeddings, kk WHERE vec_id < k),
+         |coarse AS (
+         |  SELECT e.vec_id, c.ccid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosineSql("e.embedding", "c.ccv")} DESC, c.ccid) = 1),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |stats AS (
+         |  SELECT t.d,
+         |    MIN(CAST(e.embedding[t.d] AS DOUBLE)) AS vmin,
+         |    MAX(CAST(e.embedding[t.d] AS DOUBLE))
+         |      - MIN(CAST(e.embedding[t.d] AS DOUBLE)) AS vdiff
+         |  FROM embeddings e CROSS JOIN dims t GROUP BY t.d),
+         |codes AS (
+         |  SELECT e.vec_id, s.d,
+         |    CASE WHEN s.vdiff = 0 THEN 0
+         |      ELSE LEAST(255, GREATEST(0, CAST(round(
+         |        ((CAST(e.embedding[s.d] AS DOUBLE) - s.vmin) / s.vdiff)
+         |          * 255) AS INT)))
+         |    END AS c
+         |  FROM embeddings e CROSS JOIN stats s),
+         |recon AS (
+         |  SELECT c.vec_id,
+         |    list(s.vmin + (c.c / 255.0) * s.vdiff ORDER BY c.d) AS rvec
+         |  FROM codes c JOIN stats s ON c.d = s.d GROUP BY c.vec_id)
+         |SELECT l.vec_id AS id1, rr.vec_id AS nearest_id,
+         |  ${sqDistSql("le.embedding", "rr.rvec")} AS adc
+         |FROM coarse l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY ${sqDistSql("le.embedding", "rr.rvec")}, rr.vec_id) = 1
+         |ORDER BY id1""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val p = s.sparkContext.broadcast(
+        SimilarityOps.trainSq8(emb, "embedding", dim = 64))
+      val codes = SimilarityOps.sq8Encode(emb, "vec_id", "embedding", p)
+      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.sq8NearestNeighborProbed(emb, "vec_id", "embedding",
+          coarse, codes, p, nprobe = 1)
+        .orderBy(col("id1"))
+    },
+
     // ANN over seeded random-hyperplane buckets with corpus-adaptive
     // bit width: top-1 cosine neighbor within the bucket. The oracle
     // reproduces the seeded projection term for term.

@@ -102,7 +102,13 @@ class ExprSpec extends SparkSpecBase {
           ShingleHashes.shingleHashes(col("t"), 2, "1|")).as("ns"),
         Uuid5Expression.uuid5Native("ccdi", col("t")).as("u5"),
         IvfCell.ivfCell(col("u"), cellBc).as("cell"),
-        IvfCell.ivfCells(col("u"), cellBc, 2).as("cells")).collect()
+        IvfCell.ivfCells(col("u"), cellBc, 2).as("cells"),
+        {
+          val sq8Bc = spark.sparkContext.broadcast(
+            new graft.expr.Sq8.Params(Array(0d, 0d), Array(1d, 1d)))
+          graft.expr.Sq8.sq8Adc(col("u"),
+            graft.expr.Sq8.sq8Encode(col("u"), sq8Bc), sq8Bc).as("sq8rt")
+        }).collect()
       out(0).getDouble(0) shouldBe 1.0
       out(0).getString(1) should have length 16
       out(0).getString(2) should have length 64
@@ -110,6 +116,7 @@ class ExprSpec extends SparkSpecBase {
       out(0).getString(4) should have length 36
       out(0).getLong(5) shouldBe 3L // max-cosine centroid's OWN cid
       out(0).getSeq[Long](6) shouldBe Seq(3L, 7L) // probe-rank order
+      out(0).getDouble(7) shouldBe 0.0 // grid-exact encode → zero ADC
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

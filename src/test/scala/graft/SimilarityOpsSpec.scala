@@ -550,6 +550,63 @@ class SimilarityOpsSpec extends SparkSpecBase {
     } shouldBe expected
   }
 
+  // ---- SQ8 ----
+
+  test("sq8 encodes on the per-dimension grid, ADC matches driver reconstruction, nprobe lifts the cell ceiling") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.72f, 0.69f, 0f, 0f)),
+      (3L, Seq(0.69f, 0.72f, 0f, 0f))
+    ).toDF("id", "vec")
+    val cents = corpus.filter(col("id") < 2)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val p = SimilarityOps.trainSq8(corpus, "vec", dim = 4)
+    // dims 0/1 span [0,1]; dims 2/3 are constant → vdiff 0
+    p.vmin.toSeq shouldBe Seq(0d, 0d, 0d, 0d)
+    p.vdiff.take(2).foreach(_ shouldBe 1d +- 1e-12)
+    p.vdiff.drop(2).toSeq shouldBe Seq(0d, 0d)
+    val bc = spark.sparkContext.broadcast(p)
+    val codes = SimilarityOps.sq8Encode(corpus, "id", "vec", bc)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // hand-checked grid codes, incl. >127 values wrapping to negative
+    // bytes (the decoder masks & 0xFF); constant dims encode 0
+    def enc(x: Float): Int = Math.round(x * 255.0).toInt
+    codes(0L).map(_ & 0xFF).toSeq shouldBe Seq(255, 0, 0, 0)
+    codes(2L).map(_ & 0xFF).toSeq shouldBe Seq(enc(0.72f), enc(0.69f), 0, 0)
+    assert(codes(2L)(0) < 0) // 184 as a signed byte — the wrap case
+
+    // ADC ≡ driver-computed sqL2 against the reconstruction
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def recon(c: Array[Byte]): Seq[Double] =
+      c.toSeq.zipWithIndex.map { case (b, t) =>
+        p.vmin(t) + ((b & 0xFF) / 255.0) * p.vdiff(t) }
+    def sqd(q: Seq[Float], r: Seq[Double]): Double =
+      q.zip(r).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val adcs = SimilarityOps.sq8NearestNeighborProbed(corpus, "id", "vec",
+        cents, SimilarityOps.sq8Encode(corpus, "id", "vec", bc), bc, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    adcs.foreach { case (id1, id2, adc) =>
+      adc shouldBe sqd(vecs(id1), recon(codes(id2)))
+    }
+    // nprobe=2 finds the cross-cell near-parallel pair (the PQ/IVF
+    // probed contract holds for the SQ8 face too)
+    val nn = adcs.map(a => a._1 -> a._2).toMap
+    nn(2L) shouldBe 3L
+    nn(3L) shouldBe 2L
+
+    // corrupt input fails loudly
+    intercept[Exception] {
+      SimilarityOps.sq8Encode(
+        Seq((9L, Seq(Float.NaN, 0f, 0f, 0f))).toDF("id", "vec"),
+        "id", "vec", bc).collect()
+    }.toString
+    intercept[Exception] {
+      SimilarityOps.sq8Encode(
+        Seq((9L, Seq(1f, 0f))).toDF("id", "vec"), "id", "vec", bc).collect()
+    }.toString
+  }
+
   test("collectCodebooks leaves NaN in dropped-cell slots and survivors verbatim") {
     val cb = Seq((0, 0L, Seq(1f, 2f)), (1, 1L, Seq(3f, 4f)))
       .toDF("sub", "cid", "cvec")
