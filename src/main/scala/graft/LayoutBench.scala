@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.LayoutOps
+import graft.ops.LayoutOps.ColRange
+
+/** Storage-layout bench (dev tool): measures what the z-order layout
+  * + stats sidecar actually buy on a selective scan, against the two
+  * honest baselines — the same sidecar over a lexicographic
+  * single-column sort, and the raw unpruned table scan.
+  *
+  * Three probes per layout, chosen to separate the claims:
+  *   - `both`: a ~20%×20% box on (l_partkey, l_suppkey) — the
+  *     multi-dimensional case z-order exists for;
+  *   - `lead`: a range on l_partkey only — the one case the
+  *     lexicographic layout also prunes (its leading column);
+  *   - `trail`: a range on l_suppkey only — the case a lexicographic
+  *     layout CANNOT prune (every file spans the full trailing range)
+  *     but z-order still does.
+  *
+  * Reports files read / files total and the pruned-scan wall time per
+  * probe, plus the full-scan time of the same aggregation off the raw
+  * table. Row counts are cross-checked between pruned and full scans
+  * — pruning must be a pure optimization.
+  *
+  * Usage: runMain graft.LayoutBench [dir] [nFiles]
+  */
+object LayoutBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (maxPk, maxSk) = (mx.getLong(0), mx.getLong(1))
+    val probes = Seq(
+      "both" -> Seq(ColRange("l_partkey", maxPk / 10, maxPk * 3 / 10),
+        ColRange("l_suppkey", maxSk / 10, maxSk * 3 / 10)),
+      "lead" -> Seq(ColRange("l_partkey", maxPk / 10, maxPk * 3 / 10)),
+      "trail" -> Seq(ColRange("l_suppkey", maxSk / 10, maxSk * 3 / 10)))
+
+    val base = s"/tmp/graft_layoutbench_${ProcessHandle.current().pid()}"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File(base))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (_, tZ) = timed(LayoutOps.zorderWrite(li,
+      Seq("l_partkey", "l_suppkey"), nFiles = nFiles,
+      Seq("l_partkey", "l_suppkey"), s"$base/zorder"))
+    val (_, tS) = timed(LayoutOps.sortedWrite(li, Seq("l_partkey"),
+      nFiles = nFiles, Seq("l_partkey", "l_suppkey"), s"$base/sorted"))
+    println(f"""{"write_zorder_s":$tZ%.2f,"write_sorted_s":$tS%.2f,"files":$nFiles}""")
+
+    for ((layout, sub) <- Seq("zorder" -> "zorder", "sorted" -> "sorted");
+         (probe, ranges) <- probes) {
+      val scan = LayoutOps.readPruned(spark, s"$base/$sub", ranges)
+      val (rows, tP) = timed(scan.df.count())
+      val residual = ranges.map(r => col(r.col).between(r.lo, r.hi))
+        .reduce(_ && _)
+      val (fullRows, tF) = timed(li.where(residual).count())
+      require(rows == fullRows,
+        s"$layout/$probe: pruned $rows != full $fullRows — pruning dropped rows")
+      println(f"""{"layout":"$layout","probe":"$probe","files_read":${scan.filesRead},""" +
+        f""""files_total":${scan.filesTotal},"rows":$rows,""" +
+        f""""pruned_s":$tP%.3f,"fullscan_s":$tF%.3f}""")
+    }
+    spark.stop()
+  }
+}

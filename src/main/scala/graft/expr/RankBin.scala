@@ -1,0 +1,69 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native quantile-bin rank: the number of cut points strictly below
+  * the value — a binary search over the driver-collected, ascending
+  * cut array instead of a cuts-sized comparison chain. This is the
+  * rank-normalization step of [[graft.ops.LayoutOps.zorderWrite]];
+  * the composable `when(col > cut, 1).otherwise(0)` sum it replaces
+  * is its spec oracle (and was measured at ~17 µs/row interpreted —
+  * 2×63 CaseWhen terms — vs one log₂(cuts) probe here).
+  *
+  * Equal values rank identically wherever they fall; a null value
+  * ranks null (and a null z-value clusters nulls together, which is
+  * all a layout needs). Cuts with duplicates are fine — callers
+  * dedup, but the search is correct either way since rank is defined
+  * on the value, not the bin occupancy.
+  */
+case class RankBin(child: Expression, cuts: Seq[Double])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rank_bin requires a double argument, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rank_bin"
+
+  private lazy val cutsArr: Array[Double] = cuts.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    RankBin.compute(v.asInstanceOf[Double], cutsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrRef = ctx.addReferenceObj("rankBinCuts", cutsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = graft.expr.RankBin.compute($v, $arrRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RankBin =
+    copy(child = newChild)
+}
+
+object RankBin {
+
+  /** Codegen entry point (`compute`, never `eval` — see the FloatDot
+    * note): lower-bound binary search, returns #cuts strictly < v.
+    */
+  def compute(v: Double, cuts: Array[Double]): Long = {
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  def rankBin(value: Column, cuts: Seq[Double]): Column =
+    ColumnBridge.column(RankBin(ColumnBridge.expression(value), cuts))
+}

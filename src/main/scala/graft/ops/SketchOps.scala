@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-value sketches — Beyer et al.,
+  * "On Synopses for Distinct-Value Estimation Under Multiset
+  * Operations" (SIGMOD 2007); the same synopsis family DataSketches
+  * ships as the Theta sketch.
+  *
+  * Why next to the existing HLL profile (`CorpusOps.corpusProfile`):
+  * HLL answers only |A|; a KMV sketch supports SET ALGEBRA — union
+  * and, critically, INTERSECTION cardinality — because it keeps the k
+  * smallest distinct hash values themselves. |A ∩ B| between two
+  * 100 TB key sets (train/test contamination rate, cohort overlap,
+  * shared-file estimation between buckets) then costs two sketch
+  * scans and a k-row merge instead of a distinct-join of the sets.
+  *
+  * Determinism contract: the hash is the first 15 hex chars of
+  * md5(key as string) parsed as a 60-bit integer — chosen so the
+  * DuckDB oracle parses the SAME value with
+  * `CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)` and every
+  * estimate replays arithmetic-for-arithmetic (q166). Estimators are
+  * the standard unbiased forms: distinct ≈ (k−1)/θ with θ the k-th
+  * smallest normalized hash; when a set yields fewer than k distinct
+  * hashes the sketch IS the set and counts are exact.
+  *
+  * Scale shape: per-partition bounded TreeSets make the shuffle
+  * k·partitions rows of longs — never the key set — and the merged
+  * sketch is k rows; collecting it to the driver is contract-bounded
+  * the same way codebooks and centroid tables are.
+  */
+object SketchOps {
+
+  /** 2^60 as a double — the hash-normalization denominator. */
+  val HashSpace: Double = 1152921504606846976.0d
+
+  /** The 60-bit KMV hash of a key column (see determinism contract
+    * above). Null keys hash to null and are excluded by [[kmvSketch]]
+    * — a null never names a distinct value in COUNT(DISTINCT) either.
+    */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The k smallest DISTINCT hash values of `key` over `df`, as a
+    * one-column frame (`h`, ascending). Each partition keeps a
+    * k-bounded ordered set, so only ≤ k·partitions candidates reach
+    * the final top-k — the key set itself never shuffles.
+    */
+  def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val hashed = df.select(kmvHash(key).as("h")).where(col("h").isNotNull)
+    val partial = hashed.as[Long](Encoders.scalaLong).mapPartitions { it =>
+      val ts = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        ts.add(h)
+        if (ts.size > k) { ts.pollLast(); () }
+      }
+      import scala.jdk.CollectionConverters._
+      ts.iterator().asScala.map(_.longValue())
+    }(Encoders.scalaLong)
+    partial.toDF("h").distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Distinct-cardinality estimate from a collected sketch: exact when
+    * the sketch holds fewer than k values (the sketch IS the distinct
+    * hash set), else (k−1)/θ.
+    */
+  def kmvDistinct(sketch: Array[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble / (sketch.max.toDouble / HashSpace)
+
+  /** Union cardinality: the k smallest of the two sketches' union is
+    * exactly the KMV sketch of A ∪ B (each input sketch contains its
+    * set's k smallest), so the same estimator applies.
+    */
+  def kmvUnion(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Intersection cardinality (the theta-sketch estimator): count the
+    * hashes both sketches share below the UNION's threshold θ and
+    * scale by 1/θ. Exact when the union sketch is not full.
+    */
+  def kmvIntersect(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val u = kmvUnion(a, b, k)
+    val shared = a.toSet.intersect(b.toSet)
+    if (u.length < k) shared.size.toDouble
+    else {
+      val thetaRaw = u.max
+      val theta = thetaRaw.toDouble / HashSpace
+      shared.count(_ <= thetaRaw).toDouble / theta
+    }
+  }
+}

@@ -91,4 +91,22 @@ object StageMemo {
     }
     (a, b)
   }
+
+  private val builtOnce = ConcurrentHashMap.newKeySet[String]()
+
+  /** Run a SIDE-EFFECTING build (an on-disk index or layout write of
+    * an IMMUTABLE input) once per process per key — the in-process
+    * analogue of "the index is built once and every query thereafter
+    * only searches it", which is the contract persisted-artifact
+    * operators exist to provide. `GRAFT_NO_MEMO` forces every call to
+    * rebuild; a failed build retracts the key so the next call
+    * retries instead of trusting a half-written artifact.
+    */
+  def buildOnce(key: String)(build: => Unit): Unit = {
+    if (disabled) { build; return }
+    if (builtOnce.add(key)) {
+      try build
+      catch { case t: Throwable => builtOnce.remove(key); throw t }
+    }
+  }
 }

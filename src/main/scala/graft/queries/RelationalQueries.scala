@@ -415,6 +415,154 @@ object RelationalQueries {
         .orderBy(col("k"))
     },
 
+    // Z-ORDER storage layout + stats-sidecar file skipping (Delta
+    // OPTIMIZE ZORDER / Iceberg data-skipping discipline; Morton
+    // 1966): lineitem is rewritten clustered by the interleaved
+    // (l_partkey, l_suppkey) Morton value into range-partitioned
+    // z-sorted files with a per-file min/max sidecar, and a 2-D range
+    // scan is answered READING ONLY THE OVERLAPPING FILES — a driver
+    // gate requires filesRead < filesTotal, so grading fails if the
+    // layout ever stops pruning. Pruning must be a pure optimization:
+    // the oracle answers the same range aggregation off the raw
+    // table, row-exact whatever the layout did, and replays the
+    // native z-value bit interleave with integer arithmetic
+    // (disjoint bit positions make SUM == OR). Bounds derive from
+    // MAX(key) so selectivity is scale-stable (~20% per dimension).
+    Q("q165_zorder_scan_prune",
+      """WITH mx AS (SELECT MAX(l_partkey)//10 AS lop,
+        |    (MAX(l_partkey)*3)//10 AS hip, MAX(l_suppkey)//10 AS los,
+        |    (MAX(l_suppkey)*3)//10 AS his FROM lineitem)
+        |SELECT l_partkey AS pk, l_suppkey AS sk,
+        |  CAST((SELECT SUM((((l_partkey >> i) & 1) << (i*2))
+        |      + (((l_suppkey >> i) & 1) << (i*2+1)))
+        |    FROM generate_series(0, 24) t(i)) AS BIGINT) AS zval,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem, mx
+        |WHERE l_partkey BETWEEN lop AND hip
+        |  AND l_suppkey BETWEEN los AND his
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val mx = li.agg(max(col("l_partkey")).as("p"),
+        max(col("l_suppkey")).as("k")).head()
+      val (maxPk, maxSk) = (mx.getLong(0), mx.getLong(1))
+      // hermetic per-process root (q157/q84 pattern); the layout write
+      // runs ONCE per process per input dir — OPTIMIZE ZORDER is a
+      // write-once/scan-many investment, so re-planning the query
+      // re-scans the clustered layout instead of rewriting it
+      val root = new java.io.File(
+        s"/tmp/graft_q165_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      StageMemo.buildOnce(root.getAbsolutePath) {
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(root)
+        LayoutOps.zorderWrite(
+          li.select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+          zCols = Seq("l_partkey", "l_suppkey"), nFiles = 24,
+          statsCols = Seq("l_partkey", "l_suppkey"), root.getAbsolutePath)
+      }
+      val scan = LayoutOps.readPruned(s, root.getAbsolutePath, Seq(
+        LayoutOps.ColRange("l_partkey", maxPk / 10, maxPk * 3 / 10),
+        LayoutOps.ColRange("l_suppkey", maxSk / 10, maxSk * 3 / 10)))
+      require(scan.filesRead < scan.filesTotal,
+        s"z-order layout stopped pruning: read ${scan.filesRead} of " +
+          s"${scan.filesTotal} files for a ~4% range")
+      scan.df
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("l_quantity")).as("qty"))
+        .withColumn("zval", graft.expr.ZValue.zvalue(25,
+          col("pk"), col("sk")))
+        .orderBy(col("pk"), col("sk"))
+    },
+
+    // KMV / theta-sketch cardinality (Beyer et al. SIGMOD 2007; the
+    // DataSketches theta family): distinct counts AND set algebra —
+    // union and INTERSECTION cardinality, which HLL cannot do — from
+    // k=256-value sketches. |A ∩ B| between two 100 TB key sets
+    // (train/test contamination rate, cohort overlap) then costs two
+    // sketch scans and a k-row merge instead of a distinct-join of
+    // the sets; per-partition bounded TreeSets mean only k·partitions
+    // hash values ever shuffle. Hashing is the first 15 hex chars of
+    // md5(key) parsed as a 60-bit int, so the oracle replays every
+    // hash AND every estimator division exactly; exact counts ride
+    // along for contrast (the deployment face is sketch-only). Both
+    // estimator branches are graded: sf0.001 (200 parts < k) exercises
+    // the exact-below-k branch, sf0.01/0.1 the (k−1)/θ branch.
+    Q("q166_kmv_cardinality", {
+      def hcte(filter: String) =
+        s"""SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+           |    AS BIGINT) AS h
+           |  FROM lineitem WHERE $filter""".stripMargin
+      val theta = "1152921504606846976.0" // 2^60, the hash space
+      s"""WITH ha AS (${hcte("l_returnflag = 'R'")}),
+         |hb AS (${hcte("l_linestatus = 'F'")}),
+         |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) t
+         |  ORDER BY h LIMIT 256),
+         |sa AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ka),
+         |sb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM kb),
+         |su AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ku),
+         |sh AS (SELECT COUNT(*) AS c FROM ka JOIN kb USING (h)
+         |  WHERE h <= (SELECT mx FROM su)),
+         |shall AS (SELECT COUNT(*) AS c FROM ka JOIN kb USING (h)),
+         |ea AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem
+         |  WHERE l_returnflag = 'R'),
+         |eb AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem
+         |  WHERE l_linestatus = 'F'),
+         |ei AS (SELECT COUNT(*) AS n FROM (
+         |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+         |  INTERSECT
+         |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_linestatus = 'F') t)
+         |SELECT 'distinct_a_exact' AS metric,
+         |  CAST((SELECT n FROM ea) AS DOUBLE) AS value
+         |UNION ALL SELECT 'distinct_a_kmv',
+         |  CASE WHEN (SELECT n FROM sa) < 256 THEN CAST((SELECT n FROM sa) AS DOUBLE)
+         |    ELSE 255.0 / (CAST((SELECT mx FROM sa) AS DOUBLE) / $theta) END
+         |UNION ALL SELECT 'distinct_b_exact',
+         |  CAST((SELECT n FROM eb) AS DOUBLE)
+         |UNION ALL SELECT 'distinct_b_kmv',
+         |  CASE WHEN (SELECT n FROM sb) < 256 THEN CAST((SELECT n FROM sb) AS DOUBLE)
+         |    ELSE 255.0 / (CAST((SELECT mx FROM sb) AS DOUBLE) / $theta) END
+         |UNION ALL SELECT 'inter_exact',
+         |  CAST((SELECT n FROM ei) AS DOUBLE)
+         |UNION ALL SELECT 'inter_kmv',
+         |  CASE WHEN (SELECT n FROM su) < 256 THEN CAST((SELECT c FROM shall) AS DOUBLE)
+         |    ELSE CAST((SELECT c FROM sh) AS DOUBLE)
+         |      / (CAST((SELECT mx FROM su) AS DOUBLE) / $theta) END
+         |UNION ALL SELECT 'union_kmv',
+         |  CASE WHEN (SELECT n FROM su) < 256 THEN CAST((SELECT n FROM su) AS DOUBLE)
+         |    ELSE 255.0 / (CAST((SELECT mx FROM su) AS DOUBLE) / $theta) END
+         |ORDER BY metric""".stripMargin
+    }) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val k = 256
+      val aDf = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val bDf = li.filter(col("l_linestatus") === "F").select(col("l_partkey"))
+      val sa = SketchOps.kmvSketch(aDf, col("l_partkey"), k)
+        .collect().map(_.getLong(0))
+      val sb = SketchOps.kmvSketch(bDf, col("l_partkey"), k)
+        .collect().map(_.getLong(0))
+      val u = SketchOps.kmvUnion(sa, sb, k)
+      // exact twins for contrast (the deployment face is sketch-only)
+      val exactA = aDf.distinct().count().toDouble
+      val exactB = bDf.distinct().count().toDouble
+      val exactI = aDf.distinct().intersect(bDf.distinct()).count().toDouble
+      import s.implicits._
+      Seq(
+        ("distinct_a_exact", exactA),
+        ("distinct_a_kmv", SketchOps.kmvDistinct(sa, k)),
+        ("distinct_b_exact", exactB),
+        ("distinct_b_kmv", SketchOps.kmvDistinct(sb, k)),
+        ("inter_exact", exactI),
+        ("inter_kmv", SketchOps.kmvIntersect(sa, sb, k)),
+        ("union_kmv", SketchOps.kmvDistinct(u, k)))
+        .toDF("metric", "value").orderBy(col("metric"))
+    },
+
     // O2 — multi-key sort with explicit NULL placement (the engines
     // disagree by default: Spark sorts nulls first ASC, DuckDB last —
     // desc_nulls_last/asc_nulls_last make placement portable).

@@ -1279,6 +1279,64 @@ object TextQueries {
         .orderBy(col("id1"))
     },
 
+    // PERSISTENT index — the build-once / search-many contract (FAISS
+    // write_index/read_index): train + encode + persist the IVF-PQ
+    // index as parquet (codes PARTITIONED BY COARSE CELL — the
+    // inverted-list layout a 100 TB store scans selectively), reload
+    // it cold, and run the probed tabled top-3 search entirely off the
+    // persisted frames — raw corpus vectors are never read back. The
+    // round trip is bit-exact (floats/ints in parquet), so the oracle
+    // is the same training/encoding/probed-search replay as
+    // q159/q161/q162, blind to the filesystem in the middle; the
+    // partition-pruned serving lookup is spec-asserted
+    // (VectorIndexIOSpec) via the scan's numFiles metric.
+    Q("q164_ann_index_persist", {
+      val adcSub = (0 until 8).map { j =>
+        s"(${sqDistSql(s"le.embedding[${j * 8 + 1} : ${j * 8 + 8}]",
+          s"rr.rvec[${j * 8 + 1} : ${j * 8 + 8}]")})"
+      }.mkString("\n    + ")
+      s"""${ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings", nprobe = 2)}
+         |SELECT l.vec_id AS id1,
+         |  row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY $adcSub, rr.vec_id) AS nn_rank,
+         |  rr.vec_id AS nearest_id,
+         |  $adcSub AS adc
+         |FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY $adcSub, rr.vec_id) <= 3
+         |ORDER BY id1, nn_rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.VectorIndexIO
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // hermetic per-process root (q157/q84 pattern); the index build
+      // runs ONCE per process per input dir — build-once/search-many
+      // is this operator's whole contract, so re-planning the query
+      // re-searches the persisted index instead of re-training it
+      val root = new java.io.File(
+        s"/tmp/graft_q164_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath) {
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(root)
+        VectorIndexIO.writePqIndex(emb, "vec_id", "embedding", coarse,
+          dim, m, ks, iters = 1, root.getAbsolutePath)
+        ()
+      }
+      val idx = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+      VectorIndexIO.searchPqIndex(idx, emb, "vec_id", "embedding",
+          nprobe = 2, k = 3)
+        .orderBy(col("id1"), col("nn_rank"))
+    },
+
     // ANN over seeded random-hyperplane buckets with corpus-adaptive
     // bit width: top-1 cosine neighbor within the bucket. The oracle
     // reproduces the seeded projection term for term.

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.ZValue
+import graft.ops.LayoutOps
+import graft.ops.LayoutOps.ColRange
+
+/** Z-order layout + stats-sidecar pruning: the native z-value pinned
+  * bit-equal to its composable twin under codegen, loud range
+  * violations, and the layout property itself — a z-ordered table
+  * prunes files on EVERY interleaved dimension where a lexicographic
+  * sort prunes only on its leading column — with row-exactness vs the
+  * unpruned scan.
+  */
+class LayoutOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val f = new java.io.File(
+      s"/tmp/graft_layout_${ProcessHandle.current().pid()}_$tag")
+    def wipe(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(wipe)
+      x.delete(); ()
+    }
+    wipe(f)
+    f.getAbsolutePath
+  }
+
+  // the full 64x64 grid, one row per cell — x and y independent, so a
+  // lexicographic x-sort genuinely cannot cluster y
+  private lazy val grid = (0 until 4096).map { i =>
+    (i.toLong, (i % 64).toLong, (i / 64).toLong)
+  }.toDF("id", "x", "y")
+
+  test("native zvalue is bit-identical to the composed shift/or twin") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = grid.select(
+        ZValue.zvalue(6, col("x"), col("y")).as("nat"),
+        ZValue.zvalueComposed(6, col("x"), col("y")).as("twin"))
+        .collect()
+      rows.length shouldBe 4096
+      rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+      // a hand-computed anchor: x=0b101=5, y=0b011=3 at 3 bits
+      // -> bits: (x0<<0)|(y0<<1)|(x1<<2)|(y1<<3)|(x2<<4)|(y2<<5)
+      //        =  1    | 2     | 0     | 8     | 16    | 0    = 27
+      Seq((5L, 3L)).toDF("x", "y")
+        .select(ZValue.zvalue(3, col("x"), col("y")))
+        .head().getLong(0) shouldBe 27L
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("native rank_bin ≡ the composable when-chain twin (codegen, no fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cuts = Seq(3.0, 10.0, 10.5, 40.0, 41.0)
+      val df = (Seq(-5L, 3L, 4L, 10L, 11L, 40L, 41L, 42L, 1000L)
+        .map(v => Tuple1(v))).toDF("v")
+      val twin = cuts.map(c => when(col("v").cast("double") > lit(c), 1L)
+        .otherwise(0L)).reduce(_ + _)
+      val rows = df.select(
+        graft.expr.RankBin.rankBin(col("v").cast("double"), cuts).as("nat"),
+        twin.as("tw")).collect()
+      rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+      // null in -> null out
+      Seq(Tuple1(Option.empty[Long])).toDF("v")
+        .select(graft.expr.RankBin.rankBin(col("v").cast("double"), cuts))
+        .head().isNullAt(0) shouldBe true
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("zvalue: null child nulls out, out-of-range throws") {
+    Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .select(ZValue.zvalue(4, col("x"), col("y")))
+      .head().isNullAt(0) shouldBe true
+    val e = intercept[Exception] {
+      Seq((16L, 1L)).toDF("x", "y")
+        .select(ZValue.zvalue(4, col("x"), col("y"))).collect()
+    }
+    e.getMessage should include("out of [0, 2^4)")
+    intercept[Exception] {
+      Seq((-1L, 1L)).toDF("x", "y")
+        .select(ZValue.zvalue(4, col("x"), col("y"))).collect()
+    }.getMessage should include("out of")
+  }
+
+  test("z-ordered layout prunes on both dimensions, row-exact vs full scan") {
+    val dir = freshDir("zorder")
+    LayoutOps.zorderWrite(grid, Seq("x", "y"), nFiles = 16,
+      statsCols = Seq("x", "y"), dir)
+
+    val scan = LayoutOps.readPruned(spark, dir, Seq(
+      ColRange("x", 8, 15), ColRange("y", 16, 23)))
+    scan.filesTotal should be >= 8
+    scan.filesRead should be < scan.filesTotal // 1.5% box -> skip files
+
+    val expected = sortedRows(grid
+      .filter(col("x").between(8, 15) && col("y").between(16, 23)))
+    expected should not be empty
+    sortedRows(scan.df) shouldBe expected
+  }
+
+  test("z-order prunes the trailing dimension where a lexicographic sort cannot") {
+    val zDir = freshDir("cmp_z")
+    val sDir = freshDir("cmp_s")
+    LayoutOps.zorderWrite(grid, Seq("x", "y"), nFiles = 16,
+      statsCols = Seq("x", "y"), zDir)
+    LayoutOps.sortedWrite(grid, Seq("x"), nFiles = 16,
+      statsCols = Seq("x", "y"), sDir)
+
+    val yOnly = Seq(ColRange("y", 0, 7)) // 12.5% of y, all of x
+    val zScan = LayoutOps.readPruned(spark, zDir, yOnly)
+    val sScan = LayoutOps.readPruned(spark, sDir, yOnly)
+
+    // lexicographic-by-x files each span the full y range: zero skipped
+    sScan.filesRead shouldBe sScan.filesTotal
+    zScan.filesRead should be < zScan.filesTotal
+    sortedRows(zScan.df) shouldBe sortedRows(sScan.df)
+  }
+
+  test("empty overlap reads nothing; null-key rows never break exactness") {
+    val dir = freshDir("nulls")
+    val withNulls = grid.unionByName(
+      Seq((9000L, 63L, Option.empty[Long]), (9001L, 62L, Option.empty[Long]))
+        .toDF("id", "x", "y"))
+    // null z-values sort together; the write must not throw
+    LayoutOps.zorderWrite(withNulls, Seq("x", "y"), nFiles = 8,
+      statsCols = Seq("x", "y"), dir)
+
+    val hit = LayoutOps.readPruned(spark, dir, Seq(ColRange("x", 60, 63)))
+    sortedRows(hit.df) shouldBe sortedRows(
+      withNulls.filter(col("x").between(60, 63)))
+    // rows with null y still match an x-only range
+    hit.df.filter(col("id") >= 9000L).count() shouldBe 2
+
+    val miss = LayoutOps.readPruned(spark, dir, Seq(ColRange("x", 999, 1000)))
+    miss.filesRead shouldBe 0
+    miss.df.count() shouldBe 0L
+    miss.df.columns shouldBe withNulls.columns // schema-stable empty
+  }
+}

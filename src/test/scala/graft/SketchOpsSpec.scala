@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SketchOps
+
+/** KMV sketches: estimator accuracy within the published error bound,
+  * exactness below k, the union-merge identity, intersection behavior
+  * on both branches, and the null/shuffle contracts.
+  */
+class SketchOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, c: String, k: Int) =
+    SketchOps.kmvSketch(df, col(c), k).collect().map(_.getLong(0))
+
+  test("estimate is exact below k and within ~3/sqrt(k) relative error above") {
+    val small = (1 to 100).map(i => s"key$i").toDF("k")
+    val sk = sketchOf(small, "k", 256)
+    sk.length shouldBe 100
+    SketchOps.kmvDistinct(sk, 256) shouldBe 100.0
+
+    // 20k distinct keys, each duplicated 3x — duplicates must not count
+    val big = (1 to 20000).flatMap(i => Seq.fill(3)(s"key$i")).toDF("k")
+      .repartition(7)
+    val skB = sketchOf(big, "k", 256)
+    skB.length shouldBe 256
+    skB shouldBe skB.sorted // ascending contract
+    val est = SketchOps.kmvDistinct(skB, 256)
+    math.abs(est - 20000.0) / 20000.0 should be < 3.0 / math.sqrt(256.0)
+  }
+
+  test("sketch of a union equals the merged sketches (mergeability)") {
+    val a = (1 to 5000).map(i => s"a$i").toDF("k")
+    val b = (2500 to 7500).map(i => s"a$i").toDF("k") // overlaps a
+    val k = 128
+    val sa = sketchOf(a, "k", k)
+    val sb = sketchOf(b, "k", k)
+    val direct = sketchOf(a.unionByName(b), "k", k)
+    SketchOps.kmvUnion(sa, sb, k).toSeq shouldBe direct.toSeq
+  }
+
+  test("intersection: exact when union is not full, estimated within bound when full") {
+    val k = 256
+    // small: |A|=80, |B|=60, |A∩B|=40 -> union 100 < k -> exact
+    val a = (1 to 80).map(i => s"x$i").toDF("k")
+    val b = (41 to 100).map(i => s"x$i").toDF("k")
+    SketchOps.kmvIntersect(sketchOf(a, "k", k), sketchOf(b, "k", k), k) shouldBe 40.0
+
+    // large: |A|=|B|=12000, overlap 6000
+    val bigA = (1 to 12000).map(i => s"y$i").toDF("k")
+    val bigB = (6001 to 18000).map(i => s"y$i").toDF("k")
+    val est = SketchOps.kmvIntersect(sketchOf(bigA, "k", k), sketchOf(bigB, "k", k), k)
+    // intersection error compounds vs plain distinct: allow a loose 25%
+    math.abs(est - 6000.0) / 6000.0 should be < 0.25
+  }
+
+  test("null keys are excluded; partitioning never changes the sketch") {
+    val df = (1 to 1000).map(i => Some(s"k$i")).toDF("k")
+      .unionByName(Seq(Option.empty[String], Option.empty[String]).toDF("k"))
+    val s1 = sketchOf(df.repartition(1), "k", 64)
+    val s13 = sketchOf(df.repartition(13), "k", 64)
+    s1.toSeq shouldBe s13.toSeq
+    s1.length shouldBe 64
+  }
+}

@@ -58,6 +58,29 @@ class StageMemoSpec extends SparkSpecBase {
     } finally sys.props.remove("GRAFT_NO_MEMO")
   }
 
+  test("buildOnce runs once per key, retries after failure, honors kill-switch") {
+    var builds = 0
+    val key = s"spec|once|${System.nanoTime()}"
+    StageMemo.buildOnce(key) { builds += 1 }
+    StageMemo.buildOnce(key) { builds += 1 }
+    builds shouldBe 1
+    // a failed build must not poison the key
+    val key2 = s"spec|once2|${System.nanoTime()}"
+    intercept[RuntimeException] {
+      StageMemo.buildOnce(key2) { throw new RuntimeException("boom") }
+    }
+    StageMemo.buildOnce(key2) { builds += 1 }
+    builds shouldBe 2
+    // kill-switch: every call rebuilds
+    sys.props("GRAFT_NO_MEMO") = "1"
+    try {
+      val key3 = s"spec|once3|${System.nanoTime()}"
+      StageMemo.buildOnce(key3) { builds += 1 }
+      StageMemo.buildOnce(key3) { builds += 1 }
+      builds shouldBe 4
+    } finally sys.props.remove("GRAFT_NO_MEMO")
+  }
+
   test("hit survives a bench-style drain (clearCache + unpersist all RDDs)") {
     StageMemo.invalidate("spec|drain")
     val src = Seq((7L, 70)).toDF("doc_id", "__len").localCheckpoint(true)

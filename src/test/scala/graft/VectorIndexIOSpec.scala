@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.VectorIndexIO
+import graft.ops.SimilarityOps
+
+/** The persistent IVF-PQ index: round-trip bit-exactness, the serving
+  * lookup ≡ batch search, and the storage contract — a point lookup's
+  * codes scan is PARTITION-PRUNED to the probed `cid=` directories
+  * (asserted through the physical scan's numFiles metric, not just the
+  * plan string).
+  */
+class VectorIndexIOSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val M = 2
+  private val Ks = 4
+
+  // deterministic non-degenerate corpus: values are k − 4.75 for
+  // k ∈ 0..10, never exactly 0, so no zero-norm vector trips the
+  // loud ivfAssign NaN guard
+  private lazy val corpus = (0 until 48).map { i =>
+    (i.toLong, Array.tabulate(Dim)(t => ((i * 7 + t * 3) % 11) - 4.75f))
+  }.toDF("id", "vec")
+
+  private lazy val coarse = corpus.filter(col("id") < 6)
+    .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  private def freshDir(tag: String): String = {
+    val f = new java.io.File(
+      s"/tmp/graft_vidx_${ProcessHandle.current().pid()}_$tag")
+    def wipe(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(wipe)
+      x.delete(); ()
+    }
+    wipe(f)
+    f.getAbsolutePath
+  }
+
+  test("write → read → batch search is bit-identical to the in-memory tabled search") {
+    val dir = freshDir("roundtrip")
+    val meta = VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    meta.cells shouldBe 6L
+    meta.count shouldBe 48L
+
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+    idx.meta shouldBe meta
+
+    // the same training the write ran, kept in memory
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec", Dim, M, Ks, 1)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, M, Ks, Dim / M))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, Dim, M)
+    val inMem = SimilarityOps.pqTopKTabled(corpus, "id", "vec", coarse,
+      codes, bc, nprobe = 2, k = 3)
+
+    val persisted = VectorIndexIO.searchPqIndex(idx, corpus, "id", "vec",
+      nprobe = 2, k = 3)
+
+    val a = sortedRows(inMem)
+    val b = sortedRows(persisted)
+    a should not be empty
+    b shouldBe a // doubles bit-equal: identical fold over identical codes
+  }
+
+  test("point lookup ≡ batch search for a foreign query vector") {
+    val dir = freshDir("lookup")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    // a query NOT in the corpus (so batch self-exclusion is a no-op)
+    val qv = Array.tabulate(Dim)(t => ((t * 5) % 11) - 4.25f)
+    val qDf = Seq((-1L, qv)).toDF("id", "vec")
+
+    val batch = VectorIndexIO.searchPqIndex(idx, qDf, "id", "vec",
+        nprobe = 2, k = 3)
+      .select(col("nn_rank"), col("nearest_id").as("corpus_id"), col("adc"))
+    val point = VectorIndexIO.lookupPqIndex(idx, qv, nprobe = 2, k = 3)
+
+    sortedRows(point) shouldBe sortedRows(batch)
+    point.count() shouldBe 3
+  }
+
+  test("point lookup scan is partition-pruned to the probed cells") {
+    val dir = freshDir("prune")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    val totalCodeFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir, "codes"))
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    }
+    totalCodeFiles should be > 1 // several cells materialized
+
+    val qv = Array.tabulate(Dim)(t => ((t * 5) % 11) - 4.25f)
+    val lookup = VectorIndexIO.lookupPqIndex(idx, qv, nprobe = 1, k = 2)
+    lookup.collect().length shouldBe 2
+
+    // the executed scan must have read only the probed cell's files
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wrappers and query stages are leaf nodes — descend explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val codeScans = scans(lookup.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    codeScans should not be empty
+    val filesRead = codeScans.map(_.metrics("numFiles").value).sum
+    filesRead should be >= 1L
+    filesRead.toInt should be < totalCodeFiles
+    // and the pruning is declared, not incidental
+    codeScans.head.toString should include("PartitionFilters")
+  }
+
+  test("dimension mismatches and malformed meta fail loudly") {
+    val dir = freshDir("guards")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexIO.lookupPqIndex(idx, Array.fill(Dim + 1)(1f), 1, 1)
+    }
+    e.getMessage should include("dim")
+  }
+}
