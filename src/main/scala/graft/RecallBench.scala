@@ -168,6 +168,18 @@ object RecallBench {
         SimilarityOps.trainCentroids(emb, "vec_id", "embedding",
           k = math.max(1, sqrtK / 4), iters = 2))
     }
+    // --- k-means|| seeding (Bahmani 2012) vs lowest-id init at the
+    // same cell count and Lloyd budget ------------------------------
+    run("ivf_sqrt_kmpar") {
+      SimilarityOps.ivfNearestNeighbor(emb, "vec_id", "embedding",
+        SimilarityOps.trainCentroidsScalable(emb, "vec_id", "embedding",
+          k = sqrtK, rounds = 3, lloydIters = 2))
+    }
+    run("ivf_sqrt_kmpar_np4") {
+      SimilarityOps.ivfNearestNeighborProbed(emb, "vec_id", "embedding",
+        SimilarityOps.trainCentroidsScalable(emb, "vec_id", "embedding",
+          k = sqrtK, rounds = 3, lloydIters = 2), nprobe = 4)
+    }
     // --- IVF-PQ: m/ks/iters/coarse sweep over the q158 shape -------
     def pq(m: Int, ks: Int, iters: Int = 1,
         coarse: DataFrame = firstK(sqrtK)): DataFrame = {

@@ -178,16 +178,93 @@ object IvfCell {
       Array.tabulate[Long](n)(r => c.cids(topAt(r))))
   }
 
+  /** Best (maximum) cosine VALUE against the table — the map-side
+    * cost term k-means|| sampling needs (`1 − bestCos` is the
+    * spherical distance of a point to its nearest current center).
+    * Same scan, same loud non-finite contract as [[compute]]; returns
+    * the cosine, not the cid.
+    */
+  def computeBestCos(vec: ArrayData, c: Centroids): Double = {
+    require(vec.numElements() == c.dim,
+      s"vector dim ${vec.numElements()} != centroid dim ${c.dim}")
+    var vn = 0.0
+    var t = 0
+    while (t < c.dim) {
+      val x = vec.getFloat(t).toDouble
+      vn += x * x
+      t += 1
+    }
+    val vnorm = math.sqrt(vn)
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < c.cids.length) {
+      var d = 0.0
+      var u = 0
+      val base = i * c.dim
+      while (u < c.dim) {
+        d += vec.getFloat(u).toDouble * c.flat(base + u).toDouble
+        u += 1
+      }
+      val cos = d / (vnorm * c.norms(i))
+      if (java.lang.Double.isNaN(cos))
+        throw new IllegalArgumentException(
+          s"ivf_best_cos: non-finite cosine (zero-norm vector or corrupt " +
+            s"centroid) at cid=${c.cids(i)} — filter zero-norm vectors upstream")
+      if (cos > best) best = cos
+      i += 1
+    }
+    best
+  }
+
   /** Column form. */
   def ivfCell(vec: Column,
       centroids: org.apache.spark.broadcast.Broadcast[Centroids]): Column =
     ColumnBridge.column(IvfCell(ColumnBridge.expression(vec), centroids))
+
+  /** Column form of the best-cosine value. */
+  def ivfBestCos(vec: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Centroids]): Column =
+    ColumnBridge.column(IvfBestCos(ColumnBridge.expression(vec), centroids))
 
   /** Column form of the top-nprobe probe list. */
   def ivfCells(vec: Column,
       centroids: org.apache.spark.broadcast.Broadcast[Centroids],
       nprobe: Int): Column =
     ColumnBridge.column(IvfCells(ColumnBridge.expression(vec), centroids, nprobe))
+}
+
+/** The best-cosine VALUE against a broadcast centroid table (see
+  * [[IvfCell.computeBestCos]]) — the k-means|| sampling cost term,
+  * map-side with no join or window.
+  */
+case class IvfBestCos(child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[IvfCell.Centroids])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_best_cos requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "ivf_best_cos"
+
+  override def nullSafeEval(vec: Any): Any =
+    IvfCell.computeBestCos(vec.asInstanceOf[ArrayData], centroids.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[IvfCell.Centroids].getName
+    val bcRef = ctx.addReferenceObj("ivfBestCosBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val cached = ctx.addMutableState(cls, "ivfBestCosCentroids",
+      v => s"$v = ($cls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.IvfCell.computeBestCos($v, $cached);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfBestCos =
+    copy(child = newChild)
 }
 
 /** [[IvfCell]] generalized to the top `nprobe` cells (FAISS nprobe) —

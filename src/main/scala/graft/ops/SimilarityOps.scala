@@ -138,11 +138,21 @@ object SimilarityOps {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got ($k, $iters)")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .transform(Checkpoints.cut(_, eager = true)) // consumed every iteration
-    var centroids = vecs.orderBy(col("id")).limit(k)
+    val init = vecs.orderBy(col("id")).limit(k)
       .select(
         row_number().over(Window.orderBy(col("id"))).cast("bigint").as("cid"),
         col("vec").as("cvec"))
       .transform(Checkpoints.cut(_, eager = true))
+    lloydRounds(vecs, init, iters)
+  }
+
+  /** The shared Lloyd loop: max-cosine assignment, decimal-exact
+    * means, a lineage cut per round. `vecs` is (id, vec) already cut;
+    * `init` is the (cid, cvec) starting frame.
+    */
+  private def lloydRounds(vecs: DataFrame, init: DataFrame,
+      iters: Int): DataFrame = {
+    var centroids = init
     (1 to iters).foreach { _ =>
       val best = ivfAssign(vecs, "id", "vec", centroids)
         .select(col("cid"), col("vec"))
@@ -162,6 +172,141 @@ object SimilarityOps {
         .transform(Checkpoints.cut(_, eager = true)) // cut lineage per Lloyd round
     }
     centroids
+  }
+
+  /** k-means|| initialization (Bahmani et al., VLDB 2012 — Spark
+    * MLlib's own default initializer) + the shared Lloyd loop, in the
+    * engine's spherical (cosine) flavor. The lowest-id init of
+    * [[trainCentroids]] is cheap but blind: if the first k ids happen
+    * to sit in one region (clustered real-world embeddings), Lloyd
+    * starts degenerate. k-means|| fixes the seeding DISTRIBUTEDLY:
+    *
+    *   - `rounds` oversampling passes, each sampling every point
+    *     independently with probability min(1, ℓ·d(x)/φ) where
+    *     d(x) = 1 − bestCos(x, candidates) (the spherical cost) and
+    *     φ = Σ d(x) — one map-side pass per round against the
+    *     BROADCAST candidate set (native `expr/IvfBestCos`, no join,
+    *     no window) plus one decimal-exact sum;
+    *   - candidates are weighted by the size of their assignment
+    *     basin (one `expr/IvfCell` pass + a count), then reduced to k
+    *     centers ON THE DRIVER by deterministic greedy weighted
+    *     k-means++ (pick max weight, then repeatedly the candidate
+    *     maximizing weight · spherical distance² to the chosen set —
+    *     candidates are ≤ 1 + rounds·ℓ ≈ O(√n) rows, driver-sized by
+    *     contract like codebooks and centroid tables);
+    *   - `lloydIters` standard rounds refine.
+    *
+    * DETERMINISM: "random" sampling decisions are the 60-bit
+    * [[SketchOps.kmvHash]] of `id|round` scaled to [0,1) — no RNG, so
+    * training is bit-reproducible across runs and cluster layouts
+    * (the repo-wide no-RNG discipline), and φ is a decimal-exact sum.
+    * Measured recall impact vs lowest-id init: RecallBench
+    * `ivf_sqrt_kmpar*` configs, SURVEY §8 r13 item 17.
+    */
+  def trainCentroidsScalable(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 3, ell: Int = 0, lloydIters: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1 && lloydIters >= 0,
+      s"need k >= 1, rounds >= 1, lloydIters >= 0; got ($k, $rounds, $lloydIters)")
+    val spark = corpus.sparkSession
+    val oversample = if (ell > 0) ell else 2 * k
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .transform(Checkpoints.cut(_, eager = true))
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+
+    def centroidTable(cand: IndexedSeq[Array[Float]]): graft.expr.IvfCell.Centroids = {
+      val flat = new Array[Float](cand.length * dim)
+      cand.zipWithIndex.foreach { case (v, i) =>
+        System.arraycopy(v, 0, flat, i * dim, dim)
+      }
+      new graft.expr.IvfCell.Centroids(
+        Array.tabulate(cand.length)(_.toLong), dim, flat)
+    }
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+      r.getSeq[Float](1).toArray
+
+    // seed: the lowest-id vector (deterministic)
+    val first = vecs.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "trainCentroidsScalable: empty corpus")
+    val seen = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](
+      first(0).getLong(0) -> vecOf(first(0)))
+
+    var r = 1
+    var continue = true
+    while (r <= rounds && continue) {
+      val bc = spark.sparkContext.broadcast(centroidTable(seen.values.toIndexedSeq))
+      val withCost = vecs.withColumn("__d",
+        lit(1.0) - graft.expr.IvfCell.ivfBestCos(col("vec"), bc))
+      // decimal-exact φ: merge order can never perturb the sampling
+      // thresholds (the trainCentroids mean discipline)
+      val phi = withCost.agg(sum(col("__d").cast(
+          org.apache.spark.sql.types.DecimalType(30, 20))).cast("double"))
+        .head().getDouble(0)
+      if (phi <= 0.0) continue = false // every point IS a candidate already
+      else {
+        val hash01 = SketchOps.kmvHash(
+          concat(col("id").cast("string"), lit("|"), lit(r.toString)))
+          .cast("double") / lit(SketchOps.HashSpace)
+        val sampled = withCost
+          .filter(hash01 < least(lit(1.0), lit(oversample.toDouble) * col("__d") / lit(phi)))
+          .select(col("id"), col("vec"))
+          .orderBy(col("id"))
+          .collect()
+        sampled.foreach(row =>
+          seen.getOrElseUpdate(row.getLong(0), vecOf(row)))
+      }
+      r += 1
+    }
+
+    // weight candidates by assignment-basin size
+    val candSeq = seen.values.toIndexedSeq
+    val bcAll = spark.sparkContext.broadcast(centroidTable(candSeq))
+    val weights = new Array[Long](candSeq.length)
+    vecs.select(graft.expr.IvfCell.ivfCell(col("vec"), bcAll).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .collect().foreach(row => weights(row.getLong(0).toInt) = row.getLong(1))
+
+    // deterministic greedy weighted k-means++ on the driver
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+      while (t < dim) {
+        val x = a(t).toDouble; val y = b(t).toDouble
+        d += x * y; na += x * x; nb += y * y; t += 1
+      }
+      1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val m = candSeq.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val minD = Array.fill(m)(Double.PositiveInfinity)
+    val firstPick = weights.zipWithIndex.maxBy { case (w, i) => (w, -i) }._2
+    chosen += firstPick
+    while (chosen.size < math.min(k, m)) {
+      val last = candSeq(chosen.last)
+      var i = 0
+      while (i < m) {
+        val d = cosDist(candSeq(i), last)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      var bestI = -1
+      var bestScore = -1.0
+      i = 0
+      while (i < m) {
+        if (!chosen.contains(i)) {
+          val s = weights(i).toDouble * minD(i) * minD(i)
+          if (s > bestScore) { bestScore = s; bestI = i }
+        }
+        i += 1
+      }
+      chosen += bestI
+    }
+
+    import spark.implicits._
+    val init = chosen.toIndexedSeq.zipWithIndex
+      .map { case (ci, ord) => (ord.toLong, candSeq(ci).toSeq) }
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+      .transform(Checkpoints.cut(_, eager = true))
+    lloydRounds(vecs, init, lloydIters)
   }
 
   /** Embedding-cosine near-duplicate pairs: canonicalized (id1 < id2)

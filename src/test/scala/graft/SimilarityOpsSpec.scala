@@ -616,4 +616,61 @@ class SimilarityOpsSpec extends SparkSpecBase {
     out.flat.slice(6, 8).toSeq shouldBe Seq(3f, 4f)
     out.flat(4).isNaN shouldBe true // (1,0) dropped
   }
+
+  // two tight clusters; EVERY low id sits in cluster A, so the
+  // lowest-id k=2 init is degenerate by construction
+  private def twoClusterCorpus = {
+    def jitter(i: Int, t: Int) = (((i * 31 + t * 7) % 5) - 2) * 0.01f
+    val a = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(t => (if (t == 0) 1f else 0f) + jitter(i, t))))
+    val b = (50 until 100).map(i =>
+      (i.toLong, Array.tabulate(8)(t => (if (t == 1) 1f else 0f) + jitter(i, t))))
+    (a ++ b).toDF("id", "vec")
+  }
+
+  test("IvfBestCos matches the driver-computed max cosine") {
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("cid", "cvec")
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCentroids(cents, dim = 8))
+    val rows = twoClusterCorpus.select(col("id"), col("vec"),
+      graft.expr.IvfCell.ivfBestCos(col("vec"), bc).as("best")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val expected = math.max(v(0) / n, v(1) / n)
+      r.getDouble(2) shouldBe expected +- 1e-12
+    }
+  }
+
+  test("k-means|| seeding recovers both clusters where lowest-id init cannot") {
+    val corpus = twoClusterCorpus
+    // lloydIters = 0 isolates INIT quality
+    val naive = SimilarityOps.trainCentroids(corpus, "id", "vec", k = 2, iters = 0)
+      .collect().map(_.getSeq[Float](1))
+    val scalable = SimilarityOps.trainCentroidsScalable(corpus, "id", "vec",
+      k = 2, rounds = 3, lloydIters = 0)
+      .collect().map(_.getSeq[Float](1))
+    def axis(v: Seq[Float]): Int = if (v(0) > v(1)) 0 else 1
+    naive.map(axis).toSet shouldBe Set(0) // both seeds in cluster A
+    scalable.map(axis).toSet shouldBe Set(0, 1) // one per cluster
+  }
+
+  test("trainCentroidsScalable is bit-deterministic and feeds Lloyd") {
+    val corpus = twoClusterCorpus
+    val c1 = SimilarityOps.trainCentroidsScalable(corpus, "id", "vec",
+      k = 2, rounds = 2, lloydIters = 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val c2 = SimilarityOps.trainCentroidsScalable(corpus, "id", "vec",
+      k = 2, rounds = 2, lloydIters = 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    c1 shouldBe c2
+    c1.length shouldBe 2
+    // after one Lloyd round each centroid is its cluster's exact mean
+    // direction: cosine to the cluster axis is near 1
+    c1.map(_._2).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      math.max(v(0) / n, v(1) / n) should be > 0.99
+    }
+  }
 }
