@@ -53,11 +53,7 @@ object LayoutBench {
       "trail" -> Seq(ColRange("l_suppkey", maxSk / 10, maxSk * 3 / 10)))
 
     val base = s"/tmp/graft_layoutbench_${ProcessHandle.current().pid()}"
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
-      f.delete(); ()
-    }
-    wipe(new java.io.File(base))
+    graft.ops.StageMemo.wipe(new java.io.File(base))
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()

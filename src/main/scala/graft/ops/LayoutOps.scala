@@ -61,8 +61,9 @@ object LayoutOps {
       s"rank bits out of range: ${zCols.size} cols x $rankBits")
     val nb = 1 << rankBits
     val probes = (1 until nb).map(_.toDouble / nb).toArray
-    val rankCols = zCols.map { c =>
-      val cuts = df.stat.approxQuantile(c, probes, 0.001)
+    // ONE sampling pass computes every column's cut table
+    val allCuts = df.stat.approxQuantile(zCols.toArray, probes, 0.001)
+    val rankCols = zCols.zip(allCuts).map { case (c, cuts) =>
       // rank = #cuts strictly below the value: monotone, null-safe
       // (null value -> null rank -> null z, clustered together), one
       // native binary-search probe per row (expr/RankBin) — the

@@ -211,7 +211,11 @@ object SimilarityOps {
     val oversample = if (ell > 0) ell else 2 * k
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .transform(Checkpoints.cut(_, eager = true))
-    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    // seed: the lowest-id vector (deterministic); its length is dim —
+    // one job, and an empty corpus fails HERE with the loud message
+    val first = vecs.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "trainCentroidsScalable: empty corpus")
+    val dim = first(0).getSeq[Float](1).length
 
     def centroidTable(cand: IndexedSeq[Array[Float]]): graft.expr.IvfCell.Centroids = {
       val flat = new Array[Float](cand.length * dim)
@@ -224,9 +228,6 @@ object SimilarityOps {
     def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
       r.getSeq[Float](1).toArray
 
-    // seed: the lowest-id vector (deterministic)
-    val first = vecs.orderBy(col("id")).limit(1).collect()
-    require(first.nonEmpty, "trainCentroidsScalable: empty corpus")
     val seen = scala.collection.mutable.LinkedHashMap[Long, Array[Float]](
       first(0).getLong(0) -> vecOf(first(0)))
 
@@ -301,8 +302,11 @@ object SimilarityOps {
     }
 
     import spark.implicits._
+    // cid 1-based, matching trainCentroids' row_number() convention —
+    // the two trainers must be drop-in interchangeable for consumers
+    // that surface cid in graded output
     val init = chosen.toIndexedSeq.zipWithIndex
-      .map { case (ci, ord) => (ord.toLong, candSeq(ci).toSeq) }
+      .map { case (ci, ord) => ((ord + 1).toLong, candSeq(ci).toSeq) }
       .toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
       .transform(Checkpoints.cut(_, eager = true))
@@ -782,20 +786,41 @@ object SimilarityOps {
     // query's table is rebuilt once per PROBED cell (it rides the
     // post-assignment row) — nprobe·ks·dim flops, still ≪ the ~√n
     // per-cell candidates it saves.
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
     val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids, nprobe)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"), col("__rn"))
       .localCheckpoint(true) // consumed by both in-cell join sides
-    val l = probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+    val candidates = probed.filter(col("__rn") === 1) // the index cell
+      .select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    pqTabledSearch(
+      probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid")),
+      candidates, codebooks, k)
+  }
+
+  /** The shared tabled-ADC search tail: probed queries
+    * `(id1, v1, cid)` against a candidate frame `(cid2, id2, codes)`.
+    * The query side repartitions on its cell FIRST and projects the
+    * distance table ABOVE that exchange (build once per probed row;
+    * the exchange moves dim floats, never the table); every candidate
+    * costs m lookups; `nn_rank` ties break `(adc, id2)`. ONE copy of
+    * this dataflow serves both the in-memory faces and the persisted
+    * index ([[graft.io.VectorIndexIO.searchPqIndex]]) — the oracles
+    * pin its exact rounding and tie-breaks, so it must never fork.
+    */
+  private[graft] def pqTabledSearch(probedQueries: DataFrame,
+      candidates: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l = probedQueries
       .repartition(col("cid"))
       .select(col("id1"),
         graft.expr.PqAdc.pqDistTable(col("v1"), codebooks).as("__dtab"),
         col("cid"))
-    val r = probed.filter(col("__rn") === 1) // the index cell
-      .select(col("id").as("id2"), col("cid").as("cid2"))
-      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
-    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+    val pairs = l.join(candidates,
+        l("cid") === candidates("cid2") && l("id1") =!= candidates("id2"))
       .select(col("id1"), col("id2"),
         graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
     val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))

@@ -93,20 +93,46 @@ object StageMemo {
   }
 
   private val builtOnce = ConcurrentHashMap.newKeySet[String]()
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
 
   /** Run a SIDE-EFFECTING build (an on-disk index or layout write of
     * an IMMUTABLE input) once per process per key — the in-process
     * analogue of "the index is built once and every query thereafter
     * only searches it", which is the contract persisted-artifact
-    * operators exist to provide. `GRAFT_NO_MEMO` forces every call to
-    * rebuild; a failed build retracts the key so the next call
-    * retries instead of trusting a half-written artifact.
+    * operators exist to provide.
+    *
+    * Contract: concurrent callers BLOCK on a per-key monitor until
+    * the in-flight build completes (a non-blocking fast path would
+    * let the second caller read a half-written artifact); a build
+    * that throws leaves the key un-built so the next call retries;
+    * `stillValid` re-validates the artifact on every hit (pass e.g.
+    * "the meta dir still exists") so an externally deleted /tmp root
+    * rebuilds instead of wedging the process; `GRAFT_NO_MEMO` forces
+    * every call to rebuild.
     */
-  def buildOnce(key: String)(build: => Unit): Unit = {
+  def buildOnce(key: String, stillValid: => Boolean = true)(
+      build: => Unit): Unit = {
     if (disabled) { build; return }
-    if (builtOnce.add(key)) {
-      try build
-      catch { case t: Throwable => builtOnce.remove(key); throw t }
+    val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!(builtOnce.contains(key) && stillValid)) {
+        build
+        builtOnce.add(key)
+        ()
+      }
     }
+  }
+
+  /** Shared null-safe recursive delete for write-once fixture roots
+    * (the q157/q164/q165 pattern — one copy, not one per call site;
+    * `listFiles` returns null on a concurrently vanished dir).
+    */
+  def wipe(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(wipe)
+    }
+    f.delete()
+    ()
   }
 }

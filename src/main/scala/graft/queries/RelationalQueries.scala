@@ -453,12 +453,9 @@ object RelationalQueries {
       val root = new java.io.File(
         s"/tmp/graft_q165_${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
-      StageMemo.buildOnce(root.getAbsolutePath) {
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(root)
+      StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "_stats").isDirectory) {
+        StageMemo.wipe(root)
         LayoutOps.zorderWrite(
           li.select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
           zCols = Seq("l_partkey", "l_suppkey"), nFiles = 24,

@@ -1496,11 +1496,7 @@ object ToolQueries {
       val root = new java.io.File(
         s"/tmp/graft_q157_${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(root)
+      graft.ops.StageMemo.wipe(root)
       new java.io.File(root, "data").mkdirs()
 
       val k = col("o_orderkey")
@@ -1537,7 +1533,7 @@ object ToolQueries {
           f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
         val dest = new java.io.File(root, s"data/shard$shard.parquet")
         java.nio.file.Files.move(part.toPath, dest.toPath)
-        wipe(tmp)
+        graft.ops.StageMemo.wipe(tmp)
         s"data/shard$shard.parquet" -> dest.length()
       }
       val manifest = new java.io.File(root, "manifest.json")

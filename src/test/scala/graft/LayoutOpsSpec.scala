@@ -19,11 +19,7 @@ class LayoutOpsSpec extends SparkSpecBase {
   private def freshDir(tag: String): String = {
     val f = new java.io.File(
       s"/tmp/graft_layout_${ProcessHandle.current().pid()}_$tag")
-    def wipe(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(wipe)
-      x.delete(); ()
-    }
-    wipe(f)
+    graft.ops.StageMemo.wipe(f)
     f.getAbsolutePath
   }
 

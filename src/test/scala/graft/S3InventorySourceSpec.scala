@@ -16,10 +16,7 @@ import graft.io.S3InventorySource
 class S3InventorySourceSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def wipe(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(wipe)
-    f.delete(); ()
-  }
+  private def wipe(f: File): Unit = graft.ops.StageMemo.wipe(f)
 
   private def md5Hex(f: File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

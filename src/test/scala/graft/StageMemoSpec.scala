@@ -81,6 +81,44 @@ class StageMemoSpec extends SparkSpecBase {
     } finally sys.props.remove("GRAFT_NO_MEMO")
   }
 
+  test("buildOnce re-validates the artifact and blocks concurrent builders") {
+    // stillValid=false on a hit -> rebuild (the externally-deleted
+    // /tmp root case)
+    var builds = 0
+    var artifactPresent = false
+    val key = s"spec|valid|${System.nanoTime()}"
+    StageMemo.buildOnce(key, stillValid = artifactPresent) {
+      builds += 1; artifactPresent = true
+    }
+    StageMemo.buildOnce(key, stillValid = artifactPresent) { builds += 1 }
+    builds shouldBe 1
+    artifactPresent = false // "tmp cleaner deleted it"
+    StageMemo.buildOnce(key, stillValid = artifactPresent) {
+      builds += 1; artifactPresent = true
+    }
+    builds shouldBe 2
+
+    // a second caller must BLOCK until the in-flight build completes,
+    // never observe a half-built artifact
+    val key2 = s"spec|conc|${System.nanoTime()}"
+    @volatile var state = "unbuilt"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => StageMemo.buildOnce(key2) {
+      started.countDown()
+      state = "building"
+      Thread.sleep(200)
+      state = "built"
+    })
+    t1.start()
+    started.await()
+    var seenByB: String = null
+    val t2 = new Thread(() => StageMemo.buildOnce(key2) { fail("must not rebuild") }
+      match { case _ => seenByB = state })
+    t2.start()
+    t1.join(); t2.join()
+    seenByB shouldBe "built" // B returned only after A finished
+  }
+
   test("hit survives a bench-style drain (clearCache + unpersist all RDDs)") {
     StageMemo.invalidate("spec|drain")
     val src = Seq((7L, 70)).toDF("doc_id", "__len").localCheckpoint(true)
