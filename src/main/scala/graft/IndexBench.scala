@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.{TextIndexIO, VectorIndexIO}
+import graft.ops.SimilarityOps
+
+/** Persistent-index lifecycle bench (dev tool): times every face of
+  * the vector and text indexes — build, batch search, serving lookup,
+  * append, surgical delete, compaction, tombstone+merge — on any
+  * sf/stress dir, so the 1×/10×/100× curves in SURVEY §8 are measured
+  * rather than asserted. One JSON line per face.
+  *
+  * Usage: runMain graft.IndexBench [dir]
+  */
+object IndexBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = s"/tmp/graft_idxbench_${ProcessHandle.current().pid()}"
+    graft.ops.StageMemo.wipe(new java.io.File(base))
+    def timed(tag: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val extra = r match {
+        case n: Long => s""","rows":$n"""
+        case _ => ""
+      }
+      println(f"""{"face":"$tag","secs":${(System.nanoTime() - t0) / 1e9}%.2f$extra}""")
+    }
+
+    // ---- vector index lifecycle over embeddings --------------------
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val (dim, m, ks) = (64, 8, 4)
+    val kc = SimilarityOps.sqrtCentroidCount(n)
+    val coarse = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val vdir = s"$base/vec"
+    println(s"""{"corpus":"embeddings","n":$n,"cells":$kc}""")
+    timed("vec_build") {
+      VectorIndexIO.writePqIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", coarse, dim, m, ks, iters = 1, vdir)
+    }
+    timed("vec_search_all") {
+      VectorIndexIO.searchPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
+        emb, "vec_id", "embedding", nprobe = 2, k = 3).count()
+    }
+    val qv = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    timed("vec_lookup") {
+      VectorIndexIO.lookupPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
+        qv, nprobe = 4, k = 10).count()
+    }
+    timed("vec_append_10pct") {
+      VectorIndexIO.appendToPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", vdir)
+    }
+    timed("vec_delete_every13th") {
+      VectorIndexIO.deleteFromPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
+        emb.filter(col("vec_id") % 13 === 0).select(col("vec_id")),
+        "vec_id", vdir)
+    }
+    timed("vec_compact") {
+      VectorIndexIO.compactPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
+        vdir).length.toLong
+    }
+
+    // ---- text index lifecycle over documents -----------------------
+    val docs = Tables.load(spark, dir, "documents")
+    val nd = docs.count()
+    val tdir = s"$base/text"
+    println(s"""{"corpus":"documents","n":$nd}""")
+    timed("text_build") {
+      TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 64, tdir)
+    }
+    val q = Seq("spark", "customer", "hash", "vector")
+    timed("text_search") {
+      TextIndexIO.searchTextIndex(
+        TextIndexIO.readTextIndex(spark, tdir), q, k = 20).count()
+    }
+    timed("text_tombstone") {
+      TextIndexIO.deleteFromTextIndex(spark, tdir,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")), "doc_id")
+    }
+    timed("text_search_tombstoned") {
+      TextIndexIO.searchTextIndex(
+        TextIndexIO.readTextIndex(spark, tdir), q, k = 20).count()
+    }
+    timed("text_merge") {
+      TextIndexIO.mergeTextIndex(spark, tdir)
+    }
+    spark.stop()
+  }
+}

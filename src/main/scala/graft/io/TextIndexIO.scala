@@ -1,0 +1,210 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Checkpoints, SketchOps, TextOps}
+
+/** Persistent inverted text index — the retrieval twin of
+  * [[VectorIndexIO]]: build the posting lists once, answer keyword
+  * queries forever after by reading ONLY the term buckets the query
+  * names.
+  *
+  * {{{
+  *   <dir>/meta/                one row (nDocs, sumDl, buckets)
+  *   <dir>/terms/               (term, df)          — vocab-sized
+  *   <dir>/postings/bucket=N/   (term, doc_id, tf, dl)
+  * }}}
+  *
+  * Postings are PARTITIONED BY TERM-HASH BUCKET, and a query's terms
+  * map to their buckets ON THE DRIVER (the same md5-60-bit hash the
+  * engine writes with, [[SketchOps.kmvHash]] / [[termBucket]]), so
+  * the postings scan partition-prunes to |query| directories of a
+  * store that at corpus scale holds billions of rows — the Lucene
+  * inverted-list economics on a parquet directory tree. Document
+  * length rides ON the posting row (the per-doc norm denormalized,
+  * as Lucene stores norms) so scoring never scans a corpus-wide doc
+  * table.
+  *
+  * Scoring is BM25 in exactly [[graft.ops.RankOps.bm25Rank]]'s form —
+  * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), Lucene tf-norm, per-term
+  * contributions rounded to DECIMAL(25,10) and decimal-summed so the
+  * score is merge-order-independent — which is what lets q168's
+  * DuckDB oracle replay the search from the raw documents table,
+  * blind to the index in the middle.
+  */
+object TextIndexIO {
+
+  /** Index-wide constants, persisted as the single `meta/` row.
+    * `avgdl` is derived (exact integer sum ÷ count, divided once in
+    * double) — stored as the two integers so no float ever lands on
+    * disk.
+    */
+  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int) {
+    def avgdl: Double = sumDl.toDouble / nDocs
+  }
+
+  final case class TextIndex(meta: TextIndexMeta, terms: DataFrame,
+      postings: DataFrame, docs: DataFrame, deletes: DataFrame)
+
+  /** Driver twin of the bucket the write computes with
+    * [[SketchOps.kmvHash]] (first 15 md5 hex chars as a 60-bit int):
+    * identical bytes in, identical bucket out.
+    */
+  def termBucket(term: String, buckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** Tokenize (text-family convention: single-space split, empties
+    * dropped), build posting lists and persist. One corpus pass feeds
+    * postings, the df table and the meta row.
+    */
+  def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, dir: String): TextIndexMeta = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val d = Checkpoints.cut(
+      docs.select(col(idCol).as("doc_id"),
+          TextOps.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+          col("__toks")),
+      eager = true) // consumed by postings AND the meta aggregate
+    val tf = d.select(col("doc_id"), col("dl"),
+        explode(col("__toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("bucket",
+        pmod(SketchOps.kmvHash(col("term")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    // tf is one row per (term, doc): the term-side count IS df
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/terms")
+    // (doc_id, dl) for every doc INCLUDING empty-text ones — merge
+    // recomputes exact corpus stats from this, postings can't (an
+    // empty doc has no posting rows but still counts in N/avgdl)
+    d.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val meta = TextIndexMeta(stats.getLong(0), stats.getLong(1), buckets)
+    import spark.implicits._
+    Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    meta
+  }
+
+  /** Tombstone deletion (the Lucene deleted-docs model): a document's
+    * postings span MANY term buckets, so an eager rewrite would touch
+    * most of the store; instead the ids append to `<dir>/deletes/`
+    * and every search anti-joins the broadcast tombstone set.
+    * DOCUMENTED DRIFT, exactly Lucene's: until [[mergeTextIndex]],
+    * df/N/avgdl still count tombstoned docs, so surviving docs'
+    * scores are computed against slightly stale corpus stats.
+    */
+  def deleteFromTextIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/deletes")
+
+  /** Apply tombstones for real (the segment merge): rewrite postings
+    * and docs minus the tombstoned ids, recompute the df table and
+    * the exact corpus stats, clear the tombstones. After a merge,
+    * scores are exactly those of an index built on the surviving
+    * corpus — which is what q169's oracle replays.
+    */
+  def mergeTextIndex(spark: SparkSession, dir: String): TextIndexMeta = {
+    val idx = readTextIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (idx.deletes.isEmpty) return idx.meta
+    val del = broadcast(idx.deletes)
+    // materialize survivors before overwriting their source files
+    val postings = Checkpoints.cut(
+      idx.postings.join(del, Seq("doc_id"), "left_anti"), eager = true)
+    val docs = Checkpoints.cut(
+      idx.docs.join(del, Seq("doc_id"), "left_anti"), eager = true)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/terms")
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val meta = TextIndexMeta(stats.getLong(0),
+      if (stats.isNullAt(1)) 0L else stats.getLong(1), idx.meta.buckets)
+    import spark.implicits._
+    Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
+    meta
+  }
+
+  def readTextIndex(spark: SparkSession, dir: String): TextIndex = {
+    val metaRow = spark.read.parquet(s"$dir/meta").collect() match {
+      case Array(r) => TextIndexMeta(r.getAs[Long]("nDocs"),
+        r.getAs[Long]("sumDl"), r.getAs[Int]("buckets"))
+      case rows => throw new IllegalStateException(
+        s"index meta at $dir/meta must hold exactly one row, got ${rows.length}")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val deletes =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+        spark.read.parquet(s"$dir/deletes")
+      else {
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc_id")
+      }
+    TextIndex(metaRow,
+      terms = spark.read.parquet(s"$dir/terms"),
+      postings = spark.read.parquet(s"$dir/postings")
+        .select(col("bucket").cast("int").as("bucket"), col("term"),
+          col("doc_id"), col("dl"), col("tf")),
+      docs = spark.read.parquet(s"$dir/docs"),
+      deletes = deletes)
+  }
+
+  /** Top-k BM25 retrieval off the persisted index: the postings scan
+    * carries `bucket IN (driver-computed buckets of the query terms)`
+    * — a PARTITION filter, so storage reads |query-term buckets| of
+    * the posting store — plus the residual `term IN (...)`; the df
+    * side is the query-terms slice of the vocab table, broadcast.
+    * Returns (rank, doc_id, bm25, n_terms), rank 1..k by
+    * (bm25 desc, doc_id).
+    */
+  def searchTextIndex(index: TextIndex, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = index.meta
+    val qBuckets = queryTerms.map(termBucket(_, meta.buckets)).distinct
+    val qPostings = index.postings
+      .where(col("bucket").isin(qBuckets: _*)) // partition-pruned
+      .where(col("term").isin(queryTerms: _*))
+      // tombstoned docs never surface (df/N stay stale until merge —
+      // the documented Lucene drift)
+      .join(broadcast(index.deletes.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    val qDf = index.terms.where(col("term").isin(queryTerms: _*))
+    val idf = log(lit(1d) +
+      (lit(meta.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
+      (col("tf") + lit(k1) *
+        (lit(1d) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
+    val scored = qPostings.join(broadcast(qDf), "term")
+      .select(col("doc_id"), (idf * tfNorm).cast(DecimalType(25, 10)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+    // TakeOrderedAndProject top-k, then rank the k rows
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("bm25"), col("n_terms"))
+  }
+}

@@ -80,6 +80,120 @@ object VectorIndexIO {
     meta
   }
 
+  /** Append NEW vectors to a persisted index (FAISS `add`): encode
+    * them with the index's EXISTING codebooks and assign their cells
+    * against the EXISTING coarse centroids — no retraining, which is
+    * the vector-store append contract (and its documented trade:
+    * under distribution shift the frozen codebooks quantize new
+    * vectors worse until a rebuild; FAISS leaves that call to the
+    * caller too). New code rows land in their `cid=` partitions via
+    * an append write; `meta/` is rewritten with the new count. The
+    * caller re-reads via [[readPqIndex]] — an already-open index's
+    * lazy codes frame pinned its file listing at read time and will
+    * not see appended files.
+    */
+  def appendToPqIndex(index: PqIndex, newVectors: DataFrame,
+      idCol: String, vecCol: String, dir: String): PqIndexMeta = {
+    val spark = newVectors.sparkSession
+    val meta = index.meta
+    val codes = SimilarityOps.pqEncode(newVectors, idCol, vecCol,
+      index.codebooks, meta.dim, meta.m)
+    val indexed = SimilarityOps.corpusPqIndex(newVectors, idCol, vecCol,
+      index.centroids, codes)
+    indexed.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+    val newMeta = meta.copy(count = meta.count + newVectors.count())
+    import spark.implicits._
+    Seq(newMeta).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    newMeta
+  }
+
+  /** Delete vectors from a persisted index, SURGICALLY: each vector
+    * lives in exactly ONE cell partition, so deletion rewrites only
+    * the `cid=` directories that contain a deleted id — every other
+    * partition's files are left byte-untouched (spec-asserted by
+    * name+length). This is the right-to-be-forgotten path a corpus
+    * store needs at 100 TB: the rewrite cost is proportional to the
+    * affected cells, not the store. A cell whose last vector dies has
+    * its directory removed outright (a dynamic partition overwrite
+    * never touches a partition it writes no rows for). `meta/` is
+    * rewritten; re-read via [[readPqIndex]].
+    */
+  def deleteFromPqIndex(index: PqIndex, ids: DataFrame, idCol: String,
+      dir: String): PqIndexMeta = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).as("corpus_id")).distinct()
+    val hits = index.codes
+      .join(broadcast(del), Seq("corpus_id"), "left_semi")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dead"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (hits.nonEmpty) {
+      val affected = hits.keySet.toSeq
+      // MATERIALIZE survivors before overwriting the files they were
+      // read from — the cut both breaks Spark's "overwrite a path
+      // being read" guard and pins the data while files are replaced
+      val survivors = graft.ops.Checkpoints.cut(
+        index.codes
+          .where(col("cid").isin(affected: _*))
+          .join(broadcast(del), Seq("corpus_id"), "left_anti"),
+        eager = true)
+      val live = survivors.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      survivors.repartition(col("cid"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(s"$dir/codes")
+      // emptied cells write no rows — drop their directories explicitly
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (hits.keySet -- live).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/cid=$c"), true)
+        ()
+      }
+    }
+    val newMeta = index.meta.copy(
+      count = index.meta.count - hits.values.sum)
+    import spark.implicits._
+    Seq(newMeta).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    newMeta
+  }
+
+  /** Compact a persisted index's cell partitions: appends leave one
+    * file per append per cell; compaction rewrites only the cells
+    * holding more than `targetFilesPerCell` files (one task per such
+    * cell via the cid repartition), leaving the rest byte-untouched.
+    * Search results are identical before and after — this is purely
+    * the small-files hygiene an append-heavy store needs.
+    */
+  def compactPqIndex(index: PqIndex, dir: String,
+      targetFilesPerCell: Int = 1): Seq[Long] = {
+    require(targetFilesPerCell >= 1, "targetFilesPerCell must be >= 1")
+    val spark = index.codes.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val crowded = fs.listStatus(codesPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .filter { s =>
+        fs.listStatus(s.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > targetFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("cid=").toLong)
+    if (crowded.nonEmpty) {
+      // materialize before overwriting the source files (see
+      // deleteFromPqIndex)
+      graft.ops.Checkpoints.cut(
+          index.codes.where(col("cid").isin(crowded: _*)), eager = true)
+        .repartition(col("cid"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(s"$dir/codes")
+    }
+    crowded
+  }
+
   /** Reload a persisted index. Frames stay lazy — nothing but the
     * one-row meta is read eagerly; the codes scan materializes only
     * under a search, where a cell predicate prunes it to the probed
@@ -115,8 +229,6 @@ object VectorIndexIO {
     */
   def searchPqIndex(index: PqIndex, queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     val meta = index.meta
     val bc = spark.sparkContext.broadcast(SimilarityOps.collectCodebooks(
@@ -124,19 +236,14 @@ object VectorIndexIO {
     val probed = SimilarityOps.ivfAssignProbed(queries, idCol, vecCol,
         index.centroids, nprobe)
       .select(col(idCol).as("id1"), col(vecCol).as("v1"), col("cid"))
-    val l = probed.repartition(col("cid"))
-      .select(col("id1"),
-        graft.expr.PqAdc.pqDistTable(col("v1"), bc).as("__dtab"), col("cid"))
-    val r = index.codes
-      .select(col("cid").as("cid2"), col("corpus_id").as("id2"), col("codes"))
-    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
-      .select(col("id1"), col("id2"),
-        graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
-    val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
-    pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("id1"), col("__rn").as("nn_rank"),
-        col("id2").as("nearest_id"), col("adc"))
+    // the ONE shared tabled-ADC search tail (SimilarityOps
+    // .pqTabledSearch) with the candidate side read from the index's
+    // persisted code partitions — tie-breaks and rounding cannot
+    // drift from the in-memory faces the oracles pin
+    SimilarityOps.pqTabledSearch(probed,
+      index.codes.select(col("cid").as("cid2"),
+        col("corpus_id").as("id2"), col("codes")),
+      bc, k)
   }
 
   /** Point lookup — the serving face: one query vector, its `nprobe`

@@ -67,8 +67,10 @@ object TextQueries {
   private def ivfPqOracleCtes: String =
     ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings")
 
-  private def ivfPqCtes(vecsSql: String, nprobe: Int = 1): String =
-    s"""WITH kk AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+  private def ivfPqCtes(vecsSql: String, nprobe: Int = 1,
+      kSql: String = "floor(sqrt(COUNT(*)))",
+      trainWhere: String = "TRUE"): String =
+    s"""WITH kk AS (SELECT CAST($kSql AS BIGINT) AS k
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS ccid, embedding AS ccv
        |  FROM embeddings, kk WHERE vec_id < k),
@@ -86,22 +88,23 @@ object TextQueries {
        |  SELECT e.vec_id, s.sub,
        |    e.v[s.sub*8 + 1 : s.sub*8 + 8] AS sv
        |  FROM vecs e CROSS JOIN subs s),
+       |tr AS (SELECT b.vec_id, b.sub, b.sv FROM sub b WHERE $trainWhere),
        |init AS (
        |  SELECT sub,
        |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
        |      AS BIGINT) AS cid, sv AS cvec
-       |  FROM sub
+       |  FROM tr
        |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
        |a1 AS (
        |  SELECT b.vec_id, b.sub, c.cid
-       |  FROM sub b JOIN init c ON b.sub = c.sub
+       |  FROM tr b JOIN init c ON b.sub = c.sub
        |  QUALIFY row_number() OVER (PARTITION BY b.vec_id, b.sub
        |    ORDER BY ${sqDistSql("b.sv", "c.cvec")}, c.cid) = 1),
        |m1 AS (
        |  SELECT a.sub, a.cid, t.pos,
        |    CAST(CAST(SUM(CAST(CAST(b.sv[t.pos] AS DOUBLE) AS DECIMAL(25,10)))
        |      AS DOUBLE) / COUNT(*) AS FLOAT) AS mv
-       |  FROM a1 a JOIN sub b ON a.vec_id = b.vec_id AND a.sub = b.sub
+       |  FROM a1 a JOIN tr b ON a.vec_id = b.vec_id AND a.sub = b.sub
        |  CROSS JOIN generate_series(1, 8) t(pos)
        |  GROUP BY a.sub, a.cid, t.pos),
        |cb AS (SELECT sub, cid, list(mv ORDER BY pos) AS cvec
@@ -1321,14 +1324,68 @@ object TextQueries {
       val root = new java.io.File(
         s"/tmp/graft_q164_${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath) {
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(root)
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
         VectorIndexIO.writePqIndex(emb, "vec_id", "embedding", coarse,
           dim, m, ks, iters = 1, root.getAbsolutePath)
+        ()
+      }
+      val idx = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+      VectorIndexIO.searchPqIndex(idx, emb, "vec_id", "embedding",
+          nprobe = 2, k = 3)
+        .orderBy(col("id1"), col("nn_rank"))
+    },
+
+    // INCREMENTAL index append (FAISS `add`): the index trains on the
+    // FIRST HALF of the corpus only (codebooks + coarse cells sized by
+    // √(n/2)), the second half is appended later — encoded against the
+    // FROZEN codebooks, no retraining, cells assigned by the frozen
+    // centroids — and the search runs over the appended store. This is
+    // the contract a live vector store operates under (ingest without
+    // rebuild, rebuild on drift is the caller's policy call), and the
+    // oracle replays it exactly: training CTEs restricted to the train
+    // half, encoding over everything.
+    Q("q167_ann_index_append", {
+      val adcSub = (0 until 8).map { j =>
+        s"(${sqDistSql(s"le.embedding[${j * 8 + 1} : ${j * 8 + 8}]",
+          s"rr.rvec[${j * 8 + 1} : ${j * 8 + 8}]")})"
+      }.mkString("\n    + ")
+      s"""${ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings",
+          nprobe = 2, kSql = "floor(sqrt(COUNT(*)//2))",
+          trainWhere = "b.vec_id < (SELECT COUNT(*)//2 FROM embeddings)")}
+         |SELECT l.vec_id AS id1,
+         |  row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY $adcSub, rr.vec_id) AS nn_rank,
+         |  rr.vec_id AS nearest_id,
+         |  $adcSub AS adc
+         |FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY $adcSub, rr.vec_id) <= 3
+         |ORDER BY id1, nn_rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.VectorIndexIO
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val half = emb.count() / 2
+      val base = emb.filter(col("vec_id") < half)
+      val rest = emb.filter(col("vec_id") >= half)
+      val kc = SimilarityOps.sqrtCentroidCount(half)
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val root = new java.io.File(
+        s"/tmp/graft_q167_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        VectorIndexIO.writePqIndex(base, "vec_id", "embedding", coarse,
+          dim, m, ks, iters = 1, root.getAbsolutePath)
+        val idx0 = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+        VectorIndexIO.appendToPqIndex(idx0, rest, "vec_id", "embedding",
+          root.getAbsolutePath)
         ()
       }
       val idx = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
@@ -1482,6 +1539,173 @@ object TextQueries {
         RankOps.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
             Seq("spark", "customer", "hash"))
           .orderBy(col("doc_id"))
+    },
+
+    // PERSISTENT inverted index + top-k retrieval (the text twin of
+    // q164; Lucene's posting-list economics as a parquet directory
+    // tree): postings partitioned by term-hash bucket with the
+    // per-doc norm denormalized onto the posting row, built ONCE
+    // (StageMemo.buildOnce), then a 4-term query answered reading
+    // ONLY the query's buckets (partition pruning spec-asserted via
+    // numFiles). Scoring is q151's exact BM25 discipline — decimal-
+    // summed contributions, merge-order-independent — so the oracle
+    // replays the search from the raw documents table, blind to the
+    // index in the middle; (bm25 desc, doc_id) makes rank unique.
+    Q("q168_text_index_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
+        |           FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark', 'customer', 'hash', 'vector')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |             ((tf * (1.2 + 1)) /
+        |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |          AS DECIMAL(25,10)) AS c
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN stats),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+        |               count(*) AS n_terms
+        |        FROM c GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |         AS BIGINT) AS rank,
+        |       doc_id, bm25, n_terms
+        |FROM agg
+        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      import graft.io.TextIndexIO
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q168_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        TextIndexIO.writeTextIndex(docs, "doc_id", "text",
+          buckets = 16, root.getAbsolutePath)
+        ()
+      }
+      val idx = TextIndexIO.readTextIndex(s, root.getAbsolutePath)
+      TextIndexIO.searchTextIndex(idx,
+          Seq("spark", "customer", "hash", "vector"), k = 20)
+        .orderBy(col("rank"))
+    },
+
+    // Tombstone delete + segment merge on the persisted inverted
+    // index (the Lucene deleted-docs model): every 17th document is
+    // tombstoned (doc postings span many term buckets, so deletion is
+    // a tombstone append, not a store rewrite), then MERGED — postings
+    // and docs rewritten minus the tombstones, df/N/avgdl recomputed
+    // exactly. Post-merge the index scores exactly like one built on
+    // the survivors, which is precisely what the oracle replays
+    // (q168's chain over documents WHERE doc_id % 17 <> 0).
+    Q("q169_text_index_delete",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
+        |           FROM documents WHERE doc_id % 17 <> 0),
+        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark', 'customer', 'hash', 'vector')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |             ((tf * (1.2 + 1)) /
+        |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+        |          AS DECIMAL(25,10)) AS c
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN stats),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+        |               count(*) AS n_terms
+        |        FROM c GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |         AS BIGINT) AS rank,
+        |       doc_id, bm25, n_terms
+        |FROM agg
+        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      import graft.io.TextIndexIO
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q169_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        TextIndexIO.writeTextIndex(docs, "doc_id", "text",
+          buckets = 16, root.getAbsolutePath)
+        TextIndexIO.deleteFromTextIndex(s, root.getAbsolutePath,
+          docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+          "doc_id")
+        TextIndexIO.mergeTextIndex(s, root.getAbsolutePath)
+        ()
+      }
+      val idx = TextIndexIO.readTextIndex(s, root.getAbsolutePath)
+      TextIndexIO.searchTextIndex(idx,
+          Seq("spark", "customer", "hash", "vector"), k = 20)
+        .orderBy(col("rank"))
+    },
+
+    // Surgical delete on the persisted VECTOR index: a vector lives in
+    // exactly one cell partition, so removing every 13th embedding
+    // rewrites only the touched `cid=` directories (byte-untouched
+    // elsewhere — spec-asserted) and emptied cells vanish. Training
+    // ran on the FULL corpus before the deletions (as a live store's
+    // would have); the oracle trains on everything and filters both
+    // the query and candidate sides to the survivors.
+    Q("q170_ann_index_gdpr", {
+      val adcSub = (0 until 8).map { j =>
+        s"(${sqDistSql(s"le.embedding[${j * 8 + 1} : ${j * 8 + 8}]",
+          s"rr.rvec[${j * 8 + 1} : ${j * 8 + 8}]")})"
+      }.mkString("\n    + ")
+      s"""${ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings", nprobe = 2)}
+         |SELECT l.vec_id AS id1,
+         |  row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY $adcSub, rr.vec_id) AS nn_rank,
+         |  rr.vec_id AS nearest_id,
+         |  $adcSub AS adc
+         |FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |JOIN recon rr ON rr.vec_id = r2.vec_id
+         |WHERE l.vec_id % 13 <> 0 AND r2.vec_id % 13 <> 0
+         |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |  ORDER BY $adcSub, rr.vec_id) <= 3
+         |ORDER BY id1, nn_rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.VectorIndexIO
+      val emb = t(s, dir, "embeddings")
+      val (dim, m, ks) = (64, 8, 4)
+      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val root = new java.io.File(
+        s"/tmp/graft_q170_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        VectorIndexIO.writePqIndex(emb, "vec_id", "embedding", coarse,
+          dim, m, ks, iters = 1, root.getAbsolutePath)
+        val idx0 = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+        VectorIndexIO.deleteFromPqIndex(idx0,
+          emb.filter(col("vec_id") % 13 === 0).select(col("vec_id")),
+          "vec_id", root.getAbsolutePath)
+        ()
+      }
+      val idx = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+      VectorIndexIO.searchPqIndex(idx,
+          emb.filter(col("vec_id") % 13 =!= 0), "vec_id", "embedding",
+          nprobe = 2, k = 3)
+        .orderBy(col("id1"), col("nn_rank"))
     },
 
     // Seed-corpus log-odds quality (CCNet-style reference-similarity

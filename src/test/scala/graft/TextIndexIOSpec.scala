@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.TextIndexIO
+import graft.ops.RankOps
+
+/** The persistent inverted index: retrieval off the index equals
+  * BM25 over the raw corpus, the driver-side bucket twin matches the
+  * written partition values, the postings scan partition-prunes to
+  * the query's buckets, and degenerate queries stay sane.
+  */
+class TextIndexIOSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark joins shuffle data across the cluster"),
+    (2L, "a hash join beats a sort merge join on small tables"),
+    (3L, "customer data lands in parquet files"),
+    (4L, "the spark optimizer prunes parquet scans"),
+    (5L, "hash partitioning spreads customer rows"),
+    (6L, "window functions rank rows per group"),
+    (7L, "spark spark spark nothing but spark"),
+    (8L, "")).toDF("doc_id", "text")
+
+  private def freshDir(tag: String): String = {
+    val f = new java.io.File(
+      s"/tmp/graft_tidx_${ProcessHandle.current().pid()}_$tag")
+    graft.ops.StageMemo.wipe(f)
+    f.getAbsolutePath
+  }
+
+  test("index search equals bm25Rank over the raw corpus, top-k ranked") {
+    val dir = freshDir("eq")
+    val meta = TextIndexIO.writeTextIndex(docs, "doc_id", "text",
+      buckets = 4, dir)
+    meta.nDocs shouldBe 8L
+    val idx = TextIndexIO.readTextIndex(spark, dir)
+
+    val q = Seq("spark", "hash", "customer")
+    val fromIndex = TextIndexIO.searchTextIndex(idx, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val direct = RankOps.bm25Rank(docs, "doc_id", "text", q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+      .map { case ((id, s), i) => ((i + 1).toLong, id, s) }
+    fromIndex.toSeq shouldBe direct.toSeq
+  }
+
+  test("written bucket partitions match the driver-side termBucket twin") {
+    val dir = freshDir("bucket")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, dir)
+    val idx = TextIndexIO.readTextIndex(spark, dir)
+    idx.postings.select(col("term"), col("bucket")).distinct().collect()
+      .foreach { r =>
+        r.getInt(1) shouldBe TextIndexIO.termBucket(r.getString(0), 4)
+      }
+  }
+
+  test("postings scan is partition-pruned to the query buckets") {
+    val dir = freshDir("prune")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 8, dir)
+    val idx = TextIndexIO.readTextIndex(spark, dir)
+    def countFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir, sub))
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    }
+    countFiles("postings") should be > 2
+
+    val res = TextIndexIO.searchTextIndex(idx, Seq("spark"), k = 3)
+    res.collect().length should be >= 1
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val postingScans = scans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    postingScans should not be empty
+    val filesRead = postingScans.map(_.metrics("numFiles").value).sum
+    filesRead.toInt should be < countFiles("postings")
+    postingScans.head.toString should include("PartitionFilters")
+  }
+
+  test("tombstones hide docs immediately; merge equals an index of the survivors") {
+    val dir = freshDir("del")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, dir)
+    TextIndexIO.deleteFromTextIndex(spark, dir,
+      Seq(1L, 7L).toDF("doc_id"), "doc_id")
+
+    // tombstoned docs vanish from results at once (stats stay stale —
+    // the documented Lucene drift)
+    val idxT = TextIndexIO.readTextIndex(spark, dir)
+    val hidden = TextIndexIO.searchTextIndex(idxT, Seq("spark"), k = 8)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    hidden should not contain 1L
+    hidden should not contain 7L
+
+    val meta = TextIndexIO.mergeTextIndex(spark, dir)
+    meta.nDocs shouldBe 6L
+    val idxM = TextIndexIO.readTextIndex(spark, dir)
+    idxM.deletes.count() shouldBe 0L
+
+    // post-merge the index scores exactly like one built on survivors
+    val survivors = docs.filter(!col("doc_id").isin(1L, 7L))
+    val q = Seq("spark", "hash", "customer")
+    val fromIndex = TextIndexIO.searchTextIndex(idxM, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val direct = RankOps.bm25Rank(survivors, "doc_id", "text", q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+      .map { case ((id, s), i) => ((i + 1).toLong, id, s) }
+    fromIndex.toSeq shouldBe direct.toSeq
+  }
+
+  test("unknown terms and empty matches return empty, not errors") {
+    val dir = freshDir("misc")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, dir)
+    val idx = TextIndexIO.readTextIndex(spark, dir)
+    TextIndexIO.searchTextIndex(idx, Seq("zzz_absent"), k = 3)
+      .count() shouldBe 0L
+    intercept[IllegalArgumentException] {
+      TextIndexIO.searchTextIndex(idx, Seq.empty, k = 3)
+    }
+  }
+}

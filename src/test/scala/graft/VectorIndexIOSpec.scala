@@ -31,11 +31,7 @@ class VectorIndexIOSpec extends SparkSpecBase {
   private def freshDir(tag: String): String = {
     val f = new java.io.File(
       s"/tmp/graft_vidx_${ProcessHandle.current().pid()}_$tag")
-    def wipe(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(wipe)
-      x.delete(); ()
-    }
-    wipe(f)
+    graft.ops.StageMemo.wipe(f)
     f.getAbsolutePath
   }
 
@@ -121,6 +117,97 @@ class VectorIndexIOSpec extends SparkSpecBase {
     filesRead.toInt should be < totalCodeFiles
     // and the pruning is declared, not incidental
     codeScans.head.toString should include("PartitionFilters")
+  }
+
+  test("append encodes with frozen codebooks; searching equals encode-all with base training") {
+    val dir = freshDir("append")
+    val base = corpus.filter(col("id") < 40)
+    val rest = corpus.filter(col("id") >= 40)
+    VectorIndexIO.writePqIndex(base, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx0 = VectorIndexIO.readPqIndex(spark, dir)
+    val meta2 = VectorIndexIO.appendToPqIndex(idx0, rest, "id", "vec", dir)
+    meta2.count shouldBe 48L
+
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+    idx.meta shouldBe meta2
+    // codebooks are FROZEN by the append contract
+    sortedRows(idx.codebooks) shouldBe sortedRows(idx0.codebooks)
+
+    // the appended index must search exactly like an index whose codes
+    // were all encoded against the base-trained codebooks
+    val cbBase = SimilarityOps.trainPqCodebooks(base, "id", "vec", Dim, M, Ks, 1)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cbBase, M, Ks, Dim / M))
+    val codesAll = SimilarityOps.pqEncode(corpus, "id", "vec", cbBase, Dim, M)
+    val twin = SimilarityOps.pqTopKTabled(corpus, "id", "vec", coarse,
+      codesAll, bc, nprobe = 2, k = 3)
+    val appended = VectorIndexIO.searchPqIndex(idx, corpus, "id", "vec",
+      nprobe = 2, k = 3)
+    sortedRows(appended) shouldBe sortedRows(twin)
+    // appended vectors are reachable as candidates
+    appended.filter(col("nearest_id") >= 40L).count() should be > 0L
+  }
+
+  private def cellSnapshot(dir: String): Map[String, Seq[(String, Long, Long)]] = {
+    val codes = new java.io.File(dir, "codes")
+    codes.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+      }.toMap
+  }
+
+  test("delete rewrites only the affected cells; empty cells vanish") {
+    val dir = freshDir("delete")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+    val before = cellSnapshot(dir)
+
+    // delete two ids plus one whole cell's population
+    val cellOf = idx.codes.select(col("corpus_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val someCell = cellOf.values.groupBy(identity).minBy(_._2.size)._1
+    val wholeCell = cellOf.filter(_._2 == someCell).keys.toSeq
+    val doomed = (wholeCell ++ Seq(10L, 11L).filterNot(wholeCell.contains)).distinct
+    val meta2 = VectorIndexIO.deleteFromPqIndex(idx,
+      doomed.toDF("id"), "id", dir)
+    meta2.count shouldBe (48L - doomed.length)
+
+    val after = cellSnapshot(dir)
+    after.contains(s"cid=$someCell") shouldBe false // emptied cell gone
+    val touched = doomed.map(cellOf).toSet.map((c: Long) => s"cid=$c")
+    before.keySet.filterNot(touched).foreach { cell =>
+      after(cell) shouldBe before(cell) // byte-untouched: name+len+mtime
+    }
+
+    val idx2 = VectorIndexIO.readPqIndex(spark, dir)
+    val res = VectorIndexIO.searchPqIndex(idx2,
+      corpus.filter(!col("id").isin(doomed: _*)), "id", "vec", 2, 3)
+    res.filter(col("nearest_id").isin(doomed: _*)).count() shouldBe 0L
+  }
+
+  test("compact merges append-fragmented cells; search identical") {
+    val dir = freshDir("compact")
+    VectorIndexIO.writePqIndex(corpus.filter(col("id") < 24), "id", "vec",
+      coarse, Dim, M, Ks, iters = 1, dir)
+    VectorIndexIO.appendToPqIndex(VectorIndexIO.readPqIndex(spark, dir),
+      corpus.filter(col("id") >= 24 && col("id") < 36), "id", "vec", dir)
+    VectorIndexIO.appendToPqIndex(VectorIndexIO.readPqIndex(spark, dir),
+      corpus.filter(col("id") >= 36), "id", "vec", dir)
+
+    val fragmented = cellSnapshot(dir)
+    fragmented.values.map(_.size).max should be > 1 // appends fragment
+
+    val before = sortedRows(VectorIndexIO.searchPqIndex(
+      VectorIndexIO.readPqIndex(spark, dir), corpus, "id", "vec", 2, 3))
+    val crowded = VectorIndexIO.compactPqIndex(
+      VectorIndexIO.readPqIndex(spark, dir), dir)
+    crowded should not be empty
+    cellSnapshot(dir).values.map(_.size).max shouldBe 1
+    sortedRows(VectorIndexIO.searchPqIndex(
+      VectorIndexIO.readPqIndex(spark, dir), corpus, "id", "vec", 2, 3)) shouldBe before
   }
 
   test("dimension mismatches and malformed meta fail loudly") {
