@@ -333,6 +333,57 @@ object StreamingOps {
         col("n_docs"), col("n_distinct_fp"), col("n_distinct_tokens"),
         col("total_tokens"))
 
+  /** Streaming keyword retrieval against the PERSISTED inverted index
+    * ([[graft.io.TextIndexIO]]) — the text twin of the embedding
+    * lookup family: query rows (query_id, ts, terms) arrive, terms
+    * explode map-side and compute the SAME md5-60-bit bucket the index
+    * was written with, so the per-micro-batch stream-static join
+    * touches only the query's buckets of the posting store; tombstoned
+    * docs anti-join away (the [[graft.io.TextIndexIO]] deleted-docs
+    * contract); per-(window, query, doc) BM25 contributions aggregate
+    * under the watermark — the ONE stateful operator, its state
+    * bounded by in-flight (query × matched-doc) pairs inside the
+    * watermark horizon, evicted when windows close (append mode).
+    * Scoring is [[graft.ops.RankOps.bm25Rank]]'s exact decimal
+    * discipline, so emitted rows equal
+    * [[graft.io.TextIndexIO.searchTextIndex]]'s scored set per query
+    * (pre-top-k — ranking is the consumer's step; a global sort is not
+    * a streaming operator). Terms dedup via array_distinct, matching
+    * the batch face's set semantics.
+    */
+  def keywordSearchArrivals(
+      queries: DataFrame, // needs: query_id, ts, terms (array<string>)
+      index: graft.io.TextIndexIO.TextIndex,
+      windowLen: String = "1 minute", lateness: String = "1 minute",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val meta = index.meta
+    val exploded = queries
+      .withWatermark("ts", lateness)
+      .select(col("query_id"), col("ts"),
+        explode(array_distinct(col("terms"))).as("term"))
+      .withColumn("bucket",
+        pmod(graft.ops.SketchOps.kmvHash(col("term")),
+          lit(meta.buckets.toLong)).cast("int"))
+    val idf = log(lit(1d) +
+      (lit(meta.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
+      (col("tf") + lit(k1) *
+        (lit(1d) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
+    exploded
+      .join(index.postings, Seq("bucket", "term"))
+      .join(broadcast(index.deletes.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .join(broadcast(index.terms), Seq("term"))
+      .select(col("query_id"), col("ts"), col("doc_id"),
+        (idf * tfNorm)
+          .cast(org.apache.spark.sql.types.DecimalType(25, 10)).as("__c"))
+      .groupBy(window(col("ts"), windowLen), col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        col("doc_id"), col("bm25"), col("n_terms"))
+  }
+
   /** Streaming embedding-similarity lookup against a STATIC corpus —
     * the vector twin of [[ingestDedupCandidates]]: each arriving
     * embedding computes its hyperplane sign bucket map-side (native

@@ -896,6 +896,59 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("keywordSearchArrivals ≡ batch index retrieval scored set, one bounded state op") {
+    implicit val sqlCtx = spark.sqlContext
+    // a tiny persisted inverted index
+    val docs = Seq(
+      (1L, "spark joins shuffle data"),
+      (2L, "a hash join beats a sort merge join"),
+      (3L, "customer data lands in parquet"),
+      (4L, "spark prunes parquet scans"),
+      (5L, "hash spreads customer rows")).toDF("doc_id", "text")
+    val dir = {
+      val f = new java.io.File(
+        s"/tmp/graft_stream_tidx_${ProcessHandle.current().pid()}")
+      graft.ops.StageMemo.wipe(f)
+      f.getAbsolutePath
+    }
+    graft.io.TextIndexIO.writeTextIndex(docs, "doc_id", "text", 4, dir)
+    val idx = graft.io.TextIndexIO.readTextIndex(spark, dir)
+
+    val in = MemoryStream[(String, Timestamp, Seq[String])]
+    val q = StreamingOps.keywordSearchArrivals(
+        in.toDF().toDF("query_id", "ts", "terms"), idx,
+        windowLen = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("kw_search")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ("qa", ts(0), Seq("spark", "hash", "spark")), // dup term: set semantics
+        ("qb", ts(1), Seq("customer")))
+      q.processAllAvailable()
+      in.addData(("qz", ts(60), Seq("parquet"))) // advance the watermark
+      q.processAllAvailable()
+
+      val out = spark.table("kw_search")
+        .select("query_id", "doc_id", "bm25", "n_terms")
+        .as[(String, Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.map(t => (t._2, t._3, t._4)).toSet }
+
+      def batchSet(terms: Seq[String]) =
+        graft.io.TextIndexIO.searchTextIndex(idx, terms, k = 10)
+          .select("doc_id", "bm25", "n_terms")
+          .as[(Long, Double, Long)].collect().toSet
+      out("qa") shouldBe batchSet(Seq("spark", "hash"))
+      out("qb") shouldBe batchSet(Seq("customer"))
+
+      // exactly one stateful operator (the watermarked aggregation),
+      // bounded by in-flight (query x doc) pairs
+      val so = q.lastProgress.stateOperators
+      so.length shouldBe 1
+      so.map(_.numRowsTotal).sum should be <= 16L
+    } finally q.stop()
+  }
+
   test("nearDupArrivals prunes bucket state past the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
