@@ -560,6 +560,47 @@ object RelationalQueries {
         .toDF("metric", "value").orderBy(col("metric"))
     },
 
+    // PageRank (Page/Brin 1998) over the supplier → part-group graph
+    // (distinct edges; part groups offset to their own id namespace),
+    // three damped iterations. The distributed shape is one edge-join
+    // + one dst-keyed aggregation per round (edge-partitioned, the
+    // connectedComponents discipline); per-edge contributions round
+    // once to DECIMAL(25,18) and SUM exactly, so every intermediate
+    // double is merge-order-independent and the oracle unrolls all
+    // three rounds term for term. Rank sinks leak by the documented
+    // variant (no dangling redistribution). All double literals are
+    // spelled identically on both sides ((1 − 0.85) as a DOUBLE
+    // subtraction, never the exact decimal 0.15).
+    Q("q171_pagerank", {
+      def iter(i: Int, prev: String) =
+        s"""c$i AS (SELECT e.dst,
+           |    CAST(CAST(r.r / od.od AS DOUBLE) AS DECIMAL(25,18)) AS c
+           |  FROM e JOIN $prev r ON r.id = e.src JOIN od ON od.src = e.src),
+           |s$i AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS inr
+           |  FROM c$i GROUP BY dst),
+           |r$i AS (SELECT n.id,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(s.inr, CAST(0 AS DOUBLE)) AS r
+           |  FROM nodes n LEFT JOIN s$i s ON s.dst = n.id)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+         |    l_partkey % 200 + 10000 AS dst FROM lineitem),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+         |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT nd FROM nn) AS r
+         |  FROM nodes),
+         |${iter(1, "r0")},
+         |${iter(2, "r1")},
+         |${iter(3, "r2")}
+         |SELECT id, r FROM r3 ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val edges = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("src"),
+        (col("l_partkey") % 200 + 10000).as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    },
+
     // O2 — multi-key sort with explicit NULL placement (the engines
     // disagree by default: Spark sorts nulls first ASC, DuckDB last —
     // desc_nulls_last/asc_nulls_last make placement portable).

@@ -72,4 +72,41 @@ class GraphOpsSpec extends SparkSpecBase {
       .sorted.toSeq shouldBe Seq(("P1", "S1"), ("P1", "S2"),
         ("S1", "F1"), ("S2", "F2"))
   }
+
+  test("pageRank matches a driver-side replica exactly and is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a -> b, b -> c, c -> a, a -> c; node d is a pure sink fed by c
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L),
+      (1L, 2L) /* dup edge: must not double-contribute */)
+      .toDF("s", "t")
+    val got = GraphOps.pageRank(edges, "s", "t", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // replica of the documented semantics in plain doubles
+    val e = Set((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).toSeq.sorted
+    val od = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 3).foreach { _ =>
+      val in = e.toSeq.groupBy(_._2).map { case (dst, es) =>
+        // decimal-rounded contributions summed exactly: replicate the
+        // rounding with BigDecimal HALF_UP at scale 18
+        dst -> es.map { case (src, _) =>
+          BigDecimal(r(src) / od(src))
+            .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+      r = nodes.map(v =>
+        v -> ((1 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    got.keySet shouldBe r.keySet
+    nodes.foreach(v => got(v) shouldBe r(v)) // bit-exact
+    // rank sinks leak by the documented variant: total < 1
+    got.values.sum should be < 1.0
+    // deterministic across runs
+    GraphOps.pageRank(edges, "s", "t", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap shouldBe got
+  }
 }
