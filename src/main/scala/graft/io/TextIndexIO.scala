@@ -2,7 +2,6 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{Checkpoints, SketchOps, TextOps}
 
@@ -14,7 +13,7 @@ import graft.ops.{Checkpoints, SketchOps, TextOps}
   * {{{
   *   <dir>/meta/                one row (nDocs, sumDl, buckets)
   *   <dir>/terms/               (term, df)          — vocab-sized
-  *   <dir>/postings/bucket=N/   (term, doc_id, tf, dl)
+  *   <dir>/postings/bucket=N/   (term, doc_id, tf, dl, df)
   * }}}
   *
   * Postings are PARTITIONED BY TERM-HASH BUCKET, and a query's terms
@@ -67,7 +66,10 @@ object TextIndexIO {
       buckets: Int, dir: String): TextIndexMeta = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
-    val d = Checkpoints.cut(
+    // CORPUS-sized shared frame: sharedCut honors GRAFT_SHARED_CP_LEVEL
+    // so the tokenized corpus can sit on disk instead of pinning the
+    // unified pool (the measured 100x OOM mode, Checkpoints.sharedCut)
+    val d = Checkpoints.sharedCut(
       docs.select(col(idCol).as("doc_id"),
           TextOps.tokens(col(textCol)).as("__toks"))
         .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
@@ -78,14 +80,17 @@ object TextIndexIO {
       .where(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn("bucket",
+    // tf is one row per (term, doc): the term-side count IS df.
+    // df is DENORMALIZED onto the posting row exactly as dl is, so
+    // scoring never touches a vocab-wide table (a streaming consumer
+    // would otherwise have to broadcast the whole vocabulary)
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfFrame, Seq("term"))
+      .withColumn("bucket",
         pmod(SketchOps.kmvHash(col("term")), lit(buckets.toLong)).cast("int"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    // tf is one row per (term, doc): the term-side count IS df
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/terms")
+    dfFrame.write.mode("overwrite").parquet(s"$dir/terms")
     // (doc_id, dl) for every doc INCLUDING empty-text ones — merge
     // recomputes exact corpus stats from this, postings can't (an
     // empty doc has no posting rows but still counts in N/avgdl)
@@ -123,17 +128,22 @@ object TextIndexIO {
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (idx.deletes.isEmpty) return idx.meta
     val del = broadcast(idx.deletes)
-    // materialize survivors before overwriting their source files
-    val postings = Checkpoints.cut(
-      idx.postings.join(del, Seq("doc_id"), "left_anti"), eager = true)
-    val docs = Checkpoints.cut(
+    // materialize survivors before overwriting their source files —
+    // corpus-sized, so sharedCut (disk tier under GRAFT_SHARED_CP_LEVEL).
+    // The denormalized per-row df is STALE once docs die: drop and
+    // recompute it over the survivors, then rewrite
+    val postings = Checkpoints.sharedCut(
+      idx.postings.join(del, Seq("doc_id"), "left_anti").drop("df"),
+      eager = true)
+    val docs = Checkpoints.sharedCut(
       idx.docs.join(del, Seq("doc_id"), "left_anti"), eager = true)
-    postings.repartition(col("bucket"))
+    val dfNew = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(dfNew, Seq("term"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     docs.write.mode("overwrite").parquet(s"$dir/docs")
-    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/terms")
+    dfNew.write.mode("overwrite").parquet(s"$dir/terms")
     val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val meta = TextIndexMeta(stats.getLong(0),
       if (stats.isNullAt(1)) 0L else stats.getLong(1), idx.meta.buckets)
@@ -163,7 +173,7 @@ object TextIndexIO {
       terms = spark.read.parquet(s"$dir/terms"),
       postings = spark.read.parquet(s"$dir/postings")
         .select(col("bucket").cast("int").as("bucket"), col("term"),
-          col("doc_id"), col("dl"), col("tf")),
+          col("doc_id"), col("dl"), col("tf"), col("df")),
       docs = spark.read.parquet(s"$dir/docs"),
       deletes = deletes)
   }
@@ -190,14 +200,10 @@ object TextIndexIO {
       // the documented Lucene drift)
       .join(broadcast(index.deletes.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
-    val qDf = index.terms.where(col("term").isin(queryTerms: _*))
-    val idf = log(lit(1d) +
-      (lit(meta.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
-      (col("tf") + lit(k1) *
-        (lit(1d) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
-    val scored = qPostings.join(broadcast(qDf), "term")
-      .select(col("doc_id"), (idf * tfNorm).cast(DecimalType(25, 10)).as("__c"))
+    val scored = qPostings
+      .select(col("doc_id"),
+        graft.ops.RankOps.bm25Contribution(col("tf"), col("dl"), col("df"),
+          lit(meta.nDocs), lit(meta.avgdl), k1, b).as("__c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms"))

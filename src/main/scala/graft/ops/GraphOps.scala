@@ -251,7 +251,9 @@ object GraphOps {
       eager = true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // node-sized and consumed every round — materialize once
+    val outdeg = Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("od")), eager = true)
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
     (1 to iters).foreach { _ =>
       val contrib = e

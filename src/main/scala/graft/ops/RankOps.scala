@@ -78,18 +78,30 @@ object RankOps {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     // tf is already one row per (doc, term): its term-side count IS df
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf =
-      log(lit(1d) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
-      (col("tf") + lit(k1) *
-        (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .select(col(idCol), (idf * tfNorm).cast(DecimalType(25, 10)).as("__c"))
+      .select(col(idCol), bm25Contribution(col("tf"), col("dl"), col("df"),
+        col("n"), col("avgdl"), k1, b).as("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms"))
+  }
+
+  /** The ONE BM25 per-(doc, term) contribution expression —
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) times the Lucene tf-norm,
+    * rounded once to DECIMAL(25,10). Shared by [[bm25Rank]], the
+    * persisted-index search ([[graft.io.TextIndexIO]]) and its
+    * streaming twin: the q151/q168/q169 oracles and the stream ≡ batch
+    * spec all pin this exact tree's doubles, so it must never fork
+    * (the [[graft.ops.SimilarityOps]] pqTabledSearch rule).
+    */
+  def bm25Contribution(tf: Column, dl: Column, df: Column,
+      n: Column, avgdl: Column, k1: Double, b: Double): Column = {
+    val idf = log(lit(1d) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val tfNorm = (tf * (lit(k1) + lit(1d))) /
+      (tf + lit(k1) * (lit(1d) - lit(b) + lit(b) * dl / avgdl))
+    (idf * tfNorm).cast(DecimalType(25, 10))
   }
 
   /** Seed-corpus log-odds quality score (the CCNet/GPT-3-style

@@ -54,6 +54,40 @@ object TextQueries {
     */
   private val Planes = SimilarityOps.hyperplanes(seed = 42L, bits = 16, dim = 64)
 
+  /** Shared BM25-retrieval oracle (q168/q169): the q151 scoring chain
+    * over `documents` (restricted by `docsWhere`), rank window, top-20.
+    * One copy — the two graded retrieval queries differ ONLY in which
+    * documents survive.
+    */
+  private def bm25TopKOracle(docsWhere: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
+       |           FROM documents WHERE $docsWhere),
+       |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
+       |stats AS (SELECT count(*) AS n,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |          FROM dl),
+       |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ('spark', 'customer', 'hash', 'vector')
+       |       GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (SELECT tf.doc_id,
+       |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+       |             ((tf * (1.2 + 1)) /
+       |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+       |          AS DECIMAL(25,10)) AS c
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |      CROSS JOIN stats),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
+       |               count(*) AS n_terms
+       |        FROM c GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |         AS BIGINT) AS rank,
+       |       doc_id, bm25, n_terms
+       |FROM agg
+       |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+       |ORDER BY rank""".stripMargin
+
   /** Shared IVF-PQ oracle CTE chain (q158/q159/q160): the first-√n
     * coarse cells `coarse(vec_id, ccid)`, then over `vecsSql`'s
     * (vec_id, v) frame — the raw embeddings for the non-residual
@@ -1551,34 +1585,7 @@ object TextQueries {
     // summed contributions, merge-order-independent — so the oracle
     // replays the search from the raw documents table, blind to the
     // index in the middle; (bm25 desc, doc_id) makes rank unique.
-    Q("q168_text_index_search",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
-        |           FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
-        |stats AS (SELECT count(*) AS n,
-        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |          FROM dl),
-        |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |       WHERE term IN ('spark', 'customer', 'hash', 'vector')
-        |       GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |c AS (SELECT tf.doc_id,
-        |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
-        |             ((tf * (1.2 + 1)) /
-        |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
-        |          AS DECIMAL(25,10)) AS c
-        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-        |      CROSS JOIN stats),
-        |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
-        |               count(*) AS n_terms
-        |        FROM c GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-        |         AS BIGINT) AS rank,
-        |       doc_id, bm25, n_terms
-        |FROM agg
-        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
-        |ORDER BY rank""".stripMargin) { (s, dir) =>
+    Q("q168_text_index_search", bm25TopKOracle("TRUE")) { (s, dir) =>
       import graft.io.TextIndexIO
       val docs = t(s, dir, "documents")
       val root = new java.io.File(
@@ -1606,33 +1613,7 @@ object TextQueries {
     // the survivors, which is precisely what the oracle replays
     // (q168's chain over documents WHERE doc_id % 17 <> 0).
     Q("q169_text_index_delete",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
-        |           FROM documents WHERE doc_id % 17 <> 0),
-        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
-        |stats AS (SELECT count(*) AS n,
-        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |          FROM dl),
-        |tok AS (SELECT doc_id, unnest(tl) AS term FROM d),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |       WHERE term IN ('spark', 'customer', 'hash', 'vector')
-        |       GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |c AS (SELECT tf.doc_id,
-        |        CAST(ln(1 + (n - df + 0.5) / (df + 0.5)) *
-        |             ((tf * (1.2 + 1)) /
-        |              (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
-        |          AS DECIMAL(25,10)) AS c
-        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-        |      CROSS JOIN stats),
-        |agg AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25,
-        |               count(*) AS n_terms
-        |        FROM c GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-        |         AS BIGINT) AS rank,
-        |       doc_id, bm25, n_terms
-        |FROM agg
-        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
-        |ORDER BY rank""".stripMargin) { (s, dir) =>
+        bm25TopKOracle("doc_id % 17 <> 0")) { (s, dir) =>
       import graft.io.TextIndexIO
       val docs = t(s, dir, "documents")
       val root = new java.io.File(

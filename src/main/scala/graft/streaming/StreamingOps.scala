@@ -337,15 +337,27 @@ object StreamingOps {
     * ([[graft.io.TextIndexIO]]) — the text twin of the embedding
     * lookup family: query rows (query_id, ts, terms) arrive, terms
     * explode map-side and compute the SAME md5-60-bit bucket the index
-    * was written with, so the per-micro-batch stream-static join
-    * touches only the query's buckets of the posting store; tombstoned
-    * docs anti-join away (the [[graft.io.TextIndexIO]] deleted-docs
-    * contract); per-(window, query, doc) BM25 contributions aggregate
-    * under the watermark — the ONE stateful operator, its state
-    * bounded by in-flight (query × matched-doc) pairs inside the
-    * watermark horizon, evicted when windows close (append mode).
-    * Scoring is [[graft.ops.RankOps.bm25Rank]]'s exact decimal
-    * discipline, so emitted rows equal
+    * was written with; tombstoned docs anti-join away (the
+    * [[graft.io.TextIndexIO]] deleted-docs contract); per-(window,
+    * query, doc) BM25 contributions aggregate under the watermark —
+    * the ONE stateful operator, its state bounded by in-flight
+    * (query × matched-doc) pairs inside the watermark horizon,
+    * evicted when windows close (append mode).
+    *
+    * SCAN ECONOMICS, honestly: a stream-computed join key CANNOT
+    * partition-prune a static file listing (pruning needs literal
+    * predicates, which only the BATCH face's driver-computed
+    * `bucket IN (...)` provides), so each micro-batch's join reads
+    * the posting store per Spark's stream-static join rules. The
+    * (bucket, term) key exists here so the static side can be
+    * published as a `bucketBy(bucket)` TABLE, making the per-batch
+    * join exchange-free; df rides ON the posting row (denormalized at
+    * write time), so no vocab-wide broadcast is ever needed. For
+    * ad-hoc low-latency point queries use the batch
+    * [[graft.io.TextIndexIO.searchTextIndex]], which does prune.
+    *
+    * Scoring is the shared [[graft.ops.RankOps.bm25Contribution]]
+    * tree, so emitted rows equal
     * [[graft.io.TextIndexIO.searchTextIndex]]'s scored set per query
     * (pre-top-k — ranking is the consumer's step; a global sort is not
     * a streaming operator). Terms dedup via array_distinct, matching
@@ -364,19 +376,13 @@ object StreamingOps {
       .withColumn("bucket",
         pmod(graft.ops.SketchOps.kmvHash(col("term")),
           lit(meta.buckets.toLong)).cast("int"))
-    val idf = log(lit(1d) +
-      (lit(meta.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * (lit(k1) + lit(1d))) /
-      (col("tf") + lit(k1) *
-        (lit(1d) - lit(b) + lit(b) * col("dl") / lit(meta.avgdl)))
     exploded
       .join(index.postings, Seq("bucket", "term"))
       .join(broadcast(index.deletes.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
-      .join(broadcast(index.terms), Seq("term"))
       .select(col("query_id"), col("ts"), col("doc_id"),
-        (idf * tfNorm)
-          .cast(org.apache.spark.sql.types.DecimalType(25, 10)).as("__c"))
+        graft.ops.RankOps.bm25Contribution(col("tf"), col("dl"), col("df"),
+          lit(meta.nDocs), lit(meta.avgdl), k1, b).as("__c"))
       .groupBy(window(col("ts"), windowLen), col("query_id"), col("doc_id"))
       .agg(sum(col("__c")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms"))
