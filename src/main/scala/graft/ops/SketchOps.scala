@@ -71,6 +71,59 @@ object SketchOps {
     if (sketch.length < k) sketch.length.toDouble
     else (k - 1).toDouble / (sketch.max.toDouble / HashSpace)
 
+  /** Buffer for the grouped aggregate form: sorted ascending,
+    * distinct, capped at k. Seq (not List) — Spark's product encoder
+    * deserializes Seq fields generically (the Collapse.Buf note).
+    */
+  private[ops] case class KBuf(xs: Seq[Long])
+
+  /** KMV as a GROUPED AGGREGATE — `groupBy(stratum).agg(kmvAgg(k)(h))`
+    * yields each group's sketch as an ascending `array<bigint>`: the
+    * mergeable-sketch contract in partial-aggregation form. Each
+    * partition reduces into a k-bounded buffer (constant-time reject
+    * of hashes above the current k-th), partials merge associatively
+    * (merge of two sketches IS the union's sketch — the
+    * [[kmvUnion]] identity), so only ≤ k longs per (partition, group)
+    * ever cross the wire — per-stratum distinct counting over 100 TB
+    * with vocabulary-independent shuffle bytes. Estimate with
+    * [[kmvDistinctCol]] in-plan or [[kmvDistinct]] on the collected
+    * array.
+    */
+  def kmvAgg(k: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    val agg = new Aggregator[java.lang.Long, KBuf, Seq[Long]] {
+      def zero: KBuf = KBuf(Vector.empty)
+      def reduce(b: KBuf, a: java.lang.Long): KBuf =
+        if (a == null) b
+        else {
+          val h = a.longValue()
+          if (b.xs.length == k && h >= b.xs.last) b // O(1) hot path
+          else if (b.xs.contains(h)) b
+          else KBuf((b.xs :+ h).sorted.take(k))
+        }
+      def merge(x: KBuf, y: KBuf): KBuf =
+        KBuf((x.xs ++ y.xs).distinct.sorted.take(k))
+      def finish(b: KBuf): Seq[Long] = b.xs
+      def bufferEncoder: Encoder[KBuf] = Encoders.product[KBuf]
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+    c => org.apache.spark.sql.functions.udaf(agg).apply(c)
+  }
+
+  /** In-plan distinct estimate over a [[kmvAgg]] sketch column: exact
+    * when the sketch holds fewer than k hashes, else (k−1)/θ with θ
+    * the k-th smallest normalized hash — the Column twin of
+    * [[kmvDistinct]], spelled so a DuckDB oracle replays the same
+    * CASE and divisions.
+    */
+  def kmvDistinctCol(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") / lit(HashSpace)))
+
   /** Union cardinality: the k smallest of the two sketches' union is
     * exactly the KMV sketch of A ∪ B (each input sketch contains its
     * set's k smallest), so the same estimator applies.

@@ -55,6 +55,30 @@ class SketchOpsSpec extends SparkSpecBase {
     math.abs(est - 6000.0) / 6000.0 should be < 0.25
   }
 
+  test("grouped kmvAgg equals per-group kmvSketch, partition-invariant") {
+    val k = 64
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"key${i % 2500}"))
+      .toDF("g", "k").withColumn("h", SketchOps.kmvHash(col("k")))
+    def grouped(parts: Int) = df.repartition(parts)
+      .groupBy(col("g")).agg(SketchOps.kmvAgg(k)(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val g1 = grouped(1)
+    val g11 = grouped(11)
+    g1 shouldBe g11 // merge path ≡ single-partition path
+    (0 until 3).foreach { i =>
+      val direct = SketchOps.kmvSketch(df.filter(col("g") === s"g$i"),
+        col("k"), k).collect().map(_.getLong(0)).toSeq
+      g1(s"g$i") shouldBe direct
+    }
+    // in-plan estimator matches the driver-side one
+    val est = df.groupBy(col("g"))
+      .agg(SketchOps.kmvDistinctCol(SketchOps.kmvAgg(k)(col("h")), k).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (0 until 3).foreach { i =>
+      est(s"g$i") shouldBe SketchOps.kmvDistinct(g1(s"g$i").toArray, k)
+    }
+  }
+
   test("null keys are excluded; partitioning never changes the sketch") {
     val df = (1 to 1000).map(i => Some(s"k$i")).toDF("k")
       .unionByName(Seq(Option.empty[String], Option.empty[String]).toDF("k"))
