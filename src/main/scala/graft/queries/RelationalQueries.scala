@@ -588,12 +588,20 @@ object RelationalQueries {
         |ORDER BY e.flag""".stripMargin) { (s, dir) =>
       val k = 128
       val li = t(s, dir, "lineitem")
-        .withColumn("__h", SketchOps.kmvHash(col("l_partkey")))
-      li.groupBy(col("l_returnflag").as("flag"))
-        .agg(
-          countDistinct(col("l_partkey")).cast("double").as("distinct_exact"),
-          SketchOps.kmvDistinctCol(
-            SketchOps.kmvAgg(k)(col("__h")), k).as("distinct_kmv"))
+        .select(col("l_returnflag").as("flag"), col("l_partkey"))
+      // two group passes joined on the 3-row result, NOT one agg:
+      // mixing a distinct aggregate with the UDAF plans an Expand
+      // (x2 row duplication feeding the sketch buffer with null
+      // copies) — measured 2.8 -> 1.0 s steady at sf0.1
+      val exact = li.groupBy(col("flag"))
+        .agg(countDistinct(col("l_partkey")).cast("double")
+          .as("distinct_exact"))
+      val sketch = li
+        .select(col("flag"), SketchOps.kmvHash(col("l_partkey")).as("__h"))
+        .groupBy(col("flag"))
+        .agg(SketchOps.kmvDistinctCol(
+          SketchOps.kmvAgg(k)(col("__h")), k).as("distinct_kmv"))
+      exact.join(sketch, Seq("flag"))
         .orderBy(col("flag"))
     },
 
