@@ -103,8 +103,8 @@ object SketchOps {
           else if (b.xs.contains(h)) b
           else KBuf((b.xs :+ h).sorted.take(k))
         }
-      def merge(x: KBuf, y: KBuf): KBuf =
-        KBuf((x.xs ++ y.xs).distinct.sorted.take(k))
+      def merge(x: KBuf, y: KBuf): KBuf = // ONE union-sketch algorithm
+        KBuf(kmvUnion(x.xs.toArray, y.xs.toArray, k).toIndexedSeq)
       def finish(b: KBuf): Seq[Long] = b.xs
       def bufferEncoder: Encoder[KBuf] = Encoders.product[KBuf]
       def outputEncoder: Encoder[Seq[Long]] =

@@ -567,26 +567,27 @@ object RelationalQueries {
     // counting ships ≤ k longs per (partition, group) whatever the
     // vocabulary size. The in-plan estimator (kmvDistinctCol) and the
     // oracle spell the same CASE and divisions; exact twins ride
-    // along for contrast. Both estimator branches graded across SFs
-    // (sf0.001's 200 parts < k; larger SFs exercise (k−1)/θ).
+    // along for contrast. Both estimator branches graded across SFs:
+    // k=512 > sf0.001's 200 parts (exact-below-k branch), while
+    // sf0.01/0.1's 2000/20000 parts exercise (k−1)/θ.
     Q("q172_kmv_stratified",
       """WITH h AS (SELECT DISTINCT l_returnflag AS flag,
         |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM lineitem),
         |k AS (SELECT flag, h FROM h
-        |  QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= 128),
+        |  QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= 512),
         |s AS (SELECT flag, COUNT(*) AS n, MAX(h) AS mx FROM k GROUP BY flag),
         |e AS (SELECT l_returnflag AS flag,
         |    COUNT(DISTINCT l_partkey) AS ex FROM lineitem GROUP BY 1)
         |SELECT e.flag, CAST(e.ex AS DOUBLE) AS distinct_exact,
-        |  CASE WHEN s.n < 128 THEN CAST(s.n AS DOUBLE)
-        |    ELSE CAST(127 AS DOUBLE)
+        |  CASE WHEN s.n < 512 THEN CAST(s.n AS DOUBLE)
+        |    ELSE CAST(511 AS DOUBLE)
         |      / (CAST(s.mx AS DOUBLE) / 1152921504606846976.0) END
         |    AS distinct_kmv
         |FROM e JOIN s ON e.flag = s.flag
         |ORDER BY e.flag""".stripMargin) { (s, dir) =>
-      val k = 128
+      val k = 512
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_partkey"))
       // two group passes joined on the 3-row result, NOT one agg:

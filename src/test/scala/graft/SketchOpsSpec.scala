@@ -79,6 +79,28 @@ class SketchOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("grouped kmvAgg: below-k groups are exact, null hashes are skipped") {
+    val k = 64
+    // group "small" has 10 distinct keys (< k) plus null-key rows;
+    // group "big" saturates the sketch
+    val rows = (1 to 10).map(i => ("small", Some(s"s$i"))) ++
+      Seq(("small", Option.empty[String]), ("small", Option.empty[String])) ++
+      (1 to 900).map(i => ("big", Some(s"b${i % 800}")))
+    val df = rows.toDF("g", "key")
+      .withColumn("h", SketchOps.kmvHash(col("key")))
+    val out = df.repartition(5).groupBy(col("g"))
+      .agg(SketchOps.kmvAgg(k)(col("h")).as("sk"),
+        SketchOps.kmvDistinctCol(SketchOps.kmvAgg(k)(col("h")), k).as("e"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getDouble(2))).toMap
+    // the below-k branch: sketch IS the distinct hash set, estimate exact
+    out("small")._1.length shouldBe 10
+    out("small")._2 shouldBe 10.0
+    // nulls never entered the buffer (10 keys + 2 null rows -> 10 hashes)
+    out("big")._1.length shouldBe k
+    out("big")._2 should be > 0.0
+  }
+
   test("null keys are excluded; partitioning never changes the sketch") {
     val df = (1 to 1000).map(i => Some(s"k$i")).toDF("k")
       .unionByName(Seq(Option.empty[String], Option.empty[String]).toDF("k"))
