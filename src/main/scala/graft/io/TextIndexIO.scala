@@ -97,6 +97,12 @@ object TextIndexIO {
     d.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$dir/docs")
     val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    // loud on an empty corpus: sum(dl) is null at n=0 and avgdl would
+    // be NaN — an index over zero documents is a caller bug, not a
+    // degenerate index (merge guards the same read; write must too)
+    require(stats.getLong(0) > 0,
+      s"writeTextIndex: empty corpus — the docs frame produced 0 rows; " +
+        s"an index needs at least one document")
     val meta = TextIndexMeta(stats.getLong(0), stats.getLong(1), buckets)
     import spark.implicits._
     Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -112,9 +118,18 @@ object TextIndexIO {
     * scores are computed against slightly stale corpus stats.
     */
   def deleteFromTextIndex(spark: SparkSession, dir: String,
-      ids: DataFrame, idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .write.mode("append").parquet(s"$dir/deletes")
+      ids: DataFrame, idCol: String): Unit = {
+    val tomb = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // loud on a non-numeric id: the cast turns it into a null
+    // tombstone which the search's anti-join would silently never
+    // match — the doc would stay visible, against the loud-failure
+    // policy
+    val bad = tomb.where(col("doc_id").isNull).count()
+    require(bad == 0,
+      s"deleteFromTextIndex: $bad id(s) in '$idCol' are null or not " +
+        s"castable to long — tombstones must be numeric doc ids")
+    tomb.write.mode("append").parquet(s"$dir/deletes")
+  }
 
   /** Apply tombstones for real (the segment merge): rewrite postings
     * and docs minus the tombstoned ids, recompute the df table and

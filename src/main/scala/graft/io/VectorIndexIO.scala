@@ -132,8 +132,12 @@ object VectorIndexIO {
       val affected = hits.keySet.toSeq
       // MATERIALIZE survivors before overwriting the files they were
       // read from — the cut both breaks Spark's "overwrite a path
-      // being read" guard and pins the data while files are replaced
-      val survivors = graft.ops.Checkpoints.cut(
+      // being read" guard and pins the data while files are replaced.
+      // sharedCut, not cut: a wide delete set can make the survivor
+      // frame corpus-sized, and corpus-sized cuts honor
+      // GRAFT_SHARED_CP_LEVEL so they can sit on disk (the measured
+      // 100x OOM mode) — same rule TextIndexIO.mergeTextIndex follows
+      val survivors = graft.ops.Checkpoints.sharedCut(
         index.codes
           .where(col("cid").isin(affected: _*))
           .join(broadcast(del), Seq("corpus_id"), "left_anti"),
@@ -183,8 +187,10 @@ object VectorIndexIO {
       .map(_.getPath.getName.stripPrefix("cid=").toLong)
     if (crowded.nonEmpty) {
       // materialize before overwriting the source files (see
-      // deleteFromPqIndex)
-      graft.ops.Checkpoints.cut(
+      // deleteFromPqIndex). sharedCut: after heavy appends the crowded
+      // set can cover nearly the whole code store, so the survivor
+      // frame is corpus-sized — GRAFT_SHARED_CP_LEVEL applies
+      graft.ops.Checkpoints.sharedCut(
           index.codes.where(col("cid").isin(crowded: _*)), eager = true)
         .repartition(col("cid"))
         .write.mode("overwrite")

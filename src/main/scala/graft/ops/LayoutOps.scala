@@ -105,6 +105,23 @@ object LayoutOps {
       .write.mode("overwrite").parquet(s"$dir/_stats")
   }
 
+  /** `input_file_name()` records URI-ENCODED paths (a space is %20) —
+    * decode before handing them back to `spark.read.parquet`, which
+    * expects plain paths; a data root containing a space or % would
+    * otherwise fail or misread on the second open. Scheme-less
+    * strings pass through untouched.
+    */
+  private def decodeFileUri(f: String): String = {
+    val u = try new java.net.URI(f) catch {
+      case _: java.net.URISyntaxException => return f
+    }
+    if (u.getScheme == null) f
+    else {
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"${u.getScheme}://$auth${u.getPath}" // getPath decodes %XX
+    }
+  }
+
   /** Read `dir/data` under a conjunction of inclusive ranges, pruning
     * files whose sidecar min/max cannot overlap. The residual filter
     * is re-applied to the surviving files, so the result is row-exact
@@ -122,7 +139,7 @@ object LayoutOps {
           r.getAs[Long](s"max_${rg.col}") >= rg.lo &&
           r.getAs[Long](s"min_${rg.col}") <= rg.hi
       }
-    }.map(_.getAs[String]("file"))
+    }.map(r => decodeFileUri(r.getAs[String]("file")))
     val residual = ranges.map(rg => col(rg.col).between(rg.lo, rg.hi))
       .reduce(_ && _)
     val df =

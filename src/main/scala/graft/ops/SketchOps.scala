@@ -100,8 +100,19 @@ object SketchOps {
         else {
           val h = a.longValue()
           if (b.xs.length == k && h >= b.xs.last) b // O(1) hot path
-          else if (b.xs.contains(h)) b
-          else KBuf((b.xs :+ h).sorted.take(k))
+          else {
+            // the buffer is sorted ascending — binary-search the
+            // membership test AND the insertion point in one probe
+            // (contains + re-sort was O(k) + O(k log k) per accepted
+            // hash until saturation)
+            import scala.collection.Searching._
+            b.xs.search(h) match {
+              case Found(_) => b
+              case InsertionPoint(i) =>
+                val ins = (b.xs.take(i) :+ h) ++ b.xs.drop(i)
+                KBuf(if (ins.length > k) ins.take(k) else ins)
+            }
+          }
         }
       def merge(x: KBuf, y: KBuf): KBuf = // ONE union-sketch algorithm
         KBuf(kmvUnion(x.xs.toArray, y.xs.toArray, k).toIndexedSeq)
