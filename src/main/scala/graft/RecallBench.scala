@@ -277,6 +277,30 @@ object RecallBench {
     run("sq8_np1")(sq8(1))
     run("sq8_np4")(sq8(4))
     run("sq8_np4_tc")(sq8(4, coarse = trainedCoarse))
+    // --- exact re-rank (refine, FAISS IndexRefineFlat): the ADC
+    // proposes an R-candidate shortlist, the raw vectors decide by
+    // exact cosine — recall@1 becomes the shortlist CONTAINMENT rate,
+    // so even the cheapest m=8/ks=4 codes reach the exact-in-probed-
+    // cells ceiling once R covers the ADC's ranking error ----------
+    def pqRefined(m: Int, ks: Int, iters: Int, nprobe: Int, r: Int,
+        coarse: DataFrame = firstK(sqrtK)): DataFrame = {
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        Dim, m, ks, iters)
+      val bc = spark.sparkContext.broadcast(
+        SimilarityOps.collectCodebooks(cb, m, ks, Dim / m))
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb, Dim, m)
+      SimilarityOps.pqTopKRefined(emb, "vec_id", "embedding",
+          coarse, codes, bc, nprobe, shortlist = r, k = 1)
+        .filter(col("nn_rank") === 1)
+    }
+    Seq(10, 50, 100).foreach { r =>
+      run(s"refine_m8_ks4_np4_r$r")(pqRefined(8, 4, iters = 1, nprobe = 4, r))
+    }
+    run("refine_m8_ks4_np8_r100")(pqRefined(8, 4, iters = 1, nprobe = 8, 100))
+    run("refine_m8_ks4_np4_r50_tc")(pqRefined(8, 4, iters = 1, nprobe = 4, 50,
+      coarse = trainedCoarse))
+    run("refine_m16_ks256_np4_r50_tc")(pqRefined(16, 256, iters = 2,
+      nprobe = 4, 50, coarse = trainedCoarse))
 
     val outPath = sys.env.getOrElse("RECALL_OUT", "/tmp/recall_out.json")
     val w = new java.io.PrintWriter(outPath, "UTF-8")

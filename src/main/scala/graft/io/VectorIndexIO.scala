@@ -15,6 +15,10 @@ import graft.ops.SimilarityOps
   *   <dir>/codebooks/            (sub, cid, cvec)  — m·ks rows
   *   <dir>/codes/cid=<cell>/     (corpus_id, codes) — the corpus, ÷16,
   *                                PARTITIONED BY COARSE CELL
+  *   <dir>/vecs/cid=<cell>/      (corpus_id, vec)  — the RAW vectors,
+  *                                same cell partitioning (the refine
+  *                                store, FAISS IndexRefineFlat's flat
+  *                                side)
   * }}}
   *
   * The cell partitioning is the point of persisting at all: after the
@@ -43,10 +47,11 @@ object VectorIndexIO {
       cells: Long, count: Long)
 
   /** A reloaded index: lazy frames over the persisted parquet plus the
-    * meta row. `codes` keeps the partition column `cid` as a long.
+    * meta row. `codes` and `vecs` keep the partition column `cid` as a
+    * long.
     */
   final case class PqIndex(meta: PqIndexMeta, centroids: DataFrame,
-      codebooks: DataFrame, codes: DataFrame)
+      codebooks: DataFrame, codes: DataFrame, vecs: DataFrame)
 
   /** Train, encode and persist an IVF-PQ index for `corpus` under
     * `dir`. `coarseCentroids` is the (cid, cvec) coarse quantizer
@@ -65,10 +70,23 @@ object VectorIndexIO {
     val cb = SimilarityOps.trainPqCodebooks(corpus, idCol, vecCol,
       dim, m, ks, iters)
     val codes = SimilarityOps.pqEncode(corpus, idCol, vecCol, cb, dim, m)
-    val indexed = SimilarityOps.corpusPqIndex(corpus, idCol, vecCol,
-      coarseCentroids, codes)
-    indexed.repartition(col("cid"))
+    // ONE coarse-assignment pass feeds both stores (corpus-sized with
+    // vector payloads → sharedCut so the disk tier applies at stress)
+    val assigned = graft.ops.Checkpoints.sharedCut(
+      SimilarityOps.ivfAssign(corpus, idCol, vecCol, coarseCentroids)
+        .select(col("cid"), col(idCol).as("corpus_id"),
+          col(vecCol).as("vec")),
+      eager = true)
+    assigned.select(col("cid"), col("corpus_id"))
+      .join(codes.select(col(idCol).as("corpus_id"), col("codes")),
+        Seq("corpus_id"))
+      .select(col("cid"), col("corpus_id"), col("codes"))
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    // the raw vectors, cell-partitioned beside the codes — the refine
+    // store: an exact re-rank fetches only the probed cells' subtrees
+    assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/vecs")
     coarseCentroids.select(col("cid").cast("long").as("cid"), col("cvec"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     cb.select(col("sub"), col("cid"), col("cvec"))
@@ -98,10 +116,19 @@ object VectorIndexIO {
     val meta = index.meta
     val codes = SimilarityOps.pqEncode(newVectors, idCol, vecCol,
       index.codebooks, meta.dim, meta.m)
-    val indexed = SimilarityOps.corpusPqIndex(newVectors, idCol, vecCol,
-      index.centroids, codes)
-    indexed.repartition(col("cid"))
+    val assigned = graft.ops.Checkpoints.sharedCut(
+      SimilarityOps.ivfAssign(newVectors, idCol, vecCol, index.centroids)
+        .select(col("cid"), col(idCol).as("corpus_id"),
+          col(vecCol).as("vec")),
+      eager = true)
+    assigned.select(col("cid"), col("corpus_id"))
+      .join(codes.select(col(idCol).as("corpus_id"), col("codes")),
+        Seq("corpus_id"))
+      .select(col("cid"), col("corpus_id"), col("codes"))
+      .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+    assigned.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/vecs")
     val newMeta = meta.copy(count = meta.count + newVectors.count())
     import spark.implicits._
     Seq(newMeta).toDF().coalesce(1)
@@ -130,29 +157,16 @@ object VectorIndexIO {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     if (hits.nonEmpty) {
       val affected = hits.keySet.toSeq
-      // MATERIALIZE survivors before overwriting the files they were
-      // read from — the cut both breaks Spark's "overwrite a path
-      // being read" guard and pins the data while files are replaced.
-      // sharedCut, not cut: a wide delete set can make the survivor
-      // frame corpus-sized, and corpus-sized cuts honor
-      // GRAFT_SHARED_CP_LEVEL so they can sit on disk (the measured
-      // 100x OOM mode) — same rule TextIndexIO.mergeTextIndex follows
-      val survivors = graft.ops.Checkpoints.sharedCut(
-        index.codes
-          .where(col("cid").isin(affected: _*))
-          .join(broadcast(del), Seq("corpus_id"), "left_anti"),
-        eager = true)
-      val live = survivors.select(col("cid")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      survivors.repartition(col("cid"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(s"$dir/codes")
+      val live = rewriteSurvivors(index.codes, del, affected, s"$dir/codes")
+      // the refine store holds the same (cid, corpus_id) membership —
+      // same surgical rewrite, same emptied-cell cleanup
+      rewriteSurvivors(index.vecs, del, affected, s"$dir/vecs")
       // emptied cells write no rows — drop their directories explicitly
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       (hits.keySet -- live).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/cid=$c"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vecs/cid=$c"), true)
         ()
       }
     }
@@ -162,6 +176,30 @@ object VectorIndexIO {
     Seq(newMeta).toDF().coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
     newMeta
+  }
+
+  /** MATERIALIZE survivors before overwriting the files they were
+    * read from — the cut both breaks Spark's "overwrite a path being
+    * read" guard and pins the data while files are replaced. sharedCut,
+    * not cut: a wide delete set can make the survivor frame
+    * corpus-sized, and corpus-sized cuts honor GRAFT_SHARED_CP_LEVEL
+    * so they can sit on disk (the measured 100x OOM mode) — same rule
+    * TextIndexIO.mergeTextIndex follows. Returns the cells still
+    * holding rows.
+    */
+  private def rewriteSurvivors(frame: DataFrame, del: DataFrame,
+      affected: Seq[Long], path: String): Set[Long] = {
+    val survivors = graft.ops.Checkpoints.sharedCut(
+      frame.where(col("cid").isin(affected: _*))
+        .join(broadcast(del), Seq("corpus_id"), "left_anti"),
+      eager = true)
+    val live = survivors.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    survivors.repartition(col("cid"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    live
   }
 
   /** Compact a persisted index's cell partitions: appends leave one
@@ -177,26 +215,30 @@ object VectorIndexIO {
     val spark = index.codes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val crowded = fs.listStatus(codesPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .filter { s =>
-        fs.listStatus(s.getPath)
-          .count(_.getPath.getName.endsWith(".parquet")) > targetFilesPerCell
+    def crowdedCells(sub: String): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .filter { s =>
+          fs.listStatus(s.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > targetFilesPerCell
+        }
+        .map(_.getPath.getName.stripPrefix("cid=").toLong)
+    // materialize before overwriting the source files (see
+    // deleteFromPqIndex). sharedCut: after heavy appends the crowded
+    // set can cover nearly the whole store, so the survivor frame is
+    // corpus-sized — GRAFT_SHARED_CP_LEVEL applies
+    def compactTree(frame: DataFrame, crowded: Seq[Long], sub: String): Unit =
+      if (crowded.nonEmpty) {
+        graft.ops.Checkpoints.sharedCut(
+            frame.where(col("cid").isin(crowded: _*)), eager = true)
+          .repartition(col("cid"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cid").parquet(s"$dir/$sub")
       }
-      .map(_.getPath.getName.stripPrefix("cid=").toLong)
-    if (crowded.nonEmpty) {
-      // materialize before overwriting the source files (see
-      // deleteFromPqIndex). sharedCut: after heavy appends the crowded
-      // set can cover nearly the whole code store, so the survivor
-      // frame is corpus-sized — GRAFT_SHARED_CP_LEVEL applies
-      graft.ops.Checkpoints.sharedCut(
-          index.codes.where(col("cid").isin(crowded: _*)), eager = true)
-        .repartition(col("cid"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid").parquet(s"$dir/codes")
-    }
+    val crowded = crowdedCells("codes")
+    compactTree(index.codes, crowded, "codes")
+    compactTree(index.vecs, crowdedCells("vecs"), "vecs")
     crowded
   }
 
@@ -218,10 +260,13 @@ object VectorIndexIO {
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("cid").cast("long").as("cid"), col("corpus_id"),
         col("codes"))
+    val vecs = spark.read.parquet(s"$dir/vecs")
+      .select(col("cid").cast("long").as("cid"), col("corpus_id"),
+        col("vec"))
     PqIndex(metaRow,
       centroids = spark.read.parquet(s"$dir/centroids"),
       codebooks = spark.read.parquet(s"$dir/codebooks"),
-      codes = codes)
+      codes = codes, vecs = vecs)
   }
 
   /** Batch search over a persisted index: the [[SimilarityOps
@@ -250,6 +295,30 @@ object VectorIndexIO {
       index.codes.select(col("cid").as("cid2"),
         col("corpus_id").as("id2"), col("codes")),
       bc, k)
+  }
+
+  /** [[searchPqIndex]] + exact re-rank (FAISS `IndexRefineFlat` over
+    * a read-back index): the tabled ADC proposes a `shortlist`-sized
+    * candidate set per query, then the EXACT cosine between the
+    * query vector and the candidates' RAW vectors — read from the
+    * index's cell-partitioned `vecs/` store, never the caller's
+    * corpus frame — re-ranks it to `k`. Same
+    * [[SimilarityOps.refineShortlist]] tail as the in-memory face, so
+    * tie-breaks and rounding cannot drift from what the oracle pins.
+    * Returns (id1, nn_rank, nearest_id, cosine).
+    */
+  def searchPqIndexRefined(index: PqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = searchPqIndex(index, queries, idCol, vecCol, nprobe,
+      shortlist)
+    SimilarityOps.refineShortlist(short,
+      queryVecs = queries.select(col(idCol).as("id1"),
+        col(vecCol).as("v1")),
+      candVecs = index.vecs.select(col("corpus_id").as("id2"),
+        col("vec").as("v2")),
+      k)
   }
 
   /** Point lookup — the serving face: one query vector, its `nprobe`
@@ -288,5 +357,50 @@ object VectorIndexIO {
       .withColumn("nn_rank",
         row_number().over(Window.orderBy(col("adc"), col("corpus_id"))))
       .select(col("nn_rank"), col("corpus_id"), col("adc"))
+  }
+
+  /** [[lookupPqIndex]] + exact re-rank — the REFINED serving face: the
+    * driver-built distance table shortlists `shortlist` candidates by
+    * ADC (TakeOrderedAndProject over the probed cells), then their RAW
+    * vectors — fetched from `vecs/` under the SAME `cid IN (probed)`
+    * partition filter, so the refine read stays pruned to the probed
+    * subtrees — re-rank by exact cosine against the query. The
+    * shortlist ids broadcast (≤ `shortlist` rows) into a semi-join on
+    * the pruned vector scan. Returns (nn_rank, corpus_id, cosine),
+    * ranks 1..k.
+    */
+  def lookupPqIndexRefined(index: PqIndex, query: Array[Float],
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val meta = index.meta
+    require(query.length == meta.dim,
+      s"query dim ${query.length} != index dim ${meta.dim}")
+    val cents = SimilarityOps.collectCentroids(index.centroids, meta.dim)
+    val cb = SimilarityOps.collectCodebooks(
+      index.codebooks, meta.m, meta.ks, meta.dim / meta.m)
+    val qData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(query)
+    val probedCids = graft.expr.IvfCell.computeProbed(qData, cents, nprobe)
+      .toLongArray().toSeq
+    val dtab = graft.expr.PqAdc.computeTable(qData, cb).toDoubleArray().toSeq
+    val short = index.codes
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("corpus_id"),
+        graft.expr.PqAdc.pqAdcTable(
+          typedlit(dtab), col("codes")).as("adc"))
+      .orderBy(col("adc"), col("corpus_id")).limit(shortlist)
+      .select(col("corpus_id"))
+    index.vecs
+      .where(col("cid").isin(probedCids: _*)) // partition filter
+      .join(broadcast(short), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"),
+        SimilarityOps.cosine(typedlit(query.toIndexedSeq), col("vec"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("corpus_id")).limit(k)
+      .withColumn("nn_rank",
+        row_number().over(
+          Window.orderBy(col("cosine").desc, col("corpus_id"))))
+      .select(col("nn_rank"), col("corpus_id"), col("cosine"))
   }
 }

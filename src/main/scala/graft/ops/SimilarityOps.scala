@@ -830,6 +830,74 @@ object SimilarityOps {
         col("id2").as("nearest_id"), col("adc"))
   }
 
+  /** Exact re-rank of an ADC shortlist (FAISS `IndexRefineFlat`): the
+    * quantized search proposes, the raw vectors decide. `shortlist` is
+    * a `(id1, nn_rank, nearest_id, adc)` frame (any k' ≥ k rows per
+    * query); each pair re-scores with the EXACT cosine between the raw
+    * vectors (the [[cosine]] FloatDot fold — the similarity the whole
+    * ANN family is graded on) and the top `k` per query survive,
+    * ranked `(cosine desc, nearest_id)`. Recall of the refined result
+    * equals the recall of the shortlist CONTAINING the true neighbor —
+    * the quantizer no longer has to rank it first, only to not miss
+    * it — which is why a cheap m=8 PQ plus a 10–100-row refine matches
+    * the exact-in-probed-cells ceiling at a fraction of brute-force
+    * cost. The candidate-vector join is the refine cost: |shortlist|
+    * rows against the raw-vector store (cell-partitioned in the
+    * persisted index, so a serving lookup's fetch stays
+    * partition-pruned). Returns (id1, nn_rank, nearest_id, cosine).
+    */
+  private[graft] def refineShortlist(shortlist: DataFrame,
+      queryVecs: DataFrame /* id1, v1 */,
+      candVecs: DataFrame /* id2, v2 */, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rescored = shortlist.select(col("id1"), col("nearest_id"))
+      .join(queryVecs, Seq("id1"))
+      .join(candVecs.withColumnRenamed("id2", "nearest_id"),
+        Seq("nearest_id"))
+      // project vectors away at the score — the rank window's shuffle
+      // moves (id, id, double) rows, never the float payloads
+      .select(col("id1"), col("nearest_id"),
+        cosine(col("v1"), col("v2")).as("cosine"))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cosine").desc, col("nearest_id"))
+    rescored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("id1"), col("__rn").as("nn_rank"),
+        col("nearest_id"), col("cosine"))
+  }
+
+  /** [[pqTopKTabled]] + [[refineShortlist]]: the deployment recall
+    * combo (FAISS `IndexRefineFlat` over `IVFPQ`) — tabled ADC
+    * proposes a `shortlist`-sized candidate set per query across
+    * `nprobe` probed cells, exact cosine on the raw vectors re-ranks
+    * it to `k`. One coarse-assignment pass feeds the query side, the
+    * candidate side AND the refine's vector lookups.
+    */
+  def pqTopKRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      coarseCentroids: DataFrame, codes: DataFrame,
+      codebooks: org.apache.spark.broadcast.Broadcast[graft.expr.PqAdc.Codebooks],
+      nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
+    val probed = ivfAssignProbed(corpus, idCol, vecCol, coarseCentroids,
+        nprobe)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"),
+        col("__rn"))
+      .localCheckpoint(true) // consumed by both join sides + refine
+    val owned = probed.filter(col("__rn") === 1) // the index cell
+    val candidates = owned
+      .select(col("id").as("id2"), col("cid").as("cid2"))
+      .join(codes.select(col(idCol).as("id2"), col("codes")), Seq("id2"))
+    val short = pqTabledSearch(
+      probed.select(col("id").as("id1"), col("vec").as("v1"), col("cid")),
+      candidates, codebooks, shortlist)
+    refineShortlist(short,
+      queryVecs = owned.select(col("id").as("id1"), col("vec").as("v1")),
+      candVecs = owned.select(col("id").as("id2"), col("vec").as("v2")),
+      k)
+  }
+
   // ------------------------------------------------------------------
   // Residual PQ (FAISS by_residual=true, shared codebooks): codes
   // quantize vec − coarseCentroid(cell(vec)) instead of the raw

@@ -101,6 +101,33 @@ object TextQueries {
   private def ivfPqOracleCtes: String =
     ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings")
 
+  /** Build-once full-corpus IVF-PQ index fixture SHARED by q164 (ADC
+    * search) and q173 (refined search): one hermetic per-process root
+    * (q157/q84 pattern), one write, both graded queries re-read it —
+    * build-once/search-many is the operator's whole contract, so
+    * re-planning either query re-searches the persisted index instead
+    * of re-training it.
+    */
+  private def fullPqIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.io.VectorIndexIO
+    val root = new java.io.File(
+      s"/tmp/graft_pqidx_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+        stillValid = new java.io.File(root, "meta").isDirectory) {
+      graft.ops.StageMemo.wipe(root)
+      val emb = t(s, dir, "embeddings")
+      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
+      val coarse = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      VectorIndexIO.writePqIndex(emb, "vec_id", "embedding", coarse,
+        dim = 64, m = 8, ks = 4, iters = 1, root.getAbsolutePath)
+      ()
+    }
+    root.getAbsolutePath
+  }
+
   private def ivfPqCtes(vecsSql: String, nprobe: Int = 1,
       kSql: String = "floor(sqrt(COUNT(*)))",
       trainWhere: String = "TRUE"): String =
@@ -1347,27 +1374,58 @@ object TextQueries {
     }) { (s, dir) =>
       import graft.io.VectorIndexIO
       val emb = t(s, dir, "embeddings")
-      val (dim, m, ks) = (64, 8, 4)
-      val kc = SimilarityOps.sqrtCentroidCount(emb.count())
-      val coarse = emb.filter(col("vec_id") < kc)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      // hermetic per-process root (q157/q84 pattern); the index build
-      // runs ONCE per process per input dir — build-once/search-many
-      // is this operator's whole contract, so re-planning the query
-      // re-searches the persisted index instead of re-training it
-      val root = new java.io.File(
-        s"/tmp/graft_q164_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "meta").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
-        VectorIndexIO.writePqIndex(emb, "vec_id", "embedding", coarse,
-          dim, m, ks, iters = 1, root.getAbsolutePath)
-        ()
-      }
-      val idx = VectorIndexIO.readPqIndex(s, root.getAbsolutePath)
+      val idx = VectorIndexIO.readPqIndex(s, fullPqIndexRoot(s, dir))
       VectorIndexIO.searchPqIndex(idx, emb, "vec_id", "embedding",
           nprobe = 2, k = 3)
+        .orderBy(col("id1"), col("nn_rank"))
+    },
+
+    // EXACT RE-RANK over the persisted index (FAISS IndexRefineFlat
+    // over IVFPQ — VERDICT r13's top ask): the tabled ADC proposes a
+    // 10-candidate shortlist per query across 2 probed cells, then
+    // the EXACT cosine between the raw vectors — read from the
+    // index's cell-partitioned vecs/ store, never the caller's
+    // corpus — re-ranks it to top-3. Refined recall equals the
+    // recall of the shortlist CONTAINING the true neighbor (the
+    // quantizer only has to not-miss it, not rank it first), which is
+    // why PQ + a small refine matches the exact-in-probed-cells
+    // ceiling at a fraction of brute-force cost — measured in
+    // RecallBench (SURVEY §8). Same persisted fixture as q164 — one
+    // build, two graded search faces, which IS the build-once
+    // contract. The oracle replays shortlist AND re-rank: the
+    // q164 CTE chain cut at ADC rank ≤ 10, then the exact FloatDot
+    // cosine fold between raw embeddings.
+    Q("q173_ann_refine", {
+      val adcSub = (0 until 8).map { j =>
+        s"(${sqDistSql(s"le.embedding[${j * 8 + 1} : ${j * 8 + 8}]",
+          s"rr.rvec[${j * 8 + 1} : ${j * 8 + 8}]")})"
+      }.mkString("\n    + ")
+      val exact = cosineSql("qe.embedding", "ce.embedding")
+      s"""${ivfPqCtes("SELECT vec_id, embedding AS v FROM embeddings", nprobe = 2)},
+         |short AS (
+         |  SELECT l.vec_id AS id1, rr.vec_id AS id2
+         |  FROM coarsen l JOIN embeddings le ON le.vec_id = l.vec_id
+         |  JOIN coarse r2 ON l.ccid = r2.ccid AND l.vec_id <> r2.vec_id
+         |  JOIN recon rr ON rr.vec_id = r2.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY l.vec_id
+         |    ORDER BY $adcSub, rr.vec_id) <= 10)
+         |SELECT s.id1,
+         |  row_number() OVER (PARTITION BY s.id1
+         |    ORDER BY $exact DESC, s.id2) AS nn_rank,
+         |  s.id2 AS nearest_id,
+         |  $exact AS cosine
+         |FROM short s
+         |JOIN embeddings qe ON qe.vec_id = s.id1
+         |JOIN embeddings ce ON ce.vec_id = s.id2
+         |QUALIFY row_number() OVER (PARTITION BY s.id1
+         |  ORDER BY $exact DESC, s.id2) <= 3
+         |ORDER BY id1, nn_rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.VectorIndexIO
+      val emb = t(s, dir, "embeddings")
+      val idx = VectorIndexIO.readPqIndex(s, fullPqIndexRoot(s, dir))
+      VectorIndexIO.searchPqIndexRefined(idx, emb, "vec_id", "embedding",
+          nprobe = 2, shortlist = 10, k = 3)
         .orderBy(col("id1"), col("nn_rank"))
     },
 

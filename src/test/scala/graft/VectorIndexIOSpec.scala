@@ -210,6 +210,101 @@ class VectorIndexIOSpec extends SparkSpecBase {
       VectorIndexIO.readPqIndex(spark, dir), corpus, "id", "vec", 2, 3)) shouldBe before
   }
 
+  test("refined search off the persisted index ≡ the in-memory refined face") {
+    val dir = freshDir("refine")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    val cb = SimilarityOps.trainPqCodebooks(corpus, "id", "vec", Dim, M, Ks, 1)
+    val bc = spark.sparkContext.broadcast(
+      SimilarityOps.collectCodebooks(cb, M, Ks, Dim / M))
+    val codes = SimilarityOps.pqEncode(corpus, "id", "vec", cb, Dim, M)
+    val inMem = SimilarityOps.pqTopKRefined(corpus, "id", "vec", coarse,
+      codes, bc, nprobe = 2, shortlist = 6, k = 3)
+    val persisted = VectorIndexIO.searchPqIndexRefined(idx, corpus,
+      "id", "vec", nprobe = 2, shortlist = 6, k = 3)
+    val a = sortedRows(inMem)
+    a should not be empty
+    sortedRows(persisted) shouldBe a
+  }
+
+  test("refine with a covering shortlist reaches the exact in-probed-cells neighbor") {
+    val dir = freshDir("refine_recall")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    // shortlist >= any cell population x nprobe: the ADC cannot drop
+    // the true neighbor, so refined top-1 IS the exact-cosine nearest
+    // among the probed cells' candidates — the ceiling the quantized
+    // faces approximate
+    val refined = VectorIndexIO.searchPqIndexRefined(idx, corpus,
+        "id", "vec", nprobe = 2, shortlist = 48, k = 1)
+      .select(col("id1"), col("nearest_id"), col("cosine"))
+    // ground truth: exact cosine over the same probed candidate sets
+    val probed = SimilarityOps.ivfAssignProbed(corpus, "id", "vec",
+      coarse, nprobe = 2)
+    val owned = probed.filter(col("__rn") === 1)
+      .select(col("id").as("id2"), col("cid"), col("vec").as("v2"))
+    val truth = probed
+      .select(col("id").as("id1"), col("vec").as("v1"), col("cid"))
+      .join(owned, Seq("cid"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        SimilarityOps.cosine(col("v1"), col("v2")).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cosine").desc, col("id2"))
+    val truthTop1 = truth.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1"), col("id2").as("nearest_id"), col("cosine"))
+    sortedRows(refined) shouldBe sortedRows(truthTop1)
+  }
+
+  test("refined point lookup ≡ refined batch search; vecs scan partition-pruned") {
+    val dir = freshDir("refine_lookup")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    val qv = Array.tabulate(Dim)(t => ((t * 5) % 11) - 4.25f)
+    val qDf = Seq((-1L, qv)).toDF("id", "vec")
+    val batch = VectorIndexIO.searchPqIndexRefined(idx, qDf, "id", "vec",
+        nprobe = 2, shortlist = 6, k = 3)
+      .select(col("nn_rank"), col("nearest_id").as("corpus_id"),
+        col("cosine"))
+    val point = VectorIndexIO.lookupPqIndexRefined(idx, qv,
+      nprobe = 2, shortlist = 6, k = 3)
+    sortedRows(point) shouldBe sortedRows(batch)
+
+    // the refine's raw-vector fetch reads only the probed cells
+    val totalVecFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir, "vecs"))
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    }
+    totalVecFiles should be > 1
+    val narrow = VectorIndexIO.lookupPqIndexRefined(idx, qv,
+      nprobe = 1, shortlist = 4, k = 2)
+    narrow.collect().length shouldBe 2
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val vecScans = scans(narrow.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("vecs")))
+    vecScans should not be empty
+    val filesRead = vecScans.map(_.metrics("numFiles").value).sum
+    filesRead should be >= 1L
+    filesRead.toInt should be < totalVecFiles
+  }
+
   test("dimension mismatches and malformed meta fail loudly") {
     val dir = freshDir("guards")
     VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
