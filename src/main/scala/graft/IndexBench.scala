@@ -83,9 +83,21 @@ object IndexBench {
     val tdir = s"$base/text"
     println(s"""{"corpus":"documents","n":$nd}""")
     timed("text_build") {
-      TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 64, tdir)
+      TextIndexIO.writeTextIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", buckets = 64, tdir)
     }
     val q = Seq("spark", "customer", "hash", "vector")
+    timed("text_append_10pct") {
+      TextIndexIO.appendToTextIndex(spark, tdir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }
+    timed("text_search_segmented") {
+      TextIndexIO.searchTextIndex(
+        TextIndexIO.readTextIndex(spark, tdir), q, k = 20).count()
+    }
+    timed("text_merge_segments") {
+      TextIndexIO.mergeTextIndex(spark, tdir)
+    }
     timed("text_search") {
       TextIndexIO.searchTextIndex(
         TextIndexIO.readTextIndex(spark, tdir), q, k = 20).count()

@@ -11,9 +11,11 @@ import graft.ops.{Checkpoints, SketchOps, TextOps}
   * names.
   *
   * {{{
-  *   <dir>/meta/                one row (nDocs, sumDl, buckets)
-  *   <dir>/terms/               (term, df)          — vocab-sized
-  *   <dir>/postings/bucket=N/   (term, doc_id, tf, dl, df)
+  *   <dir>/meta/                one row (nDocs, sumDl, buckets, segs)
+  *   <dir>/terms/               (term, df)          — vocab-sized,
+  *                              one row per term PER SEGMENT
+  *   <dir>/postings/bucket=N/   (term, doc_id, tf, dl, df) — appends
+  *                              add segment files inside the buckets
   * }}}
   *
   * Postings are PARTITIONED BY TERM-HASH BUCKET, and a query's terms
@@ -38,9 +40,15 @@ object TextIndexIO {
   /** Index-wide constants, persisted as the single `meta/` row.
     * `avgdl` is derived (exact integer sum ÷ count, divided once in
     * double) — stored as the two integers so no float ever lands on
-    * disk.
+    * disk. `segs` counts posting SEGMENTS (1 after a write or merge,
+    * +1 per [[appendToTextIndex]]): a segment's rows carry that
+    * segment's df, so a multi-segment index's stored df is
+    * per-segment — the batch search recomputes the corpus-wide df at
+    * query time, and faces that NEED the stored df corpus-wide (the
+    * streaming keyword search) require `segs == 1` loudly.
     */
-  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int) {
+  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int,
+      segs: Int = 1) {
     def avgdl: Double = sumDl.toDouble / nDocs
   }
 
@@ -109,6 +117,70 @@ object TextIndexIO {
     meta
   }
 
+  /** Append NEW documents as a posting SEGMENT (the Lucene segment
+    * model — the write-side twin of the tombstone delete): the batch
+    * tokenizes and its posting rows land as new files INSIDE the
+    * existing `bucket=` partitions (same term-hash bucketing, so the
+    * search's partition pruning is segmentation-blind), the doc-stats
+    * delta appends to `docs/`, and `meta/` advances exactly
+    * (nDocs + batch count, sumDl + batch sum, segs + 1). The appended
+    * rows' df column is the BATCH's df — per-segment, as Lucene
+    * stores per-segment stats — which is why [[searchTextIndex]]
+    * recomputes the corpus-wide df at query time and the streaming
+    * face requires a merged index. [[mergeTextIndex]] compacts
+    * segments back to one and makes the stored df exact again.
+    *
+    * Doc ids must be NEW: a re-appended id would double-count every
+    * corpus statistic and produce duplicate posting rows, so the
+    * overlap with the existing doc table fails loudly (one
+    * broadcast-semi count against `docs/` — doc-stats-sized, not
+    * postings-sized).
+    */
+  def appendToTextIndex(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): TextIndexMeta = {
+    val idx = readTextIndex(spark, dir)
+    val d = Checkpoints.sharedCut(
+      docs.select(col(idCol).as("doc_id"),
+          TextOps.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+          col("__toks")),
+      eager = true)
+    val clash = d.select(col("doc_id"))
+      .join(idx.docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+    require(clash == 0,
+      s"appendToTextIndex: $clash doc id(s) already exist in the index " +
+        s"at $dir — append takes NEW documents only (delete + merge " +
+        s"first to replace)")
+    // guards BEFORE any write lands — a failed append must not leave
+    // a half-written segment behind
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    require(stats.getLong(0) > 0,
+      "appendToTextIndex: empty batch — appending zero documents is a " +
+        "caller bug")
+    val tf = d.select(col("doc_id"), col("dl"),
+        explode(col("__toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfFrame, Seq("term"))
+      .withColumn("bucket",
+        pmod(SketchOps.kmvHash(col("term")), lit(idx.meta.buckets.toLong))
+          .cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    dfFrame.write.mode("append").parquet(s"$dir/terms")
+    d.select(col("doc_id"), col("dl"))
+      .write.mode("append").parquet(s"$dir/docs")
+    val meta = TextIndexMeta(idx.meta.nDocs + stats.getLong(0),
+      idx.meta.sumDl + stats.getLong(1), idx.meta.buckets,
+      idx.meta.segs + 1)
+    import spark.implicits._
+    Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    meta
+  }
+
   /** Tombstone deletion (the Lucene deleted-docs model): a document's
     * postings span MANY term buckets, so an eager rewrite would touch
     * most of the store; instead the ids append to `<dir>/deletes/`
@@ -141,7 +213,10 @@ object TextIndexIO {
     val idx = readTextIndex(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (idx.deletes.isEmpty) return idx.meta
+    // nothing to merge only when there are no tombstones AND no
+    // appended segments (a multi-segment index still needs its stored
+    // df made corpus-wide and its bucket files compacted)
+    if (idx.deletes.isEmpty && idx.meta.segs == 1) return idx.meta
     val del = broadcast(idx.deletes)
     // materialize survivors before overwriting their source files —
     // corpus-sized, so sharedCut (disk tier under GRAFT_SHARED_CP_LEVEL).
@@ -161,7 +236,8 @@ object TextIndexIO {
     dfNew.write.mode("overwrite").parquet(s"$dir/terms")
     val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val meta = TextIndexMeta(stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1), idx.meta.buckets)
+      if (stats.isNullAt(1)) 0L else stats.getLong(1), idx.meta.buckets,
+      segs = 1)
     import spark.implicits._
     Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deletes"), true)
@@ -171,7 +247,8 @@ object TextIndexIO {
   def readTextIndex(spark: SparkSession, dir: String): TextIndex = {
     val metaRow = spark.read.parquet(s"$dir/meta").collect() match {
       case Array(r) => TextIndexMeta(r.getAs[Long]("nDocs"),
-        r.getAs[Long]("sumDl"), r.getAs[Int]("buckets"))
+        r.getAs[Long]("sumDl"), r.getAs[Int]("buckets"),
+        r.getAs[Int]("segs"))
       case rows => throw new IllegalStateException(
         s"index meta at $dir/meta must hold exactly one row, got ${rows.length}")
     }
@@ -211,13 +288,23 @@ object TextIndexIO {
     val qPostings = index.postings
       .where(col("bucket").isin(qBuckets: _*)) // partition-pruned
       .where(col("term").isin(queryTerms: _*))
-      // tombstoned docs never surface (df/N stay stale until merge —
-      // the documented Lucene drift)
+      // corpus-wide df, recomputed at query time over the pruned
+      // slice: one posting row per (term, doc) whatever segment wrote
+      // it, so the per-term row count IS the total df — exact across
+      // appended segments, where the STORED df is per-segment.
+      // Counted BEFORE the tombstone anti-join, so tombstoned docs
+      // still count (df/N stay stale until merge — the documented
+      // Lucene drift, and exactly what the stored df did pre-append).
+      // The window exchanges only the |query-terms| slice.
+      .withColumn("df_all",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      // tombstoned docs never surface
       .join(broadcast(index.deletes.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
     val scored = qPostings
       .select(col("doc_id"),
-        graft.ops.RankOps.bm25Contribution(col("tf"), col("dl"), col("df"),
+        graft.ops.RankOps.bm25Contribution(col("tf"), col("dl"),
+          col("df_all"),
           lit(meta.nDocs), lit(meta.avgdl), k1, b).as("__c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__c")).cast("double").as("bm25"),

@@ -359,6 +359,54 @@ object VectorIndexIO {
       .select(col("nn_rank"), col("corpus_id"), col("adc"))
   }
 
+  /** MICRO-BATCH serving lookup — what an actual retrieval service
+    * issues (N queries per request, not one): every query's probed
+    * cells and m·ks distance table are computed ON THE DRIVER (same
+    * [[graft.expr.IvfCell.computeProbed]] / [[graft.expr.PqAdc]]
+    * twins as [[lookupPqIndex]], so results are row-identical to N
+    * single calls — spec-asserted), then ONE partition-pruned scan of
+    * the UNION of all probed cells joins the broadcast (qid, cid,
+    * dtab) table and ranks per query. Against N single lookups this
+    * amortizes job launch and reads each shared cell once instead of
+    * once per query that probes it. Returns
+    * (qid, nn_rank, corpus_id, adc), ranks 1..k per qid.
+    */
+  def lookupPqIndexBatch(index: PqIndex,
+      queries: Seq[(Long, Array[Float])], nprobe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "lookupPqIndexBatch needs >= 1 query")
+    val meta = index.meta
+    val spark = index.codes.sparkSession
+    val cents = SimilarityOps.collectCentroids(index.centroids, meta.dim)
+    val cb = SimilarityOps.collectCodebooks(
+      index.codebooks, meta.m, meta.ks, meta.dim / meta.m)
+    val rows = queries.map { case (qid, qv) =>
+      require(qv.length == meta.dim,
+        s"query $qid dim ${qv.length} != index dim ${meta.dim}")
+      val qData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qv)
+      (qid,
+        graft.expr.IvfCell.computeProbed(qData, cents, nprobe)
+          .toLongArray().toSeq,
+        graft.expr.PqAdc.computeTable(qData, cb).toDoubleArray().toSeq)
+    }
+    val allCids = rows.flatMap(_._2).distinct
+    import spark.implicits._
+    val qTable = rows.toDF("qid", "__probed", "__dtab")
+      .select(col("qid"), explode(col("__probed")).as("cid"), col("__dtab"))
+    index.codes
+      .where(col("cid").isin(allCids: _*)) // ONE pruned scan, union cells
+      .join(broadcast(qTable), Seq("cid"))
+      .select(col("qid"), col("corpus_id"),
+        graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("corpus_id"))))
+      .filter(col("nn_rank") <= k)
+      .select(col("qid"), col("nn_rank"), col("corpus_id"), col("adc"))
+  }
+
   /** [[lookupPqIndex]] + exact re-rank — the REFINED serving face: the
     * driver-built distance table shortlists `shortlist` candidates by
     * ADC (TakeOrderedAndProject over the probed cells), then their RAW

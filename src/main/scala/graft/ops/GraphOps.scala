@@ -272,4 +272,76 @@ object GraphOps {
     }
     ranks
   }
+
+  /** [[pageRank]] completed to the textbook deployment contract
+    * (Page/Brin 1998 §2.1.2; the form every production PageRank ships):
+    *
+    *  - DANGLING-MASS REDISTRIBUTION: a node with no out-edges donates
+    *    its rank uniformly to every node, so total rank is CONSERVED
+    *    at 1 every round (the fixed-round variant lets sinks leak, by
+    *    documented choice — q171's oracle replays that). The dangling
+    *    mass is one driver-read aggregate per round over the
+    *    node-sized rank frame.
+    *  - EPSILON CONVERGENCE: iterate until the L1 drift
+    *    Σ_v |r'(v) − r(v)| falls below `eps` (or `maxIters` rounds),
+    *    returning how many rounds ran — the stop-when-stable contract
+    *    a 100-iteration budget on a converged graph would waste.
+    *
+    * Distributed shape is [[pageRank]]'s unchanged: one edge join +
+    * one dst-keyed aggregation per round, rank state cut via
+    * [[Checkpoints.cut]]; the dangling sum and the drift are decimal-
+    * exact (merge-order-independent) before their single driver read.
+    * With no dangling nodes and `eps = 0` the rounds compute
+    * bit-identically to [[pageRank]] (spec-asserted). Returns
+    * (ranks(id, r), roundsRun).
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      eps: Double, maxIters: Int, d: Double = 0.85): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(eps >= 0, s"eps must be >= 0, got $eps")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 18)
+    val e = Checkpoints.cut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      eager = true)
+    val nodes = Checkpoints.cut(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct(),
+      eager = true)
+    val n = nodes.count()
+    require(n > 0, "pageRankConverged: empty graph")
+    val outdeg = Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("od")), eager = true)
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    var rounds = 0
+    var drift = Double.MaxValue
+    while (rounds < maxIters && drift >= eps) {
+      // rank held by dangling nodes (no out-edges) this round —
+      // node-sized anti-join, decimal-summed, one driver read
+      val dm = ranks
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"),
+          "left_anti")
+        .agg(coalesce(sum(col("r").cast(dec)).cast("double"), lit(0.0)))
+        .head().getDouble(0)
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), (col("r") / col("od")).cast(dec).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).cast("double").as("inr"))
+      val next = Checkpoints.cut(
+        nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (lit((1 - d) / n) +
+              lit(d) * (coalesce(col("inr"), lit(0.0)) + lit(dm / n)))
+              .as("r")),
+        eager = true)
+      drift = next
+        .join(ranks.select(col("id"), col("r").as("__r0")), Seq("id"))
+        .agg(sum(abs(col("r") - col("__r0")).cast(dec)).cast("double"))
+        .head().getDouble(0)
+      ranks = next
+      rounds += 1
+    }
+    (ranks, rounds)
+  }
 }

@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** One range predicate: `lo <= col <= hi`, inclusive, on a long
-    * column recorded in the stats sidecar.
+  /** One range predicate: `lo <= col <= hi`, inclusive, on a column
+    * recorded in the stats sidecar. Bounds are TYPED — pass the same
+    * runtime type the column collects as (Long, Double, String,
+    * java.time.LocalDateTime for TIMESTAMP_NTZ, java.sql.Timestamp /
+    * java.sql.Date for the tz'd types); a mismatched bound type fails
+    * loudly at prune time rather than silently keeping every file.
     */
-  final case class ColRange(col: String, lo: Long, hi: Long)
+  final case class ColRange(col: String, lo: Any, hi: Any)
 
   /** A pruned read: the (already residual-filtered) rows plus the
     * pruning evidence.
@@ -61,14 +65,17 @@ object LayoutOps {
       s"rank bits out of range: ${zCols.size} cols x $rankBits")
     val nb = 1 << rankBits
     val probes = (1 until nb).map(_.toDouble / nb).toArray
-    // ONE sampling pass computes every column's cut table
-    val allCuts = df.stat.approxQuantile(zCols.toArray, probes, 0.001)
+    // ONE sampling pass computes every column's cut table, over the
+    // NUMERIC image of each z column (dates/timestamps map to their
+    // epoch scalar — any monotone map preserves the rank bins)
+    val numDf = df.select(zCols.map(c => numericImage(df, c).as(c)): _*)
+    val allCuts = numDf.stat.approxQuantile(zCols.toArray, probes, 0.001)
     val rankCols = zCols.zip(allCuts).map { case (c, cuts) =>
       // rank = #cuts strictly below the value: monotone, null-safe
       // (null value -> null rank -> null z, clustered together), one
       // native binary-search probe per row (expr/RankBin) — the
       // composable when-chain twin ran interpreted at ~17 µs/row
-      graft.expr.RankBin.rankBin(col(c).cast("double"),
+      graft.expr.RankBin.rankBin(numericImage(df, c),
         cuts.distinct.toIndexedSeq)
     }
     df.withColumn("__z", graft.expr.ZValue.zvalue(rankBits, rankCols: _*))
@@ -93,17 +100,65 @@ object LayoutOps {
     writeStats(df.sparkSession, statsCols, dir)
   }
 
+  /** Monotone numeric image of an orderable column for rank binning:
+    * dates/timestamps map to their epoch scalar (exact in double —
+    * micros stay < 2^53), numerics cast through double. Strings are
+    * sidecar-prunable ([[readPruned]] compares them natively) but not
+    * z-orderable here — fail loudly rather than interleave garbage.
+    */
+  private def numericImage(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case StringType => throw new IllegalArgumentException(
+        s"zorderWrite: string column '$c' cannot be rank-binned — " +
+          s"z-order on numeric/date/timestamp columns (strings still " +
+          s"prune via the stats sidecar)")
+      case _ => col(c).cast("double")
+    }
+  }
+
   private def writeStats(spark: SparkSession, statsCols: Seq[String],
       dir: String): Unit = {
     val data = spark.read.parquet(s"$dir/data")
+    // min/max persist in the COLUMN'S OWN TYPE (long, double, string,
+    // date, timestamp) — the sidecar compare and the residual filter
+    // are typed end-to-end, so reference-shaped probes (ship-date
+    // ranges, key prefixes) skip files too
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")))
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c")))
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_stats")
   }
+
+  /** Typed sidecar compare: every stat type the sidecar stores (Long,
+    * Double, String, LocalDateTime, Timestamp, Date…) is Comparable;
+    * a bound whose runtime type doesn't match the stat's fails loudly
+    * — silently keeping every file would make pruning a no-op that
+    * still reports success.
+    */
+  private def widen(v: Any): Any = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case f: Float => f.toDouble
+    case x => x
+  }
+
+  private def cmpStat(stat: Any, bound: Any, c: String): Int =
+    try widen(stat).asInstanceOf[Comparable[Any]].compareTo(widen(bound))
+    catch {
+      case e: ClassCastException => throw new IllegalArgumentException(
+        s"readPruned: bound for '$c' is a ${bound.getClass.getName} " +
+          s"but the sidecar stat is a ${stat.getClass.getName} — pass " +
+          s"bounds in the column's own type", e)
+    }
 
   /** `input_file_name()` records URI-ENCODED paths (a space is %20) —
     * decode before handing them back to `spark.read.parquet`, which
@@ -136,11 +191,12 @@ object LayoutOps {
         // a null min/max means the file holds only nulls for that
         // column — it cannot satisfy an inclusive range
         !r.isNullAt(r.fieldIndex(s"min_${rg.col}")) &&
-          r.getAs[Long](s"max_${rg.col}") >= rg.lo &&
-          r.getAs[Long](s"min_${rg.col}") <= rg.hi
+          cmpStat(r.getAs[Any](s"max_${rg.col}"), rg.lo, rg.col) >= 0 &&
+          cmpStat(r.getAs[Any](s"min_${rg.col}"), rg.hi, rg.col) <= 0
       }
     }.map(r => decodeFileUri(r.getAs[String]("file")))
-    val residual = ranges.map(rg => col(rg.col).between(rg.lo, rg.hi))
+    val residual = ranges
+      .map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi)))
       .reduce(_ && _)
     val df =
       if (kept.isEmpty)

@@ -135,6 +135,36 @@ object SketchOps {
       .otherwise(lit((k - 1).toDouble) /
         (element_at(sketch, k).cast("double") / lit(HashSpace)))
 
+  /** In-plan union SKETCH of two [[kmvAgg]] sketch columns: the k
+    * smallest distinct hashes of the concatenation — exactly the KMV
+    * sketch of A ∪ B (each input holds its set's k smallest), the
+    * Column twin of [[kmvUnion]]. Estimate with [[kmvDistinctCol]].
+    */
+  def kmvUnionCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** In-plan INTERSECTION estimate between two [[kmvAgg]] sketch
+    * columns — the theta-sketch |A ∩ B| estimator ([[kmvIntersect]]'s
+    * grouped Column twin): count the hashes both sketches share below
+    * the UNION's threshold θ and scale by 1/θ; exact when the union
+    * sketch is not full. This is the per-stratum set-algebra payoff
+    * the sketch family exists for (per-group train/test contamination,
+    * cohort overlap) — two grouped aggregations and a 3-row join
+    * instead of a per-group distinct-join of the key sets. The CASE
+    * and divisions are spelled so a DuckDB oracle replays them
+    * term for term (q176). HOF evaluation is interpreted, but it runs
+    * on |groups| rows of k longs — post-aggregation, never per input
+    * row.
+    */
+  def kmvIntersectCol(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnionCol(a, b, k)
+    val shared = array_intersect(a, b)
+    when(size(u) < k, size(shared).cast("double"))
+      .otherwise(
+        size(filter(shared, x => x <= element_at(u, k))).cast("double")
+          / (element_at(u, k).cast("double") / lit(HashSpace)))
+  }
+
   /** Union cardinality: the k smallest of the two sketches' union is
     * exactly the KMV sketch of A ∪ B (each input sketch contains its
     * set's k smallest), so the same estimator applies.

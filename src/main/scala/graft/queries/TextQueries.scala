@@ -1694,6 +1694,39 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // SEGMENT APPEND on the persisted inverted index (Lucene's segment
+    // write model — VERDICT r13 item 3): the index builds on the FIRST
+    // HALF of the corpus, the second half appends as a new posting
+    // segment whose files land INSIDE the same term-hash bucket
+    // partitions (no existing file is rewritten; partition pruning is
+    // segmentation-blind), the doc-stats delta and meta advance
+    // exactly, and the stored per-row df stays PER-SEGMENT — the
+    // search recomputes corpus-wide df at query time from the pruned
+    // slice's row counts, so a segmented index answers exactly like
+    // one built on everything. The oracle is q168's BM25 replay over
+    // ALL documents, blind to the segmentation in the middle.
+    Q("q174_text_index_append", bm25TopKOracle("TRUE")) { (s, dir) =>
+      import graft.io.TextIndexIO
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q174_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        val half = docs.count() / 2
+        TextIndexIO.writeTextIndex(docs.filter(col("doc_id") < half),
+          "doc_id", "text", buckets = 16, root.getAbsolutePath)
+        TextIndexIO.appendToTextIndex(s, root.getAbsolutePath,
+          docs.filter(col("doc_id") >= half), "doc_id", "text")
+        ()
+      }
+      val idx = TextIndexIO.readTextIndex(s, root.getAbsolutePath)
+      TextIndexIO.searchTextIndex(idx,
+          Seq("spark", "customer", "hash", "vector"), k = 20)
+        .orderBy(col("rank"))
+    },
+
     // Surgical delete on the persisted VECTOR index: a vector lives in
     // exactly one cell partition, so removing every 13th embedding
     // rewrites only the touched `cid=` directories (byte-untouched

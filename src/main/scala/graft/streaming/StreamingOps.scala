@@ -369,6 +369,15 @@ object StreamingOps {
       windowLen: String = "1 minute", lateness: String = "1 minute",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val meta = index.meta
+    // the stream scores with the STORED per-row df (no vocab
+    // broadcast, no per-batch window over the static side) — which is
+    // only corpus-wide on a single-segment index. An appended index's
+    // rows carry per-segment df; publish to streaming only after
+    // mergeTextIndex (the batch search recomputes df and doesn't care).
+    require(meta.segs == 1,
+      s"keywordSearchArrivals needs a MERGED text index (stored df is " +
+        s"per-segment; this one has ${meta.segs} segments) — run " +
+        s"TextIndexIO.mergeTextIndex first")
     val exploded = queries
       .withWatermark("ts", lateness)
       .select(col("query_id"), col("ts"),

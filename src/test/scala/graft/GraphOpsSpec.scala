@@ -109,4 +109,40 @@ class GraphOpsSpec extends SparkSpecBase {
     GraphOps.pageRank(edges, "s", "t", iters = 3)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap shouldBe got
   }
+
+  test("pageRankConverged conserves mass under dangling nodes and stops at eps") {
+    import spark.implicits._
+    // node 4 is a pure sink: without redistribution its rank leaks
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("s", "t")
+    val (ranks, rounds) = GraphOps.pageRankConverged(edges, "s", "t",
+      eps = 1e-12, maxIters = 100)
+    // dangling-mass redistribution conserves total rank at 1
+    val total = ranks.collect().map(_.getDouble(1)).sum
+    total shouldBe 1.0 +- 1e-9
+    // epsilon termination stopped well before the budget
+    rounds should be < 100
+    rounds should be > 1
+
+    // converged means one more round moves less than eps
+    val (again, rounds2) = GraphOps.pageRankConverged(edges, "s", "t",
+      eps = 1e-12, maxIters = rounds + 5)
+    rounds2 shouldBe rounds
+    again.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRankConverged ≡ pageRank bit-exactly on a graph with no dangling nodes") {
+    import spark.implicits._
+    // every node has an out-edge: dangling mass is 0 every round, so
+    // the update is arithmetically the fixed-round variant's
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "t")
+    val fixed = GraphOps.pageRank(edges, "s", "t", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (conv, rounds) = GraphOps.pageRankConverged(edges, "s", "t",
+      eps = 0.0, maxIters = 3)
+    rounds shouldBe 3 // eps = 0 never converges early
+    conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+      fixed
+  }
 }

@@ -147,4 +147,42 @@ class LayoutOpsSpec extends SparkSpecBase {
     miss.df.count() shouldBe 0L
     miss.df.columns shouldBe withNulls.columns // schema-stable empty
   }
+
+  test("typed sidecar: timestamp z-column prunes; string stats prune; mismatched bound is loud") {
+    val dir = freshDir("typed")
+    // 64 days of hourly rows: ts interleaves with k, name rides along
+    val rows = (0 until 1536).map { i =>
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusHours(i.toLong), (i % 64).toLong, f"n${i % 64}%02d")
+    }
+    val df = rows.toDF("ts", "k", "name")
+    LayoutOps.zorderWrite(df, Seq("ts", "k"), nFiles = 16,
+      statsCols = Seq("ts", "k", "name"), dir)
+
+    val lo = java.time.LocalDateTime.of(2024, 1, 5, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 12, 0, 0)
+    val scan = LayoutOps.readPruned(spark, dir, Seq(
+      ColRange("ts", lo, hi), ColRange("k", 8L, 23L)))
+    scan.filesRead should be < scan.filesTotal
+    sortedRows(scan.df) shouldBe sortedRows(
+      df.filter(col("ts").between(lit(lo), lit(hi)) &&
+        col("k").between(8, 23)))
+
+    // string stats prune too (sidecar compares natively)
+    val sScan = LayoutOps.readPruned(spark, dir, Seq(
+      ColRange("name", "n08", "n23")))
+    sortedRows(sScan.df) shouldBe sortedRows(
+      df.filter(col("name").between("n08", "n23")))
+
+    // a bound in the wrong type fails loudly, never silently no-prunes
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.readPruned(spark, dir, Seq(ColRange("ts", 1L, 2L)))
+    }
+    e.getMessage should include("own type")
+    // and strings can't be z-ordered (they do prune via the sidecar)
+    intercept[IllegalArgumentException] {
+      LayoutOps.zorderWrite(df, Seq("name"), nFiles = 4,
+        statsCols = Seq("name"), freshDir("typed_bad"))
+    }.getMessage should include("rank-binned")
+  }
 }

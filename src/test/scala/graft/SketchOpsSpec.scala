@@ -55,6 +55,47 @@ class SketchOpsSpec extends SparkSpecBase {
     math.abs(est - 6000.0) / 6000.0 should be < 0.25
   }
 
+  test("in-plan grouped union/intersection equal the driver estimators per group") {
+    val k = 32
+    // per-group overlapping key sets: A = multiples of 2, B = of 3
+    val rows = (1 to 6000).flatMap { i =>
+      val g = s"g${i % 2}"
+      val key = s"k${i % 1200}"
+      (if (i % 2 == 0) Seq(("A", g, key)) else Seq.empty) ++
+        (if (i % 3 == 0) Seq(("B", g, key)) else Seq.empty)
+    }
+    val df = rows.toDF("side", "g", "key")
+      .withColumn("h", SketchOps.kmvHash(col("key")))
+    def side(s: String) = df.filter(col("side") === s)
+      .groupBy(col("g")).agg(SketchOps.kmvAgg(k)(col("h")).as(s"sk$s"))
+    val joined = side("A").join(side("B"), Seq("g"))
+      .select(col("g"), col("skA"), col("skB"),
+        SketchOps.kmvIntersectCol(col("skA"), col("skB"), k).as("i"),
+        SketchOps.kmvDistinctCol(
+          SketchOps.kmvUnionCol(col("skA"), col("skB"), k), k).as("u"))
+      .collect()
+    joined should not be empty
+    joined.foreach { r =>
+      val a = r.getSeq[Long](1).toArray
+      val b = r.getSeq[Long](2).toArray
+      r.getDouble(3) shouldBe SketchOps.kmvIntersect(a, b, k)
+      r.getDouble(4) shouldBe SketchOps.kmvDistinct(
+        SketchOps.kmvUnion(a, b, k), k)
+    }
+
+    // exact branch: tiny disjoint-ish sets below k
+    val tiny = Seq(("A", "g", "x1"), ("A", "g", "x2"), ("A", "g", "x3"),
+      ("B", "g", "x2"), ("B", "g", "x9"))
+      .toDF("side", "g", "key")
+      .withColumn("h", SketchOps.kmvHash(col("key")))
+    def tside(s: String) = tiny.filter(col("side") === s)
+      .groupBy(col("g")).agg(SketchOps.kmvAgg(k)(col("h")).as(s"sk$s"))
+    val t = tside("A").join(tside("B"), Seq("g"))
+      .select(SketchOps.kmvIntersectCol(col("skA"), col("skB"), k))
+      .head().getDouble(0)
+    t shouldBe 1.0 // {x2} — exact when the union sketch is under k
+  }
+
   test("grouped kmvAgg equals per-group kmvSketch, partition-invariant") {
     val k = 64
     val df = (1 to 9000).map(i => (s"g${i % 3}", s"key${i % 2500}"))

@@ -120,6 +120,75 @@ class TextIndexIOSpec extends SparkSpecBase {
     fromIndex.toSeq shouldBe direct.toSeq
   }
 
+  test("append: search over segments ≡ a from-scratch index; merge compacts to one segment") {
+    val dir = freshDir("append")
+    val first = docs.filter(col("doc_id") <= 4)
+    val rest = docs.filter(col("doc_id") > 4)
+    TextIndexIO.writeTextIndex(first, "doc_id", "text", buckets = 4, dir)
+    val meta2 = TextIndexIO.appendToTextIndex(spark, dir, rest,
+      "doc_id", "text")
+    meta2.nDocs shouldBe 8L
+    meta2.segs shouldBe 2
+
+    // a segmented index answers exactly like one built on everything
+    val full = freshDir("append_full")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, full)
+    val q = Seq("spark", "hash", "customer")
+    val seg = TextIndexIO.searchTextIndex(
+      TextIndexIO.readTextIndex(spark, dir), q, k = 5)
+    val scratch = TextIndexIO.searchTextIndex(
+      TextIndexIO.readTextIndex(spark, full), q, k = 5)
+    sortedRows(seg) shouldBe sortedRows(scratch)
+
+    // merge compacts segments and makes the stored df corpus-wide:
+    // the merged index's frames equal the from-scratch index's
+    val meta3 = TextIndexIO.mergeTextIndex(spark, dir)
+    meta3.segs shouldBe 1
+    meta3.nDocs shouldBe 8L
+    val merged = TextIndexIO.readTextIndex(spark, dir)
+    val fromScratch = TextIndexIO.readTextIndex(spark, full)
+    sortedRows(merged.postings) shouldBe sortedRows(fromScratch.postings)
+    sortedRows(merged.docs) shouldBe sortedRows(fromScratch.docs)
+    sortedRows(merged.terms) shouldBe sortedRows(fromScratch.terms)
+    sortedRows(TextIndexIO.searchTextIndex(merged, q, k = 5)) shouldBe
+      sortedRows(scratch)
+  }
+
+  test("append refuses existing doc ids and empty batches, loudly") {
+    val dir = freshDir("append_guards")
+    TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, dir)
+    val clash = intercept[IllegalArgumentException] {
+      TextIndexIO.appendToTextIndex(spark, dir,
+        Seq((3L, "already present")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    clash.getMessage should include("already exist")
+    val empty = intercept[IllegalArgumentException] {
+      TextIndexIO.appendToTextIndex(spark, dir,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    empty.getMessage should include("empty batch")
+    // failed appends left the index untouched
+    TextIndexIO.readTextIndex(spark, dir).meta.nDocs shouldBe 8L
+  }
+
+  test("the streaming face refuses a multi-segment index") {
+    val dir = freshDir("append_stream")
+    TextIndexIO.writeTextIndex(docs.filter(col("doc_id") <= 4),
+      "doc_id", "text", buckets = 4, dir)
+    TextIndexIO.appendToTextIndex(spark, dir,
+      docs.filter(col("doc_id") > 4), "doc_id", "text")
+    val idx = TextIndexIO.readTextIndex(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.keywordSearchArrivals(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          Seq("spark"))).toDF("query_id", "ts", "terms"),
+        idx)
+    }
+    e.getMessage should include("MERGED")
+  }
+
   test("unknown terms and empty matches return empty, not errors") {
     val dir = freshDir("misc")
     TextIndexIO.writeTextIndex(docs, "doc_id", "text", buckets = 4, dir)

@@ -305,6 +305,43 @@ class VectorIndexIOSpec extends SparkSpecBase {
     filesRead.toInt should be < totalVecFiles
   }
 
+  test("batch lookup ≡ N single lookups, off one pruned scan") {
+    val dir = freshDir("batch_lookup")
+    VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
+      Dim, M, Ks, iters = 1, dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    val queries = (0 until 4).map { q =>
+      (q.toLong, Array.tabulate(Dim)(t => ((t * 5 + q * 3) % 11) - 4.25f))
+    }
+    val batch = VectorIndexIO.lookupPqIndexBatch(idx, queries,
+        nprobe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val singles = queries.flatMap { case (qid, qv) =>
+      VectorIndexIO.lookupPqIndex(idx, qv, nprobe = 2, k = 3)
+        .collect()
+        .map(r => (qid, r.getInt(0), r.getLong(1), r.getDouble(2)))
+    }.sortBy(t => (t._1, t._2))
+    batch shouldBe singles
+
+    // one pruned codes scan serves the whole batch
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val b2 = VectorIndexIO.lookupPqIndexBatch(idx, queries, nprobe = 1, k = 2)
+    b2.collect()
+    val codeScans = scans(b2.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    codeScans.length shouldBe 1
+    codeScans.head.toString should include("PartitionFilters")
+  }
+
   test("dimension mismatches and malformed meta fail loudly") {
     val dir = freshDir("guards")
     VectorIndexIO.writePqIndex(corpus, "id", "vec", coarse,
