@@ -63,6 +63,25 @@ object IndexBench {
       VectorIndexIO.lookupPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
         qv, nprobe = 4, k = 10).count()
     }
+    timed("vec_lookup_refined") {
+      VectorIndexIO.lookupPqIndexRefined(
+        VectorIndexIO.readPqIndex(spark, vdir),
+        qv, nprobe = 4, shortlist = 50, k = 10).count()
+    }
+    val qBatch = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    timed("vec_lookup_batch16") {
+      VectorIndexIO.lookupPqIndexBatch(
+        VectorIndexIO.readPqIndex(spark, vdir),
+        qBatch, nprobe = 4, k = 10).count()
+    }
+    timed("vec_lookup_16_singles") {
+      val idx = VectorIndexIO.readPqIndex(spark, vdir)
+      qBatch.foreach { case (_, v) =>
+        VectorIndexIO.lookupPqIndex(idx, v, nprobe = 4, k = 10).count()
+      }
+    }
     timed("vec_append_10pct") {
       VectorIndexIO.appendToPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
         emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", vdir)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds an N× scale-stress fixture from an sf dir (dev tool, not part
@@ -40,13 +40,24 @@ import org.apache.spark.sql.functions._
   *    the identity for both, so the original rows appear verbatim.
   * No RNG anywhere — rebuilding the fixture is reproducible.
   *
-  * Usage: runMain graft.StressFixture [srcDir] [outDir] [factor]
+  * CLUSTERED mode (r14, the RecallBench regime fixture): `clustered`
+  * as arg 4 writes ONLY an embeddings table of n·factor vectors drawn
+  * from √(n·factor)/4 PLANTED CLUSTERS — vector = center + ε·noise
+  * with ε = 0.15 per dimension, both hash-derived (no RNG), center
+  * components uniform in [−1, 1], label = cluster id. This is the
+  * regime residual PQ / trained seeding / SQ8 exist for (residuals
+  * concentrate only when cell centroids approximate real cluster
+  * means), which the replicated near-isotropic corpus cannot
+  * exercise; RecallBench runs on it unchanged.
+  *
+  * Usage: runMain graft.StressFixture [srcDir] [outDir] [factor] [clustered]
   */
 object StressFixture {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/stress100")
     val factor = args.lift(2).map(_.toInt).getOrElse(100)
+    val clustered = args.lift(3).contains("clustered")
     require(factor >= 1, "factor must be >= 1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -57,6 +68,33 @@ object StressFixture {
     spark.sparkContext.setLogLevel("WARN")
 
     new java.io.File(out).mkdirs()
+
+    if (clustered) {
+      val srcN = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val n = srcN * factor
+      val cClusters = math.max(16,
+        graft.ops.SimilarityOps.sqrtCentroidCount(n) / 4)
+      // hash-uniform in [-1, 1]: murmur3 → pmod into 2e6+1 steps.
+      // Component magnitudes make clusters separable at dim 64:
+      // inter-center sqdist ≈ 2·64/3 ≈ 43 ≫ 2·64·ε²/3 ≈ 1 noise.
+      def u(seedCols: Column*): Column =
+        pmod(hash(seedCols: _*), lit(2000001)).cast("double") / 1000000.0 - 1.0
+      spark.range(n)
+        .select(col("id").as("vec_id"), (col("id") % cClusters).as("__c"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (u(col("__c"), i, lit(0xC0FFEE)) +
+              lit(0.15) * u(col("vec_id"), i, lit(0xBEEF))).cast("float"))
+            .as("embedding"),
+          col("__c").as("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[stress] wrote CLUSTERED $out: $n vectors in " +
+        s"$cClusters planted clusters (eps 0.15)")
+      spark.stop()
+      return
+    }
+
     val reps = broadcast(
       spark.range(factor).select(col("id").cast("int").as("__rep")))
 

@@ -293,6 +293,23 @@ object ExportStages {
     // unchanged heap). Default stays in-memory for bench scale.
     def shared(df: DataFrame): DataFrame =
       graft.ops.Checkpoints.sharedCut(df, eager = false)
+    // GRAFT_CDS_CP_HOPS: additionally cut the MULTI-CONSUMER hop
+    // frames (sample_file, pdx_file, cell_line_file, pdx_sample_file,
+    // cell_line_sample_file, sample_pdx_sample_file — each feeds 2-3
+    // terminal paths). Without it, every terminal path re-evaluates
+    // its whole join subtree, so the corpus-sized file-union
+    // checkpoint is re-read once per terminal path (14× at 100×
+    // stress — the measured cds-sink re-read floor); with it, the
+    // file union is read by the 5 direct consumers only and each hop
+    // computes once. Off by default: at bench scale the extra
+    // materializations cost more than the recompute they save (the
+    // original placement measurement), and the knob exists for the
+    // same reason GRAFT_SHUFFLE_PARTS does — the right setting is a
+    // function of data scale.
+    val cutHops = sys.env.get("GRAFT_CDS_CP_HOPS")
+      .orElse(sys.props.get("GRAFT_CDS_CP_HOPS")).exists(_ != "0")
+    def hop(p: Option[(String, DataFrame)]): Option[(String, DataFrame)] =
+      if (cutHops) p.map { case (n, df) => n -> shared(df) } else p
 
     val m = manifest.view.mapValues(remap).toMap
 
@@ -353,9 +370,9 @@ object ExportStages {
     val cl = m.get(cellLineNode)
     val f = Some(files)
 
-    val sf = path("sample_file", s, f, key(sampleNode))
-    val pf = path("pdx_file", x, f, key(pdxNode))
-    val cf = path("cell_line_file", cl, f, key(cellLineNode))
+    val sf = hop(path("sample_file", s, f, key(sampleNode)))
+    val pf = hop(path("pdx_file", x, f, key(pdxNode)))
+    val cf = hop(path("cell_line_file", cl, f, key(cellLineNode)))
     val plf = path("participant_file", participantLevel, f, key(participantNode))
     val slf = path("study_file", studyLevel, f, key(studyNode))
     val spf = path("sample_pdx_file", s, pf.map(_._2), key(sampleNode))
@@ -364,9 +381,11 @@ object ExportStages {
     val pclf = path("participant_cell_line_file",
       participantLevel, cf.map(_._2), key(participantNode))
     val slcf = path("study_cell_line_file", studyLevel, cf.map(_._2), key(studyNode))
-    val psf = path("pdx_sample_file", x, sf.map(_._2), key(pdxNode))
-    val csf = path("cell_line_sample_file", cl, sf.map(_._2), key(cellLineNode))
-    val spsf = path("sample_pdx_sample_file", s, psf.map(_._2), key(sampleNode))
+    val psf = hop(path("pdx_sample_file", x, sf.map(_._2), key(pdxNode)))
+    val csf = hop(path("cell_line_sample_file", cl, sf.map(_._2),
+      key(cellLineNode)))
+    val spsf = hop(path("sample_pdx_sample_file", s, psf.map(_._2),
+      key(sampleNode)))
     val slpsf = path("study_pdx_sample_file", studyLevel, psf.map(_._2), key(studyNode))
     val scsf = path("sample_cell_line_sample_file", s, csf.map(_._2), key(sampleNode))
     val pclsf = path("participant_cell_line_sample_file",

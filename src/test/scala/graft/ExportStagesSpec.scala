@@ -87,6 +87,15 @@ class ExportStagesSpec extends SparkSpecBase {
     byPath("participant_file")
       .filter(_.getAs[String]("file_url") == "s3://f/c")
       .head.getAs[String]("anatomic_site") shouldBe "dx-site"
+
+    // GRAFT_CDS_CP_HOPS (the 100x re-read shave: multi-consumer hop
+    // frames get their own lazy cut) is a pure placement knob — the
+    // flattened rows are identical with it on
+    System.setProperty("GRAFT_CDS_CP_HOPS", "1")
+    try {
+      val cut = ExportStages.cdsFlatten(cdsManifest, cdsCatalog)
+      sortedRows(cut) shouldBe sortedRows(out)
+    } finally System.clearProperty("GRAFT_CDS_CP_HOPS")
   }
 
   test("dcfIndex unions file nodes, dedups, fills guids and acl/authz") {
