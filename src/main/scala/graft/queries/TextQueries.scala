@@ -1831,6 +1831,97 @@ object TextQueries {
       CorpusOps.lengthQuantiles(t(s, dir, "documents"), Seq("lang"),
           TextOps.tokenCount(col("text")), Seq(0.25, 0.5, 0.9, 0.99))
         .orderBy(col("lang"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): embedding-cluster dedup — IVF
+    // cells, same-cell cosine > τ pairs, transitive closure, keep the
+    // min-id representative. τ=0.4 is this corpus's q63 tuning (real
+    // corpora ~0.95); cells are the √n rule with the q62 untrained
+    // quantizer so the oracle replays assignment exactly. The oracle
+    // computes components with the q86 recursive reachability CTE.
+    Q("q177_semantic_dedup", {
+      val simToC = cosineSql("e.embedding", "c.cvec")
+      s"""WITH RECURSIVE cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY $simToC DESC, c.cid) = 1),
+         |pairs AS (
+         |  SELECT l.vec_id AS id1, r.vec_id AS id2
+         |  FROM assigned l JOIN assigned r
+         |    ON l.cid = r.cid AND l.vec_id < r.vec_id
+         |  WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.4),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |walk AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e.dst AS id, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS vec_id, min(lbl) AS rep_id,
+         |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val centroids = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      DedupOps.semanticDedup(emb, "vec_id", "embedding", centroids, 0.4)
+        .select(col("vec_id"), col("rep_id"),
+          when(col("keep"), 1L).otherwise(0L).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Exact duplicate-span detection (Lee et al. 2022 ExactSubstr at
+    // token-window granularity): corpus-wide fingerprint counts over
+    // every w-token window, per-doc interval-union coverage of the
+    // duplicated spans. w=3 matches the shared shingle fragment (the
+    // deployment knob is w≈50); coverage graded in exact ppm (integer
+    // floor-div both engines — long `/` is double division in both, a
+    // rounding hazard not a grade).
+    Q("q178_span_dedup",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |wins AS (
+         |  SELECT doc_id, u.pos AS pos, u.h AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(generate_series(1, len(sh)),
+         |            i -> {'pos': CAST(i - 1 AS INT), 'h': md5(sh[i])})) AS u
+         |        FROM sh)),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         |dw AS (SELECT doc_id, pos, pos + 2 AS e FROM wins JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos, e,
+         |    CASE WHEN max(e) OVER w1 IS NULL OR pos > max(e) OVER w1 + 1
+         |         THEN 1 ELSE 0 END AS ni
+         |  FROM dw
+         |  WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl2 AS (
+         |  SELECT doc_id, pos, e,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl),
+         |per AS (
+         |  SELECT doc_id, island, count(*) AS nw,
+         |    max(e) - min(pos) + 1 AS len
+         |  FROM isl2 GROUP BY doc_id, island),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+         |    CAST(sum(len) AS BIGINT) AS covered_tokens
+         |  FROM per GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS total_tokens,
+         |  COALESCE(dup_windows, 0) AS dup_windows,
+         |  COALESCE(covered_tokens, 0) AS covered_tokens,
+         |  COALESCE(covered_tokens, 0) * 1000000 // CAST(len($TOKS) AS BIGINT)
+         |    AS coverage_ppm
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
+          w = 3, minCount = 2)
+        .orderBy(col("doc_id"))
     }
   )
 }

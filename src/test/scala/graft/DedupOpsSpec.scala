@@ -129,4 +129,49 @@ class DedupOpsSpec extends SparkSpecBase {
       DedupOps.simhash16(col("text")).as("hof"))
     both.collect().foreach(r => r.getString(0) shouldBe r.getString(1))
   }
+
+  test("semanticDedup: transitive in-cell closure, min-id reps, singletons keep") {
+    // chain at 0°/25°/50° in the (x,y) plane with τ = cos(30°): adjacent
+    // links pass (cos 25° ≈ .906), the endpoints alone would NOT
+    // (cos 50° ≈ .643) — only the transitive closure joins all three.
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val emb = Seq(
+      (10L, v(0)), (11L, v(25)), (12L, v(50)),
+      (20L, Array(0f, 0f, 1f, 0f))) // other cell, lone survivor
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+    val out = DedupOps.semanticDedup(emb, "vec_id", "embedding",
+        centroids, tau = math.cos(math.toRadians(30)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out(10L) shouldBe ((10L, true))
+    out(11L) shouldBe ((10L, false))
+    out(12L) shouldBe ((10L, false)) // via 11 only — transitive
+    out(20L) shouldBe ((20L, true))
+    out.size shouldBe 4
+  }
+
+  test("dupSpanCoverage: corpus-wide window counts, interval union, ppm") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // ab bc shared with doc 2 -> tokens 0..2
+      (2L, "a b c x y"),     // same coverage
+      (3L, "z z z"),         // zz appears twice WITHIN the doc -> full cover
+      (4L, "p q r"),         // no duplicated window
+      (5L, "a b m m q a b"), // ab at pos 0 and 5 -> two islands
+      (6L, "x")              // shorter than w -> zeros
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanCoverage(corpus, "doc_id", "text", w = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(1L) shouldBe ((5L, 2L, 3L, 600000L))
+    out(2L) shouldBe ((5L, 2L, 3L, 600000L))
+    out(3L) shouldBe ((3L, 2L, 3L, 1000000L))
+    out(4L) shouldBe ((3L, 0L, 0L, 0L))
+    out(5L) shouldBe ((7L, 2L, 4L, 571428L))
+    out(6L) shouldBe ((1L, 0L, 0L, 0L))
+  }
 }
