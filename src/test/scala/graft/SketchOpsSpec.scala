@@ -150,4 +150,48 @@ class SketchOpsSpec extends SparkSpecBase {
     s1.toSeq shouldBe s13.toSeq
     s1.length shouldBe 64
   }
+
+  private def mgOf(df: org.apache.spark.sql.DataFrame, k: Int) = df
+    .groupBy(col("g")).agg(SketchOps.mgAgg(k)(col("t")).as("sk"))
+    .collect()
+    .map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        x.getString(0) -> x.getLong(1)))
+    .toMap
+
+  test("mgAgg exact regime: k >= distinct terms is the frequency table, any partitioning") {
+    val rows = (1 to 300).map(i => ("a", s"t${i % 7}")) ++
+      (1 to 50).map(i => ("b", s"t${i % 3}"))
+    val truth = rows.groupBy(identity).map { case ((g, t), xs) =>
+      (g, t, xs.size.toLong)
+    }.toSeq
+    Seq(1, 13).foreach { parts =>
+      val out = mgOf(rows.toDF("g", "t").repartition(parts), k = 16)
+      out("a").toMap shouldBe truth.filter(_._1 == "a")
+        .map(x => x._2 -> x._3).toMap
+      out("b").toMap shouldBe truth.filter(_._1 == "b")
+        .map(x => x._2 -> x._3).toMap
+      // finish order contract: (cnt desc, term asc)
+      out("a") shouldBe out("a").sortBy { case (t, c) => (-c, t) }
+    }
+  }
+
+  test("mgAgg approximate regime: never overcounts, undercuts <= n/(k+1), heavy hitter survives") {
+    // one heavy term (40%) over a long distinct tail, k far below the
+    // vocabulary so decrements fire in both reduce and merge
+    val n = 2000
+    val rows = (1 to n * 2 / 5).map(_ => ("g", "heavy")) ++
+      (1 to n * 3 / 5).map(i => ("g", s"tail$i"))
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val k = 9
+    val out = mgOf(rows.toDF("g", "t").repartition(5), k).apply("g")
+    out.length should be <= k
+    val bound = n.toDouble / (k + 1)
+    out.foreach { case (t, c) =>
+      c should be <= truth(t) // MG never overcounts
+      (truth(t) - c).toDouble should be <= bound
+    }
+    // the 40% heavy hitter is far above n/(k+1) = 10% and must survive
+    out.exists(_._1 == "heavy") shouldBe true
+  }
 }
