@@ -254,4 +254,65 @@ object RankOps {
           .as("quality"),
         size(col("__scored")).cast("long").as("n_tokens"))
   }
+
+  /** Distributed least-squares LINEAR PROBE trained by full-batch
+    * gradient descent — the quality-regression-head trainer a
+    * training-data pipeline fits over per-document features (the
+    * DCLM/fastText-style linear classifier, squared-loss flavor so
+    * training is transcendental-free and exactly replayable
+    * cross-engine). Each round: one pass over the corpus computing
+    * all d gradients in a SINGLE aggregation —
+    * grad_j = Σ_i (w·x_i − y_i)·x_ij with the per-row product taken
+    * in double (fixed left-fold order) and summed as DECIMAL(25,18)
+    * (merge-order-independent — the q126/q171 exact-sum pattern), so
+    * the learned weights are bit-identical regardless of partitioning.
+    * Weight state is d doubles on the driver (d = a feature list, not
+    * a vocabulary); data never shuffles — the only reduction is the
+    * d-column partial aggregate. w starts at 0; callers append a
+    * lit(1) column for an intercept.
+    */
+  def trainLinearProbe(df: DataFrame, features: Seq[String],
+      labelCol: String, lr: Double, rounds: Int): Array[Double] = {
+    require(features.nonEmpty, "need at least one feature column")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(25, 18)
+    val base = df.select(
+      features.map(f => col(f).cast("double").as(f)) :+
+        col(labelCol).cast("double").as("__y"): _*)
+      .transform(Checkpoints.cut(_, eager = true)) // read once per round
+    val n = base.count()
+    require(n > 0, "trainLinearProbe: empty input")
+    val w = Array.fill(features.size)(0.0)
+    (1 to rounds).foreach { _ =>
+      val pred = features.zip(w)
+        .map { case (f, wi) => col(f) * lit(wi) }
+        .reduce(_ + _) // fixed left-fold order — the oracle's + chain
+      val grads = base
+        .select((pred - col("__y")).as("__r") +: features.map(col): _*)
+        .agg(
+          sum((col("__r") * col(features.head)).cast(dec)).as("g0"),
+          features.tail.zipWithIndex.map { case (f, i) =>
+            sum((col("__r") * col(f)).cast(dec)).as(s"g${i + 1}")
+          }: _*)
+        .head()
+      features.indices.foreach { j =>
+        w(j) -= lr * grads.getDecimal(j).doubleValue() / n
+      }
+    }
+    base.unpersist()
+    w
+  }
+
+  /** Map-side scorer for a [[trainLinearProbe]] head: ŷ = w·x with the
+    * training fold's exact term order — a pure projection, the
+    * train-offline/score-online contract [[scoreMapSide]] set.
+    */
+  def scoreLinearProbe(df: DataFrame, features: Seq[String],
+      w: Array[Double], out: String = "score"): DataFrame = {
+    require(features.size == w.length,
+      s"${features.size} features vs ${w.length} weights")
+    df.withColumn(out, features.zip(w)
+      .map { case (f, wi) => col(f).cast("double") * lit(wi) }
+      .reduce(_ + _))
+  }
 }

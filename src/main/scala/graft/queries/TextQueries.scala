@@ -1949,6 +1949,63 @@ object TextQueries {
         .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
           col("col._1").as("term"), col("col._2").as("cnt"))
         .orderBy(col("lang"), col("rank"))
+    },
+
+    // Distributed linear-probe training (RankOps.trainLinearProbe):
+    // least-squares quality head over per-doc features, 3 full-batch
+    // GD rounds — per-row products in double (fixed fold order),
+    // gradient sums DECIMAL(25,18) (the q126/q171 exact-sum pattern),
+    // so the weights are bit-identical regardless of partitioning and
+    // the oracle unrolls all three rounds term for term.
+    Q("q180_linear_probe", {
+      def pred(wa: String, wb: String, wc: String) =
+        s"($wa * x1 + $wb * x2 + $wc * x3)"
+      def gcte(out: String, wa: String, wb: String, wc: String, from: String) =
+        s"""$out AS (SELECT
+           |  sum(CAST((${pred(wa, wb, wc)} - y) * x1 AS DECIMAL(25,18))) AS ga,
+           |  sum(CAST((${pred(wa, wb, wc)} - y) * x2 AS DECIMAL(25,18))) AS gb,
+           |  sum(CAST((${pred(wa, wb, wc)} - y) * x3 AS DECIMAL(25,18))) AS gc
+           |  FROM $from)""".stripMargin
+      def wcte(out: String, g: String, pwa: String, pwb: String, pwc: String,
+          extra: String) =
+        s"""$out AS (SELECT
+           |  $pwa - 0.00001 * CAST(ga AS DOUBLE) / n AS wa,
+           |  $pwb - 0.00001 * CAST(gb AS DOUBLE) / n AS wb,
+           |  $pwc - 0.00001 * CAST(gc AS DOUBLE) / n AS wc
+           |  FROM $g, nn$extra)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT CAST(1 AS DOUBLE) AS x1,
+         |         CAST(len(tl) AS DOUBLE) AS x2,
+         |         CAST(len(list_filter(tl, t -> t = 'the' OR t = 'a'))
+         |           AS DOUBLE) AS x3,
+         |         CAST(len(list_distinct(tl)) AS DOUBLE) AS y
+         |  FROM (SELECT $TOKS AS tl FROM documents)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |${gcte("g1", "0.0", "0.0", "0.0", "f")},
+         |${wcte("w1", "g1", "0.0", "0.0", "0.0", "")},
+         |${gcte("g2", "wa", "wb", "wc", "f, w1")},
+         |${wcte("w2", "g2", "w1.wa", "w1.wb", "w1.wc", ", w1")},
+         |${gcte("g3", "wa", "wb", "wc", "f, w2")},
+         |${wcte("w3", "g3", "w2.wa", "w2.wb", "w2.wc", ", w2")}
+         |SELECT feature, weight FROM (
+         |  SELECT 'x1_intercept' AS feature, wa AS weight FROM w3
+         |  UNION ALL SELECT 'x2_tokens', wb FROM w3
+         |  UNION ALL SELECT 'x3_stopwords', wc FROM w3)
+         |ORDER BY feature""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val f = t(s, dir, "documents").select(
+        lit(1.0).as("x1"),
+        size(split(col("text"), " ")).cast("double").as("x2"),
+        TextOps.lexiconHits(col("text"), Seq("the", "a"))
+          .cast("double").as("x3"),
+        size(array_distinct(split(col("text"), " ")))
+          .cast("double").as("y"))
+      val w = RankOps.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
+        lr = 0.00001, rounds = 3)
+      Seq(("x1_intercept", w(0)), ("x2_tokens", w(1)), ("x3_stopwords", w(2)))
+        .toDF("feature", "weight")
+        .orderBy(col("feature"))
     }
   )
 }

