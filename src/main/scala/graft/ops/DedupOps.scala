@@ -423,21 +423,12 @@ object DedupOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame /* cid, cvec */, tau: Double): DataFrame = {
-    val cells = SimilarityOps.ivfAssign(emb, idCol, vecCol, centroids)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        SimilarityOps.norm(col(vecCol)).as("nrm"), col("cid"))
+    val cells = SimilarityOps.cellFrame(emb, idCol, vecCol, centroids)
       .transform(Checkpoints.cut(_, eager = true)) // both join sides + seed
-    val l = cells.select(col("id").as("id1"), col("vec").as("v1"),
-      col("nrm").as("n1"), col("cid"))
-    val r = cells.select(col("id").as("id2"), col("vec").as("v2"),
-      col("nrm").as("n2"), col("cid").as("cid2"))
     // canonical orientation (id1 < id2) halves the pair frame; vectors
-    // are projected away with the cosine, so only (id, id) edges flow
-    // into the closure
-    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") < r("id2"))
-      .select(col("id1"), col("id2"),
-        (SimilarityOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-          .as("cosine"))
+    // are projected away with the cosine (sameCellPairScores), so only
+    // (id, id) edges flow into the closure
+    val pairs = SimilarityOps.sameCellPairScores(cells, canonical = true)
       .filter(col("cosine") > tau)
       .select(col("id1"), col("id2"))
     val cc = connectedComponents(pairs,
@@ -509,9 +500,11 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(sum(col("__nw")).as("dup_windows"),
         sum(col("__len")).as("covered_tokens"))
+    // TextOps.tokenCount IS ShingleHashes' space tokenization — the
+    // denominator must stay coupled to the window definition
     docs
       .select(col(idCol),
-        size(split(col(textCol), " ")).cast("bigint").as("total_tokens"))
+        TextOps.tokenCount(col(textCol)).as("total_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("total_tokens"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),

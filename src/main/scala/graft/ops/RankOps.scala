@@ -282,20 +282,37 @@ object RankOps {
       .transform(Checkpoints.cut(_, eager = true)) // read once per round
     val n = base.count()
     require(n > 0, "trainLinearProbe: empty input")
-    val w = Array.fill(features.size)(0.0)
-    (1 to rounds).foreach { _ =>
+    val d = features.size
+    val w = Array.fill(d)(0.0)
+    (1 to rounds).foreach { round =>
       val pred = features.zip(w)
         .map { case (f, wi) => col(f) * lit(wi) }
         .reduce(_ + _) // fixed left-fold order — the oracle's + chain
+      // per-feature null-product counters ride the same aggregation:
+      // a NULL product means a null feature/label row or a
+      // DECIMAL(25,18) overflow (|v| ≥ 1e7 — diverging lr), and sum()
+      // would silently SKIP it, training wrong weights with no signal
+      // (the ivfAssign loud-guard policy; Spark's non-ANSI cast nulls
+      // where DuckDB raises, so a graded oracle would diverge
+      // undiagnosably)
+      val gradCols = features.zipWithIndex.map { case (f, i) =>
+        sum((col("__r") * col(f)).cast(dec)).as(s"g$i")
+      }
+      val nullCols = features.zipWithIndex.map { case (f, i) =>
+        count(when((col("__r") * col(f)).cast(dec).isNull, 1)).as(s"n$i")
+      }
+      val agg = gradCols ++ nullCols
       val grads = base
         .select((pred - col("__y")).as("__r") +: features.map(col): _*)
-        .agg(
-          sum((col("__r") * col(features.head)).cast(dec)).as("g0"),
-          features.tail.zipWithIndex.map { case (f, i) =>
-            sum((col("__r") * col(f)).cast(dec)).as(s"g${i + 1}")
-          }: _*)
+        .agg(agg.head, agg.tail: _*)
         .head()
       features.indices.foreach { j =>
+        val nulls = grads.getLong(d + j)
+        if (nulls > 0) throw new IllegalStateException(
+          s"trainLinearProbe: $nulls null gradient products for " +
+            s"'${features(j)}' in round $round — null feature/label " +
+            "rows, or |residual·x| ≥ 1e7 overflowing DECIMAL(25,18) " +
+            "(diverging learning rate?). Clean the inputs or lower lr.")
         w(j) -= lr * grads.getDecimal(j).doubleValue() / n
       }
     }

@@ -95,23 +95,42 @@ object SimilarityOps {
       .filter(col("__rn") <= nprobe)
   }
 
-  def ivfNearestNeighbor(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame /* cid, cvec */): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = ivfAssign(corpus, idCol, vecCol, centroids)
+  /** (id, vec, nrm, cid) projection of [[ivfAssign]] — the self-join
+    * input shared by [[ivfNearestNeighbor]] and
+    * [[DedupOps.semanticDedup]]; callers checkpoint it (both sides of
+    * the pair join read it).
+    */
+  private[ops] def cellFrame(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cid"))
-      .localCheckpoint(true) // consumed by both self-join sides
+
+  /** Same-cell cosine pairs over a [[cellFrame]] — vectors are
+    * projected away WITH the cosine, so whatever shuffles next moves
+    * (id, id, double) rows, not 64-float payloads. `canonical` emits
+    * each unordered pair once (id1 < id2 — the dedup-graph shape);
+    * otherwise both directions (the top-1-per-query shape).
+    */
+  private[ops] def sameCellPairScores(cells: DataFrame,
+      canonical: Boolean): DataFrame = {
     val l = cells.select(col("id").as("id1"), col("vec").as("v1"),
       col("nrm").as("n1"), col("cid"))
     val r = cells.select(col("id").as("id2"), col("vec").as("v2"),
       col("nrm").as("n2"), col("cid").as("cid2"))
-    // project vectors away BEFORE the ranking window — the window
-    // shuffle moves (id, id, double) rows, not 64-float payloads
-    val pairs = l.join(r, l("cid") === r("cid2") && l("id1") =!= r("id2"))
+    val pred = if (canonical) l("id1") < r("id2") else l("id1") =!= r("id2")
+    l.join(r, l("cid") === r("cid2") && pred)
       .select(col("id1"), col("id2"),
         (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("cosine"))
+  }
+
+  def ivfNearestNeighbor(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame /* cid, cvec */): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = cellFrame(corpus, idCol, vecCol, centroids)
+      .localCheckpoint(true) // consumed by both self-join sides
+    val pairs = sameCellPairScores(cells, canonical = false)
     val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
     pairs.withColumn("__rn", row_number().over(wNn))
       .filter(col("__rn") === 1)

@@ -1941,9 +1941,21 @@ object TextQueries {
         |  GROUP BY lang, term) t
         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin) { (s, dir) =>
       val toks = t(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
       toks.groupBy(col("lang"))
-        .agg(SketchOps.mgAgg(64)(col("term")).as("sk"))
+        .agg(SketchOps.mgAgg(64)(col("term")).as("sk0"))
+        // in-plan regime guard (the ivfAssign raise_error pattern): a
+        // FULL sketch means a testdata regeneration pushed some lang's
+        // vocabulary to ≥ k and decrements may have fired — the counts
+        // would drift merge-order-dependently and the plain-frequency
+        // oracle would fail FLAKILY; fail loudly naming the violation
+        // instead (vocab is 31/lang vs k=64 today — wide margin)
+        .select(col("lang"),
+          when(size(col("sk0")) >= 64, raise_error(concat(
+            lit("q179: mgAgg sketch full for lang="), col("lang"),
+            lit(" — k=64 no longer exceeds the vocabulary; exact " +
+              "regime violated, raise k"))))
+            .otherwise(col("sk0")).as("sk"))
         .select(col("lang"), posexplode(col("sk")))
         .filter(col("pos") < 10)
         .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
@@ -1994,13 +2006,17 @@ object TextQueries {
          |ORDER BY feature""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val f = t(s, dir, "documents").select(
-        lit(1.0).as("x1"),
-        size(split(col("text"), " ")).cast("double").as("x2"),
-        TextOps.lexiconHits(col("text"), Seq("the", "a"))
-          .cast("double").as("x3"),
-        size(array_distinct(split(col("text"), " ")))
-          .cast("double").as("y"))
+      // tokenize ONCE (HOFs run interpreted with no CSE — the
+      // CLAUDE.md project-shared-arrays-once rule); the three sizes
+      // read the shared array
+      val f = t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("__tl"))
+        .select(
+          lit(1.0).as("x1"),
+          size(col("__tl")).cast("double").as("x2"),
+          size(filter(col("__tl"), tk => tk.isin("the", "a")))
+            .cast("double").as("x3"),
+          size(array_distinct(col("__tl"))).cast("double").as("y"))
       val w = RankOps.trainLinearProbe(f, Seq("x1", "x2", "x3"), "y",
         lr = 0.00001, rounds = 3)
       Seq(("x1_intercept", w(0)), ("x2_tokens", w(1)), ("x3_stopwords", w(2)))
