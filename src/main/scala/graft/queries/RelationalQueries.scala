@@ -791,6 +791,96 @@ object RelationalQueries {
         .orderBy(col("id"))
     },
 
+    // Distribution drift between two corpus slices per stratum
+    // (SketchOps.histAgg — the BHYT streaming-histogram sketch, 4th
+    // sketch family): per returnflag, TVD and KS statistics between
+    // the F- and O-status l_quantity distributions — the
+    // snapshot-over-snapshot data-drift monitor a training pipeline
+    // runs before mixing a new crawl in. Two grouped histogram
+    // sketches (≤ k bins per partition-group cross the wire, never
+    // the row set), exploded to a ≤ 6×50-row relational tail. k=64 ≥
+    // the 50 distinct quantity values at every SF, so no bin ever
+    // collapses and the sketch IS the exact frequency table (the
+    // graded regime — kmv/mgAgg contract; the in-plan raise_error
+    // fails LOUDLY if a testdata regeneration widens the value set).
+    // Drift statistics stay in INTEGER arithmetic until one final
+    // exactly-rounded IEEE division each (|ca·nb − cb·na| sums and
+    // cumulative maxes), so both engines produce bit-identical
+    // doubles — no transcendentals, no float-sum order dependence.
+    Q("q181_dist_drift",
+      """WITH b AS (SELECT l_returnflag AS flag, l_linestatus AS st,
+        |    CAST(l_quantity AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_linestatus IN ('F', 'O') GROUP BY 1, 2, 3),
+        |f AS (SELECT flag, v, c AS ca FROM b WHERE st = 'F'),
+        |o AS (SELECT flag, v, c AS cb FROM b WHERE st = 'O'),
+        |j AS (SELECT COALESCE(f.flag, o.flag) AS flag,
+        |    COALESCE(f.v, o.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM f FULL JOIN o ON f.flag = o.flag AND f.v = o.v),
+        |cum AS (SELECT flag, v, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY flag) AS na,
+        |    SUM(cb) OVER (PARTITION BY flag) AS nb,
+        |    SUM(ca) OVER (PARTITION BY flag ORDER BY v) AS cca,
+        |    SUM(cb) OVER (PARTITION BY flag ORDER BY v) AS ccb
+        |  FROM j),
+        |m AS (SELECT flag, MAX(na) AS na, MAX(nb) AS nb,
+        |    SUM(ABS(ca * nb - cb * na)) AS tvd_num,
+        |    MAX(ABS(cca * nb - ccb * na)) AS ks_num
+        |  FROM cum GROUP BY flag)
+        |SELECT flag, CAST(na AS BIGINT) AS n_f, CAST(nb AS BIGINT) AS n_o,
+        |  CAST(tvd_num AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS tvd,
+        |  CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+        |FROM m ORDER BY flag""".stripMargin) { (s, dir) =>
+      val k = 64
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("st"),
+          col("l_quantity").cast("double").as("v"))
+        .filter(col("st").isin("F", "O"))
+      val sk = li.groupBy(col("flag"), col("st"))
+        .agg(SketchOps.histAgg(k)(col("v")).as("sk0"))
+        // in-plan regime guard (the q179 raise_error pattern): a
+        // collapsed sketch means counts drifted merge-order-
+        // dependently — the oracle would fail FLAKILY; fail loudly
+        // naming the violation instead (50 values vs k=64 today)
+        .select(col("flag"), col("st"),
+          when(!col("sk0._1"), raise_error(concat(
+            lit("q181: histAgg sketch collapsed for flag="), col("flag"),
+            lit(s" — k=$k no longer exceeds the distinct quantity " +
+              "values; exact regime violated, raise k"))))
+            .otherwise(col("sk0")).as("sk"))
+      val bins = sk
+        .select(col("flag"), col("st"), col("sk._3").as("cs"),
+          posexplode(col("sk._2")).as(Seq("pos", "v")))
+        .select(col("flag"), col("st"), col("v"),
+          element_at(col("cs"), (col("pos") + 1).cast("int")).as("c"))
+      val fa = bins.filter(col("st") === "F")
+        .select(col("flag"), col("v"), col("c").as("ca"))
+      val ob = bins.filter(col("st") === "O")
+        .select(col("flag"), col("v"), col("c").as("cb"))
+      val wAll = Window.partitionBy("flag")
+      val wCum = Window.partitionBy("flag").orderBy("v")
+      fa.join(ob, Seq("flag", "v"), "full_outer")
+        .select(col("flag"), col("v"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .select(col("flag"), col("ca"), col("cb"),
+          sum("ca").over(wAll).as("na"), sum("cb").over(wAll).as("nb"),
+          sum("ca").over(wCum).as("cca"), sum("cb").over(wCum).as("ccb"))
+        .groupBy(col("flag"))
+        .agg(max("na").as("na"), max("nb").as("nb"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("tvd_num"),
+          max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
+            .as("ks_num"))
+        .select(col("flag"),
+          col("na").as("n_f"), col("nb").as("n_o"),
+          (col("tvd_num").cast("double") /
+            (lit(2L) * col("na") * col("nb")).cast("double")).as("tvd"),
+          (col("ks_num").cast("double") /
+            (col("na") * col("nb")).cast("double")).as("ks"))
+        .orderBy(col("flag"))
+    },
+
     // O2 — multi-key sort with explicit NULL placement (the engines
     // disagree by default: Spark sorts nulls first ASC, DuckDB last —
     // desc_nulls_last/asc_nulls_last make placement portable).

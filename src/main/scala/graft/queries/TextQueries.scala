@@ -641,6 +641,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-prefiltered decontamination (third form next to q138's
+    // broadcast-join and q146's driver-dict): the corpus→benchmark
+    // probe rides Spark's native BloomFilterAggregate /
+    // BloomFilterMightContain (the codegen'd pair behind runtime
+    // row-level filtering) before an exact verification semi-join —
+    // the 100 TB shape when the benchmark shingle set is too big to
+    // broadcast or hold on the driver (the bloom is ~1.2 B/item at
+    // 1% fpp vs GB-scale hash strings). The bloom is TRANSPARENT to
+    // the result (false positives die in the exact join), so the
+    // oracle is the q138 shape on a different split.
+    Q("q183_decontaminate_bloom",
+      s"""WITH bs AS (
+         |  SELECT DISTINCT unnest(list_transform(sh, s -> md5(s))) AS h
+         |  FROM (SELECT ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 11 = 0)),
+         |cs AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(sh, s -> md5(s)))) AS h
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 11 <> 0)),
+         |agg AS (
+         |  SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(COUNT(b.h) AS BIGINT) AS n_overlap
+         |  FROM cs LEFT JOIN bs b ON cs.h = b.h GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN 0.0
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |  END AS overlap_ratio,
+         |  CASE WHEN COALESCE(a.n_shingles, 0) = 0 THEN FALSE
+         |       ELSE CAST(a.n_overlap AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+         |         >= 0.2
+         |  END AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+         |LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminateBloom(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    },
+
     // PII scan + redaction. The synthetic corpus is digit-free, so the
     // fixture deterministically plants emails / phones / account ids
     // from doc_id IDENTICALLY on both engines, then grades the real
@@ -717,6 +762,41 @@ object TextQueries {
           t(s, dir, "documents").select(col("doc_id"), col("lang")),
           "doc_id", "lang",
           Map("en" -> "18", "de" -> "80", "fr" -> "80"), "40")
+        .orderBy(col("doc_id"))
+    },
+
+    // Priority sampling (Duffield-Lund-Thorup, JACM 2007 —
+    // CorpusOps.prioritySample): a weight-proportional 100-doc sample
+    // (weight = n_chars) WITHOUT replacement plus the unbiased
+    // max(w, τ) per-row estimator that makes any subset-sum over the
+    // sample estimate the population's. Complements q141's Bernoulli
+    // form: fixed sample SIZE, weight-proportional inclusion. The
+    // draw is the deterministic 60-bit kmvHash (u = (h+1)/2^60,
+    // priority = w/u — two exactly-rounded IEEE divisions, no pow/ln),
+    // so the oracle replays it hash for hash; the top-(n+1) runs as
+    // TakeOrderedAndProject (per-partition heaps, no global sort) and
+    // τ/population-exhausted are windows over ≤ n+1 post-limit rows.
+    Q("q182_priority_sample",
+      """WITH w AS (SELECT doc_id, n_chars AS weight,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, weight,
+        |    CAST(weight AS DOUBLE) /
+        |      (CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
+        |  FROM w),
+        |t AS (SELECT doc_id, weight, priority,
+        |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM p QUALIFY rn <= 101),
+        |x AS (SELECT doc_id, weight, priority, rn,
+        |    COUNT(*) OVER () AS m, MIN(priority) OVER () AS mn FROM t)
+        |SELECT doc_id, weight, priority,
+        |  GREATEST(CAST(weight AS DOUBLE),
+        |    CASE WHEN m <= 100 THEN 0.0 ELSE mn END) AS est
+        |FROM x WHERE rn <= 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.prioritySample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), n = 100)
         .orderBy(col("doc_id"))
     },
 

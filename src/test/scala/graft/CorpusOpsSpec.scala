@@ -375,6 +375,70 @@ class CorpusOpsSpec extends SparkSpecBase {
     math.abs(apEn.getDouble(3) - 46.0) should be <= 1.0
   }
 
+  test("prioritySample: exhausted population is exact, sampling is deterministic and weight-respecting") {
+    val pop = (1L to 500L).map(i => (i, (i % 37 + 1) * 10))
+      .toDF("doc_id", "w")
+    // population <= n: the sample IS the population, est = w exactly
+    val all = CorpusOps.prioritySample(pop.limit(30), "doc_id", col("w"), 100)
+      .orderBy("doc_id").collect()
+    all.length shouldBe 30
+    all.foreach { r => r.getDouble(3) shouldBe r.getLong(1).toDouble }
+
+    // population > n: exactly n rows, est = max(w, tau) >= w,
+    // identical across partitionings (the hash draw is deterministic)
+    val s1 = CorpusOps.prioritySample(pop, "doc_id", col("w"), 50)
+      .orderBy("doc_id").collect()
+    val s2 = CorpusOps.prioritySample(pop.repartition(13), "doc_id",
+      col("w"), 50).orderBy("doc_id").collect()
+    s1.length shouldBe 50
+    s1.map(_.toSeq) shouldBe s2.map(_.toSeq)
+    s1.foreach { r => r.getDouble(3) should be >= r.getLong(1).toDouble }
+    // tau is shared: every est is either the row's own weight or tau
+    val taus = s1.map(_.getDouble(3)).filter(e =>
+      !s1.exists(r => r.getLong(1).toDouble == e)).distinct
+    taus.length should be <= 1
+  }
+
+  test("prioritySample est is an unbiased subset-sum estimator (aggregate check over many disjoint draws)") {
+    // 40 disjoint populations sampled independently (distinct id
+    // spaces -> independent hash draws); the MEAN of the 40 total-
+    // weight estimates must land near the common true total even
+    // though each single draw is noisy. This is the E[sum est] =
+    // sum w contract that makes the sample usable for reporting.
+    val n = 10
+    val perPop = 200
+    val trueTotal = (1 to perPop).map(i => (i % 23 + 1).toLong).sum
+    val ests = (0 until 40).map { p =>
+      val pop = (1 to perPop)
+        .map(i => (p * 100000L + i, (i % 23 + 1).toLong))
+        .toDF("doc_id", "w")
+      CorpusOps.prioritySample(pop, "doc_id", col("w"), n)
+        .agg(sum(col("est"))).head().getDouble(0)
+    }
+    val mean = ests.sum / ests.length
+    math.abs(mean - trueTotal) / trueTotal should be < 0.15
+  }
+
+  test("decontaminateBloom ≡ decontaminate (the bloom is transparent to the result)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox went home early today"),
+      (4L, "completely unrelated text with no overlap at all"),
+      (5L, "xy")) // under k tokens -> zero shingles
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val exact = CorpusOps.decontaminate(docs, bench, "doc_id", "text",
+      k = 3, threshold = 0.2).orderBy("doc_id").collect()
+    val bloom = CorpusOps.decontaminateBloom(docs, bench, "doc_id", "text",
+      k = 3, threshold = 0.2).orderBy("doc_id").collect()
+    bloom.map(_.toSeq) shouldBe exact.map(_.toSeq)
+    // sanity: the fixture actually contaminates doc 1 and not doc 4
+    bloom.find(_.getLong(0) == 1L).get.getBoolean(4) shouldBe true
+    bloom.find(_.getLong(0) == 4L).get.getBoolean(4) shouldBe false
+  }
+
   test("lengthQuantiles rejects out-of-range and colliding percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")

@@ -194,4 +194,62 @@ class SketchOpsSpec extends SparkSpecBase {
     // the 40% heavy hitter is far above n/(k+1) = 10% and must survive
     out.exists(_._1 == "heavy") shouldBe true
   }
+
+  private def histOf(df: org.apache.spark.sql.DataFrame, k: Int)
+      : Map[String, (Boolean, Seq[Double], Seq[Long])] =
+    df.groupBy(col("g")).agg(SketchOps.histAgg(k)(col("v")).as("sk"))
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getString(0) -> ((s.getBoolean(0), s.getSeq[Double](1),
+          s.getSeq[Long](2)))
+      }.toMap
+
+  test("histAgg exact regime: bins are the exact frequency table, partitioning-invariant, exact flag true") {
+    val rows = for (g <- Seq("a", "b"); v <- 1 to 40; rep <- 1 to (v % 5) + 1)
+      yield (g, v.toDouble)
+    val truth = rows.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    Seq(1, 13).foreach { parts =>
+      val out = histOf(rows.toDF("g", "v").repartition(parts), k = 64)
+      Seq("a", "b").foreach { g =>
+        val (exact, vs, cs) = out(g)
+        exact shouldBe true
+        vs shouldBe vs.sorted // ascending contract
+        vs.zip(cs).toMap shouldBe truth(g)
+      }
+    }
+  }
+
+  test("histAgg collapse regime: exact=false, <= k bins, count and mass conserved, quantile within BHYT error") {
+    // 2000 distinct values, k far below — collapses fire in reduce and merge
+    val n = 2000
+    val rows = (1 to n).map(i => ("g", i.toDouble))
+    val k = 64
+    val (exact, vs, cs) = histOf(rows.toDF("g", "v").repartition(7), k)("g")
+    exact shouldBe false
+    vs.length should be <= k
+    cs.sum shouldBe n.toLong // counts are never lost
+    // mass (sum of v*c) is conserved by the weighted-mean collapse
+    val mass = vs.zip(cs).map { case (v, c) => v * c }.sum
+    mass shouldBe (n.toDouble * (n + 1) / 2) +- (mass * 1e-9)
+    // median read off the bins lands within a few bin-widths of truth
+    val half = cs.sum / 2.0
+    val cum = cs.scanLeft(0L)(_ + _).tail
+    val med = vs(cum.indexWhere(_ >= half))
+    math.abs(med - n / 2.0) / n should be < 0.05
+  }
+
+  test("histAgg skips nulls and rejects NaN loudly") {
+    val withNull = Seq(("g", Some(1.0)), ("g", None), ("g", Some(1.0)))
+      .toDF("g", "v")
+    val (exact, vs, cs) = histOf(withNull, k = 8)("g")
+    (exact, vs, cs) shouldBe ((true, Seq(1.0), Seq(2L)))
+    val ex = intercept[Exception] {
+      histOf(Seq(("g", Double.NaN)).toDF("g", "v"), k = 8)
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    msgs should include("NaN")
+  }
 }
