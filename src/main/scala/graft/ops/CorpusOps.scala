@@ -567,6 +567,49 @@ object CorpusOps {
         greatest(col("weight").cast("double"), col("tau")).as("est"))
   }
 
+  /** Per-stratum [[prioritySample]]: n rows per stratum,
+    * weight-proportional without replacement, each stratum carrying
+    * its own τ and max(w, τ) estimator ("20 docs per language ∝
+    * length, with per-language token-mass estimates"). The shape a
+    * mixture-curation pipeline actually issues — fixed per-stratum
+    * sample SIZES regardless of how skewed the strata are (q141's
+    * Bernoulli form can't promise a size; the global form can't
+    * promise per-stratum coverage).
+    *
+    * Scale shape: priorities are a map pass; the per-stratum
+    * top-(n+1) is a rank-filtered window, which Spark plans with
+    * WindowGroupLimit — a per-PARTITION group-limit runs BEFORE the
+    * exchange, so only ≤ n+1 rows per (partition, stratum) shuffle
+    * (the q126/W4 pattern, plan-asserted in the spec); τ windows then
+    * run over ≤ n+1 rows per stratum.
+    */
+  def prioritySampleByStratum(df: DataFrame, idCol: String,
+      strataCol: String, weight: Column, n: Int): DataFrame = {
+    require(n >= 1, s"prioritySampleByStratum needs n >= 1, got $n")
+    val u = (SketchOps.kmvHash(col(idCol)) + lit(1L)).cast("double") /
+      lit(SketchOps.HashSpace)
+    val pr = weight.cast("double") / u
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(idCol))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)) // ≤ n+1 rows per stratum post-filter
+    val topN1 = df
+      .select(col(idCol), col(strataCol),
+        weight.cast("long").as("weight"), pr.as("priority"))
+      .select(col(idCol), col(strataCol), col("weight"), col("priority"),
+        row_number().over(wRank).as("__rn"))
+      .filter(col("__rn") <= n + 1)
+    val tau = when(count(lit(1)).over(wG) <= n, lit(0.0d))
+      .otherwise(min(col("priority")).over(wG))
+    topN1
+      .select(col(idCol), col(strataCol), col("weight"), col("priority"),
+        col("__rn"), tau.as("tau"))
+      .filter(col("__rn") <= n)
+      .select(col(idCol), col(strataCol), col("weight"), col("priority"),
+        greatest(col("weight").cast("double"), col("tau")).as("est"))
+  }
+
   /** Per-stratum corpus profile: doc count, distinct normalized-text
     * fingerprints (the exact-dedup identity), distinct tokens, and
     * total token count, grouped by the strata columns.

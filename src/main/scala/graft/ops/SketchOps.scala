@@ -308,6 +308,49 @@ object SketchOps {
     c => org.apache.spark.sql.functions.udaf(agg).apply(c)
   }
 
+  /** In-plan total-variation distance between a [[histAgg]] sketch
+    * column and a driver-held REFERENCE distribution (the training
+    * corpus' histogram, collected once — reference distributions are
+    * k bins by construction, the same driver-sized contract as
+    * codebooks): TVD = Σ|p_hist(v) − p_ref(v)| / 2 over the union of
+    * values, kept in integer cross-products until one final division.
+    * This is the drift ALARM both the batch monitor (q181 computes
+    * the two-frame form relationally) and the streaming face
+    * ([[graft.streaming.StreamingOps.distributionDriftArrivals]])
+    * evaluate per group; HOFs run interpreted but on |groups| rows of
+    * ≤ k bins — post-aggregation, never per input row.
+    */
+  def tvdVsReference(hist: Column, refVs: Seq[Double],
+      refCs: Seq[Long]): Column = {
+    require(refVs.length == refCs.length && refVs.nonEmpty,
+      "reference histogram needs parallel non-empty value/count seqs")
+    require(refVs == refVs.sorted && refVs.distinct == refVs,
+      "reference values must be ascending and distinct")
+    val vs = hist.getField("_2")
+    val cs = hist.getField("_3")
+    val nHist = aggregate(cs, lit(0L), (a, x) => a + x)
+    val nRef = refCs.sum
+    val refMap = map_from_arrays(
+      lit(refVs.toArray), lit(refCs.toArray))
+    // bins present in the window's histogram (ref count 0 when absent)
+    val part1 = aggregate(
+      zip_with(vs, cs, (v, c) =>
+        abs(c * lit(nRef) -
+          coalesce(element_at(refMap, v), lit(0L)) * nHist)),
+      lit(0L), (a, x) => a + x)
+    // reference bins the histogram never saw: |0·nRef − c_ref·nHist|
+    val refVsLit = lit(refVs.toArray)
+    val refCsLit = lit(refCs.toArray)
+    val part2 = aggregate(
+      transform(sequence(lit(1), lit(refVs.length)), i =>
+        when(array_contains(vs, element_at(refVsLit, i)), lit(0L))
+          .otherwise(element_at(refCsLit, i) * nHist)),
+      lit(0L), (a, x) => a + x)
+    when(nHist === 0L, lit(null).cast("double")) // empty window: no dist
+      .otherwise((part1 + part2).cast("double") /
+        (lit(2.0d) * lit(nRef.toDouble) * nHist.cast("double")))
+  }
+
   def mgAgg(k: Int): Column => Column = {
     require(k >= 1, s"misra-gries needs k >= 1 counters, got $k")
     import org.apache.spark.sql.{Encoder, Encoders}

@@ -800,6 +800,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-stratum priority sampling (q182's grouped form): 20 docs
+    // per language ∝ n_chars, each language carrying its own τ and
+    // unbiased max(w, τ) estimator — fixed per-stratum sample sizes
+    // whatever the language skew (the face q141's Bernoulli rates
+    // can't provide). The per-language top-(n+1) is a rank-filtered
+    // window Spark plans as WindowGroupLimit: ≤ n+1 rows per
+    // (partition, lang) reach the exchange, never the corpus.
+    Q("q184_priority_sample_strat",
+      """WITH w AS (SELECT doc_id, lang, n_chars AS weight,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, weight,
+        |    CAST(weight AS DOUBLE) /
+        |      (CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
+        |  FROM w),
+        |t AS (SELECT doc_id, lang, weight, priority,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY priority DESC, doc_id) AS rn
+        |  FROM p QUALIFY rn <= 21),
+        |x AS (SELECT doc_id, lang, weight, priority, rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS m,
+        |    MIN(priority) OVER (PARTITION BY lang) AS mn FROM t)
+        |SELECT doc_id, lang, weight, priority,
+        |  GREATEST(CAST(weight AS DOUBLE),
+        |    CASE WHEN m <= 20 THEN 0.0 ELSE mn END) AS est
+        |FROM x WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.prioritySampleByStratum(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", col("n_chars"), n = 20)
+        .orderBy(col("doc_id"))
+    },
+
     // Intra-doc repetition metrics (Gopher-style filters): duplicate
     // token / top-token / duplicate-trigram fractions, single-division
     // (n - distinct) / n form so both engines compute identical IEEE

@@ -361,6 +361,38 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(strataCol),
         col("top_terms"))
 
+  /** Streaming distribution-drift monitor: per-(window, stratum)
+    * [[graft.ops.SketchOps.histAgg]] histogram of a numeric column
+    * over arriving rows, scored against a driver-held REFERENCE
+    * distribution with the shared in-plan TVD
+    * ([[graft.ops.SketchOps.tvdVsReference]]) — the alarm a training
+    * pipeline rings when a new crawl's length/quality distribution
+    * walks away from the corpus it was tuned on. ONE stateful
+    * aggregation whose state is ≤ k (value, count) bins per (window,
+    * stratum) — constant per group, watermark-evicted, bounded on
+    * unbounded ingest (the profileArrivals/heavyHittersArrivals
+    * state-class). The TVD is a post-aggregation map over ≤ k bins.
+    * EXACT (≡ the batch twin bit for bit, and `exact` emits true)
+    * while no bin ever collapses — k ≥ the per-group distinct-value
+    * count, q181's graded regime; below that the bins carry the BHYT
+    * collapse error and merge order (micro-batch splits) can move
+    * them (the documented sketch contract, not a streaming defect).
+    */
+  def distributionDriftArrivals(stream: DataFrame, // needs: ts, strataCol, valueCol
+      strataCol: String, valueCol: String, k: Int,
+      refVs: Seq[Double], refCs: Seq[Long],
+      windowLen: String = "1 hour", lateness: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col(strataCol), col(valueCol).cast("double").as("__v"))
+      .groupBy(window(col("ts"), windowLen), col(strataCol))
+      .agg(graft.ops.SketchOps.histAgg(k)(col("__v")).as("hist"))
+      .select(col("window.start").as("window_start"), col(strataCol),
+        col("hist._1").as("exact"),
+        aggregate(col("hist._3"), lit(0L), (a, x) => a + x).as("n"),
+        graft.ops.SketchOps.tvdVsReference(col("hist"), refVs, refCs)
+          .as("tvd"))
+
   /** Streaming keyword retrieval against the PERSISTED inverted index
     * ([[graft.io.TextIndexIO]]) — the text twin of the embedding
     * lookup family: query rows (query_id, ts, terms) arrive, terms

@@ -419,6 +419,35 @@ class CorpusOpsSpec extends SparkSpecBase {
     math.abs(mean - trueTotal) / trueTotal should be < 0.15
   }
 
+  test("prioritySampleByStratum: n per stratum, per-stratum tau, WindowGroupLimit before the exchange") {
+    val pop = (1L to 600L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i % 41 + 1) * 10)).toDF("doc_id", "g", "w")
+    val out = CorpusOps.prioritySampleByStratum(pop, "doc_id", "g",
+      col("w"), n = 25)
+    val rows = out.orderBy("doc_id").collect()
+    rows.count(_.getString(1) == "a") shouldBe 25
+    rows.count(_.getString(1) == "b") shouldBe 25
+    // deterministic across partitionings
+    val rows2 = CorpusOps.prioritySampleByStratum(pop.repartition(11),
+      "doc_id", "g", col("w"), n = 25).orderBy("doc_id").collect()
+    rows2.map(_.toSeq) shouldBe rows.map(_.toSeq)
+    // each stratum shares ONE tau; est >= own weight
+    rows.foreach { r => r.getDouble(4) should be >= r.getLong(2).toDouble }
+    // exhausted stratum: all of "c"'s 5 rows come back with est = w
+    val tiny = pop.union(Seq((10001L, "c", 70L), (10002L, "c", 20L),
+      (10003L, "c", 50L), (10004L, "c", 30L), (10005L, "c", 10L))
+      .toDF("doc_id", "g", "w"))
+    val cRows = CorpusOps.prioritySampleByStratum(tiny, "doc_id", "g",
+      col("w"), n = 25).filter(col("g") === "c").orderBy("doc_id").collect()
+    cRows.length shouldBe 5
+    cRows.foreach { r => r.getDouble(4) shouldBe r.getLong(2).toDouble }
+    // the rank filter must reduce map-side: WindowGroupLimit in
+    // Partial mode ahead of the exchange (the ivfAssign audit shape)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include regex "WindowGroupLimit.*Final"
+  }
+
   test("decontaminateBloom ≡ decontaminate (the bloom is transparent to the result)") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

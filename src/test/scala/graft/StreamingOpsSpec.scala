@@ -163,6 +163,53 @@ class StreamingOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("distributionDriftArrivals: stream equals batch in the exact regime; TVD hits 0 and 1 at the poles") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // reference: values 1..4 with counts 2,1,1,2 (n_ref = 6)
+    val refVs = Seq(1.0, 2.0, 3.0, 4.0)
+    val refCs = Seq(2L, 1L, 1L, 2L)
+    val rows = Seq(
+      // window 1 / en: exactly the reference shape scaled 2x -> TVD 0
+      (ts(0), "en", 1.0), (ts(1), "en", 1.0), (ts(2), "en", 1.0),
+      (ts(3), "en", 1.0), (ts(4), "en", 2.0), (ts(5), "en", 2.0),
+      (ts(6), "en", 3.0), (ts(7), "en", 3.0), (ts(8), "en", 4.0),
+      (ts(9), "en", 4.0), (ts(10), "en", 4.0), (ts(11), "en", 4.0),
+      // window 1 / fr: fully disjoint support -> TVD 1
+      (ts(2), "fr", 9.0), (ts(3), "fr", 8.0),
+      // window 2 / en: half-overlapping mass
+      (ts(70), "en", 1.0), (ts(71), "en", 7.0))
+    val batch = StreamingOps.distributionDriftArrivals(
+      rows.toDF("ts", "lang", "v"), "lang", "v", k = 16, refVs, refCs,
+      "1 hour", "0 minutes")
+    // rows sorted (window_start, lang): w1-en, w1-fr, w2-en
+    val got = batch.orderBy("window_start", "lang").collect()
+      .map(r => (r.getString(1), r.getBoolean(2), r.getLong(3),
+        r.getDouble(4)))
+    got.map(_._1).toSeq shouldBe Seq("en", "fr", "en")
+    got.foreach(_._2 shouldBe true) // exact regime everywhere
+    got(0)._4 shouldBe 0.0 // reference shape scaled 2x
+    got(1)._4 shouldBe 1.0 // disjoint support
+    // window-2 en: hist {1->1, 7->1}, n=2; TVD = (|1*6-2*2| + |1*6-0|
+    // + (1+1+2 missing ref mass)*2) / (2*6*2) = (2+6+8)/24 = 2/3
+    got(2)._4 shouldBe (2.0 / 3.0) +- 1e-15
+
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.distributionDriftArrivals(
+      in.toDF().toDF("ts", "lang", "v"), "lang", "v", k = 16, refVs, refCs,
+      "1 hour", "0 minutes")
+      .writeStream.format("memory").queryName("dist_drift")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.take(5): _*) // split mid-window: the merge path
+      q.processAllAvailable()
+      in.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      sortedRows(spark.table("dist_drift")) shouldBe sortedRows(batch)
+      q.lastProgress.stateOperators should not be empty
+    } finally q.stop()
+  }
+
   test("ingestDedupCandidates equals the batch band join, one row per pair") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{array, col, posexplode}
