@@ -1,0 +1,228 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned parquet store — MVCC over a directory tree (the
+  * Delta/Iceberg transaction-log core, self-contained on any
+  * filesystem Spark can rename on):
+  *
+  * {{{
+  *   <dir>/seg/s<version>/        immutable data segments (parquet)
+  *   <dir>/tomb/t<version>/       immutable tombstone-id segments
+  *   <dir>/manifest/v<version>/   one tiny parquet of (kind, path)
+  *                                rows naming the snapshot's segments
+  * }}}
+  *
+  * Every commit (append / delete / compact) writes ONLY new
+  * directories and then publishes a new manifest via an atomic
+  * directory RENAME — readers either see the old version or the new
+  * one, never a half commit, and a concurrent writer racing to the
+  * same version fails LOUDLY when its rename finds the name taken
+  * (optimistic concurrency, the single-writer-per-version contract).
+  * A snapshot read pins a manifest: the file listing comes from the
+  * manifest, not from a directory scan, so reads are immune to
+  * eventual-consistency listings and to concurrent commits — and any
+  * RETAINED version remains byte-identically reproducible after later
+  * appends, deletes, even compactions (time travel). [[vacuum]] is
+  * the only operation that destroys history, and it names what it
+  * drops.
+  *
+  * Why this shape at 100 TB: object stores list slowly and
+  * non-transactionally; a manifest turns "which files is this table"
+  * into one small read, makes O(1)-file commits out of appends to a
+  * billion-file table, and gives concurrent exporters a consistent
+  * corpus snapshot while ingest keeps committing. Compaction never
+  * rewrites history — it writes the survivor set as a NEW segment and
+  * a NEW manifest, so long-running readers of older pins are
+  * undisturbed (readers and the compactor never contend).
+  *
+  * Tombstones are (id) frames anti-joined at read time, each on its
+  * own single column — the Lucene/Delta deleted-rows model; a
+  * [[compact]] folds them in for real.
+  */
+object SnapshotStore {
+
+  private def hfs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(dir: String, v: Int): String =
+    f"$dir/manifest/v$v%06d"
+
+  /** Committed versions, ascending — a manifest counts once its
+    * rename landed (the rename IS the commit point; a writer's
+    * temp dir is dot-prefixed and never matches).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = hfs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{6}"))
+      .map(_.drop(1).toInt).sorted
+  }
+
+  private def readManifestRows(spark: SparkSession, dir: String,
+      v: Int): Seq[(String, String)] =
+    spark.read.parquet(manifestDir(dir, v))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(_._2)
+
+  /** Publish version `v` listing `rows` = (kind, relative path).
+    * Write-to-temp + atomic rename; a taken name = a lost race.
+    * private[graft] so the spec can provoke the race directly (two
+    * writers of the SAME version — unreachable from the public faces
+    * without true concurrency).
+    */
+  private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
+      rows: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val fs = hfs(spark, dir)
+    val tmp = s"$dir/manifest/.tmp_v$v" +
+      s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    rows.toDF("kind", "path").coalesce(1)
+      .write.mode("errorifexists").parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(manifestDir(dir, v))
+    def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
+      fs.delete(cleanup, true)
+      throw new IllegalStateException(
+        s"snapshot commit conflict: version $v was committed concurrently " +
+          s"at $dir — re-read and retry on top of the new latest")
+    }
+    if (fs.exists(dst)) conflict(tmpPath)
+    val ok = fs.rename(tmpPath, dst)
+    // HDFS rename fails on an existing destination, but the LOCAL
+    // filesystem moves the source INTO an existing directory instead
+    // — detect that lost race by our temp name nested under dst
+    val nested = new org.apache.hadoop.fs.Path(dst, tmpPath.getName)
+    if (!ok) conflict(tmpPath)
+    if (fs.exists(nested)) conflict(nested)
+  }
+
+  /** Append `df` as a new immutable segment and publish the next
+    * version (previous segments + tombstones carry forward). Returns
+    * the committed version. Schema must match the store's (loud
+    * mismatch — silent unionByName drift corrupts every later read).
+    */
+  def commitAppend(df: DataFrame, dir: String): Int = {
+    val spark = df.sparkSession
+    val prev = versions(spark, dir)
+    val v = if (prev.isEmpty) 1 else prev.max + 1
+    if (prev.nonEmpty) {
+      val cur = read(spark, dir, Some(prev.max)).schema
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+        cur.map(f => (f.name, f.dataType)),
+        s"commitAppend: schema mismatch — store has " +
+          s"${cur.map(f => s"${f.name}:${f.dataType.simpleString}")}, " +
+          s"append has " +
+          s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}")
+    }
+    val seg = f"seg/s$v%06d"
+    df.write.mode("errorifexists").parquet(s"$dir/$seg")
+    val carried = if (prev.isEmpty) Seq.empty
+      else readManifestRows(spark, dir, prev.max)
+    commitManifest(spark, dir, v, carried :+ (("seg", seg)))
+    v
+  }
+
+  /** Tombstone `ids` (distinct, non-null — loud otherwise: a null
+    * tombstone silently never matches the anti-join) and publish the
+    * next version. Rows stay on disk; reads hide them from this
+    * version on.
+    */
+  def commitDelete(ids: DataFrame, idCol: String, dir: String): Int = {
+    val spark = ids.sparkSession
+    val prev = versions(spark, dir)
+    require(prev.nonEmpty,
+      s"commitDelete: no committed version at $dir to delete from")
+    val tomb = ids.select(col(idCol)).distinct()
+    val bad = tomb.where(col(idCol).isNull).count()
+    require(bad == 0,
+      s"commitDelete: null id(s) in '$idCol' — a null tombstone never " +
+        s"matches the read-side anti-join and the row would stay visible")
+    val v = prev.max + 1
+    val tp = f"tomb/t$v%06d"
+    tomb.write.mode("errorifexists").parquet(s"$dir/$tp")
+    commitManifest(spark, dir, v,
+      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)))
+    v
+  }
+
+  /** Snapshot read at `version` (default: latest). The segment list
+    * comes from the PINNED manifest — never a directory scan — so the
+    * frame is reproducible against any later commit; tombstone frames
+    * anti-join each on their own id column.
+    */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"snapshot version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val rows = readManifestRows(spark, dir, v)
+    val segs = rows.collect { case ("seg", p) => s"$dir/$p" }
+    require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    val base = spark.read.parquet(segs: _*)
+    rows.collect { case ("tomb", p) => p }.foldLeft(base) { (acc, p) =>
+      val t = spark.read.parquet(s"$dir/$p")
+      val idCol = t.columns match {
+        case Array(one) => one
+        case cs => throw new IllegalStateException(
+          s"tombstone segment $p must hold exactly one id column, " +
+            s"got ${cs.mkString(",")}")
+      }
+      acc.join(broadcast(t), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Fold tombstones in for real: write the latest snapshot's
+    * SURVIVOR set as one fresh segment and publish it as the next
+    * version's only content. History is untouched — older pins still
+    * read their original segments (no lineage hazard either: compact
+    * only writes NEW directories). Returns the committed version.
+    */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"compact: no committed snapshot at $dir")
+    val v = vs.max + 1
+    val seg = f"seg/s$v%06d"
+    read(spark, dir, Some(vs.max))
+      .write.mode("errorifexists").parquet(s"$dir/$seg")
+    commitManifest(spark, dir, v, Seq(("seg", seg)))
+    v
+  }
+
+  /** Drop history BEFORE `keepFrom`: manifests of older versions and
+    * every seg/tomb directory no retained manifest references.
+    * Returns the deleted relative paths (manifests included) — the
+    * loud record of what just became unreadable.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] = {
+    val fs = hfs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"vacuum: no committed snapshot at $dir")
+    require(vs.contains(keepFrom),
+      s"vacuum: keepFrom=$keepFrom is not a committed version at $dir " +
+        s"(have ${vs.mkString(",")})")
+    val keep = vs.filter(_ >= keepFrom)
+    val reachable = keep.flatMap(readManifestRows(spark, dir, _))
+      .map(_._2).toSet
+    def children(sub: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(s => s"$sub/${s.getPath.getName}")
+    }
+    val dropData = (children("seg") ++ children("tomb"))
+      .filterNot(reachable)
+    val dropManifests = vs.filter(_ < keepFrom)
+      .map(v => f"manifest/v$v%06d")
+    (dropData ++ dropManifests).map { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+      rel
+    }
+  }
+}

@@ -1747,6 +1747,65 @@ object TextQueries {
           .orderBy(col("doc_id"))
     },
 
+    // MVCC snapshot store with time travel (SnapshotStore — the
+    // Delta/Iceberg transaction-log core on plain parquet + atomic
+    // manifest renames): the corpus commits in four versions (append
+    // evens → append odds → tombstone every 5th → compact), and the
+    // query aggregates EVERY pinned version at read time — including
+    // a v2 re-read AFTER the delete and compaction, which must
+    // reproduce v2 byte-for-byte (old segments are immutable; compact
+    // writes NEW directories, never rewrites history). The oracle is
+    // blind to the store: each version is a subset algebra over
+    // documents. Reads list files from the PINNED manifest, never a
+    // directory scan — the property that makes commits O(new files)
+    // and readers immune to concurrent writers at 100 TB.
+    Q("q185_snapshot_time_travel", {
+      def vrow(label: String, where: String) =
+        s"""SELECT '$label' AS snapshot,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM documents WHERE $where""".stripMargin
+      s"""${vrow("v1", "doc_id % 2 = 0")}
+         |UNION ALL ${vrow("v2", "TRUE")}
+         |UNION ALL ${vrow("v2_post_compact", "TRUE")}
+         |UNION ALL ${vrow("v3", "doc_id % 5 <> 0")}
+         |UNION ALL ${vrow("v4", "doc_id % 5 <> 0")}
+         |ORDER BY snapshot""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q185_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "manifest").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+          "doc_id", root.getAbsolutePath)
+        SnapshotStore.compact(s, root.getAbsolutePath)
+        ()
+      }
+      def vrow(label: String, version: Int) =
+        SnapshotStore.read(s, root.getAbsolutePath, Some(version))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(lit(label).as("snapshot"), col("n_docs"),
+            col("sum_chars"), col("n_langs"))
+      vrow("v1", 1)
+        .unionByName(vrow("v2", 2))
+        .unionByName(vrow("v2_post_compact", 2))
+        .unionByName(vrow("v3", 3))
+        .unionByName(vrow("v4", 4))
+        .orderBy(col("snapshot"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.SnapshotStore
+
+/** MVCC snapshot store: commit protocol (append/delete/compact as new
+  * directories + atomic manifest rename), snapshot isolation (old
+  * pins reproducible after later commits), loud conflict/schema/null
+  * guards, and vacuum semantics.
+  */
+class SnapshotStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft_snap_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def docs(ids: Range) =
+    ids.map(i => (i.toLong, s"doc $i", (i % 7 + 1).toLong))
+      .toDF("doc_id", "text", "n")
+
+  test("append/delete/compact commit versions; every pinned version time-travels") {
+    val dir = freshDir("lifecycle")
+    val v1 = SnapshotStore.commitAppend(docs(1 to 10), dir)
+    val v2 = SnapshotStore.commitAppend(docs(11 to 20), dir)
+    val v3 = SnapshotStore.commitDelete(
+      Seq(2L, 4L, 13L).toDF("doc_id"), "doc_id", dir)
+    val v4 = SnapshotStore.compact(spark, dir)
+    (v1, v2, v3, v4) shouldBe ((1, 2, 3, 4))
+    SnapshotStore.versions(spark, dir) shouldBe Seq(1, 2, 3, 4)
+
+    def idsAt(v: Int) = SnapshotStore.read(spark, dir, Some(v))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    idsAt(1) shouldBe (1L to 10L)
+    idsAt(2) shouldBe (1L to 20L)
+    idsAt(3) shouldBe (1L to 20L).filterNot(Set(2L, 4L, 13L))
+    idsAt(4) shouldBe idsAt(3) // compact changes bytes, not content
+    // latest = v4
+    SnapshotStore.read(spark, dir).select("doc_id").count() shouldBe 17
+
+    // v4 is ONE segment with tombstones folded in: no anti-join needed
+    SnapshotStore.read(spark, dir, Some(4))
+      .queryExecution.executedPlan.toString should not include "Join"
+
+    // snapshot isolation: a v2 re-read AFTER delete+compact still
+    // returns v2's exact content (old segments untouched)
+    idsAt(2) shouldBe (1L to 20L)
+  }
+
+  test("commit conflict, schema mismatch, null tombstones and bad reads fail loudly") {
+    val dir = freshDir("guards")
+    SnapshotStore.commitAppend(docs(1 to 5), dir)
+    // two writers publishing the SAME version: the second rename finds
+    // the name taken and must fail loudly (nothing silently
+    // overwritten) — driven through commitManifest directly because
+    // the public faces re-list versions and only collide under true
+    // concurrency
+    SnapshotStore.commitManifest(spark, dir, 2,
+      Seq(("seg", "seg/s000001")))
+    val conflict = intercept[IllegalStateException] {
+      SnapshotStore.commitManifest(spark, dir, 2,
+        Seq(("seg", "seg/s000001")))
+    }
+    conflict.getMessage should include("conflict")
+
+    val drift = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((9L, "x")).toDF("doc_id", "text"), dir) // column missing
+    }
+    drift.getMessage should include("schema mismatch")
+
+    val nulls = intercept[IllegalArgumentException] {
+      SnapshotStore.commitDelete(
+        Seq(Some(1L), None).toDF("doc_id"), "doc_id", dir)
+    }
+    nulls.getMessage should include("null id")
+
+    val gone = intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, dir, Some(99))
+    }
+    gone.getMessage should include("does not exist")
+  }
+
+  test("vacuum drops exactly the unreachable history and retained versions survive") {
+    val dir = freshDir("vacuum")
+    SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir) // v2
+    SnapshotStore.compact(spark, dir) // v3: seg/s000003 only
+    SnapshotStore.commitAppend(docs(11 to 12), dir) // v4
+
+    val dropped = SnapshotStore.vacuum(spark, dir, keepFrom = 3)
+    // v1/v2 manifests go; s000001 and the tombstone are unreachable
+    // from v3/v4, which reference only s000003 (+ s000004)
+    dropped.sorted shouldBe Seq("manifest/v000001", "manifest/v000002",
+      "seg/s000001", "tomb/t000002")
+
+    SnapshotStore.versions(spark, dir) shouldBe Seq(3, 4)
+    SnapshotStore.read(spark, dir, Some(3)).count() shouldBe 9
+    SnapshotStore.read(spark, dir, Some(4)).count() shouldBe 11
+    val old = intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, dir, Some(1))
+    }
+    old.getMessage should include("vacuumed or never committed")
+  }
+}
