@@ -189,11 +189,128 @@ object SnapshotStore {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"compact: no committed snapshot at $dir")
     val v = vs.max + 1
-    val seg = f"seg/s$v%06d"
+    // `c` prefix = dataChange FALSE: the rows aren't new, they moved
+    // (the Delta convention) — [[readChanges]] skips these segments
+    val seg = f"seg/c$v%06d"
     read(spark, dir, Some(vs.max))
       .write.mode("errorifexists").parquet(s"$dir/$seg")
-    commitManifest(spark, dir, v, Seq(("seg", seg)))
+    // carry the streaming txn marker: a restarted stream replaying its
+    // last batch AFTER a compaction must still dedupe on it
+    val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+    commitManifest(spark, dir, v, ("seg", seg) +: txn)
     v
+  }
+
+  /** Idempotent streaming commit (the Delta sink's txn discipline):
+    * append `df` as one snapshot version RECORDING `batchId` in the
+    * manifest (a `txn` row, carried forward and replaced on each
+    * streaming commit). A restarted query re-offering an
+    * already-committed batch id is a NO-OP returning the existing
+    * latest version — committing each micro-batch at most once even
+    * though foreachBatch only guarantees at-least-once delivery.
+    * Batch ids must be monotone (Structured Streaming's contract).
+    */
+  def commitStreamBatch(df: DataFrame, dir: String, batchId: Long): Int = {
+    val spark = df.sparkSession
+    val prev = versions(spark, dir)
+    val carried = if (prev.isEmpty) Seq.empty
+      else readManifestRows(spark, dir, prev.max)
+    val lastTxn = carried.collect { case ("txn", b) => b.toLong }
+      .reduceOption((a, b) => math.max(a, b))
+    if (lastTxn.exists(batchId <= _)) return prev.max // replayed batch
+    val v = if (prev.isEmpty) 1 else prev.max + 1
+    val seg = f"seg/s$v%06d"
+    df.write.mode("errorifexists").parquet(s"$dir/$seg")
+    commitManifest(spark, dir, v,
+      carried.filter(_._1 != "txn") ++
+        Seq(("seg", seg), ("txn", batchId.toString)))
+    v
+  }
+
+  /** The exactly-once streaming sink over [[commitStreamBatch]]:
+    * every micro-batch becomes one atomic snapshot version, replays
+    * dedup on the recorded batch id, and CONCURRENT READERS see each
+    * batch entirely or not at all (the manifest rename is the
+    * visibility point) — a parquet directory a `writeStream.format(
+    * "parquet")` sink can never make transactional.
+    */
+  def streamSink(stream: DataFrame, dir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) { commitStreamBatch(batch, dir, id); () }
+      }
+      .start()
+
+  /** Change-data feed between two committed versions (Delta CDF
+    * semantics over the version-encoded directory names):
+    *
+    *  - `insert` rows = rows of data-change segments (`seg/s*`, never
+    *    compaction's `seg/c*`) committed in (fromV, toV], minus any
+    *    id tombstoned by toV — an insert-then-delete inside the range
+    *    nets OUT (both rules exclude it), exactly Delta's net-change
+    *    contract.
+    *  - `delete` rows = the PREIMAGE (full row as of fromV) of ids
+    *    tombstoned in (fromV, toV] that were visible at fromV — a
+    *    delete of an in-range insert nets out here too.
+    *
+    * The consumer contract a 100 TB pipeline needs: downstream
+    * exports re-sync by reading |changed rows|, not by re-scanning
+    * the table. Both endpoints' manifests must still exist (loudly —
+    * vacuumed history has no change feed). Output = data columns +
+    * `_change` ('insert' | 'delete').
+    */
+  def readChanges(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"readChanges needs fromV < toV, got $fromV..$toV")
+    val vs = versions(spark, dir)
+    Seq(fromV, toV).foreach(v => require(vs.contains(v),
+      s"readChanges: version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed"))
+    val fs = hfs(spark, dir)
+    def inRange(sub: String, prefix: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) &&
+          n.drop(1).forall(_.isDigit) && {
+            val v = n.drop(1).toInt; v > fromV && v <= toV
+          })
+        .sorted.map(n => s"$dir/$sub/$n")
+    }
+    val newSegs = inRange("seg", "s")
+    val newTombs = inRange("tomb", "t")
+    // tombstones that can hide an in-range insert at toV: those
+    // committed IN the range (still on disk even when a later
+    // compaction folded them out of the manifest) plus any still
+    // ACTIVE in toV's manifest (an older tombstone hides a re-insert
+    // exactly as [[read]] would)
+    val toTombs = (newTombs ++ readManifestRows(spark, dir, toV)
+      .collect { case ("tomb", p) => s"$dir/$p" }).distinct
+    def antiAll(base: DataFrame, tombs: Seq[String]): DataFrame =
+      tombs.foldLeft(base) { (acc, tp) =>
+        val t = spark.read.parquet(tp)
+        acc.join(broadcast(t), Seq(t.columns.head), "left_anti")
+      }
+    val asOfFrom = read(spark, dir, Some(fromV))
+    val inserts =
+      if (newSegs.isEmpty) asOfFrom.limit(0)
+      else antiAll(spark.read.parquet(newSegs: _*), toTombs)
+    val deletes =
+      if (newTombs.isEmpty) asOfFrom.limit(0)
+      else {
+        val idCols = newTombs.map(p =>
+          spark.read.parquet(p).columns.toSeq).distinct
+        require(idCols.size == 1 && idCols.head.size == 1,
+          s"readChanges: in-range tombstones disagree on the id column " +
+            s"($idCols) — one change feed needs one delete key")
+        val ids = spark.read.parquet(newTombs: _*).distinct()
+        asOfFrom.join(broadcast(ids), Seq(ids.columns.head), "left_semi")
+      }
+    inserts.withColumn("_change", lit("insert"))
+      .unionByName(deletes.withColumn("_change", lit("delete")))
   }
 
   /** Drop history BEFORE `keepFrom`: manifests of older versions and

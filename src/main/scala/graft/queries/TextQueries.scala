@@ -1806,6 +1806,46 @@ object TextQueries {
         .orderBy(col("snapshot"))
     },
 
+    // Change-data feed over the snapshot store (Delta CDF semantics —
+    // SnapshotStore.readChanges): between v1 and v3 of q185's
+    // lifecycle, inserts are the odd docs still visible at v3 (an odd
+    // doc tombstoned in-range nets OUT — insert+delete inside the
+    // range cancels), deletes carry their v1 PREIMAGE (even docs
+    // tombstoned in-range); the compaction commit is dataChange=false
+    // and emits nothing. This is how a downstream export re-syncs by
+    // |changed rows| instead of re-scanning the table. The oracle is
+    // the same subset algebra, blind to the store.
+    Q("q186_snapshot_changes",
+      """SELECT 'insert' AS change, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT 'delete' AS change, doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
+        |ORDER BY change, doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q186_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "manifest").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+          "doc_id", root.getAbsolutePath)
+        SnapshotStore.compact(s, root.getAbsolutePath)
+        ()
+      }
+      SnapshotStore.readChanges(s, root.getAbsolutePath, 1, 3)
+        .select(col("_change").as("change"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy(col("change"), col("doc_id"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

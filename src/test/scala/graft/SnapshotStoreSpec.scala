@@ -85,6 +85,74 @@ class SnapshotStoreSpec extends SparkSpecBase {
     gone.getMessage should include("does not exist")
   }
 
+  test("readChanges: net inserts/deletes with preimages; compaction is dataChange=false; in-range churn nets out") {
+    val dir = freshDir("cdc")
+    SnapshotStore.commitAppend(docs(1 to 10), dir) // v1
+    SnapshotStore.commitAppend(docs(11 to 16), dir) // v2 (inserts)
+    SnapshotStore.commitDelete( // v3: 4 pre-range-start, 12 in-range
+      Seq(4L, 12L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.compact(spark, dir) // v4: moved rows, not new ones
+
+    val ch = SnapshotStore.readChanges(spark, dir, 1, 4)
+      .select("_change", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // 12 was inserted AND deleted inside the range: nets out entirely;
+    // 4's delete carries its v1 preimage; compaction emits nothing
+    ch shouldBe (Seq(("delete", 4L)) ++
+      Seq(11L, 13L, 14L, 15L, 16L).map(("insert", _)))
+
+    // preimage columns are real values, not nulls
+    val del = SnapshotStore.readChanges(spark, dir, 1, 4)
+      .filter(col("_change") === "delete").collect().head
+    del.getAs[String]("text") shouldBe "doc 4"
+
+    // compact-only range: the feed is empty
+    SnapshotStore.readChanges(spark, dir, 3, 4).count() shouldBe 0L
+
+    // endpoints must exist
+    val gone = intercept[IllegalArgumentException] {
+      SnapshotStore.readChanges(spark, dir, 1, 9)
+    }
+    gone.getMessage should include("does not exist")
+  }
+
+  test("streaming sink: each micro-batch is one atomic version; replayed batch ids are no-ops, surviving compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir("sink")
+    val ckpt = freshDir("sink_ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = SnapshotStore.streamSink(
+      in.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      SnapshotStore.versions(spark, dir) shouldBe Seq(1, 2)
+      SnapshotStore.read(spark, dir).count() shouldBe 3
+    } finally q.stop()
+
+    // at-least-once delivery replays a committed batch after restart:
+    // the recorded txn id makes the re-commit a NO-OP
+    val replay = SnapshotStore.commitStreamBatch(
+      Seq((3L, "c")).toDF("doc_id", "text"), dir, batchId = 1L)
+    replay shouldBe 2
+    SnapshotStore.versions(spark, dir) shouldBe Seq(1, 2)
+    SnapshotStore.read(spark, dir).count() shouldBe 3
+
+    // the txn marker survives a compaction between restart and replay
+    SnapshotStore.compact(spark, dir) // v3
+    SnapshotStore.commitStreamBatch(
+      Seq((3L, "c")).toDF("doc_id", "text"), dir, batchId = 1L) shouldBe 3
+    SnapshotStore.read(spark, dir).count() shouldBe 3
+
+    // a genuinely new batch commits as the next version
+    SnapshotStore.commitStreamBatch(
+      Seq((4L, "d")).toDF("doc_id", "text"), dir, batchId = 2L) shouldBe 4
+    SnapshotStore.read(spark, dir).count() shouldBe 4
+  }
+
   test("vacuum drops exactly the unreachable history and retained versions survive") {
     val dir = freshDir("vacuum")
     SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
