@@ -104,6 +104,67 @@ object RankOps {
     (idf * tfNorm).cast(DecimalType(25, 10))
   }
 
+  /** Bigram-LM log-likelihood scoring (the perplexity-filter shape —
+    * CCNet trains a reference LM and keeps what it finds predictable;
+    * this is its exact n=2 count form): a reference corpus trains
+    * add-one-smoothed bigram probabilities
+    * P(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V), and each scored doc
+    * reports its bigram count, total log-likelihood and mean
+    * log-likelihood — low mean-LL = text the reference corpus finds
+    * surprising (the filter threshold is the caller's knob).
+    * Complements [[seedLogOddsQuality]]: that is a unigram
+    * bag-of-words contrast, this scores SEQUENCE context.
+    *
+    * Numeric policy: each bigram's ln rounds once to DECIMAL(25,10)
+    * (the [[bm25Contribution]] discipline — cross-engine-stable) and
+    * decimal-sums per doc (merge-order-independent); the mean divides
+    * once in double.
+    *
+    * Scale shape: counts and scoring stay on md5 shingle hashes from
+    * the codegen'd `expr/ShingleHashes` (k=1 tokens, k=2 bigrams) —
+    * one pass computes BOTH arrays per doc, and the pos-aligned zip
+    * (bigram i starts at token i) recovers each bigram's history
+    * token without string surgery. The LM tables are corpus-derived
+    * and corpus-sized, so they JOIN on their hash keys (shuffle ∝
+    * count rows) rather than broadcast — V reduces to one broadcast
+    * row; docs with < 2 tokens re-anchor to (0, 0.0, 0.0).
+    */
+  def bigramLmScore(reference: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.expr.ShingleHashes.shingleHashes
+    val c2 = reference
+      .select(explode(shingleHashes(col(textCol), 2)).as("h2"))
+      .groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val uni = reference
+      .select(explode(shingleHashes(col(textCol), 1)).as("h1"))
+    val c1 = uni.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("__v"))
+    val pairs = corpus
+      .select(col(idCol), shingleHashes(col(textCol), 1).as("h1s"),
+        posexplode(shingleHashes(col(textCol), 2)).as(Seq("pos", "h2")))
+      .select(col(idCol), col("h2"),
+        element_at(col("h1s"), col("pos") + 1).as("h1"))
+    val term = log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double"))
+      .cast(DecimalType(25, 10))
+    val perDoc = pairs
+      .join(c2, Seq("h2"), "left")
+      .join(c1, Seq("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), term.as("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__t")).cast("double").as("ll"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll"), lit(0.0d)).as("ll"))
+      .withColumn("avg_ll",
+        when(col("n_bigrams") === 0, lit(0.0d))
+          .otherwise(col("ll") / col("n_bigrams").cast("double")))
+  }
+
   /** Seed-corpus log-odds quality score (the CCNet/GPT-3-style
     * "similarity to a high-quality reference corpus" filter): term
     * weights are the add-α-smoothed unigram log-odds of the SEED

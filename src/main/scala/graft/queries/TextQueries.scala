@@ -2024,6 +2024,59 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram-LM log-likelihood scoring (RankOps.bigramLmScore — the
+    // CCNet perplexity-filter shape in exact count form): the %7
+    // reference slice trains add-one-smoothed bigram probabilities,
+    // every other doc reports bigram count / total LL / mean LL —
+    // SEQUENCE context where q152's log-odds scores a unigram bag.
+    // Each ln rounds once to DECIMAL(25,10) (the bm25 discipline, ln
+    // parity proven by q151/q168) and decimal-sums per doc; counts
+    // and scoring ride md5 shingle hashes (codegen ShingleHashes k=1
+    // and k=2, pos-aligned so bigram i recovers its history token
+    // without string surgery), and the corpus-sized LM tables JOIN on
+    // their hash keys rather than broadcast.
+    Q("q187_bigram_lm",
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |ref AS (SELECT t FROM tl WHERE doc_id % 7 = 0),
+        |c2 AS (SELECT h2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+        |        list_transform(generate_series(1, len(t) - 1),
+        |          i -> md5(t[i] || ' ' || t[i+1])) ELSE [] END) AS h2
+        |    FROM ref) GROUP BY h2),
+        |c1 AS (SELECT h1, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |    SELECT unnest(list_transform(t, x -> md5(x))) AS h1
+        |    FROM ref) GROUP BY h1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vv FROM c1),
+        |pairs AS (SELECT doc_id, md5(t[i]) AS h1,
+        |    md5(t[i] || ' ' || t[i+1]) AS h2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(CASE WHEN len(t) >= 2 THEN
+        |            generate_series(1, len(t) - 1) ELSE [] END) AS i
+        |        FROM tl WHERE doc_id % 7 <> 0)),
+        |terms AS (SELECT doc_id,
+        |    CAST(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+        |            CAST(COALESCE(c1.c1, 0) + vv AS DOUBLE))
+        |      AS DECIMAL(25,10)) AS tm
+        |  FROM pairs LEFT JOIN c2 USING (h2) LEFT JOIN c1 USING (h1)
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(tm) AS DOUBLE) AS ll FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(a.ll, 0.0) AS ll,
+        |  CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE a.ll / CAST(a.n_bigrams AS DOUBLE) END AS avg_ll
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      RankOps.bigramLmScore(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Per-language token-count quantiles (the distribution half of the
     // corpus report; q149 is the cardinality half). Spark's EXACT
     // percentile and DuckDB's quantile_cont share the R-7 linear

@@ -184,4 +184,37 @@ class RankOpsSpec extends SparkSpecBase {
     scored shouldBe (rows.head._1 * w3(0) + rows.head._2 * w3(1) +
       rows.head._3 * w3(2))
   }
+
+  test("bigramLmScore: add-one-smoothed bigram LL matches the hand fold; short docs anchor to zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference "a b a c": bigrams {a b, b a, a c}, unigrams a:2 b:1
+    // c:1, V=3
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),   // ln((1+1)/(2+3)) = ln(0.4)
+      (2L, "b c"),   // unseen bigram, seen history: ln(1/(1+3))
+      (3L, "z z"),   // fully OOV: ln(1/(0+3))
+      (4L, "a"),     // < 2 tokens: (0, 0.0, 0.0)
+      (5L, "a b a")) // ln(0.4) + ln((1+1)/(1+3))
+      .toDF("doc_id", "text")
+    val out = RankOps.bigramLmScore(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    def r10(d: Double) = BigDecimal(d)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = r10(math.log(2.0 / 5.0))
+    val bc = r10(math.log(1.0 / 4.0))
+    val zz = r10(math.log(1.0 / 3.0))
+    val ba = r10(math.log(2.0 / 4.0))
+    out(0) shouldBe ((1L, 1L, ab, ab))
+    out(1) shouldBe ((2L, 1L, bc, bc))
+    out(2) shouldBe ((3L, 1L, zz, zz))
+    out(3) shouldBe ((4L, 0L, 0.0, 0.0))
+    out(4)._2 shouldBe 2L
+    out(4)._3 shouldBe (ab + ba) +- 1e-12
+    // the reference's own bigrams score higher than OOV junk
+    out(0)._4 should be > out(2)._4
+  }
 }
