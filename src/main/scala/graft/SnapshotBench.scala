@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.io.SnapshotStore
+
+/** Snapshot-store lifecycle bench (dev tool): commit / read / CDC /
+  * compact latency as the version count grows, so the SURVEY §8
+  * curves are measured rather than asserted. The question the curves
+  * answer: does a manifest-pinned read stay flat as segments pile up,
+  * and what does compaction buy back?
+  *
+  * Usage: runMain graft.SnapshotBench [dir] [commits]
+  */
+object SnapshotBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val commits = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = s"/tmp/graft_snapbench_${ProcessHandle.current().pid()}"
+    graft.ops.StageMemo.wipe(new java.io.File(base))
+    val store = s"$base/store"
+    def secs(f: => Any): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .localCheckpoint(true)
+    val n = docs.count()
+    println(s"""{"corpus":"documents","n":$n,"commits":$commits}""")
+
+    // commit latency at 1, mid, last (manifest carries O(versions) rows)
+    var commitFirst = 0.0; var commitMid = 0.0; var commitLast = 0.0
+    (0 until commits).foreach { i =>
+      val slice = docs.filter(col("doc_id") % commits === i)
+      val s = secs(SnapshotStore.commitAppend(slice, store))
+      if (i == 0) commitFirst = s
+      if (i == commits / 2) commitMid = s
+      if (i == commits - 1) commitLast = s
+    }
+    println(f"""{"face":"commit_first","secs":$commitFirst%.2f}""")
+    println(f"""{"face":"commit_mid","secs":$commitMid%.2f}""")
+    println(f"""{"face":"commit_last","secs":$commitLast%.2f}""")
+
+    def readLatest(tag: String): Unit = {
+      val s = secs(SnapshotStore.read(spark, store)
+        .agg(count(lit(1)), sum(col("n_chars"))).head())
+      println(f"""{"face":"$tag","secs":$s%.2f}""")
+    }
+    readLatest(s"read_${commits}_segments")
+    // time travel to the half-way pin
+    val sHalf = secs(SnapshotStore.read(spark, store, Some(commits / 2))
+      .agg(count(lit(1))).head())
+    println(f"""{"face":"read_pin_half","secs":$sHalf%.2f}""")
+    // CDC over the back half of history
+    val sCdc = secs(SnapshotStore
+      .readChanges(spark, store, commits / 2, commits).count())
+    println(f"""{"face":"changes_half_span","secs":$sCdc%.2f}""")
+
+    val sCompact = secs(SnapshotStore.compact(spark, store))
+    println(f"""{"face":"compact","secs":$sCompact%.2f}""")
+    readLatest("read_post_compact")
+
+    val sVac = secs(SnapshotStore.vacuum(spark, store, commits + 1))
+    println(f"""{"face":"vacuum","secs":$sVac%.2f}""")
+    readLatest("read_post_vacuum")
+
+    graft.ops.StageMemo.wipe(new java.io.File(base))
+    spark.stop()
+  }
+}
