@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * filesystem Spark can rename on):
   *
   * {{{
-  *   <dir>/seg/s<version>/        immutable data segments (parquet)
-  *   <dir>/tomb/t<version>/       immutable tombstone-id segments
+  *   <dir>/seg/s<version>_<uniq>/ immutable data segments (parquet)
+  *   <dir>/tomb/t<version>_<uniq>/ immutable tombstone-id segments
   *   <dir>/manifest/v<version>/   one tiny parquet of (kind, path)
   *                                rows naming the snapshot's segments
   * }}}
@@ -49,6 +49,19 @@ object SnapshotStore {
 
   private def manifestDir(dir: String, v: Int): String =
     f"$dir/manifest/v$v%06d"
+
+  /** Segment/tombstone names carry the version for humans but get a
+    * UNIQUE suffix so no two write attempts ever target the same
+    * directory: a crash between the data write and the manifest
+    * rename leaves an orphan that later commits never collide with
+    * (the restarted exactly-once sink must be able to re-attempt the
+    * same version), and two racing writers can't interleave task
+    * files in one directory. The manifest pins the real paths —
+    * readers and CDC never derive anything from directory listings.
+    */
+  private def uniqueName(prefix: Char, v: Int): String =
+    f"$prefix$v%06d" +
+      s"_${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
 
   /** Committed versions, ascending — a manifest counts once its
     * rename landed (the rename IS the commit point; a writer's
@@ -119,7 +132,7 @@ object SnapshotStore {
           s"append has " +
           s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}")
     }
-    val seg = f"seg/s$v%06d"
+    val seg = s"seg/${uniqueName('s', v)}"
     df.write.mode("errorifexists").parquet(s"$dir/$seg")
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
@@ -143,7 +156,7 @@ object SnapshotStore {
       s"commitDelete: null id(s) in '$idCol' — a null tombstone never " +
         s"matches the read-side anti-join and the row would stay visible")
     val v = prev.max + 1
-    val tp = f"tomb/t$v%06d"
+    val tp = s"tomb/${uniqueName('t', v)}"
     tomb.write.mode("errorifexists").parquet(s"$dir/$tp")
     commitManifest(spark, dir, v,
       readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)))
@@ -191,7 +204,7 @@ object SnapshotStore {
     val v = vs.max + 1
     // `c` prefix = dataChange FALSE: the rows aren't new, they moved
     // (the Delta convention) — [[readChanges]] skips these segments
-    val seg = f"seg/c$v%06d"
+    val seg = s"seg/${uniqueName('c', v)}"
     read(spark, dir, Some(vs.max))
       .write.mode("errorifexists").parquet(s"$dir/$seg")
     // carry the streaming txn marker: a restarted stream replaying its
@@ -202,28 +215,38 @@ object SnapshotStore {
   }
 
   /** Idempotent streaming commit (the Delta sink's txn discipline):
-    * append `df` as one snapshot version RECORDING `batchId` in the
-    * manifest (a `txn` row, carried forward and replaced on each
-    * streaming commit). A restarted query re-offering an
-    * already-committed batch id is a NO-OP returning the existing
-    * latest version — committing each micro-batch at most once even
-    * though foreachBatch only guarantees at-least-once delivery.
-    * Batch ids must be monotone (Structured Streaming's contract).
+    * append `df` as one snapshot version RECORDING `appId:batchId` in
+    * the manifest (a `txn` row per appId, carried forward and
+    * replaced on that appId's next commit). A restarted query
+    * re-offering an already-committed batch id is a NO-OP returning
+    * the existing latest version — committing each micro-batch at
+    * most once even though foreachBatch only guarantees
+    * at-least-once delivery. The txn is keyed by appId exactly as
+    * Delta's is: batch ids are only monotone WITHIN one checkpoint
+    * lineage, so a second query (or a recreated checkpoint, whose ids
+    * restart at 0) must carry its own appId or its early batches
+    * would be silently dropped as replays.
     */
-  def commitStreamBatch(df: DataFrame, dir: String, batchId: Long): Int = {
+  def commitStreamBatch(df: DataFrame, dir: String, batchId: Long,
+      appId: String = "default"): Int = {
+    require(!appId.contains(":"),
+      s"appId must not contain ':' (the txn-row separator), got '$appId'")
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
-    val lastTxn = carried.collect { case ("txn", b) => b.toLong }
-      .reduceOption((a, b) => math.max(a, b))
+    val lastTxn = carried.collect {
+      case ("txn", b) if b.startsWith(s"$appId:") =>
+        b.drop(appId.length + 1).toLong
+    }.reduceOption((a, b) => math.max(a, b))
     if (lastTxn.exists(batchId <= _)) return prev.max // replayed batch
     val v = if (prev.isEmpty) 1 else prev.max + 1
-    val seg = f"seg/s$v%06d"
+    val seg = s"seg/${uniqueName('s', v)}"
     df.write.mode("errorifexists").parquet(s"$dir/$seg")
     commitManifest(spark, dir, v,
-      carried.filter(_._1 != "txn") ++
-        Seq(("seg", seg), ("txn", batchId.toString)))
+      carried.filterNot { case (k, b) =>
+        k == "txn" && b.startsWith(s"$appId:") } ++
+        Seq(("seg", seg), ("txn", s"$appId:$batchId")))
     v
   }
 
@@ -234,13 +257,13 @@ object SnapshotStore {
     * visibility point) — a parquet directory a `writeStream.format(
     * "parquet")` sink can never make transactional.
     */
-  def streamSink(stream: DataFrame, dir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def streamSink(stream: DataFrame, dir: String, checkpointDir: String,
+      appId: String = "default"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) { commitStreamBatch(batch, dir, id); () }
+        if (!batch.isEmpty) { commitStreamBatch(batch, dir, id, appId); () }
       }
       .start()
 
@@ -269,19 +292,24 @@ object SnapshotStore {
     Seq(fromV, toV).foreach(v => require(vs.contains(v),
       s"readChanges: version $v does not exist at $dir (have " +
         s"${vs.mkString(",")}) — vacuumed or never committed"))
-    val fs = hfs(spark, dir)
-    def inRange(sub: String, prefix: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith(prefix) &&
-          n.drop(1).forall(_.isDigit) && {
-            val v = n.drop(1).toInt; v > fromV && v <= toV
-          })
-        .sorted.map(n => s"$dir/$sub/$n")
+    // the range's additions come from MANIFEST DIFFS, never from
+    // directory listings — orphan directories from crashed commits are
+    // invisible here exactly as they are to [[read]]. vacuum only
+    // drops a version PREFIX, so fromV existing ⇒ every manifest in
+    // (fromV, toV] exists; guard anyway against hand-deleted history
+    (fromV to toV).foreach(v => require(vs.contains(v),
+      s"readChanges: version $v inside the range is missing at $dir — " +
+        s"the change feed needs every manifest in ($fromV, $toV]"))
+    val fromRows = readManifestRows(spark, dir, fromV).toSet
+    val added = (fromV + 1 to toV)
+      .flatMap(v => readManifestRows(spark, dir, v))
+      .distinct.filterNot(fromRows)
+    // compaction segments are dataChange=false (`c` name prefix):
+    // their rows moved, they aren't new
+    val newSegs = added.collect {
+      case ("seg", p) if !p.startsWith("seg/c") => s"$dir/$p"
     }
-    val newSegs = inRange("seg", "s")
-    val newTombs = inRange("tomb", "t")
+    val newTombs = added.collect { case ("tomb", p) => s"$dir/$p" }
     // tombstones that can hide an in-range insert at toV: those
     // committed IN the range (still on disk even when a later
     // compaction folded them out of the manifest) plus any still

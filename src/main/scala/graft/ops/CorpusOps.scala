@@ -107,7 +107,13 @@ object CorpusOps {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val benchSet = benchShingleSet(benchmark, textCol, k)
+    // cut the derivation once: the count, the bloom aggregation AND
+    // the exec-time verification semi-join all read the checkpointed
+    // MB-scale set instead of re-exploding the benchmark three times
+    // (the r3 driver-time discipline — two of those run as blocking
+    // jobs at plan construction)
+    val benchSet = graft.ops.Checkpoints.cut(
+      benchShingleSet(benchmark, textCol, k), eager = true)
     // size from a cheap exact count (one scan of the MB-scale eval
     // set); numBits per the standard -n·ln(p)/ln(2)^2 formula
     val nItems = math.max(1L, benchSet.count())
@@ -548,9 +554,9 @@ object CorpusOps {
     require(n >= 1, s"prioritySample needs n >= 1, got $n")
     val u = (SketchOps.kmvHash(col(idCol)) + lit(1L)).cast("double") /
       lit(SketchOps.HashSpace)
-    val pr = weight.cast("double") / u
+    val w = guardedWeight(weight, "prioritySample")
     val topN1 = df
-      .select(col(idCol), weight.cast("long").as("weight"), pr.as("priority"))
+      .select(col(idCol), w.as("weight"), (w / u).as("priority"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(n + 1)
     val wAll = org.apache.spark.sql.expressions.Window
@@ -564,7 +570,22 @@ object CorpusOps {
           .orderBy(col("priority").desc, col(idCol))).as("__rn"))
       .filter(col("__rn") <= n)
       .select(col(idCol), col("weight"), col("priority"),
-        greatest(col("weight").cast("double"), col("tau")).as("est"))
+        greatest(col("weight"), col("tau")).as("est"))
+  }
+
+  /** The samplers' shared weight column: DOUBLE (a long cast would
+    * silently truncate fractional weights — membership would follow
+    * the true weight while est/weight reported the floor, breaking
+    * the DLT unbiasedness), and loudly positive (a zero/negative/null
+    * weight can still enter an under-full sample and take est = τ >
+    * w, silently biasing every subset sum).
+    */
+  private def guardedWeight(weight: Column, op: String): Column = {
+    val w = weight.cast("double")
+    when(w.isNull || isnan(w) || w <= 0.0d,
+      raise_error(concat(lit(s"$op: weight must be a positive number, got "),
+        coalesce(w.cast("string"), lit("null")))))
+      .otherwise(w)
   }
 
   /** Per-stratum [[prioritySample]]: n rows per stratum,
@@ -588,7 +609,8 @@ object CorpusOps {
     require(n >= 1, s"prioritySampleByStratum needs n >= 1, got $n")
     val u = (SketchOps.kmvHash(col(idCol)) + lit(1L)).cast("double") /
       lit(SketchOps.HashSpace)
-    val pr = weight.cast("double") / u
+    val w = guardedWeight(weight, "prioritySampleByStratum")
+    val pr = w / u
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("priority").desc, col(idCol))
@@ -596,7 +618,7 @@ object CorpusOps {
       .partitionBy(col(strataCol)) // ≤ n+1 rows per stratum post-filter
     val topN1 = df
       .select(col(idCol), col(strataCol),
-        weight.cast("long").as("weight"), pr.as("priority"))
+        w.as("weight"), pr.as("priority"))
       .select(col(idCol), col(strataCol), col("weight"), col("priority"),
         row_number().over(wRank).as("__rn"))
       .filter(col("__rn") <= n + 1)
@@ -607,7 +629,7 @@ object CorpusOps {
         col("__rn"), tau.as("tau"))
       .filter(col("__rn") <= n)
       .select(col(idCol), col(strataCol), col("weight"), col("priority"),
-        greatest(col("weight").cast("double"), col("tau")).as("est"))
+        greatest(col("weight"), col("tau")).as("est"))
   }
 
   /** Per-stratum corpus profile: doc count, distinct normalized-text

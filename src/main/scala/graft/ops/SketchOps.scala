@@ -326,29 +326,38 @@ object SketchOps {
       "reference histogram needs parallel non-empty value/count seqs")
     require(refVs == refVs.sorted && refVs.distinct == refVs,
       "reference values must be ascending and distinct")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(19, 0) // cross-products accumulate in DECIMAL:
+    val dec38 = DecimalType(38, 0) // long×long silently WRAPS past 2^63
     val vs = hist.getField("_2")
     val cs = hist.getField("_3")
     val nHist = aggregate(cs, lit(0L), (a, x) => a + x)
     val nRef = refCs.sum
+    val zero = lit(0L).cast(dec38)
     val refMap = map_from_arrays(
       lit(refVs.toArray), lit(refCs.toArray))
     // bins present in the window's histogram (ref count 0 when absent)
     val part1 = aggregate(
       zip_with(vs, cs, (v, c) =>
-        abs(c * lit(nRef) -
-          coalesce(element_at(refMap, v), lit(0L)) * nHist)),
-      lit(0L), (a, x) => a + x)
+        abs(c.cast(dec) * lit(nRef).cast(dec) -
+          coalesce(element_at(refMap, v), lit(0L)).cast(dec) *
+            nHist.cast(dec)).cast(dec38)),
+      zero, (a, x) => a + x)
     // reference bins the histogram never saw: |0·nRef − c_ref·nHist|
     val refVsLit = lit(refVs.toArray)
     val refCsLit = lit(refCs.toArray)
     val part2 = aggregate(
       transform(sequence(lit(1), lit(refVs.length)), i =>
-        when(array_contains(vs, element_at(refVsLit, i)), lit(0L))
-          .otherwise(element_at(refCsLit, i) * nHist)),
-      lit(0L), (a, x) => a + x)
+        when(array_contains(vs, element_at(refVsLit, i)), zero)
+          .otherwise((element_at(refCsLit, i).cast(dec) *
+            nHist.cast(dec)).cast(dec38))),
+      zero, (a, x) => a + x)
+    // denominator as ONE exact integer product, cast once (two double
+    // roundings would drift a ULP off an oracle replay at scale)
+    val den = (lit(2L).cast(dec) * lit(nRef).cast(dec) *
+      nHist.cast(dec)).cast("double")
     when(nHist === 0L, lit(null).cast("double")) // empty window: no dist
-      .otherwise((part1 + part2).cast("double") /
-        (lit(2.0d) * lit(nRef.toDouble) * nHist.cast("double")))
+      .otherwise((part1 + part2).cast("double") / den)
   }
 
   def mgAgg(k: Int): Column => Column = {

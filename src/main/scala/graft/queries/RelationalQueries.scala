@@ -859,6 +859,12 @@ object RelationalQueries {
         .select(col("flag"), col("v"), col("c").as("cb"))
       val wAll = Window.partitionBy("flag")
       val wCum = Window.partitionBy("flag").orderBy("v")
+      // cross-products accumulate in DECIMAL (long×long silently wraps
+      // past 2^63 with ANSI off — at 1e10-row windows the counts×total
+      // products exceed it; DuckDB's HUGEINT path never wraps, so the
+      // decimal side keeps the two engines on the same exact integers)
+      val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+      def x(c: String, n: String) = col(c).cast(dec) * col(n).cast(dec)
       fa.join(ob, Seq("flag", "v"), "full_outer")
         .select(col("flag"), col("v"),
           coalesce(col("ca"), lit(0L)).as("ca"),
@@ -868,16 +874,25 @@ object RelationalQueries {
           sum("ca").over(wCum).as("cca"), sum("cb").over(wCum).as("ccb"))
         .groupBy(col("flag"))
         .agg(max("na").as("na"), max("nb").as("nb"),
-          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
-            .as("tvd_num"),
-          max(abs(col("cca") * col("nb") - col("ccb") * col("na")))
-            .as("ks_num"))
+          sum(abs(x("ca", "nb") - x("cb", "na"))).as("tvd_num"),
+          max(abs(x("cca", "nb") - x("ccb", "na"))).as("ks_num"))
+        // one-sided regime guard: a regeneration leaving a flag with
+        // zero F or zero O rows would divide by zero — Spark NaN vs
+        // DuckDB NULL, a FLAKY grade; fail loudly instead (q179 rule)
+        .select(col("flag"),
+          when(col("na") === 0 || col("nb") === 0, raise_error(concat(
+            lit("q181: one-sided distribution for flag="), col("flag"),
+            lit(" — na/nb must both be > 0; testdata regeneration " +
+              "changed the F/O split")))).otherwise(col("na")).as("na"),
+          col("nb"), col("tvd_num"), col("ks_num"))
         .select(col("flag"),
           col("na").as("n_f"), col("nb").as("n_o"),
           (col("tvd_num").cast("double") /
-            (lit(2L) * col("na") * col("nb")).cast("double")).as("tvd"),
+            (lit(2L).cast(dec) * col("na").cast(dec) * col("nb").cast(dec))
+              .cast("double")).as("tvd"),
           (col("ks_num").cast("double") /
-            (col("na") * col("nb")).cast("double")).as("ks"))
+            (col("na").cast(dec) * col("nb").cast(dec)).cast("double"))
+            .as("ks"))
         .orderBy(col("flag"))
     },
 

@@ -18,6 +18,35 @@ object TextQueries {
   /** Shared oracle fragment: tokens of a document. */
   private val TOKS = "string_split(text, ' ')"
 
+  /** The ONE snapshot-store lifecycle fixture q185 and q186 both read
+    * (read-only at exec, so one hermetic root serves both — a tweak
+    * to the lifecycle can never drift the two queries' semantics
+    * apart): v1 append evens → v2 append odds → v3 tombstone every
+    * 5th → v4 compact. Returns the store root.
+    */
+  private def snapshotFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.io.SnapshotStore
+    val root = new java.io.File(
+      s"/tmp/graft_q185q186_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+        stillValid = new java.io.File(root, "manifest").isDirectory) {
+      graft.ops.StageMemo.wipe(root)
+      val docs = t(s, dir, "documents")
+      SnapshotStore.commitAppend(
+        docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
+      SnapshotStore.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
+      SnapshotStore.commitDelete(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", root.getAbsolutePath)
+      SnapshotStore.compact(s, root.getAbsolutePath)
+      ()
+    }
+    root.getAbsolutePath
+  }
+
   /** Oracle fragment: k=3 word shingles of token list `t`. */
   private def shingleSql(tl: String): String =
     s"CASE WHEN len($tl) >= 3 THEN list_transform(generate_series(1, len($tl) - 2), " +
@@ -777,12 +806,12 @@ object TextQueries {
     // TakeOrderedAndProject (per-partition heaps, no global sort) and
     // τ/population-exhausted are windows over ≤ n+1 post-limit rows.
     Q("q182_priority_sample",
-      """WITH w AS (SELECT doc_id, n_chars AS weight,
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM documents),
         |p AS (SELECT doc_id, weight,
-        |    CAST(weight AS DOUBLE) /
+        |    weight /
         |      (CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
         |  FROM w),
         |t AS (SELECT doc_id, weight, priority,
@@ -791,7 +820,7 @@ object TextQueries {
         |x AS (SELECT doc_id, weight, priority, rn,
         |    COUNT(*) OVER () AS m, MIN(priority) OVER () AS mn FROM t)
         |SELECT doc_id, weight, priority,
-        |  GREATEST(CAST(weight AS DOUBLE),
+        |  GREATEST(weight,
         |    CASE WHEN m <= 100 THEN 0.0 ELSE mn END) AS est
         |FROM x WHERE rn <= 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.prioritySample(
@@ -808,12 +837,12 @@ object TextQueries {
     // window Spark plans as WindowGroupLimit: ≤ n+1 rows per
     // (partition, lang) reach the exchange, never the corpus.
     Q("q184_priority_sample_strat",
-      """WITH w AS (SELECT doc_id, lang, n_chars AS weight,
+      """WITH w AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS weight,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |      AS BIGINT) AS h
         |  FROM documents),
         |p AS (SELECT doc_id, lang, weight,
-        |    CAST(weight AS DOUBLE) /
+        |    weight /
         |      (CAST(h + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
         |  FROM w),
         |t AS (SELECT doc_id, lang, weight, priority,
@@ -824,7 +853,7 @@ object TextQueries {
         |    COUNT(*) OVER (PARTITION BY lang) AS m,
         |    MIN(priority) OVER (PARTITION BY lang) AS mn FROM t)
         |SELECT doc_id, lang, weight, priority,
-        |  GREATEST(CAST(weight AS DOUBLE),
+        |  GREATEST(weight,
         |    CASE WHEN m <= 20 THEN 0.0 ELSE mn END) AS est
         |FROM x WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.prioritySampleByStratum(
@@ -1774,25 +1803,9 @@ object TextQueries {
          |ORDER BY snapshot""".stripMargin
     }) { (s, dir) =>
       import graft.io.SnapshotStore
-      val docs = t(s, dir, "documents")
-      val root = new java.io.File(
-        s"/tmp/graft_q185_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "manifest").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
-        SnapshotStore.commitDelete(
-          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
-          "doc_id", root.getAbsolutePath)
-        SnapshotStore.compact(s, root.getAbsolutePath)
-        ()
-      }
+      val root = snapshotFixture(s, dir)
       def vrow(label: String, version: Int) =
-        SnapshotStore.read(s, root.getAbsolutePath, Some(version))
+        SnapshotStore.read(s, root, Some(version))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
             countDistinct(col("lang")).as("n_langs"))
@@ -1822,25 +1835,7 @@ object TextQueries {
         |SELECT 'delete' AS change, doc_id, lang, n_chars
         |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
         |ORDER BY change, doc_id""".stripMargin) { (s, dir) =>
-      import graft.io.SnapshotStore
-      val docs = t(s, dir, "documents")
-      val root = new java.io.File(
-        s"/tmp/graft_q186_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "manifest").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
-        SnapshotStore.commitDelete(
-          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
-          "doc_id", root.getAbsolutePath)
-        SnapshotStore.compact(s, root.getAbsolutePath)
-        ()
-      }
-      SnapshotStore.readChanges(s, root.getAbsolutePath, 1, 3)
+      graft.io.SnapshotStore.readChanges(s, snapshotFixture(s, dir), 1, 3)
         .select(col("_change").as("change"), col("doc_id"), col("lang"),
           col("n_chars"))
         .orderBy(col("change"), col("doc_id"))

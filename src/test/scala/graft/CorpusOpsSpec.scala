@@ -382,7 +382,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val all = CorpusOps.prioritySample(pop.limit(30), "doc_id", col("w"), 100)
       .orderBy("doc_id").collect()
     all.length shouldBe 30
-    all.foreach { r => r.getDouble(3) shouldBe r.getLong(1).toDouble }
+    all.foreach { r => r.getDouble(3) shouldBe r.getDouble(1) }
 
     // population > n: exactly n rows, est = max(w, tau) >= w,
     // identical across partitionings (the hash draw is deterministic)
@@ -392,11 +392,29 @@ class CorpusOpsSpec extends SparkSpecBase {
       col("w"), 50).orderBy("doc_id").collect()
     s1.length shouldBe 50
     s1.map(_.toSeq) shouldBe s2.map(_.toSeq)
-    s1.foreach { r => r.getDouble(3) should be >= r.getLong(1).toDouble }
+    s1.foreach { r => r.getDouble(3) should be >= r.getDouble(1) }
     // tau is shared: every est is either the row's own weight or tau
     val taus = s1.map(_.getDouble(3)).filter(e =>
-      !s1.exists(r => r.getLong(1).toDouble == e)).distinct
+      !s1.exists(r => r.getDouble(1) == e)).distinct
     taus.length should be <= 1
+
+    // fractional weights sample AND report without truncation (the
+    // long-cast would have floored 0.5 to 0 and broken unbiasedness)
+    val frac = CorpusOps.prioritySample(
+      pop.select(col("doc_id"), (col("w") / 4.0).as("w")),
+      "doc_id", col("w"), 50).orderBy("doc_id").collect()
+    frac.map(_.getLong(0)).toSeq shouldBe s1.map(_.getLong(0)).toSeq
+    frac.foreach(r => (r.getDouble(1) * 4.0) should not be 0.0)
+
+    // zero/negative/null weights fail loudly, never bias silently
+    val bad = intercept[Exception] {
+      CorpusOps.prioritySample(
+        pop.select(col("doc_id"), (col("w") * 0).as("w")),
+        "doc_id", col("w"), 5).collect()
+    }
+    Iterator.iterate[Throwable](bad)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n") should
+      include("positive")
   }
 
   test("prioritySample est is an unbiased subset-sum estimator (aggregate check over many disjoint draws)") {
@@ -432,7 +450,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       "doc_id", "g", col("w"), n = 25).orderBy("doc_id").collect()
     rows2.map(_.toSeq) shouldBe rows.map(_.toSeq)
     // each stratum shares ONE tau; est >= own weight
-    rows.foreach { r => r.getDouble(4) should be >= r.getLong(2).toDouble }
+    rows.foreach { r => r.getDouble(4) should be >= r.getDouble(2) }
     // exhausted stratum: all of "c"'s 5 rows come back with est = w
     val tiny = pop.union(Seq((10001L, "c", 70L), (10002L, "c", 20L),
       (10003L, "c", 50L), (10004L, "c", 30L), (10005L, "c", 10L))
@@ -440,7 +458,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val cRows = CorpusOps.prioritySampleByStratum(tiny, "doc_id", "g",
       col("w"), n = 25).filter(col("g") === "c").orderBy("doc_id").collect()
     cRows.length shouldBe 5
-    cRows.foreach { r => r.getDouble(4) shouldBe r.getLong(2).toDouble }
+    cRows.foreach { r => r.getDouble(4) shouldBe r.getDouble(2) }
     // the rank filter must reduce map-side: WindowGroupLimit in
     // Partial mode ahead of the exchange (the ivfAssign audit shape)
     val plan = out.queryExecution.executedPlan.toString

@@ -59,11 +59,15 @@ class SnapshotStoreSpec extends SparkSpecBase {
     // overwritten) — driven through commitManifest directly because
     // the public faces re-list versions and only collide under true
     // concurrency
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v1Seg = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/seg"))
+      .head.getPath.getName
     SnapshotStore.commitManifest(spark, dir, 2,
-      Seq(("seg", "seg/s000001")))
+      Seq(("seg", s"seg/$v1Seg")))
     val conflict = intercept[IllegalStateException] {
       SnapshotStore.commitManifest(spark, dir, 2,
-        Seq(("seg", "seg/s000001")))
+        Seq(("seg", s"seg/$v1Seg")))
     }
     conflict.getMessage should include("conflict")
 
@@ -161,9 +165,12 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.commitAppend(docs(11 to 12), dir) // v4
 
     val dropped = SnapshotStore.vacuum(spark, dir, keepFrom = 3)
-    // v1/v2 manifests go; s000001 and the tombstone are unreachable
-    // from v3/v4, which reference only s000003 (+ s000004)
-    dropped.sorted shouldBe Seq("manifest/v000001", "manifest/v000002",
+    // v1/v2 manifests go; the v1 segment and the tombstone are
+    // unreachable from v3/v4, which reference only the compacted
+    // segment (+ v4's append). Segment names carry a unique suffix
+    // after the version — compare the version-bearing prefix.
+    dropped.map(_.takeWhile(_ != '_')).sorted shouldBe Seq(
+      "manifest/v000001", "manifest/v000002",
       "seg/s000001", "tomb/t000002")
 
     SnapshotStore.versions(spark, dir) shouldBe Seq(3, 4)
