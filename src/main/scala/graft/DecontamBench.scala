@@ -1,0 +1,92 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the decontamination scale claim: times the three
+  * forms — shuffle join ([[graft.ops.CorpusOps.decontaminate]]),
+  * driver-dict map-side ([[graft.ops.CorpusOps.decontaminateMapSide]])
+  * and bloom-prefiltered ([[graft.ops.CorpusOps.decontaminateBloom]])
+  * — on a given sf/stress dir, reporting wall time and total
+  * shuffle-write bytes. The question the numbers answer: what does
+  * the bloom prefilter buy once the benchmark is too big to broadcast
+  * or hold on the driver?
+  *
+  * Usage: runMain graft.DecontamBench [dir] [runs]
+  */
+object DecontamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val docs = Tables.loadWidened(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    println(s"""{"corpus":${corpus.count()},"bench":${bench.count()}}""")
+
+    def timed(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+      (1 to runs).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener events post async
+        println(f"[decontam] $tag run$i: $sec%.2f s " +
+          f"shuffle ${shuffleBytes.get() / 1e6}%.2f MB")
+      }
+
+    timed("join") {
+      graft.ops.CorpusOps.decontaminate(corpus, bench,
+        "doc_id", "text", k = 3, threshold = 0.2)
+    }
+    timed("mapside") {
+      val dict = graft.ops.CorpusOps.benchmarkDict(bench, "text", 3)
+      graft.ops.CorpusOps.decontaminateMapSide(corpus, dict,
+        "doc_id", "text", k = 3, threshold = 0.2)
+    }
+    timed("bloom") {
+      graft.ops.CorpusOps.decontaminateBloom(corpus, bench,
+        "doc_id", "text", k = 3, threshold = 0.2)
+    }
+
+    // the CLEAN regime — the one real decontamination runs in: hit
+    // rates are ppm (a benchmark barely overlaps a crawl), which is
+    // where the bloom prefilter kills the verification join's probe
+    // side. A reversed-text benchmark has disjoint vocabulary ⇒
+    // ~zero true overlap, so this measures the prefilter's pass-rate
+    // economics, not the fixture's synthetic duplication.
+    val benchClean = bench.withColumn("text", reverse(col("text")))
+    timed("join_clean") {
+      graft.ops.CorpusOps.decontaminate(corpus, benchClean,
+        "doc_id", "text", k = 3, threshold = 0.2)
+    }
+    timed("bloom_clean") {
+      graft.ops.CorpusOps.decontaminateBloom(corpus, benchClean,
+        "doc_id", "text", k = 3, threshold = 0.2)
+    }
+    spark.stop()
+  }
+}
