@@ -116,21 +116,40 @@ object SnapshotStore {
 
   /** Append `df` as a new immutable segment and publish the next
     * version (previous segments + tombstones carry forward). Returns
-    * the committed version. Schema must match the store's (loud
-    * mismatch — silent unionByName drift corrupts every later read).
+    * the committed version. By default the schema must match the
+    * store's exactly (loud mismatch — silent unionByName drift
+    * corrupts every later read); `mergeSchema = true` opts into
+    * Delta-style EVOLUTION: new columns may appear (older segments
+    * read them as null) and columns may be omitted (this segment
+    * reads them as null), but a column name shared with the store
+    * must keep its type — a type flip would poison every read.
     */
-  def commitAppend(df: DataFrame, dir: String): Int = {
+  def commitAppend(df: DataFrame, dir: String,
+      mergeSchema: Boolean = false): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = if (prev.isEmpty) 1 else prev.max + 1
     if (prev.nonEmpty) {
       val cur = read(spark, dir, Some(prev.max)).schema
-      require(df.schema.map(f => (f.name, f.dataType)) ==
-        cur.map(f => (f.name, f.dataType)),
-        s"commitAppend: schema mismatch — store has " +
-          s"${cur.map(f => s"${f.name}:${f.dataType.simpleString}")}, " +
-          s"append has " +
-          s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}")
+      if (!mergeSchema)
+        require(df.schema.map(f => (f.name, f.dataType)) ==
+          cur.map(f => (f.name, f.dataType)),
+          s"commitAppend: schema mismatch — store has " +
+            s"${cur.map(f => s"${f.name}:${f.dataType.simpleString}")}, " +
+            s"append has " +
+            s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}" +
+            s" (pass mergeSchema = true to evolve)")
+      else {
+        val curTypes = cur.map(f => f.name -> f.dataType).toMap
+        val flips = df.schema.flatMap(f => curTypes.get(f.name)
+          .filter(_ != f.dataType)
+          .map(t => s"${f.name}: ${t.simpleString} -> " +
+            f.dataType.simpleString))
+        require(flips.isEmpty,
+          s"commitAppend(mergeSchema): type flip on shared column(s) " +
+            s"${flips.mkString(", ")} — evolution adds columns, never " +
+            s"retypes them")
+      }
     }
     val seg = s"seg/${uniqueName('s', v)}"
     df.write.mode("errorifexists").parquet(s"$dir/$seg")
@@ -179,7 +198,9 @@ object SnapshotStore {
     val rows = readManifestRows(spark, dir, v)
     val segs = rows.collect { case ("seg", p) => s"$dir/$p" }
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
-    val base = spark.read.parquet(segs: _*)
+    // mergeSchema: evolved stores surface added columns (null where a
+    // segment predates them); same-schema stores are unaffected
+    val base = spark.read.option("mergeSchema", "true").parquet(segs: _*)
     rows.collect { case ("tomb", p) => p }.foldLeft(base) { (acc, p) =>
       val t = spark.read.parquet(s"$dir/$p")
       val idCol = t.columns match {
@@ -266,6 +287,30 @@ object SnapshotStore {
         if (!batch.isEmpty) { commitStreamBatch(batch, dir, id, appId); () }
       }
       .start()
+
+  /** Streaming INSERT feed off the store (the Delta streaming-source
+    * shape, on the file-stream machinery the store's layout makes
+    * correct by construction): data segments are immutable
+    * append-only parquet directories whose names distinguish
+    * dataChange (`seg/s*`) from compaction movement (`seg/c*`), so a
+    * file stream over the `s*` glob emits every committed insert
+    * EXACTLY ONCE and never re-emits a compaction — the downstream
+    * incremental-ingest face (each commit's files surface as one
+    * micro-batch; FileStreamSource checkpoints file names, so
+    * restarts resume).
+    *
+    * Contract notes, honestly: this is the INSERT feed — tombstones
+    * don't retract rows already emitted (no streaming source can);
+    * use [[readChanges]] for reconciliation. Orphan segments from
+    * crashed commits are the one case the manifest protects batch
+    * readers from that a file glob cannot; crashed-commit orphans are
+    * rare and removable (vacuum any uncommitted `seg/s*` not named by
+    * a manifest).
+    */
+  def streamInserts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = read(spark, dir).schema // pinned from the latest snapshot
+    spark.readStream.schema(schema).parquet(s"$dir/seg/s*")
+  }
 
   /** Change-data feed between two committed versions (Delta CDF
     * semantics over the version-encoded directory names):

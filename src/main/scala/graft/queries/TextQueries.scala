@@ -1841,6 +1841,39 @@ object TextQueries {
         .orderBy(col("change"), col("doc_id"))
     },
 
+    // Schema evolution on the snapshot store (Delta mergeSchema):
+    // v1 commits (doc_id, lang), v2 appends rows CARRYING A NEW
+    // COLUMN (n_chars) under mergeSchema=true — the read surfaces
+    // the union schema with nulls where a segment predates the
+    // column (type flips refuse loudly; spec-pinned). The oracle is
+    // the equivalent CASE over documents, blind to the store.
+    Q("q188_snapshot_schema_merge",
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val docs = t(s, dir, "documents")
+      val root = new java.io.File(
+        s"/tmp/graft_q188_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "manifest").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang")),
+          root.getAbsolutePath)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          root.getAbsolutePath, mergeSchema = true)
+        ()
+      }
+      SnapshotStore.read(s, root.getAbsolutePath)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

@@ -157,6 +157,60 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 4
   }
 
+  test("mergeSchema evolution: added columns null-backfill, omitted columns null-forward, type flips refuse") {
+    val dir = freshDir("evolve")
+    SnapshotStore.commitAppend(
+      Seq((1L, "en")).toDF("doc_id", "lang"), dir)
+    // add a column (old rows read it as null)
+    SnapshotStore.commitAppend(
+      Seq((2L, "fr", 10L)).toDF("doc_id", "lang", "n"), dir,
+      mergeSchema = true)
+    // omit a column (this segment reads it as null)
+    SnapshotStore.commitAppend(
+      Seq((3L, 30L)).toDF("doc_id", "n"), dir, mergeSchema = true)
+    val rows = SnapshotStore.read(spark, dir)
+      .select("doc_id", "lang", "n").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    rows.toSeq shouldBe Seq(
+      (1L, Some("en"), None),
+      (2L, Some("fr"), Some(10L)),
+      (3L, None, Some(30L)))
+    // strict mode still refuses drift, and evolution refuses a retype
+    val strict = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((4L, 1.5)).toDF("doc_id", "n"), dir)
+    }
+    strict.getMessage should include("mergeSchema = true to evolve")
+    val flip = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((4L, 1.5)).toDF("doc_id", "n"), dir, mergeSchema = true)
+    }
+    flip.getMessage should include("type flip")
+  }
+
+  test("streamInserts emits each committed insert exactly once and never re-emits a compaction") {
+    val dir = freshDir("feed")
+    SnapshotStore.commitAppend(docs(1 to 5), dir)
+    val q = SnapshotStore.streamInserts(spark, dir)
+      .writeStream.format("memory").queryName("snap_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("snap_feed").count() shouldBe 5
+      // a new commit surfaces incrementally
+      SnapshotStore.commitAppend(docs(6 to 9), dir)
+      q.processAllAvailable()
+      spark.table("snap_feed").count() shouldBe 9
+      // delete + compact move rows into a c* segment: no re-emission
+      SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir)
+      SnapshotStore.compact(spark, dir)
+      q.processAllAvailable()
+      spark.table("snap_feed").count() shouldBe 9
+      spark.table("snap_feed").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq shouldBe (1L to 9L)
+    } finally q.stop()
+  }
+
   test("vacuum drops exactly the unreachable history and retained versions survive") {
     val dir = freshDir("vacuum")
     SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
