@@ -38,8 +38,12 @@ import org.apache.spark.sql.functions._
   * undisturbed (readers and the compactor never contend).
   *
   * Tombstones are (id) frames anti-joined at read time, each on its
-  * own single column — the Lucene/Delta deleted-rows model; a
-  * [[compact]] folds them in for real.
+  * own single column — the Lucene/Delta deleted-rows model, with the
+  * MVCC ORDERING rule: a tombstone hides rows only from segments
+  * committed STRICTLY BEFORE it, so a later re-insert of a deleted id
+  * is visible and [[commitUpsert]] can pair a tombstone with its
+  * replacement rows in one atomic version; a [[compact]] folds them
+  * in for real.
   */
 object SnapshotStore {
 
@@ -187,6 +191,46 @@ object SnapshotStore {
     * frame is reproducible against any later commit; tombstone frames
     * anti-join each on their own id column.
     */
+  /** The commit version encoded in a segment/tombstone path
+    * (`seg/s000123_<uniq>` → 123) — the ORDERING key of MVCC reads.
+    */
+  private def pathVersion(p: String): Int =
+    p.substring(p.indexOf('/') + 2).takeWhile(_.isDigit).toInt
+
+  /** Anti-join `base` against one tombstone dir, on the tombstone's
+    * own single id column (loud otherwise).
+    */
+  private def antiTomb(spark: SparkSession, dir: String,
+      base: DataFrame, tombPath: String): DataFrame = {
+    val t = spark.read.parquet(s"$dir/$tombPath")
+    val idCol = t.columns match {
+      case Array(one) => one
+      case cs => throw new IllegalStateException(
+        s"tombstone segment $tombPath must hold exactly one id column, " +
+          s"got ${cs.mkString(",")}")
+    }
+    base.join(broadcast(t), Seq(idCol), "left_anti")
+  }
+
+  /** Union of `segs` minus every tombstone that POSTDATES each
+    * segment — the MVCC ordering rule: a tombstone at version T hides
+    * rows from segments committed strictly BEFORE T, never rows a
+    * later commit (or the SAME commit — the upsert case) re-inserts.
+    * Segments are grouped by their applicable-tombstone suffix, so
+    * the plan holds |tombstones|+1 branches, not |segments|.
+    */
+  private def segsMinusTombs(spark: SparkSession, dir: String,
+      segs: Seq[String], tombs: Seq[String]): DataFrame = {
+    val tombV = tombs.map(p => (pathVersion(p), p)).sortBy(_._1)
+    val groups = segs.groupBy(s => tombV.filter(_._1 > pathVersion(s)))
+      .toSeq.sortBy { case (_, ss) => ss.map(pathVersion).min }
+    groups.map { case (applicable, segPaths) =>
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(segPaths.sorted.map(p => s"$dir/$p"): _*)
+      applicable.foldLeft(base)((acc, t) => antiTomb(spark, dir, acc, t._2))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, dir)
@@ -196,21 +240,10 @@ object SnapshotStore {
       s"snapshot version $v does not exist at $dir (have " +
         s"${vs.mkString(",")}) — vacuumed or never committed")
     val rows = readManifestRows(spark, dir, v)
-    val segs = rows.collect { case ("seg", p) => s"$dir/$p" }
+    val segs = rows.collect { case ("seg", p) => p }
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
-    // mergeSchema: evolved stores surface added columns (null where a
-    // segment predates them); same-schema stores are unaffected
-    val base = spark.read.option("mergeSchema", "true").parquet(segs: _*)
-    rows.collect { case ("tomb", p) => p }.foldLeft(base) { (acc, p) =>
-      val t = spark.read.parquet(s"$dir/$p")
-      val idCol = t.columns match {
-        case Array(one) => one
-        case cs => throw new IllegalStateException(
-          s"tombstone segment $p must hold exactly one id column, " +
-            s"got ${cs.mkString(",")}")
-      }
-      acc.join(broadcast(t), Seq(idCol), "left_anti")
-    }
+    segsMinusTombs(spark, dir, segs,
+      rows.collect { case ("tomb", p) => p })
   }
 
   /** Fold tombstones in for real: write the latest snapshot's
@@ -352,38 +385,67 @@ object SnapshotStore {
     // compaction segments are dataChange=false (`c` name prefix):
     // their rows moved, they aren't new
     val newSegs = added.collect {
-      case ("seg", p) if !p.startsWith("seg/c") => s"$dir/$p"
+      case ("seg", p) if !p.startsWith("seg/c") => p
     }
-    val newTombs = added.collect { case ("tomb", p) => s"$dir/$p" }
+    val newTombs = added.collect { case ("tomb", p) => p }
     // tombstones that can hide an in-range insert at toV: those
     // committed IN the range (still on disk even when a later
     // compaction folded them out of the manifest) plus any still
-    // ACTIVE in toV's manifest (an older tombstone hides a re-insert
-    // exactly as [[read]] would)
-    val toTombs = (newTombs ++ readManifestRows(spark, dir, toV)
-      .collect { case ("tomb", p) => s"$dir/$p" }).distinct
-    def antiAll(base: DataFrame, tombs: Seq[String]): DataFrame =
-      tombs.foldLeft(base) { (acc, tp) =>
-        val t = spark.read.parquet(tp)
-        acc.join(broadcast(t), Seq(t.columns.head), "left_anti")
-      }
+    // ACTIVE in toV's manifest — applied with the same MVCC ordering
+    // as [[read]] (a tombstone hides only STRICTLY-OLDER segments, so
+    // an upsert's own rows and any later re-insert survive)
+    val candTombs = (newTombs ++ readManifestRows(spark, dir, toV)
+      .collect { case ("tomb", p) => p }).distinct
     val asOfFrom = read(spark, dir, Some(fromV))
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
-      else antiAll(spark.read.parquet(newSegs: _*), toTombs)
+      else segsMinusTombs(spark, dir, newSegs, candTombs)
     val deletes =
       if (newTombs.isEmpty) asOfFrom.limit(0)
       else {
         val idCols = newTombs.map(p =>
-          spark.read.parquet(p).columns.toSeq).distinct
+          spark.read.parquet(s"$dir/$p").columns.toSeq).distinct
         require(idCols.size == 1 && idCols.head.size == 1,
           s"readChanges: in-range tombstones disagree on the id column " +
             s"($idCols) — one change feed needs one delete key")
-        val ids = spark.read.parquet(newTombs: _*).distinct()
+        val ids = spark.read.parquet(newTombs.map(p => s"$dir/$p"): _*)
+          .distinct()
         asOfFrom.join(broadcast(ids), Seq(ids.columns.head), "left_semi")
       }
     inserts.withColumn("_change", lit("insert"))
-      .unionByName(deletes.withColumn("_change", lit("delete")))
+      .unionByName(deletes.withColumn("_change", lit("delete")),
+        allowMissingColumns = true)
+  }
+
+  /** Atomic UPSERT (the Delta MERGE whole-row form): ONE committed
+    * version whose manifest carries BOTH a tombstone of `df`'s ids
+    * and `df` as a new segment — matched rows replace, unmatched rows
+    * insert, and a concurrent reader sees the old state or the new
+    * one, never the deleted-but-not-yet-reinserted middle that a
+    * commitDelete + commitAppend pair exposes. Correct BECAUSE of the
+    * MVCC ordering rule: the tombstone at version v hides only
+    * strictly-older segments, so the upsert's own segment (same v)
+    * survives its own tombstone.
+    */
+  def commitUpsert(df: DataFrame, idCol: String, dir: String): Int = {
+    val spark = df.sparkSession
+    val prev = versions(spark, dir)
+    require(prev.nonEmpty,
+      s"commitUpsert: no committed version at $dir — commitAppend first")
+    val ids = df.select(col(idCol)).distinct()
+    val bad = ids.where(col(idCol).isNull).count()
+    require(bad == 0,
+      s"commitUpsert: null id(s) in '$idCol' — a null tombstone never " +
+        s"matches the read-side anti-join and the old row would stay")
+    val v = prev.max + 1
+    val tp = s"tomb/${uniqueName('t', v)}"
+    val seg = s"seg/${uniqueName('s', v)}"
+    ids.write.mode("errorifexists").parquet(s"$dir/$tp")
+    df.write.mode("errorifexists").parquet(s"$dir/$seg")
+    commitManifest(spark, dir, v,
+      readManifestRows(spark, dir, prev.max) ++
+        Seq(("tomb", tp), ("seg", seg)))
+    v
   }
 
   /** Drop history BEFORE `keepFrom`: manifests of older versions and

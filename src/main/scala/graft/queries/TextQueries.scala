@@ -1874,6 +1874,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Atomic UPSERT on the snapshot store (Delta MERGE whole-row
+    // form): one committed version pairs a tombstone of the matched
+    // ids WITH their replacement rows — correct because of the MVCC
+    // ordering rule (a tombstone hides only strictly-older segments,
+    // so the upsert's own segment survives its own tombstone), and a
+    // concurrent reader sees old state or new, never the deleted
+    // middle a delete+append pair exposes. Every 3rd doc's lang
+    // upper-cases and its n_chars shifts; the oracle is the CASE over
+    // documents, blind to the store.
+    Q("q189_snapshot_upsert",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val root = new java.io.File(
+        s"/tmp/graft_q189_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "manifest").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        SnapshotStore.commitAppend(docs, root.getAbsolutePath)
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), upper(col("lang")).as("lang"),
+              (col("n_chars") + 1000000L).as("n_chars")),
+          "doc_id", root.getAbsolutePath)
+        ()
+      }
+      SnapshotStore.read(s, root.getAbsolutePath)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

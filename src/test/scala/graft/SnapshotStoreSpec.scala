@@ -211,6 +211,42 @@ class SnapshotStoreSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("commitUpsert replaces matched rows and inserts unmatched ones in ONE atomic version; re-inserts are visible") {
+    val dir = freshDir("upsert")
+    SnapshotStore.commitAppend(docs(1 to 6), dir) // v1
+    // upsert: 2 and 4 replaced (new text), 99 inserted
+    val up = Seq((2L, "TWO", 0L), (4L, "FOUR", 0L), (99L, "NEW", 0L))
+      .toDF("doc_id", "text", "n")
+    SnapshotStore.commitUpsert(up, "doc_id", dir) shouldBe 2
+    val got = SnapshotStore.read(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 99L)
+    got(2L) shouldBe "TWO"
+    got(4L) shouldBe "FOUR"
+    got(1L) shouldBe "doc 1" // untouched rows keep their v1 values
+    // v1 pin is unaffected (snapshot isolation through the upsert)
+    SnapshotStore.read(spark, dir, Some(1))
+      .filter(col("doc_id") === 2L).select("text")
+      .head().getString(0) shouldBe "doc 2"
+    // CDC across the upsert: preimage deletes for 2/4 (99 was not
+    // visible at v1 so its delete nets out), inserts for all three
+    val ch = SnapshotStore.readChanges(spark, dir, 1, 2)
+      .select("_change", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    ch shouldBe Seq(("delete", 2L), ("delete", 4L),
+      ("insert", 2L), ("insert", 4L), ("insert", 99L))
+
+    // MVCC ordering: a plain delete then a LATER re-insert is visible
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir) // v3
+    SnapshotStore.read(spark, dir).filter(col("doc_id") === 3L)
+      .count() shouldBe 0
+    SnapshotStore.commitAppend(
+      Seq((3L, "back", 0L)).toDF("doc_id", "text", "n"), dir) // v4
+    SnapshotStore.read(spark, dir).filter(col("doc_id") === 3L)
+      .select("text").head().getString(0) shouldBe "back"
+  }
+
   test("vacuum drops exactly the unreachable history and retained versions survive") {
     val dir = freshDir("vacuum")
     SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
