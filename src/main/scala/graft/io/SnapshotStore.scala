@@ -321,6 +321,53 @@ object SnapshotStore {
       }
       .start()
 
+  /** OPTIMIZE ZORDER on the store (Delta's flagship pair, composed
+    * from the engine's own layout op): compacts the latest snapshot's
+    * survivor set through [[graft.ops.LayoutOps.zorderWrite]] —
+    * rank-normalized Morton clustering into ~`nFiles` z-sorted files
+    * plus the per-file min/max sidecar — and publishes it as one
+    * dataChange=false version. [[readPrunedLatest]] then answers
+    * range probes reading only the files whose stats intersect,
+    * WITHOUT losing any store property: history pins still read the
+    * old segments, CDC skips the movement, the txn marker carries.
+    */
+  def compactZordered(spark: SparkSession, dir: String,
+      zCols: Seq[String], nFiles: Int, statsCols: Seq[String]): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"compactZordered: no committed snapshot at $dir")
+    val v = vs.max + 1
+    val root = s"seg/${uniqueName('c', v)}"
+    graft.ops.LayoutOps.zorderWrite(
+      read(spark, dir, Some(vs.max)), zCols, nFiles, statsCols,
+      s"$dir/$root")
+    val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+    commitManifest(spark, dir, v, ("seg", s"$root/data") +: txn)
+    v
+  }
+
+  /** Stats-pruned range scan of the latest snapshot — valid when the
+    * latest version is a single [[compactZordered]] segment with no
+    * tombstones on top (loud otherwise: pruning a multi-segment or
+    * tombstoned view would need per-segment sidecars; re-run the
+    * z-compaction after new commits, exactly Delta's OPTIMIZE
+    * cadence). Returns the pruned frame plus files read/total.
+    */
+  def readPrunedLatest(spark: SparkSession, dir: String,
+      ranges: Seq[graft.ops.LayoutOps.ColRange]): graft.ops.LayoutOps.PrunedScan = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val rows = readManifestRows(spark, dir, vs.max)
+    val segs = rows.collect { case ("seg", p) => p }
+    val tombs = rows.collect { case ("tomb", p) => p }
+    require(tombs.isEmpty && segs.length == 1 &&
+      segs.head.endsWith("/data"),
+      s"readPrunedLatest: latest version v${vs.max} at $dir is not a " +
+        s"single z-compacted segment (segs=$segs, tombs=${tombs.length})" +
+        s" — run compactZordered first")
+    graft.ops.LayoutOps.readPruned(spark,
+      s"$dir/${segs.head.stripSuffix("/data")}", ranges)
+  }
+
   /** Streaming INSERT feed off the store (the Delta streaming-source
     * shape, on the file-stream machinery the store's layout makes
     * correct by construction): data segments are immutable
@@ -468,8 +515,12 @@ object SnapshotStore {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.map(s => s"$sub/${s.getPath.getName}")
     }
+    // a child dir is reachable when a manifest names it OR anything
+    // under it (z-compacted segments are committed as `<root>/data`
+    // with the stats sidecar beside it — dropping the parent would
+    // destroy a referenced segment)
     val dropData = (children("seg") ++ children("tomb"))
-      .filterNot(reachable)
+      .filterNot(c => reachable.exists(r => r == c || r.startsWith(c + "/")))
     val dropManifests = vs.filter(_ < keepFrom)
       .map(v => f"manifest/v$v%06d")
     (dropData ++ dropManifests).map { rel =>

@@ -1911,6 +1911,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // OPTIMIZE ZORDER on the snapshot store (Delta's flagship pair,
+    // composed from q165's layout machinery): two commits compact
+    // into one dataChange=false z-ordered segment WITH its min/max
+    // sidecar, and the range probe reads only intersecting files —
+    // the driver gate fails the grade if the layout ever stops
+    // pruning. The residual filter makes pruning a pure optimization:
+    // the result is row-exact vs the raw-table oracle whatever the
+    // layout did, and every store property (history pins, CDC
+    // movement-skip, txn carry) survives the optimize.
+    Q("q190_snapshot_zorder_prune",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 150 AND 250 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = new java.io.File(
+        s"/tmp/graft_q190_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "manifest").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
+        SnapshotStore.compactZordered(s, root.getAbsolutePath,
+          zCols = Seq("n_chars", "doc_id"), nFiles = 16,
+          statsCols = Seq("n_chars", "doc_id"))
+        ()
+      }
+      val scan = SnapshotStore.readPrunedLatest(s, root.getAbsolutePath,
+        Seq(LayoutOps.ColRange("n_chars", 150L, 250L)))
+      require(scan.filesRead < scan.filesTotal,
+        s"snapshot z-order stopped pruning: read ${scan.filesRead} of " +
+          s"${scan.filesTotal} files for a ~20% leading-dim range")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

@@ -247,6 +247,45 @@ class SnapshotStoreSpec extends SparkSpecBase {
       .select("text").head().getString(0) shouldBe "back"
   }
 
+  test("compactZordered: pruned range scans, history pins survive, CDC skips the movement, vacuum keeps the z-segment") {
+    val dir = freshDir("zopt")
+    val pop = (1L to 800L).map(i => (i, i % 97, s"row $i"))
+      .toDF("doc_id", "k", "text")
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 400), dir)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 400), dir)
+    SnapshotStore.commitDelete(Seq(7L).toDF("doc_id"), "doc_id", dir)
+    val v = SnapshotStore.compactZordered(spark, dir,
+      zCols = Seq("k", "doc_id"), nFiles = 8,
+      statsCols = Seq("k", "doc_id"))
+    v shouldBe 4
+    // content identical to the pre-optimize snapshot
+    SnapshotStore.read(spark, dir).count() shouldBe 799
+    // the range probe skips files and returns exactly the range
+    val scan = SnapshotStore.readPrunedLatest(spark, dir,
+      Seq(graft.ops.LayoutOps.ColRange("k", 10L, 20L)))
+    scan.filesRead should be < scan.filesTotal
+    scan.df.count() shouldBe pop
+      .filter(col("k").between(10, 20) && col("doc_id") =!= 7L).count()
+    // history pins still read their original segments
+    SnapshotStore.read(spark, dir, Some(1)).count() shouldBe 400
+    // the movement emits no changes
+    SnapshotStore.readChanges(spark, dir, 3, 4).count() shouldBe 0
+    // vacuum keeps the z-segment (manifest names <root>/data, the
+    // sidecar rides in the same root) and the probe still prunes
+    SnapshotStore.vacuum(spark, dir, keepFrom = 4)
+    val scan2 = SnapshotStore.readPrunedLatest(spark, dir,
+      Seq(graft.ops.LayoutOps.ColRange("k", 10L, 20L)))
+    scan2.filesRead shouldBe scan.filesRead
+    // pre-optimize views demand readPrunedLatest refuse loudly
+    SnapshotStore.commitAppend(
+      Seq((9001L, 3L, "late")).toDF("doc_id", "k", "text"), dir)
+    val multi = intercept[IllegalArgumentException] {
+      SnapshotStore.readPrunedLatest(spark, dir,
+        Seq(graft.ops.LayoutOps.ColRange("k", 10L, 20L)))
+    }
+    multi.getMessage should include("compactZordered first")
+  }
+
   test("vacuum drops exactly the unreachable history and retained versions survive") {
     val dir = freshDir("vacuum")
     SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
