@@ -1911,6 +1911,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental aggregate maintenance off the change feed (the
+    // consumer story q186's CDC exists for): a per-lang (count, char
+    // sum) table maintained as BASE-AT-v1 plus SIGNED DELTAS from
+    // readChanges(1, 3) — insert rows add, delete preimages subtract
+    // — must equal the full recompute over the v3 snapshot, which is
+    // exactly what the oracle computes from the raw table. Cost
+    // ∝ |changed rows|, never a table re-scan; integer adds are
+    // merge-order-independent so the equality is exact.
+    Q("q191_snapshot_incr_agg",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = snapshotFixture(s, dir)
+      val base = SnapshotStore.read(s, root, Some(1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bs"))
+      val delta = SnapshotStore.readChanges(s, root, 1, 3)
+        .select(col("lang"),
+          when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+            .as("sgn"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("n_chars")).as("ds"))
+      base.join(delta, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("lang"))
+    },
+
     // OPTIMIZE ZORDER on the snapshot store (Delta's flagship pair,
     // composed from q165's layout machinery): two commits compact
     // into one dataChange=false z-ordered segment WITH its min/max
