@@ -79,6 +79,24 @@ object SnapshotBench {
     println(f"""{"face":"vacuum","secs":$sVac%.2f}""")
     readLatest("read_post_vacuum")
 
+    // r14 faces: atomic upsert, OPTIMIZE ZORDER, pruned range scan
+    val sUp = secs(SnapshotStore.commitUpsert(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("n_chars", col("n_chars") + 1L),
+      "doc_id", store))
+    println(f"""{"face":"upsert_2pct","secs":$sUp%.2f}""")
+    val sZ = secs(SnapshotStore.compactZordered(spark, store,
+      zCols = Seq("n_chars", "doc_id"), nFiles = 16,
+      statsCols = Seq("n_chars", "doc_id")))
+    println(f"""{"face":"optimize_zorder","secs":$sZ%.2f}""")
+    val t0 = System.nanoTime()
+    val scan = SnapshotStore.readPrunedLatest(spark, store,
+      Seq(graft.ops.LayoutOps.ColRange("n_chars", 150L, 250L)))
+    scan.df.agg(count(lit(1))).head()
+    val sPr = (System.nanoTime() - t0) / 1e9
+    println(f"""{"face":"read_pruned_range","secs":$sPr%.2f,""" +
+      s""""files":"${scan.filesRead}/${scan.filesTotal}"}""")
+
     graft.ops.StageMemo.wipe(new java.io.File(base))
     spark.stop()
   }
