@@ -133,35 +133,49 @@ object SnapshotStore {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = if (prev.isEmpty) 1 else prev.max + 1
-    if (prev.nonEmpty) {
-      val cur = read(spark, dir, Some(prev.max)).schema
-      if (!mergeSchema)
-        require(df.schema.map(f => (f.name, f.dataType)) ==
-          cur.map(f => (f.name, f.dataType)),
-          s"commitAppend: schema mismatch — store has " +
-            s"${cur.map(f => s"${f.name}:${f.dataType.simpleString}")}, " +
-            s"append has " +
-            s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}" +
-            s" (pass mergeSchema = true to evolve)")
-      else {
-        val curTypes = cur.map(f => f.name -> f.dataType).toMap
-        val flips = df.schema.flatMap(f => curTypes.get(f.name)
-          .filter(_ != f.dataType)
-          .map(t => s"${f.name}: ${t.simpleString} -> " +
-            f.dataType.simpleString))
-        require(flips.isEmpty,
-          s"commitAppend(mergeSchema): type flip on shared column(s) " +
-            s"${flips.mkString(", ")} — evolution adds columns, never " +
-            s"retypes them")
-      }
-    }
+    if (prev.nonEmpty)
+      schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
+        mergeSchema, "commitAppend")
     val seg = s"seg/${uniqueName('s', v)}"
     df.write.mode("errorifexists").parquet(s"$dir/$seg")
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
-    commitManifest(spark, dir, v, carried :+ (("seg", seg)))
+    // the first evolved commit flags the manifest: reads pay the
+    // parquet footer-merge only from here on (compaction unifies the
+    // schema into one segment and drops the flag)
+    val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
+      Seq(("evo", "true")) else Seq.empty
+    commitManifest(spark, dir, v, carried ++ evo :+ (("seg", seg)))
     v
   }
+
+  /** The write-side schema gate every data-committing face shares:
+    * strict equality by default, evolution (add/omit only, never a
+    * retype — a type flip poisons every later read) under
+    * `mergeSchema`.
+    */
+  private def schemaGuard(df: DataFrame,
+      cur: org.apache.spark.sql.types.StructType,
+      mergeSchema: Boolean, op: String): Unit =
+    if (!mergeSchema)
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+        cur.map(f => (f.name, f.dataType)),
+        s"$op: schema mismatch — store has " +
+          s"${cur.map(f => s"${f.name}:${f.dataType.simpleString}")}, " +
+          s"commit has " +
+          s"${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")}" +
+          s" (pass mergeSchema = true to evolve)")
+    else {
+      val curTypes = cur.map(f => f.name -> f.dataType).toMap
+      val flips = df.schema.flatMap(f => curTypes.get(f.name)
+        .filter(_ != f.dataType)
+        .map(t => s"${f.name}: ${t.simpleString} -> " +
+          f.dataType.simpleString))
+      require(flips.isEmpty,
+        s"$op(mergeSchema): type flip on shared column(s) " +
+          s"${flips.mkString(", ")} — evolution adds columns, never " +
+          s"retypes them")
+    }
 
   /** Tombstone `ids` (distinct, non-null — loud otherwise: a null
     * tombstone silently never matches the anti-join) and publish the
@@ -198,7 +212,10 @@ object SnapshotStore {
     p.substring(p.indexOf('/') + 2).takeWhile(_.isDigit).toInt
 
   /** Anti-join `base` against one tombstone dir, on the tombstone's
-    * own single id column (loud otherwise).
+    * own single id column (loud on a multi-column tombstone). A base
+    * whose schema LACKS the id column entirely (schema evolution can
+    * omit it) passes through untouched — a row with no id can never
+    * be the tombstoned row, and the join would fail analysis.
     */
   private def antiTomb(spark: SparkSession, dir: String,
       base: DataFrame, tombPath: String): DataFrame = {
@@ -209,26 +226,42 @@ object SnapshotStore {
         s"tombstone segment $tombPath must hold exactly one id column, " +
           s"got ${cs.mkString(",")}")
     }
-    base.join(broadcast(t), Seq(idCol), "left_anti")
+    if (!base.columns.contains(idCol)) base
+    else base.join(broadcast(t), Seq(idCol), "left_anti")
   }
 
   /** Union of `segs` minus every tombstone that POSTDATES each
     * segment — the MVCC ordering rule: a tombstone at version T hides
     * rows from segments committed strictly BEFORE T, never rows a
     * later commit (or the SAME commit — the upsert case) re-inserts.
-    * Segments are grouped by their applicable-tombstone suffix, so
-    * the plan holds |tombstones|+1 branches, not |segments|.
+    * LINEAR shape: tombstones fold in ascending version order, each
+    * scanned and anti-joined ONCE against the accumulated union of
+    * the segments it postdates (rows from segments that predate an
+    * evolution-added id column carry a null id through the union and
+    * survive the anti-join, as they must) — T joins for T tombstones,
+    * never the T²/2 a per-segment-group plan would hold.
     */
   private def segsMinusTombs(spark: SparkSession, dir: String,
-      segs: Seq[String], tombs: Seq[String]): DataFrame = {
-    val tombV = tombs.map(p => (pathVersion(p), p)).sortBy(_._1)
-    val groups = segs.groupBy(s => tombV.filter(_._1 > pathVersion(s)))
-      .toSeq.sortBy { case (_, ss) => ss.map(pathVersion).min }
-    groups.map { case (applicable, segPaths) =>
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(segPaths.sorted.map(p => s"$dir/$p"): _*)
-      applicable.foldLeft(base)((acc, t) => antiTomb(spark, dir, acc, t._2))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      segs: Seq[String], tombs: Seq[String], evolved: Boolean): DataFrame = {
+    def readSegs(ps: Seq[String]): DataFrame = {
+      val r = if (evolved) spark.read.option("mergeSchema", "true")
+        else spark.read
+      r.parquet(ps.sorted.map(p => s"$dir/$p"): _*)
+    }
+    def union(a: Option[DataFrame], b: DataFrame): DataFrame =
+      a.fold(b)(_.unionByName(b, allowMissingColumns = true))
+    val bySeg = segs.sortBy(pathVersion)
+    var acc = Option.empty[DataFrame]
+    var rest = bySeg
+    tombs.map(p => (pathVersion(p), p)).sortBy(_._1).foreach {
+      case (tv, tp) =>
+        val (older, later) = rest.partition(pathVersion(_) < tv)
+        if (older.nonEmpty) acc = Some(union(acc, readSegs(older)))
+        rest = later
+        acc = acc.map(antiTomb(spark, dir, _, tp))
+    }
+    if (rest.nonEmpty) acc = Some(union(acc, readSegs(rest)))
+    acc.get // segs.nonEmpty is the caller's require
   }
 
   def read(spark: SparkSession, dir: String,
@@ -242,8 +275,12 @@ object SnapshotStore {
     val rows = readManifestRows(spark, dir, v)
     val segs = rows.collect { case ("seg", p) => p }
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    // mergeSchema footer-merging is a per-file job — only stores that
+    // actually evolved pay it (the manifest records the first evolved
+    // commit; a compaction unifies the schema and drops the flag)
     segsMinusTombs(spark, dir, segs,
-      rows.collect { case ("tomb", p) => p })
+      rows.collect { case ("tomb", p) => p },
+      evolved = rows.exists(_._1 == "evo"))
   }
 
   /** Fold tombstones in for real: write the latest snapshot's
@@ -435,18 +472,20 @@ object SnapshotStore {
       case ("seg", p) if !p.startsWith("seg/c") => p
     }
     val newTombs = added.collect { case ("tomb", p) => p }
-    // tombstones that can hide an in-range insert at toV: those
-    // committed IN the range (still on disk even when a later
-    // compaction folded them out of the manifest) plus any still
-    // ACTIVE in toV's manifest — applied with the same MVCC ordering
-    // as [[read]] (a tombstone hides only STRICTLY-OLDER segments, so
-    // an upsert's own rows and any later re-insert survive)
-    val candTombs = (newTombs ++ readManifestRows(spark, dir, toV)
-      .collect { case ("tomb", p) => p }).distinct
+    // only IN-RANGE tombstones can hide an in-range insert: every
+    // newSeg has version > fromV, and under the MVCC ordering rule a
+    // tombstone applies only to STRICTLY-OLDER segments, so any tomb
+    // still active from before the range (tv ≤ fromV) never matches
+    // (an upsert's own rows and later re-inserts survive the same way)
     val asOfFrom = read(spark, dir, Some(fromV))
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
-      else segsMinusTombs(spark, dir, newSegs, candTombs)
+      else segsMinusTombs(spark, dir, newSegs, newTombs,
+        // evolved if any manifest touching the range carried the flag
+        // (an in-range compaction may have dropped it from toV's while
+        // pre-compaction in-range segments still differ in schema)
+        evolved = fromRows.exists(_._1 == "evo") ||
+          added.exists(_._1 == "evo"))
     val deletes =
       if (newTombs.isEmpty) asOfFrom.limit(0)
       else {
@@ -474,12 +513,20 @@ object SnapshotStore {
     * strictly-older segments, so the upsert's own segment (same v)
     * survives its own tombstone.
     */
-  def commitUpsert(df: DataFrame, idCol: String, dir: String): Int = {
+  def commitUpsert(df: DataFrame, idCol: String, dir: String,
+      mergeSchema: Boolean = false): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
       s"commitUpsert: no committed version at $dir — commitAppend first")
-    val ids = df.select(col(idCol)).distinct()
+    schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
+      mergeSchema, "commitUpsert")
+    // pin ONE evaluation of df: the tombstone, the null check and the
+    // segment must agree row for row — a non-deterministic source
+    // evaluated thrice could tombstone ids its own segment never
+    // re-inserts (silent deletes) or vice versa (silent duplicates)
+    val pinned = graft.ops.Checkpoints.cut(df, eager = true)
+    val ids = pinned.select(col(idCol)).distinct()
     val bad = ids.where(col(idCol).isNull).count()
     require(bad == 0,
       s"commitUpsert: null id(s) in '$idCol' — a null tombstone never " +
@@ -488,10 +535,12 @@ object SnapshotStore {
     val tp = s"tomb/${uniqueName('t', v)}"
     val seg = s"seg/${uniqueName('s', v)}"
     ids.write.mode("errorifexists").parquet(s"$dir/$tp")
-    df.write.mode("errorifexists").parquet(s"$dir/$seg")
+    pinned.write.mode("errorifexists").parquet(s"$dir/$seg")
+    val carried = readManifestRows(spark, dir, prev.max)
+    val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
+      Seq(("evo", "true")) else Seq.empty
     commitManifest(spark, dir, v,
-      readManifestRows(spark, dir, prev.max) ++
-        Seq(("tomb", tp), ("seg", seg)))
+      carried ++ evo ++ Seq(("tomb", tp), ("seg", seg)))
     v
   }
 

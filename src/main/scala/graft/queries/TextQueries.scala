@@ -18,34 +18,44 @@ object TextQueries {
   /** Shared oracle fragment: tokens of a document. */
   private val TOKS = "string_split(text, ' ')"
 
-  /** The ONE snapshot-store lifecycle fixture q185 and q186 both read
-    * (read-only at exec, so one hermetic root serves both — a tweak
-    * to the lifecycle can never drift the two queries' semantics
-    * apart): v1 append evens → v2 append odds → v3 tombstone every
-    * 5th → v4 compact. Returns the store root.
+  /** Shared hermetic snapshot-store fixture shape: per-process
+    * per-sfdir root, built once (StageMemo), wiped before building,
+    * valid while its manifest directory exists. Every store-backed
+    * query routes through here so the hermetic-root convention lives
+    * in one place.
     */
-  private def snapshotFixture(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    import graft.io.SnapshotStore
+  private def hermeticStore(tag: String, dir: String)(
+      build: String => Unit): String = {
     val root = new java.io.File(
-      s"/tmp/graft_q185q186_${ProcessHandle.current().pid()}_" +
+      s"/tmp/graft_${tag}_${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_"))
     graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
         stillValid = new java.io.File(root, "manifest").isDirectory) {
       graft.ops.StageMemo.wipe(root)
-      val docs = t(s, dir, "documents")
-      SnapshotStore.commitAppend(
-        docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
-      SnapshotStore.commitAppend(
-        docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
-      SnapshotStore.commitDelete(
-        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
-        "doc_id", root.getAbsolutePath)
-      SnapshotStore.compact(s, root.getAbsolutePath)
-      ()
+      build(root.getAbsolutePath)
     }
     root.getAbsolutePath
   }
+
+  /** The ONE snapshot-store lifecycle fixture q185, q186 and q191 all
+    * read (read-only at exec, so one hermetic root serves them — a
+    * tweak to the lifecycle can never drift the queries' semantics
+    * apart): v1 append evens → v2 append odds → v3 tombstone every
+    * 5th → v4 compact. Returns the store root.
+    */
+  private def snapshotFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hermeticStore("q185q186", dir) { root =>
+      import graft.io.SnapshotStore
+      val docs = t(s, dir, "documents")
+      SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 0), root)
+      SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 1), root)
+      SnapshotStore.commitDelete(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", root)
+      SnapshotStore.compact(s, root)
+      ()
+    }
 
   /** Oracle fragment: k=3 word shingles of token list `t`. */
   private def shingleSql(tl: String): String =
@@ -1853,23 +1863,17 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.io.SnapshotStore
       val docs = t(s, dir, "documents")
-      val root = new java.io.File(
-        s"/tmp/graft_q188_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "manifest").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
+      val root = hermeticStore("q188", dir) { r =>
         SnapshotStore.commitAppend(
           docs.filter(col("doc_id") % 2 === 0)
-            .select(col("doc_id"), col("lang")),
-          root.getAbsolutePath)
+            .select(col("doc_id"), col("lang")), r)
         SnapshotStore.commitAppend(
           docs.filter(col("doc_id") % 2 === 1)
             .select(col("doc_id"), col("lang"), col("n_chars")),
-          root.getAbsolutePath, mergeSchema = true)
+          r, mergeSchema = true)
         ()
       }
-      SnapshotStore.read(s, root.getAbsolutePath)
+      SnapshotStore.read(s, root)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -1892,21 +1896,16 @@ object TextQueries {
       import graft.io.SnapshotStore
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val root = new java.io.File(
-        s"/tmp/graft_q189_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "manifest").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
-        SnapshotStore.commitAppend(docs, root.getAbsolutePath)
+      val root = hermeticStore("q189", dir) { r =>
+        SnapshotStore.commitAppend(docs, r)
         SnapshotStore.commitUpsert(
           docs.filter(col("doc_id") % 3 === 0)
             .select(col("doc_id"), upper(col("lang")).as("lang"),
               (col("n_chars") + 1000000L).as("n_chars")),
-          "doc_id", root.getAbsolutePath)
+          "doc_id", r)
         ()
       }
-      SnapshotStore.read(s, root.getAbsolutePath)
+      SnapshotStore.read(s, root)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -1961,24 +1960,17 @@ object TextQueries {
         |WHERE n_chars BETWEEN 150 AND 250 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
       import graft.io.SnapshotStore
-      val root = new java.io.File(
-        s"/tmp/graft_q190_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "manifest").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
+      val root = hermeticStore("q190", dir) { r =>
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 0), root.getAbsolutePath)
-        SnapshotStore.commitAppend(
-          docs.filter(col("doc_id") % 2 === 1), root.getAbsolutePath)
-        SnapshotStore.compactZordered(s, root.getAbsolutePath,
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 0), r)
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 1), r)
+        SnapshotStore.compactZordered(s, r,
           zCols = Seq("n_chars", "doc_id"), nFiles = 16,
           statsCols = Seq("n_chars", "doc_id"))
         ()
       }
-      val scan = SnapshotStore.readPrunedLatest(s, root.getAbsolutePath,
+      val scan = SnapshotStore.readPrunedLatest(s, root,
         Seq(LayoutOps.ColRange("n_chars", 150L, 250L)))
       require(scan.filesRead < scan.filesTotal,
         s"snapshot z-order stopped pruning: read ${scan.filesRead} of " +

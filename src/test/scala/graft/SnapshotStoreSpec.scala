@@ -188,6 +188,35 @@ class SnapshotStoreSpec extends SparkSpecBase {
     flip.getMessage should include("type flip")
   }
 
+  test("evolution x tombstones: a segment omitting the delete key survives the anti-join instead of wedging the read") {
+    val dir = freshDir("evotomb")
+    SnapshotStore.commitAppend(
+      Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang"), dir) // v1
+    SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir) // v2
+    // v3 OMITS doc_id entirely — legal evolution; its rows can never
+    // be the tombstoned row, so they must pass the anti-join untouched
+    SnapshotStore.commitAppend(
+      Seq(("zz", 7L)).toDF("lang", "n"), dir, mergeSchema = true)
+    SnapshotStore.commitDelete(Seq(1L).toDF("doc_id"), "doc_id", dir) // v4
+    val rows = SnapshotStore.read(spark, dir)
+      .select("doc_id", "lang", "n").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), Option(r.get(2))))
+    rows.toSeq shouldBe Seq((None, "zz", Some(7L)))
+    // upsert keeps the same guards as append: drift refuses without
+    // mergeSchema, a retype refuses with it
+    val strict = intercept[IllegalArgumentException] {
+      SnapshotStore.commitUpsert(
+        Seq((1L, "en")).toDF("doc_id", "lang"), "doc_id", dir)
+    }
+    strict.getMessage should include("mergeSchema = true")
+    val flip = intercept[IllegalArgumentException] {
+      SnapshotStore.commitUpsert(
+        Seq((1L, "en", 1.5)).toDF("doc_id", "lang", "n"), "doc_id", dir,
+        mergeSchema = true)
+    }
+    flip.getMessage should include("type flip")
+  }
+
   test("streamInserts emits each committed insert exactly once and never re-emits a compaction") {
     val dir = freshDir("feed")
     SnapshotStore.commitAppend(docs(1 to 5), dir)
