@@ -187,6 +187,17 @@ object SnapshotStore {
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
       s"commitDelete: no committed version at $dir to delete from")
+    // the delete key must exist in the store's CURRENT schema: a
+    // mistyped column would write a tombstone the read-side antiTomb
+    // silently passes through (its missing-column branch exists for
+    // genuinely evolution-omitted segments), silently no-op'ing the
+    // delete — the same silent-no-match hazard the null guard below
+    // exists for
+    val cur = read(spark, dir, Some(prev.max)).schema.fieldNames
+    require(cur.contains(idCol),
+      s"commitDelete: id column '$idCol' is not in the store's current " +
+        s"schema (${cur.mkString(",")}) — the tombstone would never " +
+        s"match and the delete would silently no-op")
     val tomb = ids.select(col(idCol)).distinct()
     val bad = tomb.where(col(idCol).isNull).count()
     require(bad == 0,
@@ -211,11 +222,37 @@ object SnapshotStore {
   private def pathVersion(p: String): Int =
     p.substring(p.indexOf('/') + 2).takeWhile(_.isDigit).toInt
 
+  /** Broadcast-or-shuffle gate for tombstone anti/semi joins: a
+    * curation-sized tombstone (the overwhelmingly common case — ids
+    * are 8-byte longs, a million ids is ~8 MB of parquet) broadcasts;
+    * a mass-delete tombstone ("drop a study" at billions of ids) must
+    * NOT — an unconditional broadcast hint there OOMs the driver and
+    * executors with no loud failure mode. The gate is driver-cheap:
+    * the tombstone segment's FILE SIZE is already known to the
+    * filesystem (one getContentSummary per tombstone path, no job),
+    * and parquet bytes underestimate the in-memory broadcast by ~4× —
+    * the default 32 MB gate admits ~10M-id tombstones and pushes
+    * anything bigger to a shuffle anti-join (AQE may still broadcast
+    * genuinely small sides on its own). Override via the
+    * `graft.snapshot.tombBroadcastBytes` system property.
+    */
+  private[graft] def tombBroadcastGate(spark: SparkSession, dir: String,
+      paths: Seq[String]): Boolean = {
+    val limit = sys.props.get("graft.snapshot.tombBroadcastBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val fs = hfs(spark, dir)
+    val bytes = paths.map(p =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/$p"))
+        .getLength).sum
+    bytes <= limit
+  }
+
   /** Anti-join `base` against one tombstone dir, on the tombstone's
     * own single id column (loud on a multi-column tombstone). A base
     * whose schema LACKS the id column entirely (schema evolution can
     * omit it) passes through untouched — a row with no id can never
     * be the tombstoned row, and the join would fail analysis.
+    * Broadcast rides the [[tombBroadcastGate]] size gate.
     */
   private def antiTomb(spark: SparkSession, dir: String,
       base: DataFrame, tombPath: String): DataFrame = {
@@ -226,8 +263,10 @@ object SnapshotStore {
         s"tombstone segment $tombPath must hold exactly one id column, " +
           s"got ${cs.mkString(",")}")
     }
+    val hinted = if (tombBroadcastGate(spark, dir, Seq(tombPath)))
+      broadcast(t) else t
     if (!base.columns.contains(idCol)) base
-    else base.join(broadcast(t), Seq(idCol), "left_anti")
+    else base.join(hinted, Seq(idCol), "left_anti")
   }
 
   /** Union of `segs` minus every tombstone that POSTDATES each
@@ -496,7 +535,9 @@ object SnapshotStore {
             s"($idCols) — one change feed needs one delete key")
         val ids = spark.read.parquet(newTombs.map(p => s"$dir/$p"): _*)
           .distinct()
-        asOfFrom.join(broadcast(ids), Seq(ids.columns.head), "left_semi")
+        val hinted = if (tombBroadcastGate(spark, dir, newTombs))
+          broadcast(ids) else ids
+        asOfFrom.join(hinted, Seq(ids.columns.head), "left_semi")
       }
     inserts.withColumn("_change", lit("insert"))
       .unionByName(deletes.withColumn("_change", lit("delete")),
@@ -545,9 +586,22 @@ object SnapshotStore {
   }
 
   /** Drop history BEFORE `keepFrom`: manifests of older versions and
-    * every seg/tomb directory no retained manifest references.
-    * Returns the deleted relative paths (manifests included) — the
-    * loud record of what just became unreadable.
+    * every seg/tomb directory no retained manifest references, PROVIDED
+    * the directory's encoded version also predates `keepFrom`. The
+    * version gate is what makes vacuum safe against the store's own
+    * optimistic-concurrency writers: an IN-FLIGHT commit has written
+    * its segment but not yet renamed its manifest — an "orphan" to the
+    * reachability scan — and deleting it would let the writer's rename
+    * then publish a version pointing at a deleted segment (every later
+    * read fails). An in-flight commit that can still succeed always
+    * targets a version ABOVE the latest committed one, so unreachable
+    * dirs are collected only at versions ≤ the committed max: such an
+    * orphan's version was already taken by a successful commit, its
+    * own rename can only fail the conflict check, so it is genuinely
+    * dead (Delta guards the same race with a retention window; the
+    * version gate is this store's sharper equivalent). Returns the
+    * deleted relative paths (manifests included) — the loud record of
+    * what just became unreadable.
     */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] = {
     val fs = hfs(spark, dir)
@@ -567,9 +621,12 @@ object SnapshotStore {
     // a child dir is reachable when a manifest names it OR anything
     // under it (z-compacted segments are committed as `<root>/data`
     // with the stats sidecar beside it — dropping the parent would
-    // destroy a referenced segment)
+    // destroy a referenced segment); an UNREACHABLE dir is collected
+    // only when its encoded version is ≤ the committed max (the
+    // in-flight-writer gate — see the scaladoc)
     val dropData = (children("seg") ++ children("tomb"))
       .filterNot(c => reachable.exists(r => r == c || r.startsWith(c + "/")))
+      .filter(c => pathVersion(c) <= vs.max)
     val dropManifests = vs.filter(_ < keepFrom)
       .map(v => f"manifest/v$v%06d")
     (dropData ++ dropManifests).map { rel =>

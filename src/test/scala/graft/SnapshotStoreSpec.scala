@@ -315,6 +315,70 @@ class SnapshotStoreSpec extends SparkSpecBase {
     multi.getMessage should include("compactZordered first")
   }
 
+  test("commitDelete refuses an id column absent from the store's current schema") {
+    val dir = freshDir("badkey")
+    SnapshotStore.commitAppend(docs(1 to 5), dir)
+    // a mistyped delete key would tombstone nothing (antiTomb's
+    // missing-column branch passes it through) — refuse loudly instead
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotStore.commitDelete(Seq(3L).toDF("docid"), "docid", dir)
+    }
+    bad.getMessage should include("not in the store's current schema")
+    // the store is untouched: no tombstone version was committed
+    SnapshotStore.versions(spark, dir) shouldBe Seq(1)
+  }
+
+  test("tombstone broadcast gate: the forced shuffle path is row-identical and the gate sizes off the segment files") {
+    val dir = freshDir("tombgate")
+    SnapshotStore.commitAppend(docs(1 to 20), dir) // v1
+    SnapshotStore.commitDelete( // v2
+      Seq(2L, 4L, 13L).toDF("doc_id"), "doc_id", dir)
+    def snap() = SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def cdc() = SnapshotStore.readChanges(spark, dir, 1, 2)
+      .select("_change", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val (snapBc, cdcBc) = (snap(), cdc())
+    // default gate: a 3-id tombstone is far under the limit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tombPath = "tomb/" + fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/tomb"))
+      .head.getPath.getName
+    SnapshotStore.tombBroadcastGate(spark, dir, Seq(tombPath)) shouldBe true
+    // force the mass-delete regime (gate=0 bytes): the anti/semi joins
+    // drop the broadcast hint and must return the same rows
+    sys.props("graft.snapshot.tombBroadcastBytes") = "0"
+    try {
+      SnapshotStore.tombBroadcastGate(spark, dir, Seq(tombPath)) shouldBe false
+      snap() shouldBe snapBc
+      cdc() shouldBe cdcBc
+    } finally sys.props.remove("graft.snapshot.tombBroadcastBytes")
+  }
+
+  test("vacuum collects stale orphans but never an in-flight writer's segment") {
+    val dir = freshDir("orphan")
+    SnapshotStore.commitAppend(docs(1 to 5), dir) // v1
+    SnapshotStore.compact(spark, dir) // v2 — v1's segment unreachable from v2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed writer's orphan at a version BELOW the retention floor
+    // (its version was re-used by a later successful commit, so its own
+    // rename can only lose the race — genuinely dead)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/seg/s000002_stale_orphan"))
+    // an IN-FLIGHT writer: segment written, manifest rename not yet
+    // attempted, targeting version latest+1 — deleting it would publish
+    // a committed version pointing at a deleted segment
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/seg/s000003_in_flight"))
+    val dropped = SnapshotStore.vacuum(spark, dir, keepFrom = 2)
+    dropped.map(_.takeWhile(_ != '_')).sorted shouldBe Seq(
+      "manifest/v000001", "seg/s000001", "seg/s000002")
+    // the in-flight segment survived and its commit can still publish
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/seg/s000003_in_flight")) shouldBe true
+    SnapshotStore.read(spark, dir).count() shouldBe 5
+  }
+
   test("vacuum drops exactly the unreachable history and retained versions survive") {
     val dir = freshDir("vacuum")
     SnapshotStore.commitAppend(docs(1 to 10), dir) // v1: seg/s000001
