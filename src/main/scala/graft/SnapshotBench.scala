@@ -41,13 +41,20 @@ object SnapshotBench {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .localCheckpoint(true)
     val n = docs.count()
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     println(s"""{"corpus":"documents","n":$n,"commits":$commits}""")
 
-    // commit latency at 1, mid, last (manifest carries O(versions) rows)
+    // commit latency at 1, mid, last (manifest carries O(versions)
+    // rows). Slices are CONTIGUOUS doc_id bands (the time-ordered
+    // ingest shape) and every commit writes its per-file stats sidecar
+    // — so the same store also measures what per-commit skipping buys
     var commitFirst = 0.0; var commitMid = 0.0; var commitLast = 0.0
     (0 until commits).foreach { i =>
-      val slice = docs.filter(col("doc_id") % commits === i)
-      val s = secs(SnapshotStore.commitAppend(slice, store))
+      val lo = i.toLong * (maxId + 1) / commits
+      val hi = (i + 1).toLong * (maxId + 1) / commits
+      val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val s = secs(SnapshotStore.commitAppend(slice, store,
+        statsCols = Seq("doc_id")))
       if (i == 0) commitFirst = s
       if (i == commits / 2) commitMid = s
       if (i == commits - 1) commitLast = s
@@ -70,6 +77,21 @@ object SnapshotBench {
     val sCdc = secs(SnapshotStore
       .readChanges(spark, store, commits / 2, commits).count())
     println(f"""{"face":"changes_half_span","secs":$sCdc%.2f}""")
+
+    // per-commit skipping on the RAW multi-segment store (no OPTIMIZE
+    // has run): a ~10%-of-keyspace probe, full scan + residual vs the
+    // sidecar-pruned read — the mid-ingest read-amplification curve
+    val probe = Seq(graft.ops.LayoutOps.ColRange(
+      "doc_id", 0L, (maxId + 1) / 10))
+    val sFullProbe = secs(SnapshotStore.read(spark, store)
+      .where(graft.ops.LayoutOps.residualFilter(probe)).count())
+    println(f"""{"face":"probe_full_${commits}_segments","secs":$sFullProbe%.2f}""")
+    val tPr = System.nanoTime()
+    val prScan = SnapshotStore.readPrunedRange(spark, store, probe)
+    prScan.df.count()
+    val sPrProbe = (System.nanoTime() - tPr) / 1e9
+    println(f"""{"face":"probe_pruned_${commits}_segments","secs":$sPrProbe%.2f,""" +
+      s""""files":"${prScan.filesRead}/${prScan.filesTotal}"}""")
 
     val sCompact = secs(SnapshotStore.compact(spark, store))
     println(f"""{"face":"compact","secs":$sCompact%.2f}""")
@@ -96,6 +118,20 @@ object SnapshotBench {
     val sPr = (System.nanoTime() - t0) / 1e9
     println(f"""{"face":"read_pruned_range","secs":$sPr%.2f,""" +
       s""""files":"${scan.filesRead}/${scan.filesTotal}"}""")
+
+    // mass-delete regime: tombstone ~30% of the table in ONE commit,
+    // then read — the size gate decides broadcast vs shuffle anti-join
+    // (forced-shuffle twin via graft.snapshot.tombBroadcastBytes=0, so
+    // both regimes are measured whatever the fixture size)
+    val massIds = docs.filter(col("doc_id") % 10 < 3).select("doc_id")
+    val sMassDel = secs(SnapshotStore.commitDelete(massIds, "doc_id", store))
+    println(f"""{"face":"mass_delete_30pct_commit","secs":$sMassDel%.2f}""")
+    val sMassRead = secs(SnapshotStore.read(spark, store).count())
+    println(f"""{"face":"mass_delete_read_gated","secs":$sMassRead%.2f}""")
+    sys.props("graft.snapshot.tombBroadcastBytes") = "0"
+    val sMassShuf = try secs(SnapshotStore.read(spark, store).count())
+      finally sys.props.remove("graft.snapshot.tombBroadcastBytes")
+    println(f"""{"face":"mass_delete_read_shuffle","secs":$sMassShuf%.2f}""")
 
     graft.ops.StageMemo.wipe(new java.io.File(base))
     spark.stop()

@@ -122,8 +122,21 @@ object LayoutOps {
   }
 
   private def writeStats(spark: SparkSession, statsCols: Seq[String],
-      dir: String): Unit = {
-    val data = spark.read.parquet(s"$dir/data")
+      dir: String): Unit =
+    writeStatsSidecar(spark, statsCols, s"$dir/data", s"$dir/_stats")
+
+  /** Per-file min/max sidecar for an arbitrary parquet directory —
+    * the general form [[zorderWrite]]/[[sortedWrite]] use for their
+    * own layout roots and [[graft.io.SnapshotStore]] uses to give
+    * EVERY commit its own skipping stats (the Delta discipline:
+    * pruning must not wait for OPTIMIZE). One columns-pruned scan of
+    * the just-written files — at cluster scale this rides the write
+    * as a files-sized aggregation.
+    */
+  def writeStatsSidecar(spark: SparkSession, statsCols: Seq[String],
+      dataDir: String, statsDir: String): Unit = {
+    require(statsCols.nonEmpty, "writeStatsSidecar needs stats columns")
+    val data = spark.read.parquet(dataDir)
     // min/max persist in the COLUMN'S OWN TYPE (long, double, string,
     // date, timestamp) — the sidecar compare and the residual filter
     // are typed end-to-end, so reference-shaped probes (ship-date
@@ -134,7 +147,7 @@ object LayoutOps {
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_stats")
+      .write.mode("overwrite").parquet(statsDir)
   }
 
   /** Typed sidecar compare: every stat type the sidecar stores (Long,
@@ -185,25 +198,67 @@ object LayoutOps {
   def readPruned(spark: SparkSession, dir: String,
       ranges: Seq[ColRange]): PrunedScan = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val stats = spark.read.parquet(s"$dir/_stats").collect()
-    val kept = stats.filter { r =>
-      ranges.forall { rg =>
-        // a null min/max means the file holds only nulls for that
-        // column — it cannot satisfy an inclusive range
-        !r.isNullAt(r.fieldIndex(s"min_${rg.col}")) &&
-          cmpStat(r.getAs[Any](s"max_${rg.col}"), rg.lo, rg.col) >= 0 &&
-          cmpStat(r.getAs[Any](s"min_${rg.col}"), rg.hi, rg.col) <= 0
-      }
-    }.map(r => decodeFileUri(r.getAs[String]("file")))
-    val residual = ranges
-      .map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi)))
-      .reduce(_ && _)
+    val (kept, total) = pruneFiles(spark, s"$dir/_stats", ranges,
+      strict = true)
+    val residual = residualFilter(ranges)
     val df =
       if (kept.isEmpty)
         // schema-stable empty frame; Catalyst folds the false filter
         // to an empty relation, so nothing is read
         spark.read.parquet(s"$dir/data").where(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*).where(residual)
-    PrunedScan(df, kept.length, stats.length)
+    PrunedScan(df, kept.length, total)
   }
+
+  /** The conjunction of inclusive range predicates a pruned read
+    * re-applies to surviving files — pruning is a pure optimization
+    * precisely because this residual makes the row set identical to a
+    * full scan.
+    */
+  def residualFilter(ranges: Seq[ColRange]): Column = ranges
+    .map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi)))
+    .reduce(_ && _)
+
+  /** Driver-side sidecar evaluation: (surviving file paths, total
+    * files). The sidecar is files-sized by construction — KBs per
+    * thousand files — so the collect is the cheap half of skipping.
+    * `strict = true` (the layout roots, whose sidecars are written
+    * with the caller's own statsCols) fails loudly on a range column
+    * the sidecar doesn't record; `strict = false` (the snapshot
+    * store's per-commit sidecars, where different commits may have
+    * recorded different column sets) prunes on the recorded subset
+    * and keeps every file for the rest — conservative, never wrong.
+    */
+  private[graft] def pruneFiles(spark: SparkSession, statsDir: String,
+      ranges: Seq[ColRange], strict: Boolean): (Seq[String], Int) = {
+    val sdf = spark.read.parquet(statsDir)
+    val have = sdf.schema.fieldNames.toSet
+    val stats = sdf.collect()
+    val usable = ranges.filter(rg =>
+      have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
+    if (strict) require(usable.size == ranges.size,
+      s"readPruned: sidecar at $statsDir lacks stats for " +
+        s"${ranges.map(_.col).diff(usable.map(_.col)).mkString(",")} — " +
+        s"recorded columns drive pruning; re-write with those statsCols")
+    val kept = stats.filter(keepFile(_, usable))
+      .map(r => decodeFileUri(r.getAs[String]("file"))).toSeq
+    (kept, stats.length)
+  }
+
+  /** One sidecar row vs a conjunction of ranges: can this file hold a
+    * matching row? A null min/max means the file holds only nulls for
+    * that column — it cannot satisfy an inclusive range.
+    */
+  private[graft] def keepFile(r: org.apache.spark.sql.Row,
+      usable: Seq[ColRange]): Boolean =
+    usable.forall { rg =>
+      !r.isNullAt(r.fieldIndex(s"min_${rg.col}")) &&
+        cmpStat(r.getAs[Any](s"max_${rg.col}"), rg.lo, rg.col) >= 0 &&
+        cmpStat(r.getAs[Any](s"min_${rg.col}"), rg.hi, rg.col) <= 0
+    }
+
+  /** [[decodeFileUri]], exported for sidecar consumers that collect
+    * stats rows themselves (the snapshot store's grouped prune).
+    */
+  private[graft] def decodeStatFile(f: String): String = decodeFileUri(f)
 }

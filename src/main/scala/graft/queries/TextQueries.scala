@@ -1979,6 +1979,53 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-commit data skipping on the snapshot store (the Delta
+    // add-file discipline q190's OPTIMIZE-gated pruning lacked): every
+    // append/upsert writes its segment's min/max sidecar at commit
+    // time, and readPrunedRange prunes the MID-INGEST, MULTI-SEGMENT,
+    // TOMBSTONED view no optimize has touched — the state real tables
+    // are in most of the time. Four n_chars-banded ingest commits, a
+    // delete (every 7th doc), an upsert shifting every 11th doc's
+    // n_chars out of band; the 160..260 probe reads only the files of
+    // the one band it intersects (driver gate fails the grade if
+    // pruning stops), tombstones fold post-prune in MVCC order, and
+    // the residual filter keeps the row set exact vs the raw-table
+    // oracle, which is blind to the store.
+    Q("q192_snapshot_stats_prune",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |  AND n_chars BETWEEN 160 AND 260
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q192", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band), r,
+            statsCols = Seq("n_chars")))
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r)
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 100000L).as("n_chars")),
+          "doc_id", r, statsCols = Seq("n_chars"))
+        ()
+      }
+      val scan = SnapshotStore.readPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("n_chars", 160L, 260L)))
+      require(scan.filesRead < scan.filesTotal,
+        s"per-commit stats stopped pruning: read ${scan.filesRead} of " +
+          s"${scan.filesTotal} files for a one-band probe over a " +
+          s"six-commit store")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // PERSISTENT inverted index + top-k retrieval (the text twin of
     // q164; Lucene's posting-list economics as a parquet directory
     // tree): postings partitioned by term-hash bucket with the

@@ -315,6 +315,94 @@ class SnapshotStoreSpec extends SparkSpecBase {
     multi.getMessage should include("compactZordered first")
   }
 
+  test("per-commit stats prune a multi-segment mid-ingest store; tombstones, no-stats segments and version pins stay exact") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("midprune")
+    val pop = (1L to 900L).map(i => (i, i % 9, s"row $i"))
+      .toDF("doc_id", "k", "text")
+    // two banded appends WITH per-commit stats, a tombstone, then an
+    // append WITHOUT stats — the mid-ingest shape readPrunedLatest
+    // refuses and Delta prunes anyway
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 300), dir,
+      statsCols = Seq("doc_id")) // v1
+    SnapshotStore.commitAppend(pop.filter(col("doc_id").between(301, 600)),
+      dir, statsCols = Seq("doc_id")) // v2
+    SnapshotStore.commitDelete(
+      Seq(150L, 450L).toDF("doc_id"), "doc_id", dir) // v3
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 600), dir) // v4, no stats
+    val scan = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 200L)))
+    // v2's files prune entirely; v4 has no sidecar so its files all
+    // read (conservative) — strictly fewer files than the store holds
+    scan.filesRead should be < scan.filesTotal
+    scan.df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 200L).filterNot(_ == 150L)
+
+    // an upsert's own segment carries stats too and its tombstone
+    // applies post-prune: the replaced row appears once, new value
+    SnapshotStore.commitUpsert(
+      Seq((120L, 99L, "REPLACED")).toDF("doc_id", "k", "text"),
+      "doc_id", dir, statsCols = Seq("doc_id")) // v5
+    val scan2 = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 200L)))
+    scan2.df.filter(col("doc_id") === 120L).select("text")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("REPLACED")
+    scan2.df.count() shouldBe 100 // 100..200 minus deleted 150
+
+    // a version PIN prunes that version's view, not the latest
+    val pinned = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 200L)), version = Some(2))
+    pinned.df.count() shouldBe 101 // pre-delete, pre-upsert
+    pinned.df.filter(col("doc_id") === 120L).select("text")
+      .head().getString(0) shouldBe "row 120"
+
+    // probe outside every sidecar: statically empty, zero files read
+    val none = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 5000L, 6000L)))
+    // v4 (no stats) still reads in full — only stats-covered segments prune
+    none.df.count() shouldBe 0
+
+    // a range column the sidecar lacks prunes on the recorded subset
+    // (k has no stats anywhere: every file survives pruning, residual
+    // still filters rows exactly)
+    val sub = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 200L),
+        LayoutOps.ColRange("k", 3L, 3L)))
+    sub.df.count() shouldBe pop
+      .filter(col("doc_id").between(100, 200) && col("doc_id") =!= 150L &&
+        col("doc_id") =!= 120L && col("k") === 3L).count()
+  }
+
+  test("readPrunedRange row-set equals read().where(residual) on an evolved, z-compacted, churned store") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("pruneexact")
+    val pop = (1L to 400L).map(i => (i, i % 13)).toDF("doc_id", "k")
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 200), dir,
+      statsCols = Seq("doc_id", "k"))
+    // evolution: a segment OMITTING the probe column contributes
+    // nothing to a range probe on it (null can never sit in a range)
+    SnapshotStore.commitAppend(
+      Seq((9991L, "extra")).toDF("doc_id", "note"), dir,
+      mergeSchema = true, statsCols = Seq("doc_id"))
+    SnapshotStore.commitAppend(
+      Seq(("pure", 7L)).toDF("note", "k2"), dir, mergeSchema = true)
+    SnapshotStore.compactZordered(spark, dir,
+      zCols = Seq("doc_id"), nFiles = 4, statsCols = Seq("doc_id", "k"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 200), dir,
+      mergeSchema = true, statsCols = Seq("doc_id", "k"))
+    SnapshotStore.commitDelete(Seq(42L, 242L).toDF("doc_id"), "doc_id", dir)
+    val ranges = Seq(LayoutOps.ColRange("doc_id", 30L, 250L),
+      LayoutOps.ColRange("k", 2L, 9L))
+    val scan = SnapshotStore.readPrunedRange(spark, dir, ranges)
+    val full = SnapshotStore.read(spark, dir)
+      .where(LayoutOps.residualFilter(ranges))
+    scan.df.select("doc_id", "k").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe
+      full.select("doc_id", "k").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq
+    scan.filesRead should be < scan.filesTotal
+  }
+
   test("commitDelete refuses an id column absent from the store's current schema") {
     val dir = freshDir("badkey")
     SnapshotStore.commitAppend(docs(1 to 5), dir)
