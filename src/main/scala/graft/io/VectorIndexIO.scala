@@ -355,7 +355,8 @@ object VectorIndexIO {
     // top-k, no global sort); the rank window then runs over k rows.
     scored.orderBy(col("adc"), col("corpus_id")).limit(k)
       .withColumn("nn_rank",
-        row_number().over(Window.orderBy(col("adc"), col("corpus_id"))))
+        row_number().over(Window.orderBy(col("adc"), col("corpus_id")))
+          .cast("bigint"))
       .select(col("nn_rank"), col("corpus_id"), col("adc"))
   }
 
@@ -402,7 +403,7 @@ object VectorIndexIO {
         graft.expr.PqAdc.pqAdcTable(col("__dtab"), col("codes")).as("adc"))
       .withColumn("nn_rank", row_number().over(
         Window.partitionBy(col("qid"))
-          .orderBy(col("adc"), col("corpus_id"))))
+          .orderBy(col("adc"), col("corpus_id"))).cast("bigint"))
       .filter(col("nn_rank") <= k)
       .select(col("qid"), col("nn_rank"), col("corpus_id"), col("adc"))
   }
@@ -448,7 +449,8 @@ object VectorIndexIO {
       .orderBy(col("cosine").desc, col("corpus_id")).limit(k)
       .withColumn("nn_rank",
         row_number().over(
-          Window.orderBy(col("cosine").desc, col("corpus_id"))))
+          Window.orderBy(col("cosine").desc, col("corpus_id")))
+          .cast("bigint"))
       .select(col("nn_rank"), col("corpus_id"), col("cosine"))
   }
 }

@@ -845,7 +845,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("id1")).orderBy(col("adc"), col("id2"))
     pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("id1"), col("__rn").as("nn_rank"),
+      .select(col("id1"), col("__rn").cast("bigint").as("nn_rank"),
         col("id2").as("nearest_id"), col("adc"))
   }
 
@@ -882,7 +882,7 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("nearest_id"))
     rescored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("id1"), col("__rn").as("nn_rank"),
+      .select(col("id1"), col("__rn").cast("bigint").as("nn_rank"),
         col("nearest_id"), col("cosine"))
   }
 
@@ -1028,7 +1028,7 @@ object SimilarityOps {
     val wNn = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
     pairs.withColumn("__rn", row_number().over(wNn))
       .filter(col("__rn") <= k)
-      .select(col("id1"), col("__rn").as("nn_rank"),
+      .select(col("id1"), col("__rn").cast("bigint").as("nn_rank"),
         col("id2").as("nearest_id"), col("cosine"))
   }
 

@@ -516,7 +516,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
     val topk = SimilarityOps.ivfTopKProbed(corpus, "id", "vec", cents,
         nprobe = 2, k = 3)
       .orderBy(col("id1"), col("nn_rank"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // hand-computed cosine order: 2 and 3 are each other's nearest,
     // then the nearer anchor, then the rest
     topk.groupBy(_._1).map { case (id, rows) =>
@@ -544,7 +544,7 @@ class SimilarityOpsSpec extends SparkSpecBase {
     val pqTopk = SimilarityOps.pqTopKTabled(corpus, "id", "vec", cents,
         codes, bc, nprobe = 2, k = 3)
       .orderBy(col("id1"), col("nn_rank"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     pqTopk.groupBy(_._1).map { case (id, rows) =>
       id -> rows.sortBy(_._2).map(_._3).toSeq
     } shouldBe expected

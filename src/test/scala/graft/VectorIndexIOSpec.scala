@@ -317,12 +317,12 @@ class VectorIndexIOSpec extends SparkSpecBase {
     val batch = VectorIndexIO.lookupPqIndexBatch(idx, queries,
         nprobe = 2, k = 3)
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2))
     val singles = queries.flatMap { case (qid, qv) =>
       VectorIndexIO.lookupPqIndex(idx, qv, nprobe = 2, k = 3)
         .collect()
-        .map(r => (qid, r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
     }.sortBy(t => (t._1, t._2))
     batch shouldBe singles
 
