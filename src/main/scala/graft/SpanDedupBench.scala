@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the span-dedup shuffle-key claim: runs
+  * [[graft.ops.DedupOps.dupSpanCoverage]] (60-bit long fingerprints)
+  * against an inline twin that shuffles the full 32-char md5 hex —
+  * the pre-r15 form — and reports wall time plus total shuffle-write
+  * bytes. The operator's dominant exchange is one row per corpus
+  * token window, so the key width IS the shuffle; this harness exists
+  * to keep that claim measured rather than asserted.
+  *
+  * Usage: runMain graft.SpanDedupBench [dir] [runs] [w]
+  */
+object SpanDedupBench {
+
+  /** The 32-hex twin: identical plan shape to dupSpanCoverage, key
+    * kept as the full md5 hex string. Bench-only — never use on real
+    * data (the long form subsumes it).
+    */
+  private def dupSpanCoverageHex(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol), col(textCol))
+    val wins = docs
+      .select(col(idCol),
+        posexplode(graft.expr.ShingleHashes.shingleHashes(col(textCol), w)))
+      .select(col(idCol), col("pos"), col("col").as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L)
+      .select(col("h"))
+    val dupWins = wins.join(dupHashes, Seq("h"))
+      .select(col(idCol), col("pos"), (col("pos") + lit(w) - 1).as("__end"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dupWins
+      .withColumn("__prevMax", max(col("__end")).over(byPos))
+      .withColumn("__newIsland",
+        when(col("__prevMax").isNull || col("pos") > col("__prevMax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__newIsland")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islands
+      .groupBy(col(idCol), col("__island"))
+      .agg(count(lit(1)).as("__nw"),
+        (max(col("__end")) - min(col("pos")) + 1).as("__len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__nw")).as("dup_windows"),
+        sum(col("__len")).as("covered_tokens"))
+    docs
+      .select(col(idCol),
+        graft.ops.TextOps.tokenCount(col(textCol)).as("total_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("total_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("coalesce(covered_tokens, 0L) * 1000000L div total_tokens")
+          .as("coverage_ppm"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val w = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val docs = Tables.loadWidened(spark, dir, "documents")
+    Seq("hex32", "long60").foreach { form =>
+      (1 to runs).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val out =
+          if (form == "hex32") dupSpanCoverageHex(docs, "doc_id", "text", w)
+          else graft.ops.DedupOps.dupSpanCoverage(docs, "doc_id", "text", w)
+        out.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener events are posted async
+        println(f"[span] form=$form run$i: $sec%.2f s " +
+          f"shuffle ${shuffleBytes.get() / 1e6}%.2f MB")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -2328,14 +2328,20 @@ object TextQueries {
     // duplicated spans. w=3 matches the shared shingle fragment (the
     // deployment knob is w≈50); coverage graded in exact ppm (integer
     // floor-div both engines — long `/` is double division in both, a
-    // rounding hazard not a grade).
+    // rounding hazard not a grade). The fingerprint is the md5's
+    // 15-hex (60-bit) prefix — the Spark side packs it into an int64
+    // so the operator's dominant, corpus-token-scale exchange carries
+    // 8-byte keys; the oracle groups on the same prefix (grouping by
+    // a string and by its injective numeric image partition rows
+    // identically).
     Q("q178_span_dedup",
       s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
          |wins AS (
          |  SELECT doc_id, u.pos AS pos, u.h AS h
          |  FROM (SELECT doc_id,
          |          unnest(list_transform(generate_series(1, len(sh)),
-         |            i -> {'pos': CAST(i - 1 AS INT), 'h': md5(sh[i])})) AS u
+         |            i -> {'pos': CAST(i - 1 AS INT),
+         |                  'h': substr(md5(sh[i]), 1, 15)})) AS u
          |        FROM sh)),
          |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
          |dw AS (SELECT doc_id, pos, pos + 2 AS e FROM wins JOIN dup USING (h)),
