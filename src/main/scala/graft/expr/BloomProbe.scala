@@ -1,0 +1,76 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Native Catalyst expression: probe a Bloom filter shipped as a
+  * `Broadcast[BloomProbe.Holder]` with a long hash.
+  *
+  * Why this exists next to Spark's own `BloomFilterMightContain`:
+  * that expression takes the serialized filter as a CHILD expression,
+  * which outside the optimizer's own runtime-filter rewrite means a
+  * `Literal(bytes)` — the filter bytes embedded in the plan itself.
+  * At the scale the bloom form exists for (GB-scale benchmark shingle
+  * sets → tens-of-MB filters) that literal rides every plan
+  * serialization and is Java-deserialized per task; a broadcast is
+  * TorrentBroadcast-fetched and cached ONCE per executor (exactly how
+  * `InjectRuntimeFilter` ships its bloom, as a reused subquery result
+  * — and the [[DictOverlap]] shipping pattern). The holder keeps the
+  * SERIALIZED bytes and re-hydrates the probe object lazily once per
+  * executor, so broadcast serialization never depends on the sketch
+  * class's own Java-serializability.
+  */
+case class BloomProbe(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[BloomProbe.Holder])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe requires a bigint hash, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe"
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.bf.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val holderClass = classOf[BloomProbe.Holder].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolve the broadcast once per operator instance, not per row
+    val cached = ctx.addMutableState(holderClass, "bloomProbeHolder",
+      v => s"$v = ($holderClass) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$cached.bf().mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
+object BloomProbe {
+
+  /** Serialized-bytes carrier; the probe object hydrates lazily, once
+    * per executor (the broadcast caches the holder, the holder caches
+    * the filter).
+    */
+  final class Holder(val bytes: Array[Byte]) extends Serializable {
+    @transient lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Column form: does the bloom (broadcast once) possibly contain
+    * this long hash? Insert side must have put the SAME hash (the
+    * `BloomFilterAggregate` pairing — both sides take xxhash64 longs).
+    */
+  def bloomProbe(hash: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[Holder]): Column =
+    ColumnBridge.column(BloomProbe(ColumnBridge.expression(hash), bloom))
+}

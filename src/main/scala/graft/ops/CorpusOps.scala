@@ -96,16 +96,21 @@ object CorpusOps {
     * and [[decontaminateMapSide]] (driver dict in a native expr): at
     * 100 TB the benchmark's distinct shingle STRINGS can be GBs —
     * too big to broadcast or hold on the driver — while the bloom at
-    * ~1.2 bytes/item/1% fpp stays MBs. The bloom ships as a literal
-    * (built once, driver-held, contract-bounded like codebooks); the
-    * n_shingles count is taken BEFORE the prefilter so denominators
-    * are unaffected.
+    * ~1.2 bytes/item/1% fpp stays MBs. The bloom is BUILT distributed
+    * (native `BloomFilterAggregate`) and SHIPS as a broadcast variable
+    * probed by the codegen `expr/BloomProbe` — TorrentBroadcast
+    * fetches it once per executor, exactly how Spark's own
+    * InjectRuntimeFilter ships its bloom (as a reused subquery result,
+    * never a plan literal) and how [[decontaminateMapSide]] ships its
+    * dict; a `Literal(bytes)` would ride every plan serialization and
+    * deserialize per task at tens of MB. The n_shingles count is
+    * taken BEFORE the prefilter so denominators are unaffected.
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int, threshold: Double,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     // cut the derivation once: the count, the bloom aggregation AND
     // the exec-time verification semi-join all read the checkpointed
@@ -125,12 +130,13 @@ object CorpusOps {
         Literal(nItems), Literal(numBits)).toAggregateExpression())
     val bloomBytes = benchSet.agg(bloomAgg.as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    val bloomBc = corpus.sparkSession.sparkContext
+      .broadcast(new graft.expr.BloomProbe.Holder(bloomBytes))
     // the same xxhash64 on both the insert and probe side (the
-    // InjectRuntimeFilter pairing — BloomFilterAggregate puts longs)
-    def mightContain(c: Column): Column = ColumnBridge.column(
-      new BloomFilterMightContain(Literal.create(bloomBytes,
-        org.apache.spark.sql.types.BinaryType),
-        ColumnBridge.expression(xxhash64(c))))
+    // InjectRuntimeFilter pairing — BloomFilterAggregate puts longs,
+    // BloomProbe tests longs against the broadcast-shipped filter)
+    def mightContain(c: Column): Column =
+      graft.expr.BloomProbe.bloomProbe(xxhash64(c), bloomBc)
     val corpusShingles = corpus.select(col(idCol).as("__id"),
       explode(array_distinct(
         graft.expr.ShingleHashes.shingleHashes(col(textCol), k))).as("__h"))

@@ -125,6 +125,36 @@ class ExprSpec extends SparkSpecBase {
     }
   }
 
+  test("bloomProbe: broadcast-shipped filter, no false negatives, codegen no-fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (1L to 50L).foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bc = spark.sparkContext.broadcast(
+        new graft.expr.BloomProbe.Holder(bos.toByteArray))
+      val got = (1L to 200L).toDF("h")
+        .select(col("h"), graft.expr.BloomProbe.bloomProbe(col("h"), bc)
+          .as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // a bloom NEVER misses an inserted value; non-members may
+      // false-positive at ~fpp but can't all hit
+      (1L to 50L).foreach(h => got(h) shouldBe true)
+      (51L to 200L).count(got(_)) should be < 20
+      // null hash -> null result (nullSafeEval contract)
+      Seq[Option[Long]](None).toDF("h")
+        .select(graft.expr.BloomProbe.bloomProbe(col("h"), bc))
+        .head().isNullAt(0) shouldBe true
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("ivfCell fails loudly on a corrupt (zero-norm) centroid even when others are finite") {
     // a NaN cosine must never be silently skipped: batch ivfAssign
     // raises on the same condition, and a silent skip here would
