@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** SemDeDup recall harness (dev tool, VERDICT r14 #4): the graded
+  * queries replay the engine's own cell assignment, so they are
+  * silent on what the coarse clustering MISSES. This runner measures
+  * dedup decisions against exhaustive ground truth on the planted
+  * clustered fixture (`StressFixture … clustered`): true duplicate
+  * pairs are ALL pairs with cosine > τ (O(n²) — why this runs on the
+  * fixture, not the corpus), the exhaustive closure's merge count
+  * (n − #components) is the denominator, and each nprobe setting of
+  * [[DedupOps.semanticDedup]] is scored on
+  *  - merge recall: merges found / exhaustive merges (every missed
+  *    boundary pair that splits a component costs one merge);
+  *  - keep agreement: fraction of vectors whose survivor decision
+  *    matches the exhaustive closure's.
+  *
+  * Usage: runMain graft.SemDedupRecall [dir] [tau] [nprobes]
+  */
+object SemDedupRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/clustered4")
+    val tau = args.lift(1).map(_.toDouble).getOrElse(0.9)
+    val nprobes = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 3))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n = emb.count()
+    val k = SimilarityOps.sqrtCentroidCount(n)
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .localCheckpoint(true)
+    println(s"""{"n":$n,"cells":$k,"tau":$tau}""")
+
+    // exhaustive truth: every pair above tau (id1 < id2), then the
+    // same closure the operator runs
+    val l = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val r = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val truePairs = l.join(r, col("id1") < col("id2"))
+      .filter(SimilarityOps.cosine(col("v1"), col("v2")) > tau)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(true)
+    val nTrue = truePairs.count()
+    val exh = DedupOps.connectedComponents(truePairs,
+        nodes = Some(emb.select(col("vec_id").as("id"))),
+        pairsDistinct = true)
+      .select(col("id"), (col("id") === col("cluster_id")).as("keep"))
+      .localCheckpoint(true)
+    val exhMerges = exh.filter(!col("keep")).count()
+    println(s"""{"true_pairs":$nTrue,"exhaustive_merges":$exhMerges}""")
+
+    nprobes.foreach { np =>
+      val t0 = System.nanoTime()
+      val out = DedupOps.semanticDedup(emb, "vec_id", "embedding",
+          centroids, tau, nprobe = np)
+        .select(col("vec_id").as("id"), col("keep"))
+        .localCheckpoint(true)
+      val merges = out.filter(!col("keep")).count()
+      val agree = out.join(exh.withColumnRenamed("keep", "ek"), "id")
+        .filter(col("keep") === col("ek")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"nprobe":$np,"merge_recall":${
+        merges.toDouble / math.max(1L, exhMerges)}%.4f,""" +
+        f""""keep_agreement":${agree.toDouble / n}%.4f,"secs":$sec%.1f}""")
+    }
+    spark.stop()
+  }
+}

@@ -415,24 +415,35 @@ object DedupOps {
     * never all-pairs), vectors are projected away before anything
     * shuffles twice, and the transitive closure is the pointer-doubling
     * [[connectedComponents]] — the same pieces as the graded ANN/CC
-    * faces, composed in the paper's order. Like the paper, recall is
-    * bounded by the coarse clustering: a duplicate pair split across
-    * two cells is not examined (their fix and ours: raise cell count
-    * quality via trained centroids — the `centroids` frame is the
-    * caller's knob).
+    * faces, composed in the paper's order. The paper's recall bound —
+    * a duplicate pair split across two cells is not examined — has a
+    * lever the paper lacks: `nprobe` > 1 assigns every vector to its
+    * top-n cells for PAIR GENERATION (the multi-probe machinery the
+    * ANN faces already own), so boundary pairs meet whenever ANY
+    * probed cell is shared. Cost scales as nprobe² on the pair join
+    * (each side carries nprobe rows per vector); pairs found in two
+    * shared cells dedupe BEFORE the closure, so the component step
+    * never sees multiplicity. nprobe=1 is exactly the paper.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame /* cid, cvec */, tau: Double): DataFrame = {
-    val cells = SimilarityOps.cellFrame(emb, idCol, vecCol, centroids)
+      centroids: DataFrame /* cid, cvec */, tau: Double,
+      nprobe: Int = 1): DataFrame = {
+    val cells = SimilarityOps.cellFrame(emb, idCol, vecCol, centroids,
+        nprobe)
       .transform(Checkpoints.cut(_, eager = true)) // both join sides + seed
     // canonical orientation (id1 < id2) halves the pair frame; vectors
     // are projected away with the cosine (sameCellPairScores), so only
     // (id, id) edges flow into the closure
-    val pairs = SimilarityOps.sameCellPairScores(cells, canonical = true)
+    val scored = SimilarityOps.sameCellPairScores(cells, canonical = true)
       .filter(col("cosine") > tau)
       .select(col("id1"), col("id2"))
-    val cc = connectedComponents(pairs,
-      nodes = Some(cells.select(col("id"))), pairsDistinct = true)
+    // multi-probe can surface one pair from two shared cells: dedupe
+    // the NARROW (id, id) frame, never the vector-bearing one
+    val pairs = if (nprobe > 1) scored.distinct() else scored
+    val nodes = if (nprobe > 1) cells.select(col("id")).distinct()
+      else cells.select(col("id"))
+    val cc = connectedComponents(pairs, nodes = Some(nodes),
+      pairsDistinct = true)
     val out = cc.select(col("id").as(idCol), col("cluster_id").as("rep_id"),
       (col("id") === col("cluster_id")).as("keep"))
     cells.unpersist()

@@ -95,14 +95,16 @@ object SimilarityOps {
       .filter(col("__rn") <= nprobe)
   }
 
-  /** (id, vec, nrm, cid) projection of [[ivfAssign]] — the self-join
-    * input shared by [[ivfNearestNeighbor]] and
+  /** (id, vec, nrm, cid) projection of [[ivfAssignProbed]] — the
+    * self-join input shared by [[ivfNearestNeighbor]] and
     * [[DedupOps.semanticDedup]]; callers checkpoint it (both sides of
-    * the pair join read it).
+    * the pair join read it). `nprobe` > 1 emits one row per probed
+    * cell (the cross-cell pair-generation lever — a pair sharing ANY
+    * probed cell meets in the cid join).
     */
   private[ops] def cellFrame(corpus: DataFrame, idCol: String,
-      vecCol: String, centroids: DataFrame): DataFrame =
-    ivfAssign(corpus, idCol, vecCol, centroids)
+      vecCol: String, centroids: DataFrame, nprobe: Int = 1): DataFrame =
+    ivfAssignProbed(corpus, idCol, vecCol, centroids, nprobe)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         norm(col(vecCol)).as("nrm"), col("cid"))
 

@@ -2322,6 +2322,52 @@ object TextQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Cross-cell SemDeDup (the boundary-recall lever the paper lacks):
+    // q177's embedding-cluster dedup with every vector assigned to its
+    // TOP-2 cells for pair generation — a duplicate pair split across
+    // a cell boundary meets whenever any probed cell is shared, pairs
+    // surfacing from two shared cells dedupe before the transitive
+    // closure. The oracle replays top-2 assignment (QUALIFY rn <= 2),
+    // DISTINCT canonical pairs, and the q86 reachability CTE — blind
+    // to the engine's multi-probe machinery.
+    Q("q193_semantic_dedup_probed", {
+      val simToC = cosineSql("e.embedding", "c.cvec")
+      s"""WITH RECURSIVE cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+         |                  FROM embeddings)),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.cid
+         |  FROM embeddings e CROSS JOIN cent c
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY $simToC DESC, c.cid) <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+         |  FROM assigned l JOIN assigned r
+         |    ON l.cid = r.cid AND l.vec_id < r.vec_id
+         |  WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.4),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |walk AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e.dst AS id, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS vec_id, min(lbl) AS rep_id,
+         |  CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val k = SimilarityOps.sqrtCentroidCount(emb.count())
+      val centroids = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      DedupOps.semanticDedup(emb, "vec_id", "embedding", centroids, 0.4,
+          nprobe = 2)
+        .select(col("vec_id"), col("rep_id"),
+          when(col("keep"), 1L).otherwise(0L).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+
     // Exact duplicate-span detection (Lee et al. 2022 ExactSubstr at
     // token-window granularity): corpus-wide fingerprint counts over
     // every w-token window, per-doc interval-union coverage of the

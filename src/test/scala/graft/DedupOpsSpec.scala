@@ -154,6 +154,45 @@ class DedupOpsSpec extends SparkSpecBase {
     out.size shouldBe 4
   }
 
+  test("semanticDedup nprobe=2: a boundary pair split across cells is found; same-cell pairs stay a subset") {
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    // centroids at 0° and 90°; the near-duplicate pair straddles the
+    // 45° boundary: 43° indexes under c0, 47° under c1 — same-cell
+    // pair generation (the paper) cannot examine them, top-2 probing
+    // meets them in BOTH cells (and the pair dedupes before the
+    // closure)
+    val emb = Seq(
+      (10L, v(43)), (11L, v(47)),
+      (20L, v(5)), (21L, v(8)), // same-cell dup, must stay found
+      (30L, Array(0f, 0f, 1f, 0f))) // far singleton
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+    val tau = math.cos(math.toRadians(10))
+    def run(nprobe: Int) = DedupOps.semanticDedup(
+        emb, "vec_id", "embedding", centroids, tau, nprobe)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val p1 = run(1)
+    p1(10L) shouldBe ((10L, true)) // boundary pair MISSED at nprobe=1
+    p1(11L) shouldBe ((11L, true))
+    p1(21L) shouldBe ((20L, false))
+    val p2 = run(2)
+    p2(10L) shouldBe ((10L, true))
+    p2(11L) shouldBe ((10L, false)) // recovered by the second probe
+    p2(30L) shouldBe ((30L, true))
+    // superset property: every nprobe=1 merge survives at nprobe=2
+    p1.filter { case (id, (rep, _)) => rep != id }.foreach {
+      case (id, (rep, _)) => p2(id)._1 should be <= rep
+    }
+    p2.keySet shouldBe p1.keySet // one row per corpus id, both forms
+  }
+
   test("dupSpanCoverage: corpus-wide window counts, interval union, ppm") {
     val corpus = Seq(
       (1L, "a b c d e"),     // ab bc shared with doc 2 -> tokens 0..2
