@@ -333,47 +333,93 @@ object RankOps {
     * lit(1) column for an intercept.
     */
   def trainLinearProbe(df: DataFrame, features: Seq[String],
-      labelCol: String, lr: Double, rounds: Int): Array[Double] = {
+      labelCol: String, lr: Double, rounds: Int): Array[Double] =
+    // residual = w·x − y in double, the product rounded once to
+    // DECIMAL(25,18) (the q126/q171 exact-sum discipline)
+    gdRounds(df, features, labelCol, lr, rounds, "trainLinearProbe")(
+      (margin, x) => ((margin - col("__y")) * x)
+        .cast(DecimalType(25, 18)))
+
+  /** Logistic twin of [[trainLinearProbe]] — the DCLM/fastText-style
+    * quality CLASSIFIER head (binary labels), trained by full-batch
+    * cross-entropy gradient descent: p = σ(w·x),
+    * grad_j = Σ_i (p_i − y_i)·x_ij. The one transcendental, the
+    * sigmoid, follows the [[bigramLmScore]] discipline: computed in
+    * double and rounded ONCE to DECIMAL(25,10); from there the
+    * gradient is PURE DECIMAL arithmetic — residual (p − y) at scale
+    * 10, features cast to DECIMAL(12,6), products exact at (38,16) —
+    * because a double→decimal cast of a full-mantissa product is
+    * where engines genuinely disagree (Spark converts via
+    * BigDecimal.valueOf, DuckDB scales IN DOUBLE — ~1e-15 apart per
+    * row, measured; the linear head's large gradients drown that
+    * noise below one output ULP, the sigmoid's near-cancelling ±0.5
+    * residuals do NOT). Decimal-exact inputs → bit-identical weights
+    * under any partitioning AND engine. Cross-engine-exact grading
+    * additionally needs features exact in DECIMAL(12,6) — counts,
+    * flags, quantized ratios; |x| ≥ 10⁶ nulls the cast and fails the
+    * loud counter.
+    */
+  def trainLogisticProbe(df: DataFrame, features: Seq[String],
+      labelCol: String, lr: Double, rounds: Int): Array[Double] =
+    gdRounds(df, features, labelCol, lr, rounds, "trainLogisticProbe")(
+      (margin, x) => ((lit(1d) / (lit(1d) + exp(-margin)))
+        .cast(DecimalType(25, 10)) -
+          col("__y").cast(DecimalType(25, 10))) *
+        x.cast(DecimalType(12, 6)))
+
+  /** The shared full-batch GD loop: one pass per round computing all
+    * d gradients in a SINGLE aggregation — grad_j = Σ_i
+    * product(margin_i, x_ij) where `product` maps the margin w·x
+    * (per-row double, fixed left-fold term order — the oracle's +
+    * chain) and one feature column to a DECIMAL contribution, summed
+    * exactly (merge-order-independent), so learned weights are
+    * bit-identical regardless of partitioning. Weight state is d
+    * doubles on the driver; data never shuffles — the only reduction
+    * is the d-column partial aggregate. w starts at 0; callers append
+    * a lit(1) column for an intercept.
+    */
+  private def gdRounds(df: DataFrame, features: Seq[String],
+      labelCol: String, lr: Double, rounds: Int, op: String)(
+      product: (Column, Column) => Column): Array[Double] = {
     require(features.nonEmpty, "need at least one feature column")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val dec = org.apache.spark.sql.types.DecimalType(25, 18)
     val base = df.select(
       features.map(f => col(f).cast("double").as(f)) :+
         col(labelCol).cast("double").as("__y"): _*)
       .transform(Checkpoints.cut(_, eager = true)) // read once per round
     val n = base.count()
-    require(n > 0, "trainLinearProbe: empty input")
+    require(n > 0, s"$op: empty input")
     val d = features.size
     val w = Array.fill(d)(0.0)
     (1 to rounds).foreach { round =>
-      val pred = features.zip(w)
+      val margin = features.zip(w)
         .map { case (f, wi) => col(f) * lit(wi) }
         .reduce(_ + _) // fixed left-fold order — the oracle's + chain
       // per-feature null-product counters ride the same aggregation:
-      // a NULL product means a null feature/label row or a
-      // DECIMAL(25,18) overflow (|v| ≥ 1e7 — diverging lr), and sum()
-      // would silently SKIP it, training wrong weights with no signal
+      // a NULL product means a null feature/label row or a decimal
+      // overflow (diverging lr, oversized feature), and sum() would
+      // silently SKIP it, training wrong weights with no signal
       // (the ivfAssign loud-guard policy; Spark's non-ANSI cast nulls
       // where DuckDB raises, so a graded oracle would diverge
       // undiagnosably)
       val gradCols = features.zipWithIndex.map { case (f, i) =>
-        sum((col("__r") * col(f)).cast(dec)).as(s"g$i")
+        sum(product(margin, col(f))).as(s"g$i")
       }
       val nullCols = features.zipWithIndex.map { case (f, i) =>
-        count(when((col("__r") * col(f)).cast(dec).isNull, 1)).as(s"n$i")
+        count(when(product(margin, col(f)).isNull, 1)).as(s"n$i")
       }
       val agg = gradCols ++ nullCols
       val grads = base
-        .select((pred - col("__y")).as("__r") +: features.map(col): _*)
         .agg(agg.head, agg.tail: _*)
         .head()
       features.indices.foreach { j =>
         val nulls = grads.getLong(d + j)
         if (nulls > 0) throw new IllegalStateException(
-          s"trainLinearProbe: $nulls null gradient products for " +
+          s"$op: $nulls null gradient products for " +
             s"'${features(j)}' in round $round — null feature/label " +
-            "rows, or |residual·x| ≥ 1e7 overflowing DECIMAL(25,18) " +
-            "(diverging learning rate?). Clean the inputs or lower lr.")
+            "rows, or a residual·x magnitude overflowing the product " +
+            "decimal (diverging learning rate? oversized feature?). " +
+            "Clean the inputs or lower lr.")
         w(j) -= lr * grads.getDecimal(j).doubleValue() / n
       }
     }
@@ -392,5 +438,22 @@ object RankOps {
     df.withColumn(out, features.zip(w)
       .map { case (f, wi) => col(f).cast("double") * lit(wi) }
       .reduce(_ + _))
+  }
+
+  /** Map-side scorer for a [[trainLogisticProbe]] head: σ(w·x) with
+    * the training fold's exact term order and the training pass's
+    * DECIMAL(25,10) rounding — the probability the trained classifier
+    * actually used, so thresholding online reproduces training-time
+    * decisions bit for bit.
+    */
+  def scoreLogisticProbe(df: DataFrame, features: Seq[String],
+      w: Array[Double], out: String = "score"): DataFrame = {
+    require(features.size == w.length,
+      s"${features.size} features vs ${w.length} weights")
+    val margin = features.zip(w)
+      .map { case (f, wi) => col(f).cast("double") * lit(wi) }
+      .reduce(_ + _)
+    df.withColumn(out, (lit(1d) / (lit(1d) + exp(-margin)))
+      .cast(DecimalType(25, 10)).cast("double"))
   }
 }

@@ -2520,6 +2520,75 @@ object TextQueries {
       Seq(("x1_intercept", w(0)), ("x2_tokens", w(1)), ("x3_stopwords", w(2)))
         .toDF("feature", "weight")
         .orderBy(col("feature"))
+    },
+
+    // Logistic-probe training (RankOps.trainLogisticProbe — the
+    // DCLM/fastText-style quality CLASSIFIER head, cross-entropy over
+    // q180's features with a binary lexical-diversity label): 3
+    // full-batch GD rounds where the sigmoid — the one transcendental
+    // — rounds ONCE to DECIMAL(25,10) per row (the q187 bigram-ln
+    // discipline) before the residual, and gradient products sum as
+    // DECIMAL(25,18), so the weights are bit-identical under any
+    // partitioning and the oracle unrolls all three rounds term for
+    // term, sigmoid included.
+    Q("q194_logistic_probe", {
+      // residual stays DECIMAL (sigmoid rounded to scale 10, y exact)
+      // and multiplies a DECIMAL(12,6) feature — pure decimal
+      // arithmetic, no double→decimal cast of a full-mantissa product
+      // (the one conversion the two engines compute differently)
+      def r(wa: String, wb: String, wc: String) =
+        s"(CAST(1.0 / (1.0 + exp(-($wa * x1 + $wb * x2 + $wc * x3)))" +
+          s" AS DECIMAL(25,10)) - CAST(y AS DECIMAL(25,10)))"
+      def gcte(out: String, wa: String, wb: String, wc: String, from: String) =
+        s"""$out AS (SELECT
+           |  sum(${r(wa, wb, wc)} * CAST(x1 AS DECIMAL(12,6))) AS ga,
+           |  sum(${r(wa, wb, wc)} * CAST(x2 AS DECIMAL(12,6))) AS gb,
+           |  sum(${r(wa, wb, wc)} * CAST(x3 AS DECIMAL(12,6))) AS gc
+           |  FROM $from)""".stripMargin
+      def wcte(out: String, g: String, pwa: String, pwb: String, pwc: String,
+          extra: String) =
+        s"""$out AS (SELECT
+           |  $pwa - 0.0001 * CAST(ga AS DOUBLE) / n AS wa,
+           |  $pwb - 0.0001 * CAST(gb AS DOUBLE) / n AS wb,
+           |  $pwc - 0.0001 * CAST(gc AS DOUBLE) / n AS wc
+           |  FROM $g, nn$extra)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT CAST(1 AS DOUBLE) AS x1,
+         |         CAST(len(tl) AS DOUBLE) AS x2,
+         |         CAST(len(list_filter(tl, t -> t = 'the' OR t = 'a'))
+         |           AS DOUBLE) AS x3,
+         |         CASE WHEN len(list_distinct(tl)) > 25
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE)
+         |         END AS y
+         |  FROM (SELECT $TOKS AS tl FROM documents)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |${gcte("g1", "0.0", "0.0", "0.0", "f")},
+         |${wcte("w1", "g1", "0.0", "0.0", "0.0", "")},
+         |${gcte("g2", "wa", "wb", "wc", "f, w1")},
+         |${wcte("w2", "g2", "w1.wa", "w1.wb", "w1.wc", ", w1")},
+         |${gcte("g3", "wa", "wb", "wc", "f, w2")},
+         |${wcte("w3", "g3", "w2.wa", "w2.wb", "w2.wc", ", w2")}
+         |SELECT feature, weight FROM (
+         |  SELECT 'x1_intercept' AS feature, wa AS weight FROM w3
+         |  UNION ALL SELECT 'x2_tokens', wb FROM w3
+         |  UNION ALL SELECT 'x3_stopwords', wc FROM w3)
+         |ORDER BY feature""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val f = t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("__tl"))
+        .select(
+          lit(1.0).as("x1"),
+          size(col("__tl")).cast("double").as("x2"),
+          size(filter(col("__tl"), tk => tk.isin("the", "a")))
+            .cast("double").as("x3"),
+          when(size(array_distinct(col("__tl"))) > 25, 1.0)
+            .otherwise(0.0).as("y"))
+      val w = RankOps.trainLogisticProbe(f, Seq("x1", "x2", "x3"), "y",
+        lr = 0.0001, rounds = 3)
+      Seq(("x1_intercept", w(0)), ("x2_tokens", w(1)), ("x3_stopwords", w(2)))
+        .toDF("feature", "weight")
+        .orderBy(col("feature"))
     }
   )
 }

@@ -185,6 +185,61 @@ class RankOpsSpec extends SparkSpecBase {
       rows.head._3 * w3(2))
   }
 
+  test("trainLogisticProbe: sigmoid rounds once to DECIMAL(25,10), weights bit-identical at any partitioning, loss drops") {
+    import spark.implicits._
+    // binary label with irrational-ish features: any reassociation or
+    // a sigmoid evaluated differently than the reference would flip bits
+    val rows = (1 to 200).map { i =>
+      (1.0, math.sqrt(i.toDouble), (i % 7).toDouble,
+        if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x1", "x2", "x3", "y")
+    val lr = 1e-3
+    // the training pass's exact arithmetic: margin in double (left
+    // fold), sigmoid rounded to DECIMAL(25,10) via valueOf/HALF_UP
+    // (Spark's double->decimal cast path), then PURE DECIMAL products
+    // — residual at scale 10 times the feature at scale 6 (exact)
+    def pDec(m: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(1.0 / (1.0 + math.exp(-m)))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    def reference(rounds: Int): Array[Double] = {
+      val w = Array(0.0, 0.0, 0.0)
+      val n = rows.size
+      (1 to rounds).foreach { _ =>
+        val g = Array.fill(3)(java.math.BigDecimal.ZERO)
+        rows.foreach { case (x1, x2, x3, y) =>
+          val r = pDec(x1 * w(0) + x2 * w(1) + x3 * w(2))
+            .subtract(java.math.BigDecimal.valueOf(y)
+              .setScale(10, java.math.RoundingMode.HALF_UP))
+          Seq(x1, x2, x3).zipWithIndex.foreach { case (x, j) =>
+            g(j) = g(j).add(r.multiply(java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP)))
+          }
+        }
+        (0 until 3).foreach(j => w(j) -= lr * g(j).doubleValue() / n)
+      }
+      w
+    }
+    val expect = reference(3)
+    Seq(1, 13).foreach { parts =>
+      val w = RankOps.trainLogisticProbe(df.repartition(parts),
+        Seq("x1", "x2", "x3"), "y", lr, rounds = 3)
+      w.toSeq shouldBe expect.toSeq // bit-identical — decimal-exact sums
+    }
+    // cross-entropy drops from the zero-weight start
+    def xent(w: Array[Double]) = rows.map { case (x1, x2, x3, y) =>
+      val p = pDec(x1 * w(0) + x2 * w(1) + x3 * w(2)).doubleValue()
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum
+    xent(expect) should be < xent(Array(0.0, 0.0, 0.0))
+    // the online scorer reproduces the training-time probability
+    val scored = RankOps.scoreLogisticProbe(df, Seq("x1", "x2", "x3"),
+        expect)
+      .select(org.apache.spark.sql.functions.col("score")).head().getDouble(0)
+    scored shouldBe pDec(rows.head._1 * expect(0) +
+      rows.head._2 * expect(1) + rows.head._3 * expect(2)).doubleValue()
+  }
+
   test("bigramLmScore: add-one-smoothed bigram LL matches the hand fold; short docs anchor to zero") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
