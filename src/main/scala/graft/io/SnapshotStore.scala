@@ -718,6 +718,61 @@ object SnapshotStore {
         allowMissingColumns = true)
   }
 
+  /** Version-cursor change-feed processing — the MAINTENANCE face
+    * over [[readChanges]] (Delta's streaming CDF consumer shape,
+    * without needing a long-running query): each call reads the
+    * changes from the persisted cursor to the latest committed
+    * version, hands them to `f` as ONE batch (insert rows + delete
+    * preimages, the `_change` column), and only THEN advances the
+    * cursor — so a crash between `f` and the advance replays the same
+    * range on restart (at-least-once). EXACTLY-ONCE composes the same
+    * way the streaming sink gets it: have `f` commit its output
+    * through [[commitStreamBatch]] with `batchId = toV` — a replayed
+    * range re-offers the same batch id and no-ops. A missing cursor
+    * file starts from `baseline` (the version the caller's base state
+    * was computed at). Returns the processed (fromV, toV), or None
+    * when already caught up.
+    *
+    * This is what keeps q191's incremental aggregate maintained
+    * CONTINUOUSLY: base at v_b, then one delta log append per
+    * processed range, readout = base + folded deltas — cost per call
+    * ∝ |changed rows| since the cursor, never a table re-scan.
+    */
+  def processChanges(spark: SparkSession, dir: String, cursorPath: String,
+      baseline: Int)(f: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
+    val fs = hfs(spark, cursorPath)
+    val cp = new org.apache.hadoop.fs.Path(cursorPath)
+    val cur =
+      if (!fs.exists(cp)) baseline
+      else {
+        val in = fs.open(cp)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      }
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"processChanges: no committed snapshot at $dir")
+    val latest = vs.max
+    if (latest <= cur) None
+    else {
+      f(readChanges(spark, dir, cur, latest), cur, latest)
+      // advance AFTER f: tmp + rename-into-place (a crash mid-advance
+      // at worst loses the cursor — the replay falls back to baseline
+      // and f's idempotence absorbs it)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$cursorPath.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(latest.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(cp)) fs.delete(cp, false)
+      require(fs.rename(tmp, cp),
+        s"processChanges: could not advance the cursor at $cursorPath")
+      Some((cur, latest))
+    }
+  }
+
   /** Atomic UPSERT (the Delta MERGE whole-row form): ONE committed
     * version whose manifest carries BOTH a tombstone of `df`'s ids
     * and `df` as a new segment — matched rows replace, unmatched rows

@@ -24,13 +24,13 @@ object TextQueries {
     * query routes through here so the hermetic-root convention lives
     * in one place.
     */
-  private def hermeticStore(tag: String, dir: String)(
-      build: String => Unit): String = {
+  private def hermeticStore(tag: String, dir: String,
+      marker: String = "manifest")(build: String => Unit): String = {
     val root = new java.io.File(
       s"/tmp/graft_${tag}_${ProcessHandle.current().pid()}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_"))
     graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-        stillValid = new java.io.File(root, "manifest").isDirectory) {
+        stillValid = new java.io.File(root, marker).isDirectory) {
       graft.ops.StageMemo.wipe(root)
       build(root.getAbsolutePath)
     }
@@ -2589,6 +2589,80 @@ object TextQueries {
       Seq(("x1_intercept", w(0)), ("x2_tokens", w(1)), ("x3_stopwords", w(2)))
         .toDF("feature", "weight")
         .orderBy(col("feature"))
+    },
+
+    // CONTINUOUS incremental-aggregate maintenance off the change
+    // feed (SnapshotStore.processChanges — the version-cursor
+    // micro-batch face q191's one-shot CDC consumer grows into): a
+    // per-lang (count, char-sum) table is maintained as BASE-at-v1
+    // plus a DELTA LOG, one log append per processed change range
+    // (cost ∝ |changed rows| since the cursor), through TWO
+    // maintenance calls interleaved with ingest (append + delete,
+    // then an upsert), with a simulated CRASH REPLAY in the middle —
+    // the cursor is wound back after processing and the re-offered
+    // range no-ops on commitStreamBatch's txn row (exactly-once).
+    // The readout folds base + deltas and must equal the full
+    // recompute over the final table, which is exactly what the
+    // oracle computes from the raw documents, blind to the store.
+    Q("q195_snapshot_cdc_maintain",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000000
+        |               ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 3 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q195", dir, marker = "agg/manifest") { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val store = s"$r/store"; val agg = s"$r/agg"
+        val cursor = s"$r/cursor"
+        def maintain(): Unit = {
+          SnapshotStore.processChanges(s, store, cursor, baseline = 1) {
+            (ch, _, toV) =>
+              val delta = ch.select(col("lang"),
+                when(col("_change") === "insert", lit(1L))
+                  .otherwise(lit(-1L)).as("sgn"),
+                col("n_chars"))
+                .groupBy("lang")
+                .agg(sum(col("sgn")).as("dn"),
+                  sum(col("sgn") * col("n_chars")).as("ds"))
+              SnapshotStore.commitStreamBatch(delta, agg, batchId = toV,
+                appId = "maint")
+              ()
+          }
+          ()
+        }
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 0),
+          store) // v1 — the baseline
+        SnapshotStore.commitAppend(
+          SnapshotStore.read(s, store, Some(1)).groupBy("lang")
+            .agg(count(lit(1)).as("dn"), sum(col("n_chars")).as("ds")),
+          agg)
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 1),
+          store) // v2
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+          "doc_id", store) // v3
+        maintain() // processes (1, 3]
+        // crash replay: the cursor never advanced — the re-offered
+        // range must no-op on the recorded txn (exactly-once)
+        val fs = new org.apache.hadoop.fs.Path(cursor)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+        maintain()
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 1000000L).as("n_chars")),
+          "doc_id", store) // v4
+        maintain() // processes (3, 4]
+        ()
+      }
+      SnapshotStore.read(s, s"$root/agg")
+        .groupBy("lang")
+        .agg(sum(col("dn")).as("n_docs"), sum(col("ds")).as("sum_chars"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("lang"))
     }
   )
 }

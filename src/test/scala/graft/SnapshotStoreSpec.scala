@@ -240,6 +240,77 @@ class SnapshotStoreSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("processChanges: cursor-driven maintenance equals full recompute across crash-replays and restarts") {
+    val dir = freshDir("cdcmaint")
+    val aggDir = freshDir("cdcmaint_agg")
+    val cursor = s"${freshDir("cdcmaint_cur")}/cursor"
+    def pop(ids: Range) = ids.map(i => (i.toLong, s"k${i % 3}", i.toLong))
+      .toDF("doc_id", "grp", "v")
+
+    SnapshotStore.commitAppend(pop(1 to 30), dir) // v1 — the baseline
+    // maintained state = base aggregate at v1 + a DELTA LOG store;
+    // readout folds the log (the Kafka-Streams changelog shape) —
+    // append-only, so exactly-once rides commitStreamBatch's txn row
+    SnapshotStore.commitAppend(
+      SnapshotStore.read(spark, dir, Some(1)).groupBy("grp")
+        .agg(count(lit(1)).as("dn"), sum(col("v")).as("dv")), aggDir)
+    def maintain(): Unit = {
+      SnapshotStore.processChanges(spark, dir, cursor, baseline = 1) {
+        (ch, _, toV) =>
+          val delta = ch.select(col("grp"),
+            when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+              .as("sgn"), col("v"))
+            .groupBy("grp")
+            .agg(sum(col("sgn")).as("dn"),
+              sum(col("sgn") * col("v")).as("dv"))
+          SnapshotStore.commitStreamBatch(delta, aggDir, batchId = toV,
+            appId = "maint")
+          ()
+      }
+      ()
+    }
+    def readout() = SnapshotStore.read(spark, aggDir)
+      .groupBy("grp").agg(sum(col("dn")).as("n"), sum(col("dv")).as("s"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    def recompute() = SnapshotStore.read(spark, dir)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+
+    // caught up at the baseline: nothing to process
+    SnapshotStore.processChanges(spark, dir, cursor, 1)((_, _, _) =>
+      fail("nothing to process at the baseline")) shouldBe None
+
+    SnapshotStore.commitAppend(pop(31 to 50), dir) // v2
+    SnapshotStore.commitDelete(
+      pop(1 to 30).filter(col("doc_id") % 5 === 0).select("doc_id"),
+      "doc_id", dir) // v3
+    maintain() // processes (1, 3]
+    readout() shouldBe recompute()
+
+    // CRASH REPLAY: f ran, the cursor never advanced — rewind it and
+    // maintain again; the txn row makes the re-commit a no-op
+    val fs = new org.apache.hadoop.fs.Path(cursor)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    val aggVersionsBefore = SnapshotStore.versions(spark, aggDir)
+    maintain() // replays (1, 3] — exactly-once absorbs it
+    SnapshotStore.versions(spark, aggDir) shouldBe aggVersionsBefore
+    readout() shouldBe recompute()
+
+    // more churn, including an upsert, processed in a LATER range
+    SnapshotStore.commitUpsert(
+      Seq((7L, "k1", 7000L)).toDF("doc_id", "grp", "v"), "doc_id", dir) // v4
+    SnapshotStore.commitAppend(pop(51 to 60), dir) // v5
+    maintain() // processes (3, 5]
+    readout() shouldBe recompute()
+    // and a caught-up call is a no-op
+    SnapshotStore.processChanges(spark, dir, cursor, 1)((_, _, _) =>
+      fail("already caught up")) shouldBe None
+  }
+
   test("commitUpsert replaces matched rows and inserts unmatched ones in ONE atomic version; re-inserts are visible") {
     val dir = freshDir("upsert")
     SnapshotStore.commitAppend(docs(1 to 6), dir) // v1
