@@ -119,6 +119,30 @@ object SnapshotBench {
     println(f"""{"face":"read_pruned_range","secs":$sPr%.2f,""" +
       s""""files":"${scan.filesRead}/${scan.filesTotal}"}""")
 
+    // OPTIMIZE cadence: the same commit stream into a SECOND store
+    // with autoOptimize(maxSegments=8) after every commit — read
+    // latency at the end must sit near the compacted floor, not the
+    // raw-segment ceiling (the bounded-read-amplification claim)
+    val cadenced = s"$base/cadenced"
+    var fired = 0
+    val tCad = System.nanoTime()
+    (0 until commits).foreach { i =>
+      val lo = i.toLong * (maxId + 1) / commits
+      val hi = (i + 1).toLong * (maxId + 1) / commits
+      SnapshotStore.commitAppend(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), cadenced,
+        statsCols = Seq("doc_id"))
+      if (SnapshotStore.autoOptimize(spark, cadenced, maxSegments = 8,
+          maxTombstones = 2, zCols = Seq("doc_id"), nFiles = 16,
+          statsCols = Seq("doc_id")).isDefined) fired += 1
+    }
+    val sCadIngest = (System.nanoTime() - tCad) / 1e9
+    val sCadRead = secs(SnapshotStore.read(spark, cadenced)
+      .agg(count(lit(1)), sum(col("n_chars"))).head())
+    println(f"""{"face":"cadenced_ingest_$commits","secs":$sCadIngest%.2f,""" +
+      s""""compactions":$fired}""")
+    println(f"""{"face":"cadenced_read","secs":$sCadRead%.2f}""")
+
     // mass-delete regime: tombstone ~30% of the table in ONE commit,
     // then read — the size gate decides broadcast vs shuffle anti-join
     // (forced-shuffle twin via graft.snapshot.tombBroadcastBytes=0, so

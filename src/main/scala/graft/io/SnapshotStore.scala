@@ -718,6 +718,41 @@ object SnapshotStore {
         allowMissingColumns = true)
   }
 
+  /** Read-amplification snapshot of the latest version: (data
+    * segments, tombstones) from ONE manifest read — the two numbers
+    * the OPTIMIZE cadence watches.
+    */
+  def segmentCounts(spark: SparkSession, dir: String): (Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val rows = readManifestRows(spark, dir, vs.max)
+    (rows.count(_._1 == "seg"), rows.count(_._1 == "tomb"))
+  }
+
+  /** Threshold-triggered OPTIMIZE — the cadence policy the
+    * 64/256-segment read curves imply (read latency grows with raw
+    * segment count; compaction restores the floor): when the latest
+    * version holds more than `maxSegments` data segments OR more than
+    * `maxTombstones` tombstones, run [[compactZordered]] (folds
+    * tombstones, restores stats-pruned single-segment reads) and
+    * return the committed version; otherwise None. Call it after
+    * every commit (or on a schedule): cost is one manifest read when
+    * idle, and the store's read amplification stays BOUNDED under
+    * continuous ingest — the operational loop Delta calls OPTIMIZE
+    * cadence. History pins and CDC are untouched (compaction is
+    * dataChange=false); concurrent readers keep their manifests.
+    */
+  def autoOptimize(spark: SparkSession, dir: String,
+      maxSegments: Int, maxTombstones: Int,
+      zCols: Seq[String], nFiles: Int, statsCols: Seq[String]): Option[Int] = {
+    require(maxSegments >= 1 && maxTombstones >= 0,
+      s"need maxSegments >= 1, maxTombstones >= 0; got " +
+        s"($maxSegments, $maxTombstones)")
+    val (segs, tombs) = segmentCounts(spark, dir)
+    if (segs <= maxSegments && tombs <= maxTombstones) None
+    else Some(compactZordered(spark, dir, zCols, nFiles, statsCols))
+  }
+
   /** Version-cursor change-feed processing — the MAINTENANCE face
     * over [[readChanges]] (Delta's streaming CDF consumer shape,
     * without needing a long-running query): each call reads the

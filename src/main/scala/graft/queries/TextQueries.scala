@@ -2663,6 +2663,65 @@ object TextQueries {
         .agg(sum(col("dn")).as("n_docs"), sum(col("ds")).as("sum_chars"))
         .filter(col("n_docs") > 0)
         .orderBy(col("lang"))
+    },
+
+    // OPTIMIZE cadence under continuous ingest (SnapshotStore
+    // .autoOptimize — the operational loop the 64/256-segment read
+    // curves imply): four banded appends and two deletes, the policy
+    // (maxSegments=2, maxTombstones=1) checked after every commit —
+    // it must fire EXACTLY once (after the third append), folding the
+    // first tombstone into a z-compacted segment, and the final probe
+    // reads the mid-ingest store (compacted z-segment + two
+    // stats-carrying appends + one live tombstone) through
+    // readPrunedRange with files pruned. The oracle replays the MVCC
+    // temporal algebra blind to the store: the %7 delete predates
+    // bands 3-4 (hides only n_chars<150 rows), the %11 delete
+    // postdates everything.
+    Q("q196_snapshot_auto_optimize",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 11 <> 0
+        |  AND NOT (doc_id % 7 = 0 AND n_chars < 150)
+        |  AND n_chars BETWEEN 150 AND 260
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q196", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        var fired = 0
+        def auto(): Unit =
+          if (SnapshotStore.autoOptimize(s, r, maxSegments = 2,
+              maxTombstones = 1, zCols = Seq("n_chars", "doc_id"),
+              nFiles = 8,
+              statsCols = Seq("n_chars", "doc_id")).isDefined)
+            fired += 1
+        Seq(col("n_chars") < 100, col("n_chars").between(100, 149))
+          .foreach { band =>
+            SnapshotStore.commitAppend(docs.filter(band), r,
+              statsCols = Seq("n_chars")); auto()
+          }
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r); auto()
+        Seq(col("n_chars").between(150, 299), col("n_chars") >= 300)
+          .foreach { band =>
+            SnapshotStore.commitAppend(docs.filter(band), r,
+              statsCols = Seq("n_chars")); auto()
+          }
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+          "doc_id", r); auto()
+        require(fired == 1,
+          s"auto-optimize cadence drifted: fired $fired times, policy " +
+            s"implies exactly one compaction in this commit sequence")
+        ()
+      }
+      val scan = SnapshotStore.readPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("n_chars", 150L, 260L)))
+      require(scan.filesRead < scan.filesTotal,
+        s"cadence store stopped pruning: read ${scan.filesRead} of " +
+          s"${scan.filesTotal} files for a one-band probe")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -474,6 +474,36 @@ class SnapshotStoreSpec extends SparkSpecBase {
     scan.filesRead should be < scan.filesTotal
   }
 
+  test("autoOptimize: thresholds trigger exactly when crossed, content is preserved, read amplification stays bounded") {
+    val dir = freshDir("cadence")
+    val pop = (1L to 600L).map(i => (i, i % 17, s"row $i"))
+      .toDF("doc_id", "k", "text")
+    def auto() = SnapshotStore.autoOptimize(spark, dir,
+      maxSegments = 2, maxTombstones = 1,
+      zCols = Seq("doc_id"), nFiles = 4, statsCols = Seq("doc_id", "k"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 200), dir)
+    auto() shouldBe None // 1 segment — under threshold
+    SnapshotStore.commitAppend(
+      pop.filter(col("doc_id").between(201, 400)), dir)
+    auto() shouldBe None // 2 segments — at threshold, not over
+    SnapshotStore.commitDelete(Seq(5L).toDF("doc_id"), "doc_id", dir)
+    auto() shouldBe None // 1 tombstone — at threshold
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 400), dir)
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 1))
+    val v = auto() // 3 segments > 2 — compacts
+    v.isDefined shouldBe true
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((1, 0))
+    // content preserved, tombstone folded
+    SnapshotStore.read(spark, dir).count() shouldBe 599
+    // the compacted segment restores single-segment stats pruning
+    val scan = SnapshotStore.readPrunedLatest(spark, dir,
+      Seq(graft.ops.LayoutOps.ColRange("doc_id", 100L, 150L)))
+    scan.filesRead should be < scan.filesTotal
+    scan.df.count() shouldBe 51
+    // idle call after the compaction: one manifest read, no work
+    auto() shouldBe None
+  }
+
   test("commitDelete refuses an id column absent from the store's current schema") {
     val dir = freshDir("badkey")
     SnapshotStore.commitAppend(docs(1 to 5), dir)
