@@ -77,4 +77,48 @@ object TextOps {
     */
   def minShingleHash(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Sliding-window document chunking — the context-window
+    * preprocessing both RAG ingestion and pretraining-sequence prep
+    * run before anything else: each document becomes
+    * ⌈(n − window)/stride⌉ + 1 chunks (one, if n ≤ window) of up to
+    * `window` tokens starting every `stride` tokens, so consecutive
+    * chunks overlap by window − stride and every token is covered.
+    * Output: (id, chunk_idx, start_tok, n_tok, chunk_text), the
+    * provenance a retriever needs to cite back into the source.
+    * Chunk counts are pure integer arithmetic (floor-div), so a SQL
+    * oracle replays them exactly.
+    *
+    * Scale shape: a PURE MAP PASS — tokenize once (HOFs run
+    * interpreted with no CSE; the shared array feeds the count, the
+    * explode and every slice), no shuffle, no state; output rows ∝
+    * corpus tokens / stride. Stateless ⇒ the same call runs on an
+    * unbounded stream ([[graft.streaming.StreamingOps.chunkArrivals]]).
+    * `stride` > `window` is legal (gapped sampling — coverage drops
+    * by design); both must be ≥ 1.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"chunkTokens needs window >= 1 and stride >= 1, got ($window, $stride)")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__tl"))
+      .select(col(idCol), col("__tl"),
+        size(col("__tl")).cast("bigint").as("__n"))
+    // ⌈(n−w)/s⌉+1 chunks, capped so every start lands inside the doc
+    // (the cap only binds when stride > window — gapped sampling)
+    val nc = when(col("__n") <= window, lit(1L))
+      .otherwise(least(
+        expr(s"(__n - $window + ${stride - 1}) div $stride") + 1L,
+        expr(s"(__n - 1) div $stride") + 1L))
+    val start = col("chunk_idx") * stride
+    val end = least(start + window, col("__n")) // exclusive
+    toks
+      .select(col(idCol), col("__tl"), col("__n"),
+        explode(sequence(lit(0L), nc - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        start.as("start_tok"),
+        (end - start).as("n_tok"),
+        array_join(slice(col("__tl"), (start + 1L).cast("int"),
+          (end - start).cast("int")), " ").as("chunk_text"))
+  }
 }

@@ -2722,6 +2722,35 @@ object TextQueries {
           s"${scan.filesTotal} files for a one-band probe")
       scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sliding-window document chunking (TextOps.chunkTokens — the
+    // context-window preprocessing RAG ingestion and pretraining
+    // sequence prep share): window 32 tokens, stride 24 (8-token
+    // overlap), ⌈(n−w)/s⌉+1 chunks per doc with start/length
+    // provenance and the chunk text itself. Chunk counts are pure
+    // integer floor-div arithmetic — exact cross-engine — and the
+    // operator is one map pass (no shuffle; stateless, so the
+    // streaming twin chunkArrivals is the same call). (doc_id,
+    // chunk_idx) is the unique order key.
+    Q("q197_doc_chunking",
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tl FROM documents),
+         |c AS (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS n,
+         |        CASE WHEN len(tl) <= 32 THEN 1
+         |             ELSE least((len(tl) - 32 + 23) // 24 + 1,
+         |                        (len(tl) - 1) // 24 + 1) END AS nc
+         |      FROM d),
+         |x AS (SELECT doc_id, tl, n, unnest(generate_series(0, nc - 1)) AS i
+         |      FROM c)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * 24 AS BIGINT) AS start_tok,
+         |  CAST(least(i * 24 + 32, n) - i * 24 AS BIGINT) AS n_tok,
+         |  array_to_string(tl[i * 24 + 1 : least(i * 24 + 32, n)], ' ')
+         |    AS chunk_text
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 }

@@ -236,6 +236,19 @@ object StreamingOps {
     graft.ops.CorpusOps.decontaminateMapSide(
       stream, dict, idCol, textCol, k, threshold)
 
+  /** Streaming sliding-window chunking: each arriving document
+    * explodes into its overlapping token-window chunks with
+    * provenance — STATELESS (tokenize + integer arithmetic +
+    * explode, no state store, no watermark), so unbounded ingest is
+    * safe and the call IS the batch operator
+    * ([[graft.ops.TextOps.chunkTokens]], oracle-graded by q197) run
+    * on a stream — the online half of a RAG ingestion pipeline
+    * (chunk → embed → index-append).
+    */
+  def chunkArrivals(stream: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    graft.ops.TextOps.chunkTokens(stream, idCol, textCol, window, stride)
+
   /** The streaming corpus-prep pipeline END TO END — the online twin
     * of q145's batch composition (gate → decontaminate → pack), with
     * the scrub's sample and redaction stages folded in: arrivals flow

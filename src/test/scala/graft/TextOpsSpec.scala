@@ -50,4 +50,60 @@ class TextOpsSpec extends SparkSpecBase {
     r.getDouble(4) shouldBe (2.0 / 3.0)
     r.getDouble(5) shouldBe (9.0 / 3.0)
   }
+
+  test("chunkTokens: overlap, coverage, short docs, gapped stride, provenance slices") {
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val rows = TextOps.chunkTokens(
+        Seq((1L, doc), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: n=10, w=4, s=3 -> ceil(6/3)+1 = 3 chunks; starts 0,3,6;
+    // the last covers tokens 6..9 (4 tokens, exactly reaching the end)
+    rows.filter(_._1 == 1L).toSeq shouldBe Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10"))
+    // short doc: one chunk, whole text
+    rows.filter(_._1 == 2L).toSeq shouldBe Seq((2L, 0L, 0L, 2L, "a b"))
+    // every token position is covered when stride <= window
+    val covered = rows.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    covered shouldBe (0L until 10L).toSet
+    // a trailing partial chunk appears when the last start falls short
+    val partial = TextOps.chunkTokens(
+        Seq((3L, (1 to 9).map("x" + _).mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", window = 4, stride = 3)
+      .orderBy(col("chunk_idx")).collect()
+    partial.length shouldBe 3 // starts 0, 3, 6; last has 3 tokens
+    partial.last.getLong(3) shouldBe 3L
+    // gapped sampling (stride > window) is legal and skips tokens
+    val gapped = TextOps.chunkTokens(
+        Seq((4L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text", window = 2, stride = 5)
+      .orderBy(col("chunk_idx")).collect()
+      .map(r => (r.getLong(2), r.getString(4))).toSeq
+    gapped shouldBe Seq((0L, "t1 t2"), (5L, "t6 t7"))
+    // streaming twin is the same stateless call: stream ≡ batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.chunkArrivals(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .writeStream.format("memory").queryName("chunk_arrivals")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, doc))
+      in.addData((2L, "a b"))
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_arrivals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      streamed shouldBe rows.toSeq
+    } finally q.stop()
+  }
 }
