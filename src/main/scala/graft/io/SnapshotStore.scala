@@ -47,6 +47,38 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
+  /** A lost optimistic-concurrency race: the version this writer
+    * targeted was committed by someone else between its version
+    * listing and its manifest rename. The commit wrote only new
+    * directories, so nothing is corrupted — re-attempt on top of the
+    * new latest ([[withCommitRetry]] automates exactly that).
+    */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Bounded retry for the optimistic-concurrency writer model:
+    * re-runs `attempt` (which must RE-DERIVE its commit from the
+    * store's current state — every public commit face does, listing
+    * versions fresh per call) until it commits or `maxAttempts` races
+    * are lost, then rethrows the last conflict. Only conflicts retry;
+    * any other failure propagates immediately — a schema mismatch
+    * will not pass on attempt two. Orphan segments from lost attempts
+    * are invisible to readers (manifest-pinned listings) and
+    * collected by [[vacuum]]'s version-gated sweep.
+    */
+  def withCommitRetry(maxAttempts: Int = 5)(attempt: () => Int): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var last: CommitConflictException = null
+    (1 to maxAttempts).foreach { _ =>
+      try return attempt()
+      catch { case e: CommitConflictException => last = e }
+    }
+    throw new CommitConflictException(
+      s"commit lost $maxAttempts optimistic-concurrency races — " +
+        s"writer contention this high needs coordination upstream: " +
+        s"${last.getMessage}")
+  }
+
   private def hfs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -104,7 +136,7 @@ object SnapshotStore {
     val dst = new org.apache.hadoop.fs.Path(manifestDir(dir, v))
     def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {
       fs.delete(cleanup, true)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"snapshot commit conflict: version $v was committed concurrently " +
           s"at $dir — re-read and retry on top of the new latest")
     }

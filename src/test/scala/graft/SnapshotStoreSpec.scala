@@ -474,6 +474,52 @@ class SnapshotStoreSpec extends SparkSpecBase {
     scan.filesRead should be < scan.filesTotal
   }
 
+  test("withCommitRetry: lost races re-attempt on fresh state, non-conflicts propagate, the budget is loud") {
+    val dir = freshDir("retry")
+    SnapshotStore.commitAppend(docs(1 to 5), dir) // v1
+    // a writer that loses its first TWO races (a competitor publishes
+    // the version it targeted just before its own attempt runs), then
+    // wins: the retry must land its rows on top of the competitors'
+    var races = 0
+    val v = SnapshotStore.withCommitRetry() { () =>
+      if (races < 2) {
+        races += 1
+        // the competitor's commit — target version now taken
+        SnapshotStore.commitAppend(docs(100 to 100), dir)
+        val taken = SnapshotStore.versions(spark, dir).max
+        // this writer derived `taken` before the competitor landed:
+        // its manifest rename must conflict (driven through
+        // commitManifest — the public faces re-list per call)
+        SnapshotStore.commitManifest(spark, dir, taken, Seq(("seg", "x")))
+        fail("the stale rename must have conflicted")
+      }
+      SnapshotStore.commitAppend(docs(6 to 9), dir)
+    }
+    races shouldBe 2
+    v shouldBe 4 // v2/v3 were the competitors' commits
+    SnapshotStore.read(spark, dir).count() shouldBe 11 // 5 + 2 + 4
+    // a non-conflict failure propagates on the FIRST attempt
+    var attempts = 0
+    val drift = intercept[IllegalArgumentException] {
+      SnapshotStore.withCommitRetry() { () =>
+        attempts += 1
+        SnapshotStore.commitAppend(
+          Seq((1L, "x")).toDF("doc_id", "text"), dir)
+      }
+    }
+    drift.getMessage should include("schema mismatch")
+    attempts shouldBe 1
+    // exhausting the budget rethrows loudly
+    val lost = intercept[SnapshotStore.CommitConflictException] {
+      SnapshotStore.withCommitRetry(maxAttempts = 3) { () =>
+        SnapshotStore.commitManifest(spark, dir,
+          SnapshotStore.versions(spark, dir).max, Seq(("seg", "x")))
+        fail("must conflict")
+      }
+    }
+    lost.getMessage should include("lost 3 optimistic-concurrency races")
+  }
+
   test("autoOptimize: thresholds trigger exactly when crossed, content is preserved, read amplification stays bounded") {
     val dir = freshDir("cadence")
     val pop = (1L to 600L).map(i => (i, i % 17, s"row $i"))
