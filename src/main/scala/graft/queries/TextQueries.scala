@@ -99,8 +99,15 @@ object TextQueries {
     * documents survive.
     */
   private def bm25TopKOracle(docsWhere: String): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tl
-       |           FROM documents WHERE $docsWhere),
+    bm25TopKOracleFrom(
+      s"""SELECT doc_id, string_split(text, ' ') AS tl
+         |           FROM documents WHERE $docsWhere""".stripMargin)
+
+  /** The same BM25 chain over ANY (doc_id, tl) source CTE — q198
+    * feeds it the CHUNKED corpus (chunk-key ids).
+    */
+  private def bm25TopKOracleFrom(dSql: String): String =
+    s"""WITH d AS ($dSql),
        |dl AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl FROM d),
        |stats AS (SELECT count(*) AS n,
        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
@@ -2751,6 +2758,57 @@ object TextQueries {
       TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
           window = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // RAG retrieval end-to-end (the composition q197's chunker exists
+    // for): chunk the corpus (w=32/s=24), build the PERSISTED
+    // inverted index over the CHUNKS (chunk key = doc_id·100 +
+    // chunk_idx — chunk counts are ≤ ~30 at every SF), BM25-search it
+    // with q168's exact-decimal scoring, and return the top-20 CHUNKS
+    // with their provenance decoded back to (doc_id, chunk_idx) — the
+    // cite-back contract a retriever needs. Partition pruning,
+    // segment layout and scoring are all the graded q168 machinery;
+    // the oracle replays chunking + the shared BM25 chain over the
+    // chunk corpus, blind to the index.
+    Q("q198_chunk_retrieval", {
+      val chunkSrc =
+        """SELECT doc_id * 100 + i AS doc_id,
+          |       tl[i * 24 + 1 : least(i * 24 + 32, n)] AS tl
+          |FROM (SELECT doc_id, tl, n, unnest(generate_series(0, nc - 1)) AS i
+          |      FROM (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS n,
+          |              CASE WHEN len(tl) <= 32 THEN 1
+          |                   ELSE least((len(tl) - 32 + 23) // 24 + 1,
+          |                              (len(tl) - 1) // 24 + 1) END AS nc
+          |            FROM (SELECT doc_id, string_split(text, ' ') AS tl
+          |                  FROM documents)))""".stripMargin
+      s"""SELECT rank, doc_id // 100 AS doc_id, doc_id % 100 AS chunk_idx,
+         |  bm25, n_terms
+         |FROM (${bm25TopKOracleFrom(chunkSrc)})
+         |ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.TextIndexIO
+      val root = new java.io.File(
+        s"/tmp/graft_q198_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
+          stillValid = new java.io.File(root, "meta").isDirectory) {
+        graft.ops.StageMemo.wipe(root)
+        val chunks = TextOps.chunkTokens(t(s, dir, "documents"),
+            "doc_id", "text", window = 32, stride = 24)
+          .select((col("doc_id") * 100 + col("chunk_idx")).as("doc_id"),
+            col("chunk_text").as("text"))
+        TextIndexIO.writeTextIndex(chunks, "doc_id", "text",
+          buckets = 16, root.getAbsolutePath)
+        ()
+      }
+      val idx = TextIndexIO.readTextIndex(s, root.getAbsolutePath)
+      TextIndexIO.searchTextIndex(idx,
+          Seq("spark", "customer", "hash", "vector"), k = 20)
+        .select(col("rank"),
+          expr("doc_id div 100").as("doc_id"),
+          expr("doc_id % 100").as("chunk_idx"),
+          col("bm25"), col("n_terms"))
+        .orderBy(col("rank"))
     }
   )
 }
