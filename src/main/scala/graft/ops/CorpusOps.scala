@@ -492,6 +492,43 @@ object CorpusOps {
       .filter(col("bucket") < col("thr"))
   }
 
+  /** Temperature-scaled mixture sampling (the mT5/XLM-R α-sampling
+    * rule, realized as deterministic downsampling): target stratum
+    * shares q_s ∝ n_s^α, so the keep-rate is
+    * r_s = (n_min / n_s)^(1−α) — α=1 keeps the natural mixture
+    * (every rate 1), α=0 equalizes counts to ~n_min per stratum, and
+    * intermediate α damps the head strata while never UP-sampling
+    * (the smallest stratum is always kept whole, which pins the
+    * normalizer). Same machinery as [[mixtureRebalance]]: rates are
+    * derived IN the plan (k-row aggregate + one-row min, broadcast
+    * back), survival is the md5-bucket-below-quantized-threshold test
+    * — no RNG, no driver collect, reproducible across runs and
+    * layouts; kept sets grow monotonically with α (spec-pinned).
+    * Output: surviving rows plus `bucket` and the stratum `thr`.
+    */
+  def mixtureTemperature(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1] (1 = natural mixture, 0 = uniform), " +
+        s"got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min("__n").as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("__rate",
+        pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)))
+      .select(col(strataCol).as("__stratum"),
+        when(col("__rate") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(col("__rate") * 65536).cast("long"))), 4, "0"))
+          .as("thr"))
+    df.withColumn("bucket",
+        substring(md5(col(idCol).cast("string").cast("binary")), 1, 4))
+      .join(broadcast(rates), col(strataCol) <=> col("__stratum"))
+      .drop("__stratum")
+      .filter(col("bucket") < col("thr"))
+  }
+
   /** Deterministic hash-stratified sampling: keep a row iff the first
     * two hex digits of md5(idCol) sort below the stratum's threshold
     * (rate ≈ parseHex(threshold)/256). md5-derived buckets make the

@@ -2809,6 +2809,39 @@ object TextQueries {
           expr("doc_id % 100").as("chunk_idx"),
           col("bm25"), col("n_terms"))
         .orderBy(col("rank"))
+    },
+
+    // Temperature-scaled mixture sampling (mT5/XLM-R α-sampling,
+    // CorpusOps.mixtureTemperature): keep-rate (n_min/n_s)^(1−α) per
+    // source stratum — α=0.5 damps the head sources toward the tail
+    // without up-sampling (the smallest source keeps everything and
+    // pins the normalizer). Deterministic md5-bucket survival against
+    // the plan-derived quantized threshold, exactly q143's machinery
+    // with the temperature law in place of the uniform share; the
+    // oracle replays counts → pow → threshold → bucket compare.
+    Q("q199_mixture_temperature",
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1),
+         |m AS (SELECT CAST(MIN(n) AS BIGINT) AS nmin FROM c),
+         |r AS (SELECT lang,
+         |  CASE WHEN pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5)
+         |         >= 1.0 THEN 'g'
+         |  ELSE lpad(lower(to_hex(CAST(floor(
+         |    pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5) * 65536)
+         |    AS BIGINT))), 4, '0') END AS thr
+         |  FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.lang, d.bucket, r.thr
+         |FROM (SELECT doc_id, lang,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+         |  FROM documents) d
+         |JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+         |WHERE d.bucket < r.thr
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.mixtureTemperature(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
+        .orderBy(col("doc_id"))
     }
   )
 }

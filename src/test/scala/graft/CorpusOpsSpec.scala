@@ -212,6 +212,36 @@ class CorpusOpsSpec extends SparkSpecBase {
       r.getString(r.fieldIndex("bucket")) < r.getString(r.fieldIndex("thr"))))
   }
 
+  test("mixtureTemperature: alpha=1 natural, alpha=0 uniform, kept sets grow monotonically with alpha") {
+    val df = (0L until 320L)
+      .map(i => (i, if (i < 300) "big" else "small")).toDF("doc_id", "src")
+    def keptIds(alpha: Double): Set[Long] =
+      CorpusOps.mixtureTemperature(df, "doc_id", "src", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // alpha=1: the natural mixture — every rate 1, everything kept
+    keptIds(1.0).size shouldBe 320
+    // alpha=0: uniform counts — big downsamples toward n_min=20
+    val k0 = CorpusOps.mixtureTemperature(df, "doc_id", "src", 0.0)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    k0("small") shouldBe 20L // the smallest stratum is always whole
+    k0("big").toDouble should be(20.0 +- 12) // rate 20/300 of 300
+    // temperature monotonicity: raising alpha only ADDS rows (rates
+    // rise, thresholds rise, the bucket test is a prefix order)
+    val a3 = keptIds(0.3); val a7 = keptIds(0.7)
+    assert(a3.subsetOf(a7))
+    assert(a7.subsetOf(keptIds(1.0)))
+    // intermediate alpha lands between the extremes for the head
+    val k7 = CorpusOps.mixtureTemperature(df, "doc_id", "src", 0.7)
+      .filter(col("src") === "big").count()
+    k7 should be > k0("big")
+    k7 should be < 300L
+    // loud out-of-range alpha
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixtureTemperature(df, "doc_id", "src", 1.5)
+    }
+  }
+
   test("piiScan treats null text as empty for counts") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co"))
       .toDF("doc_id", "text")
