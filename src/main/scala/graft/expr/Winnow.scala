@@ -1,0 +1,114 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+
+/** Native Catalyst expression: WINNOWING fingerprint selection
+  * (Schleimer, Wilkerson, Aiken 2003 — the MOSS local fingerprinting
+  * scheme): over a document's k-gram hash sequence, slide a window of
+  * `w` hashes and select each window's LEFTMOST minimum; consecutive
+  * windows usually re-select the same hash, so selections dedupe to
+  * the (position, hash) fingerprint set. The guarantee that makes
+  * winnowing the standard local scheme: any shared substring of at
+  * least w + k − 1 tokens yields at least one IDENTICAL selected
+  * fingerprint in both documents (unlike a global MinHash, which only
+  * sketches whole-document similarity), at expected density
+  * 2/(w + 1).
+  *
+  * Leftmost-minimum is this implementation's tie rule (the paper uses
+  * rightmost; either satisfies the guarantee — what matters is both
+  * sides of a comparison agreeing), chosen because a SQL oracle
+  * replays it directly (`list_position(sub, list_min(sub))` returns
+  * the first occurrence).
+  *
+  * Why native: the composable form computes each window's min
+  * independently — O(m·w) interpreted higher-order-function work per
+  * document. This is the classic monotone-deque sliding minimum:
+  * O(m) total, one pass, codegen'd (the ShingleHashes/DictOverlap
+  * pattern). Fewer than w hashes winnow as one truncated window
+  * (shorter docs still fingerprint); an empty hash sequence selects
+  * nothing.
+  */
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow requires array<string> hashes, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = Winnow.schema
+  override def prettyName: String = "winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Winnow.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", StringType, nullable = false))), containsNull = false)
+
+  /** Codegen entry point (named `compute`, never `eval` — see
+    * [[FloatDot.compute]] on static-forwarder suppression): monotone
+    * deque sliding minimum with leftmost tie-keeping — pop the back
+    * only while STRICTLY greater, so among equal hashes the earliest
+    * index survives at the front.
+    */
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    def hash(i: Int) = {
+      val v = arr.getUTF8String(i)
+      if (v == null) throw new IllegalArgumentException(
+        s"winnow: null hash at position $i — k-gram hash sequences " +
+          "must be dense")
+      v
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1L
+    def select(p: Int): Unit = if (p.toLong != lastPos) {
+      lastPos = p.toLong
+      out += new GenericInternalRow(Array[Any](p.toLong, hash(p).copy()))
+    }
+    if (m < w) {
+      var best = 0
+      var i = 1
+      while (i < m) { if (hash(i).compareTo(hash(best)) < 0) best = i; i += 1 }
+      select(best)
+    } else {
+      val deque = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < m) {
+        while (!deque.isEmpty && hash(deque.peekLast).compareTo(hash(j)) > 0)
+          deque.pollLast()
+        deque.addLast(j)
+        if (deque.peekFirst <= j - w) deque.pollFirst()
+        if (j >= w - 1) select(deque.peekFirst)
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column form: the deduped (pos, h) winnowing selections of a hash
+    * array.
+    */
+  def winnow(hashes: Column, w: Int): Column =
+    ColumnBridge.column(Winnow(ColumnBridge.expression(hashes), w))
+}

@@ -2842,6 +2842,35 @@ object TextQueries {
           "doc_id", "lang", alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("bucket"), col("thr"))
         .orderBy(col("doc_id"))
+    },
+
+    // Winnowing fingerprint selection (Schleimer et al. 2003 — the
+    // MOSS local fingerprinting scheme, TextOps.winnowFingerprints
+    // over the native O(m) expr/Winnow deque): k=3-gram md5 hashes,
+    // w=4 windows, each window's LEFTMOST minimum selected,
+    // consecutive re-selections deduped — guaranteeing any shared
+    // ≥ w+k−1-token run between two documents yields an identical
+    // fingerprint in both (the near-dup EVIDENCE localizer, vs
+    // q46's whole-doc 1-perm MinHash). The oracle replays per-window
+    // leftmost minima (list_position of list_min) with DISTINCT —
+    // equivalent to consecutive dedupe because selections are
+    // non-decreasing in pos. (doc_id, pos) is the unique order key.
+    Q("q200_winnow_fingerprints",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |sel AS (SELECT doc_id,
+         |    CAST(i - 1 + list_position(hs[i : least(i + 3, m)],
+         |      list_min(hs[i : least(i + 3, m)])) - 1 AS BIGINT) AS pos,
+         |    list_min(hs[i : least(i + 3, m)]) AS fingerprint
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h))
+         |SELECT DISTINCT doc_id, pos, fingerprint FROM sel
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))
     }
   )
 }

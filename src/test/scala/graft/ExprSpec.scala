@@ -125,6 +125,72 @@ class ExprSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow: deque sliding min equals the brute-force windows, leftmost ties, shared-run guarantee, codegen no-fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.expr.Winnow
+      def run(hs: Seq[String], w: Int): Seq[(Long, String)] =
+        Seq(Tuple1(hs)).toDF("hs")
+          .select(explode(Winnow.winnow(col("hs"), w)).as("s"))
+          .select(col("s.pos"), col("s.h"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // brute force: per-window leftmost min, consecutive dedupe
+      def brute(hs: Seq[String], w: Int): Seq[(Long, String)] = {
+        if (hs.isEmpty) Seq.empty
+        else {
+          val wins =
+            if (hs.size < w) Seq(hs.indices)
+            else (0 to hs.size - w).map(i => i until i + w)
+          wins.map { r =>
+            val p = r.minBy(hs) // minBy keeps the FIRST minimum
+            (p.toLong, hs(p))
+          }.foldLeft(Vector.empty[(Long, String)]) {
+            case (acc, s) if acc.lastOption.contains(s) => acc
+            case (acc, s) => acc :+ s
+          }
+        }
+      }
+      // deterministic pseudo-random hash sequences of many lengths
+      (0 to 40).foreach { n =>
+        val hs = (0 until n).map(i =>
+          f"${(i * 2654435761L + n * 97) % 89}%02d")
+        Seq(1, 3, 4, 7).foreach { w =>
+          run(hs, w) shouldBe brute(hs, w)
+        }
+      }
+      // leftmost tie: equal minima select the EARLIEST position once
+      run(Seq("b", "a", "a", "c"), 3) shouldBe Seq((1L, "a"))
+      // truncated window: fewer hashes than w still fingerprint
+      run(Seq("c", "a", "b"), 9) shouldBe Seq((1L, "a"))
+      run(Seq.empty, 4) shouldBe Seq.empty
+      // the winnowing GUARANTEE: two docs sharing a ≥ w+k−1-token run
+      // select an identical fingerprint inside the shared run
+      val shared = "q w e r t y u i o p"
+      val docs = Seq((1L, s"a b c $shared"), (2L, s"$shared x y z"))
+        .toDF("doc_id", "text")
+      val fps = graft.ops.TextOps
+        .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+        .collect().map(r => r.getLong(0) -> r.getString(2))
+      val common = fps.filter(_._1 == 1L).map(_._2).toSet
+        .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+      common should not be empty
+      // null input array -> null; a null ELEMENT is loud
+      Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("hs")
+        .select(Winnow.winnow(col("hs"), 4)).head().isNullAt(0) shouldBe true
+      val boom = intercept[org.apache.spark.SparkException] {
+        Seq(Tuple1(Seq("a", null, "b"))).toDF("hs")
+          .select(explode(Winnow.winnow(col("hs"), 2))).collect()
+      }
+      boom.getMessage should include("null hash")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("bloomProbe: broadcast-shipped filter, no false negatives, codegen no-fallback") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")

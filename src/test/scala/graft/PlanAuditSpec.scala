@@ -110,6 +110,31 @@ class PlanAuditSpec extends SparkSpecBase {
     plan should not include "Join"
   }
 
+  test("document chunking is one map pass — no exchange beyond the output order") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // tokenize + integer chunk arithmetic + explode + slices: nothing
+    // aggregates, nothing joins — the ONLY exchange is the ORDER BY's
+    val plan = SparkEntry.queries("q197_doc_chunking")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    "Exchange ".r.findAllIn(plan).length shouldBe 1
+    plan should include("Exchange rangepartitioning")
+    plan should not include "HashAggregate"
+    plan should not include "Join"
+  }
+
+  test("temperature mixture joins only the broadcast rate table — the corpus never hash-shuffles") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // rates derive from a k-row aggregate + 1-row min; the corpus
+    // side streams through a broadcast join and the bucket filter —
+    // its only exchange is the final ORDER BY (the aggregate's own
+    // exchange moves k rows, not the corpus)
+    val plan = SparkEntry.queries("q199_mixture_temperature")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    "Exchange rangepartitioning".r.findAllIn(plan).length shouldBe 1
+  }
+
   test("studyStatsWide with explicit pivot values runs zero jobs at plan build") {
     import org.apache.spark.sql.functions.{col, lit}
     // an unvalued pivot() runs a driver-side distinct JOB at plan time;
