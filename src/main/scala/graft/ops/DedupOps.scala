@@ -539,6 +539,49 @@ object DedupOps {
           .as("coverage_ppm"))
   }
 
+  /** Winnowing-based near-dup candidates (the MOSS matching step over
+    * [[graft.ops.TextOps.winnowFingerprints]]): documents sharing at
+    * least `minShared` DISTINCT selected fingerprints become a
+    * candidate pair, with the shared count as the evidence strength —
+    * by the winnowing guarantee, every shared ≥ w+k−1-token run
+    * contributes at least one shared fingerprint, so candidates
+    * surface from LOCAL overlap (a copied paragraph) that whole-doc
+    * MinHash dilutes away.
+    *
+    * Scale shape: the LSH-band discipline — one equi-join on the
+    * fingerprint (bucket join, never all-pairs), fingerprints first
+    * deduped per doc and then DF-FILTERED: a fingerprint selected by
+    * more than `maxDf` documents is boilerplate (license headers,
+    * templates) and would create an O(df²) hot bucket, so it is
+    * dropped from pair generation exactly like stop-shingles
+    * (candidates lose only pairs whose EVERY shared fingerprint is
+    * boilerplate — the verify-stage cosine/Jaccard re-check is the
+    * caller's next step, as in the banded pipeline).
+    */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf < 2 drops every shareable fingerprint, got $maxDf")
+    val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fingerprint").as("__h"))
+      .distinct()
+      .transform(Checkpoints.cut(_, eager = true)) // both join sides + DF
+    val keep = fps.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__h"))
+    val shared = fps.join(keep, Seq("__h"))
+    val l = shared.select(col("__id").as("id1"), col("__h"))
+    val r = shared.select(col("__id").as("id2"), col("__h"))
+    val out = l.join(r, Seq("__h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    fps.unpersist()
+    out
+  }
+
   def simhash16(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val perTokenBits = transform(toks, t => {

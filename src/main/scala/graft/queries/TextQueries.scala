@@ -2871,6 +2871,35 @@ object TextQueries {
       TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
           k = 3, w = 4)
         .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // Winnowing near-dup candidates (the MOSS matching step — q200's
+    // consumer): docs sharing ≥ 2 distinct selected fingerprints pair
+    // up with the shared count as evidence strength; fingerprints
+    // selected by > 64 docs are boilerplate and drop before the
+    // bucket join (the stop-shingle discipline — never an O(df²) hot
+    // bucket). One equi-join on the fingerprint, never all-pairs.
+    // The oracle replays winnowing, the distinct per-doc fingerprint
+    // sets, the DF filter and the pair count.
+    Q("q201_winnow_candidates",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    list_min(hs[i : least(i + 3, m)]) AS h
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h)),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+         |fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h))
+         |SELECT l.doc_id AS id1, r.doc_id AS id2,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fk l JOIN fk r ON l.h = r.h AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.winnowCandidates(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L, maxDf = 64L)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 }

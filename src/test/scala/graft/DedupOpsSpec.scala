@@ -193,6 +193,31 @@ class DedupOpsSpec extends SparkSpecBase {
     p2.keySet shouldBe p1.keySet // one row per corpus id, both forms
   }
 
+  test("winnowCandidates: a copied paragraph pairs up; boilerplate fingerprints drop before the join") {
+    val para = (1 to 12).map(i => s"p$i").mkString(" ") // 12 shared tokens
+    val boiler = "copyright header for every file" // in EVERY doc
+    val corpus = Seq(
+      (1L, s"$boiler alpha beta $para"),
+      (2L, s"$boiler $para gamma delta"),
+      (3L, s"$boiler unrelated text entirely different words here"),
+      (4L, s"$boiler nothing shared with any other document at all"))
+      .toDF("doc_id", "text")
+    // maxDf=2: the boilerplate's fingerprints appear in all 4 docs and
+    // must drop; the copied paragraph (≥ w+k−1 = 6 shared tokens)
+    // guarantees shared fingerprints between 1 and 2 only
+    val out = DedupOps.winnowCandidates(corpus, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out should contain((1L, 2L))
+    // no pair is justified ONLY by boilerplate
+    out.foreach { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) shouldBe true }
+    // with the DF filter loosened the boilerplate pairs everything
+    val loose = DedupOps.winnowCandidates(corpus, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L, maxDf = 64L)
+      .count()
+    loose shouldBe 6L // all C(4,2) pairs share the header
+  }
+
   test("dupSpanCoverage: corpus-wide window counts, interval union, ppm") {
     val corpus = Seq(
       (1L, "a b c d e"),     // ab bc shared with doc 2 -> tokens 0..2
