@@ -576,24 +576,13 @@ object SnapshotStore {
     // back to a full driver listing (no job).
     val kept = scala.collection.mutable.Map.empty[String, Seq[String]]
     var filesTotal = 0
-    statsOf.groupBy(_._2).foreach { case (cols, group) =>
-      val usable = ranges.filter(rg => cols.contains(rg.col))
-      val statsDirs = group.keys.toSeq.sorted.map { seg =>
-        if (seg.endsWith("/data"))
-          s"$dir/${seg.stripSuffix("/data")}/_stats"
-        else s"$dir/$seg/_stats"
-      }
-      val statRows = spark.read.parquet(statsDirs: _*).collect()
-      filesTotal += statRows.length
-      val bySeg = statRows
-        .filter(LayoutOps.keepFile(_, usable))
+    segStatRows(spark, dir, statsOf).foreach { case (seg, (rows, have)) =>
+      val usable = ranges.filter(rg =>
+        have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
+      filesTotal += rows.length
+      val fls = rows.filter(LayoutOps.keepFile(_, usable))
         .map(r => LayoutOps.decodeStatFile(r.getAs[String]("file")))
-        .groupBy { f =>
-          group.keys.find(seg => f.contains(s"/$seg/"))
-            .getOrElse(throw new IllegalStateException(
-              s"sidecar names a file outside its segments: $f"))
-        }
-      bySeg.foreach { case (seg, fls) => kept(seg) = fls.toSeq }
+      if (fls.nonEmpty) kept(seg) = fls
     }
     segs.filterNot(statsOf.contains).foreach { seg =>
       val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
@@ -783,6 +772,119 @@ object SnapshotStore {
     val (segs, tombs) = segmentCounts(spark, dir)
     if (segs <= maxSegments && tombs <= maxTombstones) None
     else Some(compactZordered(spark, dir, zCols, nFiles, statsCols))
+  }
+
+  /** Collected per-commit sidecars for the stats-bearing segments of
+    * one manifest: segment → (its sidecar rows, the sidecar's column
+    * set), ONE collect per distinct recorded column set — flat driver
+    * cost at any segment count. Row→segment attribution is by file
+    * path containment.
+    */
+  private def segStatRows(spark: SparkSession, dir: String,
+      statsOf: Map[String, Seq[String]])
+      : Seq[(String, (Seq[org.apache.spark.sql.Row], Set[String]))] = {
+    val out = scala.collection.mutable.Map.empty[String,
+      (scala.collection.mutable.Buffer[org.apache.spark.sql.Row], Set[String])]
+    statsOf.groupBy(_._2).foreach { case (_, group) =>
+      val groupSegs = group.keys.toSeq.sorted
+      val statsDirs = groupSegs.map { seg =>
+        if (seg.endsWith("/data"))
+          s"$dir/${seg.stripSuffix("/data")}/_stats"
+        else s"$dir/$seg/_stats"
+      }
+      val sdf = spark.read.parquet(statsDirs: _*)
+      val have = sdf.schema.fieldNames.toSet
+      groupSegs.foreach(seg => out(seg) =
+        (scala.collection.mutable.Buffer.empty, have))
+      sdf.collect().foreach { r =>
+        val f = graft.ops.LayoutOps.decodeStatFile(r.getAs[String]("file"))
+        val seg = groupSegs.find(sg => f.contains(s"/$sg/"))
+          .getOrElse(throw new IllegalStateException(
+            s"sidecar names a file outside its segments: $f"))
+        out(seg)._1 += r
+      }
+    }
+    out.toSeq.map { case (seg, (b, h)) => seg -> ((b.toSeq, h)) }
+  }
+
+  /** A metadata-answered range COUNT: how many rows satisfy the
+    * conjunction of ranges, reading ONLY boundary files. Files whose
+    * sidecar proves containment (min/max inside the range, zero
+    * nulls) contribute their recorded `n_rows` without being opened
+    * — the Delta/Iceberg stats-answered `count(*)`; files that merely
+    * OVERLAP are scanned with the residual filter; disjoint files are
+    * skipped. Valid on tombstone-free views only (loud otherwise — a
+    * tombstone hides ids, which no range metadata can count; compact
+    * first, or count `readPrunedRange(...).df`). Returns the count
+    * plus the evidence split (files scanned / answered from metadata
+    * / total).
+    */
+  final case class CountScan(count: Long, filesScanned: Int,
+      filesMetaAnswered: Int, filesTotal: Int)
+
+  def countPrunedRange(spark: SparkSession, dir: String,
+      ranges: Seq[graft.ops.LayoutOps.ColRange],
+      version: Option[Int] = None): CountScan = {
+    import graft.ops.LayoutOps
+    require(ranges.nonEmpty, "countPrunedRange needs at least one range")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"snapshot version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val rows = readManifestRows(spark, dir, v)
+    val segs = rows.collect { case ("seg", p) => p }
+    require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    val tombs = rows.collect { case ("tomb", p) => p }
+    require(tombs.isEmpty,
+      s"countPrunedRange: v$v at $dir carries ${tombs.length} " +
+        s"tombstone(s) — hidden ids defeat range metadata; compact " +
+        s"first, or count readPrunedRange(...).df")
+    val statsOf: Map[String, Seq[String]] = rows.collect {
+      case ("stats", s) => parseStatsRow(s)
+    }.toMap
+    val evolved = rows.exists(_._1 == "evo")
+    val residual = LayoutOps.residualFilter(ranges)
+    val fs = hfs(spark, dir)
+    var meta = 0L
+    var metaFiles = 0
+    var filesTotal = 0
+    val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
+    segStatRows(spark, dir, statsOf).foreach { case (seg, (srows, have)) =>
+      val usable = ranges.filter(rg =>
+        have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
+      filesTotal += srows.length
+      val toScan = scala.collection.mutable.Buffer.empty[String]
+      srows.foreach { r =>
+        if (have.contains("n_rows") &&
+            LayoutOps.containedFile(r, ranges, have)) {
+          meta += r.getAs[Long]("n_rows"); metaFiles += 1
+        } else if (LayoutOps.keepFile(r, usable))
+          toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
+      }
+      if (toScan.nonEmpty) scan(seg) = toScan.toSeq
+    }
+    segs.filterNot(statsOf.contains).foreach { seg =>
+      val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
+        .toSeq.map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString)
+      filesTotal += all.size
+      if (all.nonEmpty) scan(seg) = all
+    }
+    def countOf(files: Seq[String]): Long = {
+      val f = spark.read.parquet(files: _*)
+      // evolution can omit a probe column: null never sits in a range
+      if (ranges.exists(rg => !f.columns.contains(rg.col))) 0L
+      else f.where(residual).count()
+    }
+    val scannedFiles = scan.values.map(_.size).sum
+    val scanned =
+      if (scan.isEmpty) 0L
+      else if (!evolved) countOf(scan.values.flatten.toSeq)
+      else scan.values.map(countOf).sum // per segment: single-schema reads
+    CountScan(meta + scanned, scannedFiles, metaFiles, filesTotal)
   }
 
   /** Version-cursor change-feed processing — the MAINTENANCE face

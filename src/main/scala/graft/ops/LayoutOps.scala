@@ -140,10 +140,16 @@ object LayoutOps {
     // min/max persist in the COLUMN'S OWN TYPE (long, double, string,
     // date, timestamp) — the sidecar compare and the residual filter
     // are typed end-to-end, so reference-shaped probes (ship-date
-    // ranges, key prefixes) skip files too
+    // ranges, key prefixes) skip files too. n_rows + per-column null
+    // counts ride along: a file whose min/max lie INSIDE a probe
+    // range with zero nulls is answerable from metadata alone (the
+    // Delta/Iceberg stats-answered COUNT —
+    // [[graft.io.SnapshotStore.countPrunedRange]]).
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c")))
+      max(col(c)).as(s"max_$c"),
+      count(when(col(c).isNull, 1)).as(s"nulls_$c"))) :+
+      count(lit(1)).as("n_rows")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -261,4 +267,21 @@ object LayoutOps {
     * stats rows themselves (the snapshot store's grouped prune).
     */
   private[graft] def decodeStatFile(f: String): String = decodeFileUri(f)
+
+  /** One sidecar row vs a conjunction of ranges: do ALL the file's
+    * rows satisfy them? Requires the sidecar to carry the column's
+    * min/max AND null count (zero — a null row fails an inclusive
+    * range, so a file with nulls is never fully contained). A
+    * contained file's contribution to `count(*)` is its `n_rows`
+    * metadata — no read.
+    */
+  private[graft] def containedFile(r: org.apache.spark.sql.Row,
+      ranges: Seq[ColRange], have: Set[String]): Boolean =
+    ranges.forall { rg =>
+      have.contains(s"min_${rg.col}") && have.contains(s"nulls_${rg.col}") &&
+        !r.isNullAt(r.fieldIndex(s"min_${rg.col}")) &&
+        r.getAs[Long](s"nulls_${rg.col}") == 0L &&
+        cmpStat(r.getAs[Any](s"min_${rg.col}"), rg.lo, rg.col) >= 0 &&
+        cmpStat(r.getAs[Any](s"max_${rg.col}"), rg.hi, rg.col) <= 0
+    }
 }

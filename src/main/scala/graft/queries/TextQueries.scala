@@ -2900,6 +2900,45 @@ object TextQueries {
       DedupOps.winnowCandidates(t(s, dir, "documents"), "doc_id", "text",
           k = 3, w = 4, minShared = 2L, maxDf = 64L)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // Metadata-answered COUNT on the snapshot store (the Delta/
+    // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
+    // over the n_rows + per-column null counts every per-commit
+    // sidecar now records): four range-sorted banded ingests, then a
+    // range count that opens ONLY boundary files — files whose
+    // sidecar proves containment (min/max inside, zero nulls)
+    // contribute their recorded n_rows unopened, disjoint files skip,
+    // and the driver gates fail the grade if metadata ever stops
+    // answering or boundary scanning stops pruning. The oracle is the
+    // raw count, blind to the store.
+    Q("q202_snapshot_meta_count",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |WHERE n_chars BETWEEN 160 AND 260""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q202", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(
+            docs.filter(band).repartitionByRange(4, col("n_chars")), r,
+            statsCols = Seq("n_chars")))
+        ()
+      }
+      val cs = SnapshotStore.countPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("n_chars", 160L, 260L)))
+      require(cs.filesMetaAnswered > 0,
+        s"metadata stopped answering: 0 of ${cs.filesTotal} files " +
+          s"proved containment for a mid-band probe over range-sorted " +
+          s"ingests")
+      require(cs.filesScanned < cs.filesTotal,
+        s"boundary scan stopped pruning: opened ${cs.filesScanned} of " +
+          s"${cs.filesTotal} files")
+      Seq(cs.count).toDF("n_docs")
     }
   )
 }

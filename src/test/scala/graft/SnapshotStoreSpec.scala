@@ -474,6 +474,52 @@ class SnapshotStoreSpec extends SparkSpecBase {
     scan.filesRead should be < scan.filesTotal
   }
 
+  test("countPrunedRange: contained files answer from metadata, boundary files scan, nulls and tombstones guard") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("metacount")
+    val pop = (1L to 800L).map(i => (i, s"row $i")).toDF("doc_id", "text")
+    // range-sorted commits so middle files are CONTAINED in the probe
+    SnapshotStore.commitAppend(
+      pop.filter(col("doc_id") <= 400).repartitionByRange(4, col("doc_id")),
+      dir, statsCols = Seq("doc_id"))
+    SnapshotStore.commitAppend(
+      pop.filter(col("doc_id") > 400).repartitionByRange(4, col("doc_id")),
+      dir, statsCols = Seq("doc_id"))
+    val cs = SnapshotStore.countPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 500L)))
+    cs.count shouldBe 401L
+    cs.filesMetaAnswered should be > 0 // middle files never opened
+    cs.filesScanned should be < cs.filesTotal
+    // exact vs the row-reading twin, and the metadata answers are a
+    // strict subset of the files the row reader would touch
+    val rs = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 500L)))
+    rs.df.count() shouldBe cs.count
+    cs.filesScanned should be < rs.filesRead
+
+    // a file with NULLS in the probe column is never metadata-answered
+    // (null fails an inclusive range, so n_rows would overcount)
+    val nullDir = freshDir("metanull")
+    SnapshotStore.commitAppend(
+      (Seq[Option[Long]](Some(5L), None, Some(7L)))
+        .toDF("doc_id").coalesce(1), nullDir, statsCols = Seq("doc_id"))
+    val ns = SnapshotStore.countPrunedRange(spark, nullDir,
+      Seq(LayoutOps.ColRange("doc_id", 0L, 100L)))
+    ns.count shouldBe 2L
+    ns.filesMetaAnswered shouldBe 0 // scanned, not trusted
+    // tombstones defeat range metadata: loud, with the escape hatch
+    SnapshotStore.commitDelete(Seq(5L).toDF("doc_id"), "doc_id", nullDir)
+    val tomb = intercept[IllegalArgumentException] {
+      SnapshotStore.countPrunedRange(spark, nullDir,
+        Seq(LayoutOps.ColRange("doc_id", 0L, 100L)))
+    }
+    tomb.getMessage should include("compact first")
+    // post-compact the count answers again (tombstone folded)
+    SnapshotStore.compact(spark, nullDir)
+    SnapshotStore.countPrunedRange(spark, nullDir,
+      Seq(LayoutOps.ColRange("doc_id", 0L, 100L))).count shouldBe 1L
+  }
+
   test("withCommitRetry: lost races re-attempt on fresh state, non-conflicts propagate, the budget is loud") {
     val dir = freshDir("retry")
     SnapshotStore.commitAppend(docs(1 to 5), dir) // v1
