@@ -893,11 +893,15 @@ object SnapshotStore {
     * changes from the persisted cursor to the latest committed
     * version, hands them to `f` as ONE batch (insert rows + delete
     * preimages, the `_change` column), and only THEN advances the
-    * cursor — so a crash between `f` and the advance replays the same
-    * range on restart (at-least-once). EXACTLY-ONCE composes the same
-    * way the streaming sink gets it: have `f` commit its output
-    * through [[commitStreamBatch]] with `batchId = toV` — a replayed
-    * range re-offers the same batch id and no-ops. A missing cursor
+    * cursor. The range is WRITE-AHEAD PINNED in an intent file before
+    * `f` runs, so a crash anywhere replays the SAME (fromV, toV] on
+    * restart — never a recomputed wider range, which would fold the
+    * already-committed prefix under a NEW batch id and double-apply
+    * it if ingest committed between the crash and the replay.
+    * EXACTLY-ONCE therefore composes the same way the streaming sink
+    * gets it: have `f` commit its output through [[commitStreamBatch]]
+    * with `batchId = toV` — the pinned replay re-offers the same
+    * batch id and no-ops. A missing cursor
     * file starts from `baseline` (the version the caller's base state
     * was computed at). Returns the processed (fromV, toV), or None
     * when already caught up.
@@ -911,35 +915,50 @@ object SnapshotStore {
       baseline: Int)(f: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
     val fs = hfs(spark, cursorPath)
     val cp = new org.apache.hadoop.fs.Path(cursorPath)
-    val cur =
-      if (!fs.exists(cp)) baseline
-      else {
-        val in = fs.open(cp)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
-      }
+    val ip = new org.apache.hadoop.fs.Path(s"$cursorPath.intent")
+    def readFile(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    def writeFile(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$p.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"processChanges: could not write $p")
+    }
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"processChanges: no committed snapshot at $dir")
-    val latest = vs.max
-    if (latest <= cur) None
-    else {
-      f(readChanges(spark, dir, cur, latest), cur, latest)
-      // advance AFTER f: tmp + rename-into-place (a crash mid-advance
-      // at worst loses the cursor — the replay falls back to baseline
-      // and f's idempotence absorbs it)
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$cursorPath.tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(latest.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (fs.exists(cp)) fs.delete(cp, false)
-      require(fs.rename(tmp, cp),
-        s"processChanges: could not advance the cursor at $cursorPath")
-      Some((cur, latest))
-    }
+    // a persisted INTENT pins a crashed call's exact range, and the
+    // replay re-offers it VERBATIM — never a recomputed wider one.
+    // This is what makes the batchId = toV recipe exactly-once: if a
+    // new ingest commit lands between the crash and the replay, a
+    // recomputed (fromV, newLatest] range would reach f under a NEW
+    // batch id and silently re-apply the already-committed prefix.
+    // Write order: intent → f → cursor advance → intent delete; every
+    // crash point replays the same pinned range, which f's idempotent
+    // commit absorbs.
+    val (fromV, toV) =
+      if (fs.exists(ip)) {
+        val Array(a, b) = readFile(ip).split(" ")
+        (a.toInt, b.toInt)
+      } else {
+        val cur = if (fs.exists(cp)) readFile(cp).toInt else baseline
+        val latest = vs.max
+        if (latest <= cur) return None
+        writeFile(ip, s"$cur $latest")
+        (cur, latest)
+      }
+    f(readChanges(spark, dir, fromV, toV), fromV, toV)
+    writeFile(cp, toV.toString)
+    fs.delete(ip, false)
+    Some((fromV, toV))
   }
 
   /** Atomic UPSERT (the Delta MERGE whole-row form): ONE committed
@@ -1023,10 +1042,17 @@ object SnapshotStore {
     // with the stats sidecar beside it — dropping the parent would
     // destroy a referenced segment); an UNREACHABLE dir is collected
     // only when its encoded version is ≤ the committed max (the
-    // in-flight-writer gate — see the scaladoc)
+    // in-flight-writer gate — see the scaladoc). A dir whose name
+    // does not parse at all cannot be an in-flight commit (the store
+    // never writes such names), so it collects as plain junk — the
+    // pre-gate behavior; a maintenance sweep must not crash on a
+    // foreign leftover.
+    def inFlight(c: String): Boolean =
+      c.substring(c.indexOf('/') + 2).takeWhile(_.isDigit)
+        .toIntOption.exists(_ > vs.max)
     val dropData = (children("seg") ++ children("tomb"))
       .filterNot(c => reachable.exists(r => r == c || r.startsWith(c + "/")))
-      .filter(c => pathVersion(c) <= vs.max)
+      .filterNot(inFlight)
     val dropManifests = vs.filter(_ < keepFrom)
       .map(v => f"manifest/v$v%06d")
     (dropData ++ dropManifests).map { rel =>

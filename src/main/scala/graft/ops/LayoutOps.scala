@@ -204,8 +204,7 @@ object LayoutOps {
   def readPruned(spark: SparkSession, dir: String,
       ranges: Seq[ColRange]): PrunedScan = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val (kept, total) = pruneFiles(spark, s"$dir/_stats", ranges,
-      strict = true)
+    val (kept, total) = pruneFiles(spark, s"$dir/_stats", ranges)
     val residual = residualFilter(ranges)
     val df =
       if (kept.isEmpty)
@@ -225,28 +224,28 @@ object LayoutOps {
     .map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi)))
     .reduce(_ && _)
 
-  /** Driver-side sidecar evaluation: (surviving file paths, total
-    * files). The sidecar is files-sized by construction — KBs per
-    * thousand files — so the collect is the cheap half of skipping.
-    * `strict = true` (the layout roots, whose sidecars are written
-    * with the caller's own statsCols) fails loudly on a range column
-    * the sidecar doesn't record; `strict = false` (the snapshot
-    * store's per-commit sidecars, where different commits may have
-    * recorded different column sets) prunes on the recorded subset
-    * and keeps every file for the rest — conservative, never wrong.
+  /** Driver-side sidecar evaluation for a LAYOUT ROOT: (surviving
+    * file paths, total files). The sidecar is files-sized by
+    * construction — KBs per thousand files — so the collect is the
+    * cheap half of skipping. A range column the sidecar doesn't
+    * record fails loudly (the root's sidecar was written with the
+    * caller's own statsCols, so a miss is a bug, not a fallback; the
+    * snapshot store's per-commit sidecars, where recorded column sets
+    * legitimately vary, prune on the recorded subset via
+    * [[keepFile]] directly).
     */
   private[graft] def pruneFiles(spark: SparkSession, statsDir: String,
-      ranges: Seq[ColRange], strict: Boolean): (Seq[String], Int) = {
+      ranges: Seq[ColRange]): (Seq[String], Int) = {
     val sdf = spark.read.parquet(statsDir)
     val have = sdf.schema.fieldNames.toSet
     val stats = sdf.collect()
-    val usable = ranges.filter(rg =>
-      have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
-    if (strict) require(usable.size == ranges.size,
+    val missing = ranges.map(_.col)
+      .filterNot(c => have.contains(s"min_$c") && have.contains(s"max_$c"))
+    require(missing.isEmpty,
       s"readPruned: sidecar at $statsDir lacks stats for " +
-        s"${ranges.map(_.col).diff(usable.map(_.col)).mkString(",")} — " +
-        s"recorded columns drive pruning; re-write with those statsCols")
-    val kept = stats.filter(keepFile(_, usable))
+        s"${missing.mkString(",")} — recorded columns drive pruning; " +
+        s"re-write with those statsCols")
+    val kept = stats.filter(keepFile(_, ranges))
       .map(r => decodeFileUri(r.getAs[String]("file"))).toSeq
     (kept, stats.length)
   }

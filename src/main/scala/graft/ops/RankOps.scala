@@ -334,52 +334,93 @@ object RankOps {
     */
   def trainLinearProbe(df: DataFrame, features: Seq[String],
       labelCol: String, lr: Double, rounds: Int): Array[Double] =
-    // residual = w·x − y in double, the product rounded once to
-    // DECIMAL(25,18) (the q126/q171 exact-sum discipline)
+    // residual = w·x − y in double, each product rounded once to
+    // DECIMAL(25,18) and decimal-summed (the q126/q171 exact-sum
+    // discipline)
     gdRounds(df, features, labelCol, lr, rounds, "trainLinearProbe")(
-      (margin, x) => ((margin - col("__y")) * x)
-        .cast(DecimalType(25, 18)))
+      margin => margin - col("__y"),
+      (r, x) => (r * x).cast(DecimalType(25, 18)))
+
+  /** The sigmoid's dyadic quantum: σ snaps to the 2⁻²⁰ grid. A POWER
+    * OF TWO on purpose — σ·2²⁰ is an EXACT double multiply in every
+    * engine (decimal grids are not: a double→DECIMAL(25,10) cast
+    * scales in double on some engines, fuzzing the rounding boundary
+    * by ~2·10⁻⁶ per row — the CLAUDE.md r15 finding), so the only
+    * cross-engine hazard left is libm's 1-ULP exp() spread landing
+    * within ~10⁻¹⁰ of a grid boundary.
+    */
+  private val SigmoidGrid = 1048576d // 2^20
 
   /** Logistic twin of [[trainLinearProbe]] — the DCLM/fastText-style
     * quality CLASSIFIER head (binary labels), trained by full-batch
     * cross-entropy gradient descent: p = σ(w·x),
-    * grad_j = Σ_i (p_i − y_i)·x_ij. The one transcendental, the
-    * sigmoid, follows the [[bigramLmScore]] discipline: computed in
-    * double and rounded ONCE to DECIMAL(25,10); from there the
-    * gradient is PURE DECIMAL arithmetic — residual (p − y) at scale
-    * 10, features cast to DECIMAL(12,6), products exact at (38,16) —
-    * because a double→decimal cast of a full-mantissa product is
-    * where engines genuinely disagree (Spark converts via
-    * BigDecimal.valueOf, DuckDB scales IN DOUBLE — ~1e-15 apart per
-    * row, measured; the linear head's large gradients drown that
-    * noise below one output ULP, the sigmoid's near-cancelling ±0.5
-    * residuals do NOT). Decimal-exact inputs → bit-identical weights
-    * under any partitioning AND engine. Cross-engine-exact grading
-    * additionally needs features exact in DECIMAL(12,6) — counts,
-    * flags, quantized ratios; |x| ≥ 10⁶ nulls the cast and fails the
-    * loud counter.
+    * grad_j = Σ_i (p_i − y_i)·x_ij. Numeric design: the sigmoid — the
+    * one transcendental — snaps to the 2⁻²⁰ dyadic grid
+    * (`floor(σ·2²⁰ + 0.5)/2²⁰`, exact in double — see
+    * [[SigmoidGrid]]), and with INTEGER-VALUED features (counts,
+    * flags — enforced loudly, the classifier's natural domain) every
+    * per-row product r·x is a dyadic rational that doubles represent
+    * EXACTLY, every partial sum stays exact below the guarded
+    * 2³³ = n·max|x| bound, and the gradient is therefore
+    * bit-identical under ANY partitioning AND engine with no decimal
+    * cast anywhere in the loop — plain double aggregation, exact by
+    * construction.
     */
   def trainLogisticProbe(df: DataFrame, features: Seq[String],
-      labelCol: String, lr: Double, rounds: Int): Array[Double] =
+      labelCol: String, lr: Double, rounds: Int): Array[Double] = {
+    // one guard pass: integer-valued features with a bounded
+    // magnitude, binary-ish labels — the exact-dyadic-sum argument
+    // needs all three (Σ|r·x| ≤ n·max|x| < 2³³ keeps every partial
+    // sum on the 2⁻²⁰ grid exactly representable)
+    val checks = features.map(f =>
+      count(when(col(f) =!= floor(col(f)) || abs(col(f)) > 1000000d, 1))
+        .as(s"bad_$f")) :+
+      count(when(col(labelCol) =!= 0d && col(labelCol) =!= 1d, 1))
+        .as("bad_y") :+
+      count(lit(1)).as("n") :+
+      (features.map(f => max(abs(col(f)))) match {
+        case Seq(one) => one // greatest() needs two args
+        case many => greatest(many: _*)
+      }).as("maxabs")
+    val g = df.select(
+        features.map(f => col(f).cast("double").as(f)) :+
+          col(labelCol).cast("double").as(labelCol): _*)
+      .agg(checks.head, checks.tail: _*).head()
+    features.zipWithIndex.foreach { case (f, i) =>
+      require(g.getLong(i) == 0,
+        s"trainLogisticProbe: feature '$f' has non-integer or " +
+          s"|x| > 1e6 values — the exact-double gradient needs " +
+          "integer-grid features (counts, flags); bucketize or scale " +
+          "upstream")
+    }
+    require(g.getLong(features.size) == 0,
+      s"trainLogisticProbe: labels must be 0/1 (binary classifier)")
+    require(g.getLong(features.size + 1).toDouble *
+        math.max(1d, g.getDouble(features.size + 2)) < 8.5e9,
+      s"trainLogisticProbe: n·max|x| ≥ 2³³ — partial sums would " +
+        "leave the exact dyadic range; scale features down")
     gdRounds(df, features, labelCol, lr, rounds, "trainLogisticProbe")(
-      (margin, x) => ((lit(1d) / (lit(1d) + exp(-margin)))
-        .cast(DecimalType(25, 10)) -
-          col("__y").cast(DecimalType(25, 10))) *
-        x.cast(DecimalType(12, 6)))
+      margin => (floor((lit(1d) / (lit(1d) + exp(-margin))) *
+        lit(SigmoidGrid) + lit(0.5d)) / lit(SigmoidGrid)) - col("__y"),
+      (r, x) => r * x)
+  }
 
   /** The shared full-batch GD loop: one pass per round computing all
-    * d gradients in a SINGLE aggregation — grad_j = Σ_i
-    * product(margin_i, x_ij) where `product` maps the margin w·x
-    * (per-row double, fixed left-fold term order — the oracle's +
-    * chain) and one feature column to a DECIMAL contribution, summed
-    * exactly (merge-order-independent), so learned weights are
-    * bit-identical regardless of partitioning. Weight state is d
-    * doubles on the driver; data never shuffles — the only reduction
-    * is the d-column partial aggregate. w starts at 0; callers append
-    * a lit(1) column for an intercept.
+    * d gradients in a SINGLE aggregation — the residual r =
+    * residual(w·x) is PROJECTED ONCE per row (the margin's d-term
+    * fold, fixed left order — the oracle's + chain — evaluated once,
+    * not once per aggregate column), then grad_j = Σ_i
+    * product(r_i, x_ij), summed merge-order-independently (exact
+    * decimals for the linear head, exact dyadic doubles for the
+    * logistic one), so learned weights are bit-identical regardless
+    * of partitioning. Weight state is d doubles on the driver; data
+    * never shuffles — the only reduction is the d-column partial
+    * aggregate. w starts at 0; callers append a lit(1) column for an
+    * intercept.
     */
   private def gdRounds(df: DataFrame, features: Seq[String],
       labelCol: String, lr: Double, rounds: Int, op: String)(
+      residual: Column => Column,
       product: (Column, Column) => Column): Array[Double] = {
     require(features.nonEmpty, "need at least one feature column")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -403,13 +444,14 @@ object RankOps {
       // where DuckDB raises, so a graded oracle would diverge
       // undiagnosably)
       val gradCols = features.zipWithIndex.map { case (f, i) =>
-        sum(product(margin, col(f))).as(s"g$i")
+        sum(product(col("__r"), col(f))).as(s"g$i")
       }
       val nullCols = features.zipWithIndex.map { case (f, i) =>
-        count(when(product(margin, col(f)).isNull, 1)).as(s"n$i")
+        count(when(product(col("__r"), col(f)).isNull, 1)).as(s"n$i")
       }
       val agg = gradCols ++ nullCols
       val grads = base
+        .select(residual(margin).as("__r") +: features.map(col): _*)
         .agg(agg.head, agg.tail: _*)
         .head()
       features.indices.foreach { j =>
@@ -420,7 +462,13 @@ object RankOps {
             "rows, or a residual·x magnitude overflowing the product " +
             "decimal (diverging learning rate? oversized feature?). " +
             "Clean the inputs or lower lr.")
-        w(j) -= lr * grads.getDecimal(j).doubleValue() / n
+        val gj = grads.get(j) match {
+          case dec: java.math.BigDecimal => dec.doubleValue()
+          case dbl: java.lang.Double => dbl.doubleValue()
+          case other => throw new IllegalStateException(
+            s"$op: unexpected gradient type ${other.getClass}")
+        }
+        w(j) -= lr * gj / n
       }
     }
     base.unpersist()
@@ -442,7 +490,7 @@ object RankOps {
 
   /** Map-side scorer for a [[trainLogisticProbe]] head: σ(w·x) with
     * the training fold's exact term order and the training pass's
-    * DECIMAL(25,10) rounding — the probability the trained classifier
+    * 2⁻²⁰ dyadic snap — the probability the trained classifier
     * actually used, so thresholding online reproduces training-time
     * decisions bit for bit.
     */
@@ -453,7 +501,7 @@ object RankOps {
     val margin = features.zip(w)
       .map { case (f, wi) => col(f).cast("double") * lit(wi) }
       .reduce(_ + _)
-    df.withColumn(out, (lit(1d) / (lit(1d) + exp(-margin)))
-      .cast(DecimalType(25, 10)).cast("double"))
+    df.withColumn(out, floor((lit(1d) / (lit(1d) + exp(-margin))) *
+      lit(SigmoidGrid) + lit(0.5d)) / lit(SigmoidGrid))
   }
 }

@@ -2533,31 +2533,31 @@ object TextQueries {
     // DCLM/fastText-style quality CLASSIFIER head, cross-entropy over
     // q180's features with a binary lexical-diversity label): 3
     // full-batch GD rounds where the sigmoid — the one transcendental
-    // — rounds ONCE to DECIMAL(25,10) per row (the q187 bigram-ln
-    // discipline) before the residual, and gradient products sum as
-    // DECIMAL(25,18), so the weights are bit-identical under any
-    // partitioning and the oracle unrolls all three rounds term for
-    // term, sigmoid included.
+    // — snaps to the 2⁻²⁰ DYADIC grid (floor(σ·2²⁰+0.5)/2²⁰: the
+    // power-of-two multiply is exact in every engine, where a
+    // double→DECIMAL cast scales in double on DuckDB and fuzzes the
+    // boundary ~2e-6/row — the CLAUDE.md r15 finding), and with the
+    // integer-grid features every product and partial sum is an
+    // exactly-representable dyadic double — bit-identical weights
+    // under any partitioning AND engine, no decimal anywhere. The
+    // oracle unrolls all three rounds term for term, sigmoid
+    // included.
     Q("q194_logistic_probe", {
-      // residual stays DECIMAL (sigmoid rounded to scale 10, y exact)
-      // and multiplies a DECIMAL(12,6) feature — pure decimal
-      // arithmetic, no double→decimal cast of a full-mantissa product
-      // (the one conversion the two engines compute differently)
       def r(wa: String, wb: String, wc: String) =
-        s"(CAST(1.0 / (1.0 + exp(-($wa * x1 + $wb * x2 + $wc * x3)))" +
-          s" AS DECIMAL(25,10)) - CAST(y AS DECIMAL(25,10)))"
+        s"(floor(1.0 / (1.0 + exp(-($wa * x1 + $wb * x2 + $wc * x3)))" +
+          s" * 1048576 + 0.5) / 1048576 - y)"
       def gcte(out: String, wa: String, wb: String, wc: String, from: String) =
         s"""$out AS (SELECT
-           |  sum(${r(wa, wb, wc)} * CAST(x1 AS DECIMAL(12,6))) AS ga,
-           |  sum(${r(wa, wb, wc)} * CAST(x2 AS DECIMAL(12,6))) AS gb,
-           |  sum(${r(wa, wb, wc)} * CAST(x3 AS DECIMAL(12,6))) AS gc
+           |  sum(${r(wa, wb, wc)} * x1) AS ga,
+           |  sum(${r(wa, wb, wc)} * x2) AS gb,
+           |  sum(${r(wa, wb, wc)} * x3) AS gc
            |  FROM $from)""".stripMargin
       def wcte(out: String, g: String, pwa: String, pwb: String, pwc: String,
           extra: String) =
         s"""$out AS (SELECT
-           |  $pwa - 0.0001 * CAST(ga AS DOUBLE) / n AS wa,
-           |  $pwb - 0.0001 * CAST(gb AS DOUBLE) / n AS wb,
-           |  $pwc - 0.0001 * CAST(gc AS DOUBLE) / n AS wc
+           |  $pwa - 0.0001 * ga / n AS wa,
+           |  $pwb - 0.0001 * gb / n AS wb,
+           |  $pwc - 0.0001 * gc / n AS wc
            |  FROM $g, nn$extra)""".stripMargin
       s"""WITH f AS (
          |  SELECT CAST(1 AS DOUBLE) AS x1,
@@ -2762,8 +2762,8 @@ object TextQueries {
 
     // RAG retrieval end-to-end (the composition q197's chunker exists
     // for): chunk the corpus (w=32/s=24), build the PERSISTED
-    // inverted index over the CHUNKS (chunk key = doc_id·100 +
-    // chunk_idx — chunk counts are ≤ ~30 at every SF), BM25-search it
+    // inverted index over the CHUNKS (chunk key = doc_id·10⁵ + chunk_idx —
+    // aliasing would need a single ~2.4M-token document), BM25-search it
     // with q168's exact-decimal scoring, and return the top-20 CHUNKS
     // with their provenance decoded back to (doc_id, chunk_idx) — the
     // cite-back contract a retriever needs. Partition pruning,
@@ -2772,7 +2772,7 @@ object TextQueries {
     // chunk corpus, blind to the index.
     Q("q198_chunk_retrieval", {
       val chunkSrc =
-        """SELECT doc_id * 100 + i AS doc_id,
+        """SELECT doc_id * 100000 + i AS doc_id,
           |       tl[i * 24 + 1 : least(i * 24 + 32, n)] AS tl
           |FROM (SELECT doc_id, tl, n, unnest(generate_series(0, nc - 1)) AS i
           |      FROM (SELECT doc_id, tl, CAST(len(tl) AS BIGINT) AS n,
@@ -2781,32 +2781,27 @@ object TextQueries {
           |                              (len(tl) - 1) // 24 + 1) END AS nc
           |            FROM (SELECT doc_id, string_split(text, ' ') AS tl
           |                  FROM documents)))""".stripMargin
-      s"""SELECT rank, doc_id // 100 AS doc_id, doc_id % 100 AS chunk_idx,
+      s"""SELECT rank, doc_id // 100000 AS doc_id, doc_id % 100000 AS chunk_idx,
          |  bm25, n_terms
          |FROM (${bm25TopKOracleFrom(chunkSrc)})
          |ORDER BY rank""".stripMargin
     }) { (s, dir) =>
       import graft.io.TextIndexIO
-      val root = new java.io.File(
-        s"/tmp/graft_q198_${ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.ops.StageMemo.buildOnce(root.getAbsolutePath,
-          stillValid = new java.io.File(root, "meta").isDirectory) {
-        graft.ops.StageMemo.wipe(root)
+      val root = hermeticStore("q198", dir, marker = "meta") { r =>
         val chunks = TextOps.chunkTokens(t(s, dir, "documents"),
             "doc_id", "text", window = 32, stride = 24)
-          .select((col("doc_id") * 100 + col("chunk_idx")).as("doc_id"),
+          .select((col("doc_id") * 100000L + col("chunk_idx")).as("doc_id"),
             col("chunk_text").as("text"))
         TextIndexIO.writeTextIndex(chunks, "doc_id", "text",
-          buckets = 16, root.getAbsolutePath)
+          buckets = 16, r)
         ()
       }
-      val idx = TextIndexIO.readTextIndex(s, root.getAbsolutePath)
+      val idx = TextIndexIO.readTextIndex(s, root)
       TextIndexIO.searchTextIndex(idx,
           Seq("spark", "customer", "hash", "vector"), k = 20)
         .select(col("rank"),
-          expr("doc_id div 100").as("doc_id"),
-          expr("doc_id % 100").as("chunk_idx"),
+          expr("doc_id div 100000").as("doc_id"),
+          expr("doc_id % 100000").as("chunk_idx"),
           col("bm25"), col("n_terms"))
         .orderBy(col("rank"))
     },

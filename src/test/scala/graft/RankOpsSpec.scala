@@ -185,38 +185,35 @@ class RankOpsSpec extends SparkSpecBase {
       rows.head._3 * w3(2))
   }
 
-  test("trainLogisticProbe: sigmoid rounds once to DECIMAL(25,10), weights bit-identical at any partitioning, loss drops") {
+  test("trainLogisticProbe: dyadic sigmoid, exact double gradients, weights bit-identical at any partitioning, loud guards") {
     import spark.implicits._
-    // binary label with irrational-ish features: any reassociation or
-    // a sigmoid evaluated differently than the reference would flip bits
+    // binary label over INTEGER-GRID features (the enforced domain):
+    // any reassociation or a sigmoid snapped differently than the
+    // reference would flip bits
     val rows = (1 to 200).map { i =>
-      (1.0, math.sqrt(i.toDouble), (i % 7).toDouble,
+      (1.0, (i % 23).toDouble, (i % 7).toDouble,
         if (i % 3 == 0) 1.0 else 0.0)
     }
     val df = rows.toDF("x1", "x2", "x3", "y")
     val lr = 1e-3
     // the training pass's exact arithmetic: margin in double (left
-    // fold), sigmoid rounded to DECIMAL(25,10) via valueOf/HALF_UP
-    // (Spark's double->decimal cast path), then PURE DECIMAL products
-    // — residual at scale 10 times the feature at scale 6 (exact)
-    def pDec(m: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(1.0 / (1.0 + math.exp(-m)))
-        .setScale(10, java.math.RoundingMode.HALF_UP)
+    // fold), sigmoid snapped to the 2^-20 dyadic grid, products and
+    // sums in plain doubles — exact because every term is a dyadic
+    // rational far below 2^53
+    def pq(m: Double): Double =
+      math.floor(1.0 / (1.0 + math.exp(-m)) * 1048576d + 0.5) / 1048576d
     def reference(rounds: Int): Array[Double] = {
       val w = Array(0.0, 0.0, 0.0)
       val n = rows.size
       (1 to rounds).foreach { _ =>
-        val g = Array.fill(3)(java.math.BigDecimal.ZERO)
+        val g = Array(0.0, 0.0, 0.0)
         rows.foreach { case (x1, x2, x3, y) =>
-          val r = pDec(x1 * w(0) + x2 * w(1) + x3 * w(2))
-            .subtract(java.math.BigDecimal.valueOf(y)
-              .setScale(10, java.math.RoundingMode.HALF_UP))
+          val r = pq(x1 * w(0) + x2 * w(1) + x3 * w(2)) - y
           Seq(x1, x2, x3).zipWithIndex.foreach { case (x, j) =>
-            g(j) = g(j).add(r.multiply(java.math.BigDecimal.valueOf(x)
-              .setScale(6, java.math.RoundingMode.HALF_UP)))
+            g(j) += r * x // exact dyadic adds — order-free
           }
         }
-        (0 until 3).foreach(j => w(j) -= lr * g(j).doubleValue() / n)
+        (0 until 3).foreach(j => w(j) -= lr * g(j) / n)
       }
       w
     }
@@ -224,11 +221,11 @@ class RankOpsSpec extends SparkSpecBase {
     Seq(1, 13).foreach { parts =>
       val w = RankOps.trainLogisticProbe(df.repartition(parts),
         Seq("x1", "x2", "x3"), "y", lr, rounds = 3)
-      w.toSeq shouldBe expect.toSeq // bit-identical — decimal-exact sums
+      w.toSeq shouldBe expect.toSeq // bit-identical — exact dyadic sums
     }
     // cross-entropy drops from the zero-weight start
     def xent(w: Array[Double]) = rows.map { case (x1, x2, x3, y) =>
-      val p = pDec(x1 * w(0) + x2 * w(1) + x3 * w(2)).doubleValue()
+      val p = pq(x1 * w(0) + x2 * w(1) + x3 * w(2))
       -(y * math.log(p) + (1 - y) * math.log(1 - p))
     }.sum
     xent(expect) should be < xent(Array(0.0, 0.0, 0.0))
@@ -236,8 +233,19 @@ class RankOpsSpec extends SparkSpecBase {
     val scored = RankOps.scoreLogisticProbe(df, Seq("x1", "x2", "x3"),
         expect)
       .select(org.apache.spark.sql.functions.col("score")).head().getDouble(0)
-    scored shouldBe pDec(rows.head._1 * expect(0) +
-      rows.head._2 * expect(1) + rows.head._3 * expect(2)).doubleValue()
+    scored shouldBe pq(rows.head._1 * expect(0) +
+      rows.head._2 * expect(1) + rows.head._3 * expect(2))
+    // the guards are loud: fractional features, non-binary labels
+    val frac = intercept[IllegalArgumentException] {
+      RankOps.trainLogisticProbe(
+        Seq((1.5, 1.0)).toDF("x1", "y"), Seq("x1"), "y", lr, 1)
+    }
+    frac.getMessage should include("integer-grid features")
+    val badY = intercept[IllegalArgumentException] {
+      RankOps.trainLogisticProbe(
+        Seq((1.0, 0.7)).toDF("x1", "y"), Seq("x1"), "y", lr, 1)
+    }
+    badY.getMessage should include("labels must be 0/1")
   }
 
   test("bigramLmScore: add-one-smoothed bigram LL matches the hand fold; short docs anchor to zero") {

@@ -309,6 +309,31 @@ class SnapshotStoreSpec extends SparkSpecBase {
     // and a caught-up call is a no-op
     SnapshotStore.processChanges(spark, dir, cursor, 1)((_, _, _) =>
       fail("already caught up")) shouldBe None
+
+    // TRUE crash injection: f COMMITS its delta then dies before the
+    // cursor advances, and a NEW ingest commit lands before the
+    // retry. The write-ahead intent pins the crashed (5, 6] range, so
+    // the retry re-offers batchId=6 (txn no-op) instead of folding
+    // the already-applied prefix into a wider (5, 7] batch under
+    // batchId=7 — the double-apply this guards against.
+    SnapshotStore.commitAppend(pop(61 to 70), dir) // v6
+    val boom = intercept[RuntimeException] {
+      SnapshotStore.processChanges(spark, dir, cursor, 1) { (ch, _, toV) =>
+        val delta = ch.select(col("grp"),
+          when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+            .as("sgn"), col("v"))
+          .groupBy("grp")
+          .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("v")).as("dv"))
+        SnapshotStore.commitStreamBatch(delta, aggDir, batchId = toV,
+          appId = "maint")
+        throw new RuntimeException("crash after the delta committed")
+      }
+    }
+    boom.getMessage should include("crash after")
+    SnapshotStore.commitAppend(pop(71 to 80), dir) // v7 lands pre-retry
+    maintain() // replays the PINNED (5, 6] — no-op on the txn row
+    maintain() // then processes (6, 7]
+    readout() shouldBe recompute()
   }
 
   test("commitUpsert replaces matched rows and inserts unmatched ones in ONE atomic version; re-inserts are visible") {
