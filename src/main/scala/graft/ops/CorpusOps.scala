@@ -492,6 +492,60 @@ object CorpusOps {
       .filter(col("bucket") < col("thr"))
   }
 
+  /** Per-stratum KL divergence of the unigram token distribution vs
+    * the whole corpus — the domain-shift metric a mixture curator
+    * reads before reweighting (which sources sound least like the
+    * blend), complementing [[graft.ops.SketchOps]]' histogram TVD/KS
+    * (numeric drift) and [[graft.ops.RankOps.seedLogOddsQuality]]
+    * (per-document contrast): KL(P_s ‖ Q) = Σ_t P_s(t)·ln(P_s(t)/Q(t))
+    * over the FULL corpus vocabulary with add-α smoothing on both
+    * sides (terms the stratum lacks still carry smoothed mass —
+    * dropping them would bias KL low exactly for the divergent
+    * strata).
+    *
+    * Scale shape: one token explode feeds the (stratum, term) and
+    * (term) count tables; the full-vocabulary grid is strata ×
+    * vocab — k·V rows, the honest cost of the full-vocab sum (k is
+    * tens, V the corpus vocabulary; the join keys are (term) and
+    * (stratum), never text). Numeric policy: P and Q are ratios of
+    * exact integers, each term's P·ln(P/Q) rounds once to
+    * DECIMAL(25,10) (the bigram-LM ln discipline — cross-engine
+    * stable) and decimal-sums per stratum (merge-order-independent),
+    * divided nowhere. Output: (stratum, n_tokens, n_terms, kl_nats).
+    */
+  def klDivergence(df: DataFrame, strataCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0, "alpha must be positive (smoothing)")
+    val tok = df.select(col(strataCol).as("__s"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .transform(Checkpoints.cut(_, eager = false)) // feeds 3 aggregates
+    val cs = tok.groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__cs"))
+    val cq = tok.groupBy(col("__t")).agg(count(lit(1)).as("__cq"))
+    val ts = tok.groupBy(col("__s")).agg(count(lit(1)).as("__ts"))
+    val tot = cq.agg(sum(col("__cq")).as("__tq"), count(lit(1)).as("__v"))
+    // the full strata × vocab grid (vocab is the big side; the k-row
+    // stratum totals and the 1-row corpus totals broadcast), stratum
+    // counts left-joined — an absent term keeps its smoothed α mass
+    val grid = cq
+      .crossJoin(broadcast(ts))
+      .crossJoin(broadcast(tot))
+      .join(cs, Seq("__s", "__t"), "left")
+    val p = (coalesce(col("__cs"), lit(0L)) + lit(alpha)) /
+      (col("__ts") + lit(alpha) * col("__v"))
+    val q = (col("__cq") + lit(alpha)) / (col("__tq") + lit(alpha) * col("__v"))
+    grid
+      .select(col("__s"), col("__ts"),
+        (p * log(p / q)).cast(DecimalType(25, 10)).as("__c"))
+      .groupBy(col("__s"), col("__ts"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__c")).cast("double").as("kl_nats"))
+      .select(col("__s").as(strataCol), col("__ts").as("n_tokens"),
+        col("n_terms"), col("kl_nats"))
+  }
+
   /** Temperature-scaled mixture sampling (the mT5/XLM-R α-sampling
     * rule, realized as deterministic downsampling): target stratum
     * shares q_s ∝ n_s^α, so the keep-rate is

@@ -2868,6 +2868,46 @@ object TextQueries {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Per-language KL divergence of the unigram distribution vs the
+    // whole corpus (CorpusOps.klDivergence — the domain-shift metric
+    // next to q181's histogram TVD/KS): add-α smoothing over the FULL
+    // corpus vocabulary (absent terms keep smoothed mass), each
+    // term's P·ln(P/Q) rounded once to DECIMAL(25,10) (the q187 ln
+    // discipline) and decimal-summed per stratum — cross-engine exact,
+    // merge-order-independent. The oracle replays counts → ratios →
+    // ln → rounding term for term.
+    Q("q203_kl_divergence",
+      s"""WITH tok AS (SELECT lang AS s, unnest($TOKS) AS t
+         |            FROM documents),
+         |tok2 AS (SELECT s, t FROM tok WHERE t <> ''),
+         |cs AS (SELECT s, t, CAST(count(*) AS BIGINT) AS cs
+         |       FROM tok2 GROUP BY s, t),
+         |cq AS (SELECT t, CAST(count(*) AS BIGINT) AS cq
+         |       FROM tok2 GROUP BY t),
+         |ts AS (SELECT s, CAST(count(*) AS BIGINT) AS ts
+         |       FROM tok2 GROUP BY s),
+         |tot AS (SELECT CAST(sum(cq) AS BIGINT) AS tq,
+         |               CAST(count(*) AS BIGINT) AS v FROM cq),
+         |grid AS (SELECT ts.s, ts.ts, cq.t, cq.cq, tot.tq, tot.v,
+         |                COALESCE(cs.cs, 0) AS cs
+         |         FROM cq CROSS JOIN ts CROSS JOIN tot
+         |         LEFT JOIN cs ON cs.s = ts.s AND cs.t = cq.t),
+         |terms AS (SELECT s, ts,
+         |    CAST(((cs + 0.5) / (ts + 0.5 * v)) *
+         |         ln(((cs + 0.5) / (ts + 0.5 * v)) /
+         |            ((cq + 0.5) / (tq + 0.5 * v)))
+         |      AS DECIMAL(25,10)) AS c
+         |  FROM grid)
+         |SELECT s AS lang, ts AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(c) AS DOUBLE) AS kl_nats
+         |FROM terms GROUP BY s, ts
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      CorpusOps.klDivergence(t(s, dir, "documents"), "lang", "text",
+          alpha = 0.5)
+        .orderBy(col("lang"))
+    },
+
     // Winnowing near-dup candidates (the MOSS matching step — q200's
     // consumer): docs sharing ≥ 2 distinct selected fingerprints pair
     // up with the shared count as evidence strength; fingerprints
