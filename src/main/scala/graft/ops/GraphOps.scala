@@ -344,4 +344,57 @@ object GraphOps {
     }
     (ranks, rounds)
   }
+
+  /** Per-node TRIANGLE counts of an undirected graph — the
+    * local-clustering primitive (a dedup-candidate graph's triangles
+    * say which near-dup groups are dense cliques vs fragile chains;
+    * same shape as social-graph clustering coefficients). Input is
+    * any edge-pair frame; direction, duplicates and self-loops are
+    * normalized away. Returns (id, n_triangles) for every node in
+    * ≥ 1 triangle.
+    *
+    * Scale shape — the compact-forward / Schank-Wagner orientation:
+    * edges orient from the (degree, id)-SMALLER endpoint, so every
+    * wedge join fans out from the low-degree side and the wedge count
+    * is Σ out-deg² with out-degrees bounded by ~√|E| — the textbook
+    * bound that keeps a skewed graph (one hub touching everything)
+    * from going quadratic where naive id-ordering would. Each
+    * triangle is enumerated exactly once (its (deg,id)-minimum corner
+    * is the only node with out-edges to both others), the closing
+    * check is a semi-join back on the oriented edge set, and the
+    * triangle SET is orientation-independent — so a SQL oracle can
+    * replay the counts with the simple id-ordered enumeration.
+    */
+  def triangleCounts(pairs: DataFrame, col1: String = "id1",
+      col2: String = "id2"): DataFrame = {
+    val und = pairs
+      .select(least(col(col1), col(col2)).as("a"),
+        greatest(col(col1), col(col2)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient (deg, id)-ascending; the oriented edge set feeds all
+    // three join sides, so cut it once
+    val dirE = Checkpoints.cut(
+      und.join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("dst")),
+      eager = true)
+    val wedges = dirE.select(col("src").as("x"), col("dst").as("y"))
+      .join(dirE.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+    val tris = wedges.join(
+      dirE.select(col("src").as("x"), col("dst").as("z")),
+      Seq("x", "z"), "left_semi")
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

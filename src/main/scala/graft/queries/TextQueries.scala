@@ -2937,6 +2937,41 @@ object TextQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Triangle counts over the winnow-candidate graph (GraphOps
+    // .triangleCounts — the local-clustering primitive): which
+    // near-dup groups are dense cliques (every pair independently
+    // evidenced) vs fragile chains (transitive only). The engine
+    // enumerates with the compact-forward (degree, id) orientation —
+    // wedges fan out from the low-degree side, Σ out-deg² bounded —
+    // but the triangle SET is orientation-independent, so the oracle
+    // replays q201's candidate CTE plus the simple id-ordered
+    // three-way join.
+    Q("q204_winnow_triangles",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    list_min(hs[i : least(i + 3, m)]) AS h
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h)),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+         |fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h)),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM fk l JOIN fk r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM cand e1 JOIN cand e2 ON e1.b = e2.a
+         |  JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      GraphOps.triangleCounts(
+          DedupOps.winnowCandidates(t(s, dir, "documents"), "doc_id",
+            "text", k = 3, w = 4, minShared = 2L, maxDf = 64L))
+        .orderBy(col("id"))
+    },
+
     // Metadata-answered COUNT on the snapshot store (the Delta/
     // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
     // over the n_rows + per-column null counts every per-commit

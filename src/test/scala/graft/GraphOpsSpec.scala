@@ -145,4 +145,42 @@ class GraphOpsSpec extends SparkSpecBase {
     conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
       fixed
   }
+
+  test("triangleCounts: cliques, chains, hubs, and random graphs match the brute force; input is normalized") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphOps.triangleCounts(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in 3
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    run(k4) shouldBe (0L to 3L).map(_ -> 3L).toMap
+    // chain and star: no triangles at all
+    run(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe Map.empty
+    run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) shouldBe Map.empty
+    // direction, duplicates and self-loops normalize away
+    run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L))) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // a skewed hub graph (the degree-orientation regime): hub 0 joins
+    // every rim pair that is itself an edge
+    val hub = (1L to 10L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val got = run(hub)
+    got(0L) shouldBe 4L // {0,1,2} {0,3,4} {0,4,5} {0,3,5}; {3,4,5} has no 0
+    got(4L) shouldBe 3L // {0,3,4} {0,4,5} {3,4,5}
+    // random graphs vs driver-side brute force
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 12
+      val es = (for (a <- 0L until n; b <- 0L until n
+        if a < b && rnd.nextDouble() < 0.35) yield (a, b)).toSeq
+      val set = es.toSet
+      val brute = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (x <- 0L until n; y <- x + 1 until n; z <- y + 1 until n)
+        if (set((x, y)) && set((y, z)) && set((x, z))) {
+          brute(x) += 1; brute(y) += 1; brute(z) += 1
+        }
+      run(es) shouldBe brute.toMap
+    }
+  }
 }

@@ -591,6 +591,31 @@ class SnapshotStoreSpec extends SparkSpecBase {
     lost.getMessage should include("lost 3 optimistic-concurrency races")
   }
 
+  test("true concurrency: six racing writers all land under withCommitRetry; versions sequential, content complete") {
+    val dir = freshDir("race")
+    SnapshotStore.commitAppend(docs(1 to 1), dir) // v1
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // every writer re-derives from the store's current state per
+    // attempt; the rename conflict is the only coordination
+    val landed = Await.result(Future.sequence((1 to 6).map { w =>
+      Future {
+        SnapshotStore.withCommitRetry(maxAttempts = 30) { () =>
+          SnapshotStore.commitAppend(docs(w * 10 to w * 10 + 2), dir)
+        }
+      }
+    }), 180.seconds)
+    landed.sorted shouldBe (2 to 7)
+    SnapshotStore.versions(spark, dir) shouldBe (1 to 7)
+    // nothing lost, nothing doubled: 1 + 6 writers x 3 rows
+    SnapshotStore.read(spark, dir).count() shouldBe 19
+    // losers' abandoned segments are invisible orphans; vacuum
+    // collects them (their versions are all <= the committed max)
+    SnapshotStore.vacuum(spark, dir, keepFrom = 1)
+    SnapshotStore.read(spark, dir).count() shouldBe 19
+  }
+
   test("autoOptimize: thresholds trigger exactly when crossed, content is preserved, read amplification stays bounded") {
     val dir = freshDir("cadence")
     val pop = (1L to 600L).map(i => (i, i % 17, s"row $i"))
