@@ -479,6 +479,59 @@ object SnapshotStore {
       }
       .start()
 
+  /** BIN-PACKING compaction (Delta's plain OPTIMIZE): merge only the
+    * data segments whose on-disk size is under `maxSegBytes` into ONE
+    * fresh segment, carrying the big segments forward untouched — at
+    * 100 TB, rewriting the whole table every cadence trigger (what
+    * [[compact]]/[[compactZordered]] do) is the difference between an
+    * O(small-files) maintenance job and an O(table) one. MVCC makes
+    * the partial merge safe: tombstones POSTDATING a merged segment
+    * fold into the rewrite (the merged rows re-commit at the new
+    * version, above those tombstones), tombstones still covering
+    * UNMERGED older segments stay in the manifest, and a tombstone no
+    * remaining segment predates is dropped as dead weight. History
+    * pins are untouched (only NEW directories are written); the new
+    * segment is dataChange=false (`c` prefix — CDC skips it) and can
+    * carry its own stats sidecar. Returns the committed version, or
+    * None when fewer than two segments qualify.
+    */
+  def compactSmall(spark: SparkSession, dir: String, maxSegBytes: Long,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"compactSmall: no committed snapshot at $dir")
+    val rows = readManifestRows(spark, dir, vs.max)
+    val segs = rows.collect { case ("seg", p) => p }
+    val tombs = rows.collect { case ("tomb", p) => p }
+    val fs = hfs(spark, dir)
+    val small = segs.filter { seg =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$dir/${seg.stripSuffix("/data")}")).getLength <= maxSegBytes
+    }
+    if (small.size < 2) return None
+    val v = vs.max + 1
+    val merged = s"seg/${uniqueName('c', v)}"
+    // read ONLY the small segments, with every tombstone that
+    // postdates each folded in (segsMinusTombs applies exactly the
+    // MVCC ordering; tombs older than every picked segment no-op)
+    segsMinusTombs(spark, dir, small, tombs,
+        evolved = rows.exists(_._1 == "evo"))
+      .write.mode("errorifexists").parquet(s"$dir/$merged")
+    val stats = writeSegStats(spark, dir, merged, statsCols)
+    val smallSet = small.toSet
+    val keptSegs = segs.filterNot(smallSet)
+    // a tombstone only matters while SOME remaining segment predates
+    // it (the merged segment commits at v, above them all)
+    val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
+    val keptRows = rows.filter {
+      case ("seg", p) => !smallSet(p)
+      case ("stats", s) => !smallSet(parseStatsRow(s)._1)
+      case ("tomb", p) => pathVersion(p) > minKept
+      case _ => true // txn / evo carry
+    }
+    commitManifest(spark, dir, v, keptRows ++ stats :+ (("seg", merged)))
+    Some(v)
+  }
+
   /** OPTIMIZE ZORDER on the store (Delta's flagship pair, composed
     * from the engine's own layout op): compacts the latest snapshot's
     * survivor set through [[graft.ops.LayoutOps.zorderWrite]] —

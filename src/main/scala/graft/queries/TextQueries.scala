@@ -2972,6 +2972,63 @@ object TextQueries {
         .orderBy(col("id"))
     },
 
+    // Bin-packing compaction (Delta's plain OPTIMIZE —
+    // SnapshotStore.compactSmall): one big ingest plus three sliver
+    // commits and a delete spanning all of them; the maintenance pass
+    // merges ONLY the slivers (threshold = half the big segment's
+    // bytes), folding the tombstone into the merged rows while the
+    // tombstone STAYS to cover the untouched big segment — at 100 TB
+    // this is an O(small-files) job where full compaction is
+    // O(table). The probe then reads the mid-state store pruned (the
+    // merged segment carries a fresh sidecar; the big segment prunes
+    // away via its per-commit stats). Driver gates pin the segment
+    // arithmetic (2 data segments + 1 live tombstone) and the
+    // pruning; the oracle is the plain subset algebra, blind to the
+    // layout.
+    Q("q205_snapshot_binpack",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 AND n_chars BETWEEN 460 AND 520
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q205", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(docs.filter(col("n_chars") < 450), r,
+          statsCols = Seq("n_chars")) // the big one
+        Seq(col("n_chars").between(450, 489),
+            col("n_chars").between(490, 529),
+            col("n_chars") >= 530)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band), r,
+            statsCols = Seq("n_chars")))
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r)
+        val fs = new org.apache.hadoop.fs.Path(r)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val bigBytes = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$r/seg"))
+          .map(st => fs.getContentSummary(st.getPath).getLength).max
+        // threshold just under the big segment: at fixture SFs the
+        // parquet footer overhead dominates sliver sizes, so a
+        // fraction-of-big threshold is not SF-stable — "everything
+        // but the biggest" is, and is exactly the bin-pack intent
+        require(SnapshotStore.compactSmall(s, r, bigBytes - 1,
+            statsCols = Seq("n_chars")).isDefined,
+          "bin-pack compaction found nothing to merge")
+        require(SnapshotStore.segmentCounts(s, r) == ((2, 1)),
+          s"bin-pack arithmetic drifted: " +
+            s"${SnapshotStore.segmentCounts(s, r)} != (2 segs, 1 tomb)")
+        ()
+      }
+      val scan = SnapshotStore.readPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("n_chars", 460L, 520L)))
+      require(scan.filesRead < scan.filesTotal,
+        s"bin-packed store stopped pruning: read ${scan.filesRead} of " +
+          s"${scan.filesTotal}")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Metadata-answered COUNT on the snapshot store (the Delta/
     // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
     // over the n_rows + per-column null counts every per-commit

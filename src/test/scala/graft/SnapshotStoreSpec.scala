@@ -591,6 +591,55 @@ class SnapshotStoreSpec extends SparkSpecBase {
     lost.getMessage should include("lost 3 optimistic-concurrency races")
   }
 
+  test("compactSmall: only small segments merge, postdating tombstones fold, covering tombstones stay, history pins hold") {
+    val dir = freshDir("binpack")
+    val big = docs(1 to 500)
+    SnapshotStore.commitAppend(big, dir) // v1 — stays
+    SnapshotStore.commitAppend(docs(1001 to 1020), dir) // v2 small
+    SnapshotStore.commitAppend(docs(1021 to 1040), dir) // v3 small
+    // v4 deletes from BOTH the big segment and a small one: the merge
+    // must fold it for the merged rows and keep it for the big ones
+    SnapshotStore.commitDelete(
+      Seq(7L, 1005L).toDF("doc_id"), "doc_id", dir)
+    val before = SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bigBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/seg"))
+      .map(s => fs.getContentSummary(s.getPath).getLength).max
+    val v = SnapshotStore.compactSmall(spark, dir, bigBytes - 1)
+    v shouldBe Some(5)
+    // big + merged remain; the tombstone stays (the big segment
+    // predates it, so 7 must stay hidden)
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((2, 1))
+    SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      before
+    // the folded delete is PHYSICAL for the merged rows: scanning the
+    // merged segment alone never sees 1005
+    SnapshotStore.read(spark, dir).filter(col("doc_id") === 1005L)
+      .count() shouldBe 0
+    // history pins untouched; the movement emits no CDC
+    SnapshotStore.read(spark, dir, Some(2)).count() shouldBe 520
+    SnapshotStore.readChanges(spark, dir, 4, 5).count() shouldBe 0
+    // fewer than two qualifying segments: a no-op
+    SnapshotStore.compactSmall(spark, dir, 1L) shouldBe None
+    // when EVERYTHING merges, no segment predates the tombstone and
+    // it drops as dead weight
+    val dir2 = freshDir("binpack_all")
+    SnapshotStore.commitAppend(docs(1 to 20), dir2)
+    SnapshotStore.commitAppend(docs(21 to 40), dir2)
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir2)
+    SnapshotStore.compactSmall(spark, dir2, Long.MaxValue,
+      statsCols = Seq("doc_id")).isDefined shouldBe true
+    SnapshotStore.segmentCounts(spark, dir2) shouldBe ((1, 0))
+    SnapshotStore.read(spark, dir2).count() shouldBe 39
+    // and the merged segment's fresh sidecar answers metadata counts
+    SnapshotStore.countPrunedRange(spark, dir2,
+      Seq(graft.ops.LayoutOps.ColRange("doc_id", 1L, 40L)))
+      .count shouldBe 39L
+  }
+
   test("true concurrency: six racing writers all land under withCommitRetry; versions sequential, content complete") {
     val dir = freshDir("race")
     SnapshotStore.commitAppend(docs(1 to 1), dir) // v1
