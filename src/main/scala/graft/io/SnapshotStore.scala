@@ -479,6 +479,60 @@ object SnapshotStore {
       }
       .start()
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): publish a
+    * NEW version whose data content is exactly `toVersion`'s — a
+    * history-preserving rollback (bad ingest, fat-fingered delete):
+    * nothing is rewritten or destroyed, the new manifest simply names
+    * the old version's segments and tombstones again, so the rollback
+    * is itself O(1) files, time-travelable, and revertable. Streaming
+    * txn markers carry from the CURRENT latest (a restarted sink's
+    * replay dedup must survive the rollback — replaying an
+    * already-committed batch after a restore would silently
+    * double-ingest it). CDC honesty: [[readChanges]] across a restore
+    * boundary reports the RE-ADDED segments as inserts but cannot
+    * emit delete preimages for the rolled-back rows (no tombstone
+    * exists for them) — change-feed consumers re-baseline at a
+    * restore, exactly as Delta's CDF does. Returns the committed
+    * version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(toVersion),
+      s"restore: version $toVersion does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val target = readManifestRows(spark, dir, toVersion)
+      .filterNot(_._1 == "txn")
+    val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+    val v = vs.max + 1
+    commitManifest(spark, dir, v, target ++ txn)
+    v
+  }
+
+  /** The commit wall-clock of a version — the manifest directory's
+    * filesystem mtime (written once at the commit rename, never
+    * modified after). Powers [[versionAsOf]].
+    */
+  def commitTime(spark: SparkSession, dir: String, v: Int): Long =
+    hfs(spark, dir).getFileStatus(
+      new org.apache.hadoop.fs.Path(manifestDir(dir, v)))
+      .getModificationTime
+
+  /** `TIMESTAMP AS OF`: the latest version committed at or before
+    * `tsMillis` (loud when the history starts later — vacuumed or the
+    * table didn't exist). Timestamps come from the manifests' own
+    * mtimes, so no clock rides the data path; like Delta, the mapping
+    * is only as monotone as the filesystem clock.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val at = vs.filter(commitTime(spark, dir, _) <= tsMillis)
+    require(at.nonEmpty,
+      s"versionAsOf: no version at $dir committed at or before " +
+        s"$tsMillis (earliest is ${commitTime(spark, dir, vs.min)})")
+    at.max
+  }
+
   /** BIN-PACKING compaction (Delta's plain OPTIMIZE): merge only the
     * data segments whose on-disk size is under `maxSegBytes` into ONE
     * fresh segment, carrying the big segments forward untouched — at

@@ -3029,6 +3029,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // RESTORE on the snapshot store (Delta's history-preserving
+    // rollback — SnapshotStore.restore): a fat-fingered delete (every
+    // 3rd doc, v3) is rolled back by PUBLISHING v2's content as v4 —
+    // O(1) files, nothing rewritten, the bad version still
+    // time-travelable — and life continues with the intended delete
+    // (every 5th, v5). The query aggregates the bad pin, the restored
+    // state, and the final state; the oracle is the subset algebra,
+    // blind to the rollback mechanics.
+    Q("q206_snapshot_restore", {
+      def vrow(label: String, where: String) =
+        s"""SELECT '$label' AS snapshot,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents WHERE $where""".stripMargin
+      s"""${vrow("v3_bad_delete", "doc_id % 3 <> 0")}
+         |UNION ALL ${vrow("v4_restored", "TRUE")}
+         |UNION ALL ${vrow("v5_final", "doc_id % 5 <> 0")}
+         |ORDER BY snapshot""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q206", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 0), r)
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 1), r)
+        SnapshotStore.commitDelete( // v3 — the mistake
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id", r)
+        SnapshotStore.restore(s, r, toVersion = 2) // v4 — the rollback
+        SnapshotStore.commitDelete( // v5 — the intended delete
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+          "doc_id", r)
+        ()
+      }
+      def vrow(label: String, version: Int) =
+        SnapshotStore.read(s, root, Some(version))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(label).as("snapshot"), col("n_docs"),
+            col("sum_chars"))
+      vrow("v3_bad_delete", 3)
+        .unionByName(vrow("v4_restored", 4))
+        .unionByName(vrow("v5_final", 5))
+        .orderBy(col("snapshot"))
+    },
+
     // Metadata-answered COUNT on the snapshot store (the Delta/
     // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
     // over the n_rows + per-column null counts every per-commit

@@ -591,6 +591,49 @@ class SnapshotStoreSpec extends SparkSpecBase {
     lost.getMessage should include("lost 3 optimistic-concurrency races")
   }
 
+  test("restore: history-preserving rollback, txn markers carry, timestamp travel maps mtimes to versions") {
+    val dir = freshDir("restore")
+    SnapshotStore.commitAppend(docs(1 to 10), dir) // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // fs mtime granularity can be a full second
+    SnapshotStore.commitStreamBatch(docs(11 to 15), dir, batchId = 1L) // v2
+    SnapshotStore.commitDelete( // v3 — the fat-fingered delete
+      Seq(2L, 4L, 11L).toDF("doc_id"), "doc_id", dir)
+    val v = SnapshotStore.restore(spark, dir, toVersion = 2)
+    v shouldBe 4
+    // content is exactly v2's; nothing was rewritten (the manifest
+    // re-names the same segment dirs)
+    SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (1L to 15L)
+    // the bad delete remains time-travelable (history preserved)
+    SnapshotStore.read(spark, dir, Some(3)).count() shouldBe 12
+    // txn markers carried: replaying the committed batch is a NO-OP
+    // even after the rollback
+    SnapshotStore.commitStreamBatch(docs(11 to 15), dir,
+      batchId = 1L) shouldBe 4
+    // life continues on top of the restored state
+    SnapshotStore.commitAppend(docs(16 to 18), dir) // v5
+    SnapshotStore.read(spark, dir).count() shouldBe 18
+    // the rollback is itself revertable
+    SnapshotStore.restore(spark, dir, toVersion = 3)
+    SnapshotStore.read(spark, dir).count() shouldBe 12
+
+    // timestamp travel: a time between v1 and v2 resolves to v1
+    SnapshotStore.versionAsOf(spark, dir, afterV1) shouldBe 1
+    SnapshotStore.versionAsOf(spark, dir,
+      System.currentTimeMillis()) shouldBe 6
+    val early = intercept[IllegalArgumentException] {
+      SnapshotStore.versionAsOf(spark, dir, 0L)
+    }
+    early.getMessage should include("committed at or before")
+
+    // vacuum keeps everything the restored manifest references — the
+    // restored content survives dropping all the history before it
+    SnapshotStore.vacuum(spark, dir, keepFrom = 6)
+    SnapshotStore.read(spark, dir).count() shouldBe 12
+  }
+
   test("compactSmall: only small segments merge, postdating tombstones fold, covering tombstones stay, history pins hold") {
     val dir = freshDir("binpack")
     val big = docs(1 to 500)
