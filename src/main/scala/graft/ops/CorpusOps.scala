@@ -492,6 +492,63 @@ object CorpusOps {
       .filter(col("bucket") < col("thr"))
   }
 
+  /** Deterministic train/val/test assignment: the md5 bucket of `key`
+    * lands each row in one of the permille-weighted splits (weights
+    * must sum to 1000) — no RNG, no seed plumbing, reproducible
+    * across runs/engines/layouts, and a pure map pass (the
+    * [[hashStratifiedSample]] bucket discipline with a label CASE
+    * instead of a keep filter). `key` defaults to the row id; passing
+    * a GROUP key (a dup-cluster representative —
+    * [[leakFreeSplitByWinnow]]) assigns whole groups to one split,
+    * which is what makes a split leakage-free. Thresholds quantize to
+    * the 4-hex (65536) grid by integer arithmetic, so a SQL oracle
+    * replays the exact boundaries. Output: the input plus `bucket`
+    * and `split`.
+    */
+  def splitByHash(df: DataFrame, splits: Seq[(String, Int)],
+      key: Column): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split labels must be distinct")
+    require(splits.forall(_._2 > 0) && splits.map(_._2).sum == 1000,
+      s"split weights must be positive permille summing to 1000, got " +
+        s"${splits.map(_._2).mkString("+")}")
+    val bucket = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    val thrs = splits.map(_._2).scanLeft(0)(_ + _).tail
+      .map(c => if (c >= 1000) "g" else f"${c * 65536 / 1000}%04x")
+    val chain = splits.zip(thrs).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((l, _), t), acc) => when(bucket < lit(t), lit(l))
+          .otherwise(acc)
+      }
+    df.withColumn("bucket", bucket).withColumn("split", chain)
+  }
+
+  /** LEAKAGE-FREE split: near-duplicate documents must not straddle a
+    * train/test boundary (the classic eval-inflation bug — the model
+    * "generalizes" to test docs it memorized from train), so the
+    * split key is the document's DUP-CLUSTER REPRESENTATIVE, not the
+    * document: winnowing candidate pairs
+    * ([[graft.ops.DedupOps.winnowCandidates]] — local-overlap
+    * evidence) close transitively
+    * ([[graft.ops.DedupOps.connectedComponents]]) and every member of
+    * a component hashes by its min-id rep. Singletons split by their
+    * own id, identical to [[splitByHash]]. Output: (id, cluster_id,
+    * bucket, split).
+    */
+  def leakFreeSplitByWinnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDf: Long,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val pairs = DedupOps.winnowCandidates(df, idCol, textCol, k, w,
+        minShared, maxDf)
+      .select(col("id1"), col("id2"))
+    val cc = DedupOps.connectedComponents(pairs,
+      nodes = Some(df.select(col(idCol).as("id"))), pairsDistinct = true)
+    splitByHash(
+      cc.select(col("id").as(idCol), col("cluster_id")),
+      splits, key = col("cluster_id"))
+  }
+
   /** Per-stratum KL divergence of the unigram token distribution vs
     * the whole corpus — the domain-shift metric a mixture curator
     * reads before reweighting (which sources sound least like the

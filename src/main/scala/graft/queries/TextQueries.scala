@@ -3075,6 +3075,72 @@ object TextQueries {
         .orderBy(col("snapshot"))
     },
 
+    // Deterministic train/val/test split (CorpusOps.splitByHash):
+    // 800/100/100 permille by md5 bucket — no RNG, reproducible
+    // across runs/engines/layouts, pure map pass; thresholds quantize
+    // to the 65536 grid by integer arithmetic (800‰ → 0xcccc, 900‰ →
+    // 0xe666), which is exactly what the oracle's CASE replays.
+    Q("q207_hash_split",
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 'cccc' THEN 'train'
+        |       WHEN b < 'e666' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.splitByHash(
+          t(s, dir, "documents").select(col("doc_id")),
+          Seq(("train", 800), ("val", 100), ("test", 100)),
+          key = col("doc_id"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LEAKAGE-FREE split (CorpusOps.leakFreeSplitByWinnow): near-dups
+    // must not straddle train/test (the eval-inflation bug), so the
+    // split key is the winnow-cluster REPRESENTATIVE — q201's
+    // candidate pairs close transitively (q86's machinery) and whole
+    // components land in one split; singletons hash by their own id.
+    // The oracle composes three already-graded recipes: the winnow
+    // candidate CTE, the reachability CTE, and the split CASE on the
+    // min-label rep.
+    Q("q208_leakfree_split",
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    list_min(hs[i : least(i + 3, m)]) AS h
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h)),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+         |fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h)),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM fk l JOIN fk r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT a AS src, b AS dst FROM cand
+         |          UNION SELECT b, a FROM cand),
+         |walk AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |         UNION
+         |         SELECT e.dst, w.lbl FROM walk w
+         |         JOIN edges e ON e.src = w.id),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |       FROM walk GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 'cccc' THEN 'train'
+         |       WHEN b < 'e666' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS b
+         |      FROM cc)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.leakFreeSplitByWinnow(t(s, dir, "documents"), "doc_id",
+          "text", k = 3, w = 4, minShared = 2L, maxDf = 64L,
+          splits = Seq(("train", 800), ("val", 100), ("test", 100)))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Metadata-answered COUNT on the snapshot store (the Delta/
     // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
     // over the n_rows + per-column null counts every per-commit

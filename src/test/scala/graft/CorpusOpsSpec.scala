@@ -242,6 +242,48 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("splitByHash: total disjoint coverage at the declared proportions; leak-free variant co-assigns whole clusters") {
+    val df = (0L until 2000L).toDF("id")
+    val out = CorpusOps.splitByHash(df,
+        Seq(("train", 800), ("val", 100), ("test", 100)), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    out.length shouldBe 2000 // every row assigned exactly once
+    val byS = out.groupBy(_._2).view.mapValues(_.length).toMap
+    byS.keySet shouldBe Set("train", "val", "test")
+    byS("train").toDouble should be(1600.0 +- 120)
+    byS("val").toDouble should be(200.0 +- 70)
+    // deterministic: identical on re-run
+    CorpusOps.splitByHash(df,
+        Seq(("train", 800), ("val", 100), ("test", 100)), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+      .toMap shouldBe out.toMap
+    // loud guards: weights must sum to 1000, labels distinct
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitByHash(df, Seq(("a", 500), ("b", 400)), col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitByHash(df, Seq(("a", 500), ("a", 500)), col("id"))
+    }
+
+    // leakage-free: a near-dup pair NEVER straddles a boundary —
+    // shared paragraph links 1-2 and 3-4 transitively via 2-3
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a b $para"), (2L, s"$para c d"),
+      (3L, s"$para e f"), (4L, s"g h $para"),
+      (5L, "totally unrelated text with different words entirely"))
+      .toDF("doc_id", "text")
+    val lf = CorpusOps.leakFreeSplitByWinnow(corpus, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L, maxDf = 10L,
+        splits = Seq(("train", 500), ("test", 500)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    val cluster = lf.filter(t => Set(1L, 2L, 3L, 4L).contains(t._1))
+    cluster.map(_._2).distinct.size shouldBe 1 // one component
+    cluster.map(_._3).distinct.size shouldBe 1 // ONE split — no leak
+    lf.find(_._1 == 5L).get._2 shouldBe 5L // singleton keeps its id
+  }
+
   test("piiScan treats null text as empty for counts") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co"))
       .toDF("doc_id", "text")
