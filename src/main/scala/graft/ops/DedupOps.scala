@@ -558,28 +558,76 @@ object DedupOps {
     * boilerplate — the verify-stage cosine/Jaccard re-check is the
     * caller's next step, as in the banded pipeline).
     */
-  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+  /** The shared winnow-matching core: positioned fingerprints (cut —
+    * every consumer reads the one winnow pass) and the DF-filtered
+    * (id, h) incidence both [[winnowCandidates]] and
+    * [[winnowMatchSpans]] join on.
+    */
+  private def winnowIndexed(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Long): (DataFrame, DataFrame) = {
     require(maxDf >= 2, s"maxDf < 2 drops every shareable fingerprint, got $maxDf")
-    val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("fingerprint").as("__h"))
-      .distinct()
-      .transform(Checkpoints.cut(_, eager = true)) // both join sides + DF
-    val keep = fps.groupBy(col("__h"))
+    val fpp = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("pos"),
+        col("fingerprint").as("__h"))
+      .transform(Checkpoints.cut(_, eager = true))
+    val fp = fpp.select(col("__id"), col("__h")).distinct()
+    val keep = fp.groupBy(col("__h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("__h"))
-    val shared = fps.join(keep, Seq("__h"))
-    val l = shared.select(col("__id").as("id1"), col("__h"))
-    val r = shared.select(col("__id").as("id2"), col("__h"))
-    val out = l.join(r, Seq("__h"))
+    (fpp, fp.join(keep, Seq("__h")))
+  }
+
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val (fpp, fk) = winnowIndexed(df, idCol, textCol, k, w, maxDf)
+    val l = fk.select(col("__id").as("id1"), col("__h"))
+    val r = fk.select(col("__id").as("id2"), col("__h"))
+    // NOTE: no unpersist here — the returned plan still references
+    // the cut frame and executes later; an eager unpersist would race
+    // the localCheckpoint blocks (Bench's inter-window drain reclaims
+    // them; semanticDedup can unpersist only because its closure
+    // already materialized)
+    l.join(r, Seq("__h"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    fps.unpersist()
-    out
+  }
+
+  /** The MOSS EVIDENCE output the candidate pairs summarize: for each
+    * candidate pair, every shared (DF-filtered) fingerprint with its
+    * selected position in BOTH documents — (id1, id2, fingerprint,
+    * pos1, pos2) — which is what lets a reviewer (or a span-level
+    * dedup policy) see WHERE two documents overlap, not just that
+    * they do. Same bucket-join shape as the candidates (one equi-join
+    * per side on the fingerprint, boilerplate dropped first); rows ∝
+    * matched evidence, never all-pairs.
+    */
+  def winnowMatchSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    val (fpp, fk) = winnowIndexed(df, idCol, textCol, k, w, maxDf)
+    val cand = {
+      val l = fk.select(col("__id").as("id1"), col("__h"))
+      val r = fk.select(col("__id").as("id2"), col("__h"))
+      l.join(r, Seq("__h"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(col("id1"), col("id2"))
+    }
+    val keptH = fk.select(col("__h")).distinct()
+    val lp = fpp.join(keptH, Seq("__h"))
+      .select(col("__id").as("id1"), col("__h"), col("pos").as("pos1"))
+    val rp = fpp.join(keptH, Seq("__h"))
+      .select(col("__id").as("id2"), col("__h"), col("pos").as("pos2"))
+    cand
+      .join(lp, Seq("id1"))
+      .join(rp, Seq("id2", "__h"))
+      .select(col("id1"), col("id2"), col("__h").as("fingerprint"),
+        col("pos1"), col("pos2"))
   }
 
   def simhash16(text: Column): Column = {

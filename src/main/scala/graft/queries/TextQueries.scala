@@ -3141,6 +3141,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Winnow MATCH SPANS (DedupOps.winnowMatchSpans — the MOSS
+    // evidence output q201's pair counts summarize): for every
+    // candidate pair, each shared DF-filtered fingerprint with its
+    // selected position in BOTH documents — where the overlap is, not
+    // just that it exists (the reviewer/span-policy contract). Same
+    // bucket-join shape as the candidates; one winnow pass feeds
+    // candidates and spans. (id1, id2, fingerprint, pos1, pos2) is
+    // the unique order key.
+    Q("q209_winnow_spans",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |fpp AS (SELECT DISTINCT doc_id,
+         |    CAST(i - 1 + list_position(hs[i : least(i + 3, m)],
+         |      list_min(hs[i : least(i + 3, m)])) - 1 AS BIGINT) AS pos,
+         |    list_min(hs[i : least(i + 3, m)]) AS h
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h)),
+         |fp AS (SELECT DISTINCT doc_id, h FROM fpp),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+         |fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h)),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM fk l JOIN fk r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT c.a AS id1, c.b AS id2, l.h AS fingerprint,
+         |  l.pos AS pos1, r.pos AS pos2
+         |FROM cand c
+         |JOIN fpp l ON l.doc_id = c.a
+         |JOIN keep k ON k.h = l.h
+         |JOIN fpp r ON r.doc_id = c.b AND r.h = l.h
+         |ORDER BY id1, id2, fingerprint, pos1, pos2""".stripMargin) {
+      (s, dir) =>
+      DedupOps.winnowMatchSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L, maxDf = 64L)
+        .orderBy(col("id1"), col("id2"), col("fingerprint"),
+          col("pos1"), col("pos2"))
+    },
+
     // Metadata-answered COUNT on the snapshot store (the Delta/
     // Iceberg stats-answered count(*) — SnapshotStore.countPrunedRange
     // over the n_rows + per-column null counts every per-commit
