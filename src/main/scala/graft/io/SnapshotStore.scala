@@ -489,11 +489,13 @@ object SnapshotStore {
     * replay dedup must survive the rollback — replaying an
     * already-committed batch after a restore would silently
     * double-ingest it). CDC honesty: [[readChanges]] across a restore
-    * boundary reports the RE-ADDED segments as inserts but cannot
-    * emit delete preimages for the rolled-back rows (no tombstone
-    * exists for them) — change-feed consumers re-baseline at a
-    * restore, exactly as Delta's CDF does. Returns the committed
-    * version.
+    * boundary is NOT a faithful change feed — a tombstone rollback
+    * re-exposes rows without adding any manifest entry (the feed
+    * emits NOTHING), and a rolled-back append emits no delete
+    * preimages; only segments absent from the pre-restore manifest
+    * (e.g. rolled past a compaction) surface, as inserts. Change-feed
+    * consumers re-baseline at a restore, exactly as Delta's CDF does.
+    * Returns the committed version.
     */
   def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
     val vs = versions(spark, dir)
@@ -567,9 +569,12 @@ object SnapshotStore {
     // read ONLY the small segments, with every tombstone that
     // postdates each folded in (segsMinusTombs applies exactly the
     // MVCC ordering; tombs older than every picked segment no-op)
-    segsMinusTombs(spark, dir, small, tombs,
-        evolved = rows.exists(_._1 == "evo"))
-      .write.mode("errorifexists").parquet(s"$dir/$merged")
+    val survivors = segsMinusTombs(spark, dir, small, tombs,
+      evolved = rows.exists(_._1 == "evo"))
+    // the write-side stats gate BEFORE the expensive merge write —
+    // the same guard every other stats-writing commit face runs
+    statsGuard(survivors, statsCols, "compactSmall")
+    survivors.write.mode("errorifexists").parquet(s"$dir/$merged")
     val stats = writeSegStats(spark, dir, merged, statsCols)
     val smallSet = small.toSet
     val keptSegs = segs.filterNot(smallSet)
@@ -580,7 +585,12 @@ object SnapshotStore {
       case ("seg", p) => !smallSet(p)
       case ("stats", s) => !smallSet(parseStatsRow(s)._1)
       case ("tomb", p) => pathVersion(p) > minKept
-      case _ => true // txn / evo carry
+      // a TOTAL merge unified the schema into the one new segment —
+      // drop the evo flag like compact/compactZordered do, so reads
+      // stop paying the footer-merge; a partial merge keeps it (the
+      // carried segments may still differ)
+      case ("evo", _) => keptSegs.nonEmpty
+      case _ => true // txn carry
     }
     commitManifest(spark, dir, v, keptRows ++ stats :+ (("seg", merged)))
     Some(v)

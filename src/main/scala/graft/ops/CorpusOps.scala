@@ -513,7 +513,14 @@ object CorpusOps {
     require(splits.forall(_._2 > 0) && splits.map(_._2).sum == 1000,
       s"split weights must be positive permille summing to 1000, got " +
         s"${splits.map(_._2).mkString("+")}")
-    val bucket = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    // a NULL key would null the bucket, fall through every `<`
+    // comparison and silently pile into the LAST split, skewing the
+    // declared proportions — fail loudly in-plan instead (the
+    // ivfAssign raise_error pattern; no driver-side count needed)
+    val safeKey = when(key.isNull, raise_error(lit(
+      "splitByHash: null split key — a null bucket silently lands in " +
+        "the last split; clean the key upstream"))).otherwise(key)
+    val bucket = substring(md5(safeKey.cast("string").cast("binary")), 1, 4)
     val thrs = splits.map(_._2).scanLeft(0)(_ + _).tail
       .map(c => if (c >= 1000) "g" else f"${c * 65536 / 1000}%04x")
     val chain = splits.zip(thrs).init

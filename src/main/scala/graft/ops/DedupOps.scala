@@ -558,34 +558,47 @@ object DedupOps {
     * boilerplate — the verify-stage cosine/Jaccard re-check is the
     * caller's next step, as in the banded pipeline).
     */
-  /** The shared winnow-matching core: positioned fingerprints (cut —
-    * every consumer reads the one winnow pass) and the DF-filtered
-    * (id, h) incidence both [[winnowCandidates]] and
-    * [[winnowMatchSpans]] join on.
+  /** The shared winnow-matching core: the cut fingerprint frame
+    * (positioned only when a consumer needs positions — candidates-
+    * only callers cache the smaller distinct (id, h) incidence, the
+    * pre-r15 cost), the DF-filtered incidence `fk`, and the kept-hash
+    * set `keep` — each derived ONCE for every consumer.
     */
   private def winnowIndexed(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, maxDf: Long): (DataFrame, DataFrame) = {
+      k: Int, w: Int, maxDf: Long, positions: Boolean)
+      : (Option[DataFrame], DataFrame, DataFrame) = {
     require(maxDf >= 2, s"maxDf < 2 drops every shareable fingerprint, got $maxDf")
-    val fpp = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("pos"),
-        col("fingerprint").as("__h"))
-      .transform(Checkpoints.cut(_, eager = true))
-    val fp = fpp.select(col("__id"), col("__h")).distinct()
+    val raw = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+    val (fpp, fp) =
+      if (positions) {
+        val p = Checkpoints.cut(
+          raw.select(col(idCol).as("__id"), col("pos"),
+            col("fingerprint").as("__h")),
+          eager = true)
+        (Some(p), p.select(col("__id"), col("__h")).distinct())
+      } else
+        (None, Checkpoints.cut(
+          raw.select(col(idCol).as("__id"), col("fingerprint").as("__h"))
+            .distinct(),
+          eager = true))
     val keep = fp.groupBy(col("__h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("__h"))
-    (fpp, fp.join(keep, Seq("__h")))
+    (fpp, fp.join(keep, Seq("__h")), keep)
   }
 
-  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+  /** Candidate pairs over a DF-filtered incidence: docs sharing
+    * ≥ `minShared` kept fingerprints — the ONE candidate rule
+    * [[winnowCandidates]] and [[winnowMatchSpans]] both apply (a
+    * threshold tweak can never desynchronize them).
+    */
+  private def candidatesFrom(fk: DataFrame, minShared: Long): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val (fpp, fk) = winnowIndexed(df, idCol, textCol, k, w, maxDf)
     val l = fk.select(col("__id").as("id1"), col("__h"))
     val r = fk.select(col("__id").as("id2"), col("__h"))
-    // NOTE: no unpersist here — the returned plan still references
-    // the cut frame and executes later; an eager unpersist would race
+    // NOTE: no unpersist of the cut frame — the returned plan still
+    // references it and executes later; an eager unpersist would race
     // the localCheckpoint blocks (Bench's inter-window drain reclaims
     // them; semanticDedup can unpersist only because its closure
     // already materialized)
@@ -594,6 +607,13 @@ object DedupOps {
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    val (_, fk, _) = winnowIndexed(df, idCol, textCol, k, w, maxDf,
+      positions = false)
+    candidatesFrom(fk, minShared)
   }
 
   /** The MOSS EVIDENCE output the candidate pairs summarize: for each
@@ -607,21 +627,13 @@ object DedupOps {
     */
   def winnowMatchSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
-    val (fpp, fk) = winnowIndexed(df, idCol, textCol, k, w, maxDf)
-    val cand = {
-      val l = fk.select(col("__id").as("id1"), col("__h"))
-      val r = fk.select(col("__id").as("id2"), col("__h"))
-      l.join(r, Seq("__h"))
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minShared)
-        .select(col("id1"), col("id2"))
-    }
-    val keptH = fk.select(col("__h")).distinct()
-    val lp = fpp.join(keptH, Seq("__h"))
+    val (fppOpt, fk, keep) = winnowIndexed(df, idCol, textCol, k, w, maxDf,
+      positions = true)
+    val fpp = fppOpt.get
+    val cand = candidatesFrom(fk, minShared).select(col("id1"), col("id2"))
+    val lp = fpp.join(keep, Seq("__h"))
       .select(col("__id").as("id1"), col("__h"), col("pos").as("pos1"))
-    val rp = fpp.join(keptH, Seq("__h"))
+    val rp = fpp.join(keep, Seq("__h"))
       .select(col("__id").as("id2"), col("__h"), col("pos").as("pos2"))
     cand
       .join(lp, Seq("id1"))

@@ -257,13 +257,21 @@ class CorpusOpsSpec extends SparkSpecBase {
         Seq(("train", 800), ("val", 100), ("test", 100)), col("id"))
       .collect().map(r => r.getLong(0) -> r.getString(2))
       .toMap shouldBe out.toMap
-    // loud guards: weights must sum to 1000, labels distinct
+    // loud guards: weights must sum to 1000, labels distinct, and a
+    // NULL key raises in-plan (it would silently land in the LAST
+    // split and skew the proportions)
     intercept[IllegalArgumentException] {
       CorpusOps.splitByHash(df, Seq(("a", 500), ("b", 400)), col("id"))
     }
     intercept[IllegalArgumentException] {
       CorpusOps.splitByHash(df, Seq(("a", 500), ("a", 500)), col("id"))
     }
+    val nullBoom = intercept[Exception] { // SparkRuntimeException locally
+      CorpusOps.splitByHash(
+        Seq(Some(1L), None).toDF("id"),
+        Seq(("a", 500), ("b", 500)), col("id")).collect()
+    }
+    nullBoom.getMessage should include("null split key")
 
     // leakage-free: a near-dup pair NEVER straddles a boundary —
     // shared paragraph links 1-2 and 3-4 transitively via 2-3

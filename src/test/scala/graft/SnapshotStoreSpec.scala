@@ -681,6 +681,26 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.countPrunedRange(spark, dir2,
       Seq(graft.ops.LayoutOps.ColRange("doc_id", 1L, 40L)))
       .count shouldBe 39L
+
+    // a TOTAL merge of an EVOLVED store unifies the schema and drops
+    // the evo flag (reads stop paying the footer merge — the
+    // compact/compactZordered contract); a bad statsCols fails BEFORE
+    // the merge write
+    val dir3 = freshDir("binpack_evo")
+    SnapshotStore.commitAppend(Seq((1L, "en")).toDF("doc_id", "lang"), dir3)
+    SnapshotStore.commitAppend(Seq((2L, 9L)).toDF("doc_id", "n"), dir3,
+      mergeSchema = true)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.compactSmall(spark, dir3, Long.MaxValue,
+        statsCols = Seq("nope"))
+    }.getMessage should include("statsCols")
+    val v3 = SnapshotStore.compactSmall(spark, dir3, Long.MaxValue).get
+    val manifest = spark.read.parquet(
+        f"$dir3/manifest/v$v3%06d")
+      .collect().map(_.getString(0)).toSeq
+    manifest should not contain "evo"
+    SnapshotStore.read(spark, dir3).columns.toSet shouldBe
+      Set("doc_id", "lang", "n")
   }
 
   test("true concurrency: six racing writers all land under withCommitRetry; versions sequential, content complete") {
