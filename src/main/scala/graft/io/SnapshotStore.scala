@@ -681,6 +681,7 @@ object SnapshotStore {
       case ("stats", s) => parseStatsRow(s)
     }.toMap
     val evolved = rows.exists(_._1 == "evo")
+    rangeColsGuard(spark, dir, segs, evolved, ranges, "readPrunedRange")
     val residual = LayoutOps.residualFilter(ranges)
     val fs = hfs(spark, dir)
 
@@ -891,6 +892,31 @@ object SnapshotStore {
     else Some(compactZordered(spark, dir, zCols, nFiles, statsCols))
   }
 
+  /** On a NON-evolved store every probe column must exist in the
+    * store's schema — a typo'd `ColRange.col` would otherwise prune
+    * every segment to an empty frame that looks like a valid answer
+    * (the same silent-no-match hazard class commitDelete's id-column
+    * guard closes). Evolved stores keep the PER-SEGMENT silent skip:
+    * a column a segment's schema legitimately omits is null on every
+    * row there, so skipping the segment is the correct answer, and
+    * requiring global presence would reject valid evolution probes.
+    * One footer read (strict schemaGuard pins all segments identical
+    * on a non-evolved store).
+    */
+  private def rangeColsGuard(spark: SparkSession, dir: String,
+      segs: Seq[String], evolved: Boolean,
+      ranges: Seq[graft.ops.LayoutOps.ColRange], op: String): Unit =
+    if (!evolved) {
+      val sch = spark.read.parquet(s"$dir/${segs.head}")
+        .schema.fieldNames.toSet
+      val missing = ranges.map(_.col).filterNot(sch)
+      require(missing.isEmpty,
+        s"$op: probe column(s) ${missing.mkString(",")} not in the " +
+          s"store's schema (${sch.mkString(",")}) — on a non-evolved " +
+          s"store a missing probe column is a typo, and pruning would " +
+          s"silently return an empty frame")
+    }
+
   /** Collected per-commit sidecars for the stats-bearing segments of
     * one manifest: segment → (its sidecar rows, the sidecar's column
     * set), ONE collect per distinct recorded column set — flat driver
@@ -962,6 +988,7 @@ object SnapshotStore {
       case ("stats", s) => parseStatsRow(s)
     }.toMap
     val evolved = rows.exists(_._1 == "evo")
+    rangeColsGuard(spark, dir, segs, evolved, ranges, "countPrunedRange")
     val residual = LayoutOps.residualFilter(ranges)
     val fs = hfs(spark, dir)
     var meta = 0L

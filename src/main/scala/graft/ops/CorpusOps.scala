@@ -592,11 +592,19 @@ object CorpusOps {
     val tot = cq.agg(sum(col("__cq")).as("__tq"), count(lit(1)).as("__v"))
     // the full strata × vocab grid (vocab is the big side; the k-row
     // stratum totals and the 1-row corpus totals broadcast), stratum
-    // counts left-joined — an absent term keeps its smoothed α mass
+    // counts left-joined — an absent term keeps its smoothed α mass.
+    // The stratum key joins NULL-SAFELY (<=>): a null stratum is a
+    // legitimate group (groupBy collects it), and a plain-equality
+    // join would coalesce its counts to 0 for EVERY term, computing
+    // its KL as if it held no tokens at all (the mixtureTemperature
+    // precedent; terms are never null — the '' filter above)
+    val csK = cs.select(col("__s").as("__cs_s"), col("__t").as("__cs_t"),
+      col("__cs"))
     val grid = cq
       .crossJoin(broadcast(ts))
       .crossJoin(broadcast(tot))
-      .join(cs, Seq("__s", "__t"), "left")
+      .join(csK, col("__s") <=> col("__cs_s") && col("__t") === col("__cs_t"),
+        "left")
     val p = (coalesce(col("__cs"), lit(0L)) + lit(alpha)) /
       (col("__ts") + lit(alpha) * col("__v"))
     val q = (col("__cq") + lit(alpha)) / (col("__tq") + lit(alpha) * col("__v"))

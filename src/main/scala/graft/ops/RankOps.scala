@@ -395,6 +395,11 @@ object RankOps {
     }
     require(g.getLong(features.size) == 0,
       s"trainLogisticProbe: labels must be 0/1 (binary classifier)")
+    // n == 0 first: max(abs(x)) aggregates to NULL on an empty frame,
+    // so reading maxabs before this check would NPE instead of giving
+    // the gdRounds-style diagnostic
+    require(g.getLong(features.size + 1) > 0,
+      "trainLogisticProbe: empty input")
     require(g.getLong(features.size + 1).toDouble *
         math.max(1d, g.getDouble(features.size + 2)) < 8.5e9,
       s"trainLogisticProbe: n·max|x| ≥ 2³³ — partial sums would " +

@@ -2891,7 +2891,8 @@ object TextQueries {
          |grid AS (SELECT ts.s, ts.ts, cq.t, cq.cq, tot.tq, tot.v,
          |                COALESCE(cs.cs, 0) AS cs
          |         FROM cq CROSS JOIN ts CROSS JOIN tot
-         |         LEFT JOIN cs ON cs.s = ts.s AND cs.t = cq.t),
+         |         LEFT JOIN cs ON cs.s IS NOT DISTINCT FROM ts.s
+         |                     AND cs.t = cq.t),
          |terms AS (SELECT s, ts,
          |    CAST(((cs + 0.5) / (ts + 0.5 * v)) *
          |         ln(((cs + 0.5) / (ts + 0.5 * v)) /

@@ -566,6 +566,33 @@ class CorpusOpsSpec extends SparkSpecBase {
     bloom.find(_.getLong(0) == 4L).get.getBoolean(4) shouldBe false
   }
 
+  test("klDivergence: a NULL stratum keeps its own counts (null-safe join), matching the hand fold") {
+    // en: "a a b", null: "a c" — cq: a:3 b:1 c:1 (V=3, tq=5);
+    // ts: en:3, null:2. With a plain-equality join the null stratum's
+    // per-term counts would all coalesce to 0 (KL as if empty of every
+    // term); the null-safe join keeps cs(null,a)=1, cs(null,c)=1.
+    val docs = Seq((1L, Option("en"), "a a b"),
+        (2L, Option.empty[String], "a c"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusOps.klDivergence(docs, "lang", "text", alpha = 0.5)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def ref(cs: Map[String, Long], ts: Long): Double = {
+      val cq = Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+      cq.toSeq.sortBy(_._1).map { case (t, q0) =>
+        val p = (cs.getOrElse(t, 0L) + 0.5) / (ts + 0.5 * 3)
+        val q = (q0 + 0.5) / (5 + 0.5 * 3)
+        // the engine's rounding: double→DECIMAL(25,10) via valueOf
+        java.math.BigDecimal.valueOf(p * math.log(p / q))
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_)).doubleValue()
+    }
+    out(Some("en")) shouldBe ((3L, 3L,
+      ref(Map("a" -> 2L, "b" -> 1L), 3L)))
+    out(None) shouldBe ((2L, 3L,
+      ref(Map("a" -> 1L, "c" -> 1L), 2L)))
+  }
+
   test("lengthQuantiles rejects out-of-range and colliding percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")

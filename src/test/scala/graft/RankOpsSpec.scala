@@ -246,6 +246,15 @@ class RankOpsSpec extends SparkSpecBase {
         Seq((1.0, 0.7)).toDF("x1", "y"), Seq("x1"), "y", lr, 1)
     }
     badY.getMessage should include("labels must be 0/1")
+    // empty input fails with the friendly diagnostic, never the NPE
+    // that reading the null max(abs(x)) aggregate used to raise
+    val empty = intercept[IllegalArgumentException] {
+      RankOps.trainLogisticProbe(
+        Seq((1.0, 1.0)).toDF("x1", "y")
+          .where(org.apache.spark.sql.functions.col("x1") < 0),
+        Seq("x1"), "y", lr, 1)
+    }
+    empty.getMessage should include("empty input")
   }
 
   test("bigramLmScore: add-one-smoothed bigram LL matches the hand fold; short docs anchor to zero") {

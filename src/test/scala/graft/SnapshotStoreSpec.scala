@@ -469,6 +469,34 @@ class SnapshotStoreSpec extends SparkSpecBase {
         col("doc_id") =!= 120L && col("k") === 3L).count()
   }
 
+  test("readPrunedRange/countPrunedRange: a typo'd probe column on a non-evolved store fails loudly, never an empty frame") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("typoguard")
+    SnapshotStore.commitAppend(
+      (1L to 50L).map(i => (i, s"row $i")).toDF("doc_id", "text"), dir,
+      statsCols = Seq("doc_id"))
+    // without the guard both faces would silently return empty/0 —
+    // indistinguishable from a genuinely empty probe result
+    val r = intercept[IllegalArgumentException] {
+      SnapshotStore.readPrunedRange(spark, dir,
+        Seq(LayoutOps.ColRange("doc_idd", 1L, 10L)))
+    }
+    r.getMessage should include("doc_idd")
+    r.getMessage should include("non-evolved")
+    val c = intercept[IllegalArgumentException] {
+      SnapshotStore.countPrunedRange(spark, dir,
+        Seq(LayoutOps.ColRange("doc_idd", 1L, 10L)))
+    }
+    c.getMessage should include("doc_idd")
+    // an EVOLVED store keeps the per-segment silent skip: a column one
+    // segment's schema omits is a legitimate probe, not a typo
+    SnapshotStore.commitAppend(
+      Seq((51L, 7L)).toDF("doc_id", "extra"), dir, mergeSchema = true,
+      statsCols = Seq("doc_id"))
+    SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("extra", 1L, 10L))).df.count() shouldBe 1L
+  }
+
   test("readPrunedRange row-set equals read().where(residual) on an evolved, z-compacted, churned store") {
     import graft.ops.LayoutOps
     val dir = freshDir("pruneexact")
