@@ -15,6 +15,20 @@ import graft.io.SnapshotStore
   */
 object SnapshotBench {
 
+  /** Raw ingested data bytes (`seg/s*` dirs) — the denominator of the
+    * rewrite-amplification evidence, and the moving base of the
+    * cadence run's maxSegBytes knob.
+    */
+  private def tableBytes(spark: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seg")
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("s"))
+      .map(st => fs.getContentSummary(st.getPath).getLength).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val commits = args.lift(1).map(_.toInt).getOrElse(64)
@@ -122,9 +136,14 @@ object SnapshotBench {
     // OPTIMIZE cadence: the same commit stream into a SECOND store
     // with autoOptimize(maxSegments=8) after every commit — read
     // latency at the end must sit near the compacted floor, not the
-    // raw-segment ceiling (the bounded-read-amplification claim)
+    // raw-segment ceiling (the bounded-read-amplification claim), and
+    // under the bin-pack-first policy the bytes each fire rewrites
+    // must stay ≪ table bytes (fires merge the accumulated SMALL
+    // segments; big merged segments carry forward untouched — the
+    // evidence reported as rewrite_bytes_per_fire vs table_bytes)
     val cadenced = s"$base/cadenced"
-    var fired = 0
+    var packed = 0
+    var zordered = 0
     val tCad = System.nanoTime()
     (0 until commits).foreach { i =>
       val lo = i.toLong * (maxId + 1) / commits
@@ -132,15 +151,35 @@ object SnapshotBench {
       SnapshotStore.commitAppend(
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi), cadenced,
         statsCols = Seq("doc_id"))
-      if (SnapshotStore.autoOptimize(spark, cadenced, maxSegments = 8,
-          maxTombstones = 2, zCols = Seq("doc_id"), nFiles = 16,
-          statsCols = Seq("doc_id")).isDefined) fired += 1
+      // maxSegBytes caps bin-pack growth at ~8 raw commits' worth, so
+      // the run settles into merge-the-new-tail fires instead of
+      // re-merging one ever-growing segment
+      SnapshotStore.autoOptimize(spark, cadenced, maxSegments = 8,
+        maxTombstones = 2,
+        maxSegBytes = 1L.max(tableBytes(spark, cadenced) / 4),
+        zCols = Seq("doc_id"), nFiles = 16,
+        statsCols = Seq("doc_id")) match {
+        case Some(_: SnapshotStore.BinPacked) => packed += 1
+        case Some(_: SnapshotStore.ZOrdered) => zordered += 1
+        case None => ()
+      }
     }
     val sCadIngest = (System.nanoTime() - tCad) / 1e9
     val sCadRead = secs(SnapshotStore.read(spark, cadenced)
       .agg(count(lit(1)), sum(col("n_chars"))).head())
+    // rewrite economics: bytes the compaction fires wrote (every `c`
+    // segment on disk) vs the final table's data bytes
+    val fs = new org.apache.hadoop.fs.Path(cadenced)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rewriteBytes = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$cadenced/seg")).toSeq
+      .filter(_.getPath.getName.startsWith("c"))
+      .map(st => fs.getContentSummary(st.getPath).getLength).sum
+    val fires = (packed + zordered).max(1)
     println(f"""{"face":"cadenced_ingest_$commits","secs":$sCadIngest%.2f,""" +
-      s""""compactions":$fired}""")
+      s""""binpacks":$packed,"zorders":$zordered,""" +
+      s""""rewrite_bytes_per_fire":${rewriteBytes / fires},""" +
+      s""""table_bytes":${tableBytes(spark, cadenced)}}""")
     println(f"""{"face":"cadenced_read","secs":$sCadRead%.2f}""")
 
     // mass-delete regime: tombstone ~30% of the table in ONE commit,

@@ -868,28 +868,57 @@ object SnapshotStore {
     (rows.count(_._1 == "seg"), rows.count(_._1 == "tomb"))
   }
 
+  /** What an OPTIMIZE cadence fire actually did — the two triggers
+    * have different cost classes and callers watching the maintenance
+    * budget need to know which one they paid.
+    */
+  sealed trait OptimizeAction { def version: Int }
+  /** An O(small-files) [[compactSmall]] bin-pack fired. */
+  final case class BinPacked(version: Int) extends OptimizeAction
+  /** An O(table) [[compactZordered]] full rewrite fired. */
+  final case class ZOrdered(version: Int) extends OptimizeAction
+
   /** Threshold-triggered OPTIMIZE — the cadence policy the
     * 64/256-segment read curves imply (read latency grows with raw
-    * segment count; compaction restores the floor): when the latest
-    * version holds more than `maxSegments` data segments OR more than
-    * `maxTombstones` tombstones, run [[compactZordered]] (folds
-    * tombstones, restores stats-pruned single-segment reads) and
-    * return the committed version; otherwise None. Call it after
-    * every commit (or on a schedule): cost is one manifest read when
-    * idle, and the store's read amplification stays BOUNDED under
-    * continuous ingest — the operational loop Delta calls OPTIMIZE
-    * cadence. History pins and CDC are untouched (compaction is
-    * dataChange=false); concurrent readers keep their manifests.
+    * segment count; compaction restores the floor), SPLIT by cost
+    * class exactly as Delta splits OPTIMIZE from OPTIMIZE ZORDER:
+    *
+    *  - segment-count trigger (`segs > maxSegments`) → [[compactSmall]]
+    *    bin-pack, an O(small-files) job that never rewrites the big
+    *    segments — the fire that runs every few commits under
+    *    continuous ingest, so its cost MUST stay proportional to the
+    *    new data, not the table. When no two segments are under
+    *    `maxSegBytes`, nothing fires (Delta's OPTIMIZE is the same
+    *    no-op on an all-big table — rewriting big segments on a
+    *    count trigger would make the maintenance loop O(table) per
+    *    ~`maxSegments` commits, the exact wart this split removes).
+    *  - tombstone trigger (`tombs > maxTombstones`) → [[compactZordered]]
+    *    full rewrite, the rare O(table) fire: folding accumulated
+    *    tombstones and restoring the clustered layout genuinely needs
+    *    to touch every row, so it keys off delete debt, never off
+    *    ingest velocity.
+    *
+    * Call it after every commit (or on a schedule): cost is one
+    * manifest read when idle, and read amplification stays BOUNDED
+    * under continuous ingest with rewrite-bytes-per-fire ≪ table
+    * bytes (measured by `graft.SnapshotBench`). History pins and CDC
+    * are untouched (both compactions are dataChange=false); concurrent
+    * readers keep their manifests. Returns which action fired, or
+    * None when idle or when only big segments exceed the count cap.
     */
   def autoOptimize(spark: SparkSession, dir: String,
-      maxSegments: Int, maxTombstones: Int,
-      zCols: Seq[String], nFiles: Int, statsCols: Seq[String]): Option[Int] = {
-    require(maxSegments >= 1 && maxTombstones >= 0,
-      s"need maxSegments >= 1, maxTombstones >= 0; got " +
-        s"($maxSegments, $maxTombstones)")
+      maxSegments: Int, maxTombstones: Int, maxSegBytes: Long,
+      zCols: Seq[String], nFiles: Int,
+      statsCols: Seq[String]): Option[OptimizeAction] = {
+    require(maxSegments >= 1 && maxTombstones >= 0 && maxSegBytes > 0,
+      s"need maxSegments >= 1, maxTombstones >= 0, maxSegBytes > 0; " +
+        s"got ($maxSegments, $maxTombstones, $maxSegBytes)")
     val (segs, tombs) = segmentCounts(spark, dir)
-    if (segs <= maxSegments && tombs <= maxTombstones) None
-    else Some(compactZordered(spark, dir, zCols, nFiles, statsCols))
+    if (tombs > maxTombstones)
+      Some(ZOrdered(compactZordered(spark, dir, zCols, nFiles, statsCols)))
+    else if (segs > maxSegments)
+      compactSmall(spark, dir, maxSegBytes, statsCols).map(BinPacked.apply)
+    else None
   }
 
   /** On a NON-evolved store every probe column must exist in the

@@ -2673,20 +2673,22 @@ object TextQueries {
     },
 
     // OPTIMIZE cadence under continuous ingest (SnapshotStore
-    // .autoOptimize — the operational loop the 64/256-segment read
-    // curves imply): four banded appends and two deletes, the policy
-    // (maxSegments=2, maxTombstones=1) checked after every commit —
-    // it must fire EXACTLY once (after the third append), folding the
-    // first tombstone into a z-compacted segment, and the final probe
-    // reads the mid-ingest store (compacted z-segment + two
-    // stats-carrying appends + one live tombstone) through
+    // .autoOptimize — Delta's OPTIMIZE vs OPTIMIZE ZORDER split as a
+    // policy): four banded appends and three deletes, the policy
+    // (maxSegments=2, maxTombstones=1) checked after every commit.
+    // The SEGMENT-COUNT trigger must fire the O(small-files) BIN-PACK
+    // (after the third append — folding the %7 tombstone into the
+    // merged segment under MVCC order), and the O(table) Z-ORDER
+    // rewrite must fire EXACTLY ONCE, off the TOMBSTONE trigger at
+    // the end — delete debt, never ingest velocity, pays for a full
+    // rewrite. The final probe reads the z-compacted store through
     // readPrunedRange with files pruned. The oracle replays the MVCC
     // temporal algebra blind to the store: the %7 delete predates
-    // bands 3-4 (hides only n_chars<150 rows), the %11 delete
-    // postdates everything.
+    // bands 3-4 (hides only n_chars<150 rows), the %11 and %13
+    // deletes postdate everything.
     Q("q196_snapshot_auto_optimize",
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 11 <> 0
+        |WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
         |  AND NOT (doc_id % 7 = 0 AND n_chars < 150)
         |  AND n_chars BETWEEN 150 AND 260
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -2694,13 +2696,17 @@ object TextQueries {
       val root = hermeticStore("q196", dir) { r =>
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-        var fired = 0
+        var packed = 0
+        var zordered = 0
         def auto(): Unit =
-          if (SnapshotStore.autoOptimize(s, r, maxSegments = 2,
-              maxTombstones = 1, zCols = Seq("n_chars", "doc_id"),
-              nFiles = 8,
-              statsCols = Seq("n_chars", "doc_id")).isDefined)
-            fired += 1
+          SnapshotStore.autoOptimize(s, r, maxSegments = 2,
+            maxTombstones = 1, maxSegBytes = 1L << 30,
+            zCols = Seq("n_chars", "doc_id"), nFiles = 8,
+            statsCols = Seq("n_chars", "doc_id")) match {
+            case Some(_: SnapshotStore.BinPacked) => packed += 1
+            case Some(_: SnapshotStore.ZOrdered) => zordered += 1
+            case None => ()
+          }
         Seq(col("n_chars") < 100, col("n_chars").between(100, 149))
           .foreach { band =>
             SnapshotStore.commitAppend(docs.filter(band), r,
@@ -2714,12 +2720,19 @@ object TextQueries {
             SnapshotStore.commitAppend(docs.filter(band), r,
               statsCols = Seq("n_chars")); auto()
           }
-        SnapshotStore.commitDelete(
-          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
-          "doc_id", r); auto()
-        require(fired == 1,
-          s"auto-optimize cadence drifted: fired $fired times, policy " +
-            s"implies exactly one compaction in this commit sequence")
+        Seq(11, 13).foreach { m =>
+          SnapshotStore.commitDelete(
+            docs.filter(col("doc_id") % m === 0).select(col("doc_id")),
+            "doc_id", r); auto()
+        }
+        require(packed >= 1 && zordered <= 1,
+          s"auto-optimize cadence drifted: $packed bin-packs, " +
+            s"$zordered full rewrites — the count trigger must bin-pack " +
+            s"and at most one fire may be the O(table) rewrite")
+        require(packed == 1 && zordered == 1,
+          s"cadence fire counts drifted from the deterministic " +
+            s"sequence: expected 1 bin-pack + 1 z-order, got " +
+            s"$packed + $zordered")
         ()
       }
       val scan = SnapshotStore.readPrunedRange(s, root,

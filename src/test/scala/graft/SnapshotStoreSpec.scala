@@ -756,13 +756,14 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 19
   }
 
-  test("autoOptimize: thresholds trigger exactly when crossed, content is preserved, read amplification stays bounded") {
+  test("autoOptimize: count trigger bin-packs, tombstone trigger z-orders, all-big segments never force an O(table) rewrite") {
     val dir = freshDir("cadence")
     val pop = (1L to 600L).map(i => (i, i % 17, s"row $i"))
       .toDF("doc_id", "k", "text")
-    def auto() = SnapshotStore.autoOptimize(spark, dir,
-      maxSegments = 2, maxTombstones = 1,
-      zCols = Seq("doc_id"), nFiles = 4, statsCols = Seq("doc_id", "k"))
+    def auto(maxSegBytes: Long = 1L << 30) =
+      SnapshotStore.autoOptimize(spark, dir,
+        maxSegments = 2, maxTombstones = 1, maxSegBytes = maxSegBytes,
+        zCols = Seq("doc_id"), nFiles = 4, statsCols = Seq("doc_id", "k"))
     SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 200), dir)
     auto() shouldBe None // 1 segment — under threshold
     SnapshotStore.commitAppend(
@@ -772,17 +773,31 @@ class SnapshotStoreSpec extends SparkSpecBase {
     auto() shouldBe None // 1 tombstone — at threshold
     SnapshotStore.commitAppend(pop.filter(col("doc_id") > 400), dir)
     SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 1))
-    val v = auto() // 3 segments > 2 — compacts
-    v.isDefined shouldBe true
+    // the count trigger with ALL-BIG segments is a NO-OP, never a full
+    // rewrite (maxSegBytes=1 makes every segment "big")
+    auto(maxSegBytes = 1L) shouldBe None
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 1))
+    // the count trigger with small segments BIN-PACKS (O(small-files)),
+    // folding the postdating tombstone into the merged segment
+    val v = auto()
+    v.get shouldBe a[SnapshotStore.BinPacked]
     SnapshotStore.segmentCounts(spark, dir) shouldBe ((1, 0))
-    // content preserved, tombstone folded
     SnapshotStore.read(spark, dir).count() shouldBe 599
-    // the compacted segment restores single-segment stats pruning
+    // idle call after the bin-pack: one manifest read, no work
+    auto() shouldBe None
+    // delete debt crosses the tombstone threshold → the RARE O(table)
+    // z-order rewrite fires, folds both tombstones, restores pruning
+    SnapshotStore.commitDelete(Seq(6L).toDF("doc_id"), "doc_id", dir)
+    auto() shouldBe None // 1 tombstone — at threshold
+    SnapshotStore.commitDelete(Seq(7L).toDF("doc_id"), "doc_id", dir)
+    val z = auto()
+    z.get shouldBe a[SnapshotStore.ZOrdered]
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((1, 0))
+    SnapshotStore.read(spark, dir).count() shouldBe 597
     val scan = SnapshotStore.readPrunedLatest(spark, dir,
       Seq(graft.ops.LayoutOps.ColRange("doc_id", 100L, 150L)))
     scan.filesRead should be < scan.filesTotal
     scan.df.count() shouldBe 51
-    // idle call after the compaction: one manifest read, no work
     auto() shouldBe None
   }
 
