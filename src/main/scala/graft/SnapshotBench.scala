@@ -182,6 +182,34 @@ object SnapshotBench {
       s""""table_bytes":${tableBytes(spark, cadenced)}}""")
     println(f"""{"face":"cadenced_read","secs":$sCadRead%.2f}""")
 
+    // PARTITIONED store at 64 partitions: four ingests each fanning
+    // into 64 hive leaves (one write job per commit; 256 leaf segments
+    // total), then a one-partition probe — segment pruning from the
+    // manifest PATHS alone, before any sidecar read, vs the
+    // unpartitioned full-scan filter (the 100 TB lever: neither the
+    // pruned segments' sidecars nor their listings cost anything)
+    val parted = s"$base/parted"
+    val docsP = docs.withColumn("pk", (col("doc_id") % 64).cast("string"))
+      .localCheckpoint(true)
+    val tPart = secs {
+      (0 until 4).foreach { i =>
+        SnapshotStore.commitAppend(docsP.filter(col("doc_id") % 4 === i),
+          parted, statsCols = Seq("doc_id"), partitionBy = Seq("pk"))
+      }
+    }
+    println(f"""{"face":"partitioned_ingest_4x64","secs":$tPart%.2f}""")
+    val tPp = System.nanoTime()
+    val ps = SnapshotStore.readPrunedRange(spark, parted, Nil,
+      parts = Map("pk" -> Set("7")))
+    ps.df.count()
+    val sPp = (System.nanoTime() - tPp) / 1e9
+    println(f"""{"face":"partition_probe_1_of_64","secs":$sPp%.2f,""" +
+      s""""segs":"${ps.segsRead}/${ps.segsTotal}",""" +
+      s""""files":"${ps.filesRead}/${ps.filesTotal}"}""")
+    val sPpFull = secs(SnapshotStore.read(spark, parted)
+      .where(col("pk") === "7").count())
+    println(f"""{"face":"partition_probe_full_scan","secs":$sPpFull%.2f}""")
+
     // mass-delete regime: tombstone ~30% of the table in ONE commit,
     // then read — the size gate decides broadcast vs shuffle anti-join
     // (forced-shuffle twin via graft.snapshot.tombBroadcastBytes=0, so

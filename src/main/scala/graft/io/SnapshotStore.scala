@@ -150,7 +150,7 @@ object SnapshotStore {
     if (fs.exists(nested)) conflict(nested)
   }
 
-  /** Append `df` as a new immutable segment and publish the next
+  /** Append `df` as new immutable segment(s) and publish the next
     * version (previous segments + tombstones carry forward). Returns
     * the committed version. By default the schema must match the
     * store's exactly (loud mismatch — silent unionByName drift
@@ -159,9 +159,21 @@ object SnapshotStore {
     * read them as null) and columns may be omitted (this segment
     * reads them as null), but a column name shared with the store
     * must keep its type — a type flip would poison every read.
+    *
+    * `partitionBy` makes this a PARTITIONED commit (the Delta/Iceberg
+    * partition-column discipline — the single biggest segment-pruning
+    * lever at 100 TB, where every real table is date/lang/source
+    * partitioned): ONE write job lays the data out hive-style and
+    * every partition leaf registers as its OWN manifest segment whose
+    * path encodes its partition values, so [[readPrunedRange]] /
+    * [[countPrunedRange]] prune whole segments against a partition
+    * predicate before touching any sidecar or file, and
+    * [[compactSmall]] / [[compactZordered]] can take a partition
+    * scope. See [[segPartValues]] for the encoding contract.
     */
   def commitAppend(df: DataFrame, dir: String,
-      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = if (prev.isEmpty) 1 else prev.max + 1
@@ -169,9 +181,8 @@ object SnapshotStore {
       schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
         mergeSchema, "commitAppend")
     statsGuard(df, statsCols, "commitAppend")
-    val seg = s"seg/${uniqueName('s', v)}"
-    df.write.mode("errorifexists").parquet(s"$dir/$seg")
-    val stats = writeSegStats(spark, dir, seg, statsCols)
+    val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
+      "commitAppend")
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
     // the first evolved commit flags the manifest: reads pay the
@@ -179,8 +190,140 @@ object SnapshotStore {
     // schema into one segment and drops the flag)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    commitManifest(spark, dir, v, carried ++ evo ++ stats :+ (("seg", seg)))
+    commitManifest(spark, dir, v, carried ++ evo ++ segRows)
     v
+  }
+
+  /** The shared data-segment writer every data-committing face rides:
+    * returns the manifest rows naming what it wrote.
+    *
+    *  - plain commit: one `seg` row (+ one `stats` row when
+    *    `statsCols` given), exactly the pre-partitioning layout.
+    *  - partitioned commit: ONE hive-layout write job (each partition
+    *    column is DUPLICATED into a `__p_<col>` twin for the layout,
+    *    so the data files keep the full original schema and every
+    *    leaf dir reads as a plain parquet segment), then one `seg`
+    *    (+`stats`) row PER PARTITION LEAF. The leaf path IS the
+    *    partition-value record — no second bookkeeping channel to
+    *    drift. Stats ride in ONE sidecar at the commit root (one
+    *    files-sized aggregation for the whole commit, not one job per
+    *    partition), shared by every leaf's `stats` row.
+    *
+    * Loud guards, all post-write on the orphan-safe not-yet-committed
+    * directory (no pre-write pass, so `df` is still evaluated ONCE):
+    * a null partition value (hive's default-partition dir would make
+    * the value unreadable from the path) and a partition value whose
+    * escaped dir name carries the manifest separators `;`/`,`.
+    */
+  private def writeDataSegment(df: DataFrame, dir: String, v: Int,
+      statsCols: Seq[String], partitionBy: Seq[String],
+      op: String): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    if (partitionBy.isEmpty) {
+      val seg = s"seg/${uniqueName('s', v)}"
+      df.write.mode("errorifexists").parquet(s"$dir/$seg")
+      writeSegStats(spark, dir, seg, statsCols) :+ (("seg", seg))
+    } else {
+      val missing = partitionBy.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"$op: partition column(s) ${missing.mkString(",")} not in the " +
+          s"committed frame (${df.columns.mkString(",")})")
+      require(df.columns.forall(!_.startsWith("__p_")),
+        s"$op: '__p_' column prefix is reserved for the partition layout")
+      val root = s"seg/${uniqueName('s', v)}"
+      val pcols = partitionBy.map(c => s"__p_$c")
+      partitionBy.zip(pcols).foldLeft(df) { case (d, (c, p)) =>
+          d.withColumn(p, col(c))
+        }
+        .write.mode("errorifexists").partitionBy(pcols: _*)
+        .parquet(s"$dir/$root")
+      val fs = hfs(spark, dir)
+      // relative leaf paths built during the descent (listStatus
+      // returns scheme-qualified URIs — never string-strip those)
+      def leaves(p: org.apache.hadoop.fs.Path, rel: String,
+          depth: Int): Seq[String] =
+        if (depth == 0) Seq(rel)
+        else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+          // only real partition dirs (the __p_ twin prefix) — never
+          // _SUCCESS/_temporary leftovers
+          .filter(_.getName.startsWith("__p_"))
+          .flatMap(c => leaves(c, s"$rel/${c.getName}", depth - 1))
+      val rootPath = new org.apache.hadoop.fs.Path(s"$dir/$root")
+      val leafSegs = leaves(rootPath, root, partitionBy.size).sorted
+      def refuse(msg: String): Nothing = {
+        fs.delete(rootPath, true)
+        throw new IllegalArgumentException(s"$op: $msg")
+      }
+      if (leafSegs.exists(_.contains("=__HIVE_DEFAULT_PARTITION__")))
+        refuse("null partition value(s) — a null cannot be recorded " +
+          "in the partition path and would silently vanish from " +
+          "partition pruning; filter or fill upstream")
+      if (leafSegs.exists(s => s.contains(";") || s.contains(",")))
+        refuse(s"partition value escapes to a dir name containing " +
+          s"';' or ',' (manifest separators) — sanitize the value " +
+          s"(${leafSegs.filter(s => s.contains(";") || s.contains(","))
+            .mkString(", ")})")
+      val stats = if (statsCols.isEmpty) Seq.empty
+        else {
+          graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+            s"$dir/$root", s"$dir/$root/_stats")
+          leafSegs.map(l => ("stats", s"$l;${statsCols.mkString(",")}"))
+        }
+      stats ++ leafSegs.map(("seg", _))
+    }
+  }
+
+  /** The partition values a segment path encodes: `__p_<col>=<val>`
+    * components (hive-escaped values, unescaped here) from a
+    * partitioned commit or a partition-scoped compaction. Empty for
+    * unpartitioned segments. The path IS the manifest's partition
+    * record — pruning reads it without touching the filesystem.
+    */
+  private[graft] def segPartValues(seg: String): Map[String, String] =
+    seg.split('/').toSeq.collect {
+      case c if c.startsWith("__p_") && c.contains('=') =>
+        val i = c.indexOf('=')
+        (c.substring(4, i),
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(c.substring(i + 1)))
+    }.toMap
+
+  /** Partition-predicate keep test for READS: a segment with no
+    * recorded value for a probed column is kept CONSERVATIVELY (an
+    * unpartitioned segment may hold matching rows; the row-level
+    * residual keeps the result exact), while a recorded value prunes
+    * decisively.
+    */
+  private def partKeep(seg: String,
+      parts: Map[String, Set[String]]): Boolean = {
+    val vals = segPartValues(seg)
+    parts.forall { case (c, allowed) =>
+      vals.get(c).forall(allowed.contains)
+    }
+  }
+
+  /** Partition-scope test for COMPACTION: only segments whose
+    * recorded values match are picked — an unpartitioned segment is
+    * not addressable by a partition scope and carries forward.
+    */
+  private def scopeMatch(seg: String,
+      scope: Map[String, Set[String]]): Boolean = {
+    val vals = segPartValues(seg)
+    scope.forall { case (c, allowed) =>
+      vals.get(c).exists(allowed.contains)
+    }
+  }
+
+  /** A segment's partition-path signature — the `/__p_...` suffix,
+    * verbatim (order and escaping preserved), "" when unpartitioned.
+    * Compactions group by it so a merged segment KEEPS its partition
+    * encoding (merging across partitions would un-partition the data
+    * and silently kill segment pruning for it).
+    */
+  private def sigOf(seg: String): String = {
+    val base = seg.stripSuffix("/data")
+    val i = base.indexOf("/__p_")
+    if (i < 0) "" else base.substring(i)
   }
 
   /** Per-commit data-skipping stats (the Delta add-file discipline —
@@ -435,7 +578,8 @@ object SnapshotStore {
     * would be silently dropped as replays.
     */
   def commitStreamBatch(df: DataFrame, dir: String, batchId: Long,
-      appId: String = "default", statsCols: Seq[String] = Nil): Int = {
+      appId: String = "default", statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Int = {
     require(!appId.contains(":"),
       s"appId must not contain ':' (the txn-row separator), got '$appId'")
     val spark = df.sparkSession
@@ -449,13 +593,16 @@ object SnapshotStore {
     if (lastTxn.exists(batchId <= _)) return prev.max // replayed batch
     statsGuard(df, statsCols, "commitStreamBatch")
     val v = if (prev.isEmpty) 1 else prev.max + 1
-    val seg = s"seg/${uniqueName('s', v)}"
-    df.write.mode("errorifexists").parquet(s"$dir/$seg")
-    val stats = writeSegStats(spark, dir, seg, statsCols)
+    // partitionBy: the canonical 100 TB ingest shape is a stream
+    // committing into a date/lang-partitioned store — each micro-batch
+    // usually touches one or two partitions, so the per-leaf manifest
+    // rows stay O(1) per commit
+    val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
+      "commitStreamBatch")
     commitManifest(spark, dir, v,
       carried.filterNot { case (k, b) =>
-        k == "txn" && b.startsWith(s"$appId:") } ++ stats ++
-        Seq(("seg", seg), ("txn", s"$appId:$batchId")))
+        k == "txn" && b.startsWith(s"$appId:") } ++ segRows :+
+        (("txn", s"$appId:$batchId")))
     v
   }
 
@@ -467,14 +614,15 @@ object SnapshotStore {
     * "parquet")` sink can never make transactional.
     */
   def streamSink(stream: DataFrame, dir: String, checkpointDir: String,
-      appId: String = "default",
-      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      appId: String = "default", statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          commitStreamBatch(batch, dir, id, appId, statsCols); ()
+          commitStreamBatch(batch, dir, id, appId, statsCols,
+            partitionBy); ()
         }
       }
       .start()
@@ -552,47 +700,83 @@ object SnapshotStore {
     * None when fewer than two segments qualify.
     */
   def compactSmall(spark: SparkSession, dir: String, maxSegBytes: Long,
-      statsCols: Seq[String] = Nil): Option[Int] = {
+      statsCols: Seq[String] = Nil,
+      scope: Map[String, Set[String]] = Map.empty): Option[Int] = {
+    val fs = hfs(spark, dir)
+    compactGroups(spark, dir, scope, minGroup = 2, op = "compactSmall",
+      pick = seg => fs.getContentSummary(new org.apache.hadoop.fs.Path(
+        s"$dir/${seg.stripSuffix("/data")}")).getLength <= maxSegBytes,
+      writeGroup = (survivors, sig, v) => {
+        // the write-side stats gate BEFORE the expensive merge write —
+        // the same guard every other stats-writing commit face runs
+        statsGuard(survivors, statsCols, "compactSmall")
+        val root = s"seg/${uniqueName('c', v)}"
+        val seg = s"$root$sig"
+        survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
+        val stats = if (statsCols.isEmpty) Seq.empty
+          else {
+            // at the commit ROOT, where sidecarDirOf resolves it for
+            // both the plain and the partition-suffixed segment shape
+            graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+              s"$dir/$seg", s"$dir/$root/_stats")
+            Seq(("stats", s"$seg;${statsCols.mkString(",")}"))
+          }
+        (seg, stats)
+      })
+  }
+
+  /** The shared copy-on-write compaction core: rewrite the picked
+    * segments of the latest snapshot — grouped by partition-path
+    * SIGNATURE, so a merged segment keeps its partition encoding and
+    * partitions never blend — into fresh `c` (dataChange=false)
+    * segments at one new version, carrying everything else forward
+    * untouched. Groups smaller than `minGroup` don't rewrite. MVCC
+    * makes the partial rewrite safe exactly as [[compactSmall]]'s
+    * scaladoc argues: postdating tombstones fold into each group's
+    * rewrite, tombstones still covering carried segments stay, and a
+    * tombstone no remaining segment predates drops as dead weight.
+    */
+  private def compactGroups(spark: SparkSession, dir: String,
+      scope: Map[String, Set[String]], minGroup: Int, op: String,
+      pick: String => Boolean,
+      writeGroup: (DataFrame, String, Int) => (String, Seq[(String, String)]))
+      : Option[Int] = {
     val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"compactSmall: no committed snapshot at $dir")
+    require(vs.nonEmpty, s"$op: no committed snapshot at $dir")
     val rows = readManifestRows(spark, dir, vs.max)
     val segs = rows.collect { case ("seg", p) => p }
     val tombs = rows.collect { case ("tomb", p) => p }
-    val fs = hfs(spark, dir)
-    val small = segs.filter { seg =>
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(
-        s"$dir/${seg.stripSuffix("/data")}")).getLength <= maxSegBytes
-    }
-    if (small.size < 2) return None
+    val evolved = rows.exists(_._1 == "evo")
+    val groups = segs
+      .filter(s => (scope.isEmpty || scopeMatch(s, scope)) && pick(s))
+      .groupBy(sigOf).filter(_._2.size >= minGroup)
+    if (groups.isEmpty) return None
+    val picked = groups.values.flatten.toSet
     val v = vs.max + 1
-    val merged = s"seg/${uniqueName('c', v)}"
-    // read ONLY the small segments, with every tombstone that
+    // read ONLY each group's segments, with every tombstone that
     // postdates each folded in (segsMinusTombs applies exactly the
     // MVCC ordering; tombs older than every picked segment no-op)
-    val survivors = segsMinusTombs(spark, dir, small, tombs,
-      evolved = rows.exists(_._1 == "evo"))
-    // the write-side stats gate BEFORE the expensive merge write —
-    // the same guard every other stats-writing commit face runs
-    statsGuard(survivors, statsCols, "compactSmall")
-    survivors.write.mode("errorifexists").parquet(s"$dir/$merged")
-    val stats = writeSegStats(spark, dir, merged, statsCols)
-    val smallSet = small.toSet
-    val keptSegs = segs.filterNot(smallSet)
+    val newRows = groups.toSeq.sortBy(_._1).flatMap { case (sig, gsegs) =>
+      val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved)
+      val (seg, extra) = writeGroup(survivors, sig, v)
+      (("seg", seg)) +: extra
+    }
+    val keptSegs = segs.filterNot(picked)
     // a tombstone only matters while SOME remaining segment predates
-    // it (the merged segment commits at v, above them all)
+    // it (the rewritten segments commit at v, above them all)
     val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
     val keptRows = rows.filter {
-      case ("seg", p) => !smallSet(p)
-      case ("stats", s) => !smallSet(parseStatsRow(s)._1)
+      case ("seg", p) => !picked(p)
+      case ("stats", s) => !picked(parseStatsRow(s)._1)
       case ("tomb", p) => pathVersion(p) > minKept
-      // a TOTAL merge unified the schema into the one new segment —
-      // drop the evo flag like compact/compactZordered do, so reads
-      // stop paying the footer-merge; a partial merge keeps it (the
-      // carried segments may still differ)
-      case ("evo", _) => keptSegs.nonEmpty
+      // a TOTAL merge into ONE segment unified the schema — drop the
+      // evo flag like compact/compactZordered do, so reads stop
+      // paying the footer-merge; a partial merge (or one that left
+      // multiple per-partition segments) keeps it
+      case ("evo", _) => keptSegs.nonEmpty || groups.size > 1
       case _ => true // txn carry
     }
-    commitManifest(spark, dir, v, keptRows ++ stats :+ (("seg", merged)))
+    commitManifest(spark, dir, v, keptRows ++ newRows)
     Some(v)
   }
 
@@ -607,20 +791,39 @@ object SnapshotStore {
     * old segments, CDC skips the movement, the txn marker carries.
     */
   def compactZordered(spark: SparkSession, dir: String,
-      zCols: Seq[String], nFiles: Int, statsCols: Seq[String]): Int = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"compactZordered: no committed snapshot at $dir")
-    val v = vs.max + 1
-    val root = s"seg/${uniqueName('c', v)}"
-    graft.ops.LayoutOps.zorderWrite(
-      read(spark, dir, Some(vs.max)), zCols, nFiles, statsCols,
-      s"$dir/$root")
-    val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
-    commitManifest(spark, dir, v,
-      Seq(("seg", s"$root/data"),
-        ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn)
-    v
-  }
+      zCols: Seq[String], nFiles: Int, statsCols: Seq[String],
+      scope: Map[String, Set[String]] = Map.empty): Int =
+    if (scope.isEmpty) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"compactZordered: no committed snapshot at $dir")
+      val v = vs.max + 1
+      val root = s"seg/${uniqueName('c', v)}"
+      graft.ops.LayoutOps.zorderWrite(
+        read(spark, dir, Some(vs.max)), zCols, nFiles, statsCols,
+        s"$dir/$root")
+      val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+      commitManifest(spark, dir, v,
+        Seq(("seg", s"$root/data"),
+          ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn)
+      v
+    } else
+      // partition-scoped OPTIMIZE ZORDER: z-rewrite only the segments
+      // whose recorded partition values match (per signature group, so
+      // the rewritten layout keeps its partition encoding); everything
+      // else — including history pins and unscoped partitions' data —
+      // carries forward untouched. Single-segment groups still
+      // rewrite: re-clustering ONE partition is the point.
+      compactGroups(spark, dir, scope, minGroup = 1,
+        op = "compactZordered", pick = _ => true,
+        writeGroup = (survivors, sig, v) => {
+          val root = s"seg/${uniqueName('c', v)}"
+          graft.ops.LayoutOps.zorderWrite(survivors, zCols, nFiles,
+            statsCols, s"$dir/$root$sig")
+          (s"$root$sig/data",
+            Seq(("stats", s"$root$sig/data;${statsCols.mkString(",")}")))
+        }).getOrElse(throw new IllegalArgumentException(
+          s"compactZordered: no segment matches partition scope " +
+            s"$scope at $dir — nothing to rewrite"))
 
   /** Stats-pruned range scan of the latest snapshot — valid when the
     * latest version is a single [[compactZordered]] segment with no
@@ -664,9 +867,15 @@ object SnapshotStore {
     */
   def readPrunedRange(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange],
-      version: Option[Int] = None): graft.ops.LayoutOps.PrunedScan = {
+      version: Option[Int] = None,
+      parts: Map[String, Set[String]] = Map.empty)
+      : graft.ops.LayoutOps.PrunedScan = {
     import graft.ops.LayoutOps
-    require(ranges.nonEmpty, "readPrunedRange needs at least one range")
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "readPrunedRange needs at least one range or partition predicate")
+    require(parts.forall(_._2.nonEmpty),
+      s"readPrunedRange: empty allowed-value set for partition " +
+        s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot at $dir")
     val v = version.getOrElse(vs.max)
@@ -677,12 +886,27 @@ object SnapshotStore {
     val segs = rows.collect { case ("seg", p) => p }
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
     val tombs = rows.collect { case ("tomb", p) => p }
+    val evolved = rows.exists(_._1 == "evo")
+    val probeCols = ranges.map(_.col) ++ parts.keys
+    rangeColsGuard(spark, dir, segs, evolved, probeCols, "readPrunedRange")
+
+    // PARTITION pruning first — segments whose path-recorded values
+    // miss the predicate drop before any sidecar or file is touched
+    // (the reason partition columns exist at 100 TB: neither their
+    // sidecars nor their listings cost anything). Unrecorded segments
+    // keep conservatively; the row residual keeps the result exact.
+    val live = segs.filter(partKeep(_, parts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
-    }.toMap
-    val evolved = rows.exists(_._1 == "evo")
-    rangeColsGuard(spark, dir, segs, evolved, ranges, "readPrunedRange")
-    val residual = LayoutOps.residualFilter(ranges)
+    }.toMap.filter { case (seg, _) => live.contains(seg) }
+    // the residual re-applies BOTH predicate kinds row-level: ranges
+    // as typed between, partition values as the dir-name string form
+    // (hive renders integral/string partition values canonically)
+    val residual = (ranges.map(rg =>
+        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+      .reduce(_ && _)
     val fs = hfs(spark, dir)
 
     // Per-segment file lists, driver-cheap at ANY segment count: the
@@ -702,7 +926,7 @@ object SnapshotStore {
         .map(r => LayoutOps.decodeStatFile(r.getAs[String]("file")))
       if (fls.nonEmpty) kept(seg) = fls
     }
-    segs.filterNot(statsOf.contains).foreach { seg =>
+    live.filterNot(statsOf.contains).foreach { seg =>
       val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
         .toSeq.map(_.getPath)
         .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
@@ -717,11 +941,11 @@ object SnapshotStore {
     // no footer merge needed); an evolved store reads per segment so
     // each relation stays single-schema, and a segment whose schema
     // omits a probe column contributes nothing (null never sits in an
-    // inclusive range).
+    // inclusive range, and never matches a partition-value set).
     def batchFrame(batch: Seq[String]): Option[DataFrame] = {
       def frameOf(files: Seq[String]): Option[DataFrame] = {
         val f = spark.read.parquet(files: _*)
-        if (ranges.exists(rg => !f.columns.contains(rg.col))) None
+        if (probeCols.exists(!f.columns.contains(_))) None
         else { filesRead += files.size; Some(f.where(residual)) }
       }
       val present = batch.sortBy(pathVersion).flatMap(s => kept.get(s).map(s -> _))
@@ -742,7 +966,7 @@ object SnapshotStore {
       case (None, Some(x)) => acc = Some(x)
       case _ => ()
     }
-    var rest = segs.sortBy(pathVersion)
+    var rest = live.sortBy(pathVersion)
     tombs.map(p => (pathVersion(p), p)).sortBy(_._1).foreach {
       case (tv, tp) =>
         val (older, later) = rest.partition(pathVersion(_) < tv)
@@ -754,7 +978,8 @@ object SnapshotStore {
     // everything pruned: a schema-stable empty frame (the false filter
     // folds to an empty relation — nothing is read)
     val df = acc.getOrElse(read(spark, dir, Some(v)).where(lit(false)))
-    LayoutOps.PrunedScan(df, filesRead, filesTotal)
+    LayoutOps.PrunedScan(df, filesRead, filesTotal,
+      segsRead = live.size, segsTotal = segs.size)
   }
 
   /** Streaming INSERT feed off the store (the Delta streaming-source
@@ -934,16 +1159,30 @@ object SnapshotStore {
     */
   private def rangeColsGuard(spark: SparkSession, dir: String,
       segs: Seq[String], evolved: Boolean,
-      ranges: Seq[graft.ops.LayoutOps.ColRange], op: String): Unit =
+      probeCols: Seq[String], op: String): Unit =
     if (!evolved) {
       val sch = spark.read.parquet(s"$dir/${segs.head}")
         .schema.fieldNames.toSet
-      val missing = ranges.map(_.col).filterNot(sch)
+      val missing = probeCols.filterNot(sch)
       require(missing.isEmpty,
         s"$op: probe column(s) ${missing.mkString(",")} not in the " +
           s"store's schema (${sch.mkString(",")}) — on a non-evolved " +
           s"store a missing probe column is a typo, and pruning would " +
           s"silently return an empty frame")
+    }
+
+  /** Where a segment's stats sidecar lives: beside a z-root's `data`
+    * dir, at the commit root above a partition leaf (one sidecar per
+    * partitioned commit, shared by its leaves), or under a plain
+    * segment dir (the underscore path its own parquet reads ignore).
+    */
+  private def sidecarDirOf(dir: String)(seg: String): String =
+    if (seg.endsWith("/data"))
+      s"$dir/${seg.stripSuffix("/data")}/_stats"
+    else {
+      val i = seg.indexOf("/__p_")
+      if (i >= 0) s"$dir/${seg.substring(0, i)}/_stats"
+      else s"$dir/$seg/_stats"
     }
 
   /** Collected per-commit sidecars for the stats-bearing segments of
@@ -959,21 +1198,28 @@ object SnapshotStore {
       (scala.collection.mutable.Buffer[org.apache.spark.sql.Row], Set[String])]
     statsOf.groupBy(_._2).foreach { case (_, group) =>
       val groupSegs = group.keys.toSeq.sorted
-      val statsDirs = groupSegs.map { seg =>
-        if (seg.endsWith("/data"))
-          s"$dir/${seg.stripSuffix("/data")}/_stats"
-        else s"$dir/$seg/_stats"
-      }
+      // distinct: every partition leaf of one commit shares the ONE
+      // sidecar written at the commit root
+      val statsDirs = groupSegs.map(sidecarDirOf(dir)).distinct
       val sdf = spark.read.parquet(statsDirs: _*)
       val have = sdf.schema.fieldNames.toSet
       groupSegs.foreach(seg => out(seg) =
         (scala.collection.mutable.Buffer.empty, have))
+      // a shared commit-root sidecar names EVERY leaf's files — a row
+      // for a sibling leaf this probe excluded (partition pruning
+      // filtered statsOf before we got here) is skipped, not an error;
+      // a file outside every involved commit root stays loud (corrupt)
+      val groupRoots = statsDirs
+        .map(_.stripPrefix(s"$dir/").stripSuffix("/_stats")).distinct
       sdf.collect().foreach { r =>
         val f = graft.ops.LayoutOps.decodeStatFile(r.getAs[String]("file"))
-        val seg = groupSegs.find(sg => f.contains(s"/$sg/"))
-          .getOrElse(throw new IllegalStateException(
-            s"sidecar names a file outside its segments: $f"))
-        out(seg)._1 += r
+        groupSegs.find(sg => f.contains(s"/$sg/")) match {
+          case Some(seg) => out(seg)._1 += r
+          case None =>
+            if (!groupRoots.exists(rt => f.contains(s"/$rt/")))
+              throw new IllegalStateException(
+                s"sidecar names a file outside its segments: $f")
+        }
       }
     }
     out.toSeq.map { case (seg, (b, h)) => seg -> ((b.toSeq, h)) }
@@ -992,13 +1238,19 @@ object SnapshotStore {
     * / total).
     */
   final case class CountScan(count: Long, filesScanned: Int,
-      filesMetaAnswered: Int, filesTotal: Int)
+      filesMetaAnswered: Int, filesTotal: Int,
+      segsRead: Int = -1, segsTotal: Int = -1)
 
   def countPrunedRange(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange],
-      version: Option[Int] = None): CountScan = {
+      version: Option[Int] = None,
+      parts: Map[String, Set[String]] = Map.empty): CountScan = {
     import graft.ops.LayoutOps
-    require(ranges.nonEmpty, "countPrunedRange needs at least one range")
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "countPrunedRange needs at least one range or partition predicate")
+    require(parts.forall(_._2.nonEmpty),
+      s"countPrunedRange: empty allowed-value set for partition " +
+        s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot at $dir")
     val v = version.getOrElse(vs.max)
@@ -1013,12 +1265,19 @@ object SnapshotStore {
       s"countPrunedRange: v$v at $dir carries ${tombs.length} " +
         s"tombstone(s) — hidden ids defeat range metadata; compact " +
         s"first, or count readPrunedRange(...).df")
+    val evolved = rows.exists(_._1 == "evo")
+    val probeCols = ranges.map(_.col) ++ parts.keys
+    rangeColsGuard(spark, dir, segs, evolved, probeCols, "countPrunedRange")
+    // partition pruning before any sidecar read, as in readPrunedRange
+    val live = segs.filter(partKeep(_, parts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
-    }.toMap
-    val evolved = rows.exists(_._1 == "evo")
-    rangeColsGuard(spark, dir, segs, evolved, ranges, "countPrunedRange")
-    val residual = LayoutOps.residualFilter(ranges)
+    }.toMap.filter { case (seg, _) => live.contains(seg) }
+    val residual = (ranges.map(rg =>
+        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+      .reduce(_ && _)
     val fs = hfs(spark, dir)
     var meta = 0L
     var metaFiles = 0
@@ -1027,10 +1286,18 @@ object SnapshotStore {
     segStatRows(spark, dir, statsOf).foreach { case (seg, (srows, have)) =>
       val usable = ranges.filter(rg =>
         have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
+      // a file is metadata-answerable only when the partition
+      // predicate is EXACTLY satisfied by its segment's recorded
+      // values (every row of a partition leaf carries that value);
+      // a conservatively-kept segment must scan
+      val partVals = segPartValues(seg)
+      val partExact = parts.forall { case (c, allowed) =>
+        partVals.get(c).exists(allowed.contains)
+      }
       filesTotal += srows.length
       val toScan = scala.collection.mutable.Buffer.empty[String]
       srows.foreach { r =>
-        if (have.contains("n_rows") &&
+        if (partExact && have.contains("n_rows") &&
             LayoutOps.containedFile(r, ranges, have)) {
           meta += r.getAs[Long]("n_rows"); metaFiles += 1
         } else if (LayoutOps.keepFile(r, usable))
@@ -1038,7 +1305,7 @@ object SnapshotStore {
       }
       if (toScan.nonEmpty) scan(seg) = toScan.toSeq
     }
-    segs.filterNot(statsOf.contains).foreach { seg =>
+    live.filterNot(statsOf.contains).foreach { seg =>
       val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
         .toSeq.map(_.getPath)
         .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
@@ -1049,7 +1316,8 @@ object SnapshotStore {
     def countOf(files: Seq[String]): Long = {
       val f = spark.read.parquet(files: _*)
       // evolution can omit a probe column: null never sits in a range
-      if (ranges.exists(rg => !f.columns.contains(rg.col))) 0L
+      // and never matches a partition-value set
+      if (probeCols.exists(!f.columns.contains(_))) 0L
       else f.where(residual).count()
     }
     val scannedFiles = scan.values.map(_.size).sum
@@ -1057,7 +1325,8 @@ object SnapshotStore {
       if (scan.isEmpty) 0L
       else if (!evolved) countOf(scan.values.flatten.toSeq)
       else scan.values.map(countOf).sum // per segment: single-schema reads
-    CountScan(meta + scanned, scannedFiles, metaFiles, filesTotal)
+    CountScan(meta + scanned, scannedFiles, metaFiles, filesTotal,
+      segsRead = live.size, segsTotal = segs.size)
   }
 
   /** Version-cursor change-feed processing — the MAINTENANCE face
@@ -1145,7 +1414,8 @@ object SnapshotStore {
     * survives its own tombstone.
     */
   def commitUpsert(df: DataFrame, idCol: String, dir: String,
-      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
@@ -1165,15 +1435,14 @@ object SnapshotStore {
         s"matches the read-side anti-join and the old row would stay")
     val v = prev.max + 1
     val tp = s"tomb/${uniqueName('t', v)}"
-    val seg = s"seg/${uniqueName('s', v)}"
     ids.write.mode("errorifexists").parquet(s"$dir/$tp")
-    pinned.write.mode("errorifexists").parquet(s"$dir/$seg")
-    val stats = writeSegStats(spark, dir, seg, statsCols)
+    val segRows = writeDataSegment(pinned, dir, v, statsCols, partitionBy,
+      "commitUpsert")
     val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
     commitManifest(spark, dir, v,
-      carried ++ evo ++ stats ++ Seq(("tomb", tp), ("seg", seg)))
+      carried ++ evo ++ (("tomb", tp) +: segRows))
     v
   }
 

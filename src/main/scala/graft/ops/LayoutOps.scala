@@ -36,9 +36,15 @@ object LayoutOps {
   final case class ColRange(col: String, lo: Any, hi: Any)
 
   /** A pruned read: the (already residual-filtered) rows plus the
-    * pruning evidence.
+    * pruning evidence. `segsRead`/`segsTotal` carry the snapshot
+    * store's PARTITION-pruning evidence (segments touched vs segments
+    * in the manifest — file counts only cover surviving segments,
+    * because counting a pruned segment's files would mean listing it,
+    * defeating the prune); -1 on plain layout reads, which have no
+    * segment notion.
     */
-  final case class PrunedScan(df: DataFrame, filesRead: Int, filesTotal: Int)
+  final case class PrunedScan(df: DataFrame, filesRead: Int,
+    filesTotal: Int, segsRead: Int = -1, segsTotal: Int = -1)
 
   /** Z-order write: cluster `df` by the Morton value of `zCols` into
     * ~`nFiles` range-partitioned, z-sorted files under `dir/data`,

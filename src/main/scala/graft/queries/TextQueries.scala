@@ -3231,6 +3231,64 @@ object TextQueries {
         s"boundary scan stopped pruning: opened ${cs.filesScanned} of " +
           s"${cs.filesTotal} files")
       Seq(cs.count).toDF("n_docs")
+    },
+
+    // PARTITIONED snapshot store (SnapshotStore.commitAppend
+    // partitionBy — the single biggest store-scale lever at 100 TB,
+    // where every real Delta/Iceberg table is date/lang/source
+    // partitioned): two n_chars-banded ingests and an upsert all
+    // partitioned by lang (ONE hive-layout write job each; every
+    // partition leaf is its own manifest segment whose PATH records
+    // its value), a %7 delete, and a partition-SCOPED bin-pack of the
+    // 'de' partition (other partitions' segments carry forward
+    // untouched). The en probe then prunes SEGMENTS by partition
+    // value before any sidecar read (driver gate: segsRead <
+    // segsTotal) and FILES by the per-commit n_chars stats within the
+    // surviving segments (filesRead < filesTotal — the out-of-band
+    // band-2 and upsert leaves prune). Tombstones fold post-prune in
+    // MVCC order; the residual keeps rows exact vs the raw-table
+    // oracle, blind to the store.
+    Q("q210_snapshot_partition_prune",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |  AND lang = 'en' AND n_chars BETWEEN 100 AND 200
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q210", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 250, col("n_chars") >= 250)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band),
+            r, statsCols = Seq("n_chars"), partitionBy = Seq("lang")))
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r)
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 100000L).as("n_chars")),
+          "doc_id", r, statsCols = Seq("n_chars"),
+          partitionBy = Seq("lang"))
+        require(SnapshotStore.compactSmall(s, r, maxSegBytes = 1L << 30,
+            statsCols = Seq("n_chars"),
+            scope = Map("lang" -> Set("de"))).isDefined,
+          "partition-scoped bin-pack found nothing to merge in the " +
+            "'de' partition — the fixture guarantees three leaves there")
+        ()
+      }
+      val scan = SnapshotStore.readPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("n_chars", 100L, 200L)),
+        parts = Map("lang" -> Set("en")))
+      require(scan.segsRead < scan.segsTotal,
+        s"partition pruning stopped: touched ${scan.segsRead} of " +
+          s"${scan.segsTotal} segments for a one-language probe over a " +
+          s"five-language store")
+      require(scan.filesRead < scan.filesTotal,
+        s"per-commit stats stopped pruning within the partition: read " +
+          s"${scan.filesRead} of ${scan.filesTotal} files for a " +
+          s"one-band probe")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }

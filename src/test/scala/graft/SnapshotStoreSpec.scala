@@ -889,4 +889,198 @@ class SnapshotStoreSpec extends SparkSpecBase {
     }
     old.getMessage should include("vacuumed or never committed")
   }
+
+  private def langPop(n: Int) = (1L to n.toLong).map(i =>
+      (i, Seq("en", "fr", "de")((i % 3).toInt), s"row $i"))
+    .toDF("doc_id", "lang", "text")
+
+  test("partitioned commits: leaves are full-schema segments, partition predicates prune segments before sidecars, residual stays exact") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("partstore")
+    val pop = langPop(300)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 150), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang")) // v1: 3 leaves
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 150), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang")) // v2: 3 leaves
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((6, 0))
+    // read: full original schema (the partition column is DUPLICATED
+    // into the layout twin, so data files keep it), every row once
+    val r = SnapshotStore.read(spark, dir)
+    r.columns.toSeq shouldBe Seq("doc_id", "lang", "text")
+    r.count() shouldBe 300
+    // partition predicate prunes segments BEFORE any sidecar/file read
+    val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    scan.segsRead shouldBe 2
+    scan.segsTotal shouldBe 6
+    scan.df.count() shouldBe pop.filter(col("lang") === "en").count()
+    // partition + range compose; file-level stats still prune within
+    // the surviving segments (v2's en leaf holds only doc_id > 150)
+    val both = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 100L)),
+      parts = Map("lang" -> Set("en")))
+    both.segsRead shouldBe 2
+    both.filesRead should be < both.filesTotal
+    both.df.count() shouldBe
+      pop.filter(col("lang") === "en" && col("doc_id") <= 100).count()
+    // tombstones fold post-prune in MVCC order
+    SnapshotStore.commitDelete(Seq(3L, 153L).toDF("doc_id"), "doc_id", dir)
+    val scan2 = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en", "fr")))
+    scan2.df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      pop.filter(col("lang").isin("en", "fr") &&
+        !col("doc_id").isin(3L, 153L))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // a MIXED store: an unpartitioned commit is kept conservatively,
+    // and the row residual keeps the answer exact
+    SnapshotStore.commitAppend(
+      Seq((9001L, "en", "late")).toDF("doc_id", "lang", "text"), dir)
+    val scan3 = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("fr")))
+    scan3.segsRead shouldBe 3 // 2 fr leaves + the unpartitioned segment
+    scan3.df.filter(col("doc_id") === 9001L).count() shouldBe 0
+    // a partitioned UPSERT: its segment partitions, its tombstone
+    // hides the old row, the replacement is visible
+    SnapshotStore.commitUpsert(
+      Seq((6L, "en", "REPLACED")).toDF("doc_id", "lang", "text"),
+      "doc_id", dir, partitionBy = Seq("lang"))
+    val up = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    up.df.filter(col("doc_id") === 6L).select("text")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("REPLACED")
+    // vacuum keeps every reachable partition leaf: 300 - {3,153}
+    // deleted + the late unpartitioned row (the id-6 upsert replaces)
+    SnapshotStore.vacuum(spark, dir, keepFrom = 5)
+    SnapshotStore.read(spark, dir).count() shouldBe 299
+  }
+
+  test("countPrunedRange with partition predicates: exact partitions meta-answer, conservative segments must scan") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("partcount")
+    val pop = langPop(300)
+    SnapshotStore.commitAppend(pop, dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    val cs = SnapshotStore.countPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 300L)),
+      parts = Map("lang" -> Set("en")))
+    cs.count shouldBe pop.filter(col("lang") === "en").count()
+    cs.segsRead shouldBe 1
+    cs.segsTotal shouldBe 3
+    // the en leaf's files are contained in the full doc_id range AND
+    // the partition predicate is exactly satisfied → pure metadata
+    cs.filesScanned shouldBe 0
+    cs.filesMetaAnswered should be > 0
+    // an unpartitioned commit can never be meta-answered under a
+    // partition predicate — its rows must scan
+    SnapshotStore.commitAppend(
+      Seq((9001L, "en", "late")).toDF("doc_id", "lang", "text"), dir,
+      statsCols = Seq("doc_id"))
+    val cs2 = SnapshotStore.countPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 9001L)),
+      parts = Map("lang" -> Set("en")))
+    cs2.count shouldBe cs.count + 1
+    cs2.filesScanned should be > 0
+  }
+
+  test("compactSmall groups by partition signature (never blending partitions); scope limits the merge") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("partpack")
+    val pop = langPop(300)
+    Seq(100L, 200L, 300L).foreach { hi =>
+      SnapshotStore.commitAppend(
+        pop.filter(col("doc_id") > hi - 100 && col("doc_id") <= hi), dir,
+        statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    }
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((9, 0))
+    // scope: only en's three leaves merge
+    SnapshotStore.compactSmall(spark, dir, maxSegBytes = 1L << 30,
+      statsCols = Seq("doc_id"),
+      scope = Map("lang" -> Set("en"))).isDefined shouldBe true
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((7, 0))
+    // the merged segment keeps its partition encoding: an en probe
+    // touches exactly one segment
+    val en = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    en.segsRead shouldBe 1
+    en.df.count() shouldBe pop.filter(col("lang") === "en").count()
+    // unscoped: fr and de groups merge independently; the single
+    // merged-en segment is a group of one and carries forward
+    SnapshotStore.compactSmall(spark, dir, maxSegBytes = 1L << 30,
+      statsCols = Seq("doc_id")).isDefined shouldBe true
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 0))
+    SnapshotStore.read(spark, dir).count() shouldBe 300
+    val fr = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("fr")))
+    fr.segsRead shouldBe 1
+    fr.df.count() shouldBe pop.filter(col("lang") === "fr").count()
+  }
+
+  test("partition-scoped compactZordered z-rewrites one partition, carries the rest, keeps pruning exact") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("partz")
+    val pop = langPop(600)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 300), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 300), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    SnapshotStore.compactZordered(spark, dir, zCols = Seq("doc_id"),
+      nFiles = 4, statsCols = Seq("doc_id"),
+      scope = Map("lang" -> Set("en")))
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((5, 0))
+    SnapshotStore.read(spark, dir).count() shouldBe 600
+    // the z-rewritten en partition prunes by file inside its segment
+    val en = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 60L)),
+      parts = Map("lang" -> Set("en")))
+    en.segsRead shouldBe 1
+    en.filesRead should be < en.filesTotal
+    en.df.count() shouldBe
+      pop.filter(col("lang") === "en" && col("doc_id") <= 60).count()
+    // scope matching nothing is loud
+    val none = intercept[IllegalArgumentException] {
+      SnapshotStore.compactZordered(spark, dir, zCols = Seq("doc_id"),
+        nFiles = 4, statsCols = Seq("doc_id"),
+        scope = Map("lang" -> Set("zz")))
+    }
+    none.getMessage should include("no segment matches")
+  }
+
+  test("partition guards: null values and separator values refuse loudly, escaped values round-trip") {
+    val dir = freshDir("partguards")
+    val nullLang = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((1L, Option.empty[String], "x")).toDF("doc_id", "lang", "text"),
+        dir, partitionBy = Seq("lang"))
+    }
+    nullLang.getMessage should include("null partition value")
+    val semi = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((1L, "a;b", "x")).toDF("doc_id", "lang", "text"),
+        dir, partitionBy = Seq("lang"))
+    }
+    semi.getMessage should include("manifest separators")
+    // both refusals deleted their orphan roots: the store is still
+    // empty and a clean commit starts at v1
+    SnapshotStore.versions(spark, dir) shouldBe Seq.empty
+    // a value hive MUST escape (':' and space) round-trips through the
+    // path encoding and the partition predicate
+    SnapshotStore.commitAppend(
+      Seq((1L, "zh hant:TW", "x"), (2L, "en", "y"))
+        .toDF("doc_id", "lang", "text"),
+      dir, partitionBy = Seq("lang")) shouldBe 1
+    val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("zh hant:TW")))
+    scan.segsRead shouldBe 1
+    scan.segsTotal shouldBe 2
+    scan.df.select("doc_id").head().getLong(0) shouldBe 1L
+    // a missing partition column and the reserved prefix refuse
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((3L, "en", "z")).toDF("doc_id", "lang", "text"), dir,
+        partitionBy = Seq("langg"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((3L, "en", "z")).toDF("doc_id", "__p_lang", "text"), dir,
+        partitionBy = Seq("text"))
+  }
 }
