@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned parquet store — MVCC over a directory tree (the
@@ -429,6 +429,240 @@ object SnapshotStore {
     commitManifest(spark, dir, v,
       readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)))
     v
+  }
+
+  /** [[commitDeleteWhere]]'s evidence: the committed version, how
+    * many rows the predicate deleted, and the copy-on-write footprint
+    * — segments rewritten vs segments in the table (the carried
+    * remainder was PROVEN disjoint by partition values / file stats
+    * and never read, Delta's stats-driven DELETE file matching).
+    */
+  final case class DeleteWhere(version: Int, rowsDeleted: Long,
+      segsRewritten: Int, segsTotal: Int)
+
+  /** Predicate DELETE (Delta's `DELETE WHERE`), stats-driven
+    * copy-on-write: delete every visible row satisfying the
+    * conjunction of `ranges` (inclusive, the stats-drivable predicate
+    * form) and `parts` (partition values) — WITHOUT enumerating ids
+    * up front and WITHOUT touching provably-disjoint data. Segments
+    * whose partition values miss the predicate, or whose per-file
+    * stats show no file can overlap, carry forward untouched (never
+    * read); only suspect segments rewrite, copy-on-write, grouped by
+    * partition signature so the layout's pruning survives. The commit
+    * is ONE atomic version holding a tombstone of the deleted ids
+    * (which is what makes [[readChanges]] emit the delete PREIMAGES
+    * — the rewritten survivor segments are dataChange=false `c`
+    * movement the feed skips) plus the survivor segments. SQL
+    * three-valued semantics: a row where the predicate is NULL (a
+    * null probe value) is NOT deleted.
+    *
+    * `idCol` must be a row key (the [[commitUpsert]] contract): the
+    * tombstone hides the deleted ids from every older segment, so a
+    * duplicated id would over-delete. Matched rows with a null id
+    * refuse loudly (a null tombstone never matches). Returns None —
+    * committing nothing — when no row matches; segment granularity is
+    * this store's file-group unit (per-commit/per-partition segments
+    * play the role Delta's files do), documented honestly: a
+    * partially-matching segment rewrites whole.
+    */
+  def commitDeleteWhere(spark: SparkSession, dir: String,
+      ranges: Seq[graft.ops.LayoutOps.ColRange], idCol: String,
+      parts: Map[String, Set[String]] = Map.empty,
+      statsCols: Seq[String] = Nil): Option[DeleteWhere] = {
+    import graft.ops.LayoutOps
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "commitDeleteWhere needs at least one range or partition predicate")
+    require(parts.forall(_._2.nonEmpty),
+      s"commitDeleteWhere: empty allowed-value set for partition " +
+        s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty,
+      s"commitDeleteWhere: no committed version at $dir to delete from")
+    val cur = read(spark, dir, Some(vs.max)).schema.fieldNames
+    require(cur.contains(idCol),
+      s"commitDeleteWhere: id column '$idCol' is not in the store's " +
+        s"current schema (${cur.mkString(",")})")
+    val rows = readManifestRows(spark, dir, vs.max)
+    val segs = rows.collect { case ("seg", p) => p }
+    val tombs = rows.collect { case ("tomb", p) => p }
+    val evolved = rows.exists(_._1 == "evo")
+    val probeCols = ranges.map(_.col) ++ parts.keys
+    rangeColsGuard(spark, dir, segs, evolved, probeCols,
+      "commitDeleteWhere")
+    val statsOf: Map[String, Seq[String]] = rows.collect {
+      case ("stats", s) => parseStatsRow(s)
+    }.toMap
+    val statRows = segStatRows(spark, dir, statsOf).toMap
+    // a segment is SUSPECT unless its partition values or its file
+    // stats prove no row can match (no sidecar → conservative)
+    val suspects = segs.filter { seg =>
+      partKeep(seg, parts) && (statRows.get(seg) match {
+        case None => true
+        case Some((srows, have)) =>
+          val usable = ranges.filter(rg =>
+            have.contains(s"min_${rg.col}") &&
+              have.contains(s"max_${rg.col}"))
+          srows.exists(LayoutOps.keepFile(_, usable))
+      })
+    }
+    if (suspects.isEmpty) return None
+    val pred = coalesce(
+      (ranges.map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+        parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+          col(c).cast("string").isin(allowed.toSeq.sorted: _*)
+        }).reduce(_ && _), lit(false))
+    // matched rows pinned ONCE: the tombstone and the delete count
+    // must agree row for row with what the rewrite below removes
+    // (both read the same immutable segments, so the rewrite's twin
+    // evaluation is deterministic by construction)
+    val matched = graft.ops.Checkpoints.cut(
+      segsMinusTombs(spark, dir, suspects, tombs, evolved).where(pred),
+      eager = true)
+    val nDel = matched.count()
+    if (nDel == 0) return None
+    require(matched.where(col(idCol).isNull).count() == 0,
+      s"commitDeleteWhere: matched row(s) carry a null '$idCol' — a " +
+        s"null tombstone never matches the read-side anti-join")
+    val v = vs.max + 1
+    val tp = s"tomb/${uniqueName('t', v)}"
+    matched.select(col(idCol)).distinct()
+      .write.mode("errorifexists").parquet(s"$dir/$tp")
+    val fs = hfs(spark, dir)
+    val suspectSet = suspects.toSet
+    val newRows = suspects.groupBy(sigOf).toSeq.sortBy(_._1)
+      .flatMap { case (sig, gsegs) =>
+        val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved)
+          .where(!pred)
+        statsGuard(survivors, statsCols, "commitDeleteWhere")
+        val root = s"seg/${uniqueName('c', v)}"
+        val seg = s"$root$sig"
+        survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
+        // a group the predicate emptied contributes nothing (Spark
+        // writes no data files for an empty frame — reading the bare
+        // dir would fail schema inference)
+        val hasData = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/$seg")).exists(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        if (!hasData) Seq.empty
+        else if (statsCols.isEmpty) Seq(("seg", seg))
+        else {
+          graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+            s"$dir/$seg", s"$dir/$root/_stats")
+          Seq(("seg", seg), ("stats", s"$seg;${statsCols.mkString(",")}"))
+        }
+      }
+    val keptSegs = segs.filterNot(suspectSet)
+    val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
+    val keptRows = rows.filter {
+      case ("seg", p) => !suspectSet(p)
+      case ("stats", s) => !suspectSet(parseStatsRow(s)._1)
+      case ("tomb", p) => pathVersion(p) > minKept
+      case ("evo", _) => keptSegs.nonEmpty || newRows.count(_._1 == "seg") > 1
+      case _ => true // txn carry
+    }
+    commitManifest(spark, dir, v, keptRows ++ newRows :+ (("tomb", tp)))
+    Some(DeleteWhere(v, nDel, suspects.size, segs.size))
+  }
+
+  /** [[commitMerge]]'s evidence: the committed version plus how many
+    * target rows each clause claimed.
+    */
+  final case class MergeResult(version: Int, updated: Long,
+      deleted: Long, inserted: Long)
+
+  /** Conditional MERGE (Delta's `MERGE INTO` with WHEN MATCHED
+    * UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT), as ONE
+    * atomic version: `source` matches the latest snapshot on `idCol`;
+    * matched rows satisfying `deleteWhen` delete, remaining matched
+    * rows satisfying `updateWhen` are REPLACED by their source row
+    * (whole-row, the [[commitUpsert]] form), matched rows satisfying
+    * neither stay untouched, and unmatched source rows insert when
+    * `insertNotMatched`. Clause order is Delta's: delete is evaluated
+    * before update. Conditions see the TARGET row's columns under
+    * their own names and the SOURCE row's under a `src_` prefix
+    * (e.g. `col("src_n_chars") > col("n_chars")`); a condition
+    * evaluating to NULL does not fire (SQL three-valued semantics).
+    *
+    * Commit shape: one tombstone (updated ∪ deleted ids) + one data
+    * segment (update replacements ∪ inserts) — correct under the MVCC
+    * ordering rule exactly as commitUpsert is. CDC rendering,
+    * honestly: [[readChanges]] emits an update as its delete PREIMAGE
+    * plus its replacement INSERT (Delta's CDF would tag them
+    * update_pre/postimage; the net content is identical).
+    *
+    * Loud guards: `source` is pinned to ONE evaluation; duplicate
+    * source ids refuse (two source rows claiming one target row is
+    * the Delta multiple-matches error); null source ids refuse.
+    * Returns None — committing nothing — when no clause claims any
+    * row.
+    */
+  def commitMerge(source: DataFrame, idCol: String, dir: String,
+      updateWhen: Option[Column] = Some(lit(true)),
+      deleteWhen: Option[Column] = None,
+      insertNotMatched: Boolean = true,
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Option[MergeResult] = {
+    val spark = source.sparkSession
+    val prev = versions(spark, dir)
+    require(prev.nonEmpty,
+      s"commitMerge: no committed version at $dir — commitAppend first")
+    schemaGuard(source, read(spark, dir, Some(prev.max)).schema,
+      mergeSchema, "commitMerge")
+    statsGuard(source, statsCols, "commitMerge")
+    val src = graft.ops.Checkpoints.cut(source, eager = true)
+    val idStats = src.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d"),
+      count(when(col(idCol).isNull, 1)).as("nulls")).head()
+    require(idStats.getLong(2) == 0,
+      s"commitMerge: null id(s) in source '$idCol'")
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"commitMerge: source holds ${idStats.getLong(0)} rows but only " +
+        s"${idStats.getLong(1)} distinct '$idCol' values — multiple " +
+        s"source rows would claim one target row (the Delta " +
+        s"multiple-matches error); dedupe upstream")
+    val target = read(spark, dir, Some(prev.max))
+    val srcP = src.select(src.columns.map(c => col(c).as(s"src_$c")): _*)
+    val delC = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+    val updC = coalesce(updateWhen.getOrElse(lit(false)), lit(false))
+    // the matched classification is pinned ONCE: the tombstone, the
+    // clause counts and the replacement rows must agree row for row
+    val matched = graft.ops.Checkpoints.cut(
+      target.join(srcP, col(idCol) === col(s"src_$idCol"), "inner")
+        .withColumn("__act",
+          when(delC, lit("d")).when(updC, lit("u")).otherwise(lit("n"))),
+      eager = true)
+    val updRows = matched.where(col("__act") === "u")
+      .select(src.columns.map(c => col(s"src_$c").as(c)): _*)
+    val insRows =
+      if (!insertNotMatched) updRows.limit(0)
+      else src.join(target.select(col(idCol)), Seq(idCol), "left_anti")
+        // the USING join moves idCol first — restore the source order
+        // so the written segment's schema matches the store's exactly
+        .select(src.columns.map(col): _*)
+    val nUpd = matched.where(col("__act") === "u").count()
+    val nDel = matched.where(col("__act") === "d").count()
+    val nIns = insRows.count()
+    if (nUpd + nDel + nIns == 0) return None
+    val v = prev.max + 1
+    val claimed = matched.where(col("__act") =!= "n")
+      .select(col(idCol)).distinct()
+    val tombRows = if (nUpd + nDel == 0) Seq.empty
+      else {
+        val tp = s"tomb/${uniqueName('t', v)}"
+        claimed.write.mode("errorifexists").parquet(s"$dir/$tp")
+        Seq(("tomb", tp))
+      }
+    val segRows = if (nUpd + nIns == 0) Seq.empty
+      else writeDataSegment(
+        updRows.unionByName(insRows, allowMissingColumns = true),
+        dir, v, statsCols, partitionBy, "commitMerge")
+    val carried = readManifestRows(spark, dir, prev.max)
+    val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
+      Seq(("evo", "true")) else Seq.empty
+    commitManifest(spark, dir, v, carried ++ evo ++ tombRows ++ segRows)
+    Some(MergeResult(v, nUpd, nDel, nIns))
   }
 
   /** Snapshot read at `version` (default: latest). The segment list

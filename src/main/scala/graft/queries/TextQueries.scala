@@ -3289,6 +3289,103 @@ object TextQueries {
           s"one-band probe")
       scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Predicate DELETE on the snapshot store (Delta's DELETE WHERE —
+    // SnapshotStore.commitDeleteWhere): four n_chars-banded stats-
+    // carrying ingests, then DELETE WHERE n_chars BETWEEN 200 AND 300
+    // as ONE stats-driven copy-on-write commit — the two provably-
+    // disjoint bands carry forward UNREAD (driver gate: segsRewritten
+    // < segsTotal), the two intersecting bands rewrite minus the
+    // matches, and the same commit's tombstone is what makes the CDC
+    // feed emit the delete preimages (gated too). The oracle replays
+    // the negated predicate on the raw table, blind to the store.
+    Q("q211_snapshot_delete_where",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (n_chars BETWEEN 200 AND 300)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q211", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band),
+            r, statsCols = Seq("n_chars")))
+        val vBefore = SnapshotStore.versions(s, r).max
+        val res = SnapshotStore.commitDeleteWhere(s, r,
+          Seq(LayoutOps.ColRange("n_chars", 200L, 300L)), "doc_id",
+          statsCols = Seq("n_chars")).getOrElse(
+          throw new IllegalStateException(
+            "DELETE WHERE matched nothing — the fixture guarantees " +
+              "rows in the 200..300 band"))
+        require(res.segsRewritten < res.segsTotal,
+          s"stats stopped proving disjointness: rewrote " +
+            s"${res.segsRewritten} of ${res.segsTotal} segments for a " +
+            s"two-band predicate over four banded commits")
+        val cdc = graft.io.SnapshotStore.readChanges(s, r, vBefore,
+          res.version)
+        val dels = cdc.filter(col("_change") === "delete").count()
+        val ins = cdc.filter(col("_change") === "insert").count()
+        require(dels == res.rowsDeleted && ins == 0,
+          s"CDC drifted from the delete: $dels preimages for " +
+            s"${res.rowsDeleted} deleted rows, $ins phantom inserts " +
+            s"(survivor rewrites must be dataChange=false)")
+        ()
+      }
+      SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Conditional MERGE on the snapshot store (Delta's MERGE INTO —
+    // SnapshotStore.commitMerge): one source frame exercises all four
+    // outcomes in ONE atomic version with Delta's clause order
+    // (delete before update): matched 'en' targets DELETE, remaining
+    // matched targets with even n_chars are REPLACED by their source
+    // row (+1000), matched odd non-en targets stay untouched, and the
+    // unmatched +1000000 rows INSERT. Conditions read the target row
+    // bare and the source row under src_. The oracle replays the
+    // clause algebra as a three-branch union over the raw table.
+    Q("q212_snapshot_merge",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 NOT IN (0, 5)
+        |   OR (lang <> 'en' AND n_chars % 2 = 1)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000 FROM documents
+        |WHERE doc_id % 10 IN (0, 5) AND lang <> 'en' AND n_chars % 2 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 = 7
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q212", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(docs, r)
+        val source = docs.filter(col("doc_id") % 10 === 0 ||
+            col("doc_id") % 10 === 5)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 7)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+              col("n_chars")))
+        val res = SnapshotStore.commitMerge(source, "doc_id", r,
+          updateWhen = Some(col("n_chars") % 2 === 0),
+          deleteWhen = Some(col("lang") === "en")).getOrElse(
+          throw new IllegalStateException(
+            "merge claimed nothing — the fixture guarantees all four " +
+              "outcomes"))
+        require(res.updated > 0 && res.deleted > 0 && res.inserted > 0,
+          s"a merge clause went dead: updated=${res.updated} " +
+            s"deleted=${res.deleted} inserted=${res.inserted}")
+        ()
+      }
+      SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -894,6 +894,134 @@ class SnapshotStoreSpec extends SparkSpecBase {
       (i, Seq("en", "fr", "de")((i % 3).toInt), s"row $i"))
     .toDF("doc_id", "lang", "text")
 
+  test("commitDeleteWhere: stats-proven disjoint segments never rewrite, preimages feed CDC, null predicates keep rows") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("delwhere")
+    // k is NULL on every 50th row — SQL three-valued DELETE must keep
+    // those rows whatever the range says
+    val pop = (1L to 600L).map(i =>
+        (i, if (i % 50 == 0) None else Some(i % 400), s"row $i"))
+      .toDF("doc_id", "k", "text")
+    Seq((1L, 200L), (201L, 400L), (401L, 600L)).foreach { case (lo, hi) =>
+      SnapshotStore.commitAppend(
+        pop.filter(col("doc_id").between(lo, hi)), dir,
+        statsCols = Seq("doc_id"))
+    }
+    SnapshotStore.commitDelete(Seq(450L).toDF("doc_id"), "doc_id", dir)
+    val vBefore = SnapshotStore.versions(spark, dir).max
+    val res = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 250L)), "doc_id",
+      statsCols = Seq("doc_id")).get
+    res.rowsDeleted shouldBe 151 // ids 100..250 inclusive
+    res.segsRewritten shouldBe 2 // the 401..600 segment proved disjoint
+    res.segsTotal shouldBe 3
+    def ids() = SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    ids() shouldBe (1L to 600L)
+      .filterNot(i => i >= 100 && i <= 250).filterNot(_ == 450L)
+    // CDC: the predicate delete surfaces as delete PREIMAGES; the
+    // rewritten survivor segments are dataChange=false movement
+    val cdc = SnapshotStore.readChanges(spark, dir, vBefore, res.version)
+    cdc.filter(col("_change") === "insert").count() shouldBe 0
+    cdc.filter(col("_change") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 250L)
+    // a range on the NULLABLE column keeps null rows (pred = NULL)
+    val res2 = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("k", 0L, 500L)), "doc_id").get
+    SnapshotStore.read(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (1L to 600L).filter(i => i % 50 == 0)
+        .filterNot(i => i >= 100 && i <= 250).filterNot(_ == 450L)
+    res2.rowsDeleted should be > 0L
+    // nothing matches → None, no version committed
+    val vNow = SnapshotStore.versions(spark, dir).max
+    SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 5000L, 6000L)),
+      "doc_id") shouldBe None
+    SnapshotStore.versions(spark, dir).max shouldBe vNow
+  }
+
+  test("commitDeleteWhere with a partition predicate: drops whole partitions without reading the others") {
+    val dir = freshDir("delpart")
+    val pop = langPop(300)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 150), dir,
+      partitionBy = Seq("lang"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 150), dir,
+      partitionBy = Seq("lang"))
+    val res = SnapshotStore.commitDeleteWhere(spark, dir, Nil, "doc_id",
+      parts = Map("lang" -> Set("fr"))).get
+    res.segsRewritten shouldBe 2 // only the two fr leaves touched
+    res.segsTotal shouldBe 6
+    res.rowsDeleted shouldBe pop.filter(col("lang") === "fr").count()
+    // the emptied fr groups contribute no segments; reads stay exact
+    SnapshotStore.read(spark, dir).count() shouldBe
+      pop.filter(col("lang") =!= "fr").count()
+    val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    scan.df.count() shouldBe pop.filter(col("lang") === "en").count()
+  }
+
+  test("commitMerge: delete-before-update clause order, untouched non-matches, insert-not-matched, CDC rendering, loud guards") {
+    val dir = freshDir("merge")
+    val pop = (1L to 20L).map(i => (i, s"row $i", i % 7))
+      .toDF("doc_id", "text", "n")
+    SnapshotStore.commitAppend(pop, dir)
+    // source: ids 5,10,15 matched (n flips to 99), ids 100,101 new
+    val src = Seq((5L, "UPD 5", 99L), (10L, "UPD 10", 99L),
+        (15L, "UPD 15", 99L), (100L, "NEW 100", 1L), (101L, "NEW 101", 2L))
+      .toDF("doc_id", "text", "n")
+    val vBefore = SnapshotStore.versions(spark, dir).max
+    // delete matched targets whose n == 3 (id 10: 10%7=3); update the
+    // rest only when the TARGET id is odd (5, 15 update; none stay —
+    // so add id 4 to source untouched-path: 4%7=4, even → neither)
+    val src2 = src.unionByName(
+      Seq((4L, "UPD 4", 99L)).toDF("doc_id", "text", "n"))
+    val res = SnapshotStore.commitMerge(src2, "doc_id", dir,
+      updateWhen = Some(col("doc_id") % 2 === 1),
+      deleteWhen = Some(col("n") === 3)).get
+    res.updated shouldBe 2 // 5, 15
+    res.deleted shouldBe 1 // 10
+    res.inserted shouldBe 2 // 100, 101
+    val out = SnapshotStore.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    out.filter(_._1 == 4L) shouldBe Seq((4L, "row 4", 4L)) // untouched
+    out.filter(_._1 == 5L) shouldBe Seq((5L, "UPD 5", 99L))
+    out.exists(_._1 == 10L) shouldBe false
+    out.filter(_._1 == 100L) shouldBe Seq((100L, "NEW 100", 1L))
+    out.size shouldBe 21 // 20 - 1 deleted + 2 inserted
+    // CDC: updates render as delete-preimage + replacement insert
+    val cdc = SnapshotStore.readChanges(spark, dir, vBefore, res.version)
+      .select("_change", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    cdc should contain allOf (
+      ("delete", 5L, "row 5"), ("delete", 10L, "row 10"),
+      ("insert", 5L, "UPD 5"), ("insert", 100L, "NEW 100"))
+    cdc.count(_._1 == "delete") shouldBe 3
+    cdc.count(_._1 == "insert") shouldBe 4
+    // a no-op merge commits nothing
+    val vNow = SnapshotStore.versions(spark, dir).max
+    SnapshotStore.commitMerge(
+      Seq((999L, "x", 0L)).toDF("doc_id", "text", "n"), "doc_id", dir,
+      updateWhen = None, insertNotMatched = false) shouldBe None
+    SnapshotStore.versions(spark, dir).max shouldBe vNow
+    // duplicate source ids are the Delta multiple-matches error
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotStore.commitMerge(
+        Seq((5L, "a", 1L), (5L, "b", 2L)).toDF("doc_id", "text", "n"),
+        "doc_id", dir)
+    }
+    dup.getMessage should include("multiple")
+    // null source ids refuse
+    val nul = intercept[IllegalArgumentException] {
+      SnapshotStore.commitMerge(
+        Seq((Option.empty[Long], "a", 1L)).toDF("doc_id", "text", "n"),
+        "doc_id", dir)
+    }
+    nul.getMessage should include("null id")
+  }
+
   test("partitioned commits: leaves are full-schema segments, partition predicates prune segments before sidecars, residual stays exact") {
     import graft.ops.LayoutOps
     val dir = freshDir("partstore")
