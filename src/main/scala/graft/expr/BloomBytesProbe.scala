@@ -1,0 +1,71 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Native Catalyst expression: probe a PER-ROW serialized Bloom
+  * filter (a `binary` column) with a long hash — the sidecar-plane
+  * twin of [[BloomProbe]] (one broadcast filter, data-plane row
+  * volume). Spark's own `BloomFilterMightContain` refuses a per-row
+  * filter (its input must be foldable or a scalar subquery — it
+  * exists for the runtime-filter rewrite), but a stats sidecar holds
+  * ONE small filter per data file and the probe runs over that
+  * files-sized frame, so per-row deserialization is the metadata
+  * plane's honest cost and the filter BYTES never ride a collect —
+  * only the boolean verdicts do (the point of pushing the probe into
+  * the sidecar read plan at 100 TB file counts).
+  *
+  * Left: serialized `org.apache.spark.util.sketch.BloomFilter` bytes
+  * (what `BloomFilterAggregate` emits); right: the xxhash64 long the
+  * build side inserted.
+  */
+case class BloomBytesProbe(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_bytes_probe requires (binary, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bytes_probe"
+
+  override def nullSafeEval(bytes: Any, hash: Any): Any =
+    BloomBytesProbe.compute(bytes.asInstanceOf[Array[Byte]],
+      hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) =>
+      s"graft.expr.BloomBytesProbe.compute($b, $h)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomBytesProbe =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomBytesProbe {
+
+  /** Deserialize-and-probe; named `compute`, never `eval` (the
+    * inherited-member collision silently kills codegen — ExprSpec's
+    * guard).
+    */
+  def compute(bytes: Array[Byte], hash: Long): Boolean =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes)).mightContainLong(hash)
+
+  /** Column form: does this row's serialized filter possibly contain
+    * the hash? Pair with a build side that inserted the SAME
+    * `xxhash64` longs.
+    */
+  def probe(bloomBytes: Column, hash: Column): Column =
+    ColumnBridge.column(BloomBytesProbe(
+      ColumnBridge.expression(bloomBytes), ColumnBridge.expression(hash)))
+}

@@ -173,16 +173,18 @@ object SnapshotStore {
     */
   def commitAppend(df: DataFrame, dir: String,
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = if (prev.isEmpty) 1 else prev.max + 1
     if (prev.nonEmpty)
       schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
         mergeSchema, "commitAppend")
-    statsGuard(df, statsCols, "commitAppend")
+    statsGuard(df, statsCols ++ bloomCols, "commitAppend")
     val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
-      "commitAppend")
+      "commitAppend", bloomCols, bloomExpectedItems)
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
     // the first evolved commit flags the manifest: reads pay the
@@ -217,12 +219,14 @@ object SnapshotStore {
     */
   private def writeDataSegment(df: DataFrame, dir: String, v: Int,
       statsCols: Seq[String], partitionBy: Seq[String],
-      op: String): Seq[(String, String)] = {
+      op: String, bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L): Seq[(String, String)] = {
     val spark = df.sparkSession
     if (partitionBy.isEmpty) {
       val seg = s"seg/${uniqueName('s', v)}"
       df.write.mode("errorifexists").parquet(s"$dir/$seg")
-      writeSegStats(spark, dir, seg, statsCols) :+ (("seg", seg))
+      writeSegStats(spark, dir, seg, statsCols, bloomCols,
+        bloomExpectedItems) :+ (("seg", seg))
     } else {
       val missing = partitionBy.filterNot(df.columns.contains)
       require(missing.isEmpty,
@@ -263,11 +267,14 @@ object SnapshotStore {
           s"';' or ',' (manifest separators) — sanitize the value " +
           s"(${leafSegs.filter(s => s.contains(";") || s.contains(","))
             .mkString(", ")})")
-      val stats = if (statsCols.isEmpty) Seq.empty
+      val stats = if (statsCols.isEmpty && bloomCols.isEmpty) Seq.empty
         else {
           graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
-            s"$dir/$root", s"$dir/$root/_stats")
-          leafSegs.map(l => ("stats", s"$l;${statsCols.mkString(",")}"))
+            s"$dir/$root", s"$dir/$root/_stats", bloomCols,
+            bloomExpectedItems)
+          val recorded = (statsCols ++
+            bloomCols.map("bloom_" + _)).mkString(",")
+          leafSegs.map(l => ("stats", s"$l;$recorded"))
         }
       stats ++ leafSegs.map(("seg", _))
     }
@@ -337,12 +344,19 @@ object SnapshotStore {
     * riding the commit.
     */
   private def writeSegStats(spark: SparkSession, dir: String, seg: String,
-      statsCols: Seq[String]): Seq[(String, String)] =
-    if (statsCols.isEmpty) Seq.empty
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L): Seq[(String, String)] =
+    if (statsCols.isEmpty && bloomCols.isEmpty) Seq.empty
     else {
       graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
-        s"$dir/$seg", s"$dir/$seg/_stats")
-      Seq(("stats", s"$seg;${statsCols.mkString(",")}"))
+        s"$dir/$seg", s"$dir/$seg/_stats", bloomCols,
+        bloomExpectedItems)
+      // bloom columns record as bloom_<col> entries so sidecar GROUPS
+      // (one read per distinct recorded column set) never mix
+      // bloom-bearing and bloom-less sidecars of the same statsCols
+      Seq(("stats", s"$seg;${(statsCols ++
+        bloomCols.map("bloom_" + _)).mkString(",")}"))
     }
 
   /** A manifest `stats` row: "<segment path>;<col,col,…>" — the
@@ -498,11 +512,11 @@ object SnapshotStore {
     val suspects = segs.filter { seg =>
       partKeep(seg, parts) && (statRows.get(seg) match {
         case None => true
-        case Some((srows, have)) =>
+        case Some(ss) =>
           val usable = ranges.filter(rg =>
-            have.contains(s"min_${rg.col}") &&
-              have.contains(s"max_${rg.col}"))
-          srows.exists(LayoutOps.keepFile(_, usable))
+            ss.have.contains(s"min_${rg.col}") &&
+              ss.have.contains(s"max_${rg.col}"))
+          ss.rows.exists(LayoutOps.keepFile(_, usable))
       })
     }
     if (suspects.isEmpty) return None
@@ -1102,11 +1116,13 @@ object SnapshotStore {
   def readPrunedRange(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange],
       version: Option[Int] = None,
-      parts: Map[String, Set[String]] = Map.empty)
+      parts: Map[String, Set[String]] = Map.empty,
+      eqs: Seq[graft.ops.LayoutOps.ColEq] = Nil)
       : graft.ops.LayoutOps.PrunedScan = {
     import graft.ops.LayoutOps
-    require(ranges.nonEmpty || parts.nonEmpty,
-      "readPrunedRange needs at least one range or partition predicate")
+    require(ranges.nonEmpty || parts.nonEmpty || eqs.nonEmpty,
+      "readPrunedRange needs at least one range, partition or " +
+        "equality predicate")
     require(parts.forall(_._2.nonEmpty),
       s"readPrunedRange: empty allowed-value set for partition " +
         s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
@@ -1121,7 +1137,7 @@ object SnapshotStore {
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
     val tombs = rows.collect { case ("tomb", p) => p }
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys
+    val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "readPrunedRange")
 
     // PARTITION pruning first — segments whose path-recorded values
@@ -1133,14 +1149,19 @@ object SnapshotStore {
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
     }.toMap.filter { case (seg, _) => live.contains(seg) }
-    // the residual re-applies BOTH predicate kinds row-level: ranges
+    // the residual re-applies EVERY predicate kind row-level: ranges
     // as typed between, partition values as the dir-name string form
-    // (hive renders integral/string partition values canonically)
+    // (hive renders integral/string partition values canonically),
+    // equality probes as typed equals
     val residual = (ranges.map(rg =>
         col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
       parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
+      eqs.map(eq => col(eq.col) === lit(eq.value)))
       .reduce(_ && _)
+    // an equality probe is also a degenerate range for min/max pruning
+    val rangesAll = ranges ++
+      eqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
     val fs = hfs(spark, dir)
 
     // Per-segment file lists, driver-cheap at ANY segment count: the
@@ -1149,14 +1170,16 @@ object SnapshotStore {
     // measured 5× slower than the full scan at 64 segments of bench
     // data, all scheduling overhead); each stats row maps back to its
     // segment by the file path. Segments committed without stats fall
-    // back to a full driver listing (no job).
+    // back to a full driver listing (no job). Bloom verdicts for the
+    // eq probes already filtered inside segStatRows' read plan.
     val kept = scala.collection.mutable.Map.empty[String, Seq[String]]
     var filesTotal = 0
-    segStatRows(spark, dir, statsOf).foreach { case (seg, (rows, have)) =>
-      val usable = ranges.filter(rg =>
-        have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
-      filesTotal += rows.length
-      val fls = rows.filter(LayoutOps.keepFile(_, usable))
+    segStatRows(spark, dir, statsOf, eqs).foreach { case (seg, ss) =>
+      val usable = rangesAll.filter(rg =>
+        ss.have.contains(s"min_${rg.col}") &&
+          ss.have.contains(s"max_${rg.col}"))
+      filesTotal += ss.filesTotal
+      val fls = ss.rows.filter(LayoutOps.keepFile(_, usable))
         .map(r => LayoutOps.decodeStatFile(r.getAs[String]("file")))
       if (fls.nonEmpty) kept(seg) = fls
     }
@@ -1419,17 +1442,35 @@ object SnapshotStore {
       else s"$dir/$seg/_stats"
     }
 
+  /** One segment's collected sidecar view: the rows that survived the
+    * bloom verdicts, the sidecar's column set, and the PRE-verdict
+    * file count (the filesTotal contribution — bloom pruning must
+    * count as pruning, not shrink the denominator).
+    */
+  private final case class SegStats(rows: Seq[org.apache.spark.sql.Row],
+      have: Set[String], filesTotal: Int)
+
   /** Collected per-commit sidecars for the stats-bearing segments of
-    * one manifest: segment → (its sidecar rows, the sidecar's column
-    * set), ONE collect per distinct recorded column set — flat driver
-    * cost at any segment count. Row→segment attribution is by file
-    * path containment.
+    * one manifest: segment → [[SegStats]], ONE collect per distinct
+    * recorded column set — flat driver cost at any segment count.
+    * Row→segment attribution is by file path containment.
+    *
+    * `eqs` with a matching `bloom_<col>` sidecar column evaluate IN
+    * the sidecar read plan ([[graft.expr.BloomBytesProbe]] over the
+    * binary column): only boolean verdicts are collected, never the
+    * filter bytes — at 100 TB file counts the binaries are the bulk
+    * of the sidecar and must stay out of the driver. A null verdict
+    * (a merged sidecar read where some files lack the filter) keeps
+    * the file conservatively; an eq column with no bloom anywhere in
+    * the group is simply unpruned here (min/max may still act on it).
     */
   private def segStatRows(spark: SparkSession, dir: String,
-      statsOf: Map[String, Seq[String]])
-      : Seq[(String, (Seq[org.apache.spark.sql.Row], Set[String]))] = {
+      statsOf: Map[String, Seq[String]],
+      eqs: Seq[graft.ops.LayoutOps.ColEq] = Nil)
+      : Seq[(String, SegStats)] = {
     val out = scala.collection.mutable.Map.empty[String,
-      (scala.collection.mutable.Buffer[org.apache.spark.sql.Row], Set[String])]
+      (scala.collection.mutable.Buffer[org.apache.spark.sql.Row],
+        Set[String], Int)]
     statsOf.groupBy(_._2).foreach { case (_, group) =>
       val groupSegs = group.keys.toSeq.sorted
       // distinct: every partition leaf of one commit shares the ONE
@@ -1437,18 +1478,33 @@ object SnapshotStore {
       val statsDirs = groupSegs.map(sidecarDirOf(dir)).distinct
       val sdf = spark.read.parquet(statsDirs: _*)
       val have = sdf.schema.fieldNames.toSet
+      val verdicts = eqs.zipWithIndex.collect {
+        case (eq, i) if have.contains(s"bloom_${eq.col}") =>
+          graft.expr.BloomBytesProbe.probe(col(s"bloom_${eq.col}"),
+            xxhash64(lit(eq.value))).as(s"__bloom_keep_$i")
+      }
+      val base = sdf.columns.filterNot(_.startsWith("bloom_"))
+        .map(col).toSeq
+      val collected = sdf.select(base ++ verdicts: _*).collect()
+      val nBase = base.size
+      val nVerd = verdicts.size
       groupSegs.foreach(seg => out(seg) =
-        (scala.collection.mutable.Buffer.empty, have))
+        (scala.collection.mutable.Buffer.empty, have, 0))
       // a shared commit-root sidecar names EVERY leaf's files — a row
       // for a sibling leaf this probe excluded (partition pruning
       // filtered statsOf before we got here) is skipped, not an error;
       // a file outside every involved commit root stays loud (corrupt)
       val groupRoots = statsDirs
         .map(_.stripPrefix(s"$dir/").stripSuffix("/_stats")).distinct
-      sdf.collect().foreach { r =>
+      collected.foreach { r =>
         val f = graft.ops.LayoutOps.decodeStatFile(r.getAs[String]("file"))
         groupSegs.find(sg => f.contains(s"/$sg/")) match {
-          case Some(seg) => out(seg)._1 += r
+          case Some(seg) =>
+            val (buf, h, n) = out(seg)
+            out(seg) = (buf, h, n + 1)
+            val keep = (0 until nVerd).forall(i =>
+              r.isNullAt(nBase + i) || r.getBoolean(nBase + i))
+            if (keep) buf += r
           case None =>
             if (!groupRoots.exists(rt => f.contains(s"/$rt/")))
               throw new IllegalStateException(
@@ -1456,7 +1512,7 @@ object SnapshotStore {
         }
       }
     }
-    out.toSeq.map { case (seg, (b, h)) => seg -> ((b.toSeq, h)) }
+    out.toSeq.map { case (seg, (b, h, n)) => seg -> SegStats(b.toSeq, h, n) }
   }
 
   /** A metadata-answered range COUNT: how many rows satisfy the
@@ -1517,9 +1573,10 @@ object SnapshotStore {
     var metaFiles = 0
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
-    segStatRows(spark, dir, statsOf).foreach { case (seg, (srows, have)) =>
+    segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
       val usable = ranges.filter(rg =>
-        have.contains(s"min_${rg.col}") && have.contains(s"max_${rg.col}"))
+        ss.have.contains(s"min_${rg.col}") &&
+          ss.have.contains(s"max_${rg.col}"))
       // a file is metadata-answerable only when the partition
       // predicate is EXACTLY satisfied by its segment's recorded
       // values (every row of a partition leaf carries that value);
@@ -1528,11 +1585,11 @@ object SnapshotStore {
       val partExact = parts.forall { case (c, allowed) =>
         partVals.get(c).exists(allowed.contains)
       }
-      filesTotal += srows.length
+      filesTotal += ss.filesTotal
       val toScan = scala.collection.mutable.Buffer.empty[String]
-      srows.foreach { r =>
-        if (partExact && have.contains("n_rows") &&
-            LayoutOps.containedFile(r, ranges, have)) {
+      ss.rows.foreach { r =>
+        if (partExact && ss.have.contains("n_rows") &&
+            LayoutOps.containedFile(r, ranges, ss.have)) {
           meta += r.getAs[Long]("n_rows"); metaFiles += 1
         } else if (LayoutOps.keepFile(r, usable))
           toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))

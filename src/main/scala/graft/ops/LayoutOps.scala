@@ -35,6 +35,19 @@ object LayoutOps {
     */
   final case class ColRange(col: String, lo: Any, hi: Any)
 
+  /** One equality probe: `col = value` on a column whose sidecar may
+    * carry a per-file Bloom filter — the point-lookup form min/max
+    * cannot serve on an unsorted/unclustered column (a guid probe
+    * over files that all span the full key range prunes nothing by
+    * range; the bloom says "this file cannot hold it" per file).
+    * `value` follows the [[ColRange]] typing contract: pass the
+    * column's own runtime type — the probe hashes `lit(value)` with
+    * the same xxhash64 the build side inserted, so a mistyped value
+    * hashes differently and would silently prune everything; the
+    * residual `col = value` filter keeps the row set exact regardless.
+    */
+  final case class ColEq(col: String, value: Any)
+
   /** A pruned read: the (already residual-filtered) rows plus the
     * pruning evidence. `segsRead`/`segsTotal` carry the snapshot
     * store's PARTITION-pruning evidence (segments touched vs segments
@@ -140,8 +153,14 @@ object LayoutOps {
     * as a files-sized aggregation.
     */
   def writeStatsSidecar(spark: SparkSession, statsCols: Seq[String],
-      dataDir: String, statsDir: String): Unit = {
-    require(statsCols.nonEmpty, "writeStatsSidecar needs stats columns")
+      dataDir: String, statsDir: String,
+      bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L,
+      bloomFpp: Double = 0.03): Unit = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "writeStatsSidecar needs stats or bloom columns")
+    require(bloomExpectedItems > 0 && bloomFpp > 0 && bloomFpp < 1,
+      s"bloom sizing out of range: ($bloomExpectedItems, $bloomFpp)")
     val data = spark.read.parquet(dataDir)
     // min/max persist in the COLUMN'S OWN TYPE (long, double, string,
     // date, timestamp) — the sidecar compare and the residual filter
@@ -151,15 +170,47 @@ object LayoutOps {
     // range with zero nulls is answerable from metadata alone (the
     // Delta/Iceberg stats-answered COUNT —
     // [[graft.io.SnapshotStore.countPrunedRange]]).
+    //
+    // bloomCols add a PER-FILE serialized Bloom filter over the
+    // column's xxhash64 image (`bloom_<col>`, Spark's own
+    // BloomFilterAggregate) — what makes an EQUALITY probe on an
+    // unsorted column prune files min/max cannot (the guid/doc-id
+    // point-lookup access pattern). Sizing is the caller's honest
+    // knob: bytes-per-file ∝ expectedItems·ln(1/fpp) — size to the
+    // rows-per-file of the layout, not the table; the sidecar probe
+    // never collects the binaries (verdicts are computed in the
+    // sidecar read plan), but sidecar bytes on disk are still
+    // files × filterBytes.
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"),
       max(col(c)).as(s"max_$c"),
-      count(when(col(c).isNull, 1)).as(s"nulls_$c"))) :+
+      count(when(col(c).isNull, 1)).as(s"nulls_$c"))) ++
+      bloomCols.map(c => bloomAgg(col(c), bloomExpectedItems, bloomFpp)
+        .as(s"bloom_$c")) :+
       count(lit(1)).as("n_rows")
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir)
+  }
+
+  /** Spark's BloomFilterAggregate over the column's xxhash64 image —
+    * the same insert discipline the runtime-filter rewrite uses, so
+    * [[graft.expr.BloomBytesProbe]] probes with `xxhash64(lit(v))`
+    * match exactly.
+    */
+  private def bloomAgg(c: Column, expectedItems: Long,
+      fpp: Double): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(c)),
+          ColumnBridge.expression(lit(expectedItems)),
+          ColumnBridge.expression(lit(numBits)), 0, 0)
+        .toAggregateExpression())
   }
 
   /** Typed sidecar compare: every stat type the sidecar stores (Long,

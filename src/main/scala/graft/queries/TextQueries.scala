@@ -3386,6 +3386,49 @@ object TextQueries {
       SnapshotStore.read(s, root)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Point-lookup data skipping via per-file BLOOM sidecars (the
+    // Delta bloom-index / DCF guid-lookup access pattern —
+    // expr/BloomBytesProbe over sidecar binaries, verdicts computed
+    // IN the sidecar read plan so filter bytes never reach the
+    // driver): four n_chars-banded commits record min/max on n_chars
+    // (the cluster key) and blooms on doc_id (the lookup key); every
+    // file spans nearly the full doc_id range, so the no-bloom twin
+    // probe reads EVERY file (gated — min/max alone prunes nothing
+    // here), while the eq probe's blooms reject the three wrong-band
+    // segments outright and all but ~one file of the right band. The
+    // oracle is the raw one-row lookup, blind to the store.
+    Q("q213_snapshot_bloom_lookup",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id = 42""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q213", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(
+            docs.filter(band).repartition(3), r,
+            statsCols = Seq("n_chars"), bloomCols = Seq("doc_id"),
+            bloomExpectedItems = 10000L))
+        ()
+      }
+      val noBloom = SnapshotStore.readPrunedRange(s, root,
+        Seq(LayoutOps.ColRange("doc_id", 42L, 42L)))
+      require(noBloom.filesRead == noBloom.filesTotal,
+        s"the fixture's premise broke: a doc_id range probe with no " +
+          s"doc_id min/max recorded must read every file, got " +
+          s"${noBloom.filesRead}/${noBloom.filesTotal}")
+      val scan = SnapshotStore.readPrunedRange(s, root, Nil,
+        eqs = Seq(LayoutOps.ColEq("doc_id", 42L)))
+      require(scan.filesRead < noBloom.filesRead,
+        s"bloom skipping stopped pruning: the eq probe read " +
+          s"${scan.filesRead} of ${scan.filesTotal} files, same as the " +
+          s"no-bloom twin")
+      scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
     }
   )
 }

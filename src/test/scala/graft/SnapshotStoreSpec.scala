@@ -962,6 +962,50 @@ class SnapshotStoreSpec extends SparkSpecBase {
     scan.df.count() shouldBe pop.filter(col("lang") === "en").count()
   }
 
+  test("bloom sidecars: an equality probe on an unsorted column prunes files min/max cannot; verdicts compute in-plan") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("bloomeq")
+    // the realistic shape: min/max stats on the CLUSTER key (band),
+    // blooms on the LOOKUP key (doc_id) — every file spans nearly the
+    // full doc_id range, so range metadata is useless for a point
+    // probe and only the per-file bloom can say "cannot hold it"
+    val pop = (1L to 2000L).map(i => (i, i % 4, s"row $i"))
+      .toDF("doc_id", "band", "text")
+    (0L to 3L).foreach { b =>
+      SnapshotStore.commitAppend(
+        pop.filter(col("band") === b).repartition(4), dir,
+        statsCols = Seq("band"), bloomCols = Seq("doc_id"),
+        bloomExpectedItems = 1000L)
+    }
+    // the no-bloom twin: a doc_id RANGE probe has no min/max recorded
+    // anywhere — every file reads (min/max alone prunes nothing)
+    val noBloom = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 777L, 777L)))
+    noBloom.filesRead shouldBe noBloom.filesTotal
+    noBloom.df.count() shouldBe 1
+    // the eq probe: blooms reject the files that cannot hold 777 —
+    // three whole segments (wrong band) plus the band's other files
+    val eq = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      eqs = Seq(LayoutOps.ColEq("doc_id", 777L)))
+    eq.filesRead should be < noBloom.filesRead
+    eq.filesTotal shouldBe noBloom.filesTotal
+    eq.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq shouldBe Seq((777L, 1L))
+    // an absent id touches at most the false-positive files and
+    // returns exactly nothing (the residual keeps it exact)
+    val absent = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      eqs = Seq(LayoutOps.ColEq("doc_id", 999999L)))
+    absent.df.count() shouldBe 0
+    absent.filesRead should be <= 2
+    // eq composes with ranges: band stats prune segments, bloom
+    // prunes within
+    val both = SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("band", 1L, 1L)),
+      eqs = Seq(LayoutOps.ColEq("doc_id", 777L)))
+    both.filesRead should be <= eq.filesRead
+    both.df.count() shouldBe 1
+  }
+
   test("commitMerge: delete-before-update clause order, untouched non-matches, insert-not-matched, CDC rendering, loud guards") {
     val dir = freshDir("merge")
     val pop = (1L to 20L).map(i => (i, s"row $i", i % 7))
