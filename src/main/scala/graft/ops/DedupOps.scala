@@ -642,6 +642,72 @@ object DedupOps {
         col("pos1"), col("pos2"))
   }
 
+  /** Merged contiguous overlap intervals per candidate pair — the
+    * MOSS REPORT form a span-level dedup policy consumes, folding
+    * [[winnowMatchSpans]]' per-fingerprint evidence with a
+    * gaps-and-islands pass on EACH side: a matched fingerprint at
+    * shingle position p covers tokens [p, p+k), and positions within
+    * the winnow GUARANTEE length t = w+k−1 of each other merge into
+    * one island (pos − prev ≤ t; a lag suffices because intervals are
+    * fixed-length). Why t and not k: inside a fully shared run the
+    * scheme selects one fingerprint per w-window, so consecutive
+    * shared selections legitimately sit up to w apart — a k-gap rule
+    * would shatter every long match — while two genuinely separate
+    * runs closer than t are indistinguishable from one run by
+    * construction (no window between them can prove a difference), so
+    * merging them is the honest reading of the evidence. Output per
+    * pair: per-side island count, covered tokens (island extents —
+    * sub-guarantee gaps inside an island count as covered, the MOSS
+    * report convention), and the covered fraction of each document —
+    * the "34% of doc A matches doc B in 3 spans" line a reviewer
+    * reads.
+    *
+    * Scale shape: evidence is cut ONCE and feeds both sides; windows
+    * partition on (id1, id2) — evidence-sized, never corpus-sized —
+    * and the per-doc token counts join on the id. Fractions are ONE
+    * double division of exact longs (cross-engine bit-stable).
+    */
+  def winnowOverlapSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Checkpoints.cut(
+      winnowMatchSpans(df, idCol, textCol, k, w, minShared, maxDf),
+      eager = true)
+    def side(posCol: String, tag: String): DataFrame = {
+      val byPair = Window.partitionBy(col("id1"), col("id2"))
+        .orderBy(col("__pos"))
+      val pts = ev.select(col("id1"), col("id2"), col(posCol).as("__pos"))
+        .distinct()
+      val isl = pts
+        .withColumn("__new",
+          when(col("__pos") - lag(col("__pos"), 1).over(byPair)
+            <= lit((w + k - 1).toLong), 0L)
+            .otherwise(1L)) // lag NULL → 1 (first)
+        .withColumn("__isl", sum(col("__new")).over(
+          byPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("id1"), col("id2"), col("__isl"))
+        .agg(min(col("__pos")).as("__s"), max(col("__pos")).as("__e"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as(s"n_spans$tag"),
+          sum(col("__e") - col("__s") + lit(k.toLong)).as(s"cov_tok$tag"))
+    }
+    val nTok = df.select(col(idCol).as("__id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+    side("pos1", "1")
+      .join(side("pos2", "2"), Seq("id1", "id2"))
+      .join(nTok.select(col("__id").as("id1"), col("__n").as("__n1")),
+        Seq("id1"))
+      .join(nTok.select(col("__id").as("id2"), col("__n").as("__n2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        col("n_spans1"), col("cov_tok1"),
+        (col("cov_tok1").cast("double") / col("__n1").cast("double"))
+          .as("frac1"),
+        col("n_spans2"), col("cov_tok2"),
+        (col("cov_tok2").cast("double") / col("__n2").cast("double"))
+          .as("frac2"))
+  }
+
   def simhash16(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val perTokenBits = transform(toks, t => {

@@ -3429,6 +3429,76 @@ object TextQueries {
           s"${scan.filesRead} of ${scan.filesTotal} files, same as the " +
           s"no-bloom twin")
       scan.df.select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // Merged overlap spans per candidate pair (DedupOps
+    // .winnowOverlapSpans — the MOSS report form): q209's
+    // per-fingerprint evidence folded gaps-and-islands on EACH side
+    // (a fingerprint at shingle pos p covers tokens [p, p+k);
+    // positions within the winnow guarantee t = w+k-1 merge — closer
+    // runs are indistinguishable by construction), per pair the island
+    // count, covered tokens and covered FRACTION of each document —
+    // what a span-level dedup policy thresholds on. Fractions are one
+    // double division of exact longs (cross-engine bit-stable). The
+    // oracle replays winnowing, the evidence join and the identical
+    // lag/sum island arithmetic in SQL. (id1, id2) is unique.
+    Q("q214_winnow_overlap_spans",
+      s"""WITH sh AS (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM documents),
+         |h AS (SELECT doc_id, $HS AS hs, CAST(len(sh) AS BIGINT) AS m
+         |      FROM sh WHERE len(sh) > 0),
+         |fpp AS (SELECT DISTINCT doc_id,
+         |    CAST(i - 1 + list_position(hs[i : least(i + 3, m)],
+         |      list_min(hs[i : least(i + 3, m)])) - 1 AS BIGINT) AS pos,
+         |    list_min(hs[i : least(i + 3, m)]) AS h
+         |  FROM (SELECT doc_id, hs, m,
+         |          unnest(generate_series(1, greatest(1, m - 3))) AS i
+         |        FROM h)),
+         |fp AS (SELECT DISTINCT doc_id, h FROM fpp),
+         |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+         |fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h)),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM fk l JOIN fk r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ev AS (SELECT c.a AS id1, c.b AS id2, l.pos AS pos1, r.pos AS pos2
+         |  FROM cand c
+         |  JOIN fpp l ON l.doc_id = c.a
+         |  JOIN keep k ON k.h = l.h
+         |  JOIN fpp r ON r.doc_id = c.b AND r.h = l.h),
+         |p1 AS (SELECT DISTINCT id1, id2, pos1 AS pos FROM ev),
+         |l1 AS (SELECT id1, id2, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY id1, id2 ORDER BY pos) <= 6
+         |    THEN 0 ELSE 1 END AS nw FROM p1),
+         |i1 AS (SELECT id1, id2, pos, sum(nw)
+         |    OVER (PARTITION BY id1, id2 ORDER BY pos) AS isl FROM l1),
+         |g1 AS (SELECT id1, id2, isl, min(pos) AS s, max(pos) AS e
+         |  FROM i1 GROUP BY 1, 2, 3),
+         |a1 AS (SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_spans1,
+         |    CAST(sum(e - s + 3) AS BIGINT) AS cov_tok1
+         |  FROM g1 GROUP BY 1, 2),
+         |p2 AS (SELECT DISTINCT id1, id2, pos2 AS pos FROM ev),
+         |l2 AS (SELECT id1, id2, pos, CASE WHEN pos - lag(pos)
+         |    OVER (PARTITION BY id1, id2 ORDER BY pos) <= 6
+         |    THEN 0 ELSE 1 END AS nw FROM p2),
+         |i2 AS (SELECT id1, id2, pos, sum(nw)
+         |    OVER (PARTITION BY id1, id2 ORDER BY pos) AS isl FROM l2),
+         |g2 AS (SELECT id1, id2, isl, min(pos) AS s, max(pos) AS e
+         |  FROM i2 GROUP BY 1, 2, 3),
+         |a2 AS (SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_spans2,
+         |    CAST(sum(e - s + 3) AS BIGINT) AS cov_tok2
+         |  FROM g2 GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT a1.id1 AS id1, a1.id2 AS id2, n_spans1, cov_tok1,
+         |  CAST(cov_tok1 AS DOUBLE) / CAST(n1.n AS DOUBLE) AS frac1,
+         |  n_spans2, cov_tok2,
+         |  CAST(cov_tok2 AS DOUBLE) / CAST(n2.n AS DOUBLE) AS frac2
+         |FROM a1 JOIN a2 ON a1.id1 = a2.id1 AND a1.id2 = a2.id2
+         |JOIN nt n1 ON n1.doc_id = a1.id1
+         |JOIN nt n2 ON n2.doc_id = a1.id2
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.winnowOverlapSpans(t(s, dir, "documents"), "doc_id",
+          "text", k = 3, w = 4, minShared = 2L, maxDf = 64L)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 }

@@ -218,6 +218,58 @@ class DedupOpsSpec extends SparkSpecBase {
     loose shouldBe 6L // all C(4,2) pairs share the header
   }
 
+  test("winnowOverlapSpans ≡ reference islands fold over the match-span evidence; separated runs stay separate islands") {
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val run2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$para m1 m2 m3 m4 $run2"), // shares para AND run2 with 4
+      (2L, s"intro words $para trailer"),
+      (3L, s"$run2 something else entirely here"),
+      (4L, s"$para f1 f2 f3 f4 f5 f6 $run2"))
+      .toDF("doc_id", "text")
+    val k = 3
+    val ev = DedupOps.winnowMatchSpans(corpus, "doc_id", "text",
+        k = k, w = 4, minShared = 1L, maxDf = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getLong(4)))
+    def islands(ps: Seq[Long]): (Long, Long) = {
+      val t = 4 + k - 1 // the winnow guarantee length (w + k - 1)
+      val sorted = ps.distinct.sorted
+      var spans = 0L; var cov = 0L
+      var start = -1L; var last = -1L
+      sorted.foreach { p =>
+        if (start < 0 || p - last > t) {
+          if (start >= 0) cov += last - start + k
+          spans += 1; start = p
+        }
+        last = p
+      }
+      if (start >= 0) cov += last - start + k
+      (spans, cov)
+    }
+    val nTok = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .toMap
+    val expected = ev.groupBy(t => (t._1, t._2)).map { case ((a, b), rows) =>
+      val (n1, c1) = islands(rows.map(_._3).toSeq)
+      val (n2, c2) = islands(rows.map(_._4).toSeq)
+      (a, b) -> ((n1, c1, c1.toDouble / nTok(a),
+        n2, c2, c2.toDouble / nTok(b)))
+    }
+    val out = DedupOps.winnowOverlapSpans(corpus, "doc_id", "text",
+        k = k, w = 4, minShared = 1L, maxDf = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    out shouldBe expected
+    // the two separated shared runs between 1 and 4 are TWO islands
+    // on both sides (the mid gap exceeds the guarantee length)
+    out((1L, 4L))._1 shouldBe 2L
+    out((1L, 4L))._4 shouldBe 2L
+    // the single shared paragraph between 1 and 2 is ONE island
+    out((1L, 2L))._1 shouldBe 1L
+  }
+
   test("dupSpanCoverage: corpus-wide window counts, interval union, ppm") {
     val corpus = Seq(
       (1L, "a b c d e"),     // ab bc shared with doc 2 -> tokens 0..2
