@@ -493,6 +493,30 @@ object RankOps {
       .reduce(_ + _))
   }
 
+  /** Reciprocal-rank fusion (the k=60 convention — Cormack et al.'s
+    * RRF, what hybrid retrieval stacks use to combine a lexical and a
+    * vector ranking without score calibration): full-outer join the
+    * two ranked lists on the id and score each doc
+    * Σ 1/(k + rank_i) over the lists it appears in (absent list
+    * contributes 0). Rank arithmetic stays exact cross-engine: each
+    * term is ONE correctly-rounded double division of small integers
+    * and the sum has exactly two addends — no reassociation surface.
+    * Both inputs are top-N lists (broadcast-sized by construction);
+    * the caller orders by (rrf DESC, id) — ties are real (two docs
+    * each appearing only once at equal rank), so the id tiebreak is
+    * part of the contract.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      aRank: String, bRank: String, k: Int = 60): DataFrame = {
+    require(k >= 0, s"rrf k must be >= 0, got $k")
+    def term(c: String): Column =
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(c).cast("double")),
+        lit(0.0))
+    a.select(col(idCol), col(aRank))
+      .join(b.select(col(idCol), col(bRank)), Seq(idCol), "full_outer")
+      .withColumn("rrf", term(aRank) + term(bRank))
+  }
+
   /** Map-side scorer for a [[trainLogisticProbe]] head: σ(w·x) with
     * the training fold's exact term order and the training pass's
     * 2⁻²⁰ dyadic snap — the probability the trained classifier

@@ -3499,6 +3499,57 @@ object TextQueries {
       DedupOps.winnowOverlapSpans(t(s, dir, "documents"), "doc_id",
           "text", k = 3, w = 4, minShared = 2L, maxDf = 64L)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // Hybrid retrieval fusion (RankOps.rrfFuse — reciprocal-rank
+    // fusion, the k=60 convention): q151's exact-decimal BM25 top-20
+    // over documents fused with q51's brute-force cosine top-20 over
+    // the doc-aligned embeddings — the lexical+vector hybrid a RAG
+    // stack runs, combined WITHOUT score calibration (only ranks
+    // enter). Each RRF term is one correctly-rounded double division
+    // of small integers and the sum has exactly two addends, so the
+    // scores are bit-stable cross-engine; (rrf DESC, doc_id) makes
+    // the order unique (equal-rank singles genuinely tie). The oracle
+    // composes the two already-graded ranking chains + the fusion
+    // formula.
+    Q("q215_hybrid_rrf", {
+      val annSrc =
+        s"""SELECT vec_id, ${cosineSql("embedding", "query_vec")} AS cosine
+           |FROM embeddings,
+           |  (SELECT embedding AS query_vec FROM embeddings
+           |   WHERE vec_id = 0) q
+           |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+      s"""WITH bm AS (SELECT doc_id, rank AS bm25_rank
+         |  FROM (${bm25TopKOracle("TRUE")})),
+         |ann AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+         |      AS BIGINT) AS ann_rank
+         |  FROM ($annSrc))
+         |SELECT doc_id, bm25_rank, ann_rank,
+         |  COALESCE(1.0 / (60 + bm25_rank), CAST(0 AS DOUBLE)) +
+         |  COALESCE(1.0 / (60 + ann_rank), CAST(0 AS DOUBLE)) AS rrf
+         |FROM bm FULL JOIN ann USING (doc_id)
+         |ORDER BY rrf DESC, doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bm = RankOps.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "customer", "hash", "vector"))
+        .withColumn("bm25_rank", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+        .filter(col("bm25_rank") <= 20)
+        .select(col("doc_id"), col("bm25_rank"))
+      val emb = t(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      val ann = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+          q0, 20)
+        .withColumn("ann_rank", row_number()
+          .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("ann_rank"))
+      RankOps.rrfFuse(bm, ann, "doc_id", "bm25_rank", "ann_rank", k = 60)
+        .orderBy(col("rrf").desc, col("doc_id"))
     }
   )
 }
