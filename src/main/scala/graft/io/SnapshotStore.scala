@@ -416,7 +416,8 @@ object SnapshotStore {
     * next version. Rows stay on disk; reads hide them from this
     * version on.
     */
-  def commitDelete(ids: DataFrame, idCol: String, dir: String): Int = {
+  def commitDelete(ids: DataFrame, idCol: String, dir: String,
+      cdf: Boolean = false): Int = {
     val spark = ids.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
@@ -440,8 +441,15 @@ object SnapshotStore {
     val v = prev.max + 1
     val tp = s"tomb/${uniqueName('t', v)}"
     tomb.write.mode("errorifexists").parquet(s"$dir/$tp")
-    commitManifest(spark, dir, v,
-      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)))
+    // cdf: the preimages (pre-delete view, semi-joined on the ids)
+    // ride the commit so [[streamChanges]] can ship them — the price
+    // of CDF is one read job at delete time, paid only when on
+    val cdcRel = if (!cdf) None
+      else Some(writeCdc(spark, dir, v,
+        read(spark, dir, Some(prev.max)).join(tomb, Seq(idCol),
+          "left_semi")))
+    commitManifestCdc(spark, dir, v,
+      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)), cdcRel)
     v
   }
 
@@ -482,7 +490,8 @@ object SnapshotStore {
   def commitDeleteWhere(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange], idCol: String,
       parts: Map[String, Set[String]] = Map.empty,
-      statsCols: Seq[String] = Nil): Option[DeleteWhere] = {
+      statsCols: Seq[String] = Nil,
+      cdf: Boolean = false): Option[DeleteWhere] = {
     import graft.ops.LayoutOps
     require(ranges.nonEmpty || parts.nonEmpty,
       "commitDeleteWhere needs at least one range or partition predicate")
@@ -575,7 +584,10 @@ object SnapshotStore {
       case ("evo", _) => keptSegs.nonEmpty || newRows.count(_._1 == "seg") > 1
       case _ => true // txn carry
     }
-    commitManifest(spark, dir, v, keptRows ++ newRows :+ (("tomb", tp)))
+    // cdf: the pinned matched frame IS the preimage set — no extra job
+    val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v, matched))
+    commitManifestCdc(spark, dir, v,
+      keptRows ++ newRows :+ (("tomb", tp)), cdcRel)
     Some(DeleteWhere(v, nDel, suspects.size, segs.size))
   }
 
@@ -616,7 +628,8 @@ object SnapshotStore {
       deleteWhen: Option[Column] = None,
       insertNotMatched: Boolean = true,
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Option[MergeResult] = {
+      partitionBy: Seq[String] = Nil,
+      cdf: Boolean = false): Option[MergeResult] = {
     val spark = source.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
@@ -672,10 +685,17 @@ object SnapshotStore {
       else writeDataSegment(
         updRows.unionByName(insRows, allowMissingColumns = true),
         dir, v, statsCols, partitionBy, "commitMerge")
+    // cdf: updated + deleted targets' preimages, from the pinned
+    // classification (target columns only)
+    val cdcRel = if (!cdf || nUpd + nDel == 0) None
+      else Some(writeCdc(spark, dir, v,
+        matched.where(col("__act") =!= "n")
+          .select(target.columns.map(col).toSeq: _*)))
     val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    commitManifest(spark, dir, v, carried ++ evo ++ tombRows ++ segRows)
+    commitManifestCdc(spark, dir, v,
+      carried ++ evo ++ tombRows ++ segRows, cdcRel)
     Some(MergeResult(v, nUpd, nDel, nIns))
   }
 
@@ -1263,6 +1283,81 @@ object SnapshotStore {
     spark.readStream.schema(schema).parquet(s"$dir/seg/s*")
   }
 
+  /** Write-time change data (Delta's `_change_data` design): a
+    * deleting/updating commit called with `cdf = true` ALSO writes the
+    * affected rows' PREIMAGES (tagged `_change = 'delete'`) under
+    * `cdc/` — the price of CDF is paid once at commit time, which is
+    * what makes a true STREAMING change feed possible: no streaming
+    * source can retroactively compute a preimage, but a file stream
+    * over pre-written change files can ship it. Inserts don't write
+    * change files (Delta's optimization — the data segment IS the
+    * change), so the cdc channel stays proportional to deletes.
+    */
+  private def writeCdc(spark: SparkSession, dir: String, v: Int,
+      preimages: DataFrame): String = {
+    val rel = s"cdc/${uniqueName('c', v)}"
+    preimages.withColumn("_change", lit("delete"))
+      .write.mode("errorifexists").parquet(s"$dir/$rel")
+    rel
+  }
+
+  /** Manifest publish for a cdf-writing commit: a LOST RACE must
+    * delete its change files before rethrowing — unlike orphan
+    * seg/tomb dirs (invisible to manifest-pinned readers), cdc files
+    * are glob-visible to [[streamChanges]], so a conflict loser's
+    * preimages would surface as phantom deletes. A hard CRASH between
+    * the cdc write and the rename can still orphan them — the same
+    * crashed-commit caveat [[streamInserts]] documents for segments.
+    */
+  private def commitManifestCdc(spark: SparkSession, dir: String, v: Int,
+      rows: Seq[(String, String)], cdcRel: Option[String]): Unit =
+    try commitManifest(spark, dir, v, rows)
+    catch {
+      case e: CommitConflictException =>
+        cdcRel.foreach(p => hfs(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true))
+        throw e
+    }
+
+  /** The STREAMING change-data feed (the Delta CDF streaming-source
+    * parity [[processChanges]]' pull loop cannot give): a real
+    * Structured Streaming union of
+    *
+    *  - the insert feed (`seg/s*` — every data-change segment's rows,
+    *    compaction movement excluded), tagged `_change = 'insert'`,
+    *  - the write-time preimage feed (`cdc/c*` — rows deleted or
+    *    replaced by commits that opted into `cdf = true`), already
+    *    tagged `_change = 'delete'`,
+    *
+    * so a streaming query MAINTAINS a downstream aggregate
+    * continuously (fold inserts +, deletes −), checkpoint-resumable,
+    * with exactly-once composition via [[commitStreamBatch]] in
+    * foreachBatch. Contract notes, honestly: the two file sources
+    * batch independently, so event ORDER across kinds is not
+    * guaranteed — consumers must fold commutatively (sums/counts do)
+    * or reconcile via [[readChanges]]; deletes committed WITHOUT
+    * `cdf = true` never surface here (exactly Delta: CDF must be on
+    * when the change happens); and a RESTORE emits nothing, so feed
+    * consumers re-baseline at a restore exactly as [[readChanges]]'
+    * scaladoc requires. Unlike the net-change batch feed, an
+    * insert-then-delete surfaces as BOTH events.
+    */
+  def streamChanges(spark: SparkSession, dir: String): DataFrame = {
+    val schema = read(spark, dir).schema
+    // a store with no cdf commit yet has no cdc/ dir — materialize it
+    // so the glob source starts empty instead of failing
+    hfs(spark, dir).mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cdc"))
+    val inserts = spark.readStream.schema(schema)
+      .parquet(s"$dir/seg/s*")
+      .withColumn("_change", lit("insert"))
+    val deletes = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("_change",
+          org.apache.spark.sql.types.StringType)))
+      .parquet(s"$dir/cdc/c*")
+    inserts.unionByName(deletes)
+  }
+
   /** Change-data feed between two committed versions (Delta CDF
     * semantics over the version-encoded directory names):
     *
@@ -1706,7 +1801,7 @@ object SnapshotStore {
     */
   def commitUpsert(df: DataFrame, idCol: String, dir: String,
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil, cdf: Boolean = false): Int = {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
@@ -1729,11 +1824,17 @@ object SnapshotStore {
     ids.write.mode("errorifexists").parquet(s"$dir/$tp")
     val segRows = writeDataSegment(pinned, dir, v, statsCols, partitionBy,
       "commitUpsert")
+    // cdf: replaced rows' preimages (matched ids only — unmatched
+    // source rows are pure inserts, which the data segment carries)
+    val cdcRel = if (!cdf) None
+      else Some(writeCdc(spark, dir, v,
+        read(spark, dir, Some(prev.max)).join(ids, Seq(idCol),
+          "left_semi")))
     val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    commitManifest(spark, dir, v,
-      carried ++ evo ++ (("tomb", tp) +: segRows))
+    commitManifestCdc(spark, dir, v,
+      carried ++ evo ++ (("tomb", tp) +: segRows), cdcRel)
     v
   }
 

@@ -1066,6 +1066,80 @@ class SnapshotStoreSpec extends SparkSpecBase {
     nul.getMessage should include("null id")
   }
 
+  test("streamChanges: a streaming query maintains the aggregate ≡ recompute across restarts; a restore emits nothing (re-baseline)") {
+    val dir = freshDir("cdfstream")
+    val ckpt = freshDir("cdfckpt")
+    val pop = (1L to 300L).map(i => (i, i % 5, i * 10))
+      .toDF("doc_id", "g", "x")
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 150), dir)
+    // the maintained state: per-group (count, sum) folded COMMUTATIVELY
+    // (the feed's two file sources batch independently — order across
+    // kinds is not guaranteed, sums don't care)
+    val state = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    def run(): Unit = {
+      val q = SnapshotStore.streamChanges(spark, dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy(col("g"))
+            .agg(sum(when(col("_change") === "insert", 1L)
+              .otherwise(-1L)).as("dn"),
+              sum(when(col("_change") === "insert", col("x"))
+                .otherwise(-col("x"))).as("dx"))
+            .collect().foreach { r =>
+              val (n0, s0) = state(r.getLong(0))
+              state(r.getLong(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
+            }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def recompute(): Map[Long, (Long, Long)] =
+      SnapshotStore.read(spark, dir).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    run()
+    state.toMap shouldBe recompute()
+    // more ingest + cdf deletes/upserts, then a RESTART (fresh query,
+    // same checkpoint — file offsets resume, nothing re-folds)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 150), dir)
+    SnapshotStore.commitDelete(
+      pop.filter(col("doc_id") % 7 === 0).select("doc_id"),
+      "doc_id", dir, cdf = true)
+    SnapshotStore.commitUpsert(
+      pop.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("g"), (col("x") + 1L).as("x")),
+      "doc_id", dir, cdf = true)
+    run()
+    state.toMap shouldBe recompute()
+    // predicate delete and merge keep the feed consistent too
+    SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(graft.ops.LayoutOps.ColRange("doc_id", 20L, 40L)), "doc_id",
+      cdf = true)
+    SnapshotStore.commitMerge(
+      Seq((3L, 3L, 999L), (9001L, 1L, 5L)).toDF("doc_id", "g", "x"),
+      "doc_id", dir, cdf = true)
+    run()
+    state.toMap shouldBe recompute()
+    // a RESTORE emits NOTHING on the feed (no new seg/cdc files): the
+    // maintained state is untouched while the table content moved —
+    // the documented re-baseline contract (Delta CDF's too)
+    val before = state.toMap
+    SnapshotStore.restore(spark, dir,
+      SnapshotStore.versions(spark, dir).max - 2)
+    run()
+    state.toMap shouldBe before
+    state.toMap should not be recompute() // the consumer must re-baseline
+    // a delete WITHOUT cdf never surfaces preimages (Delta: CDF must
+    // be on when the change happens) — inserts still flow
+    SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    run()
+    state.toMap shouldBe before
+  }
+
   test("partitioned commits: leaves are full-schema segments, partition predicates prune segments before sidecars, residual stays exact") {
     import graft.ops.LayoutOps
     val dir = freshDir("partstore")
