@@ -267,6 +267,9 @@ object SnapshotStore {
           s"';' or ',' (manifest separators) — sanitize the value " +
           s"(${leafSegs.filter(s => s.contains(";") || s.contains(","))
             .mkString(", ")})")
+      // an EMPTY frame produces no leaves: commit a no-data version
+      // (reading the file-less root for a stats sidecar would fail)
+      if (leafSegs.isEmpty) return Seq.empty
       val stats = if (statsCols.isEmpty && bloomCols.isEmpty) Seq.empty
         else {
           graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
@@ -443,11 +446,14 @@ object SnapshotStore {
     tomb.write.mode("errorifexists").parquet(s"$dir/$tp")
     // cdf: the preimages (pre-delete view, semi-joined on the ids)
     // ride the commit so [[streamChanges]] can ship them — the price
-    // of CDF is one read job at delete time, paid only when on
+    // of CDF is one read job at delete time, paid only when on. The
+    // join reads the WRITTEN tombstone back, never the caller's
+    // frame: a non-deterministic `ids` re-evaluated here could emit
+    // preimages the committed tombstone doesn't actually hide
     val cdcRel = if (!cdf) None
       else Some(writeCdc(spark, dir, v,
-        read(spark, dir, Some(prev.max)).join(tomb, Seq(idCol),
-          "left_semi")))
+        read(spark, dir, Some(prev.max)).join(
+          spark.read.parquet(s"$dir/$tp"), Seq(idCol), "left_semi")))
     commitManifestCdc(spark, dir, v,
       readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)), cdcRel)
     v
@@ -485,7 +491,10 @@ object SnapshotStore {
     * committing nothing — when no row matches; segment granularity is
     * this store's file-group unit (per-commit/per-partition segments
     * play the role Delta's files do), documented honestly: a
-    * partially-matching segment rewrites whole.
+    * partially-matching segment rewrites whole, and a rewritten
+    * partition LEAF's old directory lingers under its commit root
+    * until the whole root becomes unreachable ([[vacuum]] collects at
+    * root granularity — manifest-pinned readers never see it).
     */
   def commitDeleteWhere(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange], idCol: String,
@@ -1887,9 +1896,18 @@ object SnapshotStore {
     val dropData = (children("seg") ++ children("tomb"))
       .filterNot(c => reachable.exists(r => r == c || r.startsWith(c + "/")))
       .filterNot(inFlight)
+    // write-time change files retire with their version (no manifest
+    // references them — the version encoded in the dir name is the
+    // retention key, exactly Delta's change-data retention): a cdc dir
+    // at version < keepFrom can only feed a change range vacuum just
+    // made unreadable anyway. In-flight cdf commits target versions
+    // above the committed max and are protected by the same gate.
+    val dropCdc = children("cdc").filter(c =>
+      c.substring(c.indexOf('/') + 2).takeWhile(_.isDigit)
+        .toIntOption.exists(_ < keepFrom))
     val dropManifests = vs.filter(_ < keepFrom)
       .map(v => f"manifest/v$v%06d")
-    (dropData ++ dropManifests).map { rel =>
+    (dropData ++ dropCdc ++ dropManifests).map { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
       rel
     }

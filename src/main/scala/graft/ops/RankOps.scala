@@ -509,6 +509,10 @@ object RankOps {
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
       aRank: String, bRank: String, k: Int = 60): DataFrame = {
     require(k >= 0, s"rrf k must be >= 0, got $k")
+    require(aRank != bRank && aRank != idCol && bRank != idCol,
+      s"rrfFuse: rank/id column names must be distinct, got " +
+        s"($idCol, $aRank, $bRank) — identical names would collide " +
+        s"in the join output")
     def term(c: String): Column =
       coalesce(lit(1.0) / (lit(k.toDouble) + col(c).cast("double")),
         lit(0.0))

@@ -273,4 +273,39 @@ class ExprSpec extends SparkSpecBase {
     df.groupBy("k").agg(Collapse.firstSeen(col("v"))).head().getString(1) shouldBe
       "z;a"
   }
+
+  test("BloomBytesProbe: per-row binary probe ≡ driver compute, inserted hashes all hit, codegen no-fallback") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.expr.BloomBytesProbe
+      // insert the SAME xxhash64 image the sidecar build side uses
+      val inserted = spark.range(1, 51)
+        .select(xxhash64(col("id")).as("h"))
+        .collect().map(_.getLong(0))
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      inserted.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bytes = bos.toByteArray
+      val out = spark.range(1, 101)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .select(col("id"), col("h"),
+          BloomBytesProbe.probe(lit(bytes), col("h")).as("hit"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      out.foreach { case (_, h, hit) =>
+        hit shouldBe BloomBytesProbe.compute(bytes, h) // ≡ driver
+      }
+      out.filter(_._1 <= 50).foreach(_._3 shouldBe true) // no false negatives
+      // null inputs are null, not errors
+      Seq(Tuple1(Option.empty[Array[Byte]])).toDF("b")
+        .select(BloomBytesProbe.probe(col("b"), lit(1L)).as("hit"))
+        .head().isNullAt(0) shouldBe true
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }

@@ -1138,6 +1138,11 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir)
     run()
     state.toMap shouldBe before
+    // change files retire with their version: vacuuming to the latest
+    // drops every cdc dir older than it
+    val latest = SnapshotStore.versions(spark, dir).max
+    val dropped = SnapshotStore.vacuum(spark, dir, keepFrom = latest)
+    dropped.count(_.startsWith("cdc/")) should be > 0
   }
 
   test("partitioned commits: leaves are full-schema segments, partition predicates prune segments before sidecars, residual stays exact") {
@@ -1328,5 +1333,12 @@ class SnapshotStoreSpec extends SparkSpecBase {
       SnapshotStore.commitAppend(
         Seq((3L, "en", "z")).toDF("doc_id", "__p_lang", "text"), dir,
         partitionBy = Seq("text"))
+    // an EMPTY partitioned frame commits a no-data version (no leaves
+    // — reading a file-less root for a sidecar would fail)
+    SnapshotStore.commitAppend(
+      Seq((9L, "en", "x")).toDF("doc_id", "lang", "text")
+        .where(col("doc_id") < 0),
+      dir, statsCols = Seq("doc_id"), partitionBy = Seq("lang")) shouldBe 2
+    SnapshotStore.read(spark, dir).count() shouldBe 2
   }
 }
