@@ -1556,7 +1556,17 @@ object SnapshotStore {
 
   /** Collected per-commit sidecars for the stats-bearing segments of
     * one manifest: segment → [[SegStats]], ONE collect per distinct
-    * recorded column set — flat driver cost at any segment count.
+    * recorded column set — flat driver JOB count at any segment
+    * count. The collected ROWS grow with file count (Delta pays the
+    * same cost class in its log replay); what keeps the allocation
+    * bounded at 100 TB is that callers PARTITION-PRUNE `statsOf`
+    * before calling (readPrunedRange/countPrunedRange filter to the
+    * partition-surviving segments), so a probe reads only the
+    * sidecars of commits with at least one surviving leaf — the
+    * stats of the partitions it touches, not the table's (sibling-
+    * leaf rows inside a touched commit's shared sidecar still ride
+    * the collect and drop at attribution; a sidecar is one tiny file
+    * per commit, so that slack is per-commit, not per-table).
     * Row→segment attribution is by file path containment.
     *
     * `eqs` with a matching `bloom_<col>` sidecar column evaluate IN

@@ -618,6 +618,103 @@ object CorpusOps {
         col("n_terms"), col("kl_nats"))
   }
 
+  /** Per-stratum n-gram DIVERSITY (the distinct-n statistic of the
+    * Self-BLEU / repetition-diagnostics family): how much of a
+    * stratum's n-gram mass is unique — low distinct-ratio means
+    * templated/repetitive text, a high top-share means one boilerplate
+    * n-gram dominates; the two numbers a mixture curator reads next to
+    * [[klDivergence]] (vocabulary shift) and the histogram drift
+    * stats. Output per stratum: total n-gram occurrences, distinct
+    * n-grams, distinct_ratio = distinct/total, top_share = the most
+    * frequent n-gram's occurrence share. Ratios are ONE double
+    * division of exact longs each (cross-engine bit-stable).
+    *
+    * Scale shape: one shingle explode feeds a two-level aggregation —
+    * the exchange carries (stratum, gram) counts, never positions; no
+    * distinct-value shuffle beyond the gram grouping itself.
+    */
+  def ngramDiversity(df: DataFrame, strataCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(strataCol).as("__s"),
+        explode(TextOps.shingles(col(textCol), n)).as("__g"))
+      .groupBy(col("__s"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    grams.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__top"))
+      .select(col("__s").as(strataCol),
+        col("n_grams"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .as("distinct_ratio"),
+        (col("__top").cast("double") / col("n_grams").cast("double"))
+          .as("top_share"))
+  }
+
+  /** The dyadic snap shared by [[zipfSlope]]'s x and y: floor to the
+    * 2⁻¹⁴ grid — multiplication by a power of two and floor are EXACT
+    * double ops in every IEEE engine, so snapped values are identical
+    * cross-engine wherever the engines' ln agrees to ~6e-5 (they
+    * agree to ~2e-16). The q194 lesson applied: never cast a
+    * full-mantissa double to DECIMAL per row (the engines' casts
+    * disagree at the 18th digit); snap to a dyadic grid instead.
+    */
+  private def dyadic14(c: Column): Column =
+    floor(c * lit(16384d) + lit(0.5d)) / lit(16384d)
+
+  /** Per-stratum ZIPF SLOPE: the least-squares slope of ln(freq) vs
+    * ln(rank) over the stratum's top-`topN` terms — natural text sits
+    * near −1 (Zipf's law); templated or synthetic text drifts shallow
+    * (repetitive head) or steep (tiny effective vocabulary). The
+    * frequency-spectrum diagnostic next to [[ngramDiversity]].
+    *
+    * Exactness by construction (the q194 dyadic discipline, sized for
+    * proof): x = ln(rank), y = ln(freq) snap to the 2⁻¹⁴ grid
+    * (|x|,|y| < 16 → 18-bit mantissas), so each product x·y is an
+    * EXACT 36-bit dyadic double on the 2⁻²⁸ grid, per-stratum sums
+    * over ≤ 64 terms add 6 bits (42), the n· and Σ·Σ combinations
+    * stay ≤ 49 bits — every intermediate below 2⁵³, every double sum
+    * order-independent, and the single final division correctly
+    * rounded: bit-identical across engines AND partitionings with no
+    * decimal cast anywhere. topN is capped at 64 to KEEP that proof
+    * (the grid, not the statistics, is the binding constraint).
+    * Rank ties break by term so the top-N set is deterministic.
+    * Output: (stratum, n_top, slope); a stratum with a single ranked
+    * term has no slope (the denominator n·Σxx − (Σx)² is zero exactly
+    * when all ranks coincide, i.e. n_top = 1) and is dropped rather
+    * than emitting a division by zero.
+    */
+  def zipfSlope(df: DataFrame, strataCol: String, textCol: String,
+      topN: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2 && topN <= 64,
+      s"topN must be in [2, 64] (the dyadic-exactness proof is sized " +
+        s"for 64), got $topN")
+    val tf = df.select(col(strataCol).as("__s"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__f"))
+    val ranked = tf.withColumn("__r", row_number().over(
+        Window.partitionBy(col("__s"))
+          .orderBy(col("__f").desc, col("__t"))))
+      .where(col("__r") <= topN)
+    val xy = ranked.select(col("__s"),
+      dyadic14(log(col("__r").cast("double"))).as("__x"),
+      dyadic14(log(col("__f").cast("double"))).as("__y"))
+    xy.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .where(col("n_top") >= 2)
+      .select(col("__s").as(strataCol), col("n_top"),
+        ((col("n_top") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_top") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("slope"))
+  }
+
   /** Temperature-scaled mixture sampling (the mT5/XLM-R α-sampling
     * rule, realized as deterministic downsampling): target stratum
     * shares q_s ∝ n_s^α, so the keep-rate is

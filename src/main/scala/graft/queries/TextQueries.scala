@@ -3550,6 +3550,68 @@ object TextQueries {
         .select(col("vec_id").as("doc_id"), col("ann_rank"))
       RankOps.rrfFuse(bm, ann, "doc_id", "bm25_rank", "ann_rank", k = 60)
         .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
+    // Per-language bigram DIVERSITY (CorpusOps.ngramDiversity — the
+    // distinct-n statistic of the Self-BLEU/repetition family): total
+    // bigram occurrences, distinct bigrams, distinct-ratio and the
+    // top bigram's share per stratum — templated text reads low/high
+    // here before any model sees it. One shingle explode, two-level
+    // aggregation; ratios are one double division of exact longs.
+    Q("q216_ngram_diversity",
+      """WITH tok AS (SELECT lang, string_split(text, ' ') AS tl
+        |             FROM documents),
+        |g AS (SELECT lang, tl[i] || ' ' || tl[i+1] AS g
+        |      FROM (SELECT lang, tl,
+        |              unnest(generate_series(1, len(tl) - 1)) AS i
+        |            FROM tok WHERE len(tl) >= 2)),
+        |c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+        |      FROM g GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS distinct_ratio,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      CorpusOps.ngramDiversity(t(s, dir, "documents"), "lang", "text",
+          n = 2)
+        .orderBy(col("lang"))
+    },
+
+    // Per-language ZIPF SLOPE (CorpusOps.zipfSlope): least-squares
+    // slope of ln(freq) vs ln(rank) over each stratum's top-64 terms
+    // — natural text sits near −1; templated/synthetic text drifts.
+    // Numerics: the q194 dyadic discipline sized for proof — ln
+    // values snap to the 2⁻¹⁴ grid (floor and power-of-two multiplies
+    // are exact IEEE ops), so every product is an exact 36-bit
+    // dyadic, every sum stays under 2⁵³ and order-independent, and
+    // the single final division is correctly rounded: bit-identical
+    // across engines and partitionings with NO decimal cast anywhere.
+    // The oracle replays rank, snap, sums and the slope formula.
+    Q("q217_zipf_slope",
+      """WITH tok AS (SELECT lang AS s, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tf AS (SELECT s, t, CAST(count(*) AS BIGINT) AS f
+        |       FROM tok WHERE t <> '' GROUP BY 1, 2),
+        |rk AS (SELECT s, f,
+        |         row_number() OVER (PARTITION BY s
+        |                            ORDER BY f DESC, t) AS r
+        |       FROM tf),
+        |xy AS (SELECT s,
+        |    floor(ln(CAST(r AS DOUBLE)) * 16384 + 0.5) / 16384 AS x,
+        |    floor(ln(CAST(f AS DOUBLE)) * 16384 + 0.5) / 16384 AS y
+        |  FROM rk WHERE r <= 64),
+        |ag AS (SELECT s, CAST(count(*) AS BIGINT) AS n_top,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM xy GROUP BY s)
+        |SELECT s AS lang, n_top,
+        |  (n_top * sxy - sx * sy) / (n_top * sxx - sx * sx) AS slope
+        |FROM ag WHERE n_top >= 2
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      CorpusOps.zipfSlope(t(s, dir, "documents"), "lang", "text",
+          topN = 64)
+        .orderBy(col("lang"))
     }
   )
 }

@@ -593,6 +593,52 @@ class CorpusOpsSpec extends SparkSpecBase {
       ref(Map("a" -> 1L, "c" -> 1L), 2L)))
   }
 
+  test("ngramDiversity: hand-counted bigrams; short docs contribute nothing") {
+    val docs = Seq(
+      (1L, "en", "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "en", "c d"),       // "c d"
+      (3L, "en", "solo"),      // < 2 tokens — nothing
+      (4L, "fr", "x x x"))     // "x x","x x"
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusOps.ngramDiversity(docs, "lang", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    out("en") shouldBe ((4L, 3L, 3.0 / 4.0, 2.0 / 4.0))
+    out("fr") shouldBe ((2L, 1L, 1.0 / 2.0, 2.0 / 2.0))
+    out.size shouldBe 2
+  }
+
+  test("zipfSlope ≡ the dyadic-snapped reference fold; single-term strata drop; partitioning-invariant") {
+    val docs = Seq(
+      (1L, "en", "a a a a a a a a b b b b c c d"), // a:8 b:4 c:2 d:1
+      (2L, "fr", "q"))                             // one term — no slope
+      .toDF("doc_id", "lang", "text")
+    def snap(v: Double): Double =
+      math.floor(math.log(v) * 16384d + 0.5d) / 16384d
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      .map { case (r, f) => (snap(r.toDouble), snap(f.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expect = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    Seq(1, 7).foreach { parts =>
+      val out = CorpusOps.zipfSlope(docs.repartition(parts), "lang",
+          "text", topN = 64)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      out.keySet shouldBe Set("en")
+      out("en")._1 shouldBe 4L
+      out("en")._2 shouldBe expect // bit-identical — exact dyadic sums
+    }
+    // a halving geometric spectrum has slope ln(1/2)/mean-ish < 0;
+    // sanity: strictly negative and near -1 for this fixture
+    val slope = CorpusOps.zipfSlope(docs, "lang", "text")
+      .head().getDouble(2)
+    slope should be < 0.0
+  }
+
   test("lengthQuantiles rejects out-of-range and colliding percentiles") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")
