@@ -192,6 +192,7 @@ object SnapshotStore {
     // schema into one segment and drops the flag)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
+    constraintGuard(spark, dir, carried, segRows, "commitAppend")
     commitManifest(spark, dir, v, carried ++ evo ++ segRows)
     v
   }
@@ -703,9 +704,100 @@ object SnapshotStore {
     val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
+    constraintGuard(spark, dir, carried, segRows, "commitMerge")
     commitManifestCdc(spark, dir, v,
       carried ++ evo ++ tombRows ++ segRows, cdcRel)
     Some(MergeResult(v, nUpd, nDel, nIns))
+  }
+
+  /** CHECK constraints (Delta's `ALTER TABLE … ADD CONSTRAINT` /
+    * write-side invariants): a `chk` manifest row carries
+    * `name;<sql expression>` forward through every commit, and every
+    * data-ADDING face ([[commitAppend]], [[commitStreamBatch]],
+    * [[commitUpsert]], [[commitMerge]]) validates its JUST-WRITTEN
+    * segment against all of them before publishing — reading the
+    * written files back means the data is evaluated exactly once and
+    * a refusal leaves only an invisible orphan, never a half-commit.
+    * Compactions and predicate deletes move/keep already-validated
+    * rows and skip the check. SQL-standard NULL semantics: a row
+    * violates only when the expression is FALSE (UNKNOWN passes) —
+    * stated here because engines disagree; a constraint referencing a
+    * column the frame lacks fails analysis loudly.
+    *
+    * `addConstraint` validates the EXISTING table first (Delta scans
+    * on ADD CONSTRAINT too — a constraint the current data violates
+    * would make every later read a lie) and commits the rule as a new
+    * version; [[dropConstraint]] removes it. Both are O(1)-file
+    * commits.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Int = {
+    require(!name.contains(";") && !name.contains(",") && name.nonEmpty,
+      s"constraint name must be non-empty without ';'/',', got '$name'")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"addConstraint: no committed snapshot at $dir")
+    val carried = readManifestRows(spark, dir, vs.max)
+    require(!carried.exists { case (k, v) =>
+        k == "chk" && v.takeWhile(_ != ';') == name },
+      s"addConstraint: constraint '$name' already exists at $dir")
+    val bad = read(spark, dir, Some(vs.max))
+      .where(!coalesce(expr(sqlExpr), lit(true))).count()
+    require(bad == 0,
+      s"addConstraint: existing data violates '$name' ($sqlExpr) on " +
+        s"$bad row(s) — clean the table first")
+    val v = vs.max + 1
+    commitManifest(spark, dir, v, carried :+ (("chk", s"$name;$sqlExpr")))
+    v
+  }
+
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"dropConstraint: no committed snapshot at $dir")
+    val carried = readManifestRows(spark, dir, vs.max)
+    val (hit, kept) = carried.partition { case (k, v) =>
+      k == "chk" && v.takeWhile(_ != ';') == name }
+    require(hit.nonEmpty,
+      s"dropConstraint: no constraint named '$name' at $dir")
+    val v = vs.max + 1
+    commitManifest(spark, dir, v, kept)
+    v
+  }
+
+  /** The active constraints of the latest snapshot: name → SQL. */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    readManifestRows(spark, dir, vs.max).collect {
+      case ("chk", s) =>
+        (s.takeWhile(_ != ';'), s.substring(s.indexOf(';') + 1))
+    }.toMap
+  }
+
+  /** Validate the just-written segment rows against every carried
+    * `chk` constraint — ONE aggregation job for all constraints over
+    * the new files only (Delta's write-path invariant check), loud on
+    * the first violation count.
+    */
+  private def constraintGuard(spark: SparkSession, dir: String,
+      carried: Seq[(String, String)], segRows: Seq[(String, String)],
+      op: String): Unit = {
+    val chks = carried.collect { case ("chk", s) =>
+      (s.takeWhile(_ != ';'), s.substring(s.indexOf(';') + 1))
+    }
+    val segs = segRows.collect { case ("seg", p) => p }
+    if (chks.isEmpty || segs.isEmpty) return
+    val df = spark.read.parquet(segs.map(p => s"$dir/$p"): _*)
+    val counts = df.agg(
+      count(when(!coalesce(expr(chks.head._2), lit(true)), 1)),
+      chks.tail.map(c =>
+        count(when(!coalesce(expr(c._2), lit(true)), 1))): _*).head()
+    chks.zipWithIndex.foreach { case ((name, ex), i) =>
+      require(counts.getLong(i) == 0,
+        s"$op: CHECK constraint '$name' ($ex) violated by " +
+          s"${counts.getLong(i)} new row(s) — nothing committed (the " +
+          s"written segment is an invisible orphan)")
+    }
   }
 
   /** Snapshot read at `version` (default: latest). The segment list
@@ -834,9 +926,11 @@ object SnapshotStore {
     val seg = s"seg/${uniqueName('c', v)}"
     read(spark, dir, Some(vs.max))
       .write.mode("errorifexists").parquet(s"$dir/$seg")
-    // carry the streaming txn marker: a restarted stream replaying its
-    // last batch AFTER a compaction must still dedupe on it
-    val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+    // carry the streaming txn marker (a restarted stream replaying its
+    // last batch AFTER a compaction must still dedupe on it) and the
+    // CHECK constraints (table rules outlive any rewrite)
+    val txn = readManifestRows(spark, dir, vs.max)
+      .filter(r => r._1 == "txn" || r._1 == "chk")
     commitManifest(spark, dir, v, ("seg", seg) +: txn)
     v
   }
@@ -876,6 +970,7 @@ object SnapshotStore {
     // rows stay O(1) per commit
     val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
       "commitStreamBatch")
+    constraintGuard(spark, dir, carried, segRows, "commitStreamBatch")
     commitManifest(spark, dir, v,
       carried.filterNot { case (k, b) =>
         k == "txn" && b.startsWith(s"$appId:") } ++ segRows :+
@@ -1078,7 +1173,8 @@ object SnapshotStore {
       graft.ops.LayoutOps.zorderWrite(
         read(spark, dir, Some(vs.max)), zCols, nFiles, statsCols,
         s"$dir/$root")
-      val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
+      val txn = readManifestRows(spark, dir, vs.max)
+        .filter(r => r._1 == "txn" || r._1 == "chk")
       commitManifest(spark, dir, v,
         Seq(("seg", s"$root/data"),
           ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn)
@@ -1852,6 +1948,7 @@ object SnapshotStore {
     val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
+    constraintGuard(spark, dir, carried, segRows, "commitUpsert")
     commitManifestCdc(spark, dir, v,
       carried ++ evo ++ (("tomb", tp) +: segRows), cdcRel)
     v

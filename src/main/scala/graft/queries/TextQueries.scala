@@ -3612,6 +3612,52 @@ object TextQueries {
       CorpusOps.zipfSlope(t(s, dir, "documents"), "lang", "text",
           topN = 64)
         .orderBy(col("lang"))
+    },
+
+    // CHECK constraints on the snapshot store (Delta's ADD CONSTRAINT
+    // / write-path invariants — SnapshotStore.addConstraint +
+    // constraintGuard): the rule `n_chars <= 300` is added after a
+    // conforming ingest, a violating append must REFUSE LOUDLY and
+    // commit nothing (driver gates: the exception fires, the version
+    // count is unchanged), and the conforming remainder commits
+    // normally — so the final table holds exactly the rows the rule
+    // admits, which is what the oracle checks blind to the store.
+    // Validation reads the just-written segment back (one evaluation,
+    // orphan-safe refusal); the rule survives a full compaction.
+    Q("q218_snapshot_check_constraint",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars <= 300
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q218", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") < 250 && col("n_chars") <= 300), r)
+        SnapshotStore.addConstraint(s, r, "n_chars_bound",
+          "n_chars <= 300")
+        val vBefore = SnapshotStore.versions(s, r).max
+        val refused =
+          try {
+            SnapshotStore.commitAppend(
+              docs.filter(col("doc_id") >= 250), r)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(refused,
+          "the violating append was accepted — the write-path CHECK " +
+            "guard went dead")
+        require(SnapshotStore.versions(s, r).max == vBefore,
+          "the refused append still committed a version")
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") >= 250 && col("n_chars") <= 300), r)
+        SnapshotStore.compact(s, r)
+        require(SnapshotStore.constraints(s, r).contains("n_chars_bound"),
+          "the constraint did not survive compaction")
+        ()
+      }
+      SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }

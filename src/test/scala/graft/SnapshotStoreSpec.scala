@@ -894,6 +894,57 @@ class SnapshotStoreSpec extends SparkSpecBase {
       (i, Seq("en", "fr", "de")((i % 3).toInt), s"row $i"))
     .toDF("doc_id", "lang", "text")
 
+  test("CHECK constraints: write-path invariants refuse loudly and commit nothing; add scans existing data; compactions carry rules; NULL passes") {
+    val dir = freshDir("chk")
+    SnapshotStore.commitAppend(
+      Seq((1L, Option(10L)), (2L, Option(20L))).toDF("doc_id", "x"), dir)
+    // adding a constraint the CURRENT data violates refuses
+    val badAdd = intercept[IllegalArgumentException] {
+      SnapshotStore.addConstraint(spark, dir, "x_small", "x < 15")
+    }
+    badAdd.getMessage should include("existing data violates")
+    SnapshotStore.addConstraint(spark, dir, "x_pos", "x > 0")
+    SnapshotStore.constraints(spark, dir) shouldBe Map("x_pos" -> "x > 0")
+    // a violating append refuses loudly and commits NOTHING (the
+    // written segment is an invisible orphan)
+    val vNow = SnapshotStore.versions(spark, dir).max
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotStore.commitAppend(
+        Seq((3L, Option(-5L))).toDF("doc_id", "x"), dir)
+    }
+    bad.getMessage should include("x_pos")
+    SnapshotStore.versions(spark, dir).max shouldBe vNow
+    SnapshotStore.read(spark, dir).count() shouldBe 2
+    // a valid append passes; a NULL result passes (SQL-standard
+    // UNKNOWN — stated in the scaladoc because engines disagree)
+    SnapshotStore.commitAppend(
+      Seq((3L, Option(5L)), (4L, Option.empty[Long]))
+        .toDF("doc_id", "x"), dir)
+    SnapshotStore.read(spark, dir).count() shouldBe 4
+    // upsert and merge run the same write-path guard
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitUpsert(
+        Seq((1L, Option(-1L))).toDF("doc_id", "x"), "doc_id", dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitMerge(
+        Seq((1L, Option(-2L))).toDF("doc_id", "x"), "doc_id", dir)
+    // rules outlive a full compaction and still bite
+    SnapshotStore.compact(spark, dir)
+    SnapshotStore.constraints(spark, dir).keySet shouldBe Set("x_pos")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((7L, Option(-7L))).toDF("doc_id", "x"), dir)
+    // duplicate add and unknown drop are loud; drop re-allows
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.addConstraint(spark, dir, "x_pos", "x > 0")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.dropConstraint(spark, dir, "nope")
+    SnapshotStore.dropConstraint(spark, dir, "x_pos")
+    SnapshotStore.commitAppend(
+      Seq((9L, Option(-9L))).toDF("doc_id", "x"), dir)
+    SnapshotStore.read(spark, dir).count() shouldBe 5
+  }
+
   test("commitDeleteWhere: stats-proven disjoint segments never rewrite, preimages feed CDC, null predicates keep rows") {
     import graft.ops.LayoutOps
     val dir = freshDir("delwhere")
