@@ -43,6 +43,52 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** ANN-driven HARD-NEGATIVE mining (the contrastive-retrieval
+    * training-data op: for each query, the most similar corpus items
+    * that are NOT its positives are the negatives worth training
+    * against — random negatives are too easy): per query, rank the
+    * corpus by cosine, anti-join away the (query, positive) pairs
+    * FIRST (so negative ranks stay contiguous), keep the top `k`.
+    * Output: (qid, neg id, rank, cosine), rank unique per query via
+    * the (cosine DESC, id) tiebreak.
+    *
+    * Shape: queries and positives broadcast (both training-batch
+    * sized by construction); the corpus streams through ONE cosine
+    * projection per query, and the rank-≤-k filter becomes the
+    * Partial+Final WindowGroupLimit pair, so only ~k winner
+    * candidates per query shuffle — never the n×q score matrix. This
+    * is the exact-rank form (the grading baseline and the
+    * training-batch mining loop); at corpus scale swap the scoring
+    * side for the persisted IVF index's candidate cells
+    * ([[graft.io.VectorIndexIO]] lookups) without touching the
+    * ranking tail.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      positives: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.columns.contains(qidCol) &&
+      queries.columns.contains(qvecCol),
+      s"queries needs ($qidCol, $qvecCol), has " +
+        s"${queries.columns.mkString(",")}")
+    require(positives.columns.toSet == Set(qidCol, idCol),
+      s"positives must be exactly ($qidCol, $idCol) pairs, got " +
+        s"${positives.columns.mkString(",")}")
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .join(broadcast(positives), Seq(qidCol, idCol), "left_anti")
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+    scored
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col(qidCol))
+            .orderBy(col("cosine").desc, col(idCol)))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neg_id"), col("rank"),
+        col("cosine"))
+  }
+
   /** IVF-style ANN: coarse-quantize every vector to its most-similar
     * centroid (broadcast cross join — centroid count is small by
     * construction), then search top-1 within the cell. The cell

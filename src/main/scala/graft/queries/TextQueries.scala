@@ -3658,6 +3658,37 @@ object TextQueries {
       SnapshotStore.read(s, root)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // ANN-driven hard-negative mining (SimilarityOps.hardNegatives —
+    // the contrastive-retrieval training-data op): every 100th vector
+    // is a query; its POSITIVE (itself) anti-joins away first, then
+    // the top-5 most-similar remaining corpus vectors per query are
+    // the hard negatives, rank unique via (cosine DESC, id). Queries
+    // and positives broadcast; the rank filter prunes map-side
+    // (WindowGroupLimit) so only winner candidates shuffle. Cosines
+    // are the q51 sequential-fold doubles — bit-identical cross-engine
+    // — and the oracle replays the exclusion, ranking and cut.
+    Q("q219_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT qid, vec_id AS neg_id,
+         |        ${cosineSql("embedding", "qv")} AS cosine
+         |      FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+         |r AS (SELECT qid, neg_id,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank,
+         |        cosine
+         |      FROM c)
+         |SELECT qid, neg_id, rank, cosine FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val positives = queries.select(col("qid"), col("qid").as("vec_id"))
+      SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", positives, k = 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

@@ -154,4 +154,16 @@ class PlanAuditSpec extends SparkSpecBase {
     graft.ops.StatsOps.studyStatsWide(long) // unvalued: pays the job
     lastJob should be > before
   }
+
+  test("the Zipf top-N rank prunes map-side — WindowGroupLimit before the stratum exchange") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    // the r<=64 filter over row_number must become the Partial+Final
+    // WindowGroupLimit pair (the ivfAssign audit shape): only ~64
+    // winner candidates per stratum shuffle, never the full
+    // (stratum, term) frequency table
+    val plan = SparkEntry.queries("q217_zipf_slope")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include regex "WindowGroupLimit.*Final"
+  }
 }

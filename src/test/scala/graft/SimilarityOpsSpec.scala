@@ -673,4 +673,34 @@ class SimilarityOpsSpec extends SparkSpecBase {
       math.max(v(0) / n, v(1) / n) should be > 0.99
     }
   }
+
+  test("hardNegatives: positives excluded before ranking, cosine-ordered, WindowGroupLimit prunes map-side") {
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq(
+      (1L, v(0)),   // the query's positive — must never surface
+      (2L, v(10)),  // hardest negative
+      (3L, v(20)),
+      (4L, v(90)))  // easy negative — cut by k
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(0))).toDF("qid", "qvec")
+    val positives = Seq((100L, 1L)).toDF("qid", "vec_id")
+    val out = SimilarityOps.hardNegatives(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", positives, k = 2)
+    val rows = out.orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq((100L, 2L, 1L), (100L, 3L, 2L))
+    // ranks stay contiguous BECAUSE exclusion precedes ranking
+    // map-side pruning: the rank filter plans the Partial+Final pair
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include regex "WindowGroupLimit.*Final"
+    // malformed positives refuse
+    an[IllegalArgumentException] should be thrownBy
+      SimilarityOps.hardNegatives(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec",
+        Seq((100L, 1L, 0L)).toDF("qid", "vec_id", "extra"), k = 2)
+  }
 }
