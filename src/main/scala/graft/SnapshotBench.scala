@@ -210,6 +210,36 @@ object SnapshotBench {
       .where(col("pk") === "7").count())
     println(f"""{"face":"partition_probe_full_scan","secs":$sPpFull%.2f}""")
 
+    // predicate DELETE on the partitioned store: a one-partition
+    // scope rewrites exactly that partition's leaves copy-on-write —
+    // the other 63 partitions are never read (the footprint evidence)
+    val tDw = System.nanoTime()
+    val dw = SnapshotStore.commitDeleteWhere(spark, parted, Nil, "doc_id",
+      parts = Map("pk" -> Set("7")), cdf = false).get
+    val sDw = (System.nanoTime() - tDw) / 1e9
+    println(f"""{"face":"delete_where_1_of_64","secs":$sDw%.2f,""" +
+      s""""rows":${dw.rowsDeleted},""" +
+      s""""segs_rewritten":"${dw.segsRewritten}/${dw.segsTotal}"}""")
+    // stats-driven range DELETE on the banded cadenced store: the
+    // disjoint bands carry forward unread
+    val tDw2 = System.nanoTime()
+    val dw2 = SnapshotStore.commitDeleteWhere(spark, cadenced,
+      Seq(graft.ops.LayoutOps.ColRange(
+        "doc_id", 0L, (maxId + 1) / 20)), "doc_id").get
+    val sDw2 = (System.nanoTime() - tDw2) / 1e9
+    println(f"""{"face":"delete_where_range_5pct","secs":$sDw2%.2f,""" +
+      s""""rows":${dw2.rowsDeleted},""" +
+      s""""segs_rewritten":"${dw2.segsRewritten}/${dw2.segsTotal}"}""")
+    // conditional MERGE: 2% updates + 1% inserts in one atomic version
+    val sMg = secs(SnapshotStore.commitMerge(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("n_chars", col("n_chars") + 1L)
+        .unionByName(docs.filter(col("doc_id") % 100 === 7)
+          .withColumn("doc_id", col("doc_id") + 10000000L)),
+      "doc_id", cadenced,
+      updateWhen = Some(col("src_n_chars") > col("n_chars"))).get)
+    println(f"""{"face":"merge_2pct_upd_1pct_ins","secs":$sMg%.2f}""")
+
     // mass-delete regime: tombstone ~30% of the table in ONE commit,
     // then read — the size gate decides broadcast vs shuffle anti-join
     // (forced-shuffle twin via graft.snapshot.tombBroadcastBytes=0, so
