@@ -1744,10 +1744,12 @@ object SnapshotStore {
   def countPrunedRange(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange],
       version: Option[Int] = None,
-      parts: Map[String, Set[String]] = Map.empty): CountScan = {
+      parts: Map[String, Set[String]] = Map.empty,
+      eqs: Seq[graft.ops.LayoutOps.ColEq] = Nil): CountScan = {
     import graft.ops.LayoutOps
-    require(ranges.nonEmpty || parts.nonEmpty,
-      "countPrunedRange needs at least one range or partition predicate")
+    require(ranges.nonEmpty || parts.nonEmpty || eqs.nonEmpty,
+      "countPrunedRange needs at least one range, partition or " +
+        "equality predicate")
     require(parts.forall(_._2.nonEmpty),
       s"countPrunedRange: empty allowed-value set for partition " +
         s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
@@ -1766,7 +1768,7 @@ object SnapshotStore {
         s"tombstone(s) — hidden ids defeat range metadata; compact " +
         s"first, or count readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys
+    val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "countPrunedRange")
     // partition pruning before any sidecar read, as in readPrunedRange
     val live = segs.filter(partKeep(_, parts))
@@ -1776,15 +1778,22 @@ object SnapshotStore {
     val residual = (ranges.map(rg =>
         col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
       parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
+      eqs.map(eq => col(eq.col) === lit(eq.value)))
       .reduce(_ && _)
+    // eq probes prune the SCAN set (as degenerate ranges for min/max,
+    // via bloom verdicts in segStatRows) but a bloom can never
+    // metadata-ANSWER — might-contain admits false positives, so eq
+    // containment is provable only by min = value = max with no nulls
+    val rangesAll = ranges ++
+      eqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
     val fs = hfs(spark, dir)
     var meta = 0L
     var metaFiles = 0
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
-    segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
-      val usable = ranges.filter(rg =>
+    segStatRows(spark, dir, statsOf, eqs).foreach { case (seg, ss) =>
+      val usable = rangesAll.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
       // a file is metadata-answerable only when the partition
@@ -1799,7 +1808,7 @@ object SnapshotStore {
       val toScan = scala.collection.mutable.Buffer.empty[String]
       ss.rows.foreach { r =>
         if (partExact && ss.have.contains("n_rows") &&
-            LayoutOps.containedFile(r, ranges, ss.have)) {
+            LayoutOps.containedFile(r, rangesAll, ss.have)) {
           meta += r.getAs[Long]("n_rows"); metaFiles += 1
         } else if (LayoutOps.keepFile(r, usable))
           toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))

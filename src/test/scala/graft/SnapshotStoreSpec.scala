@@ -1055,6 +1055,13 @@ class SnapshotStoreSpec extends SparkSpecBase {
       eqs = Seq(LayoutOps.ColEq("doc_id", 777L)))
     both.filesRead should be <= eq.filesRead
     both.df.count() shouldBe 1
+    // the COUNT twin prunes its scan set the same way but never
+    // metadata-answers from a bloom (false positives would overcount)
+    val cs = SnapshotStore.countPrunedRange(spark, dir, Nil,
+      eqs = Seq(LayoutOps.ColEq("doc_id", 777L)))
+    cs.count shouldBe 1L
+    cs.filesMetaAnswered shouldBe 0
+    cs.filesScanned should be < cs.filesTotal
   }
 
   test("commitMerge: delete-before-update clause order, untouched non-matches, insert-not-matched, CDC rendering, loud guards") {
