@@ -1263,6 +1263,44 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 299
   }
 
+  test("two-level partitioning: leaves nest, predicates prune on either or both columns, compaction keeps both encodings") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("part2")
+    val pop = (1L to 240L).map(i =>
+        (i, Seq("en", "fr")((i % 2).toInt), (i % 3).toString, s"row $i"))
+      .toDF("doc_id", "lang", "shard", "text")
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 120), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang", "shard"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 120), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang", "shard"))
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((12, 0)) // 2×2×3
+    SnapshotStore.read(spark, dir).count() shouldBe 240
+    // prune on the LEADING column
+    val byLang = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    byLang.segsRead shouldBe 6
+    byLang.df.count() shouldBe pop.filter(col("lang") === "en").count()
+    // prune on the TRAILING column alone (the path records both)
+    val byShard = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("shard" -> Set("2")))
+    byShard.segsRead shouldBe 4
+    byShard.df.count() shouldBe pop.filter(col("shard") === "2").count()
+    // both columns compose to a single leaf per commit
+    val bothCols = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("fr"), "shard" -> Set("0")))
+    bothCols.segsRead shouldBe 2
+    bothCols.df.count() shouldBe
+      pop.filter(col("lang") === "fr" && col("shard") === "0").count()
+    // signature-grouped compaction keeps BOTH encodings
+    SnapshotStore.compactSmall(spark, dir, maxSegBytes = 1L << 30,
+      statsCols = Seq("doc_id")).isDefined shouldBe true
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((6, 0))
+    val after = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("fr"), "shard" -> Set("0")))
+    after.segsRead shouldBe 1
+    after.df.count() shouldBe bothCols.df.count()
+  }
+
   test("countPrunedRange with partition predicates: exact partitions meta-answer, conservative segments must scan") {
     import graft.ops.LayoutOps
     val dir = freshDir("partcount")
