@@ -221,10 +221,11 @@ object SnapshotStore {
   private def writeDataSegment(df: DataFrame, dir: String, v: Int,
       statsCols: Seq[String], partitionBy: Seq[String],
       op: String, bloomCols: Seq[String] = Nil,
-      bloomExpectedItems: Long = 100000L): Seq[(String, String)] = {
+      bloomExpectedItems: Long = 100000L,
+      prefix: Char = 's'): Seq[(String, String)] = {
     val spark = df.sparkSession
     if (partitionBy.isEmpty) {
-      val seg = s"seg/${uniqueName('s', v)}"
+      val seg = s"seg/${uniqueName(prefix, v)}"
       df.write.mode("errorifexists").parquet(s"$dir/$seg")
       writeSegStats(spark, dir, seg, statsCols, bloomCols,
         bloomExpectedItems) :+ (("seg", seg))
@@ -235,7 +236,7 @@ object SnapshotStore {
           s"committed frame (${df.columns.mkString(",")})")
       require(df.columns.forall(!_.startsWith("__p_")),
         s"$op: '__p_' column prefix is reserved for the partition layout")
-      val root = s"seg/${uniqueName('s', v)}"
+      val root = s"seg/${uniqueName(prefix, v)}"
       val pcols = partitionBy.map(c => s"__p_$c")
       partitionBy.zip(pcols).foldLeft(df) { case (d, (c, p)) =>
           d.withColumn(p, col(c))
@@ -1152,6 +1153,37 @@ object SnapshotStore {
     Some(v)
   }
 
+  /** REPARTITION the table: fold the latest snapshot's survivor set
+    * into fresh segments laid out under `partitionBy` and publish it
+    * as the next version's only data — the "the table started
+    * unpartitioned (or wrongly partitioned) and now needs partition
+    * pruning" lifecycle move, which Delta itself only offers as a
+    * manual rewrite. One O(table) job (it IS a full rewrite — run it
+    * once, not on a cadence); the new leaves are dataChange=false
+    * `c` segments (rows moved, CDC skips them), per-commit stats and
+    * blooms ride as usual, history pins keep reading the old layout,
+    * and the streaming txn markers + CHECK constraints carry. Every
+    * later [[commitAppend]] with the same `partitionBy` then extends
+    * the layout and [[readPrunedRange]] prunes segments table-wide.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      partitionBy: Seq[String], statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
+    require(partitionBy.nonEmpty,
+      "compactPartitioned needs partition columns — use compact() for " +
+        "a plain fold")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"compactPartitioned: no committed snapshot at $dir")
+    val v = vs.max + 1
+    val segRows = writeDataSegment(read(spark, dir, Some(vs.max)), dir, v,
+      statsCols, partitionBy, "compactPartitioned", bloomCols,
+      prefix = 'c')
+    val kept = readManifestRows(spark, dir, vs.max)
+      .filter(r => r._1 == "txn" || r._1 == "chk")
+    commitManifest(spark, dir, v, kept ++ segRows)
+    v
+  }
+
   /** OPTIMIZE ZORDER on the store (Delta's flagship pair, composed
     * from the engine's own layout op): compacts the latest snapshot's
     * survivor set through [[graft.ops.LayoutOps.zorderWrite]] —
@@ -1447,18 +1479,25 @@ object SnapshotStore {
     * scaladoc requires. Unlike the net-change batch feed, an
     * insert-then-delete surfaces as BOTH events.
     */
-  def streamChanges(spark: SparkSession, dir: String): DataFrame = {
+  def streamChanges(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = read(spark, dir).schema
     // a store with no cdf commit yet has no cdc/ dir — materialize it
     // so the glob source starts empty instead of failing
     hfs(spark, dir).mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cdc"))
-    val inserts = spark.readStream.schema(schema)
+    // rate limiting (the Delta CDF source's maxFilesPerTrigger): each
+    // file source independently caps its micro-batch, bounding
+    // catch-up batches after a long consumer outage
+    def limited(r: org.apache.spark.sql.streaming.DataStreamReader) =
+      maxFilesPerTrigger.fold(r)(n =>
+        r.option("maxFilesPerTrigger", n.toString))
+    val inserts = limited(spark.readStream.schema(schema))
       .parquet(s"$dir/seg/s*")
       .withColumn("_change", lit("insert"))
-    val deletes = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.fields :+
-        org.apache.spark.sql.types.StructField("_change",
-          org.apache.spark.sql.types.StringType)))
+    val deletes = limited(spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_change",
+            org.apache.spark.sql.types.StringType))))
       .parquet(s"$dir/cdc/c*")
     inserts.unionByName(deletes)
   }

@@ -1263,6 +1263,60 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 299
   }
 
+  test("compactPartitioned retro-fits partition pruning onto an unpartitioned table; CDC skips the movement; rules carry") {
+    val dir = freshDir("retropart")
+    val pop = langPop(300)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 150), dir)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 150), dir)
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.addConstraint(spark, dir, "pos", "doc_id > 0")
+    val vBefore = SnapshotStore.versions(spark, dir).max
+    val before = SnapshotStore.read(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val v = SnapshotStore.compactPartitioned(spark, dir, Seq("lang"),
+      statsCols = Seq("doc_id"))
+    SnapshotStore.read(spark, dir)
+      .collect().map(_.toSeq).toSet shouldBe before
+    SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 0))
+    val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    scan.segsRead shouldBe 1
+    scan.segsTotal shouldBe 3
+    // repartitioning is movement, not change — the feed stays silent
+    SnapshotStore.readChanges(spark, dir, vBefore, v).count() shouldBe 0
+    // rules carry; later partitioned appends extend the layout
+    SnapshotStore.constraints(spark, dir).keySet shouldBe Set("pos")
+    SnapshotStore.commitAppend(
+      Seq((301L, "en", "late")).toDF("doc_id", "lang", "text"), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    val scan2 = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    scan2.segsRead shouldBe 2
+    scan2.df.count() shouldBe scan.df.count() + 1
+    // history pins keep reading the old layout
+    SnapshotStore.read(spark, dir, Some(2)).count() shouldBe 300
+  }
+
+  test("streamChanges maxFilesPerTrigger bounds catch-up micro-batches") {
+    val dir = freshDir("cdfrate")
+    val ckpt = freshDir("cdfratec")
+    (1 to 4).foreach { i =>
+      SnapshotStore.commitAppend(
+        Seq((i.toLong, i.toLong)).toDF("doc_id", "x").coalesce(1), dir)
+    }
+    var batches = 0
+    val q = SnapshotStore.streamChanges(spark, dir,
+        maxFilesPerTrigger = Some(1)).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches += 1; ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    batches should be >= 4 // one file per commit, one file per batch
+  }
+
   test("two-level partitioning: leaves nest, predicates prune on either or both columns, compaction keeps both encodings") {
     import graft.ops.LayoutOps
     val dir = freshDir("part2")
