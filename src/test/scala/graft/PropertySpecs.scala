@@ -397,6 +397,34 @@ object CorpusProps extends SparkProperties("corpus") {
     }
 }
 
+object PartitionPathProps extends Properties("partition-paths") {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  // values spanning the characters hive MUST escape ('/', '=', '%',
+  // ':', '#', '*', '\\', '[', '{', space) — the separators ';'/','
+  // are excluded because writeDataSegment refuses them loudly
+  val value: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf(':', '/', '=', '%', ' ', '#', '*', '\\', '[', '{')))
+    .map(_.mkString)
+
+  property("hive-escaped values round-trip through segPartValues") =
+    forAll(value) { raw =>
+      val esc = ExternalCatalogUtils.escapePathName(raw)
+      graft.io.SnapshotStore.segPartValues(
+        s"seg/s000001_x/__p_k=$esc") == Map("k" -> raw)
+    }
+
+  property("multi-column leaf paths parse each component; z-roots drop /data") =
+    forAll(value, value) { (a, b) =>
+      val ea = ExternalCatalogUtils.escapePathName(a)
+      val eb = ExternalCatalogUtils.escapePathName(b)
+      graft.io.SnapshotStore.segPartValues(
+        s"seg/c000002_x/__p_a=$ea/__p_b=$eb/data") ==
+        Map("a" -> a, "b" -> b)
+    }
+}
+
 object SigV4Props extends Properties("sigv4-transport") {
   import graft.io.{S3Http, SigV4}
 
