@@ -1178,6 +1178,12 @@ object SnapshotStore {
     val segRows = writeDataSegment(read(spark, dir, Some(vs.max)), dir, v,
       statsCols, partitionBy, "compactPartitioned", bloomCols,
       prefix = 'c')
+    // a fully-tombstoned table yields no leaves — publishing a
+    // data-less manifest would break every later read loudly but
+    // confusingly; refuse here with the real reason instead
+    require(segRows.exists(_._1 == "seg"),
+      s"compactPartitioned: the survivor set at $dir is empty — " +
+        s"nothing to lay out (every row is tombstoned)")
     val kept = readManifestRows(spark, dir, vs.max)
       .filter(r => r._1 == "txn" || r._1 == "chk")
     commitManifest(spark, dir, v, kept ++ segRows)

@@ -157,6 +157,35 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 4
   }
 
+  test("partitioned streaming sink: micro-batches land as partition leaves, replay dedup holds, probes prune") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir("psink")
+    val ckpt = freshDir("psink_ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = SnapshotStore.streamSink(
+      in.toDF().toDF("doc_id", "lang"), dir, ckpt,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    try {
+      in.addData((1L, "en"), (2L, "fr"))
+      q.processAllAvailable()
+      in.addData((3L, "en"))
+      q.processAllAvailable()
+      // batch 1 fans into (en, fr) leaves, batch 2 into one en leaf
+      SnapshotStore.versions(spark, dir) shouldBe Seq(1, 2)
+      SnapshotStore.segmentCounts(spark, dir) shouldBe ((3, 0))
+      val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+        parts = Map("lang" -> Set("fr")))
+      scan.segsRead shouldBe 1
+      scan.df.count() shouldBe 1
+    } finally q.stop()
+    // the replay no-op holds across the partitioned write path too
+    SnapshotStore.commitStreamBatch(
+      Seq((9L, "de")).toDF("doc_id", "lang"), dir, batchId = 1L,
+      partitionBy = Seq("lang")) shouldBe 2
+    SnapshotStore.read(spark, dir).count() shouldBe 3
+  }
+
   test("mergeSchema evolution: added columns null-backfill, omitted columns null-forward, type flips refuse") {
     val dir = freshDir("evolve")
     SnapshotStore.commitAppend(
