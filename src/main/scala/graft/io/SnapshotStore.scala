@@ -1884,6 +1884,73 @@ object SnapshotStore {
       segsRead = live.size, segsTotal = segs.size)
   }
 
+  /** SHOW PARTITIONS with row counts, answered from METADATA alone
+    * (the Delta `SHOW PARTITIONS` / `DESCRIBE DETAIL` observability
+    * face): per distinct partition tuple of the pinned snapshot, the
+    * segment count and the exact row count — derived from the
+    * manifest's leaf paths and the per-commit sidecars' `n_rows`,
+    * with NO data file opened. Loud preconditions keep it exact:
+    * tombstones refuse (hidden ids defeat row metadata — compact
+    * first), an unpartitioned segment refuses (it belongs to no
+    * partition tuple), and a segment committed without stats refuses
+    * (silently undercounting a metadata answer is the one wrong
+    * thing a metadata face can do). Output: one row per partition
+    * tuple — the partition columns (string-typed, the dir-name form)
+    * + n_segments + n_rows.
+    */
+  def partitions(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"snapshot version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val rows = readManifestRows(spark, dir, v)
+    val segs = rows.collect { case ("seg", p) => p }
+    require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    val tombs = rows.count(_._1 == "tomb")
+    require(tombs == 0,
+      s"partitions: v$v at $dir carries $tombs tombstone(s) — hidden " +
+        s"ids defeat row metadata; compact first")
+    val vals = segs.map(s => s -> segPartValues(s)).toMap
+    val bare = segs.filter(vals(_).isEmpty)
+    require(bare.isEmpty,
+      s"partitions: ${bare.size} unpartitioned segment(s) at v$v " +
+        s"(${bare.take(3).mkString(",")}…) belong to no partition " +
+        s"tuple — run compactPartitioned first")
+    val cols = vals.values.flatMap(_.keys).toSeq.distinct.sorted
+    require(vals.values.forall(_.keySet == cols.toSet),
+      s"partitions: segments disagree on the partition columns " +
+        s"(${vals.values.map(_.keySet).toSeq.distinct.mkString(" vs ")})")
+    val statsOf: Map[String, Seq[String]] = rows.collect {
+      case ("stats", s) => parseStatsRow(s)
+    }.toMap
+    val missing = segs.filterNot(statsOf.contains)
+    require(missing.isEmpty,
+      s"partitions: ${missing.size} segment(s) carry no stats sidecar " +
+        s"— n_rows would silently undercount; re-commit with statsCols")
+    val perSeg = segStatRows(spark, dir, statsOf).toMap
+    val out = segs.groupBy(vals).toSeq.map { case (tuple, gsegs) =>
+      val n = gsegs.map(sg =>
+        perSeg(sg).rows.map(_.getAs[Long]("n_rows")).sum).sum
+      org.apache.spark.sql.Row.fromSeq(
+        cols.map(tuple) ++ Seq(gsegs.size.toLong, n))
+    }
+    // a driver-built rows-per-partition frame (hive-unescaped values
+    // may carry spaces/colons — never round-trip them through a
+    // delimiter); tiny by construction
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) ++
+        Seq(org.apache.spark.sql.types.StructField("n_segments",
+          org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Version-cursor change-feed processing — the MAINTENANCE face
     * over [[readChanges]] (Delta's streaming CDF consumer shape,
     * without needing a long-running query): each call reads the

@@ -3689,6 +3689,32 @@ object TextQueries {
       SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
           queries, "qid", "qvec", positives, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // SHOW PARTITIONS answered from METADATA alone (SnapshotStore
+    // .partitions — the Delta SHOW PARTITIONS / DESCRIBE DETAIL
+    // observability face): per-language exact row counts derived from
+    // the manifest's leaf paths and the per-commit sidecars' n_rows,
+    // with NO data file opened — two banded partitioned ingests, and
+    // the answer must equal the raw GROUP BY the oracle runs over the
+    // table the store never scanned. Loud preconditions (tombstones,
+    // bare segments, stats-less segments) are spec-pinned.
+    Q("q220_snapshot_show_partitions",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q220", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 250, col("n_chars") >= 250)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band),
+            r, statsCols = Seq("n_chars"), partitionBy = Seq("lang")))
+        ()
+      }
+      SnapshotStore.partitions(s, root)
+        .select(col("lang"), col("n_rows"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -1292,6 +1292,47 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir).count() shouldBe 299
   }
 
+  test("partitions: SHOW PARTITIONS answered from metadata alone; loud on tombstones, bare segments and missing stats") {
+    val dir = freshDir("showpart")
+    val pop = langPop(300)
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 150), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 150), dir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    val out = SnapshotStore.partitions(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = pop.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe expect.keySet
+    out.foreach { case (lang, (nSeg, nRows)) =>
+      nSeg shouldBe 2L
+      nRows shouldBe expect(lang)
+    }
+    // tombstones defeat row metadata — loud
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    val tombed = intercept[IllegalArgumentException] {
+      SnapshotStore.partitions(spark, dir)
+    }
+    tombed.getMessage should include("tombstone")
+    // the pre-delete PIN still answers
+    SnapshotStore.partitions(spark, dir, version = Some(2))
+      .count() shouldBe expect.size.toLong
+    // a bare (unpartitioned) segment is loud, as is a stats-less one
+    val dir2 = freshDir("showpart2")
+    SnapshotStore.commitAppend(pop, dir2, statsCols = Seq("doc_id"))
+    val bare = intercept[IllegalArgumentException] {
+      SnapshotStore.partitions(spark, dir2)
+    }
+    bare.getMessage should include("unpartitioned")
+    val dir3 = freshDir("showpart3")
+    SnapshotStore.commitAppend(pop, dir3, partitionBy = Seq("lang"))
+    val noStats = intercept[IllegalArgumentException] {
+      SnapshotStore.partitions(spark, dir3)
+    }
+    noStats.getMessage should include("no stats sidecar")
+  }
+
   test("compactPartitioned retro-fits partition pruning onto an unpartitioned table; CDC skips the movement; rules carry") {
     val dir = freshDir("retropart")
     val pop = langPop(300)
