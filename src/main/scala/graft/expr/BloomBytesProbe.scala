@@ -53,13 +53,33 @@ case class BloomBytesProbe(left: Expression, right: Expression)
 
 object BloomBytesProbe {
 
+  /** Per-thread one-slot deserialization memo: a multi-probe batch (N
+    * eq values against the SAME sidecar row — N probe expressions
+    * evaluated consecutively on one row) would otherwise deserialize
+    * the identical filter bytes N times per row. Keyed by the byte
+    * array's IDENTITY (the row's binary is one allocation per row per
+    * task), so a hit is exact and a miss is just the old cost; thread
+    * confinement makes it race-free under whole-stage codegen.
+    */
+  private val lastFilter = new ThreadLocal[
+    (Array[Byte], org.apache.spark.util.sketch.BloomFilter)]
+
   /** Deserialize-and-probe; named `compute`, never `eval` (the
     * inherited-member collision silently kills codegen — ExprSpec's
     * guard).
     */
-  def compute(bytes: Array[Byte], hash: Long): Boolean =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes)).mightContainLong(hash)
+  def compute(bytes: Array[Byte], hash: Long): Boolean = {
+    val cached = lastFilter.get()
+    val bf =
+      if (cached != null && (cached._1 eq bytes)) cached._2
+      else {
+        val fresh = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        lastFilter.set((bytes, fresh))
+        fresh
+      }
+    bf.mightContainLong(hash)
+  }
 
   /** Column form: does this row's serialized filter possibly contain
     * the hash? Pair with a build side that inserted the SAME

@@ -185,6 +185,15 @@ object SnapshotStore {
     statsGuard(df, statsCols ++ bloomCols, "commitAppend")
     val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
       "commitAppend", bloomCols, bloomExpectedItems)
+    // an EMPTY partitioned frame writes no leaves (an unpartitioned
+    // empty frame still writes one schema-bearing file) — publishing
+    // a data-less FIRST manifest would leave the store permanently
+    // unreadable (read requires data segments); later empty commits
+    // are harmless no-data versions
+    require(prev.nonEmpty || segRows.exists(_._1 == "seg"),
+      s"commitAppend: an empty partitioned frame cannot be a store's " +
+        s"FIRST commit at $dir — the v1 manifest would list no data " +
+        s"segments and every read would fail; commit rows first")
     val carried = if (prev.isEmpty) Seq.empty
       else readManifestRows(spark, dir, prev.max)
     // the first evolved commit flags the manifest: reads pay the
@@ -595,10 +604,31 @@ object SnapshotStore {
       case ("evo", _) => keptSegs.nonEmpty || newRows.count(_._1 == "seg") > 1
       case _ => true // txn carry
     }
+    // a predicate matching EVERY visible row would otherwise leave a
+    // manifest with a tombstone and zero data segments — every later
+    // read would throw "lists no data segments" (a bricked store),
+    // and whether the empty-survivor rewrite happens to emit a
+    // schema-bearing file is a PLAN-SHAPE accident (a zero-partition
+    // write pins the schema in one empty file; a dynamic-partition or
+    // all-empty-task write emits nothing). Pin the schema
+    // deterministically with ONE empty `c` segment so a legal
+    // full-table DELETE leaves the same readable empty snapshot
+    // id-based commitDelete does.
+    val newRowsAll =
+      if (keptRows.exists(_._1 == "seg") || newRows.exists(_._1 == "seg"))
+        newRows
+      else {
+        val seg = s"seg/${uniqueName('c', v)}"
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            matched.schema)
+          .write.mode("errorifexists").parquet(s"$dir/$seg")
+        newRows :+ (("seg", seg))
+      }
     // cdf: the pinned matched frame IS the preimage set — no extra job
     val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v, matched))
     commitManifestCdc(spark, dir, v,
-      keptRows ++ newRows :+ (("tomb", tp)), cdcRel)
+      keptRows ++ newRowsAll :+ (("tomb", tp)), cdcRel)
     Some(DeleteWhere(v, nDel, suspects.size, segs.size))
   }
 
@@ -971,6 +1001,14 @@ object SnapshotStore {
     // rows stay O(1) per commit
     val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
       "commitStreamBatch")
+    // same first-commit guard as commitAppend: a replay-path caller
+    // offering an empty partitioned batch to a virgin store must not
+    // publish an unreadable data-less v1 ([[streamSink]] already
+    // skips empty batches; a direct caller hits this loudly)
+    require(prev.nonEmpty || segRows.exists(_._1 == "seg"),
+      s"commitStreamBatch: an empty partitioned batch cannot be a " +
+        s"store's FIRST commit at $dir — the v1 manifest would list " +
+        s"no data segments and every read would fail")
     constraintGuard(spark, dir, carried, segRows, "commitStreamBatch")
     commitManifest(spark, dir, v,
       carried.filterNot { case (k, b) =>
@@ -1302,6 +1340,8 @@ object SnapshotStore {
     val evolved = rows.exists(_._1 == "evo")
     val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "readPrunedRange")
+    val eqLits = eqTypedLits(spark, dir, segs, evolved, eqs,
+      "readPrunedRange")
 
     // PARTITION pruning first — segments whose path-recorded values
     // miss the predicate drop before any sidecar or file is touched
@@ -1320,7 +1360,7 @@ object SnapshotStore {
         col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
       parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
         col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
-      eqs.map(eq => col(eq.col) === lit(eq.value)))
+      eqs.zip(eqLits).map { case (eq, l) => col(eq.col) === l })
       .reduce(_ && _)
     // an equality probe is also a degenerate range for min/max pruning
     val rangesAll = ranges ++
@@ -1337,7 +1377,7 @@ object SnapshotStore {
     // eq probes already filtered inside segStatRows' read plan.
     val kept = scala.collection.mutable.Map.empty[String, Seq[String]]
     var filesTotal = 0
-    segStatRows(spark, dir, statsOf, eqs).foreach { case (seg, ss) =>
+    segStatRows(spark, dir, statsOf, eqs.zip(eqLits)).foreach { case (seg, ss) =>
       val usable = rangesAll.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
@@ -1484,6 +1524,22 @@ object SnapshotStore {
     * consumers re-baseline at a restore exactly as [[readChanges]]'
     * scaladoc requires. Unlike the net-change batch feed, an
     * insert-then-delete surfaces as BOTH events.
+    *
+    * CONTENDED-WRITER race window, honestly: cdc files are
+    * glob-visible from the moment their write finishes, BEFORE the
+    * manifest rename decides the commit. A conflict LOSER deletes its
+    * cdc files ([[commitManifestCdc]]), but a live consumer that
+    * already listed one in a micro-batch has folded preimages of a
+    * delete that never committed (FileStreamSource never un-reads),
+    * or crashes with FileNotFoundException if the file vanishes
+    * between its listing and its read. Single-writer stores (the
+    * overwhelmingly common deployment — ingest owns its table) never
+    * hit this; consumers of multi-writer CONTENDED stores must
+    * reconcile via [[readChanges]], whose manifest-diff feed is
+    * immune by construction. (Staging cdc files outside the glob and
+    * renaming them in after the manifest rename would close this
+    * window but open a worse one: a crash between the two renames
+    * would silently LOSE committed preimages from the feed.)
     */
   def streamChanges(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -1673,6 +1729,94 @@ object SnapshotStore {
           s"silently return an empty frame")
     }
 
+  /** Typed literals for the eq probes, validated against the store's
+    * own column types — the silent-no-match hazard [[rangeColsGuard]]
+    * closes for names, closed here for TYPES: with only a bloom
+    * sidecar, an eq value of the wrong runtime type (Int 42 probing a
+    * LongType column) hashes differently from the build side's
+    * `xxhash64(col)`, the bloom rejects every file, and the residual
+    * filter cannot restore rows from files that were never read — a
+    * silent empty answer. Exact-widening conversions (Int→Long, a
+    * fitting integral, Float→Double) cast to the column's type so the
+    * probe hash matches the build side bit for bit; anything lossy or
+    * cross-kind refuses loudly (mirroring `cmpStat`'s contract). Type
+    * resolution is one footer read on a non-evolved store; an evolved
+    * store probes segment footers until one carries the column (the
+    * type-flip guard pins it unique), and a column NO segment carries
+    * was already refused by name on non-evolved stores / legitimately
+    * prunes everything on evolved ones (lit keeps the value's own
+    * type there — no bloom was built for an absent column).
+    */
+  private def eqTypedLits(spark: SparkSession, dir: String,
+      segs: Seq[String], evolved: Boolean,
+      eqs: Seq[graft.ops.LayoutOps.ColEq], op: String): Seq[Column] =
+    if (eqs.isEmpty) Seq.empty
+    else {
+      val typeOf = scala.collection.mutable.Map.empty[String,
+        org.apache.spark.sql.types.DataType]
+      val remaining = scala.collection.mutable.Set(eqs.map(_.col): _*)
+      val footers = if (evolved) segs else segs.take(1)
+      footers.iterator.takeWhile(_ => remaining.nonEmpty).foreach { seg =>
+        spark.read.parquet(s"$dir/$seg").schema.foreach { f =>
+          if (remaining.remove(f.name)) typeOf(f.name) = f.dataType
+        }
+      }
+      eqs.map(eq => typeOf.get(eq.col)
+        .map(dt => typedEqLit(eq.value, dt, eq.col, op))
+        .getOrElse(lit(eq.value)))
+    }
+
+  private def typedEqLit(value: Any,
+      dt: org.apache.spark.sql.types.DataType, c: String,
+      op: String): Column = {
+    import org.apache.spark.sql.types._
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$op: eq probe for '$c' carries a ${value.getClass.getName} " +
+        s"but the store column is ${dt.simpleString} — a mistyped " +
+        s"value hashes differently from the bloom build side and " +
+        s"would silently prune every file; pass the column's own type")
+    def integral(v: Long): Column = dt match {
+      case LongType => lit(v)
+      case IntegerType if v.isValidInt => lit(v.toInt)
+      case ShortType if v.isValidShort => lit(v.toShort)
+      case ByteType if v.isValidByte => lit(v.toByte)
+      case _ => fail()
+    }
+    value match {
+      case v: Long => integral(v)
+      case v: Int => integral(v.toLong)
+      case v: Short => integral(v.toLong)
+      case v: Byte => integral(v.toLong)
+      case v: Double => if (dt == DoubleType) lit(v) else fail()
+      case v: Float => dt match {
+        case FloatType => lit(v)
+        case DoubleType => lit(v.toDouble)
+        case _ => fail()
+      }
+      case v: String => if (dt == StringType) lit(v) else fail()
+      case v: Boolean => if (dt == BooleanType) lit(v) else fail()
+      case v: java.sql.Timestamp =>
+        if (dt == TimestampType) lit(v) else fail()
+      case v: java.time.Instant =>
+        if (dt == TimestampType) lit(v) else fail()
+      case v: java.time.LocalDateTime =>
+        if (dt == TimestampNTZType) lit(v) else fail()
+      case v: java.sql.Date => if (dt == DateType) lit(v) else fail()
+      case v: java.time.LocalDate =>
+        if (dt == DateType) lit(v) else fail()
+      case v: Array[Byte] => if (dt == BinaryType) lit(v) else fail()
+      case v: java.math.BigDecimal => dt match {
+        case d: DecimalType => lit(v).cast(d)
+        case _ => fail()
+      }
+      case v: BigDecimal => dt match {
+        case d: DecimalType => lit(v.bigDecimal).cast(d)
+        case _ => fail()
+      }
+      case _ => fail()
+    }
+  }
+
   /** Where a segment's stats sidecar lives: beside a z-root's `data`
     * dir, at the commit root above a partition leaf (one sidecar per
     * partitioned commit, shared by its leaves), or under a plain
@@ -1721,7 +1865,7 @@ object SnapshotStore {
     */
   private def segStatRows(spark: SparkSession, dir: String,
       statsOf: Map[String, Seq[String]],
-      eqs: Seq[graft.ops.LayoutOps.ColEq] = Nil)
+      eqs: Seq[(graft.ops.LayoutOps.ColEq, Column)] = Nil)
       : Seq[(String, SegStats)] = {
     val out = scala.collection.mutable.Map.empty[String,
       (scala.collection.mutable.Buffer[org.apache.spark.sql.Row],
@@ -1734,9 +1878,11 @@ object SnapshotStore {
       val sdf = spark.read.parquet(statsDirs: _*)
       val have = sdf.schema.fieldNames.toSet
       val verdicts = eqs.zipWithIndex.collect {
-        case (eq, i) if have.contains(s"bloom_${eq.col}") =>
+        case ((eq, typedLit), i) if have.contains(s"bloom_${eq.col}") =>
+          // the probe hashes the TYPED literal — build and probe must
+          // agree on the value's binary image (eqTypedLits' contract)
           graft.expr.BloomBytesProbe.probe(col(s"bloom_${eq.col}"),
-            xxhash64(lit(eq.value))).as(s"__bloom_keep_$i")
+            xxhash64(typedLit)).as(s"__bloom_keep_$i")
       }
       val base = sdf.columns.filterNot(_.startsWith("bloom_"))
         .map(col).toSeq
@@ -1815,6 +1961,8 @@ object SnapshotStore {
     val evolved = rows.exists(_._1 == "evo")
     val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "countPrunedRange")
+    val eqLits = eqTypedLits(spark, dir, segs, evolved, eqs,
+      "countPrunedRange")
     // partition pruning before any sidecar read, as in readPrunedRange
     val live = segs.filter(partKeep(_, parts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
@@ -1824,7 +1972,7 @@ object SnapshotStore {
         col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
       parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
         col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
-      eqs.map(eq => col(eq.col) === lit(eq.value)))
+      eqs.zip(eqLits).map { case (eq, l) => col(eq.col) === l })
       .reduce(_ && _)
     // eq probes prune the SCAN set (as degenerate ranges for min/max,
     // via bloom verdicts in segStatRows) but a bloom can never
@@ -1837,7 +1985,7 @@ object SnapshotStore {
     var metaFiles = 0
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
-    segStatRows(spark, dir, statsOf, eqs).foreach { case (seg, ss) =>
+    segStatRows(spark, dir, statsOf, eqs.zip(eqLits)).foreach { case (seg, ss) =>
       val usable = rangesAll.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))

@@ -41,10 +41,15 @@ object LayoutOps {
     * over files that all span the full key range prunes nothing by
     * range; the bloom says "this file cannot hold it" per file).
     * `value` follows the [[ColRange]] typing contract: pass the
-    * column's own runtime type — the probe hashes `lit(value)` with
-    * the same xxhash64 the build side inserted, so a mistyped value
-    * hashes differently and would silently prune everything; the
-    * residual `col = value` filter keeps the row set exact regardless.
+    * column's own runtime type — the probe hashes the value with the
+    * same xxhash64 the build side inserted. The snapshot store
+    * VALIDATES the value's runtime type against the column's and
+    * casts exact widenings (Int→Long, Float→Double) before hashing;
+    * a lossy or cross-kind value refuses loudly, because with only a
+    * bloom sidecar a mismatched hash would prune every file and the
+    * residual filter CANNOT restore rows from files that were never
+    * read — the residual keeps the row set exact only over surviving
+    * files.
     */
   final case class ColEq(col: String, value: Any)
 

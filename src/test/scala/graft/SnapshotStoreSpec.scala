@@ -1561,4 +1561,68 @@ class SnapshotStoreSpec extends SparkSpecBase {
       dir, statsCols = Seq("doc_id"), partitionBy = Seq("lang")) shouldBe 2
     SnapshotStore.read(spark, dir).count() shouldBe 2
   }
+
+  test("eq probes are TYPE-validated against the store column: exact widenings cast, lossy values refuse (bloom-only silent-empty hazard)") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("bloomtype")
+    val pop = (1L to 400L).map(i => (i, s"row $i")).toDF("doc_id", "text")
+    SnapshotStore.commitAppend(pop.repartition(4), dir,
+      bloomCols = Seq("doc_id"), bloomExpectedItems = 500L)
+    // an Int probing the LongType column: the bloom build side hashed
+    // xxhash64(long), so an unwidened Int lit would hash differently,
+    // prune EVERY file, and return a silently-empty frame — the typed
+    // cast makes it find the row
+    val widened = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      eqs = Seq(LayoutOps.ColEq("doc_id", 77)))
+    widened.df.count() shouldBe 1
+    // a lossy/cross-kind value refuses loudly instead of silently
+    // pruning everything (the residual cannot restore never-read files)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.readPrunedRange(spark, dir, Nil,
+        eqs = Seq(LayoutOps.ColEq("doc_id", "77")))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.countPrunedRange(spark, dir, Nil,
+        eqs = Seq(LayoutOps.ColEq("doc_id", 3.5)))
+    // an integral that cannot fit the column's type is lossy too
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.readPrunedRange(spark, dir, Nil,
+        eqs = Seq(LayoutOps.ColEq("text", 5L)))
+  }
+
+  test("commitDeleteWhere matching every visible row leaves a readable empty snapshot, never a bricked store") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("delall")
+    // PARTITIONED layout: the dynamic-partition empty-survivor write
+    // emits NO files (unlike a zero-partition write, which pins the
+    // schema in one empty file), so without the deterministic
+    // schema-pin segment this exact shape bricked the store
+    val pop = langPop(120)
+    SnapshotStore.commitAppend(pop, dir, statsCols = Seq("doc_id"),
+      partitionBy = Seq("lang"))
+    val res = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 0L, 100000L)), "doc_id").get
+    res.rowsDeleted shouldBe 120
+    // the store stays fully readable as an empty snapshot (the
+    // id-based commitDelete equivalence), and later appends revive it
+    SnapshotStore.read(spark, dir).count() shouldBe 0
+    SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 10L))).df.count() shouldBe 0
+    SnapshotStore.commitAppend(pop.limit(5), dir,
+      partitionBy = Seq("lang"))
+    SnapshotStore.read(spark, dir).count() shouldBe 5
+    // time travel to the pre-delete version still sees all rows
+    SnapshotStore.read(spark, dir, Some(1)).count() shouldBe 120
+  }
+
+  test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
+    val dir = freshDir("emptyfirst")
+    val none = Seq((1L, "en")).toDF("doc_id", "lang")
+      .where(col("doc_id") < 0)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(none, dir, partitionBy = Seq("lang"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitStreamBatch(none, dir, batchId = 0L,
+        partitionBy = Seq("lang"))
+    SnapshotStore.versions(spark, dir) shouldBe Seq.empty
+  }
 }
