@@ -471,13 +471,16 @@ object SnapshotStore {
   }
 
   /** [[commitDeleteWhere]]'s evidence: the committed version, how
-    * many rows the predicate deleted, and the copy-on-write footprint
-    * — segments rewritten vs segments in the table (the carried
+    * many rows the predicate deleted, and the write footprint —
+    * segments rewritten vs segments in the table (the carried
     * remainder was PROVEN disjoint by partition values / file stats
-    * and never read, Delta's stats-driven DELETE file matching).
+    * and never read, Delta's stats-driven DELETE file matching), plus
+    * the bytes the commit wrote (copy-on-write: the survivor
+    * rewrites + tombstone; merge-on-read: the match-sized deletion
+    * vector — the number the `dv = true` mode exists to shrink).
     */
   final case class DeleteWhere(version: Int, rowsDeleted: Long,
-      segsRewritten: Int, segsTotal: Int)
+      segsRewritten: Int, segsTotal: Int, bytesWritten: Long = -1L)
 
   /** Predicate DELETE (Delta's `DELETE WHERE`), stats-driven
     * copy-on-write: delete every visible row satisfying the
@@ -506,12 +509,32 @@ object SnapshotStore {
     * partition LEAF's old directory lingers under its commit root
     * until the whole root becomes unreachable ([[vacuum]] collects at
     * root granularity — manifest-pinned readers never see it).
+    *
+    * `dv = true` switches to MERGE-ON-READ (Delta's deletion
+    * vectors — the modern point-delete answer): instead of rewriting
+    * suspect segments, the commit writes ONE match-sized sidecar of
+    * the deleted rows' (root-relative file, row index) positions and
+    * a `dv` manifest row naming it plus the segments it touches;
+    * every read then folds the DV as a position anti-join over
+    * exactly those segments. No tombstone, no rewrite: `bytesWritten`
+    * is the right-to-be-forgotten cost story at 100 TB — a point
+    * delete in a TB segment writes KBs, where copy-on-write rewrites
+    * the segment (its floor is segment size, not match size). History
+    * pins are untouched (older manifests don't list the DV), CDC
+    * preimages still emit under `cdf = true`, [[readChanges]] renders
+    * DV deletes from the positions, compaction materializes DVs and
+    * drops them, and re-inserts are new files a DV can never touch —
+    * so the MVCC re-insert semantics match the tombstone mode's. The
+    * trade is Delta's own: every read until the next compaction pays
+    * the (broadcast, match-sized) anti-join, and the metadata-answered
+    * faces ([[countPrunedRange]], [[partitions]]) refuse DV-bearing
+    * views exactly as they refuse tombstoned ones.
     */
   def commitDeleteWhere(spark: SparkSession, dir: String,
       ranges: Seq[graft.ops.LayoutOps.ColRange], idCol: String,
       parts: Map[String, Set[String]] = Map.empty,
       statsCols: Seq[String] = Nil,
-      cdf: Boolean = false): Option[DeleteWhere] = {
+      cdf: Boolean = false, dv: Boolean = false): Option[DeleteWhere] = {
     import graft.ops.LayoutOps
     require(ranges.nonEmpty || parts.nonEmpty,
       "commitDeleteWhere needs at least one range or partition predicate")
@@ -557,24 +580,52 @@ object SnapshotStore {
     // matched rows pinned ONCE: the tombstone and the delete count
     // must agree row for row with what the rewrite below removes
     // (both read the same immutable segments, so the rewrite's twin
-    // evaluation is deterministic by construction)
+    // evaluation is deterministic by construction). Existing DVs fold
+    // in — an already-dv-deleted row must not re-match (its preimage
+    // would re-emit and its count would lie). dv mode keeps the
+    // position columns: they ARE the deletion vector.
+    val dvs = dvRowsOf(rows)
     val matched = graft.ops.Checkpoints.cut(
-      segsMinusTombs(spark, dir, suspects, tombs, evolved).where(pred),
+      segsMinusTombs(spark, dir, suspects, tombs, evolved, dvs,
+        keepPos = dv).where(pred),
       eager = true)
     val nDel = matched.count()
     if (nDel == 0) return None
+    val v = vs.max + 1
+    val fs = hfs(spark, dir)
+    if (dv) {
+      // merge-on-read: ONE match-sized position sidecar, nothing
+      // rewritten, no tombstone (the DV is position-exact — the MVCC
+      // ordering rule exists for id matching, which this mode never
+      // does). The affected-segment list (each file's parent dir IS
+      // its manifest segment path) rides the manifest row so reads
+      // skip the anti-join for untouched segment sets and compaction
+      // knows when the DV died.
+      val rel = s"dv/${uniqueName('d', v)}"
+      val affected = matched
+        .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
+        .distinct().collect().map(_.getString(0)).sorted
+      matched.select(col("__dv_file"), col("__dv_ridx"))
+        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      val bytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength
+      val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
+        matched.drop("__dv_file", "__dv_ridx")))
+      commitManifestCdc(spark, dir, v,
+        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel)
+      return Some(DeleteWhere(v, nDel, 0, segs.size, bytes))
+    }
     require(matched.where(col(idCol).isNull).count() == 0,
       s"commitDeleteWhere: matched row(s) carry a null '$idCol' — a " +
         s"null tombstone never matches the read-side anti-join")
-    val v = vs.max + 1
     val tp = s"tomb/${uniqueName('t', v)}"
     matched.select(col(idCol)).distinct()
       .write.mode("errorifexists").parquet(s"$dir/$tp")
-    val fs = hfs(spark, dir)
     val suspectSet = suspects.toSet
     val newRows = suspects.groupBy(sigOf).toSeq.sortBy(_._1)
       .flatMap { case (sig, gsegs) =>
-        val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved)
+        val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
+            dvs)
           .where(!pred)
         statsGuard(survivors, statsCols, "commitDeleteWhere")
         val root = s"seg/${uniqueName('c', v)}"
@@ -601,6 +652,10 @@ object SnapshotStore {
       case ("seg", p) => !suspectSet(p)
       case ("stats", s) => !suspectSet(parseStatsRow(s)._1)
       case ("tomb", p) => pathVersion(p) > minKept
+      // a DV whose every named segment was just rewritten is dead
+      // weight (the rewrite materialized it); one naming a carried
+      // segment must stay
+      case ("dv", s) => parseStatsRow(s)._2.exists(a => !suspectSet(a))
       case ("evo", _) => keptSegs.nonEmpty || newRows.count(_._1 == "seg") > 1
       case _ => true // txn carry
     }
@@ -625,11 +680,17 @@ object SnapshotStore {
           .write.mode("errorifexists").parquet(s"$dir/$seg")
         newRows :+ (("seg", seg))
       }
+    // the copy-on-write footprint: every rewrite root (the root
+    // subsumes its partition leaves and stats sidecar) + the tombstone
+    val wroteBytes = (newRowsAll.collect { case ("seg", p) =>
+        p.split('/').take(2).mkString("/") }.distinct :+ tp)
+      .map(p => fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$dir/$p")).getLength).sum
     // cdf: the pinned matched frame IS the preimage set — no extra job
     val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v, matched))
     commitManifestCdc(spark, dir, v,
       keptRows ++ newRowsAll :+ (("tomb", tp)), cdcRel)
-    Some(DeleteWhere(v, nDel, suspects.size, segs.size))
+    Some(DeleteWhere(v, nDel, suspects.size, segs.size, wroteBytes))
   }
 
   /** [[commitMerge]]'s evidence: the committed version plus how many
@@ -889,6 +950,42 @@ object SnapshotStore {
     else base.join(hinted, Seq(idCol), "left_anti")
   }
 
+  /** The two row-POSITION columns a deletion-vector read rides:
+    * the file's STORE-ROOT-RELATIVE path and the row's index within
+    * it, attached from the parquet source's `_metadata` at scan time
+    * (the only place they exist). Root-relative — everything after
+    * the last `/seg/` component — so DVs survive a store-root move
+    * and resolve identically through a shallow clone's re-rooted
+    * manifest (Delta stores DV file references relative for the same
+    * reason); segment internals never contain a `seg` dir, so the
+    * suffix is unambiguous.
+    */
+  private def withPosCols(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      concat(lit("seg/"),
+        substring_index(col("_metadata.file_path"), "/seg/", -1))
+        .as("__dv_file"),
+      col("_metadata.row_index").as("__dv_ridx"))
+
+  /** Anti-join the accumulated frame against the named deletion
+    * vectors' (file, row index) pairs — the merge-on-read half of
+    * [[commitDeleteWhere]]'s `dv = true` mode. Position equality is
+    * exact (immutable files, stable row indexes), so unlike id
+    * tombstones there is NO version-ordering rule: a DV hides exactly
+    * the physical rows it names, wherever the manifest still lists
+    * their files, and a re-insert is a new file it can never touch.
+    * Broadcast rides the same size gate as tombstones (DVs are
+    * match-sized — the point of merge-on-read).
+    */
+  private def antiDv(spark: SparkSession, dir: String,
+      base: DataFrame, dvPaths: Seq[String]): DataFrame = {
+    val dv = spark.read.parquet(dvPaths.sorted.map(p => s"$dir/$p"): _*)
+      .select(col("__dv_file"), col("__dv_ridx"))
+    val hinted = if (tombBroadcastGate(spark, dir, dvPaths))
+      broadcast(dv) else dv
+    base.join(hinted, Seq("__dv_file", "__dv_ridx"), "left_anti")
+  }
+
   /** Union of `segs` minus every tombstone that POSTDATES each
     * segment — the MVCC ordering rule: a tombstone at version T hides
     * rows from segments committed strictly BEFORE T, never rows a
@@ -899,13 +996,29 @@ object SnapshotStore {
     * evolution-added id column carry a null id through the union and
     * survive the anti-join, as they must) — T joins for T tombstones,
     * never the T²/2 a per-segment-group plan would hold.
+    *
+    * `dvs` (path → affected segments, from the manifest's `dv` rows)
+    * fold as ONE position anti-join over the final union — deletion
+    * vectors commute with id tombstones (set subtraction on different
+    * keys), and only DVs naming a segment actually being read ride
+    * the plan. `keepPos` hands the caller the position columns
+    * (`__dv_file`, `__dv_ridx`) instead of dropping them — the
+    * DV-writing commit needs the positions of its matched rows.
     */
   private def segsMinusTombs(spark: SparkSession, dir: String,
-      segs: Seq[String], tombs: Seq[String], evolved: Boolean): DataFrame = {
+      segs: Seq[String], tombs: Seq[String], evolved: Boolean,
+      dvs: Seq[(String, Seq[String])] = Nil,
+      keepPos: Boolean = false): DataFrame = {
+    val segSet = segs.toSet
+    val live = dvs.collect {
+      case (p, affected) if affected.exists(segSet) => p
+    }
+    val withPos = keepPos || live.nonEmpty
     def readSegs(ps: Seq[String]): DataFrame = {
       val r = if (evolved) spark.read.option("mergeSchema", "true")
         else spark.read
-      r.parquet(ps.sorted.map(p => s"$dir/$p"): _*)
+      val f = r.parquet(ps.sorted.map(p => s"$dir/$p"): _*)
+      if (withPos) withPosCols(f) else f
     }
     def union(a: Option[DataFrame], b: DataFrame): DataFrame =
       a.fold(b)(_.unionByName(b, allowMissingColumns = true))
@@ -920,8 +1033,20 @@ object SnapshotStore {
         acc = acc.map(antiTomb(spark, dir, _, tp))
     }
     if (rest.nonEmpty) acc = Some(union(acc, readSegs(rest)))
-    acc.get // segs.nonEmpty is the caller's require
+    val folded = if (live.isEmpty) acc.get
+      else antiDv(spark, dir, acc.get, live)
+    if (withPos && !keepPos) folded.drop("__dv_file", "__dv_ridx")
+    else folded
   }
+
+  /** The manifest's deletion-vector rows: DV path → the segments it
+    * names files in (the `"<path>;<seg,seg,…>"` encoding, shared with
+    * `stats` rows). The affected-segment list is what lets reads skip
+    * the position anti-join entirely for untouched segment sets and
+    * lets compaction drop a DV once every named segment was rewritten.
+    */
+  private def dvRowsOf(rows: Seq[(String, String)]): Seq[(String, Seq[String])] =
+    rows.collect { case ("dv", s) => parseStatsRow(s) }
 
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
@@ -939,7 +1064,8 @@ object SnapshotStore {
     // commit; a compaction unifies the schema and drops the flag)
     segsMinusTombs(spark, dir, segs,
       rows.collect { case ("tomb", p) => p },
-      evolved = rows.exists(_._1 == "evo"))
+      evolved = rows.exists(_._1 == "evo"),
+      dvs = dvRowsOf(rows))
   }
 
   /** Fold tombstones in for real: write the latest snapshot's
@@ -1158,6 +1284,7 @@ object SnapshotStore {
     val segs = rows.collect { case ("seg", p) => p }
     val tombs = rows.collect { case ("tomb", p) => p }
     val evolved = rows.exists(_._1 == "evo")
+    val dvs = dvRowsOf(rows)
     val groups = segs
       .filter(s => (scope.isEmpty || scopeMatch(s, scope)) && pick(s))
       .groupBy(sigOf).filter(_._2.size >= minGroup)
@@ -1167,8 +1294,10 @@ object SnapshotStore {
     // read ONLY each group's segments, with every tombstone that
     // postdates each folded in (segsMinusTombs applies exactly the
     // MVCC ordering; tombs older than every picked segment no-op)
+    // and any deletion vector naming a group file materialized
     val newRows = groups.toSeq.sortBy(_._1).flatMap { case (sig, gsegs) =>
-      val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved)
+      val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
+        dvs)
       val (seg, extra) = writeGroup(survivors, sig, v)
       (("seg", seg)) +: extra
     }
@@ -1180,6 +1309,9 @@ object SnapshotStore {
       case ("seg", p) => !picked(p)
       case ("stats", s) => !picked(parseStatsRow(s)._1)
       case ("tomb", p) => pathVersion(p) > minKept
+      // a DV died once every named segment was rewritten (positions
+      // materialized); one naming a carried segment stays live
+      case ("dv", s) => parseStatsRow(s)._2.exists(a => !picked(a))
       // a TOTAL merge into ONE segment unified the schema — drop the
       // evo flag like compact/compactZordered do, so reads stop
       // paying the footer-merge; a partial merge (or one that left
@@ -1289,10 +1421,10 @@ object SnapshotStore {
     val segs = rows.collect { case ("seg", p) => p }
     val tombs = rows.collect { case ("tomb", p) => p }
     require(tombs.isEmpty && segs.length == 1 &&
-      segs.head.endsWith("/data"),
+      segs.head.endsWith("/data") && !rows.exists(_._1 == "dv"),
       s"readPrunedLatest: latest version v${vs.max} at $dir is not a " +
-        s"single z-compacted segment (segs=$segs, tombs=${tombs.length})" +
-        s" — run compactZordered first")
+        s"single z-compacted segment (segs=$segs, tombs=${tombs.length}," +
+        s" dvs=${rows.count(_._1 == "dv")}) — run compactZordered first")
     graft.ops.LayoutOps.readPruned(spark,
       s"$dir/${segs.head.stripSuffix("/data")}", ranges)
   }
@@ -1402,9 +1534,20 @@ object SnapshotStore {
     // each relation stays single-schema, and a segment whose schema
     // omits a probe column contributes nothing (null never sits in an
     // inclusive range, and never matches a partition-value set).
+    // deletion vectors naming a SURVIVING segment (partition AND
+    // stats pruning both already applied — `kept` is the final file
+    // map) fold as a position anti-join over the pruned union:
+    // pruning keeps files, a DV hides rows, and they compose; a probe
+    // whose surviving files all miss the DV'd segments plans no join
+    // at all. The DV side is match-sized and broadcast-gated.
+    val liveDvs = dvRowsOf(rows).collect {
+      case (p, affected) if affected.exists(kept.contains) => p
+    }
+
     def batchFrame(batch: Seq[String]): Option[DataFrame] = {
       def frameOf(files: Seq[String]): Option[DataFrame] = {
-        val f = spark.read.parquet(files: _*)
+        val raw = spark.read.parquet(files: _*)
+        val f = if (liveDvs.isEmpty) raw else withPosCols(raw)
         if (probeCols.exists(!f.columns.contains(_))) None
         else { filesRead += files.size; Some(f.where(residual)) }
       }
@@ -1435,9 +1578,12 @@ object SnapshotStore {
         acc = acc.map(antiTomb(spark, dir, _, tp))
     }
     add(batchFrame(rest))
+    val folded = acc.map(a =>
+      if (liveDvs.isEmpty) a
+      else antiDv(spark, dir, a, liveDvs).drop("__dv_file", "__dv_ridx"))
     // everything pruned: a schema-stable empty frame (the false filter
     // folds to an empty relation — nothing is read)
-    val df = acc.getOrElse(read(spark, dir, Some(v)).where(lit(false)))
+    val df = folded.getOrElse(read(spark, dir, Some(v)).where(lit(false)))
     LayoutOps.PrunedScan(df, filesRead, filesTotal,
       segsRead = live.size, segsTotal = segs.size)
   }
@@ -1597,7 +1743,8 @@ object SnapshotStore {
     (fromV to toV).foreach(v => require(vs.contains(v),
       s"readChanges: version $v inside the range is missing at $dir — " +
         s"the change feed needs every manifest in ($fromV, $toV]"))
-    val fromRows = readManifestRows(spark, dir, fromV).toSet
+    val fromManifest = readManifestRows(spark, dir, fromV)
+    val fromRows = fromManifest.toSet
     val added = (fromV + 1 to toV)
       .flatMap(v => readManifestRows(spark, dir, v))
       .distinct.filterNot(fromRows)
@@ -1607,11 +1754,17 @@ object SnapshotStore {
       case ("seg", p) if !p.startsWith("seg/c") => p
     }
     val newTombs = added.collect { case ("tomb", p) => p }
+    val newDvs = added.collect { case ("dv", s) => parseStatsRow(s) }
     // only IN-RANGE tombstones can hide an in-range insert: every
     // newSeg has version > fromV, and under the MVCC ordering rule a
     // tombstone applies only to STRICTLY-OLDER segments, so any tomb
     // still active from before the range (tv ≤ fromV) never matches
-    // (an upsert's own rows and later re-inserts survive the same way)
+    // (an upsert's own rows and later re-inserts survive the same way).
+    // In-range DELETION VECTORS net out the same way: one naming an
+    // in-range segment's files hides those rows from the insert side,
+    // and the delete side below only emits positions VISIBLE at fromV
+    // — so an insert-then-dv-delete nets to nothing, exactly the
+    // tombstone contract.
     val asOfFrom = read(spark, dir, Some(fromV))
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
@@ -1620,7 +1773,8 @@ object SnapshotStore {
         // (an in-range compaction may have dropped it from toV's while
         // pre-compaction in-range segments still differ in schema)
         evolved = fromRows.exists(_._1 == "evo") ||
-          added.exists(_._1 == "evo"))
+          added.exists(_._1 == "evo"),
+        dvs = newDvs)
     val deletes =
       if (newTombs.isEmpty) asOfFrom.limit(0)
       else {
@@ -1635,20 +1789,47 @@ object SnapshotStore {
           broadcast(ids) else ids
         asOfFrom.join(hinted, Seq(ids.columns.head), "left_semi")
       }
+    // DV-delete preimages: the fromV view re-read WITH positions,
+    // semi-joined on the in-range DVs' (file, row index) pairs — a DV
+    // position in a fromV-invisible file simply never matches (its
+    // file isn't in the fromV manifest), which is what nets out an
+    // in-range insert-then-dv-delete on this side too
+    val dvDeletes =
+      if (newDvs.isEmpty) asOfFrom.limit(0)
+      else {
+        val fromWithPos = segsMinusTombs(spark, dir,
+          fromManifest.collect { case ("seg", p) => p },
+          fromManifest.collect { case ("tomb", p) => p },
+          evolved = fromRows.exists(_._1 == "evo"),
+          dvs = dvRowsOf(fromManifest), keepPos = true)
+        val dvF = spark.read
+          .parquet(newDvs.map(d => s"$dir/${d._1}"): _*)
+          .select(col("__dv_file"), col("__dv_ridx"))
+        val hinted = if (tombBroadcastGate(spark, dir, newDvs.map(_._1)))
+          broadcast(dvF) else dvF
+        fromWithPos.join(hinted, Seq("__dv_file", "__dv_ridx"),
+          "left_semi").drop("__dv_file", "__dv_ridx")
+      }
     inserts.withColumn("_change", lit("insert"))
       .unionByName(deletes.withColumn("_change", lit("delete")),
+        allowMissingColumns = true)
+      .unionByName(dvDeletes.withColumn("_change", lit("delete")),
         allowMissingColumns = true)
   }
 
   /** Read-amplification snapshot of the latest version: (data
-    * segments, tombstones) from ONE manifest read — the two numbers
-    * the OPTIMIZE cadence watches.
+    * segments, delete debt) from ONE manifest read — the two numbers
+    * the OPTIMIZE cadence watches. Delete debt counts tombstones AND
+    * deletion vectors: both put an anti-join on every read until a
+    * compaction folds them, so both belong to the same O(table)
+    * rewrite trigger.
     */
   def segmentCounts(spark: SparkSession, dir: String): (Int, Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot at $dir")
     val rows = readManifestRows(spark, dir, vs.max)
-    (rows.count(_._1 == "seg"), rows.count(_._1 == "tomb"))
+    (rows.count(_._1 == "seg"),
+      rows.count(r => r._1 == "tomb" || r._1 == "dv"))
   }
 
   /** What an OPTIMIZE cadence fire actually did — the two triggers
@@ -1958,6 +2139,11 @@ object SnapshotStore {
       s"countPrunedRange: v$v at $dir carries ${tombs.length} " +
         s"tombstone(s) — hidden ids defeat range metadata; compact " +
         s"first, or count readPrunedRange(...).df")
+    val nDvs = rows.count(_._1 == "dv")
+    require(nDvs == 0,
+      s"countPrunedRange: v$v at $dir carries $nDvs deletion " +
+        s"vector(s) — dv-hidden rows defeat row metadata exactly as " +
+        s"tombstones do; compact first, or count readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
     val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "countPrunedRange")
@@ -2062,6 +2248,10 @@ object SnapshotStore {
     require(tombs == 0,
       s"partitions: v$v at $dir carries $tombs tombstone(s) — hidden " +
         s"ids defeat row metadata; compact first")
+    val nDvs = rows.count(_._1 == "dv")
+    require(nDvs == 0,
+      s"partitions: v$v at $dir carries $nDvs deletion vector(s) — " +
+        s"dv-hidden rows defeat row metadata; compact first")
     val vals = segs.map(s => s -> segPartValues(s)).toMap
     val bare = segs.filter(vals(_).isEmpty)
     require(bare.isEmpty,
@@ -2249,8 +2439,11 @@ object SnapshotStore {
       s"vacuum: keepFrom=$keepFrom is not a committed version at $dir " +
         s"(have ${vs.mkString(",")})")
     val keep = vs.filter(_ >= keepFrom)
+    // `stats`/`dv` manifest rows encode "<path>;<csv>" — reachability
+    // needs the path part (a dv dir named only through the encoded
+    // form must survive the sweep)
     val reachable = keep.flatMap(readManifestRows(spark, dir, _))
-      .map(_._2).toSet
+      .flatMap(r => Seq(r._2, r._2.takeWhile(_ != ';'))).toSet
     def children(sub: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       if (!fs.exists(p)) Seq.empty
@@ -2269,7 +2462,7 @@ object SnapshotStore {
     def inFlight(c: String): Boolean =
       c.substring(c.indexOf('/') + 2).takeWhile(_.isDigit)
         .toIntOption.exists(_ > vs.max)
-    val dropData = (children("seg") ++ children("tomb"))
+    val dropData = (children("seg") ++ children("tomb") ++ children("dv"))
       .filterNot(c => reachable.exists(r => r == c || r.startsWith(c + "/")))
       .filterNot(inFlight)
     // write-time change files retire with their version (no manifest

@@ -3715,6 +3715,70 @@ object TextQueries {
       SnapshotStore.partitions(s, root)
         .select(col("lang"), col("n_rows"))
         .orderBy(col("lang"))
+    },
+
+    // Deletion vectors — merge-on-read point deletes (Delta's DV
+    // design, SnapshotStore.commitDeleteWhere(dv = true)): the same
+    // banded store twice; the DV store answers DELETE WHERE with ONE
+    // match-sized (file, row index) sidecar and zero rewrites, the
+    // copy-on-write twin rewrites the whole suspect segment — gated:
+    // dv writes 0 segments and ≤ 1/4 of the twin's bytes (the
+    // right-to-be-forgotten cost story: CoW's floor is segment size,
+    // DV's is match size). Reads fold the DV as a broadcast position
+    // anti-join; both stores must agree row for row, and the oracle
+    // replays the negated predicate on the raw table, blind to both.
+    Q("q221_snapshot_deletion_vectors",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id BETWEEN 200 AND 220)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q221", dir, marker = "dv/manifest") { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        Seq(s"$r/dv", s"$r/cow").foreach { st =>
+          Seq(col("doc_id") < 170,
+              col("doc_id").between(170, 339),
+              col("doc_id") >= 340)
+            .foreach(band => SnapshotStore.commitAppend(docs.filter(band),
+              st, statsCols = Seq("doc_id")))
+        }
+        val vBefore = SnapshotStore.versions(s, s"$r/dv").max
+        val ranges = Seq(LayoutOps.ColRange("doc_id", 200L, 220L))
+        val dvRes = SnapshotStore.commitDeleteWhere(s, s"$r/dv", ranges,
+          "doc_id", cdf = true, dv = true).getOrElse(
+          throw new IllegalStateException(
+            "DV DELETE matched nothing — the fixture guarantees rows " +
+              "in 200..220"))
+        val cowRes = SnapshotStore.commitDeleteWhere(s, s"$r/cow", ranges,
+          "doc_id").get
+        require(dvRes.segsRewritten == 0 && cowRes.segsRewritten == 1,
+          s"merge-on-read drifted: dv rewrote ${dvRes.segsRewritten} " +
+            s"segment(s), cow rewrote ${cowRes.segsRewritten} of " +
+            s"${cowRes.segsTotal}")
+        require(dvRes.bytesWritten * 4 < cowRes.bytesWritten,
+          s"the DV stopped being match-sized: wrote " +
+            s"${dvRes.bytesWritten} B vs the copy-on-write twin's " +
+            s"${cowRes.bytesWritten} B for ${dvRes.rowsDeleted} deleted " +
+            s"rows in a ~170-row segment")
+        require(dvRes.rowsDeleted == cowRes.rowsDeleted,
+          s"the two delete modes disagree: dv=${dvRes.rowsDeleted} " +
+            s"cow=${cowRes.rowsDeleted}")
+        // the CDF renders the DV delete as its 21 preimages, no inserts
+        val cdc = SnapshotStore.readChanges(s, s"$r/dv", vBefore,
+          dvRes.version)
+        val dels = cdc.filter(col("_change") === "delete").count()
+        val ins = cdc.filter(col("_change") === "insert").count()
+        require(dels == dvRes.rowsDeleted && ins == 0,
+          s"CDC drifted from the DV delete: $dels preimages for " +
+            s"${dvRes.rowsDeleted} deleted rows, $ins phantom inserts")
+        ()
+      }
+      val dvOut = SnapshotStore.read(s, s"$root/dv")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cowN = SnapshotStore.read(s, s"$root/cow").count()
+      require(dvOut.count() == cowN,
+        s"merge-on-read and copy-on-write reads disagree on the row set")
+      dvOut.orderBy(col("doc_id"))
     }
   )
 }

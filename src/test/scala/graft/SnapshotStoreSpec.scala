@@ -1614,6 +1614,135 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, dir, Some(1)).count() shouldBe 120
   }
 
+  /** Fatter rows for write-footprint assertions: md5-derived text is
+    * incompressible enough that segment bytes dominate parquet's
+    * per-file floor, so merge-on-read vs copy-on-write byte ratios
+    * measure the design, not the codec.
+    */
+  private def fatDocs(ids: Range) = {
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ids.map(i => (i.toLong, h(s"a$i") + h(s"b$i") + h(s"c$i"),
+      (i % 7 + 1).toLong)).toDF("doc_id", "text", "n")
+  }
+
+  test("deletion vectors: a point DELETE WHERE writes match-sized bytes, rewrites nothing, and reads stay exact") {
+    import graft.ops.LayoutOps
+    val dvDir = freshDir("dvmor")
+    val cowDir = freshDir("dvcow")
+    val pop = fatDocs(1 to 9000)
+    Seq(dvDir, cowDir).foreach { d =>
+      Seq(1 to 3000, 3001 to 6000, 6001 to 9000).foreach(r =>
+        SnapshotStore.commitAppend(fatDocs(r).repartition(3), d,
+          statsCols = Seq("doc_id")))
+    }
+    val vBefore = SnapshotStore.versions(spark, dvDir).max
+    val dvRes = SnapshotStore.commitDeleteWhere(spark, dvDir,
+      Seq(LayoutOps.ColRange("doc_id", 4100L, 4120L)), "doc_id",
+      dv = true).get
+    val cowRes = SnapshotStore.commitDeleteWhere(spark, cowDir,
+      Seq(LayoutOps.ColRange("doc_id", 4100L, 4120L)), "doc_id").get
+    dvRes.rowsDeleted shouldBe 21
+    cowRes.rowsDeleted shouldBe 21
+    // merge-on-read: ZERO segments rewritten, bytes ∝ matches; the
+    // copy-on-write twin pays the whole suspect segment
+    dvRes.segsRewritten shouldBe 0
+    cowRes.segsRewritten shouldBe 1
+    (dvRes.bytesWritten * 10) should be < cowRes.bytesWritten
+    // both read the same exact row set
+    val expect = pop.where(!col("doc_id").between(4100L, 4120L)).count()
+    SnapshotStore.read(spark, dvDir).count() shouldBe expect
+    SnapshotStore.read(spark, cowDir).count() shouldBe expect
+    SnapshotStore.read(spark, dvDir)
+      .where(col("doc_id").between(4090L, 4130L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      ((4090L to 4099L) ++ (4121L to 4130L))
+    // time travel: the pre-delete pin is untouched
+    SnapshotStore.read(spark, dvDir, Some(vBefore)).count() shouldBe 9000
+    // pruned reads fold the DV too, and untouched-segment probes skip
+    // the anti-join entirely (the dv row names its segments)
+    val hit = SnapshotStore.readPrunedRange(spark, dvDir,
+      Seq(LayoutOps.ColRange("doc_id", 4000L, 4200L)))
+    hit.df.count() shouldBe 201L - 21L
+    hit.filesRead should be < hit.filesTotal
+    val miss = SnapshotStore.readPrunedRange(spark, dvDir,
+      Seq(LayoutOps.ColRange("doc_id", 100L, 200L)))
+    miss.df.count() shouldBe 101
+    miss.df.queryExecution.executedPlan.toString should not include "Join"
+    // CDF: the delete range renders the 21 preimages, nothing else
+    val cdc = SnapshotStore.readChanges(spark, dvDir, vBefore,
+      dvRes.version)
+    cdc.where(col("_change") === "delete").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe (4100L to 4120L)
+    cdc.where(col("_change") === "insert").count() shouldBe 0
+    // metadata faces refuse dv-bearing views exactly as tombstoned ones
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.countPrunedRange(spark, dvDir,
+        Seq(LayoutOps.ColRange("doc_id", 1L, 100L)))
+    // delete debt counts the DV; a second DV stacks with a tombstone
+    SnapshotStore.segmentCounts(spark, dvDir)._2 shouldBe 1
+    SnapshotStore.commitDeleteWhere(spark, dvDir,
+      Seq(LayoutOps.ColRange("doc_id", 7000L, 7004L)), "doc_id",
+      dv = true).get.rowsDeleted shouldBe 5
+    SnapshotStore.commitDelete(Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      dvDir)
+    SnapshotStore.read(spark, dvDir).count() shouldBe 9000L - 21 - 5 - 2
+    // a re-insert of dv-deleted ids is a NEW file no DV touches
+    SnapshotStore.commitAppend(fatDocs(4100 to 4102), dvDir,
+      statsCols = Seq("doc_id"))
+    SnapshotStore.read(spark, dvDir)
+      .where(col("doc_id") === 4100L).count() shouldBe 1
+    // compaction materializes every DV and drops the rows; the read
+    // plan loses its anti-joins
+    val vc = SnapshotStore.compact(spark, dvDir)
+    SnapshotStore.read(spark, dvDir).count() shouldBe 9000L - 21 - 5 - 2 + 3
+    SnapshotStore.read(spark, dvDir, Some(vc))
+      .queryExecution.executedPlan.toString should not include "Join"
+    SnapshotStore.segmentCounts(spark, dvDir) shouldBe ((1, 0))
+    // pre-compaction pins still resolve their DVs; vacuuming them away
+    // collects the dv dirs (they're named only via the encoded row)
+    SnapshotStore.read(spark, dvDir, Some(dvRes.version))
+      .count() shouldBe 9000L - 21
+    val dropped = SnapshotStore.vacuum(spark, dvDir, vc)
+    dropped.count(_.startsWith("dv/")) shouldBe 2
+  }
+
+  test("deletion vectors on a partitioned store: untouched-partition probes never plan the anti-join; CoW deletes fold existing DVs") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("dvpart")
+    val pop = langPop(600)
+    SnapshotStore.commitAppend(pop, dir, statsCols = Seq("doc_id"),
+      partitionBy = Seq("lang"))
+    // dv-delete five rows inside the 'en' partition only
+    val res = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 300L, 330L)), "doc_id",
+      parts = Map("lang" -> Set("en")), dv = true).get
+    res.segsRewritten shouldBe 0
+    val delIds = (300L to 330L).filter(_ % 3 == 0) // en = i%3==0... lang index
+    // langPop: lang = Seq("en","fr","de")(i % 3) → en when i%3==0
+    res.rowsDeleted shouldBe delIds.size
+    // a probe of another partition never plans the DV anti-join
+    val fr = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("fr")))
+    fr.df.queryExecution.executedPlan.toString should not include "Join"
+    fr.df.count() shouldBe pop.where(col("lang") === "fr").count()
+    // the touched partition folds it
+    val en = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    en.df.count() shouldBe
+      pop.where(col("lang") === "en").count() - delIds.size
+    // a LATER copy-on-write delete folds the existing DV: its matched
+    // count must not resurrect dv-deleted rows
+    val cow = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 295L, 340L)), "doc_id").get
+    cow.rowsDeleted shouldBe
+      pop.where(col("doc_id").between(295L, 340L)).count() - delIds.size
+    SnapshotStore.read(spark, dir).count() shouldBe
+      pop.where(!col("doc_id").between(295L, 340L)).count()
+    // the CoW rewrite consumed every affected segment → the dv row died
+    SnapshotStore.segmentCounts(spark, dir)._2 shouldBe 1 // the tomb
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
