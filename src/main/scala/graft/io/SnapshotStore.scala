@@ -123,10 +123,17 @@ object SnapshotStore {
     * private[graft] so the spec can provoke the race directly (two
     * writers of the SAME version — unreachable from the public faces
     * without true concurrency).
+    *
+    * `op` is the OPERATION-KIND record [[history]] renders (Delta's
+    * DESCRIBE HISTORY `operation` column): one `op` row per manifest,
+    * stamped HERE — any carried `op` row from the previous version is
+    * stripped first, so no commit face can accidentally inherit its
+    * predecessor's label.
     */
   private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
-      rows: Seq[(String, String)]): Unit = {
+      rowsIn: Seq[(String, String)], op: String = "unknown"): Unit = {
     import spark.implicits._
+    val rows = rowsIn.filterNot(_._1 == "op") :+ (("op", op))
     val fs = hfs(spark, dir)
     val tmp = s"$dir/manifest/.tmp_v$v" +
       s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
@@ -202,7 +209,7 @@ object SnapshotStore {
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
     constraintGuard(spark, dir, carried, segRows, "commitAppend")
-    commitManifest(spark, dir, v, carried ++ evo ++ segRows)
+    commitManifest(spark, dir, v, carried ++ evo ++ segRows, "append")
     v
   }
 
@@ -466,7 +473,8 @@ object SnapshotStore {
         read(spark, dir, Some(prev.max)).join(
           spark.read.parquet(s"$dir/$tp"), Seq(idCol), "left_semi")))
     commitManifestCdc(spark, dir, v,
-      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)), cdcRel)
+      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)), cdcRel,
+      "delete")
     v
   }
 
@@ -612,7 +620,8 @@ object SnapshotStore {
       val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
         matched.drop("__dv_file", "__dv_ridx")))
       commitManifestCdc(spark, dir, v,
-        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel)
+        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel,
+        "delete")
       return Some(DeleteWhere(v, nDel, 0, segs.size, bytes))
     }
     require(matched.where(col(idCol).isNull).count() == 0,
@@ -689,7 +698,7 @@ object SnapshotStore {
     // cdf: the pinned matched frame IS the preimage set — no extra job
     val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v, matched))
     commitManifestCdc(spark, dir, v,
-      keptRows ++ newRowsAll :+ (("tomb", tp)), cdcRel)
+      keptRows ++ newRowsAll :+ (("tomb", tp)), cdcRel, "delete")
     Some(DeleteWhere(v, nDel, suspects.size, segs.size, wroteBytes))
   }
 
@@ -798,7 +807,7 @@ object SnapshotStore {
       Seq(("evo", "true")) else Seq.empty
     constraintGuard(spark, dir, carried, segRows, "commitMerge")
     commitManifestCdc(spark, dir, v,
-      carried ++ evo ++ tombRows ++ segRows, cdcRel)
+      carried ++ evo ++ tombRows ++ segRows, cdcRel, "merge")
     Some(MergeResult(v, nUpd, nDel, nIns))
   }
 
@@ -838,7 +847,8 @@ object SnapshotStore {
       s"addConstraint: existing data violates '$name' ($sqlExpr) on " +
         s"$bad row(s) — clean the table first")
     val v = vs.max + 1
-    commitManifest(spark, dir, v, carried :+ (("chk", s"$name;$sqlExpr")))
+    commitManifest(spark, dir, v,
+      carried :+ (("chk", s"$name;$sqlExpr")), "addConstraint")
     v
   }
 
@@ -852,7 +862,7 @@ object SnapshotStore {
     require(hit.nonEmpty,
       s"dropConstraint: no constraint named '$name' at $dir")
     val v = vs.max + 1
-    commitManifest(spark, dir, v, kept)
+    commitManifest(spark, dir, v, kept, "dropConstraint")
     v
   }
 
@@ -1088,7 +1098,7 @@ object SnapshotStore {
     // CHECK constraints (table rules outlive any rewrite)
     val txn = readManifestRows(spark, dir, vs.max)
       .filter(r => r._1 == "txn" || r._1 == "chk")
-    commitManifest(spark, dir, v, ("seg", seg) +: txn)
+    commitManifest(spark, dir, v, ("seg", seg) +: txn, "compact")
     v
   }
 
@@ -1139,7 +1149,7 @@ object SnapshotStore {
     commitManifest(spark, dir, v,
       carried.filterNot { case (k, b) =>
         k == "txn" && b.startsWith(s"$appId:") } ++ segRows :+
-        (("txn", s"$appId:$batchId")))
+        (("txn", s"$appId:$batchId")), "streamBatch")
     v
   }
 
@@ -1191,7 +1201,7 @@ object SnapshotStore {
       .filterNot(_._1 == "txn")
     val txn = readManifestRows(spark, dir, vs.max).filter(_._1 == "txn")
     val v = vs.max + 1
-    commitManifest(spark, dir, v, target ++ txn)
+    commitManifest(spark, dir, v, target ++ txn, "restore")
     v
   }
 
@@ -1319,7 +1329,7 @@ object SnapshotStore {
       case ("evo", _) => keptSegs.nonEmpty || groups.size > 1
       case _ => true // txn carry
     }
-    commitManifest(spark, dir, v, keptRows ++ newRows)
+    commitManifest(spark, dir, v, keptRows ++ newRows, op)
     Some(v)
   }
 
@@ -1356,7 +1366,7 @@ object SnapshotStore {
         s"nothing to lay out (every row is tombstoned)")
     val kept = readManifestRows(spark, dir, vs.max)
       .filter(r => r._1 == "txn" || r._1 == "chk")
-    commitManifest(spark, dir, v, kept ++ segRows)
+    commitManifest(spark, dir, v, kept ++ segRows, "repartition")
     v
   }
 
@@ -1385,7 +1395,8 @@ object SnapshotStore {
         .filter(r => r._1 == "txn" || r._1 == "chk")
       commitManifest(spark, dir, v,
         Seq(("seg", s"$root/data"),
-          ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn)
+          ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn,
+        "zorder")
       v
     } else
       // partition-scoped OPTIMIZE ZORDER: z-rewrite only the segments
@@ -1639,8 +1650,9 @@ object SnapshotStore {
     * crashed-commit caveat [[streamInserts]] documents for segments.
     */
   private def commitManifestCdc(spark: SparkSession, dir: String, v: Int,
-      rows: Seq[(String, String)], cdcRel: Option[String]): Unit =
-    try commitManifest(spark, dir, v, rows)
+      rows: Seq[(String, String)], cdcRel: Option[String],
+      op: String = "unknown"): Unit =
+    try commitManifest(spark, dir, v, rows, op)
     catch {
       case e: CommitConflictException =>
         cdcRel.foreach(p => hfs(spark, dir)
@@ -2289,6 +2301,83 @@ object SnapshotStore {
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** The operation kinds that change table CONTENT (Delta's
+    * dataChange flag): maintenance rewrites (compactions, z-orders,
+    * repartitions) and constraint edits move or annotate rows without
+    * changing what a read returns.
+    */
+  private val DataChangeOps: Set[String] =
+    Set("append", "delete", "upsert", "merge", "streamBatch", "restore")
+
+  /** DESCRIBE HISTORY (Delta's observability face): one row per
+    * RETAINED version, ascending — the operation kind recorded at
+    * commit time (`op` manifest row; "unknown" for manifests written
+    * before the record existed), whether it changed data, and the
+    * MANIFEST-DIFF footprint vs the previous retained version:
+    * segments added, rows added (summed from the added segments'
+    * stats sidecars — -1 when any added segment carries no sidecar:
+    * honest unknowability beats a silent undercount, the metadata-face
+    * discipline), tombstoned id cardinality (an UPPER bound on rows
+    * hidden — an upsert's tombstone pairs with same-version
+    * re-inserts), dv-deleted positions, and the commit wall-clock.
+    * Vacuumed versions render nothing (their manifests are gone), and
+    * the earliest retained version reports its full manifest as
+    * added; a RESTORE therefore re-reports the segments it re-exposed
+    * — the diff is honest about what became readable, not about bytes
+    * written. Driver work is manifest-sized; the one sidecar pass is
+    * grouped (segStatRows), and tombstone/DV cardinalities read those
+    * id/position files themselves (match-sized by design).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val manifests = vs.map(v => v -> readManifestRows(spark, dir, v)).toMap
+    val addedOf: Map[Int, Seq[(String, String)]] = vs.zipWithIndex.map {
+      case (v, i) =>
+        val prev = if (i == 0) Set.empty[(String, String)]
+          else manifests(vs(i - 1)).toSet
+        v -> manifests(v).filterNot(prev).filterNot(_._1 == "op")
+    }.toMap
+    val statSegs: Map[String, Seq[String]] =
+      addedOf.values.flatten.collect {
+        case ("stats", s) => parseStatsRow(s)
+      }.toMap
+    val perSeg = segStatRows(spark, dir, statSegs)
+      .map { case (sg, ss) =>
+        sg -> ss.rows.map(_.getAs[Long]("n_rows")).sum
+      }.toMap
+    def countRows(path: String): Long =
+      spark.read.parquet(s"$dir/$path").count()
+    val out = vs.map { v =>
+      val added = addedOf(v)
+      val segsAdded = added.collect { case ("seg", p) => p }
+      val rowsAdded =
+        if (segsAdded.isEmpty) 0L
+        else if (segsAdded.forall(perSeg.contains)) segsAdded.map(perSeg).sum
+        else -1L
+      val idsTomb = added.collect { case ("tomb", p) => p }
+        .map(countRows).sum
+      val dvRows = added.collect { case ("dv", s) => parseStatsRow(s)._1 }
+        .map(countRows).sum
+      val op = manifests(v).collectFirst { case ("op", o) => o }
+        .getOrElse("unknown")
+      org.apache.spark.sql.Row(v, commitTime(spark, dir, v), op,
+        DataChangeOps.contains(op), segsAdded.size, rowsAdded, idsTomb,
+        dvRows)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("ts_millis", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("data_change", BooleanType, nullable = false),
+      StructField("segs_added", IntegerType, nullable = false),
+      StructField("rows_added", LongType, nullable = false),
+      StructField("ids_tombstoned", LongType, nullable = false),
+      StructField("dv_rows", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Version-cursor change-feed processing — the MAINTENANCE face
     * over [[readChanges]] (Delta's streaming CDF consumer shape,
     * without needing a long-running query): each call reads the
@@ -2409,7 +2498,7 @@ object SnapshotStore {
       Seq(("evo", "true")) else Seq.empty
     constraintGuard(spark, dir, carried, segRows, "commitUpsert")
     commitManifestCdc(spark, dir, v,
-      carried ++ evo ++ (("tomb", tp) +: segRows), cdcRel)
+      carried ++ evo ++ (("tomb", tp) +: segRows), cdcRel, "upsert")
     v
   }
 

@@ -3779,6 +3779,76 @@ object TextQueries {
       require(dvOut.count() == cowN,
         s"merge-on-read and copy-on-write reads disagree on the row set")
       dvOut.orderBy(col("doc_id"))
+    },
+
+    // DESCRIBE HISTORY (Delta's observability face —
+    // SnapshotStore.history): a seven-version lifecycle — two stats-
+    // carrying appends, an id delete, a dv DELETE WHERE, an upsert, a
+    // compact, a RESTORE — rendered one row per version from the op
+    // record + manifest diffs + sidecars: operation kind, dataChange,
+    // segments/rows added (rows from the added segments' n_rows
+    // stats; -1 where no sidecar exists — the compact's honest
+    // unknown), tombstoned id cardinality, dv-deleted positions. The
+    // oracle replays every count closed-form from the raw table —
+    // blind to the store, commit wall-clocks excluded (the one
+    // non-deterministic column).
+    Q("q222_snapshot_history",
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS version, 'append' AS op,
+        |         true AS data_change, CAST(1 AS INTEGER) AS segs_added,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS rows_added,
+        |         CAST(0 AS BIGINT) AS ids_tombstoned, CAST(0 AS BIGINT) AS dv_rows
+        |  UNION ALL
+        |  SELECT 2, 'append', true, 1,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 2 = 1),
+        |         0, 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', true, 0, 0,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 5 = 0), 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', true, 0, 0, 0,
+        |         (SELECT count(*) FROM documents
+        |          WHERE doc_id % 5 <> 0 AND n_chars BETWEEN 150 AND 250)
+        |  UNION ALL
+        |  SELECT 5, 'upsert', true, 1,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 11 = 0),
+        |         (SELECT count(*) FROM documents WHERE doc_id % 11 = 0), 0
+        |  UNION ALL
+        |  SELECT 6, 'compact', false, 1, -1, 0, 0
+        |  UNION ALL
+        |  SELECT 7, 'restore', true, 2,
+        |         (SELECT count(*) FROM documents), 0, 0
+        |) ORDER BY version""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q222", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 0),
+          r, statsCols = Seq("doc_id"))
+        SnapshotStore.commitAppend(docs.filter(col("doc_id") % 2 === 1),
+          r, statsCols = Seq("doc_id"))
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+          "doc_id", r)
+        require(SnapshotStore.commitDeleteWhere(s, r,
+            Seq(LayoutOps.ColRange("n_chars", 150L, 250L)), "doc_id",
+            dv = true).isDefined,
+          "the dv DELETE matched nothing — the fixture guarantees rows " +
+            "in the 150..250 n_chars band")
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 11 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 100000L).as("n_chars")),
+          "doc_id", r, statsCols = Seq("doc_id"))
+        SnapshotStore.compact(s, r)
+        SnapshotStore.restore(s, r, 2)
+        ()
+      }
+      SnapshotStore.history(s, root)
+        .select(col("version"), col("op"), col("data_change"),
+          col("segs_added"), col("rows_added"), col("ids_tombstoned"),
+          col("dv_rows"))
+        .orderBy(col("version"))
     }
   )
 }

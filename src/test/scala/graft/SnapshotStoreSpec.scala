@@ -1743,6 +1743,39 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.segmentCounts(spark, dir)._2 shouldBe 1 // the tomb
   }
 
+  test("history: op records, data-change flags, manifest-diff footprints, vacuumed-prefix behavior") {
+    val dir = freshDir("history")
+    SnapshotStore.commitAppend(docs(1 to 10), dir, statsCols = Seq("doc_id"))
+    SnapshotStore.commitAppend(docs(11 to 20), dir, statsCols = Seq("doc_id"))
+    SnapshotStore.addConstraint(spark, dir, "pos", "n > 0")
+    SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.compactSmall(spark, dir, maxSegBytes = 1L << 30,
+      statsCols = Seq("doc_id"))
+    val h = SnapshotStore.history(spark, dir)
+      .orderBy(col("version")).collect()
+    h.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4, 5)
+    h.map(_.getString(2)).toSeq shouldBe
+      Seq("append", "append", "addConstraint", "delete", "compactSmall")
+    h.map(_.getBoolean(3)).toSeq shouldBe
+      Seq(true, true, false, true, false)
+    h.map(_.getInt(4)).toSeq shouldBe Seq(1, 1, 0, 0, 1)
+    // the bin-pack's merged segment carries stats, so its moved rows
+    // are countable (19 = 20 appended - 1 tombstone folded in)
+    h.map(_.getLong(5)).toSeq shouldBe Seq(10L, 10L, 0L, 0L, 19L)
+    h.map(_.getLong(6)).toSeq shouldBe Seq(0L, 0L, 0L, 1L, 0L)
+    // commit wall-clocks are monotone non-decreasing
+    h.map(_.getLong(1)).toSeq shouldBe h.map(_.getLong(1)).sorted.toSeq
+    // a vacuumed prefix vanishes; the earliest retained version
+    // reports its FULL manifest as added
+    SnapshotStore.vacuum(spark, dir, keepFrom = 4)
+    val h2 = SnapshotStore.history(spark, dir)
+      .orderBy(col("version")).collect()
+    h2.map(_.getInt(0)).toSeq shouldBe Seq(4, 5)
+    h2.head.getInt(4) shouldBe 2 // both appended segs, full-manifest diff
+    h2.head.getLong(5) shouldBe 20L
+    h2.head.getLong(6) shouldBe 1L
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
