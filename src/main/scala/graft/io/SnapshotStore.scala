@@ -2230,6 +2230,138 @@ object SnapshotStore {
       segsRead = live.size, segsTotal = segs.size)
   }
 
+  /** [[minMaxPrunedRange]]'s evidence: the extremes (null when no row
+    * satisfies the probe — SQL MIN/MAX over an empty set) plus the
+    * same scan-split countPrunedRange reports.
+    */
+  final case class MinMaxScan(min: Any, max: Any, filesScanned: Int,
+      filesMetaAnswered: Int, filesTotal: Int,
+      segsRead: Int = -1, segsTotal: Int = -1)
+
+  /** Metadata-answered MIN/MAX (the other half of the
+    * aggregate-pushdown story [[countPrunedRange]] opened — Delta/
+    * Iceberg answer both from file stats): the extremes of `target`
+    * over rows satisfying the conjunction of `ranges` and `parts`,
+    * reading ONLY boundary files. A file whose sidecar proves
+    * CONTAINMENT (probe min/max inside the range, zero probe nulls,
+    * partition values exactly matched) contributes its recorded
+    * `min_<target>`/`max_<target>` without being opened — valid
+    * precisely because every one of its rows satisfies the probe, and
+    * the stats' null-skipping matches SQL MIN/MAX's; a file that
+    * merely OVERLAPS is scanned with the residual filter (unlike
+    * COUNT, its stats span rows outside the probe, so they can only
+    * bound, never answer); disjoint files are skipped. Tombstones and
+    * deletion vectors refuse loudly (a hidden row could BE the
+    * extreme); a contained file with no recorded target stats
+    * downgrades to a scan (conservative, never wrong). Null-only
+    * target files contribute nothing, exactly as SQL MIN/MAX skips
+    * nulls.
+    */
+  def minMaxPrunedRange(spark: SparkSession, dir: String,
+      target: String, ranges: Seq[graft.ops.LayoutOps.ColRange],
+      version: Option[Int] = None,
+      parts: Map[String, Set[String]] = Map.empty): MinMaxScan = {
+    import graft.ops.LayoutOps
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "minMaxPrunedRange needs at least one range or partition predicate")
+    require(parts.forall(_._2.nonEmpty),
+      s"minMaxPrunedRange: empty allowed-value set for partition " +
+        s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"snapshot version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val rows = readManifestRows(spark, dir, v)
+    val segs = rows.collect { case ("seg", p) => p }
+    require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    val tombs = rows.count(_._1 == "tomb")
+    require(tombs == 0,
+      s"minMaxPrunedRange: v$v at $dir carries $tombs tombstone(s) — " +
+        s"a hidden row could be the extreme; compact first, or " +
+        s"aggregate readPrunedRange(...).df")
+    val nDvs = rows.count(_._1 == "dv")
+    require(nDvs == 0,
+      s"minMaxPrunedRange: v$v at $dir carries $nDvs deletion " +
+        s"vector(s) — a dv-hidden row could be the extreme; compact " +
+        s"first, or aggregate readPrunedRange(...).df")
+    val evolved = rows.exists(_._1 == "evo")
+    val probeCols = ranges.map(_.col) ++ parts.keys :+ target
+    rangeColsGuard(spark, dir, segs, evolved, probeCols,
+      "minMaxPrunedRange")
+    val live = segs.filter(partKeep(_, parts))
+    val statsOf: Map[String, Seq[String]] = rows.collect {
+      case ("stats", s) => parseStatsRow(s)
+    }.toMap.filter { case (seg, _) => live.contains(seg) }
+    val residual = (ranges.map(rg =>
+        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+      .reduce(_ && _)
+    val fs = hfs(spark, dir)
+    val cand = scala.collection.mutable.Buffer.empty[(Any, Any)]
+    var metaFiles = 0
+    var filesTotal = 0
+    val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
+    segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
+      val usable = ranges.filter(rg =>
+        ss.have.contains(s"min_${rg.col}") &&
+          ss.have.contains(s"max_${rg.col}"))
+      val partVals = segPartValues(seg)
+      val partExact = parts.forall { case (c, allowed) =>
+        partVals.get(c).exists(allowed.contains)
+      }
+      val hasTarget = ss.have.contains(s"min_$target") &&
+        ss.have.contains(s"max_$target")
+      filesTotal += ss.filesTotal
+      val toScan = scala.collection.mutable.Buffer.empty[String]
+      ss.rows.foreach { r =>
+        if (partExact && hasTarget &&
+            LayoutOps.containedFile(r, ranges, ss.have)) {
+          metaFiles += 1
+          // a null min means the file's target is all-null — SQL
+          // MIN/MAX skips it, so the file contributes nothing
+          if (!r.isNullAt(r.fieldIndex(s"min_$target")))
+            cand += ((r.getAs[Any](s"min_$target"),
+              r.getAs[Any](s"max_$target")))
+        } else if (LayoutOps.keepFile(r, usable))
+          toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
+      }
+      if (toScan.nonEmpty) scan(seg) = toScan.toSeq
+    }
+    live.filterNot(statsOf.contains).foreach { seg =>
+      val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
+        .toSeq.map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString)
+      filesTotal += all.size
+      if (all.nonEmpty) scan(seg) = all
+    }
+    def extremesOf(files: Seq[String]): Option[(Any, Any)] = {
+      val f = spark.read.parquet(files: _*)
+      if (probeCols.exists(!f.columns.contains(_))) None
+      else {
+        val r = f.where(residual)
+          .agg(min(col(target)), max(col(target))).head()
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      }
+    }
+    val scannedFiles = scan.values.map(_.size).sum
+    if (scan.nonEmpty) {
+      if (!evolved) cand ++= extremesOf(scan.values.flatten.toSeq)
+      else scan.values.foreach(fls => cand ++= extremesOf(fls))
+    }
+    val (mn, mx) =
+      if (cand.isEmpty) (null, null)
+      else (cand.map(_._1).reduce((a, b) =>
+          if (LayoutOps.cmpStat(a, b, target) <= 0) a else b),
+        cand.map(_._2).reduce((a, b) =>
+          if (LayoutOps.cmpStat(a, b, target) >= 0) a else b))
+    MinMaxScan(mn, mx, scannedFiles, metaFiles, filesTotal,
+      segsRead = live.size, segsTotal = segs.size)
+  }
+
   /** SHOW PARTITIONS with row counts, answered from METADATA alone
     * (the Delta `SHOW PARTITIONS` / `DESCRIBE DETAIL` observability
     * face): per distinct partition tuple of the pinned snapshot, the

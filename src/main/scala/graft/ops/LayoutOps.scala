@@ -232,7 +232,7 @@ object LayoutOps {
     case x => x
   }
 
-  private def cmpStat(stat: Any, bound: Any, c: String): Int =
+  private[graft] def cmpStat(stat: Any, bound: Any, c: String): Int =
     try widen(stat).asInstanceOf[Comparable[Any]].compareTo(widen(bound))
     catch {
       case e: ClassCastException => throw new IllegalArgumentException(

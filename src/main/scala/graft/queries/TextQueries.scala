@@ -3849,6 +3849,51 @@ object TextQueries {
           col("segs_added"), col("rows_added"), col("ids_tombstoned"),
           col("dv_rows"))
         .orderBy(col("version"))
+    },
+
+    // Metadata-answered MIN/MAX (SnapshotStore.minMaxPrunedRange —
+    // countPrunedRange's sibling, the other half of the Delta/Iceberg
+    // aggregate-pushdown story): four n_chars-banded stats-carrying
+    // commits; MIN/MAX(doc_id) WHERE n_chars BETWEEN 150 AND 360
+    // answers the fully-contained band's files from their recorded
+    // doc_id min/max WITHOUT opening them, scans only the
+    // boundary-overlap band's files, and skips the disjoint bands —
+    // driver gates pin all three classes non-trivial (metaAnswered > 0,
+    // scanned > 0, scanned + meta < total). The oracle is the raw
+    // aggregate, blind to the store.
+    Q("q223_snapshot_minmax_metadata",
+      """SELECT min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |       count(*) AS n
+        |FROM documents WHERE n_chars BETWEEN 150 AND 360""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q223", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(
+            docs.filter(band).repartition(3), r,
+            statsCols = Seq("n_chars", "doc_id")))
+        ()
+      }
+      val probe = Seq(LayoutOps.ColRange("n_chars", 150L, 360L))
+      val mm = SnapshotStore.minMaxPrunedRange(s, root, "doc_id", probe)
+      require(mm.filesMetaAnswered > 0,
+        s"metadata answering went dead: 0 of ${mm.filesTotal} files " +
+          s"answered from stats for a probe containing a whole band")
+      require(mm.filesScanned > 0 &&
+          mm.filesScanned + mm.filesMetaAnswered < mm.filesTotal,
+        s"the scan split collapsed: scanned ${mm.filesScanned} + meta " +
+          s"${mm.filesMetaAnswered} of ${mm.filesTotal} files")
+      // the COUNT twin on the same probe agrees with the oracle's n —
+      // the two metadata aggregates must answer consistently
+      val cs = SnapshotStore.countPrunedRange(s, root, probe)
+      Seq((mm.min.asInstanceOf[Long], mm.max.asInstanceOf[Long],
+        cs.count)).toDF("min_doc", "max_doc", "n")
     }
   )
 }

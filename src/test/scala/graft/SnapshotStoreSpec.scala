@@ -1776,6 +1776,51 @@ class SnapshotStoreSpec extends SparkSpecBase {
     h2.head.getLong(6) shouldBe 1L
   }
 
+  test("minMaxPrunedRange: contained files answer from stats, boundary files scan, hidden-row views refuse") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("minmax")
+    // bands of 100 by n: files inside band 2 are CONTAINED by a probe
+    // covering [100, 250); band 3 overlaps at the boundary; band 1 is
+    // disjoint
+    val pop = (1L to 900L).map(i => (i, (i - 1) / 3, s"r$i"))
+      .toDF("doc_id", "n", "text") // n in 0..299
+    Seq(0L, 100L, 200L).foreach(lo =>
+      SnapshotStore.commitAppend(
+        pop.where(col("n").between(lo, lo + 99)).repartition(2), dir,
+        statsCols = Seq("n", "doc_id")))
+    val probe = Seq(LayoutOps.ColRange("n", 100L, 250L))
+    val mm = SnapshotStore.minMaxPrunedRange(spark, dir, "doc_id", probe)
+    mm.min shouldBe 301L // n=100 → doc_ids 301..303
+    mm.max shouldBe 753L // n=250 → doc_ids 751..753
+    mm.filesMetaAnswered should be > 0
+    mm.filesScanned should be > 0
+    (mm.filesScanned + mm.filesMetaAnswered) should be < mm.filesTotal
+    // partition-scoped form, and the partition-only (no range) probe
+    val pdir = freshDir("minmaxp")
+    SnapshotStore.commitAppend(langPop(300), pdir,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    val pm = SnapshotStore.minMaxPrunedRange(spark, pdir, "doc_id", Nil,
+      parts = Map("lang" -> Set("fr")))
+    pm.min shouldBe 1L // fr = i%3==1 → first is 1
+    pm.max shouldBe 298L // last i%3==1 ≤ 300
+    pm.filesScanned shouldBe 0 // exactly-matched leaves are contained
+    pm.filesMetaAnswered should be > 0
+    // a mistyped probe range still fails loudly (cmpStat's contract)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.minMaxPrunedRange(spark, dir, "doc_id",
+        Seq(LayoutOps.ColRange("n", "a", "z")))
+    // tombstones and DVs refuse — a hidden row could be the extreme
+    SnapshotStore.commitDelete(Seq(753L).toDF("doc_id"), "doc_id", dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.minMaxPrunedRange(spark, dir, "doc_id", probe)
+    SnapshotStore.commitDeleteWhere(spark, pdir,
+      Seq(LayoutOps.ColRange("doc_id", 298L, 298L)), "doc_id",
+      dv = true)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.minMaxPrunedRange(spark, pdir, "doc_id", Nil,
+        parts = Map("lang" -> Set("fr")))
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
