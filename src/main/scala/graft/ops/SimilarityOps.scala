@@ -386,6 +386,54 @@ object SimilarityOps {
     * one co-partitioned self-join, threshold filter before anything
     * else touches the pairs.
     */
+  /** SEMANTIC decontamination — the paraphrase-leakage check the
+    * n-gram faces ([[graft.ops.CorpusOps.decontaminate]] /
+    * `decontaminateMapSide` / `decontaminateBloom`) cannot catch: an
+    * eval item rewritten in different words keeps its embedding. Flag
+    * every corpus item whose vector sits at cosine ≥ `tau` of ANY
+    * benchmark item, reporting the best-matching eval id and the
+    * cosine — the contamination report modern pipelines run before
+    * training.
+    *
+    * Shape, the 100 TB-honest one: an EVAL SET IS BROADCAST-SIZED BY
+    * NATURE (thousands to low millions of items against a corpus of
+    * billions), so the benchmark collects into one flat float table
+    * (the `expr/IvfCell` centroid machinery — KBs to low MBs), ships
+    * once per executor, and the corpus streams past it in ONE
+    * codegen'd map pass: an argmax/max loop per row, no join, no
+    * shuffle beyond the scan itself. The flag is computed where the
+    * data lives — this is exactly the map-side decontaminate form,
+    * with cosine instead of n-gram membership. For an eval side too
+    * big to broadcast, compose the hyperplane bucket join
+    * ([[cosineNearDupPairsHyperplane]]'s candidate CTEs) against the
+    * eval frame — the LSH path trades exactness for scale; this face
+    * is the exact contract the oracle grades.
+    *
+    * Semantics pinned: the ≥ `tau` boundary is CLOSED (a hit exactly
+    * at τ flags); cosine ties report the LOWEST eval id (the table's
+    * ascending-id scan with strict-> replacement — the
+    * `(cosine DESC, id ASC)` window tiebreak); zero-norm vectors
+    * refuse loudly on BOTH sides (benchmark at build time, corpus per
+    * row) — a NaN cosine must never silently rank.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchIdCol: String,
+      benchVecCol: String, tau: Double, dim: Int): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine, got $tau")
+    val table = collectCentroids(
+      bench.select(col(benchIdCol).cast("long").as("cid"),
+        col(benchVecCol).as("cvec")), dim)
+    require(table.norms.forall(_ > 0.0),
+      "semanticDecontaminate: zero-norm benchmark vector(s) — a NaN " +
+        "cosine never ranks; filter them out of the eval frame")
+    val bc = corpus.sparkSession.sparkContext.broadcast(table)
+    corpus
+      .withColumn("eval_id", graft.expr.IvfCell.ivfCell(col(vecCol), bc))
+      .withColumn("cosine", graft.expr.IvfCell.ivfBestCos(col(vecCol), bc))
+      .where(col("cosine") >= lit(tau))
+      .select(col(idCol), col("eval_id"), col("cosine"))
+  }
+
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, threshold: Double): DataFrame =

@@ -3894,6 +3894,38 @@ object TextQueries {
       val cs = SnapshotStore.countPrunedRange(s, root, probe)
       Seq((mm.min.asInstanceOf[Long], mm.max.asInstanceOf[Long],
         cs.count)).toDF("min_doc", "max_doc", "n")
+    },
+
+    // SEMANTIC decontamination (SimilarityOps.semanticDecontaminate —
+    // the paraphrase-leakage report n-gram decontamination q138/q146/
+    // q183 cannot produce): every corpus embedding at cosine ≥ 0.4 of
+    // ANY eval item (vec_id % 25 = 0 plays the benchmark), reported
+    // with its best-matching eval id (ties → lowest id) and the
+    // cosine. The eval table broadcasts (eval sets are
+    // broadcast-sized by nature) and the corpus streams past it in
+    // one codegen'd argmax pass — no join, no shuffle; the oracle
+    // replays the exact cross-join + rank form. τ = 0.4 is this
+    // corpus's q177 tuning (real corpora ~0.95).
+    Q("q224_semantic_decontaminate", {
+      val cos = cosineSql("c.embedding", "b.bvec")
+      s"""WITH b AS (SELECT vec_id AS eval_id, embedding AS bvec
+         |           FROM embeddings WHERE vec_id % 25 = 0),
+         |c AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id % 25 <> 0),
+         |best AS (
+         |  SELECT c.vec_id, b.eval_id, $cos AS cosine
+         |  FROM c CROSS JOIN b
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY c.vec_id ORDER BY $cos DESC, b.eval_id) = 1)
+         |SELECT vec_id, eval_id, cosine FROM best
+         |WHERE cosine >= 0.4 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.semanticDecontaminate(
+          emb.filter(col("vec_id") % 25 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          tau = 0.4, dim = 64)
+        .orderBy(col("vec_id"))
     }
   )
 }

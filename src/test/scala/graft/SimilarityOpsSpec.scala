@@ -703,4 +703,49 @@ class SimilarityOpsSpec extends SparkSpecBase {
         queries, "qid", "qvec",
         Seq((100L, 1L, 0L)).toDF("qid", "vec_id", "extra"), k = 2)
   }
+
+  test("semanticDecontaminate: closed tau boundary, lowest-eval-id ties, zero-norm refusals") {
+    val bench = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (20L, Array(0f, 1f, 0f, 0f))).toDF("eid", "bvec")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), // cos 1 vs eval 10
+      (2L, Array(3f, 4f, 0f, 0f)), // cos 4/5 vs eval 20, 3/5 vs 10
+      (3L, Array(-1f, 0f, 0f, 0f)), // cos ≤ 0 everywhere
+      (4L, Array(1f, 1f, 0f, 0f)) // cos 1/√2 vs BOTH — a tie
+    ).toDF("vec_id", "embedding")
+    // the boundary is CLOSED: doc 4's best cosine is exactly 1/√2
+    // (d = 1.0, vnorm = sqrt(2.0), cnorm = 1.0 — the same three IEEE
+    // ops on both sides) and tau = 1/√2 flags it
+    val tau = 1.0 / math.sqrt(2.0)
+    val out = SimilarityOps.semanticDecontaminate(corpus, "vec_id",
+        "embedding", bench, "eid", "bvec", tau = tau, dim = 4)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L, 4L)
+    out(0)._2 shouldBe 10L
+    out(1)._2 shouldBe 20L
+    out(1)._3 shouldBe 4.0 / 5.0
+    // the exact-tie doc (equal cosine to BOTH evals) reports the
+    // LOWEST eval id, at exactly the boundary value
+    out(2)._2 shouldBe 10L
+    out(2)._3 shouldBe tau
+    // nudging tau one ulp past the boundary drops the boundary doc
+    // (strict separation of ≥ from >)
+    SimilarityOps.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "eid", "bvec", tau = math.nextUp(tau), dim = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    // zero-norm benchmark vectors refuse at BUILD time
+    an[IllegalArgumentException] should be thrownBy
+      SimilarityOps.semanticDecontaminate(corpus, "vec_id", "embedding",
+        Seq((30L, Array(0f, 0f, 0f, 0f))).toDF("eid", "bvec"),
+        "eid", "bvec", tau = 0.5, dim = 4)
+    // a zero-norm corpus vector throws loudly at evaluation (a NaN
+    // cosine must never silently rank)
+    an[Exception] should be thrownBy
+      SimilarityOps.semanticDecontaminate(
+        Seq((5L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", bench, "eid", "bvec",
+        tau = 0.5, dim = 4).collect()
+  }
 }
