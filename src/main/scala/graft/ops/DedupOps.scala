@@ -306,6 +306,60 @@ object DedupOps {
   def simhash64Bands(sig: Column): Seq[Column] =
     (0 until 4).map(b => sig.substr(lit(1 + 16 * b), lit(16)))
 
+  /** IMAGE perceptual near-dup — the multimodal member of the dedup
+    * family (exact/MinHash/SimHash/Jaccard cover text; this covers
+    * pixels): [[graft.ops.MultimodalOps.dHash64]] per image (map-side
+    * decode, one long out), then the SimHash-style Hamming-ball
+    * candidate join — the 64-bit hash splits into `maxHamming + 1`
+    * contiguous bit bands, so by pigeonhole any pair within the
+    * Hamming ball shares at least one band VERBATIM, and banding
+    * turns near-dup search into one equi-join on (band, value) —
+    * never an all-pairs comparison. Candidates verify by exact
+    * Hamming (`bit_count(xor)`); distinct dedups pairs that share
+    * several bands. The hashed frame (id + one long) is
+    * checkpoint-cut so the expensive decode runs ONCE and both join
+    * sides reuse it. Output: (id1, id2, hamming), id1 < id2.
+    *
+    * At 100 TB: payload bytes never shuffle (the hash is born where
+    * the image lives); what shuffles is 8 bytes per (image, band).
+    * False-band collisions cost one bit_count each and are discarded
+    * exactly.
+    */
+  def imageNearDupPairs(images: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val bands = maxHamming + 1
+    val hashed = graft.ops.MultimodalOps.dHash64(images)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol).as("__id"), col("dhash"))
+      .localCheckpoint(true)
+    val bandCols = (0 until bands).map { b =>
+      val low = 64 * b / bands
+      val width = 64 * (b + 1) / bands - low
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), low).bitwiseAND(lit(mask))
+          .as("bv"))
+    }
+    val long = hashed
+      .select(col("__id"), col("dhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("dhash"),
+        col("bk.band").as("__band"), col("bk.bv").as("__bv"))
+    val l = long.select(col("__id").as("id1"), col("dhash").as("__h1"),
+      col("__band"), col("__bv"))
+    val r = long.select(col("__id").as("id2"), col("dhash").as("__h2"),
+      col("__band").as("__bandr"), col("__bv").as("__bvr"))
+    l.join(r, col("__band") === col("__bandr") &&
+        col("__bv") === col("__bvr") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-dup CLUSTER formation: the step after candidate pairs in a
     * dedup pipeline (pairs → components → keep one doc per
     * component). Min-label propagation WITH pointer-doubling

@@ -486,6 +486,146 @@ object MultimodalOps {
     encodePng(img)
   }
 
+  /** One block of the [[synthPatternPng]] fixture family: a seeded
+    * 64-bit mix of (pattern id, block index) → light/dark. splitmix64
+    * finalizer — pairwise-independent enough that two distinct
+    * patterns' dHashes sit ~24 bits apart (measured), far outside any
+    * near-dup Hamming ball.
+    */
+  private def patternBit(id: Long, idx: Int): Boolean = {
+    var h = id * 0x9E3779B97F4A7C15L + idx * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h & 1L) == 1L
+  }
+
+  /** Deterministic BLOCK-PATTERN PNG — the perceptual-hash fixture:
+    * 72×64 px = a 9×8 grid of 8×8 blocks, each light (200) or dark
+    * (40) by [[patternBit]]. The [[dHash64]] grid samples exactly one
+    * block per cell, so the hash is a pure function of the 72 bits —
+    * a NEAR-DUP twin is the same pattern with ONE block flipped
+    * (`flipIdx` ≥ 0), which moves at most the two dHash bits that
+    * compare the flipped cell with its horizontal neighbors, while
+    * distinct pattern ids differ in ~24 bits. Planted
+    * slightly-perturbed twins found, distinct patterns not — the
+    * q53/q127 closed-form oracle lever, in hash space.
+    */
+  def synthPatternPng(id: Long, flipIdx: Int = -1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val idx = by * 9 + bx
+        val bit = patternBit(id, idx) ^ (idx == flipIdx)
+        val v = if (bit) 200 else 40
+        val rgb = (v << 16) | (v << 8) | v
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    encodePng(img)
+  }
+
+  /** Pattern-PNG table: rows of (media_id, pattern_id, flip_idx) →
+    * (media_id, payload). Encode rides mapPartitions like the other
+    * synth tables — payloads are born distributed, never shuffled.
+    */
+  def synthPatternTable(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", org.apache.spark.sql.types.BinaryType,
+        nullable = false)))
+    val (mi, pi, fi) = (rows.schema.fieldIndex("media_id"),
+      rows.schema.fieldIndex("pattern_id"),
+      rows.schema.fieldIndex("flip_idx"))
+    val rdd = rows.rdd.mapPartitions(_.map { r =>
+      Row(r.getLong(mi), synthPatternPng(r.getLong(pi), r.getInt(fi)))
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual dHash (difference hash), the classic 9×8 form: decode,
+    * reduce to a 9-wide × 8-tall grid of area-mean intensities
+    * (integer-box partition of the raster — exact block means when
+    * the dims divide, honest area means otherwise), then 64 bits of
+    * horizontal gradient sign: bit (y,x) = cell(x+1,y) brighter than
+    * cell(x,y), strict. Near-identical images (recompression, mild
+    * brightness shifts, small local edits) land within a few bits;
+    * unrelated images sit ~32 apart. Map-side only — payloads never
+    * shuffle, one long per image comes out. Null for non-images and
+    * images smaller than the grid. Intensity = r+g+b (the /3 is
+    * monotone and only loses exactness).
+    */
+  def dHash64(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("dhash", LongType, nullable = true))
+    val idx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      var raster = Array.emptyIntArray
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val h: Any =
+          if (payload == null) null
+          else decodeImage(payload) match {
+            case Some(img) if img.getWidth >= 9 && img.getHeight >= 8 =>
+              val w = img.getWidth
+              val ht = img.getHeight
+              if (raster.length < w * ht) raster = new Array[Int](w * ht)
+              img.getRGB(0, 0, w, ht, raster, 0, w)
+              val means = Array.ofDim[Double](8, 9)
+              var cy = 0
+              while (cy < 8) {
+                val y0 = cy * ht / 8; val y1 = (cy + 1) * ht / 8
+                var cx = 0
+                while (cx < 9) {
+                  val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+                  var sum = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) {
+                      val rgb = raster(y * w + x)
+                      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                        (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  means(cy)(cx) =
+                    sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+                  cx += 1
+                }
+                cy += 1
+              }
+              var hash = 0L
+              cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  hash = (hash << 1) |
+                    (if (means(cy)(cx + 1) > means(cy)(cx)) 1L else 0L)
+                  cx += 1
+                }
+                cy += 1
+              }
+              Long.box(hash)
+            case _ => null
+          }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic solid-fill PNG (any correct scaler preserves a
     * constant image exactly — the resize oracle's lever).
     */

@@ -158,6 +158,34 @@ object MediaQueries {
           when(col("doc_id") % 97 =!= 0, lit("ok")).otherwise(lit("fail")))
       TransferOps.chunkSummary(plan, col("status"))
         .orderBy(col("chunk_id"))
+    },
+
+    // IMAGE perceptual-hash near-dup (DedupOps.imageNearDupPairs —
+    // the multimodal member of the dedup family): every doc gets a
+    // deterministic 72×64 block-pattern PNG; docs ≡ 0 (mod 4) also
+    // plant a TWIN with exactly one block flipped. The real pipeline
+    // runs end to end — javax.imageio decode, 9×8 area-mean dHash,
+    // Hamming-band equi-join (pigeonhole: ≤ 2 bits ⇒ a shared band),
+    // exact bit_count verification — and must find EXACTLY the
+    // planted twins: a one-block flip moves ≤ 2 dHash bits while
+    // distinct patterns sit ~24 bits apart, so false positives and
+    // misses both fail the oracle, which lists the planted pairs
+    // closed-form (the q53/q127 oracle lever, in hash space).
+    Q("q225_image_neardup_phash",
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2 FROM documents
+        |WHERE doc_id % 4 = 0 ORDER BY id1""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val base = ids.select(col("doc_id").as("media_id"),
+        col("doc_id").as("pattern_id"), lit(-1).as("flip_idx"))
+      val twins = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          col("doc_id").as("pattern_id"),
+          (col("doc_id") % 72).cast("int").as("flip_idx"))
+      val images = MultimodalOps.synthPatternTable(base.unionByName(twins))
+      DedupOps.imageNearDupPairs(images, "media_id", maxHamming = 2)
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"))
     }
   )
 }

@@ -178,4 +178,58 @@ class MultimodalOpsSpec extends SparkSpecBase {
     val png = MultimodalOps.synthGradientTable(ids)
     MultimodalOps.extractGifFrames(png).count() shouldBe 0
   }
+
+  test("dHash64: gradient-sign invariances, one-block-flip locality, pattern separation, non-image nulls") {
+    import spark.implicits._
+    def hashOf(payload: Array[Byte]): Option[Long] = {
+      val r = MultimodalOps.dHash64(
+        Seq(Tuple1(payload)).toDF("payload")).head()
+      if (r.isNullAt(1)) None else Some(r.getLong(1))
+    }
+    // a uniform brightness shift preserves every gradient sign → the
+    // hash is invariant (the recompression/levels robustness dHash
+    // exists for). Build a shifted twin of the block pattern by
+    // decoding and re-encoding with +10 on every channel.
+    val base = MultimodalOps.synthPatternPng(7L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base))
+    val shifted = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until img.getHeight).foreach { y =>
+      (0 until img.getWidth).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        def ch(v: Int) = math.min(255, v + 10)
+        shifted.setRGB(x, y, (ch((rgb >> 16) & 0xff) << 16) |
+          (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff))
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(shifted, "png", bos)
+    hashOf(bos.toByteArray) shouldBe hashOf(base)
+    // one flipped block moves at most the two bits comparing it with
+    // its horizontal neighbors
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h7 = hashOf(base).get
+    hamming(h7,
+      hashOf(MultimodalOps.synthPatternPng(7L, flipIdx = 31)).get) should
+      be <= 2
+    // distinct patterns sit far apart — an order of magnitude outside
+    // any near-dup ball
+    hamming(h7, hashOf(MultimodalOps.synthPatternPng(8L)).get) should
+      be >= 10
+    // non-images and sub-grid images are null, and the pair op
+    // excludes them while finding exactly the planted twin
+    hashOf("not a png".getBytes) shouldBe None
+    val rows = Seq(
+      (1L, 7L, -1), (2L, 7L, 31), (3L, 8L, -1), (4L, 9L, -1))
+      .toDF("media_id", "pattern_id", "flip_idx")
+    val images = MultimodalOps.synthPatternTable(rows)
+      .unionByName(Seq((99L, "junk".getBytes))
+        .toDF("media_id", "payload"))
+    val pairs = graft.ops.DedupOps
+      .imageNearDupPairs(images, "media_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs shouldBe Seq((1L, 2L))
+  }
 }
