@@ -909,9 +909,18 @@ object SnapshotStore {
     */
   /** The commit version encoded in a segment/tombstone path
     * (`seg/s000123_<uniq>` → 123) — the ORDERING key of MVCC reads.
+    * Component-anchored: a shallow CLONE's references carry a
+    * relative-path prefix (`../src/seg/s000123_x`), so the version
+    * component is the one after the LAST bare `seg`/`tomb`/`dv` dir —
+    * store internals after it are never named that.
     */
-  private def pathVersion(p: String): Int =
-    p.substring(p.indexOf('/') + 2).takeWhile(_.isDigit).toInt
+  private def pathVersion(p: String): Int = {
+    val cs = p.split('/')
+    val i = cs.lastIndexWhere(c => c == "seg" || c == "tomb" || c == "dv")
+    require(i >= 0 && i + 1 < cs.length,
+      s"segment path carries no version: $p")
+    cs(i + 1).drop(1).takeWhile(_.isDigit).toInt
+  }
 
   /** Broadcast-or-shuffle gate for tombstone anti/semi joins: a
     * curation-sized tombstone (the overwhelmingly common case — ids
@@ -2087,12 +2096,22 @@ object SnapshotStore {
       // a shared commit-root sidecar names EVERY leaf's files — a row
       // for a sibling leaf this probe excluded (partition pruning
       // filtered statsOf before we got here) is skipped, not an error;
-      // a file outside every involved commit root stays loud (corrupt)
+      // a file outside every involved commit root stays loud (corrupt).
+      // Attribution matches on the `seg/`-anchored SUFFIX: a shallow
+      // clone's segment references carry a relative-path prefix while
+      // the sidecar recorded the file's source-resolved path — the
+      // anchored forms agree (and are identical for local segments;
+      // segment-name uniqueness keeps the suffix unambiguous).
+      def anchor(s: String): String = {
+        val i = s.lastIndexOf("seg/")
+        if (i < 0) s else s.substring(i)
+      }
       val groupRoots = statsDirs
-        .map(_.stripPrefix(s"$dir/").stripSuffix("/_stats")).distinct
+        .map(_.stripPrefix(s"$dir/").stripSuffix("/_stats"))
+        .map(anchor).distinct
       collected.foreach { r =>
         val f = graft.ops.LayoutOps.decodeStatFile(r.getAs[String]("file"))
-        groupSegs.find(sg => f.contains(s"/$sg/")) match {
+        groupSegs.find(sg => f.contains(s"/${anchor(sg)}/")) match {
           case Some(seg) =>
             val (buf, h, n) = out(seg)
             out(seg) = (buf, h, n + 1)
@@ -2439,7 +2458,71 @@ object SnapshotStore {
     * changing what a read returns.
     */
   private val DataChangeOps: Set[String] =
-    Set("append", "delete", "upsert", "merge", "streamBatch", "restore")
+    Set("append", "delete", "upsert", "merge", "streamBatch", "restore",
+      "clone")
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): a new
+    * store root whose FIRST manifest references the source's segment
+    * / tombstone / DV / stats paths READ-ONLY via a relative-path
+    * prefix — zero data copied, one manifest written. The clone then
+    * lives its own life copy-on-write: local commits write local
+    * directories, [[compact]] materializes it fully local (dropping
+    * every source reference), history/time travel work, and
+    * [[vacuum]] on the CLONE can never touch source files (its sweep
+    * lists only local children). The dev/test lever: fork a 100 TB
+    * table in O(1) files, run a destructive experiment, throw the
+    * root away.
+    *
+    * The clone's first version number IS the pinned source version —
+    * that is what keeps the MVCC ordering rule coherent: every cloned
+    * path's encoded commit version is ≤ the pin, so a clone-local
+    * tombstone (committed at pin+1 or later) correctly hides cloned
+    * rows, while the cloned tombstones keep their original ordering
+    * among the cloned segments.
+    *
+    * Contract, honestly: the source must STAY at `src` — the clone
+    * pins by reference, so vacuuming the source below the pinned
+    * version (or moving its root) breaks the clone (Delta's shallow
+    * clone has exactly this property); materialize with [[compact]]
+    * first if the source's lifecycle is not yours. Streaming txn
+    * markers do NOT carry (a fresh lineage must not inherit replay
+    * dedup state), and [[streamInserts]]/[[streamChanges]] on a clone
+    * cover clone-LOCAL commits only (file globs don't cross roots).
+    * Same-filesystem plain paths only — the relative hop is computed
+    * with filesystem semantics, loudly refused for scheme'd URIs.
+    */
+  def clone(spark: SparkSession, src: String, dst: String,
+      version: Option[Int] = None): Int = {
+    require(!src.contains("://") && !dst.contains("://"),
+      s"clone: plain same-filesystem paths only (got '$src' -> '$dst')")
+    val vs = versions(spark, src)
+    require(vs.nonEmpty, s"clone: no committed snapshot at $src")
+    val pin = version.getOrElse(vs.max)
+    require(vs.contains(pin),
+      s"clone: version $pin does not exist at $src (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    require(versions(spark, dst).isEmpty,
+      s"clone: $dst already holds a committed store")
+    val srcAbs = java.nio.file.Paths.get(src).toAbsolutePath.normalize
+    val dstAbs = java.nio.file.Paths.get(dst).toAbsolutePath.normalize
+    require(srcAbs != dstAbs, "clone: src and dst are the same root")
+    val rel = dstAbs.relativize(srcAbs).toString
+    def ref(p: String): String = s"$rel/$p"
+    val rows = readManifestRows(spark, src, pin).flatMap {
+      case ("seg", p) => Seq(("seg", ref(p)))
+      case ("tomb", p) => Seq(("tomb", ref(p)))
+      case ("stats", s) =>
+        val (p, cols) = parseStatsRow(s)
+        Seq(("stats", s"${ref(p)};${cols.mkString(",")}"))
+      case ("dv", s) =>
+        val (p, segs) = parseStatsRow(s)
+        Seq(("dv", s"${ref(p)};${segs.map(ref).mkString(",")}"))
+      case ("txn", _) => Seq.empty // fresh stream lineage
+      case other => Seq(other) // chk, evo — table rules clone
+    }
+    commitManifest(spark, dst, pin, rows, "clone")
+    pin
+  }
 
   /** DESCRIBE HISTORY (Delta's observability face): one row per
     * RETAINED version, ascending — the operation kind recorded at

@@ -3926,6 +3926,56 @@ object TextQueries {
           emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
           tau = 0.4, dim = 64)
         .orderBy(col("vec_id"))
+    },
+
+    // SHALLOW CLONE (SnapshotStore.clone — Delta's zero-copy table
+    // fork): the clone's first manifest references the source's
+    // segments/tombstones/sidecars via relative paths (one manifest
+    // written, no data copied, first version = the pinned source
+    // version so local tombstones postdate every cloned segment);
+    // post-clone SOURCE commits stay invisible (+1000000 rows
+    // appended to src after the fork must not appear) and divergent
+    // clone commits land locally (a %11 delete + a +2000000 append).
+    // The oracle replays the fork algebra on the raw table, blind to
+    // both roots.
+    Q("q226_snapshot_shallow_clone",
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q226", dir, marker = "dst/manifest") { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 250, col("n_chars") >= 250)
+          .foreach(band => SnapshotStore.commitAppend(docs.filter(band),
+            s"$r/src", statsCols = Seq("doc_id")))
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", s"$r/src")
+        SnapshotStore.clone(s, s"$r/src", s"$r/dst")
+        // post-clone source commits must never reach the clone
+        SnapshotStore.commitAppend(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"),
+            col("lang"), col("n_chars")),
+          s"$r/src", statsCols = Seq("doc_id"))
+        // divergent clone-local life: a delete of CLONED rows (the
+        // version-numbering property) and a local append
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+          "doc_id", s"$r/dst")
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              col("lang"), col("n_chars")),
+          s"$r/dst", statsCols = Seq("doc_id"))
+        ()
+      }
+      SnapshotStore.read(s, s"$root/dst")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1821,6 +1821,74 @@ class SnapshotStoreSpec extends SparkSpecBase {
         parts = Map("lang" -> Set("fr")))
   }
 
+  test("shallow clone: pinned equivalence, source-commit isolation, local divergence, materialization survives source deletion") {
+    import graft.ops.LayoutOps
+    val src = freshDir("clsrc")
+    val dst = freshDir("cldst")
+    SnapshotStore.commitAppend(docs(1 to 20), src,
+      statsCols = Seq("doc_id"))
+    SnapshotStore.commitDelete(Seq(5L, 6L).toDF("doc_id"), "doc_id", src)
+    SnapshotStore.commitDeleteWhere(spark, src,
+      Seq(LayoutOps.ColRange("doc_id", 10L, 11L)), "doc_id", dv = true)
+    val pin = SnapshotStore.clone(spark, src, dst)
+    pin shouldBe 3
+    def ids(dir: String, v: Option[Int] = None) =
+      SnapshotStore.read(spark, dir, v).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val expect = (1L to 20L).filterNot(Set(5L, 6L, 10L, 11L))
+    ids(dst) shouldBe expect // tombstone AND dv resolve through the refs
+    // stats-pruned reads work through cloned sidecars (anchored
+    // attribution), with real pruning evidence
+    val scan = SnapshotStore.readPrunedRange(spark, dst,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 3L)))
+    scan.df.count() shouldBe 3
+    // post-clone SOURCE commits are invisible to the clone
+    SnapshotStore.commitAppend(docs(100 to 110), src,
+      statsCols = Seq("doc_id"))
+    ids(dst) shouldBe expect
+    // divergent clone writes land locally and never touch the source
+    SnapshotStore.commitAppend(docs(200 to 205), dst,
+      statsCols = Seq("doc_id"))
+    ids(dst) shouldBe (expect ++ (200L to 205L))
+    ids(src) shouldBe (expect ++ (100L to 110L))
+    // a clone-LOCAL delete hides CLONED rows — the version-numbering
+    // property (the clone's first version = the pin, so local
+    // tombstones postdate every cloned segment)
+    SnapshotStore.commitDelete(Seq(1L, 200L).toDF("doc_id"), "doc_id",
+      dst)
+    ids(dst) shouldBe (expect ++ (200L to 205L))
+      .filterNot(Set(1L, 200L))
+    // time travel to the pin still works on the clone
+    ids(dst, Some(pin)) shouldBe expect
+    // history renders the clone as the earliest retained version
+    val h = SnapshotStore.history(spark, dst).orderBy(col("version"))
+      .collect()
+    h.head.getInt(0) shouldBe pin
+    h.head.getString(2) shouldBe "clone"
+    // vacuum on the clone sweeps only LOCAL children — the source
+    // stays intact and the clone keeps reading
+    SnapshotStore.vacuum(spark, dst,
+      SnapshotStore.versions(spark, dst).max)
+    ids(src) shouldBe (expect ++ (100L to 110L))
+    // compact materializes the clone fully local: delete the WHOLE
+    // source root and the clone must still read
+    val vc = SnapshotStore.compact(spark, dst)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(src))
+    ids(dst, Some(vc)) shouldBe (expect ++ (200L to 205L))
+      .filterNot(Set(1L, 200L))
+    // refusals: an occupied destination, a scheme'd path
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.clone(spark, dst, dst)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.clone(spark, "s3://bucket/t", freshDir("clx"))
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
