@@ -210,6 +210,51 @@ object SnapshotBench {
       .where(col("pk") === "7").count())
     println(f"""{"face":"partition_probe_full_scan","secs":$sPpFull%.2f}""")
 
+    // ONE-JOB partitioned rewrite curve (r17): deletes touching 2 / 8
+    // / 32 partitions run as a single partitionBy write job each, so
+    // wall must stay ~flat in TOUCHED-PARTITION COUNT (the serial
+    // per-signature loop paid one driver job launch per partition).
+    // Row counts are held comparable by shrinking the doc_id band as
+    // the partition set widens; partition sets are disjoint across
+    // runs so no delete shadows the next.
+    Seq((2, 10), (8, 16), (32, 32)).foreach { case (p, from) =>
+      val parts = Map("pk" -> (from until from + p).map(_.toString).toSet)
+      val band = Seq(graft.ops.LayoutOps.ColRange(
+        "doc_id", 0L, (maxId + 1) * 2 / p))
+      val tB = System.nanoTime()
+      val r = SnapshotStore.commitDeleteWhere(spark, parted, band,
+        "doc_id", parts = parts, statsCols = Seq("doc_id")).get
+      val sB = (System.nanoTime() - tB) / 1e9
+      println(f"""{"face":"delete_where_${p}_of_64_partitions","secs":$sB%.2f,""" +
+        s""""rows":${r.rowsDeleted},""" +
+        s""""segs_rewritten":"${r.segsRewritten}/${r.segsTotal}"}""")
+    }
+
+    // merge-on-read vs copy-on-write point delete (r17 deletion
+    // vectors): same one-row predicate, dv writes a match-sized
+    // position sidecar and rewrites nothing — bytes are the
+    // right-to-be-forgotten cost story
+    val pointLo = (maxId + 1) * 3 / 4
+    val tDvB = System.nanoTime()
+    val dvB = SnapshotStore.commitDeleteWhere(spark, cadenced,
+      Seq(graft.ops.LayoutOps.ColRange("doc_id", pointLo, pointLo)),
+      "doc_id", dv = true).get
+    val sDvB = (System.nanoTime() - tDvB) / 1e9
+    println(f"""{"face":"dv_point_delete","secs":$sDvB%.2f,""" +
+      s""""rows":${dvB.rowsDeleted},"bytes_written":${dvB.bytesWritten},""" +
+      s""""segs_rewritten":"${dvB.segsRewritten}/${dvB.segsTotal}"}""")
+    val tCowB = System.nanoTime()
+    val cowB = SnapshotStore.commitDeleteWhere(spark, cadenced,
+      Seq(graft.ops.LayoutOps.ColRange(
+        "doc_id", pointLo + 1, pointLo + 1)), "doc_id").get
+    val sCowB = (System.nanoTime() - tCowB) / 1e9
+    println(f"""{"face":"cow_point_delete","secs":$sCowB%.2f,""" +
+      s""""rows":${cowB.rowsDeleted},"bytes_written":${cowB.bytesWritten},""" +
+      s""""segs_rewritten":"${cowB.segsRewritten}/${cowB.segsTotal}"}""")
+    val sDvRead = secs(SnapshotStore.read(spark, cadenced)
+      .agg(count(lit(1)), sum(col("n_chars"))).head())
+    println(f"""{"face":"read_with_dv_and_tombs","secs":$sDvRead%.2f}""")
+
     // predicate DELETE on the partitioned store: a one-partition
     // scope rewrites exactly that partition's leaves copy-on-write —
     // the other 63 partitions are never read (the footprint evidence)

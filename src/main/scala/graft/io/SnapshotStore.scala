@@ -354,6 +354,19 @@ object SnapshotStore {
     if (i < 0) "" else base.substring(i)
   }
 
+  /** The ordered partition-column list a segment path encodes (path
+    * order IS the layout nesting order), empty when unpartitioned.
+    * When every rewrite-touched segment shares one list, the rewrite
+    * can run as ONE `partitionBy` write job instead of a serial
+    * per-signature loop — the data re-derives its own leaf placement
+    * from the duplicated original columns.
+    */
+  private def sigCols(seg: String): Seq[String] =
+    seg.split('/').toSeq.collect {
+      case c if c.startsWith("__p_") && c.contains('=') =>
+        c.substring(4, c.indexOf('='))
+    }
+
   /** Per-commit data-skipping stats (the Delta add-file discipline —
     * skipping must not wait for OPTIMIZE): when a data-committing face
     * is given `statsCols`, the new segment's per-file min/max sidecar
@@ -631,30 +644,49 @@ object SnapshotStore {
     matched.select(col(idCol)).distinct()
       .write.mode("errorifexists").parquet(s"$dir/$tp")
     val suspectSet = suspects.toSet
-    val newRows = suspects.groupBy(sigOf).toSeq.sortBy(_._1)
-      .flatMap { case (sig, gsegs) =>
-        val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
-            dvs)
-          .where(!pred)
+    val suspGroups = suspects.groupBy(sigOf)
+    // ONE-JOB rewrite when every suspect shares one partition-column
+    // list: the survivor union re-derives its own leaf placement from
+    // the duplicated original columns through a single partitionBy
+    // write (the writeDataSegment shape) — a delete spanning P
+    // partitions otherwise pays P serial job launches on the driver,
+    // a wall-clock term ∝ P at 100 TB partition counts. The
+    // per-signature loop remains for unpartitioned/mixed suspects
+    // (layout heterogeneity means the groups genuinely differ).
+    val colLists = suspects.map(sigCols).distinct
+    val bulk = suspGroups.size > 1 && colLists.size == 1 &&
+      colLists.head.nonEmpty
+    val newRows =
+      if (bulk) {
+        val survivors = segsMinusTombs(spark, dir, suspects, tombs,
+          evolved, dvs).where(!pred)
         statsGuard(survivors, statsCols, "commitDeleteWhere")
-        val root = s"seg/${uniqueName('c', v)}"
-        val seg = s"$root$sig"
-        survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
-        // a group the predicate emptied contributes nothing (Spark
-        // writes no data files for an empty frame — reading the bare
-        // dir would fail schema inference)
-        val hasData = fs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$dir/$seg")).exists(st =>
-          st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-        if (!hasData) Seq.empty
-        else if (statsCols.isEmpty) Seq(("seg", seg))
-        else {
-          graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
-            s"$dir/$seg", s"$dir/$root/_stats")
-          Seq(("seg", seg), ("stats", s"$seg;${statsCols.mkString(",")}"))
+        writeDataSegment(survivors, dir, v, statsCols, colLists.head,
+          "commitDeleteWhere", prefix = 'c')
+      } else suspGroups.toSeq.sortBy(_._1)
+        .flatMap { case (sig, gsegs) =>
+          val survivors = segsMinusTombs(spark, dir, gsegs, tombs,
+              evolved, dvs)
+            .where(!pred)
+          statsGuard(survivors, statsCols, "commitDeleteWhere")
+          val root = s"seg/${uniqueName('c', v)}"
+          val seg = s"$root$sig"
+          survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
+          // a group the predicate emptied contributes nothing (Spark
+          // writes no data files for an empty frame — reading the bare
+          // dir would fail schema inference)
+          val hasData = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/$seg")).exists(st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+          if (!hasData) Seq.empty
+          else if (statsCols.isEmpty) Seq(("seg", seg))
+          else {
+            graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+              s"$dir/$seg", s"$dir/$root/_stats")
+            Seq(("seg", seg), ("stats", s"$seg;${statsCols.mkString(",")}"))
+          }
         }
-      }
     val keptSegs = segs.filterNot(suspectSet)
     val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
     val keptRows = rows.filter {
@@ -1260,6 +1292,7 @@ object SnapshotStore {
       scope: Map[String, Set[String]] = Map.empty): Option[Int] = {
     val fs = hfs(spark, dir)
     compactGroups(spark, dir, scope, minGroup = 2, op = "compactSmall",
+      bulkStats = Some(statsCols),
       pick = seg => fs.getContentSummary(new org.apache.hadoop.fs.Path(
         s"$dir/${seg.stripSuffix("/data")}")).getLength <= maxSegBytes,
       writeGroup = (survivors, sig, v) => {
@@ -1295,7 +1328,8 @@ object SnapshotStore {
   private def compactGroups(spark: SparkSession, dir: String,
       scope: Map[String, Set[String]], minGroup: Int, op: String,
       pick: String => Boolean,
-      writeGroup: (DataFrame, String, Int) => (String, Seq[(String, String)]))
+      writeGroup: (DataFrame, String, Int) => (String, Seq[(String, String)]),
+      bulkStats: Option[Seq[String]] = None)
       : Option[Int] = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$op: no committed snapshot at $dir")
@@ -1313,13 +1347,31 @@ object SnapshotStore {
     // read ONLY each group's segments, with every tombstone that
     // postdates each folded in (segsMinusTombs applies exactly the
     // MVCC ordering; tombs older than every picked segment no-op)
-    // and any deletion vector naming a group file materialized
-    val newRows = groups.toSeq.sortBy(_._1).flatMap { case (sig, gsegs) =>
-      val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
-        dvs)
-      val (seg, extra) = writeGroup(survivors, sig, v)
-      (("seg", seg)) +: extra
-    }
+    // and any deletion vector naming a group file materialized.
+    // ONE-JOB bulk path (callers opting in via bulkStats — the plain
+    // bin-pack shape): when several groups share one partition-column
+    // list, the whole picked set rewrites through a single
+    // partitionBy write, repartitioned on the partition columns so
+    // each leaf bin-packs to one file — instead of one serial Spark
+    // job per signature (wall ∝ touched-partition count otherwise).
+    val colLists = picked.toSeq.map(sigCols).distinct
+    val bulk = bulkStats.isDefined && groups.size > 1 &&
+      colLists.size == 1 && colLists.head.nonEmpty
+    val newRows =
+      if (bulk) {
+        val survivors = segsMinusTombs(spark, dir, picked.toSeq, tombs,
+          evolved, dvs)
+        val cols = colLists.head
+        statsGuard(survivors, bulkStats.get, op)
+        writeDataSegment(
+          survivors.repartition(cols.map(col): _*), dir, v,
+          bulkStats.get, cols, op, prefix = 'c')
+      } else groups.toSeq.sortBy(_._1).flatMap { case (sig, gsegs) =>
+        val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
+          dvs)
+        val (seg, extra) = writeGroup(survivors, sig, v)
+        (("seg", seg)) +: extra
+      }
     val keptSegs = segs.filterNot(picked)
     // a tombstone only matters while SOME remaining segment predates
     // it (the rewritten segments commit at v, above them all)
@@ -1338,6 +1390,13 @@ object SnapshotStore {
       case ("evo", _) => keptSegs.nonEmpty || groups.size > 1
       case _ => true // txn carry
     }
+    // a fully-tombstoned picked set under the bulk path writes no
+    // leaves — publishing a data-less manifest would break every later
+    // read (the compactPartitioned guard class)
+    require(keptSegs.nonEmpty || newRows.exists(_._1 == "seg"),
+      s"$op: the survivor set at $dir is empty — nothing to compact " +
+        s"(every picked row is tombstoned); use commitDelete semantics " +
+        s"or vacuum instead")
     commitManifest(spark, dir, v, keptRows ++ newRows, op)
     Some(v)
   }

@@ -1889,6 +1889,74 @@ class SnapshotStoreSpec extends SparkSpecBase {
       SnapshotStore.clone(spark, "s3://bucket/t", freshDir("clx"))
   }
 
+  test("one-job partitioned rewrites: multi-partition DELETE WHERE and bin-pack write one root, stay exact, keep pruning") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("onejob")
+    val pop = langPop(600)
+    // three stats-carrying partitioned ingests → 9 leaves (3 langs × 3)
+    Seq(col("doc_id") <= 200,
+        col("doc_id").between(201, 400), col("doc_id") > 400)
+      .foreach(band => SnapshotStore.commitAppend(pop.filter(band), dir,
+        statsCols = Seq("doc_id"), partitionBy = Seq("lang")))
+    def segsAt(d: String, v: Int) =
+      spark.read.parquet(f"$d/manifest/v$v%06d")
+        .collect().filter(_.getString(0) == "seg").map(_.getString(1))
+    // a delete spanning EVERY partition: all 9 leaves suspect, one
+    // shared partition-column list → the ONE-JOB bulk rewrite
+    val res = SnapshotStore.commitDeleteWhere(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 150L, 450L)), "doc_id",
+      statsCols = Seq("doc_id")).get
+    res.segsRewritten shouldBe 9
+    val rewritten = segsAt(dir, res.version).filter(_.startsWith("seg/c"))
+    rewritten.length shouldBe 3 // one leaf per lang survives
+    // ONE write job ⇒ every leaf shares the same commit root
+    rewritten.map(_.split('/').take(2).mkString("/")).distinct
+      .length shouldBe 1
+    rewritten.foreach(_ should include("/__p_lang="))
+    SnapshotStore.read(spark, dir).count() shouldBe
+      pop.where(!col("doc_id").between(150L, 450L)).count()
+    // partition pruning survives the bulk rewrite
+    val scan = SnapshotStore.readPrunedRange(spark, dir, Nil,
+      parts = Map("lang" -> Set("en")))
+    scan.segsRead should be < scan.segsTotal
+    scan.df.count() shouldBe pop.where(col("lang") === "en" &&
+      !col("doc_id").between(150L, 450L)).count()
+    // the bin-pack cadence takes the same one-root path: 3+ small
+    // leaves per lang fold into ONE commit root of 3 leaves
+    val dir2 = freshDir("onejob2")
+    Seq(col("doc_id") <= 200,
+        col("doc_id").between(201, 400), col("doc_id") > 400)
+      .foreach(band => SnapshotStore.commitAppend(pop.filter(band), dir2,
+        statsCols = Seq("doc_id"), partitionBy = Seq("lang")))
+    val vb = SnapshotStore.compactSmall(spark, dir2,
+      maxSegBytes = 1L << 30, statsCols = Seq("doc_id")).get
+    val binned = segsAt(dir2, vb)
+    binned.length shouldBe 3
+    binned.map(_.split('/').take(2).mkString("/")).distinct
+      .length shouldBe 1
+    SnapshotStore.segmentCounts(spark, dir2)._1 shouldBe 3
+    SnapshotStore.read(spark, dir2).count() shouldBe 600
+    // bin-packed leaves hold ONE file each (the repartition-by-cols
+    // placement — the point of the pack)
+    binned.foreach { leaf =>
+      new java.io.File(s"$dir2/$leaf").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) shouldBe 1
+    }
+    // mixed layouts (an unpartitioned segment in the suspect set)
+    // fall back to per-signature rewrites and stay exact
+    val dir3 = freshDir("onejob3")
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") <= 300), dir3,
+      statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    SnapshotStore.commitAppend(pop.filter(col("doc_id") > 300), dir3,
+      statsCols = Seq("doc_id"))
+    SnapshotStore.commitDeleteWhere(spark, dir3,
+      Seq(LayoutOps.ColRange("doc_id", 250L, 350L)), "doc_id",
+      statsCols = Seq("doc_id"))
+    SnapshotStore.read(spark, dir3).count() shouldBe
+      pop.where(!col("doc_id").between(250L, 350L)).count()
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
