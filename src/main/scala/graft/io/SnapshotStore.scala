@@ -2440,6 +2440,145 @@ object SnapshotStore {
       segsRead = live.size, segsTotal = segs.size)
   }
 
+  /** [[sumPrunedRange]]'s evidence: the exact sum (null when every
+    * probed value is null or no row matches), the non-null value
+    * count (SUM's and AVG's denominator), and the scan split.
+    */
+  final case class SumScan(sum: java.math.BigDecimal, count: Long,
+      filesScanned: Int, filesMetaAnswered: Int, filesTotal: Int,
+      segsRead: Int = -1, segsTotal: Int = -1)
+
+  /** Metadata-answered SUM (and AVG via sum/count — the last member
+    * of the aggregate-pushdown family COUNT/MIN/MAX opened): the
+    * exact sum of `target` over rows satisfying the conjunction of
+    * `ranges` and `parts`. A CONTAINED file (probe min/max inside the
+    * range, zero probe nulls, exactly-matched partition values)
+    * contributes its recorded `sum_<target>` and its non-null count
+    * (`n_rows - nulls_<target>`) without being opened; boundary
+    * files scan; disjoint files skip. INTEGRAL target columns only,
+    * loudly: sums ride DECIMAL(38,0) end to end (per-file at write,
+    * combine here, cast at the edge), so the answer is exact and
+    * merge-order-free — a floating target would make the
+    * metadata-answered value disagree with a scan by fold order,
+    * which is the one wrong thing a metadata face can do (aggregate
+    * `readPrunedRange(...).df` for those). Tombstones/DVs refuse; a
+    * contained file without a recorded sum downgrades to a scan.
+    */
+  def sumPrunedRange(spark: SparkSession, dir: String,
+      target: String, ranges: Seq[graft.ops.LayoutOps.ColRange],
+      version: Option[Int] = None,
+      parts: Map[String, Set[String]] = Map.empty): SumScan = {
+    import graft.ops.LayoutOps
+    require(ranges.nonEmpty || parts.nonEmpty,
+      "sumPrunedRange needs at least one range or partition predicate")
+    require(parts.forall(_._2.nonEmpty),
+      s"sumPrunedRange: empty allowed-value set for partition " +
+        s"column(s) ${parts.filter(_._2.isEmpty).keys.mkString(",")}")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"snapshot version $v does not exist at $dir (have " +
+        s"${vs.mkString(",")}) — vacuumed or never committed")
+    val rows = readManifestRows(spark, dir, v)
+    val segs = rows.collect { case ("seg", p) => p }
+    require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
+    require(rows.count(_._1 == "tomb") == 0 && rows.count(_._1 == "dv") == 0,
+      s"sumPrunedRange: v$v at $dir carries tombstones/deletion " +
+        s"vectors — hidden rows defeat row metadata; compact first, " +
+        s"or aggregate readPrunedRange(...).df")
+    val evolved = rows.exists(_._1 == "evo")
+    val probeCols = ranges.map(_.col) ++ parts.keys :+ target
+    rangeColsGuard(spark, dir, segs, evolved, probeCols, "sumPrunedRange")
+    // the integral-only contract, checked against the store's own type
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = spark.read.parquet(s"$dir/${segs.head}").schema
+        .find(_.name == target).map(_.dataType)
+      dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) | None => ()
+        case Some(t) => throw new IllegalArgumentException(
+          s"sumPrunedRange: target '$target' is ${t.simpleString} — " +
+            s"only integral sums are exact and merge-order-free; " +
+            s"aggregate readPrunedRange(...).df for floating columns")
+      }
+    }
+    val live = segs.filter(partKeep(_, parts))
+    val statsOf: Map[String, Seq[String]] = rows.collect {
+      case ("stats", s) => parseStatsRow(s)
+    }.toMap.filter { case (seg, _) => live.contains(seg) }
+    val residual = (ranges.map(rg =>
+        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+      .reduce(_ && _)
+    val fs = hfs(spark, dir)
+    var acc: java.math.BigDecimal = null
+    var cnt = 0L
+    def accAdd(x: java.math.BigDecimal): Unit =
+      if (x != null) acc = if (acc == null) x else acc.add(x)
+    var metaFiles = 0
+    var filesTotal = 0
+    val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
+    segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
+      val usable = ranges.filter(rg =>
+        ss.have.contains(s"min_${rg.col}") &&
+          ss.have.contains(s"max_${rg.col}"))
+      val partVals = segPartValues(seg)
+      val partExact = parts.forall { case (c, allowed) =>
+        partVals.get(c).exists(allowed.contains)
+      }
+      val hasSum = ss.have.contains(s"sum_$target") &&
+        ss.have.contains(s"nulls_$target") && ss.have.contains("n_rows")
+      filesTotal += ss.filesTotal
+      val toScan = scala.collection.mutable.Buffer.empty[String]
+      ss.rows.foreach { r =>
+        if (partExact && hasSum &&
+            LayoutOps.containedFile(r, ranges, ss.have)) {
+          metaFiles += 1
+          val i = r.fieldIndex(s"sum_$target")
+          // a null recorded sum = the file's target is all-null: SQL
+          // SUM skips it and the count contribution is zero
+          if (!r.isNullAt(i)) {
+            accAdd(r.getDecimal(i))
+            cnt += r.getAs[Long]("n_rows") -
+              r.getAs[Long](s"nulls_$target")
+          }
+        } else if (LayoutOps.keepFile(r, usable))
+          toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
+      }
+      if (toScan.nonEmpty) scan(seg) = toScan.toSeq
+    }
+    live.filterNot(statsOf.contains).foreach { seg =>
+      val all = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$seg"))
+        .toSeq.map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        .map(_.toString)
+      filesTotal += all.size
+      if (all.nonEmpty) scan(seg) = all
+    }
+    def sumOf(files: Seq[String]): Unit = {
+      val f = spark.read.parquet(files: _*)
+      if (!probeCols.exists(!f.columns.contains(_))) {
+        val r = f.where(residual).agg(
+          sum(col(target).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))),
+          count(col(target))).head()
+        if (!r.isNullAt(0)) {
+          accAdd(r.getDecimal(0))
+          cnt += r.getLong(1)
+        }
+      }
+    }
+    val scannedFiles = scan.values.map(_.size).sum
+    if (scan.nonEmpty) {
+      if (!evolved) sumOf(scan.values.flatten.toSeq)
+      else scan.values.foreach(sumOf)
+    }
+    SumScan(acc, cnt, scannedFiles, metaFiles, filesTotal,
+      segsRead = live.size, segsTotal = segs.size)
+  }
+
   /** SHOW PARTITIONS with row counts, answered from METADATA alone
     * (the Delta `SHOW PARTITIONS` / `DESCRIBE DETAIL` observability
     * face): per distinct partition tuple of the pinned snapshot, the

@@ -556,6 +556,61 @@ object CorpusOps {
       splits, key = col("cluster_id"))
   }
 
+  /** CONTIGUOUS SEQUENCE PACKING (the GPT-style concat-and-chunk
+    * training layout): documents concatenate in `idCol` order into one
+    * token stream chunked every `seqLen` tokens; each document reports
+    * its global token offset and the first/last training sequence it
+    * lands in — the map a data loader needs to locate any document,
+    * and the straddle evidence a boundary-loss policy thresholds on.
+    *
+    * The global offset is an EXCLUSIVE PREFIX SUM, computed in the
+    * scalable two-phase shape (never one global-ORDER window, which
+    * plans a single task): range-repartition on the order key, PIN the
+    * partitioning (RangePartitioner samples — two unpinned consumers
+    * could disagree on bounds), collect one total per partition
+    * (`nBuckets` rows), prefix-fold them on the driver, broadcast the
+    * offsets back, and window WITHIN each partition. The only wide
+    * exchanges move (id, token-count) pairs — tens of bytes per
+    * document whatever the corpus size. Division is integral (`div`),
+    * exact at any long. Null/negative token counts raise in-plan (a
+    * null would silently shift every later document's offset).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokens: Column,
+      seqLen: Long, nBuckets: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val guarded = when(tokens.isNull || tokens < 0, raise_error(lit(
+      "packSequences: null/negative token count — every later " +
+        "document's offset would silently shift; clean upstream")))
+      .otherwise(tokens.cast("long"))
+    val pinned = Checkpoints.cut(
+      docs.select(col(idCol), guarded.as("n_tokens"))
+        .repartitionByRange(nBuckets, col(idCol))
+        .withColumn("__pid", spark_partition_id()),
+      eager = true)
+    val totals = pinned.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    pinned.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+      .withColumn("tok_start",
+        col("__off") + col("__cum") - col("n_tokens"))
+      .withColumn("first_pack", expr(s"tok_start div ${seqLen}L"))
+      .withColumn("last_pack",
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) div ${seqLen}L"))
+          .otherwise(expr(s"tok_start div ${seqLen}L")))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("first_pack"), col("last_pack"))
+  }
+
   /** Per-stratum KL divergence of the unigram token distribution vs
     * the whole corpus — the domain-shift metric a mixture curator
     * reads before reweighting (which sources sound least like the

@@ -186,10 +186,30 @@ object LayoutOps {
     // never collects the binaries (verdicts are computed in the
     // sidecar read plan), but sidecar bytes on disk are still
     // files × filterBytes.
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"),
-      count(when(col(c).isNull, 1)).as(s"nulls_$c"))) ++
+    // integral stats columns ALSO record an exact per-file sum
+    // (DECIMAL(38,0) — overflow-proof, merge-order-free), which is
+    // what lets [[graft.io.SnapshotStore.sumPrunedRange]] answer
+    // SUM/AVG over contained files from metadata alone. Floating
+    // columns get none: a double sum is order-dependent, so a
+    // metadata-answered value could disagree with a scan — the same
+    // exactness discipline that keeps the COUNT/MIN/MAX faces honest.
+    val aggs = statsCols.flatMap { c =>
+      val base = Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+      val sums = data.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          Seq(sum(col(c).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as(s"sum_$c"))
+        case _ => Seq.empty
+      }
+      base ++ sums
+    } ++
       bloomCols.map(c => bloomAgg(col(c), bloomExpectedItems, bloomFpp)
         .as(s"bloom_$c")) :+
       count(lit(1)).as("n_rows")

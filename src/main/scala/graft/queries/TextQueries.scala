@@ -3976,6 +3976,78 @@ object TextQueries {
       SnapshotStore.read(s, s"$root/dst")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // Metadata-answered SUM/AVG (SnapshotStore.sumPrunedRange — the
+    // last member of the aggregate-pushdown family q202/q220/q223
+    // built): integral stats columns record an exact DECIMAL(38,0)
+    // per-file sum at commit time, so contained files contribute
+    // their recorded sum + non-null count without being opened,
+    // boundary files scan, disjoint files skip — same three-class
+    // gates as q223, over the same banded fixture (read-only shared).
+    // AVG = one correctly-rounded DECIMAL→double cast then one
+    // division, identical in both engines. The oracle is the raw
+    // aggregate, blind to the store.
+    Q("q227_snapshot_sum_metadata",
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(n_chars) AS n,
+        |       CAST(CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
+        |            AS DOUBLE) AS avg_chars
+        |FROM documents WHERE n_chars BETWEEN 150 AND 360""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q223", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq(col("n_chars") < 150,
+            col("n_chars").between(150, 299),
+            col("n_chars").between(300, 449),
+            col("n_chars") >= 450)
+          .foreach(band => SnapshotStore.commitAppend(
+            docs.filter(band).repartition(3), r,
+            statsCols = Seq("n_chars", "doc_id")))
+        ()
+      }
+      val probe = Seq(LayoutOps.ColRange("n_chars", 150L, 360L))
+      val ss = SnapshotStore.sumPrunedRange(s, root, "n_chars", probe)
+      require(ss.filesMetaAnswered > 0,
+        s"metadata answering went dead: 0 of ${ss.filesTotal} files " +
+          s"answered from recorded sums for a whole-band probe")
+      require(ss.filesScanned > 0 &&
+          ss.filesScanned + ss.filesMetaAnswered < ss.filesTotal,
+        s"the scan split collapsed: scanned ${ss.filesScanned} + meta " +
+          s"${ss.filesMetaAnswered} of ${ss.filesTotal} files")
+      val sumL = ss.sum.longValueExact
+      Seq((sumL, ss.count, ss.sum.doubleValue / ss.count))
+        .toDF("sum_chars", "n", "avg_chars")
+    },
+
+    // Contiguous sequence packing (CorpusOps.packSequences — the
+    // GPT-style concat-and-chunk training layout): every document's
+    // global token offset and the first/last 512-token training
+    // sequence it lands in. The exclusive prefix sum runs in the
+    // scalable two-phase shape (range-repartition pinned, per-
+    // partition totals collected and prefix-folded, within-partition
+    // windows — never a single-task global-order window); the oracle
+    // replays the definitional global cumsum window, so the phase
+    // split must be exactly invisible. Integral division both sides.
+    Q("q228_sequence_packing",
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS tok_start
+         |  FROM d)
+         |SELECT doc_id, n_tokens, tok_start,
+         |  tok_start // 512 AS first_pack,
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |       ELSE tok_start // 512 END AS last_pack
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), seqLen = 512L)
+        .orderBy(col("doc_id"))
     }
   )
 }

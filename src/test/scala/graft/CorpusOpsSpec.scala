@@ -648,4 +648,36 @@ class CorpusOpsSpec extends SparkSpecBase {
       CorpusOps.lengthQuantiles(docs, Seq("lang"), col("doc_id"),
         Seq(0.251, 0.252))
   }
+
+  test("packSequences: two-phase prefix sum ≡ definitional cumsum, straddles, zero-token docs, null raise") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 500L)
+      .map(i => (i, if (i % 40 == 0) 0L else (i * 7919) % 97 + 1))
+      .toDF("doc_id", "tok")
+    val out = CorpusOps.packSequences(docs, "doc_id", col("tok"),
+        seqLen = 100L, nBuckets = 7)
+      .orderBy("doc_id").collect()
+    // the definitional single-window form
+    val ref = docs.withColumn("tok_start",
+        coalesce(sum(col("tok")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(2)).toSeq shouldBe ref.map(_.getLong(2)).toSeq
+    // pack arithmetic: first/last from the offset, zero-token docs
+    // span nothing, and the fixture genuinely straddles boundaries
+    out.foreach { r =>
+      val (tok, start, first, last) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      first shouldBe start / 100
+      if (tok > 0) last shouldBe (start + tok - 1) / 100
+      else last shouldBe first
+    }
+    out.exists(r => r.getLong(3) != r.getLong(4)) shouldBe true
+    // a null token count raises in-plan
+    an[Exception] should be thrownBy
+      CorpusOps.packSequences(
+        Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "tok"),
+        "doc_id", col("tok"), seqLen = 10L).collect()
+  }
 }

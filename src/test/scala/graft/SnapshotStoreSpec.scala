@@ -1957,6 +1957,60 @@ class SnapshotStoreSpec extends SparkSpecBase {
       pop.where(!col("doc_id").between(250L, 350L)).count()
   }
 
+  test("sumPrunedRange: contained files answer from recorded sums, floats refuse, missing sums downgrade to scans") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("sumrange")
+    val pop = (1L to 900L).map(i => (i, (i - 1) / 3, s"r$i"))
+      .toDF("doc_id", "n", "text") // n in 0..299, 3 rows per n
+    Seq(0L, 100L, 200L).foreach(lo =>
+      SnapshotStore.commitAppend(
+        pop.where(col("n").between(lo, lo + 99)).repartition(2), dir,
+        statsCols = Seq("n", "doc_id")))
+    val probe = Seq(LayoutOps.ColRange("n", 100L, 250L))
+    val ss = SnapshotStore.sumPrunedRange(spark, dir, "doc_id", probe)
+    // doc ids with n in [100,250] are 301..753
+    ss.sum.longValueExact shouldBe (301L to 753L).sum
+    ss.count shouldBe 453L
+    ss.filesMetaAnswered should be > 0
+    ss.filesScanned should be > 0
+    (ss.filesScanned + ss.filesMetaAnswered) should be < ss.filesTotal
+    // AVG's denominator is the NON-NULL count: plant nulls in a store
+    // whose probe band is fully contained
+    val dn = freshDir("sumnull")
+    val popN = (1L to 300L).map(i =>
+        (i, i % 10, if (i % 5 == 0) None else Some(i)))
+      .toDF("doc_id", "n", "v")
+    SnapshotStore.commitAppend(popN, dn, statsCols = Seq("n", "v"))
+    val sn = SnapshotStore.sumPrunedRange(spark, dn, "v",
+      Seq(LayoutOps.ColRange("n", 0L, 9L)))
+    sn.sum.longValueExact shouldBe (1L to 300L).filter(_ % 5 != 0).sum
+    sn.count shouldBe 240L
+    sn.filesMetaAnswered shouldBe sn.filesTotal
+    // a floating target refuses loudly (order-dependent sums are the
+    // one thing a metadata answer must never return)
+    val df = freshDir("sumfloat")
+    SnapshotStore.commitAppend(
+      (1L to 10L).map(i => (i, i / 2.0)).toDF("doc_id", "x"), df,
+      statsCols = Seq("doc_id", "x"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.sumPrunedRange(spark, df, "x",
+        Seq(LayoutOps.ColRange("doc_id", 1L, 5L)))
+    // a target with no recorded stats downgrades every contained file
+    // to a scan — exact, zero metadata answers
+    val dg = freshDir("sumdown")
+    SnapshotStore.commitAppend(pop.where(col("n") < 100), dg,
+      statsCols = Seq("n"))
+    val sg = SnapshotStore.sumPrunedRange(spark, dg, "doc_id",
+      Seq(LayoutOps.ColRange("n", 0L, 99L)))
+    sg.sum.longValueExact shouldBe (1L to 300L).sum
+    sg.filesMetaAnswered shouldBe 0
+    sg.filesScanned shouldBe sg.filesTotal
+    // hidden-row views refuse
+    SnapshotStore.commitDelete(Seq(5L).toDF("doc_id"), "doc_id", dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.sumPrunedRange(spark, dir, "doc_id", probe)
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
