@@ -1,0 +1,78 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native BINARY QUANTIZATION of a float vector: bit i (MSB-first) of
+  * the output long is `vec[i] > 0` — the 1-bit-per-dimension
+  * compression modern vector stores run their first-pass ranking on
+  * (64-dim embeddings collapse to ONE long: 64× smaller than f32, and
+  * Hamming distance via `bit_count(a ^ b)` approximates angular
+  * distance well enough to shortlist candidates for an exact-cosine
+  * rerank). Unlike [[PlaneSigns]] (random hyperplanes → a bucket KEY
+  * string), this is the per-DIMENSION sign code ranked by Hamming —
+  * the quantization face, not the LSH face.
+  *
+  * Contract: up to 64 dimensions (loud otherwise — silently dropping
+  * dimensions would make distances lie); bit (63 − i) holds dimension
+  * i so codes of equal-dim vectors compare as plain longs; a NULL
+  * element throws LOUDLY (the [[PlaneSigns]] corrupt-input policy: a
+  * silent zero bit would fold every corrupt vector toward one code,
+  * inflating its neighborhood instead of surfacing the corruption);
+  * a null vector is null.
+  */
+case class SignBits64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_bits64 requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits64"
+
+  override def nullSafeEval(vec: Any): Any =
+    SignBits64.compute(vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.SignBits64.compute($v)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBits64 = copy(child = newChild)
+}
+
+object SignBits64 {
+
+  /** Named `compute`, never `eval` (the inherited-member collision
+    * silently kills codegen — ExprSpec's guard).
+    */
+  def compute(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    if (n > 64)
+      throw new IllegalArgumentException(
+        s"sign_bits64: vector has $n dims — one long holds at most 64; " +
+          s"silently truncating would make Hamming distances lie")
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sign_bits64: null element at dim $i — a silent zero bit " +
+            s"folds corrupt vectors into one code; clean upstream")
+      if (vec.getFloat(i) > 0f) bits |= 1L << (63 - i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Column form. */
+  def signBits(vec: Column): Column =
+    ColumnBridge.column(SignBits64(ColumnBridge.expression(vec)))
+}

@@ -611,6 +611,50 @@ object CorpusOps {
         col("first_pack"), col("last_pack"))
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE (the training-data permutation —
+    * every epoch pipeline's first op, and the one most often done
+    * wrong at scale): each document's position in a seeded
+    * pseudo-random total order, as a dense 0-based `shuffle_pos`.
+    * The order key is `md5(seed || id)` — reproducible across runs,
+    * engines and partitionings (no RNG state), re-seedable per epoch,
+    * and oracle-replayable. Collisions can't happen below md5-break
+    * scale, but the id rides as an explicit tie-break anyway so the
+    * contract never rests on that.
+    *
+    * The dense rank is the same scalable two-phase prefix shape as
+    * [[packSequences]] (an exclusive prefix COUNT instead of a token
+    * sum): range-repartition on the hash key, PIN (RangePartitioner
+    * samples), per-partition counts collected and prefix-folded,
+    * within-partition row_number — never a global-ORDER window's
+    * single task. Wide exchanges move (id, 32-byte hash) pairs.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String, seed: String,
+      nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val key = md5(concat(lit(seed), lit("|"),
+      col(idCol).cast("string")).cast("binary"))
+    val pinned = Checkpoints.cut(
+      docs.select(col(idCol), key.as("__k"))
+        .repartitionByRange(nBuckets, col("__k"), col(idCol))
+        .withColumn("__pid", spark_partition_id()),
+      eager = true)
+    val totals = pinned.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    pinned.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(
+          Window.partitionBy(col("__pid"))
+            .orderBy(col("__k"), col(idCol))).cast("long") - 1L)
+      .select(col(idCol), col("shuffle_pos"))
+  }
+
   /** Per-stratum KL divergence of the unigram token distribution vs
     * the whole corpus — the domain-shift metric a mixture curator
     * reads before reweighting (which sources sound least like the

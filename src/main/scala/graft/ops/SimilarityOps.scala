@@ -386,6 +386,61 @@ object SimilarityOps {
     * one co-partitioned self-join, threshold filter before anything
     * else touches the pairs.
     */
+  /** BINARY-QUANTIZATION search (the 1-bit compression face modern
+    * vector stores first-pass rank on — SQ8's smaller sibling, PQ's
+    * simpler one): every vector collapses to ONE long of per-dimension
+    * sign bits ([[graft.expr.SignBits64]] — 64× smaller than f32), the
+    * candidate pass ranks by Hamming distance (`bit_count(a ^ b)` —
+    * integral, branch-free, exactly what the oracle replays), and only
+    * the top-`rerank` shortlist is rescored by exact cosine for the
+    * top-`k` answer.
+    *
+    * Shape at 100 TB: the Hamming pass streams a 16-byte (id, bits)
+    * projection of the corpus past the broadcast query codes — vectors
+    * NEVER ride it — and the rank-≤-rerank filter plans the
+    * Partial+Final WindowGroupLimit pair, so ~rerank winners per query
+    * shuffle. The shortlist (queries × rerank rows) pins once and
+    * broadcasts back against the corpus for the refine pass, so the
+    * full vectors move for shortlist members only. Self-matches are
+    * excluded (a query finds its neighbors, not itself). Ranks are
+    * unique via the (hamming, id) / (cosine DESC, id) tie-breaks.
+    */
+  def bqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      rerank: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= k,
+      s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val qb = queries.select(col(qidCol),
+      graft.expr.SignBits64.signBits(col(qvecCol)).as("__qbits"))
+    val cand = corpus
+      .select(col(idCol),
+        graft.expr.SignBits64.signBits(col(vecCol)).as("__bits"))
+      .crossJoin(broadcast(qb))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("hamming",
+        bit_count(col("__bits").bitwiseXOR(col("__qbits"))).cast("long"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("hamming"), col(idCol))))
+      .where(col("__r") <= rerank)
+      .select(col(qidCol), col(idCol), col("hamming"))
+      .localCheckpoint(true) // pin the shortlist; both its broadcast
+    // and the output consume it, and the Hamming pass must run once
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        Seq(qidCol))
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col(qidCol))
+            .orderBy(col("cosine").desc, col(idCol)))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("corpus_id"), col("hamming"),
+        col("cosine"), col("rank"))
+  }
+
   /** SEMANTIC decontamination — the paraphrase-leakage check the
     * n-gram faces ([[graft.ops.CorpusOps.decontaminate]] /
     * `decontaminateMapSide` / `decontaminateBloom`) cannot catch: an

@@ -4048,6 +4048,62 @@ object TextQueries {
       CorpusOps.packSequences(t(s, dir, "documents"), "doc_id",
           TextOps.tokenCount(col("text")), seqLen = 512L)
         .orderBy(col("doc_id"))
+    },
+
+    // Binary-quantization search (SimilarityOps.bqSearch +
+    // expr/SignBits64): vectors collapse to one long of per-dimension
+    // sign bits (64× smaller than f32), candidates rank by Hamming
+    // (bit_count(xor) — integral), the top-50 shortlist reranks by
+    // exact cosine to top-5. The Hamming pass streams a 16-byte
+    // (id, bits) projection past the broadcast query codes — vectors
+    // only move for shortlist members. The oracle replays the sign
+    // comparison per dimension (never materializing the long, so the
+    // bit layout is proven irrelevant), the same (hamming, id) /
+    // (cosine DESC, id) two-stage ranking, and the self-exclusion.
+    Q("q229_bq_search", {
+      val cos = cosineSql("cv", "qv")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |h AS (SELECT q.qid, c.vec_id, cv, qv,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> (cv[i] > 0) <> (qv[i] > 0))) AS BIGINT) AS hamming
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, hamming, cv, qv FROM h
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY qid ORDER BY hamming, vec_id) <= 50),
+         |r AS (SELECT qid, vec_id AS corpus_id, hamming,
+         |        $cos AS cosine,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY $cos DESC, vec_id) AS rank
+         |      FROM cand)
+         |SELECT qid, corpus_id, hamming, cosine, rank FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bqSearch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", rerank = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Deterministic global shuffle (CorpusOps.globalShuffle — the
+    // per-epoch training permutation): dense 0-based position in the
+    // md5(seed || id) total order, computed by the same pinned
+    // two-phase prefix machinery as q228 (an exclusive prefix COUNT)
+    // — never a single-task global window. The oracle replays the
+    // definitional row_number over the hash order, so the phase split
+    // must be exactly invisible; changing the seed re-permutes
+    // (spec-pinned).
+    Q("q230_global_shuffle",
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)),
+        |             doc_id) AS BIGINT) - 1 AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.globalShuffle(t(s, dir, "documents"), "doc_id", "ep1")
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -680,4 +680,22 @@ class CorpusOpsSpec extends SparkSpecBase {
         Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "tok"),
         "doc_id", col("tok"), seqLen = 10L).collect()
   }
+
+  test("globalShuffle: a dense 0-based permutation, reproducible, re-seeded per epoch, bucket-count invariant") {
+    val docs = (1L to 400L).toDF("doc_id")
+    def posOf(seed: String, buckets: Int): Map[Long, Long] =
+      CorpusOps.globalShuffle(docs, "doc_id", seed, buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = posOf("ep1", 8)
+    // a PERMUTATION: dense 0-based positions, each exactly once
+    a.values.toSeq.sorted shouldBe (0L until 400L)
+    // deterministic across runs AND across bucket counts (the phase
+    // split must be invisible)
+    posOf("ep1", 3) shouldBe a
+    // a different seed is a different permutation (and visibly
+    // shuffled, not the identity)
+    val b = posOf("ep2", 8)
+    b should not be a
+    (1L to 400L).count(i => a(i) == i - 1) should be < 40
+  }
 }

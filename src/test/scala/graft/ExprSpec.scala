@@ -117,6 +117,18 @@ class ExprSpec extends SparkSpecBase {
       out(0).getLong(5) shouldBe 3L // max-cosine centroid's OWN cid
       out(0).getSeq[Long](6) shouldBe Seq(3L, 7L) // probe-rank order
       out(0).getDouble(7) shouldBe 0.0 // grid-exact encode → zero ADC
+      // SignBits64: MSB-first per-dimension signs; loud on > 64 dims
+      // and on null elements (corrupt vectors must not fold into one
+      // code)
+      val sb = Seq(Tuple1(Array(1f, -2f, 0f, 3f))).toDF("v")
+        .select(graft.expr.SignBits64.signBits(col("v"))).head().getLong(0)
+      sb shouldBe ((1L << 63) | (1L << 60))
+      an[Exception] should be thrownBy
+        Seq(Tuple1((1 to 65).map(_.toFloat).toArray)).toDF("v")
+          .select(graft.expr.SignBits64.signBits(col("v"))).collect()
+      an[Exception] should be thrownBy
+        Seq(Tuple1(Array(Some(1f), None))).toDF("v")
+          .select(graft.expr.SignBits64.signBits(col("v"))).collect()
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
