@@ -1897,6 +1897,47 @@ object SnapshotStore {
         allowMissingColumns = true)
   }
 
+  /** The TYPED change feed (Delta CDF's `_change_type` rendering):
+    * [[readChanges]] refined so an id that both emits a delete
+    * preimage AND a net-surviving re-insert inside the range renders
+    * as `update_preimage` (the old row) + `update_postimage` (the new
+    * row) — exactly Delta's tagging for the atomic upsert/merge, and
+    * for a cross-version delete-then-reinsert the NET-change truth
+    * this feed already promises (per-version replay is
+    * [[processChanges]]' job). Ids only ever deleted stay `delete`;
+    * ids only inserted stay `insert`. `idCol` is the pairing key (the
+    * store's tombstone key). The pairing is two id-level semi-join
+    * tags over the pinned change frame — change feeds are delta-sized,
+    * so the id sides are small by construction (AQE broadcasts them
+    * on its own; no unconditional hint, a mass-delete feed must not
+    * OOM the driver).
+    */
+  def readChangesTyped(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int, idCol: String): DataFrame = {
+    val ch = graft.ops.Checkpoints.cut(
+      readChanges(spark, dir, fromV, toV), eager = true)
+    require(ch.columns.contains(idCol),
+      s"readChangesTyped: id column '$idCol' is not in the change " +
+        s"feed's schema (${ch.columns.mkString(",")})")
+    val ins = ch.where(col("_change") === "insert")
+    val del = ch.where(col("_change") === "delete")
+    val insIds = ins.select(col(idCol)).distinct()
+      .withColumn("__has_ins", lit(true))
+    val delIds = del.select(col(idCol)).distinct()
+      .withColumn("__has_del", lit(true))
+    val typedDel = del.join(insIds, Seq(idCol), "left")
+      .withColumn("_change_type",
+        when(col("__has_ins"), lit("update_preimage"))
+          .otherwise(lit("delete")))
+      .drop("__has_ins")
+    val typedIns = ins.join(delIds, Seq(idCol), "left")
+      .withColumn("_change_type",
+        when(col("__has_del"), lit("update_postimage"))
+          .otherwise(lit("insert")))
+      .drop("__has_del")
+    typedIns.unionByName(typedDel).drop("_change")
+  }
+
   /** Read-amplification snapshot of the latest version: (data
     * segments, delete debt) from ONE manifest read — the two numbers
     * the OPTIMIZE cadence watches. Delete debt counts tombstones AND

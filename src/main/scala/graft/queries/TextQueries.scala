@@ -4104,6 +4104,51 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.globalShuffle(t(s, dir, "documents"), "doc_id", "ep1")
         .orderBy(col("doc_id"))
+    },
+
+    // Typed change feed (SnapshotStore.readChangesTyped — Delta CDF's
+    // _change_type rendering): an upsert (v2: %9 rows modified, %13
+    // rows inserted under +3000000 ids) then a delete (v3: %7 ids)
+    // over the v1 baseline. Updated rows render as update_preimage +
+    // update_postimage; a row upserted THEN deleted in-range nets to
+    // one delete whose preimage is the v1 ORIGINAL (never the hidden
+    // intermediate); fresh ids stay insert. The oracle replays the
+    // clause algebra closed-form, blind to the store.
+    Q("q231_snapshot_typed_cdf",
+      """SELECT doc_id, lang, n_chars, 'update_preimage' AS _change_type
+        |FROM documents WHERE doc_id % 9 = 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000, 'update_postimage'
+        |FROM documents WHERE doc_id % 9 = 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete'
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 3000000, lang, n_chars, 'insert'
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id, _change_type""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q231", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(docs, r)
+        SnapshotStore.commitUpsert(
+          docs.filter(col("doc_id") % 9 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 1000L).as("n_chars"))
+            .unionByName(docs.filter(col("doc_id") % 13 === 0)
+              .select((col("doc_id") + 3000000L).as("doc_id"),
+                col("lang"), col("n_chars"))),
+          "doc_id", r)
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r)
+        ()
+      }
+      SnapshotStore.readChangesTyped(s, root, 1, 3, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_change_type"))
+        .orderBy(col("doc_id"), col("_change_type"))
     }
   )
 }
