@@ -626,7 +626,13 @@ object SnapshotStore {
       val affected = matched
         .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
         .distinct().collect().map(_.getString(0)).sorted
-      matched.select(col("__dv_file"), col("__dv_ridx"))
+      // ONE file: a DV is match-sized by contract, and scattering a
+      // handful of positions over every scan task's output file pays
+      // parquet's per-file floor dozens of times (measured 22 KB for
+      // 21 rows across task files vs ~1.5 KB in one). A delete big
+      // enough for coalesce(1) to matter wants CoW mode anyway —
+      // that's the segment-rewrite regime by definition.
+      matched.select(col("__dv_file"), col("__dv_ridx")).coalesce(1)
         .write.mode("errorifexists").parquet(s"$dir/$rel")
       val bytes = fs.getContentSummary(
         new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength
