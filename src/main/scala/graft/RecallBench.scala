@@ -150,6 +150,19 @@ object RecallBench {
           emb, "vec_id", "embedding", Planes, targetBucketSize = t)
       }
     }
+    // --- Binary quantization: Hamming shortlist width sweep --------
+    // (r17 — the 1-bit face: recall is bounded by how often the true
+    // neighbor survives the 64-bit Hamming shortlist; rerank is the
+    // recall/cost knob, exactly PQ's nprobe role)
+    Seq(8, 32, 128).foreach { r =>
+      run(s"bq_r$r") {
+        SimilarityOps.bqSearch(emb, "vec_id", "embedding",
+            emb.select(col("vec_id").as("qid"),
+              col("embedding").as("qvec")),
+            "qid", "qvec", rerank = r, k = 1)
+          .select(col("qid").as("id1"), col("corpus_id").as("nearest_id"))
+      }
+    }
     // --- IVF: centroid count and training sweep --------------------
     val sqrtK = SimilarityOps.sqrtCentroidCount(n)
     def firstK(k: Int): DataFrame = emb.filter(col("vec_id") < k)

@@ -155,6 +155,45 @@ class PlanAuditSpec extends SparkSpecBase {
     lastJob should be > before
   }
 
+  test("bqSearch broadcasts codes and shortlist — WindowGroupLimit rerank, no cartesian") {
+    import spark.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => 1.0f + (i * 3 + d) % 11 - 5)))
+      .toDF("id", "vec")
+    val q = (0L until 4L).map(i =>
+      (i * 16, Array.tabulate(8)(d => 1.0f + (i + d) % 7 - 3)))
+      .toDF("qid", "qv")
+    val plan = graft.ops.SimilarityOps
+      .bqSearch(emb, "id", "vec", q, "qid", "qv", rerank = 8, k = 2)
+      .queryExecution.executedPlan.toString
+    // the rank-≤-k rerank must prune map-side (the ivfAssign shape)
+    plan should include regex "WindowGroupLimit.*Partial"
+    plan should include regex "WindowGroupLimit.*Final"
+    // the pinned shortlist and the query vectors ride broadcast hash
+    // joins in the refine (the Hamming pass sits behind the
+    // checkpoint); nothing plans an unbroadcast cartesian
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("the two-phase prefix ops window WITHIN pinned range partitions — never a global-order single partition") {
+    import spark.implicits._
+    // a global cumsum via Window.orderBy would plan an empty-key
+    // windowspec (the single-partition shape WindowExec warns about);
+    // both ops must key their window on the pinned partition id
+    val docs = (1L to 200L).map(i => (i, i % 13 + 1)).toDF("doc_id", "tok")
+    val packPlan = graft.ops.CorpusOps
+      .packSequences(docs, "doc_id",
+        org.apache.spark.sql.functions.col("tok"), seqLen = 64L,
+        nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    packPlan should include regex "windowspecdefinition\\(__pid"
+    val shufPlan = graft.ops.CorpusOps
+      .globalShuffle(docs, "doc_id", "s1", nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    shufPlan should include regex "windowspecdefinition\\(__pid"
+  }
+
   test("the Zipf top-N rank prunes map-side — WindowGroupLimit before the stratum exchange") {
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
     // the r<=64 filter over row_number must become the Partial+Final
