@@ -2962,6 +2962,27 @@ object SnapshotStore {
     v
   }
 
+  /** RESTORE TIMESTAMP AS OF (the wall-clock twin of [[restore]]):
+    * roll back to the latest version committed at or before
+    * `tsMillis` — [[versionAsOf]]'s resolution composed with the
+    * history-preserving O(1)-file rollback, the "undo everything
+    * since last night's good run" move.
+    */
+  def restoreAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int =
+    restore(spark, dir, versionAsOf(spark, dir, tsMillis))
+
+  /** What [[vacuum]] WOULD delete, without deleting it — the
+    * dry-run every destructive maintenance face owes its operator
+    * (vacuum is the store's only history-destroying operation, and
+    * the sweep's reachability math deserves inspection before the
+    * point of no return). Same arguments, same version-gated
+    * reachability scan, same returned relative paths; the filesystem
+    * is untouched.
+    */
+  def vacuumDryRun(spark: SparkSession, dir: String,
+      keepFrom: Int): Seq[String] =
+    vacuumImpl(spark, dir, keepFrom, delete = false)
+
   /** Drop history BEFORE `keepFrom`: manifests of older versions and
     * every seg/tomb directory no retained manifest references, PROVIDED
     * the directory's encoded version also predates `keepFrom`. The
@@ -2980,7 +3001,11 @@ object SnapshotStore {
     * deleted relative paths (manifests included) — the loud record of
     * what just became unreadable.
     */
-  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Int): Seq[String] =
+    vacuumImpl(spark, dir, keepFrom, delete = true)
+
+  private def vacuumImpl(spark: SparkSession, dir: String, keepFrom: Int,
+      delete: Boolean): Seq[String] = {
     val fs = hfs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"vacuum: no committed snapshot at $dir")
@@ -3026,7 +3051,8 @@ object SnapshotStore {
     val dropManifests = vs.filter(_ < keepFrom)
       .map(v => f"manifest/v$v%06d")
     (dropData ++ dropCdc ++ dropManifests).map { rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+      if (delete)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
       rel
     }
   }

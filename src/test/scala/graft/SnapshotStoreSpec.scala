@@ -2011,6 +2011,38 @@ class SnapshotStoreSpec extends SparkSpecBase {
       SnapshotStore.sumPrunedRange(spark, dir, "doc_id", probe)
   }
 
+  test("vacuumDryRun previews exactly vacuum's sweep without touching the filesystem; restoreAsOf rolls back by wall-clock") {
+    val dir = freshDir("dryrun")
+    SnapshotStore.commitAppend(docs(1 to 10), dir)
+    val t1 = SnapshotStore.commitTime(spark, dir, 1)
+    SnapshotStore.commitAppend(docs(11 to 20), dir)
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.compact(spark, dir)
+    val preview = SnapshotStore.vacuumDryRun(spark, dir, keepFrom = 4)
+    preview should not be empty
+    // nothing was touched: every previewed path still exists and all
+    // pins still read
+    SnapshotStore.versions(spark, dir) shouldBe Seq(1, 2, 3, 4)
+    SnapshotStore.read(spark, dir, Some(1)).count() shouldBe 10
+    // the real sweep drops exactly the previewed set
+    SnapshotStore.vacuum(spark, dir, keepFrom = 4) shouldBe preview
+    SnapshotStore.versions(spark, dir) shouldBe Seq(4)
+    // restoreAsOf: a wall-clock at/after v1's commit (and before v2's
+    // moment, which the fixture can't pin portably) resolves through
+    // versionAsOf — exercised on a fresh store with a mid-history
+    // timestamp
+    val rdir = freshDir("restoreasof")
+    SnapshotStore.commitAppend(docs(1 to 5), rdir)
+    val tMid = SnapshotStore.commitTime(spark, rdir, 1)
+    Thread.sleep(20)
+    SnapshotStore.commitAppend(docs(6 to 9), rdir)
+    val v = SnapshotStore.restoreAsOf(spark, rdir, tMid)
+    v shouldBe 3
+    SnapshotStore.read(spark, rdir).count() shouldBe 5
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.restoreAsOf(spark, rdir, t1 - 1000000L)
+  }
+
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
     val dir = freshDir("emptyfirst")
     val none = Seq((1L, "en")).toDF("doc_id", "lang")
