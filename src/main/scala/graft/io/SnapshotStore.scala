@@ -449,9 +449,22 @@ object SnapshotStore {
     * tombstone silently never matches the anti-join) and publish the
     * next version. Rows stay on disk; reads hide them from this
     * version on.
+    *
+    * `dv = true` is the MERGE-ON-READ twin (GDPR deletes arrive as ID
+    * LISTS, and the id face is where the right-to-be-forgotten cost
+    * story actually runs): one scan locates the ids' physical
+    * (file, row index) positions, ONE match-sized deletion-vector
+    * sidecar commits — no tombstone, no anti-join key rides every
+    * later read's plan for ids that matched nothing, and the write
+    * footprint is bytes-of-matches whatever the segment sizes.
+    * Returns the PREVIOUS latest without committing when no id
+    * matches a visible row (a positions sidecar of nothing is not a
+    * version); the tombstone mode still always commits — its contract
+    * is "hide these ids whenever they appear in OLDER segments",
+    * which is meaningful even with zero current matches.
     */
   def commitDelete(ids: DataFrame, idCol: String, dir: String,
-      cdf: Boolean = false): Int = {
+      cdf: Boolean = false, dv: Boolean = false): Int = {
     val spark = ids.sparkSession
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
@@ -473,6 +486,36 @@ object SnapshotStore {
       s"commitDelete: null id(s) in '$idCol' — a null tombstone never " +
         s"matches the read-side anti-join and the row would stay visible")
     val v = prev.max + 1
+    if (dv) {
+      // pin ONE evaluation of the id frame — the positions, the CDC
+      // preimages and the count must agree id for id
+      val pinnedIds = graft.ops.Checkpoints.cut(tomb, eager = true)
+      val rows = readManifestRows(spark, dir, prev.max)
+      val matched = graft.ops.Checkpoints.cut(
+        segsMinusTombs(spark, dir,
+            rows.collect { case ("seg", p) => p },
+            rows.collect { case ("tomb", p) => p },
+            evolved = rows.exists(_._1 == "evo"),
+            dvs = dvRowsOf(rows), keepPos = true)
+          // no unconditional broadcast hint: a mass-delete id frame
+          // must not OOM the driver (the tombBroadcastGate philosophy
+          // — AQE broadcasts genuinely small id sides on its own)
+          .join(pinnedIds, Seq(idCol), "left_semi"),
+        eager = true)
+      if (matched.isEmpty) return prev.max
+      val rel = s"dv/${uniqueName('d', v)}"
+      val affected = matched
+        .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
+        .distinct().collect().map(_.getString(0)).sorted
+      matched.select(col("__dv_file"), col("__dv_ridx")).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
+        matched.drop("__dv_file", "__dv_ridx")))
+      commitManifestCdc(spark, dir, v,
+        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel,
+        "delete")
+      return v
+    }
     val tp = s"tomb/${uniqueName('t', v)}"
     tomb.write.mode("errorifexists").parquet(s"$dir/$tp")
     // cdf: the preimages (pre-delete view, semi-joined on the ids)

@@ -1707,6 +1707,38 @@ class SnapshotStoreSpec extends SparkSpecBase {
     dropped.count(_.startsWith("dv/")) shouldBe 2
   }
 
+  test("commitDelete(dv = true): id-list merge-on-read — match-sized sidecar, no tombstone, no-match commits nothing") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("dvids")
+    SnapshotStore.commitAppend(fatDocs(1 to 3000).repartition(3), dir,
+      statsCols = Seq("doc_id"))
+    val vBefore = SnapshotStore.versions(spark, dir).max
+    // the GDPR shape: delete BY ID LIST; some ids match nothing
+    val v = SnapshotStore.commitDelete(
+      Seq(100L, 200L, 999999L).toDF("doc_id"), "doc_id", dir,
+      cdf = true, dv = true)
+    v shouldBe vBefore + 1
+    SnapshotStore.read(spark, dir).count() shouldBe 2998
+    SnapshotStore.read(spark, dir)
+      .where(col("doc_id").isin(100L, 200L)).count() shouldBe 0
+    // no tombstone rides the commit — the delete debt is the ONE dv
+    SnapshotStore.segmentCounts(spark, dir)._2 shouldBe 1
+    // CDC preimages: exactly the two matched rows
+    SnapshotStore.readChanges(spark, dir, vBefore, v)
+      .where(col("_change") === "delete").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(100L, 200L)
+    // an all-miss id list commits NOTHING (a positions sidecar of
+    // nothing is not a version)
+    SnapshotStore.commitDelete(Seq(888888L).toDF("doc_id"), "doc_id",
+      dir, dv = true) shouldBe v
+    SnapshotStore.versions(spark, dir).max shouldBe v
+    // time travel + pruned reads resolve the id-based DV too
+    SnapshotStore.read(spark, dir, Some(vBefore)).count() shouldBe 3000
+    SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 90L, 210L))).df
+      .count() shouldBe 121L - 2L
+  }
+
   test("deletion vectors on a partitioned store: untouched-partition probes never plan the anti-join; CoW deletes fold existing DVs") {
     import graft.ops.LayoutOps
     val dir = freshDir("dvpart")
