@@ -87,6 +87,21 @@ object DecontamBench {
       graft.ops.CorpusOps.decontaminateBloom(corpus, benchClean,
         "doc_id", "text", k = 3, threshold = 0.2)
     }
+
+    // the SEMANTIC face (r17): paraphrase leakage via embeddings — the
+    // eval table broadcasts as one flat float table and the corpus
+    // streams past it in one codegen'd argmax pass, so the number to
+    // watch is shuffle ≈ 0 MB whatever the corpus size (the map-side
+    // decontaminate economics, with cosine instead of n-grams)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embCorpus = emb.filter(col("vec_id") % 11 =!= 0)
+    val embBench = emb.filter(col("vec_id") % 11 === 0)
+    timed("semantic") {
+      graft.ops.SimilarityOps.semanticDecontaminate(embCorpus, "vec_id",
+        "embedding", embBench, "vec_id", "embedding",
+        tau = 0.4, dim = 64)
+    }
     spark.stop()
   }
 }
