@@ -503,17 +503,9 @@ object SnapshotStore {
           .join(pinnedIds, Seq(idCol), "left_semi"),
         eager = true)
       if (matched.isEmpty) return prev.max
-      val rel = s"dv/${uniqueName('d', v)}"
-      val affected = matched
-        .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
-        .distinct().collect().map(_.getString(0)).sorted
-      matched.select(col("__dv_file"), col("__dv_ridx")).coalesce(1)
-        .write.mode("errorifexists").parquet(s"$dir/$rel")
-      val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
-        matched.drop("__dv_file", "__dv_ridx")))
-      commitManifestCdc(spark, dir, v,
-        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel,
-        "delete")
+      val (dvRow, cdcRel, _) =
+        writeDeletionVector(spark, dir, v, matched, cdf)
+      commitManifestCdc(spark, dir, v, rows :+ dvRow, cdcRel, "delete")
       return v
     }
     val tp = s"tomb/${uniqueName('t', v)}"
@@ -661,29 +653,10 @@ object SnapshotStore {
       // merge-on-read: ONE match-sized position sidecar, nothing
       // rewritten, no tombstone (the DV is position-exact — the MVCC
       // ordering rule exists for id matching, which this mode never
-      // does). The affected-segment list (each file's parent dir IS
-      // its manifest segment path) rides the manifest row so reads
-      // skip the anti-join for untouched segment sets and compaction
-      // knows when the DV died.
-      val rel = s"dv/${uniqueName('d', v)}"
-      val affected = matched
-        .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
-        .distinct().collect().map(_.getString(0)).sorted
-      // ONE file: a DV is match-sized by contract, and scattering a
-      // handful of positions over every scan task's output file pays
-      // parquet's per-file floor dozens of times (measured 22 KB for
-      // 21 rows across task files vs ~1.5 KB in one). A delete big
-      // enough for coalesce(1) to matter wants CoW mode anyway —
-      // that's the segment-rewrite regime by definition.
-      matched.select(col("__dv_file"), col("__dv_ridx")).coalesce(1)
-        .write.mode("errorifexists").parquet(s"$dir/$rel")
-      val bytes = fs.getContentSummary(
-        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength
-      val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
-        matched.drop("__dv_file", "__dv_ridx")))
-      commitManifestCdc(spark, dir, v,
-        rows :+ (("dv", s"$rel;${affected.mkString(",")}")), cdcRel,
-        "delete")
+      // does). See [[writeDeletionVector]] for the shared tail.
+      val (dvRow, cdcRel, bytes) =
+        writeDeletionVector(spark, dir, v, matched, cdf)
+      commitManifestCdc(spark, dir, v, rows :+ dvRow, cdcRel, "delete")
       return Some(DeleteWhere(v, nDel, 0, segs.size, bytes))
     }
     require(matched.where(col(idCol).isNull).count() == 0,
@@ -1067,6 +1040,45 @@ object SnapshotStore {
         .as("__dv_file"),
       col("_metadata.row_index").as("__dv_ridx"))
 
+  /** A segment path's `seg/`-anchored form — the canonical identity
+    * deletion vectors and sidecar attribution compare on: a shallow
+    * clone's manifest rows carry a relative-path prefix
+    * (`../src/seg/sN`) while DV affected lists and recorded file
+    * paths are source-resolved, so raw string equality would silently
+    * SKIP the DV anti-join on a clone (a wrong read, not an error).
+    * Segment-name uniqueness keeps the anchored form unambiguous.
+    */
+  private def segAnchor(s: String): String = {
+    val i = s.lastIndexOf("seg/")
+    if (i < 0) s else s.substring(i)
+  }
+
+  /** The shared DV-commit tail both merge-on-read delete faces ride
+    * ([[commitDelete]]'s id-list mode and [[commitDeleteWhere]]'s
+    * predicate mode): derive the affected-segment list from the
+    * matched positions (each file's parent dir IS its manifest
+    * segment path, in seg/-anchored form), write the match-sized
+    * sidecar as ONE file (scattering positions across scan tasks pays
+    * parquet's per-file floor dozens of times — measured 22 KB → 1.5
+    * KB for 21 rows), and return the manifest row + optional CDC
+    * relation + bytes written.
+    */
+  private def writeDeletionVector(spark: SparkSession, dir: String,
+      v: Int, matched: DataFrame, cdf: Boolean)
+      : ((String, String), Option[String], Long) = {
+    val rel = s"dv/${uniqueName('d', v)}"
+    val affected = matched
+      .select(regexp_replace(col("__dv_file"), "/[^/]+$", "").as("sg"))
+      .distinct().collect().map(_.getString(0)).sorted
+    matched.select(col("__dv_file"), col("__dv_ridx")).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/$rel")
+    val bytes = hfs(spark, dir).getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLength
+    val cdcRel = if (!cdf) None else Some(writeCdc(spark, dir, v,
+      matched.drop("__dv_file", "__dv_ridx")))
+    ((("dv", s"$rel;${affected.mkString(",")}")), cdcRel, bytes)
+  }
+
   /** Anti-join the accumulated frame against the named deletion
     * vectors' (file, row index) pairs — the merge-on-read half of
     * [[commitDeleteWhere]]'s `dv = true` mode. Position equality is
@@ -1109,9 +1121,12 @@ object SnapshotStore {
       segs: Seq[String], tombs: Seq[String], evolved: Boolean,
       dvs: Seq[(String, Seq[String])] = Nil,
       keepPos: Boolean = false): DataFrame = {
-    val segSet = segs.toSet
+    // seg/-anchored matching: a clone's manifest segments carry a
+    // relative prefix while DV affected lists are source-anchored —
+    // raw equality would silently skip the anti-join on a clone
+    val segSet = segs.map(segAnchor).toSet
     val live = dvs.collect {
-      case (p, affected) if affected.exists(segSet) => p
+      case (p, affected) if affected.exists(a => segSet(segAnchor(a))) => p
     }
     val withPos = keepPos || live.nonEmpty
     def readSegs(ps: Seq[String]): DataFrame = {
@@ -1668,8 +1683,11 @@ object SnapshotStore {
     // pruning keeps files, a DV hides rows, and they compose; a probe
     // whose surviving files all miss the DV'd segments plans no join
     // at all. The DV side is match-sized and broadcast-gated.
+    // seg/-anchored matching, as in segsMinusTombs (clone prefixes).
+    val keptAnchors = kept.keysIterator.map(segAnchor).toSet
     val liveDvs = dvRowsOf(rows).collect {
-      case (p, affected) if affected.exists(kept.contains) => p
+      case (p, affected)
+        if affected.exists(a => keptAnchors(segAnchor(a))) => p
     }
 
     def batchFrame(batch: Seq[String]): Option[DataFrame] = {
@@ -2246,21 +2264,17 @@ object SnapshotStore {
       // for a sibling leaf this probe excluded (partition pruning
       // filtered statsOf before we got here) is skipped, not an error;
       // a file outside every involved commit root stays loud (corrupt).
-      // Attribution matches on the `seg/`-anchored SUFFIX: a shallow
-      // clone's segment references carry a relative-path prefix while
-      // the sidecar recorded the file's source-resolved path — the
-      // anchored forms agree (and are identical for local segments;
-      // segment-name uniqueness keeps the suffix unambiguous).
-      def anchor(s: String): String = {
-        val i = s.lastIndexOf("seg/")
-        if (i < 0) s else s.substring(i)
-      }
+      // Attribution matches on the `seg/`-anchored SUFFIX
+      // ([[segAnchor]]): a shallow clone's segment references carry a
+      // relative-path prefix while the sidecar recorded the file's
+      // source-resolved path — the anchored forms agree (and are
+      // identical for local segments).
       val groupRoots = statsDirs
         .map(_.stripPrefix(s"$dir/").stripSuffix("/_stats"))
-        .map(anchor).distinct
+        .map(segAnchor).distinct
       collected.foreach { r =>
         val f = graft.ops.LayoutOps.decodeStatFile(r.getAs[String]("file"))
-        groupSegs.find(sg => f.contains(s"/${anchor(sg)}/")) match {
+        groupSegs.find(sg => f.contains(s"/${segAnchor(sg)}/")) match {
           case Some(seg) =>
             val (buf, h, n) = out(seg)
             out(seg) = (buf, h, n + 1)
@@ -2580,17 +2594,28 @@ object SnapshotStore {
     val evolved = rows.exists(_._1 == "evo")
     val probeCols = ranges.map(_.col) ++ parts.keys :+ target
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "sumPrunedRange")
-    // the integral-only contract, checked against the store's own type
+    // the integral-only contract, checked against the store's own
+    // type. On an EVOLVED store the column may be absent from older
+    // segments — probe footers until one carries it (the eqTypedLits
+    // discipline; segs.head alone could predate the column and let a
+    // floating target silently round through the DECIMAL cast); a
+    // column NO segment carries is a typo, refused loudly.
     locally {
       import org.apache.spark.sql.types._
-      val dt = spark.read.parquet(s"$dir/${segs.head}").schema
-        .find(_.name == target).map(_.dataType)
+      val footers = if (evolved) segs else segs.take(1)
+      val dt = footers.iterator
+        .flatMap(seg => spark.read.parquet(s"$dir/$seg").schema
+          .find(_.name == target).map(_.dataType))
+        .nextOption()
       dt match {
-        case Some(ByteType | ShortType | IntegerType | LongType) | None => ()
+        case Some(ByteType | ShortType | IntegerType | LongType) => ()
         case Some(t) => throw new IllegalArgumentException(
           s"sumPrunedRange: target '$target' is ${t.simpleString} — " +
             s"only integral sums are exact and merge-order-free; " +
             s"aggregate readPrunedRange(...).df for floating columns")
+        case None => throw new IllegalArgumentException(
+          s"sumPrunedRange: target '$target' exists in no segment of " +
+            s"$dir — an absent column can only be a typo")
       }
     }
     val live = segs.filter(partKeep(_, parts))

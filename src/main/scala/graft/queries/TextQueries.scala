@@ -37,6 +37,26 @@ object TextQueries {
     root.getAbsolutePath
   }
 
+  /** The n_chars-banded stats-carrying store q223 (metadata MIN/MAX)
+    * and q227 (metadata SUM/AVG) both probe — ONE builder, so the two
+    * metadata-aggregate oracles can never drift apart when the bands
+    * or statsCols change (the snapshotFixture discipline).
+    */
+  private def bandedStatsFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hermeticStore("q223", dir) { r =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(col("n_chars") < 150,
+          col("n_chars").between(150, 299),
+          col("n_chars").between(300, 449),
+          col("n_chars") >= 450)
+        .foreach(band => graft.io.SnapshotStore.commitAppend(
+          docs.filter(band).repartition(3), r,
+          statsCols = Seq("n_chars", "doc_id")))
+      ()
+    }
+
   /** The ONE snapshot-store lifecycle fixture q185, q186 and q191 all
     * read (read-only at exec, so one hermetic root serves them — a
     * tweak to the lifecycle can never drift the queries' semantics
@@ -3868,18 +3888,7 @@ object TextQueries {
       (s, dir) =>
       import s.implicits._
       import graft.io.SnapshotStore
-      val root = hermeticStore("q223", dir) { r =>
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-        Seq(col("n_chars") < 150,
-            col("n_chars").between(150, 299),
-            col("n_chars").between(300, 449),
-            col("n_chars") >= 450)
-          .foreach(band => SnapshotStore.commitAppend(
-            docs.filter(band).repartition(3), r,
-            statsCols = Seq("n_chars", "doc_id")))
-        ()
-      }
+      val root = bandedStatsFixture(s, dir)
       val probe = Seq(LayoutOps.ColRange("n_chars", 150L, 360L))
       val mm = SnapshotStore.minMaxPrunedRange(s, root, "doc_id", probe)
       require(mm.filesMetaAnswered > 0,
@@ -3997,18 +4006,7 @@ object TextQueries {
       (s, dir) =>
       import s.implicits._
       import graft.io.SnapshotStore
-      val root = hermeticStore("q223", dir) { r =>
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-        Seq(col("n_chars") < 150,
-            col("n_chars").between(150, 299),
-            col("n_chars").between(300, 449),
-            col("n_chars") >= 450)
-          .foreach(band => SnapshotStore.commitAppend(
-            docs.filter(band).repartition(3), r,
-            statsCols = Seq("n_chars", "doc_id")))
-        ()
-      }
+      val root = bandedStatsFixture(s, dir)
       val probe = Seq(LayoutOps.ColRange("n_chars", 150L, 360L))
       val ss = SnapshotStore.sumPrunedRange(s, root, "n_chars", probe)
       require(ss.filesMetaAnswered > 0,

@@ -2041,6 +2041,23 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.commitDelete(Seq(5L).toDF("doc_id"), "doc_id", dir)
     an[IllegalArgumentException] should be thrownBy
       SnapshotStore.sumPrunedRange(spark, dir, "doc_id", probe)
+    // EVOLVED store: a floating target added after the first segment
+    // must still refuse (the type probe walks footers until it finds
+    // the column — segs.head alone predates it), and a column absent
+    // everywhere is a loud typo
+    val de = freshDir("sumevo")
+    SnapshotStore.commitAppend(
+      (1L to 10L).map(i => (i, i % 3)).toDF("doc_id", "n"), de,
+      statsCols = Seq("n"))
+    SnapshotStore.commitAppend(
+      (11L to 20L).map(i => (i, i % 3, i / 2.0)).toDF("doc_id", "n", "x"),
+      de, mergeSchema = true, statsCols = Seq("n"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.sumPrunedRange(spark, de, "x",
+        Seq(LayoutOps.ColRange("n", 0L, 2L)))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.sumPrunedRange(spark, de, "nope",
+        Seq(LayoutOps.ColRange("n", 0L, 2L)))
   }
 
   test("vacuumDryRun previews exactly vacuum's sweep without touching the filesystem; restoreAsOf rolls back by wall-clock") {
@@ -2073,6 +2090,31 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.read(spark, rdir).count() shouldBe 5
     an[IllegalArgumentException] should be thrownBy
       SnapshotStore.restoreAsOf(spark, rdir, t1 - 1000000L)
+  }
+
+  test("a deletion vector committed ON a shallow clone hides its rows (seg/-anchored DV matching)") {
+    import graft.ops.LayoutOps
+    val src = freshDir("cldvsrc")
+    val dst = freshDir("cldvdst")
+    SnapshotStore.commitAppend(docs(1 to 100), src,
+      statsCols = Seq("doc_id"))
+    SnapshotStore.clone(spark, src, dst)
+    // BOTH dv faces against the clone's prefixed references — before
+    // the anchored matching this silently returned the "deleted" rows
+    SnapshotStore.commitDelete(Seq(2L, 3L).toDF("doc_id"), "doc_id",
+      dst, dv = true)
+    val res = SnapshotStore.commitDeleteWhere(spark, dst,
+      Seq(LayoutOps.ColRange("doc_id", 50L, 52L)), "doc_id",
+      dv = true).get
+    res.segsRewritten shouldBe 0
+    SnapshotStore.read(spark, dst).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (1L to 100L).filterNot(Set(2L, 3L, 50L, 51L, 52L))
+    // the pruned read resolves them too, and the source is untouched
+    SnapshotStore.readPrunedRange(spark, dst,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 60L))).df
+      .count() shouldBe 60L - 5L
+    SnapshotStore.read(spark, src).count() shouldBe 100
   }
 
   test("an empty partitioned frame as a store's FIRST commit refuses loudly (would publish an unreadable data-less v1)") {
