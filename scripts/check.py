@@ -64,8 +64,20 @@ for name in sorted(oracle):
             mismatch = (f"col {c}: {(~eq).sum()}/{len(eq)} rows differ; "
                         f"first at {i}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}{extra}")
             break
-    # dtype drift report (warning only)
-    dtw = [f"{c}:{s[c].dtype}!={d[c].dtype}" for c in sc if str(s[c].dtype) != str(d[c].dtype)]
+    # dtype drift: int<->float drift is a FAILURE (the driver's hasher
+    # renders 512 vs 512.0 differently — the r17 q228 red row); other
+    # renders (datetime64 vs object, etc.) stay warnings because the
+    # driver's value hash tolerates them (q33 passes the driver today).
+    def _kind(dt):
+        k = getattr(dt, "kind", "?")
+        return {"i": "num_i", "u": "num_i", "f": "num_f"}.get(k, k)
+    dt_fail = [f"{c}:{s[c].dtype}!={d[c].dtype}" for c in sc
+               if {_kind(s[c].dtype), _kind(d[c].dtype)} == {"num_i", "num_f"}]
+    dtw = [f"{c}:{s[c].dtype}!={d[c].dtype}" for c in sc
+           if str(s[c].dtype) != str(d[c].dtype)
+           and {_kind(s[c].dtype), _kind(d[c].dtype)} != {"num_i", "num_f"}]
+    if not mismatch and dt_fail:
+        mismatch = f"int/float dtype drift (driver hash would differ): {','.join(dt_fail)}"
     if mismatch:
         bad.append((name, mismatch))
     else:

@@ -711,6 +711,10 @@ object SnapshotStore {
         }
     val keptSegs = segs.filterNot(suspectSet)
     val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
+    // DV affected lists are seg/-anchored while a clone's manifest
+    // rows carry a relative-path prefix — retire on anchored identity
+    // (raw equality would leave phantom delete debt on clones)
+    val suspectAnchors = suspectSet.map(segAnchor)
     val keptRows = rows.filter {
       case ("seg", p) => !suspectSet(p)
       case ("stats", s) => !suspectSet(parseStatsRow(s)._1)
@@ -718,7 +722,8 @@ object SnapshotStore {
       // a DV whose every named segment was just rewritten is dead
       // weight (the rewrite materialized it); one naming a carried
       // segment must stay
-      case ("dv", s) => parseStatsRow(s)._2.exists(a => !suspectSet(a))
+      case ("dv", s) =>
+        parseStatsRow(s)._2.exists(a => !suspectAnchors(segAnchor(a)))
       case ("evo", _) => keptSegs.nonEmpty || newRows.count(_._1 == "seg") > 1
       case _ => true // txn carry
     }
@@ -1440,13 +1445,17 @@ object SnapshotStore {
     // a tombstone only matters while SOME remaining segment predates
     // it (the rewritten segments commit at v, above them all)
     val minKept = keptSegs.map(pathVersion).minOption.getOrElse(v)
+    // anchored retirement: DV affected refs are seg/-anchored, clone
+    // manifest rows are prefix-relative (see segAnchor)
+    val pickedAnchors = picked.map(segAnchor)
     val keptRows = rows.filter {
       case ("seg", p) => !picked(p)
       case ("stats", s) => !picked(parseStatsRow(s)._1)
       case ("tomb", p) => pathVersion(p) > minKept
       // a DV died once every named segment was rewritten (positions
       // materialized); one naming a carried segment stays live
-      case ("dv", s) => parseStatsRow(s)._2.exists(a => !picked(a))
+      case ("dv", s) =>
+        parseStatsRow(s)._2.exists(a => !pickedAnchors(segAnchor(a)))
       // a TOTAL merge into ONE segment unified the schema — drop the
       // evo flag like compact/compactZordered do, so reads stop
       // paying the footer-merge; a partial merge (or one that left
@@ -2174,14 +2183,19 @@ object SnapshotStore {
       case v: java.time.LocalDate =>
         if (dt == DateType) lit(v) else fail()
       case v: Array[Byte] => if (dt == BinaryType) lit(v) else fail()
+      // a value whose scale exceeds the column's would silently ROUND
+      // under a bare cast — the probe would then match a different
+      // value than the caller asked for; rescale exactly or refuse
       case v: java.math.BigDecimal => dt match {
-        case d: DecimalType => lit(v).cast(d)
+        case d: DecimalType =>
+          val rescaled = try v.setScale(d.scale) catch {
+            case _: ArithmeticException => fail()
+          }
+          if (rescaled.precision > d.precision) fail()
+          lit(rescaled).cast(d)
         case _ => fail()
       }
-      case v: BigDecimal => dt match {
-        case d: DecimalType => lit(v.bigDecimal).cast(d)
-        case _ => fail()
-      }
+      case v: BigDecimal => typedEqLit(v.bigDecimal, dt, c, op)
       case _ => fail()
     }
   }
@@ -2650,15 +2664,21 @@ object SnapshotStore {
       ss.rows.foreach { r =>
         if (partExact && hasSum &&
             LayoutOps.containedFile(r, ranges, ss.have)) {
-          metaFiles += 1
           val i = r.fieldIndex(s"sum_$target")
-          // a null recorded sum = the file's target is all-null: SQL
-          // SUM skips it and the count contribution is zero
+          val nonNull = r.getAs[Long]("n_rows") -
+            r.getAs[Long](s"nulls_$target")
+          // a null recorded sum with ZERO non-null rows = the file's
+          // target is all-null: SQL SUM skips it and the count
+          // contribution is zero. A null sum over non-null rows is an
+          // INCONSISTENT sidecar row (e.g. a pre-sum sidecar read in
+          // a mixed statsCols group) — contributing nothing would
+          // silently undercount, so that file falls back to a scan.
           if (!r.isNullAt(i)) {
+            metaFiles += 1
             accAdd(r.getDecimal(i))
-            cnt += r.getAs[Long]("n_rows") -
-              r.getAs[Long](s"nulls_$target")
-          }
+            cnt += nonNull
+          } else if (nonNull == 0L) metaFiles += 1
+          else toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
         } else if (LayoutOps.keepFile(r, usable))
           toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
       }

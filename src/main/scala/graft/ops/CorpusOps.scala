@@ -597,11 +597,21 @@ object CorpusOps {
       .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
     val offDf = spark.createDataFrame(offsets.toSeq)
       .toDF("__pid", "__off")
+    // the order key must be UNIQUE (the repo's unique-ORDER-BY rule:
+    // duplicate ids make tok_start nondeterministic). Range
+    // partitioning co-locates equal keys, so a per-partition lag
+    // check is a COMPLETE duplicate detector; it rides the same
+    // window spec as the cumsum (one sort, no extra exchange) and is
+    // folded into tok_start so column pruning can't drop the raise.
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     pinned.join(broadcast(offDf), Seq("__pid"))
-      .withColumn("__cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("__pid")).orderBy(col(idCol))))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("tok_start",
-        col("__off") + col("__cum") - col("n_tokens"))
+        when(lag(col(idCol), 1).over(w) === col(idCol), raise_error(lit(
+          s"packSequences: duplicate $idCol — the concatenation " +
+            "order (and every offset after the duplicate) is " +
+            "undefined; dedup upstream")).cast("long"))
+          .otherwise(col("__off") + col("__cum") - col("n_tokens")))
       .withColumn("first_pack", expr(s"tok_start div ${seqLen}L"))
       .withColumn("last_pack",
         when(col("n_tokens") > 0,

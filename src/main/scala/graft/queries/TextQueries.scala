@@ -4030,13 +4030,18 @@ object TextQueries {
     // windows — never a single-task global-order window); the oracle
     // replays the definitional global cumsum window, so the phase
     // split must be exactly invisible. Integral division both sides.
+    // ORACLE TRAP (r17 red row): DuckDB's windowed sum(BIGINT) widens
+    // to HUGEINT, which pandas renders float64 and the driver hashes
+    // as `512.0` vs Spark's `512` — CAST the cumsum back to BIGINT in
+    // the CTE so `//` and everything downstream stay int64 (q230's
+    // row_number() cast is the same discipline).
     Q("q228_sequence_packing",
       s"""WITH d AS (SELECT doc_id,
          |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, n_tokens,
-         |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |    0) AS tok_start
+         |    0) AS BIGINT) AS tok_start
          |  FROM d)
          |SELECT doc_id, n_tokens, tok_start,
          |  tok_start // 512 AS first_pack,
