@@ -190,8 +190,19 @@ object SnapshotStore {
       schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
         mergeSchema, "commitAppend")
     statsGuard(df, statsCols ++ bloomCols, "commitAppend")
-    val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
-      "commitAppend", bloomCols, bloomExpectedItems)
+    val carried0 = if (prev.isEmpty) Seq.empty
+      else readManifestRows(spark, dir, prev.max)
+    // column mapping: the incoming frame is LOGICAL — rename to
+    // physical storage names (extending the map first when
+    // mergeSchema introduces new columns) and translate every
+    // column-name argument the same way
+    val (m, carried) = extendMap(colMapOf(carried0), df.columns.toSeq,
+      carried0, v, "commitAppend")
+    val segRows = writeDataSegment(toPhysical(df, m), dir, v,
+      physAll(m, statsCols, "commitAppend"),
+      physAll(m, partitionBy, "commitAppend"),
+      "commitAppend", physAll(m, bloomCols, "commitAppend"),
+      bloomExpectedItems)
     // an EMPTY partitioned frame writes no leaves (an unpartitioned
     // empty frame still writes one schema-bearing file) — publishing
     // a data-less FIRST manifest would leave the store permanently
@@ -201,14 +212,12 @@ object SnapshotStore {
       s"commitAppend: an empty partitioned frame cannot be a store's " +
         s"FIRST commit at $dir — the v1 manifest would list no data " +
         s"segments and every read would fail; commit rows first")
-    val carried = if (prev.isEmpty) Seq.empty
-      else readManifestRows(spark, dir, prev.max)
     // the first evolved commit flags the manifest: reads pay the
     // parquet footer-merge only from here on (compaction unifies the
     // schema into one segment and drops the flag)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    constraintGuard(spark, dir, carried, segRows, "commitAppend")
+    constraintGuard(spark, dir, carried, segRows, "commitAppend", m)
     commitManifest(spark, dir, v, carried ++ evo ++ segRows, "append")
     v
   }
@@ -403,6 +412,259 @@ object SnapshotStore {
     (v.substring(0, i), v.substring(i + 1).split(",").toSeq)
   }
 
+  // ===================== COLUMN MAPPING =====================
+  // Delta-style column mapping (the RENAME/DROP COLUMN lever —
+  // schema churn is routine on curated tables, e.g. the reference's
+  // FK-remap discipline in s3_ccdi_to_cds.py col_remap, and a rename
+  // without mapping is a full-table rewrite): ONE `map` manifest row
+  // holds the ordered logical→physical name indirection
+  // (`l1=p1;l2=p2;…;!retired1;…`). EVERYTHING ON DISK IS PHYSICAL —
+  // data segments, tombstones, DV position files, CDC preimages and
+  // stats sidecars all keep the names they were written with forever;
+  // the logical view exists only at the API boundary (reads project
+  // through the map, write faces rename incoming frames to physical,
+  // probe column names translate at entry). That is what makes
+  // [[renameColumn]]/[[dropColumn]] O(1)-manifest metadata commits:
+  // no file is touched, recorded stats and blooms stay valid, old
+  // tombstones keep matching, and time travel shows each version
+  // under ITS OWN map. `!`-prefixed RETIRED physicals are dropped
+  // columns' storage names — a later re-add of the same logical name
+  // must NOT re-adopt them (the dropped values would resurface), so
+  // [[extendMap]] uniquifies against them. FULL compactions
+  // ([[compact]], [[compactPartitioned]], unscoped
+  // [[compactZordered]]) read logically and carry only txn/chk rows,
+  // so they MATERIALIZE the mapping for free; partial rewrites
+  // ([[compactSmall]], scoped z-order, DELETE WHERE survivors) move
+  // physical bytes and carry the map untouched.
+
+  private[graft] final case class ColMap(
+      entries: Seq[(String, String)], retired: Seq[String]) {
+    val l2p: Map[String, String] = entries.toMap
+    def phys(l: String, op: String): String = l2p.getOrElse(l,
+      throw new IllegalArgumentException(
+        s"$op: column '$l' is not in the store's current schema " +
+          s"(${entries.map(_._1).mkString(",")}) — renamed or dropped?"))
+    def usedPhysical: Set[String] = entries.map(_._2).toSet ++ retired
+    def render: String =
+      (entries.map { case (l, p) => s"$l=$p" } ++
+        retired.map("!" + _)).mkString(";")
+  }
+
+  private[graft] def parseMapRow(s: String): ColMap = {
+    val parts = s.split(";", -1).toSeq.filter(_.nonEmpty)
+    ColMap(
+      parts.filterNot(_.startsWith("!")).map { e =>
+        val i = e.indexOf('=')
+        (e.substring(0, i), e.substring(i + 1))
+      },
+      parts.filter(_.startsWith("!")).map(_.drop(1)))
+  }
+
+  private def colMapOf(rows: Seq[(String, String)]): Option[ColMap] =
+    rows.collectFirst { case ("map", s) => parseMapRow(s) }
+
+  private def latestColMap(spark: SparkSession,
+      dir: String): Option[ColMap] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) None
+    else colMapOf(readManifestRows(spark, dir, vs.max))
+  }
+
+  /** Exact-name column reference — backtick-quoted so dotted names
+    * (the xlsx template discipline) never parse as struct paths.
+    */
+  private def bq(n: String): Column = col("`" + n + "`")
+
+  private def physN(m: Option[ColMap], l: String, op: String): String =
+    m.fold(l)(_.phys(l, op))
+  private def physAll(m: Option[ColMap], ls: Seq[String],
+      op: String): Seq[String] = ls.map(physN(m, _, op))
+
+  /** Project a PHYSICAL frame to the logical view: exactly the map's
+    * columns, in map order, under their logical names (`keep` rides
+    * extra engine columns like `_change` through). Identity when the
+    * store is unmapped — the zero-cost common case.
+    */
+  private def toLogical(df: DataFrame, m: Option[ColMap],
+      keep: Seq[String] = Nil): DataFrame =
+    m.fold(df)(cm => df.select(
+      cm.entries.map { case (l, p) => bq(p).as(l) } ++ keep.map(bq): _*))
+
+  /** Rename an incoming LOGICAL frame to physical storage names.
+    * Columns outside the map pass through unchanged — [[extendMap]]
+    * must have run first for mergeSchema commits, so by the time a
+    * frame reaches here every column has a map entry.
+    */
+  private def toPhysical(df: DataFrame, m: Option[ColMap]): DataFrame =
+    m.fold(df)(cm => df.select(df.columns.toSeq.map(c =>
+      bq(c).as(cm.l2p.getOrElse(c, c))): _*))
+
+  /** Legal logical-name gate for names entering the map row: the
+    * manifest encoding's separators, the layout/engine reserved
+    * prefixes, and backticks (the exact-name quoting) are refused
+    * loudly — a silent bad name would corrupt every later manifest
+    * read.
+    */
+  private def mapNameGuard(n: String, op: String): Unit =
+    require(n.nonEmpty && !n.contains(";") && !n.contains(",") &&
+      !n.contains("=") && !n.contains("`") && !n.startsWith("!") &&
+      !n.startsWith("__p_") && n != "_change" &&
+      n != "__dv_file" && n != "__dv_ridx",
+      s"$op: '$n' is not a legal store column name (manifest " +
+        s"separator, backtick, or reserved prefix/name)")
+
+  /** The store's map, or the identity map synthesized from the
+    * current physical schema (the first rename/drop of an unmapped
+    * store starts here — every existing name must be map-encodable).
+    */
+  private def mapOrIdentity(spark: SparkSession, dir: String, v: Int,
+      rows: Seq[(String, String)], op: String): ColMap =
+    colMapOf(rows).getOrElse {
+      val names = readRaw(spark, dir, Some(v))._1.schema.fieldNames.toSeq
+      names.foreach(mapNameGuard(_, op))
+      ColMap(names.map(n => (n, n)), Nil)
+    }
+
+  /** mergeSchema on a MAPPED store: new logical columns enter the
+    * map. Physical = the logical spelling unless it is already in use
+    * — live or retired — in which case `<name>__r<v>` uniquifies
+    * (bumping until free). Returns the possibly-extended map and the
+    * carried rows with the map row replaced.
+    */
+  private def extendMap(m: Option[ColMap], cols: Seq[String],
+      carried: Seq[(String, String)], v: Int, op: String)
+      : (Option[ColMap], Seq[(String, String)]) = m match {
+    case None => (None, carried)
+    case Some(cm) =>
+      val fresh = cols.filterNot(cm.l2p.contains)
+      if (fresh.isEmpty) (m, carried)
+      else {
+        var used = cm.usedPhysical
+        val added = fresh.map { c =>
+          mapNameGuard(c, op)
+          var cand = c
+          var i = v
+          while (used(cand)) { cand = s"${c}__r$i"; i += 1 }
+          used += cand
+          (c, cand)
+        }
+        val cm2 = cm.copy(entries = cm.entries ++ added)
+        (Some(cm2),
+          carried.filterNot(_._1 == "map") :+ (("map", cm2.render)))
+      }
+  }
+
+  /** The single-part attribute names a CHECK expression references —
+    * [[renameColumn]] re-anchors them, [[dropColumn]] refuses on
+    * them. Parsed, never regex'd: `substr(a, 1, 2)` must not match a
+    * column named `substr`.
+    */
+  private def exprAttrs(spark: SparkSession, ex: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(ex).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => a.nameParts.head
+    }
+
+  private def renameInExpr(spark: SparkSession, ex: String,
+      from: String, to: String): String =
+    spark.sessionState.sqlParser.parseExpression(ex).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 &&
+            a.nameParts.head.equalsIgnoreCase(from) =>
+        org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute(Seq(to))
+    }.sql
+
+  /** ALTER TABLE … RENAME COLUMN as an O(1)-manifest metadata commit
+    * (Delta's column-mapping rename): the storage name never changes
+    * — only the map row's logical spelling does — so no data file,
+    * sidecar, tombstone or DV is touched, recorded stats stay valid,
+    * and time travel below the rename shows the old name. CHECK
+    * constraints referencing the column re-anchor to the new spelling
+    * in the same commit (parsed and rewritten, never string-replaced).
+    * Partition columns rename like any other: leaf paths encode the
+    * PHYSICAL name and every probe entry point translates, so pruning
+    * keeps working under the new logical name.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"renameColumn: no committed snapshot at $dir")
+    mapNameGuard(to, "renameColumn")
+    val rows = readManifestRows(spark, dir, vs.max)
+    val cm = mapOrIdentity(spark, dir, vs.max, rows, "renameColumn")
+    require(cm.l2p.contains(from),
+      s"renameColumn: column '$from' is not in the store's current " +
+        s"schema (${cm.entries.map(_._1).mkString(",")})")
+    require(!cm.l2p.contains(to),
+      s"renameColumn: column '$to' already exists at $dir — a rename " +
+        s"cannot merge two columns")
+    val cm2 = cm.copy(entries = cm.entries.map { case (l, p) =>
+      (if (l == from) to else l, p) })
+    val rows2 = rows.map {
+      case ("chk", s) =>
+        val name = s.takeWhile(_ != ';')
+        val ex = s.substring(s.indexOf(';') + 1)
+        ("chk", s"$name;${renameInExpr(spark, ex, from, to)}")
+      case other => other
+    }
+    val v = vs.max + 1
+    commitManifest(spark, dir, v,
+      rows2.filterNot(_._1 == "map") :+ (("map", cm2.render)),
+      "renameColumn")
+    v
+  }
+
+  /** ALTER TABLE … DROP COLUMN as an O(1)-manifest metadata commit:
+    * the column leaves the map (reads stop projecting it — the bytes
+    * stay on disk until a full compaction materializes the view) and
+    * its storage name RETIRES, so a later mergeSchema re-add of the
+    * same logical name gets FRESH storage and the dropped values can
+    * never resurface. Refuses when a CHECK constraint references the
+    * column (Delta's rule — drop the constraint first) and refuses to
+    * drop the last column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"dropColumn: no committed snapshot at $dir")
+    val rows = readManifestRows(spark, dir, vs.max)
+    val cm = mapOrIdentity(spark, dir, vs.max, rows, "dropColumn")
+    require(cm.l2p.contains(name),
+      s"dropColumn: column '$name' is not in the store's current " +
+        s"schema (${cm.entries.map(_._1).mkString(",")})")
+    require(cm.entries.size > 1,
+      s"dropColumn: '$name' is the store's only column — a table " +
+        s"with no columns cannot be read")
+    rows.collect { case ("chk", s) =>
+      (s.takeWhile(_ != ';'), s.substring(s.indexOf(';') + 1))
+    }.foreach { case (cn, ex) =>
+      require(!exprAttrs(spark, ex).exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: CHECK constraint '$cn' ($ex) references " +
+          s"'$name' — dropConstraint('$cn') first")
+    }
+    val cm2 = ColMap(cm.entries.filterNot(_._1 == name),
+      cm.retired :+ cm.l2p(name))
+    val v = vs.max + 1
+    commitManifest(spark, dir, v,
+      rows.filterNot(_._1 == "map") :+ (("map", cm2.render)),
+      "dropColumn")
+    v
+  }
+
+  /** The latest snapshot's logical→physical column mapping, identity
+    * rows when the store never renamed/dropped — the observability
+    * face (Delta surfaces the same through DESCRIBE's metadata).
+    */
+  def columnMapping(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed snapshot at $dir")
+    val rows = readManifestRows(spark, dir, vs.max)
+    colMapOf(rows).map(_.entries).getOrElse(
+      readRaw(spark, dir, Some(vs.max))._1.schema.fieldNames.toSeq
+        .map(n => (n, n)))
+  }
+
   /** statsCols must exist on the committed frame — a typo would write
     * an all-null sidecar that prunes EVERYTHING (silent wrong reads) —
     * and must not contain the manifest row separators.
@@ -480,8 +742,14 @@ object SnapshotStore {
       s"commitDelete: id column '$idCol' is not in the store's current " +
         s"schema (${cur.mkString(",")}) — the tombstone would never " +
         s"match and the delete would silently no-op")
-    val tomb = ids.select(col(idCol)).distinct()
-    val bad = tomb.where(col(idCol).isNull).count()
+    val rows = readManifestRows(spark, dir, prev.max)
+    // the tombstone is a PHYSICAL artifact — it must anti-join every
+    // older segment under the storage name, whatever the column is
+    // logically called today or after any later rename
+    val m = colMapOf(rows)
+    val pId = physN(m, idCol, "commitDelete")
+    val tomb = ids.select(bq(idCol).as(pId)).distinct()
+    val bad = tomb.where(bq(pId).isNull).count()
     require(bad == 0,
       s"commitDelete: null id(s) in '$idCol' — a null tombstone never " +
         s"matches the read-side anti-join and the row would stay visible")
@@ -490,7 +758,6 @@ object SnapshotStore {
       // pin ONE evaluation of the id frame — the positions, the CDC
       // preimages and the count must agree id for id
       val pinnedIds = graft.ops.Checkpoints.cut(tomb, eager = true)
-      val rows = readManifestRows(spark, dir, prev.max)
       val matched = graft.ops.Checkpoints.cut(
         segsMinusTombs(spark, dir,
             rows.collect { case ("seg", p) => p },
@@ -500,7 +767,7 @@ object SnapshotStore {
           // no unconditional broadcast hint: a mass-delete id frame
           // must not OOM the driver (the tombBroadcastGate philosophy
           // — AQE broadcasts genuinely small id sides on its own)
-          .join(pinnedIds, Seq(idCol), "left_semi"),
+          .join(pinnedIds, Seq(pId), "left_semi"),
         eager = true)
       if (matched.isEmpty) return prev.max
       val (dvRow, cdcRel, _) =
@@ -515,13 +782,15 @@ object SnapshotStore {
     // of CDF is one read job at delete time, paid only when on. The
     // join reads the WRITTEN tombstone back, never the caller's
     // frame: a non-deterministic `ids` re-evaluated here could emit
-    // preimages the committed tombstone doesn't actually hide
+    // preimages the committed tombstone doesn't actually hide.
+    // Preimages write PHYSICAL (everything on disk is physical);
+    // [[readChanges]] projects at output.
     val cdcRel = if (!cdf) None
       else Some(writeCdc(spark, dir, v,
-        read(spark, dir, Some(prev.max)).join(
-          spark.read.parquet(s"$dir/$tp"), Seq(idCol), "left_semi")))
+        readRaw(spark, dir, Some(prev.max))._1.join(
+          spark.read.parquet(s"$dir/$tp"), Seq(pId), "left_semi")))
     commitManifestCdc(spark, dir, v,
-      readManifestRows(spark, dir, prev.max) :+ (("tomb", tp)), cdcRel,
+      rows :+ (("tomb", tp)), cdcRel,
       "delete")
     v
   }
@@ -605,10 +874,20 @@ object SnapshotStore {
       s"commitDeleteWhere: id column '$idCol' is not in the store's " +
         s"current schema (${cur.mkString(",")})")
     val rows = readManifestRows(spark, dir, vs.max)
+    // translate every probe/argument name to PHYSICAL once at entry —
+    // file stats, partition paths, segments and the tombstone all
+    // live in storage names
+    val m = colMapOf(rows)
+    val pRanges = ranges.map(r =>
+      r.copy(col = physN(m, r.col, "commitDeleteWhere")))
+    val pParts = parts.map { case (c, vsAllowed) =>
+      (physN(m, c, "commitDeleteWhere"), vsAllowed) }
+    val pStats = physAll(m, statsCols, "commitDeleteWhere")
+    val pId = physN(m, idCol, "commitDeleteWhere")
     val segs = rows.collect { case ("seg", p) => p }
     val tombs = rows.collect { case ("tomb", p) => p }
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys
+    val probeCols = pRanges.map(_.col) ++ pParts.keys
     rangeColsGuard(spark, dir, segs, evolved, probeCols,
       "commitDeleteWhere")
     val statsOf: Map[String, Seq[String]] = rows.collect {
@@ -618,10 +897,10 @@ object SnapshotStore {
     // a segment is SUSPECT unless its partition values or its file
     // stats prove no row can match (no sidecar → conservative)
     val suspects = segs.filter { seg =>
-      partKeep(seg, parts) && (statRows.get(seg) match {
+      partKeep(seg, pParts) && (statRows.get(seg) match {
         case None => true
         case Some(ss) =>
-          val usable = ranges.filter(rg =>
+          val usable = pRanges.filter(rg =>
             ss.have.contains(s"min_${rg.col}") &&
               ss.have.contains(s"max_${rg.col}"))
           ss.rows.exists(LayoutOps.keepFile(_, usable))
@@ -629,9 +908,9 @@ object SnapshotStore {
     }
     if (suspects.isEmpty) return None
     val pred = coalesce(
-      (ranges.map(rg => col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
-        parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-          col(c).cast("string").isin(allowed.toSeq.sorted: _*)
+      (pRanges.map(rg => bq(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+        pParts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+          bq(c).cast("string").isin(allowed.toSeq.sorted: _*)
         }).reduce(_ && _), lit(false))
     // matched rows pinned ONCE: the tombstone and the delete count
     // must agree row for row with what the rewrite below removes
@@ -659,11 +938,11 @@ object SnapshotStore {
       commitManifestCdc(spark, dir, v, rows :+ dvRow, cdcRel, "delete")
       return Some(DeleteWhere(v, nDel, 0, segs.size, bytes))
     }
-    require(matched.where(col(idCol).isNull).count() == 0,
+    require(matched.where(bq(pId).isNull).count() == 0,
       s"commitDeleteWhere: matched row(s) carry a null '$idCol' — a " +
         s"null tombstone never matches the read-side anti-join")
     val tp = s"tomb/${uniqueName('t', v)}"
-    matched.select(col(idCol)).distinct()
+    matched.select(bq(pId)).distinct()
       .write.mode("errorifexists").parquet(s"$dir/$tp")
     val suspectSet = suspects.toSet
     val suspGroups = suspects.groupBy(sigOf)
@@ -682,15 +961,15 @@ object SnapshotStore {
       if (bulk) {
         val survivors = segsMinusTombs(spark, dir, suspects, tombs,
           evolved, dvs).where(!pred)
-        statsGuard(survivors, statsCols, "commitDeleteWhere")
-        writeDataSegment(survivors, dir, v, statsCols, colLists.head,
+        statsGuard(survivors, pStats, "commitDeleteWhere")
+        writeDataSegment(survivors, dir, v, pStats, colLists.head,
           "commitDeleteWhere", prefix = 'c')
       } else suspGroups.toSeq.sortBy(_._1)
         .flatMap { case (sig, gsegs) =>
           val survivors = segsMinusTombs(spark, dir, gsegs, tombs,
               evolved, dvs)
             .where(!pred)
-          statsGuard(survivors, statsCols, "commitDeleteWhere")
+          statsGuard(survivors, pStats, "commitDeleteWhere")
           val root = s"seg/${uniqueName('c', v)}"
           val seg = s"$root$sig"
           survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
@@ -702,11 +981,11 @@ object SnapshotStore {
             st.isFile && !st.getPath.getName.startsWith("_") &&
               !st.getPath.getName.startsWith("."))
           if (!hasData) Seq.empty
-          else if (statsCols.isEmpty) Seq(("seg", seg))
+          else if (pStats.isEmpty) Seq(("seg", seg))
           else {
-            graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+            graft.ops.LayoutOps.writeStatsSidecar(spark, pStats,
               s"$dir/$seg", s"$dir/$root/_stats")
-            Seq(("seg", seg), ("stats", s"$seg;${statsCols.mkString(",")}"))
+            Seq(("seg", seg), ("stats", s"$seg;${pStats.mkString(",")}"))
           }
         }
     val keptSegs = segs.filterNot(suspectSet)
@@ -807,6 +1086,11 @@ object SnapshotStore {
     schemaGuard(source, read(spark, dir, Some(prev.max)).schema,
       mergeSchema, "commitMerge")
     statsGuard(source, statsCols, "commitMerge")
+    val carried0 = readManifestRows(spark, dir, prev.max)
+    // merge logic runs LOGICAL end to end (target/source/clauses are
+    // the user's view); only the written artifacts translate
+    val (m, carried) = extendMap(colMapOf(carried0),
+      source.columns.toSeq, carried0, prev.max + 1, "commitMerge")
     val src = graft.ops.Checkpoints.cut(source, eager = true)
     val idStats = src.agg(
       count(lit(1)).as("n"),
@@ -844,7 +1128,7 @@ object SnapshotStore {
     if (nUpd + nDel + nIns == 0) return None
     val v = prev.max + 1
     val claimed = matched.where(col("__act") =!= "n")
-      .select(col(idCol)).distinct()
+      .select(bq(idCol).as(physN(m, idCol, "commitMerge"))).distinct()
     val tombRows = if (nUpd + nDel == 0) Seq.empty
       else {
         val tp = s"tomb/${uniqueName('t', v)}"
@@ -853,18 +1137,20 @@ object SnapshotStore {
       }
     val segRows = if (nUpd + nIns == 0) Seq.empty
       else writeDataSegment(
-        updRows.unionByName(insRows, allowMissingColumns = true),
-        dir, v, statsCols, partitionBy, "commitMerge")
+        toPhysical(updRows.unionByName(insRows,
+          allowMissingColumns = true), m),
+        dir, v, physAll(m, statsCols, "commitMerge"),
+        physAll(m, partitionBy, "commitMerge"), "commitMerge")
     // cdf: updated + deleted targets' preimages, from the pinned
-    // classification (target columns only)
+    // classification (target columns only) — written PHYSICAL like
+    // every on-disk artifact
     val cdcRel = if (!cdf || nUpd + nDel == 0) None
       else Some(writeCdc(spark, dir, v,
-        matched.where(col("__act") =!= "n")
-          .select(target.columns.map(col).toSeq: _*)))
-    val carried = readManifestRows(spark, dir, prev.max)
+        toPhysical(matched.where(col("__act") =!= "n")
+          .select(target.columns.map(col).toSeq: _*), m)))
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    constraintGuard(spark, dir, carried, segRows, "commitMerge")
+    constraintGuard(spark, dir, carried, segRows, "commitMerge", m)
     commitManifestCdc(spark, dir, v,
       carried ++ evo ++ tombRows ++ segRows, cdcRel, "merge")
     Some(MergeResult(v, nUpd, nDel, nIns))
@@ -942,13 +1228,21 @@ object SnapshotStore {
     */
   private def constraintGuard(spark: SparkSession, dir: String,
       carried: Seq[(String, String)], segRows: Seq[(String, String)],
-      op: String): Unit = {
+      op: String, m: Option[ColMap] = None): Unit = {
     val chks = carried.collect { case ("chk", s) =>
       (s.takeWhile(_ != ';'), s.substring(s.indexOf(';') + 1))
     }
     val segs = segRows.collect { case ("seg", p) => p }
     if (chks.isEmpty || segs.isEmpty) return
-    val df = spark.read.parquet(segs.map(p => s"$dir/$p"): _*)
+    // constraints are LOGICAL expressions; written files are physical
+    // — project through the map before evaluating. Only the columns
+    // this commit actually wrote: a mergeSchema commit may omit map
+    // columns, and a constraint referencing one still fails analysis
+    // loudly (the documented contract) while unrelated ones evaluate.
+    val raw = spark.read.parquet(segs.map(p => s"$dir/$p"): _*)
+    val df = m.fold(raw)(cm => raw.select(
+      cm.entries.filter { case (_, p) => raw.columns.contains(p) }
+        .map { case (l, p) => bq(p).as(l) }: _*))
     val counts = df.agg(
       count(when(!coalesce(expr(chks.head._2), lit(true)), 1)),
       chks.tail.map(c =>
@@ -1170,6 +1464,21 @@ object SnapshotStore {
 
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
+    val (df, rows) = readRaw(spark, dir, version)
+    // the VERSION'S OWN map: time travel below a rename shows the
+    // old names, exactly Delta's column-mapping contract
+    toLogical(df, colMapOf(rows))
+  }
+
+  /** [[read]] minus the logical projection: the PHYSICAL frame plus
+    * the manifest rows — the internal form every face that writes
+    * physical artifacts (tombstones, DVs, CDC preimages) folds
+    * against. Physical names never change, so joins built here stay
+    * valid across any number of renames.
+    */
+  private def readRaw(spark: SparkSession, dir: String,
+      version: Option[Int] = None)
+      : (DataFrame, Seq[(String, String)]) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed snapshot at $dir")
     val v = version.getOrElse(vs.max)
@@ -1182,10 +1491,10 @@ object SnapshotStore {
     // mergeSchema footer-merging is a per-file job — only stores that
     // actually evolved pay it (the manifest records the first evolved
     // commit; a compaction unifies the schema and drops the flag)
-    segsMinusTombs(spark, dir, segs,
+    (segsMinusTombs(spark, dir, segs,
       rows.collect { case ("tomb", p) => p },
       evolved = rows.exists(_._1 == "evo"),
-      dvs = dvRowsOf(rows))
+      dvs = dvRowsOf(rows)), rows)
   }
 
   /** Fold tombstones in for real: write the latest snapshot's
@@ -1241,11 +1550,14 @@ object SnapshotStore {
     if (lastTxn.exists(batchId <= _)) return prev.max // replayed batch
     statsGuard(df, statsCols, "commitStreamBatch")
     val v = if (prev.isEmpty) 1 else prev.max + 1
+    val m = colMapOf(carried)
     // partitionBy: the canonical 100 TB ingest shape is a stream
     // committing into a date/lang-partitioned store — each micro-batch
     // usually touches one or two partitions, so the per-leaf manifest
     // rows stay O(1) per commit
-    val segRows = writeDataSegment(df, dir, v, statsCols, partitionBy,
+    val segRows = writeDataSegment(toPhysical(df, m), dir, v,
+      physAll(m, statsCols, "commitStreamBatch"),
+      physAll(m, partitionBy, "commitStreamBatch"),
       "commitStreamBatch")
     // same first-commit guard as commitAppend: a replay-path caller
     // offering an empty partitioned batch to a virgin store must not
@@ -1255,7 +1567,7 @@ object SnapshotStore {
       s"commitStreamBatch: an empty partitioned batch cannot be a " +
         s"store's FIRST commit at $dir — the v1 manifest would list " +
         s"no data segments and every read would fail")
-    constraintGuard(spark, dir, carried, segRows, "commitStreamBatch")
+    constraintGuard(spark, dir, carried, segRows, "commitStreamBatch", m)
     commitManifest(spark, dir, v,
       carried.filterNot { case (k, b) =>
         k == "txn" && b.startsWith(s"$appId:") } ++ segRows :+
@@ -1360,24 +1672,30 @@ object SnapshotStore {
       statsCols: Seq[String] = Nil,
       scope: Map[String, Set[String]] = Map.empty): Option[Int] = {
     val fs = hfs(spark, dir)
-    compactGroups(spark, dir, scope, minGroup = 2, op = "compactSmall",
-      bulkStats = Some(statsCols),
+    // a PARTIAL rewrite moves physical bytes and carries the map —
+    // translate the caller's logical names once at entry
+    val m = latestColMap(spark, dir)
+    val pStats = physAll(m, statsCols, "compactSmall")
+    val pScope = scope.map { case (c, a) =>
+      (physN(m, c, "compactSmall"), a) }
+    compactGroups(spark, dir, pScope, minGroup = 2, op = "compactSmall",
+      bulkStats = Some(pStats),
       pick = seg => fs.getContentSummary(new org.apache.hadoop.fs.Path(
         s"$dir/${seg.stripSuffix("/data")}")).getLength <= maxSegBytes,
       writeGroup = (survivors, sig, v) => {
         // the write-side stats gate BEFORE the expensive merge write —
         // the same guard every other stats-writing commit face runs
-        statsGuard(survivors, statsCols, "compactSmall")
+        statsGuard(survivors, pStats, "compactSmall")
         val root = s"seg/${uniqueName('c', v)}"
         val seg = s"$root$sig"
         survivors.write.mode("errorifexists").parquet(s"$dir/$seg")
-        val stats = if (statsCols.isEmpty) Seq.empty
+        val stats = if (pStats.isEmpty) Seq.empty
           else {
             // at the commit ROOT, where sidecarDirOf resolves it for
             // both the plain and the partition-suffixed segment shape
-            graft.ops.LayoutOps.writeStatsSidecar(spark, statsCols,
+            graft.ops.LayoutOps.writeStatsSidecar(spark, pStats,
               s"$dir/$seg", s"$dir/$root/_stats")
-            Seq(("stats", s"$seg;${statsCols.mkString(",")}"))
+            Seq(("stats", s"$seg;${pStats.mkString(",")}"))
           }
         (seg, stats)
       })
@@ -1539,24 +1857,33 @@ object SnapshotStore {
           ("stats", s"$root/data;${statsCols.mkString(",")}")) ++ txn,
         "zorder")
       v
-    } else
+    } else {
       // partition-scoped OPTIMIZE ZORDER: z-rewrite only the segments
       // whose recorded partition values match (per signature group, so
       // the rewritten layout keeps its partition encoding); everything
       // else — including history pins and unscoped partitions' data —
       // carries forward untouched. Single-segment groups still
-      // rewrite: re-clustering ONE partition is the point.
-      compactGroups(spark, dir, scope, minGroup = 1,
+      // rewrite: re-clustering ONE partition is the point. A scoped
+      // rewrite is PARTIAL (map carries) — names translate to
+      // physical; the unscoped branch above reads logically and drops
+      // the map, so its names stay logical.
+      val m = latestColMap(spark, dir)
+      val pZ = physAll(m, zCols, "compactZordered")
+      val pStats = physAll(m, statsCols, "compactZordered")
+      val pScope = scope.map { case (c, a) =>
+        (physN(m, c, "compactZordered"), a) }
+      compactGroups(spark, dir, pScope, minGroup = 1,
         op = "compactZordered", pick = _ => true,
         writeGroup = (survivors, sig, v) => {
           val root = s"seg/${uniqueName('c', v)}"
-          graft.ops.LayoutOps.zorderWrite(survivors, zCols, nFiles,
-            statsCols, s"$dir/$root$sig")
+          graft.ops.LayoutOps.zorderWrite(survivors, pZ, nFiles,
+            pStats, s"$dir/$root$sig")
           (s"$root$sig/data",
-            Seq(("stats", s"$root$sig/data;${statsCols.mkString(",")}")))
+            Seq(("stats", s"$root$sig/data;${pStats.mkString(",")}")))
         }).getOrElse(throw new IllegalArgumentException(
           s"compactZordered: no segment matches partition scope " +
             s"$scope at $dir — nothing to rewrite"))
+    }
 
   /** Stats-pruned range scan of the latest snapshot — valid when the
     * latest version is a single [[compactZordered]] segment with no
@@ -1577,8 +1904,11 @@ object SnapshotStore {
       s"readPrunedLatest: latest version v${vs.max} at $dir is not a " +
         s"single z-compacted segment (segs=$segs, tombs=${tombs.length}," +
         s" dvs=${rows.count(_._1 == "dv")}) — run compactZordered first")
-    graft.ops.LayoutOps.readPruned(spark,
-      s"$dir/${segs.head.stripSuffix("/data")}", ranges)
+    val m = colMapOf(rows)
+    val scan = graft.ops.LayoutOps.readPruned(spark,
+      s"$dir/${segs.head.stripSuffix("/data")}",
+      ranges.map(r => r.copy(col = physN(m, r.col, "readPrunedLatest"))))
+    scan.copy(df = toLogical(scan.df, m))
   }
 
   /** Stats-pruned range scan of ANY committed snapshot — the
@@ -1622,9 +1952,17 @@ object SnapshotStore {
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
     val tombs = rows.collect { case ("tomb", p) => p }
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
+    // probes arrive LOGICAL; stats, partition paths and footers are
+    // physical — translate once at entry
+    val m = colMapOf(rows)
+    val pRanges = ranges.map(r =>
+      r.copy(col = physN(m, r.col, "readPrunedRange")))
+    val pParts = parts.map { case (c, a) =>
+      (physN(m, c, "readPrunedRange"), a) }
+    val pEqs = eqs.map(e => e.copy(col = physN(m, e.col, "readPrunedRange")))
+    val probeCols = pRanges.map(_.col) ++ pParts.keys ++ pEqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "readPrunedRange")
-    val eqLits = eqTypedLits(spark, dir, segs, evolved, eqs,
+    val eqLits = eqTypedLits(spark, dir, segs, evolved, pEqs,
       "readPrunedRange")
 
     // PARTITION pruning first — segments whose path-recorded values
@@ -1632,7 +1970,7 @@ object SnapshotStore {
     // (the reason partition columns exist at 100 TB: neither their
     // sidecars nor their listings cost anything). Unrecorded segments
     // keep conservatively; the row residual keeps the result exact.
-    val live = segs.filter(partKeep(_, parts))
+    val live = segs.filter(partKeep(_, pParts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
     }.toMap.filter { case (seg, _) => live.contains(seg) }
@@ -1640,15 +1978,15 @@ object SnapshotStore {
     // as typed between, partition values as the dir-name string form
     // (hive renders integral/string partition values canonically),
     // equality probes as typed equals
-    val residual = (ranges.map(rg =>
-        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
-      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
-      eqs.zip(eqLits).map { case (eq, l) => col(eq.col) === l })
+    val residual = (pRanges.map(rg =>
+        bq(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      pParts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        bq(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
+      pEqs.zip(eqLits).map { case (eq, l) => bq(eq.col) === l })
       .reduce(_ && _)
     // an equality probe is also a degenerate range for min/max pruning
-    val rangesAll = ranges ++
-      eqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
+    val rangesAll = pRanges ++
+      pEqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
     val fs = hfs(spark, dir)
 
     // Per-segment file lists, driver-cheap at ANY segment count: the
@@ -1661,7 +1999,7 @@ object SnapshotStore {
     // eq probes already filtered inside segStatRows' read plan.
     val kept = scala.collection.mutable.Map.empty[String, Seq[String]]
     var filesTotal = 0
-    segStatRows(spark, dir, statsOf, eqs.zip(eqLits)).foreach { case (seg, ss) =>
+    segStatRows(spark, dir, statsOf, pEqs.zip(eqLits)).foreach { case (seg, ss) =>
       val usable = rangesAll.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
@@ -1737,8 +2075,11 @@ object SnapshotStore {
       if (liveDvs.isEmpty) a
       else antiDv(spark, dir, a, liveDvs).drop("__dv_file", "__dv_ridx"))
     // everything pruned: a schema-stable empty frame (the false filter
-    // folds to an empty relation — nothing is read)
-    val df = folded.getOrElse(read(spark, dir, Some(v)).where(lit(false)))
+    // folds to an empty relation — nothing is read). The folded frame
+    // is physical; the empty fallback comes from [[read]] (already
+    // logical) — both exit under the logical view.
+    val df = folded.map(toLogical(_, m))
+      .getOrElse(read(spark, dir, Some(v)).where(lit(false)))
     LayoutOps.PrunedScan(df, filesRead, filesTotal,
       segsRead = live.size, segsTotal = segs.size)
   }
@@ -1763,8 +2104,13 @@ object SnapshotStore {
     * a manifest).
     */
   def streamInserts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = read(spark, dir).schema // pinned from the latest snapshot
-    spark.readStream.schema(schema).parquet(s"$dir/seg/s*")
+    // the files are PHYSICAL — pin the physical schema from the
+    // latest snapshot (a logical schema over renamed storage would
+    // read silent nulls), then project to the logical view
+    val (raw, rows) = readRaw(spark, dir)
+    toLogical(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/seg/s*"),
+      colMapOf(rows))
   }
 
   /** Write-time change data (Delta's `_change_data` design): a
@@ -1845,7 +2191,12 @@ object SnapshotStore {
     */
   def streamChanges(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = read(spark, dir).schema
+    // files under seg/ and cdc/ are PHYSICAL; the logical view is
+    // projected per source (the map pinned at stream definition, like
+    // the schema — Delta pins table metadata the same way)
+    val (raw, rows) = readRaw(spark, dir)
+    val m = colMapOf(rows)
+    val schema = raw.schema
     // a store with no cdf commit yet has no cdc/ dir — materialize it
     // so the glob source starts empty instead of failing
     hfs(spark, dir).mkdirs(new org.apache.hadoop.fs.Path(s"$dir/cdc"))
@@ -1855,14 +2206,14 @@ object SnapshotStore {
     def limited(r: org.apache.spark.sql.streaming.DataStreamReader) =
       maxFilesPerTrigger.fold(r)(n =>
         r.option("maxFilesPerTrigger", n.toString))
-    val inserts = limited(spark.readStream.schema(schema))
-      .parquet(s"$dir/seg/s*")
+    val inserts = toLogical(limited(spark.readStream.schema(schema))
+      .parquet(s"$dir/seg/s*"), m)
       .withColumn("_change", lit("insert"))
-    val deletes = limited(spark.readStream
+    val deletes = toLogical(limited(spark.readStream
         .schema(org.apache.spark.sql.types.StructType(schema.fields :+
           org.apache.spark.sql.types.StructField("_change",
             org.apache.spark.sql.types.StringType))))
-      .parquet(s"$dir/cdc/c*")
+      .parquet(s"$dir/cdc/c*"), m, keep = Seq("_change"))
     inserts.unionByName(deletes)
   }
 
@@ -1921,7 +2272,11 @@ object SnapshotStore {
     // and the delete side below only emits positions VISIBLE at fromV
     // — so an insert-then-dv-delete nets to nothing, exactly the
     // tombstone contract.
-    val asOfFrom = read(spark, dir, Some(fromV))
+    // the feed folds PHYSICAL frames throughout (segments, tombstone
+    // keys, DV positions and CDC files all live in storage names) and
+    // projects ONCE at the end under the END version's map — one
+    // feed, one schema, whatever renames happened inside the range
+    val asOfFrom = readRaw(spark, dir, Some(fromV))._1
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
       else segsMinusTombs(spark, dir, newSegs, newTombs,
@@ -1966,11 +2321,14 @@ object SnapshotStore {
         fromWithPos.join(hinted, Seq("__dv_file", "__dv_ridx"),
           "left_semi").drop("__dv_file", "__dv_ridx")
       }
-    inserts.withColumn("_change", lit("insert"))
-      .unionByName(deletes.withColumn("_change", lit("delete")),
-        allowMissingColumns = true)
-      .unionByName(dvDeletes.withColumn("_change", lit("delete")),
-        allowMissingColumns = true)
+    toLogical(
+      inserts.withColumn("_change", lit("insert"))
+        .unionByName(deletes.withColumn("_change", lit("delete")),
+          allowMissingColumns = true)
+        .unionByName(dvDeletes.withColumn("_change", lit("delete")),
+          allowMissingColumns = true),
+      colMapOf(readManifestRows(spark, dir, toV)),
+      keep = Seq("_change"))
   }
 
   /** The TYPED change feed (Delta CDF's `_change_type` rendering):
@@ -2353,33 +2711,40 @@ object SnapshotStore {
         s"vector(s) — dv-hidden rows defeat row metadata exactly as " +
         s"tombstones do; compact first, or count readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys ++ eqs.map(_.col)
+    val m = colMapOf(rows)
+    val pRanges = ranges.map(r =>
+      r.copy(col = physN(m, r.col, "countPrunedRange")))
+    val pParts = parts.map { case (c, a) =>
+      (physN(m, c, "countPrunedRange"), a) }
+    val pEqs = eqs.map(e =>
+      e.copy(col = physN(m, e.col, "countPrunedRange")))
+    val probeCols = pRanges.map(_.col) ++ pParts.keys ++ pEqs.map(_.col)
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "countPrunedRange")
-    val eqLits = eqTypedLits(spark, dir, segs, evolved, eqs,
+    val eqLits = eqTypedLits(spark, dir, segs, evolved, pEqs,
       "countPrunedRange")
     // partition pruning before any sidecar read, as in readPrunedRange
-    val live = segs.filter(partKeep(_, parts))
+    val live = segs.filter(partKeep(_, pParts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
     }.toMap.filter { case (seg, _) => live.contains(seg) }
-    val residual = (ranges.map(rg =>
-        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
-      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
-      eqs.zip(eqLits).map { case (eq, l) => col(eq.col) === l })
+    val residual = (pRanges.map(rg =>
+        bq(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      pParts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        bq(c).cast("string").isin(allowed.toSeq.sorted: _*) } ++
+      pEqs.zip(eqLits).map { case (eq, l) => bq(eq.col) === l })
       .reduce(_ && _)
     // eq probes prune the SCAN set (as degenerate ranges for min/max,
     // via bloom verdicts in segStatRows) but a bloom can never
     // metadata-ANSWER — might-contain admits false positives, so eq
     // containment is provable only by min = value = max with no nulls
-    val rangesAll = ranges ++
-      eqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
+    val rangesAll = pRanges ++
+      pEqs.map(eq => LayoutOps.ColRange(eq.col, eq.value, eq.value))
     val fs = hfs(spark, dir)
     var meta = 0L
     var metaFiles = 0
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
-    segStatRows(spark, dir, statsOf, eqs.zip(eqLits)).foreach { case (seg, ss) =>
+    segStatRows(spark, dir, statsOf, pEqs.zip(eqLits)).foreach { case (seg, ss) =>
       val usable = rangesAll.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
@@ -2388,7 +2753,7 @@ object SnapshotStore {
       // values (every row of a partition leaf carries that value);
       // a conservatively-kept segment must scan
       val partVals = segPartValues(seg)
-      val partExact = parts.forall { case (c, allowed) =>
+      val partExact = pParts.forall { case (c, allowed) =>
         partVals.get(c).exists(allowed.contains)
       }
       filesTotal += ss.filesTotal
@@ -2483,17 +2848,23 @@ object SnapshotStore {
         s"vector(s) — a dv-hidden row could be the extreme; compact " +
         s"first, or aggregate readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys :+ target
+    val m = colMapOf(rows)
+    val pRanges = ranges.map(r =>
+      r.copy(col = physN(m, r.col, "minMaxPrunedRange")))
+    val pParts = parts.map { case (c, a) =>
+      (physN(m, c, "minMaxPrunedRange"), a) }
+    val pTarget = physN(m, target, "minMaxPrunedRange")
+    val probeCols = pRanges.map(_.col) ++ pParts.keys :+ pTarget
     rangeColsGuard(spark, dir, segs, evolved, probeCols,
       "minMaxPrunedRange")
-    val live = segs.filter(partKeep(_, parts))
+    val live = segs.filter(partKeep(_, pParts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
     }.toMap.filter { case (seg, _) => live.contains(seg) }
-    val residual = (ranges.map(rg =>
-        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
-      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+    val residual = (pRanges.map(rg =>
+        bq(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      pParts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        bq(c).cast("string").isin(allowed.toSeq.sorted: _*) })
       .reduce(_ && _)
     val fs = hfs(spark, dir)
     val cand = scala.collection.mutable.Buffer.empty[(Any, Any)]
@@ -2501,26 +2872,26 @@ object SnapshotStore {
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
     segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
-      val usable = ranges.filter(rg =>
+      val usable = pRanges.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
       val partVals = segPartValues(seg)
-      val partExact = parts.forall { case (c, allowed) =>
+      val partExact = pParts.forall { case (c, allowed) =>
         partVals.get(c).exists(allowed.contains)
       }
-      val hasTarget = ss.have.contains(s"min_$target") &&
-        ss.have.contains(s"max_$target")
+      val hasTarget = ss.have.contains(s"min_$pTarget") &&
+        ss.have.contains(s"max_$pTarget")
       filesTotal += ss.filesTotal
       val toScan = scala.collection.mutable.Buffer.empty[String]
       ss.rows.foreach { r =>
         if (partExact && hasTarget &&
-            LayoutOps.containedFile(r, ranges, ss.have)) {
+            LayoutOps.containedFile(r, pRanges, ss.have)) {
           metaFiles += 1
           // a null min means the file's target is all-null — SQL
           // MIN/MAX skips it, so the file contributes nothing
-          if (!r.isNullAt(r.fieldIndex(s"min_$target")))
-            cand += ((r.getAs[Any](s"min_$target"),
-              r.getAs[Any](s"max_$target")))
+          if (!r.isNullAt(r.fieldIndex(s"min_$pTarget")))
+            cand += ((r.getAs[Any](s"min_$pTarget"),
+              r.getAs[Any](s"max_$pTarget")))
         } else if (LayoutOps.keepFile(r, usable))
           toScan += LayoutOps.decodeStatFile(r.getAs[String]("file"))
       }
@@ -2539,7 +2910,7 @@ object SnapshotStore {
       if (probeCols.exists(!f.columns.contains(_))) None
       else {
         val r = f.where(residual)
-          .agg(min(col(target)), max(col(target))).head()
+          .agg(min(bq(pTarget)), max(bq(pTarget))).head()
         if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
       }
     }
@@ -2606,7 +2977,13 @@ object SnapshotStore {
         s"vectors — hidden rows defeat row metadata; compact first, " +
         s"or aggregate readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
-    val probeCols = ranges.map(_.col) ++ parts.keys :+ target
+    val m = colMapOf(rows)
+    val pRanges = ranges.map(r =>
+      r.copy(col = physN(m, r.col, "sumPrunedRange")))
+    val pParts = parts.map { case (c, a) =>
+      (physN(m, c, "sumPrunedRange"), a) }
+    val pTarget = physN(m, target, "sumPrunedRange")
+    val probeCols = pRanges.map(_.col) ++ pParts.keys :+ pTarget
     rangeColsGuard(spark, dir, segs, evolved, probeCols, "sumPrunedRange")
     // the integral-only contract, checked against the store's own
     // type. On an EVOLVED store the column may be absent from older
@@ -2619,7 +2996,7 @@ object SnapshotStore {
       val footers = if (evolved) segs else segs.take(1)
       val dt = footers.iterator
         .flatMap(seg => spark.read.parquet(s"$dir/$seg").schema
-          .find(_.name == target).map(_.dataType))
+          .find(_.name == pTarget).map(_.dataType))
         .nextOption()
       dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) => ()
@@ -2632,14 +3009,14 @@ object SnapshotStore {
             s"$dir — an absent column can only be a typo")
       }
     }
-    val live = segs.filter(partKeep(_, parts))
+    val live = segs.filter(partKeep(_, pParts))
     val statsOf: Map[String, Seq[String]] = rows.collect {
       case ("stats", s) => parseStatsRow(s)
     }.toMap.filter { case (seg, _) => live.contains(seg) }
-    val residual = (ranges.map(rg =>
-        col(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
-      parts.toSeq.sortBy(_._1).map { case (c, allowed) =>
-        col(c).cast("string").isin(allowed.toSeq.sorted: _*) })
+    val residual = (pRanges.map(rg =>
+        bq(rg.col).between(lit(rg.lo), lit(rg.hi))) ++
+      pParts.toSeq.sortBy(_._1).map { case (c, allowed) =>
+        bq(c).cast("string").isin(allowed.toSeq.sorted: _*) })
       .reduce(_ && _)
     val fs = hfs(spark, dir)
     var acc: java.math.BigDecimal = null
@@ -2650,23 +3027,23 @@ object SnapshotStore {
     var filesTotal = 0
     val scan = scala.collection.mutable.Map.empty[String, Seq[String]]
     segStatRows(spark, dir, statsOf).foreach { case (seg, ss) =>
-      val usable = ranges.filter(rg =>
+      val usable = pRanges.filter(rg =>
         ss.have.contains(s"min_${rg.col}") &&
           ss.have.contains(s"max_${rg.col}"))
       val partVals = segPartValues(seg)
-      val partExact = parts.forall { case (c, allowed) =>
+      val partExact = pParts.forall { case (c, allowed) =>
         partVals.get(c).exists(allowed.contains)
       }
-      val hasSum = ss.have.contains(s"sum_$target") &&
-        ss.have.contains(s"nulls_$target") && ss.have.contains("n_rows")
+      val hasSum = ss.have.contains(s"sum_$pTarget") &&
+        ss.have.contains(s"nulls_$pTarget") && ss.have.contains("n_rows")
       filesTotal += ss.filesTotal
       val toScan = scala.collection.mutable.Buffer.empty[String]
       ss.rows.foreach { r =>
         if (partExact && hasSum &&
-            LayoutOps.containedFile(r, ranges, ss.have)) {
-          val i = r.fieldIndex(s"sum_$target")
+            LayoutOps.containedFile(r, pRanges, ss.have)) {
+          val i = r.fieldIndex(s"sum_$pTarget")
           val nonNull = r.getAs[Long]("n_rows") -
-            r.getAs[Long](s"nulls_$target")
+            r.getAs[Long](s"nulls_$pTarget")
           // a null recorded sum with ZERO non-null rows = the file's
           // target is all-null: SQL SUM skips it and the count
           // contribution is zero. A null sum over non-null rows is an
@@ -2696,9 +3073,9 @@ object SnapshotStore {
       val f = spark.read.parquet(files: _*)
       if (!probeCols.exists(!f.columns.contains(_))) {
         val r = f.where(residual).agg(
-          sum(col(target).cast(
+          sum(bq(pTarget).cast(
             org.apache.spark.sql.types.DecimalType(38, 0))),
-          count(col(target))).head()
+          count(bq(pTarget))).head()
         if (!r.isNullAt(0)) {
           accAdd(r.getDecimal(0))
           cnt += r.getLong(1)
@@ -2775,8 +3152,22 @@ object SnapshotStore {
     // a driver-built rows-per-partition frame (hive-unescaped values
     // may carry spaces/colons — never round-trip them through a
     // delimiter); tiny by construction
+    // paths encode PHYSICAL names — render the logical view; a
+    // partition column whose logical was DROPPED has no honest
+    // rendering (the layout still prunes on it, but the user can't
+    // name it), so refuse like the other metadata preconditions
+    val outCols = colMapOf(rows) match {
+      case None => cols
+      case Some(cm) =>
+        val p2l = cm.entries.map(_.swap).toMap
+        cols.map(p => p2l.getOrElse(p,
+          throw new IllegalArgumentException(
+            s"partitions: partition column '$p' was dropped from the " +
+              s"logical schema — compact to materialize the layout " +
+              s"before listing partitions")))
+    }
     val schema = org.apache.spark.sql.types.StructType(
-      cols.map(c => org.apache.spark.sql.types.StructField(c,
+      outCols.map(c => org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)) ++
         Seq(org.apache.spark.sql.types.StructField("n_segments",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -3020,31 +3411,36 @@ object SnapshotStore {
     schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
       mergeSchema, "commitUpsert")
     statsGuard(df, statsCols, "commitUpsert")
+    val carried0 = readManifestRows(spark, dir, prev.max)
+    val (m, carried) = extendMap(colMapOf(carried0), df.columns.toSeq,
+      carried0, prev.max + 1, "commitUpsert")
     // pin ONE evaluation of df: the tombstone, the null check and the
     // segment must agree row for row — a non-deterministic source
     // evaluated thrice could tombstone ids its own segment never
     // re-inserts (silent deletes) or vice versa (silent duplicates)
     val pinned = graft.ops.Checkpoints.cut(df, eager = true)
-    val ids = pinned.select(col(idCol)).distinct()
-    val bad = ids.where(col(idCol).isNull).count()
+    val pId = physN(m, idCol, "commitUpsert")
+    val ids = pinned.select(bq(idCol).as(pId)).distinct()
+    val bad = ids.where(bq(pId).isNull).count()
     require(bad == 0,
       s"commitUpsert: null id(s) in '$idCol' — a null tombstone never " +
         s"matches the read-side anti-join and the old row would stay")
     val v = prev.max + 1
     val tp = s"tomb/${uniqueName('t', v)}"
     ids.write.mode("errorifexists").parquet(s"$dir/$tp")
-    val segRows = writeDataSegment(pinned, dir, v, statsCols, partitionBy,
-      "commitUpsert")
+    val segRows = writeDataSegment(toPhysical(pinned, m), dir, v,
+      physAll(m, statsCols, "commitUpsert"),
+      physAll(m, partitionBy, "commitUpsert"), "commitUpsert")
     // cdf: replaced rows' preimages (matched ids only — unmatched
-    // source rows are pure inserts, which the data segment carries)
+    // source rows are pure inserts, which the data segment carries);
+    // physical on disk, [[readChanges]] projects at output
     val cdcRel = if (!cdf) None
       else Some(writeCdc(spark, dir, v,
-        read(spark, dir, Some(prev.max)).join(ids, Seq(idCol),
+        readRaw(spark, dir, Some(prev.max))._1.join(ids, Seq(pId),
           "left_semi")))
-    val carried = readManifestRows(spark, dir, prev.max)
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
-    constraintGuard(spark, dir, carried, segRows, "commitUpsert")
+    constraintGuard(spark, dir, carried, segRows, "commitUpsert", m)
     commitManifestCdc(spark, dir, v,
       carried ++ evo ++ (("tomb", tp) +: segRows), cdcRel, "upsert")
     v

@@ -2128,4 +2128,156 @@ class SnapshotStoreSpec extends SparkSpecBase {
         partitionBy = Seq("lang"))
     SnapshotStore.versions(spark, dir) shouldBe Seq.empty
   }
+
+  test("renameColumn: metadata-only commit; reads project, time travel keeps old names, old tombstones still match, writes translate") {
+    val dir = freshDir("rename")
+    SnapshotStore.commitAppend(docs(1 to 10), dir)
+    SnapshotStore.commitDelete(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    val segsBefore = new java.io.File(s"$dir/seg").listFiles().length
+    val v = SnapshotStore.renameColumn(spark, dir, "n", "tokens")
+    v shouldBe 3
+    // METADATA-ONLY: no new data directory was written
+    new java.io.File(s"$dir/seg").listFiles().length shouldBe segsBefore
+    SnapshotStore.columnMapping(spark, dir) shouldBe
+      Seq(("doc_id", "doc_id"), ("text", "text"), ("tokens", "n"))
+    val cur = SnapshotStore.read(spark, dir)
+    cur.columns.toSeq shouldBe Seq("doc_id", "text", "tokens")
+    cur.where(col("doc_id") === 5L).select("tokens")
+      .head().getLong(0) shouldBe 6L // 5 % 7 + 1
+    // time travel BELOW the rename shows the old name
+    SnapshotStore.read(spark, dir, Some(1)).columns.toSeq shouldBe
+      Seq("doc_id", "text", "n")
+    // a LOGICAL-named append lands physically and reads back joined
+    // with the pre-rename segments (storage name is still `n`)
+    SnapshotStore.commitAppend(
+      Seq((11L, "doc 11", 99L)).toDF("doc_id", "text", "tokens"), dir)
+    SnapshotStore.read(spark, dir).where(col("tokens") === 99L)
+      .count() shouldBe 1
+    // the old name is GONE from the logical surface
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitDelete(Seq(1L).toDF("n"), "n", dir)
+    // deletes under the new name hide pre-rename rows (the tombstone
+    // wrote the PHYSICAL key)
+    SnapshotStore.commitDelete(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.read(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe
+      ((2L to 11L).filterNot(_ == 3L))
+    // upsert through the map: replaces by id, values under new name
+    SnapshotStore.commitUpsert(
+      Seq((2L, "doc 2 v2", 42L)).toDF("doc_id", "text", "tokens"),
+      "doc_id", dir)
+    SnapshotStore.read(spark, dir).where(col("doc_id") === 2L)
+      .select("tokens").head().getLong(0) shouldBe 42L
+    // rename guards: unknown source, taken target, reserved names
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.renameColumn(spark, dir, "n", "x")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.renameColumn(spark, dir, "tokens", "text")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.renameColumn(spark, dir, "tokens", "__p_bad")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.renameColumn(spark, dir, "tokens", "a;b")
+  }
+
+  test("dropColumn hides the column; a re-added name gets FRESH storage (dropped values never resurface); compact materializes the map") {
+    val dir = freshDir("dropcol")
+    SnapshotStore.commitAppend(docs(1 to 6), dir)
+    SnapshotStore.dropColumn(spark, dir, "n")
+    val afterDrop = SnapshotStore.read(spark, dir)
+    afterDrop.columns.toSeq shouldBe Seq("doc_id", "text")
+    // the mergeSchema RE-ADD of the dropped name: new values visible,
+    // old rows NULL — the retired physical (`n`) was not re-adopted
+    SnapshotStore.commitAppend(
+      Seq((7L, "doc 7", 777L)).toDF("doc_id", "text", "n"), dir,
+      mergeSchema = true)
+    val readd = SnapshotStore.read(spark, dir)
+    readd.columns.toSeq shouldBe Seq("doc_id", "text", "n")
+    readd.where(col("doc_id") === 7L).select("n")
+      .head().getLong(0) shouldBe 777L
+    readd.where(col("doc_id") <= 6L && col("n").isNotNull)
+      .count() shouldBe 0L // the ONE wrong thing: old values resurfacing
+    // the fresh storage name is uniquified away from the retired one
+    val mapped = SnapshotStore.columnMapping(spark, dir).toMap
+    mapped("n") should not be "n"
+    // compact MATERIALIZES: identity mapping, same logical content
+    SnapshotStore.compact(spark, dir)
+    SnapshotStore.columnMapping(spark, dir) shouldBe
+      Seq(("doc_id", "doc_id"), ("text", "text"), ("n", "n"))
+    val mat = SnapshotStore.read(spark, dir)
+    mat.count() shouldBe 7
+    mat.where(col("n").isNotNull).count() shouldBe 1
+    // guards: last column, unknown column
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.dropColumn(spark, dir, "nope")
+    SnapshotStore.dropColumn(spark, dir, "text")
+    SnapshotStore.dropColumn(spark, dir, "n")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.dropColumn(spark, dir, "doc_id")
+  }
+
+  test("column mapping composes with constraints, partitions, metadata probes, CDC and clones") {
+    import graft.ops.LayoutOps
+    val dir = freshDir("mapcompose")
+    val rows = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "fr", (i % 10).toLong))
+      .toDF("doc_id", "lang", "score")
+    SnapshotStore.commitAppend(rows, dir, partitionBy = Seq("lang"),
+      statsCols = Seq("doc_id", "score"))
+    SnapshotStore.addConstraint(spark, dir, "nonneg", "score >= 0")
+    // constraints RE-ANCHOR on rename (parsed, not string-replaced)
+    SnapshotStore.renameColumn(spark, dir, "score", "quality")
+    SnapshotStore.constraints(spark, dir)("nonneg") should include("quality")
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((61L, "en", -5L)).toDF("doc_id", "lang", "quality"), dir)
+    // a constraint blocks dropping its column until dropped itself
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.dropColumn(spark, dir, "quality")
+    // PARTITION column rename: probes under the new logical name
+    // still prune on the physically-named leaf paths
+    SnapshotStore.renameColumn(spark, dir, "lang", "language")
+    val cs = SnapshotStore.countPrunedRange(spark, dir,
+      Nil, parts = Map("language" -> Set("en")))
+    cs.count shouldBe 20L
+    cs.filesScanned shouldBe 0 // metadata-answered
+    SnapshotStore.partitions(spark, dir).columns.toSeq shouldBe
+      Seq("language", "n_segments", "n_rows")
+    // metadata MIN/MAX + SUM translate the target
+    SnapshotStore.minMaxPrunedRange(spark, dir, "quality",
+      Nil, parts = Map("language" -> Set("en")))
+      .max.asInstanceOf[Long] shouldBe 9L
+    SnapshotStore.sumPrunedRange(spark, dir, "doc_id",
+      Nil, parts = Map("language" -> Set("en")))
+      .sum.longValueExact() shouldBe (3 to 60 by 3).sum.toLong
+    // pruned reads return the LOGICAL view
+    SnapshotStore.readPrunedRange(spark, dir,
+      Seq(LayoutOps.ColRange("doc_id", 1L, 10L))).df
+      .columns.toSeq shouldBe Seq("doc_id", "language", "quality")
+    // CDC across a rename boundary: output under the END version's map
+    val vBefore = SnapshotStore.versions(spark, dir).max
+    SnapshotStore.commitDelete(Seq(6L).toDF("doc_id"), "doc_id", dir)
+    val feed = SnapshotStore.readChanges(spark, dir, vBefore,
+      SnapshotStore.versions(spark, dir).max)
+    feed.columns.toSeq shouldBe
+      Seq("doc_id", "language", "quality", "_change")
+    feed.where(col("_change") === "delete").select("doc_id")
+      .head().getLong(0) shouldBe 6L
+    // a shallow clone CARRIES the map
+    val dst = freshDir("mapclone")
+    SnapshotStore.clone(spark, dir, dst)
+    SnapshotStore.read(spark, dst).columns.toSeq shouldBe
+      Seq("doc_id", "language", "quality")
+    SnapshotStore.columnMapping(spark, dst)
+      .toMap.apply("quality") shouldBe "score"
+    // DELETE WHERE under logical names on the mapped clone
+    SnapshotStore.commitDeleteWhere(spark, dst,
+      Seq(LayoutOps.ColRange("quality", 9L, 9L)), "doc_id")
+    SnapshotStore.read(spark, dst).where(col("quality") === 9L)
+      .count() shouldBe 0L
+    // history renders the metadata ops, dataChange = false
+    val hist = SnapshotStore.history(spark, dir)
+      .where(col("op").isin("renameColumn", "dropColumn"))
+    hist.count() shouldBe 2
+    hist.where(col("data_change")).count() shouldBe 0
+  }
 }
