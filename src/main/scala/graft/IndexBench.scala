@@ -59,6 +59,15 @@ object IndexBench {
     }
     val qv = emb.orderBy(col("vec_id")).limit(1)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+    timed("vec_search_bq") {
+      // the persisted-bits Hamming pass + exact rerank (q233): reads
+      // 16-byte (corpus_id, bits) projections, raw vectors only for
+      // shortlist members
+      VectorIndexIO.searchPqIndexBq(VectorIndexIO.readPqIndex(spark, vdir),
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", rerank = 50, k = 3).count()
+    }
     timed("vec_lookup") {
       VectorIndexIO.lookupPqIndex(VectorIndexIO.readPqIndex(spark, vdir),
         qv, nprobe = 4, k = 10).count()

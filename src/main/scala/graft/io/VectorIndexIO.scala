@@ -77,10 +77,16 @@ object VectorIndexIO {
         .select(col("cid"), col(idCol).as("corpus_id"),
           col(vecCol).as("vec")),
       eager = true)
-    assigned.select(col("cid"), col("corpus_id"))
+    // `bits` rides beside the PQ codes: the 8-byte SignBits64 sign
+    // code (the q229 binary-quantization first pass), persisted so
+    // the CHEAPEST filter the index owns never recomputes from raw
+    // vectors — a BQ search scans 16-byte (corpus_id, bits)
+    // projections off this store (column pruning drops codes/cid)
+    assigned.select(col("cid"), col("corpus_id"),
+        graft.expr.SignBits64.signBits(col("vec")).as("bits"))
       .join(codes.select(col(idCol).as("corpus_id"), col("codes")),
         Seq("corpus_id"))
-      .select(col("cid"), col("corpus_id"), col("codes"))
+      .select(col("cid"), col("corpus_id"), col("codes"), col("bits"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
     // the raw vectors, cell-partitioned beside the codes — the refine
@@ -121,10 +127,11 @@ object VectorIndexIO {
         .select(col("cid"), col(idCol).as("corpus_id"),
           col(vecCol).as("vec")),
       eager = true)
-    assigned.select(col("cid"), col("corpus_id"))
+    assigned.select(col("cid"), col("corpus_id"),
+        graft.expr.SignBits64.signBits(col("vec")).as("bits"))
       .join(codes.select(col(idCol).as("corpus_id"), col("codes")),
         Seq("corpus_id"))
-      .select(col("cid"), col("corpus_id"), col("codes"))
+      .select(col("cid"), col("corpus_id"), col("codes"), col("bits"))
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
     assigned.repartition(col("cid"))
@@ -259,7 +266,7 @@ object VectorIndexIO {
     // back as int — restore the long the in-memory frames carry.
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("cid").cast("long").as("cid"), col("corpus_id"),
-        col("codes"))
+        col("codes"), col("bits"))
     val vecs = spark.read.parquet(s"$dir/vecs")
       .select(col("cid").cast("long").as("cid"), col("corpus_id"),
         col("vec"))
@@ -319,6 +326,54 @@ object VectorIndexIO {
       candVecs = index.vecs.select(col("corpus_id").as("id2"),
         col("vec").as("v2")),
       k)
+  }
+
+  /** Binary-quantization search OFF THE PERSISTED INDEX (the q229
+    * [[SimilarityOps.bqSearch]] contract, with the Hamming first pass
+    * reading the index's persisted `bits` column instead of
+    * recomputing sign codes from raw vectors): candidates stream a
+    * 16-byte (corpus_id, bits) projection past the broadcast query
+    * codes — column pruning drops `codes` and the `cid` key, so the
+    * cheapest filter the index owns costs 16 bytes/row off storage —
+    * rank by bit_count(xor), keep `rerank` per query
+    * (WindowGroupLimit: winners only shuffle), then the exact-cosine
+    * re-rank reads raw vectors from the `vecs/` store for shortlist
+    * members only. Tie-breaks identical to the in-memory face
+    * ((hamming, id) / (cosine DESC, id)), so the q229 oracle grades
+    * both. Self-matches excluded. Returns
+    * (qid, corpus_id, hamming, cosine, rank), ranks 1..k.
+    */
+  def searchPqIndexBq(index: PqIndex, queries: DataFrame,
+      qidCol: String, qvecCol: String, rerank: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= k,
+      s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val qb = queries.select(col(qidCol),
+      graft.expr.SignBits64.signBits(col(qvecCol)).as("__qbits"))
+    val cand = index.codes
+      .select(col("corpus_id"), col("bits"))
+      .crossJoin(broadcast(qb))
+      .where(col("corpus_id") =!= col(qidCol))
+      .withColumn("hamming",
+        bit_count(col("bits").bitwiseXOR(col("__qbits"))).cast("long"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("hamming"), col("corpus_id"))))
+      .where(col("__r") <= rerank)
+      .select(col(qidCol), col("corpus_id"), col("hamming"))
+      .localCheckpoint(true) // pin the shortlist (one Hamming pass)
+    index.vecs.select(col("corpus_id"), col("vec"))
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        Seq(qidCol))
+      .withColumn("cosine", SimilarityOps.cosine(col("vec"), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+          Window.partitionBy(col(qidCol))
+            .orderBy(col("cosine").desc, col("corpus_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("corpus_id"), col("hamming"),
+        col("cosine"), col("rank"))
   }
 
   /** Point lookup — the serving face: one query vector, its `nprobe`

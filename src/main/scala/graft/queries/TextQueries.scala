@@ -4152,6 +4152,107 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("_change_type"))
         .orderBy(col("doc_id"), col("_change_type"))
+    },
+
+    // Column mapping (SnapshotStore.renameColumn / dropColumn —
+    // Delta's column-mapping ALTER TABLE story): the full
+    // rename→write→delete→drop→compact lifecycle as O(1)-manifest
+    // metadata commits. v1 appends the evens as (doc_id, lang,
+    // n_chars) + a CHECK; the rename to doc_chars touches NO data
+    // file (the storage name stays `n_chars` and the constraint
+    // re-anchors, parsed not string-replaced); the odds then commit
+    // under the NEW logical name and land in the same physical
+    // column; a stats-driven DELETE WHERE probes the renamed name
+    // against the OLD sidecars (translated at entry); dropColumn
+    // hides lang metadata-only; compact materializes the mapping
+    // into identity storage. The oracle replays the surviving rows
+    // over the raw table, blind to every store mechanic — which is
+    // the point: N renames later, the data reads back exactly once
+    // under exactly the current names. Driver-side gates pin the
+    // metadata-only properties (time travel shows old names, the
+    // map's physical anchors, post-compact identity).
+    Q("q232_snapshot_column_mapping",
+      """SELECT doc_id, n_chars AS doc_chars FROM documents
+        |WHERE NOT (n_chars BETWEEN 100 AND 120)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      import graft.ops.LayoutOps
+      val root = hermeticStore("q232", dir) { r =>
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0), r,
+          statsCols = Seq("doc_id", "n_chars"))
+        SnapshotStore.addConstraint(s, r, "chars_nonneg", "n_chars >= 0")
+        SnapshotStore.renameColumn(s, r, "n_chars", "doc_chars")
+        // the re-anchored constraint must now speak the new name
+        require(SnapshotStore.constraints(s, r)("chars_nonneg")
+          .contains("doc_chars"), "q232: constraint did not re-anchor")
+        // odds commit under the NEW logical name (same physical col)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1)
+            .withColumnRenamed("n_chars", "doc_chars"), r,
+          statsCols = Seq("doc_id", "doc_chars"))
+        // stats-driven predicate delete under the renamed name, over
+        // sidecars recorded BEFORE and AFTER the rename
+        SnapshotStore.commitDeleteWhere(s, r,
+          Seq(LayoutOps.ColRange("doc_chars", 100L, 120L)), "doc_id",
+          statsCols = Seq("doc_id", "doc_chars"))
+        SnapshotStore.dropColumn(s, r, "lang")
+        SnapshotStore.compact(s, r)
+        ()
+      }
+      // metadata-only gates: v1 still reads under its OWN (old) names
+      require(SnapshotStore.read(s, root, Some(1)).columns.toSeq ==
+        Seq("doc_id", "lang", "n_chars"),
+        "q232: time travel below the rename must show the old names")
+      // post-compact the mapping is identity (materialized)
+      require(SnapshotStore.columnMapping(s, root) ==
+        Seq(("doc_id", "doc_id"), ("doc_chars", "doc_chars")),
+        "q232: compact must materialize the map to identity")
+      SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("doc_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Persisted binary-quantization search (VectorIndexIO
+    // .searchPqIndexBq): the q229 BQ contract with the Hamming first
+    // pass reading the index's PERSISTED 8-byte sign codes (`bits`
+    // rides beside the PQ codes in the q164 store — one build, every
+    // filter tier available), and the exact-cosine rerank reading raw
+    // vectors from the index's `vecs/` refine store. The oracle is
+    // q229's shape verbatim — a filesystem in the middle must be
+    // bit-invisible (floats round-trip exactly; the sign pass and
+    // both tie-breaks are shared code paths). Same fixture as
+    // q164/q173: build-once/search-many is the contract.
+    Q("q233_bq_index_search", {
+      val cos = cosineSql("cv", "qv")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |h AS (SELECT q.qid, c.vec_id, cv, qv,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> (cv[i] > 0) <> (qv[i] > 0))) AS BIGINT) AS hamming
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, hamming, cv, qv FROM h
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY qid ORDER BY hamming, vec_id) <= 50),
+         |r AS (SELECT qid, vec_id AS corpus_id, hamming,
+         |        $cos AS cosine,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY $cos DESC, vec_id) AS rank
+         |      FROM cand)
+         |SELECT qid, corpus_id, hamming, cosine, rank FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }) { (s, dir) =>
+      import graft.io.VectorIndexIO
+      val idx = VectorIndexIO.readPqIndex(s, fullPqIndexRoot(s, dir))
+      val emb = t(s, dir, "embeddings")
+      VectorIndexIO.searchPqIndexBq(idx,
+          emb.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", rerank = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

@@ -352,4 +352,35 @@ class VectorIndexIOSpec extends SparkSpecBase {
     }
     e.getMessage should include("dim")
   }
+
+  test("persisted BQ search ≡ the in-memory bqSearch; bits survive append/delete/compact") {
+    val dir = freshDir("bq")
+    VectorIndexIO.writePqIndex(corpus.filter(col("id") < 36), "id", "vec",
+      coarse, Dim, M, Ks, iters = 1, dir)
+    // bits must survive the whole lifecycle: append more vectors,
+    // delete a few, then compact the fragmented cells
+    VectorIndexIO.appendToPqIndex(VectorIndexIO.readPqIndex(spark, dir),
+      corpus.filter(col("id") >= 36), "id", "vec", dir)
+    VectorIndexIO.deleteFromPqIndex(VectorIndexIO.readPqIndex(spark, dir),
+      Seq(7L, 19L).toDF("id"), "id", dir)
+    VectorIndexIO.compactPqIndex(VectorIndexIO.readPqIndex(spark, dir), dir)
+    val idx = VectorIndexIO.readPqIndex(spark, dir)
+
+    val live = corpus.filter(!col("id").isin(7L, 19L))
+    val queries = live.filter(col("id") % 12 === 0)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val offIndex = sortedRows(VectorIndexIO.searchPqIndexBq(idx,
+      queries, "qid", "qv", rerank = 8, k = 3))
+    val inMem = sortedRows(SimilarityOps.bqSearch(live, "id", "vec",
+      queries, "qid", "qv", rerank = 8, k = 3))
+    offIndex should not be empty
+    offIndex shouldBe inMem // a filesystem in the middle is invisible
+
+    // the persisted bits EQUAL a fresh sign pass over the raw vectors
+    // (the column is storage for the same deterministic function)
+    val recomputed = idx.vecs.select(col("corpus_id"),
+      graft.expr.SignBits64.signBits(col("vec")).as("fresh"))
+    idx.codes.join(recomputed, Seq("corpus_id"))
+      .where(col("bits") =!= col("fresh")).count() shouldBe 0L
+  }
 }
