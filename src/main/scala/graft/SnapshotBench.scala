@@ -299,6 +299,54 @@ object SnapshotBench {
       finally sys.props.remove("graft.snapshot.tombBroadcastBytes")
     println(f"""{"face":"mass_delete_read_shuffle","secs":$sMassShuf%.2f}""")
 
+    // ---- multi-writer contention (the MVCC story under load) -------
+    // N threads race append commits at ONE root through the public
+    // withCommitRetry loop: every writer must land exactly once, the
+    // version chain must be gapless, and the numbers to watch are the
+    // conflict rate (lost optimistic races, each = one wasted manifest
+    // write + re-read) and the wall vs N — the curve that says where
+    // optimistic concurrency stops being enough and a queue belongs
+    // upstream (Delta's answer is the same). Writers alternate an
+    // append and a cdf DELETE so conflict losers exercise the cdc
+    // cleanup path under real contention, not just in the spec.
+    val mwBatch = docs.filter(col("doc_id") % 50 === 0)
+      .localCheckpoint(true)
+    mwBatch.count()
+    for (nw <- Seq(1, 2, 4, 8)) {
+      val mwStore = s"$base/mw$nw"
+      SnapshotStore.commitAppend(docs.limit(200), mwStore)
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger
+      val perWriter = 6
+      val sMw = secs {
+        val threads = (1 to nw).map { w =>
+          val t = new Thread(() => {
+            (1 to perWriter).foreach { i =>
+              SnapshotStore.withCommitRetry(maxAttempts = 200) { () =>
+                try {
+                  if (i % 2 == 0)
+                    SnapshotStore.commitDelete(
+                      mwBatch.select(col("doc_id")), "doc_id", mwStore,
+                      cdf = true)
+                  else SnapshotStore.commitAppend(mwBatch, mwStore)
+                } catch {
+                  case e: SnapshotStore.CommitConflictException =>
+                    conflicts.incrementAndGet(); throw e
+                }
+              }
+            }
+          })
+          t.setName(s"mw-writer-$w"); t.start(); t
+        }
+        threads.foreach(_.join())
+      }
+      val vs = SnapshotStore.versions(spark, mwStore)
+      require(vs == (1 to 1 + nw * perWriter),
+        s"multi-writer chain has gaps/dups: $vs")
+      println(f"""{"face":"concurrent_writers_$nw","secs":$sMw%.2f,""" +
+        f""""commits":${nw * perWriter},"conflicts":${conflicts.get()},""" +
+        f""""secs_per_commit":${sMw / (nw * perWriter)}%.3f}""")
+    }
+
     graft.ops.StageMemo.wipe(new java.io.File(base))
     spark.stop()
   }

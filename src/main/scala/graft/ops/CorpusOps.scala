@@ -621,6 +621,123 @@ object CorpusOps {
         col("first_pack"), col("last_pack"))
   }
 
+  /** BEST-FIT sequence packing (the padding-minimizing twin of
+    * [[packSequences]] — the layout trainers pick when documents must
+    * NOT straddle sequence boundaries, paying padding instead of
+    * attention-mask contamination): documents sort by
+    * (token count DESC, id) and fold next-fit-decreasing into packs
+    * of capacity `seqLen`; each document reports its pack and its
+    * token offset within it. Deterministic end to end, so an oracle
+    * replays it exactly.
+    *
+    * The scalable shape: a global NFD fold is inherently sequential,
+    * so the descending order is cut into `nBuckets` EQUAL CONTIGUOUS
+    * RANK CHUNKS — chunk = (rank−1)·nBuckets div n, a closed form an
+    * oracle can replay, never RangePartitioner's sampled boundaries —
+    * and each chunk packs INDEPENDENTLY from fresh packs (at most one
+    * partial pack per chunk, a vanishing padding term at corpus
+    * scale; chunk sizes are the documented memory knob since a chunk
+    * folds in memory). Global pack ids = within-chunk pack + an
+    * exclusive prefix sum of per-chunk pack counts (the same pinned
+    * two-phase machinery as [[packSequences]]: the only driver state
+    * is nBuckets-row totals; wide exchanges move (id, count) pairs).
+    * Sorted-descending input means NFD here equals first-fit
+    * decreasing within a chunk whenever fills are tight — and unlike
+    * FFD it needs no per-pack search state, so the fold is one linear
+    * pass.
+    *
+    * Loud guards: null/negative counts (as [[packSequences]]), a
+    * document LONGER than `seqLen` (it can never fit a pack —
+    * truncate upstream), and duplicate ids (rank ties would make the
+    * layout nondeterministic). Returns
+    * (id, n_tokens, pack_id, pack_offset).
+    */
+  def packSequencesBestFit(docs: DataFrame, idCol: String,
+      tokens: Column, seqLen: Long, nBuckets: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val guarded = when(tokens.isNull || tokens < 0, raise_error(lit(
+      "packSequencesBestFit: null/negative token count — clean " +
+        "upstream")))
+      .when(tokens.cast("long") > seqLen, raise_error(lit(
+        s"packSequencesBestFit: document longer than seqLen=$seqLen " +
+          s"tokens can never fit a pack — truncate or route it to the " +
+          s"contiguous layout")).cast("long"))
+      .otherwise(tokens.cast("long"))
+    val pinned = Checkpoints.cut(
+      docs.select(col(idCol), guarded.as("n_tokens"))
+        .repartitionByRange(nBuckets, col("n_tokens").desc, col(idCol))
+        .withColumn("__pid", spark_partition_id()),
+      eager = true)
+    // duplicate ids make the fold order undefined. Unlike
+    // [[packSequences]] (ordered by id alone, so equal keys co-locate
+    // and a lag check is complete), the (len, id) range key can
+    // scatter equal ids with different lengths across partitions — a
+    // window guard CANNOT be complete here, so pay one explicit
+    // id-only aggregation over the pinned frame (map-side partial
+    // count; the honest price of the guarantee)
+    val dups = pinned.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1L).limit(1).count()
+    require(dups == 0L,
+      s"packSequencesBestFit: duplicate $idCol — the fold order is " +
+        s"undefined; dedup upstream")
+    val totals = pinned.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    require(n > 0, "packSequencesBestFit: empty corpus")
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toSeq)
+      .toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val ranked = pinned.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rank",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .withColumn("__chunk", expr(s"(__rank * ${nBuckets}L) div ${n}L"))
+      .select(col("__chunk"), col("__rank"), col(idCol), col("n_tokens"))
+    val idType = ranked.schema(idCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("__chunk", LongType, nullable = false),
+      StructField(idCol, idType),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("__bin", LongType, nullable = false),
+      StructField("pack_offset", LongType, nullable = false)))
+    // one NFD fold per chunk: sort the group by global rank (unique),
+    // walk once, close a pack at the first non-fitting document.
+    // Pinned: the bin-count collect and the output both consume it,
+    // and the fold must run once.
+    val packed = Checkpoints.cut(ranked
+      .groupByKey(_.getAs[Long]("__chunk"))(Encoders.scalaLong)
+      .flatMapGroups { (chunk: Long, it: Iterator[Row]) =>
+        val rows = it.toArray.sortBy(_.getAs[Long]("__rank"))
+        var bin = 0L
+        var fill = 0L
+        rows.iterator.map { r =>
+          val len = r.getAs[Long]("n_tokens")
+          if (fill + len > seqLen && fill > 0L) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += len
+          Row(chunk, r.get(r.fieldIndex(idCol)), len, bin, off)
+        }
+      }(Encoders.row(outSchema)).toDF(), eager = true)
+    val binCounts = packed.groupBy(col("__chunk"))
+      .agg((max(col("__bin")) + 1L).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val binOffDf = spark.createDataFrame(
+      binCounts.map(_._1)
+        .zip(binCounts.map(_._2).scanLeft(0L)(_ + _).init).toSeq)
+      .toDF("__chunk", "__binoff")
+    packed.join(broadcast(binOffDf), Seq("__chunk"))
+      .withColumn("pack_id", col("__binoff") + col("__bin"))
+      .select(col(idCol), col("n_tokens"), col("pack_id"),
+        col("pack_offset"))
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE (the training-data permutation —
     * every epoch pipeline's first op, and the one most often done
     * wrong at scale): each document's position in a seeded

@@ -4253,6 +4253,59 @@ object TextQueries {
             .select(col("vec_id").as("qid"), col("embedding").as("qv")),
           "qid", "qv", rerank = 50, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Best-fit packing (CorpusOps.packSequencesBestFit — the
+    // padding-minimizing layout for trainers that refuse document
+    // straddle): (token count DESC, id) order cut into 32 EQUAL
+    // CONTIGUOUS RANK CHUNKS by closed form ((rank·32) div n — never
+    // sampled boundaries, so the oracle replays it), each chunk
+    // folded next-fit-decreasing into 512-token packs independently,
+    // global pack ids via the exclusive prefix sum of per-chunk pack
+    // counts. The oracle replays the fold as a recursive CTE stepping
+    // all 32 chunks one rank at a time (~n/32 iterations); every
+    // engine-side phase split and the in-group sort must be exactly
+    // invisible. Padding-vs-contiguous numbers live in SURVEY §8.
+    Q("q234_best_fit_packing",
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |ranked AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+         |      AS BIGINT) - 1 AS rk,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM d),
+         |ch AS (SELECT doc_id, n_tokens, (rk * 32) // n AS chunk,
+         |    CAST(row_number() OVER (PARTITION BY (rk * 32) // n
+         |      ORDER BY rk) AS BIGINT) AS crk
+         |  FROM ranked),
+         |steps AS (
+         |  SELECT chunk, crk, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill,
+         |    CAST(0 AS BIGINT) AS poff
+         |  FROM ch WHERE crk = 1
+         |  UNION ALL
+         |  SELECT c.chunk, c.crk, c.doc_id, c.n_tokens,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.bin ELSE s.bin + 1 END,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.fill + c.n_tokens ELSE c.n_tokens END,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.fill ELSE CAST(0 AS BIGINT) END
+         |  FROM steps s JOIN ch c
+         |    ON c.chunk = s.chunk AND c.crk = s.crk + 1),
+         |bins AS (SELECT chunk, max(bin) + 1 AS b
+         |  FROM steps GROUP BY chunk),
+         |boff AS (SELECT chunk, COALESCE(sum(b) OVER (ORDER BY chunk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS binoff FROM bins)
+         |SELECT s.doc_id, s.n_tokens,
+         |  CAST(o.binoff + s.bin AS BIGINT) AS pack_id,
+         |  s.poff AS pack_offset
+         |FROM steps s JOIN boff o ON o.chunk = s.chunk
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      CorpusOps.packSequencesBestFit(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), seqLen = 512L, nBuckets = 32)
+        .orderBy(col("doc_id"))
     }
   )
 }

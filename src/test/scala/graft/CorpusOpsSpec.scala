@@ -698,4 +698,68 @@ class CorpusOpsSpec extends SparkSpecBase {
     b should not be a
     (1L to 400L).count(i => a(i) == i - 1) should be < 40
   }
+
+  test("packSequencesBestFit: NFD over rank chunks ≡ reference fold, capacity never overflows, bucket-split deterministic, guards raise") {
+    val cap = 100L
+    val docs = (1L to 300L)
+      .map(i => (i, (i * 37 % 97 + 1))) // lengths 1..97, none > cap
+      .toDF("doc_id", "tok")
+    def run(buckets: Int) =
+      CorpusOps.packSequencesBestFit(docs, "doc_id", col("tok"),
+          seqLen = cap, nBuckets = buckets)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val out = run(8)
+
+    // reference: the same closed-form chunking + sequential NFD fold,
+    // entirely in memory
+    val lens = (1L to 300L).map(i => i -> (i * 37 % 97 + 1)).toMap
+    val order = lens.toSeq.sortBy { case (id, l) => (-l, id) }
+    val n = order.size
+    var expected = Vector.empty[(Long, Long, Long, Long)]
+    var packBase = 0L
+    (0 until 8).foreach { c =>
+      val chunk = order.zipWithIndex.filter { case (_, rk) =>
+        (rk.toLong * 8L) / n == c }.map(_._1)
+      var bin = 0L; var fill = 0L
+      chunk.foreach { case (id, l) =>
+        if (fill + l > cap && fill > 0) { bin += 1; fill = 0 }
+        expected :+= ((id, l, packBase + bin, fill))
+        fill += l
+      }
+      if (chunk.nonEmpty) packBase += bin + 1
+    }
+    out shouldBe expected.sortBy(_._1).toArray
+
+    // invariants: every pack fits the capacity; offsets tile each
+    // pack contiguously from 0
+    val byPack = out.groupBy(_._3)
+    byPack.values.foreach { ds =>
+      ds.map(_._2).sum should be <= cap
+      ds.sortBy(_._4).foldLeft(0L) { case (acc, (_, l, _, off)) =>
+        off shouldBe acc; acc + l
+      }
+    }
+    // pack ids are dense 0-based
+    byPack.keySet shouldBe (0L until byPack.size.toLong).toSet
+    // the bucket count changes the CHUNKING (a different contract
+    // knob), but every bucketing is deterministic run to run
+    run(8) shouldBe out
+    // the padding story: NFD-packed bins waste less than one doc per
+    // bin on average (the number SURVEY §8 records vs contiguous)
+    val waste = byPack.size * cap - out.map(_._2).sum
+    (waste.toDouble / byPack.size) should be < cap / 2.0
+
+    // guards: oversized doc, null count, duplicate id all raise
+    an[Exception] should be thrownBy CorpusOps.packSequencesBestFit(
+      Seq((1L, 101L)).toDF("doc_id", "tok"), "doc_id", col("tok"),
+      seqLen = cap).collect()
+    an[Exception] should be thrownBy CorpusOps.packSequencesBestFit(
+      Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "tok"),
+      "doc_id", col("tok"), seqLen = cap).collect()
+    an[Exception] should be thrownBy CorpusOps.packSequencesBestFit(
+      Seq((1L, 5L), (1L, 7L)).toDF("doc_id", "tok"),
+      "doc_id", col("tok"), seqLen = cap).collect()
+  }
 }

@@ -2280,4 +2280,65 @@ class SnapshotStoreSpec extends SparkSpecBase {
     hist.count() shouldBe 2
     hist.where(col("data_change")).count() shouldBe 0
   }
+
+  test("racing cdf/dv writers: losers clean their glob-visible CDC files, DV orphans stay invisible, the version chain stays gapless") {
+    val dir = freshDir("mwrace")
+    SnapshotStore.commitAppend(docs(1 to 400), dir)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val errors = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    var round = 0
+    // two writers enter commitDelete nearly simultaneously: each
+    // reads the latest version at entry, computes for ~100s of ms,
+    // then races the manifest rename — a collision per round is
+    // near-certain; loop until one is observed so the loser-cleanup
+    // path provably ran (not just the no-contention fast path)
+    while (conflicts.get() == 0 && round < 24) {
+      round += 1
+      val (idA, idB) = (round.toLong, (round + 100).toLong)
+      val threads = Seq(
+        (0, idA), (1, idB)).map { case (w, id) =>
+        val t = new Thread(() => {
+          try SnapshotStore.withCommitRetry(maxAttempts = 50) { () =>
+            try {
+              if (w == 0)
+                SnapshotStore.commitDelete(Seq(id).toDF("doc_id"),
+                  "doc_id", dir, cdf = true)
+              else
+                SnapshotStore.commitDelete(Seq(id).toDF("doc_id"),
+                  "doc_id", dir, dv = true, cdf = true)
+            } catch {
+              case e: SnapshotStore.CommitConflictException =>
+                conflicts.incrementAndGet(); throw e
+            }
+          } catch { case t: Throwable => errors.add(t); () }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+    }
+    errors.size shouldBe 0
+    conflicts.get() should be > 0 // the loser path actually ran
+    val vs = SnapshotStore.versions(spark, dir)
+    vs shouldBe (1 to vs.max) // gapless despite the races
+    // every attempted delete landed exactly once
+    val deleted = (1 to round).flatMap(r => Seq(r.toLong, r + 100L))
+    SnapshotStore.read(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe
+      (1L to 400L).filterNot(deleted.contains)
+    // CDC hygiene: cdc files are GLOB-VISIBLE to streamChanges, so a
+    // conflict loser must have deleted its preimages — exactly one
+    // cdc dir per COMMITTED delete version survives
+    val fs = new java.io.File(s"$dir/cdc")
+    fs.listFiles().length shouldBe (vs.max - 1)
+    // DV orphans (losers' position files) are manifest-invisible to
+    // reads — correctness already asserted above — and the vacuum
+    // sweep collects them like any crashed-commit leftover
+    val swept = SnapshotStore.vacuum(spark, dir, keepFrom = 1)
+    SnapshotStore.read(spark, dir).count() shouldBe
+      400L - deleted.size
+    swept.filter(_.startsWith("dv/")).foreach { d =>
+      new java.io.File(s"$dir/$d").exists() shouldBe false
+    }
+  }
 }
