@@ -299,6 +299,23 @@ object SnapshotBench {
       finally sys.props.remove("graft.snapshot.tombBroadcastBytes")
     println(f"""{"face":"mass_delete_read_shuffle","secs":$sMassShuf%.2f}""")
 
+    // ---- clone + history observability costs -----------------------
+    // clone is O(1) files by contract (one manifest referencing the
+    // source); history is manifest-sized driver work + one grouped
+    // sidecar pass — both must stay flat in TABLE size (the store
+    // here has ~70 versions from the lifecycle above)
+    val cloneDst = s"$base/clone_of_store"
+    val sClone = secs(SnapshotStore.clone(spark, store, cloneDst))
+    println(f"""{"face":"shallow_clone","secs":$sClone%.2f}""")
+    val sCloneRead = secs(SnapshotStore.read(spark, cloneDst).count())
+    println(f"""{"face":"clone_first_read","secs":$sCloneRead%.2f}""")
+    val sHist = secs {
+      val h = SnapshotStore.history(spark, store)
+      h.count()
+    }
+    val nVers = SnapshotStore.versions(spark, store).size
+    println(f"""{"face":"history_${nVers}_versions","secs":$sHist%.2f}""")
+
     // ---- multi-writer contention (the MVCC story under load) -------
     // N threads race append commits at ONE root through the public
     // withCommitRetry loop: every writer must land exactly once, the

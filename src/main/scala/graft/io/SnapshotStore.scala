@@ -196,9 +196,15 @@ object SnapshotStore {
     // physical storage names (extending the map first when
     // mergeSchema introduces new columns) and translate every
     // column-name argument the same way
-    val (m, carried) = extendMap(colMapOf(carried0), df.columns.toSeq,
+    val (m, carried1) = extendMap(colMapOf(carried0), df.columns.toSeq,
       carried0, v, "commitAppend")
-    val segRows = writeDataSegment(toPhysical(df, m), dir, v,
+    val phys = toPhysical(df, m)
+    // type widening: refresh the `sch` target when mergeSchema widens
+    // a shared column (or the store already carries one)
+    val carried = if (prev.isEmpty || !mergeSchema) carried1
+      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
+        phys.schema, carried1)
+    val segRows = writeDataSegment(phys, dir, v,
       physAll(m, statsCols, "commitAppend"),
       physAll(m, partitionBy, "commitAppend"),
       "commitAppend", physAll(m, bloomCols, "commitAppend"),
@@ -698,14 +704,90 @@ object SnapshotStore {
     else {
       val curTypes = cur.map(f => f.name -> f.dataType).toMap
       val flips = df.schema.flatMap(f => curTypes.get(f.name)
-        .filter(_ != f.dataType)
+        .filter(t => t != f.dataType && !widens(t, f.dataType))
         .map(t => s"${f.name}: ${t.simpleString} -> " +
           f.dataType.simpleString))
       require(flips.isEmpty,
         s"$op(mergeSchema): type flip on shared column(s) " +
-          s"${flips.mkString(", ")} — evolution adds columns, never " +
-          s"retypes them")
+          s"${flips.mkString(", ")} — evolution adds columns and " +
+          s"WIDENS types (byte→short→int→long, float→double, " +
+          s"integral→double), never narrows or cross-retypes them")
     }
+
+  // ===================== TYPE WIDENING =====================
+  // Delta-style type widening (the second ALTER TABLE evolution lever
+  // beside column mapping): under mergeSchema a shared column may
+  // WIDEN losslessly — byte→short→int→long, float→double, and
+  // (byte|short|int)→double (every int32 is exact in a double;
+  // long→double is NOT and refuses). No data file is rewritten: the
+  // first widening commit stamps a `sch` manifest row holding the
+  // full target PHYSICAL schema (json), and reads supply it to the
+  // parquet scan — Spark 4's vectorized reader upcasts narrow file
+  // columns in place (IntegerToLongUpdater / FloatToDoubleUpdater /
+  // IntegerToDoubleUpdater), and a file missing a requested column
+  // reads as null, so a `sch` read also subsumes the footer-merge.
+  // Stats-driven faces (pruned reads, metadata aggregates, DELETE
+  // WHERE, bloom probes) REFUSE on widened stores — their per-file
+  // min/max compares would mix physical types; a full compaction
+  // rewrites everything at the widest type and drops the row, which
+  // re-arms them (the same compact-first honesty as tombstone/DV
+  // refusals). Orthogonal to column mapping: widening is type-level
+  // on PHYSICAL names, the map renames on top.
+
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  private def schOf(rows: Seq[(String, String)])
+      : Option[org.apache.spark.sql.types.StructType] =
+    rows.collectFirst { case ("sch", s) =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** The write-side widening fold every mergeSchema face runs after
+    * [[schemaGuard]]: merge the store's current PHYSICAL view schema
+    * with the incoming frame's physical schema (wider type wins,
+    * new columns append) and return the carried rows with the `sch`
+    * row refreshed — stamped only once a widening has actually
+    * happened (an add-only store keeps the cheap evo path).
+    */
+  private def widenSchemaRows(curPhysical: org.apache.spark.sql.types.StructType,
+      dfPhysical: org.apache.spark.sql.types.StructType,
+      carried: Seq[(String, String)]): Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    val incoming = dfPhysical.map(f => f.name -> f.dataType).toMap
+    val widened = curPhysical.map { f =>
+      incoming.get(f.name) match {
+        case Some(t) if widens(f.dataType, t) => StructField(f.name, t)
+        case _ => StructField(f.name, f.dataType)
+      }
+    }
+    val known = curPhysical.fieldNames.toSet
+    val added = dfPhysical.filterNot(f => known(f.name))
+      .map(f => StructField(f.name, f.dataType))
+    val target = StructType(widened ++ added)
+    val anyWiden = curPhysical.exists(f =>
+      incoming.get(f.name).exists(t => widens(f.dataType, t)))
+    if (!anyWiden && !carried.exists(_._1 == "sch")) carried
+    else carried.filterNot(_._1 == "sch") :+ (("sch", target.json))
+  }
+
+  private def widenGuard(rows: Seq[(String, String)], op: String): Unit =
+    require(!rows.exists(_._1 == "sch"),
+      s"$op: the store carries WIDENED column types (`sch` row) — " +
+        s"per-file stats compares across mixed physical types are " +
+        s"unsafe; compact() first to materialize the widest type, or " +
+        s"filter read(...) directly")
 
   /** Tombstone `ids` (distinct, non-null — loud otherwise: a null
     * tombstone silently never matches the anti-join) and publish the
@@ -763,7 +845,8 @@ object SnapshotStore {
             rows.collect { case ("seg", p) => p },
             rows.collect { case ("tomb", p) => p },
             evolved = rows.exists(_._1 == "evo"),
-            dvs = dvRowsOf(rows), keepPos = true)
+            dvs = dvRowsOf(rows), keepPos = true,
+            target = schOf(rows))
           // no unconditional broadcast hint: a mass-delete id frame
           // must not OOM the driver (the tombBroadcastGate philosophy
           // — AQE broadcasts genuinely small id sides on its own)
@@ -874,6 +957,7 @@ object SnapshotStore {
       s"commitDeleteWhere: id column '$idCol' is not in the store's " +
         s"current schema (${cur.mkString(",")})")
     val rows = readManifestRows(spark, dir, vs.max)
+    widenGuard(rows, "commitDeleteWhere")
     // translate every probe/argument name to PHYSICAL once at entry —
     // file stats, partition paths, segments and the tombstone all
     // live in storage names
@@ -1089,8 +1173,11 @@ object SnapshotStore {
     val carried0 = readManifestRows(spark, dir, prev.max)
     // merge logic runs LOGICAL end to end (target/source/clauses are
     // the user's view); only the written artifacts translate
-    val (m, carried) = extendMap(colMapOf(carried0),
+    val (m, carried1) = extendMap(colMapOf(carried0),
       source.columns.toSeq, carried0, prev.max + 1, "commitMerge")
+    val carried = if (!mergeSchema) carried1
+      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
+        toPhysical(source, m).schema, carried1)
     val src = graft.ops.Checkpoints.cut(source, eager = true)
     val idStats = src.agg(
       count(lit(1)).as("n"),
@@ -1419,7 +1506,9 @@ object SnapshotStore {
   private def segsMinusTombs(spark: SparkSession, dir: String,
       segs: Seq[String], tombs: Seq[String], evolved: Boolean,
       dvs: Seq[(String, Seq[String])] = Nil,
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false,
+      target: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     // seg/-anchored matching: a clone's manifest segments carry a
     // relative prefix while DV affected lists are source-anchored —
     // raw equality would silently skip the anti-join on a clone
@@ -1429,8 +1518,15 @@ object SnapshotStore {
     }
     val withPos = keepPos || live.nonEmpty
     def readSegs(ps: Seq[String]): DataFrame = {
-      val r = if (evolved) spark.read.option("mergeSchema", "true")
-        else spark.read
+      // a WIDENED store's target schema drives the scan directly:
+      // Spark 4's vectorized reader upcasts narrow file columns in
+      // place and null-fills missing ones, so the explicit schema
+      // subsumes the footer-merge too
+      val r = target match {
+        case Some(t) => spark.read.schema(t)
+        case None if evolved => spark.read.option("mergeSchema", "true")
+        case None => spark.read
+      }
       val f = r.parquet(ps.sorted.map(p => s"$dir/$p"): _*)
       if (withPos) withPosCols(f) else f
     }
@@ -1494,7 +1590,7 @@ object SnapshotStore {
     (segsMinusTombs(spark, dir, segs,
       rows.collect { case ("tomb", p) => p },
       evolved = rows.exists(_._1 == "evo"),
-      dvs = dvRowsOf(rows)), rows)
+      dvs = dvRowsOf(rows), target = schOf(rows)), rows)
   }
 
   /** Fold tombstones in for real: write the latest snapshot's
@@ -1744,10 +1840,14 @@ object SnapshotStore {
     val colLists = picked.toSeq.map(sigCols).distinct
     val bulk = bulkStats.isDefined && groups.size > 1 &&
       colLists.size == 1 && colLists.head.nonEmpty
+    // a WIDENED store's partial rewrites read under the target schema
+    // (writing the merged group at the widest type); the sch row
+    // stays carried while any narrow segment remains
+    val sch = schOf(rows)
     val newRows =
       if (bulk) {
         val survivors = segsMinusTombs(spark, dir, picked.toSeq, tombs,
-          evolved, dvs)
+          evolved, dvs, target = sch)
         val cols = colLists.head
         statsGuard(survivors, bulkStats.get, op)
         writeDataSegment(
@@ -1755,7 +1855,7 @@ object SnapshotStore {
           bulkStats.get, cols, op, prefix = 'c')
       } else groups.toSeq.sortBy(_._1).flatMap { case (sig, gsegs) =>
         val survivors = segsMinusTombs(spark, dir, gsegs, tombs, evolved,
-          dvs)
+          dvs, target = sch)
         val (seg, extra) = writeGroup(survivors, sig, v)
         (("seg", seg)) +: extra
       }
@@ -1904,6 +2004,7 @@ object SnapshotStore {
       s"readPrunedLatest: latest version v${vs.max} at $dir is not a " +
         s"single z-compacted segment (segs=$segs, tombs=${tombs.length}," +
         s" dvs=${rows.count(_._1 == "dv")}) — run compactZordered first")
+    widenGuard(rows, "readPrunedLatest")
     val m = colMapOf(rows)
     val scan = graft.ops.LayoutOps.readPruned(spark,
       s"$dir/${segs.head.stripSuffix("/data")}",
@@ -1952,6 +2053,7 @@ object SnapshotStore {
     require(segs.nonEmpty, s"manifest v$v at $dir lists no data segments")
     val tombs = rows.collect { case ("tomb", p) => p }
     val evolved = rows.exists(_._1 == "evo")
+    widenGuard(rows, "readPrunedRange")
     // probes arrive LOGICAL; stats, partition paths and footers are
     // physical — translate once at entry
     val m = colMapOf(rows)
@@ -2277,6 +2379,7 @@ object SnapshotStore {
     // projects ONCE at the end under the END version's map — one
     // feed, one schema, whatever renames happened inside the range
     val asOfFrom = readRaw(spark, dir, Some(fromV))._1
+    val toRows = readManifestRows(spark, dir, toV)
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
       else segsMinusTombs(spark, dir, newSegs, newTombs,
@@ -2285,7 +2388,10 @@ object SnapshotStore {
         // pre-compaction in-range segments still differ in schema)
         evolved = fromRows.exists(_._1 == "evo") ||
           added.exists(_._1 == "evo"),
-        dvs = newDvs)
+        dvs = newDvs,
+        // widened range: the END version's target types cover every
+        // in-range segment (widening is monotone within a range)
+        target = schOf(toRows))
     val deletes =
       if (newTombs.isEmpty) asOfFrom.limit(0)
       else {
@@ -2312,7 +2418,8 @@ object SnapshotStore {
           fromManifest.collect { case ("seg", p) => p },
           fromManifest.collect { case ("tomb", p) => p },
           evolved = fromRows.exists(_._1 == "evo"),
-          dvs = dvRowsOf(fromManifest), keepPos = true)
+          dvs = dvRowsOf(fromManifest), keepPos = true,
+          target = schOf(fromManifest))
         val dvF = spark.read
           .parquet(newDvs.map(d => s"$dir/${d._1}"): _*)
           .select(col("__dv_file"), col("__dv_ridx"))
@@ -2327,7 +2434,7 @@ object SnapshotStore {
           allowMissingColumns = true)
         .unionByName(dvDeletes.withColumn("_change", lit("delete")),
           allowMissingColumns = true),
-      colMapOf(readManifestRows(spark, dir, toV)),
+      colMapOf(toRows),
       keep = Seq("_change"))
   }
 
@@ -2711,6 +2818,7 @@ object SnapshotStore {
         s"vector(s) — dv-hidden rows defeat row metadata exactly as " +
         s"tombstones do; compact first, or count readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
+    widenGuard(rows, "countPrunedRange")
     val m = colMapOf(rows)
     val pRanges = ranges.map(r =>
       r.copy(col = physN(m, r.col, "countPrunedRange")))
@@ -2848,6 +2956,7 @@ object SnapshotStore {
         s"vector(s) — a dv-hidden row could be the extreme; compact " +
         s"first, or aggregate readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
+    widenGuard(rows, "minMaxPrunedRange")
     val m = colMapOf(rows)
     val pRanges = ranges.map(r =>
       r.copy(col = physN(m, r.col, "minMaxPrunedRange")))
@@ -2977,6 +3086,7 @@ object SnapshotStore {
         s"vectors — hidden rows defeat row metadata; compact first, " +
         s"or aggregate readPrunedRange(...).df")
     val evolved = rows.exists(_._1 == "evo")
+    widenGuard(rows, "sumPrunedRange")
     val m = colMapOf(rows)
     val pRanges = ranges.map(r =>
       r.copy(col = physN(m, r.col, "sumPrunedRange")))
@@ -3125,6 +3235,7 @@ object SnapshotStore {
     require(nDvs == 0,
       s"partitions: v$v at $dir carries $nDvs deletion vector(s) — " +
         s"dv-hidden rows defeat row metadata; compact first")
+    widenGuard(rows, "partitions")
     val vals = segs.map(s => s -> segPartValues(s)).toMap
     val bare = segs.filter(vals(_).isEmpty)
     require(bare.isEmpty,
@@ -3412,8 +3523,11 @@ object SnapshotStore {
       mergeSchema, "commitUpsert")
     statsGuard(df, statsCols, "commitUpsert")
     val carried0 = readManifestRows(spark, dir, prev.max)
-    val (m, carried) = extendMap(colMapOf(carried0), df.columns.toSeq,
+    val (m, carried1) = extendMap(colMapOf(carried0), df.columns.toSeq,
       carried0, prev.max + 1, "commitUpsert")
+    val carried = if (!mergeSchema) carried1
+      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
+        toPhysical(df, m).schema, carried1)
     // pin ONE evaluation of df: the tombstone, the null check and the
     // segment must agree row for row — a non-deterministic source
     // evaluated thrice could tombstone ids its own segment never

@@ -4306,6 +4306,160 @@ object TextQueries {
       CorpusOps.packSequencesBestFit(t(s, dir, "documents"), "doc_id",
           TextOps.tokenCount(col("text")), seqLen = 512L, nBuckets = 32)
         .orderBy(col("doc_id"))
+    },
+
+    // Type widening (SnapshotStore mergeSchema — the second ALTER
+    // TABLE evolution lever beside q232's column mapping): an INT
+    // column widens to LONG by committing wider data, touching NO
+    // existing file — the `sch` manifest row drives the scan and
+    // Spark 4's vectorized reader upcasts narrow file columns in
+    // place (IntegerToLongUpdater). The long half carries values no
+    // int can hold, a tombstone delete crosses the widening, and the
+    // final compact materializes the widest type (dropping the sch
+    // row — driver-gated). The oracle replays the arithmetic over the
+    // raw table, blind to the physical-type split.
+    Q("q235_type_widening",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(n_chars AS BIGINT) + 3000000000 AS n_chars
+        |FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.io.SnapshotStore
+      val root = hermeticStore("q235", dir) { r =>
+        val docs = t(s, dir, "documents")
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"),
+              col("n_chars").cast("int").as("n_chars")), r)
+        SnapshotStore.commitAppend(
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"),
+              (col("n_chars") + 3000000000L).as("n_chars")), r,
+          mergeSchema = true)
+        SnapshotStore.commitDelete(
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id", r)
+        SnapshotStore.compact(s, r)
+        ()
+      }
+      // metadata-level gates: v1 still reads its committed narrow
+      // type; the compact dropped the sch row (materialized)
+      require(SnapshotStore.read(s, root, Some(1)).schema("n_chars")
+        .dataType == org.apache.spark.sql.types.IntegerType,
+        "q235: time travel below the widening must keep the int type")
+      val latest = SnapshotStore.read(s, root)
+      require(latest.schema("n_chars").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "q235: the widened view must read LONG")
+      latest.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Pack manifest (the PACK-grain view of q234's best-fit layout —
+    // what a data loader actually consumes: one row per training
+    // sequence with its document spans): per pack the doc count,
+    // token total, padding, and the offset-ordered doc list (the
+    // attention-mask boundary record, collapsed to a string so the
+    // hash compare is render-stable). Same engine fold and the same
+    // recursive-CTE oracle as q234, grouped one level up — the two
+    // views can never drift because the layout is shared code.
+    Q("q236_pack_manifest",
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |ranked AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+         |      AS BIGINT) - 1 AS rk,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM d),
+         |ch AS (SELECT doc_id, n_tokens, (rk * 32) // n AS chunk,
+         |    CAST(row_number() OVER (PARTITION BY (rk * 32) // n
+         |      ORDER BY rk) AS BIGINT) AS crk
+         |  FROM ranked),
+         |steps AS (
+         |  SELECT chunk, crk, doc_id, n_tokens,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill,
+         |    CAST(0 AS BIGINT) AS poff
+         |  FROM ch WHERE crk = 1
+         |  UNION ALL
+         |  SELECT c.chunk, c.crk, c.doc_id, c.n_tokens,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.bin ELSE s.bin + 1 END,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.fill + c.n_tokens ELSE c.n_tokens END,
+         |    CASE WHEN s.fill + c.n_tokens <= 512
+         |         THEN s.fill ELSE CAST(0 AS BIGINT) END
+         |  FROM steps s JOIN ch c
+         |    ON c.chunk = s.chunk AND c.crk = s.crk + 1),
+         |bins AS (SELECT chunk, max(bin) + 1 AS b
+         |  FROM steps GROUP BY chunk),
+         |boff AS (SELECT chunk, COALESCE(sum(b) OVER (ORDER BY chunk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS binoff FROM bins),
+         |placed AS (SELECT s.doc_id, s.n_tokens,
+         |    CAST(o.binoff + s.bin AS BIGINT) AS pack_id, s.poff
+         |  FROM steps s JOIN boff o ON o.chunk = s.chunk)
+         |SELECT pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  CAST(512 - sum(n_tokens) AS BIGINT) AS padding,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY poff)
+         |    AS docs
+         |FROM placed GROUP BY pack_id ORDER BY pack_id""".stripMargin) {
+      (s, dir) =>
+      CorpusOps.packSequencesBestFit(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), seqLen = 512L, nBuckets = 32)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          (lit(512L) - sum(col("n_tokens"))).as("padding"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("pack_offset"),
+              col("doc_id")))),
+            x => x.getField("doc_id").cast("string"))).as("docs"))
+        .orderBy(col("pack_id"))
+    },
+
+    // Epoch layout (globalShuffle ∘ packSequences — the end-to-end
+    // per-epoch training order): the seeded md5 permutation IS the
+    // concatenation order, so the contiguous GPT-style packing runs
+    // over shuffle_pos instead of doc_id — two pinned two-phase
+    // operators composed back to back, each exchanging only
+    // (id, hash/count) pairs. The oracle replays both definitional
+    // windows (permutation rank, then the exclusive cumsum over it);
+    // every phase split must compose invisibly.
+    Q("q237_epoch_layout",
+      s"""WITH p AS (SELECT doc_id,
+         |    CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)),
+         |               doc_id) AS BIGINT) - 1 AS shuffle_pos
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shuffle_pos,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS tok_start
+         |  FROM p)
+         |SELECT doc_id, shuffle_pos, n_tokens, tok_start,
+         |  tok_start // 512 AS first_pack,
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |       ELSE tok_start // 512 END AS last_pack
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = CorpusOps.globalShuffle(docs, "doc_id", "ep1")
+      // pinned: both the packing input and the id join-back consume
+      // it, and the permutation must not recompute
+      val withTok = docs
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("tok"))
+        .join(sh, Seq("doc_id"))
+        .localCheckpoint(true)
+      CorpusOps.packSequences(withTok, "shuffle_pos", col("tok"),
+          seqLen = 512L)
+        .join(withTok.select(col("doc_id"), col("shuffle_pos")),
+          Seq("shuffle_pos"))
+        .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+          col("tok_start"), col("first_pack"), col("last_pack"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -2341,4 +2341,76 @@ class SnapshotStoreSpec extends SparkSpecBase {
       new java.io.File(s"$dir/$d").exists() shouldBe false
     }
   }
+
+  test("type widening: int->long/float->double commits are metadata-level, narrow files read wide, stats faces refuse until compact materializes") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir("widen")
+    SnapshotStore.commitAppend(
+      (1 to 10).map(i => (i.toLong, i * 10, i * 1.5f))
+        .toDF("doc_id", "n", "score"), dir,
+      statsCols = Seq("doc_id"))
+    val segsBefore = new java.io.File(s"$dir/seg").listFiles().length
+    // a LONG value no int can hold, and a double no float can
+    SnapshotStore.commitAppend(
+      Seq((11L, 5000000000L, 2.5d)).toDF("doc_id", "n", "score"), dir,
+      mergeSchema = true)
+    // the widening touched no pre-existing data file
+    new java.io.File(s"$dir/seg").listFiles().length shouldBe
+      segsBefore + 1
+    val wide = SnapshotStore.read(spark, dir)
+    wide.schema("n").dataType shouldBe LongType
+    wide.schema("score").dataType shouldBe DoubleType
+    // narrow-file rows surface widened, values exact
+    wide.where(col("doc_id") === 3L).select("n", "score").head() match {
+      case r => r.getLong(0) shouldBe 30L; r.getDouble(1) shouldBe 4.5d
+    }
+    wide.where(col("n") === 5000000000L).count() shouldBe 1L
+    // time travel below the widening keeps the narrow types
+    SnapshotStore.read(spark, dir, Some(1))
+      .schema("n").dataType shouldBe IntegerType
+    // NARROWING and cross-kind flips still refuse
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((12L, 1, 1.0f)).toDF("doc_id", "n", "score"), dir,
+        mergeSchema = true)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitAppend(
+        Seq((12L, "x", 1.0d)).toDF("doc_id", "n", "score"), dir,
+        mergeSchema = true)
+    // stats-driven faces refuse the mixed-physical-type store loudly
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.countPrunedRange(spark, dir,
+        Seq(graft.ops.LayoutOps.ColRange("doc_id", 1L, 5L)))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.commitDeleteWhere(spark, dir,
+        Seq(graft.ops.LayoutOps.ColRange("doc_id", 1L, 5L)), "doc_id")
+    // tombstone deletes and upserts keep working across the widening
+    SnapshotStore.commitDelete(Seq(4L).toDF("doc_id"), "doc_id", dir)
+    SnapshotStore.commitUpsert(
+      Seq((5L, 6000000000L, 9.25d)).toDF("doc_id", "n", "score"),
+      "doc_id", dir)
+    // CDC across the widening range renders at the wide types
+    val feed = SnapshotStore.readChanges(spark, dir, 1,
+      SnapshotStore.versions(spark, dir).max)
+    feed.schema("n").dataType shouldBe LongType
+    // compact MATERIALIZES the widest type and re-arms the stats faces
+    SnapshotStore.compact(spark, dir)
+    val recommit = SnapshotStore.commitAppend(
+      SnapshotStore.read(spark, dir).limit(0), dir,
+      statsCols = Seq("doc_id"))
+    recommit should be > 0
+    val mat = SnapshotStore.read(spark, dir)
+    mat.schema("n").dataType shouldBe LongType
+    mat.count() shouldBe 10L // 11 − 1 deleted (upsert replaced id 5)
+    mat.where(col("doc_id") === 5L).select("n").head()
+      .getLong(0) shouldBe 6000000000L
+    // a widened store CLONES with its sch row
+    val dst = freshDir("widenclone")
+    SnapshotStore.clone(spark, dir, dst)
+    SnapshotStore.read(spark, dst).schema("n").dataType shouldBe LongType
+    // widening composes with column mapping: rename the widened col
+    SnapshotStore.renameColumn(spark, dir, "n", "tokens")
+    SnapshotStore.read(spark, dir).schema("tokens")
+      .dataType shouldBe LongType
+  }
 }
