@@ -1273,4 +1273,72 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), qs.as("__qs"))
       .select((strata :+ col("n_docs")) ++ qCols: _*)
   }
+
+  /** END-TO-END CURATION REPORT — the composed pre-training filter
+    * chain every corpus actually runs, as ONE auditable verdict table
+    * (the shape a data-governance review asks for: not just the
+    * survivors, but WHY each document left):
+    *
+    *   1. quality gate   — token count in [minTokens, maxTokens] and
+    *                       distinct-token ratio ≥ minDistinctRatio
+    *   2. exact dedup    — casefolded-fingerprint groups keep their
+    *                       min-id representative
+    *   3. near-dup       — MinHash-LSH band pairs → connected
+    *                       components → min-id representative
+    *   4. decontamination— shingle overlap vs the eval set ≥ τ drops
+    *
+    * Stages are SEQUENTIAL (each sees only the previous stage's
+    * survivors — a near-dup of a quality-rejected doc is judged
+    * against the cleaned pool, the semantics trainers expect), and
+    * each is the engine's existing graded operator, so the composed
+    * report can never drift from the parts. Verdict per document:
+    * 'quality' | 'exact_dup' | 'near_dup' | 'contaminated' | 'kept'.
+    *
+    * Scale shape: three id+text-sized cuts pin stage survivor pools
+    * (each consumed by 2+ downstream stages); the heavy machinery is
+    * the parts' own — hash-once band signatures, ONE band equi-join,
+    * checkpointed CC rounds, broadcast eval dictionary. Nothing new
+    * shuffles. Returns (id, n_tokens, verdict).
+    */
+  def curationReport(docs: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, minTokens: Long, maxTokens: Long,
+      minDistinctRatio: Double, shingleK: Int = 3, bands: Int = 4,
+      decontamThreshold: Double = 0.2): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = Checkpoints.cut(docs.select(col(idCol), col(textCol),
+        size(toks).cast("long").as("__nt"),
+        (size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("__dr")), eager = true)
+    // a zero-token doc's null ratio must read as FAIL, not slip past
+    // the when-chain into 'exact_dup'
+    val qpass = coalesce(col("__nt").between(minTokens, maxTokens) &&
+      col("__dr") >= minDistinctRatio, lit(false))
+    val s1 = base.filter(qpass)
+    val withFp = s1.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val keepIds = withFp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keep"))
+    val s2 = Checkpoints.cut(withFp.join(keepIds, Seq("__fp"))
+      .filter(col(idCol) === col("__keep"))
+      .select(col(idCol), col(textCol)), eager = true)
+    val sigs = DedupOps.minhashBands(s2, idCol, textCol, shingleK, bands)
+    val pairs = DedupOps.lshCandidatePairs(sigs, idCol, bands)
+    val cc = DedupOps.connectedComponents(pairs,
+      nodes = Some(s2.select(col(idCol))))
+    val s3 = Checkpoints.cut(s2.join(
+        cc.filter(col("id") === col("cluster_id"))
+          .select(col("id").as(idCol)),
+        Seq(idCol), "left_semi"), eager = true)
+    val dec = decontaminate(s3, evalSet, idCol, textCol, shingleK,
+      decontamThreshold).select(col(idCol), col("contaminated"))
+    base.select(col(idCol), col("__nt").as("n_tokens"), qpass.as("__q"))
+      .join(s2.select(col(idCol), lit(true).as("__s2")), Seq(idCol), "left")
+      .join(s3.select(col(idCol), lit(true).as("__s3")), Seq(idCol), "left")
+      .join(dec, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(!col("__q"), lit("quality"))
+          .when(col("__s2").isNull, lit("exact_dup"))
+          .when(col("__s3").isNull, lit("near_dup"))
+          .when(col("contaminated"), lit("contaminated"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
 }

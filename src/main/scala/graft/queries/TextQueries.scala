@@ -4460,6 +4460,98 @@ object TextQueries {
         .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
           col("tok_start"), col("first_pack"), col("last_pack"))
         .orderBy(col("doc_id"))
+    },
+
+    // End-to-end curation report (CorpusOps.curationReport — the
+    // composed pre-training filter chain as ONE auditable verdict
+    // table): quality gate → exact dedup (min-id rep) → MinHash-LSH
+    // near-dup connected components (min-id rep) → eval-set
+    // decontamination, SEQUENTIALLY (each stage judges only the
+    // previous stage's survivors). The fixture plants exact
+    // duplicates (+1000000-id clones of every %11 doc — the synthetic
+    // corpus has none naturally) so every verdict class is non-empty.
+    // The oracle replays all four stages — fingerprint grouping, the
+    // 4-band minhash self-join, the recursive reachability CC, and
+    // the shingle-overlap join — blind to the engine's staging.
+    Q("q238_curation_report", {
+      val b0 = bandMinSql(0); val b1 = bandMinSql(1)
+      val b2 = bandMinSql(2); val b3 = bandMinSql(3)
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0),
+         |feats AS (SELECT doc_id, text,
+         |    CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($TOKS)) AS BIGINT) AS nd
+         |  FROM corpus),
+         |q AS (SELECT doc_id, text, n_tokens,
+         |    COALESCE(n_tokens BETWEEN 20 AND 95
+         |      AND CAST(nd AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |        >= 0.35, FALSE) AS qp
+         |  FROM feats),
+         |fp AS (SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      AS f
+         |  FROM q WHERE qp),
+         |keepf AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f),
+         |s2 AS (SELECT fp.doc_id, fp.text FROM fp
+         |  JOIN keepf k ON fp.f = k.f AND fp.doc_id = k.keep),
+         |hs2 AS (SELECT doc_id, $HS AS hs
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM s2)),
+         |sig AS (SELECT doc_id, $b0 AS b0, $b1 AS b1, $b2 AS b2,
+         |    $b3 AS b3 FROM hs2),
+         |lng AS (SELECT doc_id, 0 AS band, b0 AS h FROM sig
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM lng a JOIN lng b
+         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.h IS NOT NULL),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM prs
+         |  UNION SELECT id2, id1 FROM prs),
+         |walk AS (SELECT doc_id AS id, doc_id AS lbl FROM s2
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+         |cc AS (SELECT id, min(lbl) AS cl FROM walk GROUP BY id),
+         |s3 AS (SELECT s.doc_id, s.text FROM s2 s
+         |  JOIN cc ON s.doc_id = cc.id AND cc.cl = s.doc_id),
+         |bs AS (SELECT DISTINCT unnest($HS) AS h
+         |  FROM (SELECT ${shingleSql(TOKS)} AS sh FROM documents
+         |        WHERE doc_id % 13 = 0)),
+         |cs AS (SELECT doc_id, unnest(list_distinct($HS)) AS h
+         |  FROM (SELECT doc_id, ${shingleSql(TOKS)} AS sh FROM s3)),
+         |agg AS (SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(b.h) AS BIGINT) AS o
+         |  FROM cs LEFT JOIN bs b ON cs.h = b.h GROUP BY 1),
+         |cont AS (SELECT s3.doc_id,
+         |    CASE WHEN COALESCE(a.n, 0) = 0 THEN FALSE
+         |         ELSE CAST(a.o AS DOUBLE) / CAST(a.n AS DOUBLE) >= 0.2
+         |    END AS bad
+         |  FROM s3 LEFT JOIN agg a ON s3.doc_id = a.doc_id)
+         |SELECT q.doc_id, q.n_tokens,
+         |  CASE WHEN NOT q.qp THEN 'quality'
+         |       WHEN s2.doc_id IS NULL THEN 'exact_dup'
+         |       WHEN s3.doc_id IS NULL THEN 'near_dup'
+         |       WHEN cont.bad THEN 'contaminated'
+         |       ELSE 'kept' END AS verdict
+         |FROM q LEFT JOIN s2 ON q.doc_id = s2.doc_id
+         |LEFT JOIN s3 ON q.doc_id = s3.doc_id
+         |LEFT JOIN cont ON q.doc_id = cont.doc_id
+         |ORDER BY q.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val clones = docs
+        .filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      CorpusOps.curationReport(base.unionByName(clones),
+          docs.filter(col("doc_id") % 13 === 0), "doc_id", "text",
+          minTokens = 20L, maxTokens = 95L, minDistinctRatio = 0.35,
+          shingleK = 3, bands = 4, decontamThreshold = 0.2)
+        .orderBy(col("doc_id"))
     }
   )
 }

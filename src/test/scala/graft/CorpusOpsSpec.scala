@@ -762,4 +762,31 @@ class CorpusOpsSpec extends SparkSpecBase {
       Seq((1L, 5L), (1L, 7L)).toDF("doc_id", "tok"),
       "doc_id", col("tok"), seqLen = cap).collect()
   }
+
+  test("curationReport: verdicts attribute to the FIRST failing stage; stages judge only prior survivors") {
+    val good = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 99).map(i => s"tok$i").mkString(" ") + " tokX"
+    val junk = Seq.fill(30)("a").mkString(" ") // distinct ratio 1/30
+    val evalTxt = (200 to 280).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, good), // exact pair: min id survives
+      (3L, near),             // near-dup of 1 (band-sharing)
+      (4L, junk), (5L, junk), // junk exact pair: BOTH fail quality
+      (6L, evalTxt)           // verbatim eval leak
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val r = CorpusOps.curationReport(docs, eval, "doc_id", "text",
+        minTokens = 5L, maxTokens = 200L, minDistinctRatio = 0.5)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getString(2))))
+      .toMap
+    r(1L)._2 shouldBe "kept"
+    r(2L)._2 shouldBe "exact_dup" // the non-min duplicate
+    r(3L)._2 shouldBe "near_dup"  // LSH cluster rep is doc 1
+    // SEQUENCING: the junk pair is exact-duplicated too, but quality
+    // judged first — neither reaches the dedup stages
+    r(4L)._2 shouldBe "quality"
+    r(5L)._2 shouldBe "quality"
+    r(6L)._2 shouldBe "contaminated"
+    r(1L)._1 shouldBe 100L // n_tokens rides the report
+  }
 }
