@@ -362,6 +362,12 @@ object SnapshotBench {
       println(f"""{"face":"concurrent_writers_$nw","secs":$sMw%.2f,""" +
         f""""commits":${nw * perWriter},"conflicts":${conflicts.get()},""" +
         f""""secs_per_commit":${sMw / (nw * perWriter)}%.3f}""")
+      if (nw == 8) {
+        // history depth evidence off the 49-version chain this loop
+        // just built — driver work must stay manifest-sized
+        val sH = secs(SnapshotStore.history(spark, mwStore).count())
+        println(f"""{"face":"history_${vs.size}_versions","secs":$sH%.2f}""")
+      }
     }
 
     graft.ops.StageMemo.wipe(new java.io.File(base))

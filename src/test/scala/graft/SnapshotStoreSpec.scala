@@ -2412,5 +2412,11 @@ class SnapshotStoreSpec extends SparkSpecBase {
     SnapshotStore.renameColumn(spark, dir, "n", "tokens")
     SnapshotStore.read(spark, dir).schema("tokens")
       .dataType shouldBe LongType
+    // the mapped read is PROJECTION-ONLY on the same scan: no
+    // exchange, no join rides the logical rename
+    val plan = SnapshotStore.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
   }
 }
