@@ -186,24 +186,31 @@ object SnapshotStore {
     val spark = df.sparkSession
     val prev = versions(spark, dir)
     val v = if (prev.isEmpty) 1 else prev.max + 1
-    if (prev.nonEmpty)
-      schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
-        mergeSchema, "commitAppend")
+    // ONE readRaw serves the schema guard, the widening fold and the
+    // carried rows — an evolved store's footer-merge is a real driver
+    // cost per plan construction, paid once here
+    val rawPrev = if (prev.isEmpty) None
+      else Some(readRaw(spark, dir, Some(prev.max)))
+    val carried0 = rawPrev.map(_._2).getOrElse(Seq.empty)
+    val m0 = colMapOf(carried0)
+    rawPrev.foreach { case (raw, _) =>
+      schemaGuard(df, toLogical(raw, m0).schema, mergeSchema,
+        "commitAppend") }
     statsGuard(df, statsCols ++ bloomCols, "commitAppend")
-    val carried0 = if (prev.isEmpty) Seq.empty
-      else readManifestRows(spark, dir, prev.max)
     // column mapping: the incoming frame is LOGICAL — rename to
     // physical storage names (extending the map first when
     // mergeSchema introduces new columns) and translate every
     // column-name argument the same way
-    val (m, carried1) = extendMap(colMapOf(carried0), df.columns.toSeq,
+    val (m, carried1) = extendMap(m0, df.columns.toSeq,
       carried0, v, "commitAppend")
     val phys = toPhysical(df, m)
     // type widening: refresh the `sch` target when mergeSchema widens
     // a shared column (or the store already carries one)
-    val carried = if (prev.isEmpty || !mergeSchema) carried1
-      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
-        phys.schema, carried1)
+    val carried = rawPrev match {
+      case Some((raw, _)) if mergeSchema =>
+        widenSchemaRows(raw.schema, phys.schema, carried1)
+      case _ => carried1
+    }
     val segRows = writeDataSegment(phys, dir, v,
       physAll(m, statsCols, "commitAppend"),
       physAll(m, partitionBy, "commitAppend"),
@@ -782,6 +789,41 @@ object SnapshotStore {
     else carried.filterNot(_._1 == "sch") :+ (("sch", target.json))
   }
 
+  /** The MATERIALIZED-RENAME vocabulary hazard the glob-based file
+    * streams must refuse: [[streamInserts]]/[[streamChanges]] pin ONE
+    * schema over `seg/s*` (and `cdc/c*`), which is correct only while
+    * every glob-visible file shares the current physical column
+    * vocabulary. After a rename is materialized (a full compaction
+    * drops the map and re-bases physical = logical), pre-compaction
+    * files still store the OLD physical names — the parquet source
+    * matches by name and would silently null-fill the renamed column
+    * for those files, a wrong feed rather than an error. Detection:
+    * any retained version's non-identity map entry that the CURRENT
+    * map no longer carries. A LIVE map is safe (all files share the
+    * original physical names the projection expects), and type
+    * widening is glob-safe (names unchanged; the reader upcasts) —
+    * only the materialized rename refuses, until the
+    * pre-materialization history is vacuumed.
+    */
+  private def streamVocabGuard(spark: SparkSession, dir: String,
+      op: String): Unit = {
+    val vs = versions(spark, dir)
+    val curEntries = colMapOf(readManifestRows(spark, dir, vs.max))
+      .map(_.entries.toSet).getOrElse(Set.empty[(String, String)])
+    val stale = vs.init
+      .flatMap(v => colMapOf(readManifestRows(spark, dir, v)).toSeq)
+      .flatMap(_.entries).distinct
+      .filter { case (l, p) => l != p }
+      .filterNot(curEntries)
+    require(stale.isEmpty,
+      s"$op: retained history carries a MATERIALIZED column rename " +
+        s"(${stale.take(3).mkString(", ")}) — glob-visible " +
+        s"pre-compaction files still store the old physical names and " +
+        s"the pinned schema would silently null-fill them; vacuum the " +
+        s"pre-materialization history first, or define the stream " +
+        s"while the map is live")
+  }
+
   private def widenGuard(rows: Seq[(String, String)], op: String): Unit =
     require(!rows.exists(_._1 == "sch"),
       s"$op: the store carries WIDENED column types (`sch` row) — " +
@@ -819,16 +861,17 @@ object SnapshotStore {
     // genuinely evolution-omitted segments), silently no-op'ing the
     // delete — the same silent-no-match hazard the null guard below
     // exists for
-    val cur = read(spark, dir, Some(prev.max)).schema.fieldNames
+    // ONE readRaw serves the id-column check and the cdf preimages
+    val (rawPrev, rows) = readRaw(spark, dir, Some(prev.max))
+    val m = colMapOf(rows)
+    val cur = toLogical(rawPrev, m).schema.fieldNames
     require(cur.contains(idCol),
       s"commitDelete: id column '$idCol' is not in the store's current " +
         s"schema (${cur.mkString(",")}) — the tombstone would never " +
         s"match and the delete would silently no-op")
-    val rows = readManifestRows(spark, dir, prev.max)
     // the tombstone is a PHYSICAL artifact — it must anti-join every
     // older segment under the storage name, whatever the column is
     // logically called today or after any later rename
-    val m = colMapOf(rows)
     val pId = physN(m, idCol, "commitDelete")
     val tomb = ids.select(bq(idCol).as(pId)).distinct()
     val bad = tomb.where(bq(pId).isNull).count()
@@ -870,7 +913,7 @@ object SnapshotStore {
     // [[readChanges]] projects at output.
     val cdcRel = if (!cdf) None
       else Some(writeCdc(spark, dir, v,
-        readRaw(spark, dir, Some(prev.max))._1.join(
+        rawPrev.join(
           spark.read.parquet(s"$dir/$tp"), Seq(pId), "left_semi")))
     commitManifestCdc(spark, dir, v,
       rows :+ (("tomb", tp)), cdcRel,
@@ -952,16 +995,16 @@ object SnapshotStore {
     val vs = versions(spark, dir)
     require(vs.nonEmpty,
       s"commitDeleteWhere: no committed version at $dir to delete from")
-    val cur = read(spark, dir, Some(vs.max)).schema.fieldNames
-    require(cur.contains(idCol),
-      s"commitDeleteWhere: id column '$idCol' is not in the store's " +
-        s"current schema (${cur.mkString(",")})")
-    val rows = readManifestRows(spark, dir, vs.max)
+    val (rawPrev, rows) = readRaw(spark, dir, Some(vs.max))
     widenGuard(rows, "commitDeleteWhere")
     // translate every probe/argument name to PHYSICAL once at entry —
     // file stats, partition paths, segments and the tombstone all
     // live in storage names
     val m = colMapOf(rows)
+    val cur = toLogical(rawPrev, m).schema.fieldNames
+    require(cur.contains(idCol),
+      s"commitDeleteWhere: id column '$idCol' is not in the store's " +
+        s"current schema (${cur.mkString(",")})")
     val pRanges = ranges.map(r =>
       r.copy(col = physN(m, r.col, "commitDeleteWhere")))
     val pParts = parts.map { case (c, vsAllowed) =>
@@ -1167,16 +1210,19 @@ object SnapshotStore {
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
       s"commitMerge: no committed version at $dir — commitAppend first")
-    schemaGuard(source, read(spark, dir, Some(prev.max)).schema,
+    // ONE readRaw serves the guard, the widening fold and the merge
+    // target (an evolved store's footer-merge runs once per commit)
+    val (rawPrev, carried0) = readRaw(spark, dir, Some(prev.max))
+    val m0 = colMapOf(carried0)
+    schemaGuard(source, toLogical(rawPrev, m0).schema,
       mergeSchema, "commitMerge")
     statsGuard(source, statsCols, "commitMerge")
-    val carried0 = readManifestRows(spark, dir, prev.max)
     // merge logic runs LOGICAL end to end (target/source/clauses are
     // the user's view); only the written artifacts translate
-    val (m, carried1) = extendMap(colMapOf(carried0),
+    val (m, carried1) = extendMap(m0,
       source.columns.toSeq, carried0, prev.max + 1, "commitMerge")
     val carried = if (!mergeSchema) carried1
-      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
+      else widenSchemaRows(rawPrev.schema,
         toPhysical(source, m).schema, carried1)
     val src = graft.ops.Checkpoints.cut(source, eager = true)
     val idStats = src.agg(
@@ -1190,7 +1236,7 @@ object SnapshotStore {
         s"${idStats.getLong(1)} distinct '$idCol' values — multiple " +
         s"source rows would claim one target row (the Delta " +
         s"multiple-matches error); dedupe upstream")
-    val target = read(spark, dir, Some(prev.max))
+    val target = toLogical(rawPrev, m0)
     val srcP = src.select(src.columns.map(c => col(c).as(s"src_$c")): _*)
     val delC = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
     val updC = coalesce(updateWhen.getOrElse(lit(false)), lit(false))
@@ -2206,6 +2252,7 @@ object SnapshotStore {
     * a manifest).
     */
   def streamInserts(spark: SparkSession, dir: String): DataFrame = {
+    streamVocabGuard(spark, dir, "streamInserts")
     // the files are PHYSICAL — pin the physical schema from the
     // latest snapshot (a logical schema over renamed storage would
     // read silent nulls), then project to the logical view
@@ -2293,6 +2340,7 @@ object SnapshotStore {
     */
   def streamChanges(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    streamVocabGuard(spark, dir, "streamChanges")
     // files under seg/ and cdc/ are PHYSICAL; the logical view is
     // projected per source (the map pinned at stream definition, like
     // the schema — Delta pins table metadata the same way)
@@ -2380,6 +2428,30 @@ object SnapshotStore {
     // feed, one schema, whatever renames happened inside the range
     val asOfFrom = readRaw(spark, dir, Some(fromV))._1
     val toRows = readManifestRows(spark, dir, toV)
+    // a range spanning a MATERIALIZED rename or widening mixes
+    // physical file vocabularies among the in-range segments (read
+    // together under the END version's map/schema, which no longer
+    // describes the pre-materialization files) — a silent-null or
+    // read-error hazard, refused like the restore re-baseline: the
+    // consumer re-baselines across the materialization
+    locally {
+      val rangeRows = (fromV until toV)
+        .map(v => readManifestRows(spark, dir, v))
+      val toEntries = colMapOf(toRows)
+        .map(_.entries.toSet).getOrElse(Set.empty[(String, String)])
+      val staleRename = rangeRows
+        .flatMap(r => colMapOf(r).toSeq).flatMap(_.entries).distinct
+        .filter { case (l, p) => l != p }
+        .filterNot(toEntries)
+      val staleWiden = rangeRows.exists(_.exists(_._1 == "sch")) &&
+        schOf(toRows).isEmpty
+      require(staleRename.isEmpty && !staleWiden,
+        s"readChanges: the range ($fromV, $toV] spans a MATERIALIZED " +
+          s"column rename/type widening — in-range segments carry " +
+          s"mixed physical vocabularies; re-baseline the consumer " +
+          s"across the materializing compaction (the restore " +
+          s"discipline)")
+    }
     val inserts =
       if (newSegs.isEmpty) asOfFrom.limit(0)
       else segsMinusTombs(spark, dir, newSegs, newTombs,
@@ -3519,14 +3591,17 @@ object SnapshotStore {
     val prev = versions(spark, dir)
     require(prev.nonEmpty,
       s"commitUpsert: no committed version at $dir — commitAppend first")
-    schemaGuard(df, read(spark, dir, Some(prev.max)).schema,
+    // ONE readRaw serves the guard, the widening fold and the cdf
+    // preimage base (an evolved store's footer-merge runs once)
+    val (rawPrev, carried0) = readRaw(spark, dir, Some(prev.max))
+    val m0 = colMapOf(carried0)
+    schemaGuard(df, toLogical(rawPrev, m0).schema,
       mergeSchema, "commitUpsert")
     statsGuard(df, statsCols, "commitUpsert")
-    val carried0 = readManifestRows(spark, dir, prev.max)
-    val (m, carried1) = extendMap(colMapOf(carried0), df.columns.toSeq,
+    val (m, carried1) = extendMap(m0, df.columns.toSeq,
       carried0, prev.max + 1, "commitUpsert")
     val carried = if (!mergeSchema) carried1
-      else widenSchemaRows(readRaw(spark, dir, Some(prev.max))._1.schema,
+      else widenSchemaRows(rawPrev.schema,
         toPhysical(df, m).schema, carried1)
     // pin ONE evaluation of df: the tombstone, the null check and the
     // segment must agree row for row — a non-deterministic source
@@ -3550,8 +3625,7 @@ object SnapshotStore {
     // physical on disk, [[readChanges]] projects at output
     val cdcRel = if (!cdf) None
       else Some(writeCdc(spark, dir, v,
-        readRaw(spark, dir, Some(prev.max))._1.join(ids, Seq(pId),
-          "left_semi")))
+        rawPrev.join(ids, Seq(pId), "left_semi")))
     val evo = if (mergeSchema && !carried.exists(_._1 == "evo"))
       Seq(("evo", "true")) else Seq.empty
     constraintGuard(spark, dir, carried, segRows, "commitUpsert", m)

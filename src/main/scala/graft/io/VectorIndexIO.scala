@@ -344,37 +344,16 @@ object VectorIndexIO {
     * (qid, corpus_id, hamming, cosine, rank), ranks 1..k.
     */
   def searchPqIndexBq(index: PqIndex, queries: DataFrame,
-      qidCol: String, qvecCol: String, rerank: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1 && rerank >= k,
-      s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
-    val qb = queries.select(col(qidCol),
-      graft.expr.SignBits64.signBits(col(qvecCol)).as("__qbits"))
-    val cand = index.codes
-      .select(col("corpus_id"), col("bits"))
-      .crossJoin(broadcast(qb))
-      .where(col("corpus_id") =!= col(qidCol))
-      .withColumn("hamming",
-        bit_count(col("bits").bitwiseXOR(col("__qbits"))).cast("long"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("hamming"), col("corpus_id"))))
-      .where(col("__r") <= rerank)
-      .select(col(qidCol), col("corpus_id"), col("hamming"))
-      .localCheckpoint(true) // pin the shortlist (one Hamming pass)
-    index.vecs.select(col("corpus_id"), col("vec"))
-      .join(broadcast(cand), Seq("corpus_id"))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
-        Seq(qidCol))
-      .withColumn("cosine", SimilarityOps.cosine(col("vec"), col(qvecCol)))
-      .withColumn("rank", row_number().over(
-          Window.partitionBy(col(qidCol))
-            .orderBy(col("cosine").desc, col("corpus_id")))
-        .cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("corpus_id"), col("hamming"),
-        col("cosine"), col("rank"))
-  }
+      qidCol: String, qvecCol: String, rerank: Int, k: Int): DataFrame =
+    // the SHARED rank/rerank tail (SimilarityOps.bqRank) — one
+    // definition of the tie-breaks the q229/q233 oracles grade; this
+    // face only swaps the sources: persisted bits in, vecs/ refine out
+    SimilarityOps.bqRank(
+      index.codes.select(col("corpus_id").as("__cid"),
+        col("bits").as("__bits")),
+      index.vecs.select(col("corpus_id").as("__cid"),
+        col("vec").as("__vec")),
+      queries, qidCol, qvecCol, rerank, k)
 
   /** Point lookup — the serving face: one query vector, its `nprobe`
     * probed cells computed ON THE DRIVER against the collected √n

@@ -1305,12 +1305,14 @@ object CorpusOps {
       minDistinctRatio: Double, shingleK: Int = 3, bands: Int = 4,
       decontamThreshold: Double = 0.2): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
+    // the zero-token ratio is pinned to 0.0 explicitly: Spark double
+    // division yields NaN (not null) for 0/0, and NaN orders GREATER
+    // than every double, so a bare `NaN >= r` would PASS the gate
     val base = Checkpoints.cut(docs.select(col(idCol), col(textCol),
         size(toks).cast("long").as("__nt"),
-        (size(array_distinct(toks)).cast("double") /
-          size(toks).cast("double")).as("__dr")), eager = true)
-    // a zero-token doc's null ratio must read as FAIL, not slip past
-    // the when-chain into 'exact_dup'
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double")).as("__dr")), eager = true)
     val qpass = coalesce(col("__nt").between(minTokens, maxTokens) &&
       col("__dr") >= minDistinctRatio, lit(false))
     val s1 = base.filter(qpass)

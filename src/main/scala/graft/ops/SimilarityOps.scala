@@ -407,37 +407,55 @@ object SimilarityOps {
     */
   def bqSearch(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
+      rerank: Int, k: Int): DataFrame =
+    bqRank(
+      corpus.select(col(idCol).as("__cid"),
+        graft.expr.SignBits64.signBits(col(vecCol)).as("__bits")),
+      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__vec")),
+      queries, qidCol, qvecCol, rerank, k)
+
+  /** The ONE BQ rank/rerank tail both [[bqSearch]] (sign codes
+    * computed in-flight) and the persisted-index face
+    * ([[graft.io.VectorIndexIO.searchPqIndexBq]] — codes read off the
+    * `bits` column) ride: Hamming pass over broadcast query codes,
+    * WindowGroupLimit shortlist at `rerank`, pinned once, exact
+    * cosine rerank to `k`. One definition of the
+    * (hamming, id) / (cosine DESC, id) tie-breaks, so the q229 and
+    * q233 oracles can never drift apart. `candBits` = (__cid,
+    * __bits); `candVecs` = (__cid, __vec). Self-matches excluded;
+    * returns (qid, corpus_id, hamming, cosine, rank), ranks 1..k.
+    */
+  private[graft] def bqRank(candBits: DataFrame, candVecs: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
       rerank: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= k,
       s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
     val qb = queries.select(col(qidCol),
       graft.expr.SignBits64.signBits(col(qvecCol)).as("__qbits"))
-    val cand = corpus
-      .select(col(idCol),
-        graft.expr.SignBits64.signBits(col(vecCol)).as("__bits"))
+    val cand = candBits
       .crossJoin(broadcast(qb))
-      .where(col(idCol) =!= col(qidCol))
+      .where(col("__cid") =!= col(qidCol))
       .withColumn("hamming",
         bit_count(col("__bits").bitwiseXOR(col("__qbits"))).cast("long"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(qidCol))
-          .orderBy(col("hamming"), col(idCol))))
+          .orderBy(col("hamming"), col("__cid"))))
       .where(col("__r") <= rerank)
-      .select(col(qidCol), col(idCol), col("hamming"))
+      .select(col(qidCol), col("__cid"), col("hamming"))
       .localCheckpoint(true) // pin the shortlist; both its broadcast
     // and the output consume it, and the Hamming pass must run once
-    corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(cand), Seq(idCol))
+    candVecs
+      .join(broadcast(cand), Seq("__cid"))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
         Seq(qidCol))
-      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("cosine", cosine(col("__vec"), col(qvecCol)))
       .withColumn("rank", row_number().over(
           Window.partitionBy(col(qidCol))
-            .orderBy(col("cosine").desc, col(idCol)))
+            .orderBy(col("cosine").desc, col("__cid")))
         .cast("long"))
       .where(col("rank") <= k)
-      .select(col(qidCol), col(idCol).as("corpus_id"), col("hamming"),
+      .select(col(qidCol), col("__cid").as("corpus_id"), col("hamming"),
         col("cosine"), col("rank"))
   }
 

@@ -77,6 +77,51 @@ object TextQueries {
       ()
     }
 
+  /** Oracle fragment SHARED by q234 (doc grain) and q236 (pack
+    * grain): the best-fit packing fold — (tokens DESC, id) rank, the
+    * closed-form 32-chunk split, the per-chunk next-fit-decreasing
+    * recursion (one rank step per iteration across all chunks), and
+    * the global pack-id prefix sum — ending in
+    * `placed(doc_id, n_tokens, pack_id, poff)`. One definition, so
+    * the two views can never grade different layouts. Callers open
+    * with `WITH RECURSIVE`.
+    */
+  private def bestFitCtes: String =
+    s"""d AS (SELECT doc_id,
+       |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+       |ranked AS (SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+       |      AS BIGINT) - 1 AS rk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM d),
+       |ch AS (SELECT doc_id, n_tokens, (rk * 32) // n AS chunk,
+       |    CAST(row_number() OVER (PARTITION BY (rk * 32) // n
+       |      ORDER BY rk) AS BIGINT) AS crk
+       |  FROM ranked),
+       |steps AS (
+       |  SELECT chunk, crk, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill,
+       |    CAST(0 AS BIGINT) AS poff
+       |  FROM ch WHERE crk = 1
+       |  UNION ALL
+       |  SELECT c.chunk, c.crk, c.doc_id, c.n_tokens,
+       |    CASE WHEN s.fill + c.n_tokens <= 512
+       |         THEN s.bin ELSE s.bin + 1 END,
+       |    CASE WHEN s.fill + c.n_tokens <= 512
+       |         THEN s.fill + c.n_tokens ELSE c.n_tokens END,
+       |    CASE WHEN s.fill + c.n_tokens <= 512
+       |         THEN s.fill ELSE CAST(0 AS BIGINT) END
+       |  FROM steps s JOIN ch c
+       |    ON c.chunk = s.chunk AND c.crk = s.crk + 1),
+       |bins AS (SELECT chunk, max(bin) + 1 AS b
+       |  FROM steps GROUP BY chunk),
+       |boff AS (SELECT chunk, COALESCE(sum(b) OVER (ORDER BY chunk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS binoff FROM bins),
+       |placed AS (SELECT s.doc_id, s.n_tokens,
+       |    CAST(o.binoff + s.bin AS BIGINT) AS pack_id, s.poff
+       |  FROM steps s JOIN boff o ON o.chunk = s.chunk)""".stripMargin
+
   /** Oracle fragment: k=3 word shingles of token list `t`. */
   private def shingleSql(tl: String): String =
     s"CASE WHEN len($tl) >= 3 THEN list_transform(generate_series(1, len($tl) - 2), " +
@@ -4267,42 +4312,9 @@ object TextQueries {
     // engine-side phase split and the in-group sort must be exactly
     // invisible. Padding-vs-contiguous numbers live in SURVEY §8.
     Q("q234_best_fit_packing",
-      s"""WITH RECURSIVE d AS (SELECT doc_id,
-         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
-         |ranked AS (SELECT doc_id, n_tokens,
-         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
-         |      AS BIGINT) - 1 AS rk,
-         |    CAST(count(*) OVER () AS BIGINT) AS n
-         |  FROM d),
-         |ch AS (SELECT doc_id, n_tokens, (rk * 32) // n AS chunk,
-         |    CAST(row_number() OVER (PARTITION BY (rk * 32) // n
-         |      ORDER BY rk) AS BIGINT) AS crk
-         |  FROM ranked),
-         |steps AS (
-         |  SELECT chunk, crk, doc_id, n_tokens,
-         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill,
-         |    CAST(0 AS BIGINT) AS poff
-         |  FROM ch WHERE crk = 1
-         |  UNION ALL
-         |  SELECT c.chunk, c.crk, c.doc_id, c.n_tokens,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.bin ELSE s.bin + 1 END,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.fill + c.n_tokens ELSE c.n_tokens END,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.fill ELSE CAST(0 AS BIGINT) END
-         |  FROM steps s JOIN ch c
-         |    ON c.chunk = s.chunk AND c.crk = s.crk + 1),
-         |bins AS (SELECT chunk, max(bin) + 1 AS b
-         |  FROM steps GROUP BY chunk),
-         |boff AS (SELECT chunk, COALESCE(sum(b) OVER (ORDER BY chunk
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS binoff FROM bins)
-         |SELECT s.doc_id, s.n_tokens,
-         |  CAST(o.binoff + s.bin AS BIGINT) AS pack_id,
-         |  s.poff AS pack_offset
-         |FROM steps s JOIN boff o ON o.chunk = s.chunk
-         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH RECURSIVE $bestFitCtes
+         |SELECT doc_id, n_tokens, pack_id, poff AS pack_offset
+         |FROM placed ORDER BY doc_id""".stripMargin) { (s, dir) =>
       CorpusOps.packSequencesBestFit(t(s, dir, "documents"), "doc_id",
           TextOps.tokenCount(col("text")), seqLen = 512L, nBuckets = 32)
         .orderBy(col("doc_id"))
@@ -4365,40 +4377,7 @@ object TextQueries {
     // recursive-CTE oracle as q234, grouped one level up — the two
     // views can never drift because the layout is shared code.
     Q("q236_pack_manifest",
-      s"""WITH RECURSIVE d AS (SELECT doc_id,
-         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
-         |ranked AS (SELECT doc_id, n_tokens,
-         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
-         |      AS BIGINT) - 1 AS rk,
-         |    CAST(count(*) OVER () AS BIGINT) AS n
-         |  FROM d),
-         |ch AS (SELECT doc_id, n_tokens, (rk * 32) // n AS chunk,
-         |    CAST(row_number() OVER (PARTITION BY (rk * 32) // n
-         |      ORDER BY rk) AS BIGINT) AS crk
-         |  FROM ranked),
-         |steps AS (
-         |  SELECT chunk, crk, doc_id, n_tokens,
-         |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill,
-         |    CAST(0 AS BIGINT) AS poff
-         |  FROM ch WHERE crk = 1
-         |  UNION ALL
-         |  SELECT c.chunk, c.crk, c.doc_id, c.n_tokens,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.bin ELSE s.bin + 1 END,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.fill + c.n_tokens ELSE c.n_tokens END,
-         |    CASE WHEN s.fill + c.n_tokens <= 512
-         |         THEN s.fill ELSE CAST(0 AS BIGINT) END
-         |  FROM steps s JOIN ch c
-         |    ON c.chunk = s.chunk AND c.crk = s.crk + 1),
-         |bins AS (SELECT chunk, max(bin) + 1 AS b
-         |  FROM steps GROUP BY chunk),
-         |boff AS (SELECT chunk, COALESCE(sum(b) OVER (ORDER BY chunk
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS binoff FROM bins),
-         |placed AS (SELECT s.doc_id, s.n_tokens,
-         |    CAST(o.binoff + s.bin AS BIGINT) AS pack_id, s.poff
-         |  FROM steps s JOIN boff o ON o.chunk = s.chunk)
+      s"""WITH RECURSIVE $bestFitCtes
          |SELECT pack_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,

@@ -2419,4 +2419,50 @@ class SnapshotStoreSpec extends SparkSpecBase {
     plan should not include "Exchange"
     plan should not include "Join"
   }
+
+  test("a MATERIALIZED rename refuses glob streams and spanning change feeds (mixed physical vocabularies); live maps and widening stay stream-safe") {
+    val dir = freshDir("vocab")
+    SnapshotStore.commitAppend(docs(1 to 10), dir)
+    SnapshotStore.renameColumn(spark, dir, "n", "tokens")
+    // LIVE map: streams and feeds work (all files share the original
+    // physical names the projection expects)
+    SnapshotStore.streamInserts(spark, dir).schema.fieldNames should
+      contain("tokens")
+    SnapshotStore.readChanges(spark, dir, 1, 2).columns should
+      contain("tokens")
+    // compact MATERIALIZES the rename: pre-compaction seg/s* files
+    // still store `n` — a pinned schema would silently null-fill, so
+    // the glob faces refuse until that history is vacuumed
+    SnapshotStore.compact(spark, dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.streamInserts(spark, dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.streamChanges(spark, dir)
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotStore.readChanges(spark, dir, 1, 3)
+    // a post-materialization range is vocabulary-uniform: allowed
+    SnapshotStore.commitDelete(Seq(2L).toDF("doc_id"), "doc_id", dir,
+      cdf = true)
+    SnapshotStore.readChanges(spark, dir, 3, 4)
+      .where(col("_change") === "delete").count() shouldBe 1L
+    // vacuuming the pre-materialization history re-arms the streams
+    SnapshotStore.vacuum(spark, dir, keepFrom = 3)
+    SnapshotStore.streamInserts(spark, dir).schema.fieldNames should
+      contain("tokens")
+    // WIDENING is glob-safe throughout: names never change and the
+    // reader upcasts narrow files in place
+    val wdir = freshDir("vocabwide")
+    SnapshotStore.commitAppend(
+      (1 to 5).map(i => (i.toLong, i)).toDF("doc_id", "n"), wdir)
+    SnapshotStore.commitAppend(
+      Seq((6L, 5000000000L)).toDF("doc_id", "n"), wdir,
+      mergeSchema = true)
+    SnapshotStore.streamInserts(spark, wdir)
+      .schema("n").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    SnapshotStore.compact(spark, wdir)
+    SnapshotStore.streamInserts(spark, wdir)
+      .schema("n").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+  }
 }
