@@ -27,12 +27,33 @@ object Tables {
     */
   private val computeHeavy = Set("documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") loadEvents(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
-    if (computeHeavy(name)) widen(spark, df) else df
-  }
+  /** Per-(session, dir, table) memo of the ANALYZED frame — catalog
+    * behavior, not result caching: a table registered in a metastore
+    * resolves to one cached relation (schema + file index) however
+    * many queries reference it, and every execution still scans the
+    * parquet files. Without it each of the ~600 load calls across a
+    * bench run re-lists the directory, re-reads a footer for schema
+    * inference, and (compute-heavy tables) builds a physical RDD just
+    * to count scan partitions — pure driver latency multiplied by
+    * query count. Inputs are immutable per run; GRAFT_NO_MEMO opts
+    * out (the StageMemo knob).
+    */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def memo(spark: SparkSession, dir: String, key: String)(
+      mk: => DataFrame): DataFrame =
+    if (sys.env.contains("GRAFT_NO_MEMO") ||
+        sys.props.contains("GRAFT_NO_MEMO")) mk
+    else loadMemo.computeIfAbsent((spark, dir, key), _ => mk)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo(spark, dir, name) {
+      val df =
+        if (name == "events") loadEvents(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      if (computeHeavy(name)) widen(spark, df) else df
+    }
 
   /** Load with an unconditional under-split check — for queries whose
     * per-row expression cost dominates (e.g. JSON path extraction over
@@ -40,7 +61,7 @@ object Tables {
     * otherwise run on one core).
     */
   def loadWidened(spark: SparkSession, dir: String, name: String): DataFrame =
-    widen(spark, load(spark, dir, name))
+    memo(spark, dir, s"$name#widened")(widen(spark, load(spark, dir, name)))
 
   /** Benchmark inputs are single small parquet files, which Spark scans
     * as one partition — serializing every expensive per-row expression

@@ -112,11 +112,78 @@ object SnapshotStore {
       .map(_.drop(1).toInt).sorted
   }
 
+  /** Manifests are BOOKKEEPING, not data: tens of (kind, path) string
+    * rows. Reading/writing them through Spark cost a full job each —
+    * schema inference + collect on read, a task + commit protocol on
+    * write — and a commit face touches the manifest 2-3 times, so
+    * multi-commit workloads (CDC maintenance, auto-optimize cadences,
+    * index lifecycles) spent most of their wall in manifest job
+    * scheduling (measured: q195's fixture build was ~114 jobs / ~10 s,
+    * mostly sub-100 ms manifest/commit jobs). These helpers do the
+    * same parquet I/O with parquet-java directly on the driver — the
+    * format on disk is unchanged (a one-file parquet directory,
+    * spark.read-able; the spec that opens manifests with spark.read
+    * still passes), only the job-per-touch goes away. Exactly Delta's
+    * own design: the transaction log is driver-side I/O, never a job.
+    */
+  private val manifestSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message manifest { optional binary kind (UTF8); " +
+        "optional binary path (UTF8); }")
+
+  private def hadoopConf(spark: SparkSession) =
+    spark.sessionState.newHadoopConf()
+
   private def readManifestRows(spark: SparkSession, dir: String,
-      v: Int): Seq[(String, String)] =
-    spark.read.parquet(manifestDir(dir, v))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      .sortBy(_._2)
+      v: Int): Seq[(String, String)] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val conf = hadoopConf(spark)
+    val d = new org.apache.hadoop.fs.Path(manifestDir(dir, v))
+    val fs = d.getFileSystem(conf)
+    val files = fs.listStatus(d).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val out = Seq.newBuilder[(String, String)]
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), f).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def get(n: String): String =
+            if (g.getType.containsField(n) &&
+              g.getFieldRepetitionCount(n) > 0) g.getString(n, 0) else null
+          out += ((get("kind"), get("path")))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result().sortBy(_._2)
+  }
+
+  private def writeManifestFile(spark: SparkSession, tmpDir: String,
+      rows: Seq[(String, String)]): Unit = {
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val conf = hadoopConf(spark)
+    GroupWriteSupport.setSchema(manifestSchema, conf)
+    val file = new org.apache.hadoop.fs.Path(
+      tmpDir, "part-00000-manifest.snappy.parquet")
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).withType(manifestSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(manifestSchema)
+    try rows.foreach { case (k, p) =>
+      val g = factory.newGroup()
+      if (k != null) g.append("kind", k)
+      if (p != null) g.append("path", p)
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** Publish version `v` listing `rows` = (kind, relative path).
     * Write-to-temp + atomic rename; a taken name = a lost race.
@@ -132,13 +199,13 @@ object SnapshotStore {
     */
   private[graft] def commitManifest(spark: SparkSession, dir: String, v: Int,
       rowsIn: Seq[(String, String)], op: String = "unknown"): Unit = {
-    import spark.implicits._
     val rows = rowsIn.filterNot(_._1 == "op") :+ (("op", op))
     val fs = hfs(spark, dir)
     val tmp = s"$dir/manifest/.tmp_v$v" +
       s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    rows.toDF("kind", "path").coalesce(1)
-      .write.mode("errorifexists").parquet(tmp)
+    // driver-side parquet write (see [[readManifestRows]]): same
+    // one-file parquet dir on disk, no Spark job per commit
+    writeManifestFile(spark, tmp, rows)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val dst = new org.apache.hadoop.fs.Path(manifestDir(dir, v))
     def conflict(cleanup: org.apache.hadoop.fs.Path): Nothing = {

@@ -105,8 +105,16 @@ object CypherlOps {
           concat(lit("unknown_mg_id_"), col("mg_id").cast("string")))
           .as("study_id")), Seq("id"))
       .groupBy(col("cluster_id")).agg(min(col("study_id")).as("study"))
-    val closure = cc.join(broadcast(attribution), Seq("cluster_id"))
-      .select(col("id").as("mg_id"), col("study"))
+    // closure feeds THREE consumers (node log, rel start-side, rel
+    // end-side semi): cut its lineage once so the attribution subtree
+    // (cc + study join + min-agg) executes once, not per branch — the
+    // multi-consumer checkpoint pattern (see leftJoinCoalesce notes).
+    // Also gives the planner an exact size, so the rel-side semi join
+    // broadcasts instead of exchanging the rels scan when closure is
+    // small (it was a SortMergeJoin LeftSemi off a size guess before).
+    val closure = Checkpoints.cut(
+      cc.join(broadcast(attribution), Seq("cluster_id"))
+        .select(col("id").as("mg_id"), col("study")), eager = false)
 
     val nodeLog = nodes.join(closure, Seq("mg_id"))
       .select(col("study"), explode(split(col("labels"), ";")).as("label"))

@@ -199,17 +199,31 @@ object SimilarityOps {
     * member drop out (k shrinks), matching standard Lloyd behavior.
     * Returns the (cid, cvec) frame [[ivfNearestNeighbor]] consumes.
     */
+  /** Collect a centroid/codebook-sized frame into a LocalRelation:
+    * same rows, exactly (floats round-trip bit-identical — the q126
+    * centroid discipline is untouched), but the frame's every later
+    * use is driver-local — a broadcast build over a LocalRelation is
+    * executeCollect on the driver (NO job), where a localCheckpoint
+    * costs a materialization job at construct and a block-fetch job
+    * per consumer. Bounded by the same contract that lets consumers
+    * broadcast these frames (ivfAssign/pqAssign/collectCentroids all
+    * ship them whole); anything too big to collect here was already
+    * too big to search with.
+    */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got ($k, $iters)")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .transform(Checkpoints.cut(_, eager = true)) // consumed every iteration
-    val init = vecs.orderBy(col("id")).limit(k)
+    val init = localized(vecs.orderBy(col("id")).limit(k)
       .select(
         row_number().over(Window.orderBy(col("id"))).cast("bigint").as("cid"),
-        col("vec").as("cvec"))
-      .transform(Checkpoints.cut(_, eager = true))
+        col("vec").as("cvec")))
     lloydRounds(vecs, init, iters)
   }
 
@@ -236,7 +250,7 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
         .select(col("cid"),
           transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
-        .transform(Checkpoints.cut(_, eager = true)) // cut lineage per Lloyd round
+        .transform(localized) // cut lineage per Lloyd round, job-free reuse
     }
     centroids
   }
@@ -788,13 +802,12 @@ object SimilarityOps {
     require(ks >= 1 && iters >= 0, s"need ks >= 1, iters >= 0; got ($ks, $iters)")
     val subRows = subspaceRows(corpus, idCol, vecCol, dim, m)
       .transform(Checkpoints.cut(_, eager = true)) // consumed every round
-    var cb = subRows
+    var cb = localized(subRows
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("sub")).orderBy(col("id"))))
       .filter(col("__rn") <= ks)
       .select(col("sub"), (col("__rn") - 1).cast("bigint").as("cid"),
-        col("sv").as("cvec"))
-      .transform(Checkpoints.cut(_, eager = true))
+        col("sv").as("cvec")))
     (1 to iters).foreach { _ =>
       val assigned = pqAssign(subRows, cb)
       cb = assigned.join(subRows, Seq("id", "sub"))
@@ -807,7 +820,7 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
         .select(col("sub"), col("cid"),
           transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
-        .transform(Checkpoints.cut(_, eager = true)) // cut lineage per round
+        .transform(localized) // cut lineage per round, job-free reuse
     }
     cb
   }

@@ -86,6 +86,34 @@ class DedupOpsSpec extends SparkSpecBase {
       sortedRows(DedupOps.connectedComponents(pairs))
   }
 
+  test("connectedComponents local union-find equals the distributed rounds") {
+    // a multi-round graph (chain), an isolated seed node, string ids,
+    // and a null-id edge (the local path must hand nulls back to the
+    // distributed join algebra, not fork it)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L), (7L, 8L))
+      .toDF("id1", "id2")
+    val nodes = Seq(42L, 4L).toDF("mg_id")
+    def forced[A](f: => A): A = {
+      System.setProperty("GRAFT_CC_LOCAL_MAX", "0")
+      try f finally System.clearProperty("GRAFT_CC_LOCAL_MAX")
+    }
+    val local = sortedRows(
+      DedupOps.connectedComponents(pairs, nodes = Some(nodes)))
+    val dist = forced(sortedRows(
+      DedupOps.connectedComponents(pairs, nodes = Some(nodes))))
+    local shouldBe dist
+    local.map(_.toSeq) should contain (Seq(42L, 42L)) // isolated seed
+    val sPairs = Seq(("b", "c"), ("a", "b")).toDF("id1", "id2")
+    sortedRows(DedupOps.connectedComponents(sPairs)) shouldBe
+      forced(sortedRows(DedupOps.connectedComponents(sPairs)))
+    // null ids: local path must refuse (take the distributed result)
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
+      .toDF("id1", "id2")
+    sortedRows(DedupOps.connectedComponents(withNull)) shouldBe
+      forced(sortedRows(DedupOps.connectedComponents(withNull)))
+  }
+
   test("ngramJaccard is 1.0 for identical docs") {
     val cands = Seq((1L, 2L)).toDF("id1", "id2")
     val out = DedupOps.ngramJaccard(docs, "doc_id", "text", 3, cands)
