@@ -19,6 +19,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The warm pass below exists so "JIT/codegen compilation doesn't
+      // land in the first timed queries" — but Spark's generated-class
+      // cache (static conf, default 100 entries) can't hold one suite
+      // pass (238 queries × ~10 codegen units), so every timed window
+      // was re-Janino-compiling its whole-stage code and the warm pass
+      // warmed nothing. Sized to hold the suite; irrelevant at cluster
+      // scale (one compile per long query is noise there — here it was
+      // a measurable fixed cost per window).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm pass: every query once against the smallest SF (and the

@@ -17,6 +17,7 @@ object Scratch {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SCRATCH_JOBS=1: print every Spark job's wall time + call site —

@@ -239,12 +239,78 @@ object GraphOps {
     * nodes = src ∪ dst, so pure sinks hold rank too. Returns
     * (id, r).
     */
+  /** Driver-side twin of [[pageRank]]'s round arithmetic for a SMALL
+    * edge set (the [[graft.ops.DedupOps]] local-CC idea applied to
+    * rank iteration): below `GRAFT_PR_LOCAL_MAX` collected edge rows
+    * (default 1M) the rounds run on the driver, replicating the
+    * distributed numeric path STEP FOR STEP so results are
+    * bit-identical — contribution = BigDecimal.valueOf(r/od)
+    * .setScale(18, HALF_UP) (exactly Spark's double→DECIMAL(25,18)
+    * cast), exact decimal sum per dst (order-free), .doubleValue
+    * (exactly Decimal→double), update (1−d)/n + d·inr in the same
+    * IEEE order. The per-round join+agg+checkpoint jobs — pure
+    * scheduling on a graph this size — disappear. Non-integral/string
+    * ids or null endpoints fall back to the distributed rounds.
+    */
+  private def localPageRank(e: DataFrame, iters: Int,
+      d: Double): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // src/dst must share ONE local-comparable type: the node set mixes
+    // both columns' values, and a boxed Int never equals a boxed Long
+    val okTypes = e.schema("src").dataType == e.schema("dst").dataType &&
+      (e.schema("src").dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType => true
+        case _ => false
+      })
+    if (!okTypes) return None
+    val cap = sys.env.get("GRAFT_PR_LOCAL_MAX")
+      .orElse(sys.props.get("GRAFT_PR_LOCAL_MAX"))
+      .map(_.toInt).getOrElse(1 << 20)
+    val rows = e.take(cap + 1)
+    if (rows.length > cap) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val edgesL = rows.map(r => (r.get(0), r.get(1)))
+    val nodes = (edgesL.map(_._1) ++ edgesL.map(_._2)).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "pageRank: empty graph")
+    val od = new java.util.HashMap[Any, Long]()
+    edgesL.foreach(t => od.merge(t._1, 1L, (a, b) => a + b))
+    var r = new java.util.HashMap[Any, Double]()
+    nodes.foreach(v => r.put(v, 1.0 / n))
+    (1 to iters).foreach { _ =>
+      val inr = new java.util.HashMap[Any, JBD]()
+      edgesL.foreach { case (s, t) =>
+        val c = JBD.valueOf(r.get(s) / od.get(s))
+          .setScale(18, RoundingMode.HALF_UP)
+        inr.merge(t, c, (a, b) => a.add(b))
+      }
+      val next = new java.util.HashMap[Any, Double]()
+      val base = (1 - d) / n
+      nodes.foreach { v =>
+        val in = inr.get(v)
+        next.put(v, base + d * (if (in == null) 0.0 else in.doubleValue()))
+      }
+      r = next
+    }
+    val idType = e.schema("src").dataType
+    val out = nodes.map(v => org.apache.spark.sql.Row(v, r.get(v)))
+    Some(e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("id", idType),
+        StructField("r", DoubleType)))))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = Checkpoints.cut(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
       eager = true) // consumed every round, twice
+    localPageRank(e, iters, d) match {
+      case Some(local) => e.unpersist(); return local
+      case None => ()
+    }
     val nodes = Checkpoints.cut(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct(),

@@ -409,13 +409,19 @@ object AdvancedQueries {
         |      FROM lineitem WHERE l_quantity > 10 GROUP BY 1, 2) b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_returnflag = b.l_returnflag
         |ORDER BY a.l_orderkey, a.l_returnflag""".stripMargin) { (s, dir) =>
+      // one conditional aggregation replaces the two-agg self-join
+      // (guide §2.4): n counts every row, sum_qty folds only qty>10
+      // rows (sum skips the when's nulls — the decimal fold is b's
+      // exactly), and the inner join's effect — dropping groups with
+      // no qty>10 row — is the __nb > 0 filter. One lineitem scan and
+      // one exchange instead of two of each plus a join.
       val li = t(s, dir, "lineitem")
-      val a = li.groupBy(col("l_orderkey"), col("l_returnflag"))
-        .agg(count(lit(1)).as("n"))
-      val b = li.filter(col("l_quantity") > 10)
-        .groupBy(col("l_orderkey"), col("l_returnflag"))
-        .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"))
-      a.join(b, Seq("l_orderkey", "l_returnflag"), "inner")
+      val qty10 = col("l_quantity") > 10
+      li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Num.sumMoney(when(qty10, col("l_quantity"))).as("sum_qty"),
+          count(when(qty10, 1)).as("__nb"))
+        .filter(col("__nb") > 0)
         .select(col("l_orderkey"), col("l_returnflag"), col("n"), col("sum_qty"))
         .orderBy(col("l_orderkey"), col("l_returnflag"))
     },

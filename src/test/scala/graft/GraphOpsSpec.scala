@@ -108,6 +108,13 @@ class GraphOpsSpec extends SparkSpecBase {
     // deterministic across runs
     GraphOps.pageRank(edges, "s", "t", iters = 3)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap shouldBe got
+    // the distributed rounds (forced: local cap 0) must agree with the
+    // driver-local fast path bit for bit — same guard as the CC spec
+    System.setProperty("GRAFT_PR_LOCAL_MAX", "0")
+    try {
+      GraphOps.pageRank(edges, "s", "t", iters = 3)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap shouldBe got
+    } finally System.clearProperty("GRAFT_PR_LOCAL_MAX")
   }
 
   test("pageRankConverged conserves mass under dangling nodes and stops at eps") {
