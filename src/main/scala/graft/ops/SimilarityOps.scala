@@ -214,17 +214,205 @@ object SimilarityOps {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
+  /** Driver-local collection for the trainer fast paths: the (id, vec)
+    * rows below `cap`, or None when the frame is over the cap or
+    * carries anything the local arithmetic does not replicate
+    * bit-for-bit — non-integral ids, duplicate ids (the distributed
+    * lowest-id init is then itself nondeterministic), null/missing
+    * vectors, null or non-finite elements, or ragged lengths. Bailing
+    * hands the caller back to the distributed rounds untouched, so
+    * every edge and error behavior stays the distributed path's own
+    * (including its loud raise_errors).
+    */
+  private def collectTrainRows(sel: DataFrame, cap: Int)
+      : Option[Array[(Long, Array[Float])]] = {
+    import org.apache.spark.sql.types._
+    if (cap <= 0) return None
+    val idOk = sel.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val vecOk = sel.schema("vec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (!idOk || !vecOk) return None
+    val rows = sel.take(cap + 1)
+    if (rows.length > cap) return None
+    val seen = new java.util.HashSet[Long]()
+    val out = new Array[(Long, Array[Float])](rows.length)
+    var len = -1
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val id = r.get(0) match {
+        case l: Long => l
+        case n: Int => n.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      if (!seen.add(id)) return None
+      val raw = r.getSeq[Any](1)
+      if (len < 0) len = raw.length
+      if (raw.length != len) return None
+      val a = new Array[Float](raw.length)
+      var j = 0
+      while (j < raw.length) {
+        raw(j) match {
+          case f: Float if java.lang.Float.isFinite(f) => a(j) = f
+          case _ => return None
+        }
+        j += 1
+      }
+      out(i) = (id, a)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Spark's float → DECIMAL(25,10) cast, exactly: the float widens to
+    * double exactly, Decimal(double) is the SHORTEST decimal
+    * representation (BigDecimal.valueOf), and changePrecision rounds
+    * HALF_UP to scale 10. A value past precision 25 would cast to
+    * null distributedly (and silently drop from the sum) — the local
+    * caller bails instead.
+    */
+  private def decimal10(v: Float): java.math.BigDecimal = {
+    val bd = java.math.BigDecimal.valueOf(v.toDouble)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 25) null else bd
+  }
+
+  /** The trainer means' exact arithmetic, shared by both local loops:
+    * decimal-exact per-dimension sums divided once in double, cast to
+    * float — value-identical to `sum(cast(x as DECIMAL(25,10)))
+    * .cast("double") / count(*)` then `.cast("float")` whatever the
+    * partial-aggregate merge order (decimal addition commutes).
+    * Returns null on a decimal bail (caller falls back distributed).
+    */
+  private def localMeans(members: java.util.ArrayList[Array[Float]])
+      : Array[Float] = {
+    val dim = members.get(0).length
+    val sums = new Array[java.math.BigDecimal](dim)
+    var i = 0
+    while (i < members.size()) {
+      val v = members.get(i)
+      var d = 0
+      while (d < dim) {
+        val dec = decimal10(v(d))
+        if (dec == null) return null
+        sums(d) = if (sums(d) == null) dec else sums(d).add(dec)
+        d += 1
+      }
+      i += 1
+    }
+    val n = members.size().toDouble
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      if (sums(d).precision > 35) return null // distributed sum overflow
+      out(d) = (sums(d).doubleValue() / n).toFloat
+      d += 1
+    }
+    out
+  }
+
+  private def kmLocalCap: Int = sys.env.get("GRAFT_KM_LOCAL_MAX")
+    .orElse(sys.props.get("GRAFT_KM_LOCAL_MAX"))
+    .map(_.toInt).getOrElse(1 << 17)
+
+  /** Size-adaptive driver-local twin of [[lloydRounds]] (the
+    * connectedComponents/pageRank local-fast-path pattern): below
+    * `GRAFT_KM_LOCAL_MAX` collected rows (default 128k — a
+    * broadcast-sized bound; the trained centroids' own consumers
+    * already ship the corpus-side frames whole), the Lloyd rounds run
+    * on the driver over the already-collected vectors instead of
+    * 2-3 Spark jobs per round of pure scheduling. Bit-identical by
+    * construction: assignment is the same sequential double fold
+    * ([[graft.expr.FloatDot.compute]]'s order) with the same
+    * (sim desc, cid asc) tie-break, and means go through
+    * [[localMeans]]' exact decimal discipline. Any NaN cosine (the
+    * distributed plan's loud raise) bails back to the distributed
+    * rounds so the error surfaces identically. Forced-distributed
+    * comparison spec: SimilarityOpsSpec.
+    */
+  private def localLloyd(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Array[Float])], k: Int, iters: Int)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (rows.isEmpty) return None // distributed path defines the empty shape
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val sorted = rows.sortBy(_._1)
+    val norms = sorted.map { case (_, v) => math.sqrt(dot(v, v)) }
+    // init: the k lowest-id vectors, cid 1..k in id order
+    var cids: Array[Long] = (1L to math.min(k, sorted.length).toLong).toArray
+    var cvecs: Array[Array[Float]] = sorted.take(k).map(_._2)
+    var round = 0
+    while (round < iters) {
+      val cnorms = cvecs.map(c => math.sqrt(dot(c, c)))
+      val members = Array.fill(cids.length)(
+        new java.util.ArrayList[Array[Float]]())
+      var r = 0
+      while (r < sorted.length) {
+        val v = sorted(r)._2
+        var best = -1; var bestSim = 0.0
+        var c = 0
+        while (c < cvecs.length) {
+          val sim = dot(v, cvecs(c)) / (norms(r) * cnorms(c))
+          if (sim.isNaN) return None // distributed path raises loudly
+          // Double.compare = Spark's sort order (-0.0 < 0.0); ties
+          // keep the earlier (lower) cid, as (sim desc, cid asc) does
+          if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+            best = c; bestSim = sim
+          }
+          c += 1
+        }
+        members(best).add(v)
+        r += 1
+      }
+      val keep = cids.indices.filter(members(_).size() > 0)
+      val nextC = new Array[Long](keep.length)
+      val nextV = new Array[Array[Float]](keep.length)
+      var o = 0
+      while (o < keep.length) {
+        val m = localMeans(members(keep(o)))
+        if (m == null) return None
+        nextC(o) = cids(keep(o)); nextV(o) = m
+        o += 1
+      }
+      cids = nextC; cvecs = nextV
+      round += 1
+    }
+    val out = cids.indices.map(i =>
+      org.apache.spark.sql.Row(cids(i), cvecs(i).toSeq))
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(FloatType), nullable = false)))
+    Some(spark.createDataFrame(java.util.Arrays.asList(out: _*), schema))
+  }
+
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got ($k, $iters)")
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .transform(Checkpoints.cut(_, eager = true)) // consumed every iteration
-    val init = localized(vecs.orderBy(col("id")).limit(k)
-      .select(
-        row_number().over(Window.orderBy(col("id"))).cast("bigint").as("cid"),
-        col("vec").as("cvec")))
-    lloydRounds(vecs, init, iters)
+    val sel = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    collectTrainRows(sel, kmLocalCap)
+      .flatMap(localLloyd(corpus.sparkSession, _, k, iters))
+      .getOrElse {
+        val vecs = sel
+          .transform(Checkpoints.cut(_, eager = true)) // consumed every round
+        val init = localized(vecs.orderBy(col("id")).limit(k)
+          .select(
+            row_number().over(Window.orderBy(col("id")))
+              .cast("bigint").as("cid"),
+            col("vec").as("cvec")))
+        lloydRounds(vecs, init, iters)
+      }
   }
 
   /** The shared Lloyd loop: max-cosine assignment, decimal-exact
@@ -796,33 +984,130 @@ object SimilarityOps {
     * Cells that lose every member drop out, as in [[trainCentroids]].
     * Returns (sub, cid, cvec).
     */
+  private def pqLocalCap: Int = sys.env.get("GRAFT_PQ_LOCAL_MAX")
+    .orElse(sys.props.get("GRAFT_PQ_LOCAL_MAX"))
+    .map(_.toInt).getOrElse(1 << 17)
+
+  /** Size-adaptive driver-local twin of the PQ Lloyd rounds (the
+    * [[localLloyd]] pattern): assignment is the same sequential
+    * (a-b)² double fold as [[graft.expr.FloatSqDist.compute]] with
+    * the (dist asc, cid asc) tie-break via Double.compare (= Spark's
+    * sort order), means share [[localMeans]]' exact decimal
+    * discipline, and empty cells drop. A wrong-size vector bails back
+    * to the distributed plan, whose raise_error stays the single loud
+    * failure path. Forced-distributed comparison: SimilarityOpsSpec.
+    */
+  private def localPq(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Array[Float])], dim: Int, m: Int, ks: Int,
+      iters: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (rows.isEmpty) return None
+    if (rows.exists(_._2.length != dim)) return None // distributed raises
+    val subDim = dim / m
+    val sorted = rows.sortBy(_._1)
+    // subvector slices once, reused every round
+    val subs: Array[Array[Array[Float]]] = sorted.map { case (_, v) =>
+      Array.tabulate(m)(s =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+    def sqd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    // per-sub parallel (cid asc) codebooks; init = ks lowest-id slices
+    var cbC: Array[Array[Long]] =
+      Array.fill(m)((0L until math.min(ks, sorted.length).toLong).toArray)
+    var cbV: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => subs.take(ks).map(_(s)))
+    var round = 0
+    while (round < iters) {
+      val members = Array.tabulate(m)(s => Array.fill(cbC(s).length)(
+        new java.util.ArrayList[Array[Float]]()))
+      var r = 0
+      while (r < subs.length) {
+        var s = 0
+        while (s < m) {
+          val sv = subs(r)(s)
+          var best = -1; var bestD = 0.0
+          var c = 0
+          while (c < cbV(s).length) {
+            val d = sqd(sv, cbV(s)(c))
+            if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+              best = c; bestD = d
+            }
+            c += 1
+          }
+          members(s)(best).add(sv)
+          s += 1
+        }
+        r += 1
+      }
+      val nextC = new Array[Array[Long]](m)
+      val nextV = new Array[Array[Array[Float]]](m)
+      var s = 0
+      while (s < m) {
+        val keep = cbC(s).indices.filter(members(s)(_).size() > 0)
+        nextC(s) = new Array[Long](keep.length)
+        nextV(s) = new Array[Array[Float]](keep.length)
+        var o = 0
+        while (o < keep.length) {
+          val mean = localMeans(members(s)(keep(o)))
+          if (mean == null) return None
+          nextC(s)(o) = cbC(s)(keep(o)); nextV(s)(o) = mean
+          o += 1
+        }
+        s += 1
+      }
+      cbC = nextC; cbV = nextV
+      round += 1
+    }
+    val out = for { s <- 0 until m; i <- cbC(s).indices }
+      yield org.apache.spark.sql.Row(s, cbC(s)(i), cbV(s)(i).toSeq)
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(FloatType), nullable = false)))
+    Some(spark.createDataFrame(java.util.Arrays.asList(out: _*), schema))
+  }
+
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ks: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ks >= 1 && iters >= 0, s"need ks >= 1, iters >= 0; got ($ks, $iters)")
-    val subRows = subspaceRows(corpus, idCol, vecCol, dim, m)
-      .transform(Checkpoints.cut(_, eager = true)) // consumed every round
-    var cb = localized(subRows
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("id"))))
-      .filter(col("__rn") <= ks)
-      .select(col("sub"), (col("__rn") - 1).cast("bigint").as("cid"),
-        col("sv").as("cvec")))
-    (1 to iters).foreach { _ =>
-      val assigned = pqAssign(subRows, cb)
-      cb = assigned.join(subRows, Seq("id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg((sum(col("col").cast(
-            org.apache.spark.sql.types.DecimalType(25, 10))).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__ps"))
-        .select(col("sub"), col("cid"),
-          transform(col("__ps"), p => p.getField("m").cast("float")).as("cvec"))
-        .transform(localized) // cut lineage per round, job-free reuse
-    }
-    cb
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    collectTrainRows(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), pqLocalCap)
+      .flatMap(localPq(corpus.sparkSession, _, dim, m, ks, iters))
+      .getOrElse {
+        val subRows = subspaceRows(corpus, idCol, vecCol, dim, m)
+          .transform(Checkpoints.cut(_, eager = true)) // consumed every round
+        var cb = localized(subRows
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("sub")).orderBy(col("id"))))
+          .filter(col("__rn") <= ks)
+          .select(col("sub"), (col("__rn") - 1).cast("bigint").as("cid"),
+            col("sv").as("cvec")))
+        (1 to iters).foreach { _ =>
+          val assigned = pqAssign(subRows, cb)
+          cb = assigned.join(subRows, Seq("id", "sub"))
+            .select(col("sub"), col("cid"), posexplode(col("sv")))
+            .groupBy(col("sub"), col("cid"), col("pos"))
+            .agg((sum(col("col").cast(
+                org.apache.spark.sql.types.DecimalType(25, 10))).cast("double") /
+              count(lit(1))).as("m"))
+            .groupBy(col("sub"), col("cid"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+              .as("__ps"))
+            .select(col("sub"), col("cid"),
+              transform(col("__ps"), p => p.getField("m").cast("float"))
+                .as("cvec"))
+            .transform(localized) // cut lineage per round, job-free reuse
+        }
+        cb
+      }
   }
 
   /** Min-sqL2 subspace assignment: (id, sub, cid). The codebook frame

@@ -748,4 +748,89 @@ class SimilarityOpsSpec extends SparkSpecBase {
         "vec_id", "embedding", bench, "eid", "bvec",
         tau = 0.5, dim = 4).collect()
   }
+
+  // ------------------------------------------------------------------
+  // r18: driver-local trainer fast paths must be BIT-identical to the
+  // distributed rounds (the connectedComponents/pageRank discipline:
+  // a local fast path only exists with a forced-distributed twin).
+  // ------------------------------------------------------------------
+
+  private def forcedDistributed[T](prop: String)(f: => T): T = {
+    System.setProperty(prop, "0")
+    try f finally System.clearProperty(prop)
+  }
+
+  /** Deterministic awkward floats: mixed signs, magnitudes spanning
+    * 1e-3..1e2, values whose decimal expansion stresses the HALF_UP
+    * scale-10 rounding of the mean discipline.
+    */
+  private def awkward(i: Int, j: Int): Float =
+    (((i * 31 + j * 17) % 97 - 48) / 7.0f) +
+      (((i * 13 + j) % 11).toFloat / 3.0f) + 0.05f
+
+  test("trainCentroids local fast path is bit-identical to distributed") {
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => awkward(i, j)))).toDF("id", "vec")
+    for ((k, iters) <- Seq((4, 3), (3, 0), (100, 2))) {
+      val local = SimilarityOps.trainCentroids(corpus, "id", "vec", k, iters)
+      val dist = forcedDistributed("GRAFT_KM_LOCAL_MAX")(
+        SimilarityOps.trainCentroids(corpus, "id", "vec", k, iters))
+      local.schema.map(f => (f.name, f.dataType.catalogString)) shouldBe
+        dist.schema.map(f => (f.name, f.dataType.catalogString))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits).toList))
+        .sortBy(_._1).toList
+      withClue(s"k=$k iters=$iters: ") { rows(local) shouldBe rows(dist) }
+    }
+  }
+
+  test("trainPqCodebooks local fast path is bit-identical to distributed") {
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => awkward(i * 7, j + 3))))
+      .toDF("id", "vec")
+    for ((m, ks, iters) <- Seq((4, 3, 2), (2, 50, 1), (8, 2, 0))) {
+      val local = SimilarityOps.trainPqCodebooks(
+        corpus, "id", "vec", dim = 8, m = m, ks = ks, iters = iters)
+      val dist = forcedDistributed("GRAFT_PQ_LOCAL_MAX")(
+        SimilarityOps.trainPqCodebooks(
+          corpus, "id", "vec", dim = 8, m = m, ks = ks, iters = iters))
+      local.schema.map(f => (f.name, f.dataType.catalogString)) shouldBe
+        dist.schema.map(f => (f.name, f.dataType.catalogString))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Float](2).map(java.lang.Float.floatToRawIntBits).toList))
+        .sortBy(t => (t._1, t._2)).toList
+      withClue(s"m=$m ks=$ks iters=$iters: ") { rows(local) shouldBe rows(dist) }
+    }
+  }
+
+  test("trainer local fast path bails to distributed on irregular input") {
+    // a null vector: the local path must refuse and the distributed
+    // rounds own the semantics (null cosine ranks last, vector still
+    // counted nowhere) — both forms must agree because both ARE the
+    // distributed path
+    val withNull = Seq(
+      (1L, Array(1f, 0.5f)), (2L, Array(0.5f, 1f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+    val viaApi = SimilarityOps.trainCentroids(withNull, "id", "vec", 2, 1)
+    val dist = forcedDistributed("GRAFT_KM_LOCAL_MAX")(
+      SimilarityOps.trainCentroids(withNull, "id", "vec", 2, 1))
+    viaApi.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+      .sortBy(_._1).toList shouldBe
+      dist.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+        .sortBy(_._1).toList
+    // a zero-norm vector raises loudly THROUGH the public api (the
+    // local path bails, the distributed plan raises)
+    val zero = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("id", "vec")
+    an[Exception] should be thrownBy
+      SimilarityOps.trainCentroids(zero, "id", "vec", 2, 1).collect()
+    // wrong-size vector raises loudly through trainPqCodebooks
+    val ragged = Seq((1L, Array(1f, 2f, 3f, 4f)), (2L, Array(1f, 2f)))
+      .toDF("id", "vec")
+    an[Exception] should be thrownBy
+      SimilarityOps.trainPqCodebooks(ragged, "id", "vec",
+        dim = 4, m = 2, ks = 1, iters = 1).collect()
+  }
 }
