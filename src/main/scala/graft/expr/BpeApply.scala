@@ -94,41 +94,12 @@ object BpeApply {
     */
   def compute(word: UTF8String, merges: Merges, emitPairs: Boolean): ArrayData = {
     val w = word.toString
-    // code-point split (surrogate pairs stay whole) + terminal symbol
-    var syms = new java.util.ArrayList[String](w.length + 1)
-    var cp = 0
-    while (cp < w.length) {
-      val n = Character.charCount(w.codePointAt(cp))
-      syms.add(w.substring(cp, cp + n))
-      cp += n
-    }
-    syms.add(EndOfWord)
+    var syms = splitSymbols(w)
     // sequential application, each merge left-to-right non-overlapping
     val ms = merges.pairs
     var m = 0
     while (m < ms.length) {
-      val a = ms(m)._1
-      val b = ms(m)._2
-      var i = 0
-      // scan once; only allocate a new list if the pair occurs
-      var found = false
-      while (!found && i < syms.size - 1) {
-        if (syms.get(i) == a && syms.get(i + 1) == b) found = true else i += 1
-      }
-      if (found) {
-        val merged = a + b
-        val out = new java.util.ArrayList[String](syms.size - 1)
-        var j = 0
-        while (j < i) { out.add(syms.get(j)); j += 1 }
-        while (j < syms.size) {
-          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
-            out.add(merged); j += 2
-          } else {
-            out.add(syms.get(j)); j += 1
-          }
-        }
-        syms = out
-      }
+      syms = mergeOnce(syms, ms(m)._1, ms(m)._2)
       m += 1
     }
     if (emitPairs) {
@@ -149,6 +120,52 @@ object BpeApply {
       }
       new GenericArrayData(flat)
     }
+  }
+
+  /** Code-point split (surrogate pairs stay whole) + terminal symbol
+    * — the initial symbol state of [[compute]], shared with the
+    * driver-local training rounds.
+    */
+  private[graft] def splitSymbols(w: String): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](w.length + 1)
+    var cp = 0
+    while (cp < w.length) {
+      val n = Character.charCount(w.codePointAt(cp))
+      syms.add(w.substring(cp, cp + n))
+      cp += n
+    }
+    syms.add(EndOfWord)
+    syms
+  }
+
+  /** One merge applied left-to-right non-overlapping — the per-merge
+    * body of [[compute]], shared with [[graft.ops.BpeTrain]]'s
+    * driver-local training rounds so the two application paths cannot
+    * diverge. Returns the input list unchanged (same instance) when
+    * the pair does not occur.
+    */
+  private[graft] def mergeOnce(syms0: java.util.ArrayList[String],
+      a: String, b: String): java.util.ArrayList[String] = {
+    val syms = syms0
+    var i = 0
+    // scan once; only allocate a new list if the pair occurs
+    var found = false
+    while (!found && i < syms.size - 1) {
+      if (syms.get(i) == a && syms.get(i + 1) == b) found = true else i += 1
+    }
+    if (!found) return syms
+    val merged = a + b
+    val out = new java.util.ArrayList[String](syms.size - 1)
+    var j = 0
+    while (j < i) { out.add(syms.get(j)); j += 1 }
+    while (j < syms.size) {
+      if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+        out.add(merged); j += 2
+      } else {
+        out.add(syms.get(j)); j += 1
+      }
+    }
+    out
   }
 
   /** Column form: symbol sequence after applying `merges`. */

@@ -86,10 +86,17 @@ object BpeTrain {
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
-    val words = Checkpoints.cut(wordFreqs(df, textCol), eager = true)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(trainMergesFrom(words, numMerges), 1),
-      MergeSchema)
+    val wf = wordFreqs(df, textCol)
+    localWordRows(wf) match {
+      case Some(rows) =>
+        spark.createDataFrame(java.util.Arrays.asList(
+          localTrainRows(rows, numMerges): _*), MergeSchema)
+      case None =>
+        val words = Checkpoints.cut(wf, eager = true)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(trainMergesFrom(words, numMerges), 1),
+          MergeSchema)
+    }
   }
 
   val MergeSchema: StructType = StructType(Seq(
@@ -116,9 +123,120 @@ object BpeTrain {
     * the corpus after `numMerges` trained merges.
     */
   def trainVocab(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val words = Checkpoints.cut(wordFreqs(df, textCol), eager = true)
-    val merges = trainMergesFrom(words, numMerges)
-    vocabAfter(words, merges.map(r => (r.getString(1), r.getString(2))).toSeq)
+    val spark = df.sparkSession
+    val wf = wordFreqs(df, textCol)
+    localWordRows(wf) match {
+      case Some(rows) =>
+        val merges = localTrainRows(rows, numMerges)
+          .map(r => (r.getString(1), r.getString(2)))
+        // the same application path as the distributed vocabAfter —
+        // BpeApply.compute over every word — but folded on the driver
+        // (long-sum per token is exact and merge-order-free)
+        val freqs = new java.util.LinkedHashMap[String, Long]()
+        rows.foreach { case (w, f) =>
+          val syms = graft.expr.BpeApply.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w),
+            new BpeApply.Merges(merges.toArray), emitPairs = false)
+          var i = 0
+          while (i < syms.numElements()) {
+            val t = syms.getUTF8String(i).toString
+            freqs.merge(t, f, (a, b) => a + b)
+            i += 1
+          }
+        }
+        val out = new java.util.ArrayList[Row](freqs.size())
+        freqs.forEach((t, f) => { out.add(Row(t, f)); () })
+        spark.createDataFrame(out, StructType(Seq(
+          StructField("token", StringType, nullable = false),
+          StructField("freq", LongType, nullable = true))))
+      case None =>
+        val words = Checkpoints.cut(wf, eager = true)
+        val merges = trainMergesFrom(words, numMerges)
+        vocabAfter(words,
+          merges.map(r => (r.getString(1), r.getString(2))).toSeq)
+    }
+  }
+
+  /** Driver-local collection for the BPE fast path: the (word, freq)
+    * vocabulary rows below `GRAFT_BPE_LOCAL_MAX` (default 1M — the
+    * word table is vocabulary-sized, kilobytes per row; a multi-TB
+    * corpus's tens-of-millions-distinct vocabulary stays distributed).
+    * None over the cap — and the distributed rounds own every edge
+    * case beyond plain (non-null word, non-null freq) rows.
+    */
+  private def localWordRows(wf: DataFrame): Option[Array[(String, Long)]] = {
+    val cap = sys.env.get("GRAFT_BPE_LOCAL_MAX")
+      .orElse(sys.props.get("GRAFT_BPE_LOCAL_MAX"))
+      .map(_.toInt).getOrElse(1 << 20)
+    if (cap <= 0) return None
+    val rows = wf.take(cap + 1)
+    if (rows.length > cap) return None
+    val out = new Array[(String, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      out(i) = (r.getString(0), r.getLong(1))
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Driver-local twin of [[trainMergesFrom]] (the trainer fast-path
+    * discipline: bit-identical rounds, forced-distributed comparison
+    * spec in BpeTrainSpec). Round state is the per-word symbol list,
+    * advanced by [[graft.expr.BpeApply.mergeOnce]] — the SAME code
+    * the distributed BpeApply expression applies, so the two paths
+    * cannot diverge; sequential application of merges 1..r is
+    * identical to advancing the round-(r-1) state by merge r. The
+    * argmax replicates the distributed orderBy exactly: count desc,
+    * then (lhs, rhs) ascending in UTF8String binary order (Spark's
+    * string ordering — NOT java.lang.String's UTF-16 code-unit order,
+    * which disagrees above U+FFFF).
+    */
+  private def localTrainRows(words: Array[(String, Long)],
+      numMerges: Int): Seq[Row] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val syms = words.map { case (w, _) => BpeApply.splitSymbols(w) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        val f = words(wi)._2
+        var i = 0
+        while (i < s.size - 1) {
+          counts.merge((s.get(i), s.get(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = 0L
+        counts.forEach { (p, n) =>
+          val better = best == null || n > bestN || (n == bestN && {
+            val c = UTF8String.fromString(p._1)
+              .compareTo(UTF8String.fromString(best._1))
+            c < 0 || (c == 0 && UTF8String.fromString(p._2)
+              .compareTo(UTF8String.fromString(best._2)) < 0)
+          })
+          if (better) { best = p; bestN = n }
+        }
+        learned += Row(rank, best._1, best._2, bestN)
+        var k = 0
+        while (k < syms.length) {
+          syms(k) = BpeApply.mergeOnce(syms(k), best._1, best._2)
+          k += 1
+        }
+        rank += 1
+      }
+    }
+    learned.toSeq
   }
 
   /** The training loop over a pre-materialized word table — shared by

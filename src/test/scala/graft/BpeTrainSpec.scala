@@ -164,4 +164,57 @@ class BpeTrainSpec extends SparkSpecBase {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // r18: driver-local training fast path must be BIT-identical to the
+  // distributed rounds (forced via GRAFT_BPE_LOCAL_MAX=0).
+  // ------------------------------------------------------------------
+
+  private def forcedDistributed[T](f: => T): T = {
+    System.setProperty("GRAFT_BPE_LOCAL_MAX", "0")
+    try f finally System.clearProperty("GRAFT_BPE_LOCAL_MAX")
+  }
+
+  test("local BPE training is bit-identical to distributed, incl. UTF8 tie order") {
+    // the tie corpus: after round 1 merges (a,</w>), the round-2
+    // candidates (\uFFFD, a</w>) and (\ud83d\ude00, a</w>) TIE on count;
+    // UTF8 binary order picks U+FFFD (EF BF BD < F0 9F 98 80) where
+    // java.lang.String's UTF-16 code-unit order would pick the
+    // surrogate pair — exactly the divergence the local argmax must
+    // not introduce
+    val corpus = Seq(
+      "\ud83d\ude00a \uFFFDa low low lower lowest ab ab abc",
+      "newer new news newest ab low").toDF("text")
+    for (rounds <- Seq(1, 2, 6, 12)) {
+      val local = BpeTrain.trainMerges(corpus, "text", rounds)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val dist = forcedDistributed(
+        BpeTrain.trainMerges(corpus, "text", rounds)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))))
+      withClue(s"rounds=$rounds: ") { local.toList shouldBe dist.toList }
+      val lv = BpeTrain.trainVocab(corpus, "text", rounds)
+        .orderBy(col("token")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val dv = forcedDistributed(
+        BpeTrain.trainVocab(corpus, "text", rounds)
+          .orderBy(col("token")).collect()
+          .map(r => (r.getString(0), r.getLong(1))))
+      withClue(s"vocab rounds=$rounds: ") { lv.toList shouldBe dv.toList }
+    }
+    // a minimal corpus where the round-2 argmax is a pure tie between
+    // a surrogate-pair lhs and U+FFFD: UTF8 byte order must pick
+    // U+FFFD (java's UTF-16 code-unit order would pick the surrogate)
+    val tieCorpus = Seq("\ud83d\ude00a \uFFFDa").toDF("text")
+    val m2 = BpeTrain.trainMerges(tieCorpus, "text", 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    m2(0) shouldBe ("a", "</w>")
+    m2(1) shouldBe ("\uFFFD", "a</w>")
+    val d2 = forcedDistributed(BpeTrain.trainMerges(tieCorpus, "text", 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))))
+    m2.toList shouldBe d2.toList
+  }
 }
