@@ -276,14 +276,81 @@ object CorpusOps {
     * and fails loudly at the encoder rather than landing in an
     * arbitrary shard.
     */
+  /** Shared row cap of the pack/shuffle-family driver-local fast
+    * paths (packByTokenBudget / packSequences / packSequencesBestFit /
+    * globalShuffle — the CC/pageRank local-fast-path pattern applied
+    * to the two-phase prefix operators): below it, the prefix
+    * fold/rank runs on the driver over the collected (id, weight/key)
+    * PROXY rows — kilobytes per row, never text — instead of a
+    * range exchange + pinned checkpoint + totals collect + window per
+    * op. Above it the pinned two-phase machinery is untouched; any
+    * input the local order does not replicate exactly (null or
+    * duplicate ids, guard violations) bails back so the distributed
+    * plan's own loud raise/require stays the single failure path.
+    */
+  private def packLocalCap: Int = sys.env.get("GRAFT_PACK_LOCAL_MAX")
+    .orElse(sys.props.get("GRAFT_PACK_LOCAL_MAX"))
+    .map(_.toInt).getOrElse(1 << 20)
+
+  private def integralIdType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  private def idLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  private def localTokenBudget(proj: DataFrame, idCol: String,
+      budget: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val cap = packLocalCap
+    if (cap <= 0) return None
+    val rows = proj.take(cap + 1)
+    if (rows.length > cap) return None
+    val seen = new java.util.HashSet[Long]()
+    val data = new Array[(Long, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0)) return None // distributed as[(Long,_)] fails loudly
+      val id = r.getLong(0)
+      if (!seen.add(id)) return None // equal-id order is undefined
+      data(i) = (id, r.getLong(1))
+      i += 1
+    }
+    java.util.Arrays.sort(data, Ordering.by((t: (Long, Long)) => t._1))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](data.length)
+    var cum = 0L
+    data.foreach { case (id, w) =>
+      out.add(org.apache.spark.sql.Row(id, w, cum, cum / budget))
+      cum += w
+    }
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("token_start", LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    Some(proj.sparkSession.createDataFrame(out, schema))
+  }
+
   def packByTokenBudget(df: DataFrame, idCol: String, weight: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
+    val proj = df.select(col(idCol).cast("long").as("__id"),
+      coalesce(weight.cast("long"), lit(0L)).as("__w"))
+    localTokenBudget(proj, idCol, budget).foreach(local => return local)
     val pinned = Checkpoints.cut(
-      df.select(col(idCol).cast("long").as("__id"),
-          coalesce(weight.cast("long"), lit(0L)).as("__w"))
+      proj
         .repartitionByRange(col("__id"))
         .sortWithinPartitions("__id"),
       eager = true).as[(Long, Long)]
@@ -575,10 +642,61 @@ object CorpusOps {
     * exact at any long. Null/negative token counts raise in-plan (a
     * null would silently shift every later document's offset).
     */
+  /** Driver-local twin of [[packSequences]]' two-phase prefix: the
+    * exclusive cumsum over idCol order is well-defined independent of
+    * partitioning (unique ids enforced), so a driver fold over the
+    * collected (id, count) proxy rows is value-identical. Bails on
+    * anything the in-plan guards own (null/negative counts, duplicate
+    * ids) so those still raise through the distributed plan.
+    */
+  private def localPackSequences(docs: DataFrame, idCol: String,
+      tokens: Column, seqLen: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val cap = packLocalCap
+    if (cap <= 0) return None
+    val idType = docs.schema(idCol).dataType
+    if (!integralIdType(idType)) return None
+    val proj = docs.select(col(idCol).as("__id"),
+      (tokens.isNull || tokens < lit(0)).as("__bad"),
+      tokens.cast("long").as("__w"))
+    val rows = proj.take(cap + 1)
+    if (rows.length > cap) return None
+    val seen = new java.util.HashSet[Long]()
+    val data = new Array[(Any, Long, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.getBoolean(1)) return None // guards raise
+      val raw = r.get(0)
+      val k = idLong(raw)
+      if (!seen.add(k)) return None // dup-id guard raises distributed
+      data(i) = (raw, k, r.getLong(2))
+      i += 1
+    }
+    java.util.Arrays.sort(data, Ordering.by((t: (Any, Long, Long)) => t._2))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](data.length)
+    var cum = 0L
+    data.foreach { case (raw, _, w) =>
+      val first = cum / seqLen
+      val last = if (w > 0) (cum + w - 1) / seqLen else first
+      out.add(org.apache.spark.sql.Row(raw, w, cum, first, last))
+      cum += w
+    }
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("n_tokens", LongType),
+      StructField("tok_start", LongType),
+      StructField("first_pack", LongType),
+      StructField("last_pack", LongType)))
+    Some(docs.sparkSession.createDataFrame(out, schema))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
       seqLen: Long, nBuckets: Int = 32): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    localPackSequences(docs, idCol, tokens, seqLen)
+      .foreach(local => return local)
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val guarded = when(tokens.isNull || tokens < 0, raise_error(lit(
@@ -652,10 +770,95 @@ object CorpusOps {
     * layout nondeterministic). Returns
     * (id, n_tokens, pack_id, pack_offset).
     */
+  /** Driver-local twin of [[packSequencesBestFit]]: the global
+    * (n_tokens desc, id asc) rank, the closed-form chunk split
+    * ((rank·nBuckets) div n), and the per-chunk NFD fold are all
+    * deterministic given unique ids, so the driver replay is
+    * value-identical — chunking included, because the chunk formula
+    * is rank arithmetic, never partition boundaries. Bails on guard
+    * violations (null/negative/oversized counts, duplicate ids,
+    * empty corpus) so the distributed plan's raises own them.
+    */
+  private def localPackBestFit(docs: DataFrame, idCol: String,
+      tokens: Column, seqLen: Long, nBuckets: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val cap = packLocalCap
+    if (cap <= 0) return None
+    val idType = docs.schema(idCol).dataType
+    if (!integralIdType(idType)) return None
+    val proj = docs.select(col(idCol).as("__id"),
+      (tokens.isNull || tokens < lit(0) ||
+        tokens.cast("long") > lit(seqLen)).as("__bad"),
+      tokens.cast("long").as("__w"))
+    val rows = proj.take(cap + 1)
+    if (rows.length > cap) return None
+    if (rows.isEmpty) return None // the distributed require owns empties
+    val seen = new java.util.HashSet[Long]()
+    val data = new Array[(Any, Long, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.getBoolean(1)) return None
+      val raw = r.get(0)
+      val k = idLong(raw)
+      if (!seen.add(k)) return None // dup-id require raises distributed
+      data(i) = (raw, k, r.getLong(2))
+      i += 1
+    }
+    // global rank: n_tokens desc, id asc (both longs — exact order)
+    java.util.Arrays.sort(data,
+      Ordering.by((t: (Any, Long, Long)) => (-t._3, t._2)))
+    val n = data.length.toLong
+    // per-chunk NFD fold in rank order; chunks are contiguous rank
+    // ranges so one pass with a chunk-change reset replays them all
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](data.length)
+    val binsPerChunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var chunk = -1L; var bin = 0L; var fill = 0L
+    var rank = 0L
+    val offs = new Array[Long](data.length)
+    val binOf = new Array[Long](data.length)
+    val chunkOf = new Array[Long](data.length)
+    while (rank < n) {
+      val c = (rank * nBuckets.toLong) / n
+      if (c != chunk) {
+        if (chunk >= 0) binsPerChunk += ((chunk, bin + 1L))
+        chunk = c; bin = 0L; fill = 0L
+      }
+      val w = data(rank.toInt)._3
+      if (fill + w > seqLen && fill > 0L) { bin += 1L; fill = 0L }
+      offs(rank.toInt) = fill
+      binOf(rank.toInt) = bin
+      chunkOf(rank.toInt) = c
+      fill += w
+      rank += 1L
+    }
+    if (chunk >= 0) binsPerChunk += ((chunk, bin + 1L))
+    val binOffsets = {
+      var acc = 0L
+      binsPerChunk.sortBy(_._1).map { case (c, b) =>
+        val o = c -> acc; acc += b; o
+      }.toMap
+    }
+    var j = 0
+    while (j < data.length) {
+      out.add(org.apache.spark.sql.Row(
+        data(j)._1, data(j)._3, binOffsets(chunkOf(j)) + binOf(j), offs(j)))
+      j += 1
+    }
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_offset", LongType, nullable = false)))
+    Some(docs.sparkSession.createDataFrame(out, schema))
+  }
+
   def packSequencesBestFit(docs: DataFrame, idCol: String,
       tokens: Column, seqLen: Long, nBuckets: Int = 32): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    localPackBestFit(docs, idCol, tokens, seqLen, nBuckets)
+      .foreach(local => return local)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -755,6 +958,44 @@ object CorpusOps {
     * within-partition row_number — never a global-ORDER window's
     * single task. Wide exchanges move (id, 32-byte hash) pairs.
     */
+  /** Driver-local twin of [[globalShuffle]]'s dense rank: the md5
+    * keys come from the SAME plan expression (collected, not
+    * re-derived), so only the (key, id) sort and 0-based numbering
+    * replay locally — key order is UTF8String binary order, which for
+    * the pure-ASCII hex digests any byte order reproduces. Duplicate
+    * ids are fine here (equal (key, id) rows are interchangeable; the
+    * output multiset is identical either way); null ids bail.
+    */
+  private def localGlobalShuffle(docs: DataFrame, idCol: String,
+      key: Column): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val cap = packLocalCap
+    if (cap <= 0) return None
+    val idType = docs.schema(idCol).dataType
+    if (!integralIdType(idType)) return None
+    val rows = docs.select(col(idCol).as("__id"), key.as("__k")).take(cap + 1)
+    if (rows.length > cap) return None
+    val data = new Array[(Any, Long, String)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0)) return None
+      data(i) = (r.get(0), idLong(r.get(0)), r.getString(1))
+      i += 1
+    }
+    java.util.Arrays.sort(data,
+      Ordering.by((t: (Any, Long, String)) => (t._3, t._2)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](data.length)
+    var pos = 0L
+    data.foreach { case (raw, _, _) =>
+      out.add(org.apache.spark.sql.Row(raw, pos)); pos += 1L
+    }
+    val schema = StructType(Seq(
+      StructField(idCol, idType),
+      StructField("shuffle_pos", LongType, nullable = false)))
+    Some(docs.sparkSession.createDataFrame(out, schema))
+  }
+
   def globalShuffle(docs: DataFrame, idCol: String, seed: String,
       nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -762,6 +1003,7 @@ object CorpusOps {
     val spark = docs.sparkSession
     val key = md5(concat(lit(seed), lit("|"),
       col(idCol).cast("string")).cast("binary"))
+    localGlobalShuffle(docs, idCol, key).foreach(local => return local)
     val pinned = Checkpoints.cut(
       docs.select(col(idCol), key.as("__k"))
         .repartitionByRange(nBuckets, col("__k"), col(idCol))

@@ -789,4 +789,58 @@ class CorpusOpsSpec extends SparkSpecBase {
     r(6L)._2 shouldBe "contaminated"
     r(1L)._1 shouldBe 100L // n_tokens rides the report
   }
+
+  // ------------------------------------------------------------------
+  // r18: pack/shuffle-family driver-local fast paths must be
+  // BIT-identical to the pinned two-phase distributed machinery
+  // (forced via GRAFT_PACK_LOCAL_MAX=0).
+  // ------------------------------------------------------------------
+
+  private def forcedPackDistributed[T](f: => T): T = {
+    System.setProperty("GRAFT_PACK_LOCAL_MAX", "0")
+    try f finally System.clearProperty("GRAFT_PACK_LOCAL_MAX")
+  }
+
+  test("pack/shuffle local fast paths are bit-identical to distributed") {
+    val docs = (1L to 700L)
+      .map(i => (i, if (i % 40 == 0) 0L else (i * 7919) % 97 + 1))
+      .toDF("doc_id", "tok")
+    def dump(df: org.apache.spark.sql.DataFrame): (Seq[String], List[Seq[Any]]) =
+      (df.schema.map(f => f.name + ":" + f.dataType.catalogString),
+        df.collect().map(_.toSeq).toList.sortBy(_.mkString("|")))
+
+    val seqL = CorpusOps.packSequences(docs, "doc_id", col("tok"), 100L)
+    val seqD = forcedPackDistributed(
+      CorpusOps.packSequences(docs, "doc_id", col("tok"), 100L, 7))
+    dump(seqL) shouldBe dump(seqD)
+
+    // bestFit's layout DEPENDS on nBuckets (the chunking knob), so
+    // local and distributed compare at the same knob — twice
+    for (buckets <- Seq(5, 32)) {
+      val bfL = CorpusOps.packSequencesBestFit(
+        docs, "doc_id", col("tok"), 100L, buckets)
+      val bfD = forcedPackDistributed(CorpusOps.packSequencesBestFit(
+        docs, "doc_id", col("tok"), 100L, buckets))
+      withClue(s"buckets=$buckets: ") { dump(bfL) shouldBe dump(bfD) }
+    }
+
+    val shL = CorpusOps.globalShuffle(docs, "doc_id", "ep1")
+    val shD = forcedPackDistributed(
+      CorpusOps.globalShuffle(docs, "doc_id", "ep1", 3))
+    dump(shL) shouldBe dump(shD)
+
+    val tbL = CorpusOps.packByTokenBudget(docs, "doc_id", col("tok"), 500L)
+    val tbD = forcedPackDistributed(
+      CorpusOps.packByTokenBudget(docs, "doc_id", col("tok"), 500L))
+    dump(tbL) shouldBe dump(tbD)
+
+    // an INT id keeps its type through the local pack paths exactly
+    // as the distributed plan keeps it
+    val intDocs = (1 to 50).map(i => (i, (i * 13 % 29 + 1).toLong))
+      .toDF("doc_id", "tok")
+    val iL = CorpusOps.packSequences(intDocs, "doc_id", col("tok"), 40L)
+    val iD = forcedPackDistributed(
+      CorpusOps.packSequences(intDocs, "doc_id", col("tok"), 40L))
+    dump(iL) shouldBe dump(iD)
+  }
 }
