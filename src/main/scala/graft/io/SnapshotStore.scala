@@ -99,6 +99,37 @@ object SnapshotStore {
     f"$prefix$v%06d" +
       s"_${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
 
+  /** Per-process parquet SCHEMA memo for store files (catalog
+    * behavior — Delta records the schema in its log for exactly this
+    * reason; here the log pre-dates that row, so the first read's
+    * inference is remembered instead). Sound because store files are
+    * immutable and never reused: every segment/tombstone/DV name
+    * embeds pid + nanotime ([[uniqueName]]), so a rebuilt fixture or
+    * a retried commit can never resurrect an old path with different
+    * content. Each EXECUTION still reads the parquet data in full —
+    * only the plan-construction footer inference is skipped (for
+    * merge reads, Spark 4's explicit-schema scan upcasts/null-fills
+    * per file, subsuming the footer merge — the `sch`-row contract).
+    * GRAFT_NO_MEMO opts out, as with [[graft.Tables.load]].
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readParquetMemo(spark: SparkSession, paths: Seq[String],
+      mergeSchema: Boolean): DataFrame = {
+    def raw: DataFrame = {
+      val r = if (mergeSchema) spark.read.option("mergeSchema", "true")
+        else spark.read
+      r.parquet(paths: _*)
+    }
+    if (sys.env.contains("GRAFT_NO_MEMO") ||
+        sys.props.contains("GRAFT_NO_MEMO")) return raw
+    val key = (if (mergeSchema) "m|" else "p|") + paths.mkString(",")
+    val known = schemaMemo.get(key)
+    if (known != null) spark.read.schema(known).parquet(paths: _*)
+    else { val f = raw; schemaMemo.put(key, f.schema); f }
+  }
+
   /** Committed versions, ascending — a manifest counts once its
     * rename landed (the rename IS the commit point; a writer's
     * temp dir is dot-prefixed and never matches).
@@ -1509,7 +1540,8 @@ object SnapshotStore {
     */
   private def antiTomb(spark: SparkSession, dir: String,
       base: DataFrame, tombPath: String): DataFrame = {
-    val t = spark.read.parquet(s"$dir/$tombPath")
+    val t = readParquetMemo(spark, Seq(s"$dir/$tombPath"),
+      mergeSchema = false)
     val idCol = t.columns match {
       case Array(one) => one
       case cs => throw new IllegalStateException(
@@ -1590,7 +1622,8 @@ object SnapshotStore {
     */
   private def antiDv(spark: SparkSession, dir: String,
       base: DataFrame, dvPaths: Seq[String]): DataFrame = {
-    val dv = spark.read.parquet(dvPaths.sorted.map(p => s"$dir/$p"): _*)
+    val dv = readParquetMemo(spark,
+        dvPaths.sorted.map(p => s"$dir/$p"), mergeSchema = false)
       .select(col("__dv_file"), col("__dv_ridx"))
     val hinted = if (tombBroadcastGate(spark, dir, dvPaths))
       broadcast(dv) else dv
@@ -1635,12 +1668,12 @@ object SnapshotStore {
       // Spark 4's vectorized reader upcasts narrow file columns in
       // place and null-fills missing ones, so the explicit schema
       // subsumes the footer-merge too
-      val r = target match {
-        case Some(t) => spark.read.schema(t)
-        case None if evolved => spark.read.option("mergeSchema", "true")
-        case None => spark.read
+      val f = target match {
+        case Some(t) =>
+          spark.read.schema(t).parquet(ps.sorted.map(p => s"$dir/$p"): _*)
+        case None => readParquetMemo(spark,
+          ps.sorted.map(p => s"$dir/$p"), mergeSchema = evolved)
       }
-      val f = r.parquet(ps.sorted.map(p => s"$dir/$p"): _*)
       if (withPos) withPosCols(f) else f
     }
     def union(a: Option[DataFrame], b: DataFrame): DataFrame =
@@ -2862,7 +2895,10 @@ object SnapshotStore {
       // distinct: every partition leaf of one commit shares the ONE
       // sidecar written at the commit root
       val statsDirs = groupSegs.map(sidecarDirOf(dir)).distinct
-      val sdf = spark.read.parquet(statsDirs: _*)
+      // sidecar dirs live under write-once unique segment roots, so
+      // the schema memo applies to them too (the binaries still never
+      // collect — verdicts stay in the read plan)
+      val sdf = readParquetMemo(spark, statsDirs, mergeSchema = false)
       val have = sdf.schema.fieldNames.toSet
       val verdicts = eqs.zipWithIndex.collect {
         case ((eq, typedLit), i) if have.contains(s"bloom_${eq.col}") =>
