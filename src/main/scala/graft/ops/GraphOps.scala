@@ -47,9 +47,121 @@ object GraphOps {
     * in a cycle never resolve and are dropped at the cap, matching
     * the reference's bounded loop (`s3_catcherry.py:844`).
     */
+  /** Driver-local twin of [[resolveChain]]'s pointer doubling (the
+    * local-fast-path discipline: bit-identical, forced-distributed
+    * spec in GraphOpsSpec). The distributed rounds leave a node in the
+    * output iff its root is reached within `maxIter` doublings — done
+    * after round i ⇔ depth ≤ 2^i (induction over the done-propagation
+    * rule), and a cycle is never done — so the local walk emits
+    * exactly the keys with depth ≤ 2^maxIter, with the same
+    * (key, root, depth) values: root = the first ancestor that is a
+    * null-parent key or absent from the key map ("external root"),
+    * depth = hop count, Int-typed as the distributed `d` column is.
+    * Bails on duplicate keys (the join would multiply rows — caller
+    * contract violated either way) and null keys.
+    */
+  private def localResolveChain(sel: DataFrame,
+      maxIter: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val okType = sel.schema("key").dataType == sel.schema("parent").dataType &&
+      (sel.schema("key").dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType => true
+        case _ => false
+      })
+    if (!okType) return None
+    val cap = sys.env.get("GRAFT_RC_LOCAL_MAX")
+      .orElse(sys.props.get("GRAFT_RC_LOCAL_MAX"))
+      .map(_.toInt).getOrElse(1 << 20)
+    if (cap <= 0) return None
+    val rows = sel.take(cap + 1)
+    if (rows.length > cap) return None
+    val parentOf = new java.util.HashMap[Any, Any]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0)) return None
+      val k = r.get(0)
+      if (parentOf.containsKey(k)) return None // dup key: join-multiplied
+      parentOf.put(k, if (r.isNullAt(1)) null else r.get(1))
+      i += 1
+    }
+    // done after round i ⇔ depth ≤ f(i), f(i) = f(i-1) + 2^(i-1),
+    // f(0) = 0 (initial done = the depth-0 roots) ⇒ f(i) = 2^i - 1
+    val maxDepth =
+      if (maxIter >= 62) Long.MaxValue else (1L << maxIter) - 1L
+    // memoized walk: rootOf/depthOf filled bottom-up along each path;
+    // a node ON a cycle never resolves (marked by a null root with
+    // resolved=true via the cycle set)
+    val rootOf = new java.util.HashMap[Any, Any]()
+    val depthOf = new java.util.HashMap[Any, Long]()
+    val onCycle = new java.util.HashSet[Any]()
+    val it = parentOf.keySet().iterator()
+    while (it.hasNext) {
+      val start = it.next()
+      if (!rootOf.containsKey(start) && !onCycle.contains(start)) {
+        val path = new java.util.ArrayList[Any]()
+        val inPath = new java.util.HashSet[Any]()
+        var cur: Any = start
+        var root: Any = null
+        var baseDepth = 0L
+        var state = 0 // 0 walking, 1 resolved, 2 cycle
+        while (state == 0) {
+          if (rootOf.containsKey(cur)) {
+            root = rootOf.get(cur); baseDepth = depthOf.get(cur); state = 1
+          } else if (onCycle.contains(cur) || inPath.contains(cur)) {
+            state = 2
+          } else {
+            val p = parentOf.get(cur)
+            if (p == null && !parentOf.containsKey(cur)) {
+              // external root: not a key at all
+              root = cur; baseDepth = 0L; state = 1
+            } else if (p == null) {
+              root = cur; baseDepth = 0L; state = 1 // null-parent root
+            } else {
+              path.add(cur); inPath.add(cur); cur = p
+            }
+          }
+        }
+        var j = path.size - 1
+        if (state == 1) {
+          // unwind: each path node sits one hop above its successor
+          var dAcc = baseDepth
+          rootOf.put(cur, root)
+          depthOf.put(cur, baseDepth)
+          while (j >= 0) {
+            val v = path.get(j)
+            dAcc += 1L
+            rootOf.put(v, root)
+            depthOf.put(v, dAcc)
+            j -= 1
+          }
+        } else {
+          while (j >= 0) { onCycle.add(path.get(j)); j -= 1 }
+          onCycle.add(cur)
+        }
+      }
+    }
+    val keyType = sel.schema("key").dataType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val it2 = parentOf.keySet().iterator()
+    while (it2.hasNext) {
+      val k = it2.next()
+      if (rootOf.containsKey(k) && depthOf.get(k) <= maxDepth)
+        out.add(org.apache.spark.sql.Row(
+          k, rootOf.get(k), depthOf.get(k).toInt))
+    }
+    val schema = StructType(Seq(
+      StructField("key", keyType),
+      StructField("root", keyType),
+      StructField("depth", IntegerType)))
+    Some(sel.sparkSession.createDataFrame(out, schema))
+  }
+
   def resolveChain(
       edges: DataFrame, // columns: key, parent (parent null => root)
       maxIter: Int = 20): DataFrame = {
+    localResolveChain(edges.select(col("key"), col("parent")), maxIter)
+      .foreach(local => return local)
     // state: anc is a known ancestor `d` hops up; done => anc is the
     // root. One job per iteration: the checkpoint is LAZY and the
     // remaining-count action is what materializes it — a separate
@@ -144,12 +256,107 @@ object GraphOps {
     * set — the reference's relation_pairs log, deterministically the
     * distinct edges whose parent is in the closure.
     */
+  /** Driver-local twin of [[entryRemover]]'s frontier BFS: the doomed
+    * closure is a pure set computation, so below the cap it folds on
+    * the driver over the collected (parent, child) edge rows and the
+    * kept/deleted faces keep their EXACT join construction against a
+    * LocalRelation of the closure (exact stats — the planner
+    * broadcasts without a job). The maxHops guard throws the SAME
+    * exception: BFS level count is identical to the distributed
+    * frontier's hop count. Relations = the distinct collected edges
+    * whose parent is in the closure — the same set the distributed
+    * semi-join + distinct emits.
+    */
+  private def localEntryRemover(
+      nodes: Map[String, DataFrame], seeds: DataFrame,
+      edgesRaw: DataFrame, maxHops: Int)
+      : Option[(Map[String, DataFrame], Map[String, DataFrame], DataFrame)] = {
+    import org.apache.spark.sql.types._
+    def okType(t: org.apache.spark.sql.types.DataType) = t match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    val pT = edgesRaw.schema("parent_id").dataType
+    val cT = edgesRaw.schema("child_id").dataType
+    val sT = seeds.schema("entry_id").dataType
+    if (!(okType(pT) && pT == cT && cT == sT)) return None
+    val cap = sys.env.get("GRAFT_ER_LOCAL_MAX")
+      .orElse(sys.props.get("GRAFT_ER_LOCAL_MAX"))
+      .map(_.toInt).getOrElse(1 << 20)
+    if (cap <= 0) return None
+    val seedRows = seeds.select(col("entry_id")).take(cap + 1)
+    if (seedRows.length > cap) return None
+    if (seedRows.exists(_.isNullAt(0))) return None
+    val edgeRows = edgesRaw.take(cap + 1)
+    if (edgeRows.length > cap) return None
+    if (edgeRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    // children per parent
+    val kids = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    edgeRows.foreach { r =>
+      kids.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+    }
+    val closure = new java.util.LinkedHashSet[Any]()
+    seedRows.foreach(r => closure.add(r.get(0)))
+    var frontier: java.util.List[Any] =
+      new java.util.ArrayList[Any](closure)
+    var hops = 0
+    var done = false
+    while (!done && hops < maxHops) {
+      val next = new java.util.LinkedHashSet[Any]()
+      frontier.forEach { p =>
+        val ch = kids.get(p)
+        if (ch != null) ch.forEach(c => if (!closure.contains(c)) {
+          next.add(c); ()
+        })
+      }
+      if (next.isEmpty) done = true
+      else {
+        closure.addAll(next)
+        frontier = new java.util.ArrayList[Any](next)
+        hops += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"entryRemover frontier did not drain within maxHops=$maxHops — " +
+          "the closure (and thus kept/deleted) would be incomplete; " +
+          "raise maxHops past the manifest's link depth")
+    val spark = seeds.sparkSession
+    val doomedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    closure.forEach(v => { doomedRows.add(org.apache.spark.sql.Row(v)); () })
+    val doomedIds = spark.createDataFrame(doomedRows,
+      StructType(Seq(StructField("entry_id", sT))))
+    val kept = nodes.map { case (node, df) =>
+      val idCol = s"${node}_id"
+      node -> (if (!df.columns.contains(idCol)) df
+        else df.join(doomedIds, df(q(idCol)) === doomedIds("entry_id"),
+          "left_anti"))
+    }
+    val deleted = nodes.map { case (node, df) =>
+      val idCol = s"${node}_id"
+      node -> (if (!df.columns.contains(idCol)) df.limit(0)
+        else df.join(doomedIds, df(q(idCol)) === doomedIds("entry_id"),
+          "left_semi"))
+    }
+    val relSet = new java.util.LinkedHashSet[(Any, Any)]()
+    edgeRows.foreach { r =>
+      if (closure.contains(r.get(0))) { relSet.add((r.get(0), r.get(1))); () }
+    }
+    val relRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    relSet.forEach(t => { relRows.add(org.apache.spark.sql.Row(t._1, t._2)); () })
+    val relations = spark.createDataFrame(relRows,
+      StructType(Seq(StructField("parent_id", pT),
+        StructField("child_id", cT))))
+    Some((kept, deleted, relations))
+  }
+
   def entryRemover(
       nodes: Map[String, DataFrame],
       seeds: DataFrame, // single column "entry_id"
       maxHops: Int = 20
   ): (Map[String, DataFrame], Map[String, DataFrame], DataFrame) = {
-    val edges = nodes.toSeq.sortBy(_._1).flatMap { case (node, df) =>
+    val edgesRaw = nodes.toSeq.sortBy(_._1).flatMap { case (node, df) =>
       val idCol = s"${node}_id"
       if (!df.columns.contains(idCol)) Seq.empty
       else df.columns.toSeq
@@ -161,7 +368,9 @@ object GraphOps {
     }.reduceOption(_ unionByName _)
       .getOrElse(seeds.sparkSession.emptyDataFrame
         .select(lit("").as("parent_id"), lit("").as("child_id")))
-      .persist()
+    localEntryRemover(nodes, seeds, edgesRaw, maxHops)
+      .foreach(local => return local)
+    val edges = edgesRaw.persist()
     var closure = seeds.select(col("entry_id")).distinct().persist()
     var frontier = closure
     var hops = 0
@@ -270,7 +479,9 @@ object GraphOps {
     val rows = e.take(cap + 1)
     if (rows.length > cap) return None
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
-    val edgesL = rows.map(r => (r.get(0), r.get(1)))
+    // the caller hands the RAW pair projection; the distributed path's
+    // edge frame is .distinct() of exactly this, so dedup here
+    val edgesL = rows.map(r => (r.get(0), r.get(1))).distinct
     val nodes = (edgesL.map(_._1) ++ edgesL.map(_._2)).distinct
     val n = nodes.length.toLong
     require(n > 0, "pageRank: empty graph")
@@ -304,13 +515,18 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // local first, on the RAW projection: the driver dedups the
+    // collected pairs itself, so the small-graph path pays ONE scan
+    // collect — no distinct exchange, no checkpoint write. (The cap
+    // then bounds RAW edge rows; a graph over it falls back and pays
+    // the partial take, negligible next to its distributed rounds.)
+    localPageRank(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+        iters, d)
+      .foreach(local => return local)
     val e = Checkpoints.cut(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
       eager = true) // consumed every round, twice
-    localPageRank(e, iters, d) match {
-      case Some(local) => e.unpersist(); return local
-      case None => ()
-    }
     val nodes = Checkpoints.cut(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct(),

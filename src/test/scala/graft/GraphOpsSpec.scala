@@ -190,4 +190,74 @@ class GraphOpsSpec extends SparkSpecBase {
       run(es) shouldBe brute.toMap
     }
   }
+
+  // ------------------------------------------------------------------
+  // r18: resolveChain / entryRemover driver-local fast paths must be
+  // bit-identical to the distributed rounds (forced via cap=0).
+  // ------------------------------------------------------------------
+
+  private def forcedProp[T](prop: String)(f: => T): T = {
+    System.setProperty(prop, "0")
+    try f finally System.clearProperty(prop)
+  }
+
+  test("resolveChain local fast path ≡ distributed: chains, externals, cycles, depth cutoff") {
+    // long chain (depth 9), an external root (parent never a key),
+    // a 3-cycle, a branch joining the long chain mid-way
+    val edges = (
+      Seq(("n0", null.asInstanceOf[String])) ++
+      (1 to 9).map(i => (s"n$i", s"n${i - 1}")) ++
+      Seq(("x1", "EXTERNAL"), ("x2", "x1"),
+        ("c1", "c3"), ("c2", "c1"), ("c3", "c2"),
+        ("m1", "n4"))).toDF("key", "parent")
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toList
+    for (mi <- Seq(20, 3, 2, 0)) {
+      val local = dump(GraphOps.resolveChain(edges, maxIter = mi))
+      val dist = forcedProp("GRAFT_RC_LOCAL_MAX")(
+        dump(GraphOps.resolveChain(edges, maxIter = mi)))
+      withClue(s"maxIter=$mi: ") { local shouldBe dist }
+    }
+    // the cutoff boundary is exact: depth ≤ 2^maxIter - 1 resolves
+    val out3 = GraphOps.resolveChain(edges, maxIter = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    out3.values.max shouldBe 7 // f(3) = 7; n8 (depth 8) is NOT done
+    out3.contains("n7") shouldBe true
+    out3.contains("n8") shouldBe false
+    out3("x2") shouldBe 2 // external root two hops up
+    out3.contains("c1") shouldBe false // cycles never resolve
+  }
+
+  test("entryRemover local fast path ≡ distributed, incl. the maxHops raise") {
+    val participant = strDf(Seq("participant_id", "name"))(
+      Seq("P1", "a"), Seq("P2", "b"))
+    val sample = strDf(Seq("sample_id", "participant.participant_id"))(
+      Seq("S1", "P1"), Seq("S2", "P1"), Seq("S3", "P2"))
+    val file = strDf(Seq("file_id", "sample.sample_id"))(
+      Seq("F1", "S1"), Seq("F2", "S2"), Seq("F3", "S3"))
+    val nodes = Map("participant" -> participant, "sample" -> sample,
+      "file" -> file)
+    val seeds = strDf(Seq("entry_id"))(Seq("P1"))
+    def dump(res: (Map[String, org.apache.spark.sql.DataFrame],
+        Map[String, org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame)) = (
+      res._1.map { case (k, v) =>
+        k -> v.collect().map(_.getString(0)).sorted.toList },
+      res._2.map { case (k, v) =>
+        k -> v.collect().map(_.getString(0)).sorted.toList },
+      res._3.collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toList)
+    val local = dump(GraphOps.entryRemover(nodes, seeds))
+    val dist = forcedProp("GRAFT_ER_LOCAL_MAX")(
+      dump(GraphOps.entryRemover(nodes, seeds)))
+    local shouldBe dist
+    // both paths raise the same loud incompleteness guard
+    val eL = intercept[IllegalStateException](
+      GraphOps.entryRemover(nodes, seeds, maxHops = 1))
+    val eD = forcedProp("GRAFT_ER_LOCAL_MAX")(
+      intercept[IllegalStateException](
+        GraphOps.entryRemover(nodes, seeds, maxHops = 1)))
+    eL.getMessage shouldBe eD.getMessage
+  }
 }
