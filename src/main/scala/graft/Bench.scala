@@ -89,7 +89,16 @@ object Bench {
         case (x, y)                     => math.max(x, y) // one failed: keep the good one, or -1 if both
       })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Stdout per-query seconds are rounded to 3 decimals (r19): the
+    // driver's BENCH_r*.json keeps only a stdout TAIL, and the full-
+    // precision map (~12 KB for 238 queries) overflowed it — the r18
+    // PERF artifact had parsed=null because the line's HEAD was
+    // truncated away. 1 ms precision is far below the protocol's own
+    // noise floor (min-of-two exists because single-query jitter is
+    // tens of ms); the full-precision values still land in the file
+    // output below, so nothing is lost.
+    def r3(d: Double): Double = if (d < 0) d else math.rint(d * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -113,6 +122,12 @@ object Bench {
     val json = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","passes":2,"unit":"sec","pass1_errors":$pass1Errors,"pass1_total":$pass1Total,"metric":"total","value":$total}"""
     println(json)
     println(f"TOTAL min_of_two=$total%.3f pass1_total=$pass1Total%.3f queries=${results.size} errors=${failed.size} sf=$sfDir")
+    // FINAL stdout line (r19): a compact summary JSON that survives ANY
+    // tail truncation — the headline figures in one short line the
+    // driver can always parse even when the per-query map above
+    // overflows its stdout tail. Additions-only: the full per-query
+    // line, the human TOTAL line, and the file output are unchanged.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":2,"queries":${results.size},"errors":${failed.size},"pass1_total":${r3(pass1Total)},"pass1_errors":$pass1Errors}""")
     // Persist the full per-query JSON to a file as well: the driver's
     // BENCH_r*.json keeps only an output tail, which truncates the
     // per-query map once it exceeds the tail window. The file version
@@ -121,7 +136,9 @@ object Bench {
     // = external load, not a plan change).
     def passJson(p: Seq[(String, Double)]): String =
       p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fileJson = json.dropRight(1) +
+    // full precision in the file (the stdout map is 3-decimal-rounded)
+    val fileJson =
+      s"""{"queries":${passJson(results)},"errors":$errs,"sf":"$sfDir","passes":2,"unit":"sec","pass1_errors":$pass1Errors,"pass1_total":$pass1Total,"metric":"total","value":$total""" +
       s""","pass1":${passJson(pass1)},"pass2":${passJson(pass2)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     try {

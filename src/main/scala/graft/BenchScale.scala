@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-regime bench (dev/scale tool, NOT part of the driver
+  * contract — graft.Bench is): times a curated EXEC-BOUND query
+  * subset against a [[StressFixture]] dir with Bench's exact
+  * protocol (drain between windows, noop sink, two interleaved
+  * passes, per-query min).
+  *
+  * Why it exists (r19): at sf0.1 the graded bench is task-scheduling
+  * bound — 144/238 queries sit under 0.4 s and a c8 run BEATS c32 —
+  * so sf0.1 deltas stopped measuring operator work. Scale evidence
+  * moves here: run against `StressFixture` output (10×/100×) at two
+  * core counts (`SPARK_GRAFT_CPUS`, like Bench) and compare per-query
+  * ratios — an operator that reaches ~4× at 4× cores at the bigger
+  * size is compute-bound and healthy; one that doesn't names the next
+  * target.
+  *
+  * Usage: runMain graft.BenchScale <stressDir> [prefixes]
+  * (comma- or space-separated query-name PREFIXES, the Verify/Scratch
+  * convention; default = the curated exec-bound subset below).
+  * Honors SPARK_GRAFT_CPUS and SPARK_GRAFT_BENCH_OUT (default
+  * /tmp/bench_scale_out.json).
+  */
+object BenchScale {
+  /** Exec-bound at sf0.1 (r18 final bench + phase splits): ANN
+    * in-cell joins, winnow evidence joins, dedup digest joins, the
+    * CDS flatten, big aggregation/join relational shapes, CC/pack
+    * consumers. Media (codec-bound) and mutating-fixture queries are
+    * excluded — their stress story lives in PipelineStress /
+    * SnapshotBench.
+    */
+  val DefaultSubset: Seq[String] = Seq(
+    "q17", "q33", "q49", "q69", "q72", "q73", "q80", "q122", "q126",
+    "q145", "q158", "q159", "q160", "q161", "q170", "q173", "q178",
+    "q187", "q200", "q201", "q204", "q209", "q214", "q228", "q230",
+    "q238")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/stress10")
+    val prefixes0 = args.drop(1).flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val prefixes = if (prefixes0.nonEmpty) prefixes0 else DefaultSubset
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096") // match Bench
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.allQueries.filter(q => prefixes.exists(q.name.startsWith))
+    require(qs.nonEmpty, s"no query matches ${prefixes.mkString(",")}")
+    // codegen/JIT warm pass at the smallest SF (Bench's discipline)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      qs.foreach { q =>
+        try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    def drain(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    def timedPass(pass: Int): Seq[(String, Double)] =
+      qs.map { q =>
+        drain()
+        spark.sparkContext.setJobDescription(s"scale:${q.name}:p$pass")
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] ${q.name} failed (pass $pass): ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ${q.name} pass$pass: $dt%.2f s")
+        q.name -> (if (ok) dt else -1.0)
+      }
+    val pass1 = timedPass(1)
+    val pass2 = timedPass(2)
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> ((a, b) match {
+        case (x, y) if x >= 0 && y >= 0 => math.min(x, y)
+        case (x, y)                     => math.max(x, y)
+      })
+    }
+    def js(p: Seq[(String, Double)]): String =
+      p.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val json = s"""{"queries":${js(results)},"errors":$errs,"sf":"$sfDir"""" +
+      s""","cpus":$cpus,"passes":2,"unit":"sec","metric":"total"""" +
+      s""","value":${math.rint(total * 1000) / 1000}}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/bench_scale_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile))
+      try w.println(json.dropRight(1) +
+        s""","pass1":${js(pass1)},"pass2":${js(pass2)}}""") finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] could not write $outFile: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

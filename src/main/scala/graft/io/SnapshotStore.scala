@@ -114,6 +114,14 @@ object SnapshotStore {
     */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
+  // Bounded (r19): every version/read shape is a new key and each key
+  // is the full joined path list, so a long-lived driver that commits
+  // and reads many versions would otherwise accumulate memory it never
+  // releases. A memo may always forget — on overflow the whole map is
+  // dropped (coarse, allocation-free, no LRU bookkeeping on the hot
+  // path); the next reads simply re-infer once. 4096 entries covers
+  // every bench/verify lifetime observed (hundreds of keys).
+  private val SchemaMemoMax = 4096
 
   private def readParquetMemo(spark: SparkSession, paths: Seq[String],
       mergeSchema: Boolean): DataFrame = {
@@ -127,7 +135,12 @@ object SnapshotStore {
     val key = (if (mergeSchema) "m|" else "p|") + paths.mkString(",")
     val known = schemaMemo.get(key)
     if (known != null) spark.read.schema(known).parquet(paths: _*)
-    else { val f = raw; schemaMemo.put(key, f.schema); f }
+    else {
+      val f = raw
+      if (schemaMemo.size >= SchemaMemoMax) schemaMemo.clear()
+      schemaMemo.put(key, f.schema)
+      f
+    }
   }
 
   /** Committed versions, ascending — a manifest counts once its

@@ -165,8 +165,8 @@ object BpeTrain {
     * case beyond plain (non-null word, non-null freq) rows.
     */
   private def localWordRows(wf: DataFrame): Option[Array[(String, Long)]] = {
-    val cap = sys.env.get("GRAFT_BPE_LOCAL_MAX")
-      .orElse(sys.props.get("GRAFT_BPE_LOCAL_MAX"))
+    val cap = sys.props.get("GRAFT_BPE_LOCAL_MAX")
+      .orElse(sys.env.get("GRAFT_BPE_LOCAL_MAX"))
       .map(_.toInt).getOrElse(1 << 20)
     if (cap <= 0) return None
     val rows = wf.take(cap + 1)

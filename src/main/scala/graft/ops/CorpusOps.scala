@@ -288,8 +288,8 @@ object CorpusOps {
     * duplicate ids, guard violations) bails back so the distributed
     * plan's own loud raise/require stays the single failure path.
     */
-  private def packLocalCap: Int = sys.env.get("GRAFT_PACK_LOCAL_MAX")
-    .orElse(sys.props.get("GRAFT_PACK_LOCAL_MAX"))
+  private def packLocalCap: Int = sys.props.get("GRAFT_PACK_LOCAL_MAX")
+    .orElse(sys.env.get("GRAFT_PACK_LOCAL_MAX"))
     .map(_.toInt).getOrElse(1 << 20)
 
   private def integralIdType(t: org.apache.spark.sql.types.DataType): Boolean =

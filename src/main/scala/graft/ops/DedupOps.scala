@@ -403,8 +403,8 @@ object DedupOps {
       case _ => None
     }
     if (ordering.isEmpty) return None
-    val cap = sys.env.get("GRAFT_CC_LOCAL_MAX")
-      .orElse(sys.props.get("GRAFT_CC_LOCAL_MAX"))
+    val cap = sys.props.get("GRAFT_CC_LOCAL_MAX")
+      .orElse(sys.env.get("GRAFT_CC_LOCAL_MAX"))
       .map(_.toInt).getOrElse(1 << 20)
     val edges = sym.take(cap + 1)
     if (edges.length > cap) return None

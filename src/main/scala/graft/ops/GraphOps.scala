@@ -69,8 +69,8 @@ object GraphOps {
         case _ => false
       })
     if (!okType) return None
-    val cap = sys.env.get("GRAFT_RC_LOCAL_MAX")
-      .orElse(sys.props.get("GRAFT_RC_LOCAL_MAX"))
+    val cap = sys.props.get("GRAFT_RC_LOCAL_MAX")
+      .orElse(sys.env.get("GRAFT_RC_LOCAL_MAX"))
       .map(_.toInt).getOrElse(1 << 20)
     if (cap <= 0) return None
     val rows = sel.take(cap + 1)
@@ -280,8 +280,8 @@ object GraphOps {
     val cT = edgesRaw.schema("child_id").dataType
     val sT = seeds.schema("entry_id").dataType
     if (!(okType(pT) && pT == cT && cT == sT)) return None
-    val cap = sys.env.get("GRAFT_ER_LOCAL_MAX")
-      .orElse(sys.props.get("GRAFT_ER_LOCAL_MAX"))
+    val cap = sys.props.get("GRAFT_ER_LOCAL_MAX")
+      .orElse(sys.env.get("GRAFT_ER_LOCAL_MAX"))
       .map(_.toInt).getOrElse(1 << 20)
     if (cap <= 0) return None
     val seedRows = seeds.select(col("entry_id")).take(cap + 1)
@@ -473,8 +473,8 @@ object GraphOps {
         case _ => false
       })
     if (!okTypes) return None
-    val cap = sys.env.get("GRAFT_PR_LOCAL_MAX")
-      .orElse(sys.props.get("GRAFT_PR_LOCAL_MAX"))
+    val cap = sys.props.get("GRAFT_PR_LOCAL_MAX")
+      .orElse(sys.env.get("GRAFT_PR_LOCAL_MAX"))
       .map(_.toInt).getOrElse(1 << 20)
     val rows = e.take(cap + 1)
     if (rows.length > cap) return None

@@ -318,8 +318,8 @@ object SimilarityOps {
     out
   }
 
-  private def kmLocalCap: Int = sys.env.get("GRAFT_KM_LOCAL_MAX")
-    .orElse(sys.props.get("GRAFT_KM_LOCAL_MAX"))
+  private def kmLocalCap: Int = sys.props.get("GRAFT_KM_LOCAL_MAX")
+    .orElse(sys.env.get("GRAFT_KM_LOCAL_MAX"))
     .map(_.toInt).getOrElse(1 << 17)
 
   /** Size-adaptive driver-local twin of [[lloydRounds]] (the
@@ -984,8 +984,8 @@ object SimilarityOps {
     * Cells that lose every member drop out, as in [[trainCentroids]].
     * Returns (sub, cid, cvec).
     */
-  private def pqLocalCap: Int = sys.env.get("GRAFT_PQ_LOCAL_MAX")
-    .orElse(sys.props.get("GRAFT_PQ_LOCAL_MAX"))
+  private def pqLocalCap: Int = sys.props.get("GRAFT_PQ_LOCAL_MAX")
+    .orElse(sys.env.get("GRAFT_PQ_LOCAL_MAX"))
     .map(_.toInt).getOrElse(1 << 17)
 
   /** Size-adaptive driver-local twin of the PQ Lloyd rounds (the
