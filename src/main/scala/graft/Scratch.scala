@@ -54,7 +54,14 @@ object Scratch {
       prefixes.isEmpty || prefixes.exists(q.name.startsWith))
     qs.foreach { q =>
       val df = q.run(spark, sfDir)
-      if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("SCRATCH_EXPLAIN_FINAL")) {
+        // the AQE FINAL plan: execute first (noop), then print — the
+        // pre-execution explain shows isFinalPlan=false with initial
+        // (estimate-based) join strategies that AQE may replace
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+      }
+      else if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
       else if (sys.env.contains("SCRATCH_PHASES")) (1 to 3).foreach { i =>
         drain()
         val t0 = System.nanoTime()

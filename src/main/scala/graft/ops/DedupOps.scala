@@ -237,8 +237,26 @@ object DedupOps {
     val cands = lshCandidatePairs(sigs, idCol, bands, preMaterialized = true)
       .localCheckpoint(true)
 
-    val candDocs = cands.select(col("id1").as("__cid"))
-      .union(cands.select(col("id2"))).distinct()
+    // r19 (guide §3.1 — pick the strategy deliberately): the pair-join
+    // strategies were estimate-driven, and the estimates were wrong in
+    // BOTH directions here — the planner broadcast the two exploded
+    // digest incidences (corpus-growing frames: multi-GB builds at
+    // 100× stress) while exchanging the digest frame's KB-sized ARRAY
+    // payload through both candidate semi-joins. The one exact size
+    // available is the materialized cands checkpoint: below the bound
+    // (pair count ≤ 4M ⇒ endpoint/hash relations ≤ ~100 MB) the
+    // PAIRS-derived frames broadcast — the op's smallest frames — so
+    // the arrays never shuffle and the incidences stream map-side;
+    // above it everything falls back to the plain exchanges. The
+    // intersection join's build side is pinned away from the exploded
+    // incidence either way (`merge` hint): a corpus-growing broadcast
+    // is the one strategy that cannot survive scale.
+    val nPairs = cands.count()
+    val candsBounded = nPairs <= 4000000L
+    def sized(df: DataFrame): DataFrame =
+      if (candsBounded) broadcast(df) else df
+    val candDocs = sized(cands.select(col("id1").as("__cid"))
+      .union(cands.select(col("id2"))).distinct())
     // NOT checkpointed here (unlike ngramJaccard's twin): the two
     // consumers recompute a semi-join + explode over the checkpointed
     // digest arrays — cheap and lazy — whereas materializing would
@@ -270,9 +288,18 @@ object DedupOps {
     // Σ_sh |cand docs sharing sh|² — co-shingle pairs that are not
     // candidates are generated only to be thrown away. Candidates are
     // already banded here, so the pair frame is the smaller driver.
+    // r19 REJECTED alternative (measured): a df≥2 pre-filter on the
+    // exploded digests (the winnow `keep` discipline — a hapax digest
+    // can never intersect) did NOT reduce the pair join at 10× stress
+    // (exec 7.5 s with ≈ without, construct +1 s for the df cut):
+    // docShingles is already candidate-restricted, and candidate docs
+    // are near-dups whose shingle sets largely overlap — the hapax
+    // fraction among them is small by construction, unlike the
+    // whole-corpus winnow incidence the discipline comes from.
     val a = docShingles.select(col("__id").as("id1"), col("__sh"))
     val b = docShingles.select(col("__id").as("__id2"), col("__sh").as("__sh2"))
-    val inter = cands.join(a, Seq("id1"))
+      .hint("merge")
+    val inter = a.join(sized(cands), Seq("id1"))
       .join(b, col("id2") === col("__id2") && col("__sh") === col("__sh2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
 

@@ -315,22 +315,40 @@ object ExportStages {
 
     val fileNodes = catalog.fileNodes.filter(m.contains)
     require(fileNodes.nonEmpty, "manifest has no file nodes")
-    val files = shared(fileNodes.map(m(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
 
     def addLevel(base: DataFrame, node: String, on: String): DataFrame =
       if (m.contains(node)) JoinOps.leftJoinCoalesce(base, m(node), Seq(on))
       else base
-    val studyLevel = m.get(studyNode).map { st =>
-      shared(addLevel(addLevel(st, studyAdminNode, key(studyNode)),
-        studyPersonnelNode, key(studyNode)))
-    }
-    val participantLevel = studyLevel.filter(_ => m.contains(participantNode)).map {
-      sl =>
-        shared(addLevel(
-          JoinOps.leftJoinCoalesce(sl, m(participantNode), Seq(key(studyNode))),
-          diagnosisNode, key(participantNode)))
-    }
+    // The file-union cut and the study→participant level chain are
+    // data-independent; constructing them concurrently overlaps their
+    // checkpoint planning + intermediate AQE stages (guide §2.6 —
+    // same frames, same cuts, only the construction wall shrinks).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (files, (studyLevel, participantLevel)) =
+      try {
+        val filesFut = pool.submit(
+          new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = shared(fileNodes.map(m(_))
+              .reduce(_.unionByName(_, allowMissingColumns = true)))
+          })
+        val levelsFut = pool.submit(
+          new java.util.concurrent.Callable[(Option[DataFrame], Option[DataFrame])] {
+            override def call(): (Option[DataFrame], Option[DataFrame]) = {
+              val sl = m.get(studyNode).map { st =>
+                shared(addLevel(addLevel(st, studyAdminNode, key(studyNode)),
+                  studyPersonnelNode, key(studyNode)))
+              }
+              val pl = sl.filter(_ => m.contains(participantNode)).map { s =>
+                shared(addLevel(
+                  JoinOps.leftJoinCoalesce(s, m(participantNode),
+                    Seq(key(studyNode))),
+                  diagnosisNode, key(participantNode)))
+              }
+              (sl, pl)
+            }
+          })
+        (filesFut.get(), levelsFut.get())
+      } finally pool.shutdown()
 
     // join_node + join_file_node_cleaner for one hop (ref `:272-297`).
     def path(name: String, parent: Option[DataFrame], child: Option[DataFrame],

@@ -343,30 +343,30 @@ object StageQueries {
       val prt = t(s, dir, "part")
       val sup = t(s, dir, "supplier")
 
-      val study = nat.select(
+      val study0 = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("Title"), (col("n_nationkey") % 3).cast("string")).as("study_title"))
-        .distinct().localCheckpoint(false)
-      val studyAdmin = nat.select(
+        .distinct()
+      val studyAdmin0 = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("Adm"), (col("n_nationkey") % 3).cast("string")).as("admin_name"))
-        .distinct().localCheckpoint(false)
-      val studyPersonnel = nat.select(
+        .distinct()
+      val studyPersonnel0 = nat.select(
         concat(lit("ST"), (col("n_nationkey") % 3).cast("string")).as("study_id"),
         concat(lit("PI"), (col("n_nationkey") % 3).cast("string")).as("personnel_name"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       val pKey = col("c_custkey") % 200
-      val participant = cust.select(
+      val participant0 = cust.select(
         concat(lit("P"), pKey.cast("string")).as("participant_id"),
         concat(lit("ST"), (pKey % 3).cast("string")).as("study_id"))
-        .distinct().localCheckpoint(false)
-      val diagnosis = cust.select(
+        .distinct()
+      val diagnosis0 = cust.select(
         concat(lit("P"), pKey.cast("string")).as("participant_id"),
         when(pKey % 4 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("dx"), (pKey % 7).cast("string"))).as("anatomic_site"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       val sKey = col("o_orderkey") % 500
-      val sample = ord.select(
+      val sample0 = ord.select(
         concat(lit("S"), sKey.cast("string")).as("sample_id"),
         when(sKey % 5 <= 2, concat(lit("P"), (sKey % 200).cast("string")))
           .otherwise(lit(null).cast("string")).as("participant_id"),
@@ -378,19 +378,19 @@ object StageQueries {
           .otherwise(lit(null).cast("string")).as("study_id"),
         when(sKey % 3 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("site"), (sKey % 6).cast("string"))).as("anatomic_site"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       val xKey = col("p_partkey") % 50
-      val pdx = prt.select(
+      val pdx0 = prt.select(
         concat(lit("X"), xKey.cast("string")).as("pdx_id"),
         concat(lit("S"), ((xKey * 7) % 500).cast("string")).as("sample_id"),
         concat(lit("pp"), (xKey % 4).cast("string")).as("passage"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       val clKey = col("s_suppkey") % 40
-      val cellLine = sup.select(
+      val cellLine0 = sup.select(
         concat(lit("C"), clKey.cast("string")).as("cell_line_id"),
         concat(lit("S"), ((clKey * 11) % 500).cast("string")).as("sample_id"),
         concat(lit("src"), (clKey % 3).cast("string")).as("source"))
-        .distinct().localCheckpoint(false)
+        .distinct()
       val o = col("o_orderkey")
       def fileLinks = Seq(
         when(o % 6 <= 1, concat(lit("S"), (o % 500).cast("string")))
@@ -414,7 +414,16 @@ object StageQueries {
           concat(lit("f"), o.cast("string")).as("file_name"),
           concat(lit("mod"), (o % 3).cast("string")).as("modality")) ++ fileLinks): _*)
 
-      val manifest = Map(
+            // the eight node frames are mutually independent — checkpoint them
+      // concurrently (each lazy cut pays planning + its distinct's
+      // exchange stages under AQE; serially that was ~1 s of sub-100 ms
+      // jobs at sf0.1). Same localCheckpoint(false) per frame as before.
+      val Seq(study, studyAdmin, studyPersonnel, participant, diagnosis,
+        sample, pdx, cellLine) = graft.ops.Checkpoints.localCutAll(
+        Seq(study0, studyAdmin0, studyPersonnel0, participant0, diagnosis0,
+          sample0, pdx0, cellLine0), eager = false)
+
+val manifest = Map(
         "study" -> study, "study_admin" -> studyAdmin,
         "study_personnel" -> studyPersonnel, "participant" -> participant,
         "diagnosis" -> diagnosis, "sample" -> sample, "pdx" -> pdx,
